@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** The reference CLI's counting commands re-expressed as declarative Spark
+  * plans (reference: src/cmd/{topk,botk,count,search,stats,unique}.rs).
+  *
+  * Scale notes (100 TB design):
+  *  - every pipeline is scan → narrow project/explode → partial agg →
+  *    shuffle on the group key → final agg; no driver-side loops.
+  *  - topk/botk end in TakeOrderedAndProject (k rows per partition are
+  *    pre-selected map-side, only k×partitions rows reach the driver).
+  *  - for very large n (n=100 grams) use [[TopK.hashed]] which shuffles an
+  *    8-byte xxhash64 of the n-gram instead of the string and joins the k
+  *    winning strings back afterwards.
+  */
+object NgramOps {
+
+  /** tokens column for a text column: UAX-29 by default. */
+  def tokens(text: Column, uax29: Boolean = true): Column =
+    if (uax29) tokenize(text) else splitTokens(text)
+
+  private def ngramCounts(docs: DataFrame, textCol: String, n: Int, uax29: Boolean): DataFrame =
+    docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+
+  /** `wimbd topk` exact mode (reference src/cmd/topk.rs:106-343). Determinism:
+    * ties broken by n-gram ascending.
+    */
+  def topK(docs: DataFrame, textCol: String, n: Int, k: Int, uax29: Boolean = true): DataFrame =
+    ngramCounts(docs, textCol, n, uax29)
+      .orderBy(desc("cnt"), asc("ngram")).limit(k)
+
+  /** `wimbd botk` in one pass — the reference needs two passes and an
+    * inverted sketch (src/cmd/botk.rs:103-359); exact group-by needs neither.
+    */
+  def botK(docs: DataFrame, textCol: String, n: Int, k: Int, uax29: Boolean = true): DataFrame =
+    ngramCounts(docs, textCol, n, uax29)
+      .orderBy(asc("cnt"), asc("ngram")).limit(k)
+
+  /** topk for very long n-grams: shuffle xxhash64(ngram) (8 bytes) instead of
+    * the n-gram string, then recover the winning strings with a second
+    * cheap aggregation filtered to the k winning hashes (broadcast).
+    */
+  def topKHashed(docs: DataFrame, textCol: String, n: Int, k: Int, uax29: Boolean = true): DataFrame = {
+    val grams = docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+    val winners = grams.select(xxhash64(col("ngram")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("h")).limit(k)
+    grams.select(col("ngram"), xxhash64(col("ngram")).as("h")).dropDuplicates("h")
+      .join(broadcast(winners), "h")
+      .select(col("ngram"), col("cnt"))
+      .orderBy(desc("cnt"), asc("ngram"))
+  }
+
+  /** `wimbd unique` exact (reference src/cmd/unique.rs:65-161 is a biased
+    * Bloom estimate; exact distinct is the batch-native answer).
+    */
+  def uniqueExact(docs: DataFrame, textCol: String, n: Int, uax29: Boolean = true): DataFrame =
+    docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+      .agg(count_distinct(col("ngram")).as("n_unique"))
+
+  /** `wimbd unique` approximate — HLL++, a strictly better estimator than the
+    * reference's collision-biased Bloom cell count.
+    */
+  def uniqueApprox(docs: DataFrame, textCol: String, n: Int, rsd: Double = 0.01,
+                   uax29: Boolean = true): DataFrame =
+    docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+      .agg(approx_count_distinct(col("ngram"), rsd).as("n_unique"))
+
+  /** `wimbd count` — total (overlapping) occurrences of each exact token
+    * sequence (reference src/cmd/count.rs:191-208). Implemented as a
+    * broadcast semi-join of the corpus n-gram stream against the phrase
+    * table, one pass per distinct phrase length; phrases with zero hits are
+    * kept (left join), matching the reference's pre-initialized counters.
+    */
+  def countPhrases(docs: DataFrame, textCol: String, phrases: Seq[String],
+                   uax29: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phraseDf = phrases.toDF("phrase")
+      .withColumn("plen", size(splitTokens(col("phrase"))))
+    val byLen = phrases.map(p => p.split(" ").length).distinct.map { len =>
+      docs.select(explode(ngrams(tokens(col(textCol), uax29), len)).as("ngram"))
+        .withColumn("plen", lit(len))
+    }.reduce(_ unionAll _)
+    phraseDf.join(byLen, phraseDf("phrase") === byLen("ngram") && phraseDf("plen") === byLen("plen"), "left")
+      .groupBy(phraseDf("phrase"))
+      .agg(count(byLen("ngram")).as("occurrences"))
+  }
+
+  /** `wimbd search` — regex match counts per pattern (reference
+    * src/cmd/search.rs:74-330, minus `--with-locations`; see
+    * [[graft.operators.SearchOps.regexLocations]]).
+    */
+  def searchRegex(docs: DataFrame, textCol: String, patterns: Seq[String]): DataFrame =
+    patterns.map { p =>
+      docs.select(lit(p).as("pattern"),
+        coalesce(regexp_count(col(textCol), lit(p)), lit(0L)).as("m"))
+    }.reduce(_ unionAll _)
+      .groupBy("pattern").agg(sum("m").as("matches"))
+
+  /** `wimbd stats` — corpus summary (reference src/cmd/stats.rs:61-374):
+    * doc count, token sum, char sum, max/min tokens per doc.
+    */
+  def stats(docs: DataFrame, textCol: String, uax29: Boolean = true): DataFrame =
+    docs.select(size(tokens(col(textCol), uax29)).as("toks"), length(col(textCol)).as("chars"))
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"),
+        sum("chars").as("total_chars"), max("toks").as("max_tokens"),
+        min("toks").as("min_tokens"))
+
+  /** stats doc pointers: the argmax/argmin documents by token count with ties
+    * kept (reference src/cmd/stats.rs:89-135 keeps lists of ties).
+    */
+  def statsExtremes(docs: DataFrame, textCol: String, idCol: String,
+                    uax29: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol), size(tokens(col(textCol), uax29)).as("toks"))
+    val rmax = rank().over(Window.orderBy(desc("toks")))
+    val rmin = rank().over(Window.orderBy(asc("toks")))
+    t.select(col(idCol), col("toks"), rmax.as("rmax"), rmin.as("rmin"))
+      .where(col("rmax") === 1 || col("rmin") === 1)
+      .select(col(idCol), col("toks"),
+        when(col("rmax") === 1, lit("max")).otherwise(lit("min")).as("kind"))
+  }
+}

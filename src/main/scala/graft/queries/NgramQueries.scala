@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.NgramOps
+import graft.queries.DuckSql.{ngrams => ng}
+
+/** The Rust CLI command surface (SURVEY §2.3 A1, A6-A11) as oracle-checked
+  * queries over the `documents` table. The synthetic corpus is single-space
+  * separated, so the oracle-checked tokenization is split-on-space
+  * (`uax29 = false`); UAX-29 parity is pinned separately by ScalaTest golden
+  * vectors (reference src/tokens.rs:56-133).
+  */
+object NgramQueries extends QueryPack {
+
+  private val phrases = Seq("batch batch", "spark window", "data line", "no such phrase xyz")
+  private val patterns = Seq("sp[a-z]+", "jo[a-z]*n", "b[aeiou]tch", "zz+")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_stats" -> ((s, dir) =>
+      NgramOps.stats(Tables(s, dir, "documents"), "text", uax29 = false)
+        .select(col("n_docs"), col("total_tokens").cast("long").as("total_tokens"),
+          col("total_chars").cast("long").as("total_chars"),
+          col("max_tokens").cast("long").as("max_tokens"),
+          col("min_tokens").cast("long").as("min_tokens"))),
+
+    "a6_topk_3gram" -> ((s, dir) =>
+      NgramOps.topK(Tables(s, dir, "documents"), "text", n = 3, k = 50, uax29 = false)),
+
+    "a7_botk_2gram" -> ((s, dir) =>
+      NgramOps.botK(Tables(s, dir, "documents"), "text", n = 2, k = 50, uax29 = false)),
+
+    "a8_unique_ngrams" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Seq(1, 2, 3).map { n =>
+        NgramOps.uniqueExact(docs, "text", n, uax29 = false)
+          .select(lit(n).cast("long").as("n"), col("n_unique"))
+      }.reduce(_ unionAll _).orderBy("n")
+    }),
+
+    "a9_count_phrases" -> ((s, dir) =>
+      NgramOps.countPhrases(Tables(s, dir, "documents"), "text", phrases, uax29 = false)
+        .orderBy("phrase")),
+
+    "a10_search_regex" -> ((s, dir) =>
+      NgramOps.searchRegex(Tables(s, dir, "documents"), "text", patterns)
+        .select(col("pattern"), col("matches").cast("long").as("matches"))
+        .orderBy("pattern")),
+
+    "a11_duplicate_counts" -> ((s, dir) => {
+      val hc = Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+      hc.agg(
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("long").as("duplicates"),
+        sum("c").cast("long").as("total"),
+        count(when(col("c") > 1, lit(1))).as("uniq_duplicates"),
+        count(lit(1)).as("uniq_total"))
+    }),
+
+    "p10_length_hist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(lit("chars").as("dim"), length(col("text")).cast("long").as("value"))
+        .unionAll(docs.select(lit("tokens").as("dim"),
+          size(split(col("text"), " ")).cast("long").as("value")))
+        .groupBy("dim", "value").agg(count(lit(1)).as("cnt"))
+        .orderBy("dim", "value")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "a1_stats" ->
+      """SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | CAST(max(len(t)) AS BIGINT) AS max_tokens,
+        | CAST(min(len(t)) AS BIGINT) AS min_tokens
+        |FROM (SELECT text, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+
+    "a6_topk_3gram" ->
+      s"""SELECT ngram, count(*) AS cnt FROM (${ng(3)})
+         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+
+    "a7_botk_2gram" ->
+      s"""SELECT ngram, count(*) AS cnt FROM (${ng(2)})
+         |GROUP BY ngram ORDER BY cnt ASC, ngram LIMIT 50""".stripMargin,
+
+    "a8_unique_ngrams" ->
+      s"""SELECT CAST(1 AS BIGINT) AS n, count(DISTINCT ngram) AS n_unique FROM (${ng(1)})
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(DISTINCT ngram) FROM (${ng(2)})
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), count(DISTINCT ngram) FROM (${ng(3)})
+         |ORDER BY n""".stripMargin,
+
+    "a9_count_phrases" ->
+      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ('batch batch'), ('spark window'),
+         |  ('data line'), ('no such phrase xyz')) v(p)),
+         |ngs AS (
+         |  SELECT 2 AS plen, ngram FROM (${ng(2)})
+         |  UNION ALL
+         |  SELECT 4 AS plen, ngram FROM (${ng(4)})
+         |)
+         |SELECT phrase, count(ngram) AS occurrences
+         |FROM ph LEFT JOIN ngs ON ngs.ngram = ph.phrase
+         |  AND ngs.plen = len(string_split(ph.phrase, ' '))
+         |GROUP BY phrase ORDER BY phrase""".stripMargin,
+
+    "a10_search_regex" ->
+      """WITH pat(pattern) AS (SELECT * FROM (VALUES ('sp[a-z]+'), ('jo[a-z]*n'),
+        |  ('b[aeiou]tch'), ('zz+')) v(p))
+        |SELECT pattern,
+        | CAST(coalesce(sum(len(regexp_extract_all(text, pattern))), 0) AS BIGINT) AS matches
+        |FROM pat LEFT JOIN documents ON true
+        |GROUP BY pattern ORDER BY pattern""".stripMargin,
+
+    "a11_duplicate_counts" ->
+      """WITH hc AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+        |SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS duplicates,
+        | CAST(sum(c) AS BIGINT) AS total,
+        | count(CASE WHEN c > 1 THEN 1 END) AS uniq_duplicates,
+        | count(*) AS uniq_total
+        |FROM hc""".stripMargin,
+
+    "p10_length_hist" ->
+      """SELECT dim, value, count(*) AS cnt FROM (
+        |  SELECT 'chars' AS dim, CAST(length(text) AS BIGINT) AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'tokens', CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents
+        |) GROUP BY dim, value ORDER BY dim, value""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.NgramOps
+
+class NgramOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "a b a b a", // bigrams: "a b" x2, "b a" x2
+    "a b c",
+    "x"          // too short for bigrams
+  ).toDF("text")
+
+  test("tokenize + ngrams expressions inside a plan") {
+    val out = docs.select(TextFunctions.textNgrams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b", "b a", "a b", "b a"))
+    assert(out(1) === Seq("a b", "b c"))
+    assert(out(2) === Seq.empty)
+  }
+
+  test("ngramsBuiltin matches the custom expression") {
+    val a = docs.select(explode(TextFunctions.ngrams(split(col("text"), " "), 2)).as("g"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = docs.select(explode(TextFunctions.ngramsBuiltin(split(col("text"), " "), 2)).as("g"))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("topK is exact and tie-broken") {
+    val top = NgramOps.topK(docs, "text", n = 2, k = 2, uax29 = false).collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a b", 3L), ("b a", 2L)))
+  }
+
+  test("botK equals sort-asc-limit") {
+    val bot = NgramOps.botK(docs, "text", n = 2, k = 1, uax29 = false).collect()
+    assert(bot.head.getString(0) === "b c")
+    assert(bot.head.getLong(1) === 1L)
+  }
+
+  test("countPhrases counts overlapping occurrences and keeps zero-hit phrases") {
+    val df = Seq("batch batch batch").toDF("text")
+    val out = NgramOps.countPhrases(df, "text", Seq("batch batch", "nope nope"), uax29 = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("batch batch") === 2L) // overlapping windows
+    assert(out("nope nope") === 0L)
+  }
+
+  test("stats") {
+    val r = NgramOps.stats(docs, "text", uax29 = false).collect().head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("total_tokens") === 9L)
+    assert(r.getAs[Int]("max_tokens") === 5)
+    assert(r.getAs[Int]("min_tokens") === 1)
+  }
+
+  test("uniqueExact") {
+    val r = NgramOps.uniqueExact(docs, "text", 2, uax29 = false).collect().head
+    assert(r.getLong(0) === 3L) // "a b", "b a", "b c"
+  }
+
+  test("searchRegex counts all matches incl zero-hit patterns") {
+    val out = NgramOps.searchRegex(docs, "text", Seq("a", "zz+"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 4L)
+    assert(out("zz+") === 0L)
+  }
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sf_dir] [out_dir]
+
+Runs DuckDB on each oracle_sql.json entry against views over the sf parquet
+tables, loads the Spark result parquet written by graft.Verify, sorts columns
+by name and rows by all values, and diffs.
+"""
+import json, sys, glob, math
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, bool): return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(round(v, 9))
+    return str(v)
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols2 = [cols[i] for i in order]
+    rows2 = sorted([tuple(canon(r[i]) for i in order) for r in rows])
+    return cols2, rows2
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        d = con.sql(sql)
+        dcols, drows = normalize(d.columns, d.fetchall())
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+        fails += 1
+        continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    s = con.sql(f"SELECT * FROM read_parquet({files!r})")
+    scols, srows = normalize(s.columns, s.fetchall())
+    if scols != dcols:
+        print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+        fails += 1
+    elif srows != drows:
+        print(f"FAIL {name}: {len(srows)} spark rows vs {len(drows)} duck rows")
+        for i, (a, b) in enumerate(zip(srows, drows)):
+            if a != b:
+                print(f"  first diff at row {i}:\n   spark={a}\n   duck ={b}")
+                break
+        else:
+            print(f"   extra rows: spark={srows[len(drows):3+len(drows)] if len(srows)>len(drows) else drows[len(srows):3+len(srows)]}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(srows)} rows)")
+
+missing = [n for n in oracle if n not in oracle]
+print(f"\n{len(oracle) - fails}/{len(oracle)} oracle-checked queries match")
+sys.exit(1 if fails else 0)
