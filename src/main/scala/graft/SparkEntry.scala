@@ -14,7 +14,12 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    NgramQueries
+    NgramQueries,
+    UrlQueries,
+    DedupQueries,
+    EventQueries,
+    SearchQueries,
+    AnalysisQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The Python mapper algebra (SURVEY §2.2) minus URL ops: PII, profanity
+  * taxonomy, lexicon sentiment, language, lengths, dates, sampling. Each is
+  * scan → narrow projection → group-by; nothing touches the driver.
+  */
+object Analyses {
+
+  // P7 regexes (reference wimbd/pii/map_count.py:123-127).
+  val EmailRe = "[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\\n\\r]"
+  val PhoneRe = "\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})"
+  val IpRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+
+  /** P7: occurrences per PII type. `patterns` defaults to simplified,
+    * SQL-portable shapes; pass the reference regexes above for parity runs.
+    * (Context-window post-filters of the reference are in [[piiContextual]].)
+    */
+  def piiCounts(df: DataFrame, textCol: String,
+                patterns: Map[String, String] = Map(
+                  "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+                  "phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
+                  "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")): DataFrame =
+    patterns.toSeq.sortBy(_._1).map { case (t, re) =>
+      df.select(lit(t).as("pii_type"),
+        coalesce(regexp_count(col(textCol), lit(re)), lit(0)).cast("long").as("m"))
+    }.reduce(_ unionAll _).groupBy("pii_type").agg(sum("m").as("occurrences"))
+
+  /** P7 with the reference's junk-doc guard (len > 500000 or repeated-punct
+    * templates; reference wimbd/pii/map_count.py:136-144).
+    */
+  def piiCountsGuarded(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val junk = length(t) > 500000 ||
+      t.rlike("([\\.\\-#_\\*~=\\+]{2,}\\s*){20,}")
+    piiCounts(df.where(!coalesce(junk, lit(false))), textCol)
+  }
+
+  /** P8 taxonomy path: multi-label word-list matching (reference
+    * wimbd/profanity/map_count.py:41-67) — one `rlike` per label over a
+    * broadcast-inlined word list, exploded so a doc can carry several labels.
+    */
+  def taxonomyLabels(df: DataFrame, textCol: String,
+                     lists: Map[String, Seq[String]]): DataFrame = {
+    val labels = lists.toSeq.sortBy(_._1).map { case (label, words) =>
+      val re = words.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+      when(col(textCol).rlike(re), lit(label))
+    }
+    df.select(explode(filter(array(labels: _*), _.isNotNull)).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** P9 shape: lexicon sentiment — mean per-token polarity per group
+    * (reference wimbd/sentiment_coocurrence/map_count.py:17-40 uses TextBlob;
+    * the engine ships a lexicon join so scoring is a broadcast hash join,
+    * not a model call).
+    */
+  def lexiconSentiment(df: DataFrame, textCol: String, idCol: String, groupCol: String,
+                       lexicon: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toSeq.toDF("word", "score"))
+    df.select(col(groupCol), col(idCol).as("__doc"),
+        explode(split(col(textCol), " ")).as("word"))
+      .join(lex, Seq("word"), "left")
+      .groupBy(col(groupCol), col("__doc"))
+      .agg((coalesce(sum("score"), lit(0.0)) / count(lit(1))).as("polarity"))
+      .groupBy(groupCol)
+      .agg(round(avg("polarity"), 6).as("avg_polarity"), count(lit(1)).as("n_docs"))
+  }
+
+  /** P6-style language ID without a model: score = stopword hit-rate per
+    * language profile, argmax wins, `un` when nothing clears `minHits`.
+    * Pure column algebra (array_intersect against inlined profiles) so it
+    * stays inside codegen; real corpora would swap in bigger profiles.
+    */
+  def langIdHeuristic(text: Column,
+                      profiles: Map[String, Seq[String]] = LangProfiles.default,
+                      minHits: Int = 1): Column = {
+    val toks = array_distinct(split(lower(text), " "))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(size(array_intersect(toks, array(stops.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") >= minHits, best.getField("lang")).otherwise(lit("un"))
+  }
+
+  /** P6: detected-language histogram. */
+  def langIdCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(langIdHeuristic(col(textCol)).as("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+
+  /** P12: per-group length distribution (reference
+    * wimbd/sentence_lengths/summarize.py:7-40).
+    */
+  def lengthDistribution(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val counts = df.select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .groupBy(groupCol, "n_tokens").agg(count(lit(1)).as("cnt"))
+    counts.withColumn("p",
+      round(col("cnt") / sum("cnt").over(Window.partitionBy(groupCol)), 6))
+  }
+
+  /** P11: dump docs whose length sits on an anomalous spike
+    * (reference wimbd/sentence_lengths/map_unique_lengths.py:7-55).
+    */
+  def anomalousLengths(df: DataFrame, textCol: String, idCol: String,
+                       spikes: Seq[Int]): DataFrame =
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .where(col("n_tokens").isin(spikes.map(_.toLong): _*))
+
+  /** P14 made reproducible: hash-Bernoulli sample — keep a row iff the
+    * first byte of md5(key) falls below ceil(256·fraction). Unlike
+    * `rand(seed)` this is stable across engines, partitionings and reruns.
+    * (reference wimbd/random_sample/map_count.py:18 uses `random() < p`.)
+    */
+  def hashSample(df: DataFrame, key: Column, hexCeil: String): DataFrame =
+    df.where(substring(md5(key.cast("string")), 1, hexCeil.length) < lit(hexCeil))
+
+  /** P13: utterance dates — year histogram over the first present date key
+    * (reference wimbd/utterance_dates/map_count.py:8-35).
+    */
+  def yearCounts(df: DataFrame, dateCols: Seq[String]): DataFrame =
+    df.select(year(coalesce(dateCols.map(col): _*)).cast("long").as("year"))
+      .where(col("year").isNotNull)
+      .groupBy("year").agg(count(lit(1)).as("cnt"))
+}
+
+object LangProfiles {
+  /** Tiny stopword profiles — enough to demo the operator shape. */
+  val default: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "ich"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "et", "que"))
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-hash deduplication, decontamination and overlap analysis
+  * (reference wimbd/text_and_url_overlaps and its helper_scripts — SURVEY
+  * §2.4 J1-J6, §2.1 S11, §2.3 A11).
+  *
+  * Scale notes: every operator keys its one shuffle on the content hash
+  * (uniformly distributed ⇒ no skew). The reference's external
+  * `sort | uniq -c` pipelines become hash aggregates; its cross-process
+  * `seen` bitmap (deduplicate_by_hash.py:40-65) becomes a window keyed on
+  * the hash — no global coordination.
+  */
+object Dedup {
+
+  /** MD5 of full text, the reference's dedup key (get_text_hashes.py:15-17). */
+  def textHash(text: Column): Column = md5(text)
+
+  /** Prefix fingerprint: md5 of the first k tokens — cheap blocking key for
+    * near-dup candidate generation.
+    */
+  def prefixFingerprint(text: Column, k: Int): Column =
+    md5(concat_ws(" ", slice(split(text, " "), 1, k)))
+
+  /** J1: hashes occurring more than once (the blocklist builder;
+    * reference deduplicate.py:10-22 + get_duplicate_keys.sh).
+    */
+  def duplicateHashes(df: DataFrame, key: Column): DataFrame =
+    df.select(key.as("h")).groupBy("h").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** A11: corpus-level duplication stats
+    * (reference helper_scripts/get_duplicate_counts.py:9-42).
+    */
+  def duplicateStats(df: DataFrame, key: Column): DataFrame =
+    df.select(key.as("h")).groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("long").as("duplicates"),
+        sum("c").cast("long").as("total"),
+        count(when(col("c") > 1, lit(1))).as("uniq_duplicates"),
+        count(lit(1)).as("uniq_total"))
+
+  /** J2: keep-first dedup — first occurrence in (orderCols) order survives
+    * (reference helper_scripts/deduplicate_by_hash.py:40-65). Returns the
+    * input plus `is_first`; filter or project as needed (`attribute mode`
+    * of the reference keeps the flag instead of dropping rows).
+    */
+  def markFirst(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("is_first", col("rn") === 1)
+      .drop("rn")
+  }
+
+  def keepFirst(df: DataFrame, key: Column, order: Seq[Column]): DataFrame =
+    markFirst(df, key, order).where(col("is_first")).drop("is_first")
+
+  /** J3: decontaminate corpus `b` against corpus `a` — drop every b-doc
+    * whose key appears anywhere in `a` (reference decontaminate.py:10-22).
+    * The blocklist side is distinct-projected before the anti join so AQE
+    * can broadcast it when small.
+    */
+  def decontaminate(b: DataFrame, bKey: Column, a: DataFrame, aKey: Column): DataFrame = {
+    val block = a.select(aKey.as("__block_h")).distinct()
+    b.join(block, bKey === col("__block_h"), "left_anti")
+  }
+
+  /** J4 (production shape): one aggregation keyed on the content hash
+    * collecting the set of datasets it appears in — the full n-way overlap
+    * lattice falls out of counting subsets, with no powerset of self-joins
+    * (reference run_combinations.py does sort-merge per combination).
+    */
+  def overlapSets(df: DataFrame, key: Column, dataset: Column): DataFrame =
+    df.select(key.as("h"), dataset.as("ds"))
+      .groupBy("h").agg(sort_array(collect_set("ds")).as("datasets"))
+      .groupBy("datasets").agg(count(lit(1)).as("n_keys"))
+
+  /** J4/J6 pairwise view: distinct-key overlap per dataset pair. */
+  def overlapMatrix(df: DataFrame, key: Column, dataset: Column): DataFrame = {
+    val k = df.select(key.as("h"), dataset.as("ds")).distinct()
+    val a = k.as("a"); val b = k.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.ds") < col("b.ds"))
+      .groupBy(col("a.ds").as("ds_a"), col("b.ds").as("ds_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** J5: the k most-duplicated keys with one example row pointer
+    * (reference helper_scripts/get_examples.py:8-91).
+    */
+  def topDuplicateExamples(df: DataFrame, key: Column, example: Column, k: Int): DataFrame =
+    df.select(key.as("h"), example.as("ex"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"), min("ex").as("example"))
+      .where(col("cnt") > 1)
+      .orderBy(desc("cnt"), asc("h")).limit(k)
+
+  /** S11: train/valid/test split by hash prefix (reference
+    * wimbd/utils/split_files.py:8-45 uses sha1 prefixes fff/ffe/ffd/ffc;
+    * same contract here with md5 — deterministic, rerunnable, ~0.4%/0.4%).
+    */
+  def hashSplit(df: DataFrame, text: Column): DataFrame = {
+    val p = substring(md5(text), 1, 3)
+    df.withColumn("split",
+      when(p.isin("fff", "ffe"), "test")
+        .when(p.isin("ffd", "ffc"), "valid")
+        .otherwise("train"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-keyed operators over the events table. The reference has no
+  * event-time processing (SURVEY §2.8) — these are the Spark-native
+  * extension surface; the streaming twins live in graft.streaming.
+  */
+object EventOps {
+
+  /** Tumbling-window aggregate, batch form. Emits the window start as a
+    * formatted string so results are precision-portable.
+    */
+  def tumblingCounts(df: DataFrame, tsCol: String, unit: String = "hour"): DataFrame =
+    df.select(date_format(date_trunc(unit, col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .groupBy("window_start", "event_type").agg(count(lit(1)).as("cnt"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. One shuffle
+    * (partition by user), one per-user sort.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, orderCol: String,
+                 gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(orderCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull ||
+      col(tsCol).cast("double") - prev.cast("double") > gapMinutes * 60.0, 1L).otherwise(0L)
+    df.withColumn("session_id", sum(newSession).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats on top of [[sessionize]]. */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String, orderCol: String,
+                   gapMinutes: Int): DataFrame =
+    sessionize(df, userCol, tsCol, orderCol, gapMinutes)
+      .groupBy(userCol)
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analyses
+
+/** Python mapper analyses (SURVEY §2.2 P6-P9, P11-P14). PII text is
+  * synthesized deterministically (the corpus has none) so the extraction
+  * regexes exercise real matches on both sides.
+  */
+object AnalysisQueries extends QueryPack {
+
+  private def withPii(df: DataFrame): DataFrame =
+    df.withColumn("text2", concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 7 === 1, lit(" call 555-123-4567"))
+        .when(col("doc_id") % 7 === 2,
+          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".15")))
+        .otherwise(lit(""))))
+
+  private val piiCte =
+    """WITH u AS (SELECT *, text ||
+      | (CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |   WHEN doc_id % 7 = 1 THEN ' call 555-123-4567'
+      |   WHEN doc_id % 7 = 2 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.15'
+      |   ELSE '' END) AS text2
+      | FROM documents)""".stripMargin
+
+  private val taxonomy = Map(
+    "speed" -> Seq("fast", "slow"),
+    "data_ops" -> Seq("merge", "join"),
+    "absent" -> Seq("qqqqq"))
+
+  private val lexicon = Map(
+    "fast" -> 1.0, "slow" -> -1.0, "big" -> 0.5, "small" -> -0.5,
+    "dup" -> -0.8, "spark" -> 0.9)
+
+  private val spikes = Seq(30, 40, 50)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_pii" -> ((s, dir) =>
+      Analyses.piiCounts(withPii(Tables(s, dir, "documents")), "text2")
+        .orderBy("pii_type")),
+
+    "p8_taxonomy" -> ((s, dir) =>
+      Analyses.taxonomyLabels(Tables(s, dir, "documents"), "text", taxonomy)
+        .orderBy("label")),
+
+    "p9_sentiment" -> ((s, dir) =>
+      Analyses.lexiconSentiment(Tables(s, dir, "documents"), "text", "doc_id", "lang", lexicon)
+        .orderBy("lang")),
+
+    "p6_lang_counts" -> ((s, dir) =>
+      Tables(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")),
+
+    "p11_anomalous_lengths" -> ((s, dir) =>
+      Analyses.anomalousLengths(Tables(s, dir, "documents"), "text", "doc_id", spikes)
+        .orderBy("doc_id")),
+
+    "p12_length_dist" -> ((s, dir) =>
+      Analyses.lengthDistribution(Tables(s, dir, "documents"), "text", "lang")
+        .orderBy("lang", "n_tokens")),
+
+    "p14_sample" -> ((s, dir) =>
+      Analyses.hashSample(Tables(s, dir, "documents"), col("doc_id"), "20")
+        .select("doc_id", "lang").orderBy("doc_id"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "p7_pii" ->
+      s"""$piiCte
+         |SELECT pii_type, CAST(sum(m) AS BIGINT) AS occurrences FROM (
+         | SELECT 'email' AS pii_type,
+         |  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS m FROM u
+         | UNION ALL
+         | SELECT 'phone', len(regexp_extract_all(text2, '\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) FROM u
+         | UNION ALL
+         | SELECT 'ip', len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) FROM u
+         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p8_taxonomy" ->
+      """SELECT label, count(*) AS n_docs FROM (
+        | SELECT 'speed' AS label FROM documents WHERE regexp_matches(text, '\b(fast|slow)\b')
+        | UNION ALL
+        | SELECT 'data_ops' FROM documents WHERE regexp_matches(text, '\b(merge|join)\b')
+        | UNION ALL
+        | SELECT 'absent' FROM documents WHERE regexp_matches(text, '\b(qqqqq)\b')
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p9_sentiment" ->
+      """WITH lex(word, score) AS (SELECT * FROM (VALUES
+        |  ('fast', CAST(1.0 AS DOUBLE)), ('slow', CAST(-1.0 AS DOUBLE)),
+        |  ('big', CAST(0.5 AS DOUBLE)), ('small', CAST(-0.5 AS DOUBLE)),
+        |  ('dup', CAST(-0.8 AS DOUBLE)), ('spark', CAST(0.9 AS DOUBLE))) v(w, s)),
+        |tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |perdoc AS (SELECT lang, doc_id,
+        |  coalesce(sum(score), 0.0) / count(*) AS polarity
+        | FROM tok LEFT JOIN lex USING (word) GROUP BY 1, 2)
+        |SELECT lang, round(avg(polarity), 6) AS avg_polarity, count(*) AS n_docs
+        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p6_lang_counts" ->
+      "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1",
+
+    "p11_anomalous_lengths" ->
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |FROM documents
+         |WHERE len(string_split(text, ' ')) IN (${spikes.mkString(", ")})
+         |ORDER BY doc_id""".stripMargin,
+
+    "p12_length_dist" ->
+      """WITH c AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  count(*) AS cnt FROM documents GROUP BY 1, 2)
+        |SELECT lang, n_tokens, cnt,
+        | round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY lang), 6) AS p
+        |FROM c ORDER BY lang, n_tokens""".stripMargin,
+
+    "p14_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |ORDER BY doc_id""".stripMargin
+  )
+}

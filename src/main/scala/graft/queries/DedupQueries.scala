@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Dedup / overlap / decontamination surface (SURVEY §2.4 J1-J6, §2.1 S11).
+  * The corpus has no exact duplicate texts, so hash ops key on a 10-token
+  * prefix fingerprint (23 planted collisions at sf0.01) and overlaps key on
+  * 5-gram shingles (32 cross-source pairs).
+  */
+object DedupQueries extends QueryPack {
+
+  private val fpSql =
+    "md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '))"
+
+  private def fp = Dedup.prefixFingerprint(col("text"), 10)
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("source"), col("doc_id"),
+      explode(TextFunctions.ngrams(split(col("text"), " "), 5)).as("shingle"))
+
+  private val shingleSql =
+    """SELECT source, doc_id,
+      | unnest(list_transform(generate_series(1, len(t) - 4),
+      |  i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingle
+      |FROM (SELECT source, doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_dup_hashes" -> ((s, dir) =>
+      Dedup.duplicateHashes(Tables(s, dir, "documents"), fp).orderBy("h")),
+
+    "j2_keep_first" -> ((s, dir) =>
+      Dedup.markFirst(Tables(s, dir, "documents"), fp, Seq(col("doc_id")))
+        .where(!col("is_first"))
+        .select(col("doc_id")).orderBy("doc_id")),
+
+    "j3_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val b = docs.where(col("source").isin("src10", "src11", "src12", "src13", "src14"))
+      val a = docs.where(!col("source").isin("src10", "src11", "src12", "src13", "src14"))
+      Dedup.decontaminate(b, fp, a, fp)
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+    }),
+
+    "j4_overlap_pairs" -> ((s, dir) =>
+      Dedup.overlapMatrix(shingles(s, dir), col("shingle"), col("source"))
+        .orderBy("ds_a", "ds_b")),
+
+    "j4_overlap_sets" -> ((s, dir) =>
+      Dedup.overlapSets(shingles(s, dir), col("shingle"), col("source"))
+        .select(concat_ws(",", col("datasets")).as("datasets"), col("n_keys"))
+        .orderBy("datasets")),
+
+    "j5_top_dup_examples" -> ((s, dir) =>
+      Dedup.topDuplicateExamples(Tables(s, dir, "documents"), fp, col("doc_id"), k = 10)),
+
+    "s11_hash_split" -> ((s, dir) =>
+      Dedup.hashSplit(Tables(s, dir, "documents"), col("text"))
+        .groupBy("split").agg(count(lit(1)).as("cnt")).orderBy("split"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "j1_dup_hashes" ->
+      s"""SELECT $fpSql AS h, count(*) AS cnt FROM documents
+         |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "j2_keep_first" ->
+      s"""SELECT doc_id FROM (
+         | SELECT doc_id, row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
+         | FROM documents)
+         |WHERE rn > 1 ORDER BY doc_id""".stripMargin,
+
+    "j3_decontaminate" ->
+      s"""WITH b AS (SELECT * FROM documents WHERE source IN ('src10','src11','src12','src13','src14')),
+         |a AS (SELECT DISTINCT $fpSql AS h FROM documents
+         |  WHERE source NOT IN ('src10','src11','src12','src13','src14'))
+         |SELECT count(*) AS n_survivors, CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM b WHERE $fpSql NOT IN (SELECT h FROM a)""".stripMargin,
+
+    "j4_overlap_pairs" ->
+      s"""WITH ng AS ($shingleSql),
+         |k AS (SELECT DISTINCT shingle, source FROM ng)
+         |SELECT a.source AS ds_a, b.source AS ds_b, count(*) AS n_shared
+         |FROM k a JOIN k b ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "j4_overlap_sets" ->
+      s"""WITH ng AS ($shingleSql),
+         |per_key AS (SELECT shingle,
+         |  array_to_string(list_sort(list(DISTINCT source)), ',') AS datasets
+         | FROM ng GROUP BY 1)
+         |SELECT datasets, count(*) AS n_keys FROM per_key GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j5_top_dup_examples" ->
+      s"""SELECT $fpSql AS h, count(*) AS cnt, min(doc_id) AS example
+         |FROM documents GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY cnt DESC, h LIMIT 10""".stripMargin,
+
+    "s11_hash_split" ->
+      """SELECT (CASE WHEN substring(md5(text), 1, 3) IN ('fff', 'ffe') THEN 'test'
+        | WHEN substring(md5(text), 1, 3) IN ('ffd', 'ffc') THEN 'valid'
+        | ELSE 'train' END) AS split, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

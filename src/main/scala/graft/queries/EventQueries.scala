@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analyses, EventOps}
+
+/** Date/time operators over the events table: P13 utterance dates plus the
+  * Spark-native windowing extensions (tumbling counts, sessionization).
+  */
+object EventQueries extends QueryPack {
+
+  /** The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * our session builders) it arrives as LongType nanos — convert to a µs
+    * timestamp here (truncation matches DuckDB's ns→µs cast).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_dates" -> ((s, dir) =>
+      events(s, dir)
+        .select(year(col("ts")).cast("long").as("year"),
+          month(col("ts")).cast("long").as("month"))
+        .groupBy("year", "month").agg(count(lit(1)).as("cnt"))
+        .orderBy("year", "month")),
+
+    "w_tumble_hour" -> ((s, dir) =>
+      EventOps.tumblingCounts(events(s, dir), "ts", "hour")
+        .orderBy("window_start", "event_type")),
+
+    "w_sessionize" -> ((s, dir) =>
+      EventOps.sessionStats(
+        events(s, dir).withColumn("ts", col("ts").cast("long")),
+        "user_id", "ts", "event_id", gapMinutes = 30)
+        .orderBy("user_id")),
+
+    "e6_by_id" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("event_id").isin(1L, 17L, 99L, 123L))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "p13_dates" ->
+      """SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+        | count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "w_tumble_hour" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // both sides sessionize on whole-second timestamps (ns↔µs portability)
+    "w_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events),
+        |flags AS (SELECT user_id,
+        |  (CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |   THEN 1 ELSE 0 END) AS new_session
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e6_by_id" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id IN (1, 17, 99, 123) ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search.Searcher
+
+/** ES search surface (SURVEY §2.7 E1-E4, E6 is in EventQueries; §2.3 A12).
+  * Spark side goes through the PhraseMatch custom expression (slop-aware);
+  * the oracle reproduces slop=0 as padded-LIKE containment and slop=1 as a
+  * bounded-gap regex — both exact for single-space text.
+  */
+object SearchQueries extends QueryPack {
+
+  private val anyPhrases = Seq("spark window", "batch batch", "key order sort")
+  private val perPhrases = Seq("spark window", "data line", "merge slow join", "absent phrase qq")
+  private val unigrams = Seq("spark", "data", "zzzz")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_count_any" -> ((s, dir) =>
+      Searcher.countContaining(Tables(s, dir, "documents"), "text", anyPhrases,
+        allPhrases = false, uax29 = false)),
+
+    "e1_count_all" -> ((s, dir) =>
+      Searcher.countContaining(Tables(s, dir, "documents"), "text",
+        Seq("spark window", "data line"), allPhrases = true, uax29 = false)),
+
+    "e1_count_slop1" -> ((s, dir) =>
+      Searcher.countContaining(Tables(s, dir, "documents"), "text",
+        Seq("the key"), slop = 1, uax29 = false)),
+
+    "e1_count_regexp" -> ((s, dir) =>
+      Searcher.countContaining(Tables(s, dir, "documents"), "text",
+        Seq("SPARK\\s+WINDOW", "BATCH\\s+BATCH"), isRegexp = true)),
+
+    "e2_get_docs" -> ((s, dir) =>
+      Searcher.getContaining(Tables(s, dir, "documents"), "text", Seq("spark window"),
+        uax29 = false, numDocuments = 20, sortCols = Seq(col("doc_id")))
+        .select("doc_id", "lang", "source")),
+
+    "e3_per_phrase" -> ((s, dir) =>
+      Searcher.countPerPhrase(Tables(s, dir, "documents"), "text", perPhrases,
+        uax29 = false).orderBy("phrase")),
+
+    "e4_unigram_ttf" -> ((s, dir) =>
+      Searcher.unigramTtf(Tables(s, dir, "documents"), "text", unigrams,
+        uax29 = false).orderBy("unigram")),
+
+    "a12_contamination" -> ((s, dir) =>
+      Searcher.contamination(Tables(s, dir, "documents"), "text", perPhrases,
+        uax29 = false))
+  )
+
+  private def padHit(phrase: String): String =
+    s"contains(' ' || text || ' ', ' $phrase ')"
+
+  override val oracles: Map[String, String] = Map(
+    "e1_count_any" ->
+      s"""SELECT count(*) AS n_docs FROM documents
+         |WHERE ${anyPhrases.map(padHit).mkString(" OR ")}""".stripMargin,
+
+    "e1_count_all" ->
+      s"""SELECT count(*) AS n_docs FROM documents
+         |WHERE ${padHit("spark window")} AND ${padHit("data line")}""".stripMargin,
+
+    "e1_count_slop1" ->
+      """SELECT count(*) AS n_docs FROM documents
+        |WHERE regexp_matches(text, '(^| )the( [^ ]+)? key( |$)')""".stripMargin,
+
+    "e1_count_regexp" ->
+      """SELECT count(*) AS n_docs FROM documents
+        |WHERE regexp_matches(text, '(?i)SPARK\s+WINDOW')
+        |   OR regexp_matches(text, '(?i)BATCH\s+BATCH')""".stripMargin,
+
+    "e2_get_docs" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${padHit("spark window")} ORDER BY doc_id LIMIT 20""".stripMargin,
+
+    "e3_per_phrase" ->
+      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${perPhrases.map(p => s"('$p')").mkString(", ")}) v(p))
+         |SELECT phrase,
+         | CAST(coalesce(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+         |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+         |FROM ph LEFT JOIN documents ON true
+         |GROUP BY phrase ORDER BY phrase""".stripMargin,
+
+    "e4_unigram_ttf" ->
+      s"""WITH ug(unigram) AS (SELECT * FROM (VALUES ${unigrams.map(u => s"('$u')").mkString(", ")}) v(u)),
+         |tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT unigram, CAST(coalesce(count(w), 0) AS BIGINT) AS total_occurrences
+         |FROM ug LEFT JOIN tok ON w = unigram
+         |GROUP BY unigram ORDER BY unigram""".stripMargin,
+
+    "a12_contamination" ->
+      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${perPhrases.map(p => s"('$p')").mkString(", ")}) v(p)),
+         |per AS (SELECT phrase,
+         |  sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+         |    THEN 1 ELSE 0 END) AS n_docs
+         | FROM ph LEFT JOIN documents ON true GROUP BY phrase)
+         |SELECT count(*) AS n_phrases,
+         | CAST(sum(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         | round(avg(CAST(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END AS DOUBLE)), 6) AS pct
+         |FROM per""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.UrlOps
+
+/** URL mapper algebra (SURVEY §2.2 P1-P5). The synthetic tables carry no
+  * URL column, so both sides first synthesize one deterministically from
+  * (doc_id, source) with varied schemes / suffixes / extensions, then run
+  * the real operators over it.
+  */
+object UrlQueries extends QueryPack {
+
+  private def withUrl(df: DataFrame): DataFrame = {
+    val scheme = when(col("doc_id") % 3 === 0, "https")
+      .when(col("doc_id") % 3 === 1, "http").otherwise("ftp")
+    val tld = when(col("doc_id") % 5 === 0, ".example.co.uk").otherwise(".example.com")
+    val ext = when(col("doc_id") % 4 === 0, ".jpg")
+      .when(col("doc_id") % 4 === 1, ".png")
+      .when(col("doc_id") % 4 === 2, ".html").otherwise("")
+    df.withColumn("url",
+      concat(scheme, lit("://"), col("source"), tld, lit("/p/"),
+        col("doc_id").cast("string"), ext))
+  }
+
+  // NB: interpolated into s"""…""".stripMargin blocks below, so no line here
+  // may start with '|' after the first strip (it would be stripped again).
+  private val urlCte =
+    """WITH u AS (SELECT *,
+      | (CASE WHEN doc_id % 3 = 0 THEN 'https' WHEN doc_id % 3 = 1 THEN 'http' ELSE 'ftp' END) ||
+      | '://' || source ||
+      | (CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk' ELSE '.example.com' END) ||
+      | '/p/' || CAST(doc_id AS VARCHAR) ||
+      | (CASE WHEN doc_id % 4 = 0 THEN '.jpg' WHEN doc_id % 4 = 1 THEN '.png'
+      |      WHEN doc_id % 4 = 2 THEN '.html' ELSE '' END) AS url
+      | FROM documents)""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_url_host" -> ((s, dir) =>
+      UrlOps.hostCounts(withUrl(Tables(s, dir, "documents")), "url").orderBy("host")),
+
+    "p2_url_per_tok" -> ((s, dir) =>
+      UrlOps.hostTokenCounts(withUrl(Tables(s, dir, "documents")), "url", "text",
+        uax29 = false).orderBy("host")),
+
+    "p3_url_scheme" -> ((s, dir) =>
+      UrlOps.schemeCounts(withUrl(Tables(s, dir, "documents")), "url").orderBy("scheme")),
+
+    "p4_domain_suffix" -> ((s, dir) =>
+      UrlOps.suffixCounts(
+        UrlOps.hostCounts(withUrl(Tables(s, dir, "documents")), "url"),
+        psl = Seq("co.uk", "com", "uk")).orderBy("suffix")),
+
+    "p5_url_extension" -> ((s, dir) =>
+      UrlOps.extensionCounts(withUrl(Tables(s, dir, "documents")), "url").orderBy("extension"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "p1_url_host" ->
+      s"""$urlCte
+         |SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, count(*) AS cnt
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p2_url_per_tok" ->
+      s"""$urlCte
+         |SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p3_url_scheme" ->
+      s"""$urlCte
+         |SELECT regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS scheme,
+         | count(*) AS cnt
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p4_domain_suffix" ->
+      s"""$urlCte,
+         |hosts AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         |  count(*) AS cnt FROM u GROUP BY 1)
+         |SELECT (CASE WHEN host LIKE '%.co.uk' THEN 'co.uk'
+         |  WHEN host LIKE '%.com' THEN 'com'
+         |  WHEN host LIKE '%.uk' THEN 'uk' END) AS suffix,
+         | CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM hosts WHERE suffix IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p5_url_extension" ->
+      s"""$urlCte,
+         |e AS (SELECT lower(regexp_extract(regexp_extract(url, '^[a-z]+://[^/]*(/[^?#]*)', 1),
+         |  '\\.([^./]+)$$', 1)) AS raw FROM u)
+         |SELECT (CASE WHEN raw IN ('jpg', 'jpeg', 'png') THEN raw ELSE 'other' END) AS extension,
+         | count(*) AS cnt
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

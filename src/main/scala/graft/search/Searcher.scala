@@ -1,0 +1,115 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.PhraseMatch
+
+/** The Elasticsearch wrapper surface (reference wimbd/es/__init__.py —
+  * SURVEY §2.7 E1-E6) re-expressed as DataFrame filters/aggregates: the ES
+  * cluster boundary becomes Spark's own task distribution, shard-merge
+  * becomes partial-count merge, and `msearch` batching becomes one
+  * set-oriented job.
+  */
+object Searcher {
+
+  /** Phrase predicate over a text column: ordered token-sequence containment
+    * with slop (E1; reference :89-184). slop=0 compiles to n-gram
+    * containment; tokenization is UAX-29 by default for parity with the
+    * engine's other operators.
+    */
+  def phrasePredicate(text: Column, phrase: String, slop: Int = 0,
+                      uax29: Boolean = true): Column = {
+    val toks = if (uax29) TextFunctions.tokenize(text) else split(text, " ")
+    val ph = split(lit(phrase), " ")
+    Bridge.column(PhraseMatch(Bridge.expression(toks), Bridge.expression(ph),
+      Bridge.expression(lit(slop))))
+  }
+
+  private def combined(text: Column, phrases: Seq[String], allPhrases: Boolean,
+                       slop: Int, isRegexp: Boolean, uax29: Boolean): Column = {
+    val preds = phrases.map { p =>
+      if (isRegexp) text.rlike("(?i)" + p) // ES regexp mode is case-insensitive (:108-117)
+      else phrasePredicate(text, p, slop, uax29)
+    }
+    if (allPhrases) preds.reduce(_ && _) else preds.reduce(_ || _)
+  }
+
+  /** E1: `count_documents_containing_phrases` (ANY/ALL, slop, regexp mode,
+    * optional subset filters).
+    */
+  def countContaining(df: DataFrame, textCol: String, phrases: Seq[String],
+                      allPhrases: Boolean = false, slop: Int = 0,
+                      isRegexp: Boolean = false, uax29: Boolean = true,
+                      subsetFilter: Map[String, String] = Map.empty): DataFrame = {
+    val filtered = subsetFilter.foldLeft(df) { case (d, (k, v)) => d.where(col(k) === v) }
+    filtered.where(combined(col(textCol), phrases, allPhrases, slop, isRegexp, uax29))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** E2: `get_documents_containing_phrases` — same predicate, return rows.
+    * No pagination needed in batch; `limit` + a sort column reproduce the
+    * `search_after` behavior when a bounded page is wanted.
+    */
+  def getContaining(df: DataFrame, textCol: String, phrases: Seq[String],
+                    allPhrases: Boolean = false, slop: Int = 0,
+                    isRegexp: Boolean = false, uax29: Boolean = true,
+                    numDocuments: Int = 10, sortCols: Seq[Column] = Seq.empty): DataFrame = {
+    val hits = df.where(combined(col(textCol), phrases, allPhrases, slop, isRegexp, uax29))
+    (if (sortCols.nonEmpty) hits.orderBy(sortCols: _*) else hits).limit(numDocuments)
+  }
+
+  /** E3: `count_documents_for_each_phrase` — one count per phrase, computed
+    * in ONE job via a broadcast phrase table instead of N msearch batches
+    * (reference :269-345). Zero-hit phrases are kept.
+    */
+  def countPerPhrase(df: DataFrame, textCol: String, phrases: Seq[String],
+                     slop: Int = 0, uax29: Boolean = true): DataFrame = {
+    // one boolean predicate column per phrase, all evaluated in a single
+    // scan + single partial-agg (the set-oriented answer to msearch batching)
+    val preds = df.select(phrases.zipWithIndex.map { case (p, i) =>
+      phrasePredicate(col(textCol), p, slop, uax29).cast("long").as(s"__p$i")
+    }: _*)
+    val aggs = phrases.indices.map(i => coalesce(sum(col(s"__p$i")), lit(0L)).as(s"__p$i"))
+    val sums = preds.agg(aggs.head, aggs.tail: _*)
+    sums.select(explode(map_from_arrays(
+        array(phrases.map(lit): _*),
+        array(phrases.indices.map(i => col(s"__p$i")): _*))))
+      .select(col("key").as("phrase"), col("value").as("n_docs"))
+  }
+
+  /** E4: total term frequency of unigrams (reference :348-426 reads ES
+    * termvectors; exact by construction here). Zero-hit unigrams kept.
+    */
+  def unigramTtf(df: DataFrame, textCol: String, unigrams: Seq[String],
+                 uax29: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
+    val counts = df.select(explode(toks).as("unigram"))
+      .where(col("unigram").isin(unigrams: _*))
+      .groupBy("unigram").agg(count(lit(1)).as("c"))
+    broadcast(unigrams.toDF("unigram")).join(counts, Seq("unigram"), "left")
+      .select(col("unigram"), coalesce(col("c"), lit(0L)).as("total_occurrences"))
+  }
+
+  /** A12: corpus contamination — fraction of benchmark phrases present at
+    * least once (reference wimbd/es/corpus_contamination.py:28-58).
+    */
+  def contamination(df: DataFrame, textCol: String, phrases: Seq[String],
+                    slop: Int = 0, uax29: Boolean = true): DataFrame = {
+    val per = countPerPhrase(df, textCol, phrases, slop, uax29)
+    per.agg(count(lit(1)).as("n_phrases"),
+      sum(when(col("n_docs") > 0, 1L).otherwise(0L)).cast("long").as("n_contaminated"),
+      round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
+  }
+
+  /** E6: random access by id and seeded random sample. */
+  def byId(df: DataFrame, idCol: String, ids: Seq[Any]): DataFrame =
+    df.where(col(idCol).isin(ids: _*))
+
+  def randomDocs(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+}
