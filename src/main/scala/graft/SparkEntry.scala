@@ -19,7 +19,9 @@ object SparkEntry {
     DedupQueries,
     EventQueries,
     SearchQueries,
-    AnalysisQueries
+    AnalysisQueries,
+    DedupScaleQueries,
+    AnnQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** MinHash + LSH near-duplicate detection — the scale path for fuzzy dedup
+  * of a 100 TB corpus (shingle → k min-hashes → band → bucket self-join).
+  *
+  * Hash strategy is pluggable: [[xxhashStrategy]] (8-byte, codegen'd,
+  * production default) or [[md5Strategy]] (hex-string min — slower but
+  * reproducible in any SQL engine, used by the oracle-checked queries so
+  * the *same* pipeline code is validated end-to-end).
+  *
+  * Scale notes: signatures are one explode + one groupBy(doc) (shuffle keyed
+  * on doc id); candidate generation self-joins band buckets — skew guard
+  * drops buckets larger than `maxBucket` (a bucket of b docs creates b² pairs;
+  * hot buckets are near-certainly boilerplate worth separate handling).
+  */
+object MinHash {
+
+  /** (shingle column, seed index) → orderable hash column. */
+  type HashFn = (Column, Int) => Column
+
+  val xxhashStrategy: HashFn = (c, i) => xxhash64(lit(i), c)
+  val md5Strategy: HashFn = (c, i) =>
+    substring(md5(concat(lit(i.toString), lit(":"), c)), 1, 16)
+
+  /** Distinct w-token shingles per doc. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, w: Int,
+                  uax29: Boolean = false): DataFrame = {
+    val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
+    docs.select(col(idCol).as("id"), explode(TextFunctions.ngrams(toks, w)).as("s"))
+      .distinct()
+  }
+
+  /** k-column MinHash signature per doc: sig_i = min_i(hash_i(shingle)). */
+  def signatures(shingles: DataFrame, k: Int, hash: HashFn = xxhashStrategy): DataFrame =
+    shingles.groupBy("id")
+      .agg(min(hash(col("s"), 0)).as("m0"),
+        (1 until k).map(i => min(hash(col("s"), i)).as(s"m$i")): _*)
+
+  /** Explode a signature into (id, band, band_key) rows; band_key is the
+    * hash of the band's signature slice.
+    */
+  def bandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"numHashes $k must divide into $bands bands")
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing at least one band bucket. */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 5, k: Int = 8, bands: Int = 4,
+                    hash: HashFn = xxhashStrategy, uax29: Boolean = false,
+                    maxBucket: Int = 1000): DataFrame = {
+    val rows = bandRows(signatures(shingleSets(docs, idCol, textCol, w, uax29), k, hash),
+      k, bands)
+    val sized = rows.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+      .where(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val a = sized.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("band_key"), col("id").as("id_b"))
+    a.join(b, Seq("band", "band_key")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact shingle-set Jaccard for given id pairs. */
+  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingles.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(shingles.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** LSH candidates verified by exact Jaccard ≥ threshold — the full
+    * near-dup pipeline.
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, w: Int = 5, k: Int = 8, bands: Int = 4,
+                     hash: HashFn = xxhashStrategy, uax29: Boolean = false): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, w, uax29)
+    val cand = lshCandidates(docs, idCol, textCol, w, k, bands, hash, uax29)
+    jaccard(cand, sh).where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / token-accounting operators for pretraining-data pipelines:
+  * quality features + score, BPE-ish token counting, and winnowing document
+  * fingerprints. All pure column algebra (no UDFs).
+  */
+object TextQuality {
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Per-doc quality features over whitespace tokens. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      round(length(col(textCol)).cast("double") / size(toks), 6).as("mean_token_len"),
+      round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks), 6)
+        .as("stopword_ratio"),
+      round(size(filter(toks, t => length(t) <= 2)).cast("double") / size(toks), 6)
+        .as("short_token_ratio"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("uniq_ratio"))
+  }
+
+  /** Gopher-rules-flavored quality score in [0,1]: reward stopword presence
+    * and lexical diversity, punish degenerate token lengths. Weights are
+    * explicit so downstream filters stay interpretable.
+    */
+  def qualityScore(features: DataFrame): DataFrame =
+    features.withColumn("quality",
+      round(least(lit(1.0), greatest(lit(0.0),
+        lit(0.25) * least(col("stopword_ratio") * 10, lit(1.0)) +
+          lit(0.5) * col("uniq_ratio") +
+          lit(0.25) * when(col("mean_token_len").between(3.0, 10.0), 1.0).otherwise(0.0))), 6))
+
+  /** BPE-ish token count: letter runs, digit runs, and single non-alnum
+    * marks — the usual pre-tokenizer regex shape.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Winnowing fingerprints (Schleimer et al.): hash every k-token shingle,
+    * take the min hash of every w-wide window, count the distinct survivors.
+    * Robust doc fingerprint for partial-overlap detection.
+    */
+  def winnowFingerprintCounts(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, w: Int = 4): DataFrame = {
+    val shingleHashes = transform(
+      graft.functions.TextFunctions.ngrams(split(col(textCol), " "), k),
+      s => substring(md5(s), 1, 8))
+    // guard: sequence(1, n) runs DESCENDING for n < 1, so gate on size ≥ w
+    val mins = when(size(shingleHashes) >= w,
+      transform(sequence(lit(1), size(shingleHashes) - (w - 1)),
+        i => array_min(slice(shingleHashes, i, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), size(array_distinct(mins)).cast("long").as("n_fingerprints"))
+  }
+}

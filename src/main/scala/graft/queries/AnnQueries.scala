@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity search over the embeddings table: exact brute-force top-k
+  * (oracle-checked) and threshold near-dup pairs; the IVF approximate path
+  * is exercised by tests/bench (its recall is config-dependent, so no SQL
+  * oracle).
+  */
+object AnnQueries extends QueryPack {
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_cosine" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb, emb.where(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "d_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDuplicates(
+        Tables(s, dir, "embeddings").where(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // approximate IVF path: structure-checked (rows>0), not value-checked
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, step = 50, nprobe = 3)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // cosine computed identically on both sides: element products summed in
+  // list order as doubles, then dot/(|a||b|)
+  private val cosSql =
+    """list_aggregate(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)), 'sum')
+      | / (sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |  * sqrt(list_aggregate(list_transform(bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+
+  override val oracles: Map[String, String] = Map(
+    "ann_topk_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
+         |scored AS (SELECT query_id, e.vec_id AS neighbor_id, ($cosSql) AS c
+         | FROM q JOIN (SELECT vec_id, embedding AS bv FROM embeddings) e
+         |  ON e.vec_id <> query_id),
+         |ranked AS (SELECT query_id, neighbor_id, c,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         | FROM scored)
+         |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "d_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  a.embedding AS qv, b.embedding AS bv
+         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(($cosSql), 4) AS cos
+         |FROM pairs WHERE ($cosSql) > 0.35 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MinHash, SimHash, TextQuality}
+
+/** LLM-pipeline dedup at scale: MinHash+LSH, SimHash, n-gram Jaccard,
+  * winnowing fingerprints, quality scoring. The oracle-checked variants run
+  * the SAME pipeline code with the md5 hash strategy (portable to DuckDB);
+  * production runs default to xxhash64.
+  */
+object DedupScaleQueries extends QueryPack {
+
+  private val W = 5; private val K = 8; private val BANDS = 4
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  // ---- shared oracle SQL fragments ----
+
+  private val shSql =
+    """SELECT DISTINCT doc_id AS id,
+      | unnest(list_transform(generate_series(1, len(t) - 4),
+      |  i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
+  private val sigCols = (0 until K)
+    .map(i => s"min(substring(md5('$i:' || s), 1, 16)) AS m$i").mkString(", ")
+
+  private val bandSelects = (0 until BANDS).map { b =>
+    val r = K / BANDS
+    val cols = (b * r until (b + 1) * r).map(i => s"m$i").mkString(" || '|' || ")
+    s"SELECT id, $b AS band, md5($cols) AS band_key FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val candSql =
+    s"""sh AS ($shSql),
+       |sig AS (SELECT id, $sigCols FROM sh GROUP BY id),
+       |bandrows AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       | FROM bandrows a JOIN bandrows b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)""".stripMargin
+
+  private val simhashBits = 16
+  private val simhashSums = (0 until simhashBits).map { j =>
+    s"sum(CASE WHEN substring(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(", ")
+  private val simhashConcat = (0 until simhashBits)
+    .map(j => s"(CASE WHEN s$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_minhash_lsh" -> ((s, dir) =>
+      MinHash.lshCandidates(docs(s, dir), "doc_id", "text", W, K, BANDS,
+        MinHash.md5Strategy).orderBy("id_a", "id_b")),
+
+    "d_minhash_neardup" -> ((s, dir) =>
+      MinHash.nearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.5,
+        W, K, BANDS, MinHash.md5Strategy).orderBy("id_a", "id_b")),
+
+    "d_simhash16" -> ((s, dir) =>
+      SimHash.simhashBitString(docs(s, dir), "doc_id", "text", simhashBits,
+        SimHash.md5HexBit).orderBy("id")),
+
+    "d_jaccard_block" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ids = d.where(col("doc_id") % 20 === 0)
+      val a = ids.select(col("doc_id").as("id_a"))
+      val b = ids.select(col("doc_id").as("id_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+      MinHash.jaccard(pairs, MinHash.shingleSets(d, "doc_id", "text", W))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "t_fingerprint_winnow" -> ((s, dir) =>
+      TextQuality.winnowFingerprintCounts(docs(s, dir), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id")),
+
+    "t_quality" -> ((s, dir) =>
+      TextQuality.qualityScore(
+        TextQuality.qualityFeatures(docs(s, dir), "doc_id", "text"))
+        .groupBy(lit("all").as("bucket"))
+        .agg(round(avg("quality"), 6).as("avg_quality"),
+          round(avg("stopword_ratio"), 6).as("avg_stopword_ratio"),
+          round(avg("uniq_ratio"), 6).as("avg_uniq_ratio"),
+          count(lit(1)).as("n_docs"))),
+
+    "t_token_bpe" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang")
+        .agg(sum(TextQuality.bpeTokenCount(col("text"))).as("n_bpe_tokens"))
+        .orderBy("lang"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "d_minhash_lsh" ->
+      s"""WITH $candSql
+         |SELECT id_a, id_b FROM cand ORDER BY 1, 2""".stripMargin,
+
+    "d_minhash_neardup" ->
+      s"""WITH $candSql,
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         | FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.s = a.s
+         | GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         | round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+         |FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+         |WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    "d_simhash16" ->
+      s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sums AS (SELECT id, $simhashSums FROM tok GROUP BY id)
+         |SELECT id, $simhashConcat AS simhash FROM sums ORDER BY id""".stripMargin,
+
+    "d_jaccard_block" ->
+      s"""WITH sh AS ($shSql),
+         |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 20 = 0),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM ids a JOIN ids b ON a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT p.id_a, p.id_b, count(sb.s) AS n_inter
+         | FROM pairs p
+         | LEFT JOIN sh sa ON sa.id = p.id_a
+         | LEFT JOIN sh sb ON sb.id = p.id_b AND sb.s = sa.s
+         | GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         | round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+         |FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+         |ORDER BY 1, 2""".stripMargin,
+
+    "t_fingerprint_winnow" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(t) - 2),
+        |   i -> substring(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 8)) AS hs
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT doc_id, CAST(len(list_distinct(
+        |  CASE WHEN len(hs) >= 4 THEN
+        |   list_transform(generate_series(1, len(hs) - 3),
+        |    i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))
+        |  ELSE [] END)) AS BIGINT) AS n_fingerprints
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t_quality" ->
+      s"""WITH f AS (SELECT
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(text) AS DOUBLE) / len(t), 6) AS mean_token_len,
+         |  round(CAST(len(list_filter(t, x -> list_contains(${TextQuality.defaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS DOUBLE) / len(t), 6) AS stopword_ratio,
+         |  round(CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE) / len(t), 6) AS short_token_ratio,
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS uniq_ratio
+         | FROM (SELECT text, string_split(text, ' ') AS t FROM documents)),
+         |q AS (SELECT *, round(LEAST(1.0, GREATEST(0.0,
+         |  0.25 * LEAST(stopword_ratio * 10, 1.0) + 0.5 * uniq_ratio +
+         |  0.25 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END))), 6) AS quality
+         | FROM f)
+         |SELECT 'all' AS bucket, round(avg(quality), 6) AS avg_quality,
+         | round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+         | round(avg(uniq_ratio), 6) AS avg_uniq_ratio, count(*) AS n_docs
+         |FROM q""".stripMargin,
+
+    "t_token_bpe" ->
+      """SELECT lang, CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MinHash, SimHash, TextQuality}
+
+class DedupScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // doc 1/2 near-identical (one token changed), doc 3 unrelated
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content with nothing shared at all here now ok")
+  ).toDF("doc_id", "text")
+
+  test("minhash lsh finds the planted near-dup pair and not the unrelated doc") {
+    val cand = MinHash.lshCandidates(docs, "doc_id", "text", w = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("jaccard of identical docs is 1, disjoint docs is 0") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
+    val sh = MinHash.shingleSets(d, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = MinHash.jaccard(pairs, sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("nearDuplicates end-to-end keeps only above-threshold pairs") {
+    val nd = MinHash.nearDuplicates(docs, "doc_id", "text", threshold = 0.5, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSet === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs share fingerprints; hamming bands find near pair") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val fp = SimHash.simhashBitString(d, "doc_id", "text", 16)
+    val m = fp.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L).length === 16)
+    val nd = SimHash.nearDuplicates(fp, nBits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(nd.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 0))
+  }
+
+  test("simhash64 packs to a decimal") {
+    val out = SimHash.simhash64(docs, "doc_id", "text").collect()
+    assert(out.length === 3)
+    assert(out.forall(_.get(1) != null))
+  }
+
+  test("winnow fingerprints: stable count, zero for too-short docs") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextQuality.winnowFingerprintCounts(d, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > 0)
+    assert(out(2L) === 0L) // 2 tokens < k=3 shingle size
+  }
+
+  test("quality score stays in [0,1]") {
+    val q = TextQuality.qualityScore(
+      TextQuality.qualityFeatures(docs, "doc_id", "text")).select("quality")
+      .collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("hashSplit is deterministic and exhaustive") {
+    val out = Dedup.hashSplit(docs, col("text")).select("split").collect().map(_.getString(0))
+    assert(out.forall(Set("train", "valid", "test")))
+    val again = Dedup.hashSplit(docs, col("text")).select("split").collect().map(_.getString(0))
+    assert(out.toSeq === again.toSeq)
+  }
+}
