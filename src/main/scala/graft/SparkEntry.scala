@@ -21,7 +21,8 @@ object SparkEntry {
     SearchQueries,
     AnalysisQueries,
     DedupScaleQueries,
-    AnnQueries
+    AnnQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

