@@ -22,7 +22,8 @@ object SparkEntry {
     AnalysisQueries,
     DedupScaleQueries,
     AnnQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    CatalogQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

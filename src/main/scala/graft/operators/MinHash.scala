@@ -24,22 +24,35 @@ object MinHash {
   type HashFn = (Column, Int) => Column
 
   val xxhashStrategy: HashFn = (c, i) => xxhash64(lit(i), c)
+
+  /** Portable strategy: hash i is an 8-hex-char slice of md5(seedGroup:s) —
+    * one md5 call feeds four hashes (subexpression elimination collapses the
+    * repeated md5 inside the projection), and hex-string min is identical in
+    * every SQL engine.
+    */
   val md5Strategy: HashFn = (c, i) =>
-    substring(md5(concat(lit(i.toString), lit(":"), c)), 1, 16)
+    substring(md5(concat(lit((i / 4).toString), lit(":"), c)), (i % 4) * 8 + 1, 8)
 
   /** Distinct w-token shingles per doc. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, w: Int,
                   uax29: Boolean = false): DataFrame = {
     val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
-    docs.select(col(idCol).as("id"), explode(TextFunctions.ngrams(toks, w)).as("s"))
+    graft.Par.fanOut(docs)
+      .select(col(idCol).as("id"), explode(TextFunctions.ngrams(toks, w)).as("s"))
       .distinct()
   }
 
-  /** k-column MinHash signature per doc: sig_i = min_i(hash_i(shingle)). */
-  def signatures(shingles: DataFrame, k: Int, hash: HashFn = xxhashStrategy): DataFrame =
-    shingles.groupBy("id")
-      .agg(min(hash(col("s"), 0)).as("m0"),
-        (1 until k).map(i => min(hash(col("s"), i)).as(s"m$i")): _*)
+  /** k-column MinHash signature per doc: sig_i = min_i(hash_i(shingle)).
+    * Hashes are projected in one Select first (enables codegen CSE across
+    * hashes sharing a digest), then min-aggregated per doc.
+    */
+  def signatures(shingles: DataFrame, k: Int, hash: HashFn = xxhashStrategy): DataFrame = {
+    val projected = shingles.select(
+      col("id") +: (0 until k).map(i => hash(col("s"), i).as(s"h$i")): _*)
+    projected.groupBy("id")
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
 
   /** Explode a signature into (id, band, band_key) rows; band_key is the
     * hash of the band's signature slice.
@@ -59,9 +72,16 @@ object MinHash {
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
                     w: Int = 5, k: Int = 8, bands: Int = 4,
                     hash: HashFn = xxhashStrategy, uax29: Boolean = false,
-                    maxBucket: Int = 1000): DataFrame = {
-    val rows = bandRows(signatures(shingleSets(docs, idCol, textCol, w, uax29), k, hash),
-      k, bands)
+                    maxBucket: Int = 1000): DataFrame =
+    lshCandidatesFromShingles(shingleSets(docs, idCol, textCol, w, uax29),
+      k, bands, hash, maxBucket)
+
+  /** Same, over a precomputed (id, s) shingle set — lets callers share one
+    * shingle scan between candidate generation and Jaccard verification.
+    */
+  def lshCandidatesFromShingles(shingles: DataFrame, k: Int, bands: Int,
+                                hash: HashFn, maxBucket: Int = 1000): DataFrame = {
+    val rows = bandRows(signatures(shingles, k, hash), k, bands)
     val sized = rows.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
       .where(col("bucket_n") <= maxBucket).drop("bucket_n")
@@ -93,8 +113,10 @@ object MinHash {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, w: Int = 5, k: Int = 8, bands: Int = 4,
                      hash: HashFn = xxhashStrategy, uax29: Boolean = false): DataFrame = {
+    // one shingle scan shared by signature building and Jaccard verification
     val sh = shingleSets(docs, idCol, textCol, w, uax29)
-    val cand = lshCandidates(docs, idCol, textCol, w, k, bands, hash, uax29)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatesFromShingles(sh, k, bands, hash)
     jaccard(cand, sh).where(col("jaccard") >= threshold)
   }
 }

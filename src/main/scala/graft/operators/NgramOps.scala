@@ -24,7 +24,8 @@ object NgramOps {
     if (uax29) tokenize(text) else splitTokens(text)
 
   private def ngramCounts(docs: DataFrame, textCol: String, n: Int, uax29: Boolean): DataFrame =
-    docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+    graft.Par.fanOut(docs)
+      .select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
 
   /** `wimbd topk` exact mode (reference src/cmd/topk.rs:106-343). Determinism:

@@ -29,7 +29,8 @@ object SimHash {
     */
   def simhashBitString(docs: DataFrame, idCol: String, textCol: String,
                        nBits: Int, bit: BitFn = xxhashBit): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+    val toks = graft.Par.fanOut(docs)
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
     val sums = toks.groupBy("id")
       .agg(sum(bit(col("w"), 0)).as("s0"),
         (1 until nBits).map(j => sum(bit(col("w"), j)).as(s"s$j")): _*)

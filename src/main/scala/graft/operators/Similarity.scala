@@ -27,16 +27,25 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Unit-normalize once (norm computed per ROW, in its own projection, so
+    * the per-pair work later is a single dot product — norms are O(rows)
+    * instead of O(pairs)).
+    */
+  private def unitProject(df: DataFrame, idCol: String, idName: String,
+                          vecCol: String, outName: String): DataFrame =
+    df.select(col(idCol).as(idName), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .select(col(idName), transform(col("__v"), x => x / col("__n")).as(outName))
+
   /** Exact top-k cosine neighbors for every query row.
     * `queries` must be small enough to broadcast (it is hinted).
     */
   def bruteForceKnn(base: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv")))
-    val b = base.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("bv"))
+    val q = broadcast(unitProject(queries, idCol, "query_id", vecCol, "qv"))
+    val b = unitProject(graft.Par.fanOut(base), idCol, "neighbor_id", vecCol, "bv")
     val scored = q.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("bv")))
+      .withColumn("cos", dot(col("qv"), col("bv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
@@ -48,10 +57,10 @@ object Similarity {
     */
   def cosineNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    val a = unitProject(graft.Par.fanOut(df), idCol, "id_a", vecCol, "va")
+    val b = unitProject(df, idCol, "id_b", vecCol, "vb")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

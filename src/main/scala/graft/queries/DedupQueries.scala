@@ -19,7 +19,7 @@ object DedupQueries extends QueryPack {
   private def fp = Dedup.prefixFingerprint(col("text"), 10)
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").select(col("source"), col("doc_id"),
+    graft.Par.fanOut(Tables(s, dir, "documents")).select(col("source"), col("doc_id"),
       explode(TextFunctions.ngrams(split(col("text"), " "), 5)).as("shingle"))
 
   private val shingleSql =

@@ -25,7 +25,8 @@ object DedupScaleQueries extends QueryPack {
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
 
   private val sigCols = (0 until K)
-    .map(i => s"min(substring(md5('$i:' || s), 1, 16)) AS m$i").mkString(", ")
+    .map(i => s"min(substring(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
+    .mkString(", ")
 
   private val bandSelects = (0 until BANDS).map { b =>
     val r = K / BANDS
