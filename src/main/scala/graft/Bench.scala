@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // size-based AQE coalescing (not parallelism-floored) + repartitioning
+      // of cached plans: tiny shuffles collapse to one task instead of
+      // launching `cpus` no-op tasks per stage — and at 100 TB these are the
+      // recommended production settings (64 MB advisory partitions win over
+      // a fixed partition count on both ends of the scale).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -78,12 +78,23 @@ object Dedup {
       .groupBy("h").agg(sort_array(collect_set("ds")).as("datasets"))
       .groupBy("datasets").agg(count(lit(1)).as("n_keys"))
 
-  /** J4/J6 pairwise view: distinct-key overlap per dataset pair. */
+  /** J4/J6 pairwise view: distinct-key overlap per dataset pair.
+    *
+    * Derived from the per-key dataset set rather than a self-join: one
+    * hash-aggregation over keys (with map-side partial agg), then each key
+    * fans out only its own ≤|datasets|² pairs — the distinct + key-equality
+    * self-join formulation shuffles the full key set three times and breaks
+    * down exactly when keys are 100 TB-scale n-grams.
+    */
   def overlapMatrix(df: DataFrame, key: Column, dataset: Column): DataFrame = {
-    val k = df.select(key.as("h"), dataset.as("ds")).distinct()
-    val a = k.as("a"); val b = k.as("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.ds") < col("b.ds"))
-      .groupBy(col("a.ds").as("ds_a"), col("b.ds").as("ds_b"))
+    val sets = df.select(key.as("h"), dataset.as("ds"))
+      .groupBy("h").agg(sort_array(collect_set("ds")).as("dss"))
+    val pairs = flatten(transform(col("dss"), (a, i) =>
+      transform(slice(col("dss"), i + lit(2), size(col("dss"))),
+        b => struct(a.as("ds_a"), b.as("ds_b")))))
+    sets.where(size(col("dss")) > 1)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.ds_a").as("ds_a"), col("p.ds_b").as("ds_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 

@@ -33,14 +33,23 @@ object MinHash {
   val md5Strategy: HashFn = (c, i) =>
     substring(md5(concat(lit((i / 4).toString), lit(":"), c)), (i % 4) * 8 + 1, 8)
 
-  /** Distinct w-token shingles per doc. */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, w: Int,
-                  uax29: Boolean = false): DataFrame = {
+  /** All w-token shingles per doc, duplicates kept — a narrow
+    * scan-fused projection with NO shuffle. Min-hash signatures are
+    * insensitive to duplicate shingles, so the LSH path runs off the bag;
+    * set semantics are applied only where they matter (Jaccard, after
+    * candidate semi-join shrinks the data by orders of magnitude).
+    */
+  def shingleBag(docs: DataFrame, idCol: String, textCol: String, w: Int,
+                 uax29: Boolean = false): DataFrame = {
     val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
     graft.Par.fanOut(docs)
       .select(col(idCol).as("id"), explode(TextFunctions.ngrams(toks, w)).as("s"))
-      .distinct()
   }
+
+  /** Distinct w-token shingles per doc. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, w: Int,
+                  uax29: Boolean = false): DataFrame =
+    shingleBag(docs, idCol, textCol, w, uax29).distinct()
 
   /** k-column MinHash signature per doc: sig_i = min_i(hash_i(shingle)).
     * Hashes are projected in one Select first (enables codegen CSE across
@@ -73,30 +82,48 @@ object MinHash {
                     w: Int = 5, k: Int = 8, bands: Int = 4,
                     hash: HashFn = xxhashStrategy, uax29: Boolean = false,
                     maxBucket: Int = 1000): DataFrame =
-    lshCandidatesFromShingles(shingleSets(docs, idCol, textCol, w, uax29),
+    lshCandidatesFromShingles(shingleBag(docs, idCol, textCol, w, uax29),
       k, bands, hash, maxBucket)
 
   /** Same, over a precomputed (id, s) shingle set — lets callers share one
     * shingle scan between candidate generation and Jaccard verification.
+    *
+    * Buckets are materialized as sorted id sets in ONE hash aggregation and
+    * pairs exploded per bucket (≤ maxBucket² each), instead of a
+    * window-count guard + bucket self-join + distinct — two fewer shuffle
+    * stages, and the shuffle carries one row per bucket rather than the
+    * full band-row set twice.
     */
   def lshCandidatesFromShingles(shingles: DataFrame, k: Int, bands: Int,
                                 hash: HashFn, maxBucket: Int = 1000): DataFrame = {
     val rows = bandRows(signatures(shingles, k, hash), k, bands)
-    val sized = rows.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
-      .where(col("bucket_n") <= maxBucket).drop("bucket_n")
-    val a = sized.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("band_key"), col("id").as("id_b"))
-    a.join(b, Seq("band", "band_key")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val buckets = rows.groupBy("band", "band_key")
+      .agg(sort_array(collect_set("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
   }
 
-  /** Exact shingle-set Jaccard for given id pairs. */
+  /** Exact shingle-set Jaccard for given id pairs. `shingles` may be a bag
+    * ([[shingleBag]]) — set semantics are applied internally.
+    *
+    * Shingles are first semi-joined down to the ids that actually appear in
+    * a pair — candidates are a vanishing fraction of a 100 TB corpus, so the
+    * dedup + intersection/size joins run over candidate shingles only (AQE
+    * turns them into broadcasts when small) instead of shuffling the full
+    * corpus shingle set twice.
+    */
   def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val ids = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val sh = shingles.join(ids, Seq("id"), "left_semi").distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(shingles.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(shingles.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     pairs.join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("n_inter"))
@@ -113,10 +140,14 @@ object MinHash {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, w: Int = 5, k: Int = 8, bands: Int = 4,
                      hash: HashFn = xxhashStrategy, uax29: Boolean = false): DataFrame = {
-    // one shingle scan shared by signature building and Jaccard verification
-    val sh = shingleSets(docs, idCol, textCol, w, uax29)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shingle bag is scan-fused (no shuffle), so recomputing it for the
+    // two consumers (signatures, jaccard semi-join) is cheaper than a
+    // full cache write of |corpus|×|tokens| rows
+    val sh = shingleBag(docs, idCol, textCol, w, uax29)
+    // candidates feed three joins in jaccard — materialize once, or the
+    // whole LSH subtree (signatures + band self-join) re-executes per use
     val cand = lshCandidatesFromShingles(sh, k, bands, hash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccard(cand, sh).where(col("jaccard") >= threshold)
   }
 }

@@ -3,23 +3,27 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.expressions.DotProduct
 
 /** Embedding similarity search over an `array<float>` column: brute-force
   * cosine top-k as the exact baseline, IVF (inverted-file) bucketing as the
   * scale path.
   *
-  * Scale notes: queries are always the broadcast side; scoring is a narrow
-  * projection (higher-order functions stay in codegen, no UDF); the only
+  * Scale notes: queries are always the broadcast side; per-pair scoring is a
+  * single codegen'd [[DotProduct]] over unit-normalized vectors (norms are
+  * O(rows), computed once in their own projection, never O(pairs)); the only
   * shuffle is the per-query top-k window, keyed on the (small) query id. For
   * the IVF path the scored row count drops by ~|centroids|/nprobe.
   */
 object Similarity {
 
   /** Sequential-order dot product of two double arrays (deterministic
-    * summation order — reproducible across engines).
+    * summation order — reproducible across engines; codegen'd kernel).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -44,8 +48,10 @@ object Similarity {
                     vecCol: String, k: Int): DataFrame = {
     val q = broadcast(unitProject(queries, idCol, "query_id", vecCol, "qv"))
     val b = unitProject(graft.Par.fanOut(base), idCol, "neighbor_id", vecCol, "bv")
+    // project the vectors away BEFORE the top-k window: the shuffle keyed on
+    // query_id then carries 3 scalars per row instead of the embedding pair
     val scored = q.join(b, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("bv")))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("bv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
@@ -68,16 +74,23 @@ object Similarity {
   /** Deterministic IVF index: centroids are the vectors whose id ≡ 0 mod
     * `step` (a deterministic sample — swap in k-means outputs when
     * available); every vector is assigned to its nearest centroid.
+    * Vectors carry their unit form so probing never recomputes norms.
     */
   def ivfAssign(base: DataFrame, idCol: String, vecCol: String, step: Int): DataFrame = {
-    val centroids = broadcast(base.where(col(idCol) % step === 0)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv")))
-    val b = base.select(col(idCol), col(vecCol), asDouble(col(vecCol)).as("bv"))
-    val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("centroid_id"))
+    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    val centroids = broadcast(b.where(col(idCol) % step === 0)
+      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+    // argmax as a hash aggregation, not a window: map-side partial agg means
+    // the shuffle carries one row per id per partition, not the full
+    // |base|×|centroids| scored set (with its vectors) — tie broken on the
+    // lower centroid id, matching the window formulation it replaces
     b.join(centroids)
-      .withColumn("csim", cosine(col("bv"), col("cv")))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+      .select(col(idCol), col("bv"), col("centroid_id"),
+        dot(col("bv"), col("cv")).as("csim"))
+      .groupBy(idCol)
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
+        first(col("bv")).as("bv"))
+      .select(col(idCol), col("bv"), col("bucket"))
   }
 
   /** ANN top-k via IVF: score only vectors in the query's `nprobe` nearest
@@ -86,17 +99,17 @@ object Similarity {
   def ivfKnn(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, step: Int = 100, nprobe: Int = 3): DataFrame = {
     val assigned = ivfAssign(base, idCol, vecCol, step).cache()
-    val centroids = broadcast(base.where(col(idCol) % step === 0)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv")))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val centroids = broadcast(assigned.where(col(idCol) % step === 0)
+      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+    val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
     val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
     val probes = q.join(centroids)
-      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("csim", dot(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
     val scored = broadcast(probes).join(assigned, "bucket")
       .where(col("query_id") =!= col(idCol))
-      .withColumn("cos", cosine(col("qv"), transform(col(vecCol), _.cast("double"))))
+      .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
