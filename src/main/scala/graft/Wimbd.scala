@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analyses, Dedup, NgramOps, SearchOps, UrlOps}
+import graft.search.Searcher
+import graft.sources.Corpus
+
+/** One-stop facade mirroring the reference toolkit's user surface, so a
+  * reference user maps each workflow 1:1 onto this library:
+  *
+  *   - the six Rust CLI subcommands (reference src/main.rs:23-82):
+  *     [[topk]] [[botk]] [[count]] [[search]] [[stats]] [[unique]]
+  *   - the Python map-reduce analyses (reference wimbd/&#42;/run.sh):
+  *     [[urlCounts]] [[schemeCounts]] [[languageCounts]] [[piiCounts]] …
+  *   - the Elasticsearch query wrappers (reference wimbd/es/__init__.py):
+  *     [[countDocumentsContainingPhrases]] [[getDocumentsContainingPhrases]]
+  *     [[countDocumentsForEachPhrase]] [[countTotalOccurrencesOfUnigrams]]
+  *
+  * Each method is a thin delegation to the operator objects (which carry the
+  * file:line citations and scale notes); inputs are either a loaded corpus
+  * DataFrame or gzip-JSONL paths via [[load]].
+  */
+object Wimbd {
+
+  /** `expand_dirs` + gzip JSONL scan with the canonical document schema
+    * (reference src/io.rs:13-59, src/cmd/util.rs:318-339).
+    */
+  def load(spark: SparkSession, paths: Seq[String],
+           perFileLimit: Option[Int] = None,
+           fileLimit: Option[Int] = None): DataFrame =
+    Corpus.readJsonl(spark, paths, perFileLimit = perFileLimit, fileLimit = fileLimit)
+
+  /** `wimbd topk PATH... -n N -k K` (reference src/cmd/topk.rs:106-343,
+    * exact mode — counts are exact, not sketch upper bounds).
+    */
+  def topk(docs: DataFrame, n: Int, k: Int, uax29: Boolean = true): DataFrame =
+    NgramOps.topK(docs, "text", n, k, uax29)
+
+  /** `wimbd botk` (reference src/cmd/botk.rs:103-359 — one exact pass; no
+    * inverted-sketch two-pass needed).
+    */
+  def botk(docs: DataFrame, n: Int, k: Int, uax29: Boolean = true): DataFrame =
+    NgramOps.botK(docs, "text", n, k, uax29)
+
+  /** `wimbd count -s PHRASE...` exact token-sequence occurrence counts
+    * (reference src/cmd/count.rs:66-208).
+    */
+  def count(docs: DataFrame, phrases: Seq[String], uax29: Boolean = true): DataFrame =
+    NgramOps.countPhrases(docs, "text", phrases, uax29)
+
+  /** `wimbd search -p PATTERN...` regex match counts; `withLocations`
+    * additionally returns per-doc submatch offsets (reference
+    * src/cmd/search.rs:74-330).
+    */
+  def search(docs: DataFrame, patterns: Seq[String]): DataFrame =
+    NgramOps.searchRegex(docs, "text", patterns)
+
+  def searchWithLocations(docs: DataFrame, patterns: Seq[String],
+                          idCol: String = "doc_id",
+                          locationsLimit: Option[Int] = None): DataFrame =
+    SearchOps.regexLocations(docs, "text", idCol, patterns, locationsLimit)
+
+  /** `wimbd stats` (reference src/cmd/stats.rs:61-374). */
+  def stats(docs: DataFrame, uax29: Boolean = true): DataFrame =
+    NgramOps.stats(docs, "text", uax29)
+
+  /** `wimbd stats` argmax/argmin doc pointers, ties kept (reference
+    * src/cmd/stats.rs:89-135).
+    */
+  def statsExtremes(docs: DataFrame, idCol: String, uax29: Boolean = true): DataFrame =
+    NgramOps.statsExtremes(docs, "text", idCol, uax29)
+
+  /** `wimbd unique -n N` (reference src/cmd/unique.rs:65-161); exact by
+    * default, HLL++ when `approx` (strictly better than the reference's
+    * collision-biased Bloom estimate).
+    */
+  def unique(docs: DataFrame, n: Int, approx: Boolean = false,
+             uax29: Boolean = true): DataFrame =
+    if (approx) NgramOps.uniqueApprox(docs, "text", n, uax29 = uax29)
+    else NgramOps.uniqueExact(docs, "text", n, uax29)
+
+  // ---- Python map-reduce analyses (wimbd/*/run.sh) ----
+
+  /** wimbd/url_counts */
+  def urlCounts(docs: DataFrame): DataFrame = UrlOps.hostCounts(docs, "url")
+
+  /** wimbd/url_per_tok_counts */
+  def urlPerTokCounts(docs: DataFrame, uax29: Boolean = true): DataFrame =
+    UrlOps.hostTokenCounts(docs, "url", "text", uax29)
+
+  /** wimbd/scheme_counts */
+  def schemeCounts(docs: DataFrame): DataFrame = UrlOps.schemeCounts(docs, "url")
+
+  /** wimbd/high_level_domain_counts (composes over [[urlCounts]] output) */
+  def domainSuffixCounts(hostCounts: DataFrame, psl: Seq[String]): DataFrame =
+    UrlOps.suffixCounts(hostCounts, psl)
+
+  /** wimbd/extension_counts */
+  def extensionCounts(docs: DataFrame): DataFrame = UrlOps.extensionCounts(docs, "url")
+
+  /** wimbd/language */
+  def languageCounts(docs: DataFrame): DataFrame = Analyses.langIdCounts(docs, "text")
+
+  /** wimbd/pii */
+  def piiCounts(docs: DataFrame): DataFrame = Analyses.piiCountsGuarded(docs, "text")
+
+  /** wimbd/profanity (taxonomy path; word lists as
+    * resources/word_based_bias_list.csv categories)
+    */
+  def taxonomyCounts(docs: DataFrame, lists: Map[String, Seq[String]]): DataFrame =
+    Analyses.taxonomyLabels(docs, "text", lists)
+
+  /** wimbd/sentence_lengths */
+  def lengthHistograms(docs: DataFrame, uax29: Boolean = true): DataFrame = {
+    val toks = NgramOps.tokens(col("text"), uax29)
+    docs.select(lit("chars").as("dim"), length(col("text")).cast("long").as("value"))
+      .unionAll(docs.select(lit("tokens").as("dim"), size(toks).cast("long").as("value")))
+      .groupBy("dim", "value").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+  }
+
+  /** wimbd/utterance_dates */
+  def utteranceDates(docs: DataFrame,
+                     dateCols: Seq[String] = Seq("date", "timestamp", "created")): DataFrame =
+    Analyses.yearCounts(docs, dateCols)
+
+  /** wimbd/random_sample (deterministic hash-Bernoulli, not rand()) */
+  def randomSample(docs: DataFrame, hexCeil: String): DataFrame =
+    Analyses.hashSample(docs, col("text"), hexCeil)
+
+  // ---- dedup / overlap workflows (wimbd/text_and_url_overlaps) ----
+
+  /** deduplicate.py — drop docs whose key duplicates an earlier doc. */
+  def deduplicate(docs: DataFrame, key: org.apache.spark.sql.Column,
+                  order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    Dedup.keepFirst(docs, key, order)
+
+  /** decontaminate.py — remove B-docs whose key appears anywhere in A. */
+  def decontaminate(b: DataFrame, bKey: org.apache.spark.sql.Column,
+                    a: DataFrame, aKey: org.apache.spark.sql.Column): DataFrame =
+    Dedup.decontaminate(b, bKey, a, aKey)
+
+  // ---- ES wrapper surface (wimbd/es/__init__.py) ----
+
+  /** count_documents_containing_phrases */
+  def countDocumentsContainingPhrases(docs: DataFrame, phrases: Seq[String],
+                                      allPhrases: Boolean = false,
+                                      isRegexp: Boolean = false,
+                                      slop: Int = 0): DataFrame =
+    Searcher.countContaining(docs, "text", phrases, allPhrases, slop, isRegexp)
+
+  /** get_documents_containing_phrases */
+  def getDocumentsContainingPhrases(docs: DataFrame, phrases: Seq[String],
+                                    numDocuments: Int,
+                                    allPhrases: Boolean = false,
+                                    isRegexp: Boolean = false,
+                                    slop: Int = 0): DataFrame =
+    Searcher.getContaining(docs, "text", phrases, allPhrases, slop, isRegexp,
+      numDocuments = numDocuments)
+
+  /** count_documents_for_each_phrase — one scan, all phrases. */
+  def countDocumentsForEachPhrase(docs: DataFrame, phrases: Seq[String],
+                                  slop: Int = 0): DataFrame =
+    Searcher.countPerPhrase(docs, "text", phrases, slop)
+
+  /** count_total_occurrences_of_unigrams — exact ttf by construction. */
+  def countTotalOccurrencesOfUnigrams(docs: DataFrame, unigrams: Seq[String],
+                                      uax29: Boolean = true): DataFrame =
+    Searcher.unigramTtf(docs, "text", unigrams, uax29)
+
+  /** corpus_contamination.py — fraction of benchmark phrases present. */
+  def corpusContamination(docs: DataFrame, phrases: Seq[String],
+                          slop: Int = 0): DataFrame =
+    Searcher.contamination(docs, "text", phrases, slop)
+
+  /** JSONL result sink with the reference's `--force` overwrite guard
+    * (reference src/util.rs:6-25).
+    */
+  def writeJsonl(df: DataFrame, path: String, force: Boolean = false): Unit =
+    Corpus.writeJsonl(df, path, force)
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.functions.expressions.RegexMatchOffsets
+
+/** `wimbd search --with-locations` (reference src/cmd/search.rs:74-330):
+  * per-pattern regex match counts plus per-document match-location records
+  * with submatch offsets.
+  */
+object SearchOps {
+
+  /** Column of [start_col, end_col) offsets for every match of `pattern`
+    * in `text`. Char (UTF-16) offsets, not the reference's byte offsets —
+    * identical on ASCII text.
+    */
+  def matchOffsets(text: org.apache.spark.sql.Column,
+                   pattern: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Bridge.column(RegexMatchOffsets(Bridge.expression(text), Bridge.expression(pattern)))
+
+  /** One row per (pattern, matching doc): doc pointer (`line_num`, from
+    * `idCol`), the text, and the submatch offset structs — the reference's
+    * MatchLocation record (src/cmd/search.rs:188-216). `locationsLimit`
+    * caps collected matches per pattern as the reference's
+    * `--locations-limit` does, but deterministically: docs are taken in
+    * `idCol` order until the cap is reached (the reference keeps the first
+    * N encountered under thread interleaving).
+    */
+  def regexLocations(docs: DataFrame, textCol: String, idCol: String,
+                     patterns: Seq[String],
+                     locationsLimit: Option[Int] = None): DataFrame = {
+    val perPattern = patterns.map { p =>
+      docs.select(lit(p).as("pattern"), col(idCol).as("line_num"),
+        col(textCol).as("text"),
+        matchOffsets(col(textCol), lit(p)).as("submatches"))
+    }.reduce(_ unionAll _).where(size(col("submatches")) > 0)
+    locationsLimit match {
+      case None => perPattern
+      case Some(lim) =>
+        val w = Window.partitionBy("pattern").orderBy("line_num")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perPattern
+          .withColumn("prior",
+            coalesce(F.sum(size(col("submatches"))).over(w), lit(0)))
+          .where(col("prior") < lim).drop("prior")
+    }
+  }
+
+  /** Flattened per-doc view with the span totals (n_matches, matched
+    * chars) — the oracle-checkable projection of [[regexLocations]].
+    */
+  def locationSummary(docs: DataFrame, textCol: String, idCol: String,
+                      patterns: Seq[String]): DataFrame =
+    regexLocations(docs, textCol, idCol, patterns)
+      .select(col("pattern"), col("line_num"),
+        size(col("submatches")).cast("long").as("n_matches"),
+        aggregate(transform(col("submatches"),
+          s => s.getField("end_col") - s.getField("start_col")),
+          lit(0), (acc, x) => acc + x).cast("long").as("matched_chars"))
+}

@@ -48,6 +48,11 @@ object NgramQueries extends QueryPack {
         .select(col("pattern"), col("matches").cast("long").as("matches"))
         .orderBy("pattern")),
 
+    "a10_locations" -> ((s, dir) =>
+      graft.operators.SearchOps.locationSummary(
+        Tables(s, dir, "documents"), "text", "doc_id", patterns)
+        .orderBy("pattern", "line_num")),
+
     "a11_duplicate_counts" -> ((s, dir) => {
       val hc = Tables(s, dir, "documents")
         .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
@@ -112,6 +117,17 @@ object NgramQueries extends QueryPack {
         | CAST(coalesce(sum(len(regexp_extract_all(text, pattern))), 0) AS BIGINT) AS matches
         |FROM pat LEFT JOIN documents ON true
         |GROUP BY pattern ORDER BY pattern""".stripMargin,
+
+    // match spans checked via total matched chars: sum(end-start) must equal
+    // the length of the concatenated regexp_extract_all substrings
+    "a10_locations" ->
+      """WITH pat(pattern) AS (SELECT * FROM (VALUES ('sp[a-z]+'), ('jo[a-z]*n'),
+        |  ('b[aeiou]tch'), ('zz+')) v(p)),
+        |m AS (SELECT pattern, doc_id AS line_num,
+        |  regexp_extract_all(text, pattern) AS ms FROM pat JOIN documents ON true)
+        |SELECT pattern, line_num, CAST(len(ms) AS BIGINT) AS n_matches,
+        | CAST(length(array_to_string(ms, '')) AS BIGINT) AS matched_chars
+        |FROM m WHERE len(ms) > 0 ORDER BY pattern, line_num""".stripMargin,
 
     "a11_duplicate_counts" ->
       """WITH hc AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)

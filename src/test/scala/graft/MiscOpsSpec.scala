@@ -31,4 +31,27 @@ class MiscOpsSpec extends SparkTestBase {
     val all = LinkProbe.probe(df, "url", () => _ => true).collect()
     assert(all.forall(_.getBoolean(1)))
   }
+
+  test("A10 locations: match offsets are [start,end) char spans per doc") {
+    val df = Seq((1L, "spark sparse xx"), (2L, "no hits here"), (3L, "spot"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.SearchOps
+      .regexLocations(df, "text", "doc_id", Seq("sp[a-z]+"))
+      .orderBy("line_num").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L))
+    val subs = out.head.getSeq[org.apache.spark.sql.Row](3)
+    assert(subs.map(r => (r.getInt(0), r.getInt(1))) === Seq((0, 5), (6, 12)))
+    assert(out(1).getSeq[org.apache.spark.sql.Row](3)
+      .map(r => (r.getInt(0), r.getInt(1))) === Seq((0, 4)))
+  }
+
+  test("A10 locations: locationsLimit caps matches per pattern in doc order") {
+    val df = Seq((1L, "aa aa"), (2L, "aa"), (3L, "aa aa aa")).toDF("doc_id", "text")
+    val out = graft.operators.SearchOps
+      .regexLocations(df, "text", "doc_id", Seq("aa"), locationsLimit = Some(3))
+      .orderBy("line_num").collect()
+    // doc 1 contributes 2 matches (prior=0 < 3), doc 2 one more (prior=2 < 3),
+    // doc 3 is cut (prior=3)
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+  }
 }
