@@ -30,7 +30,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // absolute throughput anchors BASELINE.md asks for (the reference
+    // publishes none): docs/sec through topk-3gram, rows/sec through
+    // keep-first dedup, phrase-count latency
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count().toDouble
+    val derived = Seq(
+      "topk3_docs_per_sec" -> results.get("a6_topk_3gram").map(nDocs / _),
+      "dedup_rows_per_sec" -> results.get("j2_keep_first").map(nDocs / _),
+      "phrase_count_sec" -> results.get("a9_count_phrases"))
+      .collect { case (k, Some(v)) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,10 +13,12 @@ import graft.functions.TextFunctions
   * reproducible in any SQL engine, used by the oracle-checked queries so
   * the *same* pipeline code is validated end-to-end).
   *
-  * Scale notes: signatures are one explode + one groupBy(doc) (shuffle keyed
-  * on doc id); candidate generation self-joins band buckets — skew guard
-  * drops buckets larger than `maxBucket` (a bucket of b docs creates b² pairs;
-  * hot buckets are near-certainly boilerplate worth separate handling).
+  * Scale notes: signatures are computed INLINE per document by a codegen'd
+  * expression (no shingle explode, no shuffle — see [[signaturesInline]]);
+  * candidate generation's only shuffle is the band-bucket aggregation, with
+  * a skew guard dropping buckets larger than `maxBucket` (a bucket of b docs
+  * creates b² pairs; hot buckets are near-certainly boilerplate worth
+  * separate handling).
   */
 object MinHash {
 
@@ -63,6 +65,26 @@ object MinHash {
         (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
 
+  /** Inline per-doc signature via [[graft.functions.expressions.MinHashSignature]]:
+    * the whole shingle→k-mins computation happens inside one scan-fused
+    * codegen'd projection — NO shingle explode, NO groupBy shuffle. This is
+    * the 100 TB shape: signature building is embarrassingly parallel, and
+    * candidate generation's only shuffle is the band-bucket aggregation.
+    * md5 mode is bit-identical to `signatures(_, k, md5Strategy)`.
+    */
+  def signaturesInline(docs: DataFrame, idCol: String, textCol: String,
+                       w: Int, k: Int, md5Parity: Boolean,
+                       uax29: Boolean = false): DataFrame = {
+    val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
+    val sig = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.Bridge.expression(toks), w, k, md5Parity))
+    graft.Par.fanOut(docs)
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("id") +: (0 until k).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+  }
+
   /** Explode a signature into (id, band, band_key) rows; band_key is the
     * hash of the band's signature slice.
     */
@@ -77,13 +99,21 @@ object MinHash {
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate near-duplicate pairs: docs sharing at least one band bucket. */
+  /** Candidate near-duplicate pairs: docs sharing at least one band bucket.
+    * The two standard strategies take the inline-signature path (see
+    * [[signaturesInline]]); a custom [[HashFn]] falls back to the
+    * explode+groupBy formulation.
+    */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
                     w: Int = 5, k: Int = 8, bands: Int = 4,
                     hash: HashFn = xxhashStrategy, uax29: Boolean = false,
-                    maxBucket: Int = 1000): DataFrame =
-    lshCandidatesFromShingles(shingleBag(docs, idCol, textCol, w, uax29),
-      k, bands, hash, maxBucket)
+                    maxBucket: Int = 1000): DataFrame = {
+    val sig =
+      if (hash eq md5Strategy) signaturesInline(docs, idCol, textCol, w, k, md5Parity = true, uax29)
+      else if (hash eq xxhashStrategy) signaturesInline(docs, idCol, textCol, w, k, md5Parity = false, uax29)
+      else signatures(shingleBag(docs, idCol, textCol, w, uax29), k, hash)
+    candidatesFromSignatures(sig, k, bands, maxBucket)
+  }
 
   /** Same, over a precomputed (id, s) shingle set — lets callers share one
     * shingle scan between candidate generation and Jaccard verification.
@@ -95,8 +125,13 @@ object MinHash {
     * full band-row set twice.
     */
   def lshCandidatesFromShingles(shingles: DataFrame, k: Int, bands: Int,
-                                hash: HashFn, maxBucket: Int = 1000): DataFrame = {
-    val rows = bandRows(signatures(shingles, k, hash), k, bands)
+                                hash: HashFn, maxBucket: Int = 1000): DataFrame =
+    candidatesFromSignatures(signatures(shingles, k, hash), k, bands, maxBucket)
+
+  /** Band-bucket candidate pairs from a (id, m0..m{k-1}) signature frame. */
+  def candidatesFromSignatures(sig: DataFrame, k: Int, bands: Int,
+                               maxBucket: Int = 1000): DataFrame = {
+    val rows = bandRows(sig, k, bands)
     val buckets = rows.groupBy("band", "band_key")
       .agg(sort_array(collect_set("id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
@@ -140,14 +175,13 @@ object MinHash {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, w: Int = 5, k: Int = 8, bands: Int = 4,
                      hash: HashFn = xxhashStrategy, uax29: Boolean = false): DataFrame = {
-    // the shingle bag is scan-fused (no shuffle), so recomputing it for the
-    // two consumers (signatures, jaccard semi-join) is cheaper than a
-    // full cache write of |corpus|×|tokens| rows
-    val sh = shingleBag(docs, idCol, textCol, w, uax29)
     // candidates feed three joins in jaccard — materialize once, or the
-    // whole LSH subtree (signatures + band self-join) re-executes per use
-    val cand = lshCandidatesFromShingles(sh, k, bands, hash)
+    // whole LSH subtree (inline signatures + band buckets) re-executes per use
+    val cand = lshCandidates(docs, idCol, textCol, w, k, bands, hash, uax29)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccard(cand, sh).where(col("jaccard") >= threshold)
+    // the shingle bag is scan-fused (no shuffle) and only consumed by
+    // jaccard's candidate semi-join — no persist needed
+    jaccard(cand, shingleBag(docs, idCol, textCol, w, uax29))
+      .where(col("jaccard") >= threshold)
   }
 }

@@ -76,4 +76,25 @@ class DedupScaleSpec extends SparkTestBase {
     val again = Dedup.hashSplit(docs, col("text")).select("split").collect().map(_.getString(0))
     assert(out.toSeq === again.toSeq)
   }
+
+  test("inline md5 signatures are bit-identical to the explode+groupBy path") {
+    val inline = MinHash.signaturesInline(docs, "doc_id", "text", w = 3, k = 8,
+      md5Parity = true).orderBy("id").collect()
+    val grouped = MinHash.signatures(
+      MinHash.shingleSets(docs, "doc_id", "text", 3), 8, MinHash.md5Strategy)
+      .orderBy("id").collect()
+    assert(inline.map(_.toSeq).toSeq === grouped.map(_.toSeq).toSeq)
+  }
+
+  test("inline xxhash signatures: deterministic, long-typed, null for short docs") {
+    val short = spark.createDataFrame(Seq((1L, "a b"))).toDF("doc_id", "text")
+    assert(MinHash.signaturesInline(short, "doc_id", "text", w = 5, k = 4,
+      md5Parity = false).count() === 0)
+    val a = MinHash.signaturesInline(docs, "doc_id", "text", 3, 4, md5Parity = false)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = MinHash.signaturesInline(docs, "doc_id", "text", 3, 4, md5Parity = false)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.head.drop(1).forall(_.isInstanceOf[Long]))
+  }
 }
