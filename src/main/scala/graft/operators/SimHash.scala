@@ -26,9 +26,25 @@ object SimHash {
 
   /** Fingerprint as an nBits-char '0'/'1' string per doc (string form keeps
     * it portable; [[simhash64]] packs to a long).
+    *
+    * The two standard bit sources run INLINE — one codegen'd expression per
+    * doc ([[graft.functions.expressions.SimHashFingerprint]], bit-identical
+    * to the explode+sum formulation), so fingerprinting is a scan-fused
+    * projection with no shuffle. A custom [[BitFn]] falls back to
+    * explode + nBits sum aggregates.
     */
   def simhashBitString(docs: DataFrame, idCol: String, textCol: String,
                        nBits: Int, bit: BitFn = xxhashBit): DataFrame = {
+    if ((bit eq xxhashBit) || (bit eq md5HexBit)) {
+      val sig = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.SimHashFingerprint(
+          org.apache.spark.sql.graft.Bridge.expression(split(col(textCol), " ")),
+          nBits, md5Parity = bit eq md5HexBit))
+      // null-text docs emit no exploded rows in the groupBy formulation —
+      // match that by dropping their null fingerprints
+      return graft.Par.fanOut(docs).select(col(idCol).as("id"), sig.as("simhash"))
+        .where(col("simhash").isNotNull)
+    }
     val toks = graft.Par.fanOut(docs)
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
     val sums = toks.groupBy("id")

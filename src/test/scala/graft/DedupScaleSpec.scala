@@ -77,6 +77,19 @@ class DedupScaleSpec extends SparkTestBase {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("inline simhash is bit-identical to the explode+sum path") {
+    // a fresh lambda with md5HexBit's body is not `eq` the standard one,
+    // so it exercises the explode+sum fallback — outputs must agree
+    val fallbackBit: SimHash.BitFn = (c, j) =>
+      when(substring(md5(c), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+        .otherwise(-1L)
+    val inline = SimHash.simhashBitString(docs, "doc_id", "text", 16, SimHash.md5HexBit)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val grouped = SimHash.simhashBitString(docs, "doc_id", "text", 16, fallbackBit)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(inline === grouped)
+  }
+
   test("inline md5 signatures are bit-identical to the explode+groupBy path") {
     val inline = MinHash.signaturesInline(docs, "doc_id", "text", w = 3, k = 8,
       md5Parity = true).orderBy("id").collect()
