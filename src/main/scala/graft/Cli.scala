@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{NgramOps, SearchOps}
+import graft.sources.Corpus
+
+/** CLI entry point with the reference's subcommand grammar (reference
+  * src/main.rs:23-82), so CLI users can switch invocation-for-invocation:
+  *
+  *   runMain graft.Cli topk PATH... --ngram 3 --topk 20 [--limit N]
+  *     [--file-limit N] [--out FILE] [--force]
+  *   runMain graft.Cli botk PATH... --ngram 3 --topk 20
+  *   runMain graft.Cli count PATH... --search "The" --search "and the"
+  *   runMain graft.Cli search PATH... --pattern "re+gex" [--with-locations]
+  *     [--locations-limit N]
+  *   runMain graft.Cli stats PATH...
+  *   runMain graft.Cli unique PATH... --ngram 3 [--approx]
+  *
+  * Counts are EXACT (the sketch-budget flags --size/--hashes/--seed are
+  * accepted and ignored: Spark's distributed exact aggregation replaces the
+  * shared-memory sketch, so counts are no longer `≤` upper bounds).
+  * Top-k/bot-k rows print as the reference's JSONL
+  * {"tokens","string","count","rank"} records.
+  */
+object Cli {
+
+  private case class Args(paths: Seq[String], flags: Map[String, Seq[String]])
+
+  private def parse(argv: Seq[String]): Args = {
+    val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64")
+    while (i < argv.length) {
+      val a = argv(i)
+      if (a.startsWith("--")) {
+        if (boolFlags(a)) { flags(a) = flags.getOrElse(a, Nil) :+ "true"; i += 1 }
+        else { flags(a) = flags.getOrElse(a, Nil) :+ argv(i + 1); i += 2 }
+      } else { paths += a; i += 1 }
+    }
+    Args(paths.toSeq, flags.toMap)
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** The reference's topk JSONL record (src/cmd/topk.rs:303-309). */
+  private def printRanked(df: DataFrame): Unit =
+    df.collect().zipWithIndex.foreach { case (r, i) =>
+      val s = r.getString(0); val c = r.getLong(1)
+      val toks = s.split(" ").map(t => "\"" + jsonEscape(t) + "\"").mkString("[", ",", "]")
+      println(s"""{"tokens":$toks,"string":"${jsonEscape(s)}","count":$c,"rank":${i + 1}}""")
+    }
+
+  def main(argv: Array[String]): Unit = {
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique> PATH... [flags]")
+    val cmd = argv.head
+    val a = parse(argv.toSeq.drop(1))
+    def flag(n: String): Option[String] = a.flags.get(n).map(_.last)
+    def flagAll(n: String): Seq[String] = a.flags.getOrElse(n, Nil)
+    def intFlag(n: String, d: Int): Int = flag(n).map(_.toInt).getOrElse(d)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Corpus.readJsonl(spark, a.paths,
+      perFileLimit = flag("--limit").map(_.toInt),
+      fileLimit = flag("--file-limit").map(_.toInt))
+
+    val out = flag("--out")
+    def deliver(df: DataFrame, ranked: Boolean): Unit = out match {
+      case Some(path) => Corpus.writeJsonl(df, path, force = a.flags.contains("--force"))
+      case None => if (ranked) printRanked(df) else df.show(1000, truncate = false)
+    }
+
+    cmd match {
+      case "topk" =>
+        deliver(NgramOps.topK(docs, "text", intFlag("--ngram", 3), intFlag("--topk", 20)),
+          ranked = true)
+      case "botk" =>
+        deliver(NgramOps.botK(docs, "text", intFlag("--ngram", 3), intFlag("--topk", 20)),
+          ranked = true)
+      case "count" =>
+        deliver(NgramOps.countPhrases(docs, "text", flagAll("--search")), ranked = false)
+      case "search" =>
+        if (a.flags.contains("--with-locations"))
+          deliver(SearchOps.regexLocations(docs, "text", "url", flagAll("--pattern"),
+            flag("--locations-limit").map(_.toInt)), ranked = false)
+        else deliver(NgramOps.searchRegex(docs, "text", flagAll("--pattern")), ranked = false)
+      case "stats" =>
+        deliver(NgramOps.stats(docs, "text"), ranked = false)
+      case "unique" =>
+        val n = intFlag("--ngram", 3)
+        deliver(if (a.flags.contains("--approx")) NgramOps.uniqueApprox(docs, "text", n)
+          else NgramOps.uniqueExact(docs, "text", n), ranked = false)
+      case other => sys.error(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

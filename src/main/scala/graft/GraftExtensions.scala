@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.expressions._
+
+/** SparkSessionExtensions module registering every graft custom Catalyst
+  * expression as a SQL function, so the whole surface is reachable from
+  * `spark.sql(...)` as well as the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * ...
+  * spark.sql("SELECT graft_ngrams(graft_tokenize(text), 3) FROM docs")
+  * }}}
+  *
+  * Literal-argument helpers fail analysis (not execution) on non-literal
+  * static parameters like minhash k — same contract as Spark's own
+  * parameterized builtins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), GraftExtensions.info(name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register into an ALREADY-BUILT session (extensions normally bind at
+    * build time) — for notebooks/REPLs attached to an existing session.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage), builder)
+    }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
+  private val functions: Seq[(String, String, FunctionBuilder)] = Seq(
+    ("graft_tokenize", "UAX-29 word tokenization (whitespace dropped)",
+      (args: Seq[Expression]) => Tokenize(args.head)),
+    ("graft_ngrams", "graft_ngrams(tokens, n): space-joined sliding n-grams",
+      (args: Seq[Expression]) => NGramsJoined(args(0), args(1))),
+    ("graft_dot", "graft_dot(a, b): sequential dot product of double arrays",
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("graft_phrase_match", "graft_phrase_match(tokens, phrase_tokens, slop)",
+      (args: Seq[Expression]) => PhraseMatch(args(0), args(1), args(2))),
+    ("graft_regex_offsets", "graft_regex_offsets(text, pattern): [start,end) match spans",
+      (args: Seq[Expression]) => RegexMatchOffsets(args(0), args(1))),
+    ("graft_minhash", "graft_minhash(tokens, w, k, md5_parity): inline MinHash signature",
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        intLit(args(1), "w"), intLit(args(2), "k"), boolLit(args(3), "md5_parity"))),
+    ("graft_simhash", "graft_simhash(tokens, n_bits, md5_parity): inline SimHash fingerprint",
+      (args: Seq[Expression]) => SimHashFingerprint(args(0),
+        intLit(args(1), "n_bits"), boolLit(args(2), "md5_parity")))
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+/** The SQL-function surface of [[GraftExtensions]], registered into the
+  * shared test session via the post-build path (the build-time path is the
+  * same builder list).
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  GraftExtensions.register(spark)
+
+  test("custom expressions are callable from spark.sql") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
+      .createOrReplaceTempView("ext_docs")
+
+    val ngrams = spark.sql(
+      "SELECT graft_ngrams(graft_tokenize(text), 3) AS g FROM ext_docs")
+      .collect().head.getSeq[String](0)
+    assert(ngrams.head === "the quick brown")
+    assert(ngrams.size === 3)
+
+    assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0) === 11.0)
+
+    assert(spark.sql(
+      """SELECT graft_phrase_match(graft_tokenize(text),
+        | graft_tokenize('quick fox'), 1) AS m FROM ext_docs""".stripMargin)
+      .collect().head.getBoolean(0))
+
+    val offs = spark.sql(
+      "SELECT graft_regex_offsets(text, 'qu[a-z]+') AS o FROM ext_docs")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(offs.map(r => (r.getInt(0), r.getInt(1))) === Seq((4, 9)))
+
+    val sig = spark.sql(
+      "SELECT graft_minhash(graft_tokenize(text), 2, 4, true) AS s FROM ext_docs")
+      .collect().head.getSeq[String](0)
+    assert(sig.size === 4 && sig.forall(_.length === 8))
+
+    val sh = spark.sql(
+      "SELECT graft_simhash(graft_tokenize(text), 16, true) AS s FROM ext_docs")
+      .collect().head.getString(0)
+    assert(sh.length === 16 && sh.forall(c => c == '0' || c == '1'))
+  }
+
+  test("non-literal static args fail analysis, not execution") {
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash(graft_tokenize('a b c'), cast(id AS INT), 4, true) " +
+        "FROM range(1) AS t(id)").collect()
+    }
+  }
+}
