@@ -93,6 +93,52 @@ object Similarity {
       .select(col(idCol), col("bv"), col("bucket"))
   }
 
+  /** Sign-pattern bucket id from `nPlanes` deterministic pseudo-random
+    * hyperplanes (plane p, dim d weight = hash-derived in [-0.5, 0.5)):
+    * cosine-similar vectors land in the same bucket with probability
+    * 1 - angle/π per bit. The random-hyperplane LSH family for cosine.
+    */
+  private def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // deterministic weight for (plane, dim): xxhash64 folded to [-0.5, 0.5)
+      val planeVec = array((0 until dim).map { d =>
+        (xxhash64(lit(seed), lit(p), lit(d)) % 1000000L).cast("double") / 2000000.0
+      }: _*)
+      when(dot(vec, planeVec) >= 0, lit(1)).otherwise(lit(0))
+    }
+    bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
+  }
+
+  /** ANN top-k via random-hyperplane LSH: queries are scored only against
+    * base vectors in the same sign-pattern bucket under any of `nTables`
+    * independent hyperplane sets (multi-table OR-amplification). The
+    * alternative scale path to [[ivfKnn]] — no centroid pass at all, fully
+    * scan-fused bucketing on both sides.
+    */
+  def lshKnn(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, dim: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idName: String, vecName: String): DataFrame = {
+      val u = unitProject(df, idCol, idName, vecCol, vecName)
+      val tables = array((0 until nTables).map { t =>
+        struct(lit(t).as("table"),
+          hyperplaneBucket(col(vecName), dim, nPlanes, seed = t).as("bucket"))
+      }: _*)
+      u.select(col(idName), col(vecName), explode(tables).as("tb"))
+        .select(col(idName), col(vecName), col("tb.table").as("table"),
+          col("tb.bucket").as("bucket"))
+    }
+    val b = bucketed(graft.Par.fanOut(base), "neighbor_id", "bv")
+    val q = broadcast(bucketed(queries, "query_id", "qv"))
+    val scored = q.join(b, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("bv")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(first(col("cos")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** ANN top-k via IVF: score only vectors in the query's `nprobe` nearest
     * buckets. Approximate — recall grows with nprobe.
     */

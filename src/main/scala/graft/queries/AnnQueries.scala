@@ -32,6 +32,14 @@ object AnnQueries extends QueryPack {
       Similarity.ivfKnn(emb, emb.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, step = 50, nprobe = 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // approximate random-hyperplane LSH path: structure-checked (rows>0)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshKnn(emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, dim = 64, nPlanes = 6, nTables = 4)
+        .orderBy("query_id", "rank")
     })
   )
 

@@ -62,4 +62,23 @@ object StreamOps {
   def sinkParquet(df: DataFrame, path: String, checkpoint: String) =
     df.writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint).format("parquet").option("path", path)
+
+  /** Streaming keep-first exact dedup — the incremental twin of
+    * Dedup.keepFirst (J2): documents whose content hash was already seen in
+    * ANY earlier micro-batch are dropped. State is Spark's streaming
+    * dropDuplicates store keyed on the hash; with a watermark column
+    * present, state for hashes older than the horizon is evicted (bounded
+    * state at 100 TB/day ingest — dedup-within-horizon), without one it is
+    * exact-forever.
+    */
+  def dedupStream(docs: DataFrame, textCol: String,
+                  watermarkCol: Option[(String, String)] = None): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(col(textCol)))
+    val withWm = watermarkCol match {
+      case Some((c, delay)) =>
+        hashed.withWatermark(c, delay).dropDuplicatesWithinWatermark("__h")
+      case None => hashed.dropDuplicates("__h")
+    }
+    withWm.drop("__h")
+  }
 }

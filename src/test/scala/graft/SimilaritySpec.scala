@@ -32,6 +32,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(out === Seq(1L, 4L, 2L, 3L))
   }
 
+  test("lshKnn finds exact-duplicate directions and caps at k") {
+    import spark.implicits._
+    // v and 2v share every hyperplane sign, so LSH must always pair them
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 2.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.lshKnn(vecs, vecs.where($"vec_id" === 1L),
+      "vec_id", "embedding", k = 2, dim = 4, nPlanes = 3, nTables = 4)
+      .collect()
+    assert(out.nonEmpty && out.length <= 2)
+    assert(out.head.getLong(1) === 2L) // same direction => top neighbor, cos 1
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-6)
+    assert(out.map(_.getLong(3)).toSeq === (1 to out.length).map(_.toLong))
+  }
+
   test("ivfKnn with all-covering probes matches brute force") {
     val q = vecs.where(col("vec_id") === 0)
     val bf = Similarity.bruteForceKnn(vecs, q, "vec_id", "embedding", k = 3)

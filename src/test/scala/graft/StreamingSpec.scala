@@ -44,4 +44,18 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(last === ((7L, 2L, 3L))) // 2 sessions, 3 events, state survived batches
   }
+
+  test("streaming dedup drops repeat hashes across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupStream(input.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+    input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    q.processAllAvailable()
+    input.addData((4L, "beta"), (5L, "gamma")) // beta already seen in batch 1
+    q.processAllAvailable()
+    val kept = spark.table("dedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept === Set(1L, 2L, 5L))
+  }
 }
