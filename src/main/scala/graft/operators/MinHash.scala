@@ -151,7 +151,15 @@ object MinHash {
     * turns them into broadcasts when small) instead of shuffling the full
     * corpus shingle set twice.
     */
-  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame =
+    jaccardImpl(pairs, shingles, keepZero = true)
+
+  /** `keepZero = false` omits pairs with an empty intersection (jaccard 0)
+    * — enough for thresholded near-dup search, and two joins cheaper (no
+    * left-join + fill back onto the full pair set).
+    */
+  private def jaccardImpl(pairs: DataFrame, shingles: DataFrame,
+                          keepZero: Boolean): DataFrame = {
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val sh = shingles.join(ids, Seq("id"), "left_semi").distinct()
@@ -160,8 +168,11 @@ object MinHash {
       .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    pairs.join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
+    val withZero =
+      if (keepZero)
+        pairs.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+      else inter
+    withZero
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
@@ -180,8 +191,10 @@ object MinHash {
     val cand = lshCandidates(docs, idCol, textCol, w, k, bands, hash, uax29)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the shingle bag is scan-fused (no shuffle) and only consumed by
-    // jaccard's candidate semi-join — no persist needed
-    jaccard(cand, shingleBag(docs, idCol, textCol, w, uax29))
+    // jaccard's candidate semi-join — no persist needed; zero-intersection
+    // pairs can't pass a positive threshold, so skip materializing them
+    jaccardImpl(cand, shingleBag(docs, idCol, textCol, w, uax29),
+      keepZero = threshold <= 0)
       .where(col("jaccard") >= threshold)
   }
 }

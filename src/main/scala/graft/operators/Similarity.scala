@@ -93,17 +93,30 @@ object Similarity {
       .select(col(idCol), col("bv"), col("bucket"))
   }
 
+  /** Deterministic splitmix64 step — plane weights are generated
+    * driver-side (tiny: nPlanes × dim doubles) and embedded as constant
+    * array literals, so the per-row work is nPlanes dot products, not a
+    * forest of hash expressions.
+    */
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Sign-pattern bucket id from `nPlanes` deterministic pseudo-random
-    * hyperplanes (plane p, dim d weight = hash-derived in [-0.5, 0.5)):
-    * cosine-similar vectors land in the same bucket with probability
-    * 1 - angle/π per bit. The random-hyperplane LSH family for cosine.
+    * hyperplanes (weights in [-0.5, 0.5)): cosine-similar vectors land in
+    * the same bucket with probability 1 - angle/π per bit. The
+    * random-hyperplane LSH family for cosine.
     */
   private def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      // deterministic weight for (plane, dim): xxhash64 folded to [-0.5, 0.5)
-      val planeVec = array((0 until dim).map { d =>
-        (xxhash64(lit(seed), lit(p), lit(d)) % 1000000L).cast("double") / 2000000.0
-      }: _*)
+      val weights = Array.tabulate(dim) { d =>
+        (splitmix(seed.toLong * 0x100000001L + p.toLong * 65537L + d)
+          & 0xfffffL).toDouble / 0x100000L.toDouble - 0.5
+      }
+      val planeVec = typedLit(weights)
       when(dot(vec, planeVec) >= 0, lit(1)).otherwise(lit(0))
     }
     bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
