@@ -53,6 +53,57 @@ object PhraseMatchKernel {
   }
 }
 
+/** Exact token-sequence occurrence count: the reference's `count_occurences`
+  * sliding-window compare (src/cmd/count.rs:191-208) — every end offset
+  * tested, overlaps counted.
+  */
+object CountTokenSeqKernel {
+  def count(tokens: ArrayData, phrase: ArrayData): Long = {
+    val n = tokens.numElements()
+    val m = phrase.numElements()
+    if (m == 0 || m > n) return 0L
+    var c = 0L
+    var i = 0
+    while (i <= n - m) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        ok = tokens.getUTF8String(i + j).equals(phrase.getUTF8String(j))
+        j += 1
+      }
+      if (ok) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Codegen'd occurrence count of a token sequence inside a token array —
+  * lets `wimbd count` run as a scan-fused scalar aggregation with no
+  * n-gram explode and no join.
+  */
+case class CountTokenSeq(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"graft_count_seq needs (array<string>, array<string>), got (${a.sql}, ${b.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_count_seq"
+
+  protected override def nullSafeEval(tokens: Any, phrase: Any): Any =
+    CountTokenSeqKernel.count(tokens.asInstanceOf[ArrayData], phrase.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p) =>
+      s"graft.functions.expressions.CountTokenSeqKernel.count($t, $p)")
+
+  protected override def withNewChildrenInternal(
+      l: Expression, r: Expression): CountTokenSeq = copy(left = l, right = r)
+}
+
 case class PhraseMatch(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 

@@ -80,17 +80,28 @@ object NgramOps {
     */
   def countPhrases(docs: DataFrame, textCol: String, phrases: Seq[String],
                    uax29: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val phraseDf = phrases.toDF("phrase")
-      .withColumn("plen", size(splitTokens(col("phrase"))))
-    val byLen = phrases.map(p => p.split(" ").length).distinct.map { len =>
-      docs.select(explode(ngrams(tokens(col(textCol), uax29), len)).as("ngram"))
-        .withColumn("plen", lit(len))
-    }.reduce(_ unionAll _)
-    phraseDf.join(byLen, phraseDf("phrase") === byLen("ngram") && phraseDf("plen") === byLen("plen"), "left")
-      .groupBy(phraseDf("phrase"))
-      .agg(count(byLen("ngram")).as("occurrences"))
+    // search strings are tokenized with the same tokenizer as documents
+    // (reference src/cmd/count.rs:120-131), then counted by a scan-fused
+    // sliding-window expression — one scalar aggregation over the corpus,
+    // no n-gram explode, no join, regardless of how many phrases
+    val phraseToks: Seq[Array[String]] = phrases.map { p =>
+      if (uax29) graft.functions.Tokenizer.tokenize(p) else p.split(" ")
+    }
+    val toks = tokens(col(textCol), uax29)
+    val perPhrase = phraseToks.map { pt =>
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.CountTokenSeq(
+          org.apache.spark.sql.graft.Bridge.expression(toks),
+          org.apache.spark.sql.graft.Bridge.expression(typedLit(pt))))
+    }
+    val aggs = perPhrase.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(c), lit(0L)).as(s"c$i")
+    }
+    val row = graft.Par.fanOut(docs).agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(phrases.indices.map { i =>
+        struct(lit(phrases(i)).as("phrase"), col(s"c$i").cast("long").as("occurrences"))
+      }: _*)).as("pc"))
+      .select(col("pc.phrase").as("phrase"), col("pc.occurrences").as("occurrences"))
   }
 
   /** `wimbd search` — regex match counts per pattern (reference

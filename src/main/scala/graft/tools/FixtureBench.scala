@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.NgramOps
+import graft.sources.Corpus
+
+/** The reference's own benchmark workload shape (reference Makefile:23-33:
+  * topk -n 3 over C4 shards) on the real C4 fixture text, replicated ×N to
+  * a configurable doc count — produces the absolute docs/sec number
+  * BASELINE.md calls for (the reference publishes none).
+  *
+  *   sbt "runMain graft.tools.FixtureBench [replication] [fixturePath]"
+  */
+object FixtureBench {
+  def main(args: Array[String]): Unit = {
+    val replication = args.headOption.map(_.toInt).getOrElse(32)
+    val path = args.drop(1).headOption.getOrElse(
+      "/root/reference/test_fixtures/c4-sample.00000-of-00001.json.gz")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // replicate with a per-copy marker token so n-gram contents stay
+    // realistic but copies aren't free dedupe fodder
+    val docs = Corpus.readJsonl(spark, Seq(path))
+      .crossJoin(spark.range(replication).select(col("id").as("copy")))
+      .select(col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"FIXTUREBENCH $label%-28s ${s}%8.2f s  ${nDocs / s}%10.0f docs/sec")
+      s
+    }
+
+    time("topk n=3 k=20 (uax29)") {
+      NgramOps.topK(docs, "text", n = 3, k = 20).collect()
+    }
+    time("topk n=10 k=20 (uax29)") {
+      NgramOps.topK(docs, "text", n = 10, k = 20).collect()
+    }
+    time("botk n=3 k=20 (uax29)") {
+      NgramOps.botK(docs, "text", n = 3, k = 20).collect()
+    }
+    time("count 'The'") {
+      NgramOps.countPhrases(docs, "text", Seq("The")).collect()
+    }
+    time("stats") {
+      NgramOps.stats(docs, "text").collect()
+    }
+    time("unique n=3 approx (HLL++)") {
+      NgramOps.uniqueApprox(docs, "text", 3).collect()
+    }
+    spark.stop()
+  }
+}
