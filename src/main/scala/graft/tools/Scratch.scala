@@ -1,34 +1,49 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Throwaway profiling harness (not part of the library surface):
-  * runs the full SparkEntry query set under config variants passed as
-  * `key=value` args, printing per-variant totals.
-  */
+import graft.functions.TextFunctions
+import graft.sources.Corpus
+
+/** Throwaway profiling harness (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val confs = args.map { a => val Array(k, v) = a.split("=", 2); (k, v) }
-    val b = SparkSession.builder()
+    val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", false)
       .config("spark.ui.enabled", false)
-      .appName("scratch")
-    confs.foreach { case (k, v) => b.config(k, v) }
-    val spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val t0 = System.nanoTime()
-    val times = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try fn(spark, dir).count() catch { case e: Throwable => println(s"FAIL $name: $e") }
-      name -> (System.nanoTime() - q0) / 1e9
+      .appName("scratch").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Corpus.readJsonl(spark,
+        Seq("/root/reference/test_fixtures/c4-sample.00000-of-00001.json.gz"))
+      .crossJoin(spark.range(32).select(col("id").as("copy")))
+      .select(col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println("docs " + docs.count())
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    println(f"SCRATCH total ${(System.nanoTime() - t0) / 1e9}%.2f s  conf=${confs.mkString(",")}")
-    times.sortBy(-_._2).take(8).foreach { case (n, t) => println(f"  $n%-25s $t%.2f") }
+
+    time("tokenize uax29 warm") {
+      docs.select(sum(size(TextFunctions.tokenize(col("text"))))).collect()
+    }
+    time("tokenize uax29") {
+      docs.select(sum(size(TextFunctions.tokenize(col("text"))))).collect()
+    }
+    time("split-space") {
+      docs.select(sum(size(split(col("text"), " ")))).collect()
+    }
+    time("tokenize+ngrams3 size") {
+      docs.select(sum(size(TextFunctions.ngrams(
+        TextFunctions.tokenize(col("text")), 3)))).collect()
+    }
+    time("full topk explode+group") {
+      graft.operators.NgramOps.topK(docs, "text", 3, 20).collect()
+    }
     spark.stop()
   }
 }
