@@ -82,6 +82,24 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize planning: target dimensions fitting (maxW, maxH) with aspect
+    * ratio preserved, never upscaling — the metadata half of a real resize
+    * (the pixel half belongs to the decode stub). Zero/unknown input dims
+    * pass through as 0×0.
+    */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val valid = col("width") > 0 && col("height") > 0
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    features
+      .withColumn("out_width",
+        when(valid, greatest(floor(col("width") * scale), lit(1))).otherwise(lit(0))
+          .cast("int"))
+      .withColumn("out_height",
+        when(valid, greatest(floor(col("height") * scale), lit(1))).otherwise(lit(0))
+          .cast("int"))
+  }
+
   /** Frame sampling stub: every-nth-chunk byte slices standing in for video
     * frame extraction; the explode/partition shape is the real one.
     */

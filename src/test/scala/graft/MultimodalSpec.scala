@@ -39,4 +39,15 @@ class MultimodalSpec extends SparkTestBase {
       .collect()
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2))
   }
+
+  test("resize plan preserves aspect, never upscales, passes 0x0 through") {
+    import spark.implicits._
+    val dims = Seq((1L, 1600, 800), (2L, 100, 50), (3L, 0, 0), (4L, 200, 800))
+      .toDF("media_id", "width", "height")
+    val out = Multimodal.resizePlan(dims, maxW = 400, maxH = 400)
+      .orderBy("media_id")
+      .select("out_width", "out_height").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(out === Seq((400, 200), (100, 50), (0, 0), (100, 400)))
+  }
 }
