@@ -61,4 +61,23 @@ object TextQuality {
       .otherwise(array().cast("array<string>"))
     df.select(col(idCol), size(array_distinct(mins)).cast("long").as("n_fingerprints"))
   }
+
+  /** Production winnowing: Karp-Rabin ROLLING hash + monotonic-deque window
+    * minima, computed inline per document in O(tokens) — the scale path
+    * next to [[winnowFingerprintCounts]]'s portable md5 formulation. Docs
+    * sharing a run of ≥ w+k-1 tokens share at least one fingerprint (the
+    * winnowing guarantee), which makes the exploded (fingerprint, id) table
+    * the partial-overlap analogue of J4's overlap lattice.
+    */
+  def winnowFingerprintsRolling(df: DataFrame, idCol: String, textCol: String,
+                                k: Int = 3, w: Int = 4,
+                                uax29: Boolean = false): DataFrame = {
+    val toks =
+      if (uax29) graft.functions.TextFunctions.tokenize(col(textCol))
+      else split(col(textCol), " ")
+    val fps = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.WinnowFingerprints(
+        org.apache.spark.sql.graft.Bridge.expression(toks), k, w))
+    df.select(col(idCol), coalesce(fps, array().cast("array<long>")).as("fingerprints"))
+  }
 }

@@ -63,6 +63,54 @@ class DedupScaleSpec extends SparkTestBase {
     assert(out(2L) === 0L) // 2 tokens < k=3 shingle size
   }
 
+  test("rolling winnow: deterministic, shared-run docs share a fingerprint") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared totally different tail here"),
+      (3L, "nothing in common with the others at all")
+    ).toDF("doc_id", "text")
+    val fp = TextQuality.winnowFingerprintsRolling(d, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty) // winnowing guarantee
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+    val again = TextQuality.winnowFingerprintsRolling(d, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp === again)
+    // too-short docs: empty fingerprint set, not null
+    val short = TextQuality.winnowFingerprintsRolling(
+      Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+      .collect().head.getSeq[Long](1)
+    assert(short.isEmpty)
+  }
+
+  test("rolling winnow matches a brute-force reference on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 30L).map { id =>
+      (id, (0 until 5 + rng.nextInt(40)).map(_ => s"w${rng.nextInt(12)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 3; val w = 4
+    val got = TextQuality.winnowFingerprintsRolling(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // brute force: same rolling polynomial, explicit window mins
+    def tokHash(s: String): Long = {
+      val bytes = s.getBytes("UTF-8")
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 7L)
+    }
+    val B = 0x100000001b3L
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).split(" ")
+      val sh = toks.sliding(k).filter(_.length == k)
+        .map(win => win.map(tokHash).foldLeft(0L)((acc, h) => acc * B + h)).toArray
+      val expect = sh.sliding(w).filter(_.length == w).map(_.min).toSet
+      assert(got(id) === expect, s"doc $id")
+    }
+  }
+
   test("quality score stays in [0,1]") {
     val q = TextQuality.qualityScore(
       TextQuality.qualityFeatures(docs, "doc_id", "text")).select("quality")
