@@ -73,6 +73,11 @@ object GraftExtensions {
         intLit(args(1), "w"), intLit(args(2), "k"), boolLit(args(3), "md5_parity"))),
     ("graft_simhash", "graft_simhash(tokens, n_bits, md5_parity): inline SimHash fingerprint",
       (args: Seq[Expression]) => SimHashFingerprint(args(0),
-        intLit(args(1), "n_bits"), boolLit(args(2), "md5_parity")))
+        intLit(args(1), "n_bits"), boolLit(args(2), "md5_parity"))),
+    ("graft_count_seq", "graft_count_seq(tokens, phrase_tokens): sliding-window occurrence count",
+      (args: Seq[Expression]) => CountTokenSeq(args(0), args(1))),
+    ("graft_winnow", "graft_winnow(tokens, k, w): rolling-hash winnowing fingerprints",
+      (args: Seq[Expression]) => WinnowFingerprints(args(0),
+        intLit(args(1), "k"), intLit(args(2), "w")))
   )
 }

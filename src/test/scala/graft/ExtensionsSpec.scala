@@ -41,6 +41,15 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT graft_simhash(graft_tokenize(text), 16, true) AS s FROM ext_docs")
       .collect().head.getString(0)
     assert(sh.length === 16 && sh.forall(c => c == '0' || c == '1'))
+
+    assert(spark.sql(
+      "SELECT graft_count_seq(graft_tokenize(text), graft_tokenize('quick brown')) AS c FROM ext_docs")
+      .collect().head.getLong(0) === 1L)
+
+    val wf = spark.sql(
+      "SELECT graft_winnow(graft_tokenize(text), 2, 2) AS f FROM ext_docs")
+      .collect().head.getSeq[Long](0)
+    assert(wf.nonEmpty)
   }
 
   test("non-literal static args fail analysis, not execution") {
