@@ -68,34 +68,86 @@ object Dedup {
     b.join(block, bKey === col("__block_h"), "left_anti")
   }
 
+  /** Per-key dataset-membership BITMASK counts: `(mask, n_keys)` plus the
+    * sorted dataset name table the bits index. The big groupBy(key)
+    * aggregates a plain `bit_or(long)` — fully codegen'd HashAggregate,
+    * spill-friendly — instead of `collect_set`'s object aggregation (which
+    * falls back to sort-based merging at n-gram cardinalities). Requires
+    * ≤ 62 datasets; callers fall back to the set formulation above that.
+    */
+  private def membershipMaskCounts(df: DataFrame, key: Column, dataset: Column,
+                                   knownSources: Seq[String]): Option[(DataFrame, Seq[String])] = {
+    val keyed = df.select(key.as("h"), dataset.as("ds"))
+    // deriving the dataset list costs a full pass over `df` — callers that
+    // know it (e.g. from a dimension table or config) should pass it in
+    val sources =
+      if (knownSources.nonEmpty) knownSources.sorted
+      else keyed.select(col("ds")).distinct().collect().map(_.getString(0)).sorted.toSeq
+    if (sources.size > 62) None
+    else {
+      val mask = sources.zipWithIndex
+        .foldLeft(when(lit(false), lit(0L))) { case (acc, (s, i)) =>
+          acc.when(col("ds") === s, lit(1L << i))
+        }.otherwise(lit(0L))
+      val counts = keyed.select(col("h"), mask.as("m"))
+        .groupBy("h").agg(expr("bit_or(m)").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n_keys"))
+      Some((counts, sources))
+    }
+  }
+
+  /** Sorted dataset-name array decoded from a membership mask. */
+  private def maskNames(mask: Column, sources: Seq[String]): Column = {
+    val entries = array(sources.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("n"), lit(1L << i).as("b"))
+    }: _*)
+    transform(
+      filter(entries, e => mask.bitwiseAND(e.getField("b")) === e.getField("b")),
+      e => e.getField("n"))
+  }
+
   /** J4 (production shape): one aggregation keyed on the content hash
-    * collecting the set of datasets it appears in — the full n-way overlap
+    * recording the set of datasets it appears in — the full n-way overlap
     * lattice falls out of counting subsets, with no powerset of self-joins
     * (reference run_combinations.py does sort-merge per combination).
+    * Membership is a bit_or-aggregated bitmask for ≤ 62 datasets
+    * ([[membershipMaskCounts]]); the collect_set formulation covers more.
     */
-  def overlapSets(df: DataFrame, key: Column, dataset: Column): DataFrame =
-    df.select(key.as("h"), dataset.as("ds"))
-      .groupBy("h").agg(sort_array(collect_set("ds")).as("datasets"))
-      .groupBy("datasets").agg(count(lit(1)).as("n_keys"))
+  def overlapSets(df: DataFrame, key: Column, dataset: Column,
+                  knownSources: Seq[String] = Nil): DataFrame =
+    membershipMaskCounts(df, key, dataset, knownSources) match {
+      case Some((counts, sources)) =>
+        counts.select(maskNames(col("mask"), sources).as("datasets"), col("n_keys"))
+      case None =>
+        df.select(key.as("h"), dataset.as("ds"))
+          .groupBy("h").agg(sort_array(collect_set("ds")).as("datasets"))
+          .groupBy("datasets").agg(count(lit(1)).as("n_keys"))
+    }
 
   /** J4/J6 pairwise view: distinct-key overlap per dataset pair.
     *
-    * Derived from the per-key dataset set rather than a self-join: one
-    * hash-aggregation over keys (with map-side partial agg), then each key
-    * fans out only its own ≤|datasets|² pairs — the distinct + key-equality
-    * self-join formulation shuffles the full key set three times and breaks
-    * down exactly when keys are 100 TB-scale n-grams.
+    * Derived from the mask-level counts, which are TINY (≤ distinct masks),
+    * so pair explosion touches almost no data — the distinct +
+    * key-equality self-join formulation shuffles the full key set three
+    * times and breaks down exactly when keys are 100 TB-scale n-grams.
     */
-  def overlapMatrix(df: DataFrame, key: Column, dataset: Column): DataFrame = {
-    val sets = df.select(key.as("h"), dataset.as("ds"))
-      .groupBy("h").agg(sort_array(collect_set("ds")).as("dss"))
+  def overlapMatrix(df: DataFrame, key: Column, dataset: Column,
+                    knownSources: Seq[String] = Nil): DataFrame = {
+    val sets = membershipMaskCounts(df, key, dataset, knownSources) match {
+      case Some((counts, sources)) =>
+        counts.select(maskNames(col("mask"), sources).as("dss"), col("n_keys"))
+      case None =>
+        df.select(key.as("h"), dataset.as("ds"))
+          .groupBy("h").agg(sort_array(collect_set("ds")).as("dss"))
+          .select(col("dss"), lit(1L).as("n_keys"))
+    }
     val pairs = flatten(transform(col("dss"), (a, i) =>
       transform(slice(col("dss"), i + lit(2), size(col("dss"))),
         b => struct(a.as("ds_a"), b.as("ds_b")))))
     sets.where(size(col("dss")) > 1)
-      .select(explode(pairs).as("p"))
+      .select(explode(pairs).as("p"), col("n_keys"))
       .groupBy(col("p.ds_a").as("ds_a"), col("p.ds_b").as("ds_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(sum("n_keys").as("n_shared"))
   }
 
   /** J5: the k most-duplicated keys with one example row pointer

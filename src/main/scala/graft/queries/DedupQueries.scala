@@ -22,6 +22,12 @@ object DedupQueries extends QueryPack {
     graft.Par.fanOut(Tables(s, dir, "documents")).select(col("source"), col("doc_id"),
       explode(TextFunctions.ngrams(split(col("text"), " "), 5)).as("shingle"))
 
+  // dataset list for the overlap bitmask, from the cheap base table (one
+  // narrow column scan) rather than the exploded shingle frame
+  private def knownSources(s: SparkSession, dir: String): Seq[String] =
+    Tables(s, dir, "documents").select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
   private val shingleSql =
     """SELECT source, doc_id,
       | unnest(list_transform(generate_series(1, len(t) - 4),
@@ -47,11 +53,13 @@ object DedupQueries extends QueryPack {
     }),
 
     "j4_overlap_pairs" -> ((s, dir) =>
-      Dedup.overlapMatrix(shingles(s, dir), col("shingle"), col("source"))
+      Dedup.overlapMatrix(shingles(s, dir), col("shingle"), col("source"),
+        knownSources = knownSources(s, dir))
         .orderBy("ds_a", "ds_b")),
 
     "j4_overlap_sets" -> ((s, dir) =>
-      Dedup.overlapSets(shingles(s, dir), col("shingle"), col("source"))
+      Dedup.overlapSets(shingles(s, dir), col("shingle"), col("source"),
+        knownSources = knownSources(s, dir))
         .select(concat_ws(",", col("datasets")).as("datasets"), col("n_keys"))
         .orderBy("datasets")),
 
