@@ -23,11 +23,18 @@ object Analyses {
                 patterns: Map[String, String] = Map(
                   "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
                   "phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
-                  "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")): DataFrame =
-    patterns.toSeq.sortBy(_._1).map { case (t, re) =>
-      df.select(lit(t).as("pii_type"),
-        coalesce(regexp_count(col(textCol), lit(re)), lit(0)).cast("long").as("m"))
-    }.reduce(_ unionAll _).groupBy("pii_type").agg(sum("m").as("occurrences"))
+                  "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")): DataFrame = {
+    // one corpus pass for all PII types (see NgramOps.searchRegex)
+    val ordered = patterns.toSeq.sortBy(_._1)
+    val aggs = ordered.zipWithIndex.map { case ((_, re), i) =>
+      coalesce(sum(regexp_count(col(textCol), lit(re))), lit(0L)).cast("long").as(s"m$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ordered.zipWithIndex.map { case ((t, _), i) =>
+        struct(lit(t).as("pii_type"), col(s"m$i").as("occurrences"))
+      }: _*)).as("pm"))
+      .select(col("pm.pii_type").as("pii_type"), col("pm.occurrences").as("occurrences"))
+  }
 
   /** P7 with the reference's junk-doc guard (len > 500000 or repeated-punct
     * templates; reference wimbd/pii/map_count.py:136-144).

@@ -67,6 +67,22 @@ object NgramOps {
   /** `wimbd unique` approximate — HLL++, a strictly better estimator than the
     * reference's collision-biased Bloom cell count.
     */
+  /** Distinct n-gram counts for SEVERAL n in one corpus pass: every doc
+    * emits its n-grams tagged by n, one aggregation — instead of one scan
+    * per requested n.
+    */
+  def uniqueExactMulti(docs: DataFrame, textCol: String, ns: Seq[Int],
+                       uax29: Boolean = true): DataFrame = {
+    val toks = tokens(col(textCol), uax29)
+    val tagged = flatten(array(ns.map { n =>
+      transform(ngrams(toks, n),
+        g => struct(lit(n.toLong).as("n"), g.as("ngram")))
+    }: _*))
+    graft.Par.fanOut(docs).select(explode(tagged).as("t"))
+      .select(col("t.n").as("n"), col("t.ngram").as("ngram"))
+      .groupBy("n").agg(count_distinct(col("ngram")).as("n_unique"))
+  }
+
   def uniqueApprox(docs: DataFrame, textCol: String, n: Int, rsd: Double = 0.01,
                    uax29: Boolean = true): DataFrame =
     docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
@@ -108,12 +124,19 @@ object NgramOps {
     * src/cmd/search.rs:74-330, minus `--with-locations`; see
     * [[graft.operators.SearchOps.regexLocations]]).
     */
-  def searchRegex(docs: DataFrame, textCol: String, patterns: Seq[String]): DataFrame =
-    patterns.map { p =>
-      docs.select(lit(p).as("pattern"),
-        coalesce(regexp_count(col(textCol), lit(p)), lit(0L)).as("m"))
-    }.reduce(_ unionAll _)
-      .groupBy("pattern").agg(sum("m").as("matches"))
+  def searchRegex(docs: DataFrame, textCol: String, patterns: Seq[String]): DataFrame = {
+    // ONE corpus pass for all patterns: per-pattern partial sums in a single
+    // scalar aggregation, stacked to (pattern, matches) rows afterwards —
+    // a union-per-pattern formulation would scan the corpus |patterns| times
+    val aggs = patterns.zipWithIndex.map { case (p, i) =>
+      coalesce(sum(regexp_count(col(textCol), lit(p))), lit(0L)).as(s"m$i")
+    }
+    graft.Par.fanOut(docs).agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(patterns.indices.map { i =>
+        struct(lit(patterns(i)).as("pattern"), col(s"m$i").cast("long").as("matches"))
+      }: _*)).as("pm"))
+      .select(col("pm.pattern").as("pattern"), col("pm.matches").as("matches"))
+  }
 
   /** `wimbd stats` — corpus summary (reference src/cmd/stats.rs:61-374):
     * doc count, token sum, char sum, max/min tokens per doc.

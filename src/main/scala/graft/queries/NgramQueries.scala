@@ -31,13 +31,9 @@ object NgramQueries extends QueryPack {
     "a7_botk_2gram" -> ((s, dir) =>
       NgramOps.botK(Tables(s, dir, "documents"), "text", n = 2, k = 50, uax29 = false)),
 
-    "a8_unique_ngrams" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      Seq(1, 2, 3).map { n =>
-        NgramOps.uniqueExact(docs, "text", n, uax29 = false)
-          .select(lit(n).cast("long").as("n"), col("n_unique"))
-      }.reduce(_ unionAll _).orderBy("n")
-    }),
+    "a8_unique_ngrams" -> ((s, dir) =>
+      NgramOps.uniqueExactMulti(Tables(s, dir, "documents"), "text", Seq(1, 2, 3),
+        uax29 = false).orderBy("n")),
 
     "a9_count_phrases" -> ((s, dir) =>
       NgramOps.countPhrases(Tables(s, dir, "documents"), "text", phrases, uax29 = false)
@@ -63,14 +59,16 @@ object NgramQueries extends QueryPack {
         count(lit(1)).as("uniq_total"))
     }),
 
-    "p10_length_hist" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      docs.select(lit("chars").as("dim"), length(col("text")).cast("long").as("value"))
-        .unionAll(docs.select(lit("tokens").as("dim"),
-          size(split(col("text"), " ")).cast("long").as("value")))
+    "p10_length_hist" -> ((s, dir) =>
+      // both histograms in one corpus pass: each doc emits a (dim, value)
+      // pair per dimension
+      Tables(s, dir, "documents").select(explode(array(
+          struct(lit("chars").as("dim"), length(col("text")).cast("long").as("value")),
+          struct(lit("tokens").as("dim"),
+            size(split(col("text"), " ")).cast("long").as("value")))).as("d"))
+        .select(col("d.dim").as("dim"), col("d.value").as("value"))
         .groupBy("dim", "value").agg(count(lit(1)).as("cnt"))
-        .orderBy("dim", "value")
-    })
+        .orderBy("dim", "value"))
   )
 
   override val oracles: Map[String, String] = Map(
