@@ -112,11 +112,13 @@ object Wimbd {
   def taxonomyCounts(docs: DataFrame, lists: Map[String, Seq[String]]): DataFrame =
     Analyses.taxonomyLabels(docs, "text", lists)
 
-  /** wimbd/sentence_lengths */
+  /** wimbd/sentence_lengths (both histograms in one corpus pass) */
   def lengthHistograms(docs: DataFrame, uax29: Boolean = true): DataFrame = {
     val toks = NgramOps.tokens(col("text"), uax29)
-    docs.select(lit("chars").as("dim"), length(col("text")).cast("long").as("value"))
-      .unionAll(docs.select(lit("tokens").as("dim"), size(toks).cast("long").as("value")))
+    docs.select(explode(array(
+        struct(lit("chars").as("dim"), length(col("text")).cast("long").as("value")),
+        struct(lit("tokens").as("dim"), size(toks).cast("long").as("value")))).as("d"))
+      .select(col("d.dim").as("dim"), col("d.value").as("value"))
       .groupBy("dim", "value").agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
   }
 

@@ -32,11 +32,15 @@ object SearchOps {
   def regexLocations(docs: DataFrame, textCol: String, idCol: String,
                      patterns: Seq[String],
                      locationsLimit: Option[Int] = None): DataFrame = {
-    val perPattern = patterns.map { p =>
-      docs.select(lit(p).as("pattern"), col(idCol).as("line_num"),
-        col(textCol).as("text"),
-        matchOffsets(col(textCol), lit(p)).as("submatches"))
-    }.reduce(_ unionAll _).where(size(col("submatches")) > 0)
+    // one corpus pass: each doc emits one (pattern, submatches) struct per
+    // pattern, exploded — not one scan per pattern
+    val perPattern = docs.select(col(idCol).as("line_num"), col(textCol).as("text"),
+        explode(array(patterns.map { p =>
+          struct(lit(p).as("pattern"), matchOffsets(col(textCol), lit(p)).as("submatches"))
+        }: _*)).as("pm"))
+      .select(col("pm.pattern").as("pattern"), col("line_num"), col("text"),
+        col("pm.submatches").as("submatches"))
+      .where(size(col("submatches")) > 0)
     locationsLimit match {
       case None => perPattern
       case Some(lim) =>
