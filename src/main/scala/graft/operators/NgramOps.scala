@@ -67,6 +67,34 @@ object NgramOps {
   /** `wimbd unique` approximate — HLL++, a strictly better estimator than the
     * reference's collision-biased Bloom cell count.
     */
+  /** `wimbd topk` APPROXIMATE mode — the reference's memory-bounded
+    * counting-sketch contract (sketch build src/ngrams/counter.rs:43-194,
+    * threshold gate + upper-bound reporting src/cmd/topk.rs:205-242,315-321)
+    * restated for a cluster: the shared-memory atomic counter table becomes
+    * partial count-min sketches merged by a mergeable Aggregator (pass 1),
+    * broadcast to executors; pass 2 re-streams n-grams, keeps those whose
+    * estimate clears `threshold` (the reference's `--threshold` pruning),
+    * dedupes the (small) survivor set and ranks by estimate. Reported
+    * `count` is an upper bound (`≤`), exactly as the reference prints.
+    * Memory is O(width × depth) regardless of corpus size.
+    */
+  def topKApprox(docs: DataFrame, textCol: String, n: Int, k: Int,
+                 width: Int = 1 << 18, depth: Int = 5, seed: Int = 42,
+                 threshold: Long = 1L, uax29: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = graft.Par.fanOut(docs)
+      .select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+    val agg = new graft.functions.sketch.Sketches.CountMinAggregator(width, depth, seed)
+    val cms = grams.as[String].select(agg.toColumn).head()
+    val bc = spark.sparkContext.broadcast(cms)
+    val est = udf((s: String) => bc.value.estimate(s))
+    grams.select(col("ngram"), est(col("ngram")).as("count"))
+      .where(col("count") >= threshold)
+      .groupBy("ngram").agg(max("count").as("count"))
+      .orderBy(desc("count"), asc("ngram")).limit(k)
+  }
+
   /** Distinct n-gram counts for SEVERAL n in one corpus pass: every doc
     * emits its n-grams tagged by n, one aggregation — instead of one scan
     * per requested n.

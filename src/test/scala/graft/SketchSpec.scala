@@ -65,4 +65,31 @@ class SketchSpec extends AnyFunSuite {
     assert(cms.estimate("b") === 1L)
     assert(cms.estimate("zz") === 0L)
   }
+
+  test("topKApprox matches exact topk when the sketch is collision-free") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq(
+      "the cat sat on the mat",
+      "the cat sat on the hat",
+      "a dog ran past the cat"
+    ).toDF("text")
+    val exact = graft.operators.NgramOps.topK(docs, "text", n = 2, k = 5, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val approx = graft.operators.NgramOps.topKApprox(docs, "text", n = 2, k = 5,
+      width = 1 << 12, depth = 3, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx === exact)
+  }
+
+  test("topKApprox threshold prunes below-threshold ngrams; counts are upper bounds") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq("x x x x y").toDF("text")
+    val out = graft.operators.NgramOps.topKApprox(docs, "text", n = 1, k = 10,
+      width = 1 << 12, depth = 3, threshold = 2L, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.contains("x") && !out.contains("y")) // y count 1 < threshold 2
+    assert(out("x") >= 4L) // estimate is an upper bound of the true count
+  }
 }
