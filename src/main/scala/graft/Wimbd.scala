@@ -38,6 +38,14 @@ object Wimbd {
   def topk(docs: DataFrame, n: Int, k: Int, uax29: Boolean = true): DataFrame =
     NgramOps.topK(docs, "text", n, k, uax29)
 
+  /** `wimbd topk` approximate mode: the reference's `--size`-bounded
+    * sketch contract (counts are `≤` upper bounds, `--threshold` pruning).
+    */
+  def topkApprox(docs: DataFrame, n: Int, k: Int, width: Int = 1 << 18,
+                 depth: Int = 5, seed: Int = 42, threshold: Long = 1L,
+                 uax29: Boolean = true): DataFrame =
+    NgramOps.topKApprox(docs, "text", n, k, width, depth, seed, threshold, uax29)
+
   /** `wimbd botk` (reference src/cmd/botk.rs:103-359 — one exact pass; no
     * inverted-sketch two-pass needed).
     */
