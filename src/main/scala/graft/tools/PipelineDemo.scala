@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analyses, Dedup, MinHash, NgramOps, TextQuality}
+import graft.sources.Corpus
+
+/** End-to-end pretraining-data curation pipeline over a real corpus — the
+  * composed "switch from the reference" story: ingest → exact dedup →
+  * quality + language filter → fuzzy (MinHash/LSH) dedup → corpus stats →
+  * sharded JSONL.gz out. Every stage is a DataFrame transform from this
+  * library; at 100 TB the same code runs with more shards and executors.
+  *
+  *   sbt "runMain graft.tools.PipelineDemo [inPath] [outDir]"
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val in = args.headOption.getOrElse(
+      "/root/reference/test_fixtures/c4-sample.00000-of-00001.json.gz")
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft_pipeline_out")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def stage(name: String, n: Long): Unit = println(f"PIPELINE $name%-28s $n%8d docs")
+
+    // 1. ingest with the canonical schema + a stable doc id
+    val raw = Corpus.readJsonl(spark, Seq(in))
+      .withColumn("doc_id", Corpus.fileLineId)
+      .where(col("text").isNotNull)
+    stage("ingested", raw.count())
+
+    // 2. exact dedup: keep the first doc per content hash
+    val exact = Dedup.keepFirst(raw, md5(col("text")), Seq(col("doc_id")))
+    stage("after exact dedup", exact.count())
+
+    // 3. quality + language gate (heuristic scoring, no model calls)
+    val scored = TextQuality.qualityScore(
+      TextQuality.qualityFeatures(exact, "doc_id", "text"))
+      .select(col("doc_id").as("q_id"), col("quality"))
+    val lang = exact.withColumn("lang", Analyses.langIdHeuristic(col("text")))
+    val kept = lang.join(scored, lang("doc_id") === scored("q_id"))
+      .where(col("quality") >= 0.3 && col("lang") === "en")
+      .drop("q_id", "quality", "lang")
+    stage("after quality+lang gate", kept.count())
+
+    // 4. fuzzy dedup: drop the higher-id doc of each near-duplicate pair
+    val nearDups = MinHash.nearDuplicates(kept, "doc_id", "text",
+      threshold = 0.8, w = 5, k = 16, bands = 8, uax29 = true)
+    val losers = nearDups.select(col("id_b").as("doc_id")).distinct()
+    val deduped = kept.join(losers, Seq("doc_id"), "left_anti")
+    stage("after fuzzy dedup", deduped.count())
+
+    // 5. corpus stats on the survivors
+    val stats = NgramOps.stats(deduped, "text").collect().head
+    println(s"PIPELINE stats $stats")
+
+    // 6. sharded JSONL.gz out
+    Corpus.writeJsonl(Corpus.shard(deduped.select("doc_id", "text", "url"), 4),
+      out, force = true)
+    println(s"PIPELINE wrote $out")
+    spark.stop()
+  }
+}
