@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Tokenizer
+import graft.functions.expressions.{CountTokenSeqKernel, MinHashKernel, PhraseMatchKernel, SimHashKernel, WinnowKernel}
+
+/** Seeded property loops over the codegen kernels (no Spark session —
+  * these run at expression level, a few hundred random cases each).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def arr(tokens: Seq[String]): ArrayData =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t): Any).toArray)
+
+  private val rng = new scala.util.Random(42)
+  private def randTokens(maxLen: Int): Seq[String] =
+    Seq.fill(rng.nextInt(maxLen))(s"w${rng.nextInt(8)}")
+
+  test("tokenizer: no whitespace tokens, deterministic, chars preserved in order") {
+    val alphabet = "ab1. ,'-_:\n\t"
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(rng.nextInt(20))(alphabet(rng.nextInt(alphabet.length))).mkString
+      val t1 = Tokenizer.tokenize(s)
+      val t2 = Tokenizer.tokenize(s)
+      assert(t1.toSeq === t2.toSeq)
+      assert(t1.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)), s"blank token in '$s'")
+      // tokens concatenated == input minus whitespace (segmentation never
+      // drops or reorders non-space chars)
+      assert(t1.mkString === s.filterNot(_.isWhitespace), s"lost chars in '$s'")
+    }
+  }
+
+  test("ngrams: window count and width invariants") {
+    (1 to 300).foreach { _ =>
+      val toks = randTokens(15)
+      val n = 1 + rng.nextInt(5)
+      val grams = Tokenizer.ngramsJoinedUtf8(arr(toks), n)
+      val expected = math.max(0, toks.length - n + 1)
+      assert(grams.numElements() === expected)
+      (0 until grams.numElements()).foreach { i =>
+        assert(grams.getUTF8String(i).toString === toks.slice(i, i + n).mkString(" "))
+      }
+    }
+  }
+
+  test("count-seq: every slice occurs >= 1; absent phrase counts 0; sum bound") {
+    (1 to 300).foreach { _ =>
+      val toks = randTokens(20)
+      if (toks.nonEmpty) {
+        val from = rng.nextInt(toks.length)
+        val len = 1 + rng.nextInt(toks.length - from)
+        val slice = toks.slice(from, from + len)
+        assert(CountTokenSeqKernel.count(arr(toks), arr(slice)) >= 1L)
+        assert(CountTokenSeqKernel.count(arr(toks), arr(Seq("never-present"))) === 0L)
+        // occurrences of a length-m phrase can't exceed the window count
+        assert(CountTokenSeqKernel.count(arr(toks), arr(slice)) <= toks.length - len + 1)
+      }
+    }
+  }
+
+  test("phrase match: slop monotonicity and slice containment") {
+    (1 to 300).foreach { _ =>
+      val toks = randTokens(15)
+      if (toks.nonEmpty) {
+        val from = rng.nextInt(toks.length)
+        val len = 1 + rng.nextInt(math.min(4, toks.length - from))
+        val slice = toks.slice(from, from + len)
+        assert(PhraseMatchKernel.matches(arr(toks), arr(slice), 0))
+        val p = arr(Seq.fill(3)(s"w${rng.nextInt(8)}"))
+        val s = rng.nextInt(3)
+        if (PhraseMatchKernel.matches(arr(toks), p, s))
+          assert(PhraseMatchKernel.matches(arr(toks), p, s + 1), "slop not monotonic")
+      }
+    }
+  }
+
+  test("minhash: permutation-invariant over shingle multisets, length k") {
+    (1 to 200).foreach { _ =>
+      val toks = randTokens(15)
+      val w = 1 + rng.nextInt(3)
+      val sig = MinHashKernel.sigMd5(arr(toks), w, 8)
+      if (toks.length < w) assert(sig == null)
+      else {
+        assert(sig.numElements() === 8)
+        // duplicating the doc's tokens (same shingle set ∪ overlap window)
+        // keeps every min: signature of toks++toks contains pairwise mins
+        val sig2 = MinHashKernel.sigMd5(arr(toks ++ toks), w, 8)
+        (0 until 8).foreach { i =>
+          assert(sig2.getUTF8String(i).toString <= sig.getUTF8String(i).toString)
+        }
+      }
+    }
+  }
+
+  test("simhash: fingerprint of x ++ x equals fingerprint of x (votes double)") {
+    (1 to 200).foreach { _ =>
+      val toks = randTokens(12)
+      val f1 = SimHashKernel.simhashMd5(arr(toks), 16).toString
+      val f2 = SimHashKernel.simhashMd5(arr(toks ++ toks), 16).toString
+      assert(f1 === f2) // doubling every vote preserves every sign
+      assert(f1.length === 16 && f1.forall(c => c == '0' || c == '1'))
+    }
+  }
+
+  test("winnow: subset of shingle hashes, shift-invariant fingerprint overlap") {
+    (1 to 200).foreach { _ =>
+      val toks = randTokens(25)
+      val fp = WinnowKernel.fingerprints(arr(toks), 3, 4)
+      if (toks.length < 3 + 4 - 1) assert(fp == null)
+      else {
+        // winnowed set is non-empty and sorted ascending
+        assert(fp.numElements() > 0)
+        val longs = (0 until fp.numElements()).map(fp.getLong)
+        assert(longs === longs.sorted)
+        // prepending unrelated tokens keeps at least one shared fingerprint
+        // when the shared run is long enough (winnowing guarantee)
+        if (toks.length >= 12) {
+          val shifted = WinnowKernel.fingerprints(arr(Seq("zzz1", "zzz2") ++ toks), 3, 4)
+          val sharedCount = (0 until shifted.numElements()).map(shifted.getLong)
+            .toSet.intersect(longs.toSet).size
+          assert(sharedCount > 0, s"no shared fingerprint after shift: $toks")
+        }
+      }
+    }
+  }
+}
