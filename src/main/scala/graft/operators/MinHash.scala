@@ -142,58 +142,71 @@ object MinHash {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b")).distinct()
   }
 
+  /** Per-doc DISTINCT shingle arrays, computed inline in one scan-fused
+    * projection — no explode, no shuffle. Docs shorter than `w` tokens get
+    * an empty array and are filtered out (they have no shingle set, matching
+    * the exploded formulation where they simply produce no rows).
+    */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, w: Int,
+                    uax29: Boolean = false): DataFrame = {
+    val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
+    docs.select(col(idCol).as("id"), array_distinct(TextFunctions.ngrams(toks, w)).as("sh"))
+      .where(size(col("sh")) > 0)
+  }
+
   /** Exact shingle-set Jaccard for given id pairs. `shingles` may be a bag
     * ([[shingleBag]]) — set semantics are applied internally.
     *
-    * Shingles are first semi-joined down to the ids that actually appear in
-    * a pair — candidates are a vanishing fraction of a 100 TB corpus, so the
-    * dedup + intersection/size joins run over candidate shingles only (AQE
-    * turns them into broadcasts when small) instead of shuffling the full
-    * corpus shingle set twice.
+    * Shingles are semi-joined down to the ids that actually appear in a pair
+    * (candidates are a vanishing fraction of a 100 TB corpus), gathered into
+    * one per-id array, and intersected INLINE per pair — two broadcast-able
+    * joins and one bounded `array_intersect` instead of the exploded
+    * intersection join + three size joins that formulation needs.
     */
-  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame =
-    jaccardImpl(pairs, shingles, keepZero = true)
-
-  /** `keepZero = false` omits pairs with an empty intersection (jaccard 0)
-    * — enough for thresholded near-dup search, and two joins cheaper (no
-    * left-join + fill back onto the full pair set).
-    */
-  private def jaccardImpl(pairs: DataFrame, shingles: DataFrame,
-                          keepZero: Boolean): DataFrame = {
+  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val sh = shingles.join(ids, Seq("id"), "left_semi").distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("id").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    val withZero =
-      if (keepZero)
-        pairs.join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
-      else inter
-    withZero
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard",
+    val sets = shingles.join(ids, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_set(col("s")).as("sh"))
+    jaccardFromArrays(pairs, sets, keepZero = true)
+  }
+
+  /** Jaccard over a precomputed `(id, sh: array<string>)` distinct-shingle
+    * frame ([[shingleArrays]]). Pairs whose either side is absent from
+    * `sets` (no shingles) are dropped, as in the exploded formulation.
+    * `keepZero = false` omits zero-intersection pairs — enough for
+    * thresholded near-dup search.
+    */
+  def jaccardFromArrays(pairs: DataFrame, sets: DataFrame,
+                        keepZero: Boolean): DataFrame = {
+    val scored = pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+    val kept = if (keepZero) scored else scored.where(col("n_inter") > 0)
+    kept.withColumn("jaccard",
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .select("id_a", "id_b", "jaccard")
   }
 
   /** LSH candidates verified by exact Jaccard ≥ threshold — the full
     * near-dup pipeline.
+    *
+    * Verification joins the (tiny) candidate pair set straight back to
+    * inline per-doc shingle arrays: two scans of the corpus with AQE
+    * broadcasting the pair side, ZERO extra shuffles — where the exploded
+    * formulation shuffled the corpus shingle set for the semi-join, the
+    * per-id sizes, and the intersection count. Candidates flow through one
+    * linear join chain, so nothing needs persisting.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, w: Int = 5, k: Int = 8, bands: Int = 4,
                      hash: HashFn = xxhashStrategy, uax29: Boolean = false): DataFrame = {
-    // candidates feed three joins in jaccard — materialize once, or the
-    // whole LSH subtree (inline signatures + band buckets) re-executes per use
     val cand = lshCandidates(docs, idCol, textCol, w, k, bands, hash, uax29)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the shingle bag is scan-fused (no shuffle) and only consumed by
-    // jaccard's candidate semi-join — no persist needed; zero-intersection
-    // pairs can't pass a positive threshold, so skip materializing them
-    jaccardImpl(cand, shingleBag(docs, idCol, textCol, w, uax29),
+    jaccardFromArrays(cand, shingleArrays(docs, idCol, textCol, w, uax29),
       keepZero = threshold <= 0)
       .where(col("jaccard") >= threshold)
   }
