@@ -66,6 +66,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("graft_phrase_match", "graft_phrase_match(tokens, phrase_tokens, slop)",
       (args: Seq[Expression]) => PhraseMatch(args(0), args(1), args(2))),
+    ("graft_phrase_match_lucene",
+      "graft_phrase_match_lucene(tokens, phrase_tokens, slop): Lucene move-distance slop",
+      (args: Seq[Expression]) => PhraseMatchLucene(args(0), args(1), args(2))),
     ("graft_regex_offsets", "graft_regex_offsets(text, pattern): [start,end) match spans",
       (args: Seq[Expression]) => RegexMatchOffsets(args(0), args(1))),
     ("graft_minhash", "graft_minhash(tokens, w, k, md5_parity): inline MinHash signature",

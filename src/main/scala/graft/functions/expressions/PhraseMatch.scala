@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * wimbd/es/__init__.py:89-184 and docstring at :149-153: a slop=1 query
   * "I like" matches "I really like", "I would like", ...).
   *
-  * Semantics implemented: the phrase tokens must appear in order, with the
-  * TOTAL number of extra tokens inserted between consecutive phrase tokens
-  * ≤ slop. slop=0 is exact adjacency (≡ n-gram equality). Divergence from
-  * Lucene documented: Lucene's slop is an edit-distance-style move budget
-  * that also buys transpositions (slop ≥ 2 can match reversed terms); this
-  * implementation is insertion-only.
+  * Two slop semantics, each its own codegen'd predicate:
+  *  - [[PhraseMatchKernel.matches]] (expression [[PhraseMatch]]): phrase
+  *    tokens in order, TOTAL extra tokens inserted between consecutive
+  *    phrase tokens ≤ slop; slop=0 is exact adjacency (≡ n-gram equality).
+  *    This is what the reference docstring examples describe.
+  *  - [[PhraseMatchKernel.matchesLucene]] (expression [[PhraseMatchLucene]]):
+  *    Lucene's move-distance budget — also buys transpositions (slop ≥ 2
+  *    matches reversed terms), for users relying on ES/Lucene scoring
+  *    semantics rather than the docstring.
   */
 object PhraseMatchKernel {
   def matches(tokens: ArrayData, phrase: ArrayData, slop: Int): Boolean = {
@@ -50,6 +53,87 @@ object PhraseMatchKernel {
       false
     }
     rec(start + 1, 1, slop)
+  }
+
+  /** Lucene-parity sloppy match (`match_phrase` slop as Lucene's
+    * SloppyPhraseScorer scores it): phrase term i carries query offset i;
+    * the doc matches iff there are distinct doc positions p_i with
+    * token(p_i) = term_i and max(p_i - i) - min(p_i - i) ≤ slop. This is the
+    * move-distance budget — slop ≥ 2 buys a transposition ("b a" matches
+    * phrase "a b"), which the insertion-only [[matches]] never does.
+    */
+  def matchesLucene(tokens: ArrayData, phrase: ArrayData, slop: Int): Boolean = {
+    val n = tokens.numElements()
+    val m = phrase.numElements()
+    if (m == 0) return true
+    if (n < m) return false
+    // doc positions per phrase term (m is tiny; n bounded by doc length)
+    val pos = new Array[Array[Int]](m)
+    var i = 0
+    while (i < m) {
+      val t = phrase.getUTF8String(i)
+      var sameAs = -1
+      var j = 0
+      while (sameAs < 0 && j < i) {
+        if (phrase.getUTF8String(j).equals(t)) sameAs = j
+        j += 1
+      }
+      if (sameAs >= 0) pos(i) = pos(sameAs)
+      else {
+        val buf = new Array[Int](n)
+        var len = 0
+        var p = 0
+        while (p < n) {
+          if (tokens.getUTF8String(p).equals(t)) { buf(len) = p; len += 1 }
+          p += 1
+        }
+        if (len == 0) return false
+        pos(i) = java.util.Arrays.copyOf(buf, len)
+      }
+      i += 1
+    }
+    // For a window base b, term i needs an unused position in
+    // [b+i, b+i+slop]. Windows shift right with i and share one length, so
+    // greedy earliest-deadline (phrase order, smallest feasible position)
+    // is an exact interval-matching check. Candidate bases: every p - i.
+    val used = new Array[Int](m)
+    var ti = 0
+    while (ti < m) {
+      val ps = pos(ti)
+      var pi = 0
+      while (pi < ps.length) {
+        // adjusted position may be negative (a term matched earlier in the
+        // doc than its phrase offset — exactly the transposition case)
+        val b = ps(pi) - ti
+        if (b > -m && b + m - 1 < n + slop) {
+          var ok = true
+          var k = 0
+          while (ok && k < m) {
+            val lo = b + k
+            val hi = b + k + slop
+            val cand = pos(k)
+            var found = -1
+            var c = 0
+            while (found < 0 && c < cand.length) {
+              val p = cand(c)
+              if (p >= lo && p <= hi) {
+                var clash = false
+                var u = 0
+                while (!clash && u < k) { clash = used(u) == p; u += 1 }
+                if (!clash) found = p
+              }
+              c += 1
+            }
+            if (found < 0) ok = false else used(k) = found
+            k += 1
+          }
+          if (ok) return true
+        }
+        pi += 1
+      }
+      ti += 1
+    }
+    false
   }
 }
 
@@ -102,6 +186,37 @@ case class CountTokenSeq(left: Expression, right: Expression)
 
   protected override def withNewChildrenInternal(
       l: Expression, r: Expression): CountTokenSeq = copy(left = l, right = r)
+}
+
+/** Lucene-parity sloppy phrase predicate — see
+  * [[PhraseMatchKernel.matchesLucene]]. Kept as a separate expression (not a
+  * mode flag) so each stays a fixed-arity codegen'd predicate.
+  */
+case class PhraseMatchLucene(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_phrase_match_lucene needs (array<string>, array<string>, int), got (${a.sql}, ${b.sql}, ${c.sql})")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_phrase_match_lucene"
+
+  protected override def nullSafeEval(tokens: Any, phrase: Any, slop: Any): Any =
+    PhraseMatchKernel.matchesLucene(tokens.asInstanceOf[ArrayData],
+      phrase.asInstanceOf[ArrayData], slop.asInstanceOf[Int])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, p, s) =>
+      s"graft.functions.expressions.PhraseMatchKernel.matchesLucene($t, $p, $s)")
+
+  protected override def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PhraseMatchLucene =
+    copy(first = f, second = s, third = t)
 }
 
 case class PhraseMatch(first: Expression, second: Expression, third: Expression)

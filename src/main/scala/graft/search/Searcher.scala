@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
 import graft.functions.TextFunctions
-import graft.functions.expressions.PhraseMatch
+import graft.functions.expressions.{PhraseMatch, PhraseMatchLucene}
 
 /** The Elasticsearch wrapper surface (reference wimbd/es/__init__.py —
   * SURVEY §2.7 E1-E6) re-expressed as DataFrame filters/aggregates: the ES
@@ -21,11 +21,13 @@ object Searcher {
     * engine's other operators.
     */
   def phrasePredicate(text: Column, phrase: String, slop: Int = 0,
-                      uax29: Boolean = true): Column = {
+                      uax29: Boolean = true, luceneSlop: Boolean = false): Column = {
     val toks = if (uax29) TextFunctions.tokenize(text) else split(text, " ")
     val ph = split(lit(phrase), " ")
-    Bridge.column(PhraseMatch(Bridge.expression(toks), Bridge.expression(ph),
-      Bridge.expression(lit(slop))))
+    val args = (Bridge.expression(toks), Bridge.expression(ph), Bridge.expression(lit(slop)))
+    Bridge.column(
+      if (luceneSlop) PhraseMatchLucene(args._1, args._2, args._3)
+      else PhraseMatch(args._1, args._2, args._3))
   }
 
   private def combined(text: Column, phrases: Seq[String], allPhrases: Boolean,

@@ -54,4 +54,46 @@ class PhraseMatchSpec extends SparkTestBase {
     val d = Seq("Hello, I like spark!").toDF("text")
     assert(d.where(Searcher.phrasePredicate(col("text"), "I like", 0)).count() === 1)
   }
+
+  // ---- Lucene move-distance mode ----
+
+  private def luceneHits(phrase: String, slop: Int): Set[String] =
+    docs.where(Searcher.phrasePredicate(col("text"), phrase, slop,
+        uax29 = false, luceneSlop = true))
+      .collect().map(_.getString(0)).toSet
+
+  test("lucene mode: insertion-only matches are a subset at every slop") {
+    for (slop <- 0 to 3; phrase <- Seq("I like", "like spark"))
+      assert(hits(phrase, slop).subsetOf(luceneHits(phrase, slop)),
+        s"phrase=$phrase slop=$slop")
+  }
+
+  test("lucene mode: slop >= 2 buys a transposition (Lucene query docs)") {
+    assert(!luceneHits("like I", 1).contains("I like spark"))
+    assert(luceneHits("like I", 2).contains("I like spark"))
+    assert(luceneHits("I like", 2).contains("like I spark"))
+  }
+
+  test("lucene mode: slop=0 is exact adjacency, same as insertion mode") {
+    assert(luceneHits("I like", 0) === hits("I like", 0))
+  }
+
+  test("lucene mode: repeated phrase terms need distinct positions") {
+    val d = Seq("a b a", "a b b", "a a b").toDF("text")
+    def lh(phrase: String, slop: Int) =
+      d.where(Searcher.phrasePredicate(col("text"), phrase, slop,
+          uax29 = false, luceneSlop = true))
+        .collect().map(_.getString(0)).toSet
+    // "a a": doc "a b a" has positions {0,2}: adjusted spread |2-1-0| = 1
+    assert(lh("a a", 0) === Set("a a b"))
+    assert(lh("a a", 1) === Set("a b a", "a a b"))
+  }
+
+  test("lucene mode registered as SQL function") {
+    graft.GraftExtensions.register(spark)
+    val n = spark.sql(
+      """SELECT graft_phrase_match_lucene(array('x','b','a'), array('a','b'), 2) AS m""")
+      .collect().head.getBoolean(0)
+    assert(n)
+  }
 }
