@@ -105,6 +105,14 @@ object Wimbd {
   def domainSuffixCounts(hostCounts: DataFrame, psl: Seq[String]): DataFrame =
     UrlOps.suffixCounts(hostCounts, psl)
 
+  /** wimbd/high_level_domain_counts with the real publicsuffix.org list
+    * (tldextract's data source): full wildcard/exception semantics.
+    */
+  def domainSuffixCountsPsl(hostCounts: DataFrame,
+                            pslPath: String = "/usr/share/publicsuffix/public_suffix_list.dat")
+                           (implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    UrlOps.suffixCountsPsl(hostCounts, UrlOps.loadPublicSuffixList(spark, pslPath))
+
   /** wimbd/extension_counts */
   def extensionCounts(docs: DataFrame): DataFrame = UrlOps.extensionCounts(docs, "url")
 

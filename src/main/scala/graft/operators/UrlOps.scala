@@ -62,9 +62,94 @@ object UrlOps {
       .where(col("suffix").isNotNull)
       .groupBy("suffix").agg(sum("cnt").as("cnt"))
 
+  /** Parse a publicsuffix.org rule file (e.g. the distro-shipped
+    * `/usr/share/publicsuffix/public_suffix_list.dat`) into a `(rule, kind)`
+    * frame: kind 0 = literal, 1 = wildcard (`*.` stripped), 2 = exception
+    * (`!` stripped). `icannOnly` keeps just the ICANN section (tldextract's
+    * default), dropping private registries like github.io.
+    *
+    * Driver-side parse: the list is ~10k tiny rules — it is always the
+    * broadcast side of the match join.
+    */
+  def loadPublicSuffixList(spark: org.apache.spark.sql.SparkSession,
+                           path: String = "/usr/share/publicsuffix/public_suffix_list.dat",
+                           icannOnly: Boolean = true): DataFrame = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val rules = try {
+      var inIcann = false
+      src.getLines().flatMap { raw =>
+        val line = raw.trim
+        if (line.contains("===BEGIN ICANN DOMAINS===")) { inIcann = true; None }
+        else if (line.contains("===END ICANN DOMAINS===")) { inIcann = false; None }
+        else if (line.isEmpty || line.startsWith("//")) None
+        else if (icannOnly && !inIcann) None
+        else {
+          val r = line.toLowerCase(java.util.Locale.ROOT)
+          if (r.startsWith("!")) Some((r.substring(1), 2))
+          else if (r.startsWith("*.")) Some((r.substring(2), 1))
+          else Some((r, 0))
+        }
+      }.toVector
+    } finally src.close()
+    import spark.implicits._
+    rules.toDF("rule", "kind")
+  }
+
+  /** Annotate a distinct-host frame with its `public_suffix` under FULL
+    * publicsuffix.org semantics: every dot-suffix of the host is a
+    * candidate (bounded explode, ≤ labels per host); literal and exception
+    * rules join on the candidate, wildcard rules on the candidate's parent;
+    * exception beats wildcard beats fewer labels; unmatched hosts fall back
+    * to the implicit `*` rule (bare TLD). Rules are always broadcast.
+    */
+  def annotatePublicSuffix(hosts: DataFrame, psl: DataFrame,
+                           hostCol: String = "host"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = hosts.withColumn("__labels", split(lower(col(hostCol)), "\\."))
+      .withColumn("__n", size(col("__labels")))
+    val cands = h
+      .withColumn("__i", explode(sequence(lit(1), col("__n"))))
+      .select(col(hostCol), col("__labels"), col("__n"), col("__i"),
+        concat_ws(".", slice(col("__labels"), col("__i"), col("__n") - col("__i") + lit(1))).as("__cand"),
+        concat_ws(".", slice(col("__labels"), col("__i") + lit(1), col("__n") - col("__i"))).as("__parent"),
+        (col("__n") - col("__i") + lit(1)).as("__cl"))
+    val direct = cands.join(broadcast(psl.where(col("kind") =!= 1)), col("__cand") === col("rule"))
+      .select(col(hostCol),
+        when(col("kind") === 2, regexp_replace(col("rule"), "^[^.]+\\.", ""))
+          .otherwise(col("rule")).as("__suffix"),
+        when(col("kind") === 2, lit(1)).otherwise(lit(0)).as("__exc"),
+        when(col("kind") === 2, col("__cl") - 1).otherwise(col("__cl")).as("__sl"))
+    val wild = cands.join(broadcast(psl.where(col("kind") === 1)), col("__parent") === col("rule"))
+      .select(col(hostCol), col("__cand").as("__suffix"), lit(0).as("__exc"), col("__cl").as("__sl"))
+    val w = Window.partitionBy(hostCol).orderBy(desc("__exc"), desc("__sl"))
+    val best = direct.unionByName(wild)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col(hostCol), col("__suffix"))
+    hosts.join(best, Seq(hostCol), "left")
+      .withColumn("public_suffix",
+        coalesce(col("__suffix"), element_at(split(lower(col(hostCol)), "\\."), -1)))
+      .withColumn("registrable_domain", {
+        // eTLD+1: one label more than the public suffix; null when the host
+        // IS a public suffix — the natural key for URL-level dedup (J6)
+        val labels = split(lower(col(hostCol)), "\\.")
+        val n = size(labels)
+        val s = size(split(col("public_suffix"), "\\."))
+        when(n > s, concat_ws(".", slice(labels, n - s, s + lit(1))))
+      })
+      .drop("__suffix")
+  }
+
+  /** P4 with the real, complete public-suffix list: longest-rule semantics
+    * incl. wildcards and exceptions, over a `{host, cnt}` frame.
+    */
+  def suffixCountsPsl(hostCounts: DataFrame, psl: DataFrame): DataFrame =
+    annotatePublicSuffix(hostCounts, psl)
+      .groupBy(col("public_suffix").as("suffix")).agg(sum("cnt").as("cnt"))
+
   /** P4 at full-PSL scale: broadcast the rule table and join on every
     * dot-suffix of the host (a host has ≤ ~6 labels, so the explode is
-    * bounded), keeping the longest matching rule.
+    * bounded), keeping the longest matching rule. Literal rules only — see
+    * [[suffixCountsPsl]] for full wildcard/exception semantics.
     */
   def suffixCountsJoin(hostCounts: DataFrame, psl: DataFrame): DataFrame = {
     val suffixes = hostCounts

@@ -53,7 +53,15 @@ object UrlQueries extends QueryPack {
         psl = Seq("co.uk", "com", "uk")).orderBy("suffix")),
 
     "p5_url_extension" -> ((s, dir) =>
-      UrlOps.extensionCounts(withUrl(Tables(s, dir, "documents")), "url").orderBy("extension"))
+      UrlOps.extensionCounts(withUrl(Tables(s, dir, "documents")), "url").orderBy("extension")),
+
+    // full publicsuffix.org list (wildcards + exceptions), distro-shipped
+    // rule file; the oracle derives the expected suffix independently from
+    // the synthesized host shapes
+    "p4_psl_full" -> ((s, dir) =>
+      UrlOps.suffixCountsPsl(
+        UrlOps.hostCounts(withUrl(Tables(s, dir, "documents")), "url"),
+        UrlOps.loadPublicSuffixList(s)).orderBy("suffix"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -83,6 +91,14 @@ object UrlQueries extends QueryPack {
          |  WHEN host LIKE '%.uk' THEN 'uk' END) AS suffix,
          | CAST(sum(cnt) AS BIGINT) AS cnt
          |FROM hosts WHERE suffix IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p4_psl_full" ->
+      s"""$urlCte,
+         |hosts AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         |  count(*) AS cnt FROM u GROUP BY 1)
+         |SELECT (CASE WHEN host LIKE '%.co.uk' THEN 'co.uk' ELSE 'com' END) AS suffix,
+         | CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM hosts GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p5_url_extension" ->
       s"""$urlCte,
