@@ -166,8 +166,11 @@ object MinHash {
   def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
+    // consumed by BOTH the id_a and id_b joins — persist the (small, pair-
+    // bounded) per-id sets or the semi-join + aggregation subtree runs twice
     val sets = shingles.join(ids, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_set(col("s")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardFromArrays(pairs, sets, keepZero = true)
   }
 

@@ -93,6 +93,87 @@ object Similarity {
       .select(col(idCol), col("bv"), col("bucket"))
   }
 
+  /** Lloyd-refined IVF centroids: start from the deterministic id-mod-step
+    * sample and run `iters` rounds of assign → per-bucket spherical mean.
+    *
+    * Scale shape: the centroid table is index-sized (≤ thousands), so each
+    * round is ONE corpus scan — assignment is a broadcast join + max_by hash
+    * aggregate, and the per-bucket mean reduces via (bucket, position) keys
+    * with map-side partial aggregation (shuffle volume = partitions × k ×
+    * dim, independent of corpus size) before collecting k × dim means to
+    * the driver for renormalization. Empty buckets keep their previous
+    * centroid. Returns a `(centroid_id, cv)` frame for [[ivfKnnWith]].
+    */
+  def kmeansCentroids(base: DataFrame, idCol: String, vecCol: String,
+                      step: Int, iters: Int = 3): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[(Long, Seq[Double])] =
+        b.where(col(idCol) % step === 0)
+          .select(col(idCol).cast("long"), col("bv"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      var it = 0
+      while (it < iters) {
+        val cdf = broadcast(centroids.toSeq.toDF("centroid_id", "cv"))
+        val assigned = b.join(cdf)
+          .select(col(idCol), col("bv"), col("centroid_id"),
+            dot(col("bv"), col("cv")).as("csim"))
+          .groupBy(idCol)
+          .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
+            first(col("bv")).as("bv"))
+        val sums = assigned
+          .select(col("bucket"), posexplode(col("bv")).as(Seq("pos", "x")))
+          .groupBy("bucket", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byBucket = sums.groupBy(_.getLong(0))
+        centroids = centroids.map { case (cid, prev) =>
+          byBucket.get(cid) match {
+            case Some(rows) =>
+              val mean = new Array[Double](prev.length)
+              rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+              val nrm = math.sqrt(mean.map(x => x * x).sum)
+              if (nrm > 0) (cid, mean.map(_ / nrm).toSeq) else (cid, prev)
+            case None => (cid, prev) // empty bucket: keep previous centroid
+          }
+        }
+        it += 1
+      }
+      centroids.toSeq.toDF("centroid_id", "cv")
+    } finally b.unpersist()
+  }
+
+  /** IVF top-k against an explicit `(centroid_id, cv)` centroid table
+    * (e.g. [[kmeansCentroids]] output). Same probe/score shape as
+    * [[ivfKnn]].
+    */
+  def ivfKnnWith(base: DataFrame, queries: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String, k: Int, nprobe: Int = 3): DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id"), col("cv")))
+    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    val assigned = b.join(c)
+      .select(col(idCol), col("bv"), col("centroid_id"),
+        dot(col("bv"), col("cv")).as("csim"))
+      .groupBy(idCol)
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
+        first(col("bv")).as("bv"))
+    val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    val probes = q.join(c)
+      .withColumn("csim", dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val scored = broadcast(probes).join(assigned, "bucket")
+      .where(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Deterministic splitmix64 step — plane weights are generated
     * driver-side (tiny: nPlanes × dim doubles) and embedded as constant
     * array literals, so the per-row work is nPlanes dot products, not a

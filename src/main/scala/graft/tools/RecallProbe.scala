@@ -1,0 +1,24 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = topSet(Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 5))
+    val ivf = topSet(Similarity.ivfKnn(emb, q, "vec_id", "embedding", k = 5, step = 50, nprobe = 3))
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", step = 50, iters = 3)
+    val ivfKm = topSet(Similarity.ivfKnnWith(emb, q, cents, "vec_id", "embedding", k = 5, nprobe = 3))
+    println(s"RECALL ivf_sample=${(bf & ivf).size.toDouble / bf.size}")
+    println(s"RECALL ivf_kmeans=${(bf & ivfKm).size.toDouble / bf.size}")
+    spark.stop()
+  }
+}

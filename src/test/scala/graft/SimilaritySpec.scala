@@ -60,6 +60,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf === bf)
   }
 
+  test("kmeans centroids converge to cluster directions and lift IVF recall") {
+    // two tight direction clusters + one stray; init sample (step=3) starts
+    // from ids 0 and 3 — one per cluster after refinement
+    val data = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)),
+      (1L, Array(1.0f, -0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.1f, 1.0f)),
+      (4L, Array(0.0f, -0.1f, 1.0f)),
+      (5L, Array(0.05f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", step = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.size === 2)
+    // refined centroid 0 points along +x, centroid 3 along +z
+    assert(cents(0L).head > 0.99)
+    assert(cents(3L)(2) > 0.99)
+    // ivfKnnWith on refined centroids, probing only the best bucket,
+    // still recovers the exact in-cluster neighbors of query 0
+    val got = Similarity.ivfKnnWith(data, data.where(col("vec_id") === 0),
+        Similarity.kmeansCentroids(data, "vec_id", "embedding", step = 3, iters = 4),
+        "vec_id", "embedding", k = 2, nprobe = 1)
+      .collect().sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got === Seq(2L, 1L))
+  }
+
   test("cosineNearDuplicates finds only the parallel pair at 0.99") {
     val nd = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
