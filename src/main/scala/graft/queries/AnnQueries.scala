@@ -26,7 +26,8 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding", threshold = 0.35)
         .orderBy("id_a", "id_b")),
 
-    // approximate IVF path: structure-checked (rows>0), not value-checked
+    // IVF path: deterministic (sample centroids, tie-broken argmax), so the
+    // full index+probe+score pipeline is value-checked against DuckDB
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfKnn(emb, emb.where(col("vec_id") % 100 === 0),
@@ -68,6 +69,42 @@ object AnnQueries extends QueryPack {
          |  a.embedding AS qv, b.embedding AS bv
          | FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(($cosSql), 4) AS cos
-         |FROM pairs WHERE ($cosSql) > 0.35 ORDER BY 1, 2""".stripMargin
+         |FROM pairs WHERE ($cosSql) > 0.35 ORDER BY 1, 2""".stripMargin,
+
+    // the exact IVF pipeline: unit-normalize, argmax bucket per vector
+    // (tie -> lower centroid id), top-nprobe buckets per query, score only
+    // probed buckets, rank. Same sequential-order double arithmetic as the
+    // Spark side; round(4) gives orders of magnitude of slack.
+    "ann_ivf_topk" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+        |scored AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }
