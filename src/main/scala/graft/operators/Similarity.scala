@@ -186,19 +186,26 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
+  /** The deterministic hyperplane weights for one LSH table — exposed so
+    * the DuckDB oracle can embed the identical planes as literals.
+    */
+  private[graft] def planeWeights(dim: Int, nPlanes: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        (splitmix(seed.toLong * 0x100000001L + p.toLong * 65537L + d)
+          & 0xfffffL).toDouble / 0x100000L.toDouble - 0.5
+      }
+    }
+
   /** Sign-pattern bucket id from `nPlanes` deterministic pseudo-random
     * hyperplanes (weights in [-0.5, 0.5)): cosine-similar vectors land in
     * the same bucket with probability 1 - angle/π per bit. The
     * random-hyperplane LSH family for cosine.
     */
   private def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int): Column = {
+    val planes = planeWeights(dim, nPlanes, seed)
     val bits = (0 until nPlanes).map { p =>
-      val weights = Array.tabulate(dim) { d =>
-        (splitmix(seed.toLong * 0x100000001L + p.toLong * 65537L + d)
-          & 0xfffffL).toDouble / 0x100000L.toDouble - 0.5
-      }
-      val planeVec = typedLit(weights)
-      when(dot(vec, planeVec) >= 0, lit(1)).otherwise(lit(0))
+      when(dot(vec, typedLit(planes(p))) >= 0, lit(1)).otherwise(lit(0))
     }
     bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
   }

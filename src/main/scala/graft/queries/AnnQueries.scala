@@ -35,7 +35,9 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
-    // approximate random-hyperplane LSH path: structure-checked (rows>0)
+    // random-hyperplane LSH path: planes are deterministic, so the full
+    // bucket+score pipeline is value-checked (planes embedded as SQL
+    // literals in the oracle)
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshKnn(emb, emb.where(col("vec_id") % 100 === 0),
@@ -50,6 +52,21 @@ object AnnQueries extends QueryPack {
     """list_aggregate(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)), 'sum')
       | / (sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
       |  * sqrt(list_aggregate(list_transform(bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+
+  /** One LSH table's bucket id over the unit vector `v`, with the table's
+    * hyperplane weights inlined as list literals (shortest-repr doubles
+    * round-trip exactly through DuckDB's parser).
+    */
+  private def lshBucketSql(table: Int): String =
+    Similarity.planeWeights(dim = 64, nPlanes = 6, seed = table)
+      .zipWithIndex.map { case (w, p) =>
+        val arr = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), i -> v[i] * ($arr)[i]), 'sum') >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+
+  private val lshTablesSql = (0 until 4)
+    .map(t => s"SELECT vec_id, v, $t AS tbl, ${lshBucketSql(t)} AS bucket FROM unit")
+    .mkString(" UNION ALL ")
 
   override val oracles: Map[String, String] = Map(
     "ann_topk_cosine" ->
@@ -105,6 +122,25 @@ object AnnQueries extends QueryPack {
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
         | FROM scored)
         |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
-        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH unit AS (
+         | SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+         | FROM embeddings),
+         |b AS ($lshTablesSql),
+         |q AS (SELECT vec_id, v, tbl, bucket FROM b WHERE vec_id % 100 = 0),
+         |scored AS (
+         | SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  list_aggregate(list_transform(generate_series(1, 64), i -> q.v[i] * b.v[i]), 'sum') AS c
+         | FROM q JOIN b ON q.tbl = b.tbl AND q.bucket = b.bucket AND b.vec_id <> q.vec_id),
+         |ranked AS (
+         | SELECT query_id, neighbor_id, c,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         | FROM scored)
+         |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }
