@@ -19,12 +19,15 @@ object MultimodalQueries extends QueryPack {
           max(octet_length(col("data"))).cast("long").as("max_bytes"))
     }),
 
-    // stub decoder output: structure-checked (rows>0), not value-checked
+    // stub decoder is deterministic, so the mapPartitions pipeline's
+    // observable outputs (format sniff, byte length, feature arity) are
+    // value-checked; the oracle derives format independently from the text
+    // prefix (jpeg/png magic bytes cannot begin valid text)
     "m_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.fromText(Tables(s, dir, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("format"), col("n_bytes"),
-          size(col("feature")).as("feature_dim"))
+          size(col("feature")).cast("long").as("feature_dim"))
         .orderBy("media_id"))
   )
 
@@ -33,6 +36,15 @@ object MultimodalQueries extends QueryPack {
       """SELECT 'text/plain' AS media_type, count(*) AS n_media,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m_media_features" ->
+      """SELECT doc_id AS media_id,
+        | (CASE WHEN substring(text, 1, 4) = 'RIFF' THEN 'riff-av'
+        |   WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
+        |   ELSE 'unknown' END) AS format,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(16 AS BIGINT) AS feature_dim
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
