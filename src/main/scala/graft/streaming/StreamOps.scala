@@ -58,6 +58,94 @@ object StreamOps {
       }
   }
 
+  // ---- streaming windowed n-gram top-k (the flagship `topk`, incremental) --
+
+  case class TopkKey(ws: Long, salt: Int)
+  case class TopkSketchState(cms: graft.functions.sketch.Sketches.CMS,
+                             cand: Map[String, Long])
+  case class WindowTopk(window_start: java.sql.Timestamp, gram: String,
+                        est: Long, salt: Int)
+
+  /** Streaming twin of `wimbd topk` (A6), using the reference's own
+    * sketch design incrementally: per (window, salt) group, a count-min
+    * sketch absorbs every n-gram and a bounded candidate map tracks the
+    * current top estimates; when the watermark passes the window end the
+    * group times out and emits its top `k` candidates, then drops its state.
+    *
+    * Scale shape: n-grams are salted across `salts` sub-sketches so one
+    * window never concentrates on a single task (the 1000-executor analogue
+    * of the reference's per-file thread pool). Each emitted row is a
+    * per-salt finalist; the exact global top-k per window is a tiny batch
+    * rank over the sink (`rankWindowTopk`) — same merge contract as the
+    * reference's driver-side channel merge. State per group is
+    * width×depth longs + ≤ 2·maxCandidates entries, bounded regardless of
+    * stream length; estimates are CMS upper bounds (exact when width ≫
+    * distinct grams, like the reference's 4 GiB default).
+    */
+  def ngramTopkStream(docs: DataFrame, textCol: String, tsCol: String,
+                      n: Int, k: Int, windowMinutes: Int, watermarkMinutes: Int,
+                      salts: Int = 8, cmsWidth: Int = 1 << 12, cmsDepth: Int = 4,
+                      maxCandidates: Int = 512,
+                      uax29: Boolean = false): Dataset[WindowTopk] = {
+    import docs.sparkSession.implicits._
+    val windowMs = windowMinutes * 60000L
+    val toks =
+      if (uax29) graft.functions.TextFunctions.tokenize(col(textCol))
+      else split(col(textCol), " ")
+    val grams = docs
+      .withWatermark(tsCol, s"$watermarkMinutes minutes")
+      .select(col(tsCol).as("__ts"),
+        explode(graft.functions.TextFunctions.ngrams(toks, n)).as("gram"))
+      .select(col("__ts"),
+        (floor(unix_millis(col("__ts")) / windowMs) * windowMs).as("ws"),
+        pmod(xxhash64(col("gram")), lit(salts)).cast("int").as("salt"),
+        col("gram"))
+    val seed = 0x9747b28c
+    grams.as[(java.sql.Timestamp, Long, Int, String)]
+      .groupByKey { case (_, ws, salt, _) => TopkKey(ws, salt) }
+      .flatMapGroupsWithState[TopkSketchState, WindowTopk](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[TopkSketchState]) =>
+          if (state.hasTimedOut) {
+            val out = state.get.cand.toSeq
+              .sortBy { case (g, est) => (-est, g) }.take(k)
+              .map { case (g, est) =>
+                WindowTopk(new java.sql.Timestamp(key.ws), g, est, key.salt) }
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(TopkSketchState(
+              graft.functions.sketch.Sketches.CMS.empty(cmsWidth, cmsDepth, seed),
+              Map.empty))
+            rows.foreach { case (_, _, _, gram) =>
+              val cms = s.cms.add(gram)
+              val cand = s.cand.updated(gram, cms.estimate(gram))
+              // prune lazily: keep the top maxCandidates when 2× over budget
+              s = s.copy(cms = cms, cand =
+                if (cand.size <= 2 * maxCandidates) cand
+                else cand.toSeq.sortBy { case (g, est) => (-est, g) }
+                  .take(maxCandidates).toMap)
+            }
+            state.update(s)
+            // finalize when the watermark passes this window's end
+            state.setTimeoutTimestamp(key.ws + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Exact per-window rank over the per-salt finalists a
+    * [[ngramTopkStream]] sink accumulated — the batch half of the
+    * streaming topk's merge contract.
+    */
+  def rankWindowTopk(finalists: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(desc("est"), asc("gram"))
+    finalists.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("window_start"), col("gram"), col("est"), col("rank").cast("long"))
+  }
+
   /** Write helper: append stream to parquet with a checkpoint. */
   def sinkParquet(df: DataFrame, path: String, checkpoint: String) =
     df.writeStream.outputMode(OutputMode.Append)

@@ -45,6 +45,46 @@ class StreamingSpec extends SparkTestBase {
     assert(last === ((7L, 2L, 3L))) // 2 sessions, 3 events, state survived batches
   }
 
+  test("streaming windowed topk: sketch state emits exact top-k at window close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    // salts=1 and a wide sketch ⇒ estimates are exact counts; the emitted
+    // finalists ARE the window's top-k
+    val q = StreamOps.ngramTopkStream(
+        input.toDF().toDF("ts", "text"), "text", "ts",
+        n = 2, k = 2, windowMinutes = 60, watermarkMinutes = 10, salts = 1)
+      .writeStream.format("memory").queryName("wtopk").outputMode(OutputMode.Append).start()
+    input.addData(
+      (ts(5), "a b a b a b"),   // window 0: "a b" ×3, "b a" ×2
+      (ts(20), "c d"))          // window 0: "c d" ×1
+    q.processAllAvailable()
+    assert(spark.table("wtopk").count() === 0) // window still open
+    input.addData((ts(200), "x y")) // watermark jumps past window 0's end
+    q.processAllAvailable()
+    val rows = spark.table("wtopk").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows === Set((0L, "a b", 3L), (0L, "b a", 2L)))
+  }
+
+  test("streaming topk finalists rank to the batch topk (merge contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.ngramTopkStream(
+        input.toDF().toDF("ts", "text"), "text", "ts",
+        n = 1, k = 4, windowMinutes = 60, watermarkMinutes = 5, salts = 4)
+      .writeStream.format("memory").queryName("wtopk2").outputMode(OutputMode.Append).start()
+    input.addData((ts(1), "p p p q q r"), (ts(2), "q p s"))
+    q.processAllAvailable()
+    input.addData((ts(500), "zz")) // close window 0
+    q.processAllAvailable()
+    val ranked = StreamOps.rankWindowTopk(spark.table("wtopk2"), k = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    // batch truth over window 0: p×4, q×3, r×1, s×1
+    assert(ranked === Set(("p", 4L, 1L), ("q", 3L, 2L)))
+  }
+
   test("streaming dedup drops repeat hashes across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
