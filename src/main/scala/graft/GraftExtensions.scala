@@ -24,11 +24,13 @@ import graft.functions.expressions._
   * parameterized builtins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), GraftExtensions.info(name, usage), builder))
     }
+    ext.injectOptimizerRule(_ => IntersectSizeRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -36,11 +38,16 @@ object GraftExtensions {
   /** Register into an ALREADY-BUILT session (extensions normally bind at
     * build time) — for notebooks/REPLs attached to an existing session.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name, usage), builder)
     }
+    // optimizer rules can't be injected post-build; experimental methods can
+    if (!spark.experimental.extraOptimizations.contains(IntersectSizeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntersectSizeRewrite
+  }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -81,6 +88,9 @@ object GraftExtensions {
       (args: Seq[Expression]) => CountTokenSeq(args(0), args(1))),
     ("graft_winnow", "graft_winnow(tokens, k, w): rolling-hash winnowing fingerprints",
       (args: Seq[Expression]) => WinnowFingerprints(args(0),
-        intLit(args(1), "k"), intLit(args(2), "w")))
+        intLit(args(1), "k"), intLit(args(2), "w"))),
+    ("graft_intersect_size",
+      "graft_intersect_size(a, b): |distinct(a) ∩ distinct(b)| without the intermediate array",
+      (args: Seq[Expression]) => IntersectionSize(args(0), args(1)))
   )
 }

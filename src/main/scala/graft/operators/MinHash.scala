@@ -182,11 +182,17 @@ object MinHash {
     */
   def jaccardFromArrays(pairs: DataFrame, sets: DataFrame,
                         keepZero: Boolean): DataFrame = {
+    // IntersectionSize counts |sh_a ∩ sh_b| directly — no intermediate
+    // intersection ArrayData per pair (the hot allocation in verification)
+    val interSize = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.IntersectionSize(
+        org.apache.spark.sql.graft.Bridge.expression(col("sh_a")),
+        org.apache.spark.sql.graft.Bridge.expression(col("sh_b"))))
     val scored = pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"),
+        interSize.cast("long").as("n_inter"),
         size(col("sh_a")).cast("long").as("n_a"),
         size(col("sh_b")).cast("long").as("n_b"))
     val kept = if (keepZero) scored else scored.where(col("n_inter") > 0)

@@ -58,4 +58,31 @@ class ExtensionsSpec extends SparkTestBase {
         "FROM range(1) AS t(id)").collect()
     }
   }
+
+  test("intersect-size kernel matches size(array_intersect) incl dups and nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val words = Array("a", "b", "c", "d", "e", null)
+    val rows = Seq.fill(300) {
+      def arr() = Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length)))
+      (arr(), arr())
+    }.toDF("xs", "ys")
+    val both = rows.selectExpr(
+      "size(array_intersect(xs, ys)) AS builtin",
+      "graft_intersect_size(xs, ys) AS custom").collect()
+    both.foreach(r => assert(r.getInt(0) === r.getInt(1), r))
+  }
+
+  test("optimizer rule rewrites size(array_intersect) to graft_intersect_size") {
+    import spark.implicits._
+    // non-literal source, or constant folding evaluates the whole thing
+    // before the rewrite is observable
+    val df = spark.range(2)
+      .selectExpr("array(cast(id AS string), 'b') AS xs", "array('b', 'c') AS ys")
+      .selectExpr("size(array_intersect(xs, ys)) AS n")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_intersect_size"),
+      s"rewrite did not fire:\n$optimized")
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(1, 1))
+  }
 }
