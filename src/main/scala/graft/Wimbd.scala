@@ -165,8 +165,10 @@ object Wimbd {
   def countDocumentsContainingPhrases(docs: DataFrame, phrases: Seq[String],
                                       allPhrases: Boolean = false,
                                       isRegexp: Boolean = false,
-                                      slop: Int = 0): DataFrame =
-    Searcher.countContaining(docs, "text", phrases, allPhrases, slop, isRegexp)
+                                      slop: Int = 0,
+                                      luceneSlop: Boolean = false): DataFrame =
+    Searcher.countContaining(docs, "text", phrases, allPhrases, slop, isRegexp,
+      luceneSlop = luceneSlop)
 
   /** get_documents_containing_phrases */
   def getDocumentsContainingPhrases(docs: DataFrame, phrases: Seq[String],

@@ -23,10 +23,13 @@ object DedupQueries extends QueryPack {
       explode(TextFunctions.ngrams(split(col("text"), " "), 5)).as("shingle"))
 
   // dataset list for the overlap bitmask, from the cheap base table (one
-  // narrow column scan) rather than the exploded shingle frame
+  // narrow column scan) rather than the exploded shingle frame; memoized per
+  // dir — it is config-like (the j4 queries share it, one job instead of two)
+  private val sourcesCache = new scala.collection.concurrent.TrieMap[String, Seq[String]]
   private def knownSources(s: SparkSession, dir: String): Seq[String] =
-    Tables(s, dir, "documents").select(col("source")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    sourcesCache.getOrElseUpdate(dir,
+      Tables(s, dir, "documents").select(col("source")).distinct()
+        .collect().map(_.getString(0)).toSeq)
 
   private val shingleSql =
     """SELECT source, doc_id,

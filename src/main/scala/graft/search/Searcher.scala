@@ -31,10 +31,11 @@ object Searcher {
   }
 
   private def combined(text: Column, phrases: Seq[String], allPhrases: Boolean,
-                       slop: Int, isRegexp: Boolean, uax29: Boolean): Column = {
+                       slop: Int, isRegexp: Boolean, uax29: Boolean,
+                       luceneSlop: Boolean = false): Column = {
     val preds = phrases.map { p =>
       if (isRegexp) text.rlike("(?i)" + p) // ES regexp mode is case-insensitive (:108-117)
-      else phrasePredicate(text, p, slop, uax29)
+      else phrasePredicate(text, p, slop, uax29, luceneSlop)
     }
     if (allPhrases) preds.reduce(_ && _) else preds.reduce(_ || _)
   }
@@ -45,9 +46,10 @@ object Searcher {
   def countContaining(df: DataFrame, textCol: String, phrases: Seq[String],
                       allPhrases: Boolean = false, slop: Int = 0,
                       isRegexp: Boolean = false, uax29: Boolean = true,
-                      subsetFilter: Map[String, String] = Map.empty): DataFrame = {
+                      subsetFilter: Map[String, String] = Map.empty,
+                      luceneSlop: Boolean = false): DataFrame = {
     val filtered = subsetFilter.foldLeft(df) { case (d, (k, v)) => d.where(col(k) === v) }
-    filtered.where(combined(col(textCol), phrases, allPhrases, slop, isRegexp, uax29))
+    filtered.where(combined(col(textCol), phrases, allPhrases, slop, isRegexp, uax29, luceneSlop))
       .agg(count(lit(1)).as("n_docs"))
   }
 
@@ -58,8 +60,9 @@ object Searcher {
   def getContaining(df: DataFrame, textCol: String, phrases: Seq[String],
                     allPhrases: Boolean = false, slop: Int = 0,
                     isRegexp: Boolean = false, uax29: Boolean = true,
-                    numDocuments: Int = 10, sortCols: Seq[Column] = Seq.empty): DataFrame = {
-    val hits = df.where(combined(col(textCol), phrases, allPhrases, slop, isRegexp, uax29))
+                    numDocuments: Int = 10, sortCols: Seq[Column] = Seq.empty,
+                    luceneSlop: Boolean = false): DataFrame = {
+    val hits = df.where(combined(col(textCol), phrases, allPhrases, slop, isRegexp, uax29, luceneSlop))
     (if (sortCols.nonEmpty) hits.orderBy(sortCols: _*) else hits).limit(numDocuments)
   }
 
