@@ -89,6 +89,36 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(lh("a a", 1) === Set("a b a", "a a b"))
   }
 
+  test("lucene mode: greedy assignment matches exhaustive search (random)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.expressions.PhraseMatchKernel
+    def arr(ts: Seq[String]) = new GenericArrayData(ts.map(UTF8String.fromString).toArray)
+    // exhaustive: any assignment of distinct doc positions (token-equal)
+    // with adjusted spread <= slop
+    def brute(doc: Seq[String], phrase: Seq[String], slop: Int): Boolean = {
+      val cands = phrase.map(t => doc.indices.filter(doc(_) == t))
+      if (cands.exists(_.isEmpty)) return phrase.isEmpty
+      def rec(i: Int, used: List[Int]): Boolean =
+        if (i == phrase.length) {
+          val adj = used.reverse.zipWithIndex.map { case (p, idx) => p - idx }
+          adj.max - adj.min <= slop
+        } else cands(i).exists(p => !used.contains(p) && rec(i + 1, p :: used))
+      rec(0, Nil)
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("a", "b", "c")
+    for (trial <- 0 until 4000) {
+      val doc = Seq.fill(1 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.length)))
+      val phrase = Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+      val slop = rnd.nextInt(4)
+      val got = PhraseMatchKernel.matchesLucene(arr(doc), arr(phrase), slop)
+      val want = brute(doc, phrase, slop)
+      assert(got === want,
+        s"doc=${doc.mkString(" ")} phrase=${phrase.mkString(" ")} slop=$slop")
+    }
+  }
+
   test("lucene mode registered as SQL function") {
     graft.GraftExtensions.register(spark)
     val n = spark.sql(
