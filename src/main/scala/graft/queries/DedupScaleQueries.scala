@@ -62,6 +62,12 @@ object DedupScaleQueries extends QueryPack {
       SimHash.simhashBitString(docs(s, dir), "doc_id", "text", simhashBits,
         SimHash.md5HexBit).orderBy("id")),
 
+    // near-dup pairs → duplicate clusters: min-reachable-id label per member
+    "d_cc_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.connectedComponents(
+        MinHash.nearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.5,
+          W, K, BANDS, MinHash.md5Strategy)).orderBy("id")),
+
     "d_jaccard_block" -> ((s, dir) => {
       val d = docs(s, dir)
       val ids = d.where(col("doc_id") % 20 === 0)
@@ -107,6 +113,24 @@ object DedupScaleQueries extends QueryPack {
          |FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
          |WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    "d_cc_clusters" ->
+      s"""WITH RECURSIVE $candSql,
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         | FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.s = a.s
+         | GROUP BY 1, 2),
+         |nd AS (SELECT i.id_a, i.id_b
+         | FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+         | WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+         | UNION SELECT id_b, id_a FROM nd),
+         |reach(id, r) AS (
+         | SELECT u, u FROM edges
+         | UNION
+         | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "d_simhash16" ->
       s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),

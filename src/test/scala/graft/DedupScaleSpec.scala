@@ -118,6 +118,19 @@ class DedupScaleSpec extends SparkTestBase {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("connected components label every member with the cluster min id") {
+    import spark.implicits._
+    // two clusters {1,2,3,9} (chain 9-3-2-1) and {5,7}, plus untouched 6
+    val pairs = Seq((2L, 1L), (3L, 2L), (9L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val kept = graft.operators.Dedup.keepClusterRepresentative(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L, 6L))
+  }
+
   test("hashSplit is deterministic and exhaustive") {
     val out = Dedup.hashSplit(docs, col("text")).select("split").collect().map(_.getString(0))
     assert(out.forall(Set("train", "valid", "test")))
