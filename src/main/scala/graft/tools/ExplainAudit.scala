@@ -15,7 +15,7 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q3_join", "a6_topk_3gram", "ann_topk_cosine", "j3_decontaminate",
         "p14_sample", "d_minhash_neardup", "ann_lsh_topk", "ann_ivf_topk",
-        "j4_overlap_pairs", "e3_per_phrase")
+        "j4_overlap_pairs", "e3_per_phrase", "p4_psl_full", "d_cc_clusters")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
