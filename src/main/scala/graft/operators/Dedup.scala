@@ -184,7 +184,9 @@ object Dedup {
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var checksum = labels.agg(sum("label")).collect().head.getLong(0)
+    // coalesce: an empty pair list (nothing to cluster) sums to NULL
+    var checksum = labels.agg(coalesce(sum("label"), lit(0L)))
+      .collect().head.getLong(0)
     var it = 1 // the seeding aggregation above is round 1
     var converged = false
     while (!converged && it < maxIter) {
@@ -193,7 +195,8 @@ object Dedup {
         .groupBy(col("u").as("id"))
         .agg(least(min(col("label")), col("u")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum("label")).collect().head.getLong(0)
+      val nextSum = next.agg(coalesce(sum("label"), lit(0L)))
+        .collect().head.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == checksum

@@ -50,11 +50,12 @@ object PipelineDemo {
       .drop("q_id", "quality", "lang")
     stage("after quality+lang gate", kept.count())
 
-    // 4. fuzzy dedup: drop the higher-id doc of each near-duplicate pair
+    // 4. fuzzy dedup: cluster near-duplicate pairs (connected components)
+    // and keep one representative per cluster — pairwise drop-the-higher-id
+    // over-deletes on chains A~B~C where A~C don't pair directly
     val nearDups = MinHash.nearDuplicates(kept, "doc_id", "text",
       threshold = 0.8, w = 5, k = 16, bands = 8, uax29 = true)
-    val losers = nearDups.select(col("id_b").as("doc_id")).distinct()
-    val deduped = kept.join(losers, Seq("doc_id"), "left_anti")
+    val deduped = Dedup.keepClusterRepresentative(kept, "doc_id", nearDups)
     stage("after fuzzy dedup", deduped.count())
 
     // 5. corpus stats on the survivors

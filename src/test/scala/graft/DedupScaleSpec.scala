@@ -129,6 +129,11 @@ class DedupScaleSpec extends SparkTestBase {
     val kept = graft.operators.Dedup.keepClusterRepresentative(docs, "doc_id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 5L, 6L))
+    // empty pair list: nothing to cluster, everything survives
+    val none = pairs.where(lit(false))
+    assert(graft.operators.Dedup.connectedComponents(none).count() === 0)
+    assert(graft.operators.Dedup.keepClusterRepresentative(docs, "doc_id", none)
+      .count() === docs.count())
   }
 
   test("hashSplit is deterministic and exhaustive") {
