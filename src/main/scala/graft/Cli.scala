@@ -11,6 +11,7 @@ import graft.sources.Corpus
   *
   *   runMain graft.Cli topk PATH... --ngram 3 --topk 20 [--limit N]
   *     [--file-limit N] [--out FILE] [--force]
+  *     [--approx [--width W] [--hashes D] [--seed S] [--threshold T]]
   *   runMain graft.Cli botk PATH... --ngram 3 --topk 20
   *   runMain graft.Cli count PATH... --search "The" --search "and the"
   *   runMain graft.Cli search PATH... --pattern "re+gex" [--with-locations]
@@ -18,11 +19,11 @@ import graft.sources.Corpus
   *   runMain graft.Cli stats PATH...
   *   runMain graft.Cli unique PATH... --ngram 3 [--approx]
   *
-  * Counts are EXACT (the sketch-budget flags --size/--hashes/--seed are
-  * accepted and ignored: Spark's distributed exact aggregation replaces the
-  * shared-memory sketch, so counts are no longer `≤` upper bounds).
-  * Top-k/bot-k rows print as the reference's JSONL
-  * {"tokens","string","count","rank"} records.
+  * Counts are EXACT by default (Spark's distributed exact aggregation
+  * replaces the shared-memory sketch); `topk --approx` restores the
+  * reference's sketch contract — merged count-min estimates as `≤` upper
+  * bounds with `--threshold` pruning. Top-k/bot-k rows print as the
+  * reference's JSONL {"tokens","string","count","rank"} records.
   */
 object Cli {
 
@@ -89,8 +90,19 @@ object Cli {
 
     cmd match {
       case "topk" =>
-        deliver(NgramOps.topK(docs, "text", intFlag("--ngram", 3), intFlag("--topk", 20)),
-          ranked = true)
+        val n = intFlag("--ngram", 3)
+        val k = intFlag("--topk", 20)
+        // --approx: the reference's sketch contract (counts are ≤ upper
+        // bounds, --threshold prunes); --hashes/--seed map directly,
+        // --width replaces the byte-budget --size
+        val df =
+          if (a.flags.contains("--approx"))
+            NgramOps.topKApprox(docs, "text", n, k,
+              width = intFlag("--width", 1 << 18), depth = intFlag("--hashes", 5),
+              seed = intFlag("--seed", 42),
+              threshold = flag("--threshold").map(_.toLong).getOrElse(1L))
+          else NgramOps.topK(docs, "text", n, k)
+        deliver(df, ranked = true)
       case "botk" =>
         deliver(NgramOps.botK(docs, "text", intFlag("--ngram", 3), intFlag("--topk", 20)),
           ranked = true)
