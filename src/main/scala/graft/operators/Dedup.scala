@@ -76,8 +76,14 @@ object Dedup {
     * ≤ 62 datasets; callers fall back to the set formulation above that.
     */
   private def membershipMaskCounts(df: DataFrame, key: Column, dataset: Column,
-                                   knownSources: Seq[String]): Option[(DataFrame, Seq[String])] = {
-    val keyed = df.select(key.as("h"), dataset.as("ds"))
+                                   knownSources: Seq[String],
+                                   hashKeys: Boolean = false): Option[(DataFrame, Seq[String])] = {
+    // hashKeys: shuffle a 16-byte (2×xxhash64) key instead of the raw
+    // shingle string — mask counting needs key IDENTITY only, and at 1e12
+    // keys the 128-bit collision odds (~1e-14) are far below any result
+    // tolerance. ~3× smaller shuffle on typical shingles.
+    val k = if (hashKeys) struct(xxhash64(lit(0), key), xxhash64(lit(1), key)) else key
+    val keyed = df.select(k.as("h"), dataset.as("ds"))
     // deriving the dataset list costs a full pass over `df` — callers that
     // know it (e.g. from a dimension table or config) should pass it in
     val sources =
@@ -114,8 +120,9 @@ object Dedup {
     * ([[membershipMaskCounts]]); the collect_set formulation covers more.
     */
   def overlapSets(df: DataFrame, key: Column, dataset: Column,
-                  knownSources: Seq[String] = Nil): DataFrame =
-    membershipMaskCounts(df, key, dataset, knownSources) match {
+                  knownSources: Seq[String] = Nil,
+                  hashKeys: Boolean = false): DataFrame =
+    membershipMaskCounts(df, key, dataset, knownSources, hashKeys) match {
       case Some((counts, sources)) =>
         counts.select(maskNames(col("mask"), sources).as("datasets"), col("n_keys"))
       case None =>
@@ -132,8 +139,9 @@ object Dedup {
     * times and breaks down exactly when keys are 100 TB-scale n-grams.
     */
   def overlapMatrix(df: DataFrame, key: Column, dataset: Column,
-                    knownSources: Seq[String] = Nil): DataFrame = {
-    val sets = membershipMaskCounts(df, key, dataset, knownSources) match {
+                    knownSources: Seq[String] = Nil,
+                    hashKeys: Boolean = false): DataFrame = {
+    val sets = membershipMaskCounts(df, key, dataset, knownSources, hashKeys) match {
       case Some((counts, sources)) =>
         counts.select(maskNames(col("mask"), sources).as("dss"), col("n_keys"))
       case None =>

@@ -18,6 +18,15 @@ class MiscOpsSpec extends SparkTestBase {
     assert(out("A,B,C") === 1L) // x.com/1 in all three
     assert(out("A,C") === 1L)   // x.com/2 in A and C
     assert(out("B") === 1L)     // y.com/9 only in B
+    // hashed-key production mode: identical lattice, 16-byte shuffle keys
+    val hashed = Dedup.overlapSets(df, col("url"), col("dataset"), hashKeys = true)
+      .collect().map(r => r.getSeq[String](0).mkString(",") -> r.getLong(1)).toMap
+    assert(hashed === out)
+    val pairs = Dedup.overlapMatrix(df, col("url"), col("dataset"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pairsHashed = Dedup.overlapMatrix(df, col("url"), col("dataset"), hashKeys = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairsHashed === pairs)
   }
 
   test("P15: link probe runs per-partition with a pluggable prober") {
