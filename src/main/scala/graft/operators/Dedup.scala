@@ -189,9 +189,11 @@ object Dedup {
       .union(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint rather than persist: truncates the per-round
+    // lineage (plans otherwise nest one level per iteration)
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // coalesce: an empty pair list (nothing to cluster) sums to NULL
     var checksum = labels.agg(coalesce(sum("label"), lit(0L)))
       .collect().head.getLong(0)
@@ -202,7 +204,7 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(least(min(col("label")), col("u")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = next.agg(coalesce(sum("label"), lit(0L)))
         .collect().head.getLong(0)
       labels.unpersist()
@@ -213,6 +215,80 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** O(log n)-round connected components via alternating large-star /
+    * small-star contractions (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same output contract as
+    * [[connectedComponents]] but round count is logarithmic in the LONGEST
+    * PATH rather than linear, so adversarial chain-shaped duplicate graphs
+    * converge too.
+    *
+    *  - large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u})
+    *  - small-star: every neighbor v ≤ u (plus u) links to m
+    *
+    * Each phase is one groupBy(u) for the per-node min plus a join back to
+    * the edge list; convergence when the canonical edge multiset checksum
+    * is stable.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def mins(nbrs: DataFrame): DataFrame =
+      nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free (edges are distinct)
+      val r = e.agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // each round's plan embeds the previous one several times (undirected
+    // union + two join arms), so lineage grows geometrically — eager
+    // localCheckpoint truncates it every round (the standard iterative-
+    // algorithm posture; swap for reliable checkpoint() on a cluster where
+    // executor loss must be survivable)
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = checksum(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrs = undirected(edges)
+      // large-star
+      val ls = nbrs.join(mins(nbrs), "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val afterLs = ls.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      // small-star over the large-star output
+      val nbrs2 = undirected(afterLs)
+      val m2 = mins(nbrs2)
+      val ss = nbrs2.join(m2, "u")
+        .where(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(nbrs2.join(m2, "u").select(col("u"), col("m").as("v")))
+      val next = ss.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      val nextSig = checksum(next)
+      edges.unpersist()
+      afterLs.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      it += 1
+    }
+    // fixpoint: every remaining edge is (node, componentMin); nodes that
+    // became isolated on the way ARE their component's min
+    val members = pairs.select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id"))).distinct()
+    val labeled = undirected(edges)
+      .groupBy(col("u").as("id")).agg(least(min(col("v")), col("u")).as("component"))
+    val out = members.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    edges.unpersist()
+    out
   }
 
   /** Near-dup dedup end-to-end: keep, per connected cluster of `pairs`, only

@@ -136,6 +136,30 @@ class DedupScaleSpec extends SparkTestBase {
       .count() === docs.count())
   }
 
+  test("star-contraction components agree with min-propagation (random + chains)") {
+    import spark.implicits._
+    def cc(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ccStar(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a 30-node chain (adversarial diameter for propagation, trivial for star)
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = ccStar(chain)
+    assert(chainGot.size === 30 && chainGot.values.forall(_ === 0L))
+    // random sparse graphs
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 3) {
+      val edges = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      assert(ccStar(pairs) === cc(pairs))
+    }
+    // empty
+    assert(ccStar(chain.where(lit(false))).isEmpty)
+  }
+
   test("hashSplit is deterministic and exhaustive") {
     val out = Dedup.hashSplit(docs, col("text")).select("split").collect().map(_.getString(0))
     assert(out.forall(Set("train", "valid", "test")))
