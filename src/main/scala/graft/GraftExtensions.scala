@@ -91,6 +91,9 @@ object GraftExtensions {
         intLit(args(1), "k"), intLit(args(2), "w"))),
     ("graft_intersect_size",
       "graft_intersect_size(a, b): |distinct(a) ∩ distinct(b)| without the intermediate array",
-      (args: Seq[Expression]) => IntersectionSize(args(0), args(1)))
+      (args: Seq[Expression]) => IntersectionSize(args(0), args(1))),
+    ("graft_repetition",
+      "graft_repetition(text): Gopher repetition signals [dup_line, dup_line_char, top2..4gram_char, dup5..10gram_char]",
+      (args: Seq[Expression]) => RepetitionSignals(args(0)))
   )
 }

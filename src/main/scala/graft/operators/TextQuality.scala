@@ -13,6 +13,24 @@ object TextQuality {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for")
 
   /** Per-doc quality features over whitespace tokens. */
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1)
+    * — one codegen'd pass per doc, no explode/shuffle; see
+    * [[graft.functions.expressions.RepetitionKernel]] for the exact
+    * contract of each fraction. The standard pretraining repetition
+    * filters threshold these columns.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.RepetitionSignals(
+        org.apache.spark.sql.graft.Bridge.expression(col(textCol))))
+    val names = Seq("dup_line_frac", "dup_line_char_frac",
+      "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac") ++
+      (5 to 10).map(n => s"dup${n}gram_char_frac")
+    df.select(col(idCol) +: names.zipWithIndex.map { case (nm, i) =>
+      round(element_at(sig, i + 1), 6).as(nm)
+    }: _*)
+  }
+
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
                       stopwords: Seq[String] = defaultStopwords): DataFrame = {
     val toks = split(col(textCol), " ")

@@ -82,6 +82,10 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.winnowFingerprintCounts(docs(s, dir), "doc_id", "text", k = 3, w = 4)
         .orderBy("doc_id")),
 
+    "t_repetition" -> ((s, dir) =>
+      TextQuality.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "t_quality" -> ((s, dir) =>
       TextQuality.qualityScore(
         TextQuality.qualityFeatures(docs(s, dir), "doc_id", "text"))
@@ -97,7 +101,58 @@ object DedupScaleQueries extends QueryPack {
         .orderBy("lang"))
   )
 
+  // ---- repetition-signal oracle fragments (Gopher filters) ----
+
+  private def gramCte(n: Int): String =
+    s"""g$n AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+       | i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS gram
+       | FROM toks)""".stripMargin
+
+  private def topCte(n: Int): String =
+    s"""top$n AS (SELECT doc_id, c * length(gram) AS oc FROM (
+       | SELECT doc_id, gram, count(*) AS c,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rn
+       | FROM g$n GROUP BY 1, 2) WHERE rn = 1)""".stripMargin
+
+  private def dupCte(n: Int): String =
+    s"""dup$n AS (SELECT doc_id, sum(c * length(gram)) AS oc FROM (
+       | SELECT doc_id, gram, count(*) AS c FROM g$n GROUP BY 1, 2)
+       | WHERE c >= 2 GROUP BY doc_id)""".stripMargin
+
+  private val repetitionSql = {
+    val grams = (2 to 10).map(gramCte).mkString(",\n")
+    val tops = (2 to 4).map(topCte).mkString(",\n")
+    val dups = (5 to 10).map(dupCte).mkString(",\n")
+    val topCols = (2 to 4).map(n =>
+      s"round(coalesce(CAST(top$n.oc AS DOUBLE), 0) / d.chars, 6) AS top${n}gram_char_frac")
+    val dupCols = (5 to 10).map(n =>
+      s"round(coalesce(CAST(dup$n.oc AS DOUBLE), 0) / d.chars, 6) AS dup${n}gram_char_frac")
+    val joins = (2 to 4).map(n => s"LEFT JOIN top$n ON top$n.doc_id = d.doc_id") ++
+      (5 to 10).map(n => s"LEFT JOIN dup$n ON dup$n.doc_id = d.doc_id")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS chars FROM documents),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+       |linestats AS (SELECT doc_id,
+       |  round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls), 6) AS dup_line_frac,
+       |  round((CASE WHEN list_aggregate(list_transform(ls, x -> length(x)), 'sum') > 0
+       |    THEN CAST(list_aggregate(list_transform(ls, x -> length(x)), 'sum')
+       |      - list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum') AS DOUBLE)
+       |      / list_aggregate(list_transform(ls, x -> length(x)), 'sum')
+       |    ELSE 0 END), 6) AS dup_line_char_frac
+       | FROM ls),
+       |$grams,
+       |$tops,
+       |$dups
+       |SELECT d.doc_id, linestats.dup_line_frac, linestats.dup_line_char_frac,
+       | ${(topCols ++ dupCols).mkString(",\n ")}
+       |FROM d
+       |JOIN linestats ON linestats.doc_id = d.doc_id
+       |${joins.mkString("\n")}
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "t_repetition" -> repetitionSql,
     "d_minhash_lsh" ->
       s"""WITH $candSql
          |SELECT id_a, id_b FROM cand ORDER BY 1, 2""".stripMargin,

@@ -111,6 +111,35 @@ class DedupScaleSpec extends SparkTestBase {
     }
   }
 
+  test("repetition signals: crafted docs with exact fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, "a b" repeats twice more; lines "x" duplicated once
+      (1L, "x\nx\na b a b a b\ny"),
+      // no repetition at all
+      (2L, "all tokens here differ fully"),
+      // heavy 5-gram duplication: the same 6-token run twice
+      (3L, "p q r s t u p q r s t u")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextQuality.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getDouble(d1.fieldIndex("dup_line_frac")) === 0.25)       // 1 of 4 lines
+    // line chars: x,x,"a b a b a b"(11),y → total 14, dup 1
+    assert(d1.getDouble(d1.fieldIndex("dup_line_char_frac")) === math.rint(1.0 / 14 * 1e6) / 1e6)
+    val d2 = got(2L)
+    assert((2 to 10).forall { n =>
+      val c = if (n <= 4) s"top${n}gram_char_frac" else s"dup${n}gram_char_frac"
+      n <= 4 || d2.getDouble(d2.fieldIndex(c)) === 0.0
+    })
+    val d3 = got(3L)
+    // "p q r s t u" appears twice as a 6-gram; 5-grams: 8 windows, the
+    // 2x-duplicated ones are "p q r s t" and "q r s t u" (2 occurrences
+    // each, len 9): dup5 chars = 4*9 = 36 over 23 chars
+    assert(d3.getDouble(d3.fieldIndex("dup5gram_char_frac")) === math.rint(36.0 / 23 * 1e6) / 1e6)
+  }
+
   test("quality score stays in [0,1]") {
     val q = TextQuality.qualityScore(
       TextQuality.qualityFeatures(docs, "doc_id", "text")).select("quality")
