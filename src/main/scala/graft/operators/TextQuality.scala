@@ -31,6 +31,27 @@ object TextQuality {
     }: _*)
   }
 
+  /** C4-style per-document line heuristics (Raffel et al. 2020 §2.2 — the
+    * cleaning rules behind C4): terminal-punctuation line fraction,
+    * bullet-point and short-line fractions, lorem-ipsum and curly-brace
+    * flags. Pure column algebra over the split line array — no explode, no
+    * shuffle; threshold downstream like the Gopher [[repetitionSignals]].
+    */
+  def c4LineFilters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      round(size(filter(lines, l => l.rlike("[.!?\"]$"))).cast("double") / size(lines), 6)
+        .as("frac_lines_terminal_punct"),
+      round(size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") / size(lines), 6)
+        .as("frac_lines_bullet"),
+      round(size(filter(lines, l => size(split(l, " ")) <= 2)).cast("double") / size(lines), 6)
+        .as("frac_short_lines"),
+      lower(col(textCol)).contains("lorem ipsum").as("has_lorem_ipsum"),
+      col(textCol).contains("{").as("has_curly_brace"))
+  }
+
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
                       stopwords: Seq[String] = defaultStopwords): DataFrame = {
     val toks = split(col(textCol), " ")

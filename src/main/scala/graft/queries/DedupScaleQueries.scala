@@ -86,6 +86,10 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "t_c4_filters" -> ((s, dir) =>
+      TextQuality.c4LineFilters(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "t_quality" -> ((s, dir) =>
       TextQuality.qualityScore(
         TextQuality.qualityFeatures(docs(s, dir), "doc_id", "text"))
@@ -153,6 +157,17 @@ object DedupScaleQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "t_repetition" -> repetitionSql,
+
+    "t_c4_filters" ->
+      """WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents)
+        |SELECT doc_id,
+        | CAST(len(ls) AS BIGINT) AS n_lines,
+        | round(CAST(len(list_filter(ls, x -> regexp_matches(x, '[.!?"]$'))) AS DOUBLE) / len(ls), 6) AS frac_lines_terminal_punct,
+        | round(CAST(len(list_filter(ls, x -> regexp_matches(ltrim(x), '^[-*•]'))) AS DOUBLE) / len(ls), 6) AS frac_lines_bullet,
+        | round(CAST(len(list_filter(ls, x -> len(string_split(x, ' ')) <= 2)) AS DOUBLE) / len(ls), 6) AS frac_short_lines,
+        | contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        | contains(text, '{') AS has_curly_brace
+        |FROM l ORDER BY doc_id""".stripMargin,
     "d_minhash_lsh" ->
       s"""WITH $candSql
          |SELECT id_a, id_b FROM cand ORDER BY 1, 2""".stripMargin,

@@ -140,6 +140,20 @@ class DedupScaleSpec extends SparkTestBase {
     assert(d3.getDouble(d3.fieldIndex("dup5gram_char_frac")) === math.rint(36.0 / 23 * 1e6) / 1e6)
   }
 
+  test("c4 line filters: crafted doc with known fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A full sentence here.\n- bullet one\nshort\nAnother sentence!\n{ code } lorem ipsum text")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextQuality.c4LineFilters(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_lines") === 5L)
+    assert(r.getAs[Double]("frac_lines_terminal_punct") === 0.4) // 2 of 5
+    assert(r.getAs[Double]("frac_lines_bullet") === 0.2)
+    assert(r.getAs[Double]("frac_short_lines") === 0.4) // "short", "Another sentence!"
+    assert(r.getAs[Boolean]("has_lorem_ipsum"))
+    assert(r.getAs[Boolean]("has_curly_brace"))
+  }
+
   test("quality score stays in [0,1]") {
     val q = TextQuality.qualityScore(
       TextQuality.qualityFeatures(docs, "doc_id", "text")).select("quality")
