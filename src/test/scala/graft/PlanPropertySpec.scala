@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MinHash, NgramOps, Similarity}
+
+/** Plan-property regression tests: the 100 TB scale discipline
+  * (shuffle count, column pruning, broadcast/anti shapes, scan fusion) is
+  * asserted in CI, not just inspected by `tools.ExplainAudit`. Counts are
+  * on the pre-AQE physical plan ("Exchange hashpartitioning" = a real
+  * shuffle; BroadcastExchange is not).
+  */
+class PlanPropertySpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan(df)).length
+
+  test("topk is one shuffle plus TakeOrderedAndProject (no sort shuffle)") {
+    val p = plan(NgramOps.topK(docs, "text", n = 3, k = 10, uax29 = false))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("stats reads only the text column") {
+    val p = plan(NgramOps.stats(docs, "text", uax29 = false))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read === Some("text:string"), p)
+  }
+
+  test("decontaminate is an anti join, never a full-corpus shuffle of B") {
+    val b = docs.where(col("source") === "src10")
+    val a = docs.where(col("source") =!= "src10")
+    val p = plan(Dedup.decontaminate(b, md5(col("text")), a, md5(col("text"))))
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("near-dup pipeline: bounded shuffles, inline signatures (no shingle explode shuffle)") {
+    val nd = MinHash.nearDuplicates(docs, "doc_id", "text", threshold = 0.5,
+      w = 5, k = 8, bands = 4, hash = MinHash.xxhashStrategy)
+    // band-bucket agg + pair distinct are the only hash shuffles; the
+    // verification joins must not add more (they broadcast one side)
+    assert(shuffles(nd) <= 3, plan(nd))
+  }
+
+  test("brute-force knn broadcasts queries; only shuffle is the top-k window") {
+    val knn = Similarity.bruteForceKnn(emb, emb.where(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3)
+    val p = plan(knn)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(shuffles(knn) <= 1, p)
+  }
+
+  test("overlap lattice aggregates a bit_or mask, not collect_set, on the big key") {
+    val sets = Dedup.overlapSets(
+      docs.select(col("source"), col("doc_id"), col("text")),
+      md5(col("text")), col("source"), knownSources = Seq("src10", "src11"))
+    val p = plan(sets)
+    assert(p.contains("bit_or"), p)
+    assert(!p.contains("collect_set"), p)
+  }
+}
