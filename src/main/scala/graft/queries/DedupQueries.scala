@@ -55,14 +55,17 @@ object DedupQueries extends QueryPack {
           sum(length(col("text"))).cast("long").as("total_chars"))
     }),
 
+    // hashKeys: the output never contains the shingle itself, so the
+    // 16-byte hashed key is result-identical (the oracle proves it) while
+    // shuffling ~3× less than the raw shingle strings
     "j4_overlap_pairs" -> ((s, dir) =>
       Dedup.overlapMatrix(shingles(s, dir), col("shingle"), col("source"),
-        knownSources = knownSources(s, dir))
+        knownSources = knownSources(s, dir), hashKeys = true)
         .orderBy("ds_a", "ds_b")),
 
     "j4_overlap_sets" -> ((s, dir) =>
       Dedup.overlapSets(shingles(s, dir), col("shingle"), col("source"),
-        knownSources = knownSources(s, dir))
+        knownSources = knownSources(s, dir), hashKeys = true)
         .select(concat_ws(",", col("datasets")).as("datasets"), col("n_keys"))
         .orderBy("datasets")),
 
