@@ -127,6 +127,25 @@ object Analyses {
   def hashSample(df: DataFrame, key: Column, hexCeil: String): DataFrame =
     df.where(substring(md5(key.cast("string")), 1, hexCeil.length) < lit(hexCeil))
 
+  /** Deterministic stratified sampling — the data-mixing primitive: each
+    * stratum keeps rows whose 8-hex md5 prefix falls below
+    * `floor(fraction × 16^8)`, so a mixture spec like
+    * `Map("src1" -> 0.5, "src2" -> 0.1)` reproduces exactly on reruns and
+    * on any engine (no `rand()`). Strata absent from the map keep
+    * `defaultFraction`. One scan, no shuffle.
+    */
+  def hashStratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0): DataFrame = {
+    def ceilOf(f: Double): Long = math.round(f * (1L << 32)).min(1L << 32)
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    val ceilCol = fractions.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (s, f)) =>
+        acc.when(stratum === s, lit(ceilOf(f)))
+      }.otherwise(lit(ceilOf(defaultFraction)))
+    df.where(bucket < ceilCol)
+  }
+
   /** P13: utterance dates — year histogram over the first present date key
     * (reference wimbd/utterance_dates/map_count.py:8-35).
     */

@@ -66,7 +66,16 @@ object AnalysisQueries extends QueryPack {
 
     "p14_sample" -> ((s, dir) =>
       Analyses.hashSample(Tables(s, dir, "documents"), col("doc_id"), "20")
-        .select("doc_id", "lang").orderBy("doc_id"))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // deterministic mixture sampling: per-source keep fractions, md5-bucketed
+    "p15_stratified" -> ((s, dir) =>
+      Analyses.hashStratifiedSample(Tables(s, dir, "documents"), col("doc_id"),
+          col("source"),
+          fractions = Map("src10" -> 0.5, "src11" -> 0.25, "src12" -> 1.0),
+          defaultFraction = 0.05)
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -121,6 +130,18 @@ object AnalysisQueries extends QueryPack {
     "p14_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "p15_stratified" ->
+      s"""WITH b AS (SELECT source,
+         |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+         | FROM documents)
+         |SELECT source, count(*) AS cnt FROM b
+         |WHERE bucket < (CASE source
+         |  WHEN 'src10' THEN ${math.round(0.5 * (1L << 32))}
+         |  WHEN 'src11' THEN ${math.round(0.25 * (1L << 32))}
+         |  WHEN 'src12' THEN ${1L << 32}
+         |  ELSE ${math.round(0.05 * (1L << 32))} END)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
