@@ -48,11 +48,16 @@ object RepetitionKernel {
     m
   }
 
+  /** Code-point count, matching DuckDB/reference `length()` semantics (not
+    * UTF-16 units — astral-plane chars like emoji count once).
+    */
+  private def cp(s: String): Int = s.codePointCount(0, s.length)
+
   def signals(text: UTF8String): ArrayData = {
     val s = text.toString
     val out = new Array[Any](11)
     java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], java.lang.Double.valueOf(0.0))
-    val chars = s.length.toDouble
+    val chars = cp(s).toDouble
     if (chars > 0) {
       // lines
       val lines = s.split("\n", -1)
@@ -61,8 +66,9 @@ object RepetitionKernel {
       var dupLineChars = 0L
       var lineChars = 0L
       for (l <- lines) {
-        lineChars += l.length
-        if (!seen.add(l)) { dupLines += 1; dupLineChars += l.length }
+        val n = cp(l)
+        lineChars += n
+        if (!seen.add(l)) { dupLines += 1; dupLineChars += n }
       }
       out(0) = (dupLines.toDouble / lines.length)
       out(1) = (if (lineChars > 0) dupLineChars.toDouble / lineChars else 0.0)
@@ -82,13 +88,13 @@ object RepetitionKernel {
               bestC = e.getValue; bestG = e.getKey
             }
           }
-          out(n) = (if (bestC > 0) bestC * bestG.length / chars else 0.0)
+          out(n) = (if (bestC > 0) bestC.toLong * cp(bestG) / chars else 0.0)
         } else {
           var dupChars = 0L
           val it = counts.entrySet().iterator()
           while (it.hasNext) {
             val e = it.next()
-            if (e.getValue >= 2) dupChars += e.getValue.toLong * e.getKey.length
+            if (e.getValue >= 2) dupChars += e.getValue.toLong * cp(e.getKey)
           }
           out(n) = (dupChars / chars)
         }

@@ -179,8 +179,13 @@ object Dedup {
     * EDGE list (candidate pairs — a vanishing fraction of the corpus, the
     * same frame LSH verification scored). Convergence is detected by an
     * O(1) checksum aggregate (sum of labels, strictly decreasing until
-    * fixpoint); labels persist between rounds and are unpersisted as soon
-    * as the next round materializes.
+    * fixpoint); each round's checkpoint blocks are released (via the
+    * underlying RDD — `Dataset.unpersist` is a no-op on local checkpoints)
+    * as soon as the next round materializes. If `maxIter` rounds pass
+    * without a fixpoint (graph diameter > maxIter, e.g. a pathological
+    * duplicate chain), falls back to [[connectedComponentsStar]], whose
+    * round count is logarithmic in the longest path — never returns
+    * under-merged labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -207,14 +212,22 @@ object Dedup {
         .localCheckpoint(true)
       val nextSum = next.agg(coalesce(sum("label"), lit(0L)))
         .collect().head.getLong(0)
-      labels.unpersist()
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(labels)
       labels = next
       converged = nextSum == checksum
       checksum = nextSum
       it += 1
     }
     edges.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    if (!converged) {
+      // diameter > maxIter: labels are under-merged — delegate to the
+      // O(log)-round star contraction rather than silently splitting
+      // clusters
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(labels)
+      connectedComponentsStar(pairs)
+    } else {
+      labels.select(col("id"), col("label").as("component"))
+    }
   }
 
   /** O(log n)-round connected components via alternating large-star /
@@ -272,8 +285,8 @@ object Dedup {
         .union(nbrs2.join(m2, "u").select(col("u"), col("m").as("v")))
       val next = ss.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
       val nextSig = checksum(next)
-      edges.unpersist()
-      afterLs.unpersist()
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(edges)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(afterLs)
       edges = next
       converged = nextSig == sig
       sig = nextSig
@@ -287,7 +300,9 @@ object Dedup {
       .groupBy(col("u").as("id")).agg(least(min(col("v")), col("u")).as("component"))
     val out = members.join(labeled, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    edges.unpersist()
+    // the final round's checkpoint blocks back `out` lazily — they cannot
+    // be released here; the ContextCleaner frees them once `out`'s plan is
+    // garbage-collected
     out
   }
 

@@ -162,8 +162,17 @@ object MinHash {
     * one per-id array, and intersected INLINE per pair — two broadcast-able
     * joins and one bounded `array_intersect` instead of the exploded
     * intersection join + three size joins that formulation needs.
+    *
+    * The per-id set frame is persisted internally (it feeds BOTH join arms).
+    * Because the result is lazy, it cannot be unpersisted here; pass
+    * `cacheHandle` to receive the persisted frame and `unpersist()` it once
+    * the result has been consumed — otherwise the (pair-bounded, small)
+    * cached blocks live until session end. Long-lived sessions scoring many
+    * pair batches should prefer [[jaccardFromArrays]] over a caller-managed
+    * [[shingleArrays]] frame, as [[nearDuplicates]] does.
     */
-  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+  def jaccard(pairs: DataFrame, shingles: DataFrame,
+              cacheHandle: Option[DataFrame => Unit] = None): DataFrame = {
     val ids = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     // consumed by BOTH the id_a and id_b joins — persist the (small, pair-
@@ -171,6 +180,7 @@ object MinHash {
     val sets = shingles.join(ids, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_set(col("s")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheHandle.foreach(_(sets))
     jaccardFromArrays(pairs, sets, keepZero = true)
   }
 

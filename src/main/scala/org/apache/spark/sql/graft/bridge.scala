@@ -12,4 +12,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the storage blocks behind an eagerly `localCheckpoint`-ed
+    * Dataset. `Dataset.unpersist()` is a no-op there — the checkpoint RDD's
+    * blocks are not registered with the cache manager — so iterative
+    * algorithms (connected components et al.) that checkpoint every round
+    * would otherwise hold every round's blocks until GC. Only call once the
+    * Dataset (and everything derived from it lazily) is no longer needed:
+    * a local checkpoint cannot be recomputed after its blocks are dropped.
+    * Returns false when the plan is not a materialized checkpoint/RDD scan.
+    */
+  def releaseLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Boolean =
+    ds match {
+      case c: org.apache.spark.sql.classic.Dataset[_] =>
+        c.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+            true
+          case _ => false
+        }
+      case _ => false
+    }
 }

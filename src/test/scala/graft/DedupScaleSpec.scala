@@ -140,6 +140,19 @@ class DedupScaleSpec extends SparkTestBase {
     assert(d3.getDouble(d3.fieldIndex("dup5gram_char_frac")) === math.rint(36.0 / 23 * 1e6) / 1e6)
   }
 
+  test("repetition signals count code points, not UTF-16 units") {
+    import spark.implicits._
+    // astral-plane doc: three identical two-emoji tokens. Code points: 8
+    // (6 emoji + 2 spaces); UTF-16 units would be 14. Both 2-gram windows
+    // are "😀😀 😀😀" (count 2, 5 code points): top2 = 2*5/8 = 1.25 —
+    // UTF-16 accounting would give 2*8/14 ≈ 1.143, so this pins the
+    // DuckDB/length() code-point contract.
+    val docs = Seq((1L, "😀😀 😀😀 😀😀")).toDF("doc_id", "text")
+    val r = graft.operators.TextQuality.repetitionSignals(docs, "doc_id", "text")
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("top2gram_char_frac")) === 1.25)
+  }
+
   test("c4 line filters: crafted doc with known fractions") {
     import spark.implicits._
     val docs = Seq(
@@ -159,6 +172,18 @@ class DedupScaleSpec extends SparkTestBase {
       TextQuality.qualityFeatures(docs, "doc_id", "text")).select("quality")
       .collect().map(_.getDouble(0))
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("connected components fall back to star contraction past maxIter") {
+    import spark.implicits._
+    // a 30-node chain needs ~29 min-propagation rounds; with maxIter=3 the
+    // propagation loop cannot converge and must delegate to the star
+    // variant instead of returning under-merged labels
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 30)
+    assert(cc.values.forall(_ == 1L))
   }
 
   test("connected components label every member with the cluster min id") {
