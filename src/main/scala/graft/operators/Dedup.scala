@@ -328,4 +328,88 @@ object Dedup {
         .when(p.isin("ffd", "ffc"), "valid")
         .otherwise("train"))
   }
+
+  // ---- sub-document dedup: spans and units --------------------------------
+
+  /** Cross-document duplicated-span statistics — the token-granularity
+    * analogue of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for each
+    * document, how many of its sliding k-token windows also occur in at
+    * least one OTHER document, and what fraction of the document that is.
+    * Documents shorter than k tokens produce no spans and are absent from
+    * the output (they have no window to judge).
+    *
+    * Scale shape: one explode (~|tokens| rows/doc, no shuffle), one
+    * hash-aggregate keyed on the span (`hash` defaults to 64-bit xxhash64 so
+    * the shuffle moves 8-byte keys, not k-token strings; pass `identity`
+    * only for oracle-exact runs), where cross-doc occurrence is detected by
+    * `min(id) != max(id)` — plain codegen min/max, no count-distinct
+    * expansion. The shared-span list is a vanishing fraction of spans, so
+    * AQE broadcasts it for the flag join; one final groupBy(doc).
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int,
+                         hash: Column => Column = c => xxhash64(c)): DataFrame = {
+    val spans = docs
+      .select(col(idCol), explode(
+        graft.functions.TextFunctions.ngrams(split(col(textCol), " "), k)).as("__span"))
+      .select(col(idCol), hash(col("__span")).as("__h"))
+    val shared = spans
+      .groupBy("__h").agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select(col("__h"), lit(1L).as("__dup"))
+    spans.join(shared, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        coalesce(sum("__dup"), lit(0L)).cast("long").as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  /** Paragraph units: posexploded spans split on `sepRegex` (default:
+    * blank-line paragraphs). Output `(id, idx, unit)` — feed
+    * [[unitDedupStats]] or [[markFirstUnits]].
+    */
+  def splitUnits(docs: DataFrame, idCol: String, textCol: String,
+                 sepRegex: String = "\n\n+"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("idx", "unit")))
+      .where(length(col("unit")) > 0)
+
+  /** Non-overlapping b-token block units for corpora without paragraph
+    * structure (single-line web text): block i covers tokens [i*b, i*b+b).
+    * The trailing partial block is kept. Output `(id, idx, unit)`.
+    */
+  def tokenBlocks(docs: DataFrame, idCol: String, textCol: String,
+                  b: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val blocks = transform(
+      sequence(lit(0), floor((size(toks) - lit(1)) / lit(b)).cast("int")),
+      i => concat_ws(" ", slice(toks, i * lit(b) + lit(1), lit(b))))
+    docs.where(size(toks) > 0)
+      .select(col(idCol).as("id"), posexplode(blocks).as(Seq("idx", "unit")))
+  }
+
+  /** Per-unit keep-first flag over a `(id, idx, unit)` frame — the
+    * paragraph-level exact dedup of Dolma/CCNet-style pipelines (the
+    * reference's J2 keep-first at sub-document granularity): the first
+    * occurrence of each unit content hash in (id, idx) order is kept, every
+    * later copy is marked duplicate. One shuffle keyed on the content hash.
+    */
+  def markFirstUnits(units: DataFrame): DataFrame =
+    markFirst(units, md5(col("unit")), Seq(col("id"), col("idx")))
+
+  /** Per-document unit-dedup statistics: unit count, how many units are
+    * non-first duplicates of a unit seen earlier in the corpus scan order,
+    * and the duplicated fraction — the decision signal for paragraph-level
+    * dedup ("drop docs that are mostly boilerplate", or rewrite docs
+    * keeping first occurrences only).
+    */
+  def unitDedupStats(units: DataFrame): DataFrame =
+    markFirstUnits(units)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_units"),
+        sum(when(col("is_first"), 0L).otherwise(1L)).cast("long").as("n_dup_units"))
+      .withColumn("dup_unit_frac",
+        round(col("n_dup_units").cast("double") / col("n_units"), 6))
 }

@@ -119,4 +119,36 @@ object TextQuality {
         org.apache.spark.sql.graft.Bridge.expression(toks), k, w))
     df.select(col(idCol), coalesce(fps, array().cast("array<long>")).as("fingerprints"))
   }
+
+  /** Corpus-trained unigram language-model score per document: the mean
+    * natural-log probability of the document's tokens under the corpus's
+    * own unigram distribution — the cheap, fully-exact stand-in for the
+    * KenLM-perplexity quality filters of CCNet/RedPajama (low avg_logp =
+    * rare-token-heavy = boilerplate/garbage candidate; high = common-token
+    * soup). No smoothing needed: every scored token is in the vocabulary by
+    * construction when `lm` is trained on the same corpus.
+    *
+    * Scale shape: token counts are one hash-aggregate keyed on the token;
+    * scoring joins the exploded corpus to that count table on the token —
+    * web-scale vocabularies are Zipf-bounded (≪ corpus size), so AQE
+    * broadcasts small ones and shuffle-joins the rest without skew (token
+    * frequency skew lives in the VALUES, not the join key multiplicity, and
+    * the count side is distinct-keyed). Train once with [[unigramCounts]]
+    * and reuse across corpora to score B under A's model.
+    */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     lm: Option[DataFrame] = None): DataFrame = {
+    val counts = lm.getOrElse(unigramCounts(docs, textCol))
+    val total = counts.agg(sum("c").cast("double").as("n"))
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    toks.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n"))), 6).as("avg_logp"))
+  }
 }

@@ -102,7 +102,29 @@ object DedupScaleQueries extends QueryPack {
     "t_token_bpe" -> ((s, dir) =>
       docs(s, dir).groupBy("lang")
         .agg(sum(TextQuality.bpeTokenCount(col("text"))).as("n_bpe_tokens"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // token-granularity substring dedup (Lee et al. 2022): per doc, the
+    // fraction of its 5-token windows that also occur in another doc.
+    // Oracle run keys the shuffle on raw span strings so DuckDB can replay
+    // it; production default hashes spans to 8-byte keys first.
+    "d_dup_spans" -> ((s, dir) =>
+      graft.operators.Dedup.duplicateSpanStats(docs(s, dir), "doc_id", "text",
+        k = 5, hash = c => c).orderBy("doc_id")),
+
+    // Dolma-style paragraph keep-first dedup over 10-token block units
+    // (the synthetic docs are single-line, so blocks stand in for
+    // paragraphs; splitUnits covers corpora with real "\n\n" structure)
+    "d_para_keepfirst" -> ((s, dir) =>
+      graft.operators.Dedup.unitDedupStats(
+        graft.operators.Dedup.tokenBlocks(docs(s, dir), "doc_id", "text", b = 10))
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    // CCNet/RedPajama-style LM quality proxy: mean log-prob under the
+    // corpus's own unigram distribution
+    "t_unigram_lm" -> ((s, dir) =>
+      TextQuality.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // ---- repetition-signal oracle fragments (Gopher filters) ----
@@ -253,6 +275,37 @@ object DedupScaleQueries extends QueryPack {
 
     "t_token_bpe" ->
       """SELECT lang, CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d_dup_spans" ->
+      """WITH w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+        |  i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS s
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |g AS (SELECT s FROM w GROUP BY s HAVING min(doc_id) <> max(doc_id))
+        |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        | CAST(sum(CASE WHEN g.s IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_spans,
+        | round(CAST(sum(CASE WHEN g.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS dup_span_frac
+        |FROM w LEFT JOIN g ON g.s = w.s
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    "d_para_keepfirst" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, unnest(list_transform(generate_series(0, (len(t) - 1) // 10),
+        |  i -> {'idx': i, 'unit': array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')})) AS s
+        | FROM t WHERE len(t) > 0),
+        |m AS (SELECT doc_id, row_number() OVER (PARTITION BY md5(s.unit) ORDER BY doc_id, s.idx) AS rn FROM u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+        | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_units,
+        | round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_unit_frac
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logp
+        |FROM tok JOIN cnt ON cnt.w = tok.w CROSS JOIN tot
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
   )
 }

@@ -174,6 +174,56 @@ class DedupScaleSpec extends SparkTestBase {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("duplicate span stats count cross-doc k-token windows") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),   // 2-token windows: ab bc cd de ef
+      (2L, "x y c d z"),     // xy yc cd dz — shares "c d" with doc 1
+      (3L, "q")              // shorter than k → no spans, absent
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.duplicateSpanStats(d, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((5L, 1L)), 2L -> ((4L, 1L))))
+    // hashed production path agrees with the raw-string path
+    val raw = graft.operators.Dedup.duplicateSpanStats(d, "doc_id", "text", k = 2,
+      hash = c => c).collect().map(_.toSeq).toSet
+    val hashed = graft.operators.Dedup.duplicateSpanStats(d, "doc_id", "text", k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(raw === hashed)
+  }
+
+  test("token-block unit dedup keeps first occurrences") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),       // blocks(b=2): "a b", "c d"
+      (2L, "c d a b e"),     // blocks: "c d", "a b", "e" — both dups of doc 1
+      (3L, "e f")            // "e f" ≠ "e": unique
+    ).toDF("doc_id", "text")
+    val units = graft.operators.Dedup.tokenBlocks(d, "doc_id", "text", b = 2)
+    assert(units.where($"id" === 2L).orderBy("idx").collect().map(_.getString(2)).toSeq
+      === Seq("c d", "a b", "e"))
+    val got = graft.operators.Dedup.unitDedupStats(units)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 0L)), 2L -> ((3L, 2L)), 3L -> ((1L, 0L))))
+  }
+
+  test("unigram log-prob matches hand computation") {
+    import spark.implicits._
+    // corpus: tokens a a a b — p(a)=3/4, p(b)=1/4
+    val d = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = graft.operators.TextQuality.unigramLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - math.log(0.75)) < 1e-6)
+    assert(math.abs(got(2L)._2 - math.log(0.25)) < 1e-6)
+    // scoring corpus B under corpus A's model: OOV tokens are dropped
+    val lm = graft.operators.TextQuality.unigramCounts(d, "text")
+    val b = Seq((9L, "a zzz")).toDF("doc_id", "text")
+    val under = graft.operators.TextQuality.unigramLogProb(b, "doc_id", "text", Some(lm))
+      .collect().head
+    assert(under.getLong(1) === 1L) // only "a" is in-vocab
+  }
+
   test("connected components fall back to star contraction past maxIter") {
     import spark.implicits._
     // a 30-node chain needs ~29 min-propagation rounds; with maxIter=3 the
