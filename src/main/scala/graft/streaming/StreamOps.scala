@@ -169,4 +169,40 @@ object StreamOps {
     }
     withWm.drop("__h")
   }
+
+  /** Streaming decontamination — the incremental twin of
+    * Dedup.decontaminate (J3): drop every incoming document whose text hash
+    * appears in the static benchmark blocklist, via a stateless
+    * stream-static left-anti join (the blocklist is a batch frame, loaded
+    * once per micro-batch plan; small lists broadcast). The ingest-time
+    * guard a training pipeline puts in front of the corpus store.
+    *
+    * `blocklist` must expose the hash column named `h` (the
+    * Dedup.duplicateHashes / textHash convention).
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          blocklist: DataFrame): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .join(blocklist.select(col("h").as("__block_h")).distinct(),
+        col("__h") === col("__block_h"), "left_anti")
+      .drop("__h")
+
+  /** Streaming contamination-rate monitor — the incremental twin of A12:
+    * per event-time tumbling window, the fraction of documents whose hash
+    * hits the static blocklist. Stream-static left join to flag, then a
+    * watermarked windowed average.
+    */
+  def contaminationRateStream(docs: DataFrame, textCol: String, tsCol: String,
+                              blocklist: DataFrame,
+                              windowLen: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .join(blocklist.select(col("h").as("__block_h"), lit(1).as("__hit")).distinct(),
+        col("__h") === col("__block_h"), "left")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(coalesce(col("__hit"), lit(0))), 6).as("contaminated_frac"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_docs"), col("contaminated_frac"))
 }

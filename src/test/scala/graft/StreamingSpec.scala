@@ -98,4 +98,39 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(kept === Set(1L, 2L, 5L))
   }
+
+  test("streaming decontamination drops blocklisted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val block = Seq("bench question one", "bench question two").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("h"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), "text", block)
+      .writeStream.format("memory").queryName("decon").outputMode(OutputMode.Append).start()
+    input.addData((1L, "clean doc"), (2L, "bench question one"))
+    q.processAllAvailable()
+    input.addData((3L, "bench question two"), (4L, "another clean"))
+    q.processAllAvailable()
+    val kept = spark.table("decon").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("streaming contamination rate per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val block = Seq("bad").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("h"))
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.contaminationRateStream(
+        input.toDF().toDF("ts", "text"), "text", "ts", block, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("crate").outputMode(OutputMode.Append).start()
+    input.addData((ts(10), "bad"), (ts(20), "good"), (ts(30), "fine"), (ts(40), "bad"))
+    q.processAllAvailable()
+    input.addData((ts(500), "later")) // close window 0
+    q.processAllAvailable()
+    val rows = spark.table("crate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains(("1970-01-01 00:00:00", 4L, 0.5)))
+  }
 }
