@@ -366,6 +366,41 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** GPT-3-style n-gram contamination of an evaluation corpus against a
+    * training corpus: for each test document, the fraction of its DISTINCT
+    * n-token spans that occur anywhere in the training corpus — the span-
+    * level contamination metric next to A12's exact-phrase-hit rate (a doc
+    * can be 0% exact-phrase contaminated yet 90% span-overlapped).
+    *
+    * Scale shape: both corpora explode to spans hashed to 8-byte keys
+    * (`hash` defaults to xxhash64; pass identity for oracle-exact runs).
+    * The test side (a benchmark) is tiny, so its distinct hash set
+    * broadcasts for a left-semi probe of the training spans — the 100 TB
+    * train side is scanned once and never shuffled on the span; the
+    * surviving hit set is benchmark-bounded and broadcasts back for the
+    * per-doc flag join.
+    */
+  def ngramContamination(train: DataFrame, trainTextCol: String,
+                         test: DataFrame, idCol: String, testTextCol: String,
+                         n: Int,
+                         hash: Column => Column = c => xxhash64(c)): DataFrame = {
+    def spans(df: DataFrame, textCol: String, extra: Seq[Column]): DataFrame =
+      df.select(extra :+ explode(
+          graft.functions.TextFunctions.ngrams(split(col(textCol), " "), n)).as("__s"): _*)
+        .select(extra :+ hash(col("__s")).as("__h"): _*)
+    val testSpans = spans(test, testTextCol, Seq(col(idCol))).distinct()
+    val trainSpans = spans(train, trainTextCol, Nil)
+    val hits = trainSpans
+      .join(testSpans.select("__h").distinct(), Seq("__h"), "left_semi")
+      .distinct().withColumn("__hit", lit(1L))
+    testSpans.join(hits, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_ngrams"),
+        coalesce(sum("__hit"), lit(0L)).cast("long").as("n_hit"))
+      .withColumn("contaminated_frac",
+        round(col("n_hit").cast("double") / col("n_ngrams"), 6))
+  }
+
   /** Paragraph units: posexploded spans split on `sepRegex` (default:
     * blank-line paragraphs). Output `(id, idx, unit)` — feed
     * [[unitDedupStats]] or [[markFirstUnits]].

@@ -175,6 +175,33 @@ object NgramOps {
         sum("chars").as("total_chars"), max("toks").as("max_tokens"),
         min("toks").as("min_tokens"))
 
+  /** Zipf rank-frequency fit over the unigram distribution: least-squares
+    * slope of ln(count) on ln(rank) — the corpus-level power-law statistic
+    * reported alongside WIMBD-style summary stats (natural text ≈ -1;
+    * boilerplate-heavy or templated corpora flatten it). Returned slope is
+    * negative. The (rank, count) pair multiset is invariant under tie
+    * permutations (equal counts swap equal y values between x positions),
+    * so the fit is deterministic.
+    *
+    * Scale shape: one hash-aggregate for counts; the rank window runs over
+    * the VOCABULARY (Zipf-bounded, orders of magnitude below corpus size) —
+    * cap with `topV` when even the vocab is huge (rank is a global
+    * row_number, so the window sorts vocab-sized data).
+    */
+  def zipfStats(docs: DataFrame, textCol: String, topV: Int = 0,
+                uax29: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol), uax29)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked0 = counts.withColumn("r",
+      row_number().over(Window.orderBy(desc("c"), asc("w"))))
+    val ranked = if (topV > 0) ranked0.where(col("r") <= topV) else ranked0
+    ranked.select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("long").as("n_vocab"),
+        round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6).as("zipf_slope"))
+  }
+
   /** stats doc pointers: the argmax/argmin documents by token count with ties
     * kept (reference src/cmd/stats.rs:89-135 keeps lists of ties).
     */

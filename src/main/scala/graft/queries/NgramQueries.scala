@@ -59,6 +59,21 @@ object NgramQueries extends QueryPack {
         count(lit(1)).as("uniq_total"))
     }),
 
+    // corpus power-law statistic: least-squares slope of ln(freq) vs
+    // ln(rank) over the unigram distribution
+    "a13_zipf" -> ((s, dir) =>
+      NgramOps.zipfStats(Tables(s, dir, "documents"), "text", uax29 = false)),
+
+    // GPT-3-style span contamination: held-out docs (doc_id % 10 = 0)
+    // scored against the rest of the corpus as "training" data
+    "a14_ngram_contamination" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      graft.operators.Dedup.ngramContamination(
+        d.where(col("doc_id") % 10 =!= 0), "text",
+        d.where(col("doc_id") % 10 === 0), "doc_id", "text",
+        n = 3, hash = c => c).orderBy("doc_id")
+    }),
+
     "p10_length_hist" -> ((s, dir) =>
       // both histograms in one corpus pass: each doc emits a (dim, value)
       // pair per dimension
@@ -134,6 +149,30 @@ object NgramQueries extends QueryPack {
         | count(CASE WHEN c > 1 THEN 1 END) AS uniq_duplicates,
         | count(*) AS uniq_total
         |FROM hc""".stripMargin,
+
+    "a13_zipf" ->
+      """WITH cnt AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        | round(covar_pop(ln(CAST(r AS DOUBLE)), ln(CAST(c AS DOUBLE)))
+        |   / var_pop(ln(CAST(r AS DOUBLE))), 6) AS zipf_slope
+        |FROM rk""".stripMargin,
+
+    "a14_ngram_contamination" ->
+      """WITH tr AS (SELECT DISTINCT s FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+        |   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 10 <> 0))),
+        |te AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 10 = 0)))
+        |SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        | CAST(sum(CASE WHEN tr.s IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+        | round(CAST(sum(CASE WHEN tr.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS contaminated_frac
+        |FROM te LEFT JOIN tr ON tr.s = te.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
 
     "p10_length_hist" ->
       """SELECT dim, value, count(*) AS cnt FROM (

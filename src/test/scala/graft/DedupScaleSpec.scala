@@ -207,6 +207,42 @@ class DedupScaleSpec extends SparkTestBase {
     assert(got === Map(1L -> ((2L, 0L)), 2L -> ((3L, 2L)), 3L -> ((1L, 0L))))
   }
 
+  test("ngram contamination scores test docs against a train corpus") {
+    import spark.implicits._
+    val train = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "a b c x"),   // distinct 2-grams: ab bc cx → 2 of 3 in train
+      (2L, "z z z")      // zz (distinct) → 0 of 1
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.ngramContamination(
+        train, "text", test, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((3L, 2L)), 2L -> ((1L, 0L))))
+    // raw-string and hashed paths agree
+    val raw = graft.operators.Dedup.ngramContamination(
+      train, "text", test, "doc_id", "text", n = 2, hash = c => c)
+      .collect().map(_.toSeq).toSet
+    assert(raw === graft.operators.Dedup.ngramContamination(
+      train, "text", test, "doc_id", "text", n = 2).collect().map(_.toSeq).toSet)
+  }
+
+  test("zipf slope is exact on a constructed power law") {
+    import spark.implicits._
+    // counts 8,4,2,1 at ranks 1..4: ln c = ln 8 - ln 2 * log2 r only for
+    // r ∈ {1,2,4}; rank 3 (count 2) deviates — compute expected slope
+    // directly from the closed-form least squares over the 4 points
+    val words = Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++ Seq.fill(2)("w3") ++ Seq("w4")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = graft.operators.NgramOps.zipfStats(docs, "text").collect().head
+    assert(r.getLong(0) === 4L)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 4; val my = ys.sum / 4
+    val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6)
+  }
+
   test("unigram log-prob matches hand computation") {
     import spark.implicits._
     // corpus: tokens a a a b — p(a)=3/4, p(b)=1/4
