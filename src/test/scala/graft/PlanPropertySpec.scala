@@ -56,6 +56,30 @@ class PlanPropertySpec extends SparkTestBase {
     assert(shuffles(knn) <= 1, p)
   }
 
+  test("duplicate-span stats shuffle 8-byte hashed keys, not span strings") {
+    val d = Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 5)
+    val p = plan(d)
+    // the span-keyed exchanges must partition on the xxhash64 value
+    assert(p.contains("xxhash64"), p)
+    assert(shuffles(d) <= 3, p)
+  }
+
+  test("ngram contamination never shuffles the train side on the span") {
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val test_ = docs.where(col("doc_id") % 10 === 0)
+    val c = Dedup.ngramContamination(train, "text", test_, "doc_id", "text", n = 3)
+    val p = plan(c)
+    // test-side hash set broadcasts into the semi probe of train spans
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("unigram LM scoring reads only text and joins on the token") {
+    val lm = graft.operators.TextQuality.unigramLogProb(docs, "doc_id", "text")
+    val p = plan(lm)
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(reads.forall(r => r == "text:string" || r == "doc_id:bigint,text:string"), p)
+  }
+
   test("overlap lattice aggregates a bit_or mask, not collect_set, on the big key") {
     val sets = Dedup.overlapSets(
       docs.select(col("source"), col("doc_id"), col("text")),
