@@ -146,6 +146,45 @@ object Analyses {
     df.where(bucket < ceilCol)
   }
 
+  /** Data-mixing planner: given target mixture WEIGHTS per source and a
+    * total token budget, derive what each source can contribute and the
+    * deterministic per-source sampling fraction that realizes the mixture —
+    * the DoReMi/Pile-style "mixture spec → sampling plan" step in front of
+    * [[hashStratifiedSample]]. Per source: available tokens, target tokens
+    * (= weight × budget), and `fraction = min(1, target/available)`
+    * (sources too small to meet their target are taken whole — upweighting
+    * by repetition is a policy decision left to the caller).
+    *
+    * One scan + one tiny per-source aggregate; the plan is O(|sources|).
+    */
+  def mixturePlan(df: DataFrame, stratum: Column, textCol: String,
+                  weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    val wCol = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0.0))) { case (acc, (s, w)) =>
+        acc.when(col("source") === s, lit(w))
+      }.otherwise(lit(0.0))
+    df.select(stratum.as("source"),
+        size(split(col(textCol), " ")).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("available_tokens"))
+      .withColumn("target_tokens",
+        round(wCol * tokenBudget).cast("long"))
+      .withColumn("fraction",
+        round(least(lit(1.0), col("target_tokens") / col("available_tokens")), 6))
+  }
+
+  /** Execute a [[mixturePlan]]: collect the (O(|sources|)) plan to the
+    * driver and stratified-sample with its fractions — rerun-reproducible
+    * end-to-end. Sources with weight 0 are dropped.
+    */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column, textCol: String,
+                    weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    val plan = mixturePlan(df, stratum, textCol, weights, tokenBudget)
+      .select("source", "fraction").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    hashStratifiedSample(df, key, stratum, plan, defaultFraction = 0.0)
+  }
+
   /** P13: utterance dates — year histogram over the first present date key
     * (reference wimbd/utterance_dates/map_count.py:8-35).
     */

@@ -75,7 +75,14 @@ object AnalysisQueries extends QueryPack {
           fractions = Map("src10" -> 0.5, "src11" -> 0.25, "src12" -> 1.0),
           defaultFraction = 0.05)
         .groupBy("source").agg(count(lit(1)).as("cnt"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // mixture spec → sampling plan: per-source availability, token targets
+    // and the deterministic fraction that realizes the mixture
+    "p16_mixture_plan" -> ((s, dir) =>
+      Analyses.mixturePlan(Tables(s, dir, "documents"), col("source"), "text",
+        weights = Map("src10" -> 0.6, "src11" -> 0.3, "src12" -> 0.1),
+        tokenBudget = 10000L).orderBy("source"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -142,6 +149,17 @@ object AnalysisQueries extends QueryPack {
          |  WHEN 'src11' THEN ${math.round(0.25 * (1L << 32))}
          |  WHEN 'src12' THEN ${1L << 32}
          |  ELSE ${math.round(0.05 * (1L << 32))} END)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p16_mixture_plan" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+        | FROM documents GROUP BY source),
+        |p AS (SELECT *, CAST(round((CASE source WHEN 'src10' THEN 0.6
+        |  WHEN 'src11' THEN 0.3 WHEN 'src12' THEN 0.1 ELSE 0.0 END) * 10000) AS BIGINT)
+        |  AS target_tokens FROM a)
+        |SELECT source, n_docs, available_tokens, target_tokens,
+        | round(LEAST(1.0, target_tokens / available_tokens), 6) AS fraction
+        |FROM p ORDER BY source""".stripMargin
   )
 }

@@ -63,4 +63,24 @@ class MiscOpsSpec extends SparkTestBase {
     // doc 3 is cut (prior=3)
     assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
   }
+
+  test("mixture plan derives min(1, target/available); sample is deterministic") {
+    import graft.operators.Analyses
+    // srcA: 4 docs × 2 tokens = 8 available; srcB: 1 doc × 4 tokens
+    val df = (1L to 4L).map(i => (i, "a b", "srcA")).toSeq
+      .++(Seq((9L, "w x y z", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val plan = Analyses.mixturePlan(df, col("source"), "text",
+        Map("srcA" -> 0.5, "srcB" -> 0.5), tokenBudget = 8L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(plan("srcA") === ((4L, 8L, 4L, 0.5)))
+    assert(plan("srcB") === ((1L, 4L, 4L, 1.0))) // capped at the whole source
+    val s1 = Analyses.mixtureSample(df, col("doc_id"), col("source"), "text",
+      Map("srcA" -> 0.5, "srcB" -> 0.5), 8L).collect().map(_.getLong(0)).toSet
+    val s2 = Analyses.mixtureSample(df, col("doc_id"), col("source"), "text",
+      Map("srcA" -> 0.5, "srcB" -> 0.5), 8L).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)          // rerun-reproducible
+    assert(s1.contains(9L))    // fraction-1.0 source is taken whole
+  }
 }
