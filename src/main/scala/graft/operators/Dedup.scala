@@ -68,6 +68,27 @@ object Dedup {
     b.join(block, bKey === col("__block_h"), "left_anti")
   }
 
+  /** J3 at Bloom scale (the Dolma-pipeline posture): drop every b-doc whose
+    * key MIGHT be in `a`, testing a broadcast Bloom filter built over A's
+    * keys instead of anti-joining. False positives drop extra docs (a
+    * conservative trade every Bloom-dedup pipeline makes — tune `fpp`);
+    * false negatives are impossible, so nothing contaminated survives.
+    *
+    * Scale shape: building the filter is one scan of A with mergeable
+    * partial sketches (no shuffle of A's keys); B is filtered in its scan
+    * stage with ZERO shuffle — where the exact anti join ([[decontaminate]])
+    * shuffles both sides once A outgrows the broadcast threshold. At 1e9
+    * blocklist keys and fpp 1e-2 the bitset is ~1.2 GB — one broadcast per
+    * executor, shared by its cores.
+    */
+  def decontaminateApprox(b: DataFrame, bKey: Column, a: DataFrame, aKey: Column,
+                          expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = a.stat.bloomFilter(aKey.cast("string"), expectedItems, fpp)
+    val bc = b.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    b.where(!mightContain(bKey.cast("string")))
+  }
+
   /** Per-key dataset-membership BITMASK counts: `(mask, n_keys)` plus the
     * sorted dataset name table the bits index. The big groupBy(key)
     * aggregates a plain `bit_or(long)` — fully codegen'd HashAggregate,

@@ -207,6 +207,21 @@ class DedupScaleSpec extends SparkTestBase {
     assert(got === Map(1L -> ((2L, 0L)), 2L -> ((3L, 2L)), 3L -> ((1L, 0L))))
   }
 
+  test("bloom decontamination drops all contaminated docs, maybe more") {
+    import spark.implicits._
+    val a = Seq("bench one", "bench two", "bench three").toDF("text")
+    val b = (1L to 50L).map(i => (i, s"clean doc $i")).toSeq
+      .++(Seq((98L, "bench one"), (99L, "bench three"))).toDF("doc_id", "text")
+    val keptApprox = graft.operators.Dedup.decontaminateApprox(
+        b, md5(col("text")), a, md5(col("text")), expectedItems = 10L, fpp = 0.001)
+      .collect().map(_.getLong(0)).toSet
+    val keptExact = graft.operators.Dedup.decontaminate(
+        b, md5(col("text")), a, md5(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(!keptApprox.contains(98L) && !keptApprox.contains(99L)) // no false negatives
+    assert(keptApprox.subsetOf(keptExact)) // FPs only ever drop extra
+  }
+
   test("ngram contamination scores test docs against a train corpus") {
     import spark.implicits._
     val train = Seq((10L, "a b c d e")).toDF("doc_id", "text")
