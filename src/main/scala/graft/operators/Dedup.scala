@@ -422,6 +422,46 @@ object Dedup {
         round(col("n_hit").cast("double") / col("n_ngrams"), 6))
   }
 
+  /** The substring-dedup TRANSFORM completing [[duplicateSpanStats]]'
+    * measurement (Lee et al. 2022 semantics at token granularity): rewrite
+    * each document dropping every token covered by a k-token span whose
+    * content already occurred earlier in the corpus — earlier = smaller
+    * (id, token offset), so exactly one occurrence of each duplicated span
+    * survives corpus-wide. Emits `(id, text_dedup, n_tokens,
+    * n_tokens_kept)`; fully-duplicated documents come out empty (the caller
+    * drops or keeps them — Lee et al. drop).
+    *
+    * Scale shape: one posexplode + one keep-first window keyed on the span
+    * hash (64-bit keys) + one per-doc aggregation collecting only the
+    * DUPLICATE span offsets (bounded by the doc's own token count, and in
+    * healthy corpora a small fraction of it); reconstruction is per-doc
+    * column algebra (positional filter against the offset array) in the
+    * final projection — the corpus text itself is never shuffled, only
+    * (id, offset) pairs of duplicated spans.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val spans = docs.select(col(idCol).as("__id"),
+      posexplode(graft.functions.TextFunctions.ngrams(toks, k)).as(Seq("__idx", "__s")))
+      .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))
+    val w = Window.partitionBy("__h").orderBy(col("__id"), col("__idx"))
+    val dupStarts = spans.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__idx"))).as("__starts"))
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    docs.join(dupStarts, docs(idCol) === dupStarts("__id"), "left")
+      .select(col(idCol),
+        concat_ws(" ",
+          filter(toks, (_, i) =>
+            !exists(starts, s => i >= s && i < s + k))).as("text_dedup"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("n_tokens_kept",
+        when(col("text_dedup") === "", lit(0L))
+          .otherwise(size(split(col("text_dedup"), " ")).cast("long")))
+  }
+
   /** Paragraph units: posexploded spans split on `sepRegex` (default:
     * blank-line paragraphs). Output `(id, idx, unit)` — feed
     * [[unitDedupStats]] or [[markFirstUnits]].

@@ -124,6 +124,12 @@ object DedupScaleQueries extends QueryPack {
     // corpus's own unigram distribution
     "t_unigram_lm" -> ((s, dir) =>
       TextQuality.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // the substring-dedup TRANSFORM: rewrite docs dropping every token
+    // covered by a 5-token span seen earlier in the corpus
+    "d_span_removal" -> ((s, dir) =>
+      graft.operators.Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id"))
   )
 
@@ -298,6 +304,28 @@ object DedupScaleQueries extends QueryPack {
         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_units,
         | round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_unit_frac
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+        |  i -> {'idx': i - 1, 's': array_to_string(list_slice(t, i, i + 4), ' ')})) AS u
+        | FROM toks),
+        |m AS (SELECT doc_id, u.idx AS idx,
+        |  row_number() OVER (PARTITION BY u.s ORDER BY doc_id, u.idx) AS rn FROM w),
+        |cov AS (SELECT DISTINCT m.doc_id, m.idx + gg.g AS i
+        | FROM m, (SELECT unnest(generate_series(0, 4)) AS g) gg WHERE m.rn > 1),
+        |tp AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |   i -> {'i': i - 1, 'tok': t[i]})) AS u FROM toks)),
+        |kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tp
+        | LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i WHERE c.i IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_dedup,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+        | CAST(len(t.t) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept
+        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "t_unigram_lm" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -192,6 +192,22 @@ class DedupScaleSpec extends SparkTestBase {
     assert(raw === hashed)
   }
 
+  test("span removal keeps exactly the first occurrence of duplicated spans") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),    // first occurrence of "a b c" — untouched
+      (2L, "x a b c y"),    // "a b c" covers tokens 1..3 → "x y"
+      (3L, "p q p q p q")   // self-repeat: dup 2-grams cover tokens 2..5
+    ).toDF("doc_id", "text")
+    val k3 = graft.operators.Dedup.removeDuplicateSpans(d.where($"doc_id" <= 2), "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(k3(1L) === (("a b c d e", 5L, 5L)))
+    assert(k3(2L) === (("x y", 5L, 2L)))
+    val k2 = graft.operators.Dedup.removeDuplicateSpans(d.where($"doc_id" === 3), "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(k2(3L) === "p q")
+  }
+
   test("token-block unit dedup keeps first occurrences") {
     import spark.implicits._
     val d = Seq(
