@@ -146,6 +146,23 @@ object Analyses {
     df.where(bucket < ceilCol)
   }
 
+  /** Exact token-length quantiles — the percentile view of P10/P12's
+    * histograms (pipeline length cutoffs are usually specified as "drop
+    * below p1 / above p99"). Spark's `percentile` is an exact sort-based
+    * aggregate with linear interpolation (same contract as DuckDB
+    * quantile_cont / numpy linear); the aggregation state is the value
+    * multiset, so at 100 TB prefer `approx_percentile` with an accuracy
+    * knob — this exact form is for oracle-checkable cutoff derivation.
+    */
+  def lengthQuantiles(df: DataFrame, textCol: String,
+                      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame =
+    df.select(size(split(col(textCol), " ")).cast("double").as("n"))
+      .agg(percentile(col("n"), typedLit(qs)).as("p"))
+      .select(posexplode(col("p")).as(Seq("i", "v")))
+      .select(element_at(typedLit(qs), col("i") + 1).as("q"),
+        round(col("v"), 6).as("value"))
+      .orderBy("q")
+
   /** Data-mixing planner: given target mixture WEIGHTS per source and a
     * total token budget, derive what each source can contribute and the
     * deterministic per-source sampling fraction that realizes the mixture —

@@ -82,7 +82,12 @@ object AnalysisQueries extends QueryPack {
     "p16_mixture_plan" -> ((s, dir) =>
       Analyses.mixturePlan(Tables(s, dir, "documents"), col("source"), "text",
         weights = Map("src10" -> 0.6, "src11" -> 0.3, "src12" -> 0.1),
-        tokenBudget = 10000L).orderBy("source"))
+        tokenBudget = 10000L).orderBy("source")),
+
+    // exact token-length percentiles (the "drop below p1 / above p99"
+    // cutoff derivation next to the p10/p12 histograms)
+    "p17_length_quantiles" -> ((s, dir) =>
+      Analyses.lengthQuantiles(Tables(s, dir, "documents"), "text"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -160,6 +165,12 @@ object AnalysisQueries extends QueryPack {
         |  AS target_tokens FROM a)
         |SELECT source, n_docs, available_tokens, target_tokens,
         | round(LEAST(1.0, target_tokens / available_tokens), 6) AS fraction
-        |FROM p ORDER BY source""".stripMargin
+        |FROM p ORDER BY source""".stripMargin,
+
+    "p17_length_quantiles" ->
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n FROM documents),
+        |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
+        |  unnest(quantile_cont(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS v FROM n)
+        |SELECT q, round(v, 6) AS value FROM q ORDER BY q""".stripMargin
   )
 }
