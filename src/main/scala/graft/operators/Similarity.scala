@@ -71,6 +71,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster with the deterministic IVF assignment, then score pairwise
+    * cosine INSIDE each bucket only — the O(n²) cross-corpus comparison
+    * collapses to Σ b² over bucket sizes, the same blocking trade MinHash
+    * bands make for text.
+    *
+    * Scale shape: one bucket-keyed shuffle for the self-join (both sides
+    * are the SAME exchange, so Spark reuses it); pair volume is bounded per
+    * bucket — size your centroid count so buckets stay ≪ √corpus, and
+    * handle degenerate hot buckets as exact-duplicate classes the way LSH
+    * `maxBucket` does.
+    */
+  def semanticNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, step: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, step)
+    val a = assigned.select(col("bucket"), col(idCol).as("id_a"), col("bv").as("va"))
+    val b = assigned.select(col("bucket"), col(idCol).as("id_b"), col("bv").as("vb"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** SemDeDup end-to-end: keep one representative (minimum id) per
+    * connected cluster of semantic near-dups; unpaired rows pass through.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, step: Int): DataFrame =
+    graft.operators.Dedup.keepClusterRepresentative(df, idCol,
+      semanticNearDuplicates(df, idCol, vecCol, threshold, step))
+
   /** Deterministic IVF index: centroids are the vectors whose id ≡ 0 mod
     * `step` (a deterministic sample — swap in k-means outputs when
     * available); every vector is assigned to its nearest centroid.

@@ -35,6 +35,15 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup: IVF-bucketed pairwise cosine → CC clusters → keep min-id
+    // representative; fully deterministic, so the whole pipeline replays
+    // in SQL
+    "d_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        Tables(s, dir, "embeddings").where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", threshold = 0.35, step = 50)
+        .select("vec_id").orderBy("vec_id")),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -123,6 +132,37 @@ object AnnQueries extends QueryPack {
         | FROM scored)
         |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "d_semantic_dedup" ->
+      """WITH RECURSIVE unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings WHERE vec_id % 2 = 0),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |nd AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        | WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum') > 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+        | UNION SELECT id_b, id_a FROM nd),
+        |reach(id, r) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT u.vec_id FROM unit u LEFT JOIN comp c ON c.id = u.vec_id
+        |WHERE c.id IS NULL OR u.vec_id = c.component
+        |ORDER BY u.vec_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH unit AS (

@@ -91,4 +91,27 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd === Set((0L, 1L)))
   }
+
+  test("semanticDedup keeps one representative per embedding cluster") {
+    import spark.implicits._
+    // cluster A along +x: ids 0,1,2 (near-parallel); cluster B along +z:
+    // ids 3,4 (near-parallel); id 5 along +y is nobody's duplicate
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.05f, 0.0f)),
+      (2L, Array(1.0f, -0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.05f, 0.0f, 1.0f)),
+      (5L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // step > max id ⇒ single bucket (centroid 0): pure pairwise semantics
+    val kept = Similarity.semanticDedup(data, "vec_id", "embedding",
+        threshold = 0.98, step = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L, 5L))
+    val pairs = Similarity.semanticNearDuplicates(data, "vec_id", "embedding",
+        threshold = 0.98, step = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+  }
 }
