@@ -208,6 +208,31 @@ class DedupScaleSpec extends SparkTestBase {
     assert(k2(3L) === "p q")
   }
 
+  test("span removal matches a brute-force reference on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val k = 2
+    val raw = (1L to 12L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(12))("w" + rng.nextInt(4)).mkString(" ")))
+    // brute force: scan docs in (id, offset) order, first occurrence of a
+    // k-window marks it seen; later occurrences cover their tokens
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = raw.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val dupStarts = (0 to toks.length - k).filter { i =>
+        val s = toks.slice(i, i + k).mkString(" ")
+        if (seen.contains(s)) true else { seen += s; false }
+      }
+      val covered = dupStarts.flatMap(s => s until s + k).toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !covered.contains(i) => t }
+      id -> kept.mkString(" ")
+    }.toMap
+    val got = graft.operators.Dedup.removeDuplicateSpans(
+        raw.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+  }
+
   test("token-block unit dedup keeps first occurrences") {
     import spark.implicits._
     val d = Seq(
