@@ -78,15 +78,26 @@ object Similarity {
     * collapses to Σ b² over bucket sizes, the same blocking trade MinHash
     * bands make for text.
     *
-    * Scale shape: one bucket-keyed shuffle for the self-join (both sides
-    * are the SAME exchange, so Spark reuses it); pair volume is bounded per
-    * bucket — size your centroid count so buckets stay ≪ √corpus, and
-    * handle degenerate hot buckets as exact-duplicate classes the way LSH
-    * `maxBucket` does.
+    * Scale shape: the assignment (the IVF index — one broadcast join + one
+    * hash aggregate over the corpus) is materialized ONCE via eager local
+    * checkpoint; Spark does NOT reuse the exchange across self-join arms
+    * with differing projections, so without it the index would compute
+    * once per arm. The self-join then shuffles the (id, unit-vector,
+    * bucket) index on the bucket; pair volume is bounded per bucket — size
+    * the centroid count so buckets stay ≪ √corpus, and handle degenerate
+    * hot buckets as exact-duplicate classes the way LSH `maxBucket` does.
+    * On a cluster where executor loss must be survivable, swap the local
+    * checkpoint for a reliable one (or persist the index table — it is
+    * exactly what an ANN index store would hold).
     */
   def semanticNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                             threshold: Double, step: Int): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, step)
+                             threshold: Double, step: Int): DataFrame =
+    pairsFromAssigned(
+      ivfAssign(df, idCol, vecCol, step).localCheckpoint(true),
+      idCol, threshold)
+
+  private def pairsFromAssigned(assigned: DataFrame, idCol: String,
+                                threshold: Double): DataFrame = {
     val a = assigned.select(col("bucket"), col(idCol).as("id_a"), col("bv").as("va"))
     val b = assigned.select(col("bucket"), col(idCol).as("id_b"), col("bv").as("vb"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
@@ -97,11 +108,18 @@ object Similarity {
 
   /** SemDeDup end-to-end: keep one representative (minimum id) per
     * connected cluster of semantic near-dups; unpaired rows pass through.
+    * The (tiny, candidate-bounded) pair list is materialized eagerly so the
+    * connected-components rounds and the union of its two direction arms
+    * never recompute the bucket join, and the index blocks are released as
+    * soon as the pairs exist.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, step: Int): DataFrame =
-    graft.operators.Dedup.keepClusterRepresentative(df, idCol,
-      semanticNearDuplicates(df, idCol, vecCol, threshold, step))
+                    threshold: Double, step: Int): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, step).localCheckpoint(true)
+    val pairs = pairsFromAssigned(assigned, idCol, threshold).localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(assigned)
+    graft.operators.Dedup.keepClusterRepresentative(df, idCol, pairs)
+  }
 
   /** Deterministic IVF index: centroids are the vectors whose id ≡ 0 mod
     * `step` (a deterministic sample — swap in k-means outputs when
