@@ -210,9 +210,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs
+    // materialize the incoming pair pipeline ONCE: the union's two
+    // direction arms would otherwise each recompute it (candidate
+    // generation is the expensive part for near-dup callers)
+    val base = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
-      .union(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
+      .localCheckpoint(true)
+    val edges = base
+      .union(base.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager localCheckpoint rather than persist: truncates the per-round
@@ -220,6 +225,9 @@ object Dedup {
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .localCheckpoint(true)
+    // the eager aggregation above materialized `edges` into the cache; the
+    // raw pair checkpoint is no longer referenced
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
     // coalesce: an empty pair list (nothing to cluster) sums to NULL
     var checksum = labels.agg(coalesce(sum("label"), lit(0L)))
       .collect().head.getLong(0)
@@ -282,8 +290,12 @@ object Dedup {
     // localCheckpoint truncates it every round (the standard iterative-
     // algorithm posture; swap for reliable checkpoint() on a cluster where
     // executor loss must be survivable)
-    var edges = pairs
+    // one materialization of the incoming pair pipeline: both the edge
+    // seed and the final member list derive from it
+    val base = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .localCheckpoint(true)
+    var edges = base
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -315,8 +327,8 @@ object Dedup {
     }
     // fixpoint: every remaining edge is (node, componentMin); nodes that
     // became isolated on the way ARE their component's min
-    val members = pairs.select(col("id_a").cast("long").as("id"))
-      .union(pairs.select(col("id_b").cast("long").as("id"))).distinct()
+    val members = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct()
     val labeled = undirected(edges)
       .groupBy(col("u").as("id")).agg(least(min(col("v")), col("u")).as("component"))
     val out = members.join(labeled, Seq("id"), "left")
