@@ -120,6 +120,66 @@ object TextQuality {
     df.select(col(idCol), coalesce(fps, array().cast("array<long>")).as("fingerprints"))
   }
 
+  /** The full Gopher quality filter (Rae et al. 2021 §A1.1), end-to-end:
+    * word-count window, mean word length window, alphabetic-word and
+    * stop-word requirements, and every repetition threshold from the paper
+    * (dup-line ≤ .30, dup-line-chars ≤ .20, top-{2,3,4}-gram chars ≤
+    * {.20,.18,.16}, dup-{5..10}-gram chars ≤ {.15,.14,.13,.12,.11,.10}) —
+    * all computed in ONE codegen'd pass per document (the repetition
+    * signals expression + column algebra; no explode, no shuffle, no join).
+    * Returns the inputs' id plus the decision features and a `keep` flag;
+    * filter on it or keep it as an attribute column.
+    *
+    * `mean_word_len` follows [[qualityFeatures]]' convention
+    * (chars-including-separators / words) so the two surfaces threshold
+    * identically.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Long = 50L, maxWords: Long = 100000L,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   minAlphaWordRatio: Double = 0.8, minStopwords: Long = 2L,
+                   stopwords: Seq[String] = defaultStopwords,
+                   topThresholds: Seq[Double] = Seq(0.20, 0.18, 0.16),
+                   dupThresholds: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
+                   maxDupLineFrac: Double = 0.30,
+                   maxDupLineCharFrac: Double = 0.20): DataFrame = {
+    require(topThresholds.size == 3 && dupThresholds.size == 6)
+    val sig = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.RepetitionSignals(
+        org.apache.spark.sql.graft.Bridge.expression(col(textCol))))
+    val toks = split(col(textCol), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    val staged = df.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      round(length(col(textCol)).cast("double") / size(toks), 6).as("mean_word_len"),
+      round(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks), 6)
+        .as("alpha_word_ratio"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stopwords"),
+      sig.as("__sig"))
+    val repNames = Seq("dup_line_frac", "dup_line_char_frac",
+      "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac") ++
+      (5 to 10).map(n => s"dup${n}gram_char_frac")
+    val withRep = staged.select(
+      (col(idCol) +: Seq("n_words", "mean_word_len", "alpha_word_ratio", "n_stopwords")
+        .map(col)) ++
+        repNames.zipWithIndex.map { case (nm, i) =>
+          round(element_at(col("__sig"), i + 1), 6).as(nm)
+        }: _*)
+    val repKeep = (Seq("dup_line_frac" -> maxDupLineFrac,
+        "dup_line_char_frac" -> maxDupLineCharFrac) ++
+      Seq("top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac")
+        .zip(topThresholds) ++
+      (5 to 10).map(n => s"dup${n}gram_char_frac").zip(dupThresholds))
+      .map { case (nm, t) => col(nm) <= t }
+      .reduce(_ && _)
+    withRep.withColumn("keep",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("alpha_word_ratio") >= minAlphaWordRatio &&
+        col("n_stopwords") >= minStopwords &&
+        repKeep)
+  }
+
   /** Corpus-trained unigram language-model score per document: the mean
     * natural-log probability of the document's tokens under the corpus's
     * own unigram distribution — the cheap, fully-exact stand-in for the

@@ -130,6 +130,14 @@ object DedupScaleQueries extends QueryPack {
     // covered by a 5-token span seen earlier in the corpus
     "d_span_removal" -> ((s, dir) =>
       graft.operators.Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id")),
+
+    // the full Gopher §A1.1 quality gate in one pass (repetition columns
+    // themselves are verified by t_repetition; this checks the decision)
+    "t_gopher_filter" -> ((s, dir) =>
+      TextQuality.gopherFilter(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
+          "n_stopwords", "keep")
         .orderBy("doc_id"))
   )
 
@@ -183,8 +191,31 @@ object DedupScaleQueries extends QueryPack {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  private val gopherSql = {
+    val stops = graft.operators.TextQuality.defaultStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH rep AS (SELECT * FROM ($repetitionSql)),
+       |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+       |  round(CAST(length(text) AS DOUBLE) / len(t), 6) AS mean_word_len,
+       |  round(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t), 6) AS alpha_word_ratio,
+       |  CAST(len(list_filter(t, x -> list_contains($stops, x))) AS BIGINT) AS n_stopwords
+       | FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+       |SELECT w.doc_id, w.n_words, w.mean_word_len, w.alpha_word_ratio, w.n_stopwords,
+       | (w.n_words BETWEEN 50 AND 100000 AND w.mean_word_len BETWEEN 3.0 AND 10.0
+       |  AND w.alpha_word_ratio >= 0.8 AND w.n_stopwords >= 2
+       |  AND rep.dup_line_frac <= 0.30 AND rep.dup_line_char_frac <= 0.20
+       |  AND rep.top2gram_char_frac <= 0.20 AND rep.top3gram_char_frac <= 0.18
+       |  AND rep.top4gram_char_frac <= 0.16
+       |  AND rep.dup5gram_char_frac <= 0.15 AND rep.dup6gram_char_frac <= 0.14
+       |  AND rep.dup7gram_char_frac <= 0.13 AND rep.dup8gram_char_frac <= 0.12
+       |  AND rep.dup9gram_char_frac <= 0.11 AND rep.dup10gram_char_frac <= 0.10) AS keep
+       |FROM w JOIN rep ON rep.doc_id = w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "t_repetition" -> repetitionSql,
+    "t_gopher_filter" -> gopherSql,
 
     "t_c4_filters" ->
       """WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents)

@@ -167,6 +167,28 @@ class DedupScaleSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("has_curly_brace"))
   }
 
+  test("gopher filter gates each rule independently") {
+    import spark.implicits._
+    val longOk = (1 to 60).map(i => s"the word${i}").mkString(" ") // 120 words, stopwords, varied
+    val docs = Seq(
+      (1L, longOk),                                    // passes everything
+      (2L, "too short to pass"),                       // < 50 words AND top-gram gate
+      (3L, (1 to 30).map(_ => "the spam spam").mkString(" ")), // repetition gates
+      (4L, (1 to 15).map(i => s"the tok$i").mkString(" "))     // clean but 30 words
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextQuality.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // loosening the word-count floor admits the clean-but-short doc; the
+    // 4-word doc still fails (its count-1 top bigram alone is >20% of its
+    // chars — tiny docs trip the repetition gates, which is why Gopher
+    // pairs them with a word-count floor), as does the spam doc
+    val loose = graft.operators.TextQuality.gopherFilter(docs, "doc_id", "text",
+        minWords = 1L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(loose === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("quality score stays in [0,1]") {
     val q = TextQuality.qualityScore(
       TextQuality.qualityFeatures(docs, "doc_id", "text")).select("quality")
