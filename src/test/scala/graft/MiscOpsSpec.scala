@@ -83,4 +83,18 @@ class MiscOpsSpec extends SparkTestBase {
     assert(s1 === s2)          // rerun-reproducible
     assert(s1.contains(9L))    // fraction-1.0 source is taken whole
   }
+
+  test("Pipeline facade composes gate -> dedup -> decontaminate") {
+    val long = (1 to 60).map(i => s"the tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, long), (2L, long),                 // exact duplicates, pass the gate
+      (3L, "too short")                       // fails the gate
+    ).toDF("doc_id", "text")
+    val gated = graft.Pipeline.gopherGate(docs, "doc_id", "text")
+    assert(gated.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    val deduped = graft.Pipeline.dedupExact(gated, "text", Seq(col("doc_id")))
+    assert(deduped.collect().map(_.getLong(0)).toSet === Set(1L))
+    val bench = Seq(Tuple1(long)).toDF("text")
+    assert(graft.Pipeline.decontaminate(deduped, bench).count() === 0L)
+  }
 }
