@@ -52,6 +52,29 @@ object TextQuality {
       col(textCol).contains("{").as("has_curly_brace"))
   }
 
+  /** The C4 line-level cleaning TRANSFORM (Raffel et al. 2020 §2.2) next to
+    * [[c4LineFilters]]' per-doc heuristics: keep only lines that end in
+    * terminal punctuation, have at least `minLineWords` words, and contain
+    * neither a curly brace nor the word "javascript"; drop the whole
+    * document when it mentions "lorem ipsum" or keeps fewer than
+    * `minLines` lines. Pure column algebra over the split line array — the
+    * rewrite happens in the scan projection, no explode, no shuffle.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minLines: Int = 1): DataFrame = {
+    val kept = filter(split(col(textCol), "\n"), l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= minLineWords &&
+        !l.contains("{") &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol),
+        array_join(kept, "\n").as("text_clean"),
+        size(kept).cast("long").as("n_lines_kept"),
+        lower(col(textCol)).contains("lorem ipsum").as("__lorem"))
+      .where(!col("__lorem") && col("n_lines_kept") >= minLines)
+      .drop("__lorem")
+  }
+
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
                       stopwords: Seq[String] = defaultStopwords): DataFrame = {
     val toks = split(col(textCol), " ")

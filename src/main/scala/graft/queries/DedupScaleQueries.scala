@@ -132,6 +132,15 @@ object DedupScaleQueries extends QueryPack {
       graft.operators.Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", k = 5)
         .orderBy("doc_id")),
 
+    // C4 line-cleaning transform; a third of the synthetic docs get a
+    // terminal period appended so both the keep and drop paths run
+    "t_c4_clean" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(".")))
+          .otherwise(col("text")))
+      TextQuality.c4Clean(d, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // the full Gopher §A1.1 quality gate in one pass (repetition columns
     // themselves are verified by t_repetition; this checks the decision)
     "t_gopher_filter" -> ((s, dir) =>
@@ -216,6 +225,20 @@ object DedupScaleQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "t_repetition" -> repetitionSql,
     "t_gopher_filter" -> gopherSql,
+
+    "t_c4_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || '.' ELSE text END AS text FROM documents),
+        |l AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, chr(10)), x ->
+        |   regexp_matches(x, '[.!?"]$') AND len(string_split(x, ' ')) >= 5
+        |   AND NOT contains(x, '{') AND NOT contains(lower(x), 'javascript')) AS kept
+        | FROM d)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+        | CAST(len(kept) AS BIGINT) AS n_lines_kept
+        |FROM l
+        |WHERE NOT contains(lower(text), 'lorem ipsum') AND len(kept) >= 1
+        |ORDER BY doc_id""".stripMargin,
 
     "t_c4_filters" ->
       """WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents)

@@ -167,6 +167,23 @@ class DedupScaleSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("has_curly_brace"))
   }
 
+  test("c4 clean keeps terminal-punct lines and drops lorem-ipsum docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A good long sentence right here.\nshort.\nno punct at all here\nAnother truly fine long sentence!"),
+      (2L, "contains lorem ipsum filler and a fine long sentence."),
+      (3L, "function() { return js; }.")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextQuality.c4Clean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1: two qualifying lines survive; "short." (<5 words) and the
+    // punctless line are dropped
+    assert(got(1L) ===
+      (("A good long sentence right here.\nAnother truly fine long sentence!", 2L)))
+    assert(!got.contains(2L)) // lorem ipsum ⇒ whole doc dropped
+    assert(!got.contains(3L)) // curly brace line dropped ⇒ no lines left
+  }
+
   test("gopher filter gates each rule independently") {
     import spark.implicits._
     val longOk = (1 to 60).map(i => s"the word${i}").mkString(" ") // 120 words, stopwords, varied
