@@ -364,6 +364,13 @@ object Dedup {
 
   // ---- sub-document dedup: spans and units --------------------------------
 
+  /** Tokenization for span operators: whitespace split (oracle-matching
+    * default) or the UAX-29 tokenizer the n-gram commands use.
+    */
+  private def spanTokens(textCol: String, uax29: Boolean): Column =
+    if (uax29) graft.functions.TextFunctions.tokenize(col(textCol))
+    else split(col(textCol), " ")
+
   /** Cross-document duplicated-span statistics — the token-granularity
     * analogue of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): for each
@@ -382,10 +389,11 @@ object Dedup {
     */
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
                          k: Int,
-                         hash: Column => Column = c => xxhash64(c)): DataFrame = {
+                         hash: Column => Column = c => xxhash64(c),
+                         uax29: Boolean = false): DataFrame = {
     val spans = docs
       .select(col(idCol), explode(
-        graft.functions.TextFunctions.ngrams(split(col(textCol), " "), k)).as("__span"))
+        graft.functions.TextFunctions.ngrams(spanTokens(textCol, uax29), k)).as("__span"))
       .select(col(idCol), hash(col("__span")).as("__h"))
     val shared = spans
       .groupBy("__h").agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
@@ -416,10 +424,11 @@ object Dedup {
   def ngramContamination(train: DataFrame, trainTextCol: String,
                          test: DataFrame, idCol: String, testTextCol: String,
                          n: Int,
-                         hash: Column => Column = c => xxhash64(c)): DataFrame = {
+                         hash: Column => Column = c => xxhash64(c),
+                         uax29: Boolean = false): DataFrame = {
     def spans(df: DataFrame, textCol: String, extra: Seq[Column]): DataFrame =
       df.select(extra :+ explode(
-          graft.functions.TextFunctions.ngrams(split(col(textCol), " "), n)).as("__s"): _*)
+          graft.functions.TextFunctions.ngrams(spanTokens(textCol, uax29), n)).as("__s"): _*)
         .select(extra :+ hash(col("__s")).as("__h"): _*)
     val testSpans = spans(test, testTextCol, Seq(col(idCol))).distinct()
     val trainSpans = spans(train, trainTextCol, Nil)
@@ -452,8 +461,8 @@ object Dedup {
     * (id, offset) pairs of duplicated spans.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+                           k: Int, uax29: Boolean = false): DataFrame = {
+    val toks = spanTokens(textCol, uax29)
     val spans = docs.select(col(idCol).as("__id"),
       posexplode(graft.functions.TextFunctions.ngrams(toks, k)).as(Seq("__idx", "__s")))
       .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))

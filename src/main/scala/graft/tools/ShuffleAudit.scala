@@ -44,7 +44,9 @@ object ShuffleAudit {
       else Seq("a6_topk_3gram", "a7_botk_2gram", "a8_unique_ngrams",
         "d_minhash_neardup", "d_cc_clusters", "j2_keep_first",
         "j4_overlap_pairs", "q3_join", "p4_psl_full", "ann_topk_cosine",
-        "w_tumble_hour", "e3_per_phrase")
+        "w_tumble_hour", "e3_per_phrase", "d_dup_spans", "d_span_removal",
+        "d_semantic_dedup", "t_unigram_lm", "a14_ngram_contamination",
+        "t_gopher_filter")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

@@ -272,6 +272,20 @@ class DedupScaleSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("span operators accept the UAX-29 tokenizer") {
+    import spark.implicits._
+    // whitespace split sees "end." / "end" as different tokens; UAX-29
+    // separates the period so the 2-gram "the end" is shared
+    val d = Seq((1L, "here is the end."), (2L, "near the end again")).toDF("doc_id", "text")
+    val ws = graft.operators.Dedup.duplicateSpanStats(d, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ws.values.forall(_ === 0L))
+    val ux = graft.operators.Dedup.duplicateSpanStats(d, "doc_id", "text", k = 2,
+        uax29 = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ux(1L) === 1L && ux(2L) === 1L)
+  }
+
   test("token-block unit dedup keeps first occurrences") {
     import spark.implicits._
     val d = Seq(
