@@ -272,6 +272,39 @@ class DedupScaleSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("span stats and contamination match brute-force references on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val k = 3
+    val raw = (1L to 20L).map(i =>
+      (i, Seq.fill(3 + rng.nextInt(15))("w" + rng.nextInt(5)).mkString(" ")))
+    val docs = raw.toDF("doc_id", "text")
+    def winsOf(text: String): Seq[String] =
+      text.split(" ", -1).sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+    // duplicateSpanStats: per doc, windows whose content occurs in ≥2 docs
+    val byDoc = raw.map { case (id, t) => id -> winsOf(t) }
+    val docsPerSpan = byDoc.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expStats = byDoc.collect { case (id, ws) if ws.nonEmpty =>
+      id -> ((ws.size.toLong, ws.count(w => docsPerSpan(w) > 1).toLong))
+    }.toMap
+    val gotStats = graft.operators.Dedup.duplicateSpanStats(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotStats === expStats)
+    // ngramContamination: test split % 4 == 0 vs the rest as train
+    val testIds = raw.filter(_._1 % 4 == 0)
+    val trainSpans = raw.filter(_._1 % 4 != 0).flatMap(r => winsOf(r._2)).toSet
+    val expCont = testIds.collect { case (id, t) if winsOf(t).nonEmpty =>
+      val distinctW = winsOf(t).distinct
+      id -> ((distinctW.size.toLong, distinctW.count(trainSpans.contains).toLong))
+    }.toMap
+    val gotCont = graft.operators.Dedup.ngramContamination(
+        docs.where($"doc_id" % 4 =!= 0), "text",
+        docs.where($"doc_id" % 4 === 0), "doc_id", "text", n = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotCont === expCont)
+  }
+
   test("span operators accept the UAX-29 tokenizer") {
     import spark.implicits._
     // whitespace split sees "end." / "end" as different tokens; UAX-29
