@@ -58,12 +58,28 @@ object PipelineDemo {
     val deduped = Dedup.keepClusterRepresentative(kept, "doc_id", nearDups)
     stage("after fuzzy dedup", deduped.count())
 
-    // 5. corpus stats on the survivors
-    val stats = NgramOps.stats(deduped, "text").collect().head
+    // 5. substring dedup: rewrite docs dropping 50-token spans whose
+    // content already occurred earlier in the corpus
+    val spanned = Dedup.removeDuplicateSpans(deduped, "doc_id", "text",
+        k = 50, uax29 = true)
+      .where(col("n_tokens_kept") > 0)
+    stage("after span rewrite", spanned.count())
+    val rewritten = deduped.drop("text")
+      .join(spanned.select(col("doc_id"), col("text_dedup").as("text")), "doc_id")
+
+    // 6. decontaminate against a tiny in-line "benchmark" (first 5 docs
+    // replayed as eval data — demonstrates the anti-join shape)
+    val bench = rewritten.orderBy("doc_id").limit(5).select("text")
+    val decon = Dedup.decontaminate(rewritten, md5(col("text")),
+      bench, md5(col("text")))
+    stage("after decontamination", decon.count())
+
+    // 7. corpus stats + span-duplication report on the survivors
+    val stats = NgramOps.stats(decon, "text").collect().head
     println(s"PIPELINE stats $stats")
 
-    // 6. sharded JSONL.gz out
-    Corpus.writeJsonl(Corpus.shard(deduped.select("doc_id", "text", "url"), 4),
+    // 8. sharded JSONL.gz out
+    Corpus.writeJsonl(Corpus.shard(decon.select("doc_id", "text", "url"), 4),
       out, force = true)
     println(s"PIPELINE wrote $out")
     spark.stop()
