@@ -48,7 +48,16 @@ object SearchQueries extends QueryPack {
 
     "a12_contamination" -> ((s, dir) =>
       Searcher.contamination(Tables(s, dir, "documents"), "text", perPhrases,
-        uax29 = false))
+        uax29 = false)),
+
+    // §2.9 batch driver: all benchmarks in ONE corpus scan ("spark window"
+    // is shared between the two benchmarks and evaluated once)
+    "e7_bench_contamination" -> ((s, dir) =>
+      Searcher.contaminationByBenchmark(Tables(s, dir, "documents"), "text",
+        Seq("benchA" -> "batch batch", "benchA" -> "spark window",
+          "benchB" -> "data line", "benchB" -> "no such phrase xyz",
+          "benchB" -> "spark window"),
+        uax29 = false).orderBy("benchmark"))
   )
 
   private def padHit(phrase: String): String =
@@ -100,6 +109,22 @@ object SearchQueries extends QueryPack {
          |SELECT count(*) AS n_phrases,
          | CAST(sum(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
          | round(avg(CAST(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END AS DOUBLE)), 6) AS pct
-         |FROM per""".stripMargin
+         |FROM per""".stripMargin,
+
+    "e7_bench_contamination" ->
+      """WITH bp(benchmark, phrase) AS (SELECT * FROM (VALUES
+        |  ('benchA', 'batch batch'), ('benchA', 'spark window'),
+        |  ('benchB', 'data line'), ('benchB', 'no such phrase xyz'),
+        |  ('benchB', 'spark window')) v(b, p)),
+        |per AS (SELECT phrase,
+        |  sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+        |    THEN 1 ELSE 0 END) AS n_docs
+        | FROM (SELECT DISTINCT phrase FROM bp) ph LEFT JOIN documents ON true
+        | GROUP BY phrase)
+        |SELECT benchmark, count(*) AS n_phrases,
+        | CAST(sum(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        | round(avg(CAST(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END AS DOUBLE)), 6) AS pct
+        |FROM bp JOIN per USING (phrase)
+        |GROUP BY benchmark ORDER BY benchmark""".stripMargin
   )
 }

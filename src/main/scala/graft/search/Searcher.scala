@@ -111,6 +111,28 @@ object Searcher {
       round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
   }
 
+  /** The reference's batch contamination driver (runs/p3_contamination.py
+    * iterates benchmarks × corpora issuing one E3 batch per benchmark)
+    * collapsed to ONE corpus scan for every benchmark at once: the distinct
+    * phrase union becomes one predicate column each (a single scan +
+    * scalar partial-agg regardless of benchmark count), and the per-
+    * benchmark rollup joins the tiny (benchmark, phrase) table after
+    * aggregation. Phrases shared between benchmarks are evaluated once.
+    */
+  def contaminationByBenchmark(df: DataFrame, textCol: String,
+                               benchPhrases: Seq[(String, String)],
+                               slop: Int = 0, uax29: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = countPerPhrase(df, textCol, benchPhrases.map(_._2).distinct, slop, uax29)
+    broadcast(benchPhrases.toDF("benchmark", "phrase"))
+      .join(per, Seq("phrase"))
+      .groupBy("benchmark")
+      .agg(count(lit(1)).as("n_phrases"),
+        sum(when(col("n_docs") > 0, 1L).otherwise(0L)).cast("long").as("n_contaminated"),
+        round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
+  }
+
   /** E6: random access by id and seeded random sample. */
   def byId(df: DataFrame, idCol: String, ids: Seq[Any]): DataFrame =
     df.where(col(idCol).isin(ids: _*))

@@ -80,6 +80,13 @@ class PlanPropertySpec extends SparkTestBase {
     assert(reads.forall(r => r == "text:string" || r == "doc_id:bigint,text:string"), p)
   }
 
+  test("multi-benchmark contamination scans the corpus exactly once") {
+    val c = graft.search.Searcher.contaminationByBenchmark(docs, "text",
+      Seq("a" -> "x y", "b" -> "y z", "b" -> "x y"), uax29 = false)
+    val p = plan(c)
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+  }
+
   test("overlap lattice aggregates a bit_or mask, not collect_set, on the big key") {
     val sets = Dedup.overlapSets(
       docs.select(col("source"), col("doc_id"), col("text")),
