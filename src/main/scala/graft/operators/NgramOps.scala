@@ -46,12 +46,14 @@ object NgramOps {
     * the n-gram string, then recover the winning strings with a second
     * cheap aggregation filtered to the k winning hashes (broadcast).
     */
-  def topKHashed(docs: DataFrame, textCol: String, n: Int, k: Int, uax29: Boolean = true): DataFrame = {
+  def topKHashed(docs: DataFrame, textCol: String, n: Int, k: Int,
+                 uax29: Boolean = true,
+                 hash: Column => Column = c => xxhash64(c)): DataFrame = {
     val grams = docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
-    val winners = grams.select(xxhash64(col("ngram")).as("h"))
+    val winners = grams.select(hash(col("ngram")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("h")).limit(k)
-    grams.select(col("ngram"), xxhash64(col("ngram")).as("h")).dropDuplicates("h")
+    grams.select(col("ngram"), hash(col("ngram")).as("h")).dropDuplicates("h")
       .join(broadcast(winners), "h")
       .select(col("ngram"), col("cnt"))
       .orderBy(desc("cnt"), asc("ngram"))

@@ -59,6 +59,20 @@ object NgramQueries extends QueryPack {
         count(lit(1)).as("uniq_total"))
     }),
 
+    // the long-n production path: 50-gram topk shuffling HASHES of the
+    // n-grams, strings joined back only for the k winners (oracle run uses
+    // md5 so DuckDB replicates the tie-break; production default xxhash64)
+    "a6_topk_50gram_hashed" -> ((s, dir) =>
+      NgramOps.topKHashed(Tables(s, dir, "documents"), "text", n = 50, k = 20,
+        uax29 = false, hash = c => md5(c))),
+
+    // A1 extremes: argmax/argmin doc pointers with ties kept
+    "a1_extremes" -> ((s, dir) =>
+      NgramOps.statsExtremes(Tables(s, dir, "documents"), "text", "doc_id",
+        uax29 = false)
+        .select(col("doc_id"), col("toks").cast("long").as("toks"), col("kind"))
+        .orderBy("kind", "doc_id")),
+
     // corpus power-law statistic: least-squares slope of ln(freq) vs
     // ln(rank) over the unigram distribution
     "a13_zipf" -> ((s, dir) =>
@@ -149,6 +163,24 @@ object NgramQueries extends QueryPack {
         | count(CASE WHEN c > 1 THEN 1 END) AS uniq_duplicates,
         | count(*) AS uniq_total
         |FROM hc""".stripMargin,
+
+    "a6_topk_50gram_hashed" ->
+      s"""WITH g AS (${ng(50)}),
+         |winners AS (SELECT md5(ngram) AS h, count(*) AS cnt FROM g
+         | GROUP BY 1 ORDER BY cnt DESC, h LIMIT 20)
+         |SELECT ngram, cnt FROM (SELECT DISTINCT ngram, md5(ngram) AS h FROM g) d
+         |JOIN winners USING (h)
+         |ORDER BY cnt DESC, ngram""".stripMargin,
+
+    "a1_extremes" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |r AS (SELECT doc_id, toks,
+        |  rank() OVER (ORDER BY toks DESC) AS rmax,
+        |  rank() OVER (ORDER BY toks ASC) AS rmin FROM t)
+        |SELECT doc_id, CAST(toks AS BIGINT) AS toks,
+        | CASE WHEN rmax = 1 THEN 'max' ELSE 'min' END AS kind
+        |FROM r WHERE rmax = 1 OR rmin = 1
+        |ORDER BY kind, doc_id""".stripMargin,
 
     "a13_zipf" ->
       """WITH cnt AS (SELECT w, count(*) AS c
