@@ -89,12 +89,22 @@ object Similarity {
     * On a cluster where executor loss must be survivable, swap the local
     * checkpoint for a reliable one (or persist the index table — it is
     * exactly what an ANN index store would hold).
+    *
+    * `tables` > 1 unions pairs from independent centroid samples (offsets
+    * into the id space) — the same recall-vs-cost dial as LSH's nTables.
+    * On clusterable embeddings one table suffices (pairs live inside
+    * clusters); on structure-poor data `tools.SemRecall` measures the
+    * trade (sf0.01 synthetic uniform vectors: 0.32/0.52/0.73 recall at 1/2/4
+    * tables, one extra corpus assignment each).
     */
   def semanticNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                             threshold: Double, step: Int): DataFrame =
-    pairsFromAssigned(
-      ivfAssign(df, idCol, vecCol, step).localCheckpoint(true),
-      idCol, threshold)
+                             threshold: Double, step: Int,
+                             tables: Int = 1): DataFrame =
+    (0 until tables).map { r =>
+      pairsFromAssigned(
+        ivfAssign(df, idCol, vecCol, step, offset = r).localCheckpoint(true),
+        idCol, threshold)
+    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
 
   private def pairsFromAssigned(assigned: DataFrame, idCol: String,
                                 threshold: Double): DataFrame = {
@@ -114,10 +124,14 @@ object Similarity {
     * soon as the pairs exist.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, step: Int): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, step).localCheckpoint(true)
-    val pairs = pairsFromAssigned(assigned, idCol, threshold).localCheckpoint(true)
-    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(assigned)
+                    threshold: Double, step: Int, tables: Int = 1): DataFrame = {
+    val pairs = (0 until tables).map { r =>
+      val assigned = ivfAssign(df, idCol, vecCol, step, offset = r)
+        .localCheckpoint(true)
+      val p = pairsFromAssigned(assigned, idCol, threshold).localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(assigned)
+      p
+    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
     graft.operators.Dedup.keepClusterRepresentative(df, idCol, pairs)
   }
 
@@ -126,9 +140,10 @@ object Similarity {
     * available); every vector is assigned to its nearest centroid.
     * Vectors carry their unit form so probing never recomputes norms.
     */
-  def ivfAssign(base: DataFrame, idCol: String, vecCol: String, step: Int): DataFrame = {
+  def ivfAssign(base: DataFrame, idCol: String, vecCol: String, step: Int,
+                offset: Int = 0): DataFrame = {
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
-    val centroids = broadcast(b.where(col(idCol) % step === 0)
+    val centroids = broadcast(b.where(col(idCol) % step === offset)
       .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
     // argmax as a hash aggregation, not a window: map-side partial agg means
     // the shuffle carries one row per id per partition, not the full

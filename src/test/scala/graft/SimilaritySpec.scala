@@ -113,5 +113,13 @@ class SimilaritySpec extends SparkTestBase {
         threshold = 0.98, step = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+    // multi-table union only ever ADDS pairs (recall is monotone in tables)
+    val p2 = Similarity.semanticNearDuplicates(data, "vec_id", "embedding",
+        threshold = 0.98, step = 3, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = Similarity.semanticNearDuplicates(data, "vec_id", "embedding",
+        threshold = 0.98, step = 3, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1.subsetOf(p2))
   }
 }
