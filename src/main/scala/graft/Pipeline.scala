@@ -51,10 +51,13 @@ object Pipeline {
     Dedup.keepClusterRepresentative(docs, idCol,
       operators.MinHash.nearDuplicates(docs, idCol, textCol, threshold))
 
-  /** SemDeDup over an embedding column. */
+  /** SemDeDup over an embedding column; raise `tables` for recall on
+    * structure-poor embeddings (see tools.SemRecall).
+    */
   def dedupSemantic(docs: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, centroidStep: Int): DataFrame =
-    Similarity.semanticDedup(docs, idCol, vecCol, threshold, centroidStep)
+                    threshold: Double, centroidStep: Int,
+                    tables: Int = 1): DataFrame =
+    Similarity.semanticDedup(docs, idCol, vecCol, threshold, centroidStep, tables)
 
   /** Substring-level dedup: rewrite documents dropping every duplicated
     * k-token span occurrence after the first.
