@@ -61,10 +61,26 @@ object UrlQueries extends QueryPack {
     "p4_psl_full" -> ((s, dir) =>
       UrlOps.suffixCountsPsl(
         UrlOps.hostCounts(withUrl(Tables(s, dir, "documents")), "url"),
-        UrlOps.loadPublicSuffixList(s)).orderBy("suffix"))
+        UrlOps.loadPublicSuffixList(s)).orderBy("suffix")),
+
+    // J6: the overlap lattice keyed on the URL host (reference
+    // run_get_urls.sh), datasets = languages the host serves
+    "j6_url_overlap" -> ((s, dir) =>
+      graft.operators.Dedup.overlapSets(withUrl(Tables(s, dir, "documents")),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1), col("lang"),
+        hashKeys = true)
+        .select(concat_ws(",", col("datasets")).as("datasets"), col("n_keys"))
+        .orderBy("datasets"))
   )
 
   override val oracles: Map[String, String] = Map(
+    "j6_url_overlap" ->
+      s"""$urlCte,
+         |per_key AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         |  array_to_string(list_sort(list(DISTINCT lang)), ',') AS datasets
+         | FROM u GROUP BY 1)
+         |SELECT datasets, count(*) AS n_keys FROM per_key GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "p1_url_host" ->
       s"""$urlCte
          |SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, count(*) AS cnt
