@@ -37,6 +37,19 @@ object StreamOps {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("cnt"))
 
+  /** Sliding event-time window counts: each event lands in
+    * windowLen/slide overlapping windows (state grows by the same factor —
+    * size the watermark accordingly).
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"))
+
   /** Stateful gap sessionization via mapGroupsWithState — the streaming twin
     * of EventOps.sessionize. State per user: last event second + counters.
     */

@@ -30,6 +30,20 @@ class StreamingSpec extends SparkTestBase {
       ("1970-01-01 01:00:00", "view", 1L)))
   }
 
+  test("sliding windows place each event in overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.slidingCounts(input.toDF(), "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("slide").outputMode(OutputMode.Complete).start()
+    input.addData(Event(1, ts(45), 1, "click", 1.0)) // minute 45
+    q.processAllAvailable()
+    val rows = spark.table("slide").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    q.stop()
+    // a 1h window sliding by 30m puts minute 45 in [00:00,01:00) and [00:30,01:30)
+    assert(rows === Set(("1970-01-01 00:00:00", 1L), ("1970-01-01 00:30:00", 1L)))
+  }
+
   test("stateful sessionization counts sessions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
