@@ -18,6 +18,19 @@ object EventOps {
         col("event_type"))
       .groupBy("window_start", "event_type").agg(count(lit(1)).as("cnt"))
 
+  /** Sliding-window aggregate, batch form: each event lands in
+    * lenMinutes/slideMinutes overlapping windows (Spark's `window(ts, len,
+    * slide)` generator — the explode happens in the scan stage, then one
+    * hash aggregate). Window starts formatted like [[tumblingCounts]].
+    */
+  def slidingCounts(df: DataFrame, tsCol: String, lenMinutes: Int,
+                    slideMinutes: Int): DataFrame =
+    df.select(window(col(tsCol), s"$lenMinutes minutes", s"$slideMinutes minutes")
+          .as("w"), col("event_type"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"))
+      .groupBy("window_start", "event_type").agg(count(lit(1)).as("cnt"))
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. One shuffle
     * (partition by user), one per-user sort.

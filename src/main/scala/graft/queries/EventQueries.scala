@@ -36,6 +36,10 @@ object EventQueries extends QueryPack {
       EventOps.tumblingCounts(events(s, dir), "ts", "hour")
         .orderBy("window_start", "event_type")),
 
+    "w_slide_30m" -> ((s, dir) =>
+      EventOps.slidingCounts(events(s, dir), "ts", lenMinutes = 60, slideMinutes = 30)
+        .orderBy("window_start", "event_type")),
+
     "w_sessionize" -> ((s, dir) =>
       EventOps.sessionStats(
         events(s, dir).withColumn("ts", col("ts").cast("long")),
@@ -59,6 +63,18 @@ object EventQueries extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each event lands in the two 60m windows whose 30m-grid starts cover
+    // it (epoch-aligned, exactly Spark's window(ts, len, slide) contract)
+    "w_slide_30m" ->
+      """WITH g AS (SELECT event_type,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) AS grid
+        | FROM events),
+        |w AS (SELECT event_type,
+        |  strftime(make_timestamp((grid - 1800 * k.k) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start
+        | FROM g, (SELECT unnest(generate_series(0, 1)) AS k) k)
+        |SELECT window_start, event_type, count(*) AS cnt
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // both sides sessionize on whole-second timestamps (ns↔µs portability)
     "w_sessionize" ->
