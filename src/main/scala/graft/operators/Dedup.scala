@@ -209,25 +209,25 @@ object Dedup {
     * under-merged labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // materialize the incoming pair pipeline ONCE: the union's two
     // direction arms would otherwise each recompute it (candidate
-    // generation is the expensive part for near-dup callers)
+    // generation is the expensive part for near-dup callers). The edge
+    // list is then eagerly checkpointed itself — a mere persist would keep
+    // a lazy lineage edge back to `base`, making the release below unsafe
+    // under block loss
     val base = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .localCheckpoint(true)
     val edges = base
       .union(base.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
     // eager localCheckpoint rather than persist: truncates the per-round
     // lineage (plans otherwise nest one level per iteration)
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .localCheckpoint(true)
-    // the eager aggregation above materialized `edges` into the cache; the
-    // raw pair checkpoint is no longer referenced
-    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
     // coalesce: an empty pair list (nothing to cluster) sums to NULL
     var checksum = labels.agg(coalesce(sum("label"), lit(0L)))
       .collect().head.getLong(0)
@@ -247,7 +247,9 @@ object Dedup {
       checksum = nextSum
       it += 1
     }
-    edges.unpersist()
+    // the returned labels are themselves checkpointed — the edge blocks
+    // can be dropped now
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(edges)
     if (!converged) {
       // diameter > maxIter: labels are under-merged — delegate to the
       // O(log)-round star contraction rather than silently splitting
