@@ -202,6 +202,129 @@ object Analyses {
     hashStratifiedSample(df, key, stratum, plan, defaultFraction = 0.0)
   }
 
+  /** Temperature-scaled mixture weighting (the multilingual/Pile recipe:
+    * sampling probability ∝ available_tokens^alpha, alpha ∈ (0,1] — alpha=1
+    * is proportional, alpha→0 is uniform): per source, the smoothed
+    * probability, token target under `tokenBudget`, the deterministic
+    * sampling fraction realizing it, and `epochs` (>1 means the source must
+    * repeat to meet its target — surfaced, not silently clamped). Feed the
+    * fractions to [[hashStratifiedSample]]. O(|sources|) aggregate; the
+    * window runs over the per-source frame, not the corpus.
+    */
+  def temperatureMixture(df: DataFrame, stratum: Column, textCol: String,
+                         alpha: Double, tokenBudget: Long): DataFrame = {
+    val perSource = df.select(stratum.as("source"),
+        size(split(col(textCol), " ")).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("available_tokens"))
+    perSource
+      .withColumn("p", round(
+        pow(col("available_tokens").cast("double"), lit(alpha)) /
+          sum(pow(col("available_tokens").cast("double"), lit(alpha)))
+            .over(Window.partitionBy()), 6))
+      .withColumn("target_tokens", round(col("p") * tokenBudget).cast("long"))
+      .withColumn("fraction",
+        round(least(lit(1.0), col("target_tokens") / col("available_tokens")), 6))
+      .withColumn("epochs",
+        round(col("target_tokens") / col("available_tokens"), 4))
+  }
+
+  /** Whitespace unigrams + bigrams of `text` — DSIR's hashed feature space. */
+  private def dsirGrams(text: Column): Column = {
+    val t = split(text, " ")
+    val bi = transform(sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    concat(t, when(size(t) > 1, bi).otherwise(array()))
+  }
+
+  /** Portable gram → bucket hash (md5 8-hex prefix mod `buckets`) — the
+    * same engine-agnostic trick as [[hashSample]], so the DuckDB oracle can
+    * replay it bit-for-bit.
+    */
+  private def dsirBucket(g: Column, buckets: Int): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets
+
+  /** DSIR step 1 (Xie et al. 2023, arXiv:2302.03169): per-bucket
+    * log-importance ratios of hashed n-gram features, target corpus vs raw.
+    * Two narrow scans ending in a `buckets`-cell aggregate; the result is
+    * O(buckets) and meant to be collected and inlined (see [[dsirWeights]]).
+    * Laplace smoothing keeps empty buckets finite.
+    */
+  def dsirLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
+                    buckets: Int, smoothing: Double = 1.0): Array[Double] = {
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      df.select(explode(dsirGrams(col(textCol))).as("g"))
+        .select(dsirBucket(col("g"), buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(raw)
+    val tt = ct.values.sum.toDouble + smoothing * buckets
+    val tr = cr.values.sum.toDouble + smoothing * buckets
+    Array.tabulate(buckets) { b =>
+      math.log((ct.getOrElse(b.toLong, 0L) + smoothing) / tt) -
+        math.log((cr.getOrElse(b.toLong, 0L) + smoothing) / tr)
+    }
+  }
+
+  /** [[dsirLogRatios]] when the target is a subset of the raw corpus
+    * selected by a predicate (the common case: "docs like Wikipedia",
+    * "docs in English"): ONE scan computes both bucket histograms — per
+    * bucket, the raw count and the predicate-conditional count — instead
+    * of two passes over the corpus. At 100 TB this halves the prep cost;
+    * the shuffle is `buckets` cells either way.
+    */
+  def dsirLogRatiosWhere(corpus: DataFrame, targetPred: Column, textCol: String,
+                         buckets: Int, smoothing: Double = 1.0): Array[Double] = {
+    val rows = corpus
+      .select(targetPred.as("t"), explode(dsirGrams(col(textCol))).as("g"))
+      .select(col("t"), dsirBucket(col("g"), buckets).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"), sum(when(col("t"), 1L).otherwise(0L)).as("ct"))
+      .collect()
+    val cr = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val tr = cr.values.sum.toDouble + smoothing * buckets
+    val tt = ct.values.sum.toDouble + smoothing * buckets
+    Array.tabulate(buckets) { b =>
+      math.log((ct.getOrElse(b.toLong, 0L) + smoothing) / tt) -
+        math.log((cr.getOrElse(b.toLong, 0L) + smoothing) / tr)
+    }
+  }
+
+  /** DSIR step 2: per-document importance log-weight = Σ over gram
+    * occurrences of the bucket's log ratio. The ratio table (O(buckets)
+    * doubles) is inlined as an array literal and indexed inside an
+    * `aggregate` fold over the gram array — a pure per-row projection:
+    * ZERO shuffle, no join, stays in whole-stage codegen. At 100 TB this
+    * is scan-speed; the alternative (explode + join + re-group on doc id)
+    * would shuffle every gram in the corpus.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, logRatios: Array[Double],
+                  weightCol: String = "dsir_weight"): DataFrame = {
+    val ratios = typedLit(logRatios.toSeq)
+    val buckets = logRatios.length
+    df.withColumn(weightCol,
+      aggregate(dsirGrams(col(textCol)), lit(0.0),
+        (acc, g) => acc + element_at(ratios, (dsirBucket(g, buckets) + 1).cast("int"))))
+  }
+
+  /** DSIR step 3: Gumbel-top-k resampling, derandomized — the Gumbel noise
+    * comes from the doc key's own md5 (u = (bucket+0.5)/2^32,
+    * g = -ln(-ln u)), so the selected set is identical on reruns and across
+    * engines. One `TakeOrderedAndProject`, no full sort.
+    */
+  def dsirSelect(df: DataFrame, key: Column, k: Int,
+                 weightCol: String = "dsir_weight"): DataFrame = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") + 0.5) /
+      math.pow(2.0, 32)
+    val gumbel = -log(-log(u))
+    df.withColumn("__score", col(weightCol) + gumbel)
+      .orderBy(desc("__score"), key)
+      .limit(k)
+      .drop("__score")
+  }
+
   /** P13: utterance dates — year histogram over the first present date key
     * (reference wimbd/utterance_dates/map_count.py:8-35).
     */

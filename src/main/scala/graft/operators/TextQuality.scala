@@ -107,6 +107,40 @@ object TextQuality {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
+  /** HTML → text extraction for crawl-dump ingestion: drop
+    * `<script>`/`<style>` blocks and comments, strip remaining tags,
+    * decode the common entities, collapse whitespace. A regex cascade, not
+    * a DOM parser — the usual corpus-prep tradeoff (trafilatura-grade
+    * extraction plugs in via mapInPandas on the multimodal path). Every
+    * pattern is RE2-compatible (non-greedy, no backrefs) so the DuckDB
+    * oracle replays it verbatim, and the whole cascade is one codegen'd
+    * projection: scan-speed at 100 TB, no UDF.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[stripHtml]] as a document transform: cleaned text plus the retained
+    * fraction (cleaned/raw chars) — the usual extraction-quality signal
+    * (near-0 retention = boilerplate-only page).
+    */
+  def htmlToText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), stripHtml(col(textCol)).as("text_clean"),
+        greatest(length(col(textCol)), lit(1)).as("__raw_len"))
+      .withColumn("retained_frac",
+        round(length(col("text_clean")).cast("double") / col("__raw_len"), 6))
+      .drop("__raw_len")
+
   /** Winnowing fingerprints (Schleimer et al.): hash every k-token shingle,
     * take the min hash of every w-wide window, count the distinct survivors.
     * Robust doc fingerprint for partial-overlap detection.

@@ -11,6 +11,91 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  /** Query-string parameters that never change page identity — the usual
+    * tracking/attribution noise a crawler sees. Matched by exact name or,
+    * for `utm_`, by prefix.
+    */
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid")
+
+  /** Canonical form of a URL for URL-level dedup: lowercase scheme and
+    * host, drop the default port (`:80` http / `:443` https), optionally
+    * strip a leading `www.`, drop the fragment, drop tracking query
+    * parameters (`utm_*` + [[TrackingParams]]) and sort the survivors,
+    * collapse trailing slashes on the path (root stays `/`).
+    *
+    * Pure column algebra (regex + array higher-order functions): stays in
+    * whole-stage codegen, no UDF, no per-row java.net.URI allocation —
+    * the difference between a scan-speed projection and a choke point at
+    * 100 TB. Malformed URLs (no `scheme://`) pass through lowercased.
+    */
+  def canonicalizeUrl(url: Column, stripWww: Boolean = true,
+                      dropParams: Seq[String] = TrackingParams): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val host = if (stripWww) regexp_replace(noPort, "^www\\.", "") else noPort
+    val pathRaw = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathTrim = regexp_replace(pathRaw, "/+$", "")
+    val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val qRaw = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(qRaw, "&"), p =>
+      !(p.startsWith("utm_") || p.isin(dropParams: _*) ||
+        dropParams.map(d => p.startsWith(d + "=")).reduce(_ || _) || p === "")))
+    val query = concat_ws("&", kept)
+    when(scheme === "", lower(url)).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** URL-level duplicate groups: canonicalize, count docs per canonical
+    * URL, keep groups seen more than once. The URL-keyed sibling of J1's
+    * text-hash blocklist — at 100 TB the shuffle key is the (already
+    * scan-projected) canonical string, with map-side partial counts.
+    */
+  def urlDuplicateCounts(df: DataFrame, urlCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** Predicate: host is covered by a blocked domain — equal to it, or a
+    * dot-subdomain of it (UT1-blocklist semantics). The when-chain stays
+    * in codegen; for blocklists beyond a few thousand entries use
+    * [[domainBlocklistFilter]]'s join path.
+    */
+  def blockedBy(host: Column, blocked: Seq[String]): Column =
+    blocked.map(d => host === d || host.endsWith("." + d))
+      .foldLeft(lit(false))(_ || _)
+
+  /** UT1-style domain blocklist filter: drop documents whose URL host is a
+    * blocked domain or any subdomain of one. `asJoin` broadcasts the
+    * blocklist and left-anti-joins on every dot-suffix of the host
+    * (bounded explode, ≤ labels per host) — the 100 TB path for real
+    * blocklists (UT1 adult alone is ~4M domains); the default when-chain
+    * predicate is for small lists and stays fully in codegen.
+    */
+  def domainBlocklistFilter(df: DataFrame, urlCol: String,
+                            blocked: Seq[String], asJoin: Boolean = false): DataFrame = {
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    if (!asJoin) df.where(!coalesce(blockedBy(host, blocked), lit(false)))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val bl = blocked.toDF("blocked_domain")
+      val withHost = df.withColumn("__host", host)
+      val hit = withHost
+        .withColumn("__parts", split(col("__host"), "\\."))
+        .withColumn("__i", explode(sequence(lit(1), size(col("__parts")))))
+        .withColumn("__cand", concat_ws(".", slice(col("__parts"), col("__i"), size(col("__parts")))))
+        .join(broadcast(bl), col("__cand") === col("blocked_domain"), "left_semi")
+        .select(col("__host")).distinct()
+      withHost.join(broadcast(hit), Seq("__host"), "left_anti")
+        .drop("__host")
+    }
+  }
+
   /** P1: url → registered host, counted (reference wimbd/url_counts/map_count.py:17-19). */
   def hostCounts(df: DataFrame, urlCol: String): DataFrame =
     df.select(parse_url(col(urlCol), lit("HOST")).as("host"))

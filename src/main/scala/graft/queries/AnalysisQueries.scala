@@ -87,7 +87,43 @@ object AnalysisQueries extends QueryPack {
     // exact token-length percentiles (the "drop below p1 / above p99"
     // cutoff derivation next to the p10/p12 histograms)
     "p17_length_quantiles" -> ((s, dir) =>
-      Analyses.lengthQuantiles(Tables(s, dir, "documents"), "text"))
+      Analyses.lengthQuantiles(Tables(s, dir, "documents"), "text")),
+
+    // temperature-scaled mixture (sampling prob ∝ tokens^alpha): the
+    // multilingual-corpus balancing recipe next to p16's explicit weights
+    "p20_temp_mixture" -> ((s, dir) =>
+      Analyses.temperatureMixture(Tables(s, dir, "documents"), col("source"),
+        "text", alpha = 0.5, tokenBudget = 10000L).orderBy("source")),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // buckets, target = English docs, raw = whole corpus; per-doc
+    // log-importance weight and the derandomized Gumbel-top-k selection
+    "t_dsir" -> ((s, dir) => {
+      // repartition: the sf parquet is one file → one split, but the
+      // gram-hash fold is CPU-bound (interpreted HOF + md5/gram) — spread
+      // it the way a real multi-file corpus would be
+      val docs = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val ratios = Analyses.dsirLogRatiosWhere(
+        docs, col("lang") === "en", "text", buckets = 256)
+      Analyses.dsirSelect(Analyses.dsirWeights(docs, "text", ratios), col("doc_id"), 25)
+        .select(col("doc_id"), round(col("dsir_weight"), 4).as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML → text extraction over deterministically htmlized docs: tag /
+    // script / comment stripping, entity decode, whitespace collapse
+    "t_html_strip" -> ((s, dir) => {
+      val html = Tables(s, dir, "documents").withColumn("html",
+        concat(lit("<html><head><style>p{color:red}</style></head><body><!-- hdr --><p>"),
+          col("text"), lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+            .otherwise(lit("")),
+          lit("<p>&amp; &lt;raw&gt;&nbsp;done</p></body></html>")))
+      graft.operators.TextQuality.htmlToText(html, "doc_id", "html")
+        .orderBy("doc_id")
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -171,6 +207,71 @@ object AnalysisQueries extends QueryPack {
       """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS n FROM documents),
         |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
         |  unnest(quantile_cont(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS v FROM n)
-        |SELECT q, round(v, 6) AS value FROM q ORDER BY q""".stripMargin
+        |SELECT q, round(v, 6) AS value FROM q ORDER BY q""".stripMargin,
+
+    "p20_temp_mixture" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+        | FROM documents GROUP BY source),
+        |p AS (SELECT *, round(pow(CAST(available_tokens AS DOUBLE), 0.5) /
+        |  sum(pow(CAST(available_tokens AS DOUBLE), 0.5)) OVER (), 6) AS p FROM a),
+        |t AS (SELECT *, CAST(round(p * 10000) AS BIGINT) AS target_tokens FROM p)
+        |SELECT source, n_docs, available_tokens, p, target_tokens,
+        | round(LEAST(1.0, target_tokens / available_tokens), 6) AS fraction,
+        | round(target_tokens / CAST(available_tokens AS DOUBLE), 4) AS epochs
+        |FROM t ORDER BY source""".stripMargin,
+
+    "t_dsir" ->
+      """WITH grams AS (SELECT doc_id,
+        |  unnest(list_concat(t, CASE WHEN len(t) > 1
+        |    THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+        |    ELSE [] END)) AS g
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |b AS (SELECT doc_id,
+        |  CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) % 256 AS bk FROM grams),
+        |tcnt AS (SELECT bk, count(*) AS c FROM b JOIN documents USING (doc_id)
+        | WHERE lang = 'en' GROUP BY 1),
+        |rcnt AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tcnt) AS tt,
+        |  (SELECT coalesce(sum(c), 0) FROM rcnt) AS tr),
+        |lam AS (SELECT i AS bk,
+        |  ln((coalesce(tc.c, 0) + 1.0) / (tt + 256.0)) -
+        |  ln((coalesce(rc.c, 0) + 1.0) / (tr + 256.0)) AS lr
+        | FROM generate_series(0, 255) AS g(i) CROSS JOIN tot
+        | LEFT JOIN tcnt tc ON tc.bk = i LEFT JOIN rcnt rc ON rc.bk = i),
+        |w AS (SELECT doc_id, sum(lr) AS wt FROM b JOIN lam USING (bk) GROUP BY 1),
+        |sel AS (SELECT doc_id, wt FROM w
+        | ORDER BY wt + (-ln(-ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) + 0.5) / 4294967296.0))) DESC, doc_id
+        | LIMIT 25)
+        |SELECT doc_id, round(wt, 4) AS dsir_weight FROM sel ORDER BY doc_id""".stripMargin,
+
+    "t_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p{color:red}</style></head><body><!-- hdr --><p>' || text ||
+        |  '</p>' ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |    THEN '<script type="text/javascript">var x = 1 < 2;</script>' ELSE '' END) ||
+        |  '<p>&amp; &lt;raw&gt;&nbsp;done</p></body></html>' AS html FROM documents),
+        |c0 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '<[^>]+>', ' ', 'g') AS s FROM h),
+        |c1 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '&nbsp;', ' ', 'g'),
+        |    '&amp;', '&', 'g'),
+        |    '&lt;', '<', 'g') AS s FROM c0),
+        |c AS (SELECT doc_id, html,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'),
+        |  '\s+', ' ', 'g')) AS text_clean FROM c1)
+        |SELECT doc_id, text_clean,
+        | round(CAST(len(text_clean) AS DOUBLE) / greatest(len(html), 1), 6) AS retained_frac
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

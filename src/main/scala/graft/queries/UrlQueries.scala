@@ -24,6 +24,37 @@ object UrlQueries extends QueryPack {
         col("doc_id").cast("string"), ext))
   }
 
+  /** Messy variant for canonicalization: case noise in the scheme, www.
+    * prefixes, explicit :443, trailing slashes, tracking params, reordered
+    * params, fragments — all mapping onto `doc_id % 250` logical pages so
+    * distinct raw URLs collide on the canonical form.
+    */
+  private def withMessyUrl(df: DataFrame): DataFrame = {
+    val scheme = when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https")
+    val www = when(col("doc_id") % 3 === 0, "www.").otherwise("")
+    val port = when(col("doc_id") % 5 === 0, ":443").otherwise("")
+    val slash = when(col("doc_id") % 2 === 0, "/").otherwise("")
+    val query = when(col("doc_id") % 3 === 0, "?utm_source=feed&b=2&a=1")
+      .when(col("doc_id") % 3 === 1, "?a=1&b=2").otherwise("")
+    val frag = when(col("doc_id") % 7 === 0, "#sec2").otherwise("")
+    df.withColumn("url",
+      concat(scheme, lit("://"), www, lit("h"), (col("doc_id") % 10).cast("string"),
+        lit(".example.com"), port,
+        lit("/p/"), (col("doc_id") % 250).cast("string"), slash, query, frag))
+  }
+
+  private val messyUrlCte =
+    """WITH u AS (SELECT *,
+      | (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      | (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' ||
+      | (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      | '/p/' || CAST(doc_id % 250 AS VARCHAR) ||
+      | (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      | (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |       WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+      | (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+      | FROM documents)""".stripMargin
+
   // NB: interpolated into s"""…""".stripMargin blocks below, so no line here
   // may start with '|' after the first strip (it would be stripped again).
   private val urlCte =
@@ -63,6 +94,26 @@ object UrlQueries extends QueryPack {
         UrlOps.hostCounts(withUrl(Tables(s, dir, "documents")), "url"),
         UrlOps.loadPublicSuffixList(s)).orderBy("suffix")),
 
+    // URL canonicalization → duplicate-URL groups: messy synthesized URLs
+    // (case noise, www., :443, trailing slash, tracking params, fragments,
+    // param order) collapse to one canonical form; groups with >1 doc are
+    // URL-level duplicates (the URL-keyed sibling of J1)
+    "p18_url_canonical" -> ((s, dir) =>
+      // repartition: single-file input, but the canonical projection is a
+      // dozen regexes + an interpreted HOF filter per row — CPU-bound
+      UrlOps.urlDuplicateCounts(
+        withMessyUrl(Tables(s, dir, "documents"))
+          .repartition(s.sparkContext.defaultParallelism), "url")
+        .orderBy("canonical_url")),
+
+    // UT1-style domain blocklist (broadcast suffix-join path): docs kept
+    // after dropping blocked domains and their subdomains, per source
+    "p19_blocklist" -> ((s, dir) =>
+      UrlOps.domainBlocklistFilter(withUrl(Tables(s, dir, "documents")), "url",
+          blocked = Seq("example.co.uk", "src3.example.com"), asJoin = true)
+        .groupBy("source").agg(count(lit(1)).as("cnt"))
+        .orderBy("source")),
+
     // J6: the overlap lattice keyed on the URL host (reference
     // run_get_urls.sh), datasets = languages the host serves
     "j6_url_overlap" -> ((s, dir) =>
@@ -74,6 +125,36 @@ object UrlQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "p18_url_canonical" ->
+      s"""$messyUrlCte,
+         |parts AS (SELECT
+         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pathraw,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS qraw
+         | FROM u),
+         |canon AS (SELECT scheme || '://' ||
+         |  regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
+         |    WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
+         |    ELSE hostraw END, '^www\\.', '') ||
+         |  (CASE WHEN regexp_replace(pathraw, '/+$$', '') = '' THEN '/'
+         |    ELSE regexp_replace(pathraw, '/+$$', '') END) ||
+         |  (CASE WHEN coalesce(array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+         |      p -> NOT regexp_matches(p, '^utm_') AND p <> '')), '&'), '') = '' THEN ''
+         |    ELSE '?' || array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+         |      p -> NOT regexp_matches(p, '^utm_') AND p <> '')), '&') END) AS canonical_url
+         | FROM parts)
+         |SELECT canonical_url, count(*) AS cnt FROM canon
+         |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "p19_blocklist" ->
+      s"""$urlCte,
+         |k AS (SELECT source, lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host FROM u)
+         |SELECT source, count(*) AS cnt FROM k
+         |WHERE NOT (host = 'example.co.uk' OR host LIKE '%.example.co.uk'
+         |  OR host = 'src3.example.com' OR host LIKE '%.src3.example.com')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "j6_url_overlap" ->
       s"""$urlCte,
          |per_key AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
