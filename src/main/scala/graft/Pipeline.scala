@@ -94,4 +94,50 @@ object Pipeline {
           weights: Map[String, Double], tokenBudget: Long): DataFrame =
     Analyses.mixtureSample(docs, col(idCol), col(sourceCol), textCol,
       weights, tokenBudget)
+
+  // ---- reporting ----
+
+  /** The "what's in my big data" card: one `(metric, value)` frame
+    * summarizing a corpus — counts, size, exact-duplicate rate, language
+    * mix, and length stats. This is the reference's reason for existing
+    * (its paper reports exactly these per-corpus tables), composed from the
+    * same operators users reach for individually. Two corpus passes: one
+    * row-level aggregate and one over md5 groups; every metric is a sum /
+    * count / distinct-count, so partial aggregation keeps the shuffles at
+    * metric cardinality.
+    */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   langCol: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = size(split(col(textCol), " "))
+    val rowAgg = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks.cast("long")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      avg(toks.cast("double")).as("mean_doc_tokens"),
+      max(toks.cast("long")).as("max_doc_tokens"),
+      min(toks.cast("long")).as("min_doc_tokens")).head()
+    val dupAgg = docs.select(md5(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("uniq"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup_docs")).head()
+    val nDocs = rowAgg.getLong(0).toDouble.max(1.0)
+    val langMetrics = langCol.toSeq.flatMap { lc =>
+      docs.groupBy(col(lc)).agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (s"lang_frac_${r.get(0)}", r.getLong(1) / nDocs))
+    }
+    val metrics = Seq(
+      "n_docs" -> rowAgg.getLong(0).toDouble,
+      "n_tokens" -> rowAgg.getLong(1).toDouble,
+      "n_chars" -> rowAgg.getLong(2).toDouble,
+      "mean_doc_tokens" -> rowAgg.getDouble(3),
+      "max_doc_tokens" -> rowAgg.getLong(4).toDouble,
+      "min_doc_tokens" -> rowAgg.getLong(5).toDouble,
+      "n_unique_texts" -> dupAgg.getLong(0).toDouble,
+      "exact_dup_frac" -> dupAgg.getLong(1) / nDocs) ++ langMetrics
+    metrics.map { case (m, v) => (m, math.round(v * 1e6) / 1e6) }
+      .toDF("metric", "value")
+  }
 }

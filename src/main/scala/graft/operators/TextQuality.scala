@@ -268,4 +268,117 @@ object TextQuality {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(avg(log(col("c").cast("double") / col("n"))), 6).as("avg_logp"))
   }
+
+  /** Adjacent-token bigram stream of `text`: (w1, w2) per position. */
+  private def bigrams(text: Column): Column = {
+    val t = split(text, " ")
+    when(size(t) > 1,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Corpus bigram model: context counts c(w1·) and pair counts c(w1,w2) in
+    * one aggregation each — train once, reuse across corpora.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(bigrams(col(textCol))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+
+  /** Per-document interpolated-bigram LM score — the next rung above
+    * [[unigramLogProb]] toward CCNet's KenLM filter: mean over adjacent
+    * pairs of `ln(λ·P(w2|w1) + (1−λ)·P(w2))`, with both distributions
+    * estimated from the corpus itself (or a passed-in model pair). The
+    * unigram interpolation floor makes unseen-in-context pairs finite, so
+    * cross-corpus scoring works without explicit OOV machinery.
+    *
+    * Scale shape: two Zipf-bounded count tables; scoring joins the exploded
+    * bigram stream once on (w1,w2) and once on w2 — both distinct-keyed on
+    * the build side, so no multiplicity skew. At 100 TB prune the model to
+    * a top-V vocabulary first (one filter on the count frames); the
+    * interpolation already handles the resulting misses.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.8,
+                    lm: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (uni, bi) = lm.getOrElse((unigramCounts(docs, textCol), bigramCounts(docs, textCol)))
+    val uniTotal = uni.agg(sum("c").cast("double").as("n"))
+    val ctx = bi.groupBy("w1").agg(sum("c2").as("c1"))
+    val stream = docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    stream
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "cu"), Seq("w2"), "left")
+      .crossJoin(broadcast(uniTotal))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * coalesce(col("c2").cast("double") / col("c1"), lit(0.0)) +
+            lit(1.0 - lambda) * coalesce(col("cu").cast("double"), lit(0.0)) / col("n"))), 6)
+          .as("avg_logp"))
+  }
+
+  /** Corpus token-entropy metrics (the information-theoretic summary next
+    * to A1's counts): unigram entropy H(W), bigram entropy H(W1,W2), and
+    * conditional entropy H(W2|W1) = H(W1,W2) − H(W1) — all in bits. Rising
+    * conditional entropy across dataset versions is the classic signal of
+    * template/boilerplate removal. Two Zipf-bounded aggregations.
+    */
+  def entropyStats(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def entropy(counts: DataFrame): DataFrame =
+      counts.agg(
+        (log2(sum("c")) -
+          sum(col("c").cast("double") * log2(col("c"))) / sum("c")).as("h"))
+    val hUni = entropy(unigramCounts(docs, textCol)).as[Double].head()
+    val hBi = entropy(bigramCounts(docs, textCol).withColumnRenamed("c2", "c"))
+      .as[Double].head()
+    Seq(
+      ("unigram_entropy_bits", math.round(hUni * 1e6) / 1e6),
+      ("bigram_entropy_bits", math.round(hBi * 1e6) / 1e6),
+      ("conditional_entropy_bits", math.round((hBi - hUni) * 1e6) / 1e6))
+      .toDF("metric", "value")
+  }
+
+  /** FineWeb-style line/word gate (Penedo et al. 2024 §3.1 plus the C4
+    * leftovers they keep): word-count window, mean-word-length window,
+    * ellipsis-line cap, bullet-line cap, short-line cap, and a floor on
+    * lines ending in terminal punctuation. One codegen'd pass per doc;
+    * returns the signal columns plus the combined `keep`.
+    */
+  def fineWebFilter(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+                    maxEllipsisLineFrac: Double = 0.3,
+                    maxBulletLineFrac: Double = 0.9,
+                    maxShortLineFrac: Double = 0.67,
+                    minEndPunctLineFrac: Double = 0.12): DataFrame = {
+    val words = split(col(textCol), " ")
+    val lines = split(col(textCol), "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val base = df.select(
+      col(idCol),
+      size(words).cast("long").as("n_words"),
+      round((length(col(textCol)) - size(words) + 1).cast("double") / size(words), 6)
+        .as("avg_word_len"),
+      round(size(filter(lines, l => l.endsWith("..."))) / nLines, 6)
+        .as("ellipsis_line_frac"),
+      round(size(filter(lines, l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•"))) / nLines, 6).as("bullet_line_frac"),
+      round(size(filter(lines, l => length(l) < 30)) / nLines, 6)
+        .as("short_line_frac"),
+      round(size(filter(lines, l => l.rlike("[.!?\"']$"))) / nLines, 6)
+        .as("end_punct_line_frac"))
+    base.withColumn("keep",
+      col("n_words").between(minWords, maxWords) &&
+        col("avg_word_len").between(minAvgWordLen, maxAvgWordLen) &&
+        col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+        col("bullet_line_frac") <= maxBulletLineFrac &&
+        col("short_line_frac") <= maxShortLineFrac &&
+        col("end_punct_line_frac") >= minEndPunctLineFrac)
+  }
 }

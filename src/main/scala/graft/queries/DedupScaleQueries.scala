@@ -126,6 +126,27 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // interpolated-bigram LM (λ·P(w2|w1) + (1−λ)·P(w2)) — the rung above
+    // t_unigram_lm toward CCNet's KenLM filter; λ=0.75 is exact in binary
+    // so the oracle's literal matches bit-for-bit
+    "t_bigram_lm" -> ((s, dir) =>
+      TextQuality.bigramLogProb(docs(s, dir), "doc_id", "text", lambda = 0.75)
+        .orderBy("doc_id")),
+
+    // corpus entropy card: unigram / bigram / conditional bits
+    "a15_entropy" -> ((s, dir) =>
+      TextQuality.entropyStats(docs(s, dir), "text").orderBy("metric")),
+
+    // FineWeb-style line/word gate (signals + combined keep)
+    "t_fineweb" -> ((s, dir) =>
+      TextQuality.fineWebFilter(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // the "what's in my big data" report card over the corpus
+    "r_corpus_report" -> ((s, dir) =>
+      graft.Pipeline.corpusReport(docs(s, dir), "text", langCol = Some("lang"))
+        .orderBy("metric")),
+
     // the substring-dedup TRANSFORM: rewrite docs dropping every token
     // covered by a 5-token span seen earlier in the corpus
     "d_span_removal" -> ((s, dir) =>
@@ -388,6 +409,87 @@ object DedupScaleQueries extends QueryPack {
         |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         | round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logp
         |FROM tok JOIN cnt ON cnt.w = tok.w CROSS JOIN tot
-        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "t_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+        |  FROM t WHERE len(t) > 1)),
+        |bic AS (SELECT w1, w2, count(*) AS c2 FROM s GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bic GROUP BY 1),
+        |uni AS (SELECT w, count(*) AS cu FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uni)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(avg(ln(0.75 * (CAST(c2 AS DOUBLE) / c1) +
+        |   0.25 * (CAST(cu AS DOUBLE) / n))), 6) AS avg_logp
+        |FROM s JOIN bic USING (w1, w2) JOIN ctx USING (w1)
+        | JOIN uni ON uni.w = s.w2 CROSS JOIN tot
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "a15_entropy" ->
+      """WITH uni AS (SELECT w, count(*) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bic AS (SELECT b, count(*) AS c FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS b
+        |  FROM t WHERE len(t) > 1) GROUP BY 1),
+        |hu AS (SELECT log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h FROM uni),
+        |hb AS (SELECT log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h FROM bic)
+        |SELECT metric, value FROM (
+        | SELECT 'unigram_entropy_bits' AS metric, round(h, 6) AS value FROM hu
+        | UNION ALL SELECT 'bigram_entropy_bits', round(h, 6) FROM hb
+        | UNION ALL SELECT 'conditional_entropy_bits', round(hb.h - hu.h, 6) FROM hb, hu
+        |) ORDER BY metric""".stripMargin,
+
+    "t_fineweb" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  string_split(text, chr(10)) AS l, len(text) AS ch FROM documents),
+        |sig AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round(CAST(ch - len(w) + 1 AS DOUBLE) / len(w), 6) AS avg_word_len,
+        |  round(len(list_filter(l, x -> x LIKE '%...')) /
+        |    CAST(greatest(len(l), 1) AS DOUBLE), 6) AS ellipsis_line_frac,
+        |  round(len(list_filter(l, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) /
+        |    CAST(greatest(len(l), 1) AS DOUBLE), 6) AS bullet_line_frac,
+        |  round(len(list_filter(l, x -> len(x) < 30)) /
+        |    CAST(greatest(len(l), 1) AS DOUBLE), 6) AS short_line_frac,
+        |  round(len(list_filter(l, x -> regexp_matches(x, '[.!?"'']$'))) /
+        |    CAST(greatest(len(l), 1) AS DOUBLE), 6) AS end_punct_line_frac
+        | FROM f)
+        |SELECT *, (n_words BETWEEN 50 AND 100000)
+        |  AND (avg_word_len BETWEEN 3.0 AND 10.0)
+        |  AND ellipsis_line_frac <= 0.3 AND bullet_line_frac <= 0.9
+        |  AND short_line_frac <= 0.67 AND end_punct_line_frac >= 0.12 AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "r_corpus_report" ->
+      """WITH ra AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS mean_doc_tokens,
+        |  max(len(string_split(text, ' '))) AS max_doc_tokens,
+        |  min(len(string_split(text, ' '))) AS min_doc_tokens
+        | FROM documents),
+        |h AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1),
+        |dup AS (SELECT count(*) AS uniq,
+        |  coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup_docs FROM h)
+        |SELECT metric, value FROM (
+        | SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM ra
+        | UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM ra
+        | UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM ra
+        | UNION ALL SELECT 'mean_doc_tokens', round(mean_doc_tokens, 6) FROM ra
+        | UNION ALL SELECT 'max_doc_tokens', CAST(max_doc_tokens AS DOUBLE) FROM ra
+        | UNION ALL SELECT 'min_doc_tokens', CAST(min_doc_tokens AS DOUBLE) FROM ra
+        | UNION ALL SELECT 'n_unique_texts', CAST(uniq AS DOUBLE) FROM dup
+        | UNION ALL SELECT 'exact_dup_frac',
+        |   round(dup_docs / CAST((SELECT n_docs FROM ra) AS DOUBLE), 6) FROM dup
+        | UNION ALL SELECT 'lang_frac_' || lang,
+        |   round(count(*) / CAST((SELECT n_docs FROM ra) AS DOUBLE), 6)
+        |  FROM documents GROUP BY lang
+        |) ORDER BY metric""".stripMargin
   )
 }

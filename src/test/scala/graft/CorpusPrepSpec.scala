@@ -107,6 +107,59 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(sel1.count(_ % 5 == 0) >= 8)
   }
 
+  test("bigramLogProb: seen-in-context pairs score above interpolation floor") {
+    val docs = Seq(
+      (1L, "the cat"),
+      (2L, "the cat"),
+      (3L, "the dog"),
+      (4L, "dog") // single token: no bigrams, absent from output
+    ).toDF("id", "text")
+    val out = TextQuality.bigramLogProb(docs, "id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L)._1 === 1L)
+    assert(out(1L)._2 === out(2L)._2)
+    // P(cat|the)=2/3 beats P(dog|the)=1/3 (and P(cat)=2/7 beats P(dog)=2/7
+    // tie at the unigram floor): the rarer continuation scores lower
+    assert(out(3L)._2 < out(1L)._2)
+  }
+
+  test("entropyStats: uniform unigrams hit log2(V); conditional <= unigram entropy") {
+    val docs = Seq("a b c d", "a b c d").toDF("text")
+    val m = TextQuality.entropyStats(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("unigram_entropy_bits") - 2.0) < 1e-6) // 4 equiprobable tokens
+    assert(m("conditional_entropy_bits") <= m("unigram_entropy_bits") + 1e-9)
+    assert(math.abs(
+      m("bigram_entropy_bits") - m("unigram_entropy_bits") -
+        m("conditional_entropy_bits")) < 1e-5)
+  }
+
+  test("fineWebFilter: word-count window and line signals gate correctly") {
+    val good = (("w " * 60).trim + ".\nAnother decent line here with words.")
+    val short = "too short"
+    val bullets = (1 to 60).map(i => s"- item $i with some words.").mkString("\n")
+    val docs = Seq((1L, good), (2L, short), (3L, bullets)).toDF("id", "text")
+    val out = TextQuality.fineWebFilter(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(!out(2L)) // below word floor
+    assert(!out(3L)) // bullet_line_frac = 1.0 > 0.9
+  }
+
+  test("corpusReport: counts, dup fraction and language mix") {
+    val docs = Seq(
+      ("same text here", "en"), ("same text here", "en"),
+      ("unique one", "en"), ("otro documento", "es")
+    ).toDF("text", "lang")
+    val m = Pipeline.corpusReport(docs, "text", Some("lang"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") === 4.0)
+    assert(m("n_unique_texts") === 3.0)
+    assert(m("exact_dup_frac") === 0.5) // 2 of 4 docs share a text
+    assert(m("lang_frac_en") === 0.75)
+    assert(m("lang_frac_es") === 0.25)
+  }
+
   test("stripHtml: scripts, styles, comments, tags, entities, whitespace") {
     val html = """<html><head><style>p { color: red }</style></head>
       |<body><!-- comment --><p>Hello &amp; welcome</p>
