@@ -327,4 +327,80 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
   }
+
+  // ---- product quantization (the memory-side compression of the ANN
+  // ladder: brute → LSH → IVF → PQ; Jégou et al. 2011) ----
+
+  /** Deterministic PQ codebook: the id-mod-`step` sample's unit vectors,
+    * split into `m` subspaces — centroid c of subspace j is the sample's
+    * c-th row restricted to positions [j·sub, (j+1)·sub). Returned as
+    * m × K × sub driver-side doubles (tiny: it is always inlined as a
+    * literal); sample rows are sorted by id so the code assignment is
+    * reproducible.
+    */
+  def pqCodebook(base: DataFrame, idCol: String, vecCol: String,
+                 m: Int, step: Int): Array[Array[Array[Double]]] = {
+    val sample = unitProject(base.where(col(idCol) % step === 0), idCol, idCol,
+        vecCol, "bv")
+      .select(col(idCol).cast("long"), col("bv"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty codebook sample — lower step")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m)(j => sample.map(v => v.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Encode every base vector as `m` codebook codes: per subspace, the
+    * argmin-L2 centroid (tie → lower code). One codegen-friendly
+    * projection per row against the inlined codebook — no join, no
+    * shuffle; the result is the m-byte-per-vector representation that
+    * makes billion-scale indices fit in memory. Emits `codes` plus the
+    * reconstructed (decoded) vector for ADC scoring.
+    */
+  def pqEncode(base: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length
+    val k = codebook.head.length
+    val sub = codebook.head.head.length
+    val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val cands = transform(sequence(lit(0), lit(k - 1)), c => {
+        val cent = element_at(element_at(cb, j + 1), c + 1)
+        val d = aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
+          val diff = element_at(col("bv"), j * lit(sub) + i) - element_at(cent, i)
+          acc + diff * diff
+        })
+        struct(d.as("d"), c.as("cid"))
+      })
+      array_min(cands).getField("cid")
+    })
+    val decoded = flatten(transform(col("codes"), (c, j) =>
+      element_at(element_at(cb, j + 1), c + 1)))
+    b.withColumn("codes", codes).withColumn("decoded", decoded)
+  }
+
+  /** ANN top-k by asymmetric-distance scoring against PQ-compressed
+    * vectors: the query stays exact, every base vector is represented by
+    * its decoded centroids, and the score is the plain (sequential-order)
+    * dot of the two — identical arithmetic to scoring Σ_j q_j·c_{j,code}.
+    * Exhaustive over codes (that is PQ's contract — the scan is cheap
+    * because codes are m bytes); compose with [[ivfAssign]] buckets to
+    * prune the scan at the billion-vector scale.
+    */
+  def pqKnn(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+            k: Int, m: Int = 8, step: Int = 50): DataFrame = {
+    val codebook = pqCodebook(base, idCol, vecCol, m, step)
+    val enc = pqEncode(base, idCol, vecCol, codebook)
+      .select(col(idCol), col("decoded"))
+    val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
+    val scored = enc.join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        dot(col("qv"), col("decoded")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+  }
 }

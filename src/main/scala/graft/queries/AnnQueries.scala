@@ -44,6 +44,16 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding", threshold = 0.35, step = 50)
         .select("vec_id").orderBy("vec_id")),
 
+    // product-quantization path (Jégou et al. 2011): deterministic sample
+    // codebook, argmin-L2 codes, asymmetric-distance scoring against the
+    // decoded centroids — the whole encode+score pipeline replays in SQL
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqKnn(emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, m = 8, step = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -163,6 +173,40 @@ object AnnQueries extends QueryPack {
         |SELECT u.vec_id FROM unit u LEFT JOIN comp c ON c.id = u.vec_id
         |WHERE c.id IS NULL OR u.vec_id = c.component
         |ORDER BY u.vec_id""".stripMargin,
+
+    // PQ: codebook = id-sorted mod-50 sample split into 8 subspaces of 8;
+    // codes = per-subspace argmin L2 (tie → lower code); score = dot of the
+    // exact query against the decoded (centroid-concatenated) vector —
+    // identical sequential double arithmetic on both sides
+    "ann_pq_topk" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        | FROM unit WHERE vec_id % 50 = 0),
+        |codes0 AS (
+        | SELECT u.vec_id, j.j, c.cid,
+        |  list_aggregate(list_transform(generate_series(1, 8), i ->
+        |   (u.v[j.j*8+i] - c.v[j.j*8+i]) * (u.v[j.j*8+i] - c.v[j.j*8+i])), 'sum') AS d
+        | FROM unit u CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cb c),
+        |codes AS (SELECT vec_id, j, cid FROM (
+        |  SELECT vec_id, j, cid,
+        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid) AS rn
+        |  FROM codes0) WHERE rn = 1),
+        |recon AS (SELECT codes.vec_id,
+        |  flatten(list(list_slice(cb.v, j*8+1, j*8+8) ORDER BY j)) AS dv
+        | FROM codes JOIN cb USING (cid) GROUP BY codes.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM unit WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, 64), i -> q.qv[i] * r.dv[i]), 'sum') AS c
+        | FROM q JOIN recon r ON r.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH unit AS (

@@ -122,4 +122,29 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p1.subsetOf(p2))
   }
+
+  test("PQ: codes select nearest centroid; decoded scan recovers clear neighbors") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 subspaces of 2; codebook sample = ids 0 and 2
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.95f, 0.05f, 0.0f, 0.0f)), // near id 0
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.9f, 0.1f))    // near id 2
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(data, "vec_id", "embedding", m = 2, step = 2)
+    assert(cb.length === 2 && cb(0).length === 2 && cb(0)(0).length === 2)
+    val enc = Similarity.pqEncode(data, "vec_id", "embedding", cb)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // ids 0/1 quantize to code 0 (the id-0 sample) in subspace 0,
+    // ids 2/3 to code 1 (the id-2 sample) in subspace 1
+    assert(enc(0L) === enc(1L))
+    assert(enc(2L) === enc(3L))
+    assert(enc(0L) !== enc(2L))
+    val knn = Similarity.pqKnn(data, data.where(col("vec_id") === 0), "vec_id",
+        "embedding", k = 1, m = 2, step = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knn === Set((0L, 1L))) // id 1 decodes onto id 0's centroids
+  }
 }
