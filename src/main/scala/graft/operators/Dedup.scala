@@ -89,6 +89,28 @@ object Dedup {
     b.where(!mightContain(bKey.cast("string")))
   }
 
+  /** Fuzzy decontamination (the GPT-3/Llama posture: benchmark leakage
+    * rarely survives verbatim): drop every train doc that is a MinHash
+    * NEAR-duplicate of any benchmark doc — exact-hash J3 catches only
+    * verbatim copies. Candidates come from a cross-corpus LSH band join
+    * with the (tiny) benchmark side broadcast, verified by exact shingle
+    * Jaccard ≥ `threshold`; the train corpus is never shuffled — inline
+    * signatures, broadcast bucket probe, broadcast anti join on the
+    * contaminated-id set.
+    */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame,
+                         trainId: String, benchId: String,
+                         trainText: String, benchText: String,
+                         threshold: Double, w: Int = 5, k: Int = 8,
+                         bands: Int = 4,
+                         hash: MinHash.HashFn = MinHash.xxhashStrategy,
+                         uax29: Boolean = false): DataFrame = {
+    val hits = MinHash.crossNearDuplicates(train, bench, trainId, trainText,
+        benchId, benchText, threshold, w, k, bands, hash, uax29)
+      .select(col("id_a").as("__contaminated")).distinct()
+    train.join(broadcast(hits), train(trainId) === col("__contaminated"), "left_anti")
+  }
+
   /** Per-key dataset-membership BITMASK counts: `(mask, n_keys)` plus the
     * sorted dataset name table the bits index. The big groupBy(key)
     * aggregates a plain `bit_or(long)` — fully codegen'd HashAggregate,

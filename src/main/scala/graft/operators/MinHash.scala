@@ -108,11 +108,8 @@ object MinHash {
                     w: Int = 5, k: Int = 8, bands: Int = 4,
                     hash: HashFn = xxhashStrategy, uax29: Boolean = false,
                     maxBucket: Int = 1000): DataFrame = {
-    val sig =
-      if (hash eq md5Strategy) signaturesInline(docs, idCol, textCol, w, k, md5Parity = true, uax29)
-      else if (hash eq xxhashStrategy) signaturesInline(docs, idCol, textCol, w, k, md5Parity = false, uax29)
-      else signatures(shingleBag(docs, idCol, textCol, w, uax29), k, hash)
-    candidatesFromSignatures(sig, k, bands, maxBucket)
+    candidatesFromSignatures(inlineSig(docs, idCol, textCol, w, k, hash, uax29),
+      k, bands, maxBucket)
   }
 
   /** Same, over a precomputed (id, s) shingle set — lets callers share one
@@ -191,7 +188,15 @@ object MinHash {
     * thresholded near-dup search.
     */
   def jaccardFromArrays(pairs: DataFrame, sets: DataFrame,
-                        keepZero: Boolean): DataFrame = {
+                        keepZero: Boolean): DataFrame =
+    jaccardFromArraysCross(pairs, sets, sets, keepZero)
+
+  /** [[jaccardFromArrays]] with distinct set frames per pair side — the
+    * cross-corpus form (ids may collide numerically between corpora, so
+    * the sides must never be unioned into one frame).
+    */
+  def jaccardFromArraysCross(pairs: DataFrame, setsA: DataFrame,
+                             setsB: DataFrame, keepZero: Boolean): DataFrame = {
     // IntersectionSize counts |sh_a ∩ sh_b| directly — no intermediate
     // intersection ArrayData per pair (the hot allocation in verification)
     val interSize = org.apache.spark.sql.graft.Bridge.column(
@@ -199,8 +204,8 @@ object MinHash {
         org.apache.spark.sql.graft.Bridge.expression(col("sh_a")),
         org.apache.spark.sql.graft.Bridge.expression(col("sh_b"))))
     val scored = pairs
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(setsA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(setsB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         interSize.cast("long").as("n_inter"),
         size(col("sh_a")).cast("long").as("n_a"),
@@ -226,6 +231,50 @@ object MinHash {
                      hash: HashFn = xxhashStrategy, uax29: Boolean = false): DataFrame = {
     val cand = lshCandidates(docs, idCol, textCol, w, k, bands, hash, uax29)
     jaccardFromArrays(cand, shingleArrays(docs, idCol, textCol, w, uax29),
+      keepZero = threshold <= 0)
+      .where(col("jaccard") >= threshold)
+  }
+
+  private def inlineSig(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int, k: Int, hash: HashFn, uax29: Boolean): DataFrame =
+    if (hash eq md5Strategy) signaturesInline(docs, idCol, textCol, w, k, md5Parity = true, uax29)
+    else if (hash eq xxhashStrategy) signaturesInline(docs, idCol, textCol, w, k, md5Parity = false, uax29)
+    else signatures(shingleBag(docs, idCol, textCol, w, uax29), k, hash)
+
+  /** Cross-corpus candidate pairs: (a-id, b-id) sharing at least one LSH
+    * band bucket — the fuzzy-match analogue of the J3 hash blocklist. The
+    * b side (a benchmark / blocklist corpus) is tiny relative to a, so its
+    * band rows broadcast: the train side is never shuffled — signatures
+    * are inline per-row, the bucket match is a broadcast hash join.
+    */
+  def crossLshCandidates(a: DataFrame, b: DataFrame,
+                         idColA: String, textColA: String,
+                         idColB: String, textColB: String,
+                         w: Int = 5, k: Int = 8, bands: Int = 4,
+                         hash: HashFn = xxhashStrategy,
+                         uax29: Boolean = false): DataFrame = {
+    val rowsA = bandRows(inlineSig(a, idColA, textColA, w, k, hash, uax29), k, bands)
+    val rowsB = bandRows(inlineSig(b, idColB, textColB, w, k, hash, uax29), k, bands)
+      .select(col("id").as("__idb"), col("band"), col("band_key"))
+    rowsA.join(broadcast(rowsB), Seq("band", "band_key"))
+      .select(col("id").as("id_a"), col("__idb").as("id_b")).distinct()
+  }
+
+  /** Cross-corpus near-duplicate pairs with exact-Jaccard verification —
+    * candidates from [[crossLshCandidates]], scored against each corpus's
+    * own shingle sets.
+    */
+  def crossNearDuplicates(a: DataFrame, b: DataFrame,
+                          idColA: String, textColA: String,
+                          idColB: String, textColB: String,
+                          threshold: Double, w: Int = 5, k: Int = 8,
+                          bands: Int = 4, hash: HashFn = xxhashStrategy,
+                          uax29: Boolean = false): DataFrame = {
+    val cand = crossLshCandidates(a, b, idColA, textColA, idColB, textColB,
+      w, k, bands, hash, uax29)
+    jaccardFromArraysCross(cand,
+      shingleArrays(a, idColA, textColA, w, uax29),
+      shingleArrays(b, idColB, textColB, w, uax29),
       keepZero = threshold <= 0)
       .where(col("jaccard") >= threshold)
   }

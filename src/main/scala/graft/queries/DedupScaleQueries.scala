@@ -42,6 +42,22 @@ object DedupScaleQueries extends QueryPack {
        | FROM bandrows a JOIN bandrows b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)""".stripMargin
 
+  /** Distinct W-shingles of `(idExpr, textExpr)` rows of `src` — the
+    * generic form of [[shSql]] for cross-corpus pipelines.
+    */
+  private def shFrom(src: String, idExpr: String, textExpr: String): String =
+    s"""SELECT DISTINCT id,
+       | unnest(list_transform(generate_series(1, len(t) - ${W - 1}),
+       |  i -> array_to_string(list_slice(t, i, i + ${W - 1}), ' '))) AS s
+       |FROM (SELECT $idExpr AS id, string_split($textExpr, ' ') AS t FROM $src)""".stripMargin
+
+  /** Band rows over a named `(id, m0..m{K-1})` signature CTE. */
+  private def bandSelectsOn(src: String): String = (0 until BANDS).map { b =>
+    val r = K / BANDS
+    val cols = (b * r until (b + 1) * r).map(i => s"m$i").mkString(" || '|' || ")
+    s"SELECT id, $b AS band, md5($cols) AS band_key FROM $src"
+  }.mkString(" UNION ALL ")
+
   private val simhashBits = 16
   private val simhashSums = (0 until simhashBits).map { j =>
     s"sum(CASE WHEN substring(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"
@@ -67,6 +83,19 @@ object DedupScaleQueries extends QueryPack {
       graft.operators.Dedup.connectedComponents(
         MinHash.nearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.5,
           W, K, BANDS, MinHash.md5Strategy)).orderBy("id")),
+
+    // fuzzy decontamination (GPT-3/Llama posture): every 50th doc plays a
+    // leaked benchmark row, perturbed by two extra tokens so exact-hash J3
+    // would MISS it; the cross-corpus MinHash match still drops it
+    "j8_decontaminate_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bid"),
+          concat(col("text"), lit(" extra token")).as("btext"))
+      graft.operators.Dedup.decontaminateFuzzy(d, bench, "doc_id", "bid",
+          "text", "btext", threshold = 0.5, W, K, BANDS, MinHash.md5Strategy)
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     "d_jaccard_block" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -274,6 +303,28 @@ object DedupScaleQueries extends QueryPack {
     "d_minhash_lsh" ->
       s"""WITH $candSql
          |SELECT id_a, id_b FROM cand ORDER BY 1, 2""".stripMargin,
+
+    "j8_decontaminate_fuzzy" ->
+      s"""WITH bench AS (SELECT doc_id AS bid, text || ' extra token' AS btext
+         | FROM documents WHERE doc_id % 50 = 0),
+         |shA AS (${shFrom("documents", "doc_id", "text")}),
+         |shB AS (${shFrom("bench", "bid", "btext")}),
+         |sigA AS (SELECT id, $sigCols FROM shA GROUP BY id),
+         |sigB AS (SELECT id, $sigCols FROM shB GROUP BY id),
+         |bandA AS (${bandSelectsOn("sigA")}),
+         |bandB AS (${bandSelectsOn("sigB")}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM bandA a JOIN bandB b ON a.band = b.band AND a.band_key = b.band_key),
+         |na AS (SELECT id, count(*) AS n FROM shA GROUP BY id),
+         |nb AS (SELECT id, count(*) AS n FROM shB GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         | FROM cand c JOIN shA a ON a.id = c.id_a JOIN shB b ON b.id = c.id_b AND b.s = a.s
+         | GROUP BY 1, 2),
+         |hits AS (SELECT DISTINCT i.id_a FROM inter i
+         | JOIN na ON na.id = i.id_a JOIN nb ON nb.id = i.id_b
+         | WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.5)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_a FROM hits)
+         |ORDER BY doc_id""".stripMargin,
 
     "d_minhash_neardup" ->
       s"""WITH $candSql,

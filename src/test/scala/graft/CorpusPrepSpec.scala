@@ -160,6 +160,30 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(m("lang_frac_es") === 0.25)
   }
 
+  test("decontaminateFuzzy drops near-matches of benchmark docs, exact-hash misses them") {
+    import graft.operators.{Dedup, MinHash}
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "completely unrelated text about something else entirely here")
+    ).toDF("id", "text")
+    // bench doc 2 is train doc 1 with a leading token: exact hash differs
+    val bench = Seq(
+      // NB: bench ids numerically collide with train ids on purpose
+      (1L, "nothing in common with any training document at all whatsoever"),
+      (2L, "intro alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("bid", "btext")
+    val exact = Dedup.decontaminate(train, md5(col("text")), bench, md5(col("btext")))
+    assert(exact.count() === 3) // verbatim check sees no leak
+    val fuzzy = Dedup.decontaminateFuzzy(train, bench, "id", "bid", "text", "btext",
+      threshold = 0.4, w = 3, k = 8, bands = 4)
+    assert(fuzzy.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    val pairs = MinHash.crossNearDuplicates(train, bench, "id", "text", "bid", "btext",
+      threshold = 0.4, w = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("stripHtml: scripts, styles, comments, tags, entities, whitespace") {
     val html = """<html><head><style>p { color: red }</style></head>
       |<body><!-- comment --><p>Hello &amp; welcome</p>
