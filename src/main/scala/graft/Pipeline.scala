@@ -37,6 +37,28 @@ object Pipeline {
     TextQuality.unigramLogProb(docs, idCol, textCol,
       lmCorpus.map(TextQuality.unigramCounts(_, textCol)))
 
+  /** FineWeb-style line/word gate: documents passing every rule. */
+  def fineWebGate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.join(
+      TextQuality.fineWebFilter(docs, idCol, textCol)
+        .where(col("keep")).select(col(idCol).as("__keep_id")),
+      docs(idCol) === col("__keep_id"), "left_semi")
+
+  /** HTML → text extraction in front of the gates (crawl-dump ingestion). */
+  def extractHtml(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextQuality.htmlToText(docs, idCol, textCol)
+
+  /** DSIR importance selection toward a target domain: fit hashed-n-gram
+    * log ratios on `targetPred` rows in ONE scan, weight per-row with zero
+    * shuffle, keep the derandomized Gumbel-top-k.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, keep: Int, buckets: Int = 10000): DataFrame = {
+    val ratios = Analyses.dsirLogRatiosWhere(docs, targetPred, textCol, buckets)
+    Analyses.dsirSelect(Analyses.dsirWeights(docs, textCol, ratios),
+      col(idCol), keep)
+  }
+
   // ---- deduplication ladder (cheapest first) ----
 
   /** Exact full-text dedup, keep-first in (order) scan order. */
@@ -58,6 +80,22 @@ object Pipeline {
                     threshold: Double, centroidStep: Int,
                     tables: Int = 1): DataFrame =
     Similarity.semanticDedup(docs, idCol, vecCol, threshold, centroidStep, tables)
+
+  /** URL-level exact dedup: keep-first by canonical URL (case, ports,
+    * www, tracking params, fragments and slash noise collapse first).
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: String, order: Seq[Column]): DataFrame =
+    Dedup.keepFirst(docs, operators.UrlOps.canonicalizeUrl(col(urlCol)), order)
+
+  /** Fuzzy decontamination: drop train docs that near-match any benchmark
+    * doc (exact-hash [[decontaminate]] only catches verbatim leaks).
+    */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame,
+                         trainId: String, benchId: String,
+                         trainText: String, benchText: String,
+                         threshold: Double = 0.8): DataFrame =
+    Dedup.decontaminateFuzzy(train, bench, trainId, benchId,
+      trainText, benchText, threshold)
 
   /** Substring-level dedup: rewrite documents dropping every duplicated
     * k-token span occurrence after the first.

@@ -364,7 +364,9 @@ object Similarity {
     val k = codebook.head.length
     val sub = codebook.head.head.length
     val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    // m×K×sub distance evaluations per row: fan a small single-split scan
+    // out across cores first (no-op on real multi-split inputs)
+    val b = unitProject(graft.Par.fanOut(base), idCol, idCol, vecCol, "bv")
     val codes = transform(sequence(lit(0), lit(m - 1)), j => {
       val cands = transform(sequence(lit(0), lit(k - 1)), c => {
         val cent = element_at(element_at(cb, j + 1), c + 1)

@@ -254,7 +254,7 @@ object TextQuality {
     * and reuse across corpora to score B under A's model.
     */
   def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("w"))
+    graft.Par.fanOut(docs).select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
 
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
@@ -282,7 +282,7 @@ object TextQuality {
     * one aggregation each — train once, reuse across corpora.
     */
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(bigrams(col(textCol))).as("b"))
+    graft.Par.fanOut(docs).select(explode(bigrams(col(textCol))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
 
@@ -305,7 +305,7 @@ object TextQuality {
     val (uni, bi) = lm.getOrElse((unigramCounts(docs, textCol), bigramCounts(docs, textCol)))
     val uniTotal = uni.agg(sum("c").cast("double").as("n"))
     val ctx = bi.groupBy("w1").agg(sum("c2").as("c1"))
-    val stream = docs
+    val stream = graft.Par.fanOut(docs)
       .select(col(idCol), explode(bigrams(col(textCol))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     stream

@@ -95,4 +95,44 @@ class PlanPropertySpec extends SparkTestBase {
     assert(p.contains("bit_or"), p)
     assert(!p.contains("collect_set"), p)
   }
+
+  test("DSIR weighting is a zero-shuffle projection (inlined ratio table, no join)") {
+    val w = graft.operators.Analyses.dsirWeights(docs, "text",
+      Array.fill(64)(0.1))
+    assert(shuffles(w) === 0, plan(w))
+    assert(!plan(w).contains("Join"), plan(w))
+  }
+
+  test("URL canonicalization dedup shuffles only the grouped canonical key") {
+    val d = graft.operators.UrlOps.urlDuplicateCounts(
+      docs.withColumn("url", concat(lit("https://h"), col("doc_id") % 10,
+        lit(".example.com/p/"), col("doc_id"))), "url")
+    assert(shuffles(d) === 1, plan(d))
+  }
+
+  test("fuzzy decontamination never hash-shuffles the train side") {
+    val bench = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bid"), col("text").as("btext"))
+    val f = Dedup.decontaminateFuzzy(docs, bench, "doc_id", "bid",
+      "text", "btext", threshold = 0.5)
+    val p = plan(f)
+    // bench band rows and the contaminated-id set broadcast; the final
+    // filter of train is a broadcast anti join
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // shuffles belong to the (benchmark-sized) candidate/verify stages
+    // only: the full-width train relation is never exchanged — every
+    // hashpartitioning exchange carries the narrow pair/shingle columns
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.forall(cols => !cols.contains("btext") && !cols.contains("text")),
+      p)
+  }
+
+  test("PQ encode is a zero-shuffle projection against the inlined codebook") {
+    val cb = Array.tabulate(8)(_ => Array.tabulate(2)(c =>
+      Array.fill(8)(c.toDouble)))
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    assert(shuffles(enc) === 0, plan(enc))
+  }
 }
