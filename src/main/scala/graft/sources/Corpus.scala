@@ -96,4 +96,29 @@ object Corpus {
     concat(regexp_extract(input_file_name(), "([^/]+)$", 1), lit("-"),
       (row_number().over(Window.partitionBy(input_file_name())
         .orderBy(monotonically_increasing_id())) - 1).cast("string"))
+
+  /** S9's replacement at Spark scale: persist a corpus as a BUCKETED,
+    * sorted Parquet table — the "index tier" the reference delegates to
+    * Elasticsearch. Every subsequent equi-join or aggregation on
+    * `bucketCols` (dedup rounds, id lookups, per-doc attribute joins,
+    * repeated contamination probes) reads co-partitioned buckets and
+    * skips its Exchange entirely; sorting within buckets keeps merge
+    * joins spill-free. At 100 TB you pay the layout shuffle ONCE at
+    * ingest instead of per-query — choose `buckets` ≈ corpus size /
+    * (target 128-256 MB per bucket file).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], force: Boolean = false): Unit = {
+    val w = df.write.mode(if (force) "overwrite" else "errorifexists")
+      .format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog —
+    * a plain `spark.read.parquet` of the same files would lose it).
+    */
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -68,18 +68,29 @@ object PipelineDemo {
       .join(spanned.select(col("doc_id"), col("text_dedup").as("text")), "doc_id")
 
     // 6. decontaminate against a tiny in-line "benchmark" (first 5 docs
-    // replayed as eval data — demonstrates the anti-join shape)
+    // replayed as eval data — demonstrates the anti-join shape), then the
+    // fuzzy pass: the same docs with a token prepended slip past exact
+    // hashing but not the cross-corpus MinHash match
     val bench = rewritten.orderBy("doc_id").limit(5).select("text")
     val decon = Dedup.decontaminate(rewritten, md5(col("text")),
       bench, md5(col("text")))
     stage("after decontamination", decon.count())
+    val benchFuzz = decon.orderBy("doc_id").limit(5)
+      .select(col("doc_id").as("bid"),
+        concat(lit("leaked: "), col("text")).as("btext"))
+    val deconFuzzy = Dedup.decontaminateFuzzy(decon, benchFuzz, "doc_id", "bid",
+      "text", "btext", threshold = 0.5, uax29 = true)
+    stage("after fuzzy decontam", deconFuzzy.count())
 
-    // 7. corpus stats + span-duplication report on the survivors
-    val stats = NgramOps.stats(decon, "text").collect().head
+    // 7. corpus stats + the report card on the survivors
+    val stats = NgramOps.stats(deconFuzzy, "text").collect().head
     println(s"PIPELINE stats $stats")
+    graft.Pipeline.corpusReport(deconFuzzy, "text").collect()
+      .foreach(r => println(f"PIPELINE report ${r.getString(0)}%-24s ${r.getDouble(1)}%.3f"))
+    val decon2 = deconFuzzy
 
     // 8. sharded JSONL.gz out
-    Corpus.writeJsonl(Corpus.shard(decon.select("doc_id", "text", "url"), 4),
+    Corpus.writeJsonl(Corpus.shard(decon2.select("doc_id", "text", "url"), 4),
       out, force = true)
     println(s"PIPELINE wrote $out")
     spark.stop()

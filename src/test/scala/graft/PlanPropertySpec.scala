@@ -129,6 +129,29 @@ class PlanPropertySpec extends SparkTestBase {
       p)
   }
 
+  test("bucketed index tables join with ZERO exchanges (the ES-tier replacement)") {
+    import graft.sources.Corpus
+    val docs1 = docs.select("doc_id", "text")
+    val attrs = docs.select(col("doc_id"), col("lang"))
+    Corpus.writeBucketed(docs1, "bucketed_docs_t", buckets = 4,
+      bucketCols = Seq("doc_id"), force = true)
+    Corpus.writeBucketed(attrs, "bucketed_attrs_t", buckets = 4,
+      bucketCols = Seq("doc_id"), force = true)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Corpus.readTable(spark, "bucketed_docs_t")
+        .join(Corpus.readTable(spark, "bucketed_attrs_t"), "doc_id")
+      val p = plan(joined)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(joined.count() === docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucketed_docs_t")
+      spark.sql("DROP TABLE IF EXISTS bucketed_attrs_t")
+    }
+  }
+
   test("PQ encode is a zero-shuffle projection against the inlined codebook") {
     val cb = Array.tabulate(8)(_ => Array.tabulate(2)(c =>
       Array.fill(8)(c.toDouble)))
