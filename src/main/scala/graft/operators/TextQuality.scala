@@ -199,26 +199,28 @@ object TextQuality {
                    topThresholds: Seq[Double] = Seq(0.20, 0.18, 0.16),
                    dupThresholds: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
                    maxDupLineFrac: Double = 0.30,
-                   maxDupLineCharFrac: Double = 0.20): DataFrame = {
+                   maxDupLineCharFrac: Double = 0.20,
+                   passthrough: Seq[String] = Nil): DataFrame = {
     require(topThresholds.size == 3 && dupThresholds.size == 6)
+    val extra = passthrough.filterNot(_ == idCol)
     val sig = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.expressions.RepetitionSignals(
         org.apache.spark.sql.graft.Bridge.expression(col(textCol))))
     val toks = split(col(textCol), " ")
     val stopArr = array(stopwords.map(lit): _*)
-    val staged = df.select(col(idCol),
-      size(toks).cast("long").as("n_words"),
-      round(length(col(textCol)).cast("double") / size(toks), 6).as("mean_word_len"),
+    val staged = df.select(col(idCol) +: extra.map(col) :+
+      size(toks).cast("long").as("n_words") :+
+      round(length(col(textCol)).cast("double") / size(toks), 6).as("mean_word_len") :+
       round(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / size(toks), 6)
-        .as("alpha_word_ratio"),
-      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stopwords"),
-      sig.as("__sig"))
+        .as("alpha_word_ratio") :+
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stopwords") :+
+      sig.as("__sig"): _*)
     val repNames = Seq("dup_line_frac", "dup_line_char_frac",
       "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac") ++
       (5 to 10).map(n => s"dup${n}gram_char_frac")
     val withRep = staged.select(
-      (col(idCol) +: Seq("n_words", "mean_word_len", "alpha_word_ratio", "n_stopwords")
-        .map(col)) ++
+      ((col(idCol) +: extra.map(col)) ++
+        Seq("n_words", "mean_word_len", "alpha_word_ratio", "n_stopwords").map(col)) ++
         repNames.zipWithIndex.map { case (nm, i) =>
           round(element_at(col("__sig"), i + 1), 6).as(nm)
         }: _*)
@@ -356,23 +358,24 @@ object TextQuality {
                     maxEllipsisLineFrac: Double = 0.3,
                     maxBulletLineFrac: Double = 0.9,
                     maxShortLineFrac: Double = 0.67,
-                    minEndPunctLineFrac: Double = 0.12): DataFrame = {
+                    minEndPunctLineFrac: Double = 0.12,
+                    passthrough: Seq[String] = Nil): DataFrame = {
     val words = split(col(textCol), " ")
     val lines = split(col(textCol), "\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
     val base = df.select(
-      col(idCol),
-      size(words).cast("long").as("n_words"),
-      round((length(col(textCol)) - size(words) + 1).cast("double") / size(words), 6)
-        .as("avg_word_len"),
-      round(size(filter(lines, l => l.endsWith("..."))) / nLines, 6)
-        .as("ellipsis_line_frac"),
-      round(size(filter(lines, l => l.startsWith("-") || l.startsWith("*") ||
-        l.startsWith("•"))) / nLines, 6).as("bullet_line_frac"),
-      round(size(filter(lines, l => length(l) < 30)) / nLines, 6)
-        .as("short_line_frac"),
-      round(size(filter(lines, l => l.rlike("[.!?\"']$"))) / nLines, 6)
-        .as("end_punct_line_frac"))
+      (col(idCol) +: passthrough.filterNot(_ == idCol).map(col)) ++ Seq(
+        size(words).cast("long").as("n_words"),
+        round((length(col(textCol)) - size(words) + 1).cast("double") / size(words), 6)
+          .as("avg_word_len"),
+        round(size(filter(lines, l => l.endsWith("..."))) / nLines, 6)
+          .as("ellipsis_line_frac"),
+        round(size(filter(lines, l => l.startsWith("-") || l.startsWith("*") ||
+          l.startsWith("•"))) / nLines, 6).as("bullet_line_frac"),
+        round(size(filter(lines, l => length(l) < 30)) / nLines, 6)
+          .as("short_line_frac"),
+        round(size(filter(lines, l => l.rlike("[.!?\"']$"))) / nLines, 6)
+          .as("end_punct_line_frac")): _*)
     base.withColumn("keep",
       col("n_words").between(minWords, maxWords) &&
         col("avg_word_len").between(minAvgWordLen, maxAvgWordLen) &&

@@ -200,6 +200,43 @@ object StreamOps {
         col("__h") === col("__block_h"), "left_anti")
       .drop("__h")
 
+  /** Streaming quality gate — the stateless incremental twin of the
+    * Gopher/FineWeb batch gates: every micro-batch is filtered by the same
+    * codegen'd signal columns (pure projections compose with streaming
+    * for free — that is the point of keeping gates shuffle-free).
+    */
+  def qualityGateStream(docs: DataFrame, idCol: String, textCol: String,
+                        fineWeb: Boolean = false): DataFrame = {
+    val cols = docs.columns.toSeq
+    val sig =
+      if (fineWeb)
+        graft.operators.TextQuality.fineWebFilter(docs, idCol, textCol,
+          passthrough = cols)
+      else graft.operators.TextQuality.gopherFilter(docs, idCol, textCol,
+        passthrough = cols)
+    sig.where(col("keep")).select(cols.map(col): _*)
+  }
+
+  /** Streaming corpus monitor — the incremental report card: per
+    * event-time tumbling window, doc/token/char counts and mean doc
+    * length (the streaming subset of [[graft.Pipeline.corpusReport]];
+    * exact-dup rate needs cross-window state — use [[dedupStream]]
+    * upstream for that).
+    */
+  def corpusReportStream(docs: DataFrame, textCol: String, tsCol: String,
+                         windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    val toks = size(split(col(textCol), " "))
+    docs.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks.cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        round(avg(toks.cast("double")), 6).as("mean_doc_tokens"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("mean_doc_tokens"))
+  }
+
   /** Streaming contamination-rate monitor — the incremental twin of A12:
     * per event-time tumbling window, the fraction of documents whose hash
     * hits the static blocklist. Stream-static left join to flag, then a

@@ -130,6 +130,43 @@ class StreamingSpec extends SparkTestBase {
     assert(kept === Set(1L, 4L))
   }
 
+  test("streaming quality gate filters micro-batches statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = (1 to 80).map(i => if (i % 10 == 0) "the" else s"w${i}xyz")
+      .mkString(" ") // > 50 distinct-ish words, stopwords present, no repetition
+    val q = StreamOps.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("qgate").outputMode(OutputMode.Append).start()
+    input.addData((1L, good), (2L, "way too short"))
+    q.processAllAvailable()
+    val kept = spark.table("qgate").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept === Set(1L))
+    // the stream twin applies exactly the batch gate's decision
+    import spark.implicits._
+    val batch = graft.operators.TextQuality.gopherFilter(
+      Seq((1L, good), (2L, "way too short")).toDF("doc_id", "text"),
+      "doc_id", "text").where($"keep").collect().map(_.getLong(0)).toSet
+    assert(batch === kept)
+  }
+
+  test("streaming corpus report: per-window counts and mean length") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.corpusReportStream(
+        input.toDF().toDF("ts", "text"), "text", "ts", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("creport").outputMode(OutputMode.Append).start()
+    input.addData((ts(10), "a b c"), (ts(20), "d e"))
+    q.processAllAvailable()
+    input.addData((ts(500), "later doc")) // close window 0
+    q.processAllAvailable()
+    val rows = spark.table("creport").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSet
+    q.stop()
+    assert(rows.contains(("1970-01-01 00:00:00", 2L, 5L, 2.5)))
+  }
+
   test("streaming contamination rate per window") {
     implicit val sqlCtx = spark.sqlContext
     val block = Seq("bad").toDF("text")
