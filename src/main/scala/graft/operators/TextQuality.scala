@@ -145,17 +145,86 @@ object TextQuality {
     * take the min hash of every w-wide window, count the distinct survivors.
     * Robust doc fingerprint for partial-overlap detection.
     */
-  def winnowFingerprintCounts(df: DataFrame, idCol: String, textCol: String,
-                              k: Int = 3, w: Int = 4): DataFrame = {
-    val shingleHashes = transform(
-      graft.functions.TextFunctions.ngrams(split(col(textCol), " "), k),
+  /** Distinct winnowing fingerprints of `text` as a column (portable md5
+    * shingle hashes; see [[winnowFingerprintsRolling]] for the rolling-hash
+    * production kernel).
+    */
+  def winnowFingerprintArray(textCol: Column, k: Int, w: Int): Column =
+    winnowMinsFromHashes(winnowShingleHashes(textCol, k), w)
+
+  /** md5 hash per k-token shingle — the expensive O(tokens) projection. */
+  private def winnowShingleHashes(textCol: Column, k: Int): Column =
+    transform(
+      graft.functions.TextFunctions.ngrams(split(textCol, " "), k),
       s => substring(md5(s), 1, 8))
+
+  /** Distinct w-window minima over a PRE-MATERIALIZED shingle-hash array. */
+  private def winnowMinsFromHashes(shingleHashes: Column, w: Int): Column = {
     // guard: sequence(1, n) runs DESCENDING for n < 1, so gate on size ≥ w
     val mins = when(size(shingleHashes) >= w,
       transform(sequence(lit(1), size(shingleHashes) - (w - 1)),
         i => array_min(slice(shingleHashes, i, lit(w)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), size(array_distinct(mins)).cast("long").as("n_fingerprints"))
+    array_distinct(mins)
+  }
+
+  /** (id, fps) with the shingle-hash array and the fingerprint array each
+    * materialized in their OWN projection. Inlining the whole thing as one
+    * Column plants the md5-shingle `transform` subtree inside the window
+    * lambda (and a third copy in the `size ≥ w` guard), so every window
+    * position re-hashes the entire doc — O(tokens²) md5 calls, ~50× slower
+    * at sf0.1. Two selects keep each subtree evaluated once per row:
+    * CollapseProject refuses to inline a non-cheap expression referenced
+    * more than once, so the boundary survives optimization.
+    */
+  private def winnowFingerprintFrame(df: DataFrame, idCol: String,
+                                     textCol: String, k: Int, w: Int): DataFrame =
+    graft.Par.fanOut(df)
+      .select(col(idCol).as("id"), winnowShingleHashes(col(textCol), k).as("__hs"))
+      .select(col("id"), winnowMinsFromHashes(col("__hs"), w).as("fps"))
+
+  def winnowFingerprintCounts(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintFrame(df, idCol, textCol, k, w)
+      .select(col("id").as(idCol), size(col("fps")).cast("long").as("n_fingerprints"))
+
+  /** MOSS-style partial-overlap candidate pairs: docs sharing ≥ `minShared`
+    * winnowing fingerprints, with the overlap fraction relative to the
+    * smaller doc's fingerprint set. By the winnowing guarantee any shared
+    * token run of length ≥ w+k−1 leaves ≥ 1 shared fingerprint, so this
+    * surfaces partial plagiarism/boilerplate that whole-doc MinHash misses
+    * and span-stats only count.
+    *
+    * Scale shape: ONE corpus scan — the per-doc fingerprint count rides
+    * along the exploded (fp, id, n) rows into the bucket sets, so no join
+    * back to a recomputed sizes frame. The shuffle keys are 8-hex
+    * fingerprints with one sorted (id, n) set row per fingerprint (the
+    * [[graft.operators.MinHash.candidatesFromSignatures]] bucket shape),
+    * `maxBucket` capping boilerplate hot buckets; the pair count is a
+    * partial-agg sum over exploded bucket pairs.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Int = 2,
+                         maxBucket: Int = 1000): DataFrame = {
+    val fpRows = winnowFingerprintFrame(df, idCol, textCol, k, w)
+      .select(col("id"), size(col("fps")).cast("long").as("n"),
+        explode(col("fps")).as("fp"))
+    // struct sorts by its first field, so the id-ordered pair generation
+    // below still holds with n riding along
+    val buckets = fpRows.groupBy("fp")
+      .agg(sort_array(collect_set(struct(col("id"), col("n")))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val pairStructs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        b => struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+          a.getField("n").as("na"), b.getField("n").as("nb")))))
+    buckets.select(explode(pairStructs).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("__na"), col("p.nb").as("__nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared") / least(col("__na"), col("__nb")), 6).as("overlap_frac"))
   }
 
   /** Production winnowing: Karp-Rabin ROLLING hash + monotonic-deque window

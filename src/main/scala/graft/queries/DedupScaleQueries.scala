@@ -111,6 +111,12 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.winnowFingerprintCounts(docs(s, dir), "doc_id", "text", k = 3, w = 4)
         .orderBy("doc_id")),
 
+    // MOSS-style partial-overlap pairs: docs sharing ≥ 2 winnowing
+    // fingerprints (catches shared RUNS that whole-doc MinHash dilutes)
+    "d_winnow_pairs" -> ((s, dir) =>
+      TextQuality.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
+        k = 3, w = 4, minShared = 2).orderBy("id_a", "id_b")),
+
     "t_repetition" -> ((s, dir) =>
       TextQuality.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -387,6 +393,29 @@ object DedupScaleQueries extends QueryPack {
         |    i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))
         |  ELSE [] END)) AS BIGINT) AS n_fingerprints
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "d_winnow_pairs" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(t) - 2),
+        |   i -> substring(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 8)) AS hs
+        | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |f AS (SELECT doc_id AS id, list_distinct(
+        |  CASE WHEN len(hs) >= 4 THEN
+        |   list_transform(generate_series(1, len(hs) - 3),
+        |    i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))
+        |  ELSE [] END) AS fps FROM h),
+        |fp AS (SELECT id, unnest(fps) AS fp FROM f),
+        |bsize AS (SELECT fp, count(*) AS c FROM fp GROUP BY 1),
+        |fp2 AS (SELECT fp.id, fp.fp FROM fp JOIN bsize USING (fp)
+        | WHERE bsize.c BETWEEN 2 AND 1000),
+        |shared AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        | FROM fp2 a JOIN fp2 b ON a.fp = b.fp AND a.id < b.id
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sizes AS (SELECT id, len(fps) AS n FROM f)
+        |SELECT s.id_a, s.id_b, s.n_shared,
+        | round(CAST(s.n_shared AS DOUBLE) / least(na.n, nb.n), 6) AS overlap_frac
+        |FROM shared s JOIN sizes na ON na.id = s.id_a JOIN sizes nb ON nb.id = s.id_b
+        |ORDER BY s.id_a, s.id_b""".stripMargin,
 
     "t_quality" ->
       s"""WITH f AS (SELECT

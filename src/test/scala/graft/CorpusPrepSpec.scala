@@ -184,6 +184,21 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("winnowOverlapPairs surfaces shared token runs (winnowing guarantee)") {
+    val run = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"intro words $run closing remarks here"),
+      (2L, s"different opening $run and another ending"),
+      (3L, "nothing shared with anybody at all in this one honestly")
+    ).toDF("id", "text")
+    val pairs = TextQuality.winnowOverlapPairs(docs, "id", "text",
+        k = 3, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1/2 share a 10-token run ≥ w+k-1 = 6 ⇒ at least one shared
+    // fingerprint; doc 3 pairs with nobody
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("stripHtml: scripts, styles, comments, tags, entities, whitespace") {
     val html = """<html><head><style>p { color: red }</style></head>
       |<body><!-- comment --><p>Hello &amp; welcome</p>
