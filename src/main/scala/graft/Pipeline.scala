@@ -166,16 +166,25 @@ object Pipeline {
         .collect()
         .map(r => (s"lang_frac_${r.get(0)}", r.getLong(1) / nDocs))
     }
-    val metrics = Seq(
+    // counts pass through unrounded: math.round saturates at Long.MaxValue,
+    // so n_chars/n_tokens above ~9.2e12 (routine at 100 TB) would silently
+    // cap if fed through the fractional rounding below
+    def round6(v: Double): Double = math.round(v * 1e6) / 1e6
+    val counts = Seq(
       "n_docs" -> rowAgg.getLong(0).toDouble,
       "n_tokens" -> rowAgg.getLong(1).toDouble,
       "n_chars" -> rowAgg.getLong(2).toDouble,
-      "mean_doc_tokens" -> rowAgg.getDouble(3),
       "max_doc_tokens" -> rowAgg.getLong(4).toDouble,
       "min_doc_tokens" -> rowAgg.getLong(5).toDouble,
-      "n_unique_texts" -> dupAgg.getLong(0).toDouble,
-      "exact_dup_frac" -> dupAgg.getLong(1) / nDocs) ++ langMetrics
-    metrics.map { case (m, v) => (m, math.round(v * 1e6) / 1e6) }
+      "n_unique_texts" -> dupAgg.getLong(0).toDouble)
+    val fracs = (Seq(
+      "mean_doc_tokens" -> rowAgg.getDouble(3),
+      "exact_dup_frac" -> dupAgg.getLong(1) / nDocs) ++ langMetrics)
+      .map { case (m, v) => (m, round6(v)) }
+    val order = Seq("n_docs", "n_tokens", "n_chars", "mean_doc_tokens",
+      "max_doc_tokens", "min_doc_tokens", "n_unique_texts", "exact_dup_frac")
+      .zipWithIndex.toMap
+    (counts ++ fracs).sortBy { case (m, _) => order.getOrElse(m, order.size) }
       .toDF("metric", "value")
   }
 }

@@ -121,9 +121,11 @@ object TextQuality {
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // `&amp;` decodes LAST: standard HTML unescaping order, else escaped
+    // entities double-decode ('&amp;lt;' must yield '&lt;', not '<')
     val entities = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
       regexp_replace(c, java.util.regex.Pattern.quote(e), r)
     }
@@ -386,9 +388,13 @@ object TextQuality {
       .crossJoin(broadcast(uniTotal))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(avg(log(
+        // floor the interpolated probability: with a passed-in/pruned LM a
+        // w2 missing from BOTH tables would otherwise make log(0) = NULL,
+        // which avg() silently skips while n_bigrams still counts the pair
+        round(avg(log(greatest(
           lit(lambda) * coalesce(col("c2").cast("double") / col("c1"), lit(0.0)) +
-            lit(1.0 - lambda) * coalesce(col("cu").cast("double"), lit(0.0)) / col("n"))), 6)
+            lit(1.0 - lambda) * coalesce(col("cu").cast("double"), lit(0.0)) / col("n"),
+          lit(1e-12)))), 6)
           .as("avg_logp"))
   }
 

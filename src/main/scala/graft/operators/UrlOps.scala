@@ -40,10 +40,15 @@ object UrlOps {
     val pathRaw = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathTrim = regexp_replace(pathRaw, "/+$", "")
     val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
-    val qRaw = regexp_extract(url, "\\?([^#]*)", 1)
+    // strip the fragment BEFORE extracting the query: a '?' inside a
+    // fragment (https://x.com/p#f?a=1) is part of the fragment, not a query
+    val noFrag = regexp_replace(url, "#.*", "")
+    val qRaw = regexp_extract(noFrag, "\\?(.*)", 1)
+    // foldLeft, not reduce: dropParams = Nil must mean "drop only utm_*"
     val kept = array_sort(filter(split(qRaw, "&"), p =>
-      !(p.startsWith("utm_") || p.isin(dropParams: _*) ||
-        dropParams.map(d => p.startsWith(d + "=")).reduce(_ || _) || p === "")))
+      !(p.startsWith("utm_") || p === "" ||
+        dropParams.foldLeft(lit(false))((acc, d) =>
+          acc || p === d || p.startsWith(d + "=")))))
     val query = concat_ws("&", kept)
     when(scheme === "", lower(url)).otherwise(
       concat(scheme, lit("://"), host, path,

@@ -262,13 +262,13 @@ object AnalysisQueries extends QueryPack {
         |c1 AS (SELECT doc_id, html,
         |  regexp_replace(regexp_replace(regexp_replace(s,
         |    '&nbsp;', ' ', 'g'),
-        |    '&amp;', '&', 'g'),
-        |    '&lt;', '<', 'g') AS s FROM c0),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g') AS s FROM c0),
         |c AS (SELECT doc_id, html,
         |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
-        |    '&gt;', '>', 'g'),
         |    '&quot;', '"', 'g'),
         |    '&#39;', '''', 'g'),
+        |    '&amp;', '&', 'g'),
         |  '\s+', ' ', 'g')) AS text_clean FROM c1)
         |SELECT doc_id, text_clean,
         | round(CAST(len(text_clean) AS DOUBLE) / greatest(len(html), 1), 6) AS retained_frac

@@ -34,9 +34,12 @@ object UrlQueries extends QueryPack {
     val www = when(col("doc_id") % 3 === 0, "www.").otherwise("")
     val port = when(col("doc_id") % 5 === 0, ":443").otherwise("")
     val slash = when(col("doc_id") % 2 === 0, "/").otherwise("")
+    // gclid/fbclid exercise the NAMED tracking-param drop branch (not just
+    // the utm_ prefix); the '#sec2?x=9' fragment carries a '?' so the
+    // fragment-before-query parse order is cross-checked too
     val query = when(col("doc_id") % 3 === 0, "?utm_source=feed&b=2&a=1")
-      .when(col("doc_id") % 3 === 1, "?a=1&b=2").otherwise("")
-    val frag = when(col("doc_id") % 7 === 0, "#sec2").otherwise("")
+      .when(col("doc_id") % 3 === 1, "?a=1&gclid=CjX12&b=2&fbclid=IwAB3").otherwise("")
+    val frag = when(col("doc_id") % 7 === 0, "#sec2?x=9").otherwise("")
     df.withColumn("url",
       concat(scheme, lit("://"), www, lit("h"), (col("doc_id") % 10).cast("string"),
         lit(".example.com"), port,
@@ -51,8 +54,8 @@ object UrlQueries extends QueryPack {
       | '/p/' || CAST(doc_id % 250 AS VARCHAR) ||
       | (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
       | (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
-      |       WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) ||
-      | (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+      |       WHEN doc_id % 3 = 1 THEN '?a=1&gclid=CjX12&b=2&fbclid=IwAB3' ELSE '' END) ||
+      | (CASE WHEN doc_id % 7 = 0 THEN '#sec2?x=9' ELSE '' END) AS url
       | FROM documents)""".stripMargin
 
   // NB: interpolated into s"""…""".stripMargin blocks below, so no line here
@@ -131,7 +134,7 @@ object UrlQueries extends QueryPack {
          |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
          |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
          |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pathraw,
-         |  regexp_extract(url, '\\?([^#]*)', 1) AS qraw
+         |  regexp_extract(regexp_replace(url, '#.*', ''), '\\?(.*)', 1) AS qraw
          | FROM u),
          |canon AS (SELECT scheme || '://' ||
          |  regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
@@ -140,9 +143,11 @@ object UrlQueries extends QueryPack {
          |  (CASE WHEN regexp_replace(pathraw, '/+$$', '') = '' THEN '/'
          |    ELSE regexp_replace(pathraw, '/+$$', '') END) ||
          |  (CASE WHEN coalesce(array_to_string(list_sort(list_filter(string_split(qraw, '&'),
-         |      p -> NOT regexp_matches(p, '^utm_') AND p <> '')), '&'), '') = '' THEN ''
+         |      p -> NOT regexp_matches(p, '^utm_') AND p <> ''
+         |        AND NOT regexp_matches(p, '^(fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)(=|$$)'))), '&'), '') = '' THEN ''
          |    ELSE '?' || array_to_string(list_sort(list_filter(string_split(qraw, '&'),
-         |      p -> NOT regexp_matches(p, '^utm_') AND p <> '')), '&') END) AS canonical_url
+         |      p -> NOT regexp_matches(p, '^utm_') AND p <> ''
+         |        AND NOT regexp_matches(p, '^(fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)(=|$$)'))), '&') END) AS canonical_url
          | FROM parts)
          |SELECT canonical_url, count(*) AS cnt FROM canon
          |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,

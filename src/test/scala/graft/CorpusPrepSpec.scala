@@ -34,6 +34,23 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out("not-a-url") === "not-a-url")
   }
 
+  test("canonicalizeUrl: '?' inside a fragment is not a query; empty dropParams is safe") {
+    val urls = Seq(
+      "https://x.com/p#f?a=1",            // '?' belongs to the fragment
+      "https://x.com/p?keep=1#f?gclid=2", // real query THEN fragment-with-?
+      "https://x.com/p?gclid=3&a=1"
+    ).toDF("url")
+    val out = urls.select(col("url"), UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("https://x.com/p#f?a=1") === "https://x.com/p")
+    assert(out("https://x.com/p?keep=1#f?gclid=2") === "https://x.com/p?keep=1")
+    // dropParams = Nil means "drop only utm_*": gclid now survives
+    val none = urls.select(col("url"),
+        UrlOps.canonicalizeUrl(col("url"), dropParams = Nil).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(none("https://x.com/p?gclid=3&a=1") === "https://x.com/p?a=1&gclid=3")
+  }
+
   test("urlDuplicateCounts groups distinct raw forms of the same page") {
     val df = Seq(
       "https://www.x.com/p/1?utm_campaign=a",
@@ -207,5 +224,28 @@ class CorpusPrepSpec extends SparkTestBase {
     val out = Seq(html).toDF("h")
       .select(TextQuality.stripHtml(col("h")).as("t")).as[String].head()
     assert(out === "Hello & welcome A <b> c d 'q'")
+  }
+
+  test("stripHtml: escaped entities do not double-decode (&amp; decodes last)") {
+    // '&amp;lt;' is the ESCAPED text '&lt;' — it must render as '&lt;',
+    // never double-decode to '<'
+    val out = Seq("<p>&amp;lt;tag&amp;gt; and &amp;amp;</p>").toDF("h")
+      .select(TextQuality.stripHtml(col("h")).as("t")).as[String].head()
+    assert(out === "&lt;tag&gt; and &amp;")
+  }
+
+  test("bigramLogProb: OOV pairs under a passed-in LM get the finite floor, not NULL") {
+    val model = Seq((1L, "the cat sat")).toDF("id", "text")
+    val lm = (TextQuality.unigramCounts(model, "text"),
+      TextQuality.bigramCounts(model, "text"))
+    // 'zz qq' shares no vocabulary with the model: every pair is OOV
+    val docs = Seq((1L, "the cat"), (2L, "zz qq")).toDF("id", "text")
+    val out = TextQuality.bigramLogProb(docs, "id", "text", lambda = 0.75, lm = Some(lm))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.isNullAt(2), if (r.isNullAt(2)) 0.0 else r.getDouble(2))).toMap
+    assert(!out(2L)._2, "OOV doc must score the floor penalty, not NULL")
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._3 - math.log(1e-12)) < 1e-3)
+    // and the in-vocabulary doc still scores strictly better
+    assert(out(1L)._3 > out(2L)._3)
   }
 }
