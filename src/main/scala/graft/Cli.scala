@@ -76,6 +76,7 @@ object Cli {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Corpus.readJsonl(spark, a.paths,

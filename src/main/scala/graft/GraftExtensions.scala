@@ -39,6 +39,7 @@ object GraftExtensions {
     * build time) — for notebooks/REPLs attached to an existing session.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Sessions.tune(spark)
     functions.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name, usage), builder)

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level optimizer tuning for the engine's workload shape.
+  *
+  * Every generator in this library explodes a COMPUTED array (n-grams,
+  * MinHash signatures, winnowing fingerprints, bigram structs) — never a
+  * stored column. For that shape Spark's `InferFiltersFromGenerate` is
+  * actively harmful: the inferred `size(arr) > 0 AND isnotnull(arr)` filter
+  * is substituted through the producing projections by predicate pushdown
+  * and lands in the file scan's data filters, where the ENTIRE array
+  * expression (md5 per shingle, k hash lanes, HOF folds) is re-evaluated —
+  * interpreted, and in the scan stage, i.e. BEFORE any fan-out repartition,
+  * so on a single input split it also runs single-threaded. Measured at
+  * sf0.1: the winnowing explode went 19 s → 0.45 s with the rule excluded
+  * (the rule's only benefit — skipping rows whose stored array is empty —
+  * never applies here).
+  *
+  * `spark.sql.optimizer.excludedRules` is a runtime conf read per
+  * optimization pass, so tuning works on an already-built session; existing
+  * exclusions are preserved.
+  */
+object Sessions {
+
+  private val ExcludedRules = Seq(
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+
+  /** Apply engine-appropriate optimizer settings to `spark`; returns it. */
+  def tune(spark: SparkSession): SparkSession = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val existing = spark.conf.getOption(key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    spark.conf.set(key, (existing ++ ExcludedRules).distinct.mkString(","))
+    spark
+  }
+}

@@ -179,6 +179,11 @@ object TextQuality {
     * CollapseProject refuses to inline a non-cheap expression referenced
     * more than once, so the boundary survives optimization.
     */
+  /** probe-visible alias for [[winnowFingerprintFrame]] (perf bisection). */
+  private[graft] def winnowFingerprintFrameProbe(df: DataFrame, idCol: String,
+                                                 textCol: String, k: Int, w: Int): DataFrame =
+    winnowFingerprintFrame(df, idCol, textCol, k, w)
+
   private def winnowFingerprintFrame(df: DataFrame, idCol: String,
                                      textCol: String, k: Int, w: Int): DataFrame =
     graft.Par.fanOut(df)
