@@ -59,6 +59,18 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def mergesLit(e: Expression): Seq[(String, String)] = {
+    require(e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"merges must be a foldable array<string> of 'a b' pairs, got $e")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i).toString
+      val sp = s.indexOf(' ')
+      require(sp > 0, s"merge entry '$s' is not 'a b'-shaped")
+      (s.substring(0, sp), s.substring(sp + 1))
+    }
+  }
+
   private def boolLit(e: Expression, what: String): Boolean = e match {
     case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
     case other => throw new IllegalArgumentException(
@@ -93,6 +105,9 @@ object GraftExtensions {
     ("graft_intersect_size",
       "graft_intersect_size(a, b): |distinct(a) ∩ distinct(b)| without the intermediate array",
       (args: Seq[Expression]) => IntersectionSize(args(0), args(1))),
+    ("graft_bpe_encode",
+      "graft_bpe_encode(text, merges): BPE subword tokens under a literal array of 'a b' merges",
+      (args: Seq[Expression]) => BpeEncode(args(0), mergesLit(args(1)))),
     ("graft_repetition",
       "graft_repetition(text): Gopher repetition signals [dup_line, dup_line_char, top2..4gram_char, dup5..10gram_char]",
       (args: Seq[Expression]) => RepetitionSignals(args(0)))

@@ -172,10 +172,11 @@ object NgramOps {
     * doc count, token sum, char sum, max/min tokens per doc.
     */
   def stats(docs: DataFrame, textCol: String, uax29: Boolean = true): DataFrame =
-    docs.select(size(tokens(col(textCol), uax29)).as("toks"), length(col(textCol)).as("chars"))
+    docs.select(size(tokens(col(textCol), uax29)).as("toks"), length(col(textCol)).as("chars"),
+        octet_length(col(textCol)).as("bytes"))
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"),
-        sum("chars").as("total_chars"), max("toks").as("max_tokens"),
-        min("toks").as("min_tokens"))
+        sum("chars").as("total_chars"), sum("bytes").as("total_bytes"),
+        max("toks").as("max_tokens"), min("toks").as("min_tokens"))
 
   /** Zipf rank-frequency fit over the unigram distribution: least-squares
     * slope of ln(count) on ln(rank) — the corpus-level power-law statistic

@@ -102,10 +102,52 @@ object TextQuality {
           lit(0.25) * when(col("mean_token_len").between(3.0, 10.0), 1.0).otherwise(0.0))), 6))
 
   /** BPE-ish token count: letter runs, digit runs, and single non-alnum
-    * marks — the usual pre-tokenizer regex shape.
+    * marks — the usual pre-tokenizer regex shape. The cheap proxy; see
+    * [[bpeTrain]]/[[bpeEncode]] for the real merge-based tokenizer.
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Train a real BPE merge list from the corpus (Sennrich et al. 2016):
+    * ONE distributed aggregation builds the pre-token histogram (Zipf-
+    * bounded; `topV` caps the driver collect and barely moves the merges —
+    * BPE training weight lives in the histogram head), then the merge loop
+    * runs driver-side exactly like the reference implementation. Returns
+    * the ranked merges for [[bpeEncode]] — train once on a sample, encode
+    * anywhere (the merge table is a static few hundred KB, not per-row
+    * state).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               topV: Int = 100000): Seq[(String, String)] = {
+    val wc = graft.Par.fanOut(docs)
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(graft.functions.Bpe.PreTokenPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(topV)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.Bpe.train(wc, numMerges)
+  }
+
+  /** BPE-encode `text` into subword tokens under trained `merges` — a
+    * codegen'd scan-stage projection (the merge table ships inside the
+    * expression; SQL surface: `graft_bpe_encode`).
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.BpeEncode(
+        org.apache.spark.sql.graft.Bridge.expression(text), merges))
+
+  /** Per-document subword accounting under a trained BPE model: token
+    * count and chars-per-token compression (the fertility signal tokenizer
+    * evaluations report).
+    */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+        size(bpeEncode(col(textCol), merges)).cast("long").as("n_bpe_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / greatest(col("n_bpe_tokens"), lit(1L)), 6))
 
   /** HTML → text extraction for crawl-dump ingestion: drop
     * `<script>`/`<style>` blocks and comments, strip remaining tags,
@@ -347,6 +389,41 @@ object TextQuality {
         round(avg(log(col("c").cast("double") / col("n"))), 6).as("avg_logp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document under the corpus-trained (or passed-in) unigram LM,
+    * cut the per-doc score distribution at the head/middle fractions, and
+    * label each document `head` (best-scoring = lowest perplexity),
+    * `middle`, or `tail`. CCNet trains on head+middle and drops the tail;
+    * callers filter on `ppl_bucket`. Swap the LM via `lm` to score one
+    * corpus under another corpus's model (the actual CCNet setup:
+    * Wikipedia-trained LM scoring Common Crawl).
+    *
+    * Scale shape: scoring is [[unigramLogProb]]'s distinct-keyed joins; the
+    * two cutoffs are ONE exact-percentile aggregation over the per-doc
+    * score table (doc-count-sized, not token-sized) broadcast back. At
+    * 100 TB swap `percentile` for `approx_percentile` — order statistics
+    * over billions of doc scores don't need exactness, the cuts are policy
+    * thresholds.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
+                        lm: Option[DataFrame] = None): DataFrame = {
+    val scored = unigramLogProb(docs, idCol, textCol, lm)
+    // avg_logp DESC = perplexity ASC, so head starts at the (1-headFrac)
+    // score quantile. Cuts stay UNROUNDED: an interpolated cut lies strictly
+    // between adjacent distinct scores (equality only at exact data points,
+    // where both engines return the point itself), so bucket assignment is
+    // stable across Spark/DuckDB float details.
+    val cuts = scored.agg(
+      percentile(col("avg_logp"), lit(1.0 - headFrac)).as("__head_cut"),
+      percentile(col("avg_logp"), lit(1.0 - headFrac - midFrac)).as("__mid_cut"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("avg_logp"),
+        when(col("avg_logp") >= col("__head_cut"), "head")
+          .when(col("avg_logp") >= col("__mid_cut"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Adjacent-token bigram stream of `text`: (w1, w2) per position. */
   private def bigrams(text: Column): Column = {
     val t = split(text, " ")
@@ -410,20 +487,22 @@ object TextQuality {
     * template/boilerplate removal. Two Zipf-bounded aggregations.
     */
   def entropyStats(docs: DataFrame, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    def entropy(counts: DataFrame): DataFrame =
-      counts.agg(
-        (log2(sum("c")) -
-          sum(col("c").cast("double") * log2(col("c"))) / sum("c")).as("h"))
-    val hUni = entropy(unigramCounts(docs, textCol)).as[Double].head()
-    val hBi = entropy(bigramCounts(docs, textCol).withColumnRenamed("c2", "c"))
-      .as[Double].head()
-    Seq(
-      ("unigram_entropy_bits", math.round(hUni * 1e6) / 1e6),
-      ("bigram_entropy_bits", math.round(hBi * 1e6) / 1e6),
-      ("conditional_entropy_bits", math.round((hBi - hUni) * 1e6) / 1e6))
-      .toDF("metric", "value")
+    def entropy: Column =
+      log2(sum("c")) -
+        sum(col("c").cast("double") * log2(col("c"))) / sum("c")
+    // one job, not two sequential driver collects: the two single-row aggs
+    // cross-join (both broadcast-sized) and the three metrics explode out
+    // of a literal map — the corpus scans for the two count tables still
+    // run as parallel stages of the same job
+    val hUni = unigramCounts(docs, textCol).agg(entropy.as("hu"))
+    val hBi = bigramCounts(docs, textCol).withColumnRenamed("c2", "c")
+      .agg(entropy.as("hb"))
+    hUni.crossJoin(hBi)
+      .select(explode(map(
+        lit("unigram_entropy_bits"), round(col("hu"), 6),
+        lit("bigram_entropy_bits"), round(col("hb"), 6),
+        lit("conditional_entropy_bits"), round(col("hb") - col("hu"), 6)))
+        .as(Seq("metric", "value")))
   }
 
   /** FineWeb-style line/word gate (Penedo et al. 2024 §3.1 plus the C4

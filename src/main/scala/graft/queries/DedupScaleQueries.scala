@@ -161,6 +161,22 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // real merge-based BPE (train 200 merges on the corpus, encode every
+    // doc): subword counts + compression. No oracle — greedy iterative
+    // merging isn't SQL-expressible; BpeSpec pins golden vectors and the
+    // driver's rows-only check covers the wiring
+    "t_bpe_real" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextQuality.bpeTrain(d, "text", numMerges = 200)
+      TextQuality.bpeTokenStats(d, "doc_id", "text", merges).orderBy("doc_id")
+    }),
+
+    // CCNet §4.3 head/middle/tail perplexity bucketing over the unigram
+    // LM scores — the selection step CCNet runs on top of the LM filter
+    "t_ppl_buckets" -> ((s, dir) =>
+      TextQuality.perplexityBuckets(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // interpolated-bigram LM (λ·P(w2|w1) + (1−λ)·P(w2)) — the rung above
     // t_unigram_lm toward CCNet's KenLM filter; λ=0.75 is exact in binary
     // so the oracle's literal matches bit-for-bit
@@ -490,6 +506,20 @@ object DedupScaleQueries extends QueryPack {
         | round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logp
         |FROM tok JOIN cnt ON cnt.w = tok.w CROSS JOIN tot
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "t_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        |sc AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logp
+        | FROM tok JOIN cnt ON cnt.w = tok.w CROSS JOIN tot GROUP BY tok.doc_id),
+        |cuts AS (SELECT quantile_cont(avg_logp, 0.6666666666666667) AS head_cut,
+        |  quantile_cont(avg_logp, 0.3333333333333334) AS mid_cut FROM sc)
+        |SELECT doc_id, n_tokens, avg_logp,
+        | (CASE WHEN avg_logp >= head_cut THEN 'head'
+        |   WHEN avg_logp >= mid_cut THEN 'middle' ELSE 'tail' END) AS ppl_bucket
+        |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
 
     "t_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

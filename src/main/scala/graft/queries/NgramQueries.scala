@@ -22,6 +22,7 @@ object NgramQueries extends QueryPack {
       NgramOps.stats(Tables(s, dir, "documents"), "text", uax29 = false)
         .select(col("n_docs"), col("total_tokens").cast("long").as("total_tokens"),
           col("total_chars").cast("long").as("total_chars"),
+          col("total_bytes").cast("long").as("total_bytes"),
           col("max_tokens").cast("long").as("max_tokens"),
           col("min_tokens").cast("long").as("min_tokens"))),
 
@@ -104,6 +105,7 @@ object NgramQueries extends QueryPack {
     "a1_stats" ->
       """SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_tokens,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | CAST(max(len(t)) AS BIGINT) AS max_tokens,
         | CAST(min(len(t)) AS BIGINT) AS min_tokens
         |FROM (SELECT text, string_split(text, ' ') AS t FROM documents)""".stripMargin,

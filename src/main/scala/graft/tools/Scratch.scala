@@ -1,49 +1,38 @@
-package graft.tools
-
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-
-import graft.functions.TextFunctions
-import graft.sources.Corpus
-
-/** Throwaway profiling harness (not part of the library surface). */
+package graft
+import org.apache.spark.sql.{SparkSession, functions => F}
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    val spark = Sessions.tune(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", false)
-      .config("spark.ui.enabled", false)
-      .appName("scratch").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val docs = Corpus.readJsonl(spark,
-        Seq("/root/reference/test_fixtures/c4-sample.00000-of-00001.json.gz"))
-      .crossJoin(spark.range(32).select(col("id").as("copy")))
-      .select(col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println("docs " + docs.count())
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.UrlOps
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-34s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }
-
-    time("tokenize uax29 warm") {
-      docs.select(sum(size(TextFunctions.tokenize(col("text"))))).collect()
-    }
-    time("tokenize uax29") {
-      docs.select(sum(size(TextFunctions.tokenize(col("text"))))).collect()
-    }
-    time("split-space") {
-      docs.select(sum(size(split(col("text"), " ")))).collect()
-    }
-    time("tokenize+ngrams3 size") {
-      docs.select(sum(size(TextFunctions.ngrams(
-        TextFunctions.tokenize(col("text")), 3)))).collect()
-    }
-    time("full topk explode+group") {
-      graft.operators.NgramOps.topK(docs, "text", 3, 20).collect()
-    }
+    time("warm")(docs.count())
+    val query = when(col("doc_id") % 3 === 0, "?utm_source=feed&b=2&a=1")
+      .when(col("doc_id") % 3 === 1, "?a=1&gclid=CjX12&b=2&fbclid=IwAB3").otherwise("")
+    val messy = docs.withColumn("url",
+      concat(when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+        when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        lit("h"), (col("doc_id") % 10).cast("string"), lit(".example.com"),
+        when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), (col("doc_id") % 250).cast("string"),
+        when(col("doc_id") % 2 === 0, "/").otherwise(""), query,
+        when(col("doc_id") % 7 === 0, "#sec2?x=9").otherwise("")))
+      .repartition(32)
+    // stored-column case: url materialized first (as at 100 TB)
+    val stored = messy.select("doc_id", "url").localCheckpoint()
+    // scale it up 40x to get a per-row cost signal: 200k rows
+    val big = stored.crossJoin(spark.range(40)).select(col("url")).repartition(32).localCheckpoint()
+    time("big count")(big.count())
+    time("canonical on stored 200k")(big
+      .select(UrlOps.canonicalizeUrl(col("url")).as("c"))
+      .agg(F.sum(length(col("c")))).head().getLong(0))
     spark.stop()
   }
 }

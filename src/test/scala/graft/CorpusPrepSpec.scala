@@ -141,6 +141,30 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out(3L)._2 < out(1L)._2)
   }
 
+  test("perplexityBuckets: common-token docs land in head, rare-token docs in tail") {
+    // 6 docs: two of pure high-frequency tokens, two mixed, two of
+    // singletons — thirds split must follow the LM score order
+    val docs = Seq(
+      (1L, "the the the the"), (2L, "the the the of"),
+      (3L, "the of cat dog"), (4L, "of the bird fish"),
+      (5L, "qq ww ee rr"), (6L, "zz xx cc vv")
+    ).toDF("id", "text")
+    val out = TextQuality.perplexityBuckets(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === "head")
+    assert(out(5L) === "tail" && out(6L) === "tail")
+    // exactly the worst third is tail, best third head
+    assert(out.values.count(_ == "head") === 2)
+    assert(out.values.count(_ == "middle") === 2)
+    assert(out.values.count(_ == "tail") === 2)
+    // cross-corpus: scoring under a PASSED-IN model ranks by that model
+    val lm = TextQuality.unigramCounts(
+      Seq("the of the of the the of and").toDF("text"), "text")
+    val scored = TextQuality.perplexityBuckets(docs, "id", "text", lm = Some(lm))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(scored(1L) === "head")
+  }
+
   test("entropyStats: uniform unigrams hit log2(V); conditional <= unigram entropy") {
     val docs = Seq("a b c d", "a b c d").toDF("text")
     val m = TextQuality.entropyStats(docs, "text")

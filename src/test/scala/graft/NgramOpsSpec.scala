@@ -56,6 +56,8 @@ class NgramOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("total_tokens") === 9L)
     assert(r.getAs[Int]("max_tokens") === 5)
     assert(r.getAs[Int]("min_tokens") === 1)
+    // ASCII fixture: UTF-8 bytes == chars (multibyte text diverges)
+    assert(r.getAs[Long]("total_bytes") === r.getAs[Long]("total_chars"))
   }
 
   test("uniqueExact") {
