@@ -20,6 +20,7 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
+    graft.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -25,6 +25,7 @@ object FixtureBench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     // replicate with a per-copy marker token so n-gram contents stay

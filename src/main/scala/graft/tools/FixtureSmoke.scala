@@ -21,6 +21,7 @@ object FixtureSmoke {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Corpus.readJsonl(spark, Seq(path)).cache()

@@ -26,6 +26,7 @@ object PipelineDemo {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     def stage(name: String, n: Long): Unit = println(f"PIPELINE $name%-28s $n%8d docs")

@@ -8,6 +8,7 @@ object RecallProbe {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
+    graft.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") % 100 === 0)

@@ -20,6 +20,7 @@ object SemRecall {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
+    graft.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
