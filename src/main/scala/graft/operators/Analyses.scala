@@ -46,6 +46,30 @@ object Analyses {
     piiCounts(df.where(!coalesce(junk, lit(false))), textCol)
   }
 
+  /** PII REDACTION transform — the pipeline-native sibling of P7's
+    * counting: replace every PII match with a typed sentinel (`<|email|>`
+    * etc.) and keep per-type match counts as the audit trail. One
+    * codegen'd projection: the counts read the original text, the
+    * replacement cascade applies in sorted-type order (sentinels contain
+    * no digits/@, so later patterns can't match inside earlier
+    * replacements). Patterns default to the same SQL-portable shapes as
+    * [[piiCounts]] so the DuckDB oracle replays the cascade verbatim.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String,
+                patterns: Map[String, String] = Map(
+                  "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+                  "phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
+                  "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")): DataFrame = {
+    val ordered = patterns.toSeq.sortBy(_._1)
+    val counts = ordered.map { case (t, re) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$t")
+    }
+    val redacted = ordered.foldLeft(col(textCol)) { case (c, (t, re)) =>
+      regexp_replace(c, re, s"<|$t|>")
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("text_redacted"): _*)
+  }
+
   /** P8 taxonomy path: multi-label word-list matching (reference
     * wimbd/profanity/map_count.py:41-67) — one `rlike` per label over a
     * broadcast-inlined word list, exploded so a doc can carry several labels.

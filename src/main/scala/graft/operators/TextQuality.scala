@@ -407,21 +407,34 @@ object TextQuality {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
-                        lm: Option[DataFrame] = None): DataFrame = {
-    val scored = unigramLogProb(docs, idCol, textCol, lm)
+                        lm: Option[DataFrame] = None,
+                        byCol: Option[String] = None): DataFrame = {
+    val scored0 = unigramLogProb(docs, idCol, textCol, lm)
     // avg_logp DESC = perplexity ASC, so head starts at the (1-headFrac)
     // score quantile. Cuts stay UNROUNDED: an interpolated cut lies strictly
     // between adjacent distinct scores (equality only at exact data points,
     // where both engines return the point itself), so bucket assignment is
     // stable across Spark/DuckDB float details.
-    val cuts = scored.agg(
-      percentile(col("avg_logp"), lit(1.0 - headFrac)).as("__head_cut"),
-      percentile(col("avg_logp"), lit(1.0 - headFrac - midFrac)).as("__mid_cut"))
-    scored.crossJoin(broadcast(cuts))
-      .select(col(idCol), col("n_tokens"), col("avg_logp"),
-        when(col("avg_logp") >= col("__head_cut"), "head")
-          .when(col("avg_logp") >= col("__mid_cut"), "middle")
-          .otherwise("tail").as("ppl_bucket"))
+    val headCut = percentile(col("avg_logp"), lit(1.0 - headFrac)).as("__head_cut")
+    val midCut = percentile(col("avg_logp"), lit(1.0 - headFrac - midFrac)).as("__mid_cut")
+    val bucket = when(col("avg_logp") >= col("__head_cut"), "head")
+      .when(col("avg_logp") >= col("__mid_cut"), "middle")
+      .otherwise("tail").as("ppl_bucket")
+    byCol match {
+      case None =>
+        scored0.crossJoin(broadcast(scored0.agg(headCut, midCut)))
+          .select(col(idCol), col("n_tokens"), col("avg_logp"), bucket)
+      case Some(g) =>
+        // CCNet's actual shape: cuts PER GROUP (language), one grouped
+        // percentile agg (group-count-sized) broadcast back. The LM is
+        // whatever `lm` says — CCNet trains one per language; pass the
+        // per-language model when scoring a single-language slice, or
+        // accept the shared-model approximation on a mixed corpus.
+        val scored = scored0.join(docs.select(col(idCol), col(g)), Seq(idCol))
+        val cuts = scored.groupBy(col(g)).agg(headCut, midCut)
+        scored.join(broadcast(cuts), Seq(g))
+          .select(col(idCol), col(g), col("n_tokens"), col("avg_logp"), bucket)
+    }
   }
 
   /** Adjacent-token bigram stream of `text`: (w1, w2) per position. */

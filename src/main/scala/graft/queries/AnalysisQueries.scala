@@ -44,6 +44,12 @@ object AnalysisQueries extends QueryPack {
       Analyses.piiCounts(withPii(Tables(s, dir, "documents")), "text2")
         .orderBy("pii_type")),
 
+    // the REDACTION transform over the same synthesized PII: sentinels in,
+    // per-type counts as the audit trail
+    "p21_pii_redact" -> ((s, dir) =>
+      Analyses.piiRedact(withPii(Tables(s, dir, "documents")), "doc_id", "text2")
+        .orderBy("doc_id")),
+
     "p8_taxonomy" -> ((s, dir) =>
       Analyses.taxonomyLabels(Tables(s, dir, "documents"), "text", taxonomy)
         .orderBy("label")),
@@ -137,6 +143,18 @@ object AnalysisQueries extends QueryPack {
          | UNION ALL
          | SELECT 'ip', len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) FROM u
          |) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p21_pii_redact" ->
+      s"""$piiCte
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         | CAST(len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+         | CAST(len(regexp_extract_all(text2, '\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phone,
+         | regexp_replace(regexp_replace(regexp_replace(text2,
+         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<|email|>', 'g'),
+         |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<|ip|>', 'g'),
+         |  '\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<|phone|>', 'g') AS text_redacted
+         |FROM u ORDER BY doc_id""".stripMargin,
 
     "p8_taxonomy" ->
       """SELECT label, count(*) AS n_docs FROM (

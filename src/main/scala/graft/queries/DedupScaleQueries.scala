@@ -177,6 +177,12 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.perplexityBuckets(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // the per-language variant: cuts computed within each lang group
+    // (CCNet buckets per language, not globally)
+    "t_ppl_buckets_lang" -> ((s, dir) =>
+      TextQuality.perplexityBuckets(docs(s, dir), "doc_id", "text",
+        byCol = Some("lang")).orderBy("doc_id")),
+
     // interpolated-bigram LM (λ·P(w2|w1) + (1−λ)·P(w2)) — the rung above
     // t_unigram_lm toward CCNet's KenLM filter; λ=0.75 is exact in binary
     // so the oracle's literal matches bit-for-bit
@@ -520,6 +526,21 @@ object DedupScaleQueries extends QueryPack {
         | (CASE WHEN avg_logp >= head_cut THEN 'head'
         |   WHEN avg_logp >= mid_cut THEN 'middle' ELSE 'tail' END) AS ppl_bucket
         |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "t_ppl_buckets_lang" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        |sc AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logp
+        | FROM tok JOIN cnt ON cnt.w = tok.w CROSS JOIN tot GROUP BY tok.doc_id),
+        |scl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+        |cuts AS (SELECT lang, quantile_cont(avg_logp, 0.6666666666666667) AS head_cut,
+        |  quantile_cont(avg_logp, 0.3333333333333334) AS mid_cut FROM scl GROUP BY lang)
+        |SELECT doc_id, lang, n_tokens, avg_logp,
+        | (CASE WHEN avg_logp >= head_cut THEN 'head'
+        |   WHEN avg_logp >= mid_cut THEN 'middle' ELSE 'tail' END) AS ppl_bucket
+        |FROM scl JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
 
     "t_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -165,6 +165,46 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(scored(1L) === "head")
   }
 
+  test("perplexityBuckets byCol: cuts are per-group, not global") {
+    // lang a: scores {high×4, low×2}; lang b: all identical. Global cuts
+    // would drown b; per-lang cuts must bucket b's ties all together.
+    val docs = Seq(
+      (1L, "the the the", "a"), (2L, "the the the", "a"), (3L, "the the of", "a"),
+      (4L, "zz ww qq", "a"), (5L, "rr ss tt", "a"), (6L, "uu vv yy", "a"),
+      (7L, "mm mm nn", "b"), (8L, "mm mm nn", "b"), (9L, "mm mm nn", "b")
+    ).toDF("id", "text", "lang")
+    val out = TextQuality.perplexityBuckets(docs, "id", "text", byCol = Some("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(1L) === "head" && out(2L) === "head")
+    // every lang-b doc has the same score == both cuts → all head
+    assert(Seq(7L, 8L, 9L).forall(out(_) === "head"))
+    // lang a's singleton-token docs tie AT the mid cut → middle (>= is
+    // inclusive); under GLOBAL cuts they'd sit far below lang-b's scores
+    assert(Seq(4L, 5L, 6L).forall(out(_) === "middle"))
+    // ...whereas globally, the all-tied lang-b docs and lang-a's best split
+    // differently: sanity-check the global path still heads doc 1
+    val globalOut = TextQuality.perplexityBuckets(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(globalOut(1L) === "head")
+    assert(Seq(4L, 5L, 6L).forall(globalOut(_) === "tail"))
+  }
+
+  test("piiRedact: typed sentinels, per-type counts, clean text untouched") {
+    import graft.operators.Analyses
+    val docs = Seq(
+      (1L, "mail bob@x.com or call 555-123-4567 now"),
+      (2L, "server 10.0.0.1 up"),
+      (3L, "clean text")).toDF("id", "text")
+    val out = Analyses.piiRedact(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("text_redacted") === "mail <|email|> or call <|phone|> now")
+    assert(out(1L).getAs[Long]("n_email") === 1L)
+    assert(out(1L).getAs[Long]("n_phone") === 1L)
+    assert(out(1L).getAs[Long]("n_ip") === 0L)
+    assert(out(2L).getAs[String]("text_redacted") === "server <|ip|> up")
+    assert(out(3L).getAs[String]("text_redacted") === "clean text")
+  }
+
   test("entropyStats: uniform unigrams hit log2(V); conditional <= unigram entropy") {
     val docs = Seq("a b c d", "a b c d").toDF("text")
     val m = TextQuality.entropyStats(docs, "text")
