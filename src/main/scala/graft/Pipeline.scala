@@ -37,6 +37,36 @@ object Pipeline {
     TextQuality.unigramLogProb(docs, idCol, textCol,
       lmCorpus.map(TextQuality.unigramCounts(_, textCol)))
 
+  /** CCNet-style selection: LM-score, cut into head/middle/tail (per
+    * `byCol` group when given — CCNet buckets per language), and keep the
+    * buckets in `keep`. The classic recipe keeps head+middle.
+    */
+  def perplexitySelect(docs: DataFrame, idCol: String, textCol: String,
+                       keep: Set[String] = Set("head", "middle"),
+                       byCol: Option[String] = None,
+                       lmCorpus: Option[DataFrame] = None): DataFrame =
+    docs.join(
+      TextQuality.perplexityBuckets(docs, idCol, textCol,
+          lm = lmCorpus.map(TextQuality.unigramCounts(_, textCol)), byCol = byCol)
+        .where(col("ppl_bucket").isin(keep.toSeq: _*))
+        .select(col(idCol).as("__keep_id")),
+      docs(idCol) === col("__keep_id"), "left_semi")
+
+  /** PII redaction in place: swap `textCol` for its redacted form (typed
+    * sentinels) and append the per-type audit counts — one scan projection,
+    * no join, every other column untouched.
+    */
+  def redactPii(docs: DataFrame, textCol: String,
+                patterns: Map[String, String] = Analyses.PiiPatterns): DataFrame = {
+    val ordered = patterns.toSeq.sortBy(_._1)
+    val counted = ordered.foldLeft(docs) { case (d, (t, re)) =>
+      d.withColumn(s"n_$t", regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    ordered.foldLeft(counted) { case (d, (t, re)) =>
+      d.withColumn(textCol, regexp_replace(col(textCol), re, s"<|$t|>"))
+    }
+  }
+
   /** FineWeb-style line/word gate: documents passing every rule. */
   def fineWebGate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.join(

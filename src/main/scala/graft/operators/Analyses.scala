@@ -20,10 +20,7 @@ object Analyses {
     * (Context-window post-filters of the reference are in [[piiContextual]].)
     */
   def piiCounts(df: DataFrame, textCol: String,
-                patterns: Map[String, String] = Map(
-                  "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-                  "phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
-                  "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")): DataFrame = {
+                patterns: Map[String, String] = PiiPatterns): DataFrame = {
     // one corpus pass for all PII types (see NgramOps.searchRegex)
     val ordered = patterns.toSeq.sortBy(_._1)
     val aggs = ordered.zipWithIndex.map { case ((_, re), i) =>
@@ -55,11 +52,14 @@ object Analyses {
     * replacements). Patterns default to the same SQL-portable shapes as
     * [[piiCounts]] so the DuckDB oracle replays the cascade verbatim.
     */
+  /** The SQL-portable PII shapes shared by [[piiCounts]] and [[piiRedact]]. */
+  val PiiPatterns: Map[String, String] = Map(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
   def piiRedact(df: DataFrame, idCol: String, textCol: String,
-                patterns: Map[String, String] = Map(
-                  "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-                  "phone" -> "\\d{3}[-. ]\\d{3}[-. ]\\d{4}",
-                  "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")): DataFrame = {
+                patterns: Map[String, String] = PiiPatterns): DataFrame = {
     val ordered = patterns.toSeq.sortBy(_._1)
     val counts = ordered.map { case (t, re) =>
       regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$t")

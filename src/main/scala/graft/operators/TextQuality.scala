@@ -389,6 +389,37 @@ object TextQuality {
         round(avg(log(col("c").cast("double") / col("n"))), 6).as("avg_logp"))
   }
 
+  /** `[n_scored, avg_logp]` column under a pruned, plan-shipped unigram LM
+    * (see [[unigramLogProbInline]]). `vocab` rows are (token, count);
+    * `total` is the model's mass.
+    */
+  def unigramScore(textCol: Column, vocab: Seq[(String, Long)], total: Long): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.UnigramLogProbInline(
+        org.apache.spark.sql.graft.Bridge.expression(split(textCol, " ")),
+        vocab, total))
+
+  /** [[unigramLogProb]] with the model pruned to the top-V vocabulary
+    * (deterministic tie-break: count desc, token asc) and shipped INSIDE a
+    * scan-stage expression — zero joins and zero shuffles on the scoring
+    * side, which is what CCNet-style filtering wants at 100 TB (the model
+    * is a few MB; the corpus is not) and what makes LM gating usable in
+    * Structured Streaming (no stream-side aggregation). Probabilities are
+    * relative to the pruned model's own mass, so the model is
+    * self-contained; docs with zero in-vocabulary tokens drop, mirroring
+    * the join formulation's inner-join semantics.
+    */
+  def unigramLogProbInline(docs: DataFrame, idCol: String, textCol: String,
+                           lm: DataFrame, topV: Int = 100000): DataFrame = {
+    val rows = lm.orderBy(desc("c"), asc("w")).limit(topV)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = rows.map(_._2).sum
+    docs.select(col(idCol), unigramScore(col(textCol), rows, total).as("__s"))
+      .select(col(idCol), element_at(col("__s"), 1).cast("long").as("n_scored"),
+        round(element_at(col("__s"), 2), 6).as("avg_logp"))
+      .where(col("n_scored") > 0)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
     * every document under the corpus-trained (or passed-in) unigram LM,
     * cut the per-doc score distribution at the head/middle fractions, and

@@ -177,6 +177,14 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.perplexityBuckets(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // the zero-join scoring path: model pruned to top-50 vocab and shipped
+    // inside the scan expression (probabilities over the pruned mass)
+    "t_unigram_lm_inline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextQuality.unigramLogProbInline(d, "doc_id", "text",
+        TextQuality.unigramCounts(d, "text"), topV = 50).orderBy("doc_id")
+    }),
+
     // the per-language variant: cuts computed within each lang group
     // (CCNet buckets per language, not globally)
     "t_ppl_buckets_lang" -> ((s, dir) =>
@@ -526,6 +534,16 @@ object DedupScaleQueries extends QueryPack {
         | (CASE WHEN avg_logp >= head_cut THEN 'head'
         |   WHEN avg_logp >= mid_cut THEN 'middle' ELSE 'tail' END) AS ppl_bucket
         |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "t_unigram_lm_inline" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |v AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 50),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        | round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS avg_logp
+        |FROM tok JOIN v USING (w) CROSS JOIN tot
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     "t_ppl_buckets_lang" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

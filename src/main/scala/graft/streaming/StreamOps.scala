@@ -217,6 +217,24 @@ object StreamOps {
     sig.where(col("keep")).select(cols.map(col): _*)
   }
 
+  /** Streaming LM quality gate — incremental CCNet: score each arriving
+    * document under a STATIC pruned unigram model shipped inside the scan
+    * expression (no stream-static join, no aggregation state) and keep
+    * docs with mean log-prob at or above `minAvgLogp`. Derive the cut
+    * offline from [[graft.operators.TextQuality.perplexityBuckets]] — a
+    * cut is POLICY; recomputing quantiles per micro-batch would make
+    * acceptance depend on batch boundaries.
+    */
+  def lmGateStream(docs: DataFrame, textCol: String,
+                   vocab: Seq[(String, Long)], total: Long,
+                   minAvgLogp: Double): DataFrame = {
+    val s = graft.operators.TextQuality.unigramScore(col(textCol), vocab, total)
+    docs.withColumn("__s", s)
+      .where(element_at(col("__s"), 1) > 0 &&
+        element_at(col("__s"), 2) >= minAvgLogp)
+      .drop("__s")
+  }
+
   /** Streaming corpus monitor — the incremental report card: per
     * event-time tumbling window, doc/token/char counts and mean doc
     * length (the streaming subset of [[graft.Pipeline.corpusReport]];

@@ -205,6 +205,43 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out(3L).getAs[String]("text_redacted") === "clean text")
   }
 
+  test("Pipeline.redactPii and perplexitySelect compose without losing columns") {
+    val docs = Seq(
+      (1L, "the the the mail bob@x.com", "en"),
+      (2L, "the the of good text here", "en"),
+      (3L, "zz ww qq rr ss tt", "en")).toDF("id", "text", "lang")
+    val red = Pipeline.redactPii(docs, "text")
+    assert(red.columns.toSet ===
+      Set("id", "text", "lang", "n_email", "n_phone", "n_ip"))
+    val r1 = red.where(col("id") === 1L).head()
+    assert(r1.getAs[String]("text").endsWith("mail <|email|>"))
+    assert(r1.getAs[Long]("n_email") === 1L)
+    assert(r1.getAs[String]("lang") === "en") // untouched passenger column
+    // head+middle selection drops the singleton-token doc (worst third)
+    val kept = Pipeline.perplexitySelect(docs, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("unigramLogProbInline: full-vocab scores match the join path; pruning drops OOV") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the the dog"), (3L, "cat cat cat"))
+      .toDF("id", "text")
+    val lm = TextQuality.unigramCounts(docs, "text")
+    val joinScores = TextQuality.unigramLogProb(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val inline = TextQuality.unigramLogProbInline(docs, "id", "text", lm, topV = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    joinScores.foreach { case (id, s) =>
+      assert(math.abs(inline(id)._2 - s) < 1e-6, s"doc $id") }
+    // prune to the single most frequent token ('cat' ties 'the' at 3 → 'cat'
+    // wins the asc tie-break): only cat-bearing tokens score, over the
+    // pruned mass (p = 1.0 → avg_logp = 0)
+    val pruned = TextQuality.unigramLogProbInline(docs, "id", "text", lm, topV = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!pruned.contains(2L)) // no in-vocab token survives
+    assert(pruned(3L) === ((3L, 0.0)))
+  }
+
   test("entropyStats: uniform unigrams hit log2(V); conditional <= unigram entropy") {
     val docs = Seq("a b c d", "a b c d").toDF("text")
     val m = TextQuality.entropyStats(docs, "text")

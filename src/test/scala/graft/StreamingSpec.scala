@@ -151,6 +151,25 @@ class StreamingSpec extends SparkTestBase {
     assert(batch === kept)
   }
 
+  test("streaming LM gate scores against the static model, no state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // model: 'the' dominates; cut set between common and rare scores
+    val vocab = Seq(("the", 8L), ("of", 2L))
+    val q = StreamOps.lmGateStream(
+        input.toDF().toDF("doc_id", "text"), "text", vocab, total = 10L,
+        minAvgLogp = math.log(0.5)) // keep docs averaging better than p=0.5
+      .writeStream.format("memory").queryName("lmgate").outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, "the the the"),   // avg ln(0.8) > cut
+      (2L, "of of"),         // avg ln(0.2) < cut
+      (3L, "zz qq"))         // fully OOV: no scored tokens → dropped
+    q.processAllAvailable()
+    val kept = spark.table("lmgate").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept === Set(1L))
+  }
+
   test("streaming corpus report: per-window counts and mean length") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
