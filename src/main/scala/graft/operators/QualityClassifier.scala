@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fasttext-style quality classifier — the model-based filtering rung the
+  * big pipelines run above the rule gates (GPT-3 trains LR against WebText
+  * as the positive class; LLaMA/RedPajama filter CCNet output the same
+  * way): learn a linear model over the engine's own quality signals from
+  * weak labels, then score the whole corpus.
+  *
+  * Spark-first split: FIT uses MLlib (driver-coordinated L-BFGS over the
+  * labeled frame — the labeled set is sample-sized, not corpus-sized);
+  * SCORE does NOT ship the MLlib pipeline — the fitted weights come back
+  * as plain doubles and scoring is `sigmoid(w·x + b)` in pure column
+  * algebra, a codegen'd scan-stage projection with no UDF, no vector
+  * assembly, no per-row ML runtime. At 100 TB the corpus only ever sees
+  * the cheap path.
+  */
+object QualityClassifier {
+
+  /** Fitted linear model over named signal columns. */
+  final case class Model(featureNames: Seq[String], weights: Array[Double],
+                         intercept: Double) {
+    require(featureNames.length == weights.length)
+  }
+
+  /** The signal frame both fit and score consume: [[TextQuality]] quality
+    * features plus length — all plain double columns keyed by `idCol`.
+    */
+  def features(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextQuality.qualityFeatures(df, idCol, textCol)
+      .join(df.select(col(idCol),
+        log1p(length(col(textCol))).as("log_chars")), Seq(idCol))
+
+  /** Column list [[features]] produces (order matters for the model). */
+  val FeatureCols: Seq[String] =
+    Seq("n_tokens", "mean_token_len", "stopword_ratio", "short_token_ratio",
+      "uniq_ratio", "log_chars")
+
+  /** Fit on a labeled signal frame (`labelCol` ∈ {0, 1}; build it from a
+    * curated positive corpus unioned with raw negatives, or any boolean
+    * gate). Returns plain weights — the MLlib machinery stays here.
+    */
+  def fit(labeled: DataFrame, labelCol: String,
+          featureCols: Seq[String] = FeatureCols,
+          regParam: Double = 0.0, maxIter: Int = 100): Model = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__features")
+      .transform(labeled.withColumn("__label", col(labelCol).cast("double")))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol("__label")
+      .setRegParam(regParam).setMaxIter(maxIter)
+    val m = lr.fit(assembled)
+    Model(featureCols, m.coefficients.toArray, m.intercept)
+  }
+
+  /** `sigmoid(w·x + b)` as a Column over the signal columns — codegen'd,
+    * broadcast-free, streaming-safe.
+    */
+  def scoreColumn(model: Model): Column = {
+    val z = model.featureNames.zip(model.weights)
+      .foldLeft(lit(model.intercept)) { case (acc, (f, w)) =>
+        acc + col(f) * lit(w)
+      }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Score a corpus: (id, quality_score) plus the signals. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            model: Model): DataFrame =
+    features(df, idCol, textCol)
+      .withColumn("quality_score", round(scoreColumn(model), 6))
+
+  /** End-to-end convenience: weak labels from the Gopher gate (rule-based
+    * bootstrap — the usual trick when no curated positive set exists),
+    * fit, and score everything.
+    */
+  def fitOnGopherLabels(df: DataFrame, idCol: String, textCol: String): Model = {
+    val labels = TextQuality.gopherFilter(df, idCol, textCol)
+      .select(col(idCol), col("keep").cast("double").as("__weak_label"))
+    val labeled = features(df, idCol, textCol).join(labels, Seq(idCol))
+    fit(labeled, "__weak_label")
+  }
+}

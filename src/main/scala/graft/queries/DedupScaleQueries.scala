@@ -177,6 +177,16 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.perplexityBuckets(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // model-based quality filtering (GPT-3/LLaMA-style): LR fit on Gopher
+    // weak labels (MLlib, driver-coordinated), scored corpus-wide as pure
+    // column algebra. Rows-only: L-BFGS weights aren't SQL-replayable
+    "t_quality_clf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.operators.QualityClassifier.fitOnGopherLabels(d, "doc_id", "text")
+      graft.operators.QualityClassifier.score(d, "doc_id", "text", model)
+        .select("doc_id", "quality_score").orderBy("doc_id")
+    }),
+
     // the zero-join scoring path: model pruned to top-50 vocab and shipped
     // inside the scan expression (probabilities over the pruned mass)
     "t_unigram_lm_inline" -> ((s, dir) => {
