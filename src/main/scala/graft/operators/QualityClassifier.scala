@@ -78,10 +78,18 @@ object QualityClassifier {
     * bootstrap — the usual trick when no curated positive set exists),
     * fit, and score everything.
     */
-  def fitOnGopherLabels(df: DataFrame, idCol: String, textCol: String): Model = {
+  def fitOnGopherLabels(df: DataFrame, idCol: String, textCol: String,
+                        maxIter: Int = 25): Model = {
     val labels = TextQuality.gopherFilter(df, idCol, textCol)
       .select(col(idCol), col("keep").cast("double").as("__weak_label"))
+    // localCheckpoint: every L-BFGS iteration re-reads the labeled frame —
+    // don't recompute the gopher gate + feature projections per step
     val labeled = features(df, idCol, textCol).join(labels, Seq(idCol))
-    fit(labeled, "__weak_label")
+      .localCheckpoint(eager = true)
+    // weak labels don't merit tight convergence: cap the iteration count
+    // (each L-BFGS step is a distributed pass)
+    val m = fit(labeled, "__weak_label", maxIter = maxIter)
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(labeled)
+    m
   }
 }
