@@ -33,6 +33,33 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpe: tokens reassemble the word; encode deterministic; merges shrink") {
+    import graft.functions.Bpe
+    val chars = "abcde"
+    (1 to 200).foreach { _ =>
+      val words = Seq.fill(1 + rng.nextInt(6))(
+        Seq.fill(1 + rng.nextInt(8))(chars(rng.nextInt(chars.length))).mkString)
+      val counts = words.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong * (1 + rng.nextInt(5))) }
+      val merges = Bpe.train(counts, 1 + rng.nextInt(10))
+      val table = new Bpe.MergeTable(merges)
+      words.foreach { w =>
+        val t1 = table.encodeWord(w)
+        assert(t1.mkString === w, s"tokens must reassemble '$w'")
+        assert(t1.toSeq === table.encodeWord(w).toSeq) // deterministic
+        assert(t1.length <= w.length)
+      }
+      // training words with enough merges compress below char count when
+      // any pair repeated
+      if (merges.nonEmpty) {
+        // .toSeq first: Map#keys is a Set and mapping to lengths would
+        // collapse duplicates before summing
+        val trained = counts.keys.toSeq.map(w => table.encodeWord(w).length).sum
+        val raw = counts.keys.toSeq.map(_.length).sum
+        assert(trained < raw)
+      }
+    }
+  }
+
   test("ngrams: window count and width invariants") {
     (1 to 300).foreach { _ =>
       val toks = randTokens(15)
