@@ -440,7 +440,14 @@ object TextQuality {
                         headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
                         lm: Option[DataFrame] = None,
                         byCol: Option[String] = None): DataFrame = {
-    val scored0 = unigramLogProb(docs, idCol, textCol, lm)
+    // materialize the per-doc score table ONCE (eager localCheckpoint):
+    // both the cut aggregation and the output read it, and Spark does not
+    // reuse the scoring subtree across the two consumers (the SemDeDup
+    // lesson — measured as two full explode+join+agg pipelines in the
+    // plan). Scores are doc-count-sized, a vanishing fraction of the
+    // corpus; blocks free on session GC or via
+    // Bridge.releaseLocalCheckpoint once the result is materialized.
+    val scored0 = unigramLogProb(docs, idCol, textCol, lm).localCheckpoint()
     // avg_logp DESC = perplexity ASC, so head starts at the (1-headFrac)
     // score quantile. Cuts stay UNROUNDED: an interpolated cut lies strictly
     // between adjacent distinct scores (equality only at exact data points,
