@@ -18,6 +18,8 @@ import graft.sources.Corpus
   *     [--locations-limit N]
   *   runMain graft.Cli stats PATH...
   *   runMain graft.Cli unique PATH... --ngram 3 [--approx]
+  *   runMain graft.Cli dedup PATH... [--out DIR]            // keep-first by text hash
+  *   runMain graft.Cli decontaminate PATH... --bench PATH [--out DIR]
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
   * replaces the shared-memory sketch); `topk --approx` restores the
@@ -120,6 +122,21 @@ object Cli {
         val n = intFlag("--ngram", 3)
         deliver(if (a.flags.contains("--approx")) NgramOps.uniqueApprox(docs, "text", n)
           else NgramOps.uniqueExact(docs, "text", n), ranked = false)
+      // reference helper_scripts/deduplicate_by_hash.py as a subcommand:
+      // keep the first occurrence of each text hash in (file, line) order
+      case "dedup" =>
+        val withPos = docs.withColumn("__file", input_file_name())
+          .withColumn("__line", monotonically_increasing_id())
+        deliver(operators.Dedup.keepFirst(withPos, md5(col("text")),
+          Seq(col("__file"), col("__line"))).drop("__file", "__line"),
+          ranked = false)
+      // reference wimbd/text_and_url_overlaps/decontaminate.py: drop docs
+      // whose text hash appears in the --bench corpus
+      case "decontaminate" =>
+        val bench = Corpus.readJsonl(spark,
+          flagAll("--bench").map(p => p: String))
+        deliver(operators.Dedup.decontaminate(
+          docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()
