@@ -91,6 +91,16 @@ object Cli {
       case None => if (ranked) printRanked(df) else df.show(1000, truncate = false)
     }
 
+    // reference -t/--tokenizer: "unicode" (default, UAX-29) or
+    // "whitespace"; HF-pretrained names have no offline equivalent here —
+    // train a corpus BPE via the library (TextQuality.bpeTrain) instead
+    val uax = flag("--tokenizer") match {
+      case None | Some("unicode") => true
+      case Some("whitespace") => false
+      case Some(other) => sys.error(
+        s"unsupported --tokenizer '$other' (unicode | whitespace)")
+    }
+
     cmd match {
       case "topk" =>
         val n = intFlag("--ngram", 3)
@@ -103,25 +113,27 @@ object Cli {
             NgramOps.topKApprox(docs, "text", n, k,
               width = intFlag("--width", 1 << 18), depth = intFlag("--hashes", 5),
               seed = intFlag("--seed", 42),
-              threshold = flag("--threshold").map(_.toLong).getOrElse(1L))
-          else NgramOps.topK(docs, "text", n, k)
+              threshold = flag("--threshold").map(_.toLong).getOrElse(1L),
+              uax29 = uax)
+          else NgramOps.topK(docs, "text", n, k, uax29 = uax)
         deliver(df, ranked = true)
       case "botk" =>
-        deliver(NgramOps.botK(docs, "text", intFlag("--ngram", 3), intFlag("--topk", 20)),
-          ranked = true)
+        deliver(NgramOps.botK(docs, "text", intFlag("--ngram", 3), intFlag("--topk", 20),
+          uax29 = uax), ranked = true)
       case "count" =>
-        deliver(NgramOps.countPhrases(docs, "text", flagAll("--search")), ranked = false)
+        deliver(NgramOps.countPhrases(docs, "text", flagAll("--search"), uax29 = uax),
+          ranked = false)
       case "search" =>
         if (a.flags.contains("--with-locations"))
           deliver(SearchOps.regexLocations(docs, "text", "url", flagAll("--pattern"),
             flag("--locations-limit").map(_.toInt)), ranked = false)
         else deliver(NgramOps.searchRegex(docs, "text", flagAll("--pattern")), ranked = false)
       case "stats" =>
-        deliver(NgramOps.stats(docs, "text"), ranked = false)
+        deliver(NgramOps.stats(docs, "text", uax29 = uax), ranked = false)
       case "unique" =>
         val n = intFlag("--ngram", 3)
-        deliver(if (a.flags.contains("--approx")) NgramOps.uniqueApprox(docs, "text", n)
-          else NgramOps.uniqueExact(docs, "text", n), ranked = false)
+        deliver(if (a.flags.contains("--approx")) NgramOps.uniqueApprox(docs, "text", n, uax29 = uax)
+          else NgramOps.uniqueExact(docs, "text", n, uax29 = uax), ranked = false)
       // reference helper_scripts/deduplicate_by_hash.py as a subcommand:
       // keep the first occurrence of each text hash in (file, line) order
       case "dedup" =>
