@@ -23,7 +23,8 @@ object SparkEntry {
     DedupScaleQueries,
     AnnQueries,
     MultimodalQueries,
-    CatalogQueries
+    CatalogQueries,
+    PackingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

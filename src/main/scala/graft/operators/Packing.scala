@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: lay the corpus out as
+  * one deterministic token stream and cut it into fixed-length chunks (the
+  * GPT-style "concatenate and chunk" regime), plus the padding/truncation
+  * accounting for the doc-per-sequence regime.
+  *
+  * The core primitive is a distributed prefix sum over an explicit total
+  * order. A naive `Window.orderBy(id)` collapses to ONE partition — fatal
+  * at corpus scale — so [[tokenOffsets]] runs the classic two-phase scan:
+  * range-partition on the order key, per-partition cumulative sums (each
+  * partition sorts locally), then a `buckets`-row per-partition-total
+  * frame turns into broadcast offsets. Wall-clock is one range shuffle +
+  * one window shuffle of a 3-column projection, never of the text.
+  *
+  * Nothing here depends on WHERE the range boundaries land (sampling in
+  * `repartitionByRange` only balances the buckets), so the result is
+  * bucket-count invariant and exactly reproducible — PackingSpec pins
+  * both properties.
+  */
+object Packing {
+
+  /** (id, ord, n_tokens, start_offset): each doc's first token position in
+    * the concatenated stream under the total order (`orderBy`, tie-broken
+    * by id; defaults to id itself). Whitespace token counts — swap in
+    * [[graft.operators.TextQuality.bpeTokenCount]] upstream for subword
+    * budgeting by passing a pre-projected `n_tokens` via `tokensExpr`.
+    */
+  def tokenOffsets(df: DataFrame, idCol: String, textCol: String,
+                   orderBy: Option[Column] = None,
+                   tokensExpr: Option[Column] = None,
+                   buckets: Int = 32): DataFrame = {
+    val n = tokensExpr.getOrElse(size(split(col(textCol), " ")).cast("long"))
+    val ord = orderBy.getOrElse(col(idCol))
+    val base = df.select(col(idCol).as("id"), ord.as("ord"), n.as("n_tokens"))
+    val ranged = base.repartitionByRange(buckets, col("ord"), col("id"))
+      .withColumn("b", spark_partition_id())
+    val local = ranged.withColumn("local_end",
+      sum("n_tokens").over(Window.partitionBy("b").orderBy("ord", "id")))
+    // bucket totals: `buckets` rows — the single-partition window is over
+    // a frame the size of the bucket count, not the corpus
+    val offsets = local.groupBy("b").agg(sum("n_tokens").as("bt"))
+      .withColumn("boff", coalesce(
+        sum("bt").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("boff"))
+    local.join(broadcast(offsets), "b")
+      .select(col("id"), col("ord"), col("n_tokens"),
+        (col("boff") + col("local_end") - col("n_tokens")).as("start_offset"))
+  }
+
+  /** Concat-and-chunk assignment: for each doc, its token-stream offset and
+    * the first/last chunk of size `seqLen` it lands in. `last_chunk >
+    * first_chunk` means the doc is split across a sequence boundary — the
+    * attention-fragmentation signal packing studies report.
+    */
+  def packChunks(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
+                 orderBy: Option[Column] = None,
+                 buckets: Int = 32): DataFrame =
+    tokenOffsets(df, idCol, textCol, orderBy, buckets = buckets)
+      .select(col("id").as(idCol), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${seqLen}L").as("first_chunk"),
+        expr(s"(start_offset + n_tokens - 1) div ${seqLen}L").as("last_chunk"))
+
+  /** Per-chunk manifest — what a dataloader actually consumes: for every
+    * (chunk, doc) incidence, the token count the doc contributes. Every
+    * chunk but the last sums to exactly `seqLen`; PackingSpec asserts it.
+    * Scale shape: docs explode into the 1-2 chunks they span (long docs
+    * span more), so the shuffle is O(docs + total_tokens/seqLen) rows.
+    */
+  def packManifest(df: DataFrame, idCol: String, textCol: String, seqLen: Int,
+                   orderBy: Option[Column] = None,
+                   buckets: Int = 32): DataFrame = {
+    val chunks = packChunks(df, idCol, textCol, seqLen, orderBy, buckets)
+    val l = lit(seqLen.toLong)
+    chunks
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        (least((col("chunk_id") + 1) * l, col("start_offset") + col("n_tokens")) -
+          greatest(col("chunk_id") * l, col("start_offset"))).as("doc_tokens"))
+  }
+
+  /** Doc-per-sequence accounting (pad-or-truncate to `seqLen`), grouped by
+    * `groupCol`: how many tokens survive, how many pad slots are wasted,
+    * how many docs get cut — the utilization numbers that motivate packing
+    * in the first place. One partial-aggregated scan.
+    */
+  def packingStats(df: DataFrame, textCol: String, seqLen: Int,
+                   groupCol: String): DataFrame = {
+    val n = size(split(col(textCol), " ")).cast("long")
+    val l = lit(seqLen.toLong)
+    val kept = least(n, l)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(n).as("total_tokens"),
+        sum(when(n > l, lit(1L)).otherwise(lit(0L))).as("truncated_docs"),
+        sum(greatest(n - l, lit(0L))).as("truncated_tokens"),
+        sum(l - kept).as("padding_tokens"),
+        round(sum(kept) / (count(lit(1)) * l.cast("double")), 6)
+          .as("utilization"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Sequence-packing surface: concat-and-chunk offsets/manifest under a
+  * deterministic (optionally hash-shuffled) corpus order, and the
+  * pad-or-truncate utilization accounting. The oracles replay the
+  * distributed two-phase prefix sum as a plain DuckDB window cumsum —
+  * bucket boundaries cancel out of the math, which is exactly the
+  * invariant PackingSpec pins on the Spark side.
+  */
+object PackingQueries extends QueryPack {
+
+  private val L = 512
+
+  /** Shared oracle CTE: per-doc token count and stream start offset. */
+  private def offsetsSql(order: String): String =
+    s"""t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       | CAST(coalesce(sum(n_tokens) OVER (ORDER BY $order
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |  AS start_offset FROM t)""".stripMargin
+
+  override val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+    "s12_pack_chunks" -> ((s, dir) =>
+      Packing.packChunks(Tables(s, dir, "documents"), "doc_id", "text", L)),
+
+    // hash-shuffled order: the epoch shuffle training runs actually use,
+    // and the path that exercises range partitioning on a non-sequential key
+    "s13_shuffle_pack" -> ((s, dir) =>
+      Packing.packChunks(Tables(s, dir, "documents"), "doc_id", "text", L,
+        orderBy = Some(md5(col("doc_id").cast("string"))))),
+
+    "s14_packing_stats" -> ((s, dir) =>
+      Packing.packingStats(Tables(s, dir, "documents"), "text", L, "source")),
+
+    "s15_pack_manifest" -> ((s, dir) =>
+      Packing.packManifest(Tables(s, dir, "documents"), "doc_id", "text", L))
+  )
+
+  override val oracles = Map(
+    "s12_pack_chunks" ->
+      s"""WITH ${offsetsSql("doc_id")}
+         |SELECT doc_id, n_tokens, start_offset,
+         | start_offset // $L AS first_chunk,
+         | (start_offset + n_tokens - 1) // $L AS last_chunk
+         |FROM c""".stripMargin,
+
+    "s13_shuffle_pack" ->
+      s"""WITH ${offsetsSql("md5(CAST(doc_id AS VARCHAR)), doc_id")}
+         |SELECT doc_id, n_tokens, start_offset,
+         | start_offset // $L AS first_chunk,
+         | (start_offset + n_tokens - 1) // $L AS last_chunk
+         |FROM c""".stripMargin,
+
+    "s14_packing_stats" ->
+      s"""SELECT source,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n) AS BIGINT) AS total_tokens,
+         | CAST(sum(CASE WHEN n > $L THEN 1 ELSE 0 END) AS BIGINT) AS truncated_docs,
+         | CAST(sum(greatest(n - $L, 0)) AS BIGINT) AS truncated_tokens,
+         | CAST(sum($L - least(n, $L)) AS BIGINT) AS padding_tokens,
+         | round(sum(least(n, $L)) / (count(*) * $L.0), 6) AS utilization
+         |FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |      FROM documents) GROUP BY source""".stripMargin,
+
+    "s15_pack_manifest" ->
+      s"""WITH ${offsetsSql("doc_id")},
+         |ch AS (SELECT doc_id, n_tokens, start_offset,
+         | unnest(generate_series(start_offset // $L,
+         |   (start_offset + n_tokens - 1) // $L)) AS chunk_id FROM c)
+         |SELECT doc_id, chunk_id,
+         | CAST(least((chunk_id + 1) * $L, start_offset + n_tokens)
+         |   - greatest(chunk_id * $L, start_offset) AS BIGINT) AS doc_tokens
+         |FROM ch""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkDocs(n: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val words = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(words)(s"w${rnd.nextInt(50)}").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("tokenOffsets matches a single-window reference cumsum") {
+    val docs = mkDocs(300, seed = 7)
+    val expected = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .withColumn("start", coalesce(
+        sum("n").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start").as[(Long, Long)].collect().toMap
+    val got = Packing.tokenOffsets(docs, "doc_id", "text", buckets = 5)
+      .select($"id", $"start_offset").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("tokenOffsets is bucket-count invariant") {
+    val docs = mkDocs(200, seed = 11)
+    val runs = Seq(1, 3, 8, 32).map { b =>
+      Packing.tokenOffsets(docs, "doc_id", "text", buckets = b)
+        .select($"id", $"start_offset").as[(Long, Long)].collect().toMap
+    }
+    assert(runs.distinct.size === 1)
+  }
+
+  test("tokenOffsets under a hash-shuffled order still covers [0, total) exactly") {
+    val docs = mkDocs(150, seed = 3)
+    val off = Packing.tokenOffsets(docs, "doc_id", "text",
+      orderBy = Some(md5($"doc_id".cast("string"))), buckets = 4)
+      .select($"start_offset", $"n_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    // consecutive docs in stream order tile the token stream with no gaps
+    assert(off.head._1 === 0L)
+    off.sliding(2).foreach { case Array((s1, n1), (s2, _)) =>
+      assert(s1 + n1 === s2)
+    }
+  }
+
+  test("packManifest chunks sum to seqLen except the last") {
+    val docs = mkDocs(250, seed = 19)
+    val l = 64
+    val perChunk = Packing.packManifest(docs, "doc_id", "text", l)
+      .groupBy("chunk_id").agg(sum("doc_tokens").as("t"))
+      .orderBy("chunk_id").as[(Long, Long)].collect()
+    val total = docs.select(sum(size(split($"text", " ")).cast("long")))
+      .as[Long].head()
+    assert(perChunk.map(_._2).sum === total)
+    perChunk.init.foreach { case (_, t) => assert(t === l.toLong) }
+    assert(perChunk.last._2 <= l.toLong)
+    assert(perChunk.map(_._1).toSeq === perChunk.indices.map(_.toLong))
+  }
+
+  test("packingStats accounting is self-consistent") {
+    val docs = mkDocs(200, seed = 23).withColumn("source",
+      concat(lit("s"), pmod($"doc_id", lit(3))))
+    val l = 16
+    val stats = Packing.packingStats(docs, "text", l, "source").collect()
+    stats.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val total = r.getAs[Long]("total_tokens")
+      val truncTok = r.getAs[Long]("truncated_tokens")
+      val pad = r.getAs[Long]("padding_tokens")
+      // kept + truncated = total; kept + padding = capacity
+      assert((total - truncTok) + pad === nDocs * l)
+      assert(math.abs(r.getAs[Double]("utilization") -
+        (total - truncTok).toDouble / (nDocs * l)) < 1e-6)
+    }
+  }
+}
