@@ -108,6 +108,9 @@ object GraftExtensions {
     ("graft_bpe_encode",
       "graft_bpe_encode(text, merges): BPE subword tokens under a literal array of 'a b' merges",
       (args: Seq[Expression]) => BpeEncode(args(0), mergesLit(args(1)))),
+    ("graft_normalize",
+      "graft_normalize(text, nfkc): Unicode repair — NFC/NFKC, CRLF->LF, unicode spaces->' ', zero-width/control strip",
+      (args: Seq[Expression]) => NormalizeText(args(0), boolLit(args(1), "nfkc"))),
     ("graft_repetition",
       "graft_repetition(text): Gopher repetition signals [dup_line, dup_line_char, top2..4gram_char, dup5..10gram_char]",
       (args: Seq[Expression]) => RepetitionSignals(args(0)))

@@ -56,3 +56,29 @@ case class NGramsJoined(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): NGramsJoined =
     copy(left = newLeft, right = newRight)
 }
+
+/** Unicode normalization repair pass (NFC/NFKC + line endings + space and
+  * zero-width cleanup) — semantics in [[graft.functions.TextNorm]]. Runs
+  * as a codegen'd scan-stage projection: the static kernel call keeps the
+  * whole normalize→tokenize→hash chain inside WholeStageCodegen.
+  */
+case class NormalizeText(child: Expression, nfkc: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_normalize needs a string input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+
+  protected override def nullSafeEval(input: Any): Any =
+    graft.functions.TextNorm.normalizeUtf8(input.asInstanceOf[UTF8String], nfkc)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextNorm.normalizeUtf8($c, $nfkc)")
+
+  protected override def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}

@@ -174,6 +174,26 @@ object TextQuality {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Unicode repair projection (see [[graft.functions.TextNorm]] for the
+    * pass order): run it FIRST in any pipeline whose dedup/contamination
+    * keys must agree across differently-encoded shards — NFC vs NFD and
+    * NBSP vs space produce different md5/MinHash keys for visually
+    * identical text. Codegen'd scan-stage call; SQL `graft_normalize`.
+    */
+  def normalizeText(text: Column, nfkc: Boolean = false): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.NormalizeText(
+        org.apache.spark.sql.graft.Bridge.expression(text), nfkc))
+
+  /** [[normalizeText]] as a document transform: repaired text plus a
+    * `changed` audit flag (fraction-changed is the usual encoding-health
+    * signal per source).
+    */
+  def normalizeDocs(df: DataFrame, idCol: String, textCol: String,
+                    nfkc: Boolean = false): DataFrame =
+    df.select(col(idCol), normalizeText(col(textCol), nfkc).as("text_norm"),
+        (normalizeText(col(textCol), nfkc) =!= col(textCol)).as("changed"))
+
   /** [[stripHtml]] as a document transform: cleaned text plus the retained
     * fraction (cleaned/raw chars) — the usual extraction-quality signal
     * (near-0 retention = boilerplate-only page).

@@ -129,6 +129,21 @@ object AnalysisQueries extends QueryPack {
           lit("<p>&amp; &lt;raw&gt;&nbsp;done</p></body></html>")))
       graft.operators.TextQuality.htmlToText(html, "doc_id", "html")
         .orderBy("doc_id")
+    }),
+
+    // Unicode repair over deterministically-mangled docs: NFD accents,
+    // CRLF, NBSP/em-space, zero-width chars, BOM, a control char
+    "t_normalize" -> ((s, dir) => {
+      val messy = Tables(s, dir, "documents").withColumn("raw",
+        concat(
+          when(col("doc_id") % 4 === 0, lit("Cafe\u0301 ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\r\nline\u00A0two\u200B!")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\u0007\u2003end\uFEFF")).otherwise(lit(""))))
+      graft.operators.TextQuality.normalizeDocs(messy, "doc_id", "raw")
+        .orderBy("doc_id")
     })
   )
 
@@ -290,6 +305,27 @@ object AnalysisQueries extends QueryPack {
         |  '\s+', ' ', 'g')) AS text_clean FROM c1)
         |SELECT doc_id, text_clean,
         | round(CAST(len(text_clean) AS DOUBLE) / greatest(len(html), 1), 6) AS retained_frac
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // chr() codepoints, not literals, so the mangling is byte-identical to
+    // the Spark side: 769=U+0301, 160=NBSP, 8203=ZWSP, 7=BEL, 8195=em
+    // space, 65279=BOM; the replace cascade mirrors TextNorm's pass order
+    "t_normalize" ->
+      """WITH h AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'Cafe' || chr(769) || ' ' ELSE '' END) || text ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |    THEN chr(13) || chr(10) || 'line' || chr(160) || 'two' || chr(8203) || '!' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0
+        |    THEN chr(7) || chr(8195) || 'end' || chr(65279) ELSE '' END) AS raw FROM documents),
+        |n0 AS (SELECT doc_id, raw, nfc_normalize(raw) AS s FROM h),
+        |n1 AS (SELECT doc_id, raw, regexp_replace(regexp_replace(s,
+        |  '\x{000D}\x{000A}', chr(10), 'g'), '\x{000D}', chr(10), 'g') AS s FROM n0),
+        |n2 AS (SELECT doc_id, raw, regexp_replace(s,
+        |  '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS s FROM n1),
+        |n3 AS (SELECT doc_id, raw, regexp_replace(s,
+        |  '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g') AS s FROM n2),
+        |n AS (SELECT doc_id, raw, regexp_replace(s,
+        |  '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]', '', 'g') AS text_norm FROM n3)
+        |SELECT doc_id, text_norm, (text_norm <> raw) AS changed FROM n ORDER BY doc_id""".stripMargin
   )
 }
