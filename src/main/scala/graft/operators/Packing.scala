@@ -85,6 +85,37 @@ object Packing {
           greatest(col("chunk_id") * l, col("start_offset"))).as("doc_tokens"))
   }
 
+  /** Token-balanced shard assignment: whole docs, in stream order, land in
+    * the shard holding their start offset — every shard carries
+    * ~`targetTokens` tokens (±1 doc), which is what training dataloaders
+    * want from output files (record-balanced shards skew badly under
+    * Zipfian doc lengths). Passenger columns survive: the prefix sum runs
+    * on a narrow (id, ord, n) projection and joins back on id, so the
+    * text column crosses one shuffle, not three.
+    */
+  def assignShards(df: DataFrame, idCol: String, textCol: String,
+                   targetTokens: Long, orderBy: Option[Column] = None,
+                   buckets: Int = 32): DataFrame = {
+    val shards = tokenOffsets(df, idCol, textCol, orderBy, buckets = buckets)
+      .select(col("id").as(idCol),
+        expr(s"start_offset div ${targetTokens}L").as("shard"))
+    df.join(shards, Seq(idCol))
+  }
+
+  /** [[assignShards]] + write: one directory per shard, one file per shard
+    * (the repartition keys writer tasks to shards). `format` is any
+    * DataFrameWriter format ("json" gzip-codec'd = the reference's shard
+    * shape, "parquet" for downstream Spark).
+    */
+  def writeTokenShards(df: DataFrame, idCol: String, textCol: String,
+                       targetTokens: Long, outDir: String,
+                       format: String = "parquet",
+                       orderBy: Option[Column] = None): Unit =
+    assignShards(df, idCol, textCol, targetTokens, orderBy)
+      .repartition(col("shard"))
+      .write.partitionBy("shard").format(format).mode("errorifexists")
+      .save(outDir)
+
   /** Doc-per-sequence accounting (pad-or-truncate to `seqLen`), grouped by
     * `groupCol`: how many tokens survive, how many pad slots are wasted,
     * how many docs get cut — the utilization numbers that motivate packing

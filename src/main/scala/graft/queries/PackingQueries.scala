@@ -38,7 +38,15 @@ object PackingQueries extends QueryPack {
       Packing.packingStats(Tables(s, dir, "documents"), "text", L, "source")),
 
     "s15_pack_manifest" -> ((s, dir) =>
-      Packing.packManifest(Tables(s, dir, "documents"), "doc_id", "text", L))
+      Packing.packManifest(Tables(s, dir, "documents"), "doc_id", "text", L)),
+
+    // token-balanced output shards: per-shard doc/token totals
+    "s16_token_shards" -> ((s, dir) =>
+      Packing.assignShards(Tables(s, dir, "documents"), "doc_id", "text", 4096L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("shard"))
   )
 
   override val oracles = Map(
@@ -75,6 +83,13 @@ object PackingQueries extends QueryPack {
          |SELECT doc_id, chunk_id,
          | CAST(least((chunk_id + 1) * $L, start_offset + n_tokens)
          |   - greatest(chunk_id * $L, start_offset) AS BIGINT) AS doc_tokens
-         |FROM ch""".stripMargin
+         |FROM ch""".stripMargin,
+
+    "s16_token_shards" ->
+      s"""WITH ${offsetsSql("doc_id")}
+         |SELECT start_offset // 4096 AS shard,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -64,6 +64,33 @@ class PackingSpec extends SparkTestBase {
     assert(perChunk.map(_._1).toSeq === perChunk.indices.map(_.toLong))
   }
 
+  test("assignShards balances token totals and keeps passenger columns") {
+    val docs = mkDocs(300, seed = 31).withColumn("extra", lit("keepme"))
+    val target = 200L
+    val out = Packing.assignShards(docs, "doc_id", "text", target)
+    assert(out.columns.toSet === Set("doc_id", "text", "extra", "shard"))
+    assert(out.count() === 300)
+    val sizes = out
+      .groupBy("shard").agg(sum(size(split($"text", " ")).cast("long")).as("t"))
+      .orderBy("shard").as[(Long, Long)].collect()
+    val maxDoc = docs.select(max(size(split($"text", " ")).cast("long"))).as[Long].head()
+    // every shard but the last holds >= target - maxDoc + 1 tokens (the
+    // next doc didn't fit) and starts within a doc of the target boundary
+    sizes.init.foreach { case (_, t) => assert(t > target - maxDoc) }
+    assert(sizes.map(_._1).toSeq === sizes.indices.map(_.toLong))
+  }
+
+  test("writeTokenShards round-trips one directory per shard") {
+    val docs = mkDocs(100, seed = 37)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
+    Packing.writeTokenShards(docs, "doc_id", "text", 300L, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    assert(back.select("shard").distinct().count() ===
+      Packing.assignShards(docs, "doc_id", "text", 300L)
+        .select("shard").distinct().count())
+  }
+
   test("packingStats accounting is self-consistent") {
     val docs = mkDocs(200, seed = 23).withColumn("source",
       concat(lit("s"), pmod($"doc_id", lit(3))))
