@@ -317,15 +317,15 @@ object AnalysisQueries extends QueryPack {
         |    THEN chr(13) || chr(10) || 'line' || chr(160) || 'two' || chr(8203) || '!' ELSE '' END) ||
         |  (CASE WHEN doc_id % 5 = 0
         |    THEN chr(7) || chr(8195) || 'end' || chr(65279) ELSE '' END) AS raw FROM documents),
-        |n0 AS (SELECT doc_id, raw, nfc_normalize(raw) AS s FROM h),
-        |n1 AS (SELECT doc_id, raw, regexp_replace(regexp_replace(s,
-        |  '\x{000D}\x{000A}', chr(10), 'g'), '\x{000D}', chr(10), 'g') AS s FROM n0),
+        |n1 AS (SELECT doc_id, raw, regexp_replace(regexp_replace(raw,
+        |  '\x{000D}\x{000A}', chr(10), 'g'), '\x{000D}', chr(10), 'g') AS s FROM h),
         |n2 AS (SELECT doc_id, raw, regexp_replace(s,
         |  '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS s FROM n1),
         |n3 AS (SELECT doc_id, raw, regexp_replace(s,
         |  '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g') AS s FROM n2),
-        |n AS (SELECT doc_id, raw, regexp_replace(s,
-        |  '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]', '', 'g') AS text_norm FROM n3)
+        |n4 AS (SELECT doc_id, raw, regexp_replace(s,
+        |  '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]', '', 'g') AS s FROM n3),
+        |n AS (SELECT doc_id, raw, nfc_normalize(s) AS text_norm FROM n4)
         |SELECT doc_id, text_norm, (text_norm <> raw) AS changed FROM n ORDER BY doc_id""".stripMargin
   )
 }

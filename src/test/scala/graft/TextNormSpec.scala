@@ -55,6 +55,29 @@ class TextNormSpec extends SparkTestBase {
     assert(sqlRes.toSeq === expected)
   }
 
+  test("normalize is idempotent over random dirty strings") {
+    val dirty: Array[Char] = Array(
+      'a', 'b', 'e', 'Z', '1', '.', ' ', '\t', '\n', '\r',
+      '\u0301', '\u0308', // combining acute / diaeresis
+      '\u00A0', '\u2003', '\u3000', // spaces
+      '\u200B', '\u200C', '\u200D', '\uFEFF', '\u00AD', // zero-width
+      '\u0007', '\u009F', // controls
+      '\u00E9', '\uFF11', '\uFB01') // composed e-acute, fullwidth, ligature
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(30))(dirty(rnd.nextInt(dirty.length))).mkString
+      for (nfkc <- Seq(false, true)) {
+        val once = TextNorm.normalize(s, nfkc)
+        assert(TextNorm.normalize(once, nfkc) === once,
+          s"not idempotent (nfkc=$nfkc) on: " + s.map(c => f"\\u${c.toInt}%04X").mkString)
+      }
+    }
+  }
+
+  test("zero-width joiner between base and combining mark still composes") {
+    assert(n("e\u200D\u0301") === "\u00E9")
+  }
+
   test("normalizeDocs audit flag marks exactly the changed rows") {
     val df = Seq((1L, "clean text"), (2L, "dirty\u00A0text"))
       .toDF("doc_id", "text")
