@@ -39,11 +39,19 @@ object Packing {
     val base = df.select(col(idCol).as("id"), ord.as("ord"), n.as("n_tokens"))
     val ranged = base.repartitionByRange(buckets, col("ord"), col("id"))
       .withColumn("b", spark_partition_id())
+    // persisted: the offsets branch below reads this frame too, and
+    // without a cache anchor the self-join recomputes the scan AND the
+    // range exchange (exchange reuse does not fire across differently-
+    // projected branches — measured, same as SemDeDup's bucket join). The
+    // frame is 4 narrow columns (~40 B/row): MEMORY_AND_DISK holds it at
+    // any scale the shuffle itself survives, and CacheManager dedupes
+    // repeat calls by canonical plan.
     val local = ranged.withColumn("local_end",
       sum("n_tokens").over(Window.partitionBy("b").orderBy("ord", "id")))
-    // bucket totals: `buckets` rows — the single-partition window is over
-    // a frame the size of the bucket count, not the corpus
-    val offsets = local.groupBy("b").agg(sum("n_tokens").as("bt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket totals = max cumsum per bucket: `buckets` rows out of the
+    // cache, then a bucket-count-sized prefix window — not a corpus pass
+    val offsets = local.groupBy("b").agg(max("local_end").as("bt"))
       .withColumn("boff", coalesce(
         sum("bt").over(Window.orderBy("b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

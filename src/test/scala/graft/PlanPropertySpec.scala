@@ -158,4 +158,28 @@ class PlanPropertySpec extends SparkTestBase {
     val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
     assert(shuffles(enc) === 0, plan(enc))
   }
+
+  test("token offsets: both branches read one cached narrow frame; text never shuffles") {
+    val off = graft.operators.Packing.tokenOffsets(docs, "doc_id", "text")
+    val p = plan(off)
+    // the windowed (id, ord, n, b, cumsum) frame is the cache anchor: the
+    // probe side AND the bucket-offsets side must both be InMemoryTableScans
+    // (losing the anchor silently recomputes the scan + range exchange —
+    // exchange reuse does not fire across differently-projected branches)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // no text column in any shuffle key: the prefix sum moves (id, ord, n)
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains("text"), p)
+    }
+  }
+
+  test("assignShards carries text through exactly one shuffle") {
+    val sh = graft.operators.Packing.assignShards(docs, "doc_id", "text", 4096L)
+    val p = plan(sh)
+    val textExchanges = "Exchange hashpartitioning\\(doc_id[^\\n]*".r
+      .findAllIn(p).length
+    assert(textExchanges <= 2, p) // both join sides key on doc_id; narrow side is 2 cols
+  }
 }
