@@ -349,6 +349,29 @@ object Analyses {
       .drop("__score")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via the
+    * Gumbel-top-k equivalence), derandomized: the per-row key is
+    * ln(weight) + Gumbel(u) with u derived from the row key's own md5, so
+    * the selected set is identical on reruns and across engines. The
+    * quality-weighted / length-weighted corpus subsampling primitive
+    * ("sample 10M docs ∝ quality score") next to [[hashSample]]'s uniform
+    * Bernoulli and [[dsirSelect]]'s importance-weight selection (which is
+    * this with weight already in log space).
+    *
+    * One TakeOrderedAndProject — k rows per partition pre-selected
+    * map-side, no global sort. Rows with weight ≤ 0 are dropped (ln
+    * undefined), matching the "zero weight never sampled" contract.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") + 0.5) /
+      math.pow(2.0, 32)
+    df.where(weight > 0)
+      .withColumn("__es_score", log(weight.cast("double")) - log(-log(u)))
+      .orderBy(desc("__es_score"), key)
+      .limit(k)
+      .drop("__es_score")
+  }
+
   /** P13: utterance dates — year histogram over the first present date key
     * (reference wimbd/utterance_dates/map_count.py:8-35).
     */

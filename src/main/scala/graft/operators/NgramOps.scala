@@ -205,6 +205,29 @@ object NgramOps {
         round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6).as("zipf_slope"))
   }
 
+  /** Grouped top-k: the k most frequent n-grams WITHIN each group (per
+    * source, per language, per domain) — the faceted variant of `wimbd topk`
+    * (reference src/cmd/topk.rs runs once per corpus; per-subset runs are
+    * how runs/run_analysis.sh loops over datasets). Ties break n-gram
+    * ascending, like [[topK]].
+    *
+    * Scale shape: the explode+aggregate is the same partial-agg pipeline as
+    * [[topK]]; the rank window then runs over the AGGREGATED (group, ngram)
+    * frame — vocabulary-sized per group, orders of magnitude below the
+    * corpus — partitioned by group, so no global sort and no single-task
+    * window. Skewed groups sort only their own vocab.
+    */
+  def topKPerGroup(docs: DataFrame, groupCol: String, textCol: String, n: Int,
+                   k: Int, uax29: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Par.fanOut(docs)
+      .select(col(groupCol), explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+      .groupBy(col(groupCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(desc("cnt"), asc("ngram"))))
+      .where(col("rank") <= k)
+  }
+
   /** stats doc pointers: the argmax/argmin documents by token count with ties
     * kept (reference src/cmd/stats.rs:89-135 keeps lists of ties).
     */

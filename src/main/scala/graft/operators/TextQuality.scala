@@ -614,4 +614,77 @@ object TextQuality {
         col("short_line_frac") <= maxShortLineFrac &&
         col("end_punct_line_frac") >= minEndPunctLineFrac)
   }
+
+  /** Cross-corpus unigram drift card: KL(A‖B), KL(B‖A) and the symmetric
+    * Jensen–Shannon divergence (nats) between the two corpora's unigram
+    * distributions, additively smoothed (Lidstone `alpha`) over the UNION
+    * vocabulary — so both distributions normalize exactly and no term
+    * divides by zero. The comparative analysis behind "what changed between
+    * corpus v1 and v2" / "how far is my crawl from Wikipedia" — the WIMBD
+    * paper's cross-corpus summary comparisons as one number.
+    *
+    * Scale shape: two token-scale hash aggregations (one per corpus), a
+    * full-outer join and one scalar aggregation on the VOCABULARY frame
+    * (Zipf-bounded, orders of magnitude below corpus size). The joined
+    * vocab frame is localCheckpointed because the totals aggregation and
+    * the divergence aggregation both consume it and Spark does not reuse
+    * the subtree across the two jobs (the SemDeDup lesson) — re-deriving it
+    * would re-scan both corpora.
+    */
+  def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val ca = unigramCounts(a, textCol).withColumnRenamed("c", "ca")
+    val cb = unigramCounts(b, textCol).withColumnRenamed("c", "cb")
+    val vocab = ca.join(cb, Seq("w"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .localCheckpoint()
+    val tot = vocab.agg(
+      sum("ca").cast("double").as("ta"), sum("cb").cast("double").as("tb"),
+      count(lit(1)).cast("double").as("v"),
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("va"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vb"))
+    val p = (col("ca") + lit(alpha)) / (col("ta") + lit(alpha) * col("v"))
+    val q = (col("cb") + lit(alpha)) / (col("tb") + lit(alpha) * col("v"))
+    val m = (p + q) / lit(2.0)
+    vocab.crossJoin(broadcast(tot))
+      .agg(max("va").as("vocab_a"), max("vb").as("vocab_b"),
+        count(lit(1)).as("vocab_union"),
+        round(sum(p * log(p / q)), 6).as("kl_ab"),
+        round(sum(q * log(q / p)), 6).as("kl_ba"),
+        round(sum(p * log(p / m)) / 2 + sum(q * log(q / m)) / 2, 6).as("jsd"))
+  }
+
+  /** Compression-ratio quality signal (the RedPajama-v2 / Dolma
+    * `doc_frac_compressed` rung): per-doc raw DEFLATE size over UTF-8 byte
+    * size. Highly templated or repeated text compresses far below natural
+    * prose (ratio ≲ 0.3 is the usual boilerplate flag; natural English sits
+    * ~0.4–0.7); filter on `compression_ratio` downstream.
+    *
+    * This is the ONE operator here that runs a JVM kernel (java.util.zip
+    * Deflater) instead of column algebra — there is no codegen'd compressor
+    * in Spark and no DuckDB replay, so the contract is pinned by golden
+    * ScalaTests instead of the SQL oracle. Shape still scales: a pure
+    * per-row projection (no shuffle, no state), CPU-bound like the BPE
+    * encode path — parallelism comes from input splits.
+    */
+  def compressionSignals(df: DataFrame, idCol: String, textCol: String,
+                         level: Int = 6): DataFrame = {
+    val deflated = udf { (s: String) =>
+      if (s == null) None
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level, true)
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        Some(n)
+      }
+    }
+    df.select(col(idCol), octet_length(col(textCol)).cast("long").as("n_bytes"),
+        deflated(col(textCol)).as("n_deflate"))
+      .withColumn("compression_ratio",
+        round(col("n_deflate") / greatest(col("n_bytes"), lit(1L)).cast("double"), 6))
+  }
 }

@@ -95,6 +95,15 @@ object AnalysisQueries extends QueryPack {
     "p17_length_quantiles" -> ((s, dir) =>
       Analyses.lengthQuantiles(Tables(s, dir, "documents"), "text")),
 
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis via
+    // derandomized Gumbel keys): 30 docs ∝ token count
+    "p22_weighted_sample" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Analyses.weightedSample(d, col("doc_id"), col("n_tokens"), k = 30)
+        .select("doc_id", "n_tokens").orderBy("doc_id")
+    }),
+
     // temperature-scaled mixture (sampling prob ∝ tokens^alpha): the
     // multilingual-corpus balancing recipe next to p16's explicit weights
     "p20_temp_mixture" -> ((s, dir) =>
@@ -241,6 +250,18 @@ object AnalysisQueries extends QueryPack {
         |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
         |  unnest(quantile_cont(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS v FROM n)
         |SELECT q, round(v, 6) AS value FROM q ORDER BY q""".stripMargin,
+
+    "p22_weighted_sample" ->
+      """WITH w AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |  ln(CAST(n_tokens AS DOUBLE)) - ln(-ln(
+        |   (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     + 0.5) / 4294967296.0)) AS score
+        | FROM w WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens FROM
+        | (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 30)
+        |ORDER BY doc_id""".stripMargin,
 
     "p20_temp_mixture" ->
       """WITH a AS (SELECT source, count(*) AS n_docs,

@@ -212,6 +212,20 @@ object DedupScaleQueries extends QueryPack {
     "a15_entropy" -> ((s, dir) =>
       TextQuality.entropyStats(docs(s, dir), "text").orderBy("metric")),
 
+    // cross-corpus drift card: KL / JS divergence between the English
+    // slice's unigram distribution and the rest of the corpus
+    "a16_unigram_kl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextQuality.unigramDivergence(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"), "text")
+    }),
+
+    // compression-ratio quality signal (rows-only: no DEFLATE in the
+    // oracle; the kernel contract is pinned by ScalaTest goldens)
+    "t_compress_ratio" -> ((s, dir) =>
+      TextQuality.compressionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // FineWeb-style line/word gate (signals + combined keep)
     "t_fineweb" -> ((s, dir) =>
       TextQuality.fineWebFilter(docs(s, dir), "doc_id", "text")
@@ -587,6 +601,30 @@ object DedupScaleQueries extends QueryPack {
         |FROM s JOIN bic USING (w1, w2) JOIN ctx USING (w1)
         | JOIN uni ON uni.w = s.w2 CROSS JOIN tot
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "a16_unigram_kl" ->
+      """WITH ca AS (SELECT w, count(*) AS na FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en')
+        |  GROUP BY 1),
+        |cb AS (SELECT w, count(*) AS nb FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang <> 'en')
+        |  GROUP BY 1),
+        |u AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+        |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+        |tot AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb,
+        |  CAST(count(*) AS DOUBLE) AS v,
+        |  CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS va,
+        |  CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vb FROM u),
+        |pq AS (SELECT va, vb,
+        |  (na + 0.5) / (ta + 0.5 * v) AS p, (nb + 0.5) / (tb + 0.5 * v) AS q
+        | FROM u CROSS JOIN tot)
+        |SELECT max(va) AS vocab_a, max(vb) AS vocab_b,
+        | count(*) AS vocab_union,
+        | round(sum(p * ln(p / q)), 6) AS kl_ab,
+        | round(sum(q * ln(q / p)), 6) AS kl_ba,
+        | round(sum(p * ln(p / ((p + q) / 2.0))) / 2 +
+        |   sum(q * ln(q / ((p + q) / 2.0))) / 2, 6) AS jsd
+        |FROM pq""".stripMargin,
 
     "a15_entropy" ->
       """WITH uni AS (SELECT w, count(*) AS c FROM

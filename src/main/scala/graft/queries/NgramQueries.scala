@@ -89,6 +89,16 @@ object NgramQueries extends QueryPack {
         n = 3, hash = c => c).orderBy("doc_id")
     }),
 
+    // faceted topk: the k most frequent 2-grams WITHIN each source — the
+    // per-dataset loop of runs/run_analysis.sh as one query (rank window
+    // over the aggregated per-group vocab, not the corpus)
+    "a17_topk_per_source" -> ((s, dir) =>
+      NgramOps.topKPerGroup(Tables(s, dir, "documents"), "source", "text",
+        n = 2, k = 5, uax29 = false)
+        .select(col("source"), col("ngram"), col("cnt"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("source", "rank")),
+
     "p10_length_hist" -> ((s, dir) =>
       // both histograms in one corpus pass: each doc emits a (dim, value)
       // pair per dimension
@@ -207,6 +217,18 @@ object NgramQueries extends QueryPack {
         | round(CAST(sum(CASE WHEN tr.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS contaminated_frac
         |FROM te LEFT JOIN tr ON tr.s = te.s
         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+
+    "a17_topk_per_source" ->
+      """WITH g AS (SELECT source,
+        |  unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+        |c AS (SELECT source, ngram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT source, ngram, cnt,
+        |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, ngram) AS rank
+        | FROM c)
+        |SELECT source, ngram, cnt, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "p10_length_hist" ->
       """SELECT dim, value, count(*) AS cnt FROM (

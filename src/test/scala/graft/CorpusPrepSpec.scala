@@ -349,4 +349,66 @@ class CorpusPrepSpec extends SparkTestBase {
     // and the in-vocabulary doc still scores strictly better
     assert(out(1L)._3 > out(2L)._3)
   }
+
+  test("unigramDivergence: identical corpora diverge zero; disjoint diverge symmetric") {
+    val a = Seq("x y z", "x x y").toDF("text")
+    val same = TextQuality.unigramDivergence(a, a, "text").head()
+    assert(same.getAs[Long]("vocab_a") === 3L)
+    assert(same.getAs[Long]("vocab_union") === 3L)
+    assert(same.getAs[Double]("kl_ab") === 0.0)
+    assert(same.getAs[Double]("jsd") === 0.0)
+    // disjoint vocabularies with mirrored counts: KL symmetric, JSD ≤ ln 2
+    val b = Seq("p q r", "p p q").toDF("text")
+    val dis = TextQuality.unigramDivergence(a, b, "text").head()
+    assert(dis.getAs[Long]("vocab_union") === 6L)
+    assert(dis.getAs[Double]("kl_ab") === dis.getAs[Double]("kl_ba"))
+    assert(dis.getAs[Double]("kl_ab") > 0.0)
+    val jsd = dis.getAs[Double]("jsd")
+    assert(jsd > 0.0 && jsd <= math.log(2.0) + 1e-9)
+  }
+
+  test("weightedSample: deterministic, drops non-positive weights, favors heavy rows") {
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1e9 else 1.0))
+      .toDF("id", "w") // one row carries ~all the mass
+    val pick = Analyses.weightedSample(df, col("id"), col("w"), 5)
+      .select("id").as[Long].collect().toSet
+    assert(pick.contains(7L), "the dominant weight must be selected")
+    assert(pick.size === 5)
+    // rerun-identical (derandomized Gumbel keys)
+    val again = Analyses.weightedSample(df, col("id"), col("w"), 5)
+      .select("id").as[Long].collect().toSet
+    assert(again === pick)
+    // zero/negative weights can never be sampled, even with k > n
+    val zeros = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+    val kept = Analyses.weightedSample(zeros, col("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("compressionSignals: templated text compresses far below varied text") {
+    val rep = ("lorem ipsum " * 200).trim
+    val varied = (1 to 400).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextQuality.compressionSignals(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val repRatio = out(1L).getAs[Double]("compression_ratio")
+    val varRatio = out(2L).getAs[Double]("compression_ratio")
+    assert(repRatio < 0.05, s"repeated text should collapse, got $repRatio")
+    assert(varRatio > 3 * repRatio, s"varied $varRatio vs repeated $repRatio")
+    assert(out(3L).getAs[Long]("n_bytes") === 0L) // empty text: ratio uses max(bytes,1)
+    assert(out(4L).isNullAt(2) && out(4L).isNullAt(3)) // null text → null signal
+  }
+
+  test("topKPerGroup ranks within each group independently") {
+    val df = Seq(
+      (1L, "g1", "a b a b a b"), // g1: "a b" x3, "b a" x2
+      (2L, "g2", "c d c d")      // g2: "c d" x2, "d c" x1
+    ).toDF("id", "g", "text")
+    val out = graft.operators.NgramOps.topKPerGroup(df, "g", "text", n = 2, k = 1,
+        uax29 = false)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out("g1") === ("a b", 3L))
+    assert(out("g2") === ("c d", 2L))
+  }
 }
