@@ -263,10 +263,22 @@ object Analyses {
 
   /** Portable gram → bucket hash (md5 8-hex prefix mod `buckets`) — the
     * same engine-agnostic trick as [[hashSample]], so the DuckDB oracle can
-    * replay it bit-for-bit.
+    * replay it bit-for-bit. The hot paths below evaluate the identical
+    * contract through the [[graft.functions.expressions.DsirKernel]] JVM
+    * kernel (one MessageDigest per thread, no interpreted HOF fold); this
+    * column form remains the executable spec the kernel is tested against.
     */
   private def dsirBucket(g: Column, buckets: Int): Column =
     conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Gram-bucket stream of a text column (unigrams then bigrams) via the
+    * JVM kernel — `array<long>`, bit-identical to mapping [[dsirBucket]]
+    * over [[dsirGrams]].
+    */
+  private def dsirBucketsCol(text: Column, buckets: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.DsirBuckets(
+        org.apache.spark.sql.graft.Bridge.expression(split(text, " ")), buckets))
 
   /** DSIR step 1 (Xie et al. 2023, arXiv:2302.03169): per-bucket
     * log-importance ratios of hashed n-gram features, target corpus vs raw.
@@ -277,8 +289,7 @@ object Analyses {
   def dsirLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
                     buckets: Int, smoothing: Double = 1.0): Array[Double] = {
     def bucketCounts(df: DataFrame): Map[Long, Long] =
-      df.select(explode(dsirGrams(col(textCol))).as("g"))
-        .select(dsirBucket(col("g"), buckets).as("b"))
+      df.select(explode(dsirBucketsCol(col(textCol), buckets)).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ct = bucketCounts(target)
@@ -301,8 +312,7 @@ object Analyses {
   def dsirLogRatiosWhere(corpus: DataFrame, targetPred: Column, textCol: String,
                          buckets: Int, smoothing: Double = 1.0): Array[Double] = {
     val rows = corpus
-      .select(targetPred.as("t"), explode(dsirGrams(col(textCol))).as("g"))
-      .select(col("t"), dsirBucket(col("g"), buckets).as("b"))
+      .select(targetPred.as("t"), explode(dsirBucketsCol(col(textCol), buckets)).as("b"))
       .groupBy("b")
       .agg(count(lit(1)).as("cr"), sum(when(col("t"), 1L).otherwise(0L)).as("ct"))
       .collect()
@@ -325,13 +335,12 @@ object Analyses {
     * would shuffle every gram in the corpus.
     */
   def dsirWeights(df: DataFrame, textCol: String, logRatios: Array[Double],
-                  weightCol: String = "dsir_weight"): DataFrame = {
-    val ratios = typedLit(logRatios.toSeq)
-    val buckets = logRatios.length
+                  weightCol: String = "dsir_weight"): DataFrame =
     df.withColumn(weightCol,
-      aggregate(dsirGrams(col(textCol)), lit(0.0),
-        (acc, g) => acc + element_at(ratios, (dsirBucket(g, buckets) + 1).cast("int"))))
-  }
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.DsirWeightInline(
+          org.apache.spark.sql.graft.Bridge.expression(split(col(textCol), " ")),
+          logRatios.toSeq)))
 
   /** DSIR step 3: Gumbel-top-k resampling, derandomized — the Gumbel noise
     * comes from the doc key's own md5 (u = (bucket+0.5)/2^32,

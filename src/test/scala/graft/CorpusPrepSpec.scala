@@ -400,6 +400,26 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out(4L).isNullAt(2) && out(4L).isNullAt(3)) // null text → null signal
   }
 
+  test("DSIR JVM kernel matches the portable md5-column formulation bit-for-bit") {
+    val docs = Seq("the cat sat", "a", "", "x y z w v u t s",
+      "héllo wörld ünïcode café café").toDF("text")
+    val ratios = Array.tabulate(64)(i => math.sin(i.toDouble))
+    // the executable spec: interpreted HOF fold over md5-hex buckets —
+    // exactly what the DuckDB oracle replays
+    val t = split(col("text"), " ")
+    val bi = transform(sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    val grams = concat(t, when(size(t) > 1, bi).otherwise(array()))
+    val rl = typedLit(ratios.toSeq)
+    val spec = docs.withColumn("w", aggregate(grams, lit(0.0),
+        (acc, g) => acc + element_at(rl,
+          (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % 64 + 1).cast("int"))))
+      .select("w").as[Double].collect().toSeq
+    val kernel = Analyses.dsirWeights(docs, "text", ratios)
+      .select("dsir_weight").as[Double].collect().toSeq
+    assert(kernel === spec)
+  }
+
   test("topKPerGroup ranks within each group independently") {
     val df = Seq(
       (1L, "g1", "a b a b a b"), // g1: "a b" x3, "b a" x2
