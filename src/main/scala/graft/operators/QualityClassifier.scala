@@ -79,12 +79,19 @@ object QualityClassifier {
     * fit, and score everything.
     */
   def fitOnGopherLabels(df: DataFrame, idCol: String, textCol: String,
-                        maxIter: Int = 25): Model = {
+                        maxIter: Int = 25, fitPartitions: Int = 4): Model = {
     val labels = TextQuality.gopherFilter(df, idCol, textCol)
       .select(col(idCol), col("keep").cast("double").as("__weak_label"))
     // localCheckpoint: every L-BFGS iteration re-reads the labeled frame —
-    // don't recompute the gopher gate + feature projections per step
+    // don't recompute the gopher gate + feature projections per step.
+    // coalesce first: the labeled frame is SAMPLE-sized by contract, and
+    // every L-BFGS step is one treeAggregate job over it — at corpus
+    // parallelism that is maxIter × defaultParallelism near-empty tasks of
+    // pure scheduling overhead (measured: the fit dominated the query).
+    // Size fitPartitions to the labeled set (≈1 per few hundred k rows),
+    // never to the corpus.
     val labeled = features(df, idCol, textCol).join(labels, Seq(idCol))
+      .coalesce(fitPartitions)
       .localCheckpoint(eager = true)
     // weak labels don't merit tight convergence: cap the iteration count
     // (each L-BFGS step is a distributed pass)
