@@ -217,4 +217,29 @@ object Pipeline {
     (counts ++ fracs).sortBy { case (m, _) => order.getOrElse(m, order.size) }
       .toDF("metric", "value")
   }
+
+  /** Per-domain report card — [[corpusReport]]'s metrics FACETED by host
+    * (or source, or any grouping column): doc/token counts, mean length,
+    * unique-text count and exact-duplicate fraction within the domain. The
+    * "which domains are feeding me boilerplate" table every crawl triage
+    * starts from (C4/RefinedWeb both report per-domain dup tables).
+    *
+    * Fully distributed, unlike [[corpusReport]]'s driver-side assembly:
+    * one partial-agg shuffle on (host, text-hash), one on host — output is
+    * domain-cardinality. No collect, so it holds at 100 TB where the host
+    * column has tens of millions of values.
+    */
+  def domainReport(docs: DataFrame, host: Column, textCol: String): DataFrame = {
+    val toks = size(split(col(textCol), " ")).cast("long")
+    docs.select(host.as("host"), md5(col(textCol)).as("h"), toks.as("nt"))
+      .groupBy("host", "h")
+      .agg(count(lit(1)).as("c"), sum("nt").as("nt"))
+      .groupBy("host")
+      .agg(sum("c").cast("long").as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"),
+        round(sum("nt") / sum("c").cast("double"), 6).as("mean_doc_tokens"),
+        count(lit(1)).as("n_unique_texts"),
+        round(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .cast("double") / sum("c"), 6).as("exact_dup_frac"))
+  }
 }

@@ -615,6 +615,25 @@ object TextQuality {
         col("end_punct_line_frac") >= minEndPunctLineFrac)
   }
 
+  /** Per-document vocabulary coverage against a FIXED vocabulary shipped
+    * inside the plan (a tokenizer's wordlist, a pruned LM vocab): token
+    * count, in-vocabulary count, OOV fraction. The "how much of my corpus
+    * does this tokenizer actually cover" card — rising OOV fraction is the
+    * standard drift alarm when a new crawl meets an old vocab. Scoring
+    * reuses the [[unigramScore]] kernel (counts are independent of the
+    * dummy probabilities), so it is a zero-join, zero-shuffle scan
+    * projection, streaming-safe like the LM gate.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String]): DataFrame = {
+    val s = unigramScore(col(textCol), vocab.map(_ -> 1L), vocab.size.toLong)
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        element_at(s, 1).cast("long").as("n_in_vocab"))
+      .withColumn("oov_frac",
+        round(lit(1.0) - col("n_in_vocab") / greatest(col("n_tokens"), lit(1L))
+          .cast("double"), 6))
+  }
+
   /** Cross-corpus unigram drift card: KL(A‖B), KL(B‖A) and the symmetric
     * Jensen–Shannon divergence (nats) between the two corpora's unigram
     * distributions, additively smoothed (Lidstone `alpha`) over the UNION

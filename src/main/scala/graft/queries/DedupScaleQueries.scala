@@ -14,6 +14,13 @@ object DedupScaleQueries extends QueryPack {
 
   private val W = 5; private val K = 8; private val BANDS = 4
 
+  /** Fixed demo vocabulary for the coverage card (t_vocab_coverage) —
+    * common synthetic-corpus words, inlined identically in the oracle.
+    */
+  private val coverageVocab = Seq("join", "hash", "row", "batch", "scan",
+    "column", "filter", "small", "slow", "merge", "data", "spark", "window",
+    "stream", "key", "value")
+
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
   // ---- shared oracle SQL fragments ----
@@ -225,6 +232,22 @@ object DedupScaleQueries extends QueryPack {
     "t_compress_ratio" -> ((s, dir) =>
       TextQuality.compressionSignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // vocabulary-coverage card against a fixed plan-shipped vocab:
+    // per-doc token count, in-vocab count, OOV fraction
+    "t_vocab_coverage" -> ((s, dir) =>
+      TextQuality.vocabCoverage(docs(s, dir), "doc_id", "text", coverageVocab)
+        .orderBy("doc_id")),
+
+    // paragraph-level FUZZY dedup: MinHash near-dup over 10-token block
+    // units (the fuzzy rung above d_para_keepfirst's exact unit hash) —
+    // pure composition: tokenBlocks |> nearDuplicates on (uid, unit)
+    "d_para_minhash" -> ((s, dir) => {
+      val units = graft.operators.Dedup.tokenBlocks(docs(s, dir), "doc_id", "text", b = 10)
+        .select(concat_ws("#", col("id"), col("idx")).as("uid"), col("unit"))
+      MinHash.nearDuplicates(units, "uid", "unit", threshold = 0.5,
+        W, K, BANDS, MinHash.md5Strategy).orderBy("id_a", "id_b")
+    }),
 
     // FineWeb-style line/word gate (signals + combined keep)
     "t_fineweb" -> ((s, dir) =>
@@ -601,6 +624,39 @@ object DedupScaleQueries extends QueryPack {
         |FROM s JOIN bic USING (w1, w2) JOIN ctx USING (w1)
         | JOIN uni ON uni.w = s.w2 CROSS JOIN tot
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "t_vocab_coverage" -> {
+      val vl = coverageVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         | CAST(len(list_filter(t, x -> list_contains($vl, x))) AS BIGINT) AS n_in_vocab,
+         | round(1.0 - len(list_filter(t, x -> list_contains($vl, x)))
+         |   / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS oov_frac
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d_para_minhash" ->
+      s"""WITH units AS (SELECT doc_id || '#' || CAST(s.idx AS VARCHAR) AS uid,
+         |  s.unit AS unit FROM (
+         | SELECT doc_id, unnest(list_transform(generate_series(0, (len(t) - 1) // 10),
+         |  i -> {'idx': i, 'unit': array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')})) AS s
+         | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         | WHERE len(t) > 0)),
+         |sh AS (${shFrom("units", "uid", "unit")}),
+         |sig AS (SELECT id, $sigCols FROM sh GROUP BY id),
+         |bandrows AS (${bandSelectsOn("sig")}),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM bandrows a JOIN bandrows b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         | FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.s = a.s
+         | GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         | round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+         |FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "a16_unigram_kl" ->
       """WITH ca AS (SELECT w, count(*) AS na FROM

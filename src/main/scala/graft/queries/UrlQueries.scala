@@ -74,6 +74,12 @@ object UrlQueries extends QueryPack {
     "p1_url_host" -> ((s, dir) =>
       UrlOps.hostCounts(withUrl(Tables(s, dir, "documents")), "url").orderBy("host")),
 
+    // per-domain report card: corpusReport's metrics faceted by host —
+    // doc/token counts, mean length, unique texts, exact-dup fraction
+    "r_domain_report" -> ((s, dir) =>
+      graft.Pipeline.domainReport(withUrl(Tables(s, dir, "documents")),
+        parse_url(col("url"), lit("HOST")), "text").orderBy("host")),
+
     "p2_url_per_tok" -> ((s, dir) =>
       UrlOps.hostTokenCounts(withUrl(Tables(s, dir, "documents")), "url", "text",
         uax29 = false).orderBy("host")),
@@ -171,6 +177,19 @@ object UrlQueries extends QueryPack {
       s"""$urlCte
          |SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, count(*) AS cnt
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "r_domain_report" ->
+      s"""$urlCte,
+         |b AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         |  md5(text) AS h, len(string_split(text, ' ')) AS nt FROM u),
+         |g AS (SELECT host, h, count(*) AS c, sum(nt) AS nt FROM b GROUP BY 1, 2)
+         |SELECT host, CAST(sum(c) AS BIGINT) AS n_docs,
+         | CAST(sum(nt) AS BIGINT) AS n_tokens,
+         | round(sum(nt) / CAST(sum(c) AS DOUBLE), 6) AS mean_doc_tokens,
+         | count(*) AS n_unique_texts,
+         | round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE)
+         |   / sum(c), 6) AS exact_dup_frac
+         |FROM g GROUP BY host ORDER BY host""".stripMargin,
 
     "p2_url_per_tok" ->
       s"""$urlCte

@@ -420,6 +420,31 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(kernel === spec)
   }
 
+  test("domainReport: per-host counts and exact-dup fraction") {
+    val df = Seq(
+      ("a.com", "x y z"), ("a.com", "x y z"), ("a.com", "p q"),
+      ("b.com", "u v w")
+    ).toDF("host", "text")
+    val out = graft.Pipeline.domainReport(df, col("host"), "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a.com").getAs[Long]("n_docs") === 3L)
+    assert(out("a.com").getAs[Long]("n_tokens") === 8L)
+    assert(out("a.com").getAs[Long]("n_unique_texts") === 2L)
+    assert(out("a.com").getAs[Double]("exact_dup_frac") === math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(out("b.com").getAs[Double]("exact_dup_frac") === 0.0)
+  }
+
+  test("vocabCoverage counts in-vocab token occurrences (multiset)") {
+    val df = Seq((1L, "the cat the dog"), (2L, "zz qq")).toDF("id", "text")
+    val out = TextQuality.vocabCoverage(df, "id", "text", Seq("the", "cat"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 4L)
+    assert(out(1L).getAs[Long]("n_in_vocab") === 3L) // 'the' twice + 'cat'
+    assert(out(1L).getAs[Double]("oov_frac") === 0.25)
+    assert(out(2L).getAs[Long]("n_in_vocab") === 0L)
+    assert(out(2L).getAs[Double]("oov_frac") === 1.0)
+  }
+
   test("topKPerGroup ranks within each group independently") {
     val df = Seq(
       (1L, "g1", "a b a b a b"), // g1: "a b" x3, "b a" x2
