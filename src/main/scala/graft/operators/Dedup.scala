@@ -553,4 +553,53 @@ object Dedup {
         sum(when(col("is_first"), 0L).otherwise(1L)).cast("long").as("n_dup_units"))
       .withColumn("dup_unit_frac",
         round(col("n_dup_units").cast("double") / col("n_units"), 6))
+
+  // ---- incremental dedup against persisted hash state ----
+  //
+  // The continuous-ingestion shape of J2/J3: a crawl pipeline never
+  // re-scans "everything seen so far" — it keeps a hash-state TABLE
+  // (hash-only: 100 TB of text distills to low-TBs of 16-byte keys) and
+  // anti-joins each new snapshot against it. The streaming twin is
+  // StreamOps.dedupStream; this is the batch form with durable state.
+
+  private def stateExists(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Drop every new doc whose `key` is already in the state table, then
+    * keep-first WITHIN the batch (a snapshot carries its own internal
+    * duplicates). Pure read path — state is not modified; see
+    * [[ingestIncremental]] for the read-then-extend cycle. AQE broadcasts
+    * small state and shuffle-joins large state on the 16-byte keys; at
+    * Bloom scale swap the anti join for [[decontaminateApprox]] over the
+    * same state frame.
+    */
+  def dedupIncremental(newDocs: DataFrame, key: Column, order: Seq[Column],
+                       statePath: String): DataFrame = {
+    val fresh = keepFirst(newDocs, key, order)
+    if (!stateExists(newDocs.sparkSession, statePath)) fresh
+    else decontaminate(fresh, key, newDocs.sparkSession.read.parquet(statePath), col("h"))
+  }
+
+  /** Append the (distinct) keys of `docs` to the state table. */
+  def appendHashState(docs: DataFrame, key: Column, statePath: String): Unit =
+    docs.select(key.as("h")).distinct()
+      .write.mode("append").parquet(statePath)
+
+  /** One ingestion cycle: dedup the snapshot against state, MATERIALIZE the
+    * survivors (eager localCheckpoint — the anti join must evaluate against
+    * the state as-read, not as-extended: appending first would make the
+    * lazy plan drop every survivor against its own just-written hash), then
+    * extend the state with the survivors' keys. Returns the survivors.
+    */
+  def ingestIncremental(newDocs: DataFrame, key: Column, order: Seq[Column],
+                        statePath: String): DataFrame = {
+    val survivors = dedupIncremental(newDocs, key, order, statePath)
+      .localCheckpoint(eager = true)
+    appendHashState(survivors, key, statePath)
+    survivors
+  }
 }

@@ -496,4 +496,21 @@ class DedupScaleSpec extends SparkTestBase {
     assert(a === b)
     assert(a.head.drop(1).forall(_.isInstanceOf[Long]))
   }
+
+  test("incremental dedup: snapshots dedup against persisted hash state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state")
+      .toFile.getAbsolutePath + "/state"
+    val key = md5(col("text"))
+    val b1 = Seq((1L, "a b c"), (2L, "d e f"), (3L, "a b c")).toDF("id", "text")
+    val s1 = Dedup.ingestIncremental(b1, key, Seq(col("id")), dir)
+    assert(s1.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // next snapshot: 4 duplicates batch-1 state, 6 duplicates 5 in-batch
+    val b2 = Seq((4L, "a b c"), (5L, "g h i"), (6L, "g h i")).toDF("id", "text")
+    val s2 = Dedup.ingestIncremental(b2, key, Seq(col("id")), dir)
+    assert(s2.select("id").as[Long].collect().toSet === Set(5L))
+    // replaying an already-ingested snapshot is a no-op
+    assert(Dedup.ingestIncremental(b2, key, Seq(col("id")), dir).count() === 0L)
+    // state holds exactly the distinct ingested hashes
+    assert(spark.read.parquet(dir).distinct().count() === 3L)
+  }
 }
