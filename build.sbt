@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single-JVM local[32] driver+executor: size the heap to the machine —
+  // 8g forced full-GC pauses mid-bench (random queries absorbed multi-sec
+  // stalls; measured 0.95s-steady queries spiking to 13s)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
