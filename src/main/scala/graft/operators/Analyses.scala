@@ -381,6 +381,44 @@ object Analyses {
       .drop("__es_score")
   }
 
+  /** Distinctive terms of a corpus slice vs the rest — log-odds-ratio with
+    * an informative Dirichlet prior (Monroe et al. 2008, "Fightin' Words"),
+    * the statistically-sane version of "what words characterize English
+    * docs / src10 / this month's crawl": δ(w) = logit of w in A minus
+    * logit in B under +α smoothing, z = δ/√(1/(ca+α) + 1/(cb+α)); raw
+    * frequency ratios over-rank rare words, the variance term fixes that.
+    * Returns the top-k most A-distinctive (`side = 'a'`) and most
+    * B-distinctive (`side = 'b'`) terms.
+    *
+    * Scale shape: ONE token-scale scan tags each token with the predicate
+    * and aggregates per term; totals are a broadcast single-row agg; the
+    * z-scored frame is VOCABULARY-sized and localCheckpointed because both
+    * the top-k and bottom-k consume it (no subtree reuse across the two
+    * TakeOrderedAndProject jobs — re-deriving would re-scan the corpus).
+    */
+  def distinctiveTerms(docs: DataFrame, groupPred: Column, textCol: String,
+                       k: Int, alpha: Double = 0.5): DataFrame = {
+    val counts = graft.Par.fanOut(docs)
+      .select(groupPred.as("p"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(
+        sum(when(col("p"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("p"), 0L).otherwise(1L)).as("cb"))
+    val tot = counts.agg(sum("ca").cast("double").as("ta"),
+      sum("cb").cast("double").as("tb"), count(lit(1)).cast("double").as("v"))
+    def logit(c: Column, t: Column): Column = {
+      val num = c + lit(alpha)
+      log(num / (t + lit(alpha) * col("v") - num))
+    }
+    val z = (logit(col("ca"), col("ta")) - logit(col("cb"), col("tb"))) /
+      sqrt(lit(1.0) / (col("ca") + lit(alpha)) + lit(1.0) / (col("cb") + lit(alpha)))
+    val scored = counts.crossJoin(broadcast(tot))
+      .select(col("w"), col("ca"), col("cb"), round(z, 6).as("z"))
+      .localCheckpoint()
+    val top = scored.orderBy(desc("z"), asc("w")).limit(k).withColumn("side", lit("a"))
+    val bot = scored.orderBy(asc("z"), asc("w")).limit(k).withColumn("side", lit("b"))
+    top.unionAll(bot)
+  }
+
   /** P13: utterance dates — year histogram over the first present date key
     * (reference wimbd/utterance_dates/map_count.py:8-35).
     */

@@ -228,6 +228,35 @@ object NgramOps {
       .where(col("rank") <= k)
   }
 
+  /** Per-document top-k TF-IDF terms — the keyword-extraction card next to
+    * the frequency surfaces: tf(d,w) · ln(N / df(w)), ranked within each
+    * document. What "characterizes this document against the corpus" —
+    * the summarization/labeling primitive corpus browsers build on.
+    *
+    * Scale shape: one explode + (id, w) partial-agg for term frequencies;
+    * document frequencies are a VOCABULARY-sized distinct-keyed aggregate
+    * joined back on the term (AQE broadcasts small vocabs, shuffle-joins
+    * Zipf-bounded large ones — value skew, not key skew); the rank window
+    * partitions by document over each doc's own distinct terms. Nothing
+    * global sorts.
+    */
+  def tfidfTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                 uax29: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nRow = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = graft.Par.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol), uax29)).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "w").crossJoin(broadcast(nRow))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), asc("w"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("w"), col("tf"), col("df"),
+        col("tfidf"), col("rank").cast("long").as("rank"))
+  }
+
   /** stats doc pointers: the argmax/argmin documents by token count with ties
     * kept (reference src/cmd/stats.rs:89-135 keeps lists of ties).
     */

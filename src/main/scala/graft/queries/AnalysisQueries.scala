@@ -95,6 +95,12 @@ object AnalysisQueries extends QueryPack {
     "p17_length_quantiles" -> ((s, dir) =>
       Analyses.lengthQuantiles(Tables(s, dir, "documents"), "text")),
 
+    // distinctive terms of the English slice vs the rest: Monroe et al.
+    // log-odds with Dirichlet prior, top/bottom 15 by z
+    "a18_distinctive_terms" -> ((s, dir) =>
+      Analyses.distinctiveTerms(Tables(s, dir, "documents"),
+        col("lang") === "en", "text", k = 15).orderBy("side", "w")),
+
     // weighted sampling WITHOUT replacement (Efraimidis–Spirakis via
     // derandomized Gumbel keys): 30 docs ∝ token count
     "p22_weighted_sample" -> ((s, dir) => {
@@ -250,6 +256,25 @@ object AnalysisQueries extends QueryPack {
         |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
         |  unnest(quantile_cont(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS v FROM n)
         |SELECT q, round(v, 6) AS value FROM q ORDER BY q""".stripMargin,
+
+    "a18_distinctive_terms" ->
+      """WITH c AS (SELECT w,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        | FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        | GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS DOUBLE) AS ta, CAST(sum(cb) AS DOUBLE) AS tb,
+        |  CAST(count(*) AS DOUBLE) AS v FROM c),
+        |s AS (SELECT w, ca, cb, round(
+        |   (ln((ca + 0.5) / (ta + 0.5 * v - ca - 0.5)) -
+        |    ln((cb + 0.5) / (tb + 0.5 * v - cb - 0.5)))
+        |   / sqrt(1.0 / (ca + 0.5) + 1.0 / (cb + 0.5)), 6) AS z
+        | FROM c CROSS JOIN t)
+        |SELECT w, ca, cb, z, side FROM (
+        | (SELECT *, 'a' AS side FROM s ORDER BY z DESC, w LIMIT 15)
+        | UNION ALL
+        | (SELECT *, 'b' AS side FROM s ORDER BY z ASC, w LIMIT 15))
+        |ORDER BY side, w""".stripMargin,
 
     "p22_weighted_sample" ->
       """WITH w AS (SELECT doc_id,

@@ -99,6 +99,12 @@ object NgramQueries extends QueryPack {
           col("rank").cast("long").as("rank"))
         .orderBy("source", "rank")),
 
+    // keyword extraction: top-3 TF-IDF terms per document (ranked on the
+    // rounded score so both engines tie-break identically)
+    "t_tfidf_top" -> ((s, dir) =>
+      NgramOps.tfidfTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3,
+        uax29 = false).orderBy("doc_id", "rank")),
+
     "p10_length_hist" -> ((s, dir) =>
       // both histograms in one corpus pass: each doc emits a (dim, value)
       // pair per dimension
@@ -229,6 +235,21 @@ object NgramQueries extends QueryPack {
         | FROM c)
         |SELECT source, ngram, cnt, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "t_tfidf_top" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, tf.w AS w, tf, df,
+        |  round(tf * ln(n / df), 6) AS tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round(tf * ln(n / df), 6) DESC, tf.w) AS rank
+        | FROM tf JOIN dfq USING (w) CROSS JOIN n)
+        |SELECT doc_id, w, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "p10_length_hist" ->
       """SELECT dim, value, count(*) AS cnt FROM (

@@ -445,6 +445,30 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out(2L).getAs[Double]("oov_frac") === 1.0)
   }
 
+  test("tfidfTerms surfaces document-specific terms over corpus-wide ones") {
+    val df = Seq(
+      (1L, "common common zebra"),
+      (2L, "common common yak"),
+      (3L, "common common common")
+    ).toDF("id", "text")
+    val out = graft.operators.NgramOps.tfidfTerms(df, "id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "zebra") // df=1 beats 'common' (df=3, idf=0)
+    assert(out(2L) === "yak")
+    assert(out(3L) === "common") // only term present, even at idf 0
+  }
+
+  test("distinctiveTerms: slice-only terms score side a, rest-only side b") {
+    val df = Seq(
+      ("en", "alpha alpha shared"), ("en", "alpha shared"),
+      ("de", "beta beta shared"), ("de", "beta shared")
+    ).toDF("lang", "text")
+    val out = Analyses.distinctiveTerms(df, col("lang") === "en", "text", k = 1)
+      .collect().map(r => r.getString(4) -> r.getString(0)).toMap
+    assert(out("a") === "alpha")
+    assert(out("b") === "beta")
+  }
+
   test("topKPerGroup ranks within each group independently") {
     val df = Seq(
       (1L, "g1", "a b a b a b"), // g1: "a b" x3, "b a" x2
