@@ -182,4 +182,45 @@ class PlanPropertySpec extends SparkTestBase {
       .findAllIn(p).length
     assert(textExchanges <= 2, p) // both join sides key on doc_id; narrow side is 2 cols
   }
+
+  test("tfidfTerms: one corpus scan, three data shuffles, no self-join") {
+    val t = NgramOps.tfidfTerms(docs, "doc_id", "text", k = 3)
+    val p = plan(t)
+    // (id,w) agg + df-by-term window + per-doc rank window; the dfreq
+    // self-join formulation measured 10 exchanges with zero reuse
+    assert(shuffles(t) <= 3, p)
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p) // docs + count(N) row
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topKPerGroup: rank window runs over the aggregated frame, one data shuffle") {
+    val t = NgramOps.topKPerGroup(docs, "source", "text", n = 2, k = 5,
+      uax29 = false)
+    val p = plan(t)
+    // explode→(group,ngram) partial agg is the only corpus-scale exchange;
+    // the window repartitions the aggregated vocab by group only
+    assert(shuffles(t) <= 2, p)
+  }
+
+  test("domainReport: two partial-agg shuffles, no collect-side plan") {
+    val r = Pipeline.domainReport(docs, col("source"), "text")
+    val p = plan(r)
+    assert(shuffles(r) <= 2, p)
+  }
+
+  test("weightedSample is one TakeOrderedAndProject, no sort shuffle") {
+    val s = graft.operators.Analyses.weightedSample(
+      docs, col("doc_id"), size(split(col("text"), " ")).cast("long"), 10)
+    val p = plan(s)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffles(s) === 0, p)
+  }
+
+  test("vocabCoverage is a pure scan projection: zero shuffles, zero joins") {
+    val v = graft.operators.TextQuality.vocabCoverage(docs, "doc_id", "text",
+      Seq("the", "data"))
+    val p = plan(v)
+    assert(shuffles(v) === 0, p)
+    assert(!p.contains("Join"), p)
+  }
 }
