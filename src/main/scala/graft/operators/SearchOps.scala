@@ -64,4 +64,32 @@ object SearchOps {
         aggregate(transform(col("submatches"),
           s => s.getField("end_col") - s.getField("start_col")),
           lit(0), (acc, x) => acc + x).cast("long").as("matched_chars"))
+
+  /** Concordance / KWIC: one row per occurrence of a LITERAL phrase with
+    * up to `ctx` characters of context on each side — the "show me the
+    * hits in context" reading surface next to E2's whole-document
+    * retrieval (corpus browsing reports print exactly this table).
+    *
+    * Defined over the phrase-split pieces of the document (occurrence i
+    * sits between piece i and i+1), so occurrences are non-overlapping
+    * and context never crosses an adjacent occurrence — a definition both
+    * engines can evaluate identically, which is what makes it
+    * oracle-checkable. Pure scan projection + explode: no shuffle, no
+    * join; at 100 TB it is scan-speed like every other per-row surface.
+    */
+  def concordance(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: String, ctx: Int = 30): DataFrame = {
+    val pieces = split(col(textCol), java.util.regex.Pattern.quote(phrase))
+    def lastChars(s: org.apache.spark.sql.Column) =
+      s.substr(greatest(length(s) - ctx + 1, lit(1)), lit(ctx))
+    def firstChars(s: org.apache.spark.sql.Column) = s.substr(lit(1), lit(ctx))
+    val occs = transform(sequence(lit(1), size(pieces) - 1), i =>
+      struct(i.cast("long").as("occ"),
+        lastChars(element_at(pieces, i)).as("left_ctx"),
+        firstChars(element_at(pieces, i + 1)).as("right_ctx")))
+    docs.where(col(textCol).contains(phrase))
+      .select(col(idCol), explode(occs).as("o"))
+      .select(col(idCol), col("o.occ").as("occ"), col("o.left_ctx").as("left_ctx"),
+        col("o.right_ctx").as("right_ctx"))
+  }
 }

@@ -42,6 +42,13 @@ object SearchQueries extends QueryPack {
       Searcher.countPerPhrase(Tables(s, dir, "documents"), "text", perPhrases,
         uax29 = false).orderBy("phrase")),
 
+    // concordance / KWIC: every occurrence of a literal phrase with 20
+    // chars of piece-local context each side
+    "e8_concordance" -> ((s, dir) =>
+      graft.operators.SearchOps.concordance(Tables(s, dir, "documents"),
+        "doc_id", "text", phrase = "data line", ctx = 20)
+        .orderBy("doc_id", "occ")),
+
     "e4_unigram_ttf" -> ((s, dir) =>
       Searcher.unigramTtf(Tables(s, dir, "documents"), "text", unigrams,
         uax29 = false).orderBy("unigram")),
@@ -64,6 +71,18 @@ object SearchQueries extends QueryPack {
     s"contains(' ' || text || ' ', ' $phrase ')"
 
   override val oracles: Map[String, String] = Map(
+    "e8_concordance" ->
+      """WITH p AS (SELECT doc_id, string_split(text, 'data line') AS ps
+        | FROM documents WHERE contains(text, 'data line'))
+        |SELECT doc_id, CAST(s['occ'] AS BIGINT) AS occ,
+        | s['l'] AS left_ctx, s['r'] AS right_ctx FROM (
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(ps) - 1), i ->
+        |   {'occ': i,
+        |    'l': substring(ps[i], greatest(len(ps[i]) - 19, 1), 20),
+        |    'r': substring(ps[i+1], 1, 20)})) AS s
+        | FROM p)
+        |ORDER BY doc_id, occ""".stripMargin,
+
     "e1_count_any" ->
       s"""SELECT count(*) AS n_docs FROM documents
          |WHERE ${anyPhrases.map(padHit).mkString(" OR ")}""".stripMargin,

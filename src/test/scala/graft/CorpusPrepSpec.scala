@@ -469,6 +469,24 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out("b") === "beta")
   }
 
+  test("concordance: piece-local contexts, start/end/adjacent occurrences") {
+    val df = Seq(
+      (1L, "XX hit YY hit ZZ"), // two separated occurrences
+      (2L, "hit AA"),           // at start: empty left context
+      (3L, "BB hit"),           // at end: empty right context
+      (4L, "hit hit"),          // adjacent: the separator is piece-local
+      (5L, "no match here")
+    ).toDF("id", "text")
+    val out = graft.operators.SearchOps.concordance(df, "id", "text", "hit", ctx = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getString(3))).toMap
+    assert(out((1L, 1L)) === (("XX ", " YY ")))
+    assert(out((1L, 2L)) === ((" YY ", " ZZ")))
+    assert(out((2L, 1L)) === (("", " AA")))
+    assert(out((3L, 1L)) === (("BB ", "")))
+    assert(out((4L, 1L)) === (("", " ")))
+    assert(!out.keySet.exists(_._1 == 5L))
+  }
+
   test("topKPerGroup ranks within each group independently") {
     val df = Seq(
       (1L, "g1", "a b a b a b"), // g1: "a b" x3, "b a" x2
