@@ -381,6 +381,29 @@ object Analyses {
       .drop("__es_score")
   }
 
+  /** Per-document script mix — fractions of non-whitespace characters in
+    * the major unicode script ranges (Latin, digits, Cyrillic, CJK,
+    * Arabic). The cheap companion signal to [[langIdHeuristic]]: script
+    * fractions catch what stopword profiles can't (mixed-script spam,
+    * mojibake, wrong-script content in a "monolingual" corpus) and cost
+    * one codegen'd regex projection — no shuffle, streaming-safe.
+    * Explicit codepoint ranges, not \\p{Script=...} classes, so the same
+    * predicate evaluates identically in any regex engine (the oracle
+    * builds the ranges with chr()).
+    */
+  def scriptFractions(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nonspace = length(regexp_replace(col(textCol), "\\s", ""))
+    def frac(pat: String) =
+      round(regexp_count(col(textCol), lit(pat)) /
+        greatest(nonspace, lit(1)).cast("double"), 6)
+    df.select(col(idCol), nonspace.cast("long").as("n_chars"),
+      frac("[A-Za-z]").as("latin_frac"),
+      frac("[0-9]").as("digit_frac"),
+      frac("[\\u0400-\\u04FF]").as("cyrillic_frac"),
+      frac("[\\u4E00-\\u9FFF]").as("cjk_frac"),
+      frac("[\\u0600-\\u06FF]").as("arabic_frac"))
+  }
+
   /** Distinctive terms of a corpus slice vs the rest — log-odds-ratio with
     * an informative Dirichlet prior (Monroe et al. 2008, "Fightin' Words"),
     * the statistically-sane version of "what words characterize English

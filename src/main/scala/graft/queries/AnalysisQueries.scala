@@ -95,6 +95,19 @@ object AnalysisQueries extends QueryPack {
     "p17_length_quantiles" -> ((s, dir) =>
       Analyses.lengthQuantiles(Tables(s, dir, "documents"), "text")),
 
+    // script-mix fractions over deterministically multi-scripted docs
+    // (Cyrillic / CJK / Arabic snippets appended by doc_id class; \uXXXX
+    // escapes here, chr(n) in the oracle — never raw unicode in both)
+    "t_script_mix" -> ((s, dir) => {
+      val snippet = when(col("doc_id") % 4 === 0,
+          lit(" \u0410\u0411\u0412 \u0433\u0434"))
+        .when(col("doc_id") % 4 === 1, lit(" \u6F22\u5B57"))
+        .when(col("doc_id") % 4 === 2, lit(" \u0627\u0628\u062C 42"))
+        .otherwise(lit(""))
+      val d = Tables(s, dir, "documents").withColumn("text2", concat(col("text"), snippet))
+      Analyses.scriptFractions(d, "doc_id", "text2").orderBy("doc_id")
+    }),
+
     // distinctive terms of the English slice vs the rest: Monroe et al.
     // log-odds with Dirichlet prior, top/bottom 15 by z
     "a18_distinctive_terms" -> ((s, dir) =>
@@ -256,6 +269,28 @@ object AnalysisQueries extends QueryPack {
         |q AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
         |  unnest(quantile_cont(n, [0.25, 0.5, 0.75, 0.9, 0.99])) AS v FROM n)
         |SELECT q, round(v, 6) AS value FROM q ORDER BY q""".stripMargin,
+
+    "t_script_mix" ->
+      """WITH u AS (SELECT doc_id, text ||
+        | (CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(1040) || chr(1041) || chr(1042)
+        |        || ' ' || chr(1075) || chr(1076)
+        |   WHEN doc_id % 4 = 1 THEN ' ' || chr(28450) || chr(23383)
+        |   WHEN doc_id % 4 = 2 THEN ' ' || chr(1575) || chr(1576) || chr(1580) || ' 42'
+        |   ELSE '' END) AS text2 FROM documents),
+        |n AS (SELECT doc_id, text2,
+        |  length(regexp_replace(text2, '\s', '', 'g')) AS ns FROM u)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_chars,
+        | round(len(regexp_extract_all(text2, '[A-Za-z]'))
+        |   / CAST(greatest(ns, 1) AS DOUBLE), 6) AS latin_frac,
+        | round(len(regexp_extract_all(text2, '[0-9]'))
+        |   / CAST(greatest(ns, 1) AS DOUBLE), 6) AS digit_frac,
+        | round(len(regexp_extract_all(text2, '[' || chr(1024) || '-' || chr(1279) || ']'))
+        |   / CAST(greatest(ns, 1) AS DOUBLE), 6) AS cyrillic_frac,
+        | round(len(regexp_extract_all(text2, '[' || chr(19968) || '-' || chr(40959) || ']'))
+        |   / CAST(greatest(ns, 1) AS DOUBLE), 6) AS cjk_frac,
+        | round(len(regexp_extract_all(text2, '[' || chr(1536) || '-' || chr(1791) || ']'))
+        |   / CAST(greatest(ns, 1) AS DOUBLE), 6) AS arabic_frac
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "a18_distinctive_terms" ->
       """WITH c AS (SELECT w,
