@@ -153,4 +153,26 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dsir kernel: bucket stream matches the md5-hex reference on random tokens") {
+    import graft.functions.expressions.DsirBuckets
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // reference formulation: first 8 hex chars of md5(gram) as unsigned int
+    def refBucket(g: String, buckets: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(g.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val alphabet = Seq("a", "bb", "", "2.0", "café", "漢", "w1", "-")
+    (1 to 300).foreach { _ =>
+      val toks = Seq.fill(rng.nextInt(8))(alphabet(rng.nextInt(alphabet.length)))
+      val buckets = 1 + rng.nextInt(512)
+      val out = DsirBuckets(Literal(null), buckets).stream(arr(toks))
+      val grams = toks ++ (if (toks.length > 1) toks.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+      val expected = grams.map(refBucket(_, buckets))
+      assert((0 until out.numElements()).map(out.getLong) === expected,
+        s"tokens=$toks buckets=$buckets")
+    }
+  }
 }
