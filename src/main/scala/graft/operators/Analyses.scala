@@ -358,6 +358,23 @@ object Analyses {
       .drop("__score")
   }
 
+  /** Exactly-k-per-group deterministic sample — "show me k examples from
+    * every domain / language / source" (the eyeballing surface every
+    * corpus triage starts from; P14's Bernoulli keeps a FRACTION, this
+    * keeps a COUNT). Rank = row_number over md5(key) within the group, so
+    * the picked set is uniform-ish, rerun-stable and engine-portable.
+    *
+    * The rank window partitions by group — each group sorts only its own
+    * rows; no global order. For pathological single-group skew at 100 TB,
+    * pre-filter with [[hashSample]] at a generous fraction first and rank
+    * the survivors.
+    */
+  def samplePerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame =
+    df.withColumn("__rank", row_number().over(
+        Window.partitionBy(group).orderBy(md5(key.cast("string")), key)))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via the
     * Gumbel-top-k equivalence), derandomized: the per-row key is
     * ln(weight) + Gumbel(u) with u derived from the row key's own md5, so

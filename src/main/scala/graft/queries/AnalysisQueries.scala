@@ -123,6 +123,12 @@ object AnalysisQueries extends QueryPack {
         .select("doc_id", "n_tokens").orderBy("doc_id")
     }),
 
+    // exactly-3-per-source deterministic sample (the eyeballing surface)
+    "p23_sample_per_group" -> ((s, dir) =>
+      Analyses.samplePerGroup(Tables(s, dir, "documents"), col("source"),
+        col("doc_id"), k = 3)
+        .select("source", "doc_id").orderBy("source", "doc_id")),
+
     // temperature-scaled mixture (sampling prob ∝ tokens^alpha): the
     // multilingual-corpus balancing recipe next to p16's explicit weights
     "p20_temp_mixture" -> ((s, dir) =>
@@ -322,6 +328,13 @@ object AnalysisQueries extends QueryPack {
         |SELECT doc_id, n_tokens FROM
         | (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 30)
         |ORDER BY doc_id""".stripMargin,
+
+    "p23_sample_per_group" ->
+      """SELECT source, doc_id FROM (
+        | SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
 
     "p20_temp_mixture" ->
       """WITH a AS (SELECT source, count(*) AS n_docs,
