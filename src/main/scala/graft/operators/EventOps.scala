@@ -51,4 +51,24 @@ object EventOps {
     sessionize(df, userCol, tsCol, orderCol, gapMinutes)
       .groupBy(userCol)
       .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+
+  /** Top-k n-step event-type paths over gap sessions — sequence mining on
+    * the event log ("what do users do in order"), the n-gram surface
+    * transplanted from text to sessions. One user-partitioned window
+    * (sessionize), one per-session collect (lists are session-bounded, so
+    * the object aggregate never sort-falls-back on real logs), then the
+    * standard n-gram explode → count → TakeOrderedAndProject.
+    */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String, orderCol: String,
+               gapMinutes: Int, n: Int, k: Int): DataFrame = {
+    val sess = sessionize(df, userCol, tsCol, orderCol, gapMinutes)
+    val seqs = sess.groupBy(col(userCol), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(orderCol), col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+    seqs.select(explode(
+        graft.functions.TextFunctions.ngrams(col("types"), n)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("path")).limit(k)
+  }
 }

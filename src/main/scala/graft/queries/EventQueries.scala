@@ -50,7 +50,13 @@ object EventQueries extends QueryPack {
       events(s, dir)
         .where(col("event_id").isin(1L, 17L, 99L, 123L))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // session path mining: top 3-step event-type sequences (whole-second
+    // timestamps like w_sessionize for ns/µs portability)
+    "w_top_paths" -> ((s, dir) =>
+      EventOps.topPaths(events(s, dir).withColumn("ts", col("ts").cast("long")),
+        "user_id", "ts", "event_id", gapMinutes = 30, n = 3, k = 10))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -90,6 +96,21 @@ object EventQueries extends QueryPack {
 
     "e6_by_id" ->
       """SELECT event_id, user_id, event_type, value FROM events
-        |WHERE event_id IN (1, 17, 99, 123) ORDER BY event_id""".stripMargin
+        |WHERE event_id IN (1, 17, 99, 123) ORDER BY event_id""".stripMargin,
+
+    "w_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT *, (CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |   THEN 1 ELSE 0 END) AS ns
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |seq AS (SELECT user_id, sid, list(event_type ORDER BY sec, event_id) AS types
+        | FROM s GROUP BY 1, 2),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(types) - 2),
+        |  i -> array_to_string(list_slice(types, i, i + 2), ' '))) AS path FROM seq)
+        |SELECT path, count(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, path LIMIT 10""".stripMargin
   )
 }
