@@ -52,6 +52,25 @@ object EventOps {
       .groupBy(userCol)
       .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
 
+  /** Month-over-month retention: for each activity month, how many
+    * distinct users were active and what fraction returned the NEXT
+    * month — the cohort-health card of every event-log analysis. One
+    * distinct (user, month) aggregate (corpus → user×month cardinality),
+    * one user-partitioned lead window, one month-cardinality aggregate.
+    */
+  def retention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val m = (year(col(tsCol)) * 12 + month(col(tsCol))).cast("long")
+    val um = df.select(col(userCol).as("u"), m.as("month_idx")).distinct()
+    val next = lead(col("month_idx"), 1)
+      .over(Window.partitionBy("u").orderBy("month_idx"))
+    um.withColumn("nx", next === col("month_idx") + 1)
+      .groupBy("month_idx")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("nx"), 1L).otherwise(0L)).as("n_retained"))
+      .withColumn("retention_rate",
+        round(col("n_retained") / col("n_users").cast("double"), 6))
+  }
+
   /** Top-k n-step event-type paths over gap sessions — sequence mining on
     * the event log ("what do users do in order"), the n-gram surface
     * transplanted from text to sessions. One user-partitioned window

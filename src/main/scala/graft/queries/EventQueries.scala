@@ -56,7 +56,11 @@ object EventQueries extends QueryPack {
     // timestamps like w_sessionize for ns/µs portability)
     "w_top_paths" -> ((s, dir) =>
       EventOps.topPaths(events(s, dir).withColumn("ts", col("ts").cast("long")),
-        "user_id", "ts", "event_id", gapMinutes = 30, n = 3, k = 10))
+        "user_id", "ts", "event_id", gapMinutes = 30, n = 3, k = 10)),
+
+    // month-over-month cohort retention
+    "w_retention" -> ((s, dir) =>
+      EventOps.retention(events(s, dir), "user_id", "ts").orderBy("month_idx"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -111,6 +115,18 @@ object EventQueries extends QueryPack {
         |p AS (SELECT unnest(list_transform(generate_series(1, len(types) - 2),
         |  i -> array_to_string(list_slice(types, i, i + 2), ' '))) AS path FROM seq)
         |SELECT path, count(*) AS cnt FROM p GROUP BY 1
-        |ORDER BY cnt DESC, path LIMIT 10""".stripMargin
+        |ORDER BY cnt DESC, path LIMIT 10""".stripMargin,
+
+    "w_retention" ->
+      """WITH um AS (SELECT DISTINCT user_id AS u,
+        |  CAST(year(ts) * 12 + month(ts) AS BIGINT) AS month_idx FROM events),
+        |r AS (SELECT u, month_idx,
+        |  (lead(month_idx) OVER (PARTITION BY u ORDER BY month_idx) = month_idx + 1) AS nx
+        | FROM um)
+        |SELECT month_idx, count(*) AS n_users,
+        | CAST(sum(CASE WHEN nx THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        | round(sum(CASE WHEN nx THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        |   AS retention_rate
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
