@@ -71,23 +71,63 @@ object EventOps {
         round(col("n_retained") / col("n_users").cast("double"), 6))
   }
 
-  /** Top-k n-step event-type paths over gap sessions — sequence mining on
-    * the event log ("what do users do in order"), the n-gram surface
-    * transplanted from text to sessions. One user-partitioned window
-    * (sessionize), one per-session collect (lists are session-bounded, so
-    * the object aggregate never sort-falls-back on real logs), then the
-    * standard n-gram explode → count → TakeOrderedAndProject.
+  /** Ordered event-type sequence per session (`types` array, one row per
+    * session). Lists are session-bounded, so the object aggregate never
+    * sort-falls-back on real logs.
     */
-  def topPaths(df: DataFrame, userCol: String, tsCol: String, orderCol: String,
-               gapMinutes: Int, n: Int, k: Int): DataFrame = {
-    val sess = sessionize(df, userCol, tsCol, orderCol, gapMinutes)
-    val seqs = sess.groupBy(col(userCol), col("session_id"))
+  private def sessionTypeSeqs(df: DataFrame, userCol: String, tsCol: String,
+                              orderCol: String, gapMinutes: Int): DataFrame =
+    sessionize(df, userCol, tsCol, orderCol, gapMinutes)
+      .groupBy(col(userCol), col("session_id"))
       .agg(sort_array(collect_list(
         struct(col(tsCol), col(orderCol), col("event_type")))).as("evs"))
       .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
-    seqs.select(explode(
+
+  /** Top-k n-step event-type paths over gap sessions — sequence mining on
+    * the event log ("what do users do in order"), the n-gram surface
+    * transplanted from text to sessions. One user-partitioned window
+    * (sessionize), one per-session collect, then the standard n-gram
+    * explode → count → TakeOrderedAndProject.
+    */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String, orderCol: String,
+               gapMinutes: Int, n: Int, k: Int): DataFrame =
+    sessionTypeSeqs(df, userCol, tsCol, orderCol, gapMinutes)
+      .select(explode(
         graft.functions.TextFunctions.ngrams(col("types"), n)).as("path"))
       .groupBy("path").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("path")).limit(k)
+
+  /** Funnel analysis: for each step of an ordered event-type funnel, how
+    * many sessions reach it as a SUBSEQUENCE (steps in order, any gaps) —
+    * the conversion card. Depth is computed positionally (first index of
+    * step 1, first index of step 2 after it, ...) with a null-chained
+    * march both engines evaluate identically: absent → position 0 →
+    * NULLIF → null propagates through the remaining steps. Per-session
+    * work is array arithmetic in the scan stage; the result is ONE scalar
+    * aggregation row exploded to step-cardinality.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, orderCol: String,
+             gapMinutes: Int, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    def pos0(arr: Column, s: String): Column = {
+      val p = array_position(arr, s)
+      when(p === 0, lit(null)).otherwise(p)
+    }
+    val positions = steps.tail.scanLeft(pos0(col("types"), steps.head)) {
+      case (cur, s) =>
+        cur + pos0(slice(col("types"), cur + 1, size(col("types")) - cur), s)
+    }
+    val aggs = count(lit(1)).cast("double").as("n_sessions") +:
+      positions.zipWithIndex.map { case (p, i) => count(p).as(s"c$i") }
+    val row = sessionTypeSeqs(df, userCol, tsCol, orderCol, gapMinutes)
+      .agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(steps.indices.map { i =>
+        struct(lit(i + 1L).as("step"), lit(steps(i)).as("step_name"),
+          col(s"c$i").cast("long").as("n_reached"),
+          round(col(s"c$i") / col("n_sessions"), 6).as("frac_of_sessions"))
+      }: _*)).as("f"))
+      .select(col("f.step").as("step"), col("f.step_name").as("step_name"),
+        col("f.n_reached").as("n_reached"),
+        col("f.frac_of_sessions").as("frac_of_sessions"))
   }
 }

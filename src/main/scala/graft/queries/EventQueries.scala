@@ -60,7 +60,13 @@ object EventQueries extends QueryPack {
 
     // month-over-month cohort retention
     "w_retention" -> ((s, dir) =>
-      EventOps.retention(events(s, dir), "user_id", "ts").orderBy("month_idx"))
+      EventOps.retention(events(s, dir), "user_id", "ts").orderBy("month_idx")),
+
+    // subsequence funnel: view -> click -> purchase conversion per session
+    "w_funnel" -> ((s, dir) =>
+      EventOps.funnel(events(s, dir).withColumn("ts", col("ts").cast("long")),
+        "user_id", "ts", "event_id", gapMinutes = 30,
+        steps = Seq("view", "click", "purchase")).orderBy("step"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -127,6 +133,33 @@ object EventQueries extends QueryPack {
         | CAST(sum(CASE WHEN nx THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
         | round(sum(CASE WHEN nx THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
         |   AS retention_rate
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT *, (CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+        |   THEN 1 ELSE 0 END) AS ns
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |seq AS (SELECT user_id, sid, list(event_type ORDER BY sec, event_id) AS types
+        | FROM s GROUP BY 1, 2),
+        |d0 AS (SELECT types, NULLIF(list_position(types, 'view'), 0) AS f0 FROM seq),
+        |d1 AS (SELECT *, f0 + NULLIF(list_position(
+        |   list_slice(types, f0 + 1, len(types)), 'click'), 0) AS f1 FROM d0),
+        |d2 AS (SELECT *, f1 + NULLIF(list_position(
+        |   list_slice(types, f1 + 1, len(types)), 'purchase'), 0) AS f2 FROM d1)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |  CAST(count(f0) AS BIGINT) AS n_reached,
+        |  round(count(f0) / CAST(count(*) AS DOUBLE), 6) AS frac_of_sessions FROM d2
+        | UNION ALL
+        | SELECT 2, 'click', CAST(count(f1) AS BIGINT),
+        |  round(count(f1) / CAST(count(*) AS DOUBLE), 6) FROM d2
+        | UNION ALL
+        | SELECT 3, 'purchase', CAST(count(f2) AS BIGINT),
+        |  round(count(f2) / CAST(count(*) AS DOUBLE), 6) FROM d2
+        |) ORDER BY step""".stripMargin
   )
 }
