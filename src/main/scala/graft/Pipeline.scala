@@ -179,13 +179,15 @@ object Pipeline {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = size(split(col(textCol), " "))
+    // coalesce: sum/avg/max/min are NULL over an empty corpus, and the
+    // driver-side getLong/getDouble below would throw on it
     val rowAgg = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(toks.cast("long")).as("n_tokens"),
-      sum(length(col(textCol)).cast("long")).as("n_chars"),
-      avg(toks.cast("double")).as("mean_doc_tokens"),
-      max(toks.cast("long")).as("max_doc_tokens"),
-      min(toks.cast("long")).as("min_doc_tokens")).head()
+      coalesce(sum(toks.cast("long")), lit(0L)).as("n_tokens"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("n_chars"),
+      coalesce(avg(toks.cast("double")), lit(0.0)).as("mean_doc_tokens"),
+      coalesce(max(toks.cast("long")), lit(0L)).as("max_doc_tokens"),
+      coalesce(min(toks.cast("long")), lit(0L)).as("min_doc_tokens")).head()
     val dupAgg = docs.select(md5(col(textCol)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("uniq"),

@@ -39,7 +39,7 @@ object Dedup {
     df.select(key.as("h")).groupBy("h").agg(count(lit(1)).as("c"))
       .agg(
         coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("long").as("duplicates"),
-        sum("c").cast("long").as("total"),
+        coalesce(sum("c"), lit(0L)).cast("long").as("total"),
         count(when(col("c") > 1, lit(1))).as("uniq_duplicates"),
         count(lit(1)).as("uniq_total"))
 

@@ -124,7 +124,11 @@ object EventOps {
     row.select(explode(array(steps.indices.map { i =>
         struct(lit(i + 1L).as("step"), lit(steps(i)).as("step_name"),
           col(s"c$i").cast("long").as("n_reached"),
-          round(col(s"c$i") / col("n_sessions"), 6).as("frac_of_sessions"))
+          // ANSI `/` throws on zero even for doubles: an empty log still
+          // emits the (all-zero) step rows, so guard the denominator
+          when(col("n_sessions") > 0,
+            round(col(s"c$i") / col("n_sessions"), 6))
+            .otherwise(lit(0.0)).as("frac_of_sessions"))
       }: _*)).as("f"))
       .select(col("f.step").as("step"), col("f.step_name").as("step_name"),
         col("f.n_reached").as("n_reached"),

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Every operator family on an EMPTY (schema-correct) corpus: a library
+  * must degrade to empty/zero results, never throw — empty partitions and
+  * empty filtered slices are routine at 100 TB (a fresh source, an
+  * over-tight gate, a day with no events).
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq.empty[(Long, String, String, String)]
+    .toDF("doc_id", "text", "lang", "source")
+  private lazy val events = Seq.empty[(Long, Long, Long, String)]
+    .toDF("event_id", "ts", "user_id", "event_type")
+  private lazy val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("ngram surfaces: topk/botk/stats/unique/zipf/tfidf/grouped") {
+    assert(NgramOps.topK(docs, "text", 3, 10, uax29 = false).count() === 0)
+    assert(NgramOps.botK(docs, "text", 2, 10, uax29 = false).count() === 0)
+    assert(NgramOps.stats(docs, "text", uax29 = false).count() === 1) // null-field row
+    assert(NgramOps.uniqueExact(docs, "text", 2, uax29 = false)
+      .head().getLong(0) === 0L)
+    assert(NgramOps.zipfStats(docs, "text").count() === 1)
+    assert(NgramOps.tfidfTerms(docs, "doc_id", "text", 3).count() === 0)
+    assert(NgramOps.topKPerGroup(docs, "source", "text", 2, 3, uax29 = false).count() === 0)
+    assert(NgramOps.countPhrases(docs, "text", Seq("a b"), uax29 = false)
+      .head().getLong(1) === 0L) // zero-hit phrases still reported
+    assert(NgramOps.searchRegex(docs, "text", Seq("x+")).head().getLong(1) === 0L)
+  }
+
+  test("dedup surfaces: hashes/keep-first/decontaminate/overlaps/spans") {
+    val fp = md5(col("text"))
+    assert(Dedup.duplicateHashes(docs, fp).count() === 0)
+    assert(Dedup.keepFirst(docs, fp, Seq(col("doc_id"))).count() === 0)
+    assert(Dedup.decontaminate(docs, fp, docs, fp).count() === 0)
+    assert(Dedup.duplicateStats(docs, fp).head().getLong(1) === 0L)
+    assert(Dedup.hashSplit(docs, col("text")).count() === 0)
+    assert(Dedup.duplicateSpanStats(docs, "doc_id", "text", k = 5).count() === 0)
+    assert(Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5).count() === 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+  }
+
+  test("fuzzy dedup: minhash lsh / near-dup / simhash on empty corpus") {
+    assert(MinHash.lshCandidates(docs, "doc_id", "text", 5, 8, 4).count() === 0)
+    assert(MinHash.nearDuplicates(docs, "doc_id", "text", 0.5).count() === 0)
+    assert(SimHash.simhash64(docs, "doc_id", "text").count() === 0)
+  }
+
+  test("text quality: gates, signals, LMs, reports on empty corpus") {
+    assert(TextQuality.gopherFilter(docs, "doc_id", "text").count() === 0)
+    assert(TextQuality.fineWebFilter(docs, "doc_id", "text").count() === 0)
+    assert(TextQuality.repetitionSignals(docs, "doc_id", "text").count() === 0)
+    assert(TextQuality.qualityFeatures(docs, "doc_id", "text").count() === 0)
+    assert(TextQuality.unigramLogProb(docs, "doc_id", "text").count() === 0)
+    assert(TextQuality.perplexityBuckets(docs, "doc_id", "text").count() === 0)
+    assert(TextQuality.compressionSignals(docs, "doc_id", "text").count() === 0)
+    assert(TextQuality.vocabCoverage(docs, "doc_id", "text", Seq("a")).count() === 0)
+    val div = TextQuality.unigramDivergence(docs, docs, "text").head()
+    assert(div.getAs[Long]("vocab_union") === 0L) // null metrics, but a row
+    assert(TextQuality.entropyStats(docs, "text").count() === 3)
+  }
+
+  test("analyses: samplers, distinctive terms, script mix, pii on empty corpus") {
+    assert(Analyses.weightedSample(docs, col("doc_id"), lit(1.0), 5).count() === 0)
+    assert(Analyses.samplePerGroup(docs, col("source"), col("doc_id"), 3).count() === 0)
+    assert(Analyses.distinctiveTerms(docs, col("lang") === "en", "text", 5).count() === 0)
+    assert(Analyses.scriptFractions(docs, "doc_id", "text").count() === 0)
+    assert(Analyses.piiCounts(docs, "text").select(sum("occurrences"))
+      .head().getLong(0) === 0L)
+    assert(Analyses.piiRedact(docs, "doc_id", "text").count() === 0)
+    assert(Analyses.dsirLogRatiosWhere(docs, col("lang") === "en", "text", 16)
+      .forall(_ == 0.0)) // target/raw identically empty → ratio 0 everywhere
+  }
+
+  test("pipeline reports survive an empty corpus") {
+    val report = Pipeline.corpusReport(docs, "text", langCol = Some("lang"))
+    assert(report.where(col("metric") === "n_docs").head().getDouble(1) === 0.0)
+    assert(Pipeline.domainReport(docs, col("source"), "text").count() === 0)
+  }
+
+  test("events: windows, sessions, paths, retention, funnel on empty log") {
+    val e = events.withColumn("ts", col("ts").cast("timestamp"))
+    assert(EventOps.tumblingCounts(e, "ts").count() === 0)
+    assert(EventOps.sessionStats(events, "user_id", "ts", "event_id", 30).count() === 0)
+    assert(EventOps.topPaths(events, "user_id", "ts", "event_id", 30, 2, 5).count() === 0)
+    assert(EventOps.retention(e, "user_id", "ts").count() === 0)
+    val f = EventOps.funnel(events, "user_id", "ts", "event_id", 30, Seq("a", "b"))
+      .collect()
+    assert(f.length === 2 && f.forall(_.getLong(2) === 0L)) // steps reported, zero reached
+  }
+
+  test("similarity: knn and semantic dedup on empty embeddings") {
+    assert(Similarity.bruteForceKnn(emb, emb, "vec_id", "embedding", 3).count() === 0)
+    assert(Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", 0.9).count() === 0)
+  }
+}
