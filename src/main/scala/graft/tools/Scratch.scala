@@ -11,6 +11,8 @@ object Scratch {
     val dir = args.drop(1).find(!_.startsWith("-")).getOrElse("/root/testdata/sf0.01")
     val spark = Sessions.tune(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, dir)

@@ -98,4 +98,23 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.bruteForceKnn(emb, emb, "vec_id", "embedding", 3).count() === 0)
     assert(Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", 0.9).count() === 0)
   }
+
+  test("null text rows flow through the text surfaces without throwing") {
+    val d = Seq((1L, null.asInstanceOf[String], "en", "s1"),
+      (2L, "real text here", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    // nullable-text tolerance is a reference contract (serde Option<String>,
+    // `if not row['text']` guards) — every surface must match it
+    assert(NgramOps.topK(d, "text", 2, 5, uax29 = false).count() >= 1)
+    assert(NgramOps.stats(d, "text", uax29 = false).head().getLong(0) === 2L)
+    assert(TextQuality.gopherFilter(d, "doc_id", "text").count() === 2)
+    assert(TextQuality.compressionSignals(d, "doc_id", "text").count() === 2)
+    assert(TextQuality.normalizeDocs(d, "doc_id", "text").count() === 2)
+    assert(Analyses.scriptFractions(d, "doc_id", "text").count() === 2)
+    assert(Analyses.piiRedact(d, "doc_id", "text").count() === 2)
+    assert(Dedup.keepFirst(d, md5(col("text")), Seq(col("doc_id"))).count() === 2)
+    assert(MinHash.nearDuplicates(d, "doc_id", "text", 0.5).count() === 0)
+    assert(graft.operators.SearchOps.concordance(d, "doc_id", "text", "text").count() === 1)
+    assert(Pipeline.corpusReport(d, "text").count() >= 6)
+  }
 }
