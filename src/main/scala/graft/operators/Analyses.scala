@@ -406,7 +406,10 @@ object Analyses {
     * one codegen'd regex projection — no shuffle, streaming-safe.
     * Explicit codepoint ranges, not \\p{Script=...} classes, so the same
     * predicate evaluates identically in any regex engine (the oracle
-    * builds the ranges with chr()).
+    * builds the ranges with chr()). Denominator counts UTF-16 units, so
+    * astral chars (emoji) weigh 2 — none of the five tracked ranges is
+    * astral, so the script fractions themselves are exact and only the
+    * residual ("other") share absorbs the bias.
     */
   def scriptFractions(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val nonspace = length(regexp_replace(col(textCol), "\\s", ""))

@@ -79,6 +79,8 @@ object SearchOps {
     */
   def concordance(docs: DataFrame, idCol: String, textCol: String,
                   phrase: String, ctx: Int = 30): DataFrame = {
+    require(phrase.nonEmpty, "concordance needs a non-empty phrase")
+    require(ctx >= 0, "context width must be >= 0")
     val pieces = split(col(textCol), java.util.regex.Pattern.quote(phrase))
     def lastChars(s: org.apache.spark.sql.Column) =
       s.substr(greatest(length(s) - ctx + 1, lit(1)), lit(ctx))

@@ -652,6 +652,7 @@ object TextQuality {
     */
   def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "Lidstone alpha must be > 0 (zero reintroduces log(0))")
     val ca = unigramCounts(a, textCol).withColumnRenamed("c", "ca")
     val cb = unigramCounts(b, textCol).withColumnRenamed("c", "cb")
     val vocab = ca.join(cb, Seq("w"), "full_outer")
