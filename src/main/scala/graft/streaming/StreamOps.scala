@@ -71,6 +71,44 @@ object StreamOps {
       }
   }
 
+  case class FunnelState(lastSec: Long, depth: Int)
+  case class SessionDepth(user_id: Long, session_depth: Int)
+
+  /** Streaming twin of EventOps.funnel: per-user state tracks the current
+    * gap session's funnel depth (ordered-subsequence march over `steps`);
+    * when the gap closes a session, its reached depth is emitted — one row
+    * per CLOSED session (open sessions hold their state; add an idle
+    * timeout upstream if lingering users must flush). Aggregate the sink
+    * by depth for the live conversion card. State per user is two
+    * numbers, bounded regardless of stream length.
+    */
+  def funnelStream(events: Dataset[Event], gapMinutes: Int,
+                   steps: Seq[String]): Dataset[SessionDepth] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, SessionDepth](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, batch, state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(FunnelState(Long.MinValue, 0))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionDepth]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (s.lastSec != Long.MinValue && sec - s.lastSec > gapSec) {
+              closed += SessionDepth(user, s.depth)
+              s = FunnelState(sec, 0)
+            }
+            val d = s.depth
+            val nd = if (d < steps.length && e.event_type == steps(d)) d + 1 else d
+            s = FunnelState(sec, nd)
+          }
+          state.update(s)
+          closed.iterator
+      }
+  }
+
   // ---- streaming windowed n-gram top-k (the flagship `topk`, incremental) --
 
   case class TopkKey(ws: Long, salt: Int)
