@@ -220,6 +220,21 @@ object Pipeline {
       .toDF("metric", "value")
   }
 
+  /** Dolma-style attribute workflow: analyses write ATTRIBUTE frames
+    * (`(id, flag/score/label ...)`) instead of mutating the corpus; this
+    * joins any number of them back by id and applies a keep predicate over
+    * the attribute columns — so expensive per-doc analyses run ONCE, are
+    * audit-queryable on their own, and the corpus text moves only in this
+    * final materialization pass. Attributes are distinct-keyed id frames,
+    * orders of magnitude narrower than the corpus; AQE broadcasts small
+    * ones and shuffle-joins the rest on the id. Missing ids join as nulls —
+    * write the predicate null-safely (`coalesce(col("keep"), lit(false))`).
+    */
+  def applyAttributes(docs: DataFrame, idCol: String,
+                      attributes: Seq[DataFrame], keep: Column): DataFrame =
+    attributes.foldLeft(docs)((d, a) => d.join(a, Seq(idCol), "left"))
+      .where(keep)
+
   /** Per-domain report card — [[corpusReport]]'s metrics FACETED by host
     * (or source, or any grouping column): doc/token counts, mean length,
     * unique-text count and exact-duplicate fraction within the domain. The

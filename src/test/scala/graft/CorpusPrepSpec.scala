@@ -487,6 +487,16 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(!out.keySet.exists(_._1 == 5L))
   }
 
+  test("applyAttributes joins attribute frames and filters null-safely") {
+    val docs = Seq((1L, "good long text"), (2L, "bad"), (3L, "orphan")).toDF("id", "text")
+    val gate = Seq((1L, true), (2L, false)).toDF("id", "keep") // 3 missing
+    val score = Seq((1L, 0.9), (2L, 0.8), (3L, 0.2)).toDF("id", "q")
+    val out = graft.Pipeline.applyAttributes(docs, "id", Seq(gate, score),
+        coalesce(col("keep"), lit(false)) && col("q") > 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L)) // 2 fails the gate, 3 has no gate row
+  }
+
   test("topKPerGroup ranks within each group independently") {
     val df = Seq(
       (1L, "g1", "a b a b a b"), // g1: "a b" x3, "b a" x2
