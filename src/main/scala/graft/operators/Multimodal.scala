@@ -113,4 +113,28 @@ object Multimodal {
     transform(
       sequence(lit(0), greatest(floor((octet_length(data) - 1) / n).cast("int"), lit(0))),
       i => substring(data, (i * n + 1).cast("int"), lit(n)))
+
+  // ---- media dedup ladder (the LAION-style pipeline: exact payload hash,
+  // then feature-space near-dup over the decoded embeddings) ----
+
+  /** Exact payload duplicate stats: md5 over the raw bytes — byte-identical
+    * re-crawls and mirrored assets. Same partial-agg shape as text J1/A11.
+    */
+  def mediaDuplicateStats(media: DataFrame): DataFrame =
+    Dedup.duplicateStats(media, md5(col("data")))
+
+  /** Keep-first over exact payload duplicates (order: media_id). */
+  def mediaKeepFirst(media: DataFrame): DataFrame =
+    Dedup.keepFirst(media, md5(col("data")), Seq(col("media_id")))
+
+  /** Feature-space near-duplicates: decode (stub) → embedding → pairwise
+    * cosine ≥ threshold via [[Similarity.cosineNearDuplicates]] — catches
+    * re-encodes and resizes that byte hashing cannot. With a real decoder
+    * the embedding column is the only thing that changes; at billion-asset
+    * scale compose with IVF bucketing exactly like text SemDeDup.
+    */
+  def mediaNearDuplicates(media: DataFrame, threshold: Double): DataFrame =
+    Similarity.cosineNearDuplicates(
+      extractFeatures(media).select(col("media_id"), col("feature")),
+      "media_id", "feature", threshold)
 }

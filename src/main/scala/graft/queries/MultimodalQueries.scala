@@ -19,6 +19,15 @@ object MultimodalQueries extends QueryPack {
           max(octet_length(col("data"))).cast("long").as("max_bytes"))
     }),
 
+    // exact media dedup: payloads collide on the 12-token text prefix
+    // (byte-identical re-crawls); same duplicate-stats contract as a11
+    "m_media_dup" -> ((s, dir) => {
+      val prefix = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+      val media = Multimodal.fromText(
+        Tables(s, dir, "documents").withColumn("text", prefix), "doc_id", "text")
+      Multimodal.mediaDuplicateStats(media)
+    }),
+
     // stub decoder is deterministic, so the mapPartitions pipeline's
     // observable outputs (format sniff, byte length, feature arity) are
     // value-checked; the oracle derives format independently from the text
@@ -32,6 +41,16 @@ object MultimodalQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "m_media_dup" ->
+      """WITH p AS (SELECT md5(array_to_string(
+        |  list_slice(string_split(text, ' '), 1, 12), ' ')) AS h FROM documents),
+        |hc AS (SELECT h, count(*) AS c FROM p GROUP BY 1)
+        |SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS duplicates,
+        | CAST(sum(c) AS BIGINT) AS total,
+        | count(CASE WHEN c > 1 THEN 1 END) AS uniq_duplicates,
+        | count(*) AS uniq_total
+        |FROM hc""".stripMargin,
+
     "m_binary_meta" ->
       """SELECT 'text/plain' AS media_type, count(*) AS n_media,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

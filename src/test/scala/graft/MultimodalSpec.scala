@@ -40,6 +40,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2))
   }
 
+  test("media dedup ladder: exact payload hash + feature-space near-dup") {
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((1L, "aaaa bbbb"), (2L, "aaaa bbbb"), (3L, "zzzz")).toDF("id", "text"),
+      "id", "text")
+    val stats = Multimodal.mediaDuplicateStats(media).head()
+    assert(stats.getLong(0) === 2L && stats.getLong(1) === 3L) // 2 dup of 3
+    assert(Multimodal.mediaKeepFirst(media).select("media_id")
+      .as[Long].collect().toSet === Set(1L, 3L))
+    // identical payloads have identical stub embeddings (cos 1); the
+    // disjoint-byte payload shares no histogram mass with them
+    val pairs = Multimodal.mediaNearDuplicates(media, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("resize plan preserves aspect, never upscales, passes 0x0 through") {
     import spark.implicits._
     val dims = Seq((1L, 1600, 800), (2L, 100, 50), (3L, 0, 0), (4L, 200, 800))
