@@ -149,6 +149,21 @@ object Cli {
           flagAll("--bench").map(p => p: String))
         deliver(operators.Dedup.decontaminate(
           docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
+      // the "what's in my big data" report card (counts, size, dup rate,
+      // language mix) — the paper's per-corpus table from the CLI
+      case "report" =>
+        deliver(Pipeline.corpusReport(docs, "text"), ranked = false)
+      // per-domain triage card over `.url` (with `.metadata.url` fallback)
+      case "domains" =>
+        deliver(Pipeline.domainReport(
+          docs.withColumn("__host", parse_url(Corpus.effectiveUrl, lit("HOST"))),
+          col("__host"), "text").orderBy(desc("n_docs")), ranked = false)
+      // concordance: hits of --phrase in context (--context chars per side)
+      case "grep" =>
+        deliver(SearchOps.concordance(
+          Corpus.withFileLineId(docs, "__id"), "__id", "text",
+          flag("--phrase").getOrElse(sys.error("grep needs --phrase")),
+          intFlag("--context", 30)), ranked = false)
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()

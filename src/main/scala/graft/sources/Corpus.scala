@@ -91,11 +91,22 @@ object Corpus {
 
   /** Synthesize the stable doc id the ES indexer builds: `{file}-{line}`
     * (reference wimbd/indexing/index_json_files.py:55-60).
+    *
+    * DataFrame-level (not a bare Column) because `input_file_name()` is
+    * only defined in the SCAN stage: the per-file row_number needs a
+    * window shuffle, and a filename expression evaluated in the
+    * post-shuffle projection silently returns '' — the filename must be
+    * captured as a column before the exchange.
     */
-  def fileLineId: Column =
-    concat(regexp_extract(input_file_name(), "([^/]+)$", 1), lit("-"),
-      (row_number().over(Window.partitionBy(input_file_name())
-        .orderBy(monotonically_increasing_id())) - 1).cast("string"))
+  def withFileLineId(df: DataFrame, idCol: String = "id"): DataFrame = {
+    val staged = df.withColumn("__cfile", input_file_name())
+      .withColumn("__cline", monotonically_increasing_id())
+    staged.withColumn(idCol,
+        concat(regexp_extract(col("__cfile"), "([^/]+)$", 1), lit("-"),
+          (row_number().over(Window.partitionBy(col("__cfile"))
+            .orderBy(col("__cline"))) - 1).cast("string")))
+      .drop("__cfile", "__cline")
+  }
 
   /** S9's replacement at Spark scale: persist a corpus as a BUCKETED,
     * sorted Parquet table — the "index tier" the reference delegates to

@@ -32,8 +32,7 @@ object PipelineDemo {
     def stage(name: String, n: Long): Unit = println(f"PIPELINE $name%-28s $n%8d docs")
 
     // 1. ingest with the canonical schema + a stable doc id
-    val raw = Corpus.readJsonl(spark, Seq(in))
-      .withColumn("doc_id", Corpus.fileLineId)
+    val raw = Corpus.withFileLineId(Corpus.readJsonl(spark, Seq(in)), "doc_id")
       .where(col("text").isNotNull)
     stage("ingested", raw.count())
 

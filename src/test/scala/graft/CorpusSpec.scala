@@ -49,6 +49,17 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("withFileLineId builds {file}-{line} ids — filename survives the window shuffle") {
+    val ids = Corpus.withFileLineId(
+        Corpus.readJsonl(spark, Seq(dir.toString + "/*.json.gz")), "id")
+      .select("id").collect().map(_.getString(0)).toSet
+    // a bare input_file_name() in the post-window projection silently
+    // evaluates to '' (the bug this test pins): every id must carry a file
+    assert(ids.forall(_.matches("[ab]\\.json\\.gz-\\d+")), ids.take(5))
+    assert(ids.count(_.startsWith("a.json.gz-")) === 10)
+    assert(ids.contains("b.json.gz-0") && ids.contains("b.json.gz-4"))
+  }
+
   test("effectiveUrl falls back to metadata.url") {
     val df = Corpus.readJsonl(spark, Seq(s"$dir/*.json.gz"))
       .select(Corpus.effectiveUrl.as("u")).where(col("u").isNotNull)
