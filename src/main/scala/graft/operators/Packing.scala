@@ -124,6 +124,31 @@ object Packing {
       .write.partitionBy("shard").format(format).mode("errorifexists")
       .save(outDir)
 
+  /** Overlapping token windows per document — the embedding/RAG chunking
+    * shape (window of `size` tokens every `stride`; stride < size gives
+    * the overlap that keeps context at window seams). Final partial
+    * window kept iff it adds unseen tokens. Pure scan projection +
+    * explode: no shuffle; per-doc output is ceil((n - size)/stride) + 1
+    * rows. Contrast [[graft.operators.Dedup.tokenBlocks]] (non-overlap,
+    * dedup units) and [[packChunks]] (cross-doc concat for training).
+    */
+  def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+                     size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (stride > size would drop tokens)")
+    val toks = split(col(textCol), " ")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // window starts: 0, stride, 2·stride, … while start + size < n + stride
+    val nWin = when(n <= size, lit(1))
+      .otherwise(ceil((n - size).cast("double") / stride).cast("int") + 1)
+    val wins = transform(sequence(lit(0), nWin - 1), i =>
+      struct((i * stride).cast("long").as("start"),
+        concat_ws(" ", slice(toks, i * stride + 1, lit(size))).as("chunk")))
+    df.where(n > 0)
+      .select(col(idCol).as("id"), explode(wins).as("w"))
+      .select(col("id"), col("w.start").as("start"), col("w.chunk").as("chunk"))
+  }
+
   /** Doc-per-sequence accounting (pad-or-truncate to `seqLen`), grouped by
     * `groupCol`: how many tokens survive, how many pad slots are wasted,
     * how many docs get cut — the utilization numbers that motivate packing

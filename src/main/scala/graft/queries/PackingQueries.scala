@@ -46,10 +46,28 @@ object PackingQueries extends QueryPack {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-        .orderBy("shard"))
+        .orderBy("shard")),
+
+    // overlapping token windows (embedding/RAG chunking): 12-token windows
+    // every 6 tokens
+    "s17_sliding_windows" -> ((s, dir) =>
+      Packing.slidingWindows(Tables(s, dir, "documents"), "doc_id", "text",
+        size = 12, stride = 6).orderBy("id", "start"))
   )
 
   override val oracles = Map(
+    "s17_sliding_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |w AS (SELECT doc_id, unnest(list_transform(generate_series(0,
+        |   CASE WHEN n <= 12 THEN 0
+        |    ELSE CAST(ceil(CAST(n - 12 AS DOUBLE) / 6) AS INT) END),
+        |  i -> {'start': CAST(i * 6 AS BIGINT),
+        |        'chunk': array_to_string(list_slice(t, i * 6 + 1, i * 6 + 12), ' ')})) AS s
+        | FROM t WHERE n > 0)
+        |SELECT doc_id AS id, s['start'] AS start, s['chunk'] AS chunk FROM w
+        |ORDER BY id, start""".stripMargin,
+
     "s12_pack_chunks" ->
       s"""WITH ${offsetsSql("doc_id")}
          |SELECT doc_id, n_tokens, start_offset,

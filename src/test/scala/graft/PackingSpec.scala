@@ -107,4 +107,19 @@ class PackingSpec extends SparkTestBase {
         (total - truncTok).toDouble / (nDocs * l)) < 1e-6)
     }
   }
+
+  test("slidingWindows: full coverage, stride overlap, short docs one window") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")), (2L, "a b c"))
+      .toDF("id", "text")
+    val out = Packing.slidingWindows(df, "id", "text", size = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq === Seq(0L, 4L, 8L, 12L)) // ceil(12/4)+1 windows
+    assert(d1.head._3 === (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(d1.last._3 === (13 to 20).map(i => s"t$i").mkString(" ")) // tail covered
+    // consecutive windows share exactly size - stride tokens at the seam
+    assert(d1(0)._3.split(" ").drop(4).toSeq === d1(1)._3.split(" ").take(4).toSeq)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b c"))) // short doc
+  }
 }
