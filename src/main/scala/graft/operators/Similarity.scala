@@ -99,12 +99,14 @@ object Similarity {
     */
   def semanticNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, step: Int,
-                             tables: Int = 1): DataFrame =
+                             tables: Int = 1): DataFrame = {
+    require(tables >= 1, "need at least one LSH/IVF table")
     (0 until tables).map { r =>
       pairsFromAssigned(
         ivfAssign(df, idCol, vecCol, step, offset = r).localCheckpoint(true),
         idCol, threshold)
     }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+  }
 
   private def pairsFromAssigned(assigned: DataFrame, idCol: String,
                                 threshold: Double): DataFrame = {
@@ -125,6 +127,7 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, step: Int, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "need at least one LSH/IVF table")
     val pairs = (0 until tables).map { r =>
       val assigned = ivfAssign(df, idCol, vecCol, step, offset = r)
         .localCheckpoint(true)

@@ -33,6 +33,10 @@ object Searcher {
   private def combined(text: Column, phrases: Seq[String], allPhrases: Boolean,
                        slop: Int, isRegexp: Boolean, uax29: Boolean,
                        luceneSlop: Boolean = false): Column = {
+    // explicit: an empty phrase list would otherwise die inside reduce()
+    // with an unhelpful UnsupportedOperationException (the dropParams=Nil
+    // bug shape from round 3, pre-empted here)
+    require(phrases.nonEmpty, "need at least one phrase")
     val preds = phrases.map { p =>
       if (isRegexp) text.rlike("(?i)" + p) // ES regexp mode is case-insensitive (:108-117)
       else phrasePredicate(text, p, slop, uax29, luceneSlop)
