@@ -51,7 +51,8 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
