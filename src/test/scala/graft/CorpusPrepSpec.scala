@@ -497,6 +497,22 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out === Set(1L)) // 2 fails the gate, 3 has no gate row
   }
 
+  test("concordance occurrence count equals regexp_count (both non-overlapping)") {
+    val rng = new scala.util.Random(7)
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(rng.nextInt(12))(Seq("ab", "ab ab", "x", "")(rng.nextInt(4)))
+        .mkString(" "))
+    }.toDF("id", "text")
+    val occ = graft.operators.SearchOps.concordance(docs, "id", "text", "ab ab", 5)
+      .groupBy("id").count()
+    val expected = docs.select(col("id"),
+        regexp_count(col("text"), lit(java.util.regex.Pattern.quote("ab ab"))).as("n"))
+      .where(col("n") > 0)
+    val got = occ.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = expected.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got === want)
+  }
+
   test("topKPerGroup ranks within each group independently") {
     val df = Seq(
       (1L, "g1", "a b a b a b"), // g1: "a b" x3, "b a" x2
