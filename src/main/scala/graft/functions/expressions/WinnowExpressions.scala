@@ -107,3 +107,88 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   protected override def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
+
+/** The PORTABLE winnow formulation as a kernel: per k-shingle hash =
+  * first 8 hex chars of md5 (what the DuckDB oracle replays), w-window
+  * lexicographic minima, distinct in first-occurrence order — bit-identical
+  * to the `transform(ngrams(...), md5-substring)` + `array_min(slice)`
+  * column cascade it replaces (which evaluated an interpreted md5 chain
+  * per shingle; same lesson as the DSIR kernel, measured ~3× on the
+  * winnow queries). Returns an EMPTY array when no full window exists,
+  * matching the column form's `otherwise(array())`.
+  */
+case class WinnowMd5Fingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, s"k=$k and w=$w must be ≥ 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_md5 needs array<string> tokens, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow_md5"
+
+  def fps(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val nSh = n - k + 1
+    val nWin = nSh - w + 1
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    val d = WinnowMd5Fingerprints.md5.get()
+    val space = Array[Byte](' ')
+    val hex = new Array[String](nSh)
+    var i = 0
+    while (i < nSh) {
+      var j = 0
+      while (j < k) {
+        if (j > 0) d.update(space)
+        d.update(tokens.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val h = d.digest() // resets for the next shingle
+      val sb = new java.lang.StringBuilder(8)
+      var b = 0
+      while (b < 4) {
+        val v = h(b) & 0xff
+        sb.append(Character.forDigit(v >> 4, 16)).append(Character.forDigit(v & 0xf, 16))
+        b += 1
+      }
+      hex(i) = sb.toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i < nWin) {
+      var m = hex(i)
+      var j = 1
+      while (j < w) { if (hex(i + j).compareTo(m) < 0) m = hex(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(tokens: Any): Any =
+    fps(tokens.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowMd5", this, classOf[WinnowMd5Fingerprints].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.fps($c)")
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): WinnowMd5Fingerprints =
+    copy(child = newChild)
+}
+
+object WinnowMd5Fingerprints {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+}

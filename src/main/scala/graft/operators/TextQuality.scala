@@ -247,10 +247,19 @@ object TextQuality {
     winnowFingerprintFrame(df, idCol, textCol, k, w)
 
   private def winnowFingerprintFrame(df: DataFrame, idCol: String,
-                                     textCol: String, k: Int, w: Int): DataFrame =
+                                     textCol: String, k: Int, w: Int): DataFrame = {
+    // the md5 shingle cascade runs as a JVM kernel (one thread-local
+    // digest, no interpreted per-shingle md5 chain — the DSIR lesson);
+    // [[winnowFingerprintArray]] remains the executable column spec the
+    // kernel is parity-tested against. coalesce: the kernel is null for
+    // null text, the column form yields an empty array there.
+    val kernel = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.WinnowMd5Fingerprints(
+        org.apache.spark.sql.graft.Bridge.expression(split(col(textCol), " ")), k, w))
     graft.Par.fanOut(df)
-      .select(col(idCol).as("id"), winnowShingleHashes(col(textCol), k).as("__hs"))
-      .select(col("id"), winnowMinsFromHashes(col("__hs"), w).as("fps"))
+      .select(col(idCol).as("id"),
+        coalesce(kernel, array().cast("array<string>")).as("fps"))
+  }
 
   def winnowFingerprintCounts(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, w: Int = 4): DataFrame =

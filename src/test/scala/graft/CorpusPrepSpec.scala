@@ -400,6 +400,23 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out(4L).isNullAt(2) && out(4L).isNullAt(3)) // null text → null signal
   }
 
+  test("winnow md5 kernel matches the portable column cascade bit-for-bit") {
+    val rng = new scala.util.Random(11)
+    val texts = Seq("", "a", "a b c", "a b c d e f",
+      "x y x y x y x y", "héllo wörld a b c d é f g") ++
+      (1 to 40).map(_ => Seq.fill(rng.nextInt(15))(s"w${rng.nextInt(6)}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val spec = df.select(col("id"),
+        TextQuality.winnowFingerprintArray(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val kernel = TextQuality.winnowFingerprintFrameProbe(df, "id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // full value-and-order parity: the pair queries join on these values
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong) === spec(i.toLong), s"doc $i: '${texts(i)}'")
+    }
+  }
+
   test("DSIR JVM kernel matches the portable md5-column formulation bit-for-bit") {
     val docs = Seq("the cat sat", "a", "", "x y z w v u t s",
       "héllo wörld ünïcode café café").toDF("text")
