@@ -186,18 +186,39 @@ object NgramOps {
     * permutations (equal counts swap equal y values between x positions),
     * so the fit is deterministic.
     *
-    * Scale shape: one hash-aggregate for counts; the rank window runs over
-    * the VOCABULARY (Zipf-bounded, orders of magnitude below corpus size) —
-    * cap with `topV` when even the vocab is huge (rank is a global
-    * row_number, so the window sorts vocab-sized data).
+    * Scale shape: one hash-aggregate for counts; rank is then a DISTRIBUTED
+    * row_number — range-partition the vocab on the sort key, per-bucket
+    * local row_number, tiny triangular self-join of the `buckets`-row
+    * totals frame for the bucket offsets (the Packing.tokenOffsets
+    * two-phase prefix-sum pattern, minus its global window). A plain
+    * `row_number().over(Window.orderBy(...))` funnels the whole vocabulary
+    * (1e8–1e9 rows at 100 TB) through ONE task; nothing here does —
+    * PlanPropertySpec asserts no empty-partitionSpec window in the plan.
+    * Range boundaries only balance the buckets, so the result is
+    * bucket-count invariant.
     */
   def zipfStats(docs: DataFrame, textCol: String, topV: Int = 0,
-                uax29: Boolean = false): DataFrame = {
+                uax29: Boolean = false, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs.select(explode(tokens(col(textCol), uax29)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val ranked0 = counts.withColumn("r",
-      row_number().over(Window.orderBy(desc("c"), asc("w"))))
+    // persisted: the offsets branch reads this frame too, and exchange
+    // reuse does not fire across differently-projected branches — without
+    // an anchor the corpus explode + agg would run twice
+    val local = counts.repartitionByRange(buckets, col("c").desc, col("w").asc)
+      .withColumn("b", spark_partition_id())
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("b").orderBy(col("c").desc, col("w").asc)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bucket offsets: buckets² ≤ ~10³ comparison rows — a left self-join
+    // beats a global window (no single-partition sort anywhere in the plan)
+    val totals = local.groupBy("b").agg(count(lit(1)).as("bn"))
+    val offsets = totals.as("x")
+      .join(totals.as("y"), col("y.b") < col("x.b"), "left")
+      .groupBy(col("x.b")).agg(coalesce(sum(col("y.bn")), lit(0L)).as("boff"))
+      .select(col("b"), col("boff"))
+    val ranked0 = local.join(broadcast(offsets), "b")
+      .select(col("w"), col("c"), (col("boff") + col("lr")).as("r"))
     val ranked = if (topV > 0) ranked0.where(col("r") <= topV) else ranked0
     ranked.select(log(col("r").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
@@ -263,13 +284,15 @@ object NgramOps {
     */
   def statsExtremes(docs: DataFrame, textCol: String, idCol: String,
                     uax29: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = docs.select(col(idCol), size(tokens(col(textCol), uax29)).as("toks"))
-    val rmax = rank().over(Window.orderBy(desc("toks")))
-    val rmin = rank().over(Window.orderBy(asc("toks")))
-    t.select(col(idCol), col("toks"), rmax.as("rmax"), rmin.as("rmin"))
-      .where(col("rmax") === 1 || col("rmin") === 1)
+    // agg the two scalars, broadcast them back, filter — ties kept for
+    // free. The rank-window formulation this replaces funneled the whole
+    // corpus-cardinality (id, toks) frame through ONE task, twice; this
+    // is two scans (map-side-combined agg + filter) and no global sort.
+    val ext = t.agg(max("toks").as("__mx"), min("toks").as("__mn"))
+    t.crossJoin(broadcast(ext))
+      .where(col("toks") === col("__mx") || col("toks") === col("__mn"))
       .select(col(idCol), col("toks"),
-        when(col("rmax") === 1, lit("max")).otherwise(lit("min")).as("kind"))
+        when(col("toks") === col("__mx"), lit("max")).otherwise(lit("min")).as("kind"))
   }
 }

@@ -216,6 +216,23 @@ class PlanPropertySpec extends SparkTestBase {
     assert(shuffles(s) === 0, p)
   }
 
+  test("statsExtremes and zipfStats have no single-partition window (global rank trap)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def globalWindows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+    // extremes: agg + broadcast-filter, no window at all
+    val ext = NgramOps.statsExtremes(docs, "text", "doc_id", uax29 = false)
+    assert(globalWindows(ext).isEmpty, plan(ext))
+    // zipf: rank via range-partition + per-bucket window + offset join —
+    // every window in the plan must carry a partitionSpec
+    val z = NgramOps.zipfStats(docs, "text")
+    assert(globalWindows(z).isEmpty, plan(z))
+    assert(plan(z).contains("Exchange rangepartitioning"), plan(z))
+  }
+
   test("vocabCoverage is a pure scan projection: zero shuffles, zero joins") {
     val v = graft.operators.TextQuality.vocabCoverage(docs, "doc_id", "text",
       Seq("the", "data"))
