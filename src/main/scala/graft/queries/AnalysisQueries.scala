@@ -62,6 +62,15 @@ object AnalysisQueries extends QueryPack {
       Tables(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("cnt"))
         .orderBy("lang")),
 
+    // P6 model path: Cavnar–Trenkle char-ngram classifier trained on the
+    // embedded seeds, scored as a zero-shuffle scan projection; output is
+    // the (label, prediction) confusion card. The oracle replays BOTH the
+    // training and the classification in SQL from the same seed strings.
+    "p6_lang_model" -> ((s, dir) =>
+      graft.operators.LangId.confusion(Tables(s, dir, "documents"), "text",
+        "lang", graft.operators.LangId.ctProfiles())
+        .orderBy("lang", "pred")),
+
     "p11_anomalous_lengths" -> ((s, dir) =>
       Analyses.anomalousLengths(Tables(s, dir, "documents"), "text", "doc_id", spikes)
         .orderBy("doc_id")),
@@ -228,6 +237,33 @@ object AnalysisQueries extends QueryPack {
 
     "p6_lang_counts" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1",
+
+    "p6_lang_model" -> {
+      val seedValues = graft.operators.LangId.seeds
+        .map { case (l, t) => s"('$l', ${DuckSql.lit(t)})" }.mkString(",\n  ")
+      val k = graft.functions.expressions.CtKernel.DefaultTopK
+      s"""WITH seeds(slang, seed) AS (VALUES
+         |  $seedValues),
+         |sg AS (${DuckSql.ctGrams("slang", "seed", "seeds")}),
+         |prof AS (SELECT * FROM (
+         |  SELECT slang, g, row_number() OVER (PARTITION BY slang ORDER BY count(*) DESC, g) AS r
+         |  FROM sg GROUP BY slang, g) WHERE r <= $k),
+         |dg AS (${DuckSql.ctGrams("doc_id", "text", "documents")}),
+         |dprof AS (SELECT * FROM (
+         |  SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS r
+         |  FROM dg GROUP BY doc_id, g) WHERE r <= $k),
+         |dist AS (SELECT dp.doc_id, l.slang AS cand,
+         |   sum(CASE WHEN p.r IS NULL THEN $k ELSE abs(dp.r - p.r) END) AS d
+         | FROM dprof dp CROSS JOIN (SELECT DISTINCT slang FROM seeds) l
+         | LEFT JOIN prof p ON p.slang = l.slang AND p.g = dp.g
+         | GROUP BY 1, 2),
+         |pred AS (SELECT doc_id, cand AS pred FROM (
+         |  SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY d, cand) AS rn
+         |  FROM dist) WHERE rn = 1)
+         |SELECT d.lang, coalesce(p.pred, 'un') AS pred, count(*) AS cnt
+         |FROM documents d LEFT JOIN pred p USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "p11_anomalous_lengths" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -11,4 +11,34 @@ object DuckSql {
     s"SELECT unnest(list_transform(generate_series(1, len(t) - ${n - 1}), " +
       s"i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' '))) AS $as " +
       s"FROM (SELECT string_split(text, ' ') AS t FROM $src)"
+
+  /** DuckDB string literal for arbitrary BMP text: printable-ASCII runs
+    * stay quoted, everything else becomes `chr(n)` — the mechanical end of
+    * the "unicode escapes Scala-side, chr(n) SQL-side" parity rule, so
+    * Scala string constants can be inlined into oracle SQL byte-exactly.
+    */
+  def lit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val run = new StringBuilder
+    def flush(): Unit =
+      if (run.nonEmpty) { parts += "'" + run.toString.replace("'", "''") + "'"; run.clear() }
+    s.foreach { c =>
+      if (c >= ' ' && c.toInt < 127) run += c
+      else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  /** Cavnar–Trenkle padded char n-gram stream (1..5-grams of `_word_`)
+    * over a (keyCol, textExpr) source — mirrors
+    * graft.functions.expressions.CtKernel.grams exactly: lowercase, split
+    * on non-letter runs, pad, all substrings of length 1..5.
+    */
+  def ctGrams(keyCol: String, textExpr: String, src: String): String =
+    s"""SELECT $keyCol, unnest(flatten(list_transform([1,2,3,4,5], n ->
+       |   list_transform(generate_series(1, length(pw) - n + 1), i -> substr(pw, i, n))))) AS g
+       | FROM (SELECT $keyCol, '_' || w || '_' AS pw FROM (
+       |   SELECT $keyCol, unnest(regexp_split_to_array(lower($textExpr), '[^\\p{L}]+')) AS w
+       |   FROM $src) WHERE w <> '')""".stripMargin
 }
