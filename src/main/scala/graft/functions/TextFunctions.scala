@@ -36,6 +36,29 @@ object TextFunctions {
         i => concat_ws(" ", slice(tokens, i, lit(n)))))
     .otherwise(array().cast("array<string>"))
 
+  /** Sentence segmentation, punkt-style: a boundary is a run of
+    * terminators `[.!?]` (plus optional closing quotes/brackets) followed
+    * by whitespace; the terminator stays with its sentence, the whitespace
+    * is consumed, blank segments drop. Decimal spans like `2.0` never
+    * split (no whitespace after the dot).
+    *
+    * Deliberately NOT `java.text.BreakIterator.getSentenceInstance`: the
+    * JDK grammar treats a lowercase continuation as the SAME sentence
+    * ("the cat runs. the dog sleeps" = one sentence — probed), which makes
+    * it useless on lowercased web corpora; the reference's sentencizer
+    * (TextBlob → NLTK punkt, wimbd/sentiment_coocurrence/map_count.py:17)
+    * does split there. Stock expressions only, so the plan is pure codegen
+    * and a SQL oracle can replay the rule byte-for-byte.
+    */
+  def sentenceSplit(c: Column): Column = {
+    // mark each boundary with a U+0001 separator (never in text), then
+    // split on it — RE2 has no lookbehind, so a SQL oracle replays this
+    // exact two-step with chr(1)
+    val sep = "\u0001"
+    filter(split(regexp_replace(c, "([.!?]+[\"')\\]]*)\\s+", "$1" + sep), sep),
+      s => length(s) > 0)
+  }
+
   /** Whitespace tokenizer (for corpora known to be single-space separated;
     * cheaper than UAX-29 and exactly reproducible in ANSI SQL oracles).
     */

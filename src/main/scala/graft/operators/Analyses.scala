@@ -103,6 +103,48 @@ object Analyses {
       .agg(round(avg("polarity"), 6).as("avg_polarity"), count(lit(1)).as("n_docs"))
   }
 
+  /** P9, reference shape (wimbd/sentiment_coocurrence/map_count.py:17-40):
+    * sentencize, score polarity PER SENTENCE, and accumulate by
+    * term-membership — for each query term, how many pos/neg/neu sentences
+    * mention it. Doc-granularity [[lexiconSentiment]] stays as the cheap
+    * aggregate; this is the co-occurrence card the reference actually
+    * produces (TextBlob polarity becomes a lexicon mean; punkt becomes
+    * [[graft.functions.TextFunctions.sentenceSplit]]).
+    *
+    * Scale shape: one scan; sentences explode ~10× rows but only the
+    * sentence string is carried, terms are an inlined literal array, and
+    * the lexicon is a codegen'd when-chain — the only shuffle is the final
+    * (term, label) partial agg.
+    */
+  def sentenceSentiment(df: DataFrame, textCol: String, terms: Seq[String],
+                        lexicon: Map[String, Double],
+                        posThr: Double = 0.05,
+                        negThr: Double = -0.05): DataFrame = {
+    val sents = df.select(
+      explode(graft.functions.TextFunctions.sentenceSplit(col(textCol))).as("sentence"))
+    val toks = filter(split(regexp_replace(col("sentence"), "[.!?]", ""), " "),
+      t => length(t) > 0)
+    def wordScore(t: Column): Column =
+      lexicon.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0.0))) {
+        case (acc, (w, s)) => acc.when(t === w, lit(s))
+      }.otherwise(lit(0.0))
+    val labeled = sents.withColumn("toks", toks)
+      .where(size(col("toks")) > 0)
+      .withColumn("polarity",
+        aggregate(col("toks"), lit(0.0), (acc, t) => acc + wordScore(t)) /
+          size(col("toks")))
+      .withColumn("label",
+        when(col("polarity") > posThr, lit("pos"))
+          .when(col("polarity") < negThr, lit("neg"))
+          .otherwise(lit("neu")))
+    labeled.select(col("label"), col("polarity"),
+        explode(filter(array(terms.sorted.map(lit): _*),
+          t => array_contains(col("toks"), t))).as("term"))
+      .groupBy("term", "label")
+      .agg(count(lit(1)).as("n_sentences"),
+        round(avg("polarity"), 6).as("avg_polarity"))
+  }
+
   /** P6-style language ID without a model: score = stopword hit-rate per
     * language profile, argmax wins, `un` when nothing clears `minHits`.
     * Pure column algebra (array_intersect against inlined profiles) so it

@@ -54,9 +54,33 @@ object AnalysisQueries extends QueryPack {
       Analyses.taxonomyLabels(Tables(s, dir, "documents"), "text", taxonomy)
         .orderBy("label")),
 
+    // P8 model path (rows-only, like t_quality_clf: L-BFGS weights are not
+    // SQL-expressible): LR on taxonomy weak labels, doc score + per-sentence
+    // max score side by side — ProfanityModelSpec pins the sentence-local
+    // flagging behavior the doc granularity cannot see
+    "p8_model" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "([^ ]+( [^ ]+){6}) ", "$1. ").as("text2"))
+      val m = graft.operators.ProfanityModel.fitOnTaxonomy(d, "doc_id", "text2", taxonomy)
+      graft.operators.ProfanityModel.scoreDocs(d, "doc_id", "text2", taxonomy, m)
+        .join(graft.operators.ProfanityModel.scoreSentences(d, "doc_id", "text2", taxonomy, m),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "p9_sentiment" -> ((s, dir) =>
       Analyses.lexiconSentiment(Tables(s, dir, "documents"), "text", "doc_id", "lang", lexicon)
         .orderBy("lang")),
+
+    // P9 reference shape: sentencize (sentence structure synthesized — the
+    // fixture has no punctuation — by closing every 7th token group), score
+    // polarity per SENTENCE, accumulate by term membership
+    "p9_sentence" -> ((s, dir) =>
+      Analyses.sentenceSentiment(
+        Tables(s, dir, "documents").select(
+          regexp_replace(col("text"), "([^ ]+( [^ ]+){6}) ", "$1. ").as("text2")),
+        "text2", Seq("spark", "data", "slow", "fast"), lexicon)
+        .orderBy("term", "label")),
 
     "p6_lang_counts" -> ((s, dir) =>
       Tables(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("cnt"))
@@ -237,6 +261,34 @@ object AnalysisQueries extends QueryPack {
 
     "p6_lang_counts" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1",
+
+    "p9_sentence" ->
+      """WITH lex(word, score) AS (SELECT * FROM (VALUES
+        |  ('fast', CAST(1.0 AS DOUBLE)), ('slow', CAST(-1.0 AS DOUBLE)),
+        |  ('big', CAST(0.5 AS DOUBLE)), ('small', CAST(-0.5 AS DOUBLE)),
+        |  ('dup', CAST(-0.8 AS DOUBLE)), ('spark', CAST(0.9 AS DOUBLE))) v(w, s)),
+        |u AS (SELECT doc_id, regexp_replace(text, '([^ ]+( [^ ]+){6}) ', '\1. ', 'g') AS text2
+        |      FROM documents),
+        |se AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ss)), i -> {'i': i, 's': ss[i]})) AS e
+        | FROM (SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(text2, '([.!?]+["'')\]]*)\s+', '\1' || chr(1), 'g'), chr(1)),
+        |    x -> x <> '') AS ss FROM u)),
+        |t2 AS (SELECT * FROM (
+        |  SELECT doc_id, e.i AS si, list_filter(string_split(
+        |    regexp_replace(e.s, '[.!?]', '', 'g'), ' '), x -> x <> '') AS toks FROM se)
+        | WHERE len(toks) > 0),
+        |tok AS (SELECT doc_id, si, unnest(toks) AS w FROM t2),
+        |pol AS (SELECT doc_id, si, coalesce(sum(score), 0.0) / count(*) AS polarity
+        |        FROM tok LEFT JOIN lex ON lex.word = tok.w GROUP BY 1, 2),
+        |lab AS (SELECT t2.doc_id, t2.si, t2.toks, pol.polarity,
+        |    CASE WHEN pol.polarity > 0.05 THEN 'pos'
+        |         WHEN pol.polarity < -0.05 THEN 'neg' ELSE 'neu' END AS label
+        |  FROM t2 JOIN pol USING (doc_id, si)),
+        |trm(term) AS (SELECT * FROM (VALUES ('data'), ('fast'), ('slow'), ('spark')) x(t)),
+        |hit AS (SELECT term, label, polarity FROM lab JOIN trm ON list_contains(lab.toks, trm.term))
+        |SELECT term, label, count(*) AS n_sentences, round(avg(polarity), 6) AS avg_polarity
+        |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p6_lang_model" -> {
       val seedValues = graft.operators.LangId.seeds
