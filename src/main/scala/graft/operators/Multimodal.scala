@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is a clearly-marked STUB — no media libraries ship in
-  * this container — but everything Spark-side is real and tested: the
-  * schema, the mapPartitions batch shape (what a Pandas-UDF/Arrow bridge
-  * would see), the partitioning, and the deterministic feature extraction
-  * used as the fake decoder output.
+  * The IMAGE decode is real: `javax.imageio` (JDK-bundled, no external
+  * dependency) turns PNG/JPEG/GIF/BMP payloads into exact dimensions and
+  * a 16-bin luma histogram over a bounded downsampled grid. Payloads
+  * imageio cannot decode — video/audio containers, text — fall back to a
+  * deterministic byte histogram with 0×0 dims, so the pipeline stays
+  * total on any corpus; video/audio decode would slot into the same
+  * mapPartitions/Arrow seam.
   */
 object Multimodal {
 
@@ -47,24 +49,85 @@ object Multimodal {
     def at(i: Int, v: Int): Boolean = bytes.length > i && (bytes(i) & 0xff) == v
     if (at(0, 0xff) && at(1, 0xd8)) "jpeg"
     else if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "png"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) "gif"
+    else if (at(0, 'B') && at(1, 'M')) "bmp"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F')) "riff-av"
     else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "mp4"
     else "unknown"
   }
 
-  /** STUB decoder: where a real pipeline would decode pixels/samples, this
-    * produces deterministic pseudo-dimensions and a normalized 16-bin byte
-    * histogram as the "embedding". Deterministic ⇒ testable end-to-end.
+  private val ImageFormats = Set("jpeg", "png", "gif", "bmp")
+
+  /** Decode a payload to (width, height, embedding). Image containers go
+    * through `javax.imageio`; anything else (or a corrupt image) takes the
+    * deterministic byte-histogram fallback with 0×0 dims.
     */
-  private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-    // ??? real decode goes here (e.g. javax.imageio / ffmpeg via Arrow batches)
-    val w = if (bytes.isEmpty) 0 else ((bytes(0) & 0xff) + 1) * 8
-    val h = if (bytes.length < 2) 0 else ((bytes(1) & 0xff) + 1) * 8
+  private def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    if (ImageFormats(sniffFormat(bytes))) {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img != null) return decodeImage(img)
+      } catch { case _: java.io.IOException => () }
+    }
+    byteHistogram(bytes)
+  }
+
+  /** Exact dims + 16-bin luma histogram sampled on a ≤64×64 grid — work
+    * per asset is bounded no matter how large the image is, and lossless
+    * formats make the embedding exactly reproducible.
+    */
+  private def decodeImage(img: java.awt.image.BufferedImage): (Int, Int, Array[Float]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Float](16)
+    val sx = math.max(1, w / 64)
+    val sy = math.max(1, h / 64)
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        hist(luma >> 4) += 1f
+        n += 1
+        x += sx
+      }
+      y += sy
+    }
+    val d = math.max(1, n).toFloat
+    (w, h, hist.map(_ / d))
+  }
+
+  /** Non-image fallback: normalized 16-bin byte histogram, 0×0 dims. */
+  private def byteHistogram(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val hist = new Array[Float](16)
     bytes.foreach(b => hist((b & 0xff) >> 4) += 1f)
     val n = math.max(1, bytes.length).toFloat
-    (w, h, hist.map(_ / n))
+    (0, 0, hist.map(_ / n))
   }
+
+  /** A real 8×5 RGB PNG (170 bytes, generated with ImageIO, also committed
+    * as fixtures/tiny_8x5.png) — lets queries and tests exercise the real
+    * decode path without any filesystem dependency.
+    */
+  val tinyPngFixture: Array[Byte] = Array(
+    0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x00, 0x00, 0x0d,
+    0x49, 0x48, 0x44, 0x52, 0x00, 0x00, 0x00, 0x08, 0x00, 0x00, 0x00, 0x05,
+    0x08, 0x02, 0x00, 0x00, 0x00, 0xf7, 0xf3, 0x3a, 0x02, 0x00, 0x00, 0x00,
+    0x71, 0x49, 0x44, 0x41, 0x54, 0x78, 0x5e, 0x05, 0xc1, 0x31, 0x15, 0xc0,
+    0x20, 0x0c, 0x05, 0xc0, 0xef, 0xa1, 0x06, 0x98, 0x30, 0x90, 0x89, 0x0d,
+    0x01, 0xf1, 0x00, 0x53, 0x04, 0x44, 0x01, 0x0b, 0x1e, 0xc8, 0xc6, 0x8e,
+    0x87, 0x3e, 0x04, 0x64, 0xa9, 0x83, 0x48, 0xe9, 0x1d, 0x00, 0x24, 0x3c,
+    0x15, 0xb9, 0xa3, 0x0c, 0xf0, 0x46, 0xbb, 0xd0, 0xc0, 0x04, 0xe8, 0x49,
+    0x94, 0x2b, 0x95, 0x4e, 0x3c, 0xa8, 0x6d, 0xd2, 0x4b, 0x33, 0x68, 0x01,
+    0x92, 0x93, 0x94, 0x2a, 0xdc, 0xa5, 0x0d, 0xd1, 0x2d, 0xf3, 0xca, 0x0a,
+    0x39, 0x80, 0x95, 0x64, 0x5c, 0xad, 0x75, 0xd3, 0x61, 0x73, 0xdb, 0xba,
+    0x76, 0xc2, 0x5e, 0xc0, 0x39, 0x79, 0xab, 0xae, 0xdd, 0xe7, 0xf0, 0xb5,
+    0xfd, 0x5c, 0x7f, 0xc3, 0xbf, 0x1f, 0x88, 0x28, 0x31, 0xc5, 0x20, 0x44,
+    0x0f, 0x9f, 0x00, 0x00, 0x00, 0x00, 0x49, 0x45, 0x4e, 0x44, 0xae, 0x42,
+    0x60, 0x82).map(_.toByte)
 
   /** Batch feature extraction over partitions — the exact shape an Arrow /
     * Pandas-UDF bridge consumes (an iterator of rows per partition; swap the
@@ -76,7 +139,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val (w, h, feat) = decodeStub(bytes)
+        val (w, h, feat) = decode(bytes)
         Row(id, sniffFormat(bytes), bytes.length.toLong, w, h, feat.toSeq)
       }
     }(enc)
@@ -127,10 +190,10 @@ object Multimodal {
   def mediaKeepFirst(media: DataFrame): DataFrame =
     Dedup.keepFirst(media, md5(col("data")), Seq(col("media_id")))
 
-  /** Feature-space near-duplicates: decode (stub) → embedding → pairwise
-    * cosine ≥ threshold via [[Similarity.cosineNearDuplicates]] — catches
-    * re-encodes and resizes that byte hashing cannot. With a real decoder
-    * the embedding column is the only thing that changes; at billion-asset
+  /** Feature-space near-duplicates: decode → luma-histogram embedding →
+    * pairwise cosine ≥ threshold via [[Similarity.cosineNearDuplicates]] —
+    * catches re-encodes and resizes that byte hashing cannot (the
+    * histogram is resolution-invariant by construction). At billion-asset
     * scale compose with IVF bucketing exactly like text SemDeDup.
     */
   def mediaNearDuplicates(media: DataFrame, threshold: Double): DataFrame =

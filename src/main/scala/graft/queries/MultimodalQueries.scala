@@ -28,16 +28,23 @@ object MultimodalQueries extends QueryPack {
       Multimodal.mediaDuplicateStats(media)
     }),
 
-    // stub decoder is deterministic, so the mapPartitions pipeline's
-    // observable outputs (format sniff, byte length, feature arity) are
-    // value-checked; the oracle derives format independently from the text
-    // prefix (jpeg/png magic bytes cannot begin valid text)
-    "m_media_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.fromText(Tables(s, dir, "documents"), "doc_id", "text"))
+    // the real imageio decode path rides along as an injected 8×5 PNG row
+    // (media_id −1): its exact dimensions are value-checked by the oracle;
+    // text payloads take the byte-histogram fallback (0×0 dims). format is
+    // derived independently by the oracle from the text prefix (image
+    // magic bytes cannot begin valid text).
+    "m_media_features" -> ((s, dir) => {
+      val textMedia = Multimodal.fromText(Tables(s, dir, "documents"), "doc_id", "text")
+      val png = s.range(1).select(lit(-1L).as("media_id"),
+        lit("image/png").as("media_type"),
+        lit(Multimodal.tinyPngFixture).as("data"),
+        map(lit("origin"), lit("fixture")).as("meta"))
+      Multimodal.extractFeatures(textMedia.unionByName(png))
         .select(col("media_id"), col("format"), col("n_bytes"),
+          col("width"), col("height"),
           size(col("feature")).cast("long").as("feature_dim"))
-        .orderBy("media_id"))
+        .orderBy("media_id")
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -60,10 +67,17 @@ object MultimodalQueries extends QueryPack {
     "m_media_features" ->
       """SELECT doc_id AS media_id,
         | (CASE WHEN substring(text, 1, 4) = 'RIFF' THEN 'riff-av'
+        |   WHEN substring(text, 1, 4) = 'GIF8' THEN 'gif'
+        |   WHEN substring(text, 1, 2) = 'BM' THEN 'bmp'
         |   WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4'
         |   ELSE 'unknown' END) AS format,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
         | CAST(16 AS BIGINT) AS feature_dim
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), 'png', CAST(170 AS BIGINT),
+        | CAST(8 AS INTEGER), CAST(5 AS INTEGER), CAST(16 AS BIGINT)
+        |ORDER BY media_id""".stripMargin
   )
 }

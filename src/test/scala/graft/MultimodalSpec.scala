@@ -15,7 +15,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(media.schema.fieldNames.toSeq === Multimodal.mediaSchema.fieldNames.toSeq)
   }
 
-  test("feature extraction: deterministic stub features with real batch shape") {
+  test("feature extraction: deterministic fallback features with real batch shape") {
     val f = Multimodal.extractFeatures(media).collect().map(r => r.getAs[Long]("media_id") -> r).toMap
     assert(f(1L).getAs[Long]("n_bytes") === 11L)
     assert(f(2L).getAs[Long]("n_bytes") === 0L)
@@ -31,7 +31,53 @@ class MultimodalSpec extends SparkTestBase {
   test("format sniffing recognizes magic bytes") {
     assert(Multimodal.sniffFormat(Array(0xff.toByte, 0xd8.toByte, 0x00)) === "jpeg")
     assert(Multimodal.sniffFormat(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) === "png")
+    assert(Multimodal.sniffFormat("GIF89a".getBytes) === "gif")
+    assert(Multimodal.sniffFormat("BM1234".getBytes) === "bmp")
     assert(Multimodal.sniffFormat("hello".getBytes) === "unknown")
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** left half black, right half white — block pattern so every render
+    * resolution yields the identical luma histogram
+    */
+  private def flagImage(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    pngBytes(img)
+  }
+
+  test("real imageio decode: exact dims + normalized luma histogram") {
+    import spark.implicits._
+    val media = Seq((1L, Multimodal.tinyPngFixture), (2L, flagImage(8, 4)))
+      .toDF("media_id", "data")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getString(1) === "png")
+    assert(f(1L).getInt(3) === 8 && f(1L).getInt(4) === 5)
+    val feat1 = f(1L).getSeq[Float](5)
+    assert(feat1.length === 16 && math.abs(feat1.sum - 1.0f) < 1e-5)
+    // the flag image: half the mass in luma bucket 0, half in bucket 15
+    val feat2 = f(2L).getSeq[Float](5)
+    assert(feat2(0) === 0.5f && feat2(15) === 0.5f)
+  }
+
+  test("near-dup catches the same image re-rendered at another resolution") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image/png", flagImage(8, 4), Map.empty[String, String]),
+      (2L, "image/png", flagImage(64, 32), Map.empty[String, String]),
+      (3L, "text/plain", "zzzz zzzz".getBytes("UTF-8"), Map.empty[String, String]))
+      .toDF("media_id", "media_type", "data", "meta")
+    val pairs = Multimodal.mediaNearDuplicates(media, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
   }
 
   test("frame sampling chunks the payload and keeps every nth") {
