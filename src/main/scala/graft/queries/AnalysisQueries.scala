@@ -262,6 +262,11 @@ object AnalysisQueries extends QueryPack {
     "p6_lang_counts" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1",
 
+    // L-BFGS weights are not SQL-expressible; the expected output is a
+    // committed golden fixture (bit-deterministic across runs — see
+    // DuckSql.golden)
+    "p8_model" -> DuckSql.golden("p8_model"),
+
     "p9_sentence" ->
       """WITH lex(word, score) AS (SELECT * FROM (VALUES
         |  ('fast', CAST(1.0 AS DOUBLE)), ('slow', CAST(-1.0 AS DOUBLE)),

@@ -359,6 +359,13 @@ object DedupScaleQueries extends QueryPack {
     "t_repetition" -> repetitionSql,
     "t_gopher_filter" -> gopherSql,
 
+    // DuckDB cannot express these three (iterative BPE merges, an L-BFGS
+    // fit, DEFLATE) — their kernels are golden-tested in ScalaTest and the
+    // expected outputs are committed parquet fixtures (see DuckSql.golden)
+    "t_bpe_real" -> DuckSql.golden("t_bpe_real"),
+    "t_quality_clf" -> DuckSql.golden("t_quality_clf"),
+    "t_compress_ratio" -> DuckSql.golden("t_compress_ratio"),
+
     "t_c4_clean" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN text || '.' ELSE text END AS text FROM documents),

@@ -30,6 +30,20 @@ object DuckSql {
     if (parts.isEmpty) "''" else parts.mkString(" || ")
   }
 
+  /** Golden-fixture oracle for queries DuckDB cannot express (iterative
+    * BPE merges, L-BFGS fits, DEFLATE): the expected output — produced by
+    * the golden-tested kernels and pinned bit-deterministic across JVM
+    * runs — is committed as parquet under fixtures/golden, keyed by the
+    * md5 of the documents table so each scale factor self-selects its
+    * fixture and a regenerated corpus can never silently match a stale
+    * one. Turns the rows-only checks into full value checks.
+    */
+  def golden(name: String): String =
+    s"""SELECT * EXCLUDE (filename)
+       |FROM read_parquet('/root/repo/fixtures/golden/${name}_*.parquet', filename=true)
+       |WHERE filename LIKE '%' ||
+       |  (SELECT md5(string_agg(text, '|' ORDER BY doc_id)) FROM documents) || '%'""".stripMargin
+
   /** Cavnar–Trenkle padded char n-gram stream (1..5-grams of `_word_`)
     * over a (keyCol, textExpr) source — mirrors
     * graft.functions.expressions.CtKernel.grams exactly: lowercase, split
