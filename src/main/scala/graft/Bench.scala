@@ -63,14 +63,22 @@ object Bench {
     // the box is multi-tenant: a host-side stall window lands on whichever
     // contiguous queries happen to run through it (measured: 0.2s-steady
     // queries spiking 10-20x at a different alphabetical position each
-    // run). Re-measure the outliers once and keep the min — removing
-    // interference, not cherry-picking: steady-state repeatability per
-    // query is pinned separately by tools.QueryProbe
+    // run). Re-measure the outliers once and keep the min — and emit BOTH
+    // measurements under "remeasured" so the interference removal is
+    // auditable rather than silent (a probabilistic regression shows up as
+    // a persistently slow second sample there; tools.QueryProbe is the
+    // arbiter for any suspect query)
     val retried = firstPass.map { case (name, t1) =>
-      if (t1 <= 0.8) name -> t1
-      else name -> math.min(t1, timeOne(SparkEntry.queries(name)))
+      if (t1 <= 0.8) (name, t1, None)
+      else {
+        val t2 = timeOne(SparkEntry.queries(name))
+        (name, math.min(t1, t2), Some((t1, t2)))
+      }
     }
-    val results = retried
+    val results = retried.map { case (n, t, _) => n -> t }
+    val remeasured = retried
+      .collect { case (n, _, Some((a, b))) => s"\"$n\":[$a,$b]" }
+      .mkString("{", ",", "}")
     val resultMap = results.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -84,7 +92,7 @@ object Bench {
       "dedup_rows_per_sec" -> resultMap.get("j2_keep_first").map(nDocs / _),
       "phrase_count_sec" -> resultMap.get("a9_count_phrases"))
       .collect { case (k, Some(v)) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"remeasured":$remeasured,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

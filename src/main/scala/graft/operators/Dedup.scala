@@ -594,6 +594,14 @@ object Dedup {
     * the state as-read, not as-extended: appending first would make the
     * lazy plan drop every survivor against its own just-written hash), then
     * extend the state with the survivors' keys. Returns the survivors.
+    *
+    * Failure semantics: AT-MOST-ONCE. The survivors live only in executor
+    * memory/disk (localCheckpoint) when the state append runs, so a crash
+    * after the append but before the caller durably persists the returned
+    * frame permanently marks those keys as seen and drops the docs on
+    * retry. When retries must not lose documents, use
+    * [[ingestIncrementalTo]], which writes the survivors durably BEFORE
+    * extending the state.
     */
   def ingestIncremental(newDocs: DataFrame, key: Column, order: Seq[Column],
                         statePath: String): DataFrame = {
@@ -601,5 +609,24 @@ object Dedup {
       .localCheckpoint(eager = true)
     appendHashState(survivors, key, statePath)
     survivors
+  }
+
+  /** [[ingestIncremental]] with crash-safe ordering: survivors are written
+    * to `outPath` (durable, overwrite) FIRST and the state append derives
+    * its keys from the files as written. A crash before the append leaves
+    * the state unextended — the retry recomputes the same survivors
+    * against unchanged state and overwrites the same output; a crash after
+    * the append leaves output and state already consistent. Effectively
+    * once into the output path, never silent loss. Give each snapshot its
+    * own `outPath` (a dated partition dir) since the write is overwrite-
+    * mode. Returns the survivors as re-read from `outPath`.
+    */
+  def ingestIncrementalTo(newDocs: DataFrame, key: Column, order: Seq[Column],
+                          statePath: String, outPath: String): DataFrame = {
+    dedupIncremental(newDocs, key, order, statePath)
+      .write.mode("overwrite").parquet(outPath)
+    val written = newDocs.sparkSession.read.parquet(outPath)
+    appendHashState(written, key, statePath)
+    written
   }
 }

@@ -48,17 +48,21 @@ object ProfanityModel {
                    lists: Map[String, Seq[String]]): DataFrame =
     df.select(col(idCol) +: features(unit, lists).map { case (n, c) => c.as(n) }: _*)
 
-  /** Fit LR on taxonomy weak labels (label = any list hit). `sampleHexCeil`
-    * hash-samples the fit frame first (md5-prefix Bernoulli, deterministic)
-    * — the fit is over a SAMPLE-sized frame by construction, never corpus-
-    * sized; `fitPartitions` then caps each L-BFGS pass accordingly.
+  /** Fit LR on taxonomy weak labels (label = any list hit). The fit frame
+    * is sample-sized by construction: corpora beyond `maxFitRows` are
+    * deterministically hash-sampled down first (md5-prefix Bernoulli), so
+    * the coalesce and every L-BFGS pass are bounded regardless of corpus
+    * size.
     */
   def fitOnTaxonomy(df: DataFrame, idCol: String, textCol: String,
                     lists: Map[String, Seq[String]],
                     regParam: Double = 0.1, maxIter: Int = 25,
-                    sampleHexCeil: String = "", fitPartitions: Int = 4): Model = {
-    val base = if (sampleHexCeil.nonEmpty)
-      Analyses.hashSample(df, col(idCol), sampleHexCeil) else df
+                    maxFitRows: Long = 1L << 20, fitPartitions: Int = 4): Model = {
+    val n = df.count()
+    val base = if (n > maxFitRows)
+      Analyses.hashStratifiedSample(df, col(idCol), lit("all"), Map.empty,
+        maxFitRows.toDouble / n)
+    else df
     val dens = featureFrame(base, idCol, col(textCol), lists)
     val densCols = lists.keys.toSeq.sorted.map(l => col(s"density_$l"))
     // localCheckpoint so L-BFGS passes don't recompute the regex cascade

@@ -79,18 +79,29 @@ object QualityClassifier {
     * fit, and score everything.
     */
   def fitOnGopherLabels(df: DataFrame, idCol: String, textCol: String,
-                        maxIter: Int = 25, fitPartitions: Int = 4): Model = {
-    val labels = TextQuality.gopherFilter(df, idCol, textCol)
+                        maxIter: Int = 25, fitPartitions: Int = 4,
+                        maxFitRows: Long = 1L << 20): Model = {
+    // the fit frame is sample-sized by CONSTRUCTION, not by caller
+    // contract: corpora beyond maxFitRows are deterministically
+    // hash-sampled down first (md5-prefix Bernoulli — reproducible), so
+    // coalesce(fitPartitions) and the per-step treeAggregate never see a
+    // corpus-sized frame no matter what the caller passes. The count is a
+    // parquet-metadata read, not a scan.
+    val n = df.count()
+    val base = if (n > maxFitRows)
+      Analyses.hashStratifiedSample(df, col(idCol), lit("all"), Map.empty,
+        maxFitRows.toDouble / n)
+    else df
+    val labels = TextQuality.gopherFilter(base, idCol, textCol)
       .select(col(idCol), col("keep").cast("double").as("__weak_label"))
     // localCheckpoint: every L-BFGS iteration re-reads the labeled frame —
     // don't recompute the gopher gate + feature projections per step.
-    // coalesce first: the labeled frame is SAMPLE-sized by contract, and
-    // every L-BFGS step is one treeAggregate job over it — at corpus
-    // parallelism that is maxIter × defaultParallelism near-empty tasks of
-    // pure scheduling overhead (measured: the fit dominated the query).
-    // Size fitPartitions to the labeled set (≈1 per few hundred k rows),
-    // never to the corpus.
-    val labeled = features(df, idCol, textCol).join(labels, Seq(idCol))
+    // coalesce first: every L-BFGS step is one treeAggregate job over the
+    // frame — at corpus parallelism that is maxIter × defaultParallelism
+    // near-empty tasks of pure scheduling overhead (measured: the fit
+    // dominated the query). Size fitPartitions to the fit set
+    // (≈1 per few hundred k rows).
+    val labeled = features(base, idCol, textCol).join(labels, Seq(idCol))
       .coalesce(fitPartitions)
       .localCheckpoint(eager = true)
     // weak labels don't merit tight convergence: cap the iteration count

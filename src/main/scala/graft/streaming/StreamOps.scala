@@ -77,35 +77,62 @@ object StreamOps {
   /** Streaming twin of EventOps.funnel: per-user state tracks the current
     * gap session's funnel depth (ordered-subsequence march over `steps`);
     * when the gap closes a session, its reached depth is emitted — one row
-    * per CLOSED session (open sessions hold their state; add an idle
-    * timeout upstream if lingering users must flush). Aggregate the sink
-    * by depth for the live conversion card. State per user is two
-    * numbers, bounded regardless of stream length.
+    * per CLOSED session. Aggregate the sink by depth for the live
+    * conversion card. State per user is two numbers, bounded regardless of
+    * stream length.
+    *
+    * ORDERING CONTRACT: events must arrive in order per user ACROSS
+    * micro-batches (within a batch they are sorted here). An event landing
+    * in a later batch with a timestamp before the state's last-seen second
+    * is processed as if it were current — gap detection and step order
+    * silently degrade. Feed from an upstream that preserves per-user order
+    * (partition the source by user) or pre-sessionize in batch.
+    *
+    * Idle users flush via an EVENT-TIME timeout tied to the gap itself: a
+    * watermark of `gapMinutes` rides on `ts`, and when it passes a user's
+    * last event + gap their open session is emitted and the state dropped
+    * — exactly when the batch funnel would have closed that session, so
+    * lingering users neither hold memory forever nor go unreported.
+    * (Deliberately NOT ProcessingTimeTimeout: it makes the micro-batch
+    * engine schedule no-data batches continuously — probed:
+    * `processAllAvailable` never returns under it.)
     */
   def funnelStream(events: Dataset[Event], gapMinutes: Int,
                    steps: Seq[String]): Dataset[SessionDepth] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     val gapSec = gapMinutes * 60L
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, SessionDepth](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, batch, state: GroupState[FunnelState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var s = state.getOption.getOrElse(FunnelState(Long.MinValue, 0))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionDepth]
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            if (s.lastSec != Long.MinValue && sec - s.lastSec > gapSec) {
-              closed += SessionDepth(user, s.depth)
-              s = FunnelState(sec, 0)
+          if (state.hasTimedOut) {
+            val out = state.getOption.filter(_.lastSec != Long.MinValue)
+              .map(s => SessionDepth(user, s.depth)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(FunnelState(Long.MinValue, 0))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionDepth]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              if (s.lastSec != Long.MinValue && sec - s.lastSec > gapSec) {
+                closed += SessionDepth(user, s.depth)
+                s = FunnelState(sec, 0)
+              }
+              val d = s.depth
+              val nd = if (d < steps.length && e.event_type == steps(d)) d + 1 else d
+              s = FunnelState(sec, nd)
             }
-            val d = s.depth
-            val nd = if (d < steps.length && e.event_type == steps(d)) d + 1 else d
-            s = FunnelState(sec, nd)
+            state.update(s)
+            // close the open session when event time passes its gap; a
+            // late group must still set a timestamp AFTER the watermark
+            state.setTimeoutTimestamp(math.max(
+              (s.lastSec + gapSec) * 1000L, state.getCurrentWatermarkMs() + 1))
+            closed.iterator
           }
-          state.update(s)
-          closed.iterator
       }
   }
 

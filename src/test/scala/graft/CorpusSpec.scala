@@ -49,6 +49,28 @@ class CorpusSpec extends SparkTestBase {
     }
   }
 
+  test("explicit file:// URIs read through the same Hadoop FS path (S6)") {
+    // the scheme-qualified form of the same glob: s3a://... at production
+    // resolves through the identical FileSystem.get machinery, so the
+    // local:// scheme is the testable proxy for the S3 claim
+    val df = Corpus.readJsonl(spark, Seq(s"file://$dir/*.json.gz"))
+    assert(df.count() === 15)
+    assert(Corpus.readJsonl(spark, Seq(s"file://$dir/b.json.gz")).count() === 5)
+  }
+
+  test("stats total_bytes = UTF-8 bytes of the text FIELD, not the JSON line") {
+    import spark.implicits._
+    // reference `wimbd stats` sums the byte size of each raw JSON line
+    // (src/cmd/util.rs:52); this engine reads decoded columns, so
+    // total_bytes is octet_length(text) — multi-byte chars count by UTF-8
+    // encoding, but JSON overhead (keys, quotes, escapes) does NOT. This
+    // pin documents the divergence SURVEY §2.6 declares.
+    val docs = Seq("h\u00e9llo", "ab").toDF("text")
+    val r = graft.operators.NgramOps.stats(docs, "text", uax29 = false).head()
+    assert(r.getAs[Long]("total_chars") === 7L) // 5 + 2 codepoints
+    assert(r.getAs[Long]("total_bytes") === 8L) // 6 + 2 UTF-8 bytes
+  }
+
   test("withFileLineId builds {file}-{line} ids — filename survives the window shuffle") {
     val ids = Corpus.withFileLineId(
         Corpus.readJsonl(spark, Seq(dir.toString + "/*.json.gz")), "id")

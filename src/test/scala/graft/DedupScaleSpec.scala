@@ -513,4 +513,24 @@ class DedupScaleSpec extends SparkTestBase {
     // state holds exactly the distinct ingested hashes
     assert(spark.read.parquet(dir).distinct().count() === 3L)
   }
+
+  test("ingestIncrementalTo: durable output lands before the state extends") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+      .toFile.getAbsolutePath
+    val (dir, out1, out2) = (root + "/state", root + "/out1", root + "/out2")
+    val key = md5(col("text"))
+    val b1 = Seq((1L, "a b c"), (2L, "d e f"), (3L, "a b c")).toDF("id", "text")
+    val s1 = Dedup.ingestIncrementalTo(b1, key, Seq(col("id")), dir, out1)
+    assert(s1.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // the survivors are durable files, not executor blocks
+    assert(spark.read.parquet(out1).count() === 2L)
+    // a crash-retry of the SECOND snapshot: simulate by running the cycle
+    // twice with the same outPath — the rerun sees state already extended
+    // and yields an empty (but consistent) output, never silent key loss
+    val b2 = Seq((4L, "a b c"), (5L, "g h i")).toDF("id", "text")
+    assert(Dedup.ingestIncrementalTo(b2, key, Seq(col("id")), dir, out2)
+      .select("id").as[Long].collect().toSet === Set(5L))
+    assert(Dedup.ingestIncrementalTo(b2, key, Seq(col("id")), dir, out2).count() === 0L)
+    assert(spark.read.parquet(dir).distinct().count() === 3L)
+  }
 }

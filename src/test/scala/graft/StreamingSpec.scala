@@ -66,22 +66,45 @@ class StreamingSpec extends SparkTestBase {
         steps = Seq("view", "click", "purchase"))
       .writeStream.format("memory").queryName("funnel")
       .outputMode(OutputMode.Append).start()
-    // session 1 for user 7: view -> error -> click (depth 2, gaps allowed)
-    input.addData(Event(1, ts(0), 7, "view", 1.0), Event(2, ts(5), 7, "error", 1.0),
-      Event(3, ts(10), 7, "click", 1.0))
+    // session 1 for user 7: view -> error -> click (depth 2, gaps allowed).
+    // timestamps sit well above epoch 0: the event-time watermark starts
+    // at 0 and rows at-or-before it are dropped as late
+    input.addData(Event(1, ts(600), 7, "view", 1.0), Event(2, ts(605), 7, "error", 1.0),
+      Event(3, ts(610), 7, "click", 1.0))
     q.processAllAvailable()
     assert(spark.table("funnel").count() === 0) // session still open
     // the >30min gap closes session 1; session 2 starts with 'purchase'
     // (depth 0 — steps must arrive in order)
-    input.addData(Event(4, ts(100), 7, "purchase", 1.0))
+    input.addData(Event(4, ts(700), 7, "purchase", 1.0))
     q.processAllAvailable()
     // another gap closes session 2
-    input.addData(Event(5, ts(200), 7, "view", 1.0))
+    input.addData(Event(5, ts(800), 7, "view", 1.0))
     q.processAllAvailable()
     val rows = spark.table("funnel").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     q.stop()
     assert(rows === Seq((7L, 2), (7L, 0)))
+  }
+
+  test("streaming funnel: watermark flushes idle users' open sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.funnelStream(input.toDS(), gapMinutes = 30,
+        steps = Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_flush")
+      .outputMode(OutputMode.Append).start()
+    input.addData(Event(1, ts(600), 7, "view", 1.0), Event(2, ts(605), 7, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("funnel_flush").count() === 0) // session open
+    // a much later event from ANOTHER user advances the event-time
+    // watermark past user 7's last event + gap: the idle session closes
+    // via timeout — same moment the batch funnel would close it
+    input.addData(Event(3, ts(700), 8, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("funnel_flush").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    q.stop()
+    assert(rows === Seq((7L, 2)))
   }
 
   test("streaming windowed topk: sketch state emits exact top-k at window close") {
