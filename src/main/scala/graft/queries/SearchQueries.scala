@@ -64,7 +64,25 @@ object SearchQueries extends QueryPack {
         Seq("benchA" -> "batch batch", "benchA" -> "spark window",
           "benchB" -> "data line", "benchB" -> "no such phrase xyz",
           "benchB" -> "spark window"),
-        uax29 = false).orderBy("benchmark"))
+        uax29 = false).orderBy("benchmark")),
+
+    // §2.9 PromptSource client: benchmark rows render through parsed
+    // {{field}} templates (pure column algebra) and feed the E7 counter —
+    // 'plain' prompts are verbatim corpus spans (contaminated), the
+    // 'prefixed' template injects an unseen literal (clean)
+    "e9_prompt_contamination" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val bench = d.where(col("doc_id") % 40 === 0 && size(toks) >= 9)
+        .select(concat_ws(" ", slice(toks, 1, 6)).as("q"),
+          concat_ws(" ", slice(toks, 7, 3)).as("a"))
+      val tpls = graft.search.PromptTemplates.parseTsv(Seq(
+        "plain\t\t{{ q }} {{ a }}",
+        "prefixed\t\tunseen prefix: {{ q }}"))
+      graft.search.PromptTemplates.contaminationFromTemplates(d, "text",
+        tpls.map(t => t -> bench), uax29 = false)
+        .orderBy("benchmark")
+    })
   )
 
   private def padHit(phrase: String): String =
@@ -135,6 +153,27 @@ object SearchQueries extends QueryPack {
         |  ('benchA', 'batch batch'), ('benchA', 'spark window'),
         |  ('benchB', 'data line'), ('benchB', 'no such phrase xyz'),
         |  ('benchB', 'spark window')) v(b, p)),
+        |per AS (SELECT phrase,
+        |  sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+        |    THEN 1 ELSE 0 END) AS n_docs
+        | FROM (SELECT DISTINCT phrase FROM bp) ph LEFT JOIN documents ON true
+        | GROUP BY phrase)
+        |SELECT benchmark, count(*) AS n_phrases,
+        | CAST(sum(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        | round(avg(CAST(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END AS DOUBLE)), 6) AS pct
+        |FROM bp JOIN per USING (phrase)
+        |GROUP BY benchmark ORDER BY benchmark""".stripMargin,
+
+    "e9_prompt_contamination" ->
+      """WITH b AS (SELECT
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS q,
+        |  array_to_string(list_slice(string_split(text, ' '), 7, 9), ' ') AS a
+        | FROM documents
+        | WHERE doc_id % 40 = 0 AND len(string_split(text, ' ')) >= 9),
+        |bp(benchmark, phrase) AS (
+        | SELECT 'plain', q || ' ' || a FROM b
+        | UNION ALL
+        | SELECT 'prefixed', 'unseen prefix: ' || q FROM b),
         |per AS (SELECT phrase,
         |  sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
         |    THEN 1 ELSE 0 END) AS n_docs

@@ -1,0 +1,88 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PromptSource-style template client (§2.9). The reference's parser
+  * (wimbd/contamination/promptsource_parse.py:10-53) walks promptsource's
+  * templates.yaml tree, keeps each dataset's FIRST template, extracts its
+  * `{{field}}` placeholders, and emits a TSV; downstream contamination
+  * then probes the rendered benchmark rows against the corpus. This
+  * client consumes that TSV shape and renders benchmark rows into prompt
+  * strings as PURE COLUMN ALGEBRA (literal segments + field columns
+  * concatenated — a codegen'd projection, no Jinja runtime on the data
+  * path), feeding the scan-fused batch contamination surface (E7).
+  */
+object PromptTemplates {
+
+  final case class PromptTemplate(dataset: String, subset: String, template: String) {
+    def fields: Seq[String] = extractFields(template)
+    def name: String = if (subset.isEmpty) dataset else s"$dataset/$subset"
+  }
+
+  private val placeholder = "\\{\\{\\s*([a-zA-Z0-9_-]+)\\s*\\}\\}".r
+
+  /** Placeholder names in order of first appearance — same contract as the
+    * reference's `re.findall` over the space-stripped jinja (so
+    * `{{ answer }}` parses like `{{answer}}`).
+    */
+  def extractFields(template: String): Seq[String] =
+    placeholder.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
+
+  /** TSV rows `dataset<TAB>subset<TAB>template` (subset may be empty, or
+    * the column omitted entirely) → templates. Blank lines skipped.
+    */
+  def parseTsv(lines: Iterable[String]): Seq[PromptTemplate] =
+    lines.iterator.map(_.replaceAll("[\\r\\n]+$", "")).filter(_.trim.nonEmpty).map { l =>
+      l.split("\t", -1) match {
+        case Array(d, s, t) => PromptTemplate(d, s, t)
+        case Array(d, t) => PromptTemplate(d, "", t)
+        case _ => throw new IllegalArgumentException(
+          s"expected dataset<TAB>[subset<TAB>]template, got: $l")
+      }
+    }.toSeq
+
+  /** Read a template TSV through the Hadoop FS (local or object store). */
+  def parseTsvFile(spark: SparkSession, path: String): Seq[PromptTemplate] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parseTsv(scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList)
+    finally in.close()
+  }
+
+  /** The template as a Column over its field columns: literal segments and
+    * `coalesce(field, '')` concatenated in order. Null fields render empty
+    * (SQL `||` would nullify the whole prompt).
+    */
+  def renderColumn(template: String): Column = {
+    val parts = scala.collection.mutable.ArrayBuffer[Column]()
+    var last = 0
+    placeholder.findAllMatchIn(template).foreach { m =>
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      parts += coalesce(col(m.group(1)).cast("string"), lit(""))
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit(template) else concat(parts.toSeq: _*)
+  }
+
+  /** Rendered prompts for a benchmark table: (benchmark, prompt). */
+  def renderPrompts(bench: DataFrame, t: PromptTemplate): DataFrame =
+    bench.select(lit(t.name).as("benchmark"), renderColumn(t.template).as("prompt"))
+
+  /** E7 over template-rendered benchmarks: render each template against
+    * its benchmark table, collect the (benchmark, prompt) pairs —
+    * benchmark-sized, exactly the reference's driver-side loop — and run
+    * the scan-fused per-phrase contamination counter over the corpus
+    * (ONE corpus scan for all prompts of all benchmarks).
+    */
+  def contaminationFromTemplates(corpus: DataFrame, textCol: String,
+                                 benches: Seq[(PromptTemplate, DataFrame)],
+                                 slop: Int = 0, uax29: Boolean = true): DataFrame = {
+    val phrases = benches.flatMap { case (t, df) =>
+      renderPrompts(df, t).collect().map(r => (r.getString(0), r.getString(1)))
+    }
+    Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop, uax29)
+  }
+}

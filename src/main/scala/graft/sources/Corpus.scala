@@ -108,6 +108,84 @@ object Corpus {
       .drop("__cfile", "__cline")
   }
 
+  /** S8's ingestion half re-expressed Spark-first (reference
+    * wimbd/indexing/huggingface.py:28-88 streams a dataset into
+    * `{split}_{n}.jsonl.gz` batches and resumes from the largest shard
+    * number already on disk): rows get a DETERMINISTIC shard id from a
+    * distributed row index (the Packing two-phase prefix sum — no global
+    * window), already-manifested shards are skipped, and the missing
+    * shards land in ONE write job as `shard=N/` gzip JSONL partitions
+    * under dynamic-partition overwrite, so a crashed run's partial shards
+    * are replaced wholesale on retry instead of duplicated. The manifest
+    * (`_ingest_manifest.txt`) is extended only after the write commits:
+    * crash before = those shards rewritten identically next run; crash
+    * after = clean resume. `textField` renames to the canonical `text`
+    * like the reference's `_update_example`.
+    *
+    * Returns the shard ids written this run (empty = already complete).
+    */
+  def ingestShards(df: DataFrame, idCol: String, outDir: String,
+                   recordsPerShard: Long,
+                   textField: String = "text"): Seq[Long] = {
+    require(recordsPerShard > 0, "recordsPerShard must be positive")
+    val spark = df.sparkSession
+    val renamed = if (textField != "text") df.withColumnRenamed(textField, "text") else df
+    val completed = readIngestManifest(spark, outDir)
+    // 0-based row index under the idCol total order, computed without a
+    // single-partition window: tokenOffsets with weight 1 per row
+    val idx = graft.operators.Packing
+      .tokenOffsets(renamed, idCol, "text", tokensExpr = Some(lit(1L)))
+      .select(col("id").as(idCol), (col("start_offset") / recordsPerShard)
+        .cast("long").as("shard"))
+    val sharded = renamed.join(idx, Seq(idCol))
+    val todo = if (completed.isEmpty) sharded
+      else sharded.where(!col("shard").isin(completed.toSeq: _*))
+    val writtenShards = todo.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (writtenShards.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        todo.repartition(col("shard"))
+          .write.partitionBy("shard").mode("overwrite")
+          .option("compression", "gzip").json(outDir)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      writeIngestManifest(spark, outDir, completed ++ writtenShards)
+    }
+    writtenShards
+  }
+
+  private def manifestPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(outDir, "_ingest_manifest.txt")
+
+  /** Completed shard ids recorded for `outDir` (empty when none). */
+  def readIngestManifest(spark: SparkSession, outDir: String): Set[Long] = {
+    val p = manifestPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeIngestManifest(spark: SparkSession, outDir: String,
+                                  shards: Set[Long]): Unit = {
+    val p = manifestPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(outDir, "_ingest_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(shards.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
   /** S9's replacement at Spark scale: persist a corpus as a BUCKETED,
     * sorted Parquet table — the "index tier" the reference delegates to
     * Elasticsearch. Every subsequent equi-join or aggregation on

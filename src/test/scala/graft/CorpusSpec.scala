@@ -71,6 +71,35 @@ class CorpusSpec extends SparkTestBase {
     assert(r.getAs[Long]("total_bytes") === 8L) // 6 + 2 UTF-8 bytes
   }
 
+  test("ingestShards: deterministic shards, manifest resume, idempotent retry (S8)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ingest").toFile.getAbsolutePath + "/ds"
+    val docs = (0 until 25).map(i => (i.toLong, s"doc number $i")).toDF("id", "content")
+    val w1 = Corpus.ingestShards(docs, "id", out, recordsPerShard = 10,
+      textField = "content")
+    assert(w1 === Seq(0L, 1L, 2L))
+    val back = spark.read.json(out)
+    assert(back.count() === 25)
+    assert(back.columns.toSet === Set("id", "text", "shard")) // renamed field
+    // shard membership follows the id order deterministically
+    assert(back.where(col("shard") === 2).select("id").as[Long]
+      .collect().toSet === (20L until 25L).toSet)
+    // complete output: rerun is a no-op
+    assert(Corpus.ingestShards(docs, "id", out, 10, "content").isEmpty)
+    // crashed-run simulation: the manifest lost shard 2 (write committed,
+    // manifest append didn't) — retry rewrites ONLY shard 2 and does not
+    // duplicate its rows (dynamic partition overwrite)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "_ingest_manifest.txt"),
+      "0\n1\n".getBytes("UTF-8"))
+    // the direct write above bypassed Hadoop's ChecksumFileSystem — drop
+    // the stale .crc sidecar it would validate against
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out, "._ingest_manifest.txt.crc"))
+    assert(Corpus.ingestShards(docs, "id", out, 10, "content") === Seq(2L))
+    assert(spark.read.json(out).count() === 25)
+    assert(Corpus.readIngestManifest(spark, out) === Set(0L, 1L, 2L))
+  }
+
   test("withFileLineId builds {file}-{line} ids — filename survives the window shuffle") {
     val ids = Corpus.withFileLineId(
         Corpus.readJsonl(spark, Seq(dir.toString + "/*.json.gz")), "id")
