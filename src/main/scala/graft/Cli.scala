@@ -158,6 +158,16 @@ object Cli {
         deliver(Pipeline.domainReport(
           docs.withColumn("__host", parse_url(Corpus.effectiveUrl, lit("HOST"))),
           col("__host"), "text").orderBy(desc("n_docs")), ranked = false)
+      // P6 model path from the CLI: Cavnar–Trenkle detected-language
+      // histogram over the corpus (profiles from the embedded seeds, or
+      // retrained with --train-langcol on a labeled column)
+      case "langid" =>
+        val profiles = flag("--train-langcol") match {
+          case Some(c) => operators.LangId.trainProfiles(docs, "text", c)
+          case None => operators.LangId.ctProfiles()
+        }
+        deliver(operators.LangId.langIdModelCounts(docs, "text", profiles)
+          .orderBy(desc("cnt"), asc("pred")), ranked = true)
       // concordance: hits of --phrase in context (--context chars per side)
       case "grep" =>
         deliver(SearchOps.concordance(

@@ -76,6 +76,11 @@ object Searcher {
     */
   def countPerPhrase(df: DataFrame, textCol: String, phrases: Seq[String],
                      slop: Int = 0, uax29: Boolean = true): DataFrame = {
+    if (phrases.isEmpty) { // empty benchmark → empty report, never a throw
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, Long)].toDF("phrase", "n_docs")
+    }
     // one boolean predicate column per phrase, all evaluated in a single
     // scan + single partial-agg (the set-oriented answer to msearch batching)
     val preds = df.select(phrases.zipWithIndex.map { case (p, i) =>

@@ -77,6 +77,24 @@ class EmptyInputSpec extends SparkTestBase {
       .forall(_ == 0.0)) // target/raw identically empty → ratio 0 everywhere
   }
 
+  test("round-5 surfaces: sentence sentiment, langid model, prompts, shards on empty corpus") {
+    assert(Analyses.sentenceSentiment(docs, "text", Seq("spark"),
+      Map("fast" -> 1.0)).count() === 0)
+    val profiles = LangId.ctProfiles()
+    assert(LangId.confusion(docs, "text", "lang", profiles).count() === 0)
+    assert(LangId.langIdModelCounts(docs, "text", profiles).count() === 0)
+    // distributed training on an empty labeled corpus: no profiles, no throw
+    assert(LangId.trainProfiles(docs, "text", "lang").isEmpty)
+    assert(graft.search.PromptTemplates.contaminationFromTemplates(docs, "text",
+      Seq(graft.search.PromptTemplates.PromptTemplate("d", "", "{{text}}") ->
+        docs.select("text"))).count() === 0)
+    val out = java.nio.file.Files.createTempDirectory("empty-ingest")
+      .toFile.getAbsolutePath + "/ds"
+    assert(graft.sources.Corpus.ingestShards(docs, "doc_id", out, 10).isEmpty)
+    assert(Multimodal.extractFeatures(
+      Multimodal.fromText(docs, "doc_id", "text")).count() === 0)
+  }
+
   test("pipeline reports survive an empty corpus") {
     val report = Pipeline.corpusReport(docs, "text", langCol = Some("lang"))
     assert(report.where(col("metric") === "n_docs").head().getDouble(1) === 0.0)
