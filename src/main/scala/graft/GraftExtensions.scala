@@ -114,6 +114,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => NormalizeText(args(0), boolLit(args(1), "nfkc"))),
     ("graft_repetition",
       "graft_repetition(text): Gopher repetition signals [dup_line, dup_line_char, top2..4gram_char, dup5..10gram_char]",
-      (args: Seq[Expression]) => RepetitionSignals(args(0)))
+      (args: Seq[Expression]) => RepetitionSignals(args(0))),
+    ("graft_langid",
+      "graft_langid(text): Cavnar–Trenkle language code under the embedded seed profiles ('un' when no letters)",
+      (args: Seq[Expression]) => CtLangId(args.head,
+        graft.operators.LangId.ctProfiles()))
   )
 }

@@ -50,6 +50,11 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT graft_winnow(graft_tokenize(text), 2, 2) AS f FROM ext_docs")
       .collect().head.getSeq[Long](0)
     assert(wf.nonEmpty)
+
+    assert(spark.sql("SELECT graft_langid('the quick brown fox jumps over the dog') AS l")
+      .collect().head.getString(0) === "en")
+    assert(spark.sql("SELECT graft_langid('12345 --- 99') AS l")
+      .collect().head.getString(0) === "un")
   }
 
   test("non-literal static args fail analysis, not execution") {

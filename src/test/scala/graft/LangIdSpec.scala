@@ -16,7 +16,8 @@ class LangIdSpec extends SparkTestBase {
     profiles.sortBy(_._1).map { case (l, gs) => (l, CtKernel.rankMap(gs)) }.toArray
 
   test("one profile per seed language, each dense and led by frequent short grams") {
-    assert(profiles.map(_._1).sorted === Seq("de", "en", "es", "fr", "zh"))
+    assert(profiles.map(_._1).sorted ===
+      Seq("de", "en", "es", "fr", "it", "nl", "pt", "zh"))
     profiles.foreach { case (lang, gs) =>
       assert(gs.size > 100, s"$lang profile too small: ${gs.size}")
       assert(gs.distinct.size === gs.size, s"$lang profile has duplicate grams")
@@ -32,6 +33,9 @@ class LangIdSpec extends SparkTestBase {
       "die kinder lesen abends viele b\u00fccher und trinken warme milch in der k\u00fcche" -> "de",
       "los estudiantes escriben cartas a sus amigos sobre el largo viaje a casa" -> "es",
       "les \u00e9tudiants \u00e9crivent des lettres \u00e0 leurs amis au sujet du long voyage" -> "fr",
+      "gli studenti scrivono lettere ai loro amici sul lungo viaggio verso casa" -> "it",
+      "os estudantes escrevem cartas aos seus amigos sobre a longa viagem para casa" -> "pt",
+      "de studenten schrijven brieven aan hun vrienden over de lange reis naar huis" -> "nl",
       "\u5b66\u751f\u4eec\u7ed9\u4ed6\u4eec\u7684\u670b\u53cb\u5199\u4fe1\u8bb2\u8ff0\u56de\u5bb6\u7684\u6f2b\u957f\u65c5\u7a0b" -> "zh")
     samples.foreach { case (text, want) =>
       val got = CtKernel.classify(text, ranks, CtKernel.DefaultTopK)

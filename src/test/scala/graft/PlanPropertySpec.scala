@@ -233,6 +233,36 @@ class PlanPropertySpec extends SparkTestBase {
     assert(plan(z).contains("Exchange rangepartitioning"), plan(z))
   }
 
+  test("langid model scoring is a zero-shuffle scan projection (inlined profiles)") {
+    val profiles = graft.operators.LangId.ctProfiles()
+    val scored = docs.select(
+      graft.operators.LangId.langIdModel(col("text"), profiles).as("pred"))
+    assert(shuffles(scored) === 0, plan(scored))
+    assert(!plan(scored).contains("Join"), plan(scored))
+    // the confusion card adds exactly the one partial-agg exchange
+    val conf = graft.operators.LangId.confusion(docs, "text", "lang", profiles)
+    assert(shuffles(conf) === 1, plan(conf))
+  }
+
+  test("sentence sentiment: one scan, one partial-agg shuffle, no joins") {
+    val s = graft.operators.Analyses.sentenceSentiment(docs, "text",
+      Seq("data", "spark"), Map("fast" -> 1.0, "slow" -> -1.0))
+    val p = plan(s)
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(shuffles(s) <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("profanity-model doc scoring is column algebra: no join, no ML node") {
+    val lists = Map("x" -> Seq("fast", "slow"))
+    val m = graft.operators.QualityClassifier.Model(
+      graft.operators.ProfanityModel.featureCols(lists), Array(1.0, 0.5), -1.0)
+    val scored = graft.operators.ProfanityModel.scoreDocs(
+      docs, "doc_id", "text", lists, m)
+    assert(shuffles(scored) === 0, plan(scored))
+    assert(!plan(scored).contains("Join"), plan(scored))
+  }
+
   test("vocabCoverage is a pure scan projection: zero shuffles, zero joins") {
     val v = graft.operators.TextQuality.vocabCoverage(docs, "doc_id", "text",
       Seq("the", "data"))
