@@ -200,7 +200,11 @@ object Pipeline {
     }
     // counts pass through unrounded: math.round saturates at Long.MaxValue,
     // so n_chars/n_tokens above ~9.2e12 (routine at 100 TB) would silently
-    // cap if fed through the fractional rounding below
+    // cap if fed through the fractional rounding below. The Long→Double
+    // trip itself is exact only below 2^53 (~9e15) — beyond that the
+    // report's value column (double-typed for the fraction rows) loses
+    // ulp-level precision on raw counts; fine for a report card, use
+    // NgramOps.stats for exact longs.
     def round6(v: Double): Double = math.round(v * 1e6) / 1e6
     val counts = Seq(
       "n_docs" -> rowAgg.getLong(0).toDouble,

@@ -50,11 +50,14 @@ object Packing {
       sum("n_tokens").over(Window.partitionBy("b").orderBy("ord", "id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket totals = max cumsum per bucket: `buckets` rows out of the
-    // cache, then a bucket-count-sized prefix window — not a corpus pass
-    val offsets = local.groupBy("b").agg(max("local_end").as("bt"))
-      .withColumn("boff", coalesce(
-        sum("bt").over(Window.orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // cache; the prefix offsets come from a triangular self-join of that
+    // tiny frame (buckets² comparison rows) rather than a global window,
+    // so NO plan in the library carries an empty-partitionSpec window —
+    // PlanPropertySpec can assert the property wholesale
+    val totals = local.groupBy("b").agg(max("local_end").as("bt"))
+    val offsets = totals.as("x")
+      .join(totals.as("y"), col("y.b") < col("x.b"), "left")
+      .groupBy(col("x.b")).agg(coalesce(sum(col("y.bt")), lit(0L)).as("boff"))
       .select(col("b"), col("boff"))
     local.join(broadcast(offsets), "b")
       .select(col("id"), col("ord"), col("n_tokens"),

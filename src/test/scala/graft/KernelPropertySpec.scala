@@ -175,4 +175,27 @@ class KernelPropertySpec extends AnyFunSuite {
         s"tokens=$toks buckets=$buckets")
     }
   }
+
+  test("ct langid kernel: profile bounded+deduped, distance symmetry on own seed, determinism") {
+    import graft.functions.expressions.CtKernel
+    val alphabet = "abcdef \u00e9\u00fc\u4eca\u5929.'-12"
+    val profiles = graft.operators.LangId.ctProfiles()
+    val ranks = profiles.map { case (l, gs) => (l, CtKernel.rankMap(gs)) }.toArray
+    (1 to 200).foreach { _ =>
+      val text = Seq.fill(rng.nextInt(60))(alphabet(rng.nextInt(alphabet.length))).mkString
+      val prof = CtKernel.profile(text, 300)
+      assert(prof.length <= 300)
+      assert(prof.toSeq.distinct.size === prof.length, s"dup grams for '$text'")
+      // every profile gram actually occurs in the padded-word gram map
+      val m = CtKernel.grams(text)
+      assert(prof.forall(m.containsKey), s"phantom gram for '$text'")
+      val a = CtKernel.classify(text, ranks, 300)
+      assert(a === CtKernel.classify(text, ranks, 300)) // deterministic
+      if (m.isEmpty) assert(a === "un")
+    }
+    // each seed classifies as ITSELF (distance 0 to its own profile)
+    graft.operators.LangId.seeds.foreach { case (lang, seed) =>
+      assert(CtKernel.classify(seed, ranks.sortBy(_._1), 300) === lang, lang)
+    }
+  }
 }

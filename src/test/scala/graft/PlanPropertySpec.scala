@@ -169,6 +169,11 @@ class PlanPropertySpec extends SparkTestBase {
     assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
     assert(p.contains("Exchange rangepartitioning"), p)
     assert(p.contains("BroadcastExchange"), p)
+    // bucket offsets come from the triangular self-join of the tiny totals
+    // frame — no empty-partitionSpec window anywhere in the plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(off.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty, p)
     // no text column in any shuffle key: the prefix sum moves (id, ord, n)
     "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
       assert(!m.group(1).contains("text"), p)
