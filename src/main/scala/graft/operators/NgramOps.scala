@@ -56,7 +56,8 @@ object NgramOps {
   def topKHashed(docs: DataFrame, textCol: String, n: Int, k: Int,
                  uax29: Boolean = true,
                  hash: Column => Column = c => xxhash64(c)): DataFrame = {
-    val grams = docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+    val grams = graft.Par.fanOut(docs)
+      .select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
     val winners = grams.select(hash(col("ngram")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("h")).limit(k)
@@ -70,7 +71,8 @@ object NgramOps {
     * Bloom estimate; exact distinct is the batch-native answer).
     */
   def uniqueExact(docs: DataFrame, textCol: String, n: Int, uax29: Boolean = true): DataFrame =
-    docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+    graft.Par.fanOut(docs)
+      .select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
       .agg(count_distinct(col("ngram")).as("n_unique"))
 
   /** `wimbd unique` approximate — HLL++, a strictly better estimator than the
@@ -122,7 +124,8 @@ object NgramOps {
 
   def uniqueApprox(docs: DataFrame, textCol: String, n: Int, rsd: Double = 0.01,
                    uax29: Boolean = true): DataFrame =
-    docs.select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+    graft.Par.fanOut(docs)
+      .select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
       .agg(approx_count_distinct(col("ngram"), rsd).as("n_unique"))
 
   /** `wimbd count` — total (overlapping) occurrences of each exact token
@@ -179,7 +182,8 @@ object NgramOps {
     * doc count, token sum, char sum, max/min tokens per doc.
     */
   def stats(docs: DataFrame, textCol: String, uax29: Boolean = true): DataFrame =
-    docs.select(size(tokens(col(textCol), uax29)).as("toks"), length(col(textCol)).as("chars"),
+    graft.Par.fanOut(docs)
+      .select(size(tokens(col(textCol), uax29)).as("toks"), length(col(textCol)).as("chars"),
         octet_length(col(textCol)).as("bytes"))
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"),
         sum("chars").as("total_chars"), sum("bytes").as("total_bytes"),
@@ -207,7 +211,8 @@ object NgramOps {
   def zipfStats(docs: DataFrame, textCol: String, topV: Int = 0,
                 uax29: Boolean = false, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs.select(explode(tokens(col(textCol), uax29)).as("w"))
+    val counts = graft.Par.fanOut(docs)
+      .select(explode(tokens(col(textCol), uax29)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     // persisted: the offsets branch reads this frame too, and exchange
     // reuse does not fire across differently-projected branches — without
@@ -291,7 +296,8 @@ object NgramOps {
     */
   def statsExtremes(docs: DataFrame, textCol: String, idCol: String,
                     uax29: Boolean = true): DataFrame = {
-    val t = docs.select(col(idCol), size(tokens(col(textCol), uax29)).as("toks"))
+    val t = graft.Par.fanOut(docs)
+      .select(col(idCol), size(tokens(col(textCol), uax29)).as("toks"))
     // agg the two scalars, broadcast them back, filter — ties kept for
     // free. The rank-window formulation this replaces funneled the whole
     // corpus-cardinality (id, toks) frame through ONE task, twice; this

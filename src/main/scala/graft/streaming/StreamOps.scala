@@ -52,6 +52,12 @@ object StreamOps {
 
   /** Stateful gap sessionization via mapGroupsWithState — the streaming twin
     * of EventOps.sessionize. State per user: last event second + counters.
+    *
+    * State grows with DISTINCT USER cardinality and is never expired (the
+    * emitted counts are cumulative per user, so dropping state would reset
+    * them) — bound the key space upstream for open-world streams, or use
+    * [[funnelStream]]'s close-at-gap shape when per-session emission with
+    * event-time expiry is the better contract.
     */
   def sessionCounts(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
