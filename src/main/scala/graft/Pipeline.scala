@@ -174,8 +174,9 @@ object Pipeline {
     * count / distinct-count, so partial aggregation keeps the shuffles at
     * metric cardinality.
     */
-  def corpusReport(docs: DataFrame, textCol: String,
+  def corpusReport(docs0: DataFrame, textCol: String,
                    langCol: Option[String] = None): DataFrame = {
+    val docs = graft.Par.fanOut(docs0) // single-split (gzip) inputs parallelize
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = size(split(col(textCol), " "))
@@ -252,7 +253,8 @@ object Pipeline {
     */
   def domainReport(docs: DataFrame, host: Column, textCol: String): DataFrame = {
     val toks = size(split(col(textCol), " ")).cast("long")
-    docs.select(host.as("host"), md5(col(textCol)).as("h"), toks.as("nt"))
+    graft.Par.fanOut(docs)
+      .select(host.as("host"), md5(col(textCol)).as("h"), toks.as("nt"))
       .groupBy("host", "h")
       .agg(count(lit(1)).as("c"), sum("nt").as("nt"))
       .groupBy("host")
