@@ -161,6 +161,32 @@ object Similarity {
       .select(col(idCol), col("bv"), col("bucket"))
   }
 
+  /** Embedding-cluster profile — the unlabeled-mixture card (DoReMi-style
+    * domain discovery without source labels): every vector assigned to its
+    * nearest deterministic IVF centroid, per-cluster mass and coherence
+    * reported. Feed the (centroid_id → weight) choices into
+    * [[graft.operators.Analyses.mixturePlan]] keyed on the cluster id to
+    * mix by embedding domain instead of named source.
+    *
+    * Scale shape: identical to [[ivfAssign]] — broadcast centroids, one
+    * scan, max_by hash aggregation (no |base|×|centroids| shuffle), then a
+    * cluster-count-sized partial agg.
+    */
+  def clusterProfile(base: DataFrame, idCol: String, vecCol: String,
+                     step: Int): DataFrame = {
+    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    val centroids = broadcast(b.where(col(idCol) % step === 0)
+      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+    b.join(centroids)
+      .select(col(idCol), col("centroid_id"), dot(col("bv"), col("cv")).as("csim"))
+      .groupBy(idCol)
+      .agg(max_by(struct(col("centroid_id"), col("csim")),
+        struct(col("csim"), -col("centroid_id"))).as("best"))
+      .select(col("best.centroid_id").as("centroid_id"), col("best.csim").as("csim"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"), round(avg("csim"), 6).as("mean_cosine"))
+  }
+
   /** Lloyd-refined IVF centroids: start from the deterministic id-mod-step
     * sample and run `iters` rounds of assign → per-bucket spherical mean.
     *

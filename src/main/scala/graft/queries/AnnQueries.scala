@@ -35,6 +35,14 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // unlabeled-mixture card: per-embedding-cluster mass + coherence
+    // (assignment replayed in SQL — the dot products fold sequentially in
+    // both engines, so argmax ties resolve identically)
+    "d_cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", step = 50)
+        .orderBy("centroid_id")),
+
     // SemDeDup: IVF-bucketed pairwise cosine → CC clusters → keep min-id
     // representative; fully deterministic, so the whole pipeline replays
     // in SQL
@@ -111,6 +119,24 @@ object AnnQueries extends QueryPack {
     // (tie -> lower centroid id), top-nprobe buckets per query, score only
     // probed buckets, rank. Same sequential-order double arithmetic as the
     // Spark side; round(4) gives orders of magnitude of slack.
+    "d_cluster_profile" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, centroid_id, d FROM (
+        |  SELECT vec_id, centroid_id, d,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1)
+        |SELECT centroid_id, count(*) AS n_members, round(avg(d), 6) AS mean_cosine
+        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ann_ivf_topk" ->
       """WITH unit AS (
         | SELECT vec_id,

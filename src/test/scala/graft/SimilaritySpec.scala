@@ -147,4 +147,19 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(knn === Set((0L, 1L))) // id 1 decodes onto id 0's centroids
   }
+
+  test("clusterProfile: exhaustive assignment, coherent masses, deterministic") {
+    // step=2 makes vec_ids 0,2,4 centroids: v1 (parallel) joins 0's cluster
+    // with cos 1, v3 (opposite) argmaxes to... cos(-1,0)=-1 vs cos(v3,v2)=0
+    // vs cos(v3,v4)=-1/sqrt2 -> cluster 2
+    val prof = Similarity.clusterProfile(vecs, "vec_id", "embedding", step = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(prof.values.map(_._1).sum === 5L) // every vector assigned once
+    assert(prof(0L)._1 === 2L && math.abs(prof(0L)._2 - 1.0) < 1e-9) // {0,1}
+    assert(prof(2L)._1 === 2L) // {2, 3}
+    assert(prof(4L)._1 === 1L && math.abs(prof(4L)._2 - 1.0) < 1e-9) // itself
+    val again = Similarity.clusterProfile(vecs, "vec_id", "embedding", step = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again === prof)
+  }
 }
