@@ -115,6 +115,7 @@ class EmptyInputSpec extends SparkTestBase {
   test("similarity: knn and semantic dedup on empty embeddings") {
     assert(Similarity.bruteForceKnn(emb, emb, "vec_id", "embedding", 3).count() === 0)
     assert(Similarity.cosineNearDuplicates(emb, "vec_id", "embedding", 0.9).count() === 0)
+    assert(Similarity.clusterProfile(emb, "vec_id", "embedding", 50).count() === 0)
   }
 
   test("null text rows flow through the text surfaces without throwing") {
