@@ -88,8 +88,19 @@ object CtKernel {
     m
   }
 
+  /** Reliability floor: the winning profile must share MORE than just the
+    * `_` word-boundary gram with the document (≥ this many hits), else the
+    * detection reports `un` — the analogue of pycld2's unreliable flag,
+    * which the reference maps to `un`
+    * (wimbd/language/map_count.py:16-24). Text in a script no profile
+    * covers matches only the boundary gram and lands here; any genuine
+    * (even distant) same-script match shares real grams.
+    */
+  val MinProfileHits = 2
+
   /** argmin out-of-place distance; `ranks` must be sorted by language code
-    * (first minimum wins = ascending tie-break). "un" when no grams.
+    * (first minimum wins = ascending tie-break). "un" when no grams, or
+    * when the winner is unreliable (see [[MinProfileHits]]).
     */
   def classify(text: String,
                ranks: Array[(String, java.util.HashMap[String, Integer])],
@@ -98,20 +109,23 @@ object CtKernel {
     if (dp.isEmpty || ranks.isEmpty) return "un"
     var bestLang: String = null
     var bestD = Long.MaxValue
+    var bestHits = 0
     var li = 0
     while (li < ranks.length) {
       val (lang, rm) = ranks(li)
       var d = 0L
+      var hits = 0
       var i = 0
       while (i < dp.length) {
         val r = rm.get(dp(i))
-        d += (if (r == null) topK.toLong else math.abs((i + 1).toLong - r.longValue()))
+        if (r == null) d += topK.toLong
+        else { d += math.abs((i + 1).toLong - r.longValue()); hits += 1 }
         i += 1
       }
-      if (d < bestD) { bestD = d; bestLang = lang }
+      if (d < bestD) { bestD = d; bestLang = lang; bestHits = hits }
       li += 1
     }
-    bestLang
+    if (bestHits < MinProfileHits) "un" else bestLang
   }
 }
 

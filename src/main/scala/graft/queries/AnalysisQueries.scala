@@ -310,12 +310,15 @@ object AnalysisQueries extends QueryPack {
          |  SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS r
          |  FROM dg GROUP BY doc_id, g) WHERE r <= $k),
          |dist AS (SELECT dp.doc_id, l.slang AS cand,
-         |   sum(CASE WHEN p.r IS NULL THEN $k ELSE abs(dp.r - p.r) END) AS d
+         |   sum(CASE WHEN p.r IS NULL THEN $k ELSE abs(dp.r - p.r) END) AS d,
+         |   sum(CASE WHEN p.r IS NULL THEN 0 ELSE 1 END) AS hits
          | FROM dprof dp CROSS JOIN (SELECT DISTINCT slang FROM seeds) l
          | LEFT JOIN prof p ON p.slang = l.slang AND p.g = dp.g
          | GROUP BY 1, 2),
-         |pred AS (SELECT doc_id, cand AS pred FROM (
-         |  SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id ORDER BY d, cand) AS rn
+         |pred AS (SELECT doc_id,
+         |  CASE WHEN hits < 2 THEN 'un' ELSE cand END AS pred FROM (
+         |  SELECT doc_id, cand, d, hits,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY d, cand) AS rn
          |  FROM dist) WHERE rn = 1)
          |SELECT d.lang, coalesce(p.pred, 'un') AS pred, count(*) AS cnt
          |FROM documents d LEFT JOIN pred p USING (doc_id)

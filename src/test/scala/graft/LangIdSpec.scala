@@ -48,9 +48,15 @@ class LangIdSpec extends SparkTestBase {
     assert(df.where(col("pred") =!= col("want")).count() === 0)
   }
 
-  test("no grams => un; null flows through") {
+  test("no grams or unreliable match => un; null flows through") {
     assert(CtKernel.classify("", ranks, 300) === "un")
     assert(CtKernel.classify("12345 67% --- 99", ranks, 300) === "un")
+    // an unseen script shares nothing with any profile: the reliability
+    // ceiling reports un instead of an arbitrary argmin winner (the
+    // pycld2 unreliable->un behavior)
+    assert(CtKernel.classify(
+      "\u043f\u0440\u0438\u0432\u0435\u0442 \u043a\u0430\u043a \u0434\u0435\u043b\u0430 \u0441\u0435\u0433\u043e\u0434\u043d\u044f",
+      ranks, 300) === "un")
     import spark.implicits._
     val df = Seq(Some("the cat"), None, Some("123")).toDF("text")
       .select(LangId.langIdModel(col("text"), profiles).as("p"))
