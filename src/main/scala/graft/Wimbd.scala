@@ -116,8 +116,15 @@ object Wimbd {
   /** wimbd/extension_counts */
   def extensionCounts(docs: DataFrame): DataFrame = UrlOps.extensionCounts(docs, "url")
 
-  /** wimbd/language */
+  /** wimbd/language — stopword-heuristic path (cheap). */
   def languageCounts(docs: DataFrame): DataFrame = Analyses.langIdCounts(docs, "text")
+
+  /** wimbd/language — model path (map_count.py:7-49 uses pycld2; here the
+    * Cavnar–Trenkle classifier with embedded profiles, unreliable → `un`).
+    */
+  def languageCountsModel(docs: DataFrame): DataFrame =
+    operators.LangId.langIdModelCounts(docs, "text", operators.LangId.ctProfiles())
+      .select(col("pred").as("lang"), col("cnt"))
 
   /** wimbd/pii */
   def piiCounts(docs: DataFrame): DataFrame = Analyses.piiCountsGuarded(docs, "text")

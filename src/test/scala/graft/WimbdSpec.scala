@@ -42,6 +42,9 @@ class WimbdSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ext.getOrElse("jpg", 0L) === 1L)
     assert(Wimbd.languageCounts(docs).count() >= 1)
+    assert(Wimbd.languageCountsModel(docs).columns.toSeq === Seq("lang", "cnt"))
+    assert(Wimbd.languageCountsModel(docs).agg(sum("cnt")).head().getLong(0)
+      === docs.count())
     assert(Wimbd.piiCounts(docs).collect().map(_.getLong(1)).sum === 0L)
     assert(Wimbd.taxonomyCounts(docs, Map("animals" -> Seq("fox", "cat")))
       .head().getLong(1) === 2L)
