@@ -92,7 +92,14 @@ object Bench {
       "dedup_rows_per_sec" -> resultMap.get("j2_keep_first").map(nDocs / _),
       "phrase_count_sec" -> resultMap.get("a9_count_phrases"))
       .collect { case (k, Some(v)) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"remeasured":$remeasured,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"remeasured":$remeasured,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log capture keeps only a tail of stdout, which loses
+    // most per-query times — persist the full line to a file as well
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -58,46 +58,78 @@ object Multimodal {
 
   private val ImageFormats = Set("jpeg", "png", "gif", "bmp")
 
+  /** An untrusted web corpus can carry a decompression bomb: a few-KB file
+    * whose header declares astronomical dimensions. Images above this pixel
+    * count are never decoded — they take the byte-histogram fallback.
+    */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   /** Decode a payload to (width, height, embedding). Image containers go
-    * through `javax.imageio`; anything else (or a corrupt image) takes the
-    * deterministic byte-histogram fallback with 0×0 dims.
+    * through `javax.imageio`; anything else (or a corrupt/oversized image)
+    * takes the deterministic byte-histogram fallback with 0×0 dims.
+    *
+    * Bounded on hostile input two ways: dimensions come from the HEADER
+    * before any pixel work (oversized images are skipped, see
+    * [[MaxDecodePixels]]), and the actual decode uses source subsampling so
+    * the allocated raster is ~64×64 regardless of the source resolution —
+    * the full-size image is never materialized. Catches NonFatal, not just
+    * IOException: ImageIO throws RuntimeExceptions (CMMException, negative
+    * array sizes) on crafted payloads and the pipeline must stay total.
     */
   private def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     if (ImageFormats(sniffFormat(bytes))) {
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        if (img != null) return decodeImage(img)
-      } catch { case _: java.io.IOException => () }
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              if (w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels) {
+                val p = reader.getDefaultReadParam
+                // the same 0, sx, 2sx… grid the histogram used to walk
+                // in-memory — identical sampled pixels, but the decoder now
+                // only ever allocates the subsampled raster
+                p.setSourceSubsampling(math.max(1, w / 64), math.max(1, h / 64), 0, 0)
+                val img = reader.read(0, p)
+                if (img != null) return decodeSampled(w, h, img)
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     byteHistogram(bytes)
   }
 
-  /** Exact dims + 16-bin luma histogram sampled on a ≤64×64 grid — work
-    * per asset is bounded no matter how large the image is, and lossless
-    * formats make the embedding exactly reproducible.
+  /** Exact source dims + 16-bin luma histogram over the subsampled raster
+    * (≤ ~64×64 pixels) — work per asset is bounded no matter how large the
+    * source image is, and lossless formats make the embedding exactly
+    * reproducible.
     */
-  private def decodeImage(img: java.awt.image.BufferedImage): (Int, Int, Array[Float]) = {
-    val w = img.getWidth
-    val h = img.getHeight
+  private def decodeSampled(srcW: Int, srcH: Int,
+                            img: java.awt.image.BufferedImage): (Int, Int, Array[Float]) = {
     val hist = new Array[Float](16)
-    val sx = math.max(1, w / 64)
-    val sy = math.max(1, h / 64)
     var n = 0
     var y = 0
-    while (y < h) {
+    while (y < img.getHeight) {
       var x = 0
-      while (x < w) {
+      while (x < img.getWidth) {
         val rgb = img.getRGB(x, y)
         val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
           114 * (rgb & 0xff)) / 1000
         hist(luma >> 4) += 1f
         n += 1
-        x += sx
+        x += 1
       }
-      y += sy
+      y += 1
     }
     val d = math.max(1, n).toFloat
-    (w, h, hist.map(_ / d))
+    (srcW, srcH, hist.map(_ / d))
   }
 
   /** Non-image fallback: normalized 16-bin byte histogram, 0×0 dims. */

@@ -216,7 +216,11 @@ object NgramOps {
       .groupBy("w").agg(count(lit(1)).as("c"))
     // persisted: the offsets branch reads this frame too, and exchange
     // reuse does not fire across differently-projected branches — without
-    // an anchor the corpus explode + agg would run twice
+    // an anchor the corpus explode + agg would run twice.
+    // LIFETIME: blocks stay cached for the session (the returned aggregate
+    // is lazy, so unpersisting here would defeat the anchor) — long-lived
+    // sessions sweeping many corpora should spark.catalog.clearCache()
+    // between workloads; CacheManager dedupes repeat calls on one corpus.
     val local = counts.repartitionByRange(buckets, col("c").desc, col("w").asc)
       .withColumn("b", spark_partition_id())
       .withColumn("lr", row_number().over(

@@ -46,6 +46,11 @@ object Packing {
     // frame is 4 narrow columns (~40 B/row): MEMORY_AND_DISK holds it at
     // any scale the shuffle itself survives, and CacheManager dedupes
     // repeat calls by canonical plan.
+    // LIFETIME: the blocks stay cached until the session ends (the lazily
+    // returned frame still reads them, so this method cannot unpersist) —
+    // a long-lived session interleaving many tokenOffsets/zipfStats calls
+    // over DIFFERENT corpora should spark.catalog.clearCache() between
+    // workloads; repeat calls over the same corpus reuse the one copy.
     val local = ranged.withColumn("local_end",
       sum("n_tokens").over(Window.partitionBy("b").orderBy("ord", "id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -41,6 +41,19 @@ object Similarity {
       .withColumn("__n", norm(col("__v")))
       .select(col(idName), transform(col("__v"), x => x / col("__n")).as(outName))
 
+  /** Fail fast when an id-mod-`step` sample exceeds `cap` rows: counts the
+    * sample through an early-abort limit (one narrow scan — never more than
+    * cap+1 rows move) BEFORE the caller broadcasts or collects it. The
+    * message names the step that would fit this corpus.
+    */
+  private def requireBoundedSample(sample: DataFrame, idCol: String, step: Int,
+                                   cap: Int, op: String): Unit = {
+    val n = sample.select(col(idCol)).limit(cap + 1).count()
+    require(n <= cap,
+      s"$op: step=$step yields more than $cap sampled centroids on this " +
+        s"corpus — raise step (or the cap)")
+  }
+
   /** Exact top-k cosine neighbors for every query row.
     * `queries` must be small enough to broadcast (it is hinted).
     */
@@ -171,10 +184,19 @@ object Similarity {
     * Scale shape: identical to [[ivfAssign]] — broadcast centroids, one
     * scan, max_by hash aggregation (no |base|×|centroids| shuffle), then a
     * cluster-count-sized partial agg.
+    *
+    * The centroid count is n/`step`, a CALLER dial — and the centroids are
+    * broadcast, so a step miscalibrated for the corpus size would grow the
+    * broadcast (and every executor's copy) linearly with n. `maxCentroids`
+    * enforces the "index-sized" contract: the sample is counted first
+    * (a one-column scan with an early-abort limit) and a too-small step
+    * fails fast with the step to use instead of OOMing mid-broadcast.
     */
   def clusterProfile(base: DataFrame, idCol: String, vecCol: String,
-                     step: Int): DataFrame = {
+                     step: Int, maxCentroids: Int = 8192): DataFrame = {
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    requireBoundedSample(b.where(col(idCol) % step === 0), idCol, step,
+      maxCentroids, "clusterProfile")
     val centroids = broadcast(b.where(col(idCol) % step === 0)
       .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
     b.join(centroids)
@@ -199,16 +221,24 @@ object Similarity {
     * centroid. Returns a `(centroid_id, cv)` frame for [[ivfKnnWith]].
     */
   def kmeansCentroids(base: DataFrame, idCol: String, vecCol: String,
-                      step: Int, iters: Int = 3): DataFrame = {
+                      step: Int, iters: Int = 3,
+                      maxCentroids: Int = 8192): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // seed count is n/step — collect through a limit so a miscalibrated
+      // step fails fast (the driver only ever receives maxCentroids+1 rows,
+      // never the unbounded sample)
+      val seedRows = b.where(col(idCol) % step === 0)
+        .select(col(idCol).cast("long"), col("bv"))
+        .limit(maxCentroids + 1).collect()
+      require(seedRows.length <= maxCentroids,
+        s"kmeansCentroids: step=$step yields more than $maxCentroids seed " +
+          s"centroids on this corpus — raise step (or maxCentroids)")
       var centroids: Array[(Long, Seq[Double])] =
-        b.where(col(idCol) % step === 0)
-          .select(col(idCol).cast("long"), col("bv"))
-          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+        seedRows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
       var it = 0
       while (it < iters) {
         val cdf = broadcast(centroids.toSeq.toDF("centroid_id", "cv"))
@@ -368,11 +398,19 @@ object Similarity {
     * reproducible.
     */
   def pqCodebook(base: DataFrame, idCol: String, vecCol: String,
-                 m: Int, step: Int): Array[Array[Array[Double]]] = {
-    val sample = unitProject(base.where(col(idCol) % step === 0), idCol, idCol,
+                 m: Int, step: Int,
+                 maxSample: Int = 8192): Array[Array[Array[Double]]] = {
+    // K = n/step rows land on the driver AND are re-inlined as a plan
+    // literal by pqEncode — collect through a limit so a step miscalibrated
+    // for the corpus size fails fast instead of OOMing the driver
+    val rows = unitProject(base.where(col(idCol) % step === 0), idCol, idCol,
         vecCol, "bv")
       .select(col(idCol).cast("long"), col("bv"))
-      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      .limit(maxSample + 1).collect()
+    require(rows.length <= maxSample,
+      s"pqCodebook: step=$step yields more than $maxSample codebook rows " +
+        s"on this corpus — raise step (or maxSample)")
+    val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty codebook sample — lower step")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

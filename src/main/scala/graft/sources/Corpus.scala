@@ -122,7 +122,18 @@ object Corpus {
     * after = clean resume. `textField` renames to the canonical `text`
     * like the reference's `_update_example`.
     *
-    * Returns the shard ids written this run (empty = already complete).
+    * GROWTH SEMANTICS: the reference resumes a STREAM, so the natural call
+    * pattern re-runs after the input has grown. The highest manifested
+    * shard is therefore always re-written (it may have been partial —
+    * dynamic-partition overwrite makes the rewrite idempotent when nothing
+    * changed), so rows appended since the last run extend the tail shard
+    * instead of being silently dropped into an already-manifested id. The
+    * input must only grow at the TAIL of the `idCol` total order (append-
+    * only): rows inserted below the maximum already-ingested id would
+    * reshuffle earlier shard memberships that this run no longer rewrites.
+    *
+    * Returns the shard ids written this run (empty = already complete and
+    * the input never had a tail shard to re-check).
     */
   def ingestShards(df: DataFrame, idCol: String, outDir: String,
                    recordsPerShard: Long,
@@ -130,7 +141,10 @@ object Corpus {
     require(recordsPerShard > 0, "recordsPerShard must be positive")
     val spark = df.sparkSession
     val renamed = if (textField != "text") df.withColumnRenamed(textField, "text") else df
-    val completed = readIngestManifest(spark, outDir)
+    // the max manifested shard stays re-writable (see GROWTH SEMANTICS)
+    val manifested = readIngestManifest(spark, outDir)
+    val completed =
+      if (manifested.isEmpty) manifested else manifested - manifested.max
     // 0-based row index under the idCol total order, computed without a
     // single-partition window: tokenOffsets with weight 1 per row
     val idx = graft.operators.Packing

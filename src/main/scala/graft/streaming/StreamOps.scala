@@ -102,13 +102,26 @@ object StreamOps {
     * (Deliberately NOT ProcessingTimeTimeout: it makes the micro-batch
     * engine schedule no-data batches continuously — probed:
     * `processAllAvailable` never returns under it.)
+    *
+    * CROSS-USER SKEW: the watermark is GLOBAL — an event whose `ts` lags
+    * the stream's max event time by more than the watermark delay is
+    * dropped as late BEFORE reaching the state function, even though its
+    * own user's session is still open. The delay defaults to the gap
+    * itself (tightest state cleanup); sources where users' clocks or
+    * delivery lag diverge should pass a larger `watermarkMinutes` — flushes
+    * then trail real time by that delay, but no user's in-order events are
+    * lost to another user's faster clock.
     */
   def funnelStream(events: Dataset[Event], gapMinutes: Int,
-                   steps: Seq[String]): Dataset[SessionDepth] = {
+                   steps: Seq[String],
+                   watermarkMinutes: Option[Int] = None): Dataset[SessionDepth] = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val wmMinutes = watermarkMinutes.getOrElse(gapMinutes)
+    require(wmMinutes >= gapMinutes,
+      "watermarkMinutes below the gap would drop in-gap events as late")
     import events.sparkSession.implicits._
     val gapSec = gapMinutes * 60L
-    events.withWatermark("ts", s"$gapMinutes minutes")
+    events.withWatermark("ts", s"$wmMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, SessionDepth](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -84,20 +84,31 @@ class CorpusSpec extends SparkTestBase {
     // shard membership follows the id order deterministically
     assert(back.where(col("shard") === 2).select("id").as[Long]
       .collect().toSet === (20L until 25L).toSet)
-    // complete output: rerun is a no-op
-    assert(Corpus.ingestShards(docs, "id", out, 10, "content").isEmpty)
+    // complete output: rerun re-checks ONLY the tail shard (re-written
+    // identically under dynamic partition overwrite — idempotent) so a
+    // grown input can extend it; earlier shards are never touched
+    assert(Corpus.ingestShards(docs, "id", out, 10, "content") === Seq(2L))
+    assert(spark.read.json(out).count() === 25)
     // crashed-run simulation: the manifest lost shard 2 (write committed,
-    // manifest append didn't) — retry rewrites ONLY shard 2 and does not
-    // duplicate its rows (dynamic partition overwrite)
+    // manifest append didn't) — retry rewrites shard 2 plus the manifested
+    // tail (shard 1, always re-writable) and duplicates nothing
     java.nio.file.Files.write(java.nio.file.Paths.get(out, "_ingest_manifest.txt"),
       "0\n1\n".getBytes("UTF-8"))
     // the direct write above bypassed Hadoop's ChecksumFileSystem — drop
     // the stale .crc sidecar it would validate against
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(out, "._ingest_manifest.txt.crc"))
-    assert(Corpus.ingestShards(docs, "id", out, 10, "content") === Seq(2L))
+    assert(Corpus.ingestShards(docs, "id", out, 10, "content") === Seq(1L, 2L))
     assert(spark.read.json(out).count() === 25)
     assert(Corpus.readIngestManifest(spark, out) === Set(0L, 1L, 2L))
+    // grown input (the stream-resume call pattern): rows appended past the
+    // last run extend the tail shard and spill into new ones — the fixed
+    // completed-set filter would have silently dropped ids 25-29 into the
+    // already-manifested shard 2
+    val grown = (0 until 32).map(i => (i.toLong, s"doc number $i")).toDF("id", "content")
+    assert(Corpus.ingestShards(grown, "id", out, 10, "content") === Seq(2L, 3L))
+    assert(spark.read.json(out).count() === 32)
+    assert(Corpus.readIngestManifest(spark, out) === Set(0L, 1L, 2L, 3L))
   }
 
   test("withFileLineId builds {file}-{line} ids — filename survives the window shuffle") {

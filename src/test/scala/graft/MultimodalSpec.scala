@@ -68,6 +68,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(feat2(0) === 0.5f && feat2(15) === 0.5f)
   }
 
+  test("hostile payloads: corrupt image and decompression-bomb header stay bounded") {
+    import spark.implicits._
+    // PNG magic followed by garbage: ImageIO throws (not always an
+    // IOException) — must fall back, not kill the task
+    val corrupt = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+      Array.fill[Byte](32)(0x41)
+    // valid signature + IHDR (correct CRC) declaring 16384×16384 = 268M
+    // pixels: the header parses, but pixel decode must be refused by the
+    // MaxDecodePixels cap before any raster allocation
+    val bomb = pngHeaderOnly(16384, 16384)
+    val out = Multimodal.extractFeatures(
+        Seq((1L, corrupt), (2L, bomb)).toDF("media_id", "data"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getString(1) === "png")
+      // 0×0 dims = the deterministic byte-histogram fallback ran
+      assert(out(id).getInt(3) === 0 && out(id).getInt(4) === 0)
+      val feat = out(id).getSeq[Float](5)
+      assert(feat.length === 16 && math.abs(feat.sum - 1.0f) < 1e-4)
+    }
+  }
+
+  private def pngHeaderOnly(w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val chunk = ihdr.array()
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk)
+    bos.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+    bos.write(chunk)
+    bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    bos.toByteArray
+  }
+
   test("near-dup catches the same image re-rendered at another resolution") {
     import spark.implicits._
     val media = Seq(

@@ -25,6 +25,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(c - 1.0 / math.sqrt(2)) < 1e-9)
   }
 
+  test("sampling dials fail fast when step yields more centroids than the cap") {
+    // 5 rows, step=1 → 5 sampled centroids > cap 2: each guard must throw
+    // BEFORE broadcasting/collecting an unbounded sample (driver-OOM guard)
+    val eCp = intercept[IllegalArgumentException] {
+      Similarity.clusterProfile(vecs, "vec_id", "embedding", step = 1,
+        maxCentroids = 2).collect()
+    }
+    assert(eCp.getMessage.contains("raise step"))
+    val eKm = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(vecs, "vec_id", "embedding", step = 1,
+        iters = 1, maxCentroids = 2).collect()
+    }
+    assert(eKm.getMessage.contains("raise step"))
+    val ePq = intercept[IllegalArgumentException] {
+      Similarity.pqCodebook(vecs, "vec_id", "embedding", m = 3, step = 1,
+        maxSample = 2)
+    }
+    assert(ePq.getMessage.contains("raise step"))
+    // at the default cap the same calls succeed — the guard is inert on
+    // correctly-sized samples
+    assert(Similarity.clusterProfile(vecs, "vec_id", "embedding", step = 2)
+      .collect().nonEmpty)
+  }
+
   test("bruteForceKnn ranks parallel > diagonal > orthogonal > opposite") {
     val out = Similarity.bruteForceKnn(vecs, vecs.where(col("vec_id") === 0),
       "vec_id", "embedding", k = 4).collect()
