@@ -85,8 +85,13 @@ object Dedup {
                           expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = a.stat.bloomFilter(aKey.cast("string"), expectedItems, fpp)
     val bc = b.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    b.where(!mightContain(bKey.cast("string")))
+    // codegen'd probe (not a ScalaUDF): the filter stage fuses into B's
+    // scan. NULL keys probe to NULL — coalesce keeps those rows, matching
+    // the `s != null && mightContain` udf this replaces.
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.BloomMightContain(
+        org.apache.spark.sql.graft.Bridge.expression(bKey.cast("string")), bc))
+    b.where(!coalesce(probe, lit(false)))
   }
 
   /** Fuzzy decontamination (the GPT-3/Llama posture: benchmark leakage

@@ -347,6 +347,24 @@ class DedupScaleSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(!keptApprox.contains(98L) && !keptApprox.contains(99L)) // no false negatives
     assert(keptApprox.subsetOf(keptExact)) // FPs only ever drop extra
+    // NULL keys survive (same policy as the udf the codegen probe replaced)
+    val withNull = b.union(Seq((100L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val keptNull = graft.operators.Dedup.decontaminateApprox(
+        withNull, md5(col("text")), a, md5(col("text")), 10L, 0.001)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptNull.contains(100L))
+    // the probe is a codegen expression, not a ScalaUDF black box — the
+    // whole filter fuses into the scan stage (a file-backed frame: local
+    // relations constant-fold the filter away before it reaches the plan)
+    val tmp = java.nio.file.Files.createTempDirectory("bloomplan").toString
+    b.write.mode("overwrite").parquet(tmp)
+    val plan = graft.operators.Dedup.decontaminateApprox(
+        spark.read.parquet(tmp), md5(col("text")), a, md5(col("text")), 10L, 0.001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    assert(plan.contains("graft_bloom_might_contain"), plan)
+    // "*(1) Filter" = the filter landed inside whole-stage-codegen span 1
+    assert(plan.contains("*(1) Filter"), plan)
   }
 
   test("ngram contamination scores test docs against a train corpus") {
