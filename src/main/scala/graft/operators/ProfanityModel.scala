@@ -58,7 +58,8 @@ object ProfanityModel {
                     lists: Map[String, Seq[String]],
                     regParam: Double = 0.1, maxIter: Int = 25,
                     maxFitRows: Long = 1L << 20, fitPartitions: Int = 4): Model = {
-    val n = df.count()
+    // footer-metadata read on a bare table — no job charged to the fit
+    val n = graft.sources.Corpus.fastRowCount(df)
     val base = if (n > maxFitRows)
       Analyses.hashStratifiedSample(df, col(idCol), lit("all"), Map.empty,
         maxFitRows.toDouble / n)

@@ -29,11 +29,13 @@ object QualityClassifier {
 
   /** The signal frame both fit and score consume: [[TextQuality]] quality
     * features plus length — all plain double columns keyed by `idCol`.
+    * ONE scan projection: log_chars rides in the qualityFeatures select
+    * (the previous self-join on the id shuffled the whole corpus twice on
+    * the 100 TB scoring path for columns one projection expresses).
     */
   def features(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    TextQuality.qualityFeatures(df, idCol, textCol)
-      .join(df.select(col(idCol),
-        log1p(length(col(textCol))).as("log_chars")), Seq(idCol))
+    TextQuality.qualityFeatures(df, idCol, textCol,
+      extra = Seq(log1p(length(col(textCol))).as("log_chars")))
 
   /** Column list [[features]] produces (order matters for the model). */
   val FeatureCols: Seq[String] =
@@ -85,15 +87,24 @@ object QualityClassifier {
     // contract: corpora beyond maxFitRows are deterministically
     // hash-sampled down first (md5-prefix Bernoulli — reproducible), so
     // coalesce(fitPartitions) and the per-step treeAggregate never see a
-    // corpus-sized frame no matter what the caller passes. The count is a
-    // parquet-metadata read, not a scan.
-    val n = df.count()
+    // corpus-sized frame no matter what the caller passes. On a bare table
+    // the count is a real footer-metadata read (zero jobs) — the r5
+    // df.count() here charged a full job to every fit and showed up as a
+    // steady ~0.4 s regression on t_quality_clf.
+    val n = graft.sources.Corpus.fastRowCount(df)
     val base = if (n > maxFitRows)
       Analyses.hashStratifiedSample(df, col(idCol), lit("all"), Map.empty,
         maxFitRows.toDouble / n)
     else df
-    val labels = TextQuality.gopherFilter(base, idCol, textCol)
-      .select(col(idCol), col("keep").cast("double").as("__weak_label"))
+    // signals + gopher verdict fused into one scan pipeline: the feature
+    // columns ride through gopherFilter's projection as passthrough, so
+    // the labeled frame is projections over a single read — the previous
+    // features-JOIN-labels shape shuffled the fit corpus twice for columns
+    // one pass expresses.
+    val featured = TextQuality.qualityFeatures(base, idCol, textCol,
+      extra = Seq(log1p(length(col(textCol))).as("log_chars"), col(textCol)))
+    val labeled0 = TextQuality.gopherFilter(featured, idCol, textCol,
+      passthrough = FeatureCols)
     // localCheckpoint: every L-BFGS iteration re-reads the labeled frame —
     // don't recompute the gopher gate + feature projections per step.
     // coalesce first: every L-BFGS step is one treeAggregate job over the
@@ -101,7 +112,9 @@ object QualityClassifier {
     // near-empty tasks of pure scheduling overhead (measured: the fit
     // dominated the query). Size fitPartitions to the fit set
     // (≈1 per few hundred k rows).
-    val labeled = features(base, idCol, textCol).join(labels, Seq(idCol))
+    val labeled = labeled0
+      .select(col(idCol) +: FeatureCols.map(col) :+
+        col("keep").cast("double").as("__weak_label"): _*)
       .coalesce(fitPartitions)
       .localCheckpoint(eager = true)
     // weak labels don't merit tight convergence: cap the iteration count

@@ -75,11 +75,17 @@ object TextQuality {
       .drop("__lorem")
   }
 
+  /** `extra` columns ride in the SAME scan projection — callers that need
+    * the signals next to other per-doc columns (text, length transforms)
+    * should pass them here rather than self-joining on the id, which costs
+    * a corpus-wide shuffle for what one projection expresses.
+    */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
-                      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+                      stopwords: Seq[String] = defaultStopwords,
+                      extra: Seq[Column] = Nil): DataFrame = {
     val toks = split(col(textCol), " ")
     val stopArr = array(stopwords.map(lit): _*)
-    df.select(
+    df.select(Seq(
       col(idCol),
       size(toks).cast("long").as("n_tokens"),
       round(length(col(textCol)).cast("double") / size(toks), 6).as("mean_token_len"),
@@ -88,6 +94,7 @@ object TextQuality {
       round(size(filter(toks, t => length(t) <= 2)).cast("double") / size(toks), 6)
         .as("short_token_ratio"),
       round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("uniq_ratio"))
+      ++ extra: _*)
   }
 
   /** Gopher-rules-flavored quality score in [0,1]: reward stopword presence

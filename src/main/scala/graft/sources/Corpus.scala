@@ -30,6 +30,44 @@ object Corpus {
     StructField("source", StringType),
     StructField("metadata", MapType(StringType, StringType))))
 
+  /** Row count without a distributed job when the frame is a BARE parquet
+    * scan (no filter/projection survives optimization above the relation):
+    * sums the record counts from the parquet footers — a driver-side
+    * metadata read, zero cluster passes. Any other plan shape falls back
+    * to `df.count()`, as do scans with more than `maxFooterFiles` files
+    * (reading 100k footers serially on the driver would be slower than
+    * one distributed count — at that scale the count job amortizes).
+    *
+    * This is what makes the `maxFitRows` guards in the model-fit paths
+    * (QualityClassifier, ProfanityModel) free on the common
+    * fit-on-a-table call shape: the guard needs n only to decide whether
+    * to down-sample, and a metadata read answers that without charging a
+    * job to every fit.
+    */
+  def fastRowCount(df: DataFrame, maxFooterFiles: Int = 256): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
+          val files = fs.location.inputFiles
+          if (files.isEmpty) 0L
+          else if (files.length > maxFooterFiles) df.count()
+          else {
+            val conf = df.sparkSession.sessionState.newHadoopConf()
+            files.map { f =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }.sum
+          }
+        case _ => df.count()
+      }
+      case _ => df.count()
+    }
+  }
+
   /** S1-S5: read JSONL(.gz) shards.
     * @param perFileLimit reference `--limit`: first N rows of EACH file
     *        (src/cmd/util.rs:72-81) — not a global limit

@@ -111,6 +111,21 @@ class CorpusSpec extends SparkTestBase {
     assert(Corpus.readIngestManifest(spark, out) === Set(0L, 1L, 2L, 3L))
   }
 
+  test("fastRowCount: footer metadata on bare parquet scans, count() fallback elsewhere") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("frc").toString
+    (1 to 137).map(i => (i.toLong, s"d$i")).toDF("id", "text")
+      .repartition(3).write.mode("overwrite").parquet(tmp)
+    val bare = spark.read.parquet(tmp)
+    assert(Corpus.fastRowCount(bare) === 137L)
+    // a filter above the relation must fall back to the real count
+    assert(Corpus.fastRowCount(bare.where(col("id") <= 10)) === 10L)
+    // too many files for driver-side footer reads: falls back, same answer
+    assert(Corpus.fastRowCount(bare, maxFooterFiles = 1) === 137L)
+    // non-parquet frames fall back too
+    assert(Corpus.fastRowCount(Seq((1L, "x")).toDF("id", "text")) === 1L)
+  }
+
   test("withFileLineId builds {file}-{line} ids — filename survives the window shuffle") {
     val ids = Corpus.withFileLineId(
         Corpus.readJsonl(spark, Seq(dir.toString + "/*.json.gz")), "id")
