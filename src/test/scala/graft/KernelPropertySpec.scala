@@ -104,6 +104,53 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("phrase slop differential: both kernels match brute-force enumeration at slop 0-4") {
+    // naive insertion-budget semantics: some increasing position tuple
+    // spells the phrase with span − length ≤ slop
+    def naiveInsertion(toks: Seq[String], phrase: Seq[String], slop: Int): Boolean = {
+      val m = phrase.length
+      if (m == 0) return true
+      def rec(pi: Int, prev: Int, first: Int): Boolean =
+        if (pi == m) (prev - first + 1 - m) <= slop
+        else (prev + 1 until toks.length).exists(p =>
+          toks(p) == phrase(pi) && rec(pi + 1, p, first))
+      toks.indices.exists(f => toks(f) == phrase.head && rec(1, f, f))
+    }
+    // naive Lucene move-distance semantics: DISTINCT doc positions p_i with
+    // token(p_i) = term_i and max(p_i − i) − min(p_i − i) ≤ slop — full
+    // tuple enumeration, no greedy shortcut
+    def naiveLucene(toks: Seq[String], phrase: Seq[String], slop: Int): Boolean = {
+      val m = phrase.length
+      if (m == 0) return true
+      val cands = phrase.map(t => toks.indices.filter(i => toks(i) == t))
+      def rec(pi: Int, chosen: List[Int]): Boolean =
+        if (pi == m) {
+          val adj = chosen.reverse.zipWithIndex.map { case (p, i) => p - i }
+          adj.max - adj.min <= slop
+        } else cands(pi).exists(p => !chosen.contains(p) && rec(pi + 1, p :: chosen))
+      rec(0, Nil)
+    }
+    // tiny alphabet forces repeated terms (the hard case for both kernels:
+    // shared candidate lists + used-position clashes)
+    val alpha = Seq("a", "b", "c")
+    (1 to 2000).foreach { _ =>
+      val toks = Seq.fill(1 + rng.nextInt(10))(alpha(rng.nextInt(alpha.length)))
+      val phrase = Seq.fill(1 + rng.nextInt(4))(alpha(rng.nextInt(alpha.length)))
+      (0 to 4).foreach { slop =>
+        assert(PhraseMatchKernel.matches(arr(toks), arr(phrase), slop) ===
+          naiveInsertion(toks, phrase, slop),
+          s"insertion: toks=$toks phrase=$phrase slop=$slop")
+        assert(PhraseMatchKernel.matchesLucene(arr(toks), arr(phrase), slop) ===
+          naiveLucene(toks, phrase, slop),
+          s"lucene: toks=$toks phrase=$phrase slop=$slop")
+      }
+    }
+    // the documented divergence between the two semantics: a transposition
+    // costs 2 moves in Lucene but can never be bought with insertions
+    assert(PhraseMatchKernel.matchesLucene(arr(Seq("b", "a")), arr(Seq("a", "b")), 2))
+    assert(!PhraseMatchKernel.matches(arr(Seq("b", "a")), arr(Seq("a", "b")), 4))
+  }
+
   test("minhash: permutation-invariant over shingle multisets, length k") {
     (1 to 200).foreach { _ =>
       val toks = randTokens(15)
