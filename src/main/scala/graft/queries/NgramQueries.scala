@@ -114,7 +114,74 @@ object NgramQueries extends QueryPack {
             size(split(col("text"), " ")).cast("long").as("value")))).as("d"))
         .select(col("d.dim").as("dim"), col("d.value").as("value"))
         .groupBy("dim", "value").agg(count(lit(1)).as("cnt"))
-        .orderBy("dim", "value"))
+        .orderBy("dim", "value")),
+
+    // A4 + J3-approx contracts made driver-checkable: the approximate
+    // surfaces' VALUES aren't SQL-replayable (CMS estimates, HLL, Bloom
+    // bits), but their bound contracts are — each row counts violations
+    // that must be zero BY CONSTRUCTION (CMS never under-counts, a Bloom
+    // filter never false-negatives, HLL's deterministic estimate sits
+    // inside a generous tolerance). The oracle replays the exact sides
+    // (checked counts) and asserts the zeros; a sketch bug shows up as a
+    // non-zero violations cell and a hash mismatch.
+    "a4_sketch_contract" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      def contractRow(df: DataFrame, name: String) =
+        df.select(lit(name).as("contract"), col("checked").cast("long"),
+          col("violations").cast("long"))
+      // CMS top-k: every reported estimate ≥ the exact count of that gram
+      // and ≤ the total gram stream size
+      val approx = NgramOps.topKApprox(d, "text", n = 2, k = 20, uax29 = false)
+      val exact = graft.Par.fanOut(d)
+        .select(explode(graft.functions.TextFunctions.ngrams(
+          split(col("text"), " "), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("exact_cnt"))
+      val joined = approx.join(exact, "ngram")
+      val cmsLower = contractRow(joined.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("count") < col("exact_cnt"), 1L).otherwise(0L)).as("violations")),
+        "cms_no_underestimate")
+      val cmsUpper = contractRow(
+        joined.crossJoin(exact.agg(sum("exact_cnt").as("tot"))).agg(
+          count(lit(1)).as("checked"),
+          sum(when(col("count") > col("tot"), 1L).otherwise(0L)).as("violations")),
+        "cms_estimate_capped")
+      // HLL unique: deterministic estimate within 15% of exact (rsd 0.05)
+      val hll = contractRow(
+        NgramOps.uniqueApprox(d, "text", n = 1, rsd = 0.05, uax29 = false)
+          .select(col("n_unique").as("approx"))
+          .crossJoin(NgramOps.uniqueExact(d, "text", n = 1, uax29 = false)
+            .select(col("n_unique").as("exact")))
+          .select(lit(1L).as("checked"),
+            when(abs(col("approx") - col("exact")) >
+              lit(0.15) * col("exact"), 1L).otherwise(0L).as("violations")),
+        "hll_unique_tolerance")
+      // Bloom decontamination vs the exact anti-join: nothing contaminated
+      // survives (no false negatives), and the approx-kept set only ever
+      // shrinks the exact-kept set (false positives drop extra)
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val benchTexts = bench.select(col("text").as("__bt")).distinct()
+      val keptApprox = graft.operators.Dedup.decontaminateApprox(
+        d, md5(col("text")), bench, md5(col("text")),
+        expectedItems = 1000L, fpp = 0.001)
+      val keptExact = graft.operators.Dedup.decontaminate(
+        d, md5(col("text")), bench, md5(col("text")))
+      val noFalseNeg = contractRow(
+        d.join(benchTexts, col("text") === col("__bt"), "left_semi")
+          .agg(count(lit(1)).as("checked"))
+          .crossJoin(keptApprox
+            .join(benchTexts, col("text") === col("__bt"), "left_semi")
+            .agg(count(lit(1)).as("violations"))),
+        "bloom_no_false_negative")
+      val subset = contractRow(
+        keptExact.agg(count(lit(1)).as("checked"))
+          .crossJoin(keptApprox.join(keptExact.select("doc_id"),
+              Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("violations"))),
+        "bloom_subset_of_exact")
+      cmsLower.union(cmsUpper).union(hll).union(noFalseNeg).union(subset)
+        .orderBy("contract")
+    })
   )
 
   override val oracles: Map[String, String] = Map(
@@ -256,6 +323,30 @@ object NgramQueries extends QueryPack {
         |  SELECT 'chars' AS dim, CAST(length(text) AS BIGINT) AS value FROM documents
         |  UNION ALL
         |  SELECT 'tokens', CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents
-        |) GROUP BY dim, value ORDER BY dim, value""".stripMargin
+        |) GROUP BY dim, value ORDER BY dim, value""".stripMargin,
+
+    // the exact sides (checked counts) are genuinely replayed; the zero
+    // violation cells are the CONTRACT — a sketch bound break on the Spark
+    // side hash-mismatches against them
+    "a4_sketch_contract" ->
+      s"""WITH ex AS (SELECT ngram, count(*) AS c FROM (${ng(2)}) GROUP BY ngram),
+         |ng2 AS (SELECT count(*) AS c FROM ex),
+         |bench AS (SELECT DISTINCT text FROM documents WHERE doc_id % 20 = 0),
+         |cont AS (SELECT count(*) AS c FROM documents d
+         |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.text = d.text)),
+         |keptex AS (SELECT count(*) AS c FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.text = d.text))
+         |SELECT * FROM (
+         | SELECT 'bloom_no_false_negative' AS contract,
+         |  CAST(cont.c AS BIGINT) AS checked, CAST(0 AS BIGINT) AS violations FROM cont
+         | UNION ALL
+         | SELECT 'bloom_subset_of_exact', CAST(keptex.c AS BIGINT), CAST(0 AS BIGINT) FROM keptex
+         | UNION ALL
+         | SELECT 'cms_estimate_capped', CAST(LEAST(20, ng2.c) AS BIGINT), CAST(0 AS BIGINT) FROM ng2
+         | UNION ALL
+         | SELECT 'cms_no_underestimate', CAST(LEAST(20, ng2.c) AS BIGINT), CAST(0 AS BIGINT) FROM ng2
+         | UNION ALL
+         | SELECT 'hll_unique_tolerance', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+         |) ORDER BY contract""".stripMargin
   )
 }
