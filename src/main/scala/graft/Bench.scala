@@ -99,7 +99,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    catch {
+      // stdout already carries the line; losing the file copy must not
+      // fail the bench, but it must not be silent either
+      case e: java.io.IOException =>
+        System.err.println(s"bench: failed to persist $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -44,6 +44,19 @@ case class BloomMightContain(child: Expression, filter: Broadcast[BloomFilter])
     defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
   }
 
+  // Broadcast has reference equality only, so the derived case-class
+  // equals would never let two semantically identical probes compare (or
+  // canonicalize) equal — defeating plan-cache and exchange-reuse matching
+  // across separate decontaminateApprox calls. The broadcast id identifies
+  // the immutable broadcast value, so it is the right equality token.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain => child == b.child && filter.id == b.filter.id
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[BloomMightContain], child,
+      java.lang.Long.valueOf(filter.id))
+
   protected override def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }

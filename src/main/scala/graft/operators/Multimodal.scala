@@ -64,6 +64,14 @@ object Multimodal {
     */
   private val MaxDecodePixels = 64L * 1024 * 1024
 
+  /** Per-dimension ceiling independent of the pixel-count cap: a crafted
+    * header declaring e.g. 64M×1 passes the area check, but the decoder's
+    * per-ROW buffer scales with width alone and can transiently allocate
+    * hundreds of MB before subsampling applies. Either dimension above
+    * this takes the byte-histogram fallback.
+    */
+  private val MaxDecodeDim = 1 << 16
+
   /** Decode a payload to (width, height, embedding). Image containers go
     * through `javax.imageio`; anything else (or a corrupt/oversized image)
     * takes the deterministic byte-histogram fallback with 0×0 dims.
@@ -89,7 +97,8 @@ object Multimodal {
               reader.setInput(iis, true, true)
               val w = reader.getWidth(0)
               val h = reader.getHeight(0)
-              if (w > 0 && h > 0 && w.toLong * h <= MaxDecodePixels) {
+              if (w > 0 && h > 0 && w <= MaxDecodeDim && h <= MaxDecodeDim &&
+                  w.toLong * h <= MaxDecodePixels) {
                 val p = reader.getDefaultReadParam
                 // the same 0, sx, 2sx… grid the histogram used to walk
                 // in-memory — identical sampled pixels, but the decoder now

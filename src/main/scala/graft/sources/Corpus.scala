@@ -54,13 +54,21 @@ object Corpus {
           if (files.isEmpty) 0L
           else if (files.length > maxFooterFiles) df.count()
           else {
-            val conf = df.sparkSession.sessionState.newHadoopConf()
-            files.map { f =>
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try r.getRecordCount finally r.close()
-            }.sum
+            // the relation's datasource options can carry filesystem
+            // config/credentials the session conf lacks — merge them, and
+            // treat any footer-read failure (transient IO, odd FS) as a
+            // cue to fall back to the distributed count rather than throw
+            // where df.count() would have succeeded
+            val conf = df.sparkSession.sessionState
+              .newHadoopConfWithOptions(fs.options)
+            try {
+              files.map { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }.sum
+            } catch { case scala.util.control.NonFatal(_) => df.count() }
           }
         case _ => df.count()
       }
