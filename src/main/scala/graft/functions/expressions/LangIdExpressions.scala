@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Contract (shared verbatim by the DuckDB oracle, which replays BOTH
   * training and classification in SQL — see AnalysisQueries):
-  *  - words = lowercase(text) split on runs of non-letters (`[^\p{L}]+`)
+  *  - words = lowercase(text) split on runs of non-letters
+  *    (`[^\p{L}\p{M}]+` — combining marks stay inside words, or Devanagari
+  *    matras, Thai vowel signs and Arabic harakat would shred every word)
   *  - each word padded `_w_`; character n-grams n = 1..5 over the padding
   *  - a profile is the top-K grams by (count desc, gram asc) — K = 300
   *    in the classic paper, rank 1-based
@@ -31,7 +33,7 @@ object CtKernel {
   val MaxN = 5
   val DefaultTopK = 300
 
-  private val splitter = java.util.regex.Pattern.compile("[^\\p{L}]+")
+  private val splitter = java.util.regex.Pattern.compile("[^\\p{L}\\p{M}]+")
 
   /** Padded char n-gram counts of a document. */
   def grams(text: String): java.util.HashMap[String, Integer] = {

@@ -27,7 +27,12 @@ object DuckSql {
       else { flush(); parts += s"chr(${c.toInt})" }
     }
     flush()
-    if (parts.isEmpty) "''" else parts.mkString(" || ")
+    // variadic concat, not a || chain: DuckDB binds || as a nested binary
+    // tree and overflows its 128-deep binder recursion on non-Latin seeds
+    // where nearly every char is a chr(n) part
+    if (parts.isEmpty) "''"
+    else if (parts.size == 1) parts.head
+    else s"concat(${parts.mkString(", ")})"
   }
 
   /** Golden-fixture oracle for queries DuckDB cannot express (iterative
@@ -53,6 +58,6 @@ object DuckSql {
     s"""SELECT $keyCol, unnest(flatten(list_transform([1,2,3,4,5], n ->
        |   list_transform(generate_series(1, length(pw) - n + 1), i -> substr(pw, i, n))))) AS g
        | FROM (SELECT $keyCol, '_' || w || '_' AS pw FROM (
-       |   SELECT $keyCol, unnest(regexp_split_to_array(lower($textExpr), '[^\\p{L}]+')) AS w
+       |   SELECT $keyCol, unnest(regexp_split_to_array(lower($textExpr), '[^\\p{L}\\p{M}]+')) AS w
        |   FROM $src) WHERE w <> '')""".stripMargin
 }

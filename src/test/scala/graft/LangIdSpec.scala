@@ -6,8 +6,9 @@ import graft.functions.expressions.CtKernel
 import graft.operators.LangId
 
 /** Golden tests for the Cavnar\u2013Trenkle language-ID model path (P6): the
-  * held-out sentences here appear nowhere in the training seeds, so they
-  * check genuine char-ngram generalization, not memorization.
+  * held-out sentences (LangIdHeldOut) appear nowhere in the training
+  * seeds, so they check genuine char-ngram generalization, not
+  * memorization \u2014 one per seed language, 37 languages / 12 scripts.
   */
 class LangIdSpec extends SparkTestBase {
 
@@ -15,37 +16,44 @@ class LangIdSpec extends SparkTestBase {
   private lazy val ranks =
     profiles.sortBy(_._1).map { case (l, gs) => (l, CtKernel.rankMap(gs)) }.toArray
 
-  test("one profile per seed language, each dense and led by frequent short grams") {
-    assert(profiles.map(_._1).sorted ===
-      Seq("de", "en", "es", "fr", "it", "nl", "pt", "zh"))
+  test("one profile per seed language, each dense, boundary gram present") {
+    assert(profiles.map(_._1).sorted === LangIdHeldOut.samples.map(_._2).sorted)
+    assert(profiles.size >= 30, s"only ${profiles.size} languages")
     profiles.foreach { case (lang, gs) =>
       assert(gs.size > 100, s"$lang profile too small: ${gs.size}")
       assert(gs.distinct.size === gs.size, s"$lang profile has duplicate grams")
-      // the underscore pad (word boundary) is the most frequent unigram in
-      // any letter-script profile
-      assert(gs.head === "_", s"$lang head gram was ${gs.head}")
+      // the underscore pad (word boundary) ranks high in every profile; in
+      // space-free scripts (zh/ja/th) long letter runs dilute it below the
+      // head slot, so assert presence, not rank 1
+      assert(gs.contains("_"), s"$lang profile lost the boundary gram")
     }
   }
 
-  test("golden: held-out sentences classify to their language") {
-    val samples = Seq(
-      "the students are writing letters to their friends about the long journey home" -> "en",
-      "die kinder lesen abends viele b\u00fccher und trinken warme milch in der k\u00fcche" -> "de",
-      "los estudiantes escriben cartas a sus amigos sobre el largo viaje a casa" -> "es",
-      "les \u00e9tudiants \u00e9crivent des lettres \u00e0 leurs amis au sujet du long voyage" -> "fr",
-      "gli studenti scrivono lettere ai loro amici sul lungo viaggio verso casa" -> "it",
-      "os estudantes escrevem cartas aos seus amigos sobre a longa viagem para casa" -> "pt",
-      "de studenten schrijven brieven aan hun vrienden over de lange reis naar huis" -> "nl",
-      "\u5b66\u751f\u4eec\u7ed9\u4ed6\u4eec\u7684\u670b\u53cb\u5199\u4fe1\u8bb2\u8ff0\u56de\u5bb6\u7684\u6f2b\u957f\u65c5\u7a0b" -> "zh")
-    samples.foreach { case (text, want) =>
+  test("golden: held-out sentences classify to their language, all 37") {
+    val misses = LangIdHeldOut.samples.flatMap { case (text, want) =>
       val got = CtKernel.classify(text, ranks, CtKernel.DefaultTopK)
-      assert(got === want, s"'${text.take(30)}...' => $got, wanted $want")
+      if (got != want) Some(s"'${text.take(30)}...' => $got, wanted $want") else None
     }
+    assert(misses.isEmpty, misses.mkString("\n"))
     // and through the DataFrame surface (codegen'd expression path)
     import spark.implicits._
-    val df = samples.toDF("text", "want")
+    val df = LangIdHeldOut.samples.toDF("text", "want")
       .withColumn("pred", LangId.langIdModel(col("text"), profiles))
     assert(df.where(col("pred") =!= col("want")).count() === 0)
+  }
+
+  test("combining-mark scripts survive the word splitter intact") {
+    // Devanagari matras / Thai vowel signs / Arabic harakat are \p{M}, not
+    // \p{L}: a splitter of [^\p{L}]+ would shred these words and the grams
+    // would be mark-free fragments. Check a marked word stays one word.
+    // the full padded word is 6 chars (> MaxN), so check the 5-gram prefix
+    // spanning letter+mark+letter+mark, and that the shredded single-letter
+    // word the old splitter would produce is absent
+    val g = CtKernel.grams("\u0924\u0947\u091c\u093c") // single Hindi word with matras
+    assert(g.containsKey("_\u0924\u0947\u091c\u093c"),
+      "combining marks were split out of the word")
+    assert(!g.containsKey("_\u0924_"),
+      "word was shredded at the combining mark")
   }
 
   test("no grams or unreliable match => un; null flows through") {
@@ -53,9 +61,9 @@ class LangIdSpec extends SparkTestBase {
     assert(CtKernel.classify("12345 67% --- 99", ranks, 300) === "un")
     // an unseen script shares nothing with any profile: the reliability
     // ceiling reports un instead of an arbitrary argmin winner (the
-    // pycld2 unreliable->un behavior)
+    // pycld2 unreliable->un behavior). Georgian is not a seed language.
     assert(CtKernel.classify(
-      "\u043f\u0440\u0438\u0432\u0435\u0442 \u043a\u0430\u043a \u0434\u0435\u043b\u0430 \u0441\u0435\u0433\u043e\u0434\u043d\u044f",
+      "\u10d2\u10d0\u10db\u10d0\u10e0\u10ef\u10dd\u10d1\u10d0 \u10e0\u10dd\u10d2\u10dd\u10e0 \u10ee\u10d0\u10e0",
       ranks, 300) === "un")
     import spark.implicits._
     val df = Seq(Some("the cat"), None, Some("123")).toDF("text")
@@ -67,7 +75,8 @@ class LangIdSpec extends SparkTestBase {
   test("charGrams column mirrors the kernel gram multiset (incl. short words)") {
     import spark.implicits._
     val texts = Seq("a bc def ghij klmno pqrstu", "  ", "d'une l\u00e0 \u4eca\u5929",
-      "the quick brown fox")
+      "the quick brown fox",
+      "\u0915\u093f\u0938\u0940 \u092d\u093e\u0937\u093e \u0915\u093e") // marked Devanagari
     val rows = texts.toDF("text")
       .select(col("text"), LangId.charGrams(col("text")).as("gs")).collect()
     rows.foreach { r =>
