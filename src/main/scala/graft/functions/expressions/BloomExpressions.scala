@@ -48,9 +48,13 @@ case class BloomMightContain(child: Expression, filter: Broadcast[BloomFilter])
   // equals would never let two semantically identical probes compare (or
   // canonicalize) equal — defeating plan-cache and exchange-reuse matching
   // across separate decontaminateApprox calls. The broadcast id identifies
-  // the immutable broadcast value, so it is the right equality token.
+  // the immutable broadcast value within one SparkContext, so it is the
+  // right equality token; two broadcasts of bit-identical filter contents
+  // still compare unequal (a missed reuse, never a correctness issue), and
+  // cross-context comparison is out of scope.
   override def equals(other: Any): Boolean = other match {
-    case b: BloomMightContain => child == b.child && filter.id == b.filter.id
+    case b: BloomMightContain =>
+      (this eq b) || (child == b.child && filter.id == b.filter.id)
     case _ => false
   }
   override def hashCode(): Int =

@@ -68,7 +68,15 @@ object Corpus {
                 val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
                 try r.getRecordCount finally r.close()
               }.sum
-            } catch { case scala.util.control.NonFatal(_) => df.count() }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                // loud fallback: a persistent misconfiguration (bad
+                // credentials, odd FS) would otherwise silently degrade
+                // EVERY fastRowCount to a full distributed count
+                System.err.println(
+                  s"graft: parquet footer count failed ($e); falling back to df.count()")
+                df.count()
+            }
           }
         case _ => df.count()
       }

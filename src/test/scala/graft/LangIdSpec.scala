@@ -18,7 +18,8 @@ class LangIdSpec extends SparkTestBase {
 
   test("one profile per seed language, each dense, boundary gram present") {
     assert(profiles.map(_._1).sorted === LangIdHeldOut.samples.map(_._2).sorted)
-    assert(profiles.size >= 30, s"only ${profiles.size} languages")
+    assert(profiles.size === LangIdHeldOut.samples.size,
+      s"seed/held-out language count drift: ${profiles.size}")
     profiles.foreach { case (lang, gs) =>
       assert(gs.size > 100, s"$lang profile too small: ${gs.size}")
       assert(gs.distinct.size === gs.size, s"$lang profile has duplicate grams")
