@@ -118,6 +118,12 @@ object GraftExtensions {
     ("graft_langid",
       "graft_langid(text): Cavnar–Trenkle language code under the embedded seed profiles ('un' when no letters)",
       (args: Seq[Expression]) => CtLangId(args.head,
-        graft.operators.LangId.ctProfiles()))
+        graft.operators.LangId.ctProfiles())),
+    ("graft_valence",
+      "graft_valence(tokens): [n_assessed, polarity] under the embedded English valence lexicon (intensifiers + negation)",
+      (args: Seq[Expression]) => ValencePolarity(args.head,
+        graft.operators.Valence.default.toSeq.sortBy(_._1),
+        graft.operators.Valence.boosters.toSeq.sortBy(_._1),
+        graft.operators.Valence.negators.distinct.sorted))
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
-import graft.functions.expressions.{NGramsJoined, Tokenize}
+import graft.functions.expressions.{NGramsJoined, Tokenize, ValencePolarity}
 
 /** Column-API surface for the text kernels. Everything here produces stock
   * Catalyst plans (custom expressions are codegen'd scalar calls, so they sit
@@ -63,4 +63,16 @@ object TextFunctions {
     * cheaper than UAX-29 and exactly reproducible in ANSI SQL oracles).
     */
   def splitTokens(text: Column): Column = split(text, " ")
+
+  /** TextBlob-grade valence over a token array → `[n_assessed, polarity]`
+    * (see [[graft.functions.expressions.ValencePolarity]] for the
+    * intensifier/negation semantics). The tables ship inside the
+    * expression, so scoring is a zero-shuffle scan projection.
+    */
+  def valencePolarity(tokens: Column,
+                      lexicon: Map[String, Double],
+                      boosters: Map[String, Double] = Map.empty,
+                      negators: Seq[String] = Nil): Column =
+    e2col(ValencePolarity(col2e(tokens), lexicon.toSeq.sortBy(_._1),
+      boosters.toSeq.sortBy(_._1), negators.distinct.sorted))
 }

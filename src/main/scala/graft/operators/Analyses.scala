@@ -84,21 +84,22 @@ object Analyses {
       .groupBy("label").agg(count(lit(1)).as("n_docs"))
   }
 
-  /** P9 shape: lexicon sentiment — mean per-token polarity per group
-    * (reference wimbd/sentiment_coocurrence/map_count.py:17-40 uses TextBlob;
-    * the engine ships a lexicon join so scoring is a broadcast hash join,
-    * not a model call).
+  /** P9 shape: doc-granularity valence sentiment per group (reference
+    * wimbd/sentiment_coocurrence/map_count.py:17-40 uses TextBlob; the
+    * engine ships the lexicon INSIDE a [[graft.functions.expressions
+    * .ValencePolarity]] scan projection — no explode, no join, the only
+    * shuffle is the final per-group partial agg). Polarity per doc is the
+    * TextBlob contract: mean modified valence over assessed tokens
+    * (intensifier + negation handling), 0.0 when no token is assessed.
     */
-  def lexiconSentiment(df: DataFrame, textCol: String, idCol: String, groupCol: String,
-                       lexicon: Map[String, Double]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val lex = broadcast(lexicon.toSeq.toDF("word", "score"))
-    df.select(col(groupCol), col(idCol).as("__doc"),
-        explode(split(col(textCol), " ")).as("word"))
-      .join(lex, Seq("word"), "left")
-      .groupBy(col(groupCol), col("__doc"))
-      .agg((coalesce(sum("score"), lit(0.0)) / count(lit(1))).as("polarity"))
+  def lexiconSentiment(df: DataFrame, textCol: String, groupCol: String,
+                       lexicon: Map[String, Double],
+                       boosters: Map[String, Double] = Valence.boosters,
+                       negators: Seq[String] = Valence.negators): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val pol = graft.functions.TextFunctions
+      .valencePolarity(toks, lexicon, boosters, negators).getItem(1)
+    df.select(col(groupCol), pol.as("polarity"))
       .groupBy(groupCol)
       .agg(round(avg("polarity"), 6).as("avg_polarity"), count(lit(1)).as("n_docs"))
   }
@@ -113,26 +114,27 @@ object Analyses {
     *
     * Scale shape: one scan; sentences explode ~10× rows but only the
     * sentence string is carried, terms are an inlined literal array, and
-    * the lexicon is a codegen'd when-chain — the only shuffle is the final
+    * the lexicon/booster/negator tables ship inside the codegen'd
+    * [[graft.functions.expressions.ValencePolarity]] projection (TextBlob
+    * contract: mean modified valence over ASSESSED tokens, with
+    * intensifier and negation handling) — the only shuffle is the final
     * (term, label) partial agg.
     */
   def sentenceSentiment(df: DataFrame, textCol: String, terms: Seq[String],
                         lexicon: Map[String, Double],
+                        boosters: Map[String, Double] = Valence.boosters,
+                        negators: Seq[String] = Valence.negators,
                         posThr: Double = 0.05,
                         negThr: Double = -0.05): DataFrame = {
     val sents = df.select(
       explode(graft.functions.TextFunctions.sentenceSplit(col(textCol))).as("sentence"))
     val toks = filter(split(regexp_replace(col("sentence"), "[.!?]", ""), " "),
       t => length(t) > 0)
-    def wordScore(t: Column): Column =
-      lexicon.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0.0))) {
-        case (acc, (w, s)) => acc.when(t === w, lit(s))
-      }.otherwise(lit(0.0))
     val labeled = sents.withColumn("toks", toks)
       .where(size(col("toks")) > 0)
       .withColumn("polarity",
-        aggregate(col("toks"), lit(0.0), (acc, t) => acc + wordScore(t)) /
-          size(col("toks")))
+        graft.functions.TextFunctions
+          .valencePolarity(col("toks"), lexicon, boosters, negators).getItem(1))
       .withColumn("label",
         when(col("polarity") > posThr, lit("pos"))
           .when(col("polarity") < negThr, lit("neg"))

@@ -37,6 +37,50 @@ object AnalysisQueries extends QueryPack {
     "fast" -> 1.0, "slow" -> -1.0, "big" -> 0.5, "small" -> -0.5,
     "dup" -> -0.8, "spark" -> 0.9)
 
+  // corpus-adapted modifier tables: the fixture vocabulary is a closed
+  // ~30-word set with no English intensifiers/negators, so the driver
+  // queries designate frequent corpus words as boosters ("key" amplifies,
+  // "line" dampens) and negators ("the"/"a") — every ValencePolarity
+  // branch (distance-1/2 boosters, 3-token negation window, clamping)
+  // fires thousands of times on the word salad. The ENGLISH tables
+  // (operators.Valence) are the library defaults, hand-score-verified in
+  // SentimentSpec.
+  private val boosters = Map("key" -> 1.4, "line" -> 0.6)
+  private val negators = Seq("the", "a")
+
+  private def sqlDoubleValues(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (w, v) => s"('$w', CAST($v AS DOUBLE))" }.mkString(", ")
+  private def sqlNegList: String =
+    negators.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** The ValencePolarity modifier algebra as SQL, over a token table
+    * `tok(<keys>, i, w)` (1-based positions): nearest preceding booster
+    * (distance 1 full, distance 2 decayed by 0.95), negator within the 3
+    * preceding tokens → ×-0.5, clamp to [-1, 1] — byte-for-byte the
+    * kernel's arithmetic, so hash compare holds.
+    */
+  private def valenceScoreCtes(keys: String): String = {
+    val on = keys.split(",").map(_.trim)
+      .map(k => s"p%s.$k = t.$k").mkString(" AND ")
+    s"""hit AS (SELECT ${keys.split(",").map("t." + _.trim).mkString(", ")}, lex.v,
+       |   p1.w AS w1, p2.w AS w2, p3.w AS w3
+       | FROM tok t JOIN lex ON lex.word = t.w
+       | LEFT JOIN tok p1 ON ${on.replace("p%s", "p1")} AND p1.i = t.i - 1
+       | LEFT JOIN tok p2 ON ${on.replace("p%s", "p2")} AND p2.i = t.i - 2
+       | LEFT JOIN tok p3 ON ${on.replace("p%s", "p3")} AND p3.i = t.i - 3),
+       |sc AS (SELECT $keys,
+       |   greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+       |     v * (CASE WHEN b1.m IS NOT NULL THEN b1.m
+       |               WHEN b2.m IS NOT NULL THEN 1 + (b2.m - 1) * 0.95
+       |               ELSE 1 END)
+       |       * (CASE WHEN w1 IN $sqlNegList OR w2 IN $sqlNegList
+       |               OR w3 IN $sqlNegList THEN CAST(-0.5 AS DOUBLE)
+       |               ELSE 1 END))) AS s
+       | FROM hit LEFT JOIN boost b1 ON b1.word = hit.w1
+       |          LEFT JOIN boost b2 ON b2.word = hit.w2)""".stripMargin
+  }
+
   private val spikes = Seq(30, 40, 50)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -69,7 +113,8 @@ object AnalysisQueries extends QueryPack {
     }),
 
     "p9_sentiment" -> ((s, dir) =>
-      Analyses.lexiconSentiment(Tables(s, dir, "documents"), "text", "doc_id", "lang", lexicon)
+      Analyses.lexiconSentiment(Tables(s, dir, "documents"), "text", "lang",
+          lexicon, boosters, negators)
         .orderBy("lang")),
 
     // P9 reference shape: sentencize (sentence structure synthesized — the
@@ -79,7 +124,8 @@ object AnalysisQueries extends QueryPack {
       Analyses.sentenceSentiment(
         Tables(s, dir, "documents").select(
           regexp_replace(col("text"), "([^ ]+( [^ ]+){6}) ", "$1. ").as("text2")),
-        "text2", Seq("spark", "data", "slow", "fast"), lexicon)
+        "text2", Seq("spark", "data", "slow", "fast"), lexicon,
+        boosters, negators)
         .orderBy("term", "label")),
 
     "p6_lang_counts" -> ((s, dir) =>
@@ -248,16 +294,22 @@ object AnalysisQueries extends QueryPack {
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p9_sentiment" ->
-      """WITH lex(word, score) AS (SELECT * FROM (VALUES
-        |  ('fast', CAST(1.0 AS DOUBLE)), ('slow', CAST(-1.0 AS DOUBLE)),
-        |  ('big', CAST(0.5 AS DOUBLE)), ('small', CAST(-0.5 AS DOUBLE)),
-        |  ('dup', CAST(-0.8 AS DOUBLE)), ('spark', CAST(0.9 AS DOUBLE))) v(w, s)),
-        |tok AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        |perdoc AS (SELECT lang, doc_id,
-        |  coalesce(sum(score), 0.0) / count(*) AS polarity
-        | FROM tok LEFT JOIN lex USING (word) GROUP BY 1, 2)
-        |SELECT lang, round(avg(polarity), 6) AS avg_polarity, count(*) AS n_docs
-        |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH lex(word, v) AS (SELECT * FROM (VALUES
+         |  ${sqlDoubleValues(lexicon)}) x(w, s)),
+         |boost(word, m) AS (SELECT * FROM (VALUES
+         |  ${sqlDoubleValues(boosters)}) x(w, s)),
+         |d AS (SELECT lang, doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         | FROM documents),
+         |tok AS (SELECT doc_id, e.i AS i, e.w AS w FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |    i -> {'i': i, 'w': toks[i]})) AS e FROM d)),
+         |${valenceScoreCtes("doc_id")},
+         |perdoc AS (SELECT d.lang, d.doc_id, coalesce(p.pol, 0.0) AS polarity
+         | FROM d LEFT JOIN (SELECT doc_id, sum(s) / count(*) AS pol
+         |                   FROM sc GROUP BY 1) p USING (doc_id))
+         |SELECT lang, round(avg(polarity), 6) AS avg_polarity, count(*) AS n_docs
+         |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p6_lang_counts" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1 ORDER BY 1",
@@ -268,32 +320,36 @@ object AnalysisQueries extends QueryPack {
     "p8_model" -> DuckSql.golden("p8_model"),
 
     "p9_sentence" ->
-      """WITH lex(word, score) AS (SELECT * FROM (VALUES
-        |  ('fast', CAST(1.0 AS DOUBLE)), ('slow', CAST(-1.0 AS DOUBLE)),
-        |  ('big', CAST(0.5 AS DOUBLE)), ('small', CAST(-0.5 AS DOUBLE)),
-        |  ('dup', CAST(-0.8 AS DOUBLE)), ('spark', CAST(0.9 AS DOUBLE))) v(w, s)),
-        |u AS (SELECT doc_id, regexp_replace(text, '([^ ]+( [^ ]+){6}) ', '\1. ', 'g') AS text2
-        |      FROM documents),
-        |se AS (SELECT doc_id,
-        |  unnest(list_transform(generate_series(1, len(ss)), i -> {'i': i, 's': ss[i]})) AS e
-        | FROM (SELECT doc_id, list_filter(string_split(
-        |    regexp_replace(text2, '([.!?]+["'')\]]*)\s+', '\1' || chr(1), 'g'), chr(1)),
-        |    x -> x <> '') AS ss FROM u)),
-        |t2 AS (SELECT * FROM (
-        |  SELECT doc_id, e.i AS si, list_filter(string_split(
-        |    regexp_replace(e.s, '[.!?]', '', 'g'), ' '), x -> x <> '') AS toks FROM se)
-        | WHERE len(toks) > 0),
-        |tok AS (SELECT doc_id, si, unnest(toks) AS w FROM t2),
-        |pol AS (SELECT doc_id, si, coalesce(sum(score), 0.0) / count(*) AS polarity
-        |        FROM tok LEFT JOIN lex ON lex.word = tok.w GROUP BY 1, 2),
-        |lab AS (SELECT t2.doc_id, t2.si, t2.toks, pol.polarity,
-        |    CASE WHEN pol.polarity > 0.05 THEN 'pos'
-        |         WHEN pol.polarity < -0.05 THEN 'neg' ELSE 'neu' END AS label
-        |  FROM t2 JOIN pol USING (doc_id, si)),
-        |trm(term) AS (SELECT * FROM (VALUES ('data'), ('fast'), ('slow'), ('spark')) x(t)),
-        |hit AS (SELECT term, label, polarity FROM lab JOIN trm ON list_contains(lab.toks, trm.term))
-        |SELECT term, label, count(*) AS n_sentences, round(avg(polarity), 6) AS avg_polarity
-        |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH lex(word, v) AS (SELECT * FROM (VALUES
+         |  ${sqlDoubleValues(lexicon)}) x(w, s)),
+         |boost(word, m) AS (SELECT * FROM (VALUES
+         |  ${sqlDoubleValues(boosters)}) x(w, s)),
+         |u AS (SELECT doc_id, regexp_replace(text, '([^ ]+( [^ ]+){6}) ', '\\1. ', 'g') AS text2
+         |      FROM documents),
+         |se AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ss)), i -> {'i': i, 's': ss[i]})) AS e
+         | FROM (SELECT doc_id, list_filter(string_split(
+         |    regexp_replace(text2, '([.!?]+["'')\\]]*)\\s+', '\\1' || chr(1), 'g'), chr(1)),
+         |    x -> x <> '') AS ss FROM u)),
+         |t2 AS (SELECT * FROM (
+         |  SELECT doc_id, e.i AS si, list_filter(string_split(
+         |    regexp_replace(e.s, '[.!?]', '', 'g'), ' '), x -> x <> '') AS toks FROM se)
+         | WHERE len(toks) > 0),
+         |tok AS (SELECT doc_id, si, e.i AS i, e.w AS w FROM (
+         |  SELECT doc_id, si, unnest(list_transform(generate_series(1, len(toks)),
+         |    i -> {'i': i, 'w': toks[i]})) AS e FROM t2)),
+         |${valenceScoreCtes("doc_id, si")},
+         |pol AS (SELECT t2.doc_id, t2.si, t2.toks, coalesce(p.pol, 0.0) AS polarity
+         | FROM t2 LEFT JOIN (SELECT doc_id, si, sum(s) / count(*) AS pol
+         |                    FROM sc GROUP BY 1, 2) p USING (doc_id, si)),
+         |lab AS (SELECT doc_id, si, toks, polarity,
+         |    CASE WHEN polarity > 0.05 THEN 'pos'
+         |         WHEN polarity < -0.05 THEN 'neg' ELSE 'neu' END AS label
+         |  FROM pol),
+         |trm(term) AS (SELECT * FROM (VALUES ('data'), ('fast'), ('slow'), ('spark')) x(t)),
+         |hit2 AS (SELECT term, label, polarity FROM lab JOIN trm ON list_contains(lab.toks, trm.term))
+         |SELECT term, label, count(*) AS n_sentences, round(avg(polarity), 6) AS avg_polarity
+         |FROM hit2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p6_lang_model" -> {
       val seedValues = graft.operators.LangId.seeds
