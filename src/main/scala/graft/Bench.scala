@@ -105,6 +105,27 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"bench: failed to persist $outPath: $e")
     }
+    // the driver keeps only a ~2000-char tail of stdout and parses the last
+    // JSON line it finds there; the full line above is ~6 KB, so its head is
+    // truncated out of the tail and the parse has failed every round. Emit a
+    // compact final line — same schema, headline-query subset, 3-decimal
+    // times — sized well under the tail window (full detail stays in the
+    // file + the long line above).
+    val headline = Seq(
+      "q1_agg", "q3_join", "q5_nation_rev", "a1_stats", "a6_topk_3gram",
+      "a7_botk_2gram", "a8_unique_ngrams", "a9_count_phrases",
+      "a10_search_regex", "a12_contamination", "e1_count_all", "e2_get_docs",
+      "e4_unigram_ttf", "j1_dup_hashes", "j2_keep_first", "j3_decontaminate",
+      "j4_overlap_pairs", "j8_decontaminate_fuzzy", "d_minhash_lsh",
+      "d_cc_clusters", "d_semantic_dedup", "d_dup_spans", "ann_topk_cosine",
+      "ann_ivf_topk", "p6_lang_model", "p7_pii", "p8_model", "p9_sentence",
+      "t_gopher_filter", "t_quality_clf", "t_ppl_buckets", "t_bpe_real",
+      "t_dsir", "s12_pack_chunks", "s17_sliding_windows", "w_sessionize",
+      "m_media_features")
+    val compactQs = headline.flatMap(k => resultMap.get(k).map(v =>
+      "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
+    val compactTotal = f"$total%.3f"
+    println(s"""{"metric":"total","value":$compactTotal,"unit":"sec","n_queries":${results.size},"queries":$compactQs,"derived":$derived,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

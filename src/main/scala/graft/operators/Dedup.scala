@@ -206,6 +206,53 @@ object Dedup {
       .agg(sum("n_keys").as("n_shared"))
   }
 
+  /** Corpus-pair similarity card: distinct-key Jaccard and directional
+    * containment for every dataset pair — the J4/J6 overlap lattice's
+    * natural normalization, sized for mixture design and redundancy
+    * auditing across corpus snapshots.
+    *
+    * Scale shape: ONE bitmask aggregation over the key frame (the same
+    * single pass J4 runs); every downstream step — per-source totals,
+    * pair explosion, the similarity join — runs on the mask-count frame,
+    * which is ≤ distinct-mask-sized (broadcast scale). The mask counts
+    * are localCheckpointed because the totals and shared-pair branches
+    * project differently and would otherwise each re-run the corpus
+    * aggregation (exchange reuse does not fire across differently-
+    * projected self-join arms — measured on SemDeDup and J4).
+    */
+  def corpusSimilarity(df: DataFrame, key: Column, dataset: Column,
+                       knownSources: Seq[String] = Nil,
+                       hashKeys: Boolean = false): DataFrame = {
+    val sets = membershipMaskCounts(df, key, dataset, knownSources, hashKeys) match {
+      case Some((counts, sources)) =>
+        counts.localCheckpoint()
+          .select(maskNames(col("mask"), sources).as("dss"), col("n_keys"))
+      case None =>
+        // > 62 datasets: key-cardinality frame — leave lazy (recompute
+        // beats checkpointing a corpus-sized frame)
+        df.select(key.as("h"), dataset.as("ds"))
+          .groupBy("h").agg(sort_array(collect_set("ds")).as("dss"))
+          .select(col("dss"), lit(1L).as("n_keys"))
+    }
+    val totals = sets.select(explode(col("dss")).as("ds"), col("n_keys"))
+      .groupBy("ds").agg(sum("n_keys").as("n_ds"))
+    val pairCol = flatten(transform(col("dss"), (a, i) =>
+      transform(slice(col("dss"), i + lit(2), size(col("dss"))),
+        b => struct(a.as("ds_a"), b.as("ds_b")))))
+    val shared = sets.where(size(col("dss")) > 1)
+      .select(explode(pairCol).as("p"), col("n_keys"))
+      .groupBy(col("p.ds_a").as("ds_a"), col("p.ds_b").as("ds_b"))
+      .agg(sum("n_keys").as("n_shared"))
+    shared
+      .join(broadcast(totals.select(col("ds").as("ds_a"), col("n_ds").as("n_a"))), "ds_a")
+      .join(broadcast(totals.select(col("ds").as("ds_b"), col("n_ds").as("n_b"))), "ds_b")
+      .select(col("ds_a"), col("ds_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"),
+        (col("n_shared").cast("double") / col("n_a").cast("double")).as("containment_a"),
+        (col("n_shared").cast("double") / col("n_b").cast("double")).as("containment_b"))
+  }
+
   /** J5: the k most-duplicated keys with one example row pointer
     * (reference helper_scripts/get_examples.py:8-91).
     */

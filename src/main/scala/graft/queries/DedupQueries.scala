@@ -72,6 +72,17 @@ object DedupQueries extends QueryPack {
     "j5_top_dup_examples" -> ((s, dir) =>
       Dedup.topDuplicateExamples(Tables(s, dir, "documents"), fp, col("doc_id"), k = 10)),
 
+    // corpus-pair Jaccard + containment over the same shingle key frame
+    // J4 aggregates once — the mixture-design normalization of the lattice
+    "j9_corpus_jaccard" -> ((s, dir) =>
+      Dedup.corpusSimilarity(shingles(s, dir), col("shingle"), col("source"),
+        knownSources = knownSources(s, dir), hashKeys = true)
+        .select(col("ds_a"), col("ds_b"), col("n_shared"), col("n_a"), col("n_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+        .orderBy("ds_a", "ds_b")),
+
     "s11_hash_split" -> ((s, dir) =>
       Dedup.hashSplit(Tables(s, dir, "documents"), col("text"))
         .groupBy("split").agg(count(lit(1)).as("cnt")).orderBy("split"))
@@ -113,6 +124,22 @@ object DedupQueries extends QueryPack {
       s"""SELECT $fpSql AS h, count(*) AS cnt, min(doc_id) AS example
          |FROM documents GROUP BY 1 HAVING count(*) > 1
          |ORDER BY cnt DESC, h LIMIT 10""".stripMargin,
+
+    "j9_corpus_jaccard" ->
+      s"""WITH ng AS ($shingleSql),
+         |k AS (SELECT DISTINCT shingle, source FROM ng),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ds FROM k GROUP BY 1),
+         |sh AS (SELECT a.source AS ds_a, b.source AS ds_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         | FROM k a JOIN k b ON a.shingle = b.shingle AND a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT ds_a, ds_b, n_shared, ta.n_ds AS n_a, tb.n_ds AS n_b,
+         | round(CAST(n_shared AS DOUBLE) / (ta.n_ds + tb.n_ds - n_shared), 6) AS jaccard,
+         | round(CAST(n_shared AS DOUBLE) / ta.n_ds, 6) AS containment_a,
+         | round(CAST(n_shared AS DOUBLE) / tb.n_ds, 6) AS containment_b
+         |FROM sh JOIN tot ta ON sh.ds_a = ta.source
+         | JOIN tot tb ON sh.ds_b = tb.source
+         |ORDER BY ds_a, ds_b""".stripMargin,
 
     "s11_hash_split" ->
       """SELECT (CASE WHEN substring(md5(text), 1, 3) IN ('fff', 'ffe') THEN 'test'

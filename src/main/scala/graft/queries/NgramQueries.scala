@@ -132,11 +132,16 @@ object NgramQueries extends QueryPack {
       // CMS top-k: every reported estimate ≥ the exact count of that gram
       // and ≤ the total gram stream size
       val approx = NgramOps.topKApprox(d, "text", n = 2, k = 20, uax29 = false)
+      // the contract rows below branch over these frames 2-3× each, and
+      // self-join arms get NO exchange reuse (measured here: 37 exchanges,
+      // 0 reused) — materialize each shared subtree ONCE, bounded to
+      // vocab-/k-sized frames, so the CMS and exact-count passes run once
       val exact = graft.Par.fanOut(d)
         .select(explode(graft.functions.TextFunctions.ngrams(
           split(col("text"), " "), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("exact_cnt"))
-      val joined = approx.join(exact, "ngram")
+        .localCheckpoint()
+      val joined = approx.join(exact, "ngram").localCheckpoint()
       val cmsLower = contractRow(joined.agg(
         count(lit(1)).as("checked"),
         sum(when(col("count") < col("exact_cnt"), 1L).otherwise(0L)).as("violations")),
@@ -161,11 +166,17 @@ object NgramQueries extends QueryPack {
       // shrinks the exact-kept set (false positives drop extra)
       val bench = d.where(col("doc_id") % 20 === 0)
       val benchTexts = bench.select(col("text").as("__bt")).distinct()
+        .localCheckpoint()
+      // both kept frames feed two contract rows each; project to the
+      // columns the contracts read before materializing (doc_id + text is
+      // all the membership checks need)
       val keptApprox = graft.operators.Dedup.decontaminateApprox(
         d, md5(col("text")), bench, md5(col("text")),
         expectedItems = 1000L, fpp = 0.001)
+        .select("doc_id", "text").localCheckpoint()
       val keptExact = graft.operators.Dedup.decontaminate(
         d, md5(col("text")), bench, md5(col("text")))
+        .select("doc_id").localCheckpoint()
       val noFalseNeg = contractRow(
         d.join(benchTexts, col("text") === col("__bt"), "left_semi")
           .agg(count(lit(1)).as("checked"))

@@ -37,6 +37,13 @@ object PackingQueries extends QueryPack {
     "s14_packing_stats" -> ((s, dir) =>
       Packing.packingStats(Tables(s, dir, "documents"), "text", L, "source")),
 
+    // short-to-long length curriculum (Shortformer-style): the epoch's
+    // token stream orders docs by token count before chunking, so early
+    // chunks hold many short docs and fragmentation concentrates late
+    "s18_curriculum" -> ((s, dir) =>
+      Packing.packChunks(Tables(s, dir, "documents"), "doc_id", "text", L,
+        orderBy = Some(size(split(col("text"), " ")).cast("long")))),
+
     "s15_pack_manifest" -> ((s, dir) =>
       Packing.packManifest(Tables(s, dir, "documents"), "doc_id", "text", L)),
 
@@ -77,6 +84,13 @@ object PackingQueries extends QueryPack {
 
     "s13_shuffle_pack" ->
       s"""WITH ${offsetsSql("md5(CAST(doc_id AS VARCHAR)), doc_id")}
+         |SELECT doc_id, n_tokens, start_offset,
+         | start_offset // $L AS first_chunk,
+         | (start_offset + n_tokens - 1) // $L AS last_chunk
+         |FROM c""".stripMargin,
+
+    "s18_curriculum" ->
+      s"""WITH ${offsetsSql("n_tokens, doc_id")}
          |SELECT doc_id, n_tokens, start_offset,
          | start_offset // $L AS first_chunk,
          | (start_offset + n_tokens - 1) // $L AS last_chunk

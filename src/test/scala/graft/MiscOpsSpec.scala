@@ -29,6 +29,32 @@ class MiscOpsSpec extends SparkTestBase {
     assert(pairsHashed === pairs)
   }
 
+  test("J9: corpus-pair Jaccard and containment from the membership masks") {
+    val df = Seq(
+      ("A", "k1"), ("A", "k2"), ("A", "k3"),
+      ("B", "k1"), ("B", "k4"),
+      ("C", "k9")
+    ).toDF("dataset", "key")
+    val rows = Dedup.corpusSimilarity(df, col("key"), col("dataset"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    // only overlapping pairs appear (C shares nothing)
+    assert(rows.keySet === Set(("A", "B")))
+    val (shared, na, nb, jac, ca, cb) = rows(("A", "B"))
+    assert((shared, na, nb) === ((1L, 3L, 2L)))
+    assert(math.abs(jac - 0.25) < 1e-9)        // 1 / (3 + 2 - 1)
+    assert(math.abs(ca - 1.0 / 3) < 1e-9)
+    assert(math.abs(cb - 0.5) < 1e-9)
+    // hashed-key production mode is result-identical
+    val hashed = Dedup.corpusSimilarity(df, col("key"), col("dataset"),
+        hashKeys = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(hashed === rows)
+  }
+
   test("P15: link probe runs per-partition with a pluggable prober") {
     val df = Seq("https://ok.example.com/a", "not a url", "http://fine.io").toDF("url")
     val out = LinkProbe.probe(df, "url").collect()
