@@ -32,6 +32,13 @@ object Sessions {
     val existing = spark.conf.getOption(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     spark.conf.set(key, (existing ++ ExcludedRules).distinct.mkString(","))
+    // this engine's bucketed tables (S9 corpus tier, the inverted index)
+    // exist FOR bucket pruning on point/IN lookups; the auto-bucketed-scan
+    // heuristic disables bucketed reads in filter-only plans (no join or
+    // agg "uses" the bucketing) and silently turns a one-bucket term
+    // lookup back into a full scan of the index. Pruning > the heuristic's
+    // batch-coalescing win for this workload shape.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     spark
   }
 }

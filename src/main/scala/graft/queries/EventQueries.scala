@@ -10,16 +10,23 @@ import graft.operators.{Analyses, EventOps}
   */
 object EventQueries extends QueryPack {
 
-  /** The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set in
-    * our session builders) it arrives as LongType nanos — convert to a µs
-    * timestamp here (truncation matches DuckDB's ns→µs cast).
+  /** Normalize the events `ts` to a session-zone TIMESTAMP whatever the
+    * parquet wrote: TIMESTAMP(NANOS) arrives as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong (set in our session builders) —
+    * convert like DuckDB's ns→µs cast; TIMESTAMP(MICROS, no UTC adjust)
+    * arrives as TIMESTAMP_NTZ — reinterpret in the session zone (UTC
+    * everywhere here), which both matches DuckDB's naive read AND keeps
+    * the epoch-seconds `cast(ts as long)` downstream legal (ANSI allows
+    * LTZ→BIGINT but rejects NTZ→BIGINT — the exact break when the corpus
+    * generator switched ns → µs).
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = Tables(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

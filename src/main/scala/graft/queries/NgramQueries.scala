@@ -130,8 +130,14 @@ object NgramQueries extends QueryPack {
         df.select(lit(name).as("contract"), col("checked").cast("long"),
           col("violations").cast("long"))
       // CMS top-k: every reported estimate ≥ the exact count of that gram
-      // and ≤ the total gram stream size
-      val approx = NgramOps.topKApprox(d, "text", n = 2, k = 20, uax29 = false)
+      // and ≤ the total gram stream size. The bound contracts hold for ANY
+      // sketch geometry (min-of-k never under-counts; nothing exceeds the
+      // stream total), so use an index-sized table here: the 1<<18 default
+      // is a 10.5 MB Array[Long] per partial buffer, and alloc+Kryo+merge
+      // of 32 of them was ~90% of this query's cost (measured: CMS agg
+      // 3-11 s at width 1<<18 vs <0.5 s at 1<<15, row count irrelevant)
+      val approx = NgramOps.topKApprox(d, "text", n = 2, k = 20,
+        width = 1 << 15, uax29 = false)
       // the contract rows below branch over these frames 2-3× each, and
       // self-join arms get NO exchange reuse (measured here: 37 exchanges,
       // 0 reused) — materialize each shared subtree ONCE, bounded to

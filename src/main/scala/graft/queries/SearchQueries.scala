@@ -15,6 +15,9 @@ object SearchQueries extends QueryPack {
   private val anyPhrases = Seq("spark window", "batch batch", "key order sort")
   private val perPhrases = Seq("spark window", "data line", "merge slow join", "absent phrase qq")
   private val unigrams = Seq("spark", "data", "zzzz")
+  private val idxPhrases = Seq("batch batch", "spark window", "data line",
+    "no such phrase xyz")
+  private val bm25Terms = Seq("spark", "window", "data")
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_count_any" -> ((s, dir) =>
@@ -82,6 +85,37 @@ object SearchQueries extends QueryPack {
       graft.search.PromptTemplates.contaminationFromTemplates(d, "text",
         tpls.map(t => t -> bench), uax29 = false)
         .orderBy("benchmark")
+    }),
+
+    // index tier (the reference's Elasticsearch side): phrase counts
+    // answered from a positions-aware postings table instead of a corpus
+    // scan — occurrences AND containing-doc counts must equal the scan
+    // tier's, which the oracle replays directly off `documents`. The
+    // phrase set reuses a9's, incl. the duplicate-term ("batch batch")
+    // and zero-hit edge cases.
+    "e10_indexed_phrase" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.phraseHits(post, idxPhrases, uax29 = false)
+        .orderBy("phrase")
+    }),
+
+    // termvector stats (E4's df/ttf shape) read off the same index
+    "e11_index_termstats" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.termStats(post, unigrams).orderBy("term")
+    }),
+
+    // BM25 ranked retrieval (the ES tier's default relevance) off the
+    // index: scores computed entirely from postings + in-index norms
+    "e12_bm25_topk" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.bm25TopK(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        bm25Terms, k = 15)
     })
   )
 
@@ -183,6 +217,53 @@ object SearchQueries extends QueryPack {
         | CAST(sum(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         | round(avg(CAST(CASE WHEN n_docs > 0 THEN 1 ELSE 0 END AS DOUBLE)), 6) AS pct
         |FROM bp JOIN per USING (phrase)
-        |GROUP BY benchmark ORDER BY benchmark""".stripMargin
+        |GROUP BY benchmark ORDER BY benchmark""".stripMargin,
+
+    // replayed off `documents` directly — the scan-tier ground truth the
+    // index-tier answer must reproduce
+    "e10_indexed_phrase" ->
+      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${idxPhrases.map(p => s"('$p')").mkString(", ")}) v(p)),
+         |ngs AS (
+         |  SELECT 2 AS plen, ngram FROM (${DuckSql.ngrams(2)})
+         |  UNION ALL
+         |  SELECT 4 AS plen, ngram FROM (${DuckSql.ngrams(4)})
+         |),
+         |occ AS (SELECT phrase, CAST(count(ngram) AS BIGINT) AS occurrences
+         | FROM ph LEFT JOIN ngs ON ngs.ngram = ph.phrase
+         |   AND ngs.plen = len(string_split(ph.phrase, ' '))
+         | GROUP BY phrase),
+         |nd AS (SELECT phrase,
+         |  CAST(coalesce(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+         | FROM ph LEFT JOIN documents ON true GROUP BY phrase)
+         |SELECT ph.phrase, occ.occurrences, nd.n_docs
+         |FROM ph JOIN occ USING (phrase) JOIN nd USING (phrase)
+         |ORDER BY phrase""".stripMargin,
+
+    "e11_index_termstats" ->
+      s"""WITH ug(term) AS (SELECT * FROM (VALUES ${unigrams.map(u => s"('$u')").mkString(", ")}) v(u)),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |st AS (SELECT w AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |   CAST(count(*) AS BIGINT) AS ttf
+         | FROM tok GROUP BY w)
+         |SELECT ug.term, coalesce(st.df, 0) AS df, coalesce(st.ttf, 0) AS ttf
+         |FROM ug LEFT JOIN st USING (term) ORDER BY term""".stripMargin,
+
+    // Lucene BM25 replayed from first principles on `documents`; round(6)
+    // makes the ranking tie-break identical on both engines
+    "e12_bm25_topk" ->
+      s"""WITH q(term) AS (SELECT * FROM (VALUES ${bm25Terms.map(t => s"('$t')").mkString(", ")}) v(t)),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |   len(string_split(text, ' ')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, w AS term, count(*) AS tf, any_value(dl) AS dl
+         | FROM tok JOIN q ON w = q.term GROUP BY doc_id, w),
+         |st AS (SELECT count(*) AS n_docs,
+         |   avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, round(sum(
+         |   ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |   tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+         |FROM tf JOIN dfq USING (term) CROSS JOIN st
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
   )
 }

@@ -1,0 +1,171 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** A positions-aware inverted index as a Spark-native TABLE — the
+  * reference's other answer to phrase search: where `wimbd/es/__init__.py`
+  * delegates `count_documents_containing_phrases` / termvector reads to a
+  * pre-built Elasticsearch index (match_phrase over indexed positions,
+  * reference wimbd/es/__init__.py:89-184, 348-426), this module builds the
+  * same data structure — term → (doc, sorted positions) postings — as a
+  * DataFrame, persists it bucketed-by-term, and answers phrase queries by
+  * joining the phrase's term postings instead of rescanning the corpus.
+  *
+  * Scan tier vs index tier: [[Searcher]] answers one-shot questions with a
+  * full corpus scan (one pass, all phrases fused). This tier pays one
+  * tokenize+shuffle at build time and then answers each phrase query by
+  * reading ONLY the queried terms' postings. At 100 TB that's the
+  * difference between a 100 TB scan per benchmark and a few hundred MB of
+  * posting reads: with the index saved via [[writeIndex]] (bucketed by
+  * `term`), a `term IN (...)` filter prunes to the terms' buckets
+  * (SelectedBucketsCount in the scan node — asserted in
+  * InvertedIndexSpec), and each join arm is document-frequency-sized, not
+  * corpus-sized.
+  *
+  * Phrase semantics match [[Searcher.phrasePredicate]] at slop=0: ordered,
+  * adjacent, overlapping occurrences — verified differentially in
+  * InvertedIndexSpec and by the `e10_indexed_phrase` oracle (same counts
+  * as the scan tier's SQL replay).
+  */
+object InvertedIndex {
+
+  /** Build the postings table: one row per (term, doc) with the term's
+    * sorted occurrence positions, term frequency, and the document's token
+    * length (`dl` — the BM25 norm, denormalized into the index exactly as
+    * Lucene stores per-doc norms, so scoring never joins back to the
+    * corpus). The groupBy shuffles ONCE on (term, doc_id) — token-stream-
+    * sized but each post-agg row is tiny; this is the entire build cost,
+    * paid once per corpus.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               uax29: Boolean = true): DataFrame = {
+    val toks =
+      if (uax29) graft.functions.TextFunctions.tokenize(col(textCol))
+      else split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"),
+        posexplode(toks).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("positions"),
+        count(lit(1)).as("tf"), first(col("dl")).cast("long").as("dl"))
+  }
+
+  /** Persist postings bucketed+sorted by `term`: equality/IN filters on
+    * `term` read only the matching buckets (bucket pruning), and repeated
+    * term-keyed joins skip their Exchange. `buckets` ≈ postings size /
+    * 128-256 MB at the target scale.
+    */
+  def writeIndex(postings: DataFrame, table: String, buckets: Int,
+                 force: Boolean = false): Unit =
+    postings.write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .format("parquet")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .saveAsTable(table)
+
+  /** Read a saved index WITH its bucket metadata (a raw parquet read of
+    * the same files would lose pruning and co-partitioning).
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Per-term document frequency and total term frequency — the ES
+    * termvectors surface (reference wimbd/es/__init__.py:348-426) read
+    * straight off the index, no corpus scan.
+    */
+  def termStats(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val stats = postings.where(col("term").isin(terms: _*))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+    broadcast(terms.toDF("term")).join(stats, Seq("term"), "left")
+      .select(col("term"), coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("ttf"), lit(0L)).as("ttf"))
+  }
+
+  /** One-row corpus norms frame (n_docs, avgdl) for [[bm25TopK]] — index-
+    * build-time constants, computed once per corpus and cross-joined into
+    * the scoring plan (1 row → auto-broadcast).
+    */
+  def corpusNorms(docs: DataFrame, textCol: String,
+                  uax29: Boolean = true): DataFrame = {
+    val toks =
+      if (uax29) graft.functions.TextFunctions.tokenize(col(textCol))
+      else split(col(textCol), " ")
+    docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(toks).cast("double")).as("avgdl"))
+  }
+
+  /** BM25 ranked retrieval straight off the index — the relevance scoring
+    * the reference's ES tier applies when `get_documents_containing_phrases`
+    * ranks hits (ES default similarity is BM25). Lucene's formula:
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * score = Σ_terms idf · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+    *
+    * Plan shape: postings filtered to the query terms (bucket-pruned on a
+    * saved index, df-sized rows carrying their own `dl` norm — no corpus
+    * join), df counts via a window-free self-agg broadcast back, one
+    * groupBy(doc) and a TakeOrderedAndProject for the top-k. Scores are
+    * rounded so ranking ties break identically everywhere (oracle parity).
+    */
+  def bm25TopK(postings: DataFrame, norms: DataFrame, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val cand = postings.where(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf", "dl")
+    val dfByTerm = cand.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    cand.join(broadcast(dfByTerm), Seq("term"))
+      .crossJoin(broadcast(norms))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** Phrase hits from the index: for each phrase, join its terms' postings
+    * on doc_id and intersect position lists shifted by token offset — a
+    * position p survives iff term_i occurs at p+i for every i, i.e. the
+    * phrase starts at p. Occurrences are overlapping totals, n_docs the
+    * containing-document count; zero-hit phrases are kept — both exactly
+    * the scan tier's ([[Searcher]]) and the reference ES tier's contract.
+    *
+    * Plan shape: ONE filtered read of the postings restricted to the union
+    * of queried terms (on a [[writeIndex]] table this is the bucket-pruned
+    * read), materialized once, then per-phrase document-frequency-sized
+    * self-joins. Nothing here is corpus-sized.
+    */
+  def phraseHits(postings: DataFrame, phrases: Seq[String],
+                 uax29: Boolean = true): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val split: String => Seq[String] =
+      if (uax29) s => graft.functions.Tokenizer.tokenize(s).toSeq
+      else s => s.split(" ").toSeq
+    val byPhrase = phrases.map(p => p -> split(p)).toMap
+    val allTerms = byPhrase.values.flatten.toSeq.distinct
+    // one read of the index covers every phrase; df-sized, safe to pin
+    val needed = postings.where(col("term").isin(allTerms: _*))
+      .select("term", "doc_id", "positions").localCheckpoint()
+    val perPhrase = phrases.map { p =>
+      val terms = byPhrase(p)
+      val arms = terms.zipWithIndex.map { case (t, i) =>
+        needed.where(col("term") === t)
+          .select(col("doc_id"),
+            (if (i == 0) col("positions")
+             else transform(col("positions"), x => x - i)).as(s"__pos$i"))
+      }
+      val joined = arms.reduce((a, b) => a.join(b, "doc_id"))
+      val starts = (1 until terms.size).foldLeft(col("__pos0")) { (acc, i) =>
+        array_intersect(acc, col(s"__pos$i"))
+      }
+      joined.select(size(starts).as("occ")).where(col("occ") > 0)
+        .agg(coalesce(sum(col("occ")), lit(0L)).cast("long").as("occurrences"),
+          count(lit(1)).as("n_docs"))
+        .select(lit(p).as("phrase"), col("occurrences"), col("n_docs"))
+    }
+    perPhrase.reduce(_ unionAll _)
+  }
+}

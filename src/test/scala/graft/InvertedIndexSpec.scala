@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.search.{InvertedIndex, Searcher}
+
+/** Index tier vs scan tier: postings shape on hand-computed documents, a
+  * randomized differential against the PhraseMatch scan predicate, and the
+  * bucket-pruning plan property that makes the index worth building.
+  */
+class InvertedIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a b a"),   // "a b": starts 0,2 ; "b a": 1,3
+    (2L, "b b b"),       // "b b": 0,1 (overlapping)
+    (3L, "c"),
+    (4L, "a b c a b c")  // "a b c": 0,3
+  ).toDF("doc_id", "text")
+
+  test("postings: positions, tf, dl norm, one row per (term, doc)") {
+    val p = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Int](2).toList, r.getLong(3), r.getLong(4))).toSet
+    assert(p.contains(("a", 1L, List(0, 2, 4), 3L, 5L)))
+    assert(p.contains(("b", 2L, List(0, 1, 2), 3L, 3L)))
+    assert(p.contains(("c", 3L, List(0), 1L, 1L)))
+    assert(p.contains(("c", 4L, List(2, 5), 2L, 6L)))
+    // one row per (term, doc): 2 terms in doc 1, 1 in doc 2 ...
+    assert(p.count(_._2 == 1L) === 2)
+  }
+
+  test("bm25TopK: matches the formula computed by hand") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(docs, "text", uax29 = false)
+    val got = InvertedIndex.bm25TopK(post, norms, Seq("a", "c"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // N=4, avgdl=(5+3+1+6)/4=3.75 ; df(a)=2, df(c)=2
+    val idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.75))
+    val exp = Map(
+      1L -> idf * tfn(3, 5), 3L -> idf * tfn(1, 1),
+      4L -> idf * (tfn(2, 6) + tfn(2, 6)))
+    assert(got.map(_._1).toSet === exp.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - exp(id)) < 1e-6, s"doc $id") }
+    // ranked descending
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("phraseHits: overlapping occurrences, duplicate terms, zero hits") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val hits = InvertedIndex.phraseHits(post,
+        Seq("a b", "b b", "a b c", "z q"), uax29 = false)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hits("a b") === ((4L, 2L)))    // doc1 ×2 + doc4 ×2
+    assert(hits("b b") === ((2L, 1L)))    // overlapping inside doc2
+    assert(hits("a b c") === ((2L, 1L)))  // doc4 only
+    assert(hits("z q") === ((0L, 0L)))    // zero-hit phrase kept
+  }
+
+  test("differential: index-tier doc counts == scan-tier PhraseMatch") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("x", "y", "z", "w")
+    val corpus = (1L to 60L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val post = InvertedIndex.postings(corpus, "doc_id", "text", uax29 = false)
+      .localCheckpoint()
+    val phrases = Seq("x y", "y y z", "z w x y", "w")
+    val idx = InvertedIndex.phraseHits(post, phrases, uax29 = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    phrases.foreach { p =>
+      val scan = corpus
+        .where(Searcher.phrasePredicate(col("text"), p, uax29 = false))
+        .count()
+      assert(idx(p) === scan, s"phrase '$p'")
+    }
+  }
+
+  test("termStats: df/ttf match direct aggregation, absent term is 0/0") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val st = InvertedIndex.termStats(post, Seq("a", "c", "nope"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(st("a") === ((2L, 5L)))   // docs 1,4 ; 3+2 occurrences
+    assert(st("c") === ((2L, 3L)))
+    assert(st("nope") === ((0L, 0L)))
+  }
+
+  test("saved index: term-equality read prunes to the term's buckets") {
+    val table = "ii_spec_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    InvertedIndex.writeIndex(post, table, buckets = 8, force = true)
+    try {
+      val q = InvertedIndex.readIndex(spark, table).where(col("term") === "a")
+      assert(q.count() === 2)
+      val plan = q.queryExecution.executedPlan.toString
+      // the scale contract: a term lookup must NOT read all 8 buckets
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
