@@ -100,6 +100,9 @@ object GraftExtensions {
         intLit(args(1), "n_bits"), boolLit(args(2), "md5_parity"))),
     ("graft_count_seq", "graft_count_seq(tokens, phrase_tokens): sliding-window occurrence count",
       (args: Seq[Expression]) => CountTokenSeq(args(0), args(1))),
+    ("graft_term_postings",
+      "graft_term_postings(tokens): per-doc inverted-index rows (term, positions)",
+      (args: Seq[Expression]) => TermPostings(args.head)),
     ("graft_winnow", "graft_winnow(tokens, k, w): rolling-hash winnowing fingerprints",
       (args: Seq[Expression]) => WinnowFingerprints(args(0),
         intLit(args(1), "k"), intLit(args(2), "w"))),

@@ -1,0 +1,82 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document inverted-index rows grouped INSIDE the row — one O(L) pass
+  * over the token array builds term → sorted positions, so the index build
+  * needs no (term, doc) shuffle at all: the only exchange left is the
+  * bucketBy(term) layout write. This is the scan-stage half of what an
+  * indexing engine's per-segment writer does (Lucene's in-memory postings
+  * before flush), expressed as a codegen'd expression.
+  */
+object PostingsKernel {
+
+  /** tokens → array<struct<term, positions>>; positions ascend because the
+    * single left-to-right pass appends them in order. First-occurrence term
+    * order (deterministic for a given document).
+    */
+  def termPostings(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val order = new java.util.ArrayList[UTF8String](math.min(n, 16))
+    val pos = new java.util.HashMap[UTF8String, java.util.ArrayList[Integer]]()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var lst = pos.get(t)
+        if (lst == null) {
+          lst = new java.util.ArrayList[Integer](4)
+          pos.put(t, lst)
+          order.add(t)
+        }
+        lst.add(i)
+      }
+      i += 1
+    }
+    val out = new Array[Any](order.size())
+    i = 0
+    while (i < order.size()) {
+      val t = order.get(i)
+      val lst = pos.get(t)
+      val ps = new Array[Int](lst.size())
+      var j = 0
+      while (j < ps.length) { ps(j) = lst.get(j); j += 1 }
+      out(i) = new GenericInternalRow(
+        Array[Any](t, ArrayData.toArrayData(ps)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_term_postings(tokens)` — see [[PostingsKernel.termPostings]]. */
+case class TermPostings(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_term_postings needs array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("positions", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_term_postings"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PostingsKernel.termPostings(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.PostingsKernel.termPostings($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): TermPostings =
+    copy(child = newChild)
+}

@@ -34,21 +34,39 @@ object InvertedIndex {
     * sorted occurrence positions, term frequency, and the document's token
     * length (`dl` — the BM25 norm, denormalized into the index exactly as
     * Lucene stores per-doc norms, so scoring never joins back to the
-    * corpus). The groupBy shuffles ONCE on (term, doc_id) — token-stream-
-    * sized but each post-agg row is tiny; this is the entire build cost,
-    * paid once per corpus.
+    * corpus). Grouping happens INSIDE each document via the codegen'd
+    * [[graft.functions.expressions.PostingsKernel]] (one O(L) pass in the
+    * scan stage, Lucene's per-segment writer as an expression), so the
+    * build plan has ZERO shuffles — the only exchange an index build ever
+    * pays is [[writeIndex]]'s bucketBy(term) layout write. Stateless per
+    * row, so the same definition is the streaming twin ([[postingsStream]]).
     */
   def postings(docs: DataFrame, idCol: String, textCol: String,
                uax29: Boolean = true): DataFrame = {
     val toks =
       if (uax29) graft.functions.TextFunctions.tokenize(col(textCol))
       else split(col(textCol), " ")
-    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"),
-        posexplode(toks).as(Seq("pos", "term")))
-      .groupBy("term", "doc_id")
-      .agg(sort_array(collect_list(col("pos").cast("int"))).as("positions"),
-        count(lit(1)).as("tf"), first(col("dl")).cast("long").as("dl"))
+    import org.apache.spark.sql.graft.Bridge
+    val perDoc = Bridge.column(graft.functions.expressions.TermPostings(
+      Bridge.expression(toks)))
+    docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(perDoc).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"),
+        col("p.positions").as("positions"),
+        size(col("p.positions")).cast("long").as("tf"), col("dl"))
   }
+
+  /** Streaming index maintenance — the incremental twin of [[postings]]:
+    * because per-doc grouping is a stateless scan projection and doc ids
+    * are unique, arriving documents only ever APPEND postings rows; no
+    * cross-batch state, no output-mode restrictions. Append the result to
+    * the index store per micro-batch (foreachBatch + [[writeIndex]]-style
+    * layout, or a plain partitioned append) and the batch query surface
+    * reads the union.
+    */
+  def postingsStream(docs: DataFrame, idCol: String, textCol: String,
+                     uax29: Boolean = true): DataFrame =
+    postings(docs, idCol, textCol, uax29)
 
   /** Persist postings bucketed+sorted by `term`: equality/IN filters on
     * `term` read only the matching buckets (bucket pruning), and repeated

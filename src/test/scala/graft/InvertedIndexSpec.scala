@@ -89,6 +89,36 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(st("nope") === ((0L, 0L)))
   }
 
+  test("postings build plan: zero shuffles (per-doc kernel grouping)") {
+    val plan = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("streaming twin: micro-batched postings == batch postings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = InvertedIndex.postingsStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", uax29 = false)
+    val q = stream.writeStream.format("memory").queryName("ii_stream")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.take(2).toSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ii_stream")
+        .orderBy("term", "doc_id")
+        .collect().map(_.toSeq).toSeq
+      val want = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+        .orderBy("term", "doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("saved index: term-equality read prunes to the term's buckets") {
     val table = "ii_spec_idx"
     spark.sql(s"DROP TABLE IF EXISTS $table")
