@@ -103,6 +103,9 @@ object GraftExtensions {
     ("graft_term_postings",
       "graft_term_postings(tokens): per-doc inverted-index rows (term, positions)",
       (args: Seq[Expression]) => TermPostings(args.head)),
+    ("graft_phrase_slop_positions",
+      "graft_phrase_slop_positions(pos_arrays, dl, slop): Lucene sloppy phrase over stored positions",
+      (args: Seq[Expression]) => PhraseSlopPositions(args(0), args(1), args(2))),
     ("graft_winnow", "graft_winnow(tokens, k, w): rolling-hash winnowing fingerprints",
       (args: Seq[Expression]) => WinnowFingerprints(args(0),
         intLit(args(1), "k"), intLit(args(2), "w"))),

@@ -92,6 +92,18 @@ object PhraseMatchKernel {
       }
       i += 1
     }
+    matchesPositions(pos, n, slop)
+  }
+
+  /** The positions-level core of [[matchesLucene]]: `pos(i)` = sorted doc
+    * positions of phrase term i (duplicate phrase terms may share arrays —
+    * the distinct-position constraint disambiguates), `n` = doc token
+    * length. Public so the inverted-index tier can run the IDENTICAL
+    * matcher on stored postings without the document in hand.
+    */
+  def matchesPositions(pos: Array[Array[Int]], n: Int, slop: Int): Boolean = {
+    val m = pos.length
+    if (m == 0) return true
     // For a window base b, term i needs an unused position in
     // [b+i, b+i+slop]. Windows shift right with i and share one length, so
     // greedy earliest-deadline (phrase order, smallest feasible position)

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,6 +52,62 @@ object PostingsKernel {
     }
     new GenericArrayData(out)
   }
+}
+
+object SlopPositionsKernel {
+  /** Adapter for [[PhraseMatchKernel.matchesPositions]] over index-stored
+    * postings: `posArrays(i)` = sorted positions of phrase term i (pass
+    * the same arm twice for duplicated phrase terms — the matcher's
+    * distinct-position constraint disambiguates), `n` = the doc's token
+    * length (the in-index `dl` norm), Lucene move-distance `slop`.
+    */
+  def slopMatch(posArrays: ArrayData, n: Long, slop: Int): Boolean = {
+    val m = posArrays.numElements()
+    val pos = new Array[Array[Int]](m)
+    var i = 0
+    while (i < m) {
+      if (posArrays.isNullAt(i)) return false
+      val a = posArrays.getArray(i)
+      if (a.numElements() == 0) return false
+      pos(i) = a.toIntArray()
+      i += 1
+    }
+    PhraseMatchKernel.matchesPositions(pos, n.toInt, slop)
+  }
+}
+
+/** `graft_phrase_slop_positions(pos_arrays, dl, slop)` — sloppy phrase
+  * containment decided from postings alone; the IDENTICAL matcher the scan
+  * tier's `graft_phrase_match_lucene` runs after it derives positions from
+  * the document (shared [[PhraseMatchKernel.matchesPositions]] core).
+  */
+case class PhraseSlopPositions(first: Expression, second: Expression,
+                               third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(ArrayType(IntegerType, _), _), LongType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "graft_phrase_slop_positions needs (array<array<int>>, bigint, int), " +
+          s"got (${a.sql}, ${b.sql}, ${c.sql})")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_phrase_slop_positions"
+
+  protected override def nullSafeEval(pos: Any, dl: Any, slop: Any): Any =
+    SlopPositionsKernel.slopMatch(pos.asInstanceOf[ArrayData],
+      dl.asInstanceOf[Long], slop.asInstanceOf[Int])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, d, s) =>
+      s"graft.functions.expressions.SlopPositionsKernel.slopMatch($p, $d, $s)")
+
+  protected override def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PhraseSlopPositions =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `graft_term_postings(tokens)` — see [[PostingsKernel.termPostings]]. */

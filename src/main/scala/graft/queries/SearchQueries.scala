@@ -107,6 +107,16 @@ object SearchQueries extends QueryPack {
       graft.search.InvertedIndex.termStats(post, unigrams).orderBy("term")
     }),
 
+    // E1-with-slop off the index: Lucene move-distance containment decided
+    // on stored positions (shared matcher core with the scan tier)
+    "e13_indexed_slop" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.countContainingSlop(post,
+        Seq("the key", "spark window"), slop = 1, uax29 = false)
+        .orderBy("phrase")
+    }),
+
     // BM25 ranked retrieval (the ES tier's default relevance) off the
     // index: scores computed entirely from postings + in-index norms
     "e12_bm25_topk" -> ((s, dir) => {
@@ -264,6 +274,18 @@ object SearchQueries extends QueryPack {
          |   ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
          |   tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
          |FROM tf JOIN dfq USING (term) CROSS JOIN st
-         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Lucene slop=1 on single-space text == "adjacent or one inserted
+    // token" (a transposition needs slop 2), exactly e1_count_slop1's
+    // bounded-gap regex, replayed per phrase
+    "e13_indexed_slop" ->
+      """WITH ph(phrase, pat) AS (SELECT * FROM (VALUES
+        |  ('the key', '(^| )the( [^ ]+)? key( |$)'),
+        |  ('spark window', '(^| )spark( [^ ]+)? window( |$)')) v(p, r))
+        |SELECT phrase, CAST(coalesce(sum(
+        |   CASE WHEN regexp_matches(text, pat) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+        |FROM ph LEFT JOIN documents ON true
+        |GROUP BY phrase ORDER BY phrase""".stripMargin
   )
 }

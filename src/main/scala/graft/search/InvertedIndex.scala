@@ -186,4 +186,45 @@ object InvertedIndex {
     }
     perPhrase.reduce(_ unionAll _)
   }
+
+  /** E1-with-slop answered from the index: Lucene move-distance containment
+    * decided on stored positions + the in-index `dl` norm — the IDENTICAL
+    * matcher core the scan tier's `PhraseMatchLucene` uses (shared
+    * `matchesPositions`), so the two tiers can never disagree. Same plan
+    * shape as [[phraseHits]]: one pruned read, df-sized doc_id joins,
+    * zero-hit phrases kept.
+    */
+  def countContainingSlop(postings: DataFrame, phrases: Seq[String],
+                          slop: Int, uax29: Boolean = true): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    import org.apache.spark.sql.graft.Bridge
+    val split: String => Seq[String] =
+      if (uax29) s => graft.functions.Tokenizer.tokenize(s).toSeq
+      else s => s.split(" ").toSeq
+    val byPhrase = phrases.map(p => p -> split(p)).toMap
+    val allTerms = byPhrase.values.flatten.toSeq.distinct
+    val needed = postings.where(col("term").isin(allTerms: _*))
+      .select("term", "doc_id", "positions", "dl").localCheckpoint()
+    val perPhrase = phrases.map { p =>
+      val terms = byPhrase(p)
+      val distinctTerms = terms.distinct
+      val arms = distinctTerms.zipWithIndex.map { case (t, j) =>
+        val base = needed.where(col("term") === t)
+        if (j == 0) base.select(col("doc_id"), col("dl"),
+          col("positions").as(s"__tp$j"))
+        else base.select(col("doc_id"), col("positions").as(s"__tp$j"))
+      }
+      val joined = arms.reduce((a, b) => a.join(b, "doc_id"))
+      // phrase slot i reads its term's (possibly shared) arm column
+      val slotCols = terms.map(t => col(s"__tp${distinctTerms.indexOf(t)}"))
+      val hit = Bridge.column(graft.functions.expressions.PhraseSlopPositions(
+        Bridge.expression(array(slotCols: _*)),
+        Bridge.expression(col("dl")),
+        Bridge.expression(lit(slop))))
+      joined.where(hit)
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(p).as("phrase"), col("n_docs"))
+    }
+    perPhrase.reduce(_ unionAll _)
+  }
 }

@@ -80,6 +80,27 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("differential: index-tier slop counts == scan-tier PhraseMatchLucene") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("x", "y", "z", "w")
+    val corpus = (1L to 80L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val post = InvertedIndex.postings(corpus, "doc_id", "text", uax29 = false)
+      .localCheckpoint()
+    val phrases = Seq("x y", "y x z", "x x", "w z")
+    for (slop <- 0 to 3) {
+      val idx = InvertedIndex.countContainingSlop(post, phrases, slop,
+        uax29 = false).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      phrases.foreach { p =>
+        val scan = corpus.where(Searcher.phrasePredicate(col("text"), p,
+          slop, uax29 = false, luceneSlop = true)).count()
+        assert(idx(p) === scan, s"phrase '$p' slop $slop")
+      }
+    }
+  }
+
   test("termStats: df/ttf match direct aggregation, absent term is 0/0") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     val st = InvertedIndex.termStats(post, Seq("a", "c", "nope"))
