@@ -33,6 +33,55 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("term postings kernel: groups == reference groupBy, positions ascend") {
+    import graft.functions.expressions.PostingsKernel
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    (1 to 300).foreach { _ =>
+      val toks = randTokens(30)
+      val got = PostingsKernel.termPostings(arr(toks))
+      val gotMap = (0 until got.numElements()).map { i =>
+        val r = got.get(i, null).asInstanceOf[GenericInternalRow]
+        val term = r.get(0, null).asInstanceOf[UTF8String].toString
+        val ps = r.get(1, null).asInstanceOf[ArrayData].toIntArray().toList
+        term -> ps
+      }
+      // reference: index positions grouped by token, in-order
+      val want = toks.zipWithIndex.groupBy(_._1)
+        .map { case (t, tp) => t -> tp.map(_._2).toList }
+      assert(gotMap.toMap === want)
+      // first-occurrence term order and ascending positions
+      assert(gotMap.map(_._1) === toks.distinct)
+      gotMap.foreach { case (t, ps) => assert(ps === ps.sorted, t) }
+    }
+  }
+
+  test("slop positions kernel == matchesLucene on the same doc") {
+    import graft.functions.expressions.{PostingsKernel, SlopPositionsKernel}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    (1 to 300).foreach { _ =>
+      val toks = randTokens(16)
+      val phrase = randTokens(4)
+      if (toks.nonEmpty && phrase.nonEmpty) {
+        val slop = rng.nextInt(4)
+        val post = PostingsKernel.termPostings(arr(toks))
+        val byTerm = (0 until post.numElements()).map { i =>
+          val r = post.get(i, null).asInstanceOf[GenericInternalRow]
+          r.get(0, null).asInstanceOf[UTF8String].toString ->
+            r.get(1, null).asInstanceOf[ArrayData]
+        }.toMap
+        val viaIndex = phrase.map(byTerm.get) match {
+          case slots if slots.forall(_.isDefined) =>
+            SlopPositionsKernel.slopMatch(
+              new GenericArrayData(slots.map(_.get: Any).toArray),
+              toks.length.toLong, slop)
+          case _ => false // a term absent from the doc can never match
+        }
+        val viaScan = PhraseMatchKernel.matchesLucene(arr(toks), arr(phrase), slop)
+        assert(viaIndex === viaScan, s"toks=$toks phrase=$phrase slop=$slop")
+      }
+    }
+  }
+
   test("bpe: tokens reassemble the word; encode deterministic; merges shrink") {
     import graft.functions.Bpe
     val chars = "abcde"
