@@ -426,14 +426,24 @@ object Similarity {
     * reconstructed (decoded) vector for ADC scoring.
     */
   def pqEncode(base: DataFrame, idCol: String, vecCol: String,
-               codebook: Array[Array[Array[Double]]]): DataFrame = {
+               codebook: Array[Array[Array[Double]]]): DataFrame =
+    // m×K×sub distance evaluations per row: fan a small single-split scan
+    // out across cores first (no-op on real multi-split inputs)
+    pqEncodeOnUnit(
+      unitProject(graft.Par.fanOut(base), idCol, idCol, vecCol, "bv"),
+      codebook)
+
+  /** [[pqEncode]] over a frame that ALREADY carries unit vectors in `bv`
+    * (e.g. [[ivfAssign]] output) — encoding must not re-normalize, or the
+    * double bits drift from the single-normalize arithmetic the oracles
+    * replay.
+    */
+  private def pqEncodeOnUnit(b: DataFrame,
+                             codebook: Array[Array[Array[Double]]]): DataFrame = {
     val m = codebook.length
     val k = codebook.head.length
     val sub = codebook.head.head.length
     val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    // m×K×sub distance evaluations per row: fan a small single-split scan
-    // out across cores first (no-op on real multi-split inputs)
-    val b = unitProject(graft.Par.fanOut(base), idCol, idCol, vecCol, "bv")
     val codes = transform(sequence(lit(0), lit(m - 1)), j => {
       val cands = transform(sequence(lit(0), lit(k - 1)), c => {
         val cent = element_at(element_at(cb, j + 1), c + 1)
@@ -465,6 +475,40 @@ object Similarity {
       .select(col(idCol), col("decoded"))
     val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
     val scored = enc.join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol),
+        dot(col("qv"), col("decoded")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-PQ — the standard billion-scale composition (Jégou et al. 2011,
+    * the FAISS `IVFx,PQy` default): IVF's nprobe bucket pruning bounds the
+    * candidate set, PQ's asymmetric-distance scoring reads m-byte codes
+    * instead of full vectors inside those buckets. At 1e9 vectors/executor-
+    * group the scan per query is (nprobe/n_buckets)·n rows × m bytes — both
+    * dials independent. Exact same bucket assignment as [[ivfKnn]] and the
+    * same single-normalize encode arithmetic as [[pqKnn]], so the oracle
+    * replays the composition verbatim.
+    */
+  def ivfPqKnn(base: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, step: Int = 100, nprobe: Int = 3,
+               m: Int = 8, codeStep: Int = 50): DataFrame = {
+    val codebook = pqCodebook(base, idCol, vecCol, m, codeStep)
+    val assigned = ivfAssign(base, idCol, vecCol, step).cache()
+    val encoded = pqEncodeOnUnit(assigned, codebook)
+      .select(col(idCol), col("bucket"), col("decoded"))
+    val centroids = broadcast(assigned.where(col(idCol) % step === 0)
+      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+    val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    val probes = q.join(centroids)
+      .withColumn("csim", dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val scored = broadcast(probes).join(encoded, "bucket")
+      .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol),
         dot(col("qv"), col("decoded")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))

@@ -62,6 +62,15 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // the production composition: IVF bucket pruning × PQ code scoring
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqKnn(emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, step = 50, nprobe = 3, m = 8,
+        codeStep = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -228,6 +237,55 @@ object AnnQueries extends QueryPack {
         |scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
         |  list_aggregate(list_transform(generate_series(1, 64), i -> q.qv[i] * r.dv[i]), 'sum') AS c
         | FROM q JOIN recon r ON r.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ composition: the ann_ivf_topk bucket/probe CTEs verbatim,
+    // scored against ann_pq_topk's reconstructed vectors instead of the
+    // exact ones — candidate set pruned by bucket, score read from codes
+    "ann_ivfpq_topk" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+        | FROM unit WHERE vec_id % 50 = 0),
+        |codes0 AS (
+        | SELECT u.vec_id, j.j, c.cid,
+        |  list_aggregate(list_transform(generate_series(1, 8), i ->
+        |   (u.v[j.j*8+i] - c.v[j.j*8+i]) * (u.v[j.j*8+i] - c.v[j.j*8+i])), 'sum') AS d
+        | FROM unit u CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cb c),
+        |codes AS (SELECT vec_id, j, cid FROM (
+        |  SELECT vec_id, j, cid,
+        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid) AS rn
+        |  FROM codes0) WHERE rn = 1),
+        |recon AS (SELECT codes.vec_id,
+        |  flatten(list(list_slice(cb.v, j*8+1, j*8+8) ORDER BY j)) AS dv
+        | FROM codes JOIN cb USING (cid) GROUP BY codes.vec_id),
+        |scored AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, 64), i -> p.qv[i] * r.dv[i]), 'sum') AS c
+        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+        | JOIN recon r ON r.vec_id = a.vec_id),
         |ranked AS (SELECT query_id, neighbor_id, c,
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
         | FROM scored)
