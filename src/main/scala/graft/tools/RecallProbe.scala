@@ -20,10 +20,16 @@ object RecallProbe {
     val ivfKm = topSet(Similarity.ivfKnnWith(emb, q, cents, "vec_id", "embedding", k = 5, nprobe = 3))
     val pq = topSet(Similarity.pqKnn(emb, q, "vec_id", "embedding", k = 5, m = 8, step = 50))
     val pqFine = topSet(Similarity.pqKnn(emb, q, "vec_id", "embedding", k = 5, m = 16, step = 10))
+    val ivfpq = topSet(Similarity.ivfPqKnn(emb, q, "vec_id", "embedding",
+      k = 5, step = 50, nprobe = 3, m = 8, codeStep = 50))
+    val ivfpqFine = topSet(Similarity.ivfPqKnn(emb, q, "vec_id", "embedding",
+      k = 5, step = 50, nprobe = 5, m = 16, codeStep = 10))
     println(s"RECALL ivf_sample=${(bf & ivf).size.toDouble / bf.size}")
     println(s"RECALL ivf_kmeans=${(bf & ivfKm).size.toDouble / bf.size}")
     println(s"RECALL pq_adc_m8_k10=${(bf & pq).size.toDouble / bf.size}")
     println(s"RECALL pq_adc_m16_k50=${(bf & pqFine).size.toDouble / bf.size}")
+    println(s"RECALL ivfpq_m8_nprobe3=${(bf & ivfpq).size.toDouble / bf.size}")
+    println(s"RECALL ivfpq_m16_nprobe5=${(bf & ivfpqFine).size.toDouble / bf.size}")
     spark.stop()
   }
 }
