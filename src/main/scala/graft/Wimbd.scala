@@ -206,4 +206,33 @@ object Wimbd {
     */
   def writeJsonl(df: DataFrame, path: String, force: Boolean = false): Unit =
     Corpus.writeJsonl(df, path, force)
+
+  // ---- index tier (the reference's pre-built ES index, as a table) ----
+
+  /** Build the positions-aware inverted index for `docs` (one shuffle-free
+    * pass; persist with [[graft.search.InvertedIndex.writeIndex]] to make
+    * every later phrase/term query a pruned posting read instead of a
+    * corpus scan — the reference's "index once in ES, query many" posture).
+    */
+  def buildIndex(docs: DataFrame, uax29: Boolean = true): DataFrame =
+    graft.search.InvertedIndex.postings(docs, "doc_id", "text", uax29)
+
+  /** count_documents_for_each_phrase answered from the index (exact and
+    * slop variants share the scan tier's matcher semantics).
+    */
+  def countPhrasesIndexed(postings: DataFrame, phrases: Seq[String],
+                          slop: Int = 0, uax29: Boolean = true): DataFrame =
+    if (slop == 0)
+      graft.search.InvertedIndex.phraseHits(postings, phrases, uax29)
+        .select(org.apache.spark.sql.functions.col("phrase"),
+          org.apache.spark.sql.functions.col("n_docs"))
+    else graft.search.InvertedIndex.countContainingSlop(postings, phrases,
+      slop, uax29)
+
+  /** BM25-ranked document ids for a term query — the relevance ordering
+    * the ES tier's retrieval applies.
+    */
+  def rankDocuments(postings: DataFrame, norms: DataFrame, terms: Seq[String],
+                    k: Int): DataFrame =
+    graft.search.InvertedIndex.bm25TopK(postings, norms, terms, k)
 }

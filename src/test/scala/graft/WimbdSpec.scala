@@ -78,4 +78,25 @@ class WimbdSpec extends SparkTestBase {
     assert(Wimbd.corpusContamination(docs, Seq("quick brown", "no such thing"))
       .head().getAs[Double]("pct") === 0.5)
   }
+
+  test("index tier facade: build, phrase counts (exact + slop), bm25 rank") {
+    val docsWithIds = docs.withColumn("doc_id",
+      xxhash64(col("url"))) // any unique id column
+    val post = Wimbd.buildIndex(docsWithIds)
+    val exact = Wimbd.countPhrasesIndexed(post, Seq("quick brown", "zz qq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === Map("quick brown" -> 2L, "zz qq" -> 0L))
+    // same two-insertion phrase the scan-tier test pins: slop 2 hits, 1 not
+    val s2 = Wimbd.countPhrasesIndexed(post, Seq("quick jumps"), slop = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Wimbd.countPhrasesIndexed(post, Seq("quick jumps"), slop = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 === Map("quick jumps" -> 2L))
+    assert(s1 === Map("quick jumps" -> 0L))
+    val norms = graft.search.InvertedIndex.corpusNorms(docs, "text")
+    val ranked = Wimbd.rankDocuments(post, norms, Seq("quick"), k = 3).collect()
+    assert(ranked.length === 2) // only the two docs containing 'quick'
+    assert(ranked.map(_.getDouble(1)).toSeq ===
+      ranked.map(_.getDouble(1)).sorted.reverse.toSeq)
+  }
 }
