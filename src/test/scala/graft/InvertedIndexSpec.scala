@@ -151,6 +151,16 @@ class InvertedIndexSpec extends SparkTestBase {
       val plan = q.queryExecution.executedPlan.toString
       // the scale contract: a term lookup must NOT read all 8 buckets
       assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+      // full query surface over the SAVED layout == in-memory postings
+      // (positions arrays and norms survive the parquet roundtrip)
+      val saved = InvertedIndex.readIndex(spark, table)
+      val hits = InvertedIndex.phraseHits(saved, Seq("a b", "b b"), uax29 = false)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(hits("a b") === ((4L, 2L)))
+      assert(hits("b b") === ((2L, 1L)))
+      val slop = InvertedIndex.countContainingSlop(saved, Seq("a c"), slop = 1,
+        uax29 = false).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(slop("a c") === 1L) // doc4 "a b c ...": one insertion
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
