@@ -168,6 +168,36 @@ object Cli {
         }
         deliver(operators.LangId.langIdModelCounts(docs, "text", profiles)
           .orderBy(desc("cnt"), asc("pred")), ranked = true)
+      // index tier: build the positions-aware inverted index and either
+      // persist it bucketed-by-term (--table [--buckets]) or answer phrase
+      // queries from it (--search, repeatable; --slop for Lucene slop) —
+      // with BOTH --table and --search the query reads the saved table
+      // (pruned posting reads), the "index once, query many" posture
+      case "index" =>
+        val phrases = flagAll("--search")
+        val table = flag("--table")
+        if (phrases.isEmpty) {
+          val t = table.getOrElse(sys.error(
+            "index needs --search phrases and/or --table to persist to"))
+          search.InvertedIndex.writeIndex(
+            search.InvertedIndex.postings(
+              Corpus.withFileLineId(docs, "__id"), "__id", "text", uax29 = uax),
+            t, intFlag("--buckets", 64), force = a.flags.contains("--force"))
+          System.err.println(s"index written to table $t")
+        } else {
+          val post = table match {
+            case Some(t) => search.InvertedIndex.readIndex(spark, t)
+            case None => search.InvertedIndex.postings(
+              Corpus.withFileLineId(docs, "__id"), "__id", "text", uax29 = uax)
+          }
+          val slop = intFlag("--slop", 0)
+          deliver(
+            if (slop == 0)
+              search.InvertedIndex.phraseHits(post, phrases, uax29 = uax)
+            else search.InvertedIndex.countContainingSlop(post, phrases, slop,
+              uax29 = uax),
+            ranked = false)
+        }
       // concordance: hits of --phrase in context (--context chars per side)
       case "grep" =>
         deliver(SearchOps.concordance(
