@@ -275,4 +275,27 @@ class PlanPropertySpec extends SparkTestBase {
     assert(shuffles(v) === 0, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("inverted index build is a scan projection: zero shuffles, zero joins") {
+    val post = graft.search.InvertedIndex.postings(docs, "doc_id", "text",
+      uax29 = false)
+    val p = plan(post)
+    assert(shuffles(post) === 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("bm25: candidate postings never re-join the corpus (norms ride the index)") {
+    val post = graft.search.InvertedIndex.postings(docs, "doc_id", "text",
+      uax29 = false).localCheckpoint()
+    val ranked = graft.search.InvertedIndex.bm25TopK(post,
+      graft.search.InvertedIndex.corpusNorms(docs, "text", uax29 = false),
+      Seq("the", "data"), k = 5)
+    val p = plan(ranked)
+    // exactly two hash shuffles, both candidate-bounded: the |terms|-group
+    // df agg (map-side collapsed to one row per term per partition) and
+    // the per-doc score agg; ranking is TakeOrderedAndProject, never a
+    // sort shuffle, and the corpus table appears nowhere in the plan
+    assert(shuffles(ranked) <= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
