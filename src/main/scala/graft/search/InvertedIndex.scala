@@ -187,6 +187,21 @@ object InvertedIndex {
     perPhrase.reduce(_ unionAll _)
   }
 
+  /** A12 from the index: benchmark contamination (fraction of phrases
+    * present at least once) where EVERY phrase is answered by the single
+    * pruned posting read [[phraseHits]] issues — the batch-contamination
+    * driver's cost drops from one corpus scan per run to a few hundred MB
+    * of term postings, however many benchmarks are probed. Same output
+    * shape as `Searcher.contamination`.
+    */
+  def contaminationIndexed(postings: DataFrame, phrases: Seq[String],
+                           uax29: Boolean = true): DataFrame =
+    phraseHits(postings, phrases, uax29)
+      .agg(count(lit(1)).as("n_phrases"),
+        sum(when(col("n_docs") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_contaminated"),
+        round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
+
   /** E1-with-slop answered from the index: Lucene move-distance containment
     * decided on stored positions + the in-index `dl` norm — the IDENTICAL
     * matcher core the scan tier's `PhraseMatchLucene` uses (shared

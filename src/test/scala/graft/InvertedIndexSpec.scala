@@ -101,6 +101,19 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("contaminationIndexed == scan-tier Searcher.contamination") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val phrases = Seq("a b", "b b", "z q", "a b c")
+    val idx = InvertedIndex.contaminationIndexed(post, phrases, uax29 = false)
+      .head()
+    val scan = Searcher.contamination(docs, "text", phrases, uax29 = false)
+      .head()
+    assert(idx.getLong(0) === scan.getLong(0))   // n_phrases
+    assert(idx.getLong(1) === scan.getLong(1))   // n_contaminated
+    assert(idx.getDouble(2) === scan.getDouble(2)) // pct
+    assert(idx.getLong(1) === 3L)
+  }
+
   test("termStats: df/ttf match direct aggregation, absent term is 0/0") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     val st = InvertedIndex.termStats(post, Seq("a", "c", "nope"))
