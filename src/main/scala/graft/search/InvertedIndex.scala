@@ -163,6 +163,8 @@ object InvertedIndex {
       if (uax29) s => graft.functions.Tokenizer.tokenize(s).toSeq
       else s => s.split(" ").toSeq
     val byPhrase = phrases.map(p => p -> split(p)).toMap
+    byPhrase.foreach { case (p, ts) =>
+      require(ts.nonEmpty, s"phrase '$p' tokenizes to no terms") }
     val allTerms = byPhrase.values.flatten.toSeq.distinct
     // one read of the index covers every phrase; df-sized, safe to pin
     val needed = postings.where(col("term").isin(allTerms: _*))
@@ -217,6 +219,8 @@ object InvertedIndex {
       if (uax29) s => graft.functions.Tokenizer.tokenize(s).toSeq
       else s => s.split(" ").toSeq
     val byPhrase = phrases.map(p => p -> split(p)).toMap
+    byPhrase.foreach { case (p, ts) =>
+      require(ts.nonEmpty, s"phrase '$p' tokenizes to no terms") }
     val allTerms = byPhrase.values.flatten.toSeq.distinct
     val needed = postings.where(col("term").isin(allTerms: _*))
       .select("term", "doc_id", "positions", "dl").localCheckpoint()

@@ -101,6 +101,16 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("phraseHits/countContainingSlop reject a phrase with no terms") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.phraseHits(post, Seq("a b", ""), uax29 = true)
+    }
+    intercept[IllegalArgumentException] {
+      InvertedIndex.countContainingSlop(post, Seq(""), slop = 1, uax29 = true)
+    }
+  }
+
   test("contaminationIndexed == scan-tier Searcher.contamination") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     val phrases = Seq("a b", "b b", "z q", "a b c")
