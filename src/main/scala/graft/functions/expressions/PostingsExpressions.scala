@@ -16,6 +16,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PostingsKernel {
 
+  /** Growable unboxed position list (the per-term accumulator — avoids
+    * Integer boxing in the corpus-scale build loop).
+    */
+  private final class IntList {
+    private[this] var a = new Array[Int](4)
+    private[this] var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
   /** tokens → array<struct<term, positions>>; positions ascend because the
     * single left-to-right pass appends them in order. First-occurrence term
     * order (deterministic for a given document).
@@ -23,14 +36,14 @@ object PostingsKernel {
   def termPostings(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()
     val order = new java.util.ArrayList[UTF8String](math.min(n, 16))
-    val pos = new java.util.HashMap[UTF8String, java.util.ArrayList[Integer]]()
+    val pos = new java.util.HashMap[UTF8String, IntList]()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val t = tokens.getUTF8String(i)
         var lst = pos.get(t)
         if (lst == null) {
-          lst = new java.util.ArrayList[Integer](4)
+          lst = new IntList
           pos.put(t, lst)
           order.add(t)
         }
@@ -42,12 +55,8 @@ object PostingsKernel {
     i = 0
     while (i < order.size()) {
       val t = order.get(i)
-      val lst = pos.get(t)
-      val ps = new Array[Int](lst.size())
-      var j = 0
-      while (j < ps.length) { ps(j) = lst.get(j); j += 1 }
       out(i) = new GenericInternalRow(
-        Array[Any](t, ArrayData.toArrayData(ps)))
+        Array[Any](t, ArrayData.toArrayData(pos.get(t).toArray)))
       i += 1
     }
     new GenericArrayData(out)
