@@ -1,0 +1,32 @@
+package graft.tools
+import org.apache.spark.sql.{SparkSession, functions => F}
+import org.apache.spark.sql.functions._
+object IdxBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Sessions.tune(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.count()
+    def t(name: String)(f: => Long): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime(); val c = f
+        println(f"IDX $name run$i ${(System.nanoTime()-t0)/1e9}%7.2f s  rows=$c")
+      }
+    }
+    val toks = split(col("text"), " ")
+    t("groupBy-shape") {
+      d.select(col("doc_id"), size(toks).cast("long").as("dl"),
+          posexplode(toks).as(Seq("pos", "term")))
+        .groupBy("term", "doc_id")
+        .agg(sort_array(collect_list(col("pos").cast("int"))).as("positions"),
+          count(lit(1)).as("tf"), first(col("dl")).as("dl")).count()
+    }
+    t("kernel-shape") {
+      graft.search.InvertedIndex.postings(d, "doc_id", "text", uax29 = false).count()
+    }
+    spark.stop()
+  }
+}
