@@ -121,7 +121,8 @@ object Bench {
       "ann_ivf_topk", "p6_lang_model", "p7_pii", "p8_model", "p9_sentence",
       "t_gopher_filter", "t_quality_clf", "t_ppl_buckets", "t_bpe_real",
       "t_dsir", "s12_pack_chunks", "s17_sliding_windows", "w_sessionize",
-      "m_media_features")
+      "m_media_features", "e10_indexed_phrase", "e12_bm25_topk",
+      "e13_indexed_slop", "ann_ivfpq_topk")
     val compactQs = headline.flatMap(k => resultMap.get(k).map(v =>
       "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
     val compactTotal = f"$total%.3f"
