@@ -18,6 +18,8 @@ object SearchQueries extends QueryPack {
   private val idxPhrases = Seq("batch batch", "spark window", "data line",
     "no such phrase xyz")
   private val bm25Terms = Seq("spark", "window", "data")
+  private val proxPairs = Seq(("spark", "window"), ("data", "line"),
+    ("spark", "zzzz"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_count_any" -> ((s, dir) =>
@@ -115,6 +117,15 @@ object SearchQueries extends QueryPack {
       graft.search.InvertedIndex.countContainingSlop(post,
         Seq("the key", "spark window"), slop = 1, uax29 = false)
         .orderBy("phrase")
+    }),
+
+    // collocation counts off the index: symmetric proximity window over
+    // two posting lists per pair, no corpus scan
+    "e14_term_proximity" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.proximityPairs(post, proxPairs, window = 3)
+        .orderBy("term_a", "term_b")
     }),
 
     // BM25 ranked retrieval (the ES tier's default relevance) off the
@@ -275,6 +286,27 @@ object SearchQueries extends QueryPack {
          |   tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
          |FROM tf JOIN dfq USING (term) CROSS JOIN st
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // symmetric proximity over per-doc position lists; 1-based positions
+    // in SQL vs 0-based in Spark cancel in the |pa-pb| differences
+    "e14_term_proximity" ->
+      s"""WITH pr(a, b) AS (SELECT * FROM (VALUES ${proxPairs.map(p => s"('${p._1}', '${p._2}')").mkString(", ")}) v(x, y)),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pp AS (SELECT pr.a, pr.b, tok.doc_id,
+         |   list_filter(generate_series(1, len(t)), i -> t[i] = pr.a) AS pa,
+         |   list_filter(generate_series(1, len(t)), i -> t[i] = pr.b) AS pb
+         | FROM pr CROSS JOIN tok),
+         |near AS (SELECT a, b, doc_id,
+         |   len(list_filter(pa, x -> len(list_filter(pb, y -> abs(x - y) <= 3)) > 0)) AS n
+         | FROM pp WHERE len(pa) > 0 AND len(pb) > 0),
+         |agg AS (SELECT a, b,
+         |   CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |   CAST(sum(n) AS BIGINT) AS n_near
+         | FROM near GROUP BY a, b)
+         |SELECT pr.a AS term_a, pr.b AS term_b,
+         | coalesce(agg.n_docs, 0) AS n_docs, coalesce(agg.n_near, 0) AS n_near
+         |FROM pr LEFT JOIN agg ON agg.a = pr.a AND agg.b = pr.b
+         |ORDER BY term_a, term_b""".stripMargin,
 
     // Lucene slop=1 on single-space text == "adjacent or one inserted
     // token" (a transposition needs slop 2), exactly e1_count_slop1's

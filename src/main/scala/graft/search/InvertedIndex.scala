@@ -189,6 +189,40 @@ object InvertedIndex {
     perPhrase.reduce(_ unionAll _)
   }
 
+  /** Term proximity / collocation counts from the index: for each
+    * (term_a, term_b) pair, `n_docs` = documents where some occurrence of
+    * a has a b within `window` tokens, and `n_near` = total a-occurrences
+    * with such a neighbor. The concordance-style question ("how often does
+    * 'bank' appear near 'river'?") answered from two posting lists per
+    * pair — no corpus scan, no phrase-order constraint (window is
+    * symmetric, unlike [[phraseHits]]). Zero-hit pairs are kept.
+    */
+  def proximityPairs(postings: DataFrame, pairs: Seq[(String, String)],
+                     window: Int): DataFrame = {
+    require(pairs.nonEmpty, "need at least one term pair")
+    require(window >= 1, "window must be >= 1")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val allTerms = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val needed = postings.where(col("term").isin(allTerms: _*))
+      .select("term", "doc_id", "positions").localCheckpoint()
+    val perPair = pairs.map { case (a, b) =>
+      val armA = needed.where(col("term") === a)
+        .select(col("doc_id"), col("positions").as("__pa"))
+      val armB = needed.where(col("term") === b)
+        .select(col("doc_id"), col("positions").as("__pb"))
+      val near = size(filter(col("__pa"),
+        x => exists(col("__pb"), y => abs(x - y) <= window)))
+      armA.join(armB, "doc_id")
+        .select(near.as("n")).where(col("n") > 0)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n")), lit(0L)).cast("long").as("n_near"))
+        .select(lit(a).as("term_a"), lit(b).as("term_b"),
+          col("n_docs"), col("n_near"))
+    }
+    perPair.reduce(_ unionAll _)
+  }
+
   /** A12 from the index: benchmark contamination (fraction of phrases
     * present at least once) where EVERY phrase is answered by the single
     * pruned posting read [[phraseHits]] issues — the batch-contamination

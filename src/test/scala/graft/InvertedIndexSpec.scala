@@ -101,6 +101,19 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("proximityPairs: symmetric window, per-occurrence counts, zero-hit kept") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val got = InvertedIndex.proximityPairs(post,
+        Seq(("a", "c"), ("c", "a"), ("a", "z")), window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // doc4 "a b c a b c": a@{0,3}, c@{2,5}; |0-2|=2, |3-2|=1, |3-5|=2 →
+    // both a-positions have a c within 2; symmetric: both c's have an a
+    assert(got(("a", "c")) === ((1L, 2L)))
+    assert(got(("c", "a")) === ((1L, 2L)))
+    assert(got(("a", "z")) === ((0L, 0L)))
+  }
+
   test("phraseHits/countContainingSlop reject a phrase with no terms") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     intercept[IllegalArgumentException] {
