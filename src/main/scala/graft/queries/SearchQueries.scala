@@ -119,6 +119,14 @@ object SearchQueries extends QueryPack {
         .orderBy("phrase")
     }),
 
+    // PMI collocation strength over the same window counts
+    "e15_collocation_pmi" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.collocationPmi(post, proxPairs, window = 3)
+        .orderBy("term_a", "term_b")
+    }),
+
     // collocation counts off the index: symmetric proximity window over
     // two posting lists per pair, no corpus scan
     "e14_term_proximity" -> ((s, dir) => {
@@ -306,6 +314,36 @@ object SearchQueries extends QueryPack {
          |SELECT pr.a AS term_a, pr.b AS term_b,
          | coalesce(agg.n_docs, 0) AS n_docs, coalesce(agg.n_near, 0) AS n_near
          |FROM pr LEFT JOIN agg ON agg.a = pr.a AND agg.b = pr.b
+         |ORDER BY term_a, term_b""".stripMargin,
+
+    // e14's CTEs + unigram totals; ln and the (n·T)/(ta·tb) association
+    // ratio evaluate in the same order on both engines, round(6)
+    "e15_collocation_pmi" ->
+      s"""WITH pr(a, b) AS (SELECT * FROM (VALUES ${proxPairs.map(p => s"('${p._1}', '${p._2}')").mkString(", ")}) v(x, y)),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pp AS (SELECT pr.a, pr.b, tok.doc_id,
+         |   list_filter(generate_series(1, len(t)), i -> t[i] = pr.a) AS pa,
+         |   list_filter(generate_series(1, len(t)), i -> t[i] = pr.b) AS pb
+         | FROM pr CROSS JOIN tok),
+         |near AS (SELECT a, b, doc_id,
+         |   len(list_filter(pa, x -> len(list_filter(pb, y -> abs(x - y) <= 3)) > 0)) AS n
+         | FROM pp WHERE len(pa) > 0 AND len(pb) > 0),
+         |agg AS (SELECT a, b,
+         |   CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |   CAST(sum(n) AS BIGINT) AS n_near
+         | FROM near GROUP BY a, b),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS ttf FROM
+         |   (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM (SELECT unnest(t) FROM tok))
+         |SELECT pr.a AS term_a, pr.b AS term_b,
+         | coalesce(agg.n_docs, 0) AS n_docs, coalesce(agg.n_near, 0) AS n_near,
+         | CASE WHEN coalesce(agg.n_near, 0) > 0 AND ua.ttf > 0 AND ub.ttf > 0
+         |   THEN round(ln(agg.n_near * tot.T / (ua.ttf * ub.ttf)), 6) END AS pmi
+         |FROM pr
+         |LEFT JOIN agg ON agg.a = pr.a AND agg.b = pr.b
+         |LEFT JOIN uni ua ON ua.w = pr.a
+         |LEFT JOIN uni ub ON ub.w = pr.b
+         |CROSS JOIN tot
          |ORDER BY term_a, term_b""".stripMargin,
 
     // Lucene slop=1 on single-space text == "adjacent or one inserted

@@ -223,6 +223,33 @@ object InvertedIndex {
     perPair.reduce(_ unionAll _)
   }
 
+  /** Collocation strength: pointwise mutual information over the
+    * [[proximityPairs]] window counts — PMI(a,b) = ln(C_near(a,b)·T /
+    * (ttf(a)·ttf(b))), the classic collocation statistic (Church & Hanks
+    * 1990), computed ENTIRELY from the index (co-occurrence from position
+    * lists, unigram totals from term stats, T = Σtf). NULL pmi for pairs
+    * that never co-occur. All frames beyond the one index-wide Σtf agg are
+    * pair-/term-sized.
+    */
+  def collocationPmi(postings: DataFrame, pairs: Seq[(String, String)],
+                     window: Int): DataFrame = {
+    val prox = proximityPairs(postings, pairs, window)
+    val terms = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val st = termStats(postings, terms).select(col("term"), col("ttf"))
+    val tot = postings.agg(sum("tf").cast("double").as("T"))
+    prox
+      .join(broadcast(st.select(col("term").as("term_a"), col("ttf").as("__ta"))),
+        Seq("term_a"))
+      .join(broadcast(st.select(col("term").as("term_b"), col("ttf").as("__tb"))),
+        Seq("term_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        when(col("n_near") > 0 && col("__ta") > 0 && col("__tb") > 0,
+          round(log(col("n_near") * col("T") / (col("__ta") * col("__tb"))), 6)))
+      .select(col("term_a"), col("term_b"), col("n_docs"), col("n_near"),
+        col("pmi"))
+  }
+
   /** A12 from the index: benchmark contamination (fraction of phrases
     * present at least once) where EVERY phrase is answered by the single
     * pruned posting read [[phraseHits]] issues — the batch-contamination
