@@ -399,13 +399,23 @@ object Similarity {
     */
   def pqCodebook(base: DataFrame, idCol: String, vecCol: String,
                  m: Int, step: Int,
-                 maxSample: Int = 8192): Array[Array[Array[Double]]] = {
+                 maxSample: Int = 8192): Array[Array[Array[Double]]] =
+    codebookFromUnit(
+      unitProject(base.where(col(idCol) % step === 0), idCol, idCol,
+        vecCol, "bv"),
+      idCol, m, step, maxSample)
+
+  /** [[pqCodebook]] over rows that ALREADY carry unit vectors in `bv` —
+    * lets [[ivfPqKnn]] reuse its assignment frame instead of re-scanning
+    * and re-normalizing the corpus for the codebook sample.
+    */
+  private def codebookFromUnit(sampled: DataFrame, idCol: String, m: Int,
+                               step: Int,
+                               maxSample: Int): Array[Array[Array[Double]]] = {
     // K = n/step rows land on the driver AND are re-inlined as a plan
     // literal by pqEncode — collect through a limit so a step miscalibrated
     // for the corpus size fails fast instead of OOMing the driver
-    val rows = unitProject(base.where(col(idCol) % step === 0), idCol, idCol,
-        vecCol, "bv")
-      .select(col(idCol).cast("long"), col("bv"))
+    val rows = sampled.select(col(idCol).cast("long"), col("bv"))
       .limit(maxSample + 1).collect()
     require(rows.length <= maxSample,
       s"pqCodebook: step=$step yields more than $maxSample codebook rows " +
@@ -495,8 +505,12 @@ object Similarity {
   def ivfPqKnn(base: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, step: Int = 100, nprobe: Int = 3,
                m: Int = 8, codeStep: Int = 50): DataFrame = {
-    val codebook = pqCodebook(base, idCol, vecCol, m, codeStep)
     val assigned = ivfAssign(base, idCol, vecCol, step).cache()
+    // the assignment frame already carries the single-normalized unit
+    // vectors — sample the codebook from it rather than paying a second
+    // corpus scan + normalize (identical doubles, so oracle parity holds)
+    val codebook = codebookFromUnit(
+      assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
     val encoded = pqEncodeOnUnit(assigned, codebook)
       .select(col(idCol), col("bucket"), col("decoded"))
     val centroids = broadcast(assigned.where(col(idCol) % step === 0)
