@@ -186,7 +186,12 @@ object Cli {
           System.err.println(s"index written to table $t")
         } else {
           val post = table match {
-            case Some(t) => search.InvertedIndex.readIndex(spark, t)
+            case Some(t) =>
+              if (!spark.catalog.tableExists(t)) sys.error(
+                s"index table '$t' does not exist — build it first with " +
+                  s"`index --table $t` (no --search), then query it; or " +
+                  "drop --table to answer from an in-memory index build")
+              search.InvertedIndex.readIndex(spark, t)
             case None => search.InvertedIndex.postings(
               Corpus.withFileLineId(docs, "__id"), "__id", "text", uax29 = uax)
           }

@@ -119,12 +119,30 @@ object SearchQueries extends QueryPack {
         .orderBy("phrase")
     }),
 
-    // PMI collocation strength over the same window counts
+    // PMI collocation strength over the same window counts; T comes from
+    // the build-time norms row, not an index-wide Σtf per call
     "e15_collocation_pmi" -> ((s, dir) => {
-      val post = graft.search.InvertedIndex.postings(
-        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
-      graft.search.InvertedIndex.collocationPmi(post, proxPairs, window = 3)
+      val d = Tables(s, dir, "documents")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.collocationPmi(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        proxPairs, window = 3)
         .orderBy("term_a", "term_b")
+    }),
+
+    // the batch-benchmark posture the reference's contamination driver
+    // actually runs (msearch batches of hundreds of phrases): the corpus's
+    // top-200 2-grams plus an absent control, all answered by ONE postings
+    // join — the plan is the same 6 operators as a 2-phrase lookup
+    "e16_indexed_batch" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val top = graft.operators.NgramOps.topK(d, "text", 2, 200, uax29 = false)
+        .collect().map(_.getString(0)).toSeq
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.phraseHits(post, top :+ "zz qq zz",
+        uax29 = false).orderBy("phrase")
     }),
 
     // collocation counts off the index: symmetric proximity window over
@@ -345,6 +363,21 @@ object SearchQueries extends QueryPack {
          |LEFT JOIN uni ub ON ub.w = pr.b
          |CROSS JOIN tot
          |ORDER BY term_a, term_b""".stripMargin,
+
+    // the same top-200-2-gram probe set derived with the same (count DESC,
+    // ngram ASC) tie-break, each phrase's occurrences/doc counts replayed
+    // from the raw 2-gram stream
+    "e16_indexed_batch" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ngs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram FROM tok),
+        |st AS (SELECT ngram, CAST(count(*) AS BIGINT) AS occurrences,
+        |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ngs GROUP BY ngram),
+        |ph AS ((SELECT ngram AS phrase FROM st ORDER BY occurrences DESC, ngram LIMIT 200)
+        |       UNION ALL SELECT 'zz qq zz')
+        |SELECT ph.phrase, coalesce(st.occurrences, CAST(0 AS BIGINT)) AS occurrences,
+        |  coalesce(st.n_docs, CAST(0 AS BIGINT)) AS n_docs
+        |FROM ph LEFT JOIN st ON st.ngram = ph.phrase ORDER BY phrase""".stripMargin,
 
     // Lucene slop=1 on single-space text == "adjacent or one inserted
     // token" (a transposition needs slop 2), exactly e1_count_slop1's

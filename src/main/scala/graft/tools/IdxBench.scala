@@ -27,6 +27,29 @@ object IdxBench {
     t("kernel-shape") {
       graft.search.InvertedIndex.postings(d, "doc_id", "text", uax29 = false).count()
     }
+    // ---- batch query surfaces at benchmark multiplicity (the reference's
+    // contamination driver probes hundreds of phrases per msearch batch) ----
+    val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+      uax29 = false).localCheckpoint()
+    val top2 = graft.operators.NgramOps.topK(d, "text", 2, 500, uax29 = false)
+      .collect().map(_.getString(0)).toSeq
+    val top1 = graft.operators.NgramOps.topK(d, "text", 1, 20, uax29 = false)
+      .collect().map(_.getString(0)).toSeq
+    val pairs100 = (for (a <- top1.take(10); b <- top1.drop(10)) yield (a, b)).toSeq
+    t("phraseHits-500") {
+      graft.search.InvertedIndex.phraseHits(post, top2, uax29 = false).count()
+    }
+    t("slop1-500") {
+      graft.search.InvertedIndex.countContainingSlop(post, top2, slop = 1,
+        uax29 = false).count()
+    }
+    t("proximity-100") {
+      graft.search.InvertedIndex.proximityPairs(post, pairs100, window = 3).count()
+    }
+    t("contamination-500") {
+      graft.search.InvertedIndex.contaminationIndexed(post, top2, uax29 = false)
+        .count()
+    }
     spark.stop()
   }
 }

@@ -176,6 +176,147 @@ class InvertedIndexSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch phrase plan is O(1) in phrase count (500 phrases == 5 phrases)") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+      .localCheckpoint()
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    def phrases(n: Int): Seq[String] = (0 until n).map { k =>
+      s"${vocab(k % 10)} ${vocab((k / 10) % 10)} ${vocab((k / 100) % 10)}"
+    }.distinct
+    def nodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(phrases(500).size >= 500 - 10)
+    assert(nodes(InvertedIndex.phraseHits(post, phrases(500), uax29 = false))
+      === nodes(InvertedIndex.phraseHits(post, phrases(5), uax29 = false)))
+    assert(nodes(InvertedIndex.countContainingSlop(post, phrases(500), 1, uax29 = false))
+      === nodes(InvertedIndex.countContainingSlop(post, phrases(5), 1, uax29 = false)))
+    val pairs = (n: Int) => (0 until n)
+      .map(k => (vocab(k % 10), vocab((k / 10) % 10))).distinct
+    assert(nodes(InvertedIndex.proximityPairs(post, pairs(100), 3))
+      === nodes(InvertedIndex.proximityPairs(post, pairs(4), 3)))
+    // and the batch answers stay correct at that multiplicity: spot-check
+    // against the scan tier for a sample of the 500
+    val hits = InvertedIndex.phraseHits(post, phrases(500), uax29 = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    Seq("a b a", "b b b", "a a a", "c b a").foreach { p =>
+      val scan = docs.where(Searcher.phrasePredicate(col("text"), p,
+        uax29 = false)).count()
+      assert(hits(p) === scan, s"phrase '$p'")
+    }
+  }
+
+  test("batch surfaces pin no executor storage (no checkpoint/cache leak)") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    InvertedIndex.phraseHits(post, Seq("a b", "b b"), uax29 = false).collect()
+    InvertedIndex.countContainingSlop(post, Seq("a b"), 1, uax29 = false).collect()
+    InvertedIndex.proximityPairs(post, Seq(("a", "b")), 2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before)
+  }
+
+  test("proximityPairs: identical-term pair does not count itself as neighbor") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val got = InvertedIndex.proximityPairs(post,
+        Seq(("c", "c"), ("a", "a"), ("b", "b")), window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // c: doc3 c@{0} (no other c in window), doc4 c@{2,5} (|2-5|=3 > 2) →
+    // no occurrence has a DIFFERENT c within 2; without the self-match
+    // guard this would report n_near = ttf(c) = 3
+    assert(got(("c", "c")) === ((0L, 0L)))
+    // a: doc1 a@{0,2,4} — every a has another a at distance 2; doc4 a@{0,3}
+    // distance 3 > 2 → doc1 only, 3 near-occurrences
+    assert(got(("a", "a")) === ((1L, 3L)))
+    // b: doc1 b@{1,3} (distance 2), doc2 b@{0,1,2} (adjacent) → 2 docs, 5 occ
+    assert(got(("b", "b")) === ((2L, 5L)))
+  }
+
+  test("bm25TopK: repeated query term contributes per occurrence (ES parity)") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(docs, "text", uax29 = false)
+    val once = InvertedIndex.bm25TopK(post, norms, Seq("a", "c"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val aTwice = InvertedIndex.bm25TopK(post, norms, Seq("a", "a", "c"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val aOnly = InvertedIndex.bm25TopK(post, norms, Seq("a"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(once.keySet === aTwice.keySet)
+    once.keySet.foreach { id =>
+      val expected = once(id) + aOnly.getOrElse(id, 0.0)
+      assert(math.abs(aTwice(id) - expected) < 1e-5, s"doc $id")
+    }
+  }
+
+  test("corpusNorms carries total_tf; corpusNormsFromPostings matches it") {
+    val fromDocs = InvertedIndex.corpusNorms(docs, "text", uax29 = false).head()
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val fromPost = InvertedIndex.corpusNormsFromPostings(post).head()
+    // 5 + 3 + 1 + 6 = 15 tokens
+    assert(fromDocs.getLong(2) === 15L)
+    assert(fromPost.getLong(0) === fromDocs.getLong(0))
+    assert(math.abs(fromPost.getDouble(1) - fromDocs.getDouble(1)) < 1e-12)
+    assert(fromPost.getLong(2) === fromDocs.getLong(2))
+  }
+
+  test("collocationPmi reads T from norms: postings scanned twice, not thrice") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+      .localCheckpoint()
+    val norms = InvertedIndex.corpusNorms(docs, "text", uax29 = false)
+      .localCheckpoint()
+    val pmi = InvertedIndex.collocationPmi(post, norms, Seq(("a", "c")), 2)
+    // pruned postings reads: prox (1) + the terms-sized termStats subtree
+    // referenced from both pair sides (2) — the index-WIDE Σtf aggregate
+    // the old signature paid per call is gone (T rides the 1-row norms)
+    val scans = pmi.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+        if l.output.map(_.name).contains("positions") => l
+    }.size
+    assert(scans === 3, pmi.queryExecution.optimizedPlan.toString.take(2000))
+    // and the value is the hand formula: doc4 a@{0,3} c@{2,5} within 2 →
+    // n_near=2; ttf(a)=5, ttf(c)=3, T=15 → ln(2·15/15)=ln 2
+    val row = pmi.head()
+    assert(row.getLong(2) === 1L && row.getLong(3) === 2L)
+    assert(math.abs(row.getDouble(4) - math.log(2.0)) < 1e-6)
+  }
+
+  test("compactIndex: streaming appends fold back into one pruned bucketed table") {
+    val table = "ii_spec_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+    // initial index over the first half, then two "micro-batch" appends
+    val first = InvertedIndex.postings(docs.where(col("doc_id") <= 2),
+      "doc_id", "text", uax29 = false)
+    InvertedIndex.writeIndex(first, table, buckets = 8, force = true)
+    val appends = InvertedIndex.postings(docs.where(col("doc_id") === 3),
+        "doc_id", "text", uax29 = false)
+      .unionByName(InvertedIndex.postings(docs.where(col("doc_id") === 4),
+        "doc_id", "text", uax29 = false))
+    try {
+      InvertedIndex.compactIndex(spark, table, appends, buckets = 8)
+      val compacted = InvertedIndex.readIndex(spark, table)
+      val full = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+      // full query surface identical to a fresh whole-corpus index
+      val a = InvertedIndex.phraseHits(compacted, Seq("a b", "b b", "a b c"),
+        uax29 = false).orderBy("phrase").collect().map(_.toSeq).toSeq
+      val b = InvertedIndex.phraseHits(full, Seq("a b", "b b", "a b c"),
+        uax29 = false).orderBy("phrase").collect().map(_.toSeq).toSeq
+      assert(a === b)
+      val norms = InvertedIndex.corpusNorms(docs, "text", uax29 = false)
+      val ra = InvertedIndex.bm25TopK(compacted, norms, Seq("a", "c"), 10)
+        .collect().map(_.toSeq).toSeq
+      val rb = InvertedIndex.bm25TopK(full, norms, Seq("a", "c"), 10)
+        .collect().map(_.toSeq).toSeq
+      assert(ra === rb)
+      // the compacted table still bucket-prunes a term lookup
+      val plan = compacted.where(col("term") === "a")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compacting")
+    }
+  }
+
   test("saved index: term-equality read prunes to the term's buckets") {
     val table = "ii_spec_idx"
     spark.sql(s"DROP TABLE IF EXISTS $table")
