@@ -130,6 +130,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ValencePolarity(args.head,
         graft.operators.Valence.default.toSeq.sortBy(_._1),
         graft.operators.Valence.boosters.toSeq.sortBy(_._1),
-        graft.operators.Valence.negators.distinct.sorted))
+        graft.operators.Valence.negators.distinct.sorted)),
+
+    ("graft_blake2b_es_id",
+      "graft_blake2b_es_id(url): blake2b-512 hexdigest of the stripped string — the reference's ES document id",
+      (args: Seq[Expression]) => Blake2bEsId(args.head))
   )
 }

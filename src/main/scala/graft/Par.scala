@@ -8,14 +8,30 @@ import org.apache.spark.sql.DataFrame
   * serializes everything downstream of it — fatal when the next step
   * multiplies work per row (n-gram explode, pairwise cosine, k-hash
   * signatures). `fanOut` spreads such inputs across the cluster's cores
-  * first; on genuinely large inputs (≥ half the default parallelism in
-  * partitions already) it is a no-op, so operators can call it
-  * unconditionally — at 100 TB the scan already has thousands of splits
-  * and no extra shuffle happens.
+  * first; on genuinely large inputs it is a no-op, so operators can call
+  * it unconditionally — at 100 TB the scan already has thousands of
+  * splits and no extra shuffle happens.
+  *
+  * The small/large decision reads the OPTIMIZER's size estimate
+  * (`optimizedPlan.stats.sizeInBytes` — file sizes for scans, row×width
+  * for local data) instead of `df.rdd.getNumPartitions`: the old probe
+  * forced a full extra physical planning + RDD instantiation of every
+  * frame it touched, and that throwaway plan was never reused by the real
+  * execution. Stats sit on the logical plan the later execution reuses,
+  * so the no-op path now costs nothing extra. Frames with UNKNOWN size
+  * (the conservative Long.Max default, e.g. localCheckpoint scans) are
+  * treated as large — exactly the inputs that already have real
+  * partitioning.
   */
 object Par {
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val bytesPerSplit =
+      org.apache.spark.sql.graft.Bridge.filesMaxPartitionBytes(spark).max(1L)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val approxSplits =
+      (size / bytesPerSplit).min(BigInt(Long.MaxValue)).toLong + 1L
+    if (approxSplits * 2 < target) df.repartition(target) else df
   }
 }

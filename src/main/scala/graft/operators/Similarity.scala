@@ -115,9 +115,13 @@ object Similarity {
                              tables: Int = 1): DataFrame = {
     require(tables >= 1, "need at least one LSH/IVF table")
     (0 until tables).map { r =>
-      pairsFromAssigned(
-        ivfAssign(df, idCol, vecCol, step, offset = r).localCheckpoint(true),
-        idCol, threshold)
+      val assigned = ivfAssign(df, idCol, vecCol, step, offset = r)
+        .localCheckpoint(true)
+      // materialize the (tiny, candidate-bounded) pairs eagerly so the
+      // corpus-sized index blocks can be dropped before this returns
+      val p = pairsFromAssigned(assigned, idCol, threshold).localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(assigned)
+      p
     }.reduce(_ union _).dropDuplicates("id_a", "id_b")
   }
 
@@ -139,17 +143,9 @@ object Similarity {
     * soon as the pairs exist.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, step: Int, tables: Int = 1): DataFrame = {
-    require(tables >= 1, "need at least one LSH/IVF table")
-    val pairs = (0 until tables).map { r =>
-      val assigned = ivfAssign(df, idCol, vecCol, step, offset = r)
-        .localCheckpoint(true)
-      val p = pairsFromAssigned(assigned, idCol, threshold).localCheckpoint(true)
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(assigned)
-      p
-    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
-    graft.operators.Dedup.keepClusterRepresentative(df, idCol, pairs)
-  }
+                    threshold: Double, step: Int, tables: Int = 1): DataFrame =
+    graft.operators.Dedup.keepClusterRepresentative(df, idCol,
+      semanticNearDuplicates(df, idCol, vecCol, threshold, step, tables))
 
   /** Deterministic IVF index: centroids are the vectors whose id ≡ 0 mod
     * `step` (a deterministic sample — swap in k-means outputs when
@@ -366,25 +362,37 @@ object Similarity {
 
   /** ANN top-k via IVF: score only vectors in the query's `nprobe` nearest
     * buckets. Approximate — recall grows with nprobe.
+    *
+    * Resource contract: the corpus-sized assignment frame (the IVF index)
+    * is materialized once via eager local checkpoint (it feeds both the
+    * centroid sample and the probe join) and its blocks are RELEASED
+    * before this returns — a long-lived session can call this per query
+    * batch without accumulating a corpus-sized block set per call. The
+    * returned frame is therefore materialized too (it is query×k rows,
+    * bounded by the broadcastable query side); release it with
+    * `Bridge.releaseLocalCheckpoint` once consumed if even that matters.
     */
   def ivfKnn(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, step: Int = 100, nprobe: Int = 3): DataFrame = {
-    val assigned = ivfAssign(base, idCol, vecCol, step).cache()
-    val centroids = broadcast(assigned.where(col(idCol) % step === 0)
-      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
-    val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
-    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-    val probes = q.join(centroids)
-      .withColumn("csim", dot(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
-    val scored = broadcast(probes).join(assigned, "bucket")
-      .where(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+    val assigned = ivfAssign(base, idCol, vecCol, step).localCheckpoint(true)
+    try {
+      val centroids = broadcast(assigned.where(col(idCol) % step === 0)
+        .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+      val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
+      val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+      val probes = q.join(centroids)
+        .withColumn("csim", dot(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      val scored = broadcast(probes).join(assigned, "bucket")
+        .where(col("query_id") =!= col(idCol))
+        .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+        .localCheckpoint(true)
+    } finally Bridge.releaseLocalCheckpoint(assigned)
   }
 
   // ---- product quantization (the memory-side compression of the ANN
@@ -505,29 +513,35 @@ object Similarity {
   def ivfPqKnn(base: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, step: Int = 100, nprobe: Int = 3,
                m: Int = 8, codeStep: Int = 50): DataFrame = {
-    val assigned = ivfAssign(base, idCol, vecCol, step).cache()
-    // the assignment frame already carries the single-normalized unit
-    // vectors — sample the codebook from it rather than paying a second
-    // corpus scan + normalize (identical doubles, so oracle parity holds)
-    val codebook = codebookFromUnit(
-      assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
-    val encoded = pqEncodeOnUnit(assigned, codebook)
-      .select(col(idCol), col("bucket"), col("decoded"))
-    val centroids = broadcast(assigned.where(col(idCol) % step === 0)
-      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
-    val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
-    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-    val probes = q.join(centroids)
-      .withColumn("csim", dot(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
-    val scored = broadcast(probes).join(encoded, "bucket")
-      .where(col("query_id") =!= col(idCol))
-      .select(col("query_id"), col(idCol),
-        dot(col("qv"), col("decoded")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+    // same resource contract as [[ivfKnn]]: the corpus-sized assignment
+    // checkpoint is released before returning; the returned top-k frame
+    // (query×k rows) is the only thing left materialized
+    val assigned = ivfAssign(base, idCol, vecCol, step).localCheckpoint(true)
+    try {
+      // the assignment frame already carries the single-normalized unit
+      // vectors — sample the codebook from it rather than paying a second
+      // corpus scan + normalize (identical doubles, so oracle parity holds)
+      val codebook = codebookFromUnit(
+        assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
+      val encoded = pqEncodeOnUnit(assigned, codebook)
+        .select(col(idCol), col("bucket"), col("decoded"))
+      val centroids = broadcast(assigned.where(col(idCol) % step === 0)
+        .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+      val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
+      val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+      val probes = q.join(centroids)
+        .withColumn("csim", dot(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      val scored = broadcast(probes).join(encoded, "bucket")
+        .where(col("query_id") =!= col(idCol))
+        .select(col("query_id"), col(idCol),
+          dot(col("qv"), col("decoded")).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+        .localCheckpoint(true)
+    } finally Bridge.releaseLocalCheckpoint(assigned)
   }
 }

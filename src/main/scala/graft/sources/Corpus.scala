@@ -162,6 +162,22 @@ object Corpus {
       .drop("__cfile", "__cline")
   }
 
+  /** Reference-parity Elasticsearch document id: blake2b-512 hexdigest of
+    * the stripped key string — `doc_id = hashlib.blake2b(url.strip()
+    * .encode("UTF8")).hexdigest()` (reference ELASTIC.md:120-125; the C4
+    * and LAION indices mint ids this way), so ids minted here match an
+    * EXISTING reference ES index byte-for-byte and a user migrating can
+    * cross-look-up documents by id in either system. Codegen'd kernel,
+    * zero-shuffle scan projection; also registered as SQL
+    * `graft_blake2b_es_id`.
+    */
+  def withEsId(df: DataFrame, keyCol: Column,
+               idCol: String = "es_id"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.withColumn(idCol, Bridge.column(
+      graft.functions.expressions.Blake2bEsId(Bridge.expression(keyCol))))
+  }
+
   /** S8's ingestion half re-expressed Spark-first (reference
     * wimbd/indexing/huggingface.py:28-88 streams a dataset into
     * `{split}_{n}.jsonl.gz` batches and resumes from the largest shard

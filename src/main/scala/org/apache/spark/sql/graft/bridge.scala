@@ -22,6 +22,13 @@ object Bridge {
     * a local checkpoint cannot be recomputed after its blocks are dropped.
     * Returns false when the plan is not a materialized checkpoint/RDD scan.
     */
+  /** `spark.sql.files.maxPartitionBytes` as a long — the scan-split size
+    * the optimizer's size estimates divide into splits. (SQLConf is
+    * private[sql], hence surfaced through this shim.)
+    */
+  def filesMaxPartitionBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sessionState.conf.filesMaxPartitionBytes
+
   def releaseLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Boolean =
     ds match {
       case c: org.apache.spark.sql.classic.Dataset[_] =>

@@ -84,6 +84,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf === bf)
   }
 
+  test("ivfKnn/ivfPqKnn/semanticNearDuplicates release their corpus-sized blocks") {
+    import org.apache.spark.sql.graft.Bridge
+    val q = vecs.where(col("vec_id") === 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val knn = Similarity.ivfKnn(vecs, q, "vec_id", "embedding", k = 3,
+      step = 1, nprobe = 5)
+    val pq = Similarity.ivfPqKnn(vecs, q, "vec_id", "embedding", k = 3,
+      step = 1, nprobe = 5, m = 3, codeStep = 1)
+    val nd = Similarity.semanticNearDuplicates(vecs, "vec_id", "embedding",
+      0.99, step = 2, tables = 2)
+    // only the query×k / candidate-bounded results themselves may remain
+    // pinned (3 for the union's two table arms + knn + pq); the corpus-
+    // sized assignment frames must already be gone
+    val after = spark.sparkContext.getPersistentRDDs
+    assert((after.keySet -- before).size <= 4,
+      s"leaked blocks: ${(after.keySet -- before).toSeq.sorted}")
+    assert(knn.collect().nonEmpty && pq.collect().nonEmpty)
+    nd.collect()
+    Bridge.releaseLocalCheckpoint(knn)
+    Bridge.releaseLocalCheckpoint(pq)
+  }
+
   test("kmeans centroids converge to cluster directions and lift IVF recall") {
     // two tight direction clusters + one stray; init sample (step=3) starts
     // from ids 0 and 3 — one per cluster after refinement
