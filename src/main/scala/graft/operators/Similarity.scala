@@ -374,7 +374,10 @@ object Similarity {
     */
   def ivfKnn(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, step: Int = 100, nprobe: Int = 3): DataFrame = {
-    val assigned = ivfAssign(base, idCol, vecCol, step).localCheckpoint(true)
+    // lazy cache, not eager checkpoint: the top-k action below fills it as
+    // it runs (one job chain), where an eager checkpoint would pay a
+    // separate materialization job up front
+    val assigned = ivfAssign(base, idCol, vecCol, step).cache()
     try {
       val centroids = broadcast(assigned.where(col(idCol) % step === 0)
         .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
@@ -392,7 +395,7 @@ object Similarity {
         .select(col("query_id"), col(idCol).as("neighbor_id"),
           round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
         .localCheckpoint(true)
-    } finally Bridge.releaseLocalCheckpoint(assigned)
+    } finally assigned.unpersist(blocking = false)
   }
 
   // ---- product quantization (the memory-side compression of the ANN
@@ -514,9 +517,9 @@ object Similarity {
                vecCol: String, k: Int, step: Int = 100, nprobe: Int = 3,
                m: Int = 8, codeStep: Int = 50): DataFrame = {
     // same resource contract as [[ivfKnn]]: the corpus-sized assignment
-    // checkpoint is released before returning; the returned top-k frame
+    // cache is released before returning; the returned top-k frame
     // (query×k rows) is the only thing left materialized
-    val assigned = ivfAssign(base, idCol, vecCol, step).localCheckpoint(true)
+    val assigned = ivfAssign(base, idCol, vecCol, step).cache()
     try {
       // the assignment frame already carries the single-normalized unit
       // vectors — sample the codebook from it rather than paying a second
@@ -542,6 +545,6 @@ object Similarity {
         .select(col("query_id"), col(idCol).as("neighbor_id"),
           round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
         .localCheckpoint(true)
-    } finally Bridge.releaseLocalCheckpoint(assigned)
+    } finally assigned.unpersist(blocking = false)
   }
 }

@@ -154,6 +154,16 @@ object SearchQueries extends QueryPack {
         .orderBy("term_a", "term_b")
     }),
 
+    // E2 off the index: per-(phrase, doc) retrieval rows with occurrence
+    // counts — the get_documents surface answered from postings, ids only
+    // (bodies come from an id-keyed point read of the store)
+    "e17_indexed_get_docs" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.docsContainingPhrase(post, idxPhrases,
+        uax29 = false).orderBy("phrase", "doc_id")
+    }),
+
     // BM25 ranked retrieval (the ES tier's default relevance) off the
     // index: scores computed entirely from postings + in-index norms
     "e12_bm25_topk" -> ((s, dir) => {
@@ -286,6 +296,24 @@ object SearchQueries extends QueryPack {
          |SELECT ph.phrase, occ.occurrences, nd.n_docs
          |FROM ph JOIN occ USING (phrase) JOIN nd USING (phrase)
          |ORDER BY phrase""".stripMargin,
+
+    // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
+    // matches each phrase's token count; zero-hit phrases yield no rows)
+    "e17_indexed_get_docs" ->
+      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${idxPhrases.map(p => s"('$p')").mkString(", ")}) v(p)),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ngs AS (
+         |  SELECT doc_id, 2 AS plen, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, 4 AS plen, unnest(list_transform(generate_series(1, len(t) - 3),
+         |    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS ngram FROM tok
+         |)
+         |SELECT ph.phrase, ngs.doc_id, CAST(count(*) AS BIGINT) AS occurrences
+         |FROM ph JOIN ngs ON ngs.ngram = ph.phrase
+         |  AND ngs.plen = len(string_split(ph.phrase, ' '))
+         |GROUP BY ph.phrase, ngs.doc_id
+         |ORDER BY phrase, doc_id""".stripMargin,
 
     "e11_index_termstats" ->
       s"""WITH ug(term) AS (SELECT * FROM (VALUES ${unigrams.map(u => s"('$u')").mkString(", ")}) v(u)),

@@ -268,7 +268,23 @@ object InvertedIndex {
   def phraseHits(postings: DataFrame, phrases: Seq[String],
                  uax29: Boolean = true): DataFrame = {
     val spark = postings.sparkSession
-    val byPhrase = parsePhrases(phrases, uax29)
+    val perPhrase = phraseOccurrences(postings, parsePhrases(phrases, uax29))
+      .groupBy("phrase")
+      .agg(sum("occurrences").as("occurrences"), count(lit(1)).as("n_docs"))
+    phraseList(spark, phrases).join(perPhrase, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("occurrences"), lit(0L)).as("occurrences"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  /** The row-level core under [[phraseHits]] and [[docsContainingPhrase]]:
+    * one (phrase, doc_id, occurrences) row per containing document,
+    * occurrences = overlapping phrase starts (the shifted-positions
+    * intersection).
+    */
+  private def phraseOccurrences(postings: DataFrame,
+                                byPhrase: Seq[(String, Seq[String])]): DataFrame = {
+    val spark = postings.sparkSession
     val allTerms = byPhrase.flatMap(_._2).distinct
     val grouped = phraseCandidates(postings, phraseSlots(spark, byPhrase),
         allTerms, needDl = false)
@@ -278,18 +294,26 @@ object InvertedIndex {
       slice(col("__sh"), lit(2), size(col("__sh")) - 1),
       element_at(col("__sh"), 1),
       (acc, p) => array_intersect(acc, p))
-    val perPhrase = grouped
+    grouped
       .withColumn("__occ",
         when(size(col("__s")) === col("__n_slots"), size(starts))
           .otherwise(lit(0)).cast("long"))
       .where(col("__occ") > 0)
-      .groupBy("phrase")
-      .agg(sum("__occ").as("occurrences"), count(lit(1)).as("n_docs"))
-    phraseList(spark, phrases).join(perPhrase, Seq("phrase"), "left")
-      .select(col("phrase"),
-        coalesce(col("occurrences"), lit(0L)).as("occurrences"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .select(col("phrase"), col("doc_id"), col("__occ").as("occurrences"))
   }
+
+  /** E2 off the index — `get_documents_containing_phrases` (reference
+    * wimbd/es/__init__.py:186-267) without the corpus scan: every
+    * (phrase, containing doc, occurrence count) from the same single
+    * pruned postings join as [[phraseHits]]. The result carries doc ids,
+    * not bodies — join back to the document store by id to fetch text
+    * (id-keyed point reads, the same two-step ES itself performs).
+    * Phrases with no hits contribute no rows (retrieval semantics, unlike
+    * the count surfaces which keep zero rows).
+    */
+  def docsContainingPhrase(postings: DataFrame, phrases: Seq[String],
+                           uax29: Boolean = true): DataFrame =
+    phraseOccurrences(postings, parsePhrases(phrases, uax29))
 
   /** Term proximity / collocation counts from the index, set-oriented over
     * the pair list: for each (term_a, term_b) pair, `n_docs` = documents

@@ -60,6 +60,16 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(hits("z q") === ((0L, 0L)))    // zero-hit phrase kept
   }
 
+  test("docsContainingPhrase: per-doc retrieval rows, zero-hit phrases absent") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val got = InvertedIndex.docsContainingPhrase(post,
+        Seq("a b", "b b", "z q"), uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a b", 1L) -> 2L, ("a b", 4L) -> 2L,  // overlapping starts per doc
+      ("b b", 2L) -> 2L))                     // "z q": retrieval emits no row
+  }
+
   test("differential: index-tier doc counts == scan-tier PhraseMatch") {
     val rnd = new scala.util.Random(7)
     val vocab = Array("x", "y", "z", "w")
