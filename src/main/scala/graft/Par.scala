@@ -22,16 +22,29 @@ import org.apache.spark.sql.DataFrame
   * (the conservative Long.Max default, e.g. localCheckpoint scans) are
   * treated as large — exactly the inputs that already have real
   * partitioning.
+  *
+  * Bytes alone can't see splittability: a multi-GB single `.jsonl.gz`
+  * file estimates "large" yet scans as ONE partition. When the byte
+  * estimate says no-op, `Bridge.unsplittableScanFiles` checks whether
+  * every leaf is an unsplittable file scan and caps the estimate at the
+  * file count — so single-split gzip corpora still fan out (the
+  * motivating case at Pipeline.scala:179) without ever instantiating an
+  * RDD. All arithmetic stays in BigInt: an unknown-size frame
+  * (sizeInBytes = Long.Max) divided by a tiny maxPartitionBytes must not
+  * overflow into a spurious repartition.
   */
 object Par {
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    val target = BigInt(spark.sparkContext.defaultParallelism)
     val bytesPerSplit =
       org.apache.spark.sql.graft.Bridge.filesMaxPartitionBytes(spark).max(1L)
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val approxSplits =
-      (size / bytesPerSplit).min(BigInt(Long.MaxValue)).toLong + 1L
-    if (approxSplits * 2 < target) df.repartition(target) else df
+    val approxSplits: BigInt = size / bytesPerSplit + 1
+    val capped: BigInt =
+      if (approxSplits * 2 < target) approxSplits
+      else org.apache.spark.sql.graft.Bridge.unsplittableScanFiles(df)
+        .map(BigInt(_)).map(_.min(approxSplits)).getOrElse(approxSplits)
+    if (capped * 2 < target) df.repartition(target.toInt) else df
   }
 }

@@ -104,20 +104,57 @@ object InvertedIndex {
     * weeks of micro-batch appends the "few hundred MB of pruned posting
     * reads" contract degrades into thousands of small unbucketed file
     * opens. Compaction reads the union, rewrites it through [[writeIndex]]
-    * into a staging table, and swaps it in with a catalog drop+rename —
-    * the Spark-side equivalent of the Lucene segment merges the
-    * reference's ES tier gets from `index_json_files.py`-created indices.
-    * After it returns, `table` is again a single bucketed index (bucket
-    * pruning re-asserted in InvertedIndexSpec) and the caller can delete
-    * the consumed append files.
+    * into a staging table, and swaps it in — the Spark-side equivalent of
+    * the Lucene segment merges the reference's ES tier gets from
+    * `index_json_files.py`-created indices. After it returns, `table` is
+    * again a single bucketed index (bucket pruning re-asserted in
+    * InvertedIndexSpec) and the caller can delete the consumed append
+    * files.
+    *
+    * The swap is rename-aside, never drop-then-rename: live →
+    * `table__old`, staging → live, drop `table__old`. Both renames are
+    * metadata-only, so the table-absent window shrinks to a single
+    * catalog op, and a crash at ANY point leaves a recoverable state —
+    * the index data survives under one of the three names.
+    * [[recoverCompaction]] (also run on entry here) heals a half-finished
+    * swap: live absent + staging present → finish the rename; live absent
+    * + only backup present → roll back; live present + backup present →
+    * drop the leftover backup.
     */
   def compactIndex(spark: SparkSession, table: String, appends: DataFrame,
                    buckets: Int): Unit = {
     val staging = table + "__compacting"
+    val backup = table + "__old"
+    recoverCompaction(spark, table) // heal any half-finished prior swap
     spark.sql(s"DROP TABLE IF EXISTS `$staging`")
     writeIndex(spark.table(table).unionByName(appends), staging, buckets)
-    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$backup`")
+  }
+
+  /** Recovery half of [[compactIndex]]'s rename-aside swap — idempotent,
+    * safe to run any time. If a compaction crashed mid-swap, the live
+    * name may be vacant while the data sits under `table__compacting`
+    * (preferred: it holds the NEWER, fully-written compacted postings —
+    * the staging→live rename only runs after [[writeIndex]] returned) or
+    * `table__old` (roll back to the pre-compaction index, still fully
+    * correct for queries — the appends remain queryable as
+    * `table ∪ appends`). A leftover backup next to a healthy live table
+    * is simply dropped.
+    */
+  def recoverCompaction(spark: SparkSession, table: String): Unit = {
+    val staging = table + "__compacting"
+    val backup = table + "__old"
+    val cat = spark.catalog
+    if (!cat.tableExists(table)) {
+      if (cat.tableExists(staging))
+        spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      else if (cat.tableExists(backup))
+        spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")
+    }
+    if (cat.tableExists(table) && cat.tableExists(backup))
+      spark.sql(s"DROP TABLE `$backup`")
   }
 
   /** Per-term document frequency and total term frequency — the ES

@@ -29,6 +29,36 @@ object Bridge {
   def filesMaxPartitionBytes(spark: org.apache.spark.sql.SparkSession): Long =
     spark.sessionState.conf.filesMaxPartitionBytes
 
+  /** Provable cap on the scan-split count of `df`'s leaves, from the file
+    * listing alone. Unsplittable inputs (gzip/zstd JSONL et al.) scan as
+    * ONE partition per file however large their byte size, so the
+    * optimizer's `sizeInBytes` wildly over-estimates their parallelism —
+    * the exact case a pure byte heuristic gets wrong. Returns
+    * Some(totalFileCount) when EVERY leaf is a file scan whose files are
+    * all unsplittable; None otherwise (splittable or non-file leaves ⇒ no
+    * useful bound, fall back to the byte estimate). Planning-only: reads
+    * the FileIndex's already-cached listing, instantiates no RDDs.
+    */
+  def unsplittableScanFiles(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    var total = 0L
+    val allCapped = leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val files = fs.location.inputFiles
+          files.nonEmpty &&
+            files.forall(f => !fs.fileFormat.isSplitable(
+              spark, fs.options, new org.apache.hadoop.fs.Path(f))) &&
+            { total += files.length; true }
+        case _ => false
+      }
+      case _ => false
+    }
+    if (allCapped) Some(total) else None
+  }
+
   def releaseLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Boolean =
     ds match {
       case c: org.apache.spark.sql.classic.Dataset[_] =>

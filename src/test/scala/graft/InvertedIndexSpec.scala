@@ -327,6 +327,58 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("compactIndex swap is crash-recoverable at every step") {
+    val table = "ii_spec_crash"
+    val staging = table + "__compacting"
+    val backup = table + "__old"
+    def dropAll(): Unit =
+      Seq(table, staging, backup).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    val half = InvertedIndex.postings(docs.where(col("doc_id") <= 2),
+      "doc_id", "text", uax29 = false)
+    val full = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    def fullRows: Seq[Seq[Any]] =
+      full.orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    def liveRows: Seq[Seq[Any]] =
+      InvertedIndex.readIndex(spark, table)
+        .orderBy("term", "doc_id").collect().map(_.toSeq).toSeq
+    try {
+      // crash AFTER live→backup, BEFORE staging→live: no live table, but
+      // the completed staging write must win the recovery
+      InvertedIndex.writeIndex(half, table, buckets = 4, force = true)
+      InvertedIndex.writeIndex(full, staging, buckets = 4, force = true)
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
+      assert(!spark.catalog.tableExists(table))
+      InvertedIndex.recoverCompaction(spark, table)
+      assert(spark.catalog.tableExists(table))
+      assert(!spark.catalog.tableExists(staging) && !spark.catalog.tableExists(backup))
+      assert(liveRows === fullRows, "recovery must surface the compacted postings")
+      dropAll()
+
+      // crash AFTER staging→live, BEFORE drop backup: live is healthy,
+      // recovery just clears the leftover
+      InvertedIndex.writeIndex(full, table, buckets = 4, force = true)
+      InvertedIndex.writeIndex(half, backup, buckets = 4, force = true)
+      InvertedIndex.recoverCompaction(spark, table)
+      assert(spark.catalog.tableExists(table) && !spark.catalog.tableExists(backup))
+      assert(liveRows === fullRows)
+      dropAll()
+
+      // crash BEFORE any rename (mid- or post-writeIndex): live untouched,
+      // recovery is a no-op on it, and the next compactIndex self-heals by
+      // dropping the stale staging
+      InvertedIndex.writeIndex(half, table, buckets = 4, force = true)
+      InvertedIndex.writeIndex(half, staging, buckets = 4, force = true)
+      InvertedIndex.recoverCompaction(spark, table)
+      assert(spark.catalog.tableExists(table))
+      val appends = InvertedIndex.postings(docs.where(col("doc_id") > 2),
+        "doc_id", "text", uax29 = false)
+      InvertedIndex.compactIndex(spark, table, appends, buckets = 4)
+      assert(liveRows === fullRows)
+      assert(!spark.catalog.tableExists(staging) && !spark.catalog.tableExists(backup))
+    } finally dropAll()
+  }
+
   test("saved index: term-equality read prunes to the term's buckets") {
     val table = "ii_spec_idx"
     spark.sql(s"DROP TABLE IF EXISTS $table")
