@@ -112,27 +112,52 @@ object Similarity {
     */
   def semanticNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, step: Int,
-                             tables: Int = 1): DataFrame = {
+                             tables: Int = 1,
+                             maxBucket: Int = 10000): DataFrame = {
     require(tables >= 1, "need at least one LSH/IVF table")
     (0 until tables).map { r =>
       val assigned = ivfAssign(df, idCol, vecCol, step, offset = r)
         .localCheckpoint(true)
       // materialize the (tiny, candidate-bounded) pairs eagerly so the
       // corpus-sized index blocks can be dropped before this returns
-      val p = pairsFromAssigned(assigned, idCol, threshold).localCheckpoint(true)
+      val p = pairsFromAssigned(assigned, idCol, threshold, maxBucket)
+        .localCheckpoint(true)
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(assigned)
       p
     }.reduce(_ union _).dropDuplicates("id_a", "id_b")
   }
 
+  /** In-bucket pairwise scoring with the same skew guard LSH candidate
+    * generation applies (MinHash.candidatesFromSignatures): a bucket of b
+    * rows expands to b² scored pairs, so one degenerate centroid —
+    * collapsed embeddings, an all-zeros column, boilerplate — would
+    * otherwise hold the whole b²-pair blow-up on a single task. Buckets
+    * above `maxBucket` skip pairwise scoring entirely and are emitted as
+    * an exact-duplicate CLASS instead: every member chained to the
+    * bucket's minimum id (b−1 pairs, `cos` reported as 1.0), which the
+    * downstream connected-components representative-keep collapses the
+    * same way it would the pairwise clique. Pair volume is thereby hard-
+    * bounded at maxBucket × rows. The bucket-size frame joins on `bucket`,
+    * the same key the self-join shuffles on, so co-partitioning is reused
+    * rather than re-shuffled.
+    */
   private def pairsFromAssigned(assigned: DataFrame, idCol: String,
-                                threshold: Double): DataFrame = {
-    val a = assigned.select(col("bucket"), col(idCol).as("id_a"), col("bv").as("va"))
-    val b = assigned.select(col("bucket"), col(idCol).as("id_b"), col("bv").as("vb"))
-    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+                                threshold: Double,
+                                maxBucket: Int = 10000): DataFrame = {
+    val sizes = assigned.groupBy("bucket")
+      .agg(count(lit(1)).as("__bsz"), min(col(idCol)).as("__rep"))
+    val aug = assigned.join(sizes, Seq("bucket"))
+    val normal = aug.where(col("__bsz") <= maxBucket)
+    val a = normal.select(col("bucket"), col(idCol).as("id_a"), col("bv").as("va"))
+    val b = normal.select(col("bucket"), col(idCol).as("id_b"), col("bv").as("vb"))
+    val scored = a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    val overflow = aug
+      .where(col("__bsz") > maxBucket && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("cos"))
+    scored.unionByName(overflow)
   }
 
   /** SemDeDup end-to-end: keep one representative (minimum id) per
@@ -143,9 +168,10 @@ object Similarity {
     * soon as the pairs exist.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, step: Int, tables: Int = 1): DataFrame =
+                    threshold: Double, step: Int, tables: Int = 1,
+                    maxBucket: Int = 10000): DataFrame =
     graft.operators.Dedup.keepClusterRepresentative(df, idCol,
-      semanticNearDuplicates(df, idCol, vecCol, threshold, step, tables))
+      semanticNearDuplicates(df, idCol, vecCol, threshold, step, tables, maxBucket))
 
   /** Deterministic IVF index: centroids are the vectors whose id ≡ 0 mod
     * `step` (a deterministic sample — swap in k-means outputs when

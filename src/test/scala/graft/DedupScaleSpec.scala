@@ -551,4 +551,32 @@ class DedupScaleSpec extends SparkTestBase {
     assert(Dedup.ingestIncrementalTo(b2, key, Seq(col("id")), dir, out2).count() === 0L)
     assert(spark.read.parquet(dir).distinct().count() === 3L)
   }
+
+  test("semanticNearDuplicates: degenerate bucket is capped into an exact-dup class") {
+    import graft.operators.Similarity
+    // ids ≡ 0 mod 4 are centroids; ids 0-9 share one vector → they all
+    // land in bucket 0 (10 members), ids 12/13 form a healthy 2-bucket
+    val data = ((0L to 9L).map(i => (i, Array(1.0f, 0.0f))) ++
+      Seq((12L, Array(0.0f, 1.0f)), (13L, Array(0.1f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    // maxBucket = 4: the 10-member bucket must NOT expand its 45 pairs —
+    // it collapses to 9 chain pairs onto its min id, flagged cos = 1.0
+    val capped = Similarity.semanticNearDuplicates(data, "vec_id", "embedding",
+        threshold = 0.9, step = 4, tables = 1, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val chain = (1L to 9L).map(k => (0L, k)).toSet
+    assert(capped.keySet === chain + ((12L, 13L)))
+    chain.foreach(p => assert(capped(p) === 1.0, s"overflow pair $p"))
+    assert(capped((12L, 13L)) > 0.99 && capped((12L, 13L)) < 1.0)
+    // downstream representative-keep collapses the class like a clique
+    val kept = Similarity.semanticDedup(data, "vec_id", "embedding",
+        threshold = 0.9, step = 4, tables = 1, maxBucket = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 12L))
+    // default maxBucket leaves small-bucket semantics untouched: full clique
+    val full = Similarity.semanticNearDuplicates(data, "vec_id", "embedding",
+        threshold = 0.9, step = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size === 45 + 1)
+  }
 }
