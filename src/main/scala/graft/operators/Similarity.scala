@@ -552,7 +552,14 @@ object Similarity {
       // corpus scan + normalize (identical doubles, so oracle parity holds)
       val codebook = codebookFromUnit(
         assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
-      val encoded = pqEncodeOnUnit(assigned, codebook)
+      // the collect above materialized the cache, so fanOut now sees the
+      // REAL cached byte size. That matters: AQE coalesces the tiny-output
+      // assignment aggregate to one partition, but the encode below is
+      // m×K×sub interpreted HOF work PER ROW (HOFs don't codegen) — on one
+      // partition it runs single-threaded (measured 3.2 s vs 0.7 s for the
+      // fanned-out pqKnn path at sf0.1). At scale the cached frame is
+      // wide and fanOut is a no-op.
+      val encoded = pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
         .select(col(idCol), col("bucket"), col("decoded"))
       val centroids = broadcast(assigned.where(col(idCol) % step === 0)
         .select(col(idCol).as("centroid_id"), col("bv").as("cv")))

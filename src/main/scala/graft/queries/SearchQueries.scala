@@ -21,6 +21,29 @@ object SearchQueries extends QueryPack {
   private val proxPairs = Seq(("spark", "window"), ("data", "line"),
     ("spark", "zzzz"))
 
+  /** Scan-tier ground truth for the `idxPhrases` battery, replayed off
+    * `documents` directly — shared by e10 (batch-built index) and e18
+    * (streamed + compacted index): both must reproduce it exactly.
+    */
+  private def idxPhraseOracle: String =
+    s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${idxPhrases.map(p => s"('$p')").mkString(", ")}) v(p)),
+       |ngs AS (
+       |  SELECT 2 AS plen, ngram FROM (${DuckSql.ngrams(2)})
+       |  UNION ALL
+       |  SELECT 4 AS plen, ngram FROM (${DuckSql.ngrams(4)})
+       |),
+       |occ AS (SELECT phrase, CAST(count(ngram) AS BIGINT) AS occurrences
+       | FROM ph LEFT JOIN ngs ON ngs.ngram = ph.phrase
+       |   AND ngs.plen = len(string_split(ph.phrase, ' '))
+       | GROUP BY phrase),
+       |nd AS (SELECT phrase,
+       |  CAST(coalesce(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+       | FROM ph LEFT JOIN documents ON true GROUP BY phrase)
+       |SELECT ph.phrase, occ.occurrences, nd.n_docs
+       |FROM ph JOIN occ USING (phrase) JOIN nd USING (phrase)
+       |ORDER BY phrase""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_count_any" -> ((s, dir) =>
       Searcher.countContaining(Tables(s, dir, "documents"), "text", anyPhrases,
@@ -164,6 +187,48 @@ object SearchQueries extends QueryPack {
         uax29 = false).orderBy("phrase", "doc_id")
     }),
 
+    // the full streaming-index lifecycle under oracle check: an initial
+    // bucketed index over 4/5 of the corpus, the last fifth arriving as a
+    // file stream (maxFilesPerTrigger=1 → real micro-batches) through
+    // postingsStream into a parquet append dir, compactIndex folding the
+    // appends back into ONE bucketed table — and the final state answering
+    // the same phrase battery e10 checks against the raw documents table
+    "e18_stream_compact" -> ((s, dir) => {
+      import graft.search.InvertedIndex
+      val d = Tables(s, dir, "documents")
+      val table = "e18_stream_idx"
+      // drop catalog entries AND stale warehouse directories: the
+      // in-memory catalog forgets managed tables across JVMs but their
+      // location survives, and CREATE refuses an existing location
+      Seq(table, s"${table}__compacting", s"${table}__old").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("e18_stream").toString
+      InvertedIndex.writeIndex(
+        InvertedIndex.postings(d.where(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", uax29 = false), table, buckets = 8, force = true)
+      d.where(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .repartition(4).write.mode("overwrite").json(s"$tmp/src")
+      val in = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).json(s"$tmp/src")
+      val q = InvertedIndex.postingsStream(in, "doc_id", "text", uax29 = false)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/appends")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      InvertedIndex.compactIndex(s, table, s.read.parquet(s"$tmp/appends"),
+        buckets = 8)
+      InvertedIndex.phraseHits(InvertedIndex.readIndex(s, table), idxPhrases,
+        uax29 = false).orderBy("phrase")
+    }),
+
     // BM25 ranked retrieval (the ES tier's default relevance) off the
     // index: scores computed entirely from postings + in-index norms
     "e12_bm25_topk" -> ((s, dir) => {
@@ -278,24 +343,12 @@ object SearchQueries extends QueryPack {
 
     // replayed off `documents` directly — the scan-tier ground truth the
     // index-tier answer must reproduce
-    "e10_indexed_phrase" ->
-      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${idxPhrases.map(p => s"('$p')").mkString(", ")}) v(p)),
-         |ngs AS (
-         |  SELECT 2 AS plen, ngram FROM (${DuckSql.ngrams(2)})
-         |  UNION ALL
-         |  SELECT 4 AS plen, ngram FROM (${DuckSql.ngrams(4)})
-         |),
-         |occ AS (SELECT phrase, CAST(count(ngram) AS BIGINT) AS occurrences
-         | FROM ph LEFT JOIN ngs ON ngs.ngram = ph.phrase
-         |   AND ngs.plen = len(string_split(ph.phrase, ' '))
-         | GROUP BY phrase),
-         |nd AS (SELECT phrase,
-         |  CAST(coalesce(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
-         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
-         | FROM ph LEFT JOIN documents ON true GROUP BY phrase)
-         |SELECT ph.phrase, occ.occurrences, nd.n_docs
-         |FROM ph JOIN occ USING (phrase) JOIN nd USING (phrase)
-         |ORDER BY phrase""".stripMargin,
+    "e10_indexed_phrase" -> idxPhraseOracle,
+
+    // the streamed-then-compacted index must answer the SAME battery with
+    // the SAME ground truth: the oracle is e10's verbatim, so any row the
+    // stream dropped/duplicated or the compaction swap corrupted mismatches
+    "e18_stream_compact" -> idxPhraseOracle,
 
     // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
     // matches each phrase's token count; zero-hit phrases yield no rows)

@@ -161,6 +161,14 @@ object InvertedIndex {
     * termvectors surface (reference wimbd/es/__init__.py:348-426) read
     * straight off the index, no corpus scan. The (≤|terms|-row) stats side
     * is the broadcast build side; absent terms report 0/0.
+    *
+    * Output contract (all batch surfaces — also [[phraseHits]],
+    * [[countContainingSlop]], [[proximityPairs]]): ONE row per DISTINCT
+    * input element, in input-set order by the output's sort columns — a
+    * caller passing `Seq("a", "a")` gets one `a` row, not two. Repeated
+    * elements carry no extra information for these counting surfaces
+    * (unlike [[bm25TopK]], which weights repeated query terms per
+    * occurrence and documents that separately).
     */
   def termStats(postings: DataFrame, terms: Seq[String]): DataFrame = {
     val spark = postings.sparkSession
@@ -300,7 +308,8 @@ object InvertedIndex {
     *
     * Nothing here is corpus-sized, no subtree is stamped per phrase, and
     * nothing is pinned in executor storage: a 10k-phrase benchmark batch
-    * is the same 6-operator plan as a 2-phrase lookup.
+    * is the same 6-operator plan as a 2-phrase lookup. One row per
+    * DISTINCT phrase (see the contract note on [[termStats]]).
     */
   def phraseHits(postings: DataFrame, phrases: Seq[String],
                  uax29: Boolean = true): DataFrame = {
@@ -363,7 +372,8 @@ object InvertedIndex {
     * [[phraseHits]]). Zero-hit pairs are kept. An identical-term pair
     * (a, a) does not count an occurrence as its own neighbor (the
     * zero-distance self match is excluded; distinct occurrences of the
-    * same term within the window still count).
+    * same term within the window still count). One row per DISTINCT pair
+    * (see the contract note on [[termStats]]).
     */
   def proximityPairs(postings: DataFrame, pairs: Seq[(String, String)],
                      window: Int): DataFrame = {
@@ -453,7 +463,8 @@ object InvertedIndex {
     * move-distance containment kernel on stored positions + the in-index
     * `dl` norm — the IDENTICAL matcher core the scan tier's
     * `PhraseMatchLucene` uses (shared `matchesPositions`), so the two
-    * tiers can never disagree. Zero-hit phrases kept.
+    * tiers can never disagree. Zero-hit phrases kept; one row per
+    * DISTINCT phrase (see the contract note on [[termStats]]).
     */
   def countContainingSlop(postings: DataFrame, phrases: Seq[String],
                           slop: Int, uax29: Boolean = true): DataFrame = {

@@ -1,0 +1,138 @@
+package graft.tools
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-command scale rehearsal: replicate the sf0.1 tables 10× on disk
+  * (ids shifted so they stay unique — a real multi-file parquet corpus,
+  * not a union plan) and run the headline paths once at that scale,
+  * reporting wall time, task-metric shuffle bytes, spill, and peak JVM
+  * heap. Turns the 100 TB plan-shape arguments into a measured trend
+  * point: sf0.1 → sf1 should scale ~linearly in input bytes with shuffle
+  * bytes staying input-proportional (anything superlinear is a blow-up a
+  * 1000-executor run would hit at fatal size).
+  *
+  *   sbt "runMain graft.tools.ScaleRehearsal [sfDir] [replicas] [workDir]"
+  */
+object ScaleRehearsal {
+
+  private final class Acc extends SparkListener {
+    val inputBytes = new LongAdder
+    val shuffleRead = new LongAdder
+    val shuffleWrite = new LongAdder
+    val spill = new LongAdder
+    val tasks = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        inputBytes.add(m.inputMetrics.bytesRead)
+        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        spill.add(m.diskBytesSpilled)
+        tasks.increment()
+      }
+    }
+    def reset(): Unit = Seq(inputBytes, shuffleRead, shuffleWrite, spill, tasks)
+      .foreach(_.reset())
+  }
+
+  private def gb(x: Long): String = f"${x / 1073741824.0}%7.3f"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val work = args.lift(2).getOrElse("/tmp/scale_rehearsal")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.Sessions.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+
+    // ---- materialize the replicated corpus (id-shifted per replica) ----
+    def replicate(table: String, idCol: String): String = {
+      val outPath = s"$work/${table}_x$replicas.parquet"
+      if (!new java.io.File(outPath).exists()) {
+        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        val maxId = base.agg(max(col(idCol))).head().getLong(0) + 1L
+        (0 until replicas).map { r =>
+          base.withColumn(idCol, col(idCol) + lit(r * maxId))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(outPath)
+      }
+      outPath
+    }
+    val docsPath = replicate("documents", "doc_id")
+    val embPath = replicate("embeddings", "vec_id")
+    def docs: DataFrame = spark.read.parquet(docsPath)
+    def emb: DataFrame = spark.read.parquet(embPath)
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+    println(s"corpus: $nDocs docs, $nVecs vectors ($replicas x $sfDir)")
+
+    def run(name: String)(body: => Long): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      acc.reset()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed
+      println(f"$name%-28s $sec%8.2f s  rows=$rows%-9d in=${gb(acc.inputBytes.sum)} GB " +
+        f"shufW=${gb(acc.shuffleWrite.sum)} GB spill=${gb(acc.spill.sum)} GB " +
+        f"tasks=${acc.tasks.sum}%-6d heapUsed=${gb(heap)} GB " +
+        f"docs_per_sec=${nDocs / sec}%.0f")
+    }
+
+    // ---- headline paths ----
+    run("topk_3gram") {
+      graft.operators.NgramOps.topK(docs, "text", n = 3, k = 20,
+        uax29 = false).count()
+    }
+    run("minhash_lsh_end_to_end") {
+      graft.operators.MinHash.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.5, w = 5, k = 8, bands = 4,
+        hash = graft.operators.MinHash.xxhashStrategy).count()
+    }
+    run("index_build_bucketed") {
+      spark.sql("DROP TABLE IF EXISTS scale_idx")
+      graft.search.InvertedIndex.writeIndex(
+        graft.search.InvertedIndex.postings(docs, "doc_id", "text",
+          uax29 = false), "scale_idx", buckets = 32, force = true)
+      spark.table("scale_idx").count()
+    }
+    run("indexed_batch_500") {
+      val top = graft.operators.NgramOps.topK(docs, "text", 2, 500,
+        uax29 = false).collect().map(_.getString(0)).toSeq
+      graft.search.InvertedIndex.phraseHits(
+        graft.search.InvertedIndex.readIndex(spark, "scale_idx"), top,
+        uax29 = false).count()
+    }
+    run("ivfpq_topk") {
+      graft.operators.Similarity.ivfPqKnn(emb,
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, step = 100 * replicas, nprobe = 3, m = 8,
+        codeStep = 50 * replicas).count()
+    }
+    run("keep_first_dedup") {
+      graft.operators.Dedup.keepFirst(docs, md5(col("text")),
+        Seq(col("doc_id"))).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS scale_idx")
+    spark.stop()
+  }
+}

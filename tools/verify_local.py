@@ -22,6 +22,21 @@ for t in TABLES:
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
+# Guard: a fixture-keyed oracle (golden parquet instead of an independent
+# DuckDB replay) is only acceptable for genuinely non-SQL-expressible
+# kernels (iterative BPE, L-BFGS, DEFLATE), and each one must be named and
+# justified in NOTES.md. A NEW query silently shipping fixture-keyed is a
+# gate failure — the pattern must not creep.
+import os, re
+notes = open(os.path.join(os.path.dirname(__file__), "..", "NOTES.md")).read()
+fixture_keyed = sorted(n for n, s in oracle.items() if "fixtures/golden" in s)
+undocumented = [n for n in fixture_keyed if n not in notes]
+if undocumented:
+    print(f"FAIL fixture-keyed oracle(s) not justified in NOTES.md: {undocumented}")
+    print("     either write a DuckDB replay or add a NOTES.md entry naming")
+    print("     why the kernel is not SQL-expressible")
+    sys.exit(1)
+
 def canon(v):
     if v is None: return "NULL"
     if isinstance(v, bool): return str(int(v))
