@@ -487,24 +487,18 @@ object Similarity {
     */
   private def pqEncodeOnUnit(b: DataFrame,
                              codebook: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebook.length
-    val k = codebook.head.length
-    val sub = codebook.head.head.length
-    val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
-      val cands = transform(sequence(lit(0), lit(k - 1)), c => {
-        val cent = element_at(element_at(cb, j + 1), c + 1)
-        val d = aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
-          val diff = element_at(col("bv"), j * lit(sub) + i) - element_at(cent, i)
-          acc + diff * diff
-        })
-        struct(d.as("d"), c.as("cid"))
-      })
-      array_min(cands).getField("cid")
-    })
-    val decoded = flatten(transform(col("codes"), (c, j) =>
-      element_at(element_at(cb, j + 1), c + 1)))
-    b.withColumn("codes", codes).withColumn("decoded", decoded)
+    // one codegen'd kernel call per row (argmin + reconstruction in tight
+    // primitive loops, ties → lower code, same accumulation order as the
+    // HOF formulation it replaced — bit-identical doubles, differential-
+    // tested in SimilaritySpec); the HOF tree evaluated INTERPRETED at
+    // m×K×sub boxed lambda steps per row, which dominated the PQ rungs
+    val enc = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.PqEncodeDecode(
+        org.apache.spark.sql.graft.Bridge.expression(col("bv")), codebook))
+    b.withColumn("__enc", enc)
+      .withColumn("codes", col("__enc.codes"))
+      .withColumn("decoded", col("__enc.decoded"))
+      .drop("__enc")
   }
 
   /** ANN top-k by asymmetric-distance scoring against PQ-compressed

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * bytes staying input-proportional (anything superlinear is a blow-up a
   * 1000-executor run would hit at fatal size).
   *
-  *   sbt "runMain graft.tools.ScaleRehearsal [sfDir] [replicas] [workDir]"
+  *   sbt "runMain graft.tools.ScaleRehearsal [sfDir] [replicas] [workDir] [path,path,...]"
   */
 object ScaleRehearsal {
 
@@ -81,7 +81,9 @@ object ScaleRehearsal {
     val nVecs = emb.count()
     println(s"corpus: $nDocs docs, $nVecs vectors ($replicas x $sfDir)")
 
+    val only: Set[String] = args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty)
     def run(name: String)(body: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()

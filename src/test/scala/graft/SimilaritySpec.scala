@@ -208,4 +208,49 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(again === prof)
   }
+
+  test("PQ kernel is bit-identical to the HOF argmin formulation on random vectors") {
+    // the codegen kernel replaced an interpreted transform/aggregate tree;
+    // the oracle hash-matches depend on the arithmetic staying EXACTLY the
+    // same (accumulation order, strict-< tie to the lower code)
+    val rnd = new scala.util.Random(42)
+    val m = 4; val sub = 4; val k = 5; val dim = m * sub
+    val codebook = Array.fill(m, k, sub)(rnd.nextDouble() * 2 - 1)
+    // include exact-centroid vectors (zero distance) and a duplicated
+    // centroid (tie → lower code must win)
+    codebook(1)(3) = codebook(1)(0).clone()
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    } ++ Seq((201L, codebook.map(_(0)).flatten.toArray))
+    val df = rows.toDF("id", "bv")
+    val kernel = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.PqEncodeDecode(
+        org.apache.spark.sql.graft.Bridge.expression(col("bv")), codebook))
+    val got = df.select(col("id"), kernel.as("e"))
+      .select(col("id"), col("e.codes"), col("e.decoded"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toList, r.getSeq[Double](2).toList))).toMap
+    // HOF reference formulation (the code this kernel replaced)
+    val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val cands = transform(sequence(lit(0), lit(k - 1)), c => {
+        val cent = element_at(element_at(cb, j + 1), c + 1)
+        val d = aggregate(sequence(lit(1), lit(sub)), lit(0.0), (acc, i) => {
+          val diff = element_at(col("bv"), j * lit(sub) + i) - element_at(cent, i)
+          acc + diff * diff
+        })
+        struct(d.as("d"), c.as("cid"))
+      })
+      array_min(cands).getField("cid")
+    })
+    val decoded = flatten(transform(col("codes"), (c, j) =>
+      element_at(element_at(cb, j + 1), c + 1)))
+    val want = df.withColumn("codes", codes).withColumn("decoded", decoded)
+      .select(col("id"), col("codes"), col("decoded"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toList, r.getSeq[Double](2).toList))).toMap
+    assert(got === want)
+    // the duplicated centroid must resolve to code 0, never 3
+    assert(got(201L)._1(1) === 0)
+  }
 }
