@@ -85,8 +85,40 @@ object DedupQueries extends QueryPack {
 
     "s11_hash_split" -> ((s, dir) =>
       Dedup.hashSplit(Tables(s, dir, "documents"), col("text"))
-        .groupBy("split").agg(count(lit(1)).as("cnt")).orderBy("split"))
+        .groupBy("split").agg(count(lit(1)).as("cnt")).orderBy("split")),
+
+    // snapshot diff: two deterministic versions of the corpus — docs with
+    // id%11==0 absent from the OLD snapshot (added later), id%13==0
+    // dropped from the NEW one (removed), id%5==0 edited in place
+    // (changed) — summarized overall and per source
+    "j10_corpus_diff" -> ((s, dir) => {
+      val (o, n) = diffSnapshots(s, dir)
+      graft.operators.CorpusDiff.diffSummary(o, n, "doc_id", "text")
+        .orderBy("status")
+    }),
+
+    "j11_corpus_diff_by_source" -> ((s, dir) => {
+      val (o, n) = diffSnapshots(s, dir)
+      graft.operators.CorpusDiff.diffSummary(o, n, "doc_id", "text",
+          by = Seq("source"))
+        .orderBy("source", "status")
+    })
   )
+
+  /** Deterministic old/new snapshot pair carved out of `documents` for the
+    * j10/j11 diff queries (see the comment on j10 for the membership).
+    */
+  private def diffSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables(s, dir, "documents")
+    val old = d.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val nw = d.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev1")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    (old, nw)
+  }
 
   override val oracles: Map[String, String] = Map(
     "j1_dup_hashes" ->
@@ -145,6 +177,32 @@ object DedupQueries extends QueryPack {
       """SELECT (CASE WHEN substring(md5(text), 1, 3) IN ('fff', 'ffe') THEN 'test'
         | WHEN substring(md5(text), 1, 3) IN ('ffd', 'ffc') THEN 'valid'
         | ELSE 'train' END) AS split, count(*) AS cnt
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j10_corpus_diff" ->
+      s"""$diffSnapshotsSql
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM st
+         |GROUP BY status ORDER BY status""".stripMargin,
+
+    "j11_corpus_diff_by_source" ->
+      s"""$diffSnapshotsSql
+         |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs FROM st
+         |GROUP BY source, status ORDER BY source, status""".stripMargin
   )
+
+  /** Shared snapshot CTEs for j10/j11 — the oracle compares raw text where
+    * the engine compares md5(text); equal answers unless md5 collides on
+    * two versions of the same doc id.
+    */
+  private def diffSnapshotsSql: String =
+    """WITH o AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 0),
+      |n AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN text || ' rev1' ELSE text END AS text,
+      |  source FROM documents WHERE doc_id % 13 <> 0),
+      |st AS (SELECT coalesce(n.source, o.source) AS source,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text = n.text THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)""".stripMargin
 }

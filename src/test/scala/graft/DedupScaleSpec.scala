@@ -552,6 +552,25 @@ class DedupScaleSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).distinct().count() === 3L)
   }
 
+  test("corpusDiff: added/removed/changed/unchanged, by-columns from the right side") {
+    import graft.operators.CorpusDiff
+    val old = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((2L, "b", "s1"), (3L, "c2", "s2"), (4L, "d", "s3"))
+      .toDF("doc_id", "text", "source")
+    val st = CorpusDiff.diffDocs(old, nw, "doc_id", "text", by = Seq("source"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(st === Map(
+      1L -> (("removed", "s1")),   // source from the OLD side
+      2L -> (("unchanged", "s1")),
+      3L -> (("changed", "s2")),
+      4L -> (("added", "s3"))))    // source from the NEW side
+    val sum = CorpusDiff.diffSummary(old, nw, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum === Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 1L))
+  }
+
   test("semanticNearDuplicates: degenerate bucket is capped into an exact-dup class") {
     import graft.operators.Similarity
     // ids ≡ 0 mod 4 are centroids; ids 0-9 share one vector → they all
