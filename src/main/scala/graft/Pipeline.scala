@@ -153,6 +153,41 @@ object Pipeline {
                           textCol: String = "text", n: Int = 8): DataFrame =
     Dedup.ngramContamination(train, textCol, test, idCol, textCol, n)
 
+  /** Diff-driven incremental refresh: re-run a PER-DOCUMENT processing
+    * stage only on documents that were added or changed since the last
+    * release, carry the previous outputs forward for unchanged ones, and
+    * let removed documents drop out by construction. With ~1% monthly
+    * churn on a 100 TB corpus this turns the re-tokenize/re-score pass
+    * into ~1% of the work — the reason [[graft.operators.CorpusDiff]]
+    * exists.
+    *
+    * CONTRACT: `process` must be per-document (a map-like stage keyed by
+    * `idCol`, one output row per input doc — token counting, quality
+    * scoring, language ID, PII redaction). Corpus-LEVEL stages (dedup
+    * ladders, global statistics, mixture planning) see data across
+    * documents and must run on the full refreshed corpus downstream.
+    * `oldOutputs` is the previous release's `process` output, keyed by
+    * `idCol` with the same schema the fresh run produces.
+    *
+    * Scale shape: the diff shuffles 16-byte hashes on the id
+    * ([[graft.operators.CorpusDiff.diffDocs]]); both carry-over and
+    * reprocess sides are id-keyed left-semi joins co-partitioned with it.
+    */
+  def incrementalRefresh(oldSnapshot: DataFrame, newSnapshot: DataFrame,
+                         oldOutputs: DataFrame, idCol: String,
+                         contentCol: String)
+                        (process: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.CorpusDiff
+    val st = CorpusDiff.diffDocs(oldSnapshot, newSnapshot, idCol, contentCol)
+    val unchanged = st.where(col("status") === CorpusDiff.Unchanged)
+      .select(col("id").as(idCol))
+    val todo = st.where(col("status").isin(CorpusDiff.Added, CorpusDiff.Changed))
+      .select(col("id").as(idCol))
+    val carried = oldOutputs.join(unchanged, Seq(idCol), "left_semi")
+    val fresh = process(newSnapshot.join(todo, Seq(idCol), "left_semi"))
+    carried.unionByName(fresh)
+  }
+
   // ---- mixing ----
 
   /** Deterministic mixture: plan per-source fractions for a token budget

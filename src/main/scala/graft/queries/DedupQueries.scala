@@ -102,6 +102,22 @@ object DedupQueries extends QueryPack {
       graft.operators.CorpusDiff.diffSummary(o, n, "doc_id", "text",
           by = Seq("source"))
         .orderBy("source", "status")
+    }),
+
+    // diff-driven incremental refresh: a per-doc stage (token count) runs
+    // only on added/changed docs, unchanged docs carry the previous
+    // release's output forward (flagged by `recomputed`), removed docs
+    // drop out — final content must equal a full reprocess of the new
+    // snapshot, which is exactly what the oracle computes
+    "j12_incremental_refresh" -> ((s, dir) => {
+      val (o, n) = diffSnapshots(s, dir)
+      def stage(df: DataFrame, recomputed: Boolean): DataFrame =
+        df.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          lit(recomputed).as("recomputed"))
+      graft.Pipeline.incrementalRefresh(o, n, stage(o, recomputed = false),
+        "doc_id", "text")(stage(_, recomputed = true))
+        .orderBy("doc_id")
     })
   )
 
@@ -187,7 +203,19 @@ object DedupQueries extends QueryPack {
     "j11_corpus_diff_by_source" ->
       s"""$diffSnapshotsSql
          |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs FROM st
-         |GROUP BY source, status ORDER BY source, status""".stripMargin
+         |GROUP BY source, status ORDER BY source, status""".stripMargin,
+
+    // full-reprocess ground truth: every doc in the NEW snapshot with its
+    // token count; recomputed <=> not unchanged (absent from old or edited)
+    "j12_incremental_refresh" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' rev1' ELSE text END AS text
+        | FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT n.doc_id, CAST(len(string_split(n.text, ' ')) AS BIGINT) AS n_tokens,
+        |  (o.doc_id IS NULL OR o.text <> n.text) AS recomputed
+        |FROM n LEFT JOIN o ON o.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin
   )
 
   /** Shared snapshot CTEs for j10/j11 — the oracle compares raw text where

@@ -571,6 +571,27 @@ class DedupScaleSpec extends SparkTestBase {
       "unchanged" -> 1L))
   }
 
+  test("incrementalRefresh: reprocesses only added+changed, carries unchanged, drops removed") {
+    val old = Seq((1L, "a b"), (2L, "b c d"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "b c d"), (3L, "c2 x"), (4L, "d e f g"))
+      .toDF("doc_id", "text")
+    def stage(tag: String)(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        lit(tag).as("run"))
+    val out = graft.Pipeline.incrementalRefresh(old, nw, stage("old")(old),
+        "doc_id", "text")(stage("fresh"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out === Map(
+      2L -> ((3L, "old")),    // unchanged: carried, NOT reprocessed
+      3L -> ((2L, "fresh")),  // changed: fresh output on the new text
+      4L -> ((4L, "fresh")))) // added
+    // content parity with a full reprocess (modulo the run tag)
+    val full = stage("x")(nw).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._1).toMap === full)
+  }
+
   test("semanticNearDuplicates: degenerate bucket is capped into an exact-dup class") {
     import graft.operators.Similarity
     // ids ≡ 0 mod 4 are centroids; ids 0-9 share one vector → they all
