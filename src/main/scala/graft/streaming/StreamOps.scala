@@ -357,4 +357,52 @@ object StreamOps {
         round(avg(coalesce(col("__hit"), lit(0))), 6).as("contaminated_frac"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("n_docs"), col("contaminated_frac"))
+
+  case class DocUpdate(id: Long, text: String, deleted: Boolean)
+  case class DiffState(hash: String)
+  case class DiffEvent(id: Long, status: String)
+
+  /** Streaming twin of [[graft.operators.CorpusDiff]]: classify a live
+    * stream of document upserts/deletes against the last version seen,
+    * emitting one (id, status) transition per update — added (first
+    * sighting), changed (content hash moved), unchanged (idempotent
+    * re-delivery), removed (tombstone; state cleared so a later re-add is
+    * `added` again). State is one 32-char hash per live doc id, held in
+    * `flatMapGroupsWithState` — the continuous version of the batch diff's
+    * full-outer join, for pipelines that receive corpus updates as a feed
+    * rather than as snapshot releases. Batch parity: replaying any update
+    * log and keeping each id's LAST emitted status (minus unchanged)
+    * equals `CorpusDiff.diffDocs` of first-vs-final snapshot —
+    * spec-asserted in StreamingSpec.
+    */
+  def diffStream(updates: Dataset[DocUpdate]): Dataset[DiffEvent] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.id)
+      .flatMapGroupsWithState[DiffState, DiffEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, batch: Iterator[DocUpdate], state: GroupState[DiffState]) =>
+          // within a micro-batch, order is the iterator's arrival order —
+          // fold sequentially so a same-batch add+edit emits both events
+          val out = scala.collection.mutable.ArrayBuffer.empty[DiffEvent]
+          batch.foreach { u =>
+            val prev = state.getOption
+            if (u.deleted) {
+              if (prev.isDefined) { state.remove(); out += DiffEvent(id, "removed") }
+            } else {
+              val h = java.security.MessageDigest.getInstance("MD5")
+                .digest(u.text.getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              prev match {
+                case None =>
+                  state.update(DiffState(h)); out += DiffEvent(id, "added")
+                case Some(DiffState(old)) if old == h =>
+                  out += DiffEvent(id, "unchanged")
+                case _ =>
+                  state.update(DiffState(h)); out += DiffEvent(id, "changed")
+              }
+            }
+          }
+          out.iterator
+      }
+  }
 }

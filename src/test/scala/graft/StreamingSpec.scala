@@ -251,4 +251,51 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(rows.contains(("1970-01-01 00:00:00", 4L, 0.5)))
   }
+
+  test("diffStream: add/change/unchanged/remove transitions, batch-diff parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.DocUpdate
+    val input = MemoryStream[DocUpdate]
+    val q = graft.streaming.StreamOps.diffStream(input.toDS())
+      .writeStream.format("memory").queryName("diffs")
+      .outputMode("append").start()
+    try {
+      // batch 1: first sightings
+      input.addData(DocUpdate(1L, "a", deleted = false),
+        DocUpdate(2L, "b", deleted = false))
+      q.processAllAvailable()
+      // batch 2: edit 1, idempotent re-delivery of 2, delete-then-re-add 3
+      input.addData(DocUpdate(1L, "a2", deleted = false),
+        DocUpdate(2L, "b", deleted = false),
+        DocUpdate(3L, "c", deleted = false))
+      q.processAllAvailable()
+      // batch 3: tombstone 2 for good; 3 removed then re-added in the SAME
+      // batch (sequential fold must emit both transitions)
+      input.addData(DocUpdate(2L, "x", deleted = true),
+        DocUpdate(3L, "x", deleted = true),
+        DocUpdate(3L, "c2", deleted = false))
+      q.processAllAvailable()
+      val events = spark.table("diffs").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(events.count(_ == (1L, "added")) === 1)
+      assert(events.count(_ == (1L, "changed")) === 1)
+      assert(events.count(_ == (2L, "unchanged")) === 1)
+      assert(events.count(_ == (2L, "removed")) === 1)
+      assert(events.count(_ == (3L, "removed")) === 1)
+      assert(events.count(_ == (3L, "added")) === 2) // initial + post-remove re-add
+      // batch parity: last non-unchanged status per id == batch diff of
+      // first-vs-final snapshot
+      val first = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      val fin = Seq((1L, "a2"), (3L, "c2")).toDF("doc_id", "text")
+      val batch = graft.operators.CorpusDiff
+        .diffDocs(first, fin, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val lastStatus = events.zipWithIndex
+        .filter { case ((_, st), _) => st != "unchanged" }
+        .groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1._2).toMap
+      assert(lastStatus === batch)
+    } finally q.stop()
+  }
 }
