@@ -465,6 +465,64 @@ object Similarity {
     Array.tabulate(m)(j => sample.map(v => v.slice(j * sub, (j + 1) * sub)))
   }
 
+  /** k-means-refined PQ codebook (the FAISS training default, vs
+    * [[pqCodebook]]'s raw deterministic sample): per subspace, `iters`
+    * Lloyd iterations over the capped sample's subvectors, seeded from the
+    * first `k` sample rows (id order → fully deterministic, rerun-stable).
+    * Training happens DRIVER-SIDE on the same ≤`maxSample` rows
+    * [[pqCodebook]] already collects — the sample is the bounded object
+    * here, never the corpus, so at 100 TB this is a constant-cost step
+    * between two cluster jobs. Empty cells keep their previous centroid
+    * (the FAISS convention); distortion is monotonically non-increasing
+    * over iterations (spec-asserted), which is what buys recall over the
+    * sample codebook at equal m/k.
+    */
+  def pqCodebookKmeans(base: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, step: Int, iters: Int = 5,
+                       maxSample: Int = 8192): Array[Array[Array[Double]]] = {
+    val rows = unitProject(base.where(col(idCol) % step === 0), idCol, idCol,
+        vecCol, "bv")
+      .select(col(idCol).cast("long"), col("bv"))
+      .limit(maxSample + 1).collect()
+    require(rows.length <= maxSample,
+      s"pqCodebookKmeans: step=$step yields more than $maxSample sample " +
+        s"rows on this corpus — raise step (or maxSample)")
+    val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k,
+      s"pqCodebookKmeans: k=$k exceeds the ${sample.length}-row sample — lower step")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      var cent = pts.take(k).map(_.clone)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val cnt = new Array[Long](k)
+        pts.foreach { p =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var d = 0.0
+            var i = 0
+            while (i < sub) { val diff = p(i) - cent(c)(i); d += diff * diff; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          cnt(best) += 1
+        }
+        cent = Array.tabulate(k)(c =>
+          if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else cent(c))
+        it += 1
+      }
+      cent
+    }
+  }
+
   /** Encode every base vector as `m` codebook codes: per subspace, the
     * argmin-L2 centroid (tie → lower code). One codegen-friendly
     * projection per row against the inlined codebook — no join, no
@@ -510,9 +568,10 @@ object Similarity {
     * prune the scan at the billion-vector scale.
     */
   def pqKnn(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-            k: Int, m: Int = 8, step: Int = 50): DataFrame = {
-    val codebook = pqCodebook(base, idCol, vecCol, m, step)
-    val enc = pqEncode(base, idCol, vecCol, codebook)
+            k: Int, m: Int = 8, step: Int = 50,
+            codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(base, idCol, vecCol, m, step))
+    val enc = pqEncode(base, idCol, vecCol, cb)
       .select(col(idCol), col("decoded"))
     val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
     val scored = enc.join(broadcast(q), col("query_id") =!= col(idCol))

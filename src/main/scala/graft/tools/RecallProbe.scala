@@ -26,7 +26,17 @@ object RecallProbe {
       k = 5, step = 50, nprobe = 5, m = 16, codeStep = 10))
     println(s"RECALL ivf_sample=${(bf & ivf).size.toDouble / bf.size}")
     println(s"RECALL ivf_kmeans=${(bf & ivfKm).size.toDouble / bf.size}")
+    // k-means codebook at the SAME k as the step=50 sample codebook
+    // (K = n/50), trained on a 10x larger sample — the apples-to-apples
+    // refinement comparison
+    val kPq = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8,
+      step = 50).head.length
+    val kmCb = Similarity.pqCodebookKmeans(emb, "vec_id", "embedding",
+      m = 8, k = kPq, step = 5, iters = 5)
+    val pqKm = topSet(Similarity.pqKnn(emb, q, "vec_id", "embedding", k = 5,
+      m = 8, codebook = Some(kmCb)))
     println(s"RECALL pq_adc_m8_k10=${(bf & pq).size.toDouble / bf.size}")
+    println(s"RECALL pq_adc_m8_kmeans_k$kPq=${(bf & pqKm).size.toDouble / bf.size}")
     println(s"RECALL pq_adc_m16_k50=${(bf & pqFine).size.toDouble / bf.size}")
     println(s"RECALL ivfpq_m8_nprobe3=${(bf & ivfpq).size.toDouble / bf.size}")
     println(s"RECALL ivfpq_m16_nprobe5=${(bf & ivfpqFine).size.toDouble / bf.size}")

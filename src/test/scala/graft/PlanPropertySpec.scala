@@ -298,4 +298,19 @@ class PlanPropertySpec extends SparkTestBase {
     assert(shuffles(ranked) <= 2, p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("corpusDiff: hashes scan-fused (bodies never shuffle), one full-outer join") {
+    val old = docs.where(col("doc_id") % 11 =!= 0)
+    val nw = docs.where(col("doc_id") % 13 =!= 0)
+    val d = graft.operators.CorpusDiff.diffDocs(old, nw, "doc_id", "text")
+    val p = plan(d)
+    assert(p.contains("FullOuter"), p)
+    // md5 must be computed below the exchange: no shuffle carries `text`
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")), p)
+    // summary adds exactly one more shuffle (the status rollup)
+    val sum = graft.operators.CorpusDiff.diffSummary(old, nw, "doc_id", "text")
+    assert(shuffles(sum) === shuffles(d) + 1, plan(sum))
+  }
 }

@@ -209,6 +209,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(again === prof)
   }
 
+  test("pqCodebookKmeans: distortion non-increasing over iterations, deterministic") {
+    // 4 planted cluster directions in 8-dim, 120 noisy points
+    val rnd = new scala.util.Random(7)
+    val centers = Array(
+      Array(1.0, 0, 0, 0, 1, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 1, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 1, 0), Array(0, 0, 0, 1.0, 0, 0, 0, 1))
+    val data = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    def distortion(cb: Array[Array[Array[Double]]]): Double = {
+      // mean argmin-L2 quantization error of the unit sample against cb
+      val m = cb.length; val sub = cb(0)(0).length
+      val pts = data.collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+      pts.map { v =>
+        (0 until m).map { j =>
+          cb(j).map { cent =>
+            (0 until sub).map { i =>
+              val d = v(j * sub + i) - cent(i); d * d }.sum
+          }.min
+        }.sum
+      }.sum / pts.length
+    }
+    val seed = Similarity.pqCodebookKmeans(data, "vec_id", "embedding",
+      m = 2, k = 4, step = 1, iters = 0)
+    val refined = Similarity.pqCodebookKmeans(data, "vec_id", "embedding",
+      m = 2, k = 4, step = 1, iters = 5)
+    assert(distortion(refined) <= distortion(seed) + 1e-12)
+    // planted structure: refinement should buy a real improvement here
+    assert(distortion(refined) < distortion(seed) * 0.9)
+    val again = Similarity.pqCodebookKmeans(data, "vec_id", "embedding",
+      m = 2, k = 4, step = 1, iters = 5)
+    assert(refined.map(_.map(_.toList).toList).toList ===
+      again.map(_.map(_.toList).toList).toList)
+    // and the refined codebook plugs straight into the scoring path
+    val knn = Similarity.pqKnn(data, data.where(col("vec_id") < 2), "vec_id",
+      "embedding", k = 3, m = 2, codebook = Some(refined))
+    assert(knn.count() === 6)
+  }
+
   test("PQ kernel is bit-identical to the HOF argmin formulation on random vectors") {
     // the codegen kernel replaced an interpreted transform/aggregate tree;
     // the oracle hash-matches depend on the arithmetic staying EXACTLY the
