@@ -134,6 +134,13 @@ object ScaleRehearsal {
       graft.operators.Dedup.keepFirst(docs, md5(col("text")),
         Seq(col("doc_id"))).count()
     }
+    run("corpus_diff_summary") {
+      val old = docs.where(col("doc_id") % 11 =!= 0)
+      val nw = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+      graft.operators.CorpusDiff.diffSummary(old, nw, "doc_id", "text").count()
+    }
     spark.sql("DROP TABLE IF EXISTS scale_idx")
     spark.stop()
   }
