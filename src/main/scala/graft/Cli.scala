@@ -20,6 +20,7 @@ import graft.sources.Corpus
   *   runMain graft.Cli unique PATH... --ngram 3 [--approx]
   *   runMain graft.Cli dedup PATH... [--out DIR]            // keep-first by text hash
   *   runMain graft.Cli decontaminate PATH... --bench PATH [--out DIR]
+  *   runMain graft.Cli diff NEW_PATH... --old OLD_PATH [--docs] [--out DIR]
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
   * replaces the shared-memory sketch); `topk --approx` restores the
@@ -35,7 +36,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -65,7 +66,7 @@ object Cli {
     }
 
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique> PATH... [flags]")
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index> PATH... [flags]")
     val cmd = argv.head
     val a = parse(argv.toSeq.drop(1))
     def flag(n: String): Option[String] = a.flags.get(n).map(_.last)
@@ -142,6 +143,25 @@ object Cli {
         deliver(operators.Dedup.keepFirst(withPos, md5(col("text")),
           Seq(col("__file"), col("__line"))).drop("__file", "__line"),
           ranked = false)
+      // extension: corpus snapshot diff — PATH... is the NEW snapshot, the
+      // --old corpus the previous release; prints the status rollup (or a
+      // per-doc work list with --docs). Docs pair on the corpus `id` field
+      // when both snapshots carry one, else on the reference-style
+      // `{file}-{line}` synthetic id (Corpus.withFileLineId).
+      case "diff" =>
+        val old = Corpus.readJsonl(spark, flagAll("--old").map(p => p: String))
+        val bothHaveIds = Seq(old, docs).forall(df =>
+          !df.where(col("id").isNotNull).isEmpty)
+        def keyed(df: DataFrame): DataFrame =
+          if (bothHaveIds) df else Corpus.withFileLineId(df)
+        deliver(
+          if (a.flags.contains("--docs"))
+            operators.CorpusDiff.diffDocs(keyed(old), keyed(docs), "id", "text")
+          else
+            operators.CorpusDiff.diffSummary(keyed(old), keyed(docs), "id", "text")
+              .orderBy("status"),
+          ranked = false)
+
       // reference wimbd/text_and_url_overlaps/decontaminate.py: drop docs
       // whose text hash appears in the --bench corpus
       case "decontaminate" =>

@@ -136,4 +136,25 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.operators.SearchOps.concordance(d, "doc_id", "text", "text").count() === 1)
     assert(Pipeline.corpusReport(d, "text").count() >= 6)
   }
+
+  test("corpus diff / incremental refresh: empty on either or both sides") {
+    val nonEmpty = Seq((1L, "a", "s", "s", "x")).toDF("doc_id", "text", "lang", "source", "x")
+      .select("doc_id", "text", "lang", "source")
+    // both empty → empty diff; one side empty → everything added/removed
+    assert(CorpusDiff.diffDocs(docs, docs, "doc_id", "text").count() === 0)
+    val allAdded = CorpusDiff.diffDocs(docs, nonEmpty, "doc_id", "text")
+      .collect().map(_.getString(1)).toSeq
+    assert(allAdded === Seq("added"))
+    val allRemoved = CorpusDiff.diffDocs(nonEmpty, docs, "doc_id", "text")
+      .collect().map(_.getString(1)).toSeq
+    assert(allRemoved === Seq("removed"))
+    // refresh from an empty previous release = full fresh processing
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    val out = Pipeline.incrementalRefresh(docs, nonEmpty, stage(docs),
+      "doc_id", "text")(stage)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1L)))
+    assert(Pipeline.incrementalRefresh(docs, docs, stage(docs), "doc_id", "text")(stage)
+      .count() === 0)
+  }
 }
