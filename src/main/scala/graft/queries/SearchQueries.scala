@@ -22,15 +22,19 @@ object SearchQueries extends QueryPack {
     ("spark", "zzzz"))
 
   /** Scan-tier ground truth for the `idxPhrases` battery, replayed off
-    * `documents` directly — shared by e10 (batch-built index) and e18
-    * (streamed + compacted index): both must reproduce it exactly.
+    * `src` directly — shared by e10 (batch-built index), e18 (streamed +
+    * compacted index) and e19 (diff-refreshed index): all must reproduce
+    * it exactly. `prefixCtes` lets a caller prepend CTE definitions (e.g.
+    * the derived new-snapshot relation e19 replays against) — pass
+    * `"name AS (...), "` including the trailing comma.
     */
-  private def idxPhraseOracle: String =
-    s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${idxPhrases.map(p => s"('$p')").mkString(", ")}) v(p)),
+  private def idxPhraseOracle(src: String = "documents",
+                              prefixCtes: String = ""): String =
+    s"""WITH ${prefixCtes}ph(phrase) AS (SELECT * FROM (VALUES ${idxPhrases.map(p => s"('$p')").mkString(", ")}) v(p)),
        |ngs AS (
-       |  SELECT 2 AS plen, ngram FROM (${DuckSql.ngrams(2)})
+       |  SELECT 2 AS plen, ngram FROM (${DuckSql.ngrams(2, src)})
        |  UNION ALL
-       |  SELECT 4 AS plen, ngram FROM (${DuckSql.ngrams(4)})
+       |  SELECT 4 AS plen, ngram FROM (${DuckSql.ngrams(4, src)})
        |),
        |occ AS (SELECT phrase, CAST(count(ngram) AS BIGINT) AS occurrences
        | FROM ph LEFT JOIN ngs ON ngs.ngram = ph.phrase
@@ -39,7 +43,7 @@ object SearchQueries extends QueryPack {
        |nd AS (SELECT phrase,
        |  CAST(coalesce(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
-       | FROM ph LEFT JOIN documents ON true GROUP BY phrase)
+       | FROM ph LEFT JOIN $src ON true GROUP BY phrase)
        |SELECT ph.phrase, occ.occurrences, nd.n_docs
        |FROM ph JOIN occ USING (phrase) JOIN nd USING (phrase)
        |ORDER BY phrase""".stripMargin
@@ -197,16 +201,7 @@ object SearchQueries extends QueryPack {
       import graft.search.InvertedIndex
       val d = Tables(s, dir, "documents")
       val table = "e18_stream_idx"
-      // drop catalog entries AND stale warehouse directories: the
-      // in-memory catalog forgets managed tables across JVMs but their
-      // location survives, and CREATE refuses an existing location
-      Seq(table, s"${table}__compacting", s"${table}__old").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS `$t`")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      resetIndexTable(s, table)
       val tmp = java.nio.file.Files.createTempDirectory("e18_stream").toString
       InvertedIndex.writeIndex(
         InvertedIndex.postings(d.where(col("doc_id") % 5 =!= 0),
@@ -229,6 +224,31 @@ object SearchQueries extends QueryPack {
         uax29 = false).orderBy("phrase")
     }),
 
+    // diff-driven index refresh under oracle check: an index built over the
+    // OLD snapshot (doc_id%11 absent — j10's fixture derivation), brought
+    // to the NEW snapshot's state (doc_id%13 removed, %5 edited in place)
+    // by refreshIndex — postings built only for added/changed docs, removed
+    // and stale postings anti-joined out, crash-safe swap — then answering
+    // the phrase battery against ground truth replayed on the NEW snapshot
+    "e19_index_refresh" -> ((s, dir) => {
+      import graft.search.InvertedIndex
+      val d = Tables(s, dir, "documents")
+      val table = "e19_refresh_idx"
+      resetIndexTable(s, table)
+      val old = d.where(col("doc_id") % 11 =!= 0).select("doc_id", "text")
+      val nw = d.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev1")))
+            .otherwise(col("text")).as("text"))
+      InvertedIndex.writeIndex(
+        InvertedIndex.postings(old, "doc_id", "text", uax29 = false),
+        table, buckets = 8, force = true)
+      InvertedIndex.refreshIndex(s, table, old, nw, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      InvertedIndex.phraseHits(InvertedIndex.readIndex(s, table), idxPhrases,
+        uax29 = false).orderBy("phrase")
+    }),
+
     // BM25 ranked retrieval (the ES tier's default relevance) off the
     // index: scores computed entirely from postings + in-index norms
     "e12_bm25_topk" -> ((s, dir) => {
@@ -240,6 +260,20 @@ object SearchQueries extends QueryPack {
         bm25Terms, k = 15)
     })
   )
+
+  /** Drop an index table's catalog entries AND stale warehouse
+    * directories: the in-memory catalog forgets managed tables across
+    * JVMs but their location survives, and CREATE refuses an existing
+    * location. Covers the live name plus the compaction-swap aliases.
+    */
+  private def resetIndexTable(s: SparkSession, table: String): Unit =
+    Seq(table, s"${table}__compacting", s"${table}__old").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS `$t`")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
   private def padHit(phrase: String): String =
     s"contains(' ' || text || ' ', ' $phrase ')"
@@ -343,12 +377,22 @@ object SearchQueries extends QueryPack {
 
     // replayed off `documents` directly — the scan-tier ground truth the
     // index-tier answer must reproduce
-    "e10_indexed_phrase" -> idxPhraseOracle,
+    "e10_indexed_phrase" -> idxPhraseOracle(),
 
     // the streamed-then-compacted index must answer the SAME battery with
     // the SAME ground truth: the oracle is e10's verbatim, so any row the
     // stream dropped/duplicated or the compaction swap corrupted mismatches
-    "e18_stream_compact" -> idxPhraseOracle,
+    "e18_stream_compact" -> idxPhraseOracle(),
+
+    // the refreshed index must equal an index built from scratch on the
+    // NEW snapshot: same battery, ground truth replayed on the snapshot
+    // derivation (j10's fixture: %13 removed, %5 edited) — a postings row
+    // the refresh failed to delete (stale pre-edit text) or failed to add
+    // (missed added/changed doc) mismatches occurrences or n_docs
+    "e19_index_refresh" -> idxPhraseOracle(src = "newdocs",
+      prefixCtes = """newdocs AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' rev1' ELSE text END AS text
+        | FROM documents WHERE doc_id % 13 <> 0), """.stripMargin),
 
     // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
     // matches each phrase's token count; zero-hit phrases yield no rows)

@@ -327,6 +327,62 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("refreshIndex: diff-driven refresh equals a from-scratch build") {
+    val table = "ii_spec_refresh"
+    def dropAll(): Unit = Seq(table, s"${table}__compacting", s"${table}__old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    // old snapshot = docs 1-4; new: doc 2 removed, doc 4 edited, doc 5 added
+    val newDocs = Seq(
+      (1L, "a b a b a"),
+      (3L, "c"),
+      (4L, "a b c a b c d"), // changed
+      (5L, "d d a")          // added
+    ).toDF("doc_id", "text")
+    InvertedIndex.writeIndex(
+      InvertedIndex.postings(docs, "doc_id", "text", uax29 = false),
+      table, buckets = 8, force = true)
+    try {
+      InvertedIndex.refreshIndex(spark, table, docs, newDocs, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      val refreshed = InvertedIndex.readIndex(spark, table)
+      val scratch = InvertedIndex.postings(newDocs, "doc_id", "text",
+        uax29 = false)
+      // the whole postings table — not just one query surface — must match
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("term", "doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2).toList,
+            r.getLong(3), r.getLong(4))).toSeq
+      assert(rows(refreshed) === rows(scratch))
+      // no stale postings: doc 2 gone entirely, doc 4's pre-edit rows gone
+      assert(refreshed.where(col("doc_id") === 2L).count() === 0L)
+      assert(refreshed.where(col("term") === "d").count() === 2L)
+      // the refreshed table still bucket-prunes a term lookup
+      val plan = refreshed.where(col("term") === "a")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+    } finally dropAll()
+  }
+
+  test("refreshIndex: removals-only diff is the takedown path") {
+    val table = "ii_spec_takedown"
+    def dropAll(): Unit = Seq(table, s"${table}__compacting", s"${table}__old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    val kept = docs.where(col("doc_id") =!= 2L)
+    InvertedIndex.writeIndex(
+      InvertedIndex.postings(docs, "doc_id", "text", uax29 = false),
+      table, buckets = 8, force = true)
+    try {
+      InvertedIndex.refreshIndex(spark, table, docs, kept, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      val refreshed = InvertedIndex.readIndex(spark, table)
+      assert(refreshed.where(col("doc_id") === 2L).count() === 0L)
+      assert(refreshed.count() ===
+        InvertedIndex.postings(kept, "doc_id", "text", uax29 = false).count())
+    } finally dropAll()
+  }
+
   test("compactIndex swap is crash-recoverable at every step") {
     val table = "ii_spec_crash"
     val staging = table + "__compacting"
