@@ -196,24 +196,66 @@ object Cli {
       case "index" =>
         val phrases = flagAll("--search")
         val table = flag("--table")
-        if (phrases.isEmpty) {
+        // --refresh-old OLDPATH...: diff-driven maintenance of a saved
+        // index table — postings rebuilt only for docs added/changed
+        // between the --refresh-old snapshot and PATH..., removed docs'
+        // postings deleted (takedown path), crash-safe swap. Snapshots
+        // pair on the corpus `id` field when both carry one, else on the
+        // `{file}-{line}` synthetic id (same keying as `diff`).
+        val refreshOld = flagAll("--refresh-old")
+        // key postings by the corpus's own `id` field when it has one
+        // (stable across snapshots — what --refresh-old's diff pairs on),
+        // falling back to the `{file}-{line}` synthetic id
+        def keyedById(df: DataFrame): (DataFrame, String) =
+          if (!df.where(col("id").isNotNull).isEmpty) (df, "id")
+          else (Corpus.withFileLineId(df, "__id"), "__id")
+        // the local in-memory catalog forgets managed tables across CLI
+        // invocations while the warehouse dir survives — re-register a
+        // stranded index before declaring it absent (metastore
+        // deployments never hit this path)
+        def ensureIndexTable(t: String, hint: String): Unit =
+          if (!spark.catalog.tableExists(t)) {
+            try search.InvertedIndex.registerIndex(spark, t,
+              intFlag("--buckets", 64))
+            catch { case _: Exception => sys.error(
+              s"index table '$t' does not exist — build it first with " +
+                s"`$hint` (same --buckets)") }
+          }
+        if (refreshOld.nonEmpty) {
+          val t = table.getOrElse(sys.error("index --refresh-old needs --table"))
+          ensureIndexTable(t, s"index OLDPATH... --table $t")
+          val old = Corpus.readJsonl(spark, refreshOld.map(p => p: String))
+          val bothHaveIds = Seq(old, docs).forall(df =>
+            !df.where(col("id").isNotNull).isEmpty)
+          val (o, n, idc) =
+            if (bothHaveIds) (old, docs, "id")
+            else (Corpus.withFileLineId(old, "__id"),
+              Corpus.withFileLineId(docs, "__id"), "__id")
+          // NB: the saved table must have been keyed the same way — the
+          // build path below uses keyedById, so it is.
+          search.InvertedIndex.refreshIndex(spark, t, o, n, idc, "text",
+            intFlag("--buckets", 64), uax29 = uax)
+          System.err.println(s"index table $t refreshed")
+          if (phrases.nonEmpty)
+            deliver(search.InvertedIndex.phraseHits(
+              search.InvertedIndex.readIndex(spark, t), phrases, uax29 = uax),
+              ranked = false)
+        } else if (phrases.isEmpty) {
           val t = table.getOrElse(sys.error(
             "index needs --search phrases and/or --table to persist to"))
+          val (keyed, idc) = keyedById(docs)
           search.InvertedIndex.writeIndex(
-            search.InvertedIndex.postings(
-              Corpus.withFileLineId(docs, "__id"), "__id", "text", uax29 = uax),
+            search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
             t, intFlag("--buckets", 64), force = a.flags.contains("--force"))
           System.err.println(s"index written to table $t")
         } else {
           val post = table match {
             case Some(t) =>
-              if (!spark.catalog.tableExists(t)) sys.error(
-                s"index table '$t' does not exist — build it first with " +
-                  s"`index --table $t` (no --search), then query it; or " +
-                  "drop --table to answer from an in-memory index build")
+              ensureIndexTable(t, s"index --table $t")
               search.InvertedIndex.readIndex(spark, t)
-            case None => search.InvertedIndex.postings(
-              Corpus.withFileLineId(docs, "__id"), "__id", "text", uax29 = uax)
+            case None =>
+              val (keyed, idc) = keyedById(docs)
+              search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax)
           }
           val slop = intFlag("--slop", 0)
           deliver(

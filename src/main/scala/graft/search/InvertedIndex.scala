@@ -99,6 +99,26 @@ object InvertedIndex {
   def readIndex(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Re-register a saved index whose catalog entry was lost — the
+    * in-memory catalog (Spark's local default) forgets managed tables
+    * across JVM restarts while their warehouse directory survives, which
+    * strands every index a CLI invocation built for the next invocation.
+    * Recreates the table over the surviving directory with the SAME
+    * bucket spec [[writeIndex]] wrote (`buckets` must match — bucket file
+    * names encode the bucket id, so a wrong count silently breaks
+    * pruning); schema is inferred from the parquet footers. A metastore
+    * deployment (production) never needs this.
+    */
+  def registerIndex(spark: SparkSession, table: String, buckets: Int,
+                    location: Option[String] = None): Unit = {
+    val loc = location.getOrElse(new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table).toString)
+    val schema = spark.read.parquet(loc).schema.toDDL
+    spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
+      s"CLUSTERED BY (term) SORTED BY (term) INTO $buckets BUCKETS " +
+      s"LOCATION '$loc'")
+  }
+
   /** Fold streaming appends back into the bucketed layout: the query
     * surface stays correct reading `table ∪ appends` directly, but after
     * weeks of micro-batch appends the "few hundred MB of pruned posting
@@ -173,11 +193,35 @@ object InvertedIndex {
     val backup = table + "__old"
     recoverCompaction(spark, table) // heal any half-finished prior swap
     spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    // a staging DIRECTORY with no catalog entry is debris from a crashed
+    // run in a previous JVM (the in-memory catalog forgot it); clear it or
+    // the managed staging write fails with LOCATION_ALREADY_EXISTS
+    deleteIfUncataloged(spark, staging)
     writeIndex(build(spark.table(table)), staging, buckets)
     spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
+    // an EXTERNAL live table (e.g. re-registered by [[registerIndex]] over
+    // a stranded warehouse dir) keeps its directory on rename, which would
+    // block the managed staging table from taking the name+location. The
+    // staging table already holds the complete new index, so the
+    // superseded files are safe to clear (recovery from any later crash
+    // goes through staging).
+    if (!spark.catalog.tableExists(table)) deleteIfUncataloged(spark, table)
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
-    spark.sql(s"DROP TABLE `$backup`")
+    spark.sql(s"DROP TABLE IF EXISTS `$backup`")
   }
+
+  /** Delete `warehouse/<name>` iff no catalog entry claims the name — the
+    * in-memory catalog is the source of truth, so such a directory is
+    * either swap debris from a crashed prior JVM or a superseded external
+    * location; never touches a cataloged table's data.
+    */
+  private def deleteIfUncataloged(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 
   /** Recovery half of [[compactIndex]]'s rename-aside swap — idempotent,
     * safe to run any time. If a compaction crashed mid-swap, the live
@@ -194,9 +238,16 @@ object InvertedIndex {
     val backup = table + "__old"
     val cat = spark.catalog
     if (!cat.tableExists(table)) {
-      if (cat.tableExists(staging))
+      if (cat.tableExists(staging)) {
+        // staging in the catalog + live absent ⇒ the swap got past the
+        // live→backup rename, so any files still under the live name are
+        // a superseded EXTERNAL backup's (its directory does not move on
+        // rename) — clear them or the staging rename cannot take the
+        // location. A stranded-but-valid index (catalog lost, files
+        // present) never reaches here: staging would be absent too.
+        deleteIfUncataloged(spark, table)
         spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
-      else if (cat.tableExists(backup))
+      } else if (cat.tableExists(backup))
         spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")
     }
     if (cat.tableExists(table) && cat.tableExists(backup))

@@ -383,6 +383,56 @@ class InvertedIndexSpec extends SparkTestBase {
     } finally dropAll()
   }
 
+  test("registerIndex: a stranded index dir re-registers; refresh swaps it out") {
+    val table = "ii_spec_register"
+    def dropAll(): Unit = Seq(table, s"${table}__compacting", s"${table}__old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    InvertedIndex.writeIndex(
+      InvertedIndex.postings(docs, "doc_id", "text", uax29 = false),
+      table, buckets = 8, force = true)
+    val expected = InvertedIndex.phraseHits(
+      InvertedIndex.readIndex(spark, table), Seq("a b", "b b"), uax29 = false)
+      .orderBy("phrase").collect().map(_.toSeq).toSeq
+    // simulate a JVM restart stranding the warehouse dir: copy the data
+    // aside, drop the managed table (which deletes the original files)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("ii_register").toString, table)
+    org.apache.hadoop.fs.FileUtil.copy(fs, wh, fs, aside, false,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE $table")
+    try {
+      InvertedIndex.registerIndex(spark, table, buckets = 8,
+        location = Some(aside.toString))
+      val reread = InvertedIndex.readIndex(spark, table)
+      val got = InvertedIndex.phraseHits(reread, Seq("a b", "b b"),
+        uax29 = false).orderBy("phrase").collect().map(_.toSeq).toSeq
+      assert(got === expected)
+      // the re-registered table still bucket-prunes a term lookup
+      val plan = reread.where(col("term") === "a")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan.take(2000))
+      // refreshIndex over the EXTERNAL re-registered table: the swap must
+      // clear the kept-in-place external location, not collide with it
+      val newDocs = Seq((1L, "a b a b a"), (3L, "c"), (4L, "a b c a b c"))
+        .toDF("doc_id", "text")
+      InvertedIndex.refreshIndex(spark, table, docs, newDocs, "doc_id",
+        "text", buckets = 8, uax29 = false)
+      val refreshed = InvertedIndex.readIndex(spark, table)
+      assert(refreshed.where(col("doc_id") === 2L).count() === 0L)
+      assert(rowsOf(refreshed) ===
+        rowsOf(InvertedIndex.postings(newDocs, "doc_id", "text", uax29 = false)))
+    } finally dropAll()
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("term", "doc_id")
+      .select("term", "doc_id", "positions", "tf", "dl")
+      .collect().map(_.toSeq).toSeq
+
   test("compactIndex swap is crash-recoverable at every step") {
     val table = "ii_spec_crash"
     val staging = table + "__compacting"
