@@ -141,6 +141,17 @@ object ScaleRehearsal {
           concat(col("text"), lit(" rev1"))).otherwise(col("text")))
       graft.operators.CorpusDiff.diffSummary(old, nw, "doc_id", "text").count()
     }
+    // diff-driven refresh of the bucketed index built above: ~1/13 of docs
+    // removed + ~1/5 edited — the delta postings build + one
+    // compaction-grade rewrite, vs index_build_bucketed's full tokenize
+    run("index_refresh") {
+      val nw = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+      graft.search.InvertedIndex.refreshIndex(spark, "scale_idx", docs, nw,
+        "doc_id", "text", buckets = 32, uax29 = false)
+      spark.table("scale_idx").count()
+    }
     spark.sql("DROP TABLE IF EXISTS scale_idx")
     spark.stop()
   }
