@@ -249,6 +249,27 @@ object SearchQueries extends QueryPack {
         uax29 = false).orderBy("phrase")
     }),
 
+    // ES regexp query over the term dictionary (full-term match, Lucene
+    // RegexpQuery semantics): per-term df/ttf for every dictionary term
+    // the pattern consumes entirely — the index-tier analogue of A10's
+    // corpus-side regex search
+    "e20_indexed_regexp" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.termsMatching(post, "s[a-z]+")
+        .orderBy("term")
+    }),
+
+    // ES wildcard query hit count: documents containing ANY term matching
+    // the Lucene wildcard pattern, via the shared wildcard→regex
+    // translation (the oracle embeds the SAME translated regex)
+    "e21_indexed_wildcard" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.countDocsMatching(post, "*a*",
+        wildcard = true)
+    }),
+
     // BM25 ranked retrieval (the ES tier's default relevance) off the
     // index: scores computed entirely from postings + in-index norms
     "e12_bm25_topk" -> ((s, dir) => {
@@ -393,6 +414,25 @@ object SearchQueries extends QueryPack {
       prefixCtes = """newdocs AS (SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN text || ' rev1' ELSE text END AS text
         | FROM documents WHERE doc_id % 13 <> 0), """.stripMargin),
+
+    // full-term regex over the tokenized stream: exactly the terms the
+    // anchored dictionary match admits, with their df/ttf
+    "e20_indexed_regexp" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS ttf
+        |FROM tok WHERE regexp_full_match(w, 's[a-z]+')
+        |GROUP BY w ORDER BY term""".stripMargin,
+
+    // the SAME wildcard→regex translation the Spark side runs, embedded
+    // verbatim (wildcardRegex emits RE2-compatible escapes by contract)
+    "e21_indexed_wildcard" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |m AS (SELECT * FROM tok
+         |  WHERE regexp_full_match(w, '${graft.search.InvertedIndex.wildcardRegex("*a*")}'))
+         |SELECT CAST(count(DISTINCT w) AS BIGINT) AS term_count,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count,
+         |  CAST(count(*) AS BIGINT) AS ttf FROM m""".stripMargin,
 
     // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
     // matches each phrase's token count; zero-hit phrases yield no rows)

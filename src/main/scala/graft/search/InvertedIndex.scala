@@ -278,6 +278,76 @@ object InvertedIndex {
         coalesce(col("ttf"), lit(0L)).as("ttf"))
   }
 
+  /** Lucene-style term-pattern query — ES's `regexp`/`wildcard` queries
+    * over a field's term dictionary (reference exposes them through the
+    * ES query DSL its indices answer; the scan tier's A10 regex search is
+    * the corpus-side analogue). Full-term match semantics, like Lucene's
+    * `RegexpQuery`: the pattern must consume the whole term, so `par`
+    * matches neither `spark` nor `part` but `par.*` matches `part`.
+    * Returns one (term, df, ttf) row per matched dictionary term.
+    *
+    * Plan shape: the anchored `rlike` filter sits directly on the postings
+    * scan, so the per-term aggregate that follows is sized by match
+    * selectivity, not vocabulary; on a [[writeIndex]]-bucketed table the
+    * groupBy(term) also inherits the bucket layout and pays no Exchange.
+    * The regex cost is O(postings-rows-scanned), which a dictionary-side
+    * evaluation (regex over distinct terms, then a postings join) would
+    * cut to O(|V|) — but that plan rescans postings for the join anyway,
+    * and term strings are short; the single-scan filter wins until |V| is
+    * tiny relative to postings AND the regex is pathological.
+    *
+    * Set `wildcard = true` to interpret `pattern` as a Lucene
+    * `WildcardQuery` pattern (`*` = any run, `?` = any one char, `\`
+    * escapes the next char) via [[wildcardRegex]].
+    */
+  def termsMatching(postings: DataFrame, pattern: String,
+                    wildcard: Boolean = false): DataFrame = {
+    val re = if (wildcard) wildcardRegex(pattern) else pattern
+    postings.where(col("term").rlike("^(?:" + re + ")$"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+  }
+
+  /** Document count for a term pattern — ES's `regexp` query hit count: a
+    * document matches when ANY of its terms matches. One row:
+    * (term_count, doc_count, ttf). `doc_count` needs distinct doc ids
+    * across matched terms, paid only on the match-selected rows.
+    */
+  def countDocsMatching(postings: DataFrame, pattern: String,
+                        wildcard: Boolean = false): DataFrame = {
+    val re = if (wildcard) wildcardRegex(pattern) else pattern
+    postings.where(col("term").rlike("^(?:" + re + ")$"))
+      .agg(count_distinct(col("term")).as("term_count"),
+        count_distinct(col("doc_id")).as("doc_count"),
+        coalesce(sum("tf"), lit(0L)).as("ttf"))
+  }
+
+  /** Translate a Lucene `WildcardQuery` pattern to a regex: `*` → `.*`,
+    * `?` → `.`, `\x` → literal `x`, every other char matched literally.
+    * Escaping is per-char backslash (portable across Java regex and RE2,
+    * unlike `\Q...\E` runs), so the output is usable verbatim in both the
+    * Spark plan and a DuckDB oracle replay.
+    */
+  def wildcardRegex(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def literal(c: Char): Unit = {
+      if ("\\.[]{}()*+?^$|".indexOf(c.toInt) >= 0) sb.append('\\')
+      sb.append(c)
+    }
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '\\' if i + 1 < pattern.length =>
+          i += 1; literal(pattern.charAt(i))
+        case c => literal(c)
+      }
+      i += 1
+    }
+    sb.result()
+  }
+
   /** One-row corpus norms frame — the index-build-time constants every
     * scoring/association query needs: `n_docs` and `avgdl` for
     * [[bm25TopK]], `total_tf` (Σ term frequencies = corpus token count)

@@ -156,6 +156,41 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(st("nope") === ((0L, 0L)))
   }
 
+  test("termsMatching: full-term regex over the dictionary, Lucene semantics") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    // 'a|b' full-match admits exactly terms a and b — never c, and a
+    // bare unanchored hit inside a longer term would be a bug
+    val m = InvertedIndex.termsMatching(post, "a|b")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.keySet === Set("a", "b"))
+    assert(m("a") === ((2L, 5L)))    // same df/ttf termStats reports
+    assert(m("b") === ((3L, 7L)))
+    // unanchored pattern must NOT match partially: '.' consumes one char,
+    // so single-char terms all match but nothing else would
+    assert(InvertedIndex.termsMatching(post, "x").count() === 0L)
+  }
+
+  test("wildcardRegex: Lucene wildcard translation + escaping") {
+    assert(InvertedIndex.wildcardRegex("sp*k") === "sp.*k")
+    assert(InvertedIndex.wildcardRegex("a?c") === "a.c")
+    assert(InvertedIndex.wildcardRegex("a.b") === "a\\.b")
+    assert(InvertedIndex.wildcardRegex("""a\*b""") === "a\\*b")  // escaped * is literal
+    assert(InvertedIndex.wildcardRegex("x(y)") === "x\\(y\\)")
+    // translated patterns are valid Java regexes matching as intended
+    assert("sp.*k".r.matches("spark"))
+    assert(!"a\\.b".r.matches("axb"))
+  }
+
+  test("countDocsMatching: doc/term/ttf counts incl. the zero-match row") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val hit = InvertedIndex.countDocsMatching(post, "[ab]").head()
+    assert(hit.getLong(0) === 2L)    // terms a, b
+    assert(hit.getLong(1) === 3L)    // docs 1, 2, 4
+    assert(hit.getLong(2) === 12L)   // 5 a's + 7 b's
+    val miss = InvertedIndex.countDocsMatching(post, "zz*", wildcard = true).head()
+    assert((miss.getLong(0), miss.getLong(1), miss.getLong(2)) === ((0L, 0L, 0L)))
+  }
+
   test("postings build plan: zero shuffles (per-doc kernel grouping)") {
     val plan = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
       .queryExecution.executedPlan.toString
