@@ -270,6 +270,18 @@ object SearchQueries extends QueryPack {
         wildcard = true)
     }),
 
+    // ES match_phrase_prefix (autocomplete): trailing token is a prefix,
+    // dictionary-expanded then folded back — occurrences sum across
+    // expansions, n_docs dedup; 'zz qq' has a hitless full prefix and
+    // 's' alone degenerates to a wildcard term query
+    "e22_phrase_prefix" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.phrasePrefixHits(post,
+        Seq("key s", "spark w", "zz qq", "s"), uax29 = false)
+        .orderBy("phrase")
+    }),
+
     // BM25 ranked retrieval (the ES tier's default relevance) off the
     // index: scores computed entirely from postings + in-index norms
     "e12_bm25_topk" -> ((s, dir) => {
@@ -433,6 +445,28 @@ object SearchQueries extends QueryPack {
          |SELECT CAST(count(DISTINCT w) AS BIGINT) AS term_count,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count,
          |  CAST(count(*) AS BIGINT) AS ttf FROM m""".stripMargin,
+
+    // phrase-prefix replay: a phrase-prefix hit is EXACTLY an n-gram (n =
+    // phrase token count) whose joined string starts with the phrase text
+    // — terms are space-free, so string prefix = last-token prefix; the
+    // LIKE keeps token-boundary semantics the expansion path enforces
+    "e22_phrase_prefix" ->
+      """WITH ph(phrase) AS (SELECT * FROM (VALUES ('key s'), ('spark w'), ('zz qq'), ('s')) v(p)),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ngs AS (
+        |  SELECT doc_id, 1 AS plen, unnest(t) AS ngram FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS plen, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS ngram FROM tok
+        |),
+        |hit AS (SELECT ph.phrase, ngs.doc_id, count(*) AS c
+        | FROM ph JOIN ngs ON ngs.plen = len(string_split(ph.phrase, ' '))
+        |   AND ngs.ngram LIKE ph.phrase || '%'
+        | GROUP BY 1, 2)
+        |SELECT ph.phrase, CAST(coalesce(sum(c), 0) AS BIGINT) AS occurrences,
+        |  CAST(count(hit.doc_id) AS BIGINT) AS n_docs
+        |FROM ph LEFT JOIN hit USING (phrase)
+        |GROUP BY ph.phrase ORDER BY phrase""".stripMargin,
 
     // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
     // matches each phrase's token count; zero-hit phrases yield no rows)

@@ -515,6 +515,75 @@ object InvertedIndex {
       .select(col("phrase"), col("doc_id"), col("__occ").as("occurrences"))
   }
 
+  /** ES `match_phrase_prefix` off the index — autocomplete-style phrase
+    * search where each phrase's LAST token is a prefix. Lucene's rewrite,
+    * Spark-shaped: the trailing prefixes expand against the term
+    * dictionary first (one postings scan whose `startsWith` disjunction
+    * pushes to the parquet scan; `distinct` on `term` rides the bucketed
+    * layout shuffle-free), capped at `maxExpansions` per prefix in term
+    * order — exactly ES's cap-and-order contract, extra matching terms
+    * silently dropped. The expanded phrases then run through the SAME
+    * single set-oriented plan as [[phraseHits]] (one pruned postings join
+    * against one broadcast slot frame, O(1) operators in phrase count),
+    * and per-doc rows fold back to the ORIGINAL phrases: occurrences sum
+    * exactly across expansions (one start position matches at most one
+    * expansion — the terms differ at the same slot), `n_docs` dedups
+    * documents that match several expansions. Phrases whose prefix
+    * expands to nothing keep their 0/0 row. One row per DISTINCT input
+    * phrase (see the contract note on [[termStats]]).
+    */
+  def phrasePrefixHits(postings: DataFrame, phrases: Seq[String],
+                       uax29: Boolean = true,
+                       maxExpansions: Int = 50): DataFrame = {
+    require(maxExpansions >= 1, "maxExpansions must be >= 1")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val byPhrase = parsePhrases(phrases, uax29)
+    val prefixes = byPhrase.map(_._2.last).distinct
+
+    val byPrefix: Map[String, Seq[String]] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__prefix").orderBy("term")
+      postings
+        .where(prefixes.map(p => col("term").startsWith(p)).reduce(_ || _))
+        .select("term").distinct()
+        .join(broadcast(prefixes.toDF("__prefix")),
+          col("term").startsWith(col("__prefix")))
+        .withColumn("__rank", row_number().over(w))
+        .where(col("__rank") <= maxExpansions)
+        .select("__prefix", "term")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    }
+
+    // expanded token sequences, keyed by their joined form; the key →
+    // original mapping is many-to-many ("x a" and "x ab" both reach
+    // expansion "x ab") and tiny — it folds results back by broadcast
+    val mapping: Seq[(String, String)] = byPhrase.flatMap { case (p, ts) =>
+      byPrefix.getOrElse(ts.last, Nil).map { t =>
+        ((ts.init :+ t).mkString(" "), p)
+      }
+    }.distinct
+    val expanded: Seq[(String, Seq[String])] = mapping.map(_._1).distinct
+      .map(k => k -> k.split(" ").toSeq)
+
+    val perPhrase =
+      if (expanded.isEmpty) {
+        spark.emptyDataset[(String, Long, Long)]
+          .toDF("phrase", "occurrences", "n_docs")
+      } else {
+        phraseOccurrences(postings, expanded)
+          .join(broadcast(mapping.toDF("phrase", "__orig")), Seq("phrase"))
+          .groupBy(col("__orig").as("phrase"))
+          .agg(sum("occurrences").as("occurrences"),
+            count_distinct(col("doc_id")).as("n_docs"))
+      }
+    phraseList(spark, phrases).join(perPhrase, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("occurrences"), lit(0L)).as("occurrences"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** E2 off the index — `get_documents_containing_phrases` (reference
     * wimbd/es/__init__.py:186-267) without the corpus scan: every
     * (phrase, containing doc, occurrence count) from the same single

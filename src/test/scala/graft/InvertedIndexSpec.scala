@@ -191,6 +191,28 @@ class InvertedIndexSpec extends SparkTestBase {
     assert((miss.getLong(0), miss.getLong(1), miss.getLong(2)) === ((0L, 0L, 0L)))
   }
 
+  test("phrasePrefixHits: trailing-prefix expansion, cap, cross-expansion doc dedup") {
+    val d = Seq(
+      (1L, "x ab y"),
+      (2L, "x ac y"),
+      (3L, "x ab ab"),
+      (4L, "x ab x ac")   // both expansions in ONE doc → n_docs dedups
+    ).toDF("doc_id", "text")
+    val post = InvertedIndex.postings(d, "doc_id", "text", uax29 = false)
+    def hits(ps: Seq[String], maxExp: Int = 50) =
+      InvertedIndex.phrasePrefixHits(post, ps, uax29 = false, maxExp)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val m = hits(Seq("x a", "x ab", "zz", "y"))
+    // "x ab" hits docs 1,3,4 once each; "x ac" hits docs 2,4 once each:
+    // occurrences sum (5), docs dedup across expansions (4 — doc 4 once)
+    assert(m("x a") === ((5L, 4L)))
+    assert(m("x ab") === ((3L, 3L)))  // the narrower prefix: only the ab expansion
+    assert(m("zz") === ((0L, 0L)))    // no dictionary term starts with zz
+    assert(m("y") === ((2L, 2L)))     // single-token prefix = wildcard term query
+    // Lucene cap: maxExpansions=1 keeps only 'ab' (term order), drops 'ac'
+    assert(hits(Seq("x a"), maxExp = 1)("x a") === ((3L, 3L)))
+  }
+
   test("postings build plan: zero shuffles (per-doc kernel grouping)") {
     val plan = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
       .queryExecution.executedPlan.toString
