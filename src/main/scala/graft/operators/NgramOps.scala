@@ -242,6 +242,55 @@ object NgramOps {
         round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6).as("zipf_slope"))
   }
 
+  /** Heaps'-law vocabulary-growth curve — distinct-term count as the
+    * corpus accumulates in `idCol` order, the companion diagnostic to
+    * [[zipfStats]] (V(n) ≈ K·n^β for natural text; templated or heavily
+    * duplicated corpora flatten early). Emits `checkpoints` rows
+    * (checkpoint, bound, docs_seen, tokens_seen, vocab): the id axis is
+    * cut at VALUE checkpoints `lo + (hi−lo)·i/K` (integer floor), and each
+    * row reports the exact docs/tokens/vocab accumulated through that
+    * bound — the (tokens_seen, vocab) pairs are the Heaps points whatever
+    * the id distribution, since the x coordinate is measured, not assumed
+    * uniform. A term is "seen" at the smallest containing doc id.
+    *
+    * Scale shape: NO global sort or rank anywhere — value checkpoints
+    * come from one min/max aggregate (a rank-based cut would need a
+    * distributed order statistic for no extra information in the output).
+    * First occurrences are one groupBy(term) shuffle — vocabulary-sized,
+    * the same exchange [[uniqueNgrams]] pays. Both curve aggregates join
+    * a broadcast K-row bounds frame (≤ K× row expansion, combined
+    * map-side into K groups before any exchange). Empty corpus → empty
+    * result. Ids are assumed unique (the corpus contract everywhere else
+    * here); duplicate ids would only merge their docs into one x position.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Int = 10, uax29: Boolean = true): DataFrame = {
+    require(checkpoints >= 1, "need at least one checkpoint")
+    val spark = docs.sparkSession
+    val base = graft.Par.fanOut(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol), uax29).as("__t"))
+    val mm = base.agg(min("doc_id").as("__lo"), max("doc_id").as("__hi"))
+    val bounds = spark.range(1, checkpoints + 1).toDF("checkpoint")
+      .crossJoin(broadcast(mm))
+      .select(col("checkpoint"),
+        expr(s"__lo + ((__hi - __lo) * checkpoint) div $checkpoints")
+          .as("bound"))
+      .where(col("bound").isNotNull)
+    val ds = base.select(col("doc_id"), size(col("__t")).cast("long").as("__dl"))
+      .join(broadcast(bounds), col("doc_id") <= col("bound"))
+      .groupBy("checkpoint", "bound")
+      .agg(count(lit(1)).as("docs_seen"), sum("__dl").as("tokens_seen"))
+    val vs = base.select(col("doc_id"), explode(col("__t")).as("__w"))
+      .groupBy("__w").agg(min("doc_id").as("__fd"))
+      .join(broadcast(bounds.select("checkpoint", "bound")),
+        col("__fd") <= col("bound"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("vocab"))
+    ds.join(vs, Seq("checkpoint"))
+      .select(col("checkpoint"), col("bound"), col("docs_seen"),
+        col("tokens_seen"), col("vocab"))
+  }
+
   /** Grouped top-k: the k most frequent n-grams WITHIN each group (per
     * source, per language, per domain) — the faceted variant of `wimbd topk`
     * (reference src/cmd/topk.rs runs once per corpus; per-subset runs are

@@ -79,6 +79,12 @@ object NgramQueries extends QueryPack {
     "a13_zipf" -> ((s, dir) =>
       NgramOps.zipfStats(Tables(s, dir, "documents"), "text", uax29 = false)),
 
+    // Heaps'-law companion to a13: vocabulary size as the corpus
+    // accumulates in doc_id order, 8 value-checkpoint rows
+    "a19_vocab_growth" -> ((s, dir) =>
+      NgramOps.vocabGrowth(Tables(s, dir, "documents"), "doc_id", "text",
+        checkpoints = 8, uax29 = false).orderBy("checkpoint")),
+
     // GPT-3-style span contamination: held-out docs (doc_id % 10 = 0)
     // scored against the rest of the corpus as "training" data
     "a14_ngram_contamination" -> ((s, dir) => {
@@ -292,6 +298,22 @@ object NgramQueries extends QueryPack {
         | round(covar_pop(ln(CAST(r AS DOUBLE)), ln(CAST(c AS DOUBLE)))
         |   / var_pop(ln(CAST(r AS DOUBLE))), 6) AS zipf_slope
         |FROM rk""".stripMargin,
+
+    "a19_vocab_growth" ->
+      """WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |ks AS (SELECT unnest(generate_series(1, 8)) AS checkpoint),
+        |bounds AS (SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+        |  CAST(lo + ((hi - lo) * checkpoint) // 8 AS BIGINT) AS bound FROM ks, mm),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |fd AS (SELECT w, min(doc_id) AS fd FROM
+        |  (SELECT doc_id, unnest(t) AS w FROM tok) GROUP BY w),
+        |ds AS (SELECT checkpoint, bound, CAST(count(*) AS BIGINT) AS docs_seen,
+        |   CAST(sum(len(t)) AS BIGINT) AS tokens_seen
+        | FROM bounds JOIN tok ON tok.doc_id <= bound GROUP BY checkpoint, bound),
+        |vs AS (SELECT checkpoint, CAST(count(*) AS BIGINT) AS vocab
+        | FROM bounds JOIN fd ON fd.fd <= bound GROUP BY checkpoint)
+        |SELECT checkpoint, bound, docs_seen, tokens_seen, vocab
+        |FROM ds JOIN vs USING (checkpoint) ORDER BY checkpoint""".stripMargin,
 
     "a14_ngram_contamination" ->
       """WITH tr AS (SELECT DISTINCT s FROM (

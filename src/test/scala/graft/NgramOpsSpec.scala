@@ -71,4 +71,28 @@ class NgramOpsSpec extends SparkTestBase {
     assert(out("a") === 4L)
     assert(out("zz+") === 0L)
   }
+
+  test("vocabGrowth: exact Heaps points at value checkpoints") {
+    val d = Seq(
+      (1L, "a b"),
+      (2L, "a"),
+      (3L, "c a"),
+      (4L, "d d d")
+    ).toDF("doc_id", "text")
+    // K=2: lo=1, hi=4 → bounds 1+(3·1 div 2)=2 and 1+3=4
+    val rows = NgramOps.vocabGrowth(d, "doc_id", "text", checkpoints = 2,
+        uax29 = false)
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows(0) === ((1L, 2L, 2L, 3L, 2L)))  // docs 1-2: a,b seen
+    assert(rows(1) === ((2L, 4L, 4L, 8L, 4L)))  // full corpus: a,b,c,d
+    // K=1 degenerates to one whole-corpus summary row
+    val one = NgramOps.vocabGrowth(d, "doc_id", "text", checkpoints = 1,
+      uax29 = false).collect().head
+    assert((one.getLong(2), one.getLong(3), one.getLong(4)) === ((4L, 8L, 4L)))
+    // empty corpus → empty curve, not nulls
+    assert(NgramOps.vocabGrowth(d.where(lit(false)), "doc_id", "text",
+      checkpoints = 3, uax29 = false).count() === 0L)
+  }
 }
