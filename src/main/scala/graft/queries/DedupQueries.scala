@@ -104,6 +104,20 @@ object DedupQueries extends QueryPack {
         .orderBy("source", "status")
     }),
 
+    // distribution-level drift on the same snapshot pair j10 diffs
+    // document-wise: smoothed KL both ways + Jensen-Shannon over the
+    // union unigram vocabulary (one summary row)
+    "j13_unigram_divergence" -> ((s, dir) => {
+      val (o, n) = diffSnapshots(s, dir)
+      graft.operators.Analyses.divergenceSummary(o, n, "text")
+    }),
+
+    // ...and WHICH terms carry the drift: top-5 JS contributors
+    "j14_divergence_terms" -> ((s, dir) => {
+      val (o, n) = diffSnapshots(s, dir)
+      graft.operators.Analyses.divergenceTopTerms(o, n, "text", k = 5)
+    }),
+
     // diff-driven incremental refresh: a per-doc stage (token count) runs
     // only on added/changed docs, unchanged docs carry the previous
     // release's output forward (flagged by `recomputed`), removed docs
@@ -205,6 +219,25 @@ object DedupQueries extends QueryPack {
          |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs FROM st
          |GROUP BY source, status ORDER BY source, status""".stripMargin,
 
+    // smoothed-probability replay over the union vocab; the expressions
+    // mirror Analyses.divergenceTerms operation for operation so the
+    // doubles agree to the rounded digit
+    "j13_unigram_divergence" ->
+      s"""$divergenceTermsSql
+         |SELECT round(sum(p * ln(p / q)), 6) AS kl_ab,
+         |  round(sum(q * ln(q / p)), 6) AS kl_ba,
+         |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))), 6) AS js,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(count_a) AS BIGINT) AS tokens_a,
+         |  CAST(sum(count_b) AS BIGINT) AS tokens_b
+         |FROM terms""".stripMargin,
+
+    "j14_divergence_terms" ->
+      s"""$divergenceTermsSql
+         |SELECT term, count_a, count_b,
+         |  round(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))), 9) AS js_contrib
+         |FROM terms ORDER BY js_contrib DESC, term LIMIT 5""".stripMargin,
+
     // full-reprocess ground truth: every doc in the NEW snapshot with its
     // token count; recomputed <=> not unchanged (absent from old or edited)
     "j12_incremental_refresh" ->
@@ -217,6 +250,30 @@ object DedupQueries extends QueryPack {
         |FROM n LEFT JOIN o ON o.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin
   )
+
+  /** Shared CTEs for j13/j14: per-term counts of the j10 snapshot pair,
+    * full-outer joined, with additive-smoothed probabilities over the
+    * union vocabulary (α = 0.5, the operator default).
+    */
+  private def divergenceTermsSql: String =
+    """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+      |n AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN text || ' rev1' ELSE text END AS text
+      | FROM documents WHERE doc_id % 13 <> 0),
+      |ca AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS count_a
+      | FROM (SELECT unnest(string_split(text, ' ')) AS w FROM o) GROUP BY w),
+      |cb AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS count_b
+      | FROM (SELECT unnest(string_split(text, ' ')) AS w FROM n) GROUP BY w),
+      |joint AS (SELECT term, coalesce(count_a, 0) AS count_a,
+      |  coalesce(count_b, 0) AS count_b
+      | FROM ca FULL JOIN cb USING (term)),
+      |tot AS (SELECT CAST(sum(count_a) AS DOUBLE) AS na,
+      |  CAST(sum(count_b) AS DOUBLE) AS nb,
+      |  CAST(count(*) AS DOUBLE) AS v FROM joint),
+      |terms AS (SELECT term, count_a, count_b,
+      |  (count_a + 0.5) / (na + 0.5 * v) AS p,
+      |  (count_b + 0.5) / (nb + 0.5 * v) AS q
+      | FROM joint, tot)""".stripMargin
 
   /** Shared snapshot CTEs for j10/j11 — the oracle compares raw text where
     * the engine compares md5(text); equal answers unless md5 collides on
