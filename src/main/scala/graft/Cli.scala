@@ -21,6 +21,10 @@ import graft.sources.Corpus
   *   runMain graft.Cli dedup PATH... [--out DIR]            // keep-first by text hash
   *   runMain graft.Cli decontaminate PATH... --bench PATH [--out DIR]
   *   runMain graft.Cli diff NEW_PATH... --old OLD_PATH [--docs] [--out DIR]
+  *     [--divergence [--terms K]]       // distribution drift (KL/JS)
+  *   runMain graft.Cli index PATH... [--table T] [--search P]...
+  *     [--search-prefix P]... [--regexp RE] [--wildcard W] [--slop N]
+  *   runMain graft.Cli vocab PATH... [--checkpoints K]
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
   * replaces the shared-memory sketch); `topk --approx` restores the
@@ -36,7 +40,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -66,7 +70,7 @@ object Cli {
     }
 
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index> PATH... [flags]")
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab> PATH... [flags]")
     val cmd = argv.head
     val a = parse(argv.toSeq.drop(1))
     def flag(n: String): Option[String] = a.flags.get(n).map(_.last)
@@ -155,7 +159,17 @@ object Cli {
         def keyed(df: DataFrame): DataFrame =
           if (bothHaveIds) df else Corpus.withFileLineId(df)
         deliver(
-          if (a.flags.contains("--docs"))
+          // --divergence: distribution-wise reading of the same pair —
+          // smoothed KL/JS over the union unigram vocab (--terms K lists
+          // the top drifting terms instead of the one-row summary)
+          if (a.flags.contains("--divergence"))
+            flag("--terms") match {
+              case Some(k) => operators.Analyses.divergenceTopTerms(
+                old, docs, "text", k.toInt, uax29 = uax)
+              case None => operators.Analyses.divergenceSummary(
+                old, docs, "text", uax29 = uax)
+            }
+          else if (a.flags.contains("--docs"))
             operators.CorpusDiff.diffDocs(keyed(old), keyed(docs), "id", "text")
           else
             operators.CorpusDiff.diffSummary(keyed(old), keyed(docs), "id", "text")
@@ -195,6 +209,14 @@ object Cli {
       // (pruned posting reads), the "index once, query many" posture
       case "index" =>
         val phrases = flagAll("--search")
+        // dictionary-level queries: --regexp / --wildcard (Lucene
+        // full-term match → per-term df/ttf) and --search-prefix
+        // (match_phrase_prefix: trailing token is a prefix)
+        val rePat = flag("--regexp")
+        val wcPat = flag("--wildcard")
+        val prefixPhrases = flagAll("--search-prefix")
+        val hasQuery = phrases.nonEmpty || rePat.nonEmpty ||
+          wcPat.nonEmpty || prefixPhrases.nonEmpty
         val table = flag("--table")
         // --refresh-old OLDPATH...: diff-driven maintenance of a saved
         // index table — postings rebuilt only for docs added/changed
@@ -240,7 +262,7 @@ object Cli {
             deliver(search.InvertedIndex.phraseHits(
               search.InvertedIndex.readIndex(spark, t), phrases, uax29 = uax),
               ranked = false)
-        } else if (phrases.isEmpty) {
+        } else if (!hasQuery) {
           val t = table.getOrElse(sys.error(
             "index needs --search phrases and/or --table to persist to"))
           val (keyed, idc) = keyedById(docs)
@@ -258,13 +280,35 @@ object Cli {
               search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax)
           }
           val slop = intFlag("--slop", 0)
-          deliver(
+          if (phrases.nonEmpty) deliver(
             if (slop == 0)
               search.InvertedIndex.phraseHits(post, phrases, uax29 = uax)
             else search.InvertedIndex.countContainingSlop(post, phrases, slop,
               uax29 = uax),
             ranked = false)
+          if (prefixPhrases.nonEmpty) deliver(
+            search.InvertedIndex.phrasePrefixHits(post, prefixPhrases,
+              uax29 = uax, maxExpansions = intFlag("--max-expansions", 50)),
+            ranked = false)
+          rePat.foreach(p => deliver(
+            search.InvertedIndex.termsMatching(post, p).orderBy("term"),
+            ranked = false))
+          wcPat.foreach(p => deliver(
+            search.InvertedIndex.termsMatching(post, p, wildcard = true)
+              .orderBy("term"), ranked = false))
         }
+      // Heaps'-law curve: vocabulary growth as the corpus accumulates —
+      // axis is the numeric `id` field when present, else ingestion order
+      // (monotonically_increasing_id: deterministic for a fixed file
+      // listing, a CLI diagnostic, not a stable cross-run key)
+      case "vocab" =>
+        val hasNumericId = docs.columns.contains("id") &&
+          !docs.where(col("id").cast("long").isNotNull).isEmpty
+        val keyed = if (hasNumericId) docs.withColumn("__ord", col("id").cast("long"))
+          else docs.withColumn("__ord", monotonically_increasing_id())
+        deliver(NgramOps.vocabGrowth(keyed, "__ord", "text",
+          checkpoints = intFlag("--checkpoints", 10), uax29 = uax)
+          .orderBy("checkpoint"), ranked = false)
       // concordance: hits of --phrase in context (--context chars per side)
       case "grep" =>
         deliver(SearchOps.concordance(
