@@ -375,6 +375,89 @@ object StreamOps {
     * equals `CorpusDiff.diffDocs` of first-vs-final snapshot —
     * spec-asserted in StreamingSpec.
     */
+  case class DriftReport(window_start: java.sql.Timestamp, n_tokens: Long,
+                         kl_pq: Double, kl_qp: Double, js: Double)
+  case class DriftState(counts: Map[String, Long])
+
+  /** Streaming distribution-drift monitor — the incremental twin of
+    * [[graft.operators.Analyses.divergenceSummary]]: per event-time
+    * tumbling window, accumulate the window's unigram counts in state and,
+    * when the watermark passes the window end, emit smoothed KL both ways
+    * and Jensen–Shannon divergence against a REFERENCE count map (the
+    * "healthy" corpus distribution — plan-shipped like the LM gate's
+    * model, so keep it topV-bounded; OOV terms on either side carry the
+    * smoothing mass α over the union vocab, exactly the batch operator's
+    * semantics). One report row per CLOSED window.
+    *
+    * Batch parity (spec-asserted): a window's row equals
+    * `divergenceSummary(windowDocs, referenceCorpus, alpha)` to the same
+    * rounded digit — the state fold sums the identical per-term doubles,
+    * sequentially over the sorted union vocab.
+    *
+    * State per window is its vocabulary's counts — Heaps-bounded
+    * (V(n) ≈ K·n^β), and one window's state drops the moment it reports.
+    * Pair with `vocabGrowth` on the batch side when sizing windows for
+    * pathological corpora.
+    */
+  def driftStream(docs: DataFrame, textCol: String, tsCol: String,
+                  reference: Map[String, Long],
+                  windowLen: String = "1 hour",
+                  watermark: String = "2 hours",
+                  alpha: Double = 0.5): Dataset[DriftReport] = {
+    require(reference.nonEmpty, "reference distribution must be non-empty")
+    require(alpha > 0, "alpha must be > 0")
+    import docs.sparkSession.implicits._
+    val refTotal = reference.values.sum
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), window(col(tsCol), windowLen).as("w"),
+        split(col(textCol), " ").as("toks"))
+      // the raw watermarked column must survive into the grouped input —
+      // struct-field extraction (w.start) drops the watermark tag and
+      // EventTimeTimeout refuses a child with no watermarked attribute
+      .select(col("__ts"), col("w.start").cast("long").as("ws"),
+        col("w.end").cast("long").as("we"), col("toks"))
+      .as[(java.sql.Timestamp, Long, Long, Seq[String])]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[DriftState, DriftReport](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (win, batch, state: GroupState[DriftState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { s =>
+              val union = (s.counts.keySet ++ reference.keySet).toSeq.sorted
+              val na = s.counts.values.sum.toDouble
+              val nb = refTotal.toDouble
+              val v = union.size.toDouble
+              var klPq = 0.0; var klQp = 0.0; var js = 0.0
+              union.foreach { t =>
+                val p = (s.counts.getOrElse(t, 0L) + alpha) / (na + alpha * v)
+                val q = (reference.getOrElse(t, 0L) + alpha) / (nb + alpha * v)
+                klPq += p * math.log(p / q)
+                klQp += q * math.log(q / p)
+                js += 0.5 * (p * math.log(2 * p / (p + q)) +
+                  q * math.log(2 * q / (p + q)))
+              }
+              def r6(x: Double) = BigDecimal(x)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              DriftReport(new java.sql.Timestamp(win._1 * 1000L),
+                na.toLong, r6(klPq), r6(klQp), r6(js))
+            }.iterator
+            state.remove()
+            out
+          } else {
+            var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            batch.foreach(_._4.foreach { t =>
+              m = m.updated(t, m.getOrElse(t, 0L) + 1L)
+            })
+            state.update(DriftState(m))
+            // report when event time passes the window end; a late-created
+            // group must still set a timestamp AFTER the watermark
+            state.setTimeoutTimestamp(math.max(win._2 * 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   def diffStream(updates: Dataset[DocUpdate]): Dataset[DiffEvent] = {
     import updates.sparkSession.implicits._
     updates.groupByKey(_.id)

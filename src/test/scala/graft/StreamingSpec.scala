@@ -298,4 +298,39 @@ class StreamingSpec extends SparkTestBase {
       assert(lastStatus === batch)
     } finally q.stop()
   }
+
+  test("streaming drift monitor matches the batch divergenceSummary per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq("x y", "x z", "x y x").toDF("text")
+    val reference = refDocs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.driftStream(input.toDF().toDF("ts", "text"),
+        "text", "ts", reference,
+        windowLen = "60 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val w0 = Seq("x y", "w w x")       // window 0 docs (has OOV 'w')
+      input.addData((ts(5), w0(0)), (ts(20), w0(1)))
+      q.processAllAvailable()
+      assert(spark.table("drift").count() === 0)  // window still open
+      input.addData((ts(500), "zz"))              // watermark closes window 0
+      q.processAllAvailable()
+      val rows = spark.table("drift").collect()
+      assert(rows.length === 1)
+      val r = rows.head
+      assert(r.getTimestamp(0).getTime === 0L)
+      assert(r.getLong(1) === 5L)
+      val batch = graft.operators.Analyses
+        .divergenceSummary(w0.toDF("text"), refDocs, "text").head()
+      assert(math.abs(r.getDouble(2) - batch.getDouble(0)) <= 2e-6) // kl_pq
+      assert(math.abs(r.getDouble(3) - batch.getDouble(1)) <= 2e-6) // kl_qp
+      assert(math.abs(r.getDouble(4) - batch.getDouble(2)) <= 2e-6) // js
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < math.log(2.0))
+    } finally q.stop()
+  }
 }
