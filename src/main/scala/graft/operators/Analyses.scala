@@ -527,9 +527,14 @@ object Analyses {
     def cnt(df: DataFrame, name: String) = graft.Par.fanOut(df)
       .select(explode(NgramOps.tokens(col(textCol), uax29)).as("term"))
       .groupBy("term").agg(count(lit(1)).as(name))
+    // localCheckpoint: the totals aggregate and the per-term projection
+    // both read this vocab-sized frame — without an anchor each branch
+    // replans the two corpus scans (AQE exchange reuse is a runtime
+    // maybe, not a plan guarantee; same precedent as distinctiveTerms)
     val joint = cnt(a, "count_a").join(cnt(b, "count_b"), Seq("term"), "full_outer")
       .select(col("term"), coalesce(col("count_a"), lit(0L)).as("count_a"),
         coalesce(col("count_b"), lit(0L)).as("count_b"))
+      .localCheckpoint()
     val tot = joint.agg(sum("count_a").cast("double").as("__na"),
       sum("count_b").cast("double").as("__nb"),
       count(lit(1)).cast("double").as("__v"))

@@ -313,4 +313,40 @@ class PlanPropertySpec extends SparkTestBase {
     val sum = graft.operators.CorpusDiff.diffSummary(old, nw, "doc_id", "text")
     assert(shuffles(sum) === shuffles(d) + 1, plan(sum))
   }
+
+  test("vocabGrowth: no global window, bounds broadcast, vocab-sized shuffles only") {
+    val v = NgramOps.vocabGrowth(docs, "doc_id", "text", checkpoints = 4,
+      uax29 = false)
+    val p = plan(v)
+    // the value-checkpoint design's whole point: no single-task sort/rank
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)  // K-row bounds, <= join
+    // first-occurrence agg + two K-group aggs + final join: ≤ 4 exchanges
+    assert(shuffles(v) <= 4, p)
+  }
+
+  test("divergenceTerms: co-partitioned full-outer on term, 1-row totals broadcast") {
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    val t = graft.operators.Analyses.divergenceTerms(a, b, "text")
+    val p = plan(t)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the checkpointed joint frame anchors both branches: the final plan
+    // reads it, never the corpora, and the 1-row totals broadcast in
+    assert(shuffles(t) === 0, p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("termsMatching: anchored rlike sits on the scan, agg sized by matches") {
+    import graft.search.InvertedIndex
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val t = InvertedIndex.termsMatching(post, "s[a-z]+")
+    val p = plan(t)
+    // the filter must run BELOW the aggregate (pushed through groupBy)
+    val aggIdx = p.indexOf("HashAggregate")
+    val filtIdx = p.indexOf("RLIKE")
+    assert(aggIdx >= 0 && filtIdx > aggIdx, p) // executed plans print top-down
+    assert(shuffles(t) <= 1, p)
+  }
 }
