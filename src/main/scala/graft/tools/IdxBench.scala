@@ -50,6 +50,16 @@ object IdxBench {
       graft.search.InvertedIndex.contaminationIndexed(post, top2, uax29 = false)
         .count()
     }
+    // dictionary surfaces: regex over the postings scan; phrase-prefix =
+    // expansion collect + one batch phrase plan over the expanded set
+    t("regexp-terms") {
+      graft.search.InvertedIndex.termsMatching(post, "s[a-z]+").count()
+    }
+    val prefixes20 = top1.take(20).map(t => t.substring(0, 1 max (t.length - 1)))
+    t("phrase-prefix-20") {
+      graft.search.InvertedIndex.phrasePrefixHits(post,
+        prefixes20.map(p => s"${top1.head} $p"), uax29 = false).count()
+    }
     spark.stop()
   }
 }
