@@ -152,6 +152,17 @@ object ScaleRehearsal {
         "doc_id", "text", buckets = 32, uax29 = false)
       spark.table("scale_idx").count()
     }
+    run("vocab_growth") {
+      graft.operators.NgramOps.vocabGrowth(docs, "doc_id", "text",
+        checkpoints = 10, uax29 = false).count()
+    }
+    run("unigram_divergence") {
+      val old = docs.where(col("doc_id") % 11 =!= 0)
+      val nw = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+      graft.operators.Analyses.divergenceSummary(old, nw, "text").count()
+    }
     spark.sql("DROP TABLE IF EXISTS scale_idx")
     spark.stop()
   }
