@@ -161,13 +161,14 @@ object Cli {
         deliver(
           // --divergence: distribution-wise reading of the same pair —
           // smoothed KL/JS over the union unigram vocab (--terms K lists
-          // the top drifting terms instead of the one-row summary)
+          // the top drifting terms instead of the one-row summary);
+          // whitespace unigrams like every TextQuality surface
           if (a.flags.contains("--divergence"))
             flag("--terms") match {
-              case Some(k) => operators.Analyses.divergenceTopTerms(
-                old, docs, "text", k.toInt, uax29 = uax)
-              case None => operators.Analyses.divergenceSummary(
-                old, docs, "text", uax29 = uax)
+              case Some(k) => operators.TextQuality.divergenceTopTerms(
+                old, docs, "text", k.toInt)
+              case None => operators.TextQuality.unigramDivergence(
+                old, docs, "text")
             }
           else if (a.flags.contains("--docs"))
             operators.CorpusDiff.diffDocs(keyed(old), keyed(docs), "id", "text")

@@ -235,4 +235,20 @@ object Wimbd {
   def rankDocuments(postings: DataFrame, norms: DataFrame, terms: Seq[String],
                     k: Int): DataFrame =
     graft.search.InvertedIndex.bm25TopK(postings, norms, terms, k)
+
+  /** ES regexp/wildcard query over the index's term dictionary (Lucene
+    * full-term-match semantics): per-term df/ttf of every matching term.
+    */
+  def termsMatching(postings: DataFrame, pattern: String,
+                    wildcard: Boolean = false): DataFrame =
+    graft.search.InvertedIndex.termsMatching(postings, pattern, wildcard)
+
+  /** ES match_phrase_prefix (autocomplete): the phrase's trailing token is
+    * a prefix, expanded against the dictionary (capped, term order).
+    */
+  def countPhrasePrefix(postings: DataFrame, phrases: Seq[String],
+                        uax29: Boolean = true,
+                        maxExpansions: Int = 50): DataFrame =
+    graft.search.InvertedIndex.phrasePrefixHits(postings, phrases, uax29,
+      maxExpansions)
 }

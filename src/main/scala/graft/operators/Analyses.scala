@@ -506,74 +506,6 @@ object Analyses {
     top.unionAll(bot)
   }
 
-  /** Per-term drift frame between two corpora's unigram distributions:
-    * additive-smoothed probabilities over the UNION vocabulary plus each
-    * term's contribution to KL(a‖b), KL(b‖a) and Jensen–Shannon
-    * divergence (nats). Σp = Σq = 1 by construction (smoothing mass α
-    * spread over the joint vocab), so the summed contributions ARE the
-    * divergences. The drift question CorpusDiff answers document-wise
-    * ("which docs changed") this answers distribution-wise ("did the
-    * language shift, and on which terms").
-    *
-    * Scale shape: one vocab-sized groupBy(term) per corpus, full-outer
-    * joined on the same key (the exchanges co-partition); totals are one
-    * 1-row aggregate cross-joined back (auto-broadcast). Nothing
-    * corpus-sized past the token explode.
-    */
-  def divergenceTerms(a: DataFrame, b: DataFrame, textCol: String,
-                      alpha: Double = 0.5,
-                      uax29: Boolean = false): DataFrame = {
-    require(alpha > 0, "alpha must be > 0 (unsmoothed KL diverges on disjoint vocab)")
-    def cnt(df: DataFrame, name: String) = graft.Par.fanOut(df)
-      .select(explode(NgramOps.tokens(col(textCol), uax29)).as("term"))
-      .groupBy("term").agg(count(lit(1)).as(name))
-    // localCheckpoint: the totals aggregate and the per-term projection
-    // both read this vocab-sized frame — without an anchor each branch
-    // replans the two corpus scans (AQE exchange reuse is a runtime
-    // maybe, not a plan guarantee; same precedent as distinctiveTerms)
-    val joint = cnt(a, "count_a").join(cnt(b, "count_b"), Seq("term"), "full_outer")
-      .select(col("term"), coalesce(col("count_a"), lit(0L)).as("count_a"),
-        coalesce(col("count_b"), lit(0L)).as("count_b"))
-      .localCheckpoint()
-    val tot = joint.agg(sum("count_a").cast("double").as("__na"),
-      sum("count_b").cast("double").as("__nb"),
-      count(lit(1)).cast("double").as("__v"))
-    val p = (col("count_a") + lit(alpha)) / (col("__na") + lit(alpha) * col("__v"))
-    val q = (col("count_b") + lit(alpha)) / (col("__nb") + lit(alpha) * col("__v"))
-    joint.crossJoin(broadcast(tot))
-      .select(col("term"), col("count_a"), col("count_b"),
-        (p * log(p / q)).as("kl_ab_term"),
-        (q * log(q / p)).as("kl_ba_term"),
-        (lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
-          q * log(lit(2.0) * q / (p + q)))).as("js_term"))
-  }
-
-  /** One-row distribution-drift summary: KL both directions, JS divergence
-    * (nats, symmetric, bounded by ln 2), vocab and token totals.
-    */
-  def divergenceSummary(a: DataFrame, b: DataFrame, textCol: String,
-                        alpha: Double = 0.5,
-                        uax29: Boolean = false): DataFrame =
-    divergenceTerms(a, b, textCol, alpha, uax29)
-      .agg(round(sum("kl_ab_term"), 6).as("kl_ab"),
-        round(sum("kl_ba_term"), 6).as("kl_ba"),
-        round(sum("js_term"), 6).as("js"),
-        count(lit(1)).as("n_terms"),
-        coalesce(sum("count_a"), lit(0L)).as("tokens_a"),
-        coalesce(sum("count_b"), lit(0L)).as("tokens_b"))
-
-  /** The k terms contributing most to the JS drift, largest first —
-    * "WHAT shifted". Deterministic under ties: ordered on the rounded
-    * contribution then term.
-    */
-  def divergenceTopTerms(a: DataFrame, b: DataFrame, textCol: String,
-                         k: Int, alpha: Double = 0.5,
-                         uax29: Boolean = false): DataFrame =
-    divergenceTerms(a, b, textCol, alpha, uax29)
-      .select(col("term"), col("count_a"), col("count_b"),
-        round(col("js_term"), 9).as("js_contrib"))
-      .orderBy(desc("js_contrib"), asc("term")).limit(k)
-
   /** P13: utterance dates — year histogram over the first present date key
     * (reference wimbd/utterance_dates/map_count.py:8-35).
     */

@@ -666,8 +666,18 @@ object TextQuality {
     * the subtree across the two jobs (the SemDeDup lesson) — re-deriving it
     * would re-scan both corpora.
     */
-  def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
-                        alpha: Double = 0.5): DataFrame = {
+  /** The per-term frame under [[unigramDivergence]]: the full-outer vocab
+    * join with each term's smoothed KL/JS contributions (and the per-side
+    * vocab indicators the summary folds to vocab_a/vocab_b). Shared by the
+    * summary card, [[divergenceTopTerms]] ("WHICH terms carry the drift")
+    * and the CLI's `diff --divergence --terms` — ONE smoothing
+    * implementation for every drift surface. localCheckpointed: the totals
+    * aggregate and every downstream consumer read this vocabulary-sized
+    * frame, and Spark does not reuse the subtree across jobs (the SemDeDup
+    * lesson) — re-deriving it would re-scan both corpora.
+    */
+  def unigramDivergenceTerms(a: DataFrame, b: DataFrame, textCol: String,
+                             alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "Lidstone alpha must be > 0 (zero reintroduces log(0))")
     val ca = unigramCounts(a, textCol).withColumnRenamed("c", "ca")
     val cb = unigramCounts(b, textCol).withColumnRenamed("c", "cb")
@@ -683,12 +693,32 @@ object TextQuality {
     val q = (col("cb") + lit(alpha)) / (col("tb") + lit(alpha) * col("v"))
     val m = (p + q) / lit(2.0)
     vocab.crossJoin(broadcast(tot))
+      .select(col("w"), col("ca"), col("cb"), col("va"), col("vb"),
+        (p * log(p / q)).as("kl_ab_term"),
+        (q * log(q / p)).as("kl_ba_term"),
+        (p * log(p / m) / 2 + q * log(q / m) / 2).as("js_term"))
+  }
+
+  def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                        alpha: Double = 0.5): DataFrame =
+    unigramDivergenceTerms(a, b, textCol, alpha)
       .agg(max("va").as("vocab_a"), max("vb").as("vocab_b"),
         count(lit(1)).as("vocab_union"),
-        round(sum(p * log(p / q)), 6).as("kl_ab"),
-        round(sum(q * log(q / p)), 6).as("kl_ba"),
-        round(sum(p * log(p / m)) / 2 + sum(q * log(q / m)) / 2, 6).as("jsd"))
-  }
+        round(sum("kl_ab_term"), 6).as("kl_ab"),
+        round(sum("kl_ba_term"), 6).as("kl_ba"),
+        round(sum("js_term"), 6).as("jsd"))
+
+  /** The k terms contributing most to the JS drift, largest first —
+    * "WHAT shifted" where [[unigramDivergence]] says "how much".
+    * Deterministic under ties: ordered on the rounded contribution, then
+    * term.
+    */
+  def divergenceTopTerms(a: DataFrame, b: DataFrame, textCol: String,
+                         k: Int, alpha: Double = 0.5): DataFrame =
+    unigramDivergenceTerms(a, b, textCol, alpha)
+      .select(col("w").as("term"), col("ca").as("count_a"),
+        col("cb").as("count_b"), round(col("js_term"), 9).as("js_contrib"))
+      .orderBy(desc("js_contrib"), asc("term")).limit(k)
 
   /** Compression-ratio quality signal (the RedPajama-v2 / Dolma
     * `doc_frac_compressed` rung): per-doc raw DEFLATE size over UTF-8 byte

@@ -105,17 +105,18 @@ object DedupQueries extends QueryPack {
     }),
 
     // distribution-level drift on the same snapshot pair j10 diffs
-    // document-wise: smoothed KL both ways + Jensen-Shannon over the
-    // union unigram vocabulary (one summary row)
+    // document-wise: the a16 drift card (smoothed KL both ways + JS over
+    // the union unigram vocab) applied to release snapshots
     "j13_unigram_divergence" -> ((s, dir) => {
       val (o, n) = diffSnapshots(s, dir)
-      graft.operators.Analyses.divergenceSummary(o, n, "text")
+      graft.operators.TextQuality.unigramDivergence(o, n, "text")
     }),
 
-    // ...and WHICH terms carry the drift: top-5 JS contributors
+    // ...and WHICH terms carry the drift: top-5 JS contributors off the
+    // same per-term frame the summary aggregates
     "j14_divergence_terms" -> ((s, dir) => {
       val (o, n) = diffSnapshots(s, dir)
-      graft.operators.Analyses.divergenceTopTerms(o, n, "text", k = 5)
+      graft.operators.TextQuality.divergenceTopTerms(o, n, "text", k = 5)
     }),
 
     // diff-driven incremental refresh: a per-doc stage (token count) runs
@@ -220,22 +221,24 @@ object DedupQueries extends QueryPack {
          |GROUP BY source, status ORDER BY source, status""".stripMargin,
 
     // smoothed-probability replay over the union vocab; the expressions
-    // mirror Analyses.divergenceTerms operation for operation so the
-    // doubles agree to the rounded digit
+    // mirror TextQuality.unigramDivergenceTerms operation for operation
+    // so the doubles agree to the rounded digit (same replay as a16, on
+    // the snapshot CTEs)
     "j13_unigram_divergence" ->
       s"""$divergenceTermsSql
-         |SELECT round(sum(p * ln(p / q)), 6) AS kl_ab,
+         |SELECT max(va) AS vocab_a, max(vb) AS vocab_b,
+         |  CAST(count(*) AS BIGINT) AS vocab_union,
+         |  round(sum(p * ln(p / q)), 6) AS kl_ab,
          |  round(sum(q * ln(q / p)), 6) AS kl_ba,
-         |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q)))), 6) AS js,
-         |  CAST(count(*) AS BIGINT) AS n_terms,
-         |  CAST(sum(count_a) AS BIGINT) AS tokens_a,
-         |  CAST(sum(count_b) AS BIGINT) AS tokens_b
+         |  round(sum(p * ln(p / ((p + q) / 2.0)) / 2 +
+         |    q * ln(q / ((p + q) / 2.0)) / 2), 6) AS jsd
          |FROM terms""".stripMargin,
 
     "j14_divergence_terms" ->
       s"""$divergenceTermsSql
          |SELECT term, count_a, count_b,
-         |  round(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))), 9) AS js_contrib
+         |  round(p * ln(p / ((p + q) / 2.0)) / 2 +
+         |    q * ln(q / ((p + q) / 2.0)) / 2, 9) AS js_contrib
          |FROM terms ORDER BY js_contrib DESC, term LIMIT 5""".stripMargin,
 
     // full-reprocess ground truth: every doc in the NEW snapshot with its
@@ -253,7 +256,8 @@ object DedupQueries extends QueryPack {
 
   /** Shared CTEs for j13/j14: per-term counts of the j10 snapshot pair,
     * full-outer joined, with additive-smoothed probabilities over the
-    * union vocabulary (α = 0.5, the operator default).
+    * union vocabulary (α = 0.5, the operator default) — the a16 replay
+    * parameterized by the snapshot CTEs.
     */
   private def divergenceTermsSql: String =
     """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
@@ -269,8 +273,11 @@ object DedupQueries extends QueryPack {
       | FROM ca FULL JOIN cb USING (term)),
       |tot AS (SELECT CAST(sum(count_a) AS DOUBLE) AS na,
       |  CAST(sum(count_b) AS DOUBLE) AS nb,
-      |  CAST(count(*) AS DOUBLE) AS v FROM joint),
-      |terms AS (SELECT term, count_a, count_b,
+      |  CAST(count(*) AS DOUBLE) AS v,
+      |  CAST(sum(CASE WHEN count_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS va,
+      |  CAST(sum(CASE WHEN count_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vb
+      | FROM joint),
+      |terms AS (SELECT term, count_a, count_b, va, vb,
       |  (count_a + 0.5) / (na + 0.5 * v) AS p,
       |  (count_b + 0.5) / (nb + 0.5 * v) AS q
       | FROM joint, tot)""".stripMargin

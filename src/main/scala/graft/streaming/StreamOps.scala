@@ -380,7 +380,7 @@ object StreamOps {
   case class DriftState(counts: Map[String, Long])
 
   /** Streaming distribution-drift monitor — the incremental twin of
-    * [[graft.operators.Analyses.divergenceSummary]]: per event-time
+    * [[graft.operators.TextQuality.unigramDivergence]]: per event-time
     * tumbling window, accumulate the window's unigram counts in state and,
     * when the watermark passes the window end, emit smoothed KL both ways
     * and Jensen–Shannon divergence against a REFERENCE count map (the
@@ -390,7 +390,7 @@ object StreamOps {
     * semantics). One report row per CLOSED window.
     *
     * Batch parity (spec-asserted): a window's row equals
-    * `divergenceSummary(windowDocs, referenceCorpus, alpha)` to the same
+    * `unigramDivergence(windowDocs, referenceCorpus, alpha)` to the same
     * rounded digit — the state fold sums the identical per-term doubles,
     * sequentially over the sorted union vocab.
     *

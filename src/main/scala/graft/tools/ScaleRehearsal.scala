@@ -161,7 +161,7 @@ object ScaleRehearsal {
       val nw = docs.where(col("doc_id") % 13 =!= 0)
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" rev1"))).otherwise(col("text")))
-      graft.operators.Analyses.divergenceSummary(old, nw, "text").count()
+      graft.operators.TextQuality.unigramDivergence(old, nw, "text").count()
     }
     spark.sql("DROP TABLE IF EXISTS scale_idx")
     spark.stop()

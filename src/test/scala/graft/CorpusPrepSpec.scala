@@ -487,25 +487,25 @@ class CorpusPrepSpec extends SparkTestBase {
   }
 
   test("divergence: identical corpora → 0; drift concentrated on the drifted term") {
+    import graft.operators.TextQuality
     val a = Seq("x y", "x z").toDF("text")
     // KL/JS of a distribution against itself is exactly 0 term-by-term
-    val same = Analyses.divergenceSummary(a, a, "text").head()
-    assert(same.getDouble(0) === 0.0 && same.getDouble(1) === 0.0 &&
-      same.getDouble(2) === 0.0)
-    assert(same.getLong(3) === 3L)              // union vocab x,y,z
-    assert((same.getLong(4), same.getLong(5)) === ((4L, 4L)))
+    val same = TextQuality.unigramDivergence(a, a, "text").head()
+    assert(same.getAs[Double]("kl_ab") === 0.0 &&
+      same.getAs[Double]("kl_ba") === 0.0 && same.getAs[Double]("jsd") === 0.0)
+    assert(same.getAs[Long]("vocab_union") === 3L)  // union vocab x,y,z
     // replace z with w: the top JS contributors are the swapped terms,
     // and JS stays within its ln 2 bound
     val b = Seq("x y", "x w").toDF("text")
-    val top = Analyses.divergenceTopTerms(a, b, "text", k = 2)
+    val top = TextQuality.divergenceTopTerms(a, b, "text", k = 2)
       .collect().map(_.getString(0)).toSet
     assert(top === Set("w", "z"))
-    val js = Analyses.divergenceSummary(a, b, "text").head().getDouble(2)
+    val js = TextQuality.unigramDivergence(a, b, "text").head()
+      .getAs[Double]("jsd")
     assert(js > 0.0 && js < math.log(2.0))
-    // summary row survives empty inputs (all-zero, not null)
+    // top-terms on empty inputs: no rows, no throw
     val e = a.where(lit(false))
-    val es = Analyses.divergenceSummary(e, e, "text").head()
-    assert(es.getLong(3) === 0L && es.getLong(4) === 0L)
+    assert(TextQuality.divergenceTopTerms(e, e, "text", k = 3).count() === 0L)
   }
 
   test("concordance: piece-local contexts, start/end/adjacent occurrences") {

@@ -326,13 +326,13 @@ class PlanPropertySpec extends SparkTestBase {
     assert(shuffles(v) <= 4, p)
   }
 
-  test("divergenceTerms: co-partitioned full-outer on term, 1-row totals broadcast") {
+  test("divergence terms frame: checkpoint-anchored, 1-row totals broadcast") {
     val a = docs.where(col("doc_id") % 2 === 0)
     val b = docs.where(col("doc_id") % 2 =!= 0)
-    val t = graft.operators.Analyses.divergenceTerms(a, b, "text")
+    val t = graft.operators.TextQuality.unigramDivergenceTerms(a, b, "text")
     val p = plan(t)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
-    // the checkpointed joint frame anchors both branches: the final plan
+    // the checkpointed vocab frame anchors both branches: the final plan
     // reads it, never the corpora, and the 1-row totals broadcast in
     assert(shuffles(t) === 0, p)
     assert(!p.contains("Scan parquet"), p)

@@ -325,11 +325,11 @@ class StreamingSpec extends SparkTestBase {
       val r = rows.head
       assert(r.getTimestamp(0).getTime === 0L)
       assert(r.getLong(1) === 5L)
-      val batch = graft.operators.Analyses
-        .divergenceSummary(w0.toDF("text"), refDocs, "text").head()
-      assert(math.abs(r.getDouble(2) - batch.getDouble(0)) <= 2e-6) // kl_pq
-      assert(math.abs(r.getDouble(3) - batch.getDouble(1)) <= 2e-6) // kl_qp
-      assert(math.abs(r.getDouble(4) - batch.getDouble(2)) <= 2e-6) // js
+      val batch = graft.operators.TextQuality
+        .unigramDivergence(w0.toDF("text"), refDocs, "text").head()
+      assert(math.abs(r.getDouble(2) - batch.getAs[Double]("kl_ab")) <= 2e-6)
+      assert(math.abs(r.getDouble(3) - batch.getAs[Double]("kl_ba")) <= 2e-6)
+      assert(math.abs(r.getDouble(4) - batch.getAs[Double]("jsd")) <= 2e-6)
       assert(r.getDouble(4) > 0.0 && r.getDouble(4) < math.log(2.0))
     } finally q.stop()
   }
