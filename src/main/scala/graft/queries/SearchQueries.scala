@@ -282,6 +282,26 @@ object SearchQueries extends QueryPack {
         .orderBy("phrase")
     }),
 
+    // ES fuzzy query (Lucene FuzzyQuery, transpositions=false): dictionary
+    // terms within 2 classic-Levenshtein edits of 'spark'
+    "e23_indexed_fuzzy" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.termsFuzzy(post, "spark", maxEdits = 2)
+        .orderBy("term")
+    }),
+
+    // ES more_like_this: top tf-idf terms of doc 42 become a BM25
+    // disjunction; the source doc itself is excluded from the ranking
+    "e24_more_like_this" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.moreLikeThis(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        docId = 42L, maxQueryTerms = 5, k = 10)
+    }),
+
     // BM25 ranked retrieval (the ES tier's default relevance) off the
     // index: scores computed entirely from postings + in-index norms
     "e12_bm25_topk" -> ((s, dir) => {
@@ -467,6 +487,40 @@ object SearchQueries extends QueryPack {
         |  CAST(count(hit.doc_id) AS BIGINT) AS n_docs
         |FROM ph LEFT JOIN hit USING (phrase)
         |GROUP BY ph.phrase ORDER BY phrase""".stripMargin,
+
+    // MLT replay: interestingTerms = top-5 by qtf*ln(N/df) (tie term asc),
+    // then the e12 BM25 formula on those terms, source doc excluded
+    "e24_more_like_this" ->
+      """WITH src AS (SELECT w AS term, CAST(count(*) AS DOUBLE) AS qtf FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id = 42)
+        |  GROUP BY w),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |   len(string_split(text, ' ')) AS dl FROM documents),
+        |dfq AS (SELECT w AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfv
+        | FROM tok JOIN src ON w = src.term GROUP BY w),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |   avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+        |sel AS (SELECT src.term FROM src JOIN dfq USING (term) CROSS JOIN nd
+        |  ORDER BY qtf * ln(n_docs / dfv) DESC, term LIMIT 5),
+        |tf AS (SELECT doc_id, w AS term, count(*) AS tf, any_value(dl) AS dl
+        | FROM tok JOIN sel ON w = sel.term GROUP BY doc_id, w),
+        |df2 AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, round(sum(
+        |   ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |   tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |FROM tf JOIN df2 USING (term) CROSS JOIN nd
+        |WHERE doc_id <> 42
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // DuckDB's levenshtein shares Spark's classic (non-Damerau) cost model,
+    // so the edit column replays exactly
+    "e23_indexed_fuzzy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w AS term, CAST(levenshtein(w, 'spark') AS BIGINT) AS edits,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS ttf
+        |FROM tok WHERE levenshtein(w, 'spark') <= 2
+        |GROUP BY w ORDER BY term""".stripMargin,
 
     // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
     // matches each phrase's token count; zero-hit phrases yield no rows)

@@ -308,6 +308,41 @@ object InvertedIndex {
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
   }
 
+  /** ES `fuzzy` query over the term dictionary — Lucene `FuzzyQuery` with
+    * `transpositions=false` (classic Levenshtein: a swap costs 2, the
+    * semantics Spark's and DuckDB's `levenshtein` share), `maxEdits` ≤ 2
+    * exactly as Lucene caps it, and Lucene's `prefixLength` knob: the
+    * first `prefixLength` chars must match exactly, which both narrows
+    * the candidate set and (on a [[writeIndex]] table) keeps the scan
+    * selective. One (term, edits, df, ttf) row per dictionary term within
+    * the edit budget.
+    *
+    * Plan shape: a cheap length-delta prefilter (|len(term) − len(q)| ≤
+    * maxEdits — a necessary condition costing two codegen'd ops) prunes
+    * most postings rows before the O(|term|·|q|) levenshtein runs; the
+    * aggregate after it is sized by match selectivity, like
+    * [[termsMatching]].
+    */
+  def termsFuzzy(postings: DataFrame, term: String, maxEdits: Int = 2,
+                 prefixLength: Int = 0): DataFrame = {
+    require(maxEdits >= 0 && maxEdits <= 2,
+      "maxEdits must be 0..2 (Lucene's FuzzyQuery cap)")
+    require(prefixLength >= 0 && prefixLength <= term.length,
+      "prefixLength must be within the query term")
+    val base =
+      if (prefixLength > 0)
+        postings.where(col("term").startsWith(term.take(prefixLength)))
+      else postings
+    base
+      .where(abs(length(col("term")) - lit(term.length)) <= maxEdits &&
+        levenshtein(col("term"), lit(term)) <= maxEdits)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+      .select(col("term"),
+        levenshtein(col("term"), lit(term)).cast("long").as("edits"),
+        col("df"), col("ttf"))
+  }
+
   /** Document count for a term pattern — ES's `regexp` query hit count: a
     * document matches when ANY of its terms matches. One row:
     * (term_count, doc_count, ttf). `doc_count` needs distinct doc ids
@@ -409,6 +444,43 @@ object InvertedIndex {
       .groupBy("doc_id")
       .agg(round(sum(idf * tfNorm * mult), 6).as("score"))
       .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** ES `more_like_this` off the index: find the documents most similar to
+    * document `docId`, entirely from postings + in-index norms. Lucene's
+    * MLT rewrite, Spark-shaped: (1) the source doc's term profile (one
+    * pruned posting read — a single doc's vocabulary, bounded by its
+    * length); (2) select the `maxQueryTerms` highest tf·idf terms
+    * (classic `qtf · ln(N/df)`, ES's interestingTerms ranking; ties break
+    * term-ascending) — the ONLY driver materialization, bounded by the
+    * source doc's vocabulary; (3) rank the corpus for that disjunction
+    * with [[bm25TopK]] and drop the source doc itself. Asking the ranker
+    * for k+1 then filtering is exact: the top k+1 either contains the
+    * source (drop it → the true top k) or doesn't (take the first k).
+    * Returns (doc_id, score), empty when `docId` has no postings.
+    */
+  def moreLikeThis(postings: DataFrame, norms: DataFrame, docId: Long,
+                   maxQueryTerms: Int = 25, k: Int = 10): DataFrame = {
+    require(maxQueryTerms >= 1, "need at least one query term")
+    val spark = postings.sparkSession
+    val src = postings.where(col("doc_id") === lit(docId))
+      .select(col("term"), col("tf").as("__qtf"))
+    val dfByTerm = postings.join(broadcast(src.select("term")), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+    val terms = dfByTerm.join(broadcast(src), Seq("term"))
+      .crossJoin(broadcast(norms.select("n_docs")))
+      .withColumn("__s",
+        col("__qtf") * log(col("n_docs").cast("double") / col("__df")))
+      .orderBy(desc("__s"), asc("term")).limit(maxQueryTerms)
+      .select("term").collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    } else {
+      bm25TopK(postings, norms, terms, k + 1)
+        .where(col("doc_id") =!= lit(docId))
+        .orderBy(desc("score"), asc("doc_id")).limit(k)
+    }
   }
 
   /** The broadcast (phrase, slot, term) side of every batch phrase query:

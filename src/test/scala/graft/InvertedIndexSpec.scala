@@ -181,6 +181,53 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(!"a\\.b".r.matches("axb"))
   }
 
+  test("termsFuzzy: edit budget, prefixLength pruning, classic-Levenshtein swap cost") {
+    val d = Seq(
+      (1L, "abc abd xbc azz ab abcde"),
+      (2L, "abc acb")
+    ).toDF("doc_id", "text")
+    val post = InvertedIndex.postings(d, "doc_id", "text", uax29 = false)
+    def fuzzy(q: String, e: Int, pre: Int = 0) =
+      InvertedIndex.termsFuzzy(post, q, e, pre)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m1 = fuzzy("abc", 1)
+    assert(m1 === Map("abc" -> 0L, "abd" -> 1L, "xbc" -> 1L, "ab" -> 1L))
+    val m2 = fuzzy("abc", 2)
+    assert(m2.keySet === Set("abc", "abd", "xbc", "ab", "azz", "acb", "abcde"))
+    assert(m2("acb") === 2L)   // transposition costs 2 (transpositions=false)
+    assert(m2("azz") === 2L)
+    assert(m2("abcde") === 2L) // two inserts, right at the budget
+    // prefixLength=1 drops xbc (leading char must match exactly)
+    assert(fuzzy("abc", 1, pre = 1).keySet === Set("abc", "abd", "ab"))
+    // df/ttf match termStats for a matched term
+    val row = InvertedIndex.termsFuzzy(post, "abc", 0)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).head
+    assert(row === (("abc", 2L, 2L)))
+  }
+
+  test("moreLikeThis: tf-idf term profile, source excluded, absent doc → empty") {
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, "a b d"),
+      (3L, "x y z"),
+      (4L, "a q")
+    ).toDF("doc_id", "text")
+    val post = InvertedIndex.postings(d, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(d, "text", uax29 = false)
+    val out = InvertedIndex.moreLikeThis(post, norms, docId = 1L,
+        maxQueryTerms = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 2 shares {a, b}, doc 4 only {a}; doc 3 shares nothing; doc 1 is out
+    assert(out.map(_._1).toSeq === Seq(2L, 4L))
+    assert(out(0)._2 > out(1)._2)
+    // term budget of 1 keeps only the rarest term c (highest qtf·ln(N/df))
+    // — c appears ONLY in the source doc, so nothing else matches
+    assert(InvertedIndex.moreLikeThis(post, norms, 1L, maxQueryTerms = 1,
+      k = 5).count() === 0L)
+    // absent source doc → empty result, not a throw
+    assert(InvertedIndex.moreLikeThis(post, norms, 99L).count() === 0L)
+  }
+
   test("countDocsMatching: doc/term/ttf counts incl. the zero-match row") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     val hit = InvertedIndex.countDocsMatching(post, "[ab]").head()
