@@ -24,6 +24,8 @@ import graft.sources.Corpus
   *     [--divergence [--terms K]]       // distribution drift (KL/JS)
   *   runMain graft.Cli index PATH... [--table T] [--search P]...
   *     [--search-prefix P]... [--regexp RE] [--wildcard W] [--slop N]
+  *     [--fuzzy TERM [--max-edits N] [--prefix-len N]]
+  *     [--more-like-doc ID [--mlt-terms N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
@@ -215,9 +217,12 @@ object Cli {
         // (match_phrase_prefix: trailing token is a prefix)
         val rePat = flag("--regexp")
         val wcPat = flag("--wildcard")
+        val fuzzyTerm = flag("--fuzzy")
+        val mltDoc = flag("--more-like-doc")
         val prefixPhrases = flagAll("--search-prefix")
         val hasQuery = phrases.nonEmpty || rePat.nonEmpty ||
-          wcPat.nonEmpty || prefixPhrases.nonEmpty
+          wcPat.nonEmpty || prefixPhrases.nonEmpty || fuzzyTerm.nonEmpty ||
+          mltDoc.nonEmpty
         val table = flag("--table")
         // --refresh-old OLDPATH...: diff-driven maintenance of a saved
         // index table — postings rebuilt only for docs added/changed
@@ -297,6 +302,19 @@ object Cli {
           wcPat.foreach(p => deliver(
             search.InvertedIndex.termsMatching(post, p, wildcard = true)
               .orderBy("term"), ranked = false))
+          fuzzyTerm.foreach(q => deliver(
+            search.InvertedIndex.termsFuzzy(post, q,
+              maxEdits = intFlag("--max-edits", 2),
+              prefixLength = intFlag("--prefix-len", 0)).orderBy("term"),
+            ranked = false))
+          mltDoc.foreach { id =>
+            // norms recomputed from postings: the CLI may be reading an ad
+            // hoc corpus with no persisted norms row
+            val norms = search.InvertedIndex.corpusNormsFromPostings(post)
+            deliver(search.InvertedIndex.moreLikeThis(post, norms, id.toLong,
+              maxQueryTerms = intFlag("--mlt-terms", 25),
+              k = intFlag("--topk", 10)), ranked = false)
+          }
         }
       // Heaps'-law curve: vocabulary growth as the corpus accumulates —
       // axis is the numeric `id` field when present, else ingestion order

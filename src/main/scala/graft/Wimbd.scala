@@ -251,4 +251,20 @@ object Wimbd {
                         maxExpansions: Int = 50): DataFrame =
     graft.search.InvertedIndex.phrasePrefixHits(postings, phrases, uax29,
       maxExpansions)
+
+  /** ES fuzzy query: dictionary terms within `maxEdits` (≤ 2) classic
+    * Levenshtein edits of `term`.
+    */
+  def termsFuzzy(postings: DataFrame, term: String, maxEdits: Int = 2,
+                 prefixLength: Int = 0): DataFrame =
+    graft.search.InvertedIndex.termsFuzzy(postings, term, maxEdits,
+      prefixLength)
+
+  /** ES more_like_this: documents ranked by similarity to `docId`, from
+    * the index alone.
+    */
+  def moreLikeThis(postings: DataFrame, norms: DataFrame, docId: Any,
+                   maxQueryTerms: Int = 25, k: Int = 10): DataFrame =
+    graft.search.InvertedIndex.moreLikeThis(postings, norms, docId,
+      maxQueryTerms, k)
 }

@@ -459,7 +459,7 @@ object InvertedIndex {
     * source (drop it → the true top k) or doesn't (take the first k).
     * Returns (doc_id, score), empty when `docId` has no postings.
     */
-  def moreLikeThis(postings: DataFrame, norms: DataFrame, docId: Long,
+  def moreLikeThis(postings: DataFrame, norms: DataFrame, docId: Any,
                    maxQueryTerms: Int = 25, k: Int = 10): DataFrame = {
     require(maxQueryTerms >= 1, "need at least one query term")
     val spark = postings.sparkSession
