@@ -157,4 +157,20 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Pipeline.incrementalRefresh(docs, docs, stage(docs), "doc_id", "text")(stage)
       .count() === 0)
   }
+
+  test("index dictionary surfaces on an empty corpus: empty or zero-row, never a throw") {
+    import graft.search.InvertedIndex
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    assert(post.count() === 0)
+    assert(InvertedIndex.termsMatching(post, ".*").count() === 0)
+    assert(InvertedIndex.termsFuzzy(post, "spark").count() === 0)
+    val miss = InvertedIndex.countDocsMatching(post, "*", wildcard = true).head()
+    assert((miss.getLong(0), miss.getLong(1), miss.getLong(2)) === ((0L, 0L, 0L)))
+    // phrase-prefix keeps its one-row-per-phrase zero contract
+    val pp = InvertedIndex.phrasePrefixHits(post, Seq("a b", "c"),
+      uax29 = false).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pp === Set((0L, 0L)))
+    assert(InvertedIndex.moreLikeThis(post,
+      InvertedIndex.corpusNormsFromPostings(post), 1L).count() === 0)
+  }
 }
