@@ -69,6 +69,60 @@ object Packing {
         (col("boff") + col("local_end") - col("n_tokens")).as("start_offset"))
   }
 
+  /** Token-budget sampling per stratum — the mixture cut training runs
+    * actually need: "2 B tokens of web, 500 M of code", a TOKEN budget per
+    * source, where [[graft.operators.Analyses.mixtureSample]] cuts by
+    * document fraction. Each stratum keeps the prefix of its docs —
+    * ordered by the deterministic md5(id) permutation, so the sample is
+    * rerun-reproducible and id-stable — whose cumulative token count fits
+    * the stratum's budget (strict prefix cut: the first doc that would
+    * overflow is dropped and nothing after it is considered, the standard
+    * deterministic semantics; no knapsack backfill). Strata absent from
+    * `budgets` are dropped entirely. Returns (id, stratum, n_tokens,
+    * cum_tokens) — semi-join back on id for the bodies.
+    *
+    * Scale shape: [[tokenOffsets]]'s two-phase prefix sum, generalized to
+    * restart per stratum: range-partition on (stratum, ord) so each
+    * stratum occupies a contiguous bucket run, per-(bucket, stratum) local
+    * cumsums, and a (≤ buckets × strata)-row totals frame turned into
+    * broadcast offsets by the same triangular join — no
+    * empty-partitionSpec window, no single-task stratum sort, and a giant
+    * stratum spreads over many buckets instead of one window task.
+    * Bucket-count invariant and deterministic, like every prefix-sum
+    * consumer here (PackingSpec pins it).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        stratum: Column, budgets: Map[String, Long],
+                        tokensExpr: Option[Column] = None,
+                        buckets: Int = 32): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val n = tokensExpr.getOrElse(size(split(col(textCol), " ")).cast("long"))
+    val base = df
+      .select(col(idCol).as("id"), stratum.as("stratum"),
+        md5(col(idCol).cast("string")).as("ord"), n.as("n_tokens"))
+      .where(col("stratum").isin(budgets.keys.toSeq: _*))
+    val ranged = base
+      .repartitionByRange(buckets, col("stratum"), col("ord"), col("id"))
+      .withColumn("b", spark_partition_id())
+    // persisted for the same reason as tokenOffsets: the totals branch
+    // reads this frame too (see the LIFETIME note there)
+    val local = ranged.withColumn("local_end",
+        sum("n_tokens").over(Window.partitionBy("b", "stratum").orderBy("ord", "id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = local.groupBy("b", "stratum").agg(max("local_end").as("bt"))
+    val offsets = totals.as("x")
+      .join(totals.as("y"),
+        col("y.stratum") === col("x.stratum") && col("y.b") < col("x.b"), "left")
+      .groupBy(col("x.b").as("b"), col("x.stratum").as("stratum"))
+      .agg(coalesce(sum(col("y.bt")), lit(0L)).as("boff"))
+    val budgetCol = element_at(typedLit(budgets), col("stratum"))
+    local.join(broadcast(offsets), Seq("b", "stratum"))
+      .withColumn("cum_tokens", col("boff") + col("local_end"))
+      .where(col("cum_tokens") <= budgetCol)
+      .select(col("id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Concat-and-chunk assignment: for each doc, its token-stream offset and
     * the first/last chunk of size `seqLen` it lands in. `last_chunk >
     * first_chunk` means the doc is split across a sequence boundary — the

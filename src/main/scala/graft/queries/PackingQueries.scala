@@ -47,6 +47,15 @@ object PackingQueries extends QueryPack {
     "s15_pack_manifest" -> ((s, dir) =>
       Packing.packManifest(Tables(s, dir, "documents"), "doc_id", "text", L)),
 
+    // Chinchilla-style mixture cut: per-source TOKEN budgets, kept docs =
+    // the md5(id)-ordered prefix that fits; src7's oversized budget keeps
+    // its whole stratum, unbudgeted sources drop out
+    "s19_token_budget" -> ((s, dir) =>
+      Packing.tokenBudgetSample(Tables(s, dir, "documents"), "doc_id",
+          "text", col("source"),
+          Map("src1" -> 800L, "src2" -> 600L, "src7" -> 1000000L))
+        .orderBy("stratum", "id")),
+
     // token-balanced output shards: per-shard doc/token totals
     "s16_token_shards" -> ((s, dir) =>
       Packing.assignShards(Tables(s, dir, "documents"), "doc_id", "text", 4096L)
@@ -95,6 +104,18 @@ object PackingQueries extends QueryPack {
          | start_offset // $L AS first_chunk,
          | (start_offset + n_tokens - 1) // $L AS last_chunk
          |FROM c""".stripMargin,
+
+    "s19_token_budget" ->
+      """WITH base AS (SELECT doc_id AS id, source AS stratum,
+        |  md5(CAST(doc_id AS VARCHAR)) AS ord,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents WHERE source IN ('src1', 'src2', 'src7')),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY stratum
+        |  ORDER BY ord, id) AS BIGINT) AS cum_tokens FROM base)
+        |SELECT id, stratum, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= (CASE stratum WHEN 'src1' THEN 800
+        |  WHEN 'src2' THEN 600 ELSE 1000000 END)
+        |ORDER BY stratum, id""".stripMargin,
 
     "s14_packing_stats" ->
       s"""SELECT source,

@@ -108,6 +108,40 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetSample: prefix cut per stratum, deterministic order, bucket invariance") {
+    // md5("4") < md5("1") < md5("2") < md5("3") — hash order is 4,1,2,3
+    val d = Seq(
+      (1L, "a", "w w w"),       // 3 tokens
+      (2L, "a", "w w"),         // 2
+      (3L, "a", "w w w w w"),   // 5
+      (4L, "a", "w"),           // 1
+      (5L, "b", "w w w"),       // 3 — budget 2: even the first doc overflows
+      (6L, "c", "w w")          // no budget for c → dropped
+    ).toDF("doc_id", "source", "text")
+    val budgets = Map("a" -> 6L, "b" -> 2L)
+    val out = Packing.tokenBudgetSample(d, "doc_id", "text", col("source"),
+        budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    // stratum a cumsum in hash order: 4→1, 1→4, 2→6, 3→11 (cut)
+    assert(out === Set((4L, "a", 1L), (1L, "a", 4L), (2L, "a", 6L)))
+    // bucket-count invariant (same contract as tokenOffsets)
+    val one = Packing.tokenBudgetSample(d, "doc_id", "text", col("source"),
+      budgets, buckets = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(one === out)
+    // reference cumsum via a plain partitioned window agrees on the kept set
+    val ref = d.where(col("source").isin("a", "b"))
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("ord"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy("source").orderBy("ord", "doc_id")))
+      .where(col("cum") <= when(col("source") === "a", 6L).otherwise(2L))
+      .select(col("doc_id"), col("source"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ref === out)
+  }
+
   test("slidingWindows: full coverage, stride overlap, short docs one window") {
     import spark.implicits._
     val df = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")), (2L, "a b c"))
