@@ -463,23 +463,68 @@ object InvertedIndex {
                    maxQueryTerms: Int = 25, k: Int = 10): DataFrame = {
     require(maxQueryTerms >= 1, "need at least one query term")
     val spark = postings.sparkSession
+    import spark.implicits._
+    // source profile first, as literals: the df lookup then prunes to the
+    // profile terms' buckets (a broadcast JOIN on term would scan every
+    // posting — measured 4× this cost at the 100× rehearsal). Both
+    // collects are bounded by ONE document's vocabulary.
     val src = postings.where(col("doc_id") === lit(docId))
-      .select(col("term"), col("tf").as("__qtf"))
-    val dfByTerm = postings.join(broadcast(src.select("term")), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("__df"))
-    val terms = dfByTerm.join(broadcast(src), Seq("term"))
-      .crossJoin(broadcast(norms.select("n_docs")))
-      .withColumn("__s",
-        col("__qtf") * log(col("n_docs").cast("double") / col("__df")))
-      .orderBy(desc("__s"), asc("term")).limit(maxQueryTerms)
-      .select("term").collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty) {
-      import spark.implicits._
-      spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
-    } else {
-      bm25TopK(postings, norms, terms, k + 1)
-        .where(col("doc_id") =!= lit(docId))
+      .select(col("term"), col("tf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (src.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val dfByTerm = postings.where(col("term").isin(src.keys.toSeq: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = norms.select(col("n_docs").cast("double")).head().getDouble(0)
+    val terms = src.toSeq
+      .map { case (t, qtf) => (t, qtf * math.log(nDocs / dfByTerm(t))) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+    bm25TopK(postings, norms, terms, k + 1)
+      .where(col("doc_id") =!= lit(docId))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+  }
+
+  /** ES `more_like_this` with `like: <text>` instead of a document
+    * reference — and the variant to prefer at scale when the text is at
+    * hand: [[moreLikeThis]]'s profile lookup must scan the TERM-bucketed
+    * postings for one doc_id (no pruning on a non-bucket key — ES pays a
+    * termvectors point-read here, we pay a scan), while this one
+    * tokenizes `likeText` driver-side (one document, trivial) and goes
+    * straight to the bucket-pruned df read. `excludeId` drops a known
+    * source doc from the ranking, same k+1 trick.
+    */
+  def moreLikeThisText(postings: DataFrame, norms: DataFrame,
+                       likeText: String, uax29: Boolean = true,
+                       maxQueryTerms: Int = 25, k: Int = 10,
+                       excludeId: Option[Any] = None): DataFrame = {
+    require(maxQueryTerms >= 1, "need at least one query term")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val toks =
+      if (uax29) graft.functions.Tokenizer.tokenize(likeText).toSeq
+      else likeText.split(" ").toSeq.filter(_.nonEmpty)
+    val src = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    if (src.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val dfByTerm = postings.where(col("term").isin(src.keys.toSeq: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = src.filter { case (t, _) => dfByTerm.contains(t) }
+    if (present.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val nDocs = norms.select(col("n_docs").cast("double")).head().getDouble(0)
+    val terms = present.toSeq
+      .map { case (t, qtf) => (t, qtf * math.log(nDocs / dfByTerm(t))) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+    val ranked = bm25TopK(postings, norms, terms,
+      k + excludeId.size)
+    excludeId match {
+      case Some(id) => ranked.where(col("doc_id") =!= lit(id))
         .orderBy(desc("score"), asc("doc_id")).limit(k)
+      case None => ranked
     }
   }
 

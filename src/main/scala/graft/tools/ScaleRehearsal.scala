@@ -152,6 +152,31 @@ object ScaleRehearsal {
         "doc_id", "text", buckets = 32, uax29 = false)
       spark.table("scale_idx").count()
     }
+    // dictionary + relevance queries answered off the SAVED bucketed index
+    // (scale_idx from index_build_bucketed): regexp and fuzzy scan the
+    // postings with scan-level filters; MLT is two pruned reads + a
+    // bounded collect of one doc's vocabulary
+    def savedIndex = graft.search.InvertedIndex.readIndex(spark, "scale_idx")
+    run("index_regexp_terms") {
+      graft.search.InvertedIndex.termsMatching(savedIndex, "s[a-z]+").count()
+    }
+    run("index_fuzzy_terms") {
+      graft.search.InvertedIndex.termsFuzzy(savedIndex, "sprak").count()
+    }
+    run("index_mlt") {
+      val post = savedIndex
+      graft.search.InvertedIndex.moreLikeThis(post,
+        graft.search.InvertedIndex.corpusNormsFromPostings(post),
+        42L, 10, 10).count()
+    }
+    run("index_mlt_text") {
+      val post = savedIndex
+      val like = docs.where(col("doc_id") === 42L).head().getAs[String]("text")
+      graft.search.InvertedIndex.moreLikeThisText(post,
+        graft.search.InvertedIndex.corpusNormsFromPostings(post),
+        like, uax29 = false, maxQueryTerms = 10, k = 10,
+        excludeId = Some(42L)).count()
+    }
     run("vocab_growth") {
       graft.operators.NgramOps.vocabGrowth(docs, "doc_id", "text",
         checkpoints = 10, uax29 = false).count()

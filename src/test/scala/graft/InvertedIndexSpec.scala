@@ -226,6 +226,15 @@ class InvertedIndexSpec extends SparkTestBase {
       k = 5).count() === 0L)
     // absent source doc → empty result, not a throw
     assert(InvertedIndex.moreLikeThis(post, norms, 99L).count() === 0L)
+    // like:<text> variant agrees with the doc variant when given the
+    // doc's own text + excludeId (ES's two `like` forms coincide there)
+    val byText = InvertedIndex.moreLikeThisText(post, norms, "a b c",
+        uax29 = false, maxQueryTerms = 3, k = 2, excludeId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(byText === out.toSeq)
+    // free text with only-unknown terms → empty, not a throw
+    assert(InvertedIndex.moreLikeThisText(post, norms, "zz qq",
+      uax29 = false).count() === 0L)
   }
 
   test("countDocsMatching: doc/term/ttf counts incl. the zero-match row") {
