@@ -25,7 +25,7 @@ import graft.sources.Corpus
   *   runMain graft.Cli index PATH... [--table T] [--search P]...
   *     [--search-prefix P]... [--regexp RE] [--wildcard W] [--slop N]
   *     [--fuzzy TERM [--max-edits N] [--prefix-len N]]
-  *     [--more-like-doc ID [--mlt-terms N] [--topk K]]
+  *     [--more-like-doc ID | --more-like-text "..." [--mlt-terms N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
@@ -219,10 +219,11 @@ object Cli {
         val wcPat = flag("--wildcard")
         val fuzzyTerm = flag("--fuzzy")
         val mltDoc = flag("--more-like-doc")
+        val mltText = flag("--more-like-text")
         val prefixPhrases = flagAll("--search-prefix")
         val hasQuery = phrases.nonEmpty || rePat.nonEmpty ||
           wcPat.nonEmpty || prefixPhrases.nonEmpty || fuzzyTerm.nonEmpty ||
-          mltDoc.nonEmpty
+          mltDoc.nonEmpty || mltText.nonEmpty
         val table = flag("--table")
         // --refresh-old OLDPATH...: diff-driven maintenance of a saved
         // index table — postings rebuilt only for docs added/changed
@@ -307,6 +308,12 @@ object Cli {
               maxEdits = intFlag("--max-edits", 2),
               prefixLength = intFlag("--prefix-len", 0)).orderBy("term"),
             ranked = false))
+          mltText.foreach { like =>
+            val norms = search.InvertedIndex.corpusNormsFromPostings(post)
+            deliver(search.InvertedIndex.moreLikeThisText(post, norms, like,
+              uax29 = uax, maxQueryTerms = intFlag("--mlt-terms", 25),
+              k = intFlag("--topk", 10)), ranked = false)
+          }
           mltDoc.foreach { id =>
             // norms recomputed from postings: the CLI may be reading an ad
             // hoc corpus with no persisted norms row

@@ -267,4 +267,14 @@ object Wimbd {
                    maxQueryTerms: Int = 25, k: Int = 10): DataFrame =
     graft.search.InvertedIndex.moreLikeThis(postings, norms, docId,
       maxQueryTerms, k)
+
+  /** ES more_like_this with `like: <text>` — the scale-preferred form
+    * when the text is at hand (no doc-profile scan of the term-bucketed
+    * index).
+    */
+  def moreLikeThisText(postings: DataFrame, norms: DataFrame, text: String,
+                       uax29: Boolean = true, maxQueryTerms: Int = 25,
+                       k: Int = 10): DataFrame =
+    graft.search.InvertedIndex.moreLikeThisText(postings, norms, text,
+      uax29, maxQueryTerms, k)
 }
