@@ -141,6 +141,20 @@ object ScaleRehearsal {
           concat(col("text"), lit(" rev1"))).otherwise(col("text")))
       graft.operators.CorpusDiff.diffSummary(old, nw, "doc_id", "text").count()
     }
+    // realistic monthly-crawl churn (~0.6%: 1/997 removed + 1/199 edited):
+    // the delta tokenize shrinks ~50x vs index_refresh's heavy-churn row,
+    // leaving the bucketed rewrite as the floor. NB both refresh rows
+    // diff against `docs` — exact when run standalone; in a chained run
+    // the second refresh's old-snapshot is ~0.1% stale (already-deleted
+    // ids anti-join to nothing), which moves timings by nothing
+    run("index_refresh_light") {
+      val nw = docs.where(col("doc_id") % 997 =!= 0)
+        .withColumn("text", when(col("doc_id") % 199 === 0,
+          concat(col("text"), lit(" rev1"))).otherwise(col("text")))
+      graft.search.InvertedIndex.refreshIndex(spark, "scale_idx", docs, nw,
+        "doc_id", "text", buckets = 32, uax29 = false)
+      spark.table("scale_idx").count()
+    }
     // diff-driven refresh of the bucketed index built above: ~1/13 of docs
     // removed + ~1/5 edited — the delta postings build + one
     // compaction-grade rewrite, vs index_build_bucketed's full tokenize
