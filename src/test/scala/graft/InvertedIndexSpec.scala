@@ -269,6 +269,37 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(hits(Seq("x a"), maxExp = 1)("x a") === ((3L, 3L)))
   }
 
+  test("phrase-prefix randomized differential: expansion == string-prefix n-gram brute force") {
+    // the e22 oracle identity, randomized: phrasePrefixHits over a tiny
+    // corpus equals brute-force counting of n-grams whose joined string
+    // starts with the phrase — for every (corpus, phrase) drawn
+    val rng = new scala.util.Random(7)
+    (1 to 12).foreach { _ =>
+      val dset = (1 to 6).map { id =>
+        (id.toLong, Seq.fill(1 + rng.nextInt(8))(s"w${rng.nextInt(5)}").mkString(" "))
+      }
+      val phrase = {
+        val n = 1 + rng.nextInt(2)
+        val full = Seq.fill(n)(s"w${rng.nextInt(5)}").mkString(" ")
+        full.take(1 + rng.nextInt(full.length)) // cut anywhere → prefix
+      }.trim
+      if (phrase.nonEmpty && !phrase.endsWith(" ")) {
+        val plen = phrase.split(" ").length
+        val expect = dset.map { case (_, text) =>
+          text.split(" ").sliding(plen).count(g =>
+            g.length == plen && g.mkString(" ").startsWith(phrase))
+        }
+        val post = InvertedIndex.postings(dset.toDF("doc_id", "text"),
+          "doc_id", "text", uax29 = false)
+        val got = InvertedIndex.phrasePrefixHits(post, Seq(phrase),
+          uax29 = false).head()
+        assert(got.getLong(1) === expect.sum.toLong,
+          s"phrase '$phrase' over $dset")
+        assert(got.getLong(2) === expect.count(_ > 0).toLong)
+      }
+    }
+  }
+
   test("postings build plan: zero shuffles (per-doc kernel grouping)") {
     val plan = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
       .queryExecution.executedPlan.toString

@@ -294,4 +294,33 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(CtKernel.classify(seed, ranks.sortBy(_._1), 300) === lang, lang)
     }
   }
+
+  test("wildcardRegex: random patterns match exactly like a reference glob matcher") {
+    import graft.search.InvertedIndex.wildcardRegex
+    // reference: Lucene WildcardQuery semantics by direct recursion
+    def globMatch(p: List[Char], s: List[Char]): Boolean = (p, s) match {
+      case (Nil, Nil) => true
+      case ('*' :: pt, _) =>
+        globMatch(pt, s) || (s.nonEmpty && globMatch(p, s.tail))
+      case ('?' :: pt, _ :: st) => globMatch(pt, st)
+      case ('\\' :: c :: pt, h :: st) => c == h && globMatch(pt, st)
+      case (c :: pt, h :: st) => c == h && globMatch(pt, st)
+      case _ => false
+    }
+    val alphabet = "ab.?*\\("
+    (1 to 500).foreach { i =>
+      val pat = Seq.fill(rng.nextInt(6))(alphabet(rng.nextInt(alphabet.length))).mkString
+      // a trailing bare backslash escapes nothing — skip that edge (the
+      // translation passes it through literally; Lucene rejects it)
+      if (!pat.endsWith("\\") || pat.endsWith("\\\\")) {
+        val re = ("^(?:" + wildcardRegex(pat) + ")$").r
+        (1 to 20).foreach { _ =>
+          val s = Seq.fill(rng.nextInt(6))("ab.(" (rng.nextInt(4))).mkString
+          assert(re.matches(s) === globMatch(pat.toList, s.toList),
+            s"pattern '$pat' vs '$s' (regex ${wildcardRegex(pat)})")
+        }
+      }
+    }
+  }
+
 }
