@@ -333,8 +333,12 @@ object InvertedIndex {
       if (prefixLength > 0)
         postings.where(col("term").startsWith(term.take(prefixLength)))
       else postings
+    // codepoint count, not String.length: Spark's length()/levenshtein
+    // count codepoints, and a UTF-16 surrogate-pair length here would
+    // over-tighten the delta prefilter for astral-plane query terms
+    val qLen = term.codePointCount(0, term.length)
     base
-      .where(abs(length(col("term")) - lit(term.length)) <= maxEdits &&
+      .where(abs(length(col("term")) - lit(qLen)) <= maxEdits &&
         levenshtein(col("term"), lit(term)) <= maxEdits)
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))

@@ -203,6 +203,12 @@ class InvertedIndexSpec extends SparkTestBase {
     val row = InvertedIndex.termsFuzzy(post, "abc", 0)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).head
     assert(row === (("abc", 2L, 2L)))
+    // astral-plane query: 😀 is one codepoint (two UTF-16 units). Term
+    // 'x' is 1 edit from '😀x' (2 codepoints) — a UTF-16 length prefilter
+    // would compute |1 − 3| = 2 > 1 and wrongly exclude it
+    val d2 = Seq((1L, "x")).toDF("doc_id", "text")
+    val p2 = InvertedIndex.postings(d2, "doc_id", "text", uax29 = false)
+    assert(InvertedIndex.termsFuzzy(p2, "😀x", 1).count() === 1L)
   }
 
   test("moreLikeThis: tf-idf term profile, source excluded, absent doc → empty") {
