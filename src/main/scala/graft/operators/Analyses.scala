@@ -135,9 +135,16 @@ object Analyses {
       .withColumn("polarity",
         graft.functions.TextFunctions
           .valencePolarity(col("toks"), lexicon, boosters, negators).getItem(1))
+      // threshold the ROUNDED polarity: a sentence can land exactly on
+      // ±0.05 up to accumulation order ((0.9 − 1.0)/2 is the canonical
+      // case), and the raw-double comparison then labels it by fp
+      // noise — found as a single-sentence divergence vs the DuckDB
+      // replay at sf0.1. Six decimals is far above double noise and far
+      // below any meaningful polarity difference.
+      .withColumn("__p6", round(col("polarity"), 6))
       .withColumn("label",
-        when(col("polarity") > posThr, lit("pos"))
-          .when(col("polarity") < negThr, lit("neg"))
+        when(col("__p6") > posThr, lit("pos"))
+          .when(col("__p6") < negThr, lit("neg"))
           .otherwise(lit("neu")))
     labeled.select(col("label"), col("polarity"),
         explode(filter(array(terms.sorted.map(lit): _*),

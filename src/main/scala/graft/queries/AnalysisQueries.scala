@@ -343,8 +343,8 @@ object AnalysisQueries extends QueryPack {
          | FROM t2 LEFT JOIN (SELECT doc_id, si, sum(s) / count(*) AS pol
          |                    FROM sc GROUP BY 1, 2) p USING (doc_id, si)),
          |lab AS (SELECT doc_id, si, toks, polarity,
-         |    CASE WHEN polarity > 0.05 THEN 'pos'
-         |         WHEN polarity < -0.05 THEN 'neg' ELSE 'neu' END AS label
+         |    CASE WHEN round(polarity, 6) > 0.05 THEN 'pos'
+         |         WHEN round(polarity, 6) < -0.05 THEN 'neg' ELSE 'neu' END AS label
          |  FROM pol),
          |trm(term) AS (SELECT * FROM (VALUES ('data'), ('fast'), ('slow'), ('spark')) x(t)),
          |hit2 AS (SELECT term, label, polarity FROM lab JOIN trm ON list_contains(lab.toks, trm.term))
