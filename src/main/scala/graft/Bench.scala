@@ -127,9 +127,13 @@ object Bench {
       "t_dsir", "s12_pack_chunks", "s17_sliding_windows", "w_sessionize",
       "m_media_features", "e10_indexed_phrase", "e12_bm25_topk",
       "e13_indexed_slop", "ann_ivfpq_topk")
+    // Locale.ROOT formatting: the f-interpolator uses the default locale,
+    // and a comma-decimal locale would corrupt the driver-parsed JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val compactQs = headline.flatMap(k => resultMap.get(k).map(v =>
-      "\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
-    val compactTotal = f"$total%.3f"
+      "\"" + k + "\":" + f3(v))).mkString("{", ",", "}")
+    val compactTotal = f3(total)
     println(s"""{"metric":"total","value":$compactTotal,"unit":"sec","n_queries":${results.size},"queries":$compactQs,"derived":$derived,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,7 +49,8 @@ object Corpus {
     df.queryExecution.optimizedPlan match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation
-            if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
+            if fs.fileFormat.toString.toLowerCase(java.util.Locale.ROOT)
+              .contains("parquet") =>
           val files = fs.location.inputFiles
           if (files.isEmpty) 0L
           else if (files.length > maxFooterFiles) df.count()

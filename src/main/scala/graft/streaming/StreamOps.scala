@@ -472,9 +472,12 @@ object StreamOps {
             if (u.deleted) {
               if (prev.isDefined) { state.remove(); out += DiffEvent(id, "removed") }
             } else {
+              // state is only compared to itself, but keep the encoding
+              // locale-proof all the same (no Formatter involved)
               val h = java.security.MessageDigest.getInstance("MD5")
                 .digest(u.text.getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString
+                .map(b => Integer.toHexString((b & 0xff) | 0x100).substring(1))
+                .mkString
               prev match {
                 case None =>
                   state.update(DiffState(h)); out += DiffEvent(id, "added")
