@@ -250,42 +250,9 @@ object Cli {
               s"index table '$t' does not exist — build it first with " +
                 s"`$hint` (same --buckets)") }
           }
-        if (refreshOld.nonEmpty) {
-          val t = table.getOrElse(sys.error("index --refresh-old needs --table"))
-          ensureIndexTable(t, s"index OLDPATH... --table $t")
-          val old = Corpus.readJsonl(spark, refreshOld.map(p => p: String))
-          val bothHaveIds = Seq(old, docs).forall(df =>
-            !df.where(col("id").isNotNull).isEmpty)
-          val (o, n, idc) =
-            if (bothHaveIds) (old, docs, "id")
-            else (Corpus.withFileLineId(old, "__id"),
-              Corpus.withFileLineId(docs, "__id"), "__id")
-          // NB: the saved table must have been keyed the same way — the
-          // build path below uses keyedById, so it is.
-          search.InvertedIndex.refreshIndex(spark, t, o, n, idc, "text",
-            intFlag("--buckets", 64), uax29 = uax)
-          System.err.println(s"index table $t refreshed")
-          if (phrases.nonEmpty)
-            deliver(search.InvertedIndex.phraseHits(
-              search.InvertedIndex.readIndex(spark, t), phrases, uax29 = uax),
-              ranked = false)
-        } else if (!hasQuery) {
-          val t = table.getOrElse(sys.error(
-            "index needs --search phrases and/or --table to persist to"))
-          val (keyed, idc) = keyedById(docs)
-          search.InvertedIndex.writeIndex(
-            search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
-            t, intFlag("--buckets", 64), force = a.flags.contains("--force"))
-          System.err.println(s"index written to table $t")
-        } else {
-          val post = table match {
-            case Some(t) =>
-              ensureIndexTable(t, s"index --table $t")
-              search.InvertedIndex.readIndex(spark, t)
-            case None =>
-              val (keyed, idc) = keyedById(docs)
-              search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax)
-          }
+        // every query flag delivered against one postings frame — shared
+        // by the query branch and the post-refresh re-query
+        def runIndexQueries(post: DataFrame): Unit = {
           val slop = intFlag("--slop", 0)
           if (phrases.nonEmpty) deliver(
             if (slop == 0)
@@ -308,29 +275,73 @@ object Cli {
               maxEdits = intFlag("--max-edits", 2),
               prefixLength = intFlag("--prefix-len", 0)).orderBy("term"),
             ranked = false))
-          mltText.foreach { like =>
-            val norms = search.InvertedIndex.corpusNormsFromPostings(post)
+          // norms recomputed from postings: the CLI may be reading an ad
+          // hoc corpus with no persisted norms row
+          lazy val norms = search.InvertedIndex.corpusNormsFromPostings(post)
+          mltText.foreach(like =>
             deliver(search.InvertedIndex.moreLikeThisText(post, norms, like,
               uax29 = uax, maxQueryTerms = intFlag("--mlt-terms", 25),
-              k = intFlag("--topk", 10)), ranked = false)
-          }
+              k = intFlag("--topk", 10)), ranked = false))
           mltDoc.foreach { id =>
-            // norms recomputed from postings: the CLI may be reading an ad
-            // hoc corpus with no persisted norms row
-            val norms = search.InvertedIndex.corpusNormsFromPostings(post)
-            deliver(search.InvertedIndex.moreLikeThis(post, norms, id.toLong,
+            // match the postings' doc_id type: a long-keyed corpus wants a
+            // long literal, a string/{file}-{line}-keyed one the raw string
+            // (id.toLong would throw or silently compare across types)
+            val key: Any = post.schema("doc_id").dataType match {
+              case org.apache.spark.sql.types.LongType => id.toLong
+              case _ => id
+            }
+            deliver(search.InvertedIndex.moreLikeThis(post, norms, key,
               maxQueryTerms = intFlag("--mlt-terms", 25),
               k = intFlag("--topk", 10)), ranked = false)
           }
+        }
+        if (refreshOld.nonEmpty) {
+          val t = table.getOrElse(sys.error("index --refresh-old needs --table"))
+          ensureIndexTable(t, s"index OLDPATH... --table $t")
+          val old = Corpus.readJsonl(spark, refreshOld.map(p => p: String))
+          val bothHaveIds = Seq(old, docs).forall(df =>
+            !df.where(col("id").isNotNull).isEmpty)
+          val (o, n, idc) =
+            if (bothHaveIds) (old, docs, "id")
+            else (Corpus.withFileLineId(old, "__id"),
+              Corpus.withFileLineId(docs, "__id"), "__id")
+          // NB: the saved table must have been keyed the same way — the
+          // build path below uses keyedById, so it is.
+          search.InvertedIndex.refreshIndex(spark, t, o, n, idc, "text",
+            intFlag("--buckets", 64), uax29 = uax)
+          System.err.println(s"index table $t refreshed")
+          if (hasQuery)
+            runIndexQueries(search.InvertedIndex.readIndex(spark, t))
+        } else if (!hasQuery) {
+          val t = table.getOrElse(sys.error(
+            "index needs --search phrases and/or --table to persist to"))
+          val (keyed, idc) = keyedById(docs)
+          search.InvertedIndex.writeIndex(
+            search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
+            t, intFlag("--buckets", 64), force = a.flags.contains("--force"))
+          System.err.println(s"index written to table $t")
+        } else {
+          val post = table match {
+            case Some(t) =>
+              ensureIndexTable(t, s"index --table $t")
+              search.InvertedIndex.readIndex(spark, t)
+            case None =>
+              val (keyed, idc) = keyedById(docs)
+              search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax)
+          }
+          runIndexQueries(post)
         }
       // Heaps'-law curve: vocabulary growth as the corpus accumulates —
       // axis is the numeric `id` field when present, else ingestion order
       // (monotonically_increasing_id: deterministic for a fixed file
       // listing, a CLI diagnostic, not a stable cross-run key)
       case "vocab" =>
-        val hasNumericId = docs.columns.contains("id") &&
-          !docs.where(col("id").cast("long").isNotNull).isEmpty
-        val keyed = if (hasNumericId) docs.withColumn("__ord", col("id").cast("long"))
+        // EVERY id must cast, not just some: with a mixed-id corpus the
+        // null casts would silently drop docs (and their vocabulary)
+        // from the curve — fall back to ingestion order instead
+        val allIdsNumeric = docs.columns.contains("id") &&
+          docs.where(col("id").isNull || col("id").cast("long").isNull).isEmpty
+        val keyed = if (allIdsNumeric) docs.withColumn("__ord", col("id").cast("long"))
           else docs.withColumn("__ord", monotonically_increasing_id())
         deliver(NgramOps.vocabGrowth(keyed, "__ord", "text",
           checkpoints = intFlag("--checkpoints", 10), uax29 = uax)

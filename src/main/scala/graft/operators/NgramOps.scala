@@ -286,9 +286,13 @@ object NgramOps {
       .join(broadcast(bounds.select("checkpoint", "bound")),
         col("__fd") <= col("bound"))
       .groupBy("checkpoint").agg(count(lit(1)).as("vocab"))
-    ds.join(vs, Seq("checkpoint"))
+    // left join + coalesce: a prefix of empty/punctuation-only docs has
+    // docs_seen > 0 but no vocabulary yet — the curve must report
+    // vocab = 0, not silently drop the checkpoint row
+    ds.join(vs, Seq("checkpoint"), "left")
       .select(col("checkpoint"), col("bound"), col("docs_seen"),
-        col("tokens_seen"), col("vocab"))
+        coalesce(col("tokens_seen"), lit(0L)).as("tokens_seen"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
   }
 
   /** Grouped top-k: the k most frequent n-grams WITHIN each group (per

@@ -650,22 +650,6 @@ object TextQuality {
           .cast("double"), 6))
   }
 
-  /** Cross-corpus unigram drift card: KL(A‖B), KL(B‖A) and the symmetric
-    * Jensen–Shannon divergence (nats) between the two corpora's unigram
-    * distributions, additively smoothed (Lidstone `alpha`) over the UNION
-    * vocabulary — so both distributions normalize exactly and no term
-    * divides by zero. The comparative analysis behind "what changed between
-    * corpus v1 and v2" / "how far is my crawl from Wikipedia" — the WIMBD
-    * paper's cross-corpus summary comparisons as one number.
-    *
-    * Scale shape: two token-scale hash aggregations (one per corpus), a
-    * full-outer join and one scalar aggregation on the VOCABULARY frame
-    * (Zipf-bounded, orders of magnitude below corpus size). The joined
-    * vocab frame is localCheckpointed because the totals aggregation and
-    * the divergence aggregation both consume it and Spark does not reuse
-    * the subtree across the two jobs (the SemDeDup lesson) — re-deriving it
-    * would re-scan both corpora.
-    */
   /** The per-term frame under [[unigramDivergence]]: the full-outer vocab
     * join with each term's smoothed KL/JS contributions (and the per-side
     * vocab indicators the summary folds to vocab_a/vocab_b). Shared by the
@@ -699,6 +683,14 @@ object TextQuality {
         (p * log(p / m) / 2 + q * log(q / m) / 2).as("js_term"))
   }
 
+  /** Cross-corpus unigram drift card: KL(A‖B), KL(B‖A) and the symmetric
+    * Jensen–Shannon divergence (nats, ≤ ln 2) plus per-side and union
+    * vocab sizes — "what changed between corpus v1 and v2" / "how far is
+    * my crawl from Wikipedia" as one row, aggregated off
+    * [[unigramDivergenceTerms]] (Σ of per-term contributions IS the
+    * divergence because the smoothed p and q each normalize to 1 over the
+    * union vocab).
+    */
   def unigramDivergence(a: DataFrame, b: DataFrame, textCol: String,
                         alpha: Double = 0.5): DataFrame =
     unigramDivergenceTerms(a, b, textCol, alpha)

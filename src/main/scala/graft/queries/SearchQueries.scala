@@ -277,8 +277,12 @@ object SearchQueries extends QueryPack {
     "e22_phrase_prefix" -> ((s, dir) => {
       val post = graft.search.InvertedIndex.postings(
         Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      // the oracle's LIKE replay is uncapped — pin maxExpansions above any
+      // possible dictionary size so parity can never silently depend on
+      // the test vocabulary staying under the Lucene-style default of 50
       graft.search.InvertedIndex.phrasePrefixHits(post,
-        Seq("key s", "spark w", "zz qq", "s"), uax29 = false)
+        Seq("key s", "spark w", "zz qq", "s"), uax29 = false,
+        maxExpansions = Int.MaxValue)
         .orderBy("phrase")
     }),
 

@@ -327,18 +327,21 @@ object InvertedIndex {
                  prefixLength: Int = 0): DataFrame = {
     require(maxEdits >= 0 && maxEdits <= 2,
       "maxEdits must be 0..2 (Lucene's FuzzyQuery cap)")
-    require(prefixLength >= 0 && prefixLength <= term.length,
+    // prefixLength counts CODEPOINTS, like everything else in the edit
+    // model — term.take would split a surrogate pair and the mangled
+    // prefix would match nothing
+    val qCp = term.codePointCount(0, term.length)
+    require(prefixLength >= 0 && prefixLength <= qCp,
       "prefixLength must be within the query term")
     val base =
       if (prefixLength > 0)
-        postings.where(col("term").startsWith(term.take(prefixLength)))
+        postings.where(col("term").startsWith(
+          term.substring(0, term.offsetByCodePoints(0, prefixLength))))
       else postings
-    // codepoint count, not String.length: Spark's length()/levenshtein
-    // count codepoints, and a UTF-16 surrogate-pair length here would
-    // over-tighten the delta prefilter for astral-plane query terms
-    val qLen = term.codePointCount(0, term.length)
+    // qCp again: Spark's length()/levenshtein count codepoints too, and a
+    // UTF-16 surrogate-pair length would over-tighten the delta prefilter
     base
-      .where(abs(length(col("term")) - lit(qLen)) <= maxEdits &&
+      .where(abs(length(col("term")) - lit(qCp)) <= maxEdits &&
         levenshtein(col("term"), lit(term)) <= maxEdits)
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))

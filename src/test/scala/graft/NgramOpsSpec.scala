@@ -94,5 +94,15 @@ class NgramOpsSpec extends SparkTestBase {
     // empty corpus → empty curve, not nulls
     assert(NgramOps.vocabGrowth(d.where(lit(false)), "doc_id", "text",
       checkpoints = 3, uax29 = false).count() === 0L)
+    // a zero-vocabulary prefix (null-text docs first) keeps its checkpoint
+    // row with vocab = 0 instead of dropping it
+    val n = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "a b")).toDF("doc_id", "text")
+    val nr = NgramOps.vocabGrowth(n, "doc_id", "text", checkpoints = 2,
+        uax29 = false)
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(nr(0) === ((1L, 2L, 0L, 0L)))  // docs 1-2: no tokens, no vocab
+    assert(nr(1) === ((2L, 3L, 2L, 2L)))
   }
 }
