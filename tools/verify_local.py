@@ -52,6 +52,7 @@ def normalize(cols, rows):
     return cols2, rows2
 
 fails = 0
+skipped = 0
 for name, sql in sorted(oracle.items()):
     try:
         d = con.sql(sql)
@@ -59,6 +60,14 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"FAIL {name}: oracle error: {str(e)[:200]}")
         fails += 1
+        continue
+    # fixture-keyed oracles are keyed by corpus md5: at a NON-oracle sf the
+    # golden simply doesn't exist (0 rows) — that's a SKIP when sweeping
+    # other scale factors, not a failure (the driver always runs the
+    # oracle sf, where an absent fixture still fails hard)
+    if name in fixture_keyed and not drows and sf.rstrip("/").endswith("sf0.1"):
+        print(f"SKIP {name}: golden fixture keyed to the oracle sf")
+        skipped += 1
         continue
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
@@ -82,6 +91,7 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK   {name} ({len(srows)} rows)")
 
-missing = [n for n in oracle if n not in oracle]
-print(f"\n{len(oracle) - fails}/{len(oracle)} oracle-checked queries match")
+checked = len(oracle) - skipped
+suffix = f" ({skipped} fixture-keyed skipped at this sf)" if skipped else ""
+print(f"\n{checked - fails}/{checked} oracle-checked queries match{suffix}")
 sys.exit(1 if fails else 0)
