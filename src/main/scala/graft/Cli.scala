@@ -27,6 +27,8 @@ import graft.sources.Corpus
   *     [--fuzzy TERM [--max-edits N] [--prefix-len N]]
   *     [--more-like-doc ID | --more-like-text "..." [--mlt-terms N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
+  *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
+  *     --budget SRC=TOKENS...) [--stratum-col C] [--default-fraction F]
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
   * replaces the shared-memory sketch); `topk --approx` restores the
@@ -72,7 +74,7 @@ object Cli {
     }
 
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab> PATH... [flags]")
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample> PATH... [flags]")
     val cmd = argv.head
     val a = parse(argv.toSeq.drop(1))
     def flag(n: String): Option[String] = a.flags.get(n).map(_.last)
@@ -331,6 +333,49 @@ object Cli {
           }
           runIndexQueries(post)
         }
+      // deterministic sampling family: hash-Bernoulli (--fraction),
+      // per-stratum fractions (--mix src=0.5, repeatable), or per-stratum
+      // TOKEN budgets (--budget src=100000, repeatable; Chinchilla-style
+      // mixture cut — returns the kept doc KEYS, join back for bodies).
+      // All md5-keyed: rerun-reproducible, no rand()
+      case "sample" =>
+        val stratumCol = flag("--stratum-col").getOrElse("source")
+        def kvFlags(n: String): Map[String, String] = flagAll(n).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"$n expects NAME=VALUE, got '$kv'")
+          kv.substring(0, i) -> kv.substring(i + 1)
+        }.toMap
+        val budgets = kvFlags("--budget")
+        val mix = kvFlags("--mix")
+        // key on the corpus's own id when it has one (sample membership
+        // then survives re-sharding); else the {file}-{line} synthetic id
+        val keyed =
+          if (docs.columns.contains("id") &&
+            docs.where(col("id").isNull).isEmpty)
+            docs.withColumn("__id", col("id").cast("string"))
+          else Corpus.withFileLineId(docs, "__id")
+        deliver(
+          if (budgets.nonEmpty)
+            operators.Packing.tokenBudgetSample(keyed, "__id", "text",
+              col(stratumCol), budgets.map { case (k, v) => k -> v.toLong })
+          else if (mix.nonEmpty)
+            operators.Analyses.hashStratifiedSample(keyed, col("__id"),
+              col(stratumCol), mix.map { case (k, v) => k -> v.toDouble },
+              defaultFraction = flag("--default-fraction")
+                .map(_.toDouble).getOrElse(0.0)).drop("__id")
+          else {
+            val f = flag("--fraction").map(_.toDouble).getOrElse(
+              sys.error("sample needs --fraction, --mix, or --budget"))
+            require(f >= 0 && f <= 1, "--fraction must be in [0, 1]")
+            if (f == 1.0) docs
+            else {
+              // fraction → 8-hex ceiling, same convention as p14's oracle
+              val ceil = f"${math.round(f * (1L << 32))}%08x"
+              operators.Analyses.hashSample(keyed, col("__id"), ceil).drop("__id")
+            }
+          },
+          ranked = false)
+
       // Heaps'-law curve: vocabulary growth as the corpus accumulates —
       // axis is the numeric `id` field when present, else ingestion order
       // (monotonically_increasing_id: deterministic for a fixed file
