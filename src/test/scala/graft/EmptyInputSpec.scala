@@ -158,6 +158,11 @@ class EmptyInputSpec extends SparkTestBase {
       .count() === 0)
   }
 
+  test("token-budget sample on an empty corpus is empty") {
+    assert(Packing.tokenBudgetSample(docs, "doc_id", "text", col("source"),
+      Map("src1" -> 100L)).count() === 0)
+  }
+
   test("index dictionary surfaces on an empty corpus: empty or zero-row, never a throw") {
     import graft.search.InvertedIndex
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
