@@ -410,6 +410,9 @@ object TextQuality {
     * and reuse across corpora to score B under A's model.
     */
   def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    // the fanOut exchange (local small-input case only; a no-op at scale)
+    // carries just the text column — Catalyst prunes the rest through the
+    // round-robin exchange, ShuffleAudit-verified
     graft.Par.fanOut(docs).select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
 
