@@ -633,4 +633,39 @@ object Similarity {
         .localCheckpoint(true)
     } finally assigned.unpersist(blocking = false)
   }
+
+  /** Embedding-space drift between two snapshots — the representation-side
+    * reading of the question `TextQuality.unigramDivergence` answers for
+    * token distributions: did the embedding distribution move between
+    * releases (new encoder, new corpus mix, silent preprocessing change)?
+    * One row: vector counts, dimensionality, the cosine between the two
+    * RAW mean vectors (1.0 = same direction of mass; unit-normalize
+    * upstream if only orientation should count), and each side's mean L2
+    * norm (catches scale drift that the mean-cosine alone hides).
+    *
+    * Scale shape: per-dimension means via posexplode + groupBy(pos) — the
+    * [[kmeansCentroids]] reduce, shuffling partitions × d partial sums,
+    * corpus-size independent; the two d-row mean frames meet in one tiny
+    * join and the scalar norms are one agg per side. Dimension count must
+    * match between snapshots (rows with other lengths would silently
+    * corrupt the per-pos means — mismatch fails the dims equality check).
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def perDim(df: DataFrame, m: String) =
+      df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(avg("x").as(m))
+    def scalars(df: DataFrame, n: String, mn: String) =
+      df.agg(count(lit(1)).as(n),
+        round(avg(norm(col(vecCol).cast("array<double>"))), 6).as(mn))
+    val mc = perDim(a, "ma").join(perDim(b, "mb"), Seq("pos"))
+      .agg(count(lit(1)).as("dims"),
+        round(sum(col("ma") * col("mb")) /
+          (sqrt(sum(col("ma") * col("ma"))) * sqrt(sum(col("mb") * col("mb")))),
+          6).as("mean_cosine"))
+    scalars(a, "n_a", "mean_norm_a")
+      .crossJoin(scalars(b, "n_b", "mean_norm_b"))
+      .crossJoin(mc)
+      .select(col("n_a"), col("n_b"), col("dims"), col("mean_cosine"),
+        col("mean_norm_a"), col("mean_norm_b"))
+  }
 }

@@ -35,6 +35,14 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-space drift between snapshot halves: cosine of raw mean
+    // vectors + per-side mean norms — the representation-side j13
+    "d_embedding_drift" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.embeddingDrift(emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 =!= 0), "embedding")
+    }),
+
     // unlabeled-mixture card: per-embedding-cluster mass + coherence
     // (assignment replayed in SQL — the dot products fold sequentially in
     // both engines, so argmax ties resolve identically)
@@ -123,6 +131,30 @@ object AnnQueries extends QueryPack {
          | FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(($cosSql), 4) AS cos
          |FROM pairs WHERE ($cosSql) > 0.35 ORDER BY 1, 2""".stripMargin,
+
+    // per-dimension means via indexed unnest; the mean-vector cosine and
+    // the per-side mean L2 norms replay the same double arithmetic
+    "d_embedding_drift" ->
+      """WITH a AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT embedding FROM embeddings WHERE vec_id % 2 <> 0),
+        |ma AS (SELECT e.i AS pos, avg(CAST(e.x AS DOUBLE)) AS m FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(embedding)),
+        |    i -> {'i': i, 'x': embedding[i]})) AS e FROM a) GROUP BY 1),
+        |mb AS (SELECT e.i AS pos, avg(CAST(e.x AS DOUBLE)) AS m FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(embedding)),
+        |    i -> {'i': i, 'x': embedding[i]})) AS e FROM b) GROUP BY 1),
+        |mc AS (SELECT CAST(count(*) AS BIGINT) AS dims,
+        |  round(sum(ma.m * mb.m) /
+        |    (sqrt(sum(ma.m * ma.m)) * sqrt(sum(mb.m * mb.m))), 6) AS mean_cosine
+        | FROM ma JOIN mb USING (pos)),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |  round(avg(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS mean_norm_a FROM a),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |  round(avg(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS mean_norm_b FROM b)
+        |SELECT n_a, n_b, dims, mean_cosine, mean_norm_a, mean_norm_b
+        |FROM sa, sb, mc""".stripMargin,
 
     // the exact IVF pipeline: unit-normalize, argmax bucket per vector
     // (tie -> lower centroid id), top-nprobe buckets per query, score only

@@ -297,4 +297,19 @@ class SimilaritySpec extends SparkTestBase {
     // the duplicated centroid must resolve to code 0, never 3
     assert(got(201L)._1(1) === 0)
   }
+
+  test("embeddingDrift: identical → cosine 1, orthogonal mass → 0, norms reported") {
+    val same = Similarity.embeddingDrift(vecs, vecs, "embedding").head()
+    assert((same.getLong(0), same.getLong(1), same.getLong(2)) === ((5L, 5L, 3L)))
+    assert(same.getDouble(3) === 1.0)
+    assert(same.getDouble(4) === same.getDouble(5))
+    // mass along x vs mass along y → mean vectors orthogonal
+    val x = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val y = Seq((3L, Array(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val d = Similarity.embeddingDrift(x, y, "embedding").head()
+    assert(d.getDouble(3) === 0.0)
+    assert(d.getDouble(4) === 2.0)   // mean L2 of (1, 3)
+    assert(d.getDouble(5) === 2.0)
+  }
 }
