@@ -28,7 +28,8 @@ import graft.sources.Corpus
   *     [--more-like-doc ID | --more-like-text "..." [--mlt-terms N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
-  *     --budget SRC=TOKENS...) [--stratum-col C] [--default-fraction F]
+  *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
+  *     [--stratum-col C] [--default-fraction F]
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
   * replaces the shared-memory sketch); `topk --approx` restores the
@@ -358,6 +359,14 @@ object Cli {
           if (budgets.nonEmpty)
             operators.Packing.tokenBudgetSample(keyed, "__id", "text",
               col(stratumCol), budgets.map { case (k, v) => k -> v.toLong })
+          // mixture execution WITH up-weighting: targets above a source's
+          // availability repeat it (epoch column distinguishes the copies)
+          else if (kvFlags("--upsample").nonEmpty)
+            operators.Analyses.mixtureUpsample(keyed, col("__id"),
+              col(stratumCol), "text",
+              kvFlags("--upsample").map { case (k, v) => k -> v.toDouble },
+              flag("--token-budget").map(_.toLong).getOrElse(
+                sys.error("--upsample needs --token-budget"))).drop("__id")
           else if (mix.nonEmpty)
             operators.Analyses.hashStratifiedSample(keyed, col("__id"),
               col(stratumCol), mix.map { case (k, v) => k -> v.toDouble },

@@ -277,6 +277,47 @@ object Analyses {
     hashStratifiedSample(df, key, stratum, plan, defaultFraction = 0.0)
   }
 
+  /** Execute a mixture WITH up-weighting — the policy [[mixtureSample]]
+    * leaves to the caller and [[temperatureMixture]] surfaces as `epochs`:
+    * a source whose token target exceeds its availability REPEATS, ⌊f⌋
+    * full epochs per doc plus a remainder epoch kept by the
+    * [[hashStratifiedSample]] md5-bucket rule (f = target/available,
+    * uncapped; deterministic across engines, partitionings and reruns).
+    * Output rows carry a 0-based `epoch` column so downstream exact-dedup
+    * can tell intentional repeats from true duplicates. Plan shape: the
+    * O(|sources|) plan aggregate collected to the driver, a scan-pushed
+    * source filter, then ONE narrow per-row explode (×⌈f⌉) — no shuffle;
+    * output volume is governed by the token budget, not the corpus size.
+    * The remainder keep-test compares the integer md5 bucket against
+    * frac(f)·2³² in DOUBLE — both factors exact IEEE doubles, so an SQL
+    * replay of the same arithmetic selects identical rows.
+    */
+  def mixtureUpsample(df: DataFrame, key: Column, stratum: Column, textCol: String,
+                      weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    val plan = df.select(stratum.as("source"),
+        size(split(col(textCol), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("available_tokens"))
+      .collect().flatMap { r =>
+        val available = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val target = math.round(weights.getOrElse(r.getString(0), 0.0) * tokenBudget)
+        if (available > 0L && target > 0L)
+          Some(r.getString(0) -> target.toDouble / available)
+        else None
+      }.toMap
+    def perSource[T](v: Double => T, zero: T): Column =
+      plan.toSeq.sortBy(_._1)
+        .foldLeft(when(lit(false), lit(zero))) { case (acc, (s, f)) =>
+          acc.when(stratum === s, lit(v(f)))
+        }.otherwise(lit(zero))
+    val full = perSource(f => math.floor(f).toLong, 0L)
+    val remThresh = perSource(f => (f - math.floor(f)) * 4294967296.0, 0.0)
+    val bucket = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    df.where(stratum.isin(plan.keys.toSeq.sorted: _*))
+      .withColumn("epoch", explode(sequence(lit(0L), full)))
+      .where(col("epoch") < full || bucket < remThresh)
+  }
+
   /** Temperature-scaled mixture weighting (the multilingual/Pile recipe:
     * sampling probability ∝ available_tokens^alpha, alpha ∈ (0,1] — alpha=1
     * is proportional, alpha→0 is uniform): per source, the smoothed

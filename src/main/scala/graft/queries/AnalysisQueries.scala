@@ -208,6 +208,18 @@ object AnalysisQueries extends QueryPack {
         col("doc_id"), k = 3)
         .select("source", "doc_id").orderBy("source", "doc_id")),
 
+    // mixture execution WITH up-weighting: targets above availability
+    // repeat the source (full epochs + md5-bucket remainder epoch);
+    // rolled up per (source, epoch) so the whole expansion is checked
+    "p24_mixture_upsample" -> ((s, dir) =>
+      Analyses.mixtureUpsample(Tables(s, dir, "documents"), col("doc_id"),
+          col("source"), "text",
+          weights = Map("src10" -> 0.7, "src11" -> 0.3), tokenBudget = 60000L)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("source", "epoch")),
+
     // temperature-scaled mixture (sampling prob ∝ tokens^alpha): the
     // multilingual-corpus balancing recipe next to p16's explicit weights
     "p20_temp_mixture" -> ((s, dir) =>
@@ -487,6 +499,28 @@ object AnalysisQueries extends QueryPack {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents)
         |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
+    // f = target/avail replayed in the same exact-integer→DOUBLE division;
+    // the remainder epoch compares the md5 bucket to frac(f)*2^32 in DOUBLE
+    // — identical IEEE arithmetic both engines, so rows match exactly
+    "p24_mixture_upsample" ->
+      """WITH a AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        | FROM documents GROUP BY 1),
+        |f AS (SELECT source,
+        |  CAST(round((CASE source WHEN 'src10' THEN 0.7
+        |    WHEN 'src11' THEN 0.3 ELSE 0.0 END) * 60000) AS BIGINT) / avail AS f
+        | FROM a),
+        |d AS (SELECT d.source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket,
+        |  f FROM documents d JOIN f USING (source) WHERE f > 0),
+        |e AS (SELECT source, doc_id, t, bucket, f,
+        |  unnest(generate_series(0, CAST(floor(f) AS BIGINT))) AS epoch FROM d)
+        |SELECT source, epoch, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
+        |FROM e
+        |WHERE epoch < floor(f) OR CAST(bucket AS DOUBLE) < (f - floor(f)) * 4294967296.0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p20_temp_mixture" ->
       """WITH a AS (SELECT source, count(*) AS n_docs,

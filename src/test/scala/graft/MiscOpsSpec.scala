@@ -110,6 +110,38 @@ class MiscOpsSpec extends SparkTestBase {
     assert(s1.contains(9L))    // fraction-1.0 source is taken whole
   }
 
+  test("mixtureUpsample: targets above availability repeat the source deterministically") {
+    import graft.operators.Analyses
+    // srcA: 8 tokens available; srcB: 4 — target srcA at 2.5 epochs
+    val df = (1L to 4L).map(i => (i, "a b", "srcA")).toSeq
+      .++(Seq((9L, "w x y z", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val up = Analyses.mixtureUpsample(df, col("doc_id"), col("source"), "text",
+      Map("srcA" -> 1.0, "srcB" -> 0.0), tokenBudget = 20L)
+    val rows = up.collect().map(r => (r.getLong(0), r.getLong(3)))
+    // f = 20/8 = 2.5: every srcA doc appears at epochs 0 and 1...
+    (1L to 4L).foreach { id =>
+      assert(rows.count(_ == (id, 0L)) === 1); assert(rows.count(_ == (id, 1L)) === 1)
+    }
+    // ...plus a strict hash-subset at the remainder epoch 2, and nothing past it
+    val rem = rows.filter(_._2 === 2L).map(_._1).toSet
+    assert(rem.subsetOf(Set(1L, 2L, 3L, 4L)) && rows.forall(_._2 <= 2L))
+    // weight-0 source dropped entirely
+    assert(rows.forall(_._1 !== 9L))
+    // rerun-reproducible (no rand())
+    val again = Analyses.mixtureUpsample(df, col("doc_id"), col("source"), "text",
+      Map("srcA" -> 1.0, "srcB" -> 0.0), 20L).collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.sorted.toSeq === rows.sorted.toSeq)
+    // integer f: exactly f epochs, remainder epoch empty
+    val exact = Analyses.mixtureUpsample(df, col("doc_id"), col("source"), "text",
+      Map("srcA" -> 1.0), tokenBudget = 16L).collect().map(_.getLong(3))
+    assert(exact.count(_ == 0L) === 4 && exact.count(_ == 1L) === 4 && exact.forall(_ <= 1L))
+    // remainder-epoch membership matches the hashStratifiedSample rule at frac(f)
+    val half = Analyses.hashStratifiedSample(df.where(col("source") === "srcA"),
+      col("doc_id"), col("source"), Map("srcA" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(rem === half) // frac(2.5) = 0.5 — same md5-bucket cut
+  }
+
   test("Pipeline facade composes gate -> dedup -> decontaminate") {
     val long = (1 to 60).map(i => s"the tok$i").mkString(" ")
     val docs = Seq(
