@@ -338,6 +338,31 @@ class PlanPropertySpec extends SparkTestBase {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("embeddingDrift: per-dim partial sums only — no vector or corpus shuffle") {
+    val a = emb.where(col("vec_id") % 2 === 0)
+    val b = emb.where(col("vec_id") % 2 =!= 0)
+    val d = Similarity.embeddingDrift(a, b, "embedding")
+    val p = plan(d)
+    // two per-dim mean aggs (pos key) — everything downstream is d-row or
+    // 1-row and meets in broadcast-sized joins; the embedding column
+    // itself never shuffles
+    assert(shuffles(d) <= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("mixtureUpsample: epoch expansion is a narrow explode in the scan stage") {
+    val up = graft.operators.Analyses.mixtureUpsample(docs, col("doc_id"),
+      col("source"), "text", Map("src10" -> 1.0), tokenBudget = 5000L)
+    val p = plan(up)
+    // the O(sources) plan agg already ran at build time (driver collect);
+    // the returned frame is scan → filter → explode → filter, zero shuffle
+    assert(shuffles(up) === 0, p)
+    assert(p.contains("Generate explode"), p)
+    // the source filter reaches the scan (partition/row-group pruning path)
+    assert(p.contains("PushedFilters: [IsNotNull(source)") ||
+      p.contains("In(source"), p)
+  }
+
   test("termsMatching: anchored rlike sits on the scan, agg sized by matches") {
     import graft.search.InvertedIndex
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
