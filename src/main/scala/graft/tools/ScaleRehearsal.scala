@@ -202,6 +202,19 @@ object ScaleRehearsal {
           concat(col("text"), lit(" rev1"))).otherwise(col("text")))
       graft.operators.TextQuality.unigramDivergence(old, nw, "text").count()
     }
+    run("embedding_drift") {
+      graft.operators.Similarity.embeddingDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 =!= 0), "embedding").count()
+    }
+    run("mixture_upsample") {
+      // up-weight one source (1/20 of docs) hard enough that the output is
+      // roughly corpus-sized at ANY replica count (~22 epochs of src10) —
+      // the explode cost, not the plan agg, is what should scale
+      val budget = nDocs * 60L
+      graft.operators.Analyses.mixtureUpsample(docs, col("doc_id"),
+        col("source"), "text", Map("src10" -> 1.0), budget).count()
+    }
     spark.sql("DROP TABLE IF EXISTS scale_idx")
     spark.stop()
   }
