@@ -348,11 +348,17 @@ object Cli {
         }.toMap
         val budgets = kvFlags("--budget")
         val mix = kvFlags("--mix")
+        val upsample = kvFlags("--upsample")
         // key on the corpus's own id when it has one (sample membership
-        // then survives re-sharding); else the {file}-{line} synthetic id
+        // then survives re-sharding); else the {file}-{line} synthetic id.
+        // The null probe selects ONLY the id field (JSON parser prunes the
+        // rest) and early-exits on the first null; the all-ids-present
+        // common case then avoids withFileLineId's corpus-wide window
+        // shuffle entirely — cheaper at scale than an unconditional
+        // per-row coalesce fallback would be
         val keyed =
           if (docs.columns.contains("id") &&
-            docs.where(col("id").isNull).isEmpty)
+            docs.select(col("id")).where(col("id").isNull).isEmpty)
             docs.withColumn("__id", col("id").cast("string"))
           else Corpus.withFileLineId(docs, "__id")
         deliver(
@@ -361,10 +367,10 @@ object Cli {
               col(stratumCol), budgets.map { case (k, v) => k -> v.toLong })
           // mixture execution WITH up-weighting: targets above a source's
           // availability repeat it (epoch column distinguishes the copies)
-          else if (kvFlags("--upsample").nonEmpty)
+          else if (upsample.nonEmpty)
             operators.Analyses.mixtureUpsample(keyed, col("__id"),
               col(stratumCol), "text",
-              kvFlags("--upsample").map { case (k, v) => k -> v.toDouble },
+              upsample.map { case (k, v) => k -> v.toDouble },
               flag("--token-budget").map(_.toLong).getOrElse(
                 sys.error("--upsample needs --token-budget"))).drop("__id")
           else if (mix.nonEmpty)
@@ -374,14 +380,17 @@ object Cli {
                 .map(_.toDouble).getOrElse(0.0)).drop("__id")
           else {
             val f = flag("--fraction").map(_.toDouble).getOrElse(
-              sys.error("sample needs --fraction, --mix, or --budget"))
+              sys.error("sample needs --fraction, --mix, --budget, or --upsample"))
             require(f >= 0 && f <= 1, "--fraction must be in [0, 1]")
-            if (f == 1.0) docs
-            else {
-              // fraction → 8-hex ceiling, same convention as p14's oracle
-              val ceil = f"${math.round(f * (1L << 32))}%08x"
-              operators.Analyses.hashSample(keyed, col("__id"), ceil).drop("__id")
-            }
+            // fraction → 8-hex ceiling, same convention as p14's oracle.
+            // Fractions within 2^-33 of 1.0 round UP to 2^32, whose hex is
+            // 9 digits — formatting that would silently keep ~1/16 of the
+            // corpus (lexicographic compare against a 9-char bound), so a
+            // saturated ceiling means "keep everything"
+            val ceilL = math.round(f * (1L << 32))
+            if (ceilL >= (1L << 32)) docs
+            else operators.Analyses.hashSample(keyed, col("__id"),
+              f"$ceilL%08x").drop("__id")
           },
           ranked = false)
 

@@ -6,8 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd+ args: run only the named queries (local iteration;
-    // the driver always calls with exactly two)
+    // the driver always calls with exactly two). Unknown names fail loudly
+    // — a typo would otherwise produce an empty run that verify_local
+    // reports as a passing 0/0.
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -647,24 +647,37 @@ object Similarity {
     * [[kmeansCentroids]] reduce, shuffling partitions × d partial sums,
     * corpus-size independent; the two d-row mean frames meet in one tiny
     * join and the scalar norms are one agg per side. Dimension count must
-    * match between snapshots (rows with other lengths would silently
-    * corrupt the per-pos means — mismatch fails the dims equality check).
+    * match between snapshots AND within each one (rows with other lengths
+    * would silently corrupt the per-pos means, and the inner join would
+    * report a truncated cosine over the common prefix) — a runtime
+    * `assert_true` over the per-side min/max lengths fails the job on any
+    * mismatch instead; empty snapshots still yield a null-cosine row.
     */
   def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
     def perDim(df: DataFrame, m: String) =
       df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy("pos").agg(avg("x").as(m))
-    def scalars(df: DataFrame, n: String, mn: String) =
+    def scalars(df: DataFrame, n: String, mn: String, suffix: String) =
       df.agg(count(lit(1)).as(n),
-        round(avg(norm(col(vecCol).cast("array<double>"))), 6).as(mn))
+        round(avg(norm(col(vecCol).cast("array<double>"))), 6).as(mn),
+        min(size(col(vecCol))).as(s"__dmin$suffix"),
+        max(size(col(vecCol))).as(s"__dmax$suffix"))
     val mc = perDim(a, "ma").join(perDim(b, "mb"), Seq("pos"))
       .agg(count(lit(1)).as("dims"),
         round(sum(col("ma") * col("mb")) /
           (sqrt(sum(col("ma") * col("ma"))) * sqrt(sum(col("mb") * col("mb")))),
           6).as("mean_cosine"))
-    scalars(a, "n_a", "mean_norm_a")
-      .crossJoin(scalars(b, "n_b", "mean_norm_b"))
+    scalars(a, "n_a", "mean_norm_a", "a")
+      .crossJoin(scalars(b, "n_b", "mean_norm_b", "b"))
       .crossJoin(mc)
+      // a filter, not an unused column, so pruning can't drop the assert;
+      // an empty side leaves its min/max null → coalesce passes it through
+      .where(assert_true(coalesce(
+          col("__dmina") === col("__dmaxa") &&
+            col("__dminb") === col("__dmaxb") &&
+            col("__dmaxa") === col("__dmaxb"), lit(true)),
+        lit("embeddingDrift: embedding dimensionality differs between or " +
+          "within snapshots")).isNull)
       .select(col("n_a"), col("n_b"), col("dims"), col("mean_cosine"),
         col("mean_norm_a"), col("mean_norm_b"))
   }

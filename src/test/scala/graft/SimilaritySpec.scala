@@ -311,5 +311,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(d.getDouble(3) === 0.0)
     assert(d.getDouble(4) === 2.0)   // mean L2 of (1, 3)
     assert(d.getDouble(5) === 2.0)
+    // cross-snapshot dimensionality mismatch fails the job instead of
+    // reporting a truncated common-prefix cosine
+    val y3 = Seq((4L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.embeddingDrift(x, y3, "embedding").head()
+    }
+    assert(ex.getMessage.contains("dimensionality") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimensionality")))
+    // an empty side degrades to a null-cosine row, not an error
+    val e = Similarity.embeddingDrift(x, y.where(lit(false)), "embedding").head()
+    assert(e.getLong(0) === 2L && e.getLong(1) === 0L && e.isNullAt(3))
   }
 }

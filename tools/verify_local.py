@@ -63,9 +63,9 @@ for name, sql in sorted(oracle.items()):
         continue
     # fixture-keyed oracles are keyed by corpus md5: at a NON-oracle sf the
     # golden simply doesn't exist (0 rows) — that's a SKIP when sweeping
-    # other scale factors, not a failure (the driver always runs the
-    # oracle sf, where an absent fixture still fails hard)
-    if name in fixture_keyed and not drows and sf.rstrip("/").endswith("sf0.1"):
+    # ANY other scale factor, not a failure (the driver always runs the
+    # oracle sf sf0.01, where an absent fixture still fails hard)
+    if name in fixture_keyed and not drows and not sf.rstrip("/").endswith("sf0.01"):
         print(f"SKIP {name}: golden fixture keyed to the oracle sf")
         skipped += 1
         continue
