@@ -18,6 +18,15 @@ object SearchQueries extends QueryPack {
   private val idxPhrases = Seq("batch batch", "spark window", "data line",
     "no such phrase xyz")
   private val bm25Terms = Seq("spark", "window", "data")
+  // paired-contamination examples: multi-field benchmark rows (question +
+  // answer style) — a mix of co-occurring pairs, a pair that hits only in
+  // separate docs at small sf, a single-field example, and an absent field
+  private val pairedExamples = Seq(
+    Seq("spark window", "data line"),
+    Seq("the key", "slow fast"),
+    Seq("customer query", "merge batch"),
+    Seq("batch window"),
+    Seq("spark window", "zz missing qq"))
   private val proxPairs = Seq(("spark", "window"), ("data", "line"),
     ("spark", "zzzz"))
 
@@ -170,6 +179,21 @@ object SearchQueries extends QueryPack {
         uax29 = false)
       graft.search.InvertedIndex.phraseHits(post, top :+ "zz qq zz",
         uax29 = false).orderBy("phrase")
+    }),
+
+    // paired contamination (multi-field benchmark examples): one corpus
+    // scan with a conjunction predicate per example
+    "e25_paired_contamination" -> ((s, dir) =>
+      Searcher.pairedContamination(Tables(s, dir, "documents"), "text",
+        pairedExamples, uax29 = false)),
+
+    // the same examples answered from the index — must agree exactly with
+    // e25 (the oracle is verbatim the same SQL)
+    "e26_paired_indexed" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        Tables(s, dir, "documents"), "doc_id", "text", uax29 = false)
+      graft.search.InvertedIndex.pairedContaminationIndexed(post,
+        pairedExamples, uax29 = false)
     }),
 
     // collocation counts off the index: symmetric proximity window over
@@ -335,6 +359,21 @@ object SearchQueries extends QueryPack {
   private def padHit(phrase: String): String =
     s"contains(' ' || text || ' ', ' $phrase ')"
 
+  // paired contamination ground truth, built from the SAME example list the
+  // Spark queries use: an example is contaminated iff one document holds
+  // every field phrase. e25 (scan tier) and e26 (index tier) both replay it.
+  private def pairedOracle: String = {
+    val rows = pairedExamples.zipWithIndex.map { case (ps, i) =>
+      s"SELECT $i AS example_id, CASE WHEN EXISTS(SELECT 1 FROM documents " +
+        s"WHERE ${ps.map(padHit).mkString(" AND ")}) THEN 1 ELSE 0 END AS hit"
+    }.mkString(" UNION ALL ")
+    s"""WITH ex AS ($rows)
+       |SELECT n_examples, n_contaminated,
+       | round(n_contaminated / CAST(n_examples AS DOUBLE), 6) AS pct
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS n_examples,
+       |  CAST(sum(hit) AS BIGINT) AS n_contaminated FROM ex)""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "e8_concordance" ->
       """WITH p AS (SELECT doc_id, string_split(text, 'data line') AS ps
@@ -351,6 +390,9 @@ object SearchQueries extends QueryPack {
     "e1_count_any" ->
       s"""SELECT count(*) AS n_docs FROM documents
          |WHERE ${anyPhrases.map(padHit).mkString(" OR ")}""".stripMargin,
+
+    "e25_paired_contamination" -> pairedOracle,
+    "e26_paired_indexed" -> pairedOracle,
 
     "e1_count_all" ->
       s"""SELECT count(*) AS n_docs FROM documents

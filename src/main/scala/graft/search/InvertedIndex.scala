@@ -817,6 +817,48 @@ object InvertedIndex {
           .as("n_contaminated"),
         round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
 
+  /** Paired contamination off the index (reference wimbd/es/
+    * corpus_contamination.py:44-58 `paired_contamination_percentage`): a
+    * benchmark EXAMPLE is several field phrases (question + answer) and
+    * counts as contaminated iff ONE document contains all of them. The
+    * DISTINCT phrase union runs through the same single-plan candidate
+    * machinery as [[phraseHits]] (one pruned postings read, one broadcast
+    * slot frame); per-(example, doc) completeness is a count against a
+    * broadcast (example, phrase) frame — O(1) plan operators in example
+    * count, nothing corpus-sized. Same output shape as
+    * `Searcher.pairedContamination`, which it must agree with exactly.
+    */
+  def pairedContaminationIndexed(postings: DataFrame,
+                                 examples: Seq[Seq[String]],
+                                 uax29: Boolean = true): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    if (examples.isEmpty)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("n_examples", "n_contaminated", "pct")
+    require(examples.forall(_.nonEmpty),
+      "each example needs at least one field phrase")
+    val hits = phraseOccurrences(postings,
+      parsePhrases(examples.flatten.distinct, uax29))
+      .select("phrase", "doc_id")
+    val exFrame = examples.zipWithIndex.flatMap { case (ps, i) =>
+      val fields = ps.distinct
+      fields.map(p => (i.toLong, p, fields.size.toLong))
+    }.toDF("example_id", "phrase", "__n_fields")
+    // hits is one row per (phrase, doc); a doc completes an example when
+    // it holds every DISTINCT field phrase of it
+    val contaminated = hits.join(broadcast(exFrame), Seq("phrase"))
+      .groupBy("example_id", "doc_id")
+      .agg(count(lit(1)).as("__hit_fields"),
+        first("__n_fields").as("__n_fields"))
+      .where(col("__hit_fields") === col("__n_fields"))
+      .select("example_id").distinct()
+    contaminated.agg(count(lit(1)).as("n_contaminated"))
+      .select(lit(examples.size.toLong).as("n_examples"),
+        col("n_contaminated").cast("long").as("n_contaminated"))
+      .withColumn("pct", round(col("n_contaminated") / col("n_examples"), 6))
+  }
+
   /** E1-with-slop answered from the index, set-oriented like
     * [[phraseHits]]: same broadcast slot frame, same single postings join
     * and (phrase, doc) aggregate, with the match decided by the Lucene

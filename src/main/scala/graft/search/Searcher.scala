@@ -142,6 +142,41 @@ object Searcher {
         round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
   }
 
+  /** Paired contamination (reference wimbd/es/corpus_contamination.py:44-58
+    * `paired_contamination_percentage`): a benchmark EXAMPLE carries
+    * several field strings (question + answer, premise + hypothesis) and
+    * is contaminated iff some SINGLE document contains ALL of them — the
+    * reference zips the fields and queries with `all_phrases=True`; a doc
+    * holding only the question does not count. ONE corpus scan: a
+    * conjunction predicate column per example, one partial aggregate
+    * (per-example max), the driver-side rollup — plan cost O(|examples|)
+    * expressions, never O(|examples|) jobs. Same output shape as
+    * [[contamination]] (n, count, percentage in the reference's summary).
+    */
+  def pairedContamination(df: DataFrame, textCol: String,
+                          examples: Seq[Seq[String]], slop: Int = 0,
+                          uax29: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    if (examples.isEmpty) { // empty benchmark → empty report, never a throw
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("n_examples", "n_contaminated", "pct")
+    }
+    require(examples.forall(_.nonEmpty),
+      "each example needs at least one field phrase")
+    val preds = df.select(examples.zipWithIndex.map { case (ps, i) =>
+      ps.map(p => phrasePredicate(col(textCol), p, slop, uax29))
+        .reduce(_ && _).cast("long").as(s"__e$i")
+    }: _*)
+    val aggs = examples.indices.map(i =>
+      coalesce(max(col(s"__e$i")), lit(0L)).as(s"__e$i"))
+    preds.agg(aggs.head, aggs.tail: _*)
+      .select(lit(examples.size.toLong).as("n_examples"),
+        examples.indices.map(i => col(s"__e$i")).reduce(_ + _)
+          .as("n_contaminated"))
+      .withColumn("pct", round(col("n_contaminated") / col("n_examples"), 6))
+  }
+
   /** E6: random access by id and seeded random sample. */
   def byId(df: DataFrame, idCol: String, ids: Seq[Any]): DataFrame =
     df.where(col(idCol).isin(ids: _*))

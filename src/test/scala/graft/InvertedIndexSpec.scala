@@ -90,6 +90,36 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("pairedContamination: fields must co-occur in ONE doc; tiers agree") {
+    // "q1 a1" split across docs: each field present somewhere, never
+    // together — unpaired contamination would count it, paired must not
+    val corpus = Seq(
+      (1L, "q1 foo bar"),       // question of ex0 only
+      (2L, "baz a1 qux"),       // answer of ex0 only
+      (3L, "q2 mid a2 tail")    // ex1 fully inside one doc
+    ).toDF("doc_id", "text")
+    val examples = Seq(Seq("q1", "a1"), Seq("q2", "a2"), Seq("zz absent"))
+    val scan = Searcher.pairedContamination(corpus, "text", examples,
+      uax29 = false).head()
+    assert((scan.getLong(0), scan.getLong(1), scan.getDouble(2)) ===
+      ((3L, 1L, 0.333333)))
+    val post = InvertedIndex.postings(corpus, "doc_id", "text", uax29 = false)
+    val idx = InvertedIndex.pairedContaminationIndexed(post, examples,
+      uax29 = false).head()
+    assert((idx.getLong(0), idx.getLong(1), idx.getDouble(2)) ===
+      ((scan.getLong(0), scan.getLong(1), scan.getDouble(2))))
+    // duplicate field phrases inside one example don't demand 2 distinct
+    // hits; a single-field example degrades to plain contamination
+    val dup = InvertedIndex.pairedContaminationIndexed(post,
+      Seq(Seq("q2", "q2", "a2"), Seq("mid")), uax29 = false).head()
+    assert((dup.getLong(0), dup.getLong(1)) === ((2L, 2L)))
+    // empty benchmark → empty report on both tiers, never a throw
+    assert(Searcher.pairedContamination(corpus, "text", Seq.empty,
+      uax29 = false).isEmpty)
+    assert(InvertedIndex.pairedContaminationIndexed(post, Seq.empty,
+      uax29 = false).isEmpty)
+  }
+
   test("differential: index-tier slop counts == scan-tier PhraseMatchLucene") {
     val rnd = new scala.util.Random(11)
     val vocab = Array("x", "y", "z", "w")
