@@ -201,6 +201,14 @@ object Wimbd {
                           slop: Int = 0): DataFrame =
     Searcher.contamination(docs, "text", phrases, slop)
 
+  /** corpus_contamination.py:44-58 `paired_contamination_percentage` —
+    * multi-field benchmark examples (zipped fields), contaminated iff one
+    * document contains every field phrase together.
+    */
+  def pairedContamination(docs: DataFrame, examples: Seq[Seq[String]],
+                          slop: Int = 0): DataFrame =
+    Searcher.pairedContamination(docs, "text", examples, slop)
+
   /** JSONL result sink with the reference's `--force` overwrite guard
     * (reference src/util.rs:6-25).
     */

@@ -77,6 +77,11 @@ class WimbdSpec extends SparkTestBase {
     assert(ttf === Map("the" -> 2L, "zz" -> 0L))
     assert(Wimbd.corpusContamination(docs, Seq("quick brown", "no such thing"))
       .head().getAs[Double]("pct") === 0.5)
+    // paired: both fields must land in ONE doc
+    val paired = Wimbd.pairedContamination(docs,
+      Seq(Seq("quick brown", "the"), Seq("quick brown", "no such thing")))
+      .head()
+    assert((paired.getLong(0), paired.getLong(1)) === ((2L, 1L)))
   }
 
   test("index tier facade: build, phrase counts (exact + slop), bm25 rank") {
