@@ -120,6 +120,30 @@ class InvertedIndexSpec extends SparkTestBase {
       uax29 = false).isEmpty)
   }
 
+  test("differential: paired contamination, random corpus, tiers agree") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Array("x", "y", "z", "w")
+    val corpus = (1L to 80L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val post = InvertedIndex.postings(corpus, "doc_id", "text", uax29 = false)
+      .localCheckpoint()
+    def randPhrase(): String =
+      Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    (1 to 5).foreach { trial =>
+      val examples = Seq.fill(1 + rnd.nextInt(4))(
+        Seq.fill(1 + rnd.nextInt(3))(randPhrase()))
+      val scan = Searcher.pairedContamination(corpus, "text", examples,
+        uax29 = false).head()
+      val idx = InvertedIndex.pairedContaminationIndexed(post, examples,
+        uax29 = false).head()
+      assert((scan.getLong(0), scan.getLong(1)) ===
+        ((idx.getLong(0), idx.getLong(1))), s"trial $trial: $examples")
+    }
+  }
+
   test("differential: index-tier slop counts == scan-tier PhraseMatchLucene") {
     val rnd = new scala.util.Random(11)
     val vocab = Array("x", "y", "z", "w")
