@@ -19,6 +19,25 @@ object TextFunctions {
   /** UAX-29 word tokenize (reference src/tokens.rs:8-17). */
   def tokenize(c: Column): Column = e2col(Tokenize(col2e(c)))
 
+  /** The reference ES tier's `standard` analyzer (its indices declare
+    * `text: {type: text}` with no custom analyzer — wimbd/es/README.md:
+    * 102-125, so phrase queries there are case-folded and ignore
+    * punctuation), Spark-shaped: UAX-29 segmentation over the lowercased
+    * text, punctuation/symbol-only tokens dropped. Exposed as a
+    * PROJECTION rather than an option on every operator: materialize
+    * [[esAnalyzeText]] once and run ANY surface over it with uax29=false
+    * — phrase counts, contamination, the index build — which is exactly
+    * the reference's posture (analysis happens at index-write time, and
+    * queries analyze their phrases with the same analyzer; see
+    * `Searcher.analyzePhrase`).
+    */
+  def esAnalyze(text: Column): Column =
+    filter(tokenize(lower(text)), t => t.rlike("[\\p{L}\\p{N}]"))
+
+  /** [[esAnalyze]] re-joined to a single-space string — the normalized
+    * text column every downstream operator consumes with uax29=false. */
+  def esAnalyzeText(text: Column): Column = array_join(esAnalyze(text), " ")
+
   /** n-grams of a token array, space-joined strings. */
   def ngrams(tokens: Column, n: Int): Column =
     e2col(NGramsJoined(col2e(tokens), col2e(lit(n))))

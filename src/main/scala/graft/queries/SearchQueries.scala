@@ -196,6 +196,29 @@ object SearchQueries extends QueryPack {
         pairedExamples, uax29 = false)
     }),
 
+    // ES standard-analyzer parity: deterministically MANGLE the corpus
+    // (case noise + punctuation-only tokens), analyze it back with
+    // esAnalyzeText, and demand the per-phrase counts equal the oracle's
+    // PLAIN counts over the clean text — the analyzer must exactly undo
+    // the mangling, as the reference's ES index does at write time
+    "e27_analyzed_count" -> ((s, dir) =>
+      Searcher.countPerPhrase(
+        analyzerMangled(Tables(s, dir, "documents")), "text",
+        analyzedPhrases.map(Searcher.analyzePhrase), uax29 = false)
+        .orderBy("phrase")),
+
+    // the same analyzed corpus INDEXED: postings built over the analyzed
+    // column answer the analyzed phrase battery — write-time analysis,
+    // the reference ES posture, same clean-text oracle
+    "e28_analyzed_indexed" -> ((s, dir) => {
+      val post = graft.search.InvertedIndex.postings(
+        analyzerMangled(Tables(s, dir, "documents")), "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.phraseHits(post,
+        analyzedPhrases.map(Searcher.analyzePhrase), uax29 = false)
+        .orderBy("phrase")
+    }),
+
     // collocation counts off the index: symmetric proximity window over
     // two posting lists per pair, no corpus scan
     "e14_term_proximity" -> ((s, dir) => {
@@ -359,6 +382,19 @@ object SearchQueries extends QueryPack {
   private def padHit(phrase: String): String =
     s"contains(' ' || text || ' ', ' $phrase ')"
 
+  // analyzer-parity fixtures: phrases arrive mixed-case (analyzePhrase
+  // folds them); the corpus mangling is upper-case every 3rd doc and
+  // punctuation-only tokens on the next — esAnalyzeText must undo both
+  private val analyzedPhrases =
+    Seq("Spark WINDOW", "batch batch", "Data LINE")
+  private def analyzerMangled(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      graft.functions.TextFunctions.esAnalyzeText(
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(", . "), col("text"), lit(" ; ... !")))
+          .otherwise(col("text"))))
+
   // paired contamination ground truth, built from the SAME example list the
   // Spark queries use: an example is contaminated iff one document holds
   // every field phrase. e25 (scan tier) and e26 (index tier) both replay it.
@@ -393,6 +429,29 @@ object SearchQueries extends QueryPack {
 
     "e25_paired_contamination" -> pairedOracle,
     "e26_paired_indexed" -> pairedOracle,
+
+    // the analyzer exactly undoes the mangling, so ground truth is the
+    // PLAIN per-phrase count over the CLEAN text with folded phrases
+    "e27_analyzed_count" ->
+      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${analyzedPhrases.map(p => s"('${Searcher.analyzePhrase(p)}')").mkString(", ")}) v(p))
+         |SELECT phrase,
+         | CAST(coalesce(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+         |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+         |FROM ph LEFT JOIN documents ON true GROUP BY phrase
+         |ORDER BY phrase""".stripMargin,
+
+    "e28_analyzed_indexed" ->
+      s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ${analyzedPhrases.map(p => s"('${Searcher.analyzePhrase(p)}')").mkString(", ")}) v(p)),
+         |ngs AS (SELECT ngram FROM (${DuckSql.ngrams(2)})),
+         |occ AS (SELECT phrase, CAST(count(ngram) AS BIGINT) AS occurrences
+         | FROM ph LEFT JOIN ngs ON ngs.ngram = ph.phrase GROUP BY phrase),
+         |nd AS (SELECT phrase,
+         |  CAST(coalesce(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs
+         | FROM ph LEFT JOIN documents ON true GROUP BY phrase)
+         |SELECT ph.phrase, occ.occurrences, nd.n_docs
+         |FROM ph JOIN occ USING (phrase) JOIN nd USING (phrase)
+         |ORDER BY phrase""".stripMargin,
 
     "e1_count_all" ->
       s"""SELECT count(*) AS n_docs FROM documents

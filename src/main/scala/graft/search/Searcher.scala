@@ -30,6 +30,14 @@ object Searcher {
       else PhraseMatch(args._1, args._2, args._3))
   }
 
+  /** Analyze a query string the way [[TextFunctions.esAnalyzeText]]
+    * analyzes documents — ES runs the SAME analyzer on both sides of a
+    * match_phrase, so phrases aimed at an analyzed column must fold too.
+    */
+  def analyzePhrase(s: String): String =
+    graft.functions.Tokenizer.tokenize(s.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.exists(Character.isLetterOrDigit)).mkString(" ")
+
   private def combined(text: Column, phrases: Seq[String], allPhrases: Boolean,
                        slop: Int, isRegexp: Boolean, uax29: Boolean,
                        luceneSlop: Boolean = false): Column = {

@@ -119,6 +119,27 @@ class PhraseMatchSpec extends SparkTestBase {
     }
   }
 
+  test("ES standard analyzer: lowercase fold, punctuation dropped, both sides") {
+    import graft.functions.TextFunctions
+    val raw = Seq(
+      "Hello, World! The RSS 2.0 feed...",
+      "HELLO WORLD",
+      "; , ! .").toDF("text")
+    val analyzed = raw
+      .select(TextFunctions.esAnalyzeText(col("text")).as("text"))
+      .collect().map(_.getString(0)).toSeq
+    // standard analyzer keeps "2.0" whole (UAX-29), folds case, drops
+    // punctuation-only tokens; an all-punctuation doc analyzes to empty
+    assert(analyzed === Seq("hello world the rss 2.0 feed", "hello world", ""))
+    assert(Searcher.analyzePhrase("Hello, WORLD!") === "hello world")
+    // end to end: a cased, punctuated phrase hits both cased docs
+    val n = raw.select(TextFunctions.esAnalyzeText(col("text")).as("text"))
+      .where(Searcher.phrasePredicate(col("text"),
+        Searcher.analyzePhrase("heLLo, wOrLd"), uax29 = false))
+      .count()
+    assert(n === 2L)
+  }
+
   test("lucene mode registered as SQL function") {
     graft.GraftExtensions.register(spark)
     val n = spark.sql(
