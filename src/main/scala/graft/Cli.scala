@@ -14,6 +14,7 @@ import graft.sources.Corpus
   *     [--approx [--width W] [--hashes D] [--seed S] [--threshold T]]
   *   runMain graft.Cli botk PATH... --ngram 3 --topk 20
   *   runMain graft.Cli count PATH... --search "The" --search "and the"
+  *     [--analyzed]     // ES standard-analyzer fold (any text subcommand)
   *   runMain graft.Cli search PATH... --pattern "re+gex" [--with-locations]
   *     [--locations-limit N]
   *   runMain graft.Cli stats PATH...
@@ -45,7 +46,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -91,9 +92,20 @@ object Cli {
     Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = Corpus.readJsonl(spark, a.paths,
+    val rawDocs = Corpus.readJsonl(spark, a.paths,
       perFileLimit = flag("--limit").map(_.toInt),
       fileLimit = flag("--file-limit").map(_.toInt))
+    // --analyzed: run the command over ES-standard-analyzed text (the
+    // reference index's write-time analysis) — a projection, so every
+    // subcommand inherits it; query strings fold via analyzePhrase below
+    val analyzed = a.flags.contains("--analyzed")
+    val docs =
+      if (analyzed) rawDocs.withColumn("text",
+        graft.functions.TextFunctions.esAnalyzeText(col("text")))
+      else rawDocs
+    def searchStrings(n: String): Seq[String] =
+      if (analyzed) flagAll(n).map(search.Searcher.analyzePhrase)
+      else flagAll(n)
 
     val out = flag("--out")
     def deliver(df: DataFrame, ranked: Boolean): Unit = out match {
@@ -131,7 +143,7 @@ object Cli {
         deliver(NgramOps.botK(docs, "text", intFlag("--ngram", 3), intFlag("--topk", 20),
           uax29 = uax), ranked = true)
       case "count" =>
-        deliver(NgramOps.countPhrases(docs, "text", flagAll("--search"), uax29 = uax),
+        deliver(NgramOps.countPhrases(docs, "text", searchStrings("--search"), uax29 = uax),
           ranked = false)
       case "search" =>
         if (a.flags.contains("--with-locations"))
@@ -214,7 +226,7 @@ object Cli {
       // with BOTH --table and --search the query reads the saved table
       // (pruned posting reads), the "index once, query many" posture
       case "index" =>
-        val phrases = flagAll("--search")
+        val phrases = searchStrings("--search")
         // dictionary-level queries: --regexp / --wildcard (Lucene
         // full-term match → per-term df/ttf) and --search-prefix
         // (match_phrase_prefix: trailing token is a prefix)
