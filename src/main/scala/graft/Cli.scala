@@ -103,9 +103,18 @@ object Cli {
       if (analyzed) rawDocs.withColumn("text",
         graft.functions.TextFunctions.esAnalyzeText(col("text")))
       else rawDocs
-    def searchStrings(n: String): Seq[String] =
-      if (analyzed) flagAll(n).map(search.Searcher.analyzePhrase)
-      else flagAll(n)
+    def foldQuery(s: String): String =
+      if (analyzed) search.Searcher.analyzePhrase(s) else s
+    def searchStrings(n: String): Seq[String] = flagAll(n).map(foldQuery)
+    // secondary corpora (--bench / --old / --refresh-old) fold through the
+    // SAME analyzer as the primary — comparing analyzed text against raw
+    // text would silently match nothing (hashes/diffs keyed on text)
+    def readSecondary(paths: Seq[String]): DataFrame = {
+      val d = Corpus.readJsonl(spark, paths)
+      if (analyzed) d.withColumn("text",
+        graft.functions.TextFunctions.esAnalyzeText(col("text")))
+      else d
+    }
 
     val out = flag("--out")
     def deliver(df: DataFrame, ranked: Boolean): Unit = out match {
@@ -170,7 +179,7 @@ object Cli {
       // when both snapshots carry one, else on the reference-style
       // `{file}-{line}` synthetic id (Corpus.withFileLineId).
       case "diff" =>
-        val old = Corpus.readJsonl(spark, flagAll("--old").map(p => p: String))
+        val old = readSecondary(flagAll("--old").map(p => p: String))
         val bothHaveIds = Seq(old, docs).forall(df =>
           !df.where(col("id").isNotNull).isEmpty)
         def keyed(df: DataFrame): DataFrame =
@@ -197,8 +206,7 @@ object Cli {
       // reference wimbd/text_and_url_overlaps/decontaminate.py: drop docs
       // whose text hash appears in the --bench corpus
       case "decontaminate" =>
-        val bench = Corpus.readJsonl(spark,
-          flagAll("--bench").map(p => p: String))
+        val bench = readSecondary(flagAll("--bench").map(p => p: String))
         deliver(operators.Dedup.decontaminate(
           docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
       // the "what's in my big data" report card (counts, size, dup rate,
@@ -231,11 +239,15 @@ object Cli {
         // full-term match → per-term df/ttf) and --search-prefix
         // (match_phrase_prefix: trailing token is a prefix)
         val rePat = flag("--regexp")
+        // analyzed-field parity matches ES: match_phrase_prefix and
+        // more_like_this ANALYZE their query text; term-level queries
+        // (regexp / wildcard / fuzzy) do NOT — they match stored terms
+        // as-given, so those stay raw even under --analyzed
         val wcPat = flag("--wildcard")
         val fuzzyTerm = flag("--fuzzy")
         val mltDoc = flag("--more-like-doc")
-        val mltText = flag("--more-like-text")
-        val prefixPhrases = flagAll("--search-prefix")
+        val mltText = flag("--more-like-text").map(foldQuery)
+        val prefixPhrases = searchStrings("--search-prefix")
         val hasQuery = phrases.nonEmpty || rePat.nonEmpty ||
           wcPat.nonEmpty || prefixPhrases.nonEmpty || fuzzyTerm.nonEmpty ||
           mltDoc.nonEmpty || mltText.nonEmpty
@@ -313,7 +325,7 @@ object Cli {
         if (refreshOld.nonEmpty) {
           val t = table.getOrElse(sys.error("index --refresh-old needs --table"))
           ensureIndexTable(t, s"index OLDPATH... --table $t")
-          val old = Corpus.readJsonl(spark, refreshOld.map(p => p: String))
+          val old = readSecondary(refreshOld.map(p => p: String))
           val bothHaveIds = Seq(old, docs).forall(df =>
             !df.where(col("id").isNotNull).isEmpty)
           val (o, n, idc) =
@@ -425,7 +437,7 @@ object Cli {
       case "grep" =>
         deliver(SearchOps.concordance(
           Corpus.withFileLineId(docs, "__id"), "__id", "text",
-          flag("--phrase").getOrElse(sys.error("grep needs --phrase")),
+          foldQuery(flag("--phrase").getOrElse(sys.error("grep needs --phrase"))),
           intFlag("--context", 30)), ranked = false)
       case other => sys.error(s"unknown command: $other")
     }

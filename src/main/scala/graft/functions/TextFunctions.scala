@@ -30,9 +30,18 @@ object TextFunctions {
     * the reference's posture (analysis happens at index-write time, and
     * queries analyze their phrases with the same analyzer; see
     * `Searcher.analyzePhrase`).
+    *
+    * Divergence note, handled here: the library tokenizer (JDK
+    * BreakIterator grammar, reference-CLI parity) joins `-`, `_` and `"`
+    * mid-word, while ES's true-UAX-29 standard tokenizer splits them
+    * ("state-of-the-art" → [state, of, the, art]) — so those three are
+    * translated to spaces BEFORE tokenizing. Apostrophes and decimal
+    * points stay mid-word on both sides. `Searcher.analyzePhrase` must
+    * mirror every step of this pipeline exactly.
     */
   def esAnalyze(text: Column): Column =
-    filter(tokenize(lower(text)), t => t.rlike("[\\p{L}\\p{N}]"))
+    filter(tokenize(translate(lower(text), "-_\"", "   ")),
+      t => t.rlike("[\\p{L}\\p{N}]"))
 
   /** [[esAnalyze]] re-joined to a single-space string — the normalized
     * text column every downstream operator consumes with uax29=false. */

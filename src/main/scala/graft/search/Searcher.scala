@@ -23,7 +23,13 @@ object Searcher {
   def phrasePredicate(text: Column, phrase: String, slop: Int = 0,
                       uax29: Boolean = true, luceneSlop: Boolean = false): Column = {
     val toks = if (uax29) TextFunctions.tokenize(text) else split(text, " ")
-    val ph = split(lit(phrase), " ")
+    // the PHRASE goes through the same tokenizer as the documents
+    // (reference src/cmd/count.rs:120-131 and the ES analyzer both do) —
+    // a space-split phrase like "Paris." could never match UAX-29 text
+    // tokens, and the index tier (parsePhrases) already tokenizes
+    val ph = typedLit(
+      if (uax29) graft.functions.Tokenizer.tokenize(phrase).toSeq
+      else phrase.split(" ").toSeq)
     val args = (Bridge.expression(toks), Bridge.expression(ph), Bridge.expression(lit(slop)))
     Bridge.column(
       if (luceneSlop) PhraseMatchLucene(args._1, args._2, args._3)
@@ -33,10 +39,26 @@ object Searcher {
   /** Analyze a query string the way [[TextFunctions.esAnalyzeText]]
     * analyzes documents — ES runs the SAME analyzer on both sides of a
     * match_phrase, so phrases aimed at an analyzed column must fold too.
+    * Every step mirrors the column pipeline EXACTLY: Spark `lower()`'s
+    * case fold (byte fold for full-ASCII strings, default-locale
+    * otherwise — UTF8String.toLowerCase's two paths), the same `- _ "`
+    * → space translation, the same tokenizer, and the same
+    * `[\p{L}\p{N}]` keep-filter (Java regex, per codepoint) — a filter
+    * as subtly different as Character.isLetterOrDigit would disagree on
+    * Nl/No category tokens and supplementary-plane letters.
     */
-  def analyzePhrase(s: String): String =
-    graft.functions.Tokenizer.tokenize(s.toLowerCase(java.util.Locale.ROOT))
-      .filter(_.exists(Character.isLetterOrDigit)).mkString(" ")
+  def analyzePhrase(s: String): String = {
+    val lowered =
+      if (s.forall(_ < 0x80)) s.toLowerCase(java.util.Locale.ROOT)
+      else s.toLowerCase
+    val folded = lowered.map {
+      case '-' | '_' | '"' => ' '
+      case c => c
+    }
+    val keep = java.util.regex.Pattern.compile("[\\p{L}\\p{N}]")
+    graft.functions.Tokenizer.tokenize(folded)
+      .filter(t => keep.matcher(t).find()).mkString(" ")
+  }
 
   private def combined(text: Column, phrases: Seq[String], allPhrases: Boolean,
                        slop: Int, isRegexp: Boolean, uax29: Boolean,

@@ -118,6 +118,15 @@ class InvertedIndexSpec extends SparkTestBase {
       uax29 = false).isEmpty)
     assert(InvertedIndex.pairedContaminationIndexed(post, Seq.empty,
       uax29 = false).isEmpty)
+    // punctuated field phrases under uax29: both tiers tokenize the
+    // PHRASE with the doc tokenizer, so they agree (a space-split scan
+    // side would never match "Paris." against tokenized text)
+    val pcorp = Seq((1L, "we saw Paris. then London")).toDF("doc_id", "text")
+    val ppost = InvertedIndex.postings(pcorp, "doc_id", "text")
+    val pex = Seq(Seq("Paris.", "London"))
+    val ps = Searcher.pairedContamination(pcorp, "text", pex).head()
+    val pi = InvertedIndex.pairedContaminationIndexed(ppost, pex).head()
+    assert(ps.getLong(1) === 1L && pi.getLong(1) === 1L)
   }
 
   test("differential: paired contamination, random corpus, tiers agree") {

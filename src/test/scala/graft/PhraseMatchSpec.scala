@@ -138,6 +138,24 @@ class PhraseMatchSpec extends SparkTestBase {
         Searcher.analyzePhrase("heLLo, wOrLd"), uax29 = false))
       .count()
     assert(n === 2L)
+    // ES's true-UAX-29 splits hyphens/underscores (the JDK grammar joins
+    // them) — esAnalyze translates them away; apostrophes stay mid-word
+    val hy = Seq("State-of-the-Art, isn't it?").toDF("text")
+      .select(TextFunctions.esAnalyzeText(col("text")).as("text"))
+      .head().getString(0)
+    assert(hy === "state of the art isn't it")
+    assert(Searcher.analyzePhrase("State-of-the-Art, isn't it?") === hy)
+  }
+
+  test("uax29 phrase predicate tokenizes the PHRASE with the doc tokenizer") {
+    // "Paris." space-splits to the impossible token "Paris." but
+    // UAX-29-tokenizes to [Paris, ., then] matching the document stream
+    val d = Seq("we saw Paris. then London").toDF("text")
+    assert(d.where(Searcher.phrasePredicate(col("text"), "Paris. then"))
+      .count() === 1L)
+    // whitespace mode still space-splits both sides
+    assert(d.where(Searcher.phrasePredicate(col("text"), "Paris. then",
+      uax29 = false)).count() === 1L)
   }
 
   test("lucene mode registered as SQL function") {
