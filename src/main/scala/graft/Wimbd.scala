@@ -182,9 +182,10 @@ object Wimbd {
                                     numDocuments: Int,
                                     allPhrases: Boolean = false,
                                     isRegexp: Boolean = false,
-                                    slop: Int = 0): DataFrame =
+                                    slop: Int = 0,
+                                    returnAllHits: Boolean = false): DataFrame =
     Searcher.getContaining(docs, "text", phrases, allPhrases, slop, isRegexp,
-      numDocuments = numDocuments)
+      numDocuments = numDocuments, returnAllHits = returnAllHits)
 
   /** count_documents_for_each_phrase — one scan, all phrases. */
   def countDocumentsForEachPhrase(docs: DataFrame, phrases: Seq[String],
@@ -208,6 +209,13 @@ object Wimbd {
   def pairedContamination(docs: DataFrame, examples: Seq[Seq[String]],
                           slop: Int = 0): DataFrame =
     Searcher.pairedContamination(docs, "text", examples, slop)
+
+  /** `count_documents_for_each_phrase(..., all_phrases=True)` — one doc
+    * count per example (lists of lists), every field in the same doc. */
+  def countDocumentsForEachExample(docs: DataFrame,
+                                   examples: Seq[Seq[String]],
+                                   slop: Int = 0): DataFrame =
+    Searcher.countPerExample(docs, "text", examples, slop)
 
   /** JSONL result sink with the reference's `--force` overwrite guard
     * (reference src/util.rs:6-25).

@@ -187,6 +187,12 @@ object SearchQueries extends QueryPack {
       Searcher.pairedContamination(Tables(s, dir, "documents"), "text",
         pairedExamples, uax29 = false)),
 
+    // the per-example counts under e25's rollup — the reference's
+    // count_documents_for_each_phrase(all_phrases=True) output shape
+    "e29_count_per_example" -> ((s, dir) =>
+      Searcher.countPerExample(Tables(s, dir, "documents"), "text",
+        pairedExamples, uax29 = false).orderBy("example_id")),
+
     // the same examples answered from the index — must agree exactly with
     // e25 (the oracle is verbatim the same SQL)
     "e26_paired_indexed" -> ((s, dir) => {
@@ -429,6 +435,13 @@ object SearchQueries extends QueryPack {
 
     "e25_paired_contamination" -> pairedOracle,
     "e26_paired_indexed" -> pairedOracle,
+
+    "e29_count_per_example" ->
+      s"""WITH ex AS (${pairedExamples.zipWithIndex.map { case (ps, i) =>
+           s"SELECT CAST($i AS BIGINT) AS example_id, (SELECT CAST(count(*) AS BIGINT) " +
+             s"FROM documents WHERE ${ps.map(padHit).mkString(" AND ")}) AS n_docs"
+         }.mkString(" UNION ALL ")})
+         |SELECT example_id, n_docs FROM ex ORDER BY example_id""".stripMargin,
 
     // the analyzer exactly undoes the mangling, so ground truth is the
     // PLAIN per-phrase count over the CLEAN text with folded phrases

@@ -95,9 +95,13 @@ object Searcher {
                     allPhrases: Boolean = false, slop: Int = 0,
                     isRegexp: Boolean = false, uax29: Boolean = true,
                     numDocuments: Int = 10, sortCols: Seq[Column] = Seq.empty,
-                    luceneSlop: Boolean = false): DataFrame = {
+                    luceneSlop: Boolean = false,
+                    returnAllHits: Boolean = false): DataFrame = {
     val hits = df.where(combined(col(textCol), phrases, allPhrases, slop, isRegexp, uax29, luceneSlop))
-    (if (sortCols.nonEmpty) hits.orderBy(sortCols: _*) else hits).limit(numDocuments)
+    val sorted = if (sortCols.nonEmpty) hits.orderBy(sortCols: _*) else hits
+    // reference return_all_hits=True streams every match (scroll); in
+    // batch that is simply the unlimited frame
+    if (returnAllHits) sorted else sorted.limit(numDocuments)
   }
 
   /** E3: `count_documents_for_each_phrase` — one count per phrase, computed
@@ -192,6 +196,27 @@ object Searcher {
       return Seq.empty[(Long, Long, Double)]
         .toDF("n_examples", "n_contaminated", "pct")
     }
+    countPerExample(df, textCol, examples, slop, uax29)
+      .agg(count(lit(1)).as("n_examples"),
+        sum(when(col("n_docs") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_contaminated"),
+        round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
+  }
+
+  /** The row-level surface under [[pairedContamination]] — the reference's
+    * `count_documents_for_each_phrase(..., all_phrases=True)` shape
+    * (:269-345 with lists of lists): one document count PER EXAMPLE,
+    * where a document counts only if it contains every field phrase of
+    * that example. Same single-scan plan as [[countPerPhrase]]: one
+    * conjunction predicate column per example, one partial aggregate.
+    */
+  def countPerExample(df: DataFrame, textCol: String,
+                      examples: Seq[Seq[String]], slop: Int = 0,
+                      uax29: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (examples.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("example_id", "n_docs")
     require(examples.forall(_.nonEmpty),
       "each example needs at least one field phrase")
     val preds = df.select(examples.zipWithIndex.map { case (ps, i) =>
@@ -199,12 +224,12 @@ object Searcher {
         .reduce(_ && _).cast("long").as(s"__e$i")
     }: _*)
     val aggs = examples.indices.map(i =>
-      coalesce(max(col(s"__e$i")), lit(0L)).as(s"__e$i"))
+      coalesce(sum(col(s"__e$i")), lit(0L)).as(s"__e$i"))
     preds.agg(aggs.head, aggs.tail: _*)
-      .select(lit(examples.size.toLong).as("n_examples"),
-        examples.indices.map(i => col(s"__e$i")).reduce(_ + _)
-          .as("n_contaminated"))
-      .withColumn("pct", round(col("n_contaminated") / col("n_examples"), 6))
+      .select(explode(map_from_arrays(
+        array(examples.indices.map(i => lit(i.toLong)): _*),
+        array(examples.indices.map(i => col(s"__e$i")): _*))))
+      .select(col("key").as("example_id"), col("value").as("n_docs"))
   }
 
   /** E6: random access by id and seeded random sample. */

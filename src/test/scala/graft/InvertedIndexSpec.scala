@@ -127,6 +127,16 @@ class InvertedIndexSpec extends SparkTestBase {
     val ps = Searcher.pairedContamination(pcorp, "text", pex).head()
     val pi = InvertedIndex.pairedContaminationIndexed(ppost, pex).head()
     assert(ps.getLong(1) === 1L && pi.getLong(1) === 1L)
+    // per-example counts (count_documents_for_each_phrase all_phrases=True
+    // shape): q2+a2 in one doc → 1; split fields → 0; absent → 0
+    val per = Searcher.countPerExample(corpus, "text", examples,
+      uax29 = false).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(per === Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+    assert(Searcher.countPerExample(corpus, "text", Seq.empty,
+      uax29 = false).isEmpty)
+    // getContaining returnAllHits skips the page limit
+    assert(Searcher.getContaining(corpus, "text", Seq("q2"), uax29 = false,
+      numDocuments = 0, returnAllHits = true).count() === 1L)
   }
 
   test("differential: paired contamination, random corpus, tiers agree") {
