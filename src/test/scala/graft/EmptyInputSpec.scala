@@ -178,4 +178,23 @@ class EmptyInputSpec extends SparkTestBase {
     assert(InvertedIndex.moreLikeThis(post,
       InvertedIndex.corpusNormsFromPostings(post), 1L).count() === 0)
   }
+
+  test("round-10 second-half surfaces on empty inputs") {
+    import graft.search.{InvertedIndex, Searcher}
+    // paired contamination: empty corpus → 0 contaminated, pct 0
+    val pc = Searcher.pairedContamination(docs, "text",
+      Seq(Seq("a", "b")), uax29 = false).head()
+    assert((pc.getLong(0), pc.getLong(1)) === ((1L, 0L)))
+    assert(Searcher.countPerExample(docs, "text", Seq(Seq("a", "b")),
+      uax29 = false).head().getLong(1) === 0L)
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val pci = InvertedIndex.pairedContaminationIndexed(post,
+      Seq(Seq("a", "b")), uax29 = false).head()
+    assert((pci.getLong(0), pci.getLong(1)) === ((1L, 0L)))
+    // analyzer on an empty frame / upsample on an empty corpus
+    assert(docs.select(graft.functions.TextFunctions.esAnalyzeText(
+      col("text"))).count() === 0)
+    assert(Analyses.mixtureUpsample(docs, col("doc_id"), col("source"),
+      "text", Map("src1" -> 1.0), 100L).count() === 0)
+  }
 }
