@@ -363,6 +363,20 @@ class PlanPropertySpec extends SparkTestBase {
       p.contains("In(source"), p)
   }
 
+  test("paired/analyzed scan families: predicates fold map-side, zero shuffle") {
+    import graft.search.Searcher
+    val pc = Searcher.countPerExample(docs, "text",
+      Seq(Seq("a b", "c"), Seq("d")), uax29 = false)
+    assert(shuffles(pc) === 0, plan(pc))
+    // the analyzer is a scan-stage projection — adding it on top of a
+    // per-phrase count must not introduce an exchange
+    val an = Searcher.countPerPhrase(
+      docs.withColumn("text",
+        graft.functions.TextFunctions.esAnalyzeText(col("text"))),
+      "text", Seq("a b"), uax29 = false)
+    assert(shuffles(an) === 0, plan(an))
+  }
+
   test("termsMatching: anchored rlike sits on the scan, agg sized by matches") {
     import graft.search.InvertedIndex
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
