@@ -118,6 +118,9 @@ object GraftExtensions {
     ("graft_normalize",
       "graft_normalize(text, nfkc): Unicode repair — NFC/NFKC, CRLF->LF, unicode spaces->' ', zero-width/control strip",
       (args: Seq[Expression]) => NormalizeText(args(0), boolLit(args(1), "nfkc"))),
+    ("graft_fix_mojibake",
+      "graft_fix_mojibake(text): repair UTF-8 mis-decoded as cp1252/latin-1 (ftfy-style; run before graft_normalize)",
+      (args: Seq[Expression]) => FixMojibake(args(0))),
     ("graft_repetition",
       "graft_repetition(text): Gopher repetition signals [dup_line, dup_line_char, top2..4gram_char, dup5..10gram_char]",
       (args: Seq[Expression]) => RepetitionSignals(args(0))),

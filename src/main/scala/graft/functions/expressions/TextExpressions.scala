@@ -82,3 +82,28 @@ case class NormalizeText(child: Expression, nfkc: Boolean)
   protected override def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }
+
+/** Mojibake repair (UTF-8 mis-decoded as cp1252/latin-1) — semantics and
+  * guards in [[graft.functions.Mojibake]]; the reference's mC4 prep runs
+  * ftfy per document for the same repair (preparation/mc4/mc4.py:11,69).
+  * Codegen'd scan-stage projection like [[NormalizeText]]; run it BEFORE
+  * graft_normalize (which strips the C1-control evidence).
+  */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fix_mojibake needs a string input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fix_mojibake"
+
+  protected override def nullSafeEval(input: Any): Any =
+    graft.functions.Mojibake.fixUtf8(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Mojibake.fixUtf8($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}

@@ -192,6 +192,28 @@ object TextQuality {
       graft.functions.expressions.NormalizeText(
         org.apache.spark.sql.graft.Bridge.expression(text), nfkc))
 
+  /** Mojibake repair (UTF-8 mis-decoded as cp1252/latin-1: "â€™" → "’",
+    * "Ã©" → "é", double-encoded, and the raw-C1 latin-1 flavor) —
+    * run/guard semantics in [[graft.functions.Mojibake]]. The reference's
+    * mC4 preparation applies ftfy per document for the same repair
+    * (preparation/mc4/mc4.py:11,69). Order matters: repair BEFORE
+    * [[normalizeText]], which strips the C1-control evidence the latin-1
+    * flavor needs. Codegen'd scan-stage call; SQL `graft_fix_mojibake`.
+    */
+  def fixMojibake(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.FixMojibake(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** [[fixMojibake]] as a document transform: repaired text plus a
+    * `changed` audit flag (the fraction changed is the usual
+    * encoding-health gauge for a crawl shard).
+    */
+  def fixMojibakeDocs(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    df.select(col(idCol), fixMojibake(col(textCol)).as("text_fixed"),
+      (fixMojibake(col(textCol)) =!= col(textCol)).as("changed"))
+
   /** [[normalizeText]] as a document transform: repaired text plus a
     * `changed` audit flag (fraction-changed is the usual encoding-health
     * signal per source).

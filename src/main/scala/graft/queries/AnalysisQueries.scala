@@ -269,6 +269,25 @@ object AnalysisQueries extends QueryPack {
             lit("\u0007\u2003end\uFEFF")).otherwise(lit(""))))
       graft.operators.TextQuality.normalizeDocs(messy, "doc_id", "raw")
         .orderBy("doc_id")
+    }),
+
+    // Mojibake repair over deterministically-mangled docs: enrich the
+    // ASCII corpus with multi-byte chars (the "truth" — 2-, 3- and
+    // 4-byte UTF-8), mangle by decoding the truth's UTF-8 bytes as
+    // latin-1 (the raw-C1 flavor), repair. The oracle recomputes the
+    // truth directly, so the check is exactly "repair inverts the
+    // mangle" — no SQL re-implementation of the repair needed.
+    "t_fix_mojibake" -> ((s, dir) => {
+      val truth = Tables(s, dir, "documents").withColumn("truth",
+        concat(
+          when(col("doc_id") % 2 === 0, lit("Café — ")).otherwise(lit("")),
+          regexp_replace(col("text"), "the ", "thé "),
+          when(col("doc_id") % 3 === 0, lit(" €’uvre")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" 🙂")).otherwise(lit(""))))
+      val mangled = truth.withColumn("mangled",
+        decode(encode(col("truth"), "UTF-8"), "ISO-8859-1"))
+      graft.operators.TextQuality.fixMojibakeDocs(mangled, "doc_id", "mangled")
+        .orderBy("doc_id")
     })
   )
 
@@ -606,6 +625,20 @@ object AnalysisQueries extends QueryPack {
         |n4 AS (SELECT doc_id, raw, regexp_replace(s,
         |  '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]', '', 'g') AS s FROM n3),
         |n AS (SELECT doc_id, raw, nfc_normalize(s) AS text_norm FROM n4)
-        |SELECT doc_id, text_norm, (text_norm <> raw) AS changed FROM n ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, text_norm, (text_norm <> raw) AS changed FROM n ORDER BY doc_id""".stripMargin,
+
+    // chr() codepoints so the truth is byte-identical to the Spark side:
+    // 233=é, 8212=—, 8364=€, 8217=’, 128578=🙂. `changed` is Spark's
+    // repaired<>mangled; the truth differs from the ASCII text exactly
+    // when some enrichment fired, i.e. when the mangle altered bytes —
+    // so (truth <> text) is the same predicate.
+    "t_fix_mojibake" ->
+      """WITH h AS (SELECT doc_id, text,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'Caf' || chr(233) || ' ' || chr(8212) || ' ' ELSE '' END) ||
+        |  replace(text, 'the ', 'th' || chr(233) || ' ') ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(8364) || chr(8217) || 'uvre' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(128578) ELSE '' END) AS truth FROM documents)
+        |SELECT doc_id, truth AS text_fixed, (truth <> text) AS changed
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }
