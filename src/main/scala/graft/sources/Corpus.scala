@@ -144,6 +144,109 @@ object Corpus {
   /** S10: split into n roughly-equal shards. */
   def shard(df: DataFrame, n: Int): DataFrame = df.repartition(n)
 
+  /** Consolidate many small `.json.gz` shards into merged shards of
+    * `factor` inputs each — the small-files compaction the reference runs
+    * on mC4 (preparation/mc4/combine_adjacent_files.py:27-70, driving GCS
+    * `blob.compose`). gzip members concatenate into one valid gzip
+    * stream, so like compose() the merge is a pure byte copy: no
+    * decompress/reparse, payload bytes preserved exactly.
+    *
+    * Grouping mirrors the reference: names sorted, grouped by the prefix
+    * before the first '.', chunked `factor` at a time; inputs named
+    * `<prefix>.<int>.json.gz` yield the output
+    * `<prefix>.<n1>-<n2>-….json.gz` (5-digit numbers). When any input
+    * lacks the numeric component (e.g. Spark part files), ALL files fall
+    * back to one synthetic "merged" prefix numbered by sorted position —
+    * deterministic names, so resume still works.
+    *
+    * Scale/crash posture: the driver handles metadata only (one listing,
+    * grouping, the resume filter — O(files) strings); byte streaming runs
+    * as Spark tasks over the pending groups. Each group writes
+    * `<name>.__tmp` then renames into place, and a group whose output
+    * already exists is skipped both up front (the reference's
+    * existing_files resume) and inside the task (idempotent retries) — a
+    * crash leaves either nothing or a temp the next run overwrites.
+    *
+    * Returns the output shard names written by THIS run (empty = fully
+    * resumed no-op).
+    */
+  def consolidateShards(spark: SparkSession, inDir: String, outDir: String,
+                        factor: Int = 4): Seq[String] = {
+    require(factor >= 2, "factor must be >= 2")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new Path(inDir)
+    val inFs = inPath.getFileSystem(conf)
+    val listed = inFs.listStatus(inPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json.gz"))
+      .map(_.getPath).sortBy(_.getName).toSeq
+    require(listed.nonEmpty, s"no .json.gz shards under $inDir")
+    def parse(name: String): Option[(String, Int)] = {
+      val parts = name.split('.')
+      if (parts.length >= 3 && parts(1).nonEmpty && parts(1).forall(_.isDigit))
+        Some((parts(0), parts(1).toInt))
+      else None
+    }
+    val parsed = listed.map(p => (p, parse(p.getName)))
+    val groups: Seq[(String, Seq[String])] =
+      if (parsed.forall(_._2.isDefined))
+        parsed.groupBy(_._2.get._1).toSeq.sortBy(_._1).flatMap {
+          case (prefix, files) =>
+            files.sortBy(_._2.get._2).grouped(factor).map { chunk =>
+              val name = prefix + "." +
+                chunk.map(c => f"${c._2.get._2}%05d").mkString("-") + ".json.gz"
+              (name, chunk.map(_._1.toString))
+            }
+        }
+      else
+        listed.zipWithIndex.grouped(factor).map { chunk =>
+          val name = "merged." +
+            chunk.map(c => f"${c._2}%05d").mkString("-") + ".json.gz"
+          (name, chunk.map(_._1.toString))
+        }.toSeq
+    val outPath = new Path(outDir)
+    val outFs = outPath.getFileSystem(conf)
+    outFs.mkdirs(outPath)
+    val existing = outFs.listStatus(outPath)
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    val pending = groups.filterNot { case (n, _) => existing.contains(n) }
+    if (pending.isEmpty) return Seq.empty
+    val bc = org.apache.spark.sql.graft.Bridge.serializableHadoopConf(spark)
+    val outDirStr = outFs.makeQualified(outPath).toString
+    val slices = math.max(1,
+      math.min(pending.size, spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(pending, slices).foreach {
+      case (name, files) =>
+        val c = bc.value.value
+        val out = new Path(outDirStr, name)
+        val fs = out.getFileSystem(c)
+        if (!fs.exists(out)) { // idempotent task retry
+          val tmp = new Path(outDirStr, name + ".__tmp")
+          val os = fs.create(tmp, true)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            files.foreach { f =>
+              val fp = new Path(f)
+              val in = fp.getFileSystem(c).open(fp)
+              try {
+                var n = in.read(buf)
+                while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+            }
+          } finally os.close()
+          if (!fs.rename(tmp, out)) {
+            fs.delete(tmp, false)
+            // rename onto an existing target: a concurrent/retried task
+            // already committed this group — losing the race is success
+            if (!fs.exists(out))
+              throw new java.io.IOException(
+                s"consolidateShards: rename failed for $out")
+          }
+        }
+    }
+    pending.map(_._1)
+  }
+
   /** Synthesize the stable doc id the ES indexer builds: `{file}-{line}`
     * (reference wimbd/indexing/index_json_files.py:55-60).
     *

@@ -22,6 +22,15 @@ object Bridge {
     * a local checkpoint cannot be recomputed after its blocks are dropped.
     * Returns false when the plan is not a materialized checkpoint/RDD scan.
     */
+  /** Broadcast the session's Hadoop conf for executor-side FileSystem
+    * access (distributed byte-level file ops, e.g. shard consolidation).
+    * `SerializableConfiguration` is private[spark], hence this shim.
+    */
+  def serializableHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.util.SerializableConfiguration] =
+    org.apache.spark.util.SerializableConfiguration.broadcast(spark.sparkContext)
+
   /** `spark.sql.files.maxPartitionBytes` as a long — the scan-split size
     * the optimizer's size estimates divide into splits. (SQLConf is
     * private[sql], hence surfaced through this shim.)

@@ -157,4 +157,59 @@ class CorpusSpec extends SparkTestBase {
     Corpus.writeJsonl(df, out.toString, force = true) // --force
     assert(Corpus.readJsonl(spark, Seq(s"$out/*.json.gz")).count() === 10)
   }
+
+  // --- consolidateShards (reference preparation/mc4/combine_adjacent_files.py) ---
+
+  private def mkShards(prefix: String, ns: Seq[Int], dir: java.nio.file.Path): Unit =
+    ns.foreach(n => writeShard(dir, f"$prefix.$n%05d.json.gz",
+      Seq(s"""{"text":"$prefix shard $n"}""")))
+
+  test("consolidateShards merges by prefix in numeric order with compose naming") {
+    val in = Files.createTempDirectory("cons_in")
+    val out = Files.createTempDirectory("cons_out")
+    mkShards("c4-en", 0 until 6, in)
+    mkShards("c4-de", 10 until 12, in)
+    val written = Corpus.consolidateShards(spark, in.toString, out.toString, factor = 4)
+    assert(written.toSet === Set(
+      "c4-de.00010-00011.json.gz",
+      "c4-en.00000-00001-00002-00003.json.gz",
+      "c4-en.00004-00005.json.gz"))
+    // merged gzip members read back as the concatenation, in order
+    val en = Corpus.readJsonl(spark,
+        Seq(s"$out/c4-en.00000-00001-00002-00003.json.gz"))
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(en === (0 until 4).map(n => s"c4-en shard $n"))
+    // document count is conserved across the whole consolidation
+    assert(Corpus.readJsonl(spark, Seq(s"$out/*.json.gz")).count() === 8)
+  }
+
+  test("consolidateShards resumes: existing outputs are skipped, bytes untouched") {
+    val in = Files.createTempDirectory("cons_in2")
+    val out = Files.createTempDirectory("cons_out2")
+    mkShards("p", 0 until 8, in)
+    val first = Corpus.consolidateShards(spark, in.toString, out.toString, factor = 4)
+    assert(first.size === 2)
+    val f0 = out.resolve("p.00000-00001-00002-00003.json.gz")
+    val before = Files.readAllBytes(f0)
+    val again = Corpus.consolidateShards(spark, in.toString, out.toString, factor = 4)
+    assert(again.isEmpty) // fully resumed no-op
+    assert(java.util.Arrays.equals(before, Files.readAllBytes(f0)))
+    // partial resume: drop one output, only that group is rewritten
+    Files.delete(out.resolve("p.00004-00005-00006-00007.json.gz"))
+    val partial = Corpus.consolidateShards(spark, in.toString, out.toString, factor = 4)
+    assert(partial === Seq("p.00004-00005-00006-00007.json.gz"))
+  }
+
+  test("consolidateShards falls back to positional naming for non-numeric shards") {
+    val in = Files.createTempDirectory("cons_in3")
+    val out = Files.createTempDirectory("cons_out3")
+    writeShard(in, "part-x.json.gz", Seq("""{"text":"x"}"""))
+    writeShard(in, "part-y.json.gz", Seq("""{"text":"y"}"""))
+    writeShard(in, "part-z.json.gz", Seq("""{"text":"z"}"""))
+    val written = Corpus.consolidateShards(spark, in.toString, out.toString, factor = 2)
+    assert(written.toSet === Set("merged.00000-00001.json.gz", "merged.00002.json.gz"))
+    val texts = Corpus.readJsonl(spark, Seq(s"$out/merged.00000-00001.json.gz"))
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(texts === Seq("x", "y")) // name-sorted order preserved
+  }
 }
