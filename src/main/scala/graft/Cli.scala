@@ -46,7 +46,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -76,7 +76,7 @@ object Cli {
     }
 
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample> PATH... [flags]")
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate> PATH... [flags]")
     val cmd = argv.head
     val a = parse(argv.toSeq.drop(1))
     def flag(n: String): Option[String] = a.flags.get(n).map(_.last)
@@ -92,9 +92,18 @@ object Cli {
     Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    val rawDocs = Corpus.readJsonl(spark, a.paths,
+    val readDocs = Corpus.readJsonl(spark, a.paths,
       perFileLimit = flag("--limit").map(_.toInt),
       fileLimit = flag("--file-limit").map(_.toInt))
+    // --fix-mojibake: ftfy-style encoding repair as a projection every
+    // subcommand inherits (the per-document fix the reference's mC4 prep
+    // applies); runs FIRST — analysis/normalization would strip the C1
+    // evidence the latin-1 flavor needs
+    val fixMoji = a.flags.contains("--fix-mojibake")
+    val rawDocs =
+      if (fixMoji) readDocs.withColumn("text",
+        graft.operators.TextQuality.fixMojibake(col("text")))
+      else readDocs
     // --analyzed: run the command over ES-standard-analyzed text (the
     // reference index's write-time analysis) — a projection, so every
     // subcommand inherits it; query strings fold via analyzePhrase below
@@ -110,7 +119,9 @@ object Cli {
     // SAME analyzer as the primary — comparing analyzed text against raw
     // text would silently match nothing (hashes/diffs keyed on text)
     def readSecondary(paths: Seq[String]): DataFrame = {
-      val d = Corpus.readJsonl(spark, paths)
+      val d0 = Corpus.readJsonl(spark, paths)
+      val d = if (fixMoji) d0.withColumn("text",
+        graft.operators.TextQuality.fixMojibake(col("text"))) else d0
       if (analyzed) d.withColumn("text",
         graft.functions.TextFunctions.esAnalyzeText(col("text")))
       else d
@@ -439,6 +450,15 @@ object Cli {
           Corpus.withFileLineId(docs, "__id"), "__id", "text",
           foldQuery(flag("--phrase").getOrElse(sys.error("grep needs --phrase"))),
           intFlag("--context", 30)), ranked = false)
+      case "consolidate" =>
+        // small-shard compaction (reference combine_adjacent_files.py):
+        // operates on the FILES under PATH directly, no corpus read
+        val outDir = out.getOrElse(sys.error("consolidate requires --out <dir>"))
+        val written = Corpus.consolidateShards(spark, a.paths.head, outDir,
+          intFlag("--factor", 4))
+        println(if (written.isEmpty) "consolidate: up to date (0 shards written)"
+          else s"consolidate: wrote ${written.size} shard(s)\n" +
+            written.mkString("\n"))
       case other => sys.error(s"unknown command: $other")
     }
     spark.stop()
