@@ -388,4 +388,16 @@ class PlanPropertySpec extends SparkTestBase {
     assert(aggIdx >= 0 && filtIdx > aggIdx, p) // executed plans print top-down
     assert(shuffles(t) <= 1, p)
   }
+
+  test("mojibake repair is a zero-shuffle codegen'd scan projection") {
+    val fixed = graft.operators.TextQuality
+      .fixMojibakeDocs(docs, "doc_id", "text")
+    val p = plan(fixed)
+    assert(shuffles(fixed) === 0, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("*(1) Project"), p) // `*` = the projection is codegen'd
+    // column pruning: the scan reads only the two referenced columns
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read === Some("doc_id:bigint,text:string"), p)
+  }
 }
