@@ -28,13 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *      what makes legitimate latin-text ("café", "Ü") safe: an isolated
   *      é is the bare lead byte 0xE9 with no continuation and fails.
   *   3. plausibility guards before accepting, because short runs can
-  *      decode by coincidence ("é©©" is valid UTF-8 for a CJK char):
-  *      every decoded codepoint must be assigned, non-control,
-  *      non-private-use; and either the run carries a strong mojibake
-  *      indicator (a cp1252-special char or a raw C1 control — characters
-  *      essentially absent from intentional text) or every decoded
-  *      codepoint lands in the common repair targets (Latin supplements,
-  *      Greek, Cyrillic, general punctuation, currency, letterlike).
+  *      decode by coincidence ("é©©" is valid UTF-8 for a CJK char, and
+  *      legit pairs like "ß—" or "é—€" are too): every decoded codepoint
+  *      must be assigned, non-control, non-private-use; and the run must
+  *      EITHER decode entirely into the common repair targets (Latin
+  *      supplements, Greek, Cyrillic, punctuation, currency, symbols,
+  *      emoji), OR carry a raw C1 control (the latin-1 flavor — never
+  *      intentional), OR carry ≥2 cp1252 specials while decoding to ≥2
+  *      codepoints (mangled rare-script sentences, e.g. "ä¸­æ–‡" →
+  *      "中文"; legit singleton juxtapositions decode to one rare
+  *      codepoint and are kept). See [[tryDecode]] for the rationale.
   *
   * Consequence of run-granularity strict decoding: a run mixing a valid
   * mangled sequence with unrelated high-byte noise is left untouched
@@ -75,13 +78,19 @@ object Mojibake {
   @inline private def hiByte(c: Char): Int =
     if (c < 0x2200) byteFor(c) else -1
 
-  /** Strong evidence the run is mojibake rather than intentional text:
-    * cp1252 specials (€ ’ ™ …) re-encoding to 0x80–0x9F, or raw C1
-    * controls — neither appears in clean prose.
+  /** Raw C1 control — the latin-1 mojibake flavor's fingerprint, never
+    * intentional prose.
     */
-  @inline private def isIndicator(c: Char): Boolean =
-    (c >= '\u0080' && c <= '\u009F') ||
-      (c >= '\u0100' && hiByte(c) >= 0) // cp1252 specials all sit >= U+0100
+  @inline private def isC1(c: Char): Boolean =
+    c >= '\u0080' && c <= '\u009F'
+
+  /** cp1252 special (€ ’ ™ „ …) — strongly mojibake-suggestive, but a
+    * single one can occur in legit text next to a mappable letter
+    * ("ß—" re-encodes to DF 97 = valid UTF-8 for rare NKo U+07D7), so
+    * one special alone is NOT sufficient evidence.
+    */
+  @inline private def isSpecial(c: Char): Boolean =
+    c >= '\u0100' && hiByte(c) >= 0 // the specials all sit >= U+0100
 
   /** Codepoint ranges mojibake repair commonly produces; runs decoding
     * entirely inside them are accepted even without an indicator char
@@ -92,11 +101,28 @@ object Mojibake {
       (cp >= 0x1E00 && cp < 0x1F00) || // Latin extended additional
       (cp >= 0x2000 && cp < 0x2070) || // general punctuation
       (cp >= 0x20A0 && cp < 0x20D0) || // currency symbols
-      (cp >= 0x2100 && cp < 0x2150)    // letterlike symbols
+      (cp >= 0x2100 && cp < 0x2150) || // letterlike symbols
+      (cp >= 0x2190 && cp < 0x2C00) || // arrows/dingbats/misc symbols
+      (cp >= 0x1F000 && cp < 0x1FB00)  // emoji planes ("ðŸ™‚" → 🙂)
 
-  /** Decode the run s[from, until) as UTF-8 bytes; null = leave as-is. */
+  /** Decode the run s[from, until) as UTF-8 bytes; null = leave as-is.
+    *
+    * Acceptance, after the assigned/non-control/non-private screen:
+    *   - every decoded codepoint in [[commonTarget]] (the Latin/Greek/
+    *     Cyrillic/punctuation/symbol/emoji ranges repair usually
+    *     produces), or
+    *   - a raw C1 control in the run (the latin-1 flavor's fingerprint —
+    *     never intentional), or
+    *   - ≥2 cp1252 specials AND ≥2 decoded codepoints: mangled CJK/rare-
+    *     script SENTENCES hit this ("ä¸­æ–‡" → 中文), while the legit
+    *     singleton juxtapositions that also form valid UTF-8 ("ß—",
+    *     "é—€" inside "café—€5") decode to ONE rare codepoint and stay.
+    *     The residual ambiguity (a lone mangled rare-script char vs that
+    *     exact legit pair) is decided in favor of keeping the input —
+    *     same trade ftfy's badness heuristic makes.
+    */
   private def tryDecode(s: String, from: Int, until: Int,
-                        indicator: Boolean): String = {
+                        c1Present: Boolean, specials: Int): String = {
     val len = until - from
     if (len < 2) return null // a multi-byte UTF-8 sequence is ≥2 bytes
     val bytes = new Array[Byte](len)
@@ -116,15 +142,17 @@ object Mojibake {
       try dec.decode(ByteBuffer.wrap(bytes)).toString
       catch { case _: CharacterCodingException => return null }
     var common = true
+    var ncps = 0
     var ci = 0
     while (ci < out.length) {
       val cp = out.codePointAt(ci)
       if (!Character.isDefined(cp) || Character.isISOControl(cp) ||
           Character.getType(cp) == Character.PRIVATE_USE.toInt) return null
       if (!commonTarget(cp)) common = false
+      ncps += 1
       ci += Character.charCount(cp)
     }
-    if (indicator || common) out else null
+    if (common || c1Present || (specials >= 2 && ncps >= 2)) out else null
   }
 
   /** One repair pass; returns `s` itself (same reference) when nothing
@@ -137,12 +165,15 @@ object Mojibake {
     while (i < n) {
       if (hiByte(s.charAt(i)) >= 0) {
         var j = i
-        var indicator = false
+        var c1 = false
+        var specials = 0
         while (j < n && hiByte(s.charAt(j)) >= 0) {
-          if (isIndicator(s.charAt(j))) indicator = true
+          val cj = s.charAt(j)
+          if (isC1(cj)) c1 = true
+          else if (isSpecial(cj)) specials += 1
           j += 1
         }
-        val repaired = tryDecode(s, i, j, indicator)
+        val repaired = tryDecode(s, i, j, c1, specials)
         if (repaired != null) {
           if (sb == null) {
             sb = new java.lang.StringBuilder(n)

@@ -26,9 +26,13 @@ class MojibakeSpec extends SparkTestBase {
     ("latin-1 C1 flavor", mangle("it’s — done", "ISO-8859-1"), "it’s — done"),
     ("latin-1 euro", mangle("price €10", "ISO-8859-1"), "price €10"),
     ("4-byte emoji (C1 run)", mangle("ok 🙂 fine", "ISO-8859-1"), "ok 🙂 fine"),
+    ("4-byte emoji (cp1252 specials)", mangle("ok 🙂", "windows-1252"), "ok 🙂"),
     ("double-mangled", mangle(mangle("it’s", "windows-1252"), "windows-1252"), "it’s"),
     ("greek", mangle("αβγ δ", "ISO-8859-1"), "αβγ δ"),
-    ("cyrillic", mangle("привет мир", "windows-1252"), "привет мир"))
+    ("cyrillic", mangle("привет мир", "windows-1252"), "привет мир"),
+    // a mangled rare-script SENTENCE has >=2 specials and >=2 codepoints
+    ("cjk sentence", mangle("中文文本", "windows-1252"), "中文文本"),
+    ("dingbat", mangle("done ✓", "windows-1252"), "done ✓"))
 
   private val untouched = Seq(
     ("plain ascii", "hello world 123!"),
@@ -37,6 +41,11 @@ class MojibakeSpec extends SparkTestBase {
     // valid-UTF-8 coincidence without any cp1252/C1 indicator decodes to
     // CJK — outside the common targets, so the guard keeps it
     ("cjk coincidence guard", "é©©"),
+    // single-special coincidences: each re-encodes to valid UTF-8 for ONE
+    // rare codepoint (NKo U+07D7, CJK U+95C0) — kept, because one special
+    // next to a mappable letter happens in legit prose
+    ("sharp-s em-dash", "Straße—nein"),
+    ("price juxtaposition", "café—€5"),
     ("isolated lead byte", "naïve café – ok"))
 
   test("repairs the classic mojibake accidents") {
@@ -73,6 +82,62 @@ class MojibakeSpec extends SparkTestBase {
       }), "UTF-8") == t
       if (faithful) assert(Mojibake.fix(m) === t, s"$cs: $t")
     }
+  }
+
+  test("property: truth text is a fixpoint; faithful mangles round-trip") {
+    // full alphabet exercises the guards (CJK included); the "safe"
+    // subset excludes CJK, whose repair needs sentence-level evidence
+    // (≥2 specials + ≥2 codepoints) a 1-char sample can't provide.
+    // Å is deliberately ABSENT from both: it is a 2-byte UTF-8 LEAD
+    // (0xC5), so a random truth pair like "Å—" re-encodes to valid
+    // UTF-8 for Latin-ext ŗ and is repaired by convention — see the
+    // dedicated test below
+    val safeAlphabet =
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-" +
+        "éüñàçßœř—–‘’“„…€™αβγδпривет🙂✓"
+    val fullAlphabet = safeAlphabet + "中文本"
+    def cps(a: String) = a.codePoints.toArray
+    val rnd = new scala.util.Random(20260814L)
+    def randText(a: Array[Int], len: Int): String = {
+      val sb = new StringBuilder
+      (1 to len).foreach(_ =>
+        sb.appendAll(Character.toChars(a(rnd.nextInt(a.length)))))
+      sb.toString
+    }
+    val full = cps(fullAlphabet)
+    val safe = cps(safeAlphabet)
+    var roundTrips = 0
+    (1 to 2000).foreach { _ =>
+      val t = randText(full, 1 + rnd.nextInt(30))
+      assert(Mojibake.fix(t) === t, s"false positive on truth: $t")
+      val ts = randText(safe, 1 + rnd.nextInt(30))
+      for (cs <- Seq("windows-1252", "ISO-8859-1")) {
+        val m = mangle(ts, cs)
+        // mangle is faithful iff re-encoding recovers the UTF-8 bytes
+        // (cp1252's five undefined bytes and unmappable codepoints lose
+        // information — those mangles are unrecoverable by anyone)
+        if (new String(m.getBytes(cs), "UTF-8") == ts) {
+          assert(Mojibake.fix(m) === ts, s"$cs failed round-trip: $ts")
+          roundTrips += 1
+        }
+        val fixedOnce = Mojibake.fix(m)
+        assert(Mojibake.fix(fixedOnce) === fixedOnce, s"not idempotent: $ts")
+      }
+    }
+    assert(roundTrips > 1500, s"only $roundTrips faithful round-trips — alphabet wrong?")
+  }
+
+  test("latin-ext pair convention: lead+continuation pairs repair (ftfy-style)") {
+    // the classic Czech/Baltic mojibake shapes: Å¡ → š, Å™ → ř,
+    // Ã… → Å. The flip side of the convention is that a LEGIT
+    // "Å—" pair (Å is the 2-byte lead 0xC5, — the continuation 0x97)
+    // is indistinguishable from mojibake for ŗ and is repaired too —
+    // the Latin-ext ranges are common repair targets precisely because
+    // these pairs are overwhelmingly mojibake in crawl data
+    assert(Mojibake.fix("Å¡kola") === "škola")
+    assert(Mojibake.fix("Å™eka") === "řeka")
+    assert(Mojibake.fix("Ã…land") === "Åland")
+    assert(Mojibake.fix("Å—") === "ŗ")
   }
 
   test("column API and SQL function agree with the kernel") {
