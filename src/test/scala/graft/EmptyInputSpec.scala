@@ -197,4 +197,23 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Analyses.mixtureUpsample(docs, col("doc_id"), col("source"),
       "text", Map("src1" -> 1.0), 100L).count() === 0)
   }
+
+  test("mojibake repair on empty frames, empty strings, and null text") {
+    assert(TextQuality.fixMojibakeDocs(docs, "doc_id", "text").count() === 0)
+    val edge = Seq((1L, ""), (2L, "plain")).toDF("doc_id", "text")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out = TextQuality.fixMojibakeDocs(edge, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "" && !out(0).getBoolean(2))
+    assert(out(1).getString(1) === "plain")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // null propagates
+  }
+
+  test("consolidateShards: an empty input dir is a loud error, not silence") {
+    val d = java.nio.file.Files.createTempDirectory("cons_empty")
+    val out = java.nio.file.Files.createTempDirectory("cons_empty_out")
+    intercept[IllegalArgumentException] {
+      graft.sources.Corpus.consolidateShards(spark, d.toString, out.toString)
+    } // same contract as the reader's S2 empty-match check
+  }
 }
