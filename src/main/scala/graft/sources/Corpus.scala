@@ -177,6 +177,12 @@ object Corpus {
     val conf = spark.sparkContext.hadoopConfiguration
     val inPath = new Path(inDir)
     val inFs = inPath.getFileSystem(conf)
+    // writing into the input dir would make a second run list its own
+    // merged outputs as inputs (their names don't re-parse, flipping the
+    // whole listing onto the positional fallback) — refuse up front
+    require(inFs.makeQualified(inPath) !=
+        new Path(outDir).getFileSystem(conf).makeQualified(new Path(outDir)),
+      s"consolidateShards: outDir must differ from inDir ($inDir)")
     val listed = inFs.listStatus(inPath)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".json.gz"))
       .map(_.getPath).sortBy(_.getName).toSeq

@@ -200,6 +200,14 @@ class CorpusSpec extends SparkTestBase {
     assert(partial === Seq("p.00004-00005-00006-00007.json.gz"))
   }
 
+  test("consolidateShards refuses outDir == inDir") {
+    val in = Files.createTempDirectory("cons_same")
+    writeShard(in, "p.00000.json.gz", Seq("""{"text":"x"}"""))
+    intercept[IllegalArgumentException] {
+      Corpus.consolidateShards(spark, in.toString, in.toString)
+    }
+  }
+
   test("consolidateShards falls back to positional naming for non-numeric shards") {
     val in = Files.createTempDirectory("cons_in3")
     val out = Files.createTempDirectory("cons_out3")
