@@ -559,6 +559,54 @@ object Dedup {
           .otherwise(size(split(col("text_dedup"), " ")).cast("long")))
   }
 
+  /** Surgical decontamination — [[ngramContamination]]'s detection
+    * composed with [[removeDuplicateSpans]]' rewrite: drop from each TRAIN
+    * document every token covered by a k-token span whose content occurs
+    * anywhere in the benchmark. The scalpel to J3's axe (the reference's
+    * contamination tooling, wimbd/contamination/, detects and DROPS whole
+    * documents; production pipelines prefer cutting the quoted benchmark
+    * text and keeping the surrounding document). Output
+    * `(id, text_clean, n_tokens, n_tokens_kept)`; a fully-quoted document
+    * comes out empty, matching [[removeDuplicateSpans]]' contract.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT span keys
+    * (benchmark-bounded — broadcasts); train spans probe them with a
+    * left-semi join so 100 TB of train text is scanned once and never
+    * shuffled (only (id, offset) pairs of actual hits reach the per-doc
+    * offsets agg); reconstruction is the same per-doc positional filter.
+    * `hash` defaults to 64-bit xxhash64 span keys (8-byte probe instead of
+    * k-token strings; a collision can only over-remove — the conservative
+    * direction for decontamination); pass `identity` for oracle-exact runs.
+    */
+  def removeContaminatedSpans(train: DataFrame, idCol: String,
+                              trainTextCol: String,
+                              test: DataFrame, testTextCol: String,
+                              k: Int,
+                              hash: Column => Column = c => xxhash64(c),
+                              uax29: Boolean = false): DataFrame = {
+    val toks = spanTokens(trainTextCol, uax29)
+    val testKeys = test.select(explode(graft.functions.TextFunctions.ngrams(
+        spanTokens(testTextCol, uax29), k)).as("__s"))
+      .select(hash(col("__s")).as("__h")).distinct()
+    val trainSpans = train.select(col(idCol).as("__id"),
+        posexplode(graft.functions.TextFunctions.ngrams(toks, k))
+          .as(Seq("__idx", "__s")))
+      .select(col("__id"), col("__idx"), hash(col("__s")).as("__h"))
+    val hitStarts = trainSpans.join(testKeys, Seq("__h"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__idx"))).as("__starts"))
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    train.join(hitStarts, train(idCol) === hitStarts("__id"), "left")
+      .select(col(idCol),
+        concat_ws(" ",
+          filter(toks, (_, i) =>
+            !exists(starts, s => i >= s && i < s + k))).as("text_clean"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("n_tokens_kept",
+        when(col("text_clean") === "", lit(0L))
+          .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+  }
+
   /** Paragraph units: posexploded spans split on `sepRegex` (default:
     * blank-line paragraphs). Output `(id, idx, unit)` — feed
     * [[unitDedupStats]] or [[markFirstUnits]].

@@ -55,6 +55,17 @@ object DedupQueries extends QueryPack {
           sum(length(col("text"))).cast("long").as("total_chars"))
     }),
 
+    // surgical decontamination: the a14 split (held-out = doc_id % 10 = 0
+    // as the "benchmark"), but REWRITING train docs to cut every 3-token
+    // span the benchmark contains instead of dropping whole documents
+    "j15_span_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.removeContaminatedSpans(
+        docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 10 === 0), "text",
+        k = 3, hash = c => c).orderBy("doc_id")
+    }),
+
     // hashKeys: the output never contains the shingle itself, so the
     // 16-byte hashed key is result-identical (the oracle proves it) while
     // shuffling ~3× less than the raw shingle strings
@@ -168,6 +179,34 @@ object DedupQueries extends QueryPack {
          |  WHERE source NOT IN ('src10','src11','src12','src13','src14'))
          |SELECT count(*) AS n_survivors, CAST(sum(length(text)) AS BIGINT) AS total_chars
          |FROM b WHERE $fpSql NOT IN (SELECT h FROM a)""".stripMargin,
+
+    // d_span_removal's rewrite CTEs with the covered set coming from a
+    // cross-corpus probe instead of a keep-first window; k=3 → slices of
+    // 3 tokens, coverage offsets 0..2
+    "j15_span_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 10 <> 0),
+        |bh AS (SELECT DISTINCT s FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+        |   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 10 = 0))),
+        |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |  i -> {'idx': i - 1, 's': array_to_string(list_slice(t, i, i + 2), ' ')})) AS u
+        | FROM toks),
+        |hit AS (SELECT w.doc_id, w.u.idx AS idx FROM w JOIN bh ON bh.s = w.u.s),
+        |cov AS (SELECT DISTINCT doc_id, idx + gg.g AS i
+        | FROM hit, (SELECT unnest(generate_series(0, 2)) AS g) gg),
+        |tp AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |   i -> {'i': i - 1, 'tok': t[i]})) AS u FROM toks)),
+        |kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tp
+        | LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i WHERE c.i IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+        |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        | CAST(len(t.t) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept
+        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "j4_overlap_pairs" ->
       s"""WITH ng AS ($shingleSql),

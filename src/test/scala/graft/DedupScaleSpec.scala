@@ -247,6 +247,30 @@ class DedupScaleSpec extends SparkTestBase {
     assert(k2(3L) === "p q")
   }
 
+  test("span decontamination cuts benchmark spans, keeps surrounding text") {
+    import spark.implicits._
+    val bench = Seq((100L, "the capital of france is paris")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "quiz answer the capital of france is paris obviously"), // quoted
+      (2L, "nothing shared with any benchmark here"),               // clean
+      (3L, "the capital of france")                                 // fully quoted (< its own span? no: 4 toks, k=3 → 2 spans, both in bench)
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeContaminatedSpans(
+        train, "doc_id", "text", bench, "text", k = 3, hash = c => c)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // spans "the capital of" … "france is paris" cover tokens 2..8
+    assert(got(1L) === (("quiz answer obviously", 9L, 3L)))
+    assert(got(2L) === (("nothing shared with any benchmark here", 6L, 6L)))
+    assert(got(3L) === (("", 4L, 0L)))
+    // hashed production path is result-identical to the raw-string path
+    val hashed = graft.operators.Dedup.removeContaminatedSpans(
+        train, "doc_id", "text", bench, "text", k = 3)
+      .collect().map(_.toSeq).toSet
+    val raw = got.map { case (id, (t, n, nk)) => Seq(id, t, n, nk) }.toSet
+    assert(hashed === raw)
+  }
+
   test("span removal matches a brute-force reference on random docs") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

@@ -198,6 +198,15 @@ class EmptyInputSpec extends SparkTestBase {
       "text", Map("src1" -> 1.0), 100L).count() === 0)
   }
 
+  test("span decontamination on empty train and empty benchmark") {
+    assert(Dedup.removeContaminatedSpans(docs, "doc_id", "text",
+      docs, "text", k = 3).count() === 0)
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(train, "doc_id", "text",
+      docs, "text", k = 3).head()
+    assert(out.getString(1) === "a b c d" && out.getLong(3) === 4L)
+  }
+
   test("mojibake repair on empty frames, empty strings, and null text") {
     assert(TextQuality.fixMojibakeDocs(docs, "doc_id", "text").count() === 0)
     val edge = Seq((1L, ""), (2L, "plain")).toDF("doc_id", "text")

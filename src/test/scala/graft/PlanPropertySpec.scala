@@ -389,6 +389,21 @@ class PlanPropertySpec extends SparkTestBase {
     assert(shuffles(t) <= 1, p)
   }
 
+  test("span decontamination: benchmark broadcasts, train text never shuffles") {
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val c = Dedup.removeContaminatedSpans(train, "doc_id", "text", bench,
+      "text", k = 3)
+    val p = plan(c)
+    // benchmark span keys broadcast into the semi probe of train spans
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // no text column in any shuffle key: only (id, offset) pairs of hits
+    // and the per-doc offsets agg move
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains("text"), p)
+    }
+  }
+
   test("mojibake repair is a zero-shuffle codegen'd scan projection") {
     val fixed = graft.operators.TextQuality
       .fixMojibakeDocs(docs, "doc_id", "text")
