@@ -218,8 +218,17 @@ object Cli {
       // whose text hash appears in the --bench corpus
       case "decontaminate" =>
         val bench = readSecondary(flagAll("--bench").map(p => p: String))
-        deliver(operators.Dedup.decontaminate(
-          docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
+        // --spans k: surgical mode — cut k-token benchmark spans out of
+        // each document instead of dropping contaminated documents
+        flag("--spans") match {
+          case Some(k) =>
+            deliver(operators.Dedup.removeContaminatedSpans(
+              Corpus.withFileLineId(docs, "__id"), "__id", "text",
+              bench, "text", k.toInt, uax29 = uax), ranked = false)
+          case None =>
+            deliver(operators.Dedup.decontaminate(
+              docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
+        }
       // the "what's in my big data" report card (counts, size, dup rate,
       // language mix) — the paper's per-corpus table from the CLI
       case "report" =>

@@ -588,16 +588,19 @@ object Dedup {
     val testKeys = test.select(explode(graft.functions.TextFunctions.ngrams(
         spanTokens(testTextCol, uax29), k)).as("__s"))
       .select(hash(col("__s")).as("__h")).distinct()
-    val trainSpans = train.select(col(idCol).as("__id"),
+    // internal alias distinct from any caller idCol (the CLI passes
+    // "__id"), and the outer select resolves through train() — both
+    // needed to keep the self-named join unambiguous
+    val trainSpans = train.select(col(idCol).as("__rcs_id"),
         posexplode(graft.functions.TextFunctions.ngrams(toks, k))
           .as(Seq("__idx", "__s")))
-      .select(col("__id"), col("__idx"), hash(col("__s")).as("__h"))
+      .select(col("__rcs_id"), col("__idx"), hash(col("__s")).as("__h"))
     val hitStarts = trainSpans.join(testKeys, Seq("__h"), "left_semi")
-      .groupBy(col("__id"))
+      .groupBy(col("__rcs_id"))
       .agg(sort_array(collect_list(col("__idx"))).as("__starts"))
     val starts = coalesce(col("__starts"), array().cast("array<int>"))
-    train.join(hitStarts, train(idCol) === hitStarts("__id"), "left")
-      .select(col(idCol),
+    train.join(hitStarts, train(idCol) === hitStarts("__rcs_id"), "left")
+      .select(train(idCol),
         concat_ws(" ",
           filter(toks, (_, i) =>
             !exists(starts, s => i >= s && i < s + k))).as("text_clean"),
