@@ -189,7 +189,9 @@ object Corpus {
     require(listed.nonEmpty, s"no .json.gz shards under $inDir")
     def parse(name: String): Option[(String, Int)] = {
       val parts = name.split('.')
-      if (parts.length >= 3 && parts(1).nonEmpty && parts(1).forall(_.isDigit))
+      // ≤9 digits keeps toInt total; anything longer is not a shard number
+      if (parts.length >= 3 && parts(1).nonEmpty && parts(1).length <= 9 &&
+          parts(1).forall(_.isDigit))
         Some((parts(0), parts(1).toInt))
       else None
     }
@@ -213,6 +215,11 @@ object Corpus {
     val outPath = new Path(outDir)
     val outFs = outPath.getFileSystem(conf)
     outFs.mkdirs(outPath)
+    // a crash between create and rename leaves an orphan temp; sweep them
+    // here so they neither linger forever nor mask anything
+    outFs.listStatus(outPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".__tmp"))
+      .foreach(st => outFs.delete(st.getPath, false))
     val existing = outFs.listStatus(outPath)
       .filter(_.isFile).map(_.getPath.getName).toSet
     val pending = groups.filterNot { case (n, _) => existing.contains(n) }

@@ -200,6 +200,18 @@ class CorpusSpec extends SparkTestBase {
     assert(partial === Seq("p.00004-00005-00006-00007.json.gz"))
   }
 
+  test("consolidateShards sweeps orphan temps from a crashed prior run") {
+    val in = Files.createTempDirectory("cons_tmp")
+    val out = Files.createTempDirectory("cons_tmp_out")
+    mkShards("p", 0 until 2, in)
+    // simulate a crash between create and rename
+    Files.write(out.resolve("p.00000-00001.json.gz.__tmp"), "junk".getBytes)
+    val written = Corpus.consolidateShards(spark, in.toString, out.toString, factor = 2)
+    assert(written === Seq("p.00000-00001.json.gz"))
+    assert(!Files.exists(out.resolve("p.00000-00001.json.gz.__tmp")))
+    assert(Corpus.readJsonl(spark, Seq(s"$out/*.json.gz")).count() === 2)
+  }
+
   test("consolidateShards refuses outDir == inDir") {
     val in = Files.createTempDirectory("cons_same")
     writeShard(in, "p.00000.json.gz", Seq("""{"text":"x"}"""))
