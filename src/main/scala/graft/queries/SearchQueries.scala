@@ -368,6 +368,17 @@ object SearchQueries extends QueryPack {
       graft.search.InvertedIndex.bm25TopK(post,
         graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
         bm25Terms, k = 15)
+    }),
+
+    // ES significant_terms (JLH) off the index: which terms distinguish
+    // one source's documents from the whole corpus
+    "e30_significant_terms" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.significantTerms(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        d.where(col("source") === "src18").select("doc_id"), k = 15)
     })
   )
 
@@ -639,6 +650,27 @@ object SearchQueries extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS ttf
         |FROM tok WHERE levenshtein(w, 'spark') <= 2
         |GROUP BY w ORDER BY term""".stripMargin,
+
+    // JLH replayed from first principles: per-term doc frequencies inside
+    // the foreground source vs the whole corpus, scored with ES's exact
+    // (fg_pct - bg_pct) * (fg_pct / bg_pct) product; round(6) before the
+    // score filter and ordering so ties break identically
+    "e30_significant_terms" ->
+      """WITH fg AS (SELECT doc_id FROM documents WHERE source = 'src18'),
+        |tok AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+        |bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tok GROUP BY term),
+        |fgs AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+        |  FROM tok JOIN fg USING (doc_id) GROUP BY term),
+        |tot AS (SELECT (SELECT count(*) FROM fg) AS fg_total,
+        |               (SELECT count(*) FROM documents) AS n_docs),
+        |sc AS (SELECT term, fg_df, bg_df,
+        |  round((fg_df / CAST(fg_total AS DOUBLE) - bg_df / CAST(n_docs AS DOUBLE))
+        |      * ((fg_df / CAST(fg_total AS DOUBLE)) / (bg_df / CAST(n_docs AS DOUBLE))), 6) AS jlh
+        | FROM fgs JOIN bg USING (term) CROSS JOIN tot)
+        |SELECT term, fg_df, bg_df, jlh FROM sc
+        |WHERE fg_df >= 3 AND jlh > 0
+        |ORDER BY jlh DESC, term LIMIT 15""".stripMargin,
 
     // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
     // matches each phrase's token count; zero-hit phrases yield no rows)

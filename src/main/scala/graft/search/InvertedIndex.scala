@@ -308,6 +308,53 @@ object InvertedIndex {
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
   }
 
+  /** ES `significant_terms` aggregation off the index — "what terms
+    * distinguish this document subset from the corpus", scored with ES's
+    * default JLH significance heuristic (the facet the reference's ES
+    * indices answer through the aggregation DSL, next to the termvector
+    * stats [[termStats]] mirrors). For each term of the foreground set:
+    * fg_pct = fg_df / |foreground|, bg_pct = bg_df / n_docs, and
+    * jlh = (fg_pct − bg_pct) · (fg_pct / bg_pct) — the product of the
+    * absolute and relative lifts, exactly ES's formula. A term survives
+    * when it beats the background (jlh > 0 — ES drops non-positive
+    * scores) and clears the `min_doc_count` floor (ES default 3); top-k
+    * by score, term-ascending tie-break. Scores round(6) so ranking ties
+    * break identically in the DuckDB oracle replay.
+    *
+    * `foregroundDocs` is any frame whose `doc_id` column names the subset
+    * (typically the ids from [[docsContainingPhrase]] or a metadata
+    * predicate on the corpus); duplicates are tolerated.
+    *
+    * Plan shape: the foreground ids semi-join postings once (foregrounds
+    * are query results — id-sized, broadcast under the auto threshold;
+    * past it AQE falls back to one doc_id shuffle of the pruned side);
+    * fg and bg term stats are term-keyed aggregates that inherit a saved
+    * index's bucket layout (no Exchange); the two one-row totals ride in
+    * as broadcast crossJoins; the final top-k is one
+    * TakeOrderedAndProject. The bg aggregate's output is
+    * vocabulary-sized over a linear postings read — the same stats pass
+    * ES pre-aggregates at segment-merge time; cache it across calls when
+    * scoring many foregrounds against one index.
+    */
+  def significantTerms(postings: DataFrame, norms: DataFrame,
+                      foregroundDocs: DataFrame, k: Int,
+                      minDocCount: Long = 3): DataFrame = {
+    val fg = foregroundDocs.select(col("doc_id")).distinct()
+    val fgTotal = fg.agg(count(lit(1)).as("fg_total"))
+    val fgStats = postings.join(fg, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
+    val bgStats = postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    val fgPct = col("fg_df").cast("double") / col("fg_total")
+    val bgPct = col("bg_df").cast("double") / col("n_docs")
+    fgStats.join(bgStats, Seq("term"))
+      .crossJoin(broadcast(fgTotal))
+      .crossJoin(broadcast(norms.select("n_docs")))
+      .withColumn("jlh", round((fgPct - bgPct) * (fgPct / bgPct), 6))
+      .where(col("fg_df") >= minDocCount && col("jlh") > 0)
+      .select(col("term"), col("fg_df"), col("bg_df"), col("jlh"))
+      .orderBy(desc("jlh"), asc("term")).limit(k)
+  }
+
   /** ES `fuzzy` query over the term dictionary — Lucene `FuzzyQuery` with
     * `transpositions=false` (classic Levenshtein: a swap costs 2, the
     * semantics Spark's and DuckDB's `levenshtein` share), `maxEdits` ≤ 2

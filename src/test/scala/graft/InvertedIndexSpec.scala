@@ -229,6 +229,26 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(st("nope") === ((0L, 0L)))
   }
 
+  test("significantTerms: JLH by hand, min_doc_count floor, non-positive dropped") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(docs, "text", uax29 = false)
+    // foreground = docs 1,2 (duplicate id tolerated). N=4, fg_total=2.
+    val fg = Seq(1L, 2L, 2L).toDF("doc_id")
+    val got = InvertedIndex.significantTerms(post, norms, fg, k = 10,
+      minDocCount = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // a: fg_df=1 bg_df=2 → fg_pct=.5 bg_pct=.5 → jlh=0 (dropped)
+    // b: fg_df=2 bg_df=3 → fg_pct=1 bg_pct=.75 → (.25)*(1/.75)=1/3
+    // c: fg_df=0 (no fg row at all)
+    assert(got.toList === List(("b", 2L, 3L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // ES's default floor: fg_df=2 < 3 → empty
+    assert(InvertedIndex.significantTerms(post, norms, fg, k = 10).isEmpty)
+    // empty foreground → empty result, no division blow-up
+    assert(InvertedIndex.significantTerms(post, norms,
+      Seq.empty[Long].toDF("doc_id"), k = 10, minDocCount = 1).isEmpty)
+  }
+
   test("termsMatching: full-term regex over the dictionary, Lucene semantics") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     // 'a|b' full-match admits exactly terms a and b — never c, and a
