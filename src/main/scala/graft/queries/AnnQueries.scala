@@ -87,7 +87,15 @@ object AnnQueries extends QueryPack {
       Similarity.lshKnn(emb, emb.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, dim = 64, nPlanes = 6, nTables = 4)
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // PCA front door: long-form sample covariance of the embedding space
+    // (upper triangle), collected by the one-pass moments Aggregator —
+    // the sufficient statistics the eigensolve consumes
+    "ann_pca_cov" -> ((s, dir) =>
+      graft.operators.Pca.covarianceMatrix(
+        Tables(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j"))
   )
 
   // cosine computed identically on both sides: element products summed in
@@ -341,6 +349,26 @@ object AnnQueries extends QueryPack {
          |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
          | FROM scored)
          |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
-         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // sample covariance replayed relationally: per-(row, dim) elements
+    // self-joined on the row id — n·d²/2 intermediate rows are fine for an
+    // oracle; the engine side carries d² state once per partial instead.
+    // Same (Σxy − Σx·Σy/n)/(n−1) expression shape, round(6) absorbs the
+    // engines' different summation orders.
+    "ann_pca_cov" ->
+      """WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        |s AS (SELECT i, sum(x) AS si FROM el GROUP BY i),
+        |p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+        |  round((sp - sa.si * sb.si / n) / (n - 1), 6) + 0.0 AS cov
+        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN n
+        |ORDER BY i, j""".stripMargin
   )
 }
