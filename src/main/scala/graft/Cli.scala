@@ -27,6 +27,7 @@ import graft.sources.Corpus
   *     [--search-prefix P]... [--regexp RE] [--wildcard W] [--slop N]
   *     [--fuzzy TERM [--max-edits N] [--prefix-len N]]
   *     [--more-like-doc ID | --more-like-text "..." [--mlt-terms N] [--topk K]]
+  *     [--significant-for "phrase" [--min-doc-count N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
   *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
@@ -268,9 +269,12 @@ object Cli {
         val mltDoc = flag("--more-like-doc")
         val mltText = flag("--more-like-text").map(foldQuery)
         val prefixPhrases = searchStrings("--search-prefix")
+        // ES significant_terms: foreground = docs containing the phrase
+        // (analyzed like any phrase query), background = the whole index
+        val sigPhrase = flag("--significant-for").map(foldQuery)
         val hasQuery = phrases.nonEmpty || rePat.nonEmpty ||
           wcPat.nonEmpty || prefixPhrases.nonEmpty || fuzzyTerm.nonEmpty ||
-          mltDoc.nonEmpty || mltText.nonEmpty
+          mltDoc.nonEmpty || mltText.nonEmpty || sigPhrase.nonEmpty
         val table = flag("--table")
         // --refresh-old OLDPATH...: diff-driven maintenance of a saved
         // index table — postings rebuilt only for docs added/changed
@@ -325,6 +329,14 @@ object Cli {
           // norms recomputed from postings: the CLI may be reading an ad
           // hoc corpus with no persisted norms row
           lazy val norms = search.InvertedIndex.corpusNormsFromPostings(post)
+          sigPhrase.foreach { p =>
+            val fg = search.InvertedIndex.docsContainingPhrase(post, Seq(p),
+              uax29 = uax).select("doc_id")
+            deliver(search.InvertedIndex.significantTerms(post, norms, fg,
+              k = intFlag("--topk", 25),
+              minDocCount = intFlag("--min-doc-count", 3).toLong),
+              ranked = false)
+          }
           mltText.foreach(like =>
             deliver(search.InvertedIndex.moreLikeThisText(post, norms, like,
               uax29 = uax, maxQueryTerms = intFlag("--mlt-terms", 25),

@@ -215,6 +215,20 @@ object ScaleRehearsal {
       graft.operators.Analyses.mixtureUpsample(docs, col("doc_id"),
         col("source"), "text", Map("src10" -> 1.0), budget).count()
     }
+    run("significant_terms") {
+      // JLH off the bucketed index: foreground = one source (1/20 of docs)
+      val idx = graft.search.InvertedIndex.readIndex(spark, "scale_idx")
+      graft.search.InvertedIndex.significantTerms(idx,
+        graft.search.InvertedIndex.corpusNormsFromPostings(idx),
+        docs.where(col("source") === "src10").select("doc_id"),
+        k = 25).count()
+    }
+    run("pca_fit_project") {
+      // one moments pass (d + d² buffer per partial) + driver eigensolve
+      // + codegen projection of every vector onto the top 8 components
+      val m = graft.operators.Pca.fit(emb, "embedding", k = 8)
+      graft.operators.Pca.project(emb, "vec_id", "embedding", m).count()
+    }
     spark.sql("DROP TABLE IF EXISTS scale_idx")
     spark.stop()
   }
