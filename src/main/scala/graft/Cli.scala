@@ -27,7 +27,8 @@ import graft.sources.Corpus
   *     [--search-prefix P]... [--regexp RE] [--wildcard W] [--slop N]
   *     [--fuzzy TERM [--max-edits N] [--prefix-len N]]
   *     [--more-like-doc ID | --more-like-text "..." [--mlt-terms N] [--topk K]]
-  *     [--significant-for "phrase" [--min-doc-count N] [--topk K]]
+  *     [--significant-for "phrase" [--heuristic jlh|chi2|mi]
+  *       [--min-doc-count N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
   *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
@@ -334,7 +335,8 @@ object Cli {
               uax29 = uax).select("doc_id")
             deliver(search.InvertedIndex.significantTerms(post, norms, fg,
               k = intFlag("--topk", 25),
-              minDocCount = intFlag("--min-doc-count", 3).toLong),
+              minDocCount = intFlag("--min-doc-count", 3).toLong,
+              heuristic = flag("--heuristic").getOrElse("jlh")),
               ranked = false)
           }
           mltText.foreach(like =>

@@ -379,6 +379,28 @@ object SearchQueries extends QueryPack {
       graft.search.InvertedIndex.significantTerms(post,
         graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
         d.where(col("source") === "src18").select("doc_id"), k = 15)
+    }),
+
+    // the same foreground scored with ES's chi_square heuristic
+    "e31_significant_chi2" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.significantTerms(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        d.where(col("source") === "src18").select("doc_id"), k = 15,
+        heuristic = "chi2")
+    }),
+
+    // and with mutual_information (bits)
+    "e32_significant_mi" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.significantTerms(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        d.where(col("source") === "src18").select("doc_id"), k = 15,
+        heuristic = "mi")
     })
   )
 
@@ -671,6 +693,61 @@ object SearchQueries extends QueryPack {
         |SELECT term, fg_df, bg_df, jlh FROM sc
         |WHERE fg_df >= 3 AND jlh > 0
         |ORDER BY jlh DESC, term LIMIT 15""".stripMargin,
+
+    // shared 2×2 contingency replay for chi2/mi: N11 = foreground docs
+    // with the term, N01 = rest docs with it (background_is_superset
+    // subtraction), complements N10/N00; all-double arithmetic in the
+    // same operation order as the Spark expressions
+    "e31_significant_chi2" ->
+      """WITH fg AS (SELECT doc_id FROM documents WHERE source = 'src18'),
+        |tok AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+        |bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tok GROUP BY term),
+        |fgs AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+        |  FROM tok JOIN fg USING (doc_id) GROUP BY term),
+        |tot AS (SELECT (SELECT count(*) FROM fg) AS fg_total,
+        |               (SELECT count(*) FROM documents) AS n_docs),
+        |cells AS (SELECT term, fg_df, bg_df,
+        |   CAST(fg_df AS DOUBLE) AS n11, CAST(bg_df - fg_df AS DOUBLE) AS n01,
+        |   CAST(fg_total - fg_df AS DOUBLE) AS n10,
+        |   CAST(n_docs - fg_total AS DOUBLE) - CAST(bg_df - fg_df AS DOUBLE) AS n00,
+        |   CAST(n_docs AS DOUBLE) AS nn
+        | FROM fgs JOIN bg USING (term) CROSS JOIN tot),
+        |sc AS (SELECT term, fg_df, bg_df,
+        |   round(nn * pow(n11 * n00 - n01 * n10, 2.0) /
+        |     ((n11 + n01) * (n11 + n10) * (n00 + n01) * (n00 + n10)), 6) AS chi2,
+        |   n11 * (n01 + n00) > n01 * (n11 + n10) AS positive
+        | FROM cells)
+        |SELECT term, fg_df, bg_df, chi2 FROM sc
+        |WHERE fg_df >= 3 AND positive AND chi2 > 0
+        |ORDER BY chi2 DESC, term LIMIT 15""".stripMargin,
+
+    "e32_significant_mi" ->
+      """WITH fg AS (SELECT doc_id FROM documents WHERE source = 'src18'),
+        |tok AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+        |bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tok GROUP BY term),
+        |fgs AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+        |  FROM tok JOIN fg USING (doc_id) GROUP BY term),
+        |tot AS (SELECT (SELECT count(*) FROM fg) AS fg_total,
+        |               (SELECT count(*) FROM documents) AS n_docs),
+        |cells AS (SELECT term, fg_df, bg_df,
+        |   CAST(fg_df AS DOUBLE) AS n11, CAST(bg_df - fg_df AS DOUBLE) AS n01,
+        |   CAST(fg_total - fg_df AS DOUBLE) AS n10,
+        |   CAST(n_docs - fg_total AS DOUBLE) - CAST(bg_df - fg_df AS DOUBLE) AS n00,
+        |   CAST(n_docs AS DOUBLE) AS nn
+        | FROM fgs JOIN bg USING (term) CROSS JOIN tot),
+        |sc AS (SELECT term, fg_df, bg_df,
+        |   round(
+        |     (CASE WHEN n11 > 0 THEN n11 / nn * ln(nn * n11 / ((n11 + n10) * (n11 + n01))) / ln(2) ELSE 0 END)
+        |   + (CASE WHEN n01 > 0 THEN n01 / nn * ln(nn * n01 / ((n01 + n00) * (n11 + n01))) / ln(2) ELSE 0 END)
+        |   + (CASE WHEN n10 > 0 THEN n10 / nn * ln(nn * n10 / ((n11 + n10) * (n10 + n00))) / ln(2) ELSE 0 END)
+        |   + (CASE WHEN n00 > 0 THEN n00 / nn * ln(nn * n00 / ((n01 + n00) * (n10 + n00))) / ln(2) ELSE 0 END), 6) AS mi,
+        |   n11 * (n01 + n00) > n01 * (n11 + n10) AS positive
+        | FROM cells)
+        |SELECT term, fg_df, bg_df, mi FROM sc
+        |WHERE fg_df >= 3 AND positive AND mi > 0
+        |ORDER BY mi DESC, term LIMIT 15""".stripMargin,
 
     // per-(phrase, doc) rows replayed from the raw n-gram stream (plen
     // matches each phrase's token count; zero-hit phrases yield no rows)

@@ -325,6 +325,15 @@ object InvertedIndex {
     * (typically the ids from [[docsContainingPhrase]] or a metadata
     * predicate on the corpus); duplicates are tolerated.
     *
+    * `heuristic` picks among ES's scoring family (the score column is
+    * named after it): `"jlh"` (default, above), `"chi2"` — the textbook
+    * 2×2 χ² on the (foreground, rest) contingency table with ES's
+    * `background_is_superset` subtraction (the rest-class cells are
+    * background minus foreground), `include_negatives=false` semantics
+    * (terms more frequent OUTSIDE the foreground are dropped) — or
+    * `"mi"` — mutual information of the (class, term) indicator pair in
+    * bits, same table, same negative-association filter.
+    *
     * Plan shape: the foreground ids semi-join postings once (foregrounds
     * are query results — id-sized, broadcast under the auto threshold;
     * past it AQE falls back to one doc_id shuffle of the pruned side);
@@ -338,7 +347,8 @@ object InvertedIndex {
     */
   def significantTerms(postings: DataFrame, norms: DataFrame,
                       foregroundDocs: DataFrame, k: Int,
-                      minDocCount: Long = 3): DataFrame = {
+                      minDocCount: Long = 3,
+                      heuristic: String = "jlh"): DataFrame = {
     val fg = foregroundDocs.select(col("doc_id")).distinct()
     val fgTotal = fg.agg(count(lit(1)).as("fg_total"))
     val fgStats = postings.join(fg, Seq("doc_id"), "left_semi")
@@ -346,13 +356,48 @@ object InvertedIndex {
     val bgStats = postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
     val fgPct = col("fg_df").cast("double") / col("fg_total")
     val bgPct = col("bg_df").cast("double") / col("n_docs")
+    // 2×2 contingency with ES's background_is_superset subtraction: the
+    // "rest" class is the background MINUS the foreground.
+    // N11 = in-class docs with the term, N01 = rest docs with the term,
+    // N10/N00 their complements; N = n_docs.
+    val n11 = col("fg_df").cast("double")
+    val n01 = (col("bg_df") - col("fg_df")).cast("double")
+    val n10 = (col("fg_total") - col("fg_df")).cast("double")
+    val n00 = (col("n_docs") - col("fg_total")).cast("double") - n01
+    val nn = col("n_docs").cast("double")
+    // positive association only (ES include_negatives=false): the term is
+    // MORE frequent in the foreground than in the rest
+    val positive = n11 * (n01 + n00) > n01 * (n11 + n10)
+    val score = heuristic match {
+      case "jlh" => (fgPct - bgPct) * (fgPct / bgPct)
+      case "chi2" =>
+        // textbook 2×2 χ² (no Yates), ES's chi_square heuristic shape
+        nn * pow(n11 * n00 - n01 * n10, 2.0) /
+          ((n11 + n01) * (n11 + n10) * (n00 + n01) * (n00 + n10))
+      case "mi" =>
+        // pointwise-summed mutual information in bits (ES's
+        // mutual_information): Σ Nxy/N · log2(N·Nxy / (Nx_·N_y)),
+        // empty cells contribute 0
+        def cell(nxy: Column, nx: Column, ny: Column): Column =
+          when(nxy > 0, nxy / nn * log(2.0, nn * nxy / (nx * ny)))
+            .otherwise(lit(0.0))
+        cell(n11, n11 + n10, n11 + n01) + cell(n01, n01 + n00, n11 + n01) +
+          cell(n10, n11 + n10, n10 + n00) + cell(n00, n01 + n00, n10 + n00)
+      case other => throw new IllegalArgumentException(
+        s"unknown significance heuristic '$other' (jlh | chi2 | mi)")
+    }
+    val keep = heuristic match {
+      case "jlh" => col("score") > 0 // jlh is sign-carrying already
+      case _ => positive && col("score") > 0
+    }
     fgStats.join(bgStats, Seq("term"))
       .crossJoin(broadcast(fgTotal))
       .crossJoin(broadcast(norms.select("n_docs")))
-      .withColumn("jlh", round((fgPct - bgPct) * (fgPct / bgPct), 6))
-      .where(col("fg_df") >= minDocCount && col("jlh") > 0)
-      .select(col("term"), col("fg_df"), col("bg_df"), col("jlh"))
-      .orderBy(desc("jlh"), asc("term")).limit(k)
+      .withColumn("score", round(score, 6))
+      .where(col("fg_df") >= minDocCount && keep)
+      .select(col("term"), col("fg_df"), col("bg_df"),
+        col("score").as(heuristic))
+      .orderBy(desc(heuristic), asc("term")).limit(k)
   }
 
   /** ES `fuzzy` query over the term dictionary — Lucene `FuzzyQuery` with

@@ -249,6 +249,30 @@ class InvertedIndexSpec extends SparkTestBase {
       Seq.empty[Long].toDF("doc_id"), k = 10, minDocCount = 1).isEmpty)
   }
 
+  test("significantTerms: chi2 and mi heuristics by hand") {
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(docs, "text", uax29 = false)
+    val fg = Seq(1L, 2L).toDF("doc_id")
+    // contingency for b: n11=2 n01=1 n10=0 n00=1, N=4
+    //   chi2 = 4·(2·1−1·0)²/(3·2·2·1) = 4/3
+    //   mi   = .5·log2(8/6) + .25·log2(4/6) + 0 + .25·log2(2) ≈ 0.311278
+    // a is independent of the class (all cells 1) → score 0, dropped
+    val chi = InvertedIndex.significantTerms(post, norms, fg, k = 10,
+      minDocCount = 1, heuristic = "chi2").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(chi.toList === List(("b", 1.333333)))
+    assert(InvertedIndex.significantTerms(post, norms, fg, k = 10,
+      minDocCount = 1, heuristic = "chi2").columns.last === "chi2")
+    val mi = InvertedIndex.significantTerms(post, norms, fg, k = 10,
+      minDocCount = 1, heuristic = "mi").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(mi.toList === List(("b", 0.311278)))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.significantTerms(post, norms, fg, k = 10,
+        heuristic = "nope")
+    }
+  }
+
   test("termsMatching: full-term regex over the dictionary, Lucene semantics") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     // 'a|b' full-match admits exactly terms a and b — never c, and a
