@@ -75,7 +75,11 @@ object Pca {
   }
 
   /** The one-row moments frame for `vecCol` (floats upcast so accumulation
-    * is double everywhere). Null vectors are skipped.
+    * is double everywhere). Null vectors are skipped. Also the streaming
+    * twin: on a streaming frame this is a global typed aggregation —
+    * write it with Complete output mode and the sink holds the running
+    * moments across micro-batches (spec-asserted equal to the batch
+    * result), ready for a periodic refit.
     */
   def moments(df: DataFrame, vecCol: String): DataFrame = {
     val spark = df.sparkSession

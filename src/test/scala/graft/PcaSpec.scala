@@ -95,6 +95,67 @@ class PcaSpec extends SparkTestBase {
     assert(covAt(1) === covAt(5))
   }
 
+  test("planted rank-3 data: k=3 captures the variance, kNN survives projection") {
+    // x = z1·u1 + z2·u2 + z3·u3 + tiny noise, with disjoint-support u's —
+    // all hash-derived, no RNG. PCA to k=3 must recover the latent span,
+    // so cosine kNN in the 3-dim projected space must reproduce the
+    // full-space neighbors (the "reduce then ANN" pipeline claim).
+    val d = 12
+    val u = Array(
+      (0 until d).map(j => if (j < 4) 0.5 else 0.0).toArray,
+      (0 until d).map(j => if (j >= 4 && j < 8) 0.5 else 0.0).toArray,
+      (0 until d).map(j => if (j >= 8) 0.5 else 0.0).toArray)
+    val data = (0L until 60L).map { i =>
+      val z = (0 until 3).map(c => ((i * 31 + c * 7) % 21 - 10) / 10.0)
+      i -> (0 until d).map { j =>
+        (z(0) * u(0)(j) + z(1) * u(1)(j) + z(2) * u(2)(j) +
+          0.005 * (((i * 13 + j * 17) % 11) - 5) / 5.0).toFloat
+      }
+    }
+    val df = data.toDF("id", "emb")
+    val m = graft.operators.Pca.fit(df, "emb", k = 3)
+    assert(m.explainedVariance.sum > 0.99, m.explainedVariance.toList)
+    val proj = graft.operators.Pca.project(df, "id", "emb", m)
+      .withColumnRenamed("proj", "emb")
+    def knn(frame: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.bruteForceKnn(frame,
+        frame.where(col("id") % 5 === 0), "id", "emb", k = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val full = knn(df)
+    val reduced = knn(proj)
+    val recall = full.keys.toSeq.map(q =>
+      (full(q) & reduced(q)).size.toDouble / full(q).size).sum / full.size
+    assert(recall >= 0.9, s"projected-space recall $recall")
+  }
+
+  test("streaming twin: micro-batched moments == batch moments") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = graft.operators.Pca.moments(input.toDF().toDF("id", "emb"), "emb")
+      .writeStream.format("memory").queryName("pca_moments")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    val batch1 = rows.take(25)
+    val batch2 = rows.drop(25)
+    input.addData(batch1.map { case (i, v) => (i, v.map(_.toDouble)) }: _*)
+    q.processAllAvailable()
+    input.addData(batch2.map { case (i, v) => (i, v.map(_.toDouble)) }: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("pca_moments").collect()
+    q.stop()
+    assert(streamed.length === 1)
+    val batch = graft.operators.Pca.moments(rows.toDF("id", "emb"), "emb").head()
+    assert(streamed.head.getLong(0) === batch.getLong(0))
+    streamed.head.getSeq[Double](1).zip(batch.getSeq[Double](1)).foreach {
+      case (a, b) => approx(a, b, 1e-12)
+    }
+    streamed.head.getSeq[Double](2).zip(batch.getSeq[Double](2)).foreach {
+      case (a, b) => approx(a, b, 1e-12)
+    }
+  }
+
   test("degenerate inputs: n<2 empty covariance, fit rejects, nulls skipped") {
     val one = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "emb")
     assert(Pca.covarianceMatrix(one, "emb").isEmpty)
