@@ -334,9 +334,10 @@ object InvertedIndex {
     * `"mi"` — mutual information of the (class, term) indicator pair in
     * bits, same table, same negative-association filter.
     *
-    * Plan shape: the foreground ids semi-join postings once (foregrounds
-    * are query results — id-sized, broadcast under the auto threshold;
-    * past it AQE falls back to one doc_id shuffle of the pruned side);
+    * Plan shape: the foreground ids semi-join postings once as a PINNED
+    * broadcast (foregrounds are query results — id-sized; the hint keeps
+    * the static planner from sort-merge-joining, which would shuffle the
+    * postings on doc_id);
     * fg and bg term stats are term-keyed aggregates that inherit a saved
     * index's bucket layout (no Exchange); the two one-row totals ride in
     * as broadcast crossJoins; the final top-k is one
@@ -351,7 +352,13 @@ object InvertedIndex {
                       heuristic: String = "jlh"): DataFrame = {
     val fg = foregroundDocs.select(col("doc_id")).distinct()
     val fgTotal = fg.agg(count(lit(1)).as("fg_total"))
-    val fgStats = postings.join(fg, Seq("doc_id"), "left_semi")
+    // the hint is deliberate: without it the static planner (no stats on a
+    // derived fg frame) sort-merge-joins — which shuffles the POSTINGS on
+    // doc_id, exactly the corpus-sized exchange this operator must not pay.
+    // Foregrounds are query results (id-sized) by contract; a
+    // beyond-broadcast foreground should be pre-materialized and passed
+    // through a bucketed-by-doc_id table instead.
+    val fgStats = postings.join(broadcast(fg), Seq("doc_id"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("fg_df"))
     val bgStats = postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
     val fgPct = col("fg_df").cast("double") / col("fg_total")

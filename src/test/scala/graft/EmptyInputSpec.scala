@@ -198,6 +198,18 @@ class EmptyInputSpec extends SparkTestBase {
       "text", Map("src1" -> 1.0), 100L).count() === 0)
   }
 
+  test("significant terms and PCA on empty inputs") {
+    import graft.search.InvertedIndex
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(docs, "text", uax29 = false)
+    for (h <- Seq("jlh", "chi2", "mi"))
+      assert(InvertedIndex.significantTerms(post, norms,
+        docs.select("doc_id"), k = 5, heuristic = h).count() === 0)
+    assert(Pca.moments(emb, "embedding").head().getLong(0) === 0L)
+    assert(Pca.covarianceMatrix(emb, "embedding").count() === 0)
+    intercept[IllegalArgumentException] { Pca.fit(emb, "embedding", 1) }
+  }
+
   test("span decontamination on empty train and empty benchmark") {
     assert(Dedup.removeContaminatedSpans(docs, "doc_id", "text",
       docs, "text", k = 3).count() === 0)

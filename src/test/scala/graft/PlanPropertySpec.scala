@@ -415,4 +415,41 @@ class PlanPropertySpec extends SparkTestBase {
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
     assert(read === Some("doc_id:bigint,text:string"), p)
   }
+
+  test("PCA moments/covariance: no hash shuffle — one global typed agg") {
+    // the d+d² buffer meets in a single-partition exchange (partial
+    // combine map-side); nothing is hash-partitioned, nothing joins
+    val cov = graft.operators.Pca.covarianceMatrix(emb, "embedding")
+    val p = plan(cov)
+    assert(shuffles(cov) === 0, p)
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"), p)
+  }
+
+  test("significantTerms on a saved index: term aggs inherit the bucket layout") {
+    import graft.search.InvertedIndex
+    val table = "ppspec_sig_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    InvertedIndex.writeIndex(
+      InvertedIndex.postings(docs, "doc_id", "text", uax29 = false),
+      table, buckets = 4, force = true)
+    try {
+      val idx = InvertedIndex.readIndex(spark, table)
+      // build-time norms (the persisted-alongside posture) — the
+      // corpusNormsFromPostings fallback would add one index-wide doc agg
+      val st = InvertedIndex.significantTerms(idx,
+        InvertedIndex.corpusNorms(docs, "text", uax29 = false),
+        docs.where(col("source") === "src10").select("doc_id"), k = 10)
+      val p = plan(st)
+      // the foreground semi-joins as a pinned broadcast (never a postings
+      // shuffle on doc_id); the only hash exchanges are the id-sized fg
+      // distincts. fg/bg term aggs and their join ride the bucket layout
+      // unshuffled — no exchange keys on term.
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+      assert(shuffles(st) <= 2, p)
+      "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+        assert(!m.group(1).contains("term"), p)
+      }
+      assert(p.contains("TakeOrderedAndProject"), p)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
