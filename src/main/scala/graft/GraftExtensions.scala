@@ -98,6 +98,10 @@ object GraftExtensions {
     ("graft_simhash", "graft_simhash(tokens, n_bits, md5_parity): inline SimHash fingerprint",
       (args: Seq[Expression]) => SimHashFingerprint(args(0),
         intLit(args(1), "n_bits"), boolLit(args(2), "md5_parity"))),
+    ("graft_feature_hash",
+      "graft_feature_hash(tokens, dim, md5_parity): signed feature-hash embedding (array<double>)",
+      (args: Seq[Expression]) => HashedEmbedding(args(0),
+        intLit(args(1), "dim"), boolLit(args(2), "md5_parity"))),
     ("graft_count_seq", "graft_count_seq(tokens, phrase_tokens): sliding-window occurrence count",
       (args: Seq[Expression]) => CountTokenSeq(args(0), args(1))),
     ("graft_term_postings",

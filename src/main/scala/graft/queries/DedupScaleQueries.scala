@@ -85,6 +85,12 @@ object DedupScaleQueries extends QueryPack {
       SimHash.simhashBitString(docs(s, dir), "doc_id", "text", simhashBits,
         SimHash.md5HexBit).orderBy("id")),
 
+    // feature-hash document embeddings (signed hashing trick, md5-parity
+    // mode): the model-free text→vector bridge into the embedding tier
+    "d_hashed_embedding" -> ((s, dir) =>
+      graft.operators.FeatureHash.hashedEmbeddings(docs(s, dir), "doc_id",
+        "text", dim = 16, md5Parity = true).orderBy("id")),
+
     // near-dup pairs → duplicate clusters: min-reachable-id label per member
     "d_cc_clusters" -> ((s, dir) =>
       graft.operators.Dedup.connectedComponents(
@@ -450,6 +456,27 @@ object DedupScaleQueries extends QueryPack {
       s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
          |sums AS (SELECT id, $simhashSums FROM tok GROUP BY id)
          |SELECT id, $simhashConcat AS simhash FROM sums ORDER BY id""".stripMargin,
+
+    // bucket = first 4 md5 hex digits as an int, mod dim; sign = high bit
+    // of digit 5 — the kernel's exact md5-parity contract, replayed with
+    // digit arithmetic (DuckDB 1.0 has no hex→int cast)
+    "d_hashed_embedding" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id,
+        |  ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096 +
+        |   (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256 +
+        |   (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1)) % 16 AS bucket,
+        |  CASE WHEN substr(md5(w), 5, 1) IN ('8','9','a','b','c','d','e','f')
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sign
+        | FROM tok),
+        |s AS (SELECT doc_id, bucket, sum(sign) AS v FROM h GROUP BY doc_id, bucket),
+        |grid AS (SELECT doc_id, bucket
+        | FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+        | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bucket))
+        |SELECT g.doc_id AS id, list(coalesce(s.v, CAST(0 AS DOUBLE)) ORDER BY g.bucket) AS emb
+        |FROM grid g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
+        |GROUP BY g.doc_id ORDER BY id""".stripMargin,
 
     "d_jaccard_block" ->
       s"""WITH sh AS ($shSql),
