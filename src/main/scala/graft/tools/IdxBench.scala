@@ -60,6 +60,14 @@ object IdxBench {
       graft.search.InvertedIndex.phrasePrefixHits(post,
         prefixes20.map(p => s"${top1.head} $p"), uax29 = false).count()
     }
+    // significant_terms: fg semi-join + two term aggs per heuristic call
+    val norms = graft.search.InvertedIndex.corpusNorms(d, "text",
+      uax29 = false).localCheckpoint()
+    for (h <- Seq("jlh", "chi2", "mi")) t(s"significant-$h") {
+      graft.search.InvertedIndex.significantTerms(post, norms,
+        d.where(col("source") === "src18").select("doc_id"), k = 25,
+        heuristic = h).count()
+    }
     spark.stop()
   }
 }
