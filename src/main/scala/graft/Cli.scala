@@ -30,6 +30,7 @@ import graft.sources.Corpus
   *     [--significant-for "phrase" [--heuristic jlh|chi2|mi]
   *       [--min-doc-count N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
+  *   runMain graft.Cli embed PATH... [--dim D] [--md5] [--out DIR]
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
   *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
   *     [--stratum-col C] [--default-fraction F]
@@ -48,7 +49,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -452,6 +453,17 @@ object Cli {
           },
           ranked = false)
 
+      // extension: model-free doc embeddings by the hashing trick — the
+      // text→vector bridge (feed the output to the embedding tier). JSONL
+      // rows of {"id", "emb"} via --out, sample printed otherwise.
+      case "embed" =>
+        val (keyed, idc) =
+          if (!docs.where(col("id").isNotNull).isEmpty) (docs, "id")
+          else (Corpus.withFileLineId(docs, "__id"), "__id")
+        deliver(operators.FeatureHash.hashedEmbeddings(keyed, idc, "text",
+          dim = intFlag("--dim", 64),
+          md5Parity = a.flags.contains("--md5"), uax29 = uax),
+          ranked = false)
       // Heaps'-law curve: vocabulary growth as the corpus accumulates —
       // axis is the numeric `id` field when present, else ingestion order
       // (monotonically_increasing_id: deterministic for a fixed file
