@@ -392,6 +392,19 @@ object SearchQueries extends QueryPack {
         heuristic = "chi2")
     }),
 
+    // the set-oriented batch posture: significant terms for THREE sources
+    // in one postings pass (per-group rank window instead of N plans)
+    "e33_significant_grouped" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      graft.search.InvertedIndex.significantTermsByGroup(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        d.where(col("source").isin("src3", "src4", "src18"))
+          .select(col("doc_id"), col("source").as("group")), k = 10)
+        .orderBy(col("group"), desc("jlh"), col("term"))
+    }),
+
     // and with mutual_information (bits)
     "e32_significant_mi" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -693,6 +706,25 @@ object SearchQueries extends QueryPack {
         |SELECT term, fg_df, bg_df, jlh FROM sc
         |WHERE fg_df >= 3 AND jlh > 0
         |ORDER BY jlh DESC, term LIMIT 15""".stripMargin,
+
+    "e33_significant_grouped" ->
+      """WITH fg AS (SELECT doc_id, source AS grp FROM documents
+        |  WHERE source IN ('src3', 'src4', 'src18')),
+        |tok AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+        |bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tok GROUP BY term),
+        |fgs AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS fg_df
+        |  FROM tok JOIN fg USING (doc_id) GROUP BY grp, term),
+        |tot AS (SELECT grp, count(*) AS fg_total FROM fg GROUP BY grp),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT grp, term, fg_df, bg_df,
+        |  round((fg_df / CAST(fg_total AS DOUBLE) - bg_df / CAST(n_docs AS DOUBLE))
+        |      * ((fg_df / CAST(fg_total AS DOUBLE)) / (bg_df / CAST(n_docs AS DOUBLE))), 6) AS jlh
+        | FROM fgs JOIN bg USING (term) JOIN tot USING (grp) CROSS JOIN nd),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY jlh DESC, term) AS rn
+        |  FROM sc WHERE fg_df >= 3 AND jlh > 0)
+        |SELECT grp AS "group", term, fg_df, bg_df, jlh FROM rk WHERE rn <= 10
+        |ORDER BY "group", jlh DESC, term""".stripMargin,
 
     // shared 2×2 contingency replay for chi2/mi: N11 = foreground docs
     // with the term, N01 = rest docs with it (background_is_superset

@@ -361,6 +361,23 @@ object InvertedIndex {
     val fgStats = postings.join(broadcast(fg), Seq("doc_id"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("fg_df"))
     val bgStats = postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    val (score, keep) = significanceScore(heuristic)
+    fgStats.join(bgStats, Seq("term"))
+      .crossJoin(broadcast(fgTotal))
+      .crossJoin(broadcast(norms.select("n_docs")))
+      .withColumn("score", round(score, 6))
+      .where(col("fg_df") >= minDocCount && keep)
+      .select(col("term"), col("fg_df"), col("bg_df"),
+        col("score").as(heuristic))
+      .orderBy(desc(heuristic), asc("term")).limit(k)
+  }
+
+  /** (score, keep-filter) for a significance heuristic, over the columns
+    * `fg_df`, `bg_df`, `fg_total`, `n_docs` and the post-rounding column
+    * `score` — shared by [[significantTerms]] and
+    * [[significantTermsByGroup]].
+    */
+  private def significanceScore(heuristic: String): (Column, Column) = {
     val fgPct = col("fg_df").cast("double") / col("fg_total")
     val bgPct = col("bg_df").cast("double") / col("n_docs")
     // 2×2 contingency with ES's background_is_superset subtraction: the
@@ -397,14 +414,48 @@ object InvertedIndex {
       case "jlh" => col("score") > 0 // jlh is sign-carrying already
       case _ => positive && col("score") > 0
     }
+    (score, keep)
+  }
+
+  /** [[significantTerms]] for MANY foregrounds in ONE plan — the tier's
+    * set-oriented posture applied to the significance aggregation: "which
+    * terms distinguish EACH source/shard/label" costs one postings pass
+    * regardless of how many labels there are, instead of one
+    * [[significantTerms]] call per label.
+    *
+    * `docGroups` is a (doc_id, group) frame assigning foreground docs to
+    * labels (a doc may carry several labels; each contributes to each).
+    * Output: top-k rows per group — (group, term, fg_df, bg_df, score
+    * named after the heuristic) — score-descending, term-ascending within
+    * a group.
+    *
+    * Plan shape: the label frame broadcast-joins postings once; the
+    * per-(group, term) aggregate still satisfies its clustering from the
+    * bucket layout (term partitioning clusters any superset key set), so
+    * a saved index pays NO extra exchange over the single-foreground
+    * plan; per-group top-k is one rank window partitioned on the (small)
+    * group key. Scores round(6) like everything the oracle replays.
+    */
+  def significantTermsByGroup(postings: DataFrame, norms: DataFrame,
+                              docGroups: DataFrame, k: Int,
+                              minDocCount: Long = 3,
+                              heuristic: String = "jlh"): DataFrame = {
+    val groups = docGroups.select(col("doc_id"), col("group")).distinct()
+    val totals = groups.groupBy("group").agg(count(lit(1)).as("fg_total"))
+    val fgStats = postings.join(broadcast(groups), Seq("doc_id"))
+      .groupBy("group", "term").agg(count(lit(1)).as("fg_df"))
+    val bgStats = postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    val (score, keep) = significanceScore(heuristic)
     fgStats.join(bgStats, Seq("term"))
-      .crossJoin(broadcast(fgTotal))
+      .join(broadcast(totals), Seq("group"))
       .crossJoin(broadcast(norms.select("n_docs")))
       .withColumn("score", round(score, 6))
       .where(col("fg_df") >= minDocCount && keep)
-      .select(col("term"), col("fg_df"), col("bg_df"),
+      .withColumn("__rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("group").orderBy(desc("score"), asc("term"))))
+      .where(col("__rank") <= k)
+      .select(col("group"), col("term"), col("fg_df"), col("bg_df"),
         col("score").as(heuristic))
-      .orderBy(desc(heuristic), asc("term")).limit(k)
   }
 
   /** ES `fuzzy` query over the term dictionary — Lucene `FuzzyQuery` with

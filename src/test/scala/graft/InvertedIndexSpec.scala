@@ -273,6 +273,31 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("significantTermsByGroup == one significantTerms call per group; multi-label ok") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val post = InvertedIndex.postings(d, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(d, "text", uax29 = false)
+    val labels = d.where(col("source").isin("src3", "src18"))
+      .select(col("doc_id"), col("source").as("group"))
+    val grouped = InvertedIndex.significantTermsByGroup(post, norms, labels,
+      k = 8, heuristic = "chi2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val singles = Seq("src3", "src18").flatMap { src =>
+      InvertedIndex.significantTerms(post, norms,
+        d.where(col("source") === src).select("doc_id"), k = 8,
+        heuristic = "chi2").collect()
+        .map(r => (src, r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+    }.toSet
+    assert(grouped === singles)
+    // a doc labeled into BOTH groups contributes to both foregrounds
+    val both = labels.unionByName(labels.limit(1).withColumn("group", lit("x")))
+    val withX = InvertedIndex.significantTermsByGroup(post, norms, both,
+      k = 8, minDocCount = 1).collect().map(_.getString(0)).toSet
+    assert(withX.contains("src3") && withX.contains("src18"))
+  }
+
   test("termsMatching: full-term regex over the dictionary, Lucene semantics") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     // 'a|b' full-match admits exactly terms a and b — never c, and a
