@@ -157,14 +157,22 @@ object Pca {
     * one codegen'd dot product per component against its literal vector —
     * a pure projection, no shuffle, streaming-safe. Output: `idCol`,
     * `proj` (array of k doubles).
+    *
+    * `whiten` divides each coordinate by √eigenvalue so the projected
+    * covariance is the identity — the PCA-whitening preprocessing
+    * SemDeDup-style cosine pipelines use to stop high-variance directions
+    * from dominating the similarity. Near-zero eigenvalues are floored at
+    * 1e-12 (a direction with no variance carries no signal to rescale).
     */
   def project(df: DataFrame, idCol: String, vecCol: String,
-              model: PcaModel): DataFrame = {
+              model: PcaModel, whiten: Boolean = false): DataFrame = {
     val mean = typedLit(model.mean.toSeq)
     val centered = zip_with(transform(col(vecCol), _.cast("double")), mean,
       (x, mu) => x - mu)
-    val proj = array(model.components.map(c =>
-      Similarity.dot(centered, typedLit(c.toSeq))): _*)
+    val proj = array(model.components.zipWithIndex.map { case (c, j) =>
+      val d = Similarity.dot(centered, typedLit(c.toSeq))
+      if (whiten) d / math.sqrt(model.eigenvalues(j).max(1e-12)) else d
+    }: _*)
     df.select(col(idCol), proj.as("proj"))
   }
 

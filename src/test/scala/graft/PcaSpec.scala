@@ -87,6 +87,26 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("whitened projection: identity covariance on real directions, floored dims stay small") {
+    // this fixture is near-rank-2 (eigenvalues 3..7 are ~1e-16): whitening
+    // normalizes the REAL directions to unit variance, and the floored
+    // zero-variance directions must stay ~0, not blow up to 1/ε
+    val df = rows.toDF("id", "emb")
+    val m = Pca.fit(df, "emb", k = 7)
+    assert(m.eigenvalues(1) > 1e-3 && m.eigenvalues(2) < 1e-12,
+      m.eigenvalues.toList)
+    val p = Pca.project(df, "id", "emb", m, whiten = true)
+      .select(col("proj")).collect().map(_.getSeq[Double](0).toArray)
+    val n = p.length
+    def cov(i: Int, j: Int) = {
+      val si = p.map(_(i)).sum; val sj = p.map(_(j)).sum
+      (p.map(r => r(i) * r(j)).sum - si * sj / n) / (n - 1)
+    }
+    for (i <- 0 until 2; j <- 0 until 2)
+      approx(cov(i, j), if (i == j) 1.0 else 0.0, 1e-9)
+    for (i <- 2 until 7) assert(cov(i, i) < 1e-2, s"dim $i: ${cov(i, i)}")
+  }
+
   test("moments aggregator: partition-count invariant at round(12)") {
     val df = rows.toDF("id", "emb")
     def covAt(parts: Int) =
