@@ -223,6 +223,11 @@ object ScaleRehearsal {
         docs.where(col("source") === "src10").select("doc_id"),
         k = 25).count()
     }
+    run("hashed_embedding") {
+      // text→vector bridge at production hash: one scan-fused kernel pass
+      graft.operators.FeatureHash.hashedEmbeddings(docs, "doc_id", "text",
+        dim = 64).count()
+    }
     run("pca_fit_project") {
       // one moments pass (d + d² buffer per partial) + driver eigensolve
       // + codegen projection of every vector onto the top 8 components
