@@ -111,6 +111,25 @@ object Pipeline {
                     tables: Int = 1): DataFrame =
     Similarity.semanticDedup(docs, idCol, vecCol, threshold, centroidStep, tables)
 
+  /** [[dedupSemantic]] for TEXT-ONLY corpora: derive the vector column by
+    * the hashing trick ([[operators.FeatureHash.hashedEmbeddings]] — a
+    * zero-shuffle kernel pass, no model in the loop), then run the same
+    * SemDeDup pipeline and keep the surviving documents. Hashed-space
+    * cosine estimates bag-of-words cosine, so this rung sits between
+    * MinHash (set overlap) and true-embedding SemDeDup (semantics) —
+    * use it when embeddings don't exist but token-frequency similarity
+    * is the right near-dup notion.
+    */
+  def dedupSemanticText(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, centroidStep: Int, dim: Int = 64,
+                        tables: Int = 1, uax29: Boolean = false): DataFrame = {
+    val emb = operators.FeatureHash.hashedEmbeddings(docs, idCol, textCol,
+      dim, uax29 = uax29)
+    val keep = Similarity.semanticDedup(emb, "id", "emb", threshold,
+      centroidStep, tables).select(col("id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** URL-level exact dedup: keep-first by canonical URL (case, ports,
     * www, tracking params, fragments and slash noise collapse first).
     */

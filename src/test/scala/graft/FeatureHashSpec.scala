@@ -70,6 +70,19 @@ class FeatureHashSpec extends SparkTestBase {
     assert(pairs.toList === List((1L, 2L)))
   }
 
+  test("Pipeline.dedupSemanticText: text-only SemDeDup keeps the min-id representative") {
+    // one IVF centroid (id 0 mod 50) so all docs land in one bucket
+    val planted = Seq(
+      (0L, (1 to 20).map(i => s"tok$i").mkString(" ")),
+      (1L, ((1 to 19).map(i => s"tok$i") :+ "different").mkString(" ")),
+      (2L, (100 to 119).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Pipeline.dedupSemanticText(planted, "doc_id", "text",
+      threshold = 0.8, centroidStep = 50, dim = 64)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toList === List(0L, 2L)) // 1 collapses into 0's cluster
+  }
+
   test("edge cases: zero vector for empty tokens, null text dropped, SQL function") {
     val f = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "a b a"))
       .toDF("doc_id", "text")
