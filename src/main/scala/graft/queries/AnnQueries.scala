@@ -89,6 +89,27 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval: BM25 lexical top-20 ⊕ cosine-kNN top-20 fused by
+    // reciprocal rank (RRF, the ES hybrid-search combinator) — one ranked
+    // list per modality, k-bounded all the way
+    "e34_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val post = graft.search.InvertedIndex.postings(d, "doc_id", "text",
+        uax29 = false)
+      val bm = graft.search.InvertedIndex.bm25TopK(post,
+        graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
+        Seq("spark", "window", "data"), k = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        .select("doc_id", "rank")
+      val vec = Similarity.bruteForceKnn(emb,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.search.Searcher.rrfFuse(Seq(bm, vec), topK = 15)
+    }),
+
     // PCA front door: long-form sample covariance of the embedding space
     // (upper triangle), collected by the one-pass moments Aggregator —
     // the sufficient statistics the eigensolve consumes
@@ -350,6 +371,40 @@ object AnnQueries extends QueryPack {
          | FROM scored)
          |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // RRF replay: bm25 ranked on the ROUNDED score (matching bm25TopK's
+    // output ordering), cosine ranked on the raw dot like ann_topk; both
+    // contribute 1/(60+rank), absent docs contribute nothing
+    "e34_hybrid_rrf" ->
+      s"""WITH q(term) AS (SELECT * FROM (VALUES ('spark'), ('window'), ('data')) v(t)),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |   len(string_split(text, ' ')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, w AS term, count(*) AS tf, any_value(dl) AS dl
+         | FROM tok JOIN q ON w = q.term GROUP BY doc_id, w),
+         |st AS (SELECT count(*) AS n_docs,
+         |   avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |bmscore AS (SELECT doc_id, round(sum(
+         |   ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |   tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+         | FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id),
+         |bm AS (SELECT doc_id, rn AS rank FROM (SELECT doc_id,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bmscore)
+         | WHERE rn <= 20),
+         |q0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vscored AS (SELECT e.vec_id AS doc_id, ($cosSql) AS c
+         | FROM q0 CROSS JOIN (SELECT vec_id, embedding AS bv FROM embeddings) e
+         | WHERE e.vec_id <> 0),
+         |vr AS (SELECT doc_id, rn AS rank FROM (SELECT doc_id,
+         |   row_number() OVER (ORDER BY c DESC, doc_id) AS rn FROM vscored)
+         | WHERE rn <= 20),
+         |fused AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS contrib FROM bm
+         | UNION ALL
+         | SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) FROM vr)
+         |SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM fused GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
 
     // sample covariance replayed relationally: per-(row, dim) elements
     // self-joined on the row id — n·d²/2 intermediate rows are fine for an

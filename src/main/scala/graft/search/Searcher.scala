@@ -238,4 +238,27 @@ object Searcher {
 
   def randomDocs(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — ES's hybrid-retrieval
+    * combinator: merge any number of ranked lists (lexical BM25, vector
+    * kNN, …) by Σ 1/(rrfK + rank) per document; a doc absent from a list
+    * simply contributes nothing. Each input frame needs a `doc_id` and a
+    * 1-based `rank` column (what [[InvertedIndex.bm25TopK]]-then-rank and
+    * [[graft.operators.Similarity.bruteForceKnn]] produce). `n_lists`
+    * reports how many lists surfaced the doc. Scores round(6); ties break
+    * doc_id-ascending.
+    *
+    * Plan shape: a union of k-bounded inputs (each already top-k-sized —
+    * never corpus-sized), one tiny groupBy, one TakeOrderedAndProject.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranked list")
+    rankings.map(_.select(col("doc_id"),
+        (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf_score"), asc("doc_id")).limit(topK)
+  }
 }

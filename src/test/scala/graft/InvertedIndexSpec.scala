@@ -298,6 +298,25 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(withX.contains("src3") && withX.contains("src18"))
   }
 
+  test("rrfFuse: hand-computed fusion, absent docs, multi-list counts") {
+    val bm = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Searcher.rrfFuse(Seq(bm, vec), topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 appears in both lists: 1/62 + 1/61; the rest once
+    val expect = List(
+      (20L, r6(1.0 / 62 + 1.0 / 61), 2L),
+      (10L, r6(1.0 / 61), 1L),
+      (40L, r6(1.0 / 62), 1L),
+      (30L, r6(1.0 / 63), 1L))
+    assert(got.toList === expect)
+    // single list degenerates to its own ranking
+    assert(Searcher.rrfFuse(Seq(bm), topK = 2).collect()
+      .map(_.getLong(0)).toList === List(10L, 20L))
+    intercept[IllegalArgumentException] { Searcher.rrfFuse(Nil, topK = 5) }
+  }
+
   test("termsMatching: full-term regex over the dictionary, Lucene semantics") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
     // 'a|b' full-match admits exactly terms a and b — never c, and a
