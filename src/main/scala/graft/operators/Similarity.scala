@@ -35,8 +35,8 @@ object Similarity {
     * the per-pair work later is a single dot product — norms are O(rows)
     * instead of O(pairs)).
     */
-  private def unitProject(df: DataFrame, idCol: String, idName: String,
-                          vecCol: String, outName: String): DataFrame =
+  private[graft] def unitProject(df: DataFrame, idCol: String, idName: String,
+                                 vecCol: String, outName: String): DataFrame =
     df.select(col(idCol).as(idName), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .select(col(idName), transform(col("__v"), x => x / col("__n")).as(outName))

@@ -35,6 +35,21 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // the persisted ANN index tier: build the bucketed IVF table, then
+    // answer the same query battery reading ONLY the probed buckets —
+    // must equal ann_ivf_topk exactly (same oracle SQL)
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivf_idx"
+      Tables.reset(s, table, s"${table}__centroids")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true)
+      graft.search.AnnIndex.ivfKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-space drift between snapshot halves: cosine of raw mean
     // vectors + per-side mean norms — the representation-side j13
     "d_embedding_drift" -> ((s, dir) => {
@@ -141,6 +156,41 @@ object AnnQueries extends QueryPack {
     .map(t => s"SELECT vec_id, v, $t AS tbl, ${lshBucketSql(t)} AS bucket FROM unit")
     .mkString(" UNION ALL ")
 
+  // the IVF index+probe+score replay — shared by ann_ivf_topk (per-call
+  // assignment) and ann_ivf_indexed (persisted bucketed table): both
+  // plans must reproduce it exactly
+  private val ivfSql: String =
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+        |scored AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "ann_topk_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0),
@@ -207,37 +257,11 @@ object AnnQueries extends QueryPack {
         |SELECT centroid_id, count(*) AS n_members, round(avg(d), 6) AS mean_cosine
         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "ann_ivf_topk" ->
-      """WITH unit AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
-        |asg0 AS (
-        | SELECT u.vec_id, u.v, c.centroid_id,
-        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
-        | FROM unit u CROSS JOIN cent c),
-        |asg AS (
-        | SELECT vec_id, v, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0) WHERE rn = 1),
-        |probes AS (
-        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
-        |scored AS (
-        | SELECT p.query_id, a.vec_id AS neighbor_id,
-        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
-        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
-        |ranked AS (
-        | SELECT query_id, neighbor_id, c,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-        | FROM scored)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
-        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" -> ivfSql,
+
+    // the SAME replay checks the PERSISTED index path: build + probe must
+    // agree with the per-call assignment plan exactly
+    "ann_ivf_indexed" -> ivfSql,
 
     "d_semantic_dedup" ->
       """WITH RECURSIVE unit AS (

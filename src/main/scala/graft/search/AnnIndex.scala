@@ -1,0 +1,80 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The embedding tier's "build once, query many" rung — a persisted IVF
+  * index as Spark TABLES, mirroring [[InvertedIndex]]'s posture for text:
+  * where [[Similarity.ivfKnn]] re-assigns the whole corpus on every call
+  * (right for one-shot questions), this tier pays the assignment scan once
+  * at build time and persists (id, bucket, unit vector) BUCKETED BY the
+  * IVF bucket — so a kNN query reads ONLY its `nprobe` probed buckets'
+  * files (bucket pruning, the SelectedBucketsCount discipline
+  * spec-asserted like the text index's term lookups). At 100 TB of
+  * vectors that is the difference between a corpus scan per query batch
+  * and an (nprobe/buckets)-sized pruned read.
+  *
+  * Centroids (index-sized: n/step rows) live in a `<table>__centroids`
+  * side table. Unit forms are stored, not raw vectors, so probing never
+  * recomputes norms — the same denormalization [[InvertedIndex]] applies
+  * to `dl`.
+  */
+object AnnIndex {
+
+  /** Build the IVF index and persist it bucketed by the centroid bucket.
+    * Deterministic sample centroids (id ≡ 0 mod `step` — swap in
+    * [[Similarity.kmeansCentroids]] upstream by pre-assigning if needed);
+    * `buckets` is the table's file-bucket count (≈ centroid count or a
+    * divisor; pruning selects file buckets by hash(bucket id)).
+    */
+  def writeIvfIndex(base: DataFrame, idCol: String, vecCol: String,
+                    step: Int, table: String, buckets: Int,
+                    force: Boolean = false): Unit = {
+    val assigned = Similarity.ivfAssign(base, idCol, vecCol, step)
+      .select(col(idCol).as("id"), col("bucket"), col("bv"))
+    assigned.write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
+      .saveAsTable(table)
+    val spark = base.sparkSession
+    spark.table(table).where(col("id") % step === 0)
+      .select(col("id").as("centroid_id"), col("bv").as("cv"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}__centroids")
+  }
+
+  /** kNN off the saved index: rank the query against the centroid side
+    * table (broadcast — index-sized), take its `nprobe` best buckets, and
+    * scan ONLY those buckets of the index table. The probed-bucket id list
+    * is collected to the driver so it reaches the scan as a LITERAL `IN`
+    * — that is what makes file-bucket pruning fire (a join key can't
+    * prune); it is bounded by |queries| × nprobe by construction.
+    * Output matches [[Similarity.ivfKnn]] row for row on the same
+    * parameters (differential-tested): (query_id, neighbor_id, cos, rank).
+    */
+  def ivfKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nprobe: Int = 3): DataFrame = {
+    val centroids = broadcast(spark.table(s"${table}__centroids"))
+    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    val probes = q.join(centroids)
+      .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .localCheckpoint(true) // probes are |queries|×nprobe rows; computed once
+    val probeBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val idx = spark.table(table).where(col("bucket").isin(probeBuckets: _*))
+    val scored = broadcast(probes).join(idx, Seq("bucket"))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        Similarity.dot(col("qv"), col("bv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+  }
+}

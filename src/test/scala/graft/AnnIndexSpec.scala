@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.search.AnnIndex
+
+/** Persisted ANN index tier: differential against the per-call IVF plan,
+  * and the bucket-pruning property that makes the table worth building.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("ivfKnnIndexed == ivfKnn row for row; probed read bucket-prunes") {
+    val table = "annidx_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      val indexed = AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      val direct = Similarity.ivfKnn(emb, queries, "vec_id", "embedding",
+        k = 5, step = 50, nprobe = 3)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(rows(indexed) === rows(direct))
+      assert(rows(indexed).nonEmpty)
+      // the probed scan reads only the probed buckets' file buckets: a
+      // single query probes 3 of the 10 centroids → at most 3 of 4 file
+      // buckets (the battery above probes everything, so assert here)
+      val one = AnnIndex.ivfKnnIndexed(spark, table,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3)
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(sel.exists(_ < 4), plan.take(3000))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
+    }
+  }
+
+  test("centroid side table holds the id-mod-step unit vectors") {
+    val table = "annidx_cent"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 100,
+      table = table, buckets = 4, force = true)
+    try {
+      val cents = spark.table(s"${table}__centroids")
+      val ids = cents.select("centroid_id").collect().map(_.getLong(0)).sorted
+      val expect = emb.where(col("vec_id") % 100 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toList === expect.toList)
+      // stored centroid vectors are unit-normalized
+      val n2 = cents.select(graft.operators.Similarity.dot(col("cv"), col("cv")))
+        .collect().map(_.getDouble(0))
+      n2.foreach(x => assert(math.abs(x - 1.0) < 1e-9))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
+    }
+  }
+}
