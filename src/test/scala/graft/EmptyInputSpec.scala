@@ -210,6 +210,22 @@ class EmptyInputSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Pca.fit(emb, "embedding", 1) }
   }
 
+  test("feature hash, rrf fusion, ann index on empty inputs") {
+    import graft.search.{AnnIndex, Searcher}
+    assert(FeatureHash.hashedEmbeddings(docs, "doc_id", "text", dim = 8)
+      .count() === 0)
+    val noRank = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+    assert(Searcher.rrfFuse(Seq(noRank, noRank), topK = 5).count() === 0)
+    graft.queries.Tables.reset(spark, "empty_ann_idx",
+      "empty_ann_idx__centroids")
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 10,
+      table = "empty_ann_idx", buckets = 2, force = true)
+    assert(AnnIndex.ivfKnnIndexed(spark, "empty_ann_idx", emb,
+      "vec_id", "embedding", k = 3).count() === 0)
+    graft.queries.Tables.reset(spark, "empty_ann_idx",
+      "empty_ann_idx__centroids")
+  }
+
   test("span decontamination on empty train and empty benchmark") {
     assert(Dedup.removeContaminatedSpans(docs, "doc_id", "text",
       docs, "text", k = 3).count() === 0)
