@@ -223,6 +223,23 @@ object ScaleRehearsal {
         docs.where(col("source") === "src10").select("doc_id"),
         k = 25).count()
     }
+    run("ann_index_build") {
+      // persisted IVF index: one assignment scan + bucketed layout write
+      graft.queries.Tables.reset(spark, "scale_ann_idx",
+        "scale_ann_idx__centroids")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50 * replicas, table = "scale_ann_idx", buckets = 32,
+        force = true)
+      spark.table("scale_ann_idx").count()
+    }
+    run("ann_index_query") {
+      // the query half alone: probed-bucket reads off the saved table —
+      // the repeated-batch cost the per-call ivfKnn pays a corpus
+      // assignment for every time
+      graft.search.AnnIndex.ivfKnnIndexed(spark, "scale_ann_idx",
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, nprobe = 3).count()
+    }
     run("hashed_embedding") {
       // text→vector bridge at production hash: one scan-fused kernel pass
       graft.operators.FeatureHash.hashedEmbeddings(docs, "doc_id", "text",
