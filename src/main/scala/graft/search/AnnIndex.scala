@@ -45,6 +45,43 @@ object AnnIndex {
       .saveAsTable(s"${table}__centroids")
   }
 
+  /** Assign NEW vectors against the saved index's (frozen) centroids —
+    * the append half of continuous maintenance: assignment given fixed
+    * centroids depends only on the row itself, so arriving vectors only
+    * ever APPEND (id, bucket, bv) rows. Run inside `foreachBatch` with a
+    * parquet append (exactly the [[InvertedIndex.postingsStream]]
+    * recipe), query the union `table ∪ appends`, and fold the appends
+    * back into the bucketed layout with [[compactIvfIndex]] periodically.
+    * Frozen centroids drift as the distribution moves — refit (rebuild
+    * via [[writeIvfIndex]]) on the cadence you'd re-train any IVF index.
+    */
+  def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val c = broadcast(spark.table(s"${table}__centroids"))
+    val b = Similarity.unitProject(vectors, idCol, "id", vecCol, "bv")
+    b.join(c)
+      .select(col("id"), col("bv"), col("centroid_id"),
+        Similarity.dot(col("bv"), col("cv")).as("csim"))
+      .groupBy("id")
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
+        first(col("bv")).as("bv"))
+      .select(col("id"), col("bucket"), col("bv"))
+  }
+
+  /** Fold accumulated appends back into the bucketed layout through the
+    * same crash-safe rename-aside swap the text index's compaction uses
+    * ([[InvertedIndex.swapTable]]): live ∪ appends rewrites into a
+    * staging table, two metadata-only renames swap it in, and a crash at
+    * any point leaves a recoverable state. The centroid side table is
+    * untouched (appends were assigned against it).
+    */
+  def compactIvfIndex(spark: SparkSession, table: String, appends: DataFrame,
+                      buckets: Int): Unit =
+    InvertedIndex.swapTable(spark, table)((live, staging) =>
+      live.unionByName(appends)
+        .write.mode(SaveMode.ErrorIfExists).format("parquet")
+        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(staging))
+
   /** kNN off the saved index: rank the query against the centroid side
     * table (broadcast — index-sized), take its `nprobe` best buckets, and
     * scan ONLY those buckets of the index table. The probed-bucket id list

@@ -188,7 +188,18 @@ object InvertedIndex {
     * the live table's frame and must return the full replacement postings.
     */
   private def replaceIndex(spark: SparkSession, table: String, buckets: Int)
-                          (build: DataFrame => DataFrame): Unit = {
+                          (build: DataFrame => DataFrame): Unit =
+    swapTable(spark, table)((live, staging) =>
+      writeIndex(build(live), staging, buckets))
+
+  /** The crash-safe rename-aside swap, independent of the staging table's
+    * layout: heal any half-finished prior swap, let `writeStaging` write
+    * the replacement under `<table>__compacting`, then live → `__old`,
+    * staging → live, drop `__old`. Shared by the text index's compaction
+    * and refresh and by [[AnnIndex.compactIvfIndex]].
+    */
+  private[search] def swapTable(spark: SparkSession, table: String)
+      (writeStaging: (DataFrame, String) => Unit): Unit = {
     val staging = table + "__compacting"
     val backup = table + "__old"
     recoverCompaction(spark, table) // heal any half-finished prior swap
@@ -197,7 +208,7 @@ object InvertedIndex {
     // run in a previous JVM (the in-memory catalog forgot it); clear it or
     // the managed staging write fails with LOCATION_ALREADY_EXISTS
     deleteIfUncataloged(spark, staging)
-    writeIndex(build(spark.table(table)), staging, buckets)
+    writeStaging(spark.table(table), staging)
     spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
     // an EXTERNAL live table (e.g. re-registered by [[registerIndex]] over
     // a stranded warehouse dir) keeps its directory on rename, which would

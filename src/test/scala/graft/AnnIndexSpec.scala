@@ -47,6 +47,37 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("append + compact == full rebuild (continuous maintenance roundtrip)") {
+    val table = "annidx_app"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__compacting", s"${table}__old")
+    val first = emb.where(col("vec_id") % 5 =!= 4)
+    val late = emb.where(col("vec_id") % 5 === 4)
+    AnnIndex.writeIvfIndex(first, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      // the late fifth arrives as appends assigned against FROZEN centroids
+      val appends = AnnIndex.assignNew(spark, table, late, "vec_id", "embedding")
+      AnnIndex.compactIvfIndex(spark, table, appends, buckets = 4)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      val got = AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      // ground truth: ivfKnn over the full corpus with the SAME centroid
+      // set (ids ≡ 0 mod 50 all landed in the initial build, so the
+      // frozen-centroid assignment equals the full build's)
+      val want = Similarity.ivfKnn(emb, queries, "vec_id", "embedding",
+        k = 5, step = 50, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got === want)
+      // compaction left ONE bucketed table (pruning still fires)
+      val one = AnnIndex.ivfKnnIndexed(spark, table,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+      assert(one.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+    } finally graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__compacting", s"${table}__old")
+  }
+
   test("centroid side table holds the id-mod-step unit vectors") {
     val table = "annidx_cent"
     spark.sql(s"DROP TABLE IF EXISTS $table")
