@@ -31,6 +31,10 @@ import graft.sources.Corpus
   *       [--min-doc-count N] [--topk K]]
   *   runMain graft.Cli vocab PATH... [--checkpoints K]
   *   runMain graft.Cli embed PATH... [--dim D] [--md5] [--out DIR]
+  *   runMain graft.Cli ann PATH... --table T [--dim D] [--step N]
+  *     [--buckets B] [--force]                  // build the IVF index
+  *   runMain graft.Cli ann --table T --query-text "..." [--topk K]
+  *     [--nprobe N] PATH...                     // semantic search
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
   *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
   *     [--stratum-col C] [--default-fraction F]
@@ -479,6 +483,42 @@ object Cli {
         deliver(NgramOps.vocabGrowth(keyed, "__ord", "text",
           checkpoints = intFlag("--checkpoints", 10), uax29 = uax)
           .orderBy("checkpoint"), ranked = false)
+      // extension: semantic search over a TEXT corpus end-to-end — docs
+      // embed by the hashing trick, persist as a bucketed IVF index
+      // (--table, build mode), and --query-text embeds the query the same
+      // way and reads only its probed buckets (query mode)
+      case "ann" =>
+        val table = flag("--table").getOrElse(sys.error("ann needs --table T"))
+        val dim = intFlag("--dim", 64)
+        flag("--query-text") match {
+          case None =>
+            val (keyed, idc) =
+              if (!docs.where(col("id").isNotNull).isEmpty) (docs, "id")
+              else (Corpus.withFileLineId(docs, "__id"), "__id")
+            val emb = operators.FeatureHash.hashedEmbeddings(keyed, idc,
+              "text", dim, uax29 = uax)
+            if (a.flags.contains("--force"))
+              graft.queries.Tables.reset(spark, table, s"${table}__centroids")
+            search.AnnIndex.writeIvfIndex(emb, "id", "emb",
+              step = intFlag("--step", 100), table = table,
+              buckets = intFlag("--buckets", 16), hashedIds = true)
+            System.err.println(s"ann index written to table $table (dim=$dim)")
+          case Some(qt) =>
+            import spark.implicits._
+            // a previous CLI invocation's tables survive only as warehouse
+            // dirs — re-register before querying (same --buckets)
+            search.AnnIndex.registerIvfIndex(spark, table,
+              intFlag("--buckets", 16))
+            val q = Seq(("__query", foldQuery(qt)))
+              .toDF("id", "text")
+            val qEmb = operators.FeatureHash.hashedEmbeddings(q, "id",
+              "text", dim, uax29 = uax)
+            deliver(search.AnnIndex.ivfKnnIndexed(spark, table, qEmb,
+              "id", "emb", k = intFlag("--topk", 10),
+              nprobe = intFlag("--nprobe", 3))
+              .select(col("neighbor_id").as("id"), col("cos"), col("rank")),
+              ranked = false)
+        }
       // concordance: hits of --phrase in context (--context chars per side)
       case "grep" =>
         deliver(SearchOps.concordance(

@@ -32,17 +32,59 @@ object AnnIndex {
     */
   def writeIvfIndex(base: DataFrame, idCol: String, vecCol: String,
                     step: Int, table: String, buckets: Int,
-                    force: Boolean = false): Unit = {
-    val assigned = Similarity.ivfAssign(base, idCol, vecCol, step)
-      .select(col(idCol).as("id"), col("bucket"), col("bv"))
+                    force: Boolean = false,
+                    hashedIds: Boolean = false): Unit = {
+    val b = Similarity.unitProject(base, idCol, "id", vecCol, "bv")
+    val cents =
+      if (!hashedIds)
+        b.where(col("id") % step === 0)
+          .select(col("id").cast("long").as("centroid_id"), col("bv").as("cv"))
+      else
+        // non-numeric ids (CLI corpora, UUID keys): select ~1/step of the
+        // vectors by id hash and use the hash AS the (long) bucket id, so
+        // the index schema is id-type-independent; an xxhash collision
+        // merely merges two buckets — probing and assignment stay
+        // consistent because both go through the same mapping
+        b.where(pmod(xxhash64(col("id").cast("string")), lit(step.toLong)) === 0)
+          .select(xxhash64(col("id").cast("string")).as("centroid_id"),
+            col("bv").as("cv"))
+    val assigned = b.join(broadcast(cents))
+      .select(col("id"), col("bv"), col("centroid_id"),
+        Similarity.dot(col("bv"), col("cv")).as("csim"))
+      .groupBy("id")
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
+        first(col("bv")).as("bv"))
+      .select(col("id"), col("bucket"), col("bv"))
     assigned.write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
       .saveAsTable(table)
-    val spark = base.sparkSession
-    spark.table(table).where(col("id") % step === 0)
-      .select(col("id").as("centroid_id"), col("bv").as("cv"))
-      .write.mode(SaveMode.Overwrite).format("parquet")
+    cents.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}__centroids")
+  }
+
+  /** Re-register a saved ANN index whose catalog entries were lost (the
+    * in-memory catalog forgets managed tables across JVM restarts while
+    * the warehouse directories survive) — the [[InvertedIndex.registerIndex]]
+    * recipe for this tier: recreate the index table over its surviving
+    * directory with the SAME bucket spec, and the centroid side table
+    * unbucketed. A metastore deployment never needs this.
+    */
+  def registerIvfIndex(spark: SparkSession, table: String,
+                       buckets: Int): Unit = {
+    def loc(name: String) = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name).toString
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(loc(table)).schema.toDDL
+      spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
+        s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
+        s"LOCATION '${loc(table)}'")
+    }
+    val cents = s"${table}__centroids"
+    if (!spark.catalog.tableExists(cents)) {
+      val schema = spark.read.parquet(loc(cents)).schema.toDDL
+      spark.sql(s"CREATE TABLE `$cents` ($schema) USING parquet " +
+        s"LOCATION '${loc(cents)}'")
+    }
   }
 
   /** Assign NEW vectors against the saved index's (frozen) centroids —
