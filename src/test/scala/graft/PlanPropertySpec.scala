@@ -416,6 +416,25 @@ class PlanPropertySpec extends SparkTestBase {
     assert(read === Some("doc_id:bigint,text:string"), p)
   }
 
+  test("hashedEmbeddings: zero-shuffle scan projection, text+id pruned read") {
+    val he = graft.operators.FeatureHash.hashedEmbeddings(docs, "doc_id",
+      "text", dim = 32)
+    val p = plan(he)
+    assert(shuffles(he) === 0, p)
+    assert(!p.contains("Join"), p)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read === Some("doc_id:bigint,text:string"), p)
+  }
+
+  test("rrfFuse: k-bounded union + one agg + TakeOrderedAndProject") {
+    val a = docs.select(col("doc_id"), (col("doc_id") % 7 + 1).as("rank"))
+      .limit(20)
+    val f = graft.search.Searcher.rrfFuse(Seq(a, a), topK = 5)
+    val p = plan(f)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffles(f) <= 1, p) // the tiny fused agg
+  }
+
   test("PCA moments/covariance: no hash shuffle — one global typed agg") {
     // the d+d² buffer meets in a single-partition exchange (partial
     // combine map-side); nothing is hash-partitioned, nothing joins
