@@ -360,7 +360,8 @@ object InvertedIndex {
   def significantTerms(postings: DataFrame, norms: DataFrame,
                       foregroundDocs: DataFrame, k: Int,
                       minDocCount: Long = 3,
-                      heuristic: String = "jlh"): DataFrame = {
+                      heuristic: String = "jlh",
+                      bgStats: Option[DataFrame] = None): DataFrame = {
     val fg = foregroundDocs.select(col("doc_id")).distinct()
     val fgTotal = fg.agg(count(lit(1)).as("fg_total"))
     // the hint is deliberate: without it the static planner (no stats on a
@@ -371,9 +372,9 @@ object InvertedIndex {
     // through a bucketed-by-doc_id table instead.
     val fgStats = postings.join(broadcast(fg), Seq("doc_id"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("fg_df"))
-    val bgStats = postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    val bg = bgStats.getOrElse(termDocFrequencies(postings))
     val (score, keep) = significanceScore(heuristic)
-    fgStats.join(bgStats, Seq("term"))
+    fgStats.join(bg, Seq("term"))
       .crossJoin(broadcast(fgTotal))
       .crossJoin(broadcast(norms.select("n_docs")))
       .withColumn("score", round(score, 6))
@@ -382,6 +383,17 @@ object InvertedIndex {
         col("score").as(heuristic))
       .orderBy(desc(heuristic), asc("term")).limit(k)
   }
+
+  /** Per-term containing-doc counts over the WHOLE index — the background
+    * statistics of the significance family, exposed so repeated
+    * [[significantTerms]] / [[significantTermsByGroup]] calls against one
+    * index compute them ONCE (cache, or persist next to the index like
+    * the corpus norms) instead of re-aggregating per call. One
+    * (term, bg_df) row per dictionary term; on a [[writeIndex]] table the
+    * aggregate inherits the bucket layout (no Exchange).
+    */
+  def termDocFrequencies(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
 
   /** (score, keep-filter) for a significance heuristic, over the columns
     * `fg_df`, `bg_df`, `fg_total`, `n_docs` and the post-rounding column
@@ -450,14 +462,15 @@ object InvertedIndex {
   def significantTermsByGroup(postings: DataFrame, norms: DataFrame,
                               docGroups: DataFrame, k: Int,
                               minDocCount: Long = 3,
-                              heuristic: String = "jlh"): DataFrame = {
+                              heuristic: String = "jlh",
+                              bgStats: Option[DataFrame] = None): DataFrame = {
     val groups = docGroups.select(col("doc_id"), col("group")).distinct()
     val totals = groups.groupBy("group").agg(count(lit(1)).as("fg_total"))
     val fgStats = postings.join(broadcast(groups), Seq("doc_id"))
       .groupBy("group", "term").agg(count(lit(1)).as("fg_df"))
-    val bgStats = postings.groupBy("term").agg(count(lit(1)).as("bg_df"))
+    val bg = bgStats.getOrElse(termDocFrequencies(postings))
     val (score, keep) = significanceScore(heuristic)
-    fgStats.join(bgStats, Seq("term"))
+    fgStats.join(bg, Seq("term"))
       .join(broadcast(totals), Seq("group"))
       .crossJoin(broadcast(norms.select("n_docs")))
       .withColumn("score", round(score, 6))

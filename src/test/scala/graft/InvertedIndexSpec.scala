@@ -271,6 +271,13 @@ class InvertedIndexSpec extends SparkTestBase {
       InvertedIndex.significantTerms(post, norms, fg, k = 10,
         heuristic = "nope")
     }
+    // precomputed background stats give identical output (the cache-
+    // across-calls entry point)
+    val bg = InvertedIndex.termDocFrequencies(post)
+    assert(InvertedIndex.significantTerms(post, norms, fg, k = 10,
+        minDocCount = 1, bgStats = Some(bg)).collect().toList ===
+      InvertedIndex.significantTerms(post, norms, fg, k = 10,
+        minDocCount = 1).collect().toList)
   }
 
   test("significantTermsByGroup == one significantTerms call per group; multi-label ok") {
