@@ -446,7 +446,7 @@ object Similarity {
     * lets [[ivfPqKnn]] reuse its assignment frame instead of re-scanning
     * and re-normalizing the corpus for the codebook sample.
     */
-  private def codebookFromUnit(sampled: DataFrame, idCol: String, m: Int,
+  private[graft] def codebookFromUnit(sampled: DataFrame, idCol: String, m: Int,
                                step: Int,
                                maxSample: Int): Array[Array[Array[Double]]] = {
     // K = n/step rows land on the driver AND are re-inlined as a plan
@@ -543,7 +543,7 @@ object Similarity {
     * double bits drift from the single-normalize arithmetic the oracles
     * replay.
     */
-  private def pqEncodeOnUnit(b: DataFrame,
+  private[graft] def pqEncodeOnUnit(b: DataFrame,
                              codebook: Array[Array[Array[Double]]]): DataFrame = {
     // one codegen'd kernel call per row (argmin + reconstruction in tight
     // primitive loops, ties → lower code, same accumulation order as the

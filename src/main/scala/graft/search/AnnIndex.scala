@@ -87,6 +87,85 @@ object AnnIndex {
     }
   }
 
+  /** The memory-side completion of the persisted tier — IVF-PQ as tables
+    * (FAISS `IVFx,PQy`, persisted): the index rows store m-byte PQ CODES
+    * instead of d-double unit vectors (the representation that fits 1e9
+    * vectors per executor group), bucketed by IVF bucket like
+    * [[writeIvfIndex]]; the codebook (m × K × d/m doubles — tiny) goes in
+    * a `<table>__codebook` side table, centroids in `__centroids`. Same
+    * assignment and single-normalize encode arithmetic as
+    * [[Similarity.ivfPqKnn]], so the persisted path reproduces it row for
+    * row (spec-asserted; the same oracle replay).
+    */
+  def writeIvfPqIndex(base: DataFrame, idCol: String, vecCol: String,
+                      step: Int, m: Int, table: String, buckets: Int,
+                      codeStep: Int = 50, force: Boolean = false): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val assigned = Similarity.ivfAssign(base, idCol, vecCol, step).cache()
+    try {
+      val codebook = Similarity.codebookFromUnit(
+        assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
+      Similarity.pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
+        .select(col(idCol).as("id"), col("bucket"), col("codes"))
+        .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+        .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
+        .saveAsTable(table)
+      assigned.where(col(idCol) % step === 0)
+        .select(col(idCol).cast("long").as("centroid_id"), col("bv").as("cv"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${table}__centroids")
+      codebook.zipWithIndex.flatMap { case (ks, j) =>
+        ks.zipWithIndex.map { case (c, k) => (j, k, c.toSeq) }
+      }.toSeq.toDF("sub", "code", "centroid")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${table}__codebook")
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** kNN off the saved IVF-PQ index: probes exactly as [[ivfKnnIndexed]],
+    * but candidates are m-byte codes DECODED against the (literal,
+    * side-table-loaded) codebook before the asymmetric-distance dot — the
+    * scan per query batch is (probed buckets) × m bytes, both dials
+    * independent. Output matches [[Similarity.ivfPqKnn]] on the same
+    * parameters.
+    */
+  def ivfPqKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nprobe: Int = 3): DataFrame = {
+    val cbRows = spark.table(s"${table}__codebook").collect()
+    val mSub = cbRows.map(_.getInt(0)).max + 1
+    val kCodes = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Seq[Double]](mSub, kCodes)
+    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val centroids = broadcast(spark.table(s"${table}__centroids"))
+    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    val probes = q.join(centroids)
+      .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .localCheckpoint(true)
+    val probeBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val idx = spark.table(table).where(col("bucket").isin(probeBuckets: _*))
+    // decode = concat of each subspace's code centroid, in subspace order —
+    // the same vector pqEncode's `decoded` column carries, so the dot
+    // below is bit-identical to the per-call ADC arithmetic
+    val decoded = flatten(zip_with(col("codes"),
+      sequence(lit(0), lit(mSub - 1)),
+      (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
+    val scored = broadcast(probes).join(idx, Seq("bucket"))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        Similarity.dot(col("qv"), decoded).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** Assign NEW vectors against the saved index's (frozen) centroids —
     * the append half of continuous maintenance: assignment given fixed
     * centroids depends only on the row itself, so arriving vectors only

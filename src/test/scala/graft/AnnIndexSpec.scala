@@ -78,6 +78,29 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__compacting", s"${table}__old")
   }
 
+  test("ivfPqKnnIndexed == ivfPqKnn row for row off m-byte codes") {
+    val table = "annidx_pq"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__codebook")
+    AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding", step = 50, m = 8,
+      table = table, buckets = 4, codeStep = 50, force = true)
+    try {
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      val got = AnnIndex.ivfPqKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val want = Similarity.ivfPqKnn(emb, queries, "vec_id", "embedding",
+        k = 5, step = 50, nprobe = 3, m = 8, codeStep = 50).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+      // the stored representation really is codes, not vectors
+      val cols = spark.table(table).columns.toList
+      assert(cols === List("id", "bucket", "codes"), cols)
+    } finally graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__codebook")
+  }
+
   test("centroid side table holds the id-mod-step unit vectors") {
     val table = "annidx_cent"
     spark.sql(s"DROP TABLE IF EXISTS $table")
