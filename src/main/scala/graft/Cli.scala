@@ -506,9 +506,9 @@ object Cli {
           case Some(qt) =>
             import spark.implicits._
             // a previous CLI invocation's tables survive only as warehouse
-            // dirs — re-register before querying (same --buckets)
-            search.AnnIndex.registerIvfIndex(spark, table,
-              intFlag("--buckets", 16))
+            // dirs — re-register before querying (bucket count and dim
+            // come from the index's own __meta table)
+            search.AnnIndex.registerIvfIndex(spark, table)
             val q = Seq(("__query", foldQuery(qt)))
               .toDF("id", "text")
             val qEmb = operators.FeatureHash.hashedEmbeddings(q, "id",

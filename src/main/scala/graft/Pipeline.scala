@@ -127,7 +127,10 @@ object Pipeline {
       dim, uax29 = uax29)
     val keep = Similarity.semanticDedup(emb, "id", "emb", threshold,
       centroidStep, tables).select(col("id").as(idCol))
+    // null-text docs have no embedding, so they were never compared —
+    // a dedup rung must pass them through, not drop them
     docs.join(keep, Seq(idCol), "left_semi")
+      .unionByName(docs.where(col(textCol).isNull))
   }
 
   /** URL-level exact dedup: keep-first by canonical URL (case, ports,

@@ -41,7 +41,7 @@ object AnnQueries extends QueryPack {
     "ann_ivf_indexed" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val table = "ann_ivf_idx"
-      Tables.reset(s, table, s"${table}__centroids")
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
       graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
         step = 50, table = table, buckets = 8, force = true)
       graft.search.AnnIndex.ivfKnnIndexed(s, table,
@@ -99,7 +99,7 @@ object AnnQueries extends QueryPack {
     "ann_ivfpq_indexed" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val table = "ann_ivfpq_idx"
-      Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook")
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook", s"${table}__meta")
       graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
         step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
         force = true)

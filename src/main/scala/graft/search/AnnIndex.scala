@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,25 +17,120 @@ import graft.operators.Similarity
   * vectors that is the difference between a corpus scan per query batch
   * and an (nprobe/buckets)-sized pruned read.
   *
-  * Centroids (index-sized: n/step rows) live in a `<table>__centroids`
-  * side table. Unit forms are stored, not raw vectors, so probing never
-  * recomputes norms — the same denormalization [[InvertedIndex]] applies
-  * to `dl`.
+  * Side tables: centroids (index-sized: n/step rows) in
+  * `<table>__centroids`; build parameters (buckets, dim, step, hashed,
+  * m) in a one-row `<table>__meta` — queries validate the embedding
+  * dimension against it (a mismatched query would otherwise dot to null
+  * and return silent garbage), and [[registerIvfIndex]] reads the bucket
+  * count from it instead of trusting a caller flag. Unit forms are
+  * stored, not raw vectors, so probing never recomputes norms — the same
+  * denormalization [[InvertedIndex]] applies to `dl`.
   */
 object AnnIndex {
+
+  // ---- shared internals ----
+
+  /** Assign unit vectors to their argmax-cosine centroid (tie → lower
+    * centroid id) — the ONE copy of the assignment aggregate the build
+    * and append paths share, same arithmetic as [[Similarity.ivfAssign]].
+    */
+  private def assignUnit(b: DataFrame, cents: DataFrame): DataFrame =
+    b.join(broadcast(cents))
+      .select(col("id"), col("bv"), col("centroid_id"),
+        Similarity.dot(col("bv"), col("cv")).as("csim"))
+      .groupBy("id")
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
+        first(col("bv")).as("bv"))
+      .select(col("id"), col("bucket"), col("bv"))
+
+  /** Rank each query against the centroid side table and keep its
+    * `nprobe` best buckets — (query_id, qv, bucket), eagerly
+    * checkpointed (|queries|×nprobe rows, computed once, feeds both the
+    * literal-IN prune and the score join).
+    */
+  private def probeBucketsOf(spark: SparkSession, table: String,
+                             queries: DataFrame, idCol: String,
+                             vecCol: String, nprobe: Int): DataFrame = {
+    requireQueryDim(spark, table, queries, vecCol)
+    val centroids = broadcast(spark.table(s"${table}__centroids"))
+    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
+    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
+    q.join(centroids)
+      .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .localCheckpoint(true)
+  }
+
+  /** The index table pruned to the probed buckets: the bucket ids reach
+    * the scan as a LITERAL `IN` (a join key can't prune file buckets);
+    * the list is bounded by |queries| × nprobe by construction.
+    */
+  private def prunedIndex(spark: SparkSession, table: String,
+                          probes: DataFrame): DataFrame = {
+    val probeBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    spark.table(table).where(col("bucket").isin(probeBuckets: _*))
+  }
+
+  /** Per-query top-k over (query_id, id, cos) candidates — self-match
+    * excluded upstream; ties break neighbor-id-ascending, cos round(4)
+    * like every ANN surface.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  private def writeMeta(spark: SparkSession, table: String, buckets: Int,
+                        dim: Int, step: Int, hashed: Boolean, m: Int): Unit = {
+    import spark.implicits._
+    Seq((buckets, dim, step, hashed, m))
+      .toDF("buckets", "dim", "step", "hashed", "m")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}__meta")
+  }
+
+  /** Fail fast when the query vectors' dimensionality differs from the
+    * index's (recorded in `__meta`; silently missing for pre-meta
+    * indices, where the check is skipped) — a mismatched dot product
+    * evaluates to null and would return arbitrary rows instead of
+    * erroring.
+    */
+  private def requireQueryDim(spark: SparkSession, table: String,
+                              queries: DataFrame, vecCol: String): Unit =
+    if (spark.catalog.tableExists(s"${table}__meta")) {
+      val dim = spark.table(s"${table}__meta").head().getAs[Int]("dim")
+      queries.select(size(col(vecCol))).limit(1).collect().foreach { r =>
+        require(r.getInt(0) == dim,
+          s"query embedding dim ${r.getInt(0)} != index dim $dim " +
+            s"(table $table was built over $dim-dimensional vectors)")
+      }
+    }
+
+  // ---- build ----
 
   /** Build the IVF index and persist it bucketed by the centroid bucket.
     * Deterministic sample centroids (id ≡ 0 mod `step` — swap in
     * [[Similarity.kmeansCentroids]] upstream by pre-assigning if needed);
     * `buckets` is the table's file-bucket count (≈ centroid count or a
-    * divisor; pruning selects file buckets by hash(bucket id)).
+    * divisor; pruning selects file buckets by hash(bucket id)). Fails
+    * fast when the centroid selection comes up EMPTY (step too large for
+    * the corpus — with `hashedIds` the ~1/step hash filter is
+    * probabilistic, so small corpora can select nothing), which would
+    * otherwise persist an empty index without a word.
     */
   def writeIvfIndex(base: DataFrame, idCol: String, vecCol: String,
                     step: Int, table: String, buckets: Int,
                     force: Boolean = false,
                     hashedIds: Boolean = false): Unit = {
+    val spark = base.sparkSession
     val b = Similarity.unitProject(base, idCol, "id", vecCol, "bv")
-    val cents =
+    // checkpoint: the selection scan runs once for the assignment
+    // broadcast AND the side-table write (index-sized by construction)
+    val cents = (
       if (!hashedIds)
         b.where(col("id") % step === 0)
           .select(col("id").cast("long").as("centroid_id"), col("bv").as("cv"))
@@ -48,43 +143,20 @@ object AnnIndex {
         b.where(pmod(xxhash64(col("id").cast("string")), lit(step.toLong)) === 0)
           .select(xxhash64(col("id").cast("string")).as("centroid_id"),
             col("bv").as("cv"))
-    val assigned = b.join(broadcast(cents))
-      .select(col("id"), col("bv"), col("centroid_id"),
-        Similarity.dot(col("bv"), col("cv")).as("csim"))
-      .groupBy("id")
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
-        first(col("bv")).as("bv"))
-      .select(col("id"), col("bucket"), col("bv"))
-    assigned.write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      ).localCheckpoint(true)
+    val first = cents.limit(1).collect()
+    require(first.nonEmpty,
+      s"writeIvfIndex: step=$step selected ZERO centroids on this corpus " +
+        "— lower step (the hashedIds filter is probabilistic: ~1/step)")
+    val dim = first.head.getSeq[Double](1).length
+    assignUnit(b, cents)
+      .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
       .saveAsTable(table)
     cents.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}__centroids")
-  }
-
-  /** Re-register a saved ANN index whose catalog entries were lost (the
-    * in-memory catalog forgets managed tables across JVM restarts while
-    * the warehouse directories survive) — the [[InvertedIndex.registerIndex]]
-    * recipe for this tier: recreate the index table over its surviving
-    * directory with the SAME bucket spec, and the centroid side table
-    * unbucketed. A metastore deployment never needs this.
-    */
-  def registerIvfIndex(spark: SparkSession, table: String,
-                       buckets: Int): Unit = {
-    def loc(name: String) = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name).toString
-    if (!spark.catalog.tableExists(table)) {
-      val schema = spark.read.parquet(loc(table)).schema.toDDL
-      spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
-        s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
-        s"LOCATION '${loc(table)}'")
-    }
-    val cents = s"${table}__centroids"
-    if (!spark.catalog.tableExists(cents)) {
-      val schema = spark.read.parquet(loc(cents)).schema.toDDL
-      spark.sql(s"CREATE TABLE `$cents` ($schema) USING parquet " +
-        s"LOCATION '${loc(cents)}'")
-    }
+    writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0)
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents)
   }
 
   /** The memory-side completion of the persisted tier — IVF-PQ as tables
@@ -95,7 +167,9 @@ object AnnIndex {
     * a `<table>__codebook` side table, centroids in `__centroids`. Same
     * assignment and single-normalize encode arithmetic as
     * [[Similarity.ivfPqKnn]], so the persisted path reproduces it row for
-    * row (spec-asserted; the same oracle replay).
+    * row (spec-asserted; the same oracle replay). Numeric ids only (the
+    * codebook sample is id-mod-`codeStep`); an empty centroid or codebook
+    * sample fails fast inside the assignment/codebook derivation.
     */
   def writeIvfPqIndex(base: DataFrame, idCol: String, vecCol: String,
                       step: Int, m: Int, table: String, buckets: Int,
@@ -120,7 +194,95 @@ object AnnIndex {
       }.toSeq.toDF("sub", "code", "centroid")
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__codebook")
+      writeMeta(spark, table, buckets,
+        dim = codebook.map(_.head.length).sum, step = step, hashed = false,
+        m = m)
     } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Re-register a saved ANN index whose catalog entries were lost (the
+    * in-memory catalog forgets managed tables across JVM restarts while
+    * the warehouse directories survive) — the [[InvertedIndex.registerIndex]]
+    * recipe for this tier. The bucket count comes from the index's own
+    * `__meta` table (registered first), NOT a caller flag — a wrong count
+    * would silently break file-bucket pruning and lose neighbors.
+    * A metastore deployment never needs this.
+    */
+  def registerIvfIndex(spark: SparkSession, table: String): Unit = {
+    def loc(name: String) = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name).toString
+    def registerPlain(name: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val schema = spark.read.parquet(loc(name)).schema.toDDL
+        spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet " +
+          s"LOCATION '${loc(name)}'")
+      }
+    registerPlain(s"${table}__meta")
+    val buckets = spark.table(s"${table}__meta").head().getAs[Int]("buckets")
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(loc(table)).schema.toDDL
+      spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
+        s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
+        s"LOCATION '${loc(table)}'")
+    }
+    registerPlain(s"${table}__centroids")
+    val cb = s"${table}__codebook"
+    if (new org.apache.hadoop.fs.Path(loc(cb))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(loc(cb))))
+      registerPlain(cb)
+  }
+
+  // ---- maintenance ----
+
+  /** Assign NEW vectors against the saved index's (frozen) centroids —
+    * the append half of continuous maintenance: assignment given fixed
+    * centroids depends only on the row itself, so arriving vectors only
+    * ever APPEND (id, bucket, bv) rows. Run inside `foreachBatch` with a
+    * parquet append (exactly the [[InvertedIndex.postingsStream]]
+    * recipe), query the union `table ∪ appends`, and fold the appends
+    * back into the bucketed layout with [[compactIvfIndex]] periodically.
+    * Frozen centroids drift as the distribution moves — refit (rebuild
+    * via [[writeIvfIndex]]) on the cadence you'd re-train any IVF index.
+    */
+  def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    requireQueryDim(spark, table, vectors, vecCol)
+    assignUnit(Similarity.unitProject(vectors, idCol, "id", vecCol, "bv"),
+      spark.table(s"${table}__centroids"))
+  }
+
+  /** Fold accumulated appends back into the bucketed layout through the
+    * same crash-safe rename-aside swap the text index's compaction uses
+    * ([[InvertedIndex.swapTable]]): live ∪ appends rewrites into a
+    * staging table, two metadata-only renames swap it in, and a crash at
+    * any point leaves a recoverable state. The centroid side table is
+    * untouched (appends were assigned against it).
+    */
+  def compactIvfIndex(spark: SparkSession, table: String, appends: DataFrame,
+                      buckets: Int): Unit =
+    InvertedIndex.swapTable(spark, table)((live, staging) =>
+      live.unionByName(appends)
+        .write.mode(SaveMode.ErrorIfExists).format("parquet")
+        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(staging))
+
+  // ---- query ----
+
+  /** kNN off the saved index: rank the query against the centroid side
+    * table (broadcast — index-sized), take its `nprobe` best buckets, and
+    * scan ONLY those buckets of the index table.
+    * Output matches [[Similarity.ivfKnn]] row for row on the same
+    * parameters (differential-tested): (query_id, neighbor_id, cos, rank).
+    */
+  def ivfKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nprobe: Int = 3): DataFrame = {
+    val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
+    val idx = prunedIndex(spark, table, probes)
+    topK(broadcast(probes).join(idx, Seq("bucket"))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        Similarity.dot(col("qv"), col("bv")).as("cos")), k)
   }
 
   /** kNN off the saved IVF-PQ index: probes exactly as [[ivfKnnIndexed]],
@@ -139,100 +301,17 @@ object AnnIndex {
     val cb = Array.ofDim[Seq[Double]](mSub, kCodes)
     cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
     val cbLit = typedLit(cb.map(_.toSeq).toSeq)
-    val centroids = broadcast(spark.table(s"${table}__centroids"))
-    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
-    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-    val probes = q.join(centroids)
-      .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
-      .localCheckpoint(true)
-    val probeBuckets = probes.select("bucket").distinct()
-      .collect().map(_.getLong(0))
-    val idx = spark.table(table).where(col("bucket").isin(probeBuckets: _*))
+    val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
+    val idx = prunedIndex(spark, table, probes)
     // decode = concat of each subspace's code centroid, in subspace order —
     // the same vector pqEncode's `decoded` column carries, so the dot
     // below is bit-identical to the per-call ADC arithmetic
     val decoded = flatten(zip_with(col("codes"),
       sequence(lit(0), lit(mSub - 1)),
       (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
-    val scored = broadcast(probes).join(idx, Seq("bucket"))
+    topK(broadcast(probes).join(idx, Seq("bucket"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
-        Similarity.dot(col("qv"), decoded).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
-  }
-
-  /** Assign NEW vectors against the saved index's (frozen) centroids —
-    * the append half of continuous maintenance: assignment given fixed
-    * centroids depends only on the row itself, so arriving vectors only
-    * ever APPEND (id, bucket, bv) rows. Run inside `foreachBatch` with a
-    * parquet append (exactly the [[InvertedIndex.postingsStream]]
-    * recipe), query the union `table ∪ appends`, and fold the appends
-    * back into the bucketed layout with [[compactIvfIndex]] periodically.
-    * Frozen centroids drift as the distribution moves — refit (rebuild
-    * via [[writeIvfIndex]]) on the cadence you'd re-train any IVF index.
-    */
-  def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
-    val c = broadcast(spark.table(s"${table}__centroids"))
-    val b = Similarity.unitProject(vectors, idCol, "id", vecCol, "bv")
-    b.join(c)
-      .select(col("id"), col("bv"), col("centroid_id"),
-        Similarity.dot(col("bv"), col("cv")).as("csim"))
-      .groupBy("id")
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
-        first(col("bv")).as("bv"))
-      .select(col("id"), col("bucket"), col("bv"))
-  }
-
-  /** Fold accumulated appends back into the bucketed layout through the
-    * same crash-safe rename-aside swap the text index's compaction uses
-    * ([[InvertedIndex.swapTable]]): live ∪ appends rewrites into a
-    * staging table, two metadata-only renames swap it in, and a crash at
-    * any point leaves a recoverable state. The centroid side table is
-    * untouched (appends were assigned against it).
-    */
-  def compactIvfIndex(spark: SparkSession, table: String, appends: DataFrame,
-                      buckets: Int): Unit =
-    InvertedIndex.swapTable(spark, table)((live, staging) =>
-      live.unionByName(appends)
-        .write.mode(SaveMode.ErrorIfExists).format("parquet")
-        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(staging))
-
-  /** kNN off the saved index: rank the query against the centroid side
-    * table (broadcast — index-sized), take its `nprobe` best buckets, and
-    * scan ONLY those buckets of the index table. The probed-bucket id list
-    * is collected to the driver so it reaches the scan as a LITERAL `IN`
-    * — that is what makes file-bucket pruning fire (a join key can't
-    * prune); it is bounded by |queries| × nprobe by construction.
-    * Output matches [[Similarity.ivfKnn]] row for row on the same
-    * parameters (differential-tested): (query_id, neighbor_id, cos, rank).
-    */
-  def ivfKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
-                    idCol: String, vecCol: String, k: Int,
-                    nprobe: Int = 3): DataFrame = {
-    val centroids = broadcast(spark.table(s"${table}__centroids"))
-    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
-    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-    val probes = q.join(centroids)
-      .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
-      .localCheckpoint(true) // probes are |queries|×nprobe rows; computed once
-    val probeBuckets = probes.select("bucket").distinct()
-      .collect().map(_.getLong(0))
-    val idx = spark.table(table).where(col("bucket").isin(probeBuckets: _*))
-    val scored = broadcast(probes).join(idx, Seq("bucket"))
-      .where(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("id"),
-        Similarity.dot(col("qv"), col("bv")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+        Similarity.dot(col("qv"), decoded).as("cos")), k)
   }
 }

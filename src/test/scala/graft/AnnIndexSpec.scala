@@ -15,8 +15,8 @@ class AnnIndexSpec extends SparkTestBase {
 
   test("ivfKnnIndexed == ivfKnn row for row; probed read bucket-prunes") {
     val table = "annidx_spec"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
     AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
       table = table, buckets = 4, force = true)
     try {
@@ -41,16 +41,14 @@ class AnnIndexSpec extends SparkTestBase {
       val sel = "SelectedBucketsCount: (\\d+) out of 4".r
         .findFirstMatchIn(plan).map(_.group(1).toInt)
       assert(sel.exists(_ < 4), plan.take(3000))
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
-    }
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
   }
 
   test("append + compact == full rebuild (continuous maintenance roundtrip)") {
     val table = "annidx_app"
     graft.queries.Tables.reset(spark, table, s"${table}__centroids",
-      s"${table}__compacting", s"${table}__old")
+      s"${table}__meta", s"${table}__compacting", s"${table}__old")
     val first = emb.where(col("vec_id") % 5 =!= 4)
     val late = emb.where(col("vec_id") % 5 === 4)
     AnnIndex.writeIvfIndex(first, "vec_id", "embedding", step = 50,
@@ -75,13 +73,13 @@ class AnnIndexSpec extends SparkTestBase {
         emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 5)
       assert(one.queryExecution.executedPlan.toString.contains("Bucketed: true"))
     } finally graft.queries.Tables.reset(spark, table, s"${table}__centroids",
-      s"${table}__compacting", s"${table}__old")
+      s"${table}__meta", s"${table}__compacting", s"${table}__old")
   }
 
   test("ivfPqKnnIndexed == ivfPqKnn row for row off m-byte codes") {
     val table = "annidx_pq"
     graft.queries.Tables.reset(spark, table, s"${table}__centroids",
-      s"${table}__codebook")
+      s"${table}__codebook", s"${table}__meta")
     AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding", step = 50, m = 8,
       table = table, buckets = 4, codeStep = 50, force = true)
     try {
@@ -98,13 +96,13 @@ class AnnIndexSpec extends SparkTestBase {
       val cols = spark.table(table).columns.toList
       assert(cols === List("id", "bucket", "codes"), cols)
     } finally graft.queries.Tables.reset(spark, table, s"${table}__centroids",
-      s"${table}__codebook")
+      s"${table}__codebook", s"${table}__meta")
   }
 
   test("centroid side table holds the id-mod-step unit vectors") {
     val table = "annidx_cent"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
     AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 100,
       table = table, buckets = 4, force = true)
     try {
@@ -117,9 +115,7 @@ class AnnIndexSpec extends SparkTestBase {
       val n2 = cents.select(graft.operators.Similarity.dot(col("cv"), col("cv")))
         .collect().map(_.getDouble(0))
       n2.foreach(x => assert(math.abs(x - 1.0) < 1e-9))
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"DROP TABLE IF EXISTS ${table}__centroids")
-    }
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
   }
 }

@@ -216,14 +216,24 @@ class EmptyInputSpec extends SparkTestBase {
       .count() === 0)
     val noRank = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
     assert(Searcher.rrfFuse(Seq(noRank, noRank), topK = 5).count() === 0)
+    // an empty corpus selects zero centroids — the build FAILS FAST
+    // instead of persisting an empty index without a word
     graft.queries.Tables.reset(spark, "empty_ann_idx",
-      "empty_ann_idx__centroids")
-    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 10,
+      "empty_ann_idx__centroids", "empty_ann_idx__meta")
+    intercept[IllegalArgumentException] {
+      AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 10,
+        table = "empty_ann_idx", buckets = 2, force = true)
+    }
+    // EMPTY QUERIES against a real index → empty result, no throw
+    val two = Seq((0L, Array.fill(4)(1.0f)), (1L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.writeIvfIndex(two, "vec_id", "embedding", step = 2,
       table = "empty_ann_idx", buckets = 2, force = true)
-    assert(AnnIndex.ivfKnnIndexed(spark, "empty_ann_idx", emb,
-      "vec_id", "embedding", k = 3).count() === 0)
+    assert(AnnIndex.ivfKnnIndexed(spark, "empty_ann_idx",
+      two.where(col("vec_id") < 0), "vec_id", "embedding", k = 3)
+      .count() === 0)
     graft.queries.Tables.reset(spark, "empty_ann_idx",
-      "empty_ann_idx__centroids")
+      "empty_ann_idx__centroids", "empty_ann_idx__meta")
   }
 
   test("span decontamination on empty train and empty benchmark") {

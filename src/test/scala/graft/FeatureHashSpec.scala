@@ -71,16 +71,18 @@ class FeatureHashSpec extends SparkTestBase {
   }
 
   test("Pipeline.dedupSemanticText: text-only SemDeDup keeps the min-id representative") {
-    // one IVF centroid (id 0 mod 50) so all docs land in one bucket
+    // one IVF centroid (id 0 mod 50) so all docs land in one bucket; the
+    // null-text doc can't embed and must PASS THROUGH, not vanish
     val planted = Seq(
       (0L, (1 to 20).map(i => s"tok$i").mkString(" ")),
       (1L, ((1 to 19).map(i => s"tok$i") :+ "different").mkString(" ")),
-      (2L, (100 to 119).map(i => s"other$i").mkString(" "))
+      (2L, (100 to 119).map(i => s"other$i").mkString(" ")),
+      (3L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val kept = Pipeline.dedupSemanticText(planted, "doc_id", "text",
       threshold = 0.8, centroidStep = 50, dim = 64)
       .select("doc_id").collect().map(_.getLong(0)).sorted
-    assert(kept.toList === List(0L, 2L)) // 1 collapses into 0's cluster
+    assert(kept.toList === List(0L, 2L, 3L)) // 1 collapses into 0's cluster
   }
 
   test("edge cases: zero vector for empty tokens, null text dropped, SQL function") {
