@@ -426,6 +426,31 @@ object Dedup {
     docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Quality-aware variant of [[keepClusterRepresentative]]: keep, per
+    * connected cluster of `pairs`, the member maximizing `score` (ties →
+    * lower id) instead of blindly the minimum id — the FineWeb/CCNet
+    * posture of retaining the longest / highest-quality duplicate. Docs in
+    * no pair survive untouched.
+    *
+    * Scale: cluster membership is pairs-bounded — a vanishing fraction of
+    * the corpus — so the component frame is broadcast to score members in
+    * one corpus scan, the argmax window runs over that small frame only,
+    * and the final drop set broadcasts back into a left-anti join. The
+    * corpus itself is never shuffled.
+    */
+  def keepBestInCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        score: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val members = docs.select(col(idCol).as("__kb_id"), score.as("__kb_score"))
+      .join(broadcast(comp), col("__kb_id") === col("id"))
+    val w = Window.partitionBy("component")
+      .orderBy(desc("__kb_score"), asc("__kb_id"))
+    val drop = members.withColumn("__kb_rn", row_number().over(w))
+      .where(col("__kb_rn") =!= 1)
+      .select(col("__kb_id").as("__drop_id"))
+    docs.join(broadcast(drop), docs(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** S11: train/valid/test split by hash prefix (reference
     * wimbd/utils/split_files.py:8-45 uses sha1 prefixes fff/ffe/ffd/ffc;
     * same contract here with md5 — deterministic, rerunnable, ~0.4%/0.4%).

@@ -97,6 +97,17 @@ object DedupScaleQueries extends QueryPack {
         MinHash.nearDuplicates(docs(s, dir), "doc_id", "text", threshold = 0.5,
           W, K, BANDS, MinHash.md5Strategy)).orderBy("id")),
 
+    // quality-aware near-dup dedup: per duplicate cluster keep the LONGEST
+    // member (tie → lower id) — the FineWeb posture — instead of min-id
+    "d_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.keepBestInCluster(d, "doc_id",
+          MinHash.nearDuplicates(d, "doc_id", "text", threshold = 0.5,
+            W, K, BANDS, MinHash.md5Strategy),
+          length(col("text")))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // fuzzy decontamination (GPT-3/Llama posture): every 50th doc plays a
     // leaked benchmark row, perturbed by two extra tokens so exact-hash J3
     // would MISS it; the cross-corpus MinHash match still drops it
@@ -451,6 +462,34 @@ object DedupScaleQueries extends QueryPack {
          | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
          |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
          |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // same cluster derivation as d_cc_clusters, but survivors = singletons
+    // plus the per-cluster argmax-length member (tie → lower id)
+    "d_keep_best" ->
+      s"""WITH RECURSIVE $candSql,
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         | FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.s = a.s
+         | GROUP BY 1, 2),
+         |nd AS (SELECT i.id_a, i.id_b
+         | FROM inter i JOIN sizes na ON na.id = i.id_a JOIN sizes nb ON nb.id = i.id_b
+         | WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+         | UNION SELECT id_b, id_a FROM nd),
+         |reach(id, r) AS (
+         | SELECT u, u FROM edges
+         | UNION
+         | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |scored AS (SELECT comp.component, comp.id, length(d.text) AS sc
+         | FROM comp JOIN documents d ON d.doc_id = comp.id),
+         |keep AS (SELECT id FROM (
+         |  SELECT id, row_number() OVER (PARTITION BY component ORDER BY sc DESC, id) AS rn
+         |  FROM scored) WHERE rn = 1)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN comp ON comp.id = d.doc_id
+         |WHERE comp.id IS NULL OR d.doc_id IN (SELECT id FROM keep)
+         |ORDER BY doc_id""".stripMargin,
 
     "d_simhash16" ->
       s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -474,6 +474,25 @@ class DedupScaleSpec extends SparkTestBase {
       .count() === docs.count())
   }
 
+  test("keepBestInCluster retains the argmax-score member, ties to lower id") {
+    import spark.implicits._
+    // clusters {1,2,3,9} and {5,7}; 6 untouched
+    val pairs = Seq((2L, 1L), (3L, 2L), (9L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 10), (2L, 40), (3L, 40), (5L, 3), (6L, 1), (7L, 8), (9L, 2)
+    ).toDF("doc_id", "quality")
+    val kept = graft.operators.Dedup.keepBestInCluster(docs, "doc_id", pairs,
+        col("quality"))
+      .collect().map(_.getLong(0)).toSet
+    // cluster 1: max quality 40 shared by 2 and 3 -> lower id 2 wins;
+    // cluster 2: 7 (8 > 3); singleton 6 survives
+    assert(kept === Set(2L, 7L, 6L))
+    // empty pair list: everything survives with columns intact
+    val none = pairs.where(lit(false))
+    assert(graft.operators.Dedup.keepBestInCluster(docs, "doc_id", none,
+      col("quality")).count() === docs.count())
+  }
+
   test("star-contraction components agree with min-propagation (random + chains)") {
     import spark.implicits._
     def cc(pairs: org.apache.spark.sql.DataFrame) =
