@@ -634,6 +634,44 @@ object Similarity {
     } finally assigned.unpersist(blocking = false)
   }
 
+  /** Exact-cosine re-rank of a bounded `(query_id, neighbor_id)` candidate
+    * frame against the full vectors — the standard recall-recovery rung on
+    * top of any approximate shortlist (FAISS's refine step). The candidate
+    * frame is queries×shortlist rows, so it broadcasts; joining it into the
+    * base scan prunes the corpus to candidate rows before any vector math,
+    * and the per-query window runs over ≤ shortlist rows.
+    */
+  def rerankExact(base: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, candidates: DataFrame, k: Int): DataFrame = {
+    val b = unitProject(base, idCol, "neighbor_id", vecCol, "bv")
+    val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
+    val scored = b
+      .join(broadcast(candidates.select("query_id", "neighbor_id")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("bv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-PQ shortlist → exact re-rank: ADC ranks a `shortlist`-sized
+    * candidate set per query from m-byte codes, then [[rerankExact]]
+    * rescores just those candidates against the full vectors — recovering
+    * the recall PQ's quantization loses while still reading only
+    * (nprobe/n_buckets)·n code rows plus shortlist full vectors per query.
+    */
+  def ivfPqKnnRerank(base: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, shortlist: Int = 20,
+                     step: Int = 100, nprobe: Int = 3, m: Int = 8,
+                     codeStep: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfPqKnn(base, queries, idCol, vecCol, shortlist, step,
+      nprobe, m, codeStep)
+    rerankExact(base, queries, idCol, vecCol, cand, k)
+  }
+
   /** Embedding-space drift between two snapshots — the representation-side
     * reading of the question `TextQuality.unigramDivergence` answers for
     * token distributions: did the embedding distribution move between

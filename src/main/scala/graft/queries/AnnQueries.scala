@@ -94,6 +94,16 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // ADC shortlist → exact-vector re-rank (the FAISS refine step): same
+    // IVF-PQ pipeline ranked to top-20, rescored on the full vectors
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqKnnRerank(emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, shortlist = 20, step = 50, nprobe = 3,
+        m = 8, codeStep = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // the persisted IVF-PQ tables: m-byte codes + codebook/centroid side
     // tables; must reproduce ann_ivfpq_topk exactly (same oracle SQL)
     "ann_ivfpq_indexed" -> ((s, dir) => {
@@ -206,9 +216,10 @@ object AnnQueries extends QueryPack {
         |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
-  // the IVF-PQ bucket/probe/ADC replay — shared by ann_ivfpq_topk and
-  // the persisted ann_ivfpq_indexed
-  private val ivfPqSql: String =
+  // the IVF-PQ bucket/probe/ADC replay — shared by ann_ivfpq_topk, the
+  // persisted ann_ivfpq_indexed, and (as the shortlist stage) the exact
+  // re-rank ann_ivfpq_rerank
+  private val ivfPqCtes: String =
       """WITH unit AS (
         | SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
@@ -250,9 +261,27 @@ object AnnQueries extends QueryPack {
         | JOIN recon r ON r.vec_id = a.vec_id),
         |ranked AS (SELECT query_id, neighbor_id, c,
         |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-        | FROM scored)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
-        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+        | FROM scored)""".stripMargin
+
+  private val ivfPqSql: String =
+    s"""$ivfPqCtes
+       |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ADC shortlist (top-20 per query, same tie-breaks) re-scored against the
+  // EXACT unit vectors, then re-ranked — the FAISS refine-step replay
+  private val ivfPqRerankSql: String =
+    s"""$ivfPqCtes,
+       |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 20),
+       |ex AS (SELECT s.query_id, s.neighbor_id,
+       |  list_aggregate(list_transform(generate_series(1, 64), i -> q.v[i] * b.v[i]), 'sum') AS c
+       | FROM short s JOIN unit q ON q.vec_id = s.query_id
+       |  JOIN unit b ON b.vec_id = s.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+       | FROM ex)
+       |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM rr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "ann_topk_cosine" ->
@@ -395,6 +424,8 @@ object AnnQueries extends QueryPack {
     // scored against ann_pq_topk's reconstructed vectors instead of the
     // exact ones — candidate set pruned by bucket, score read from codes
     "ann_ivfpq_topk" -> ivfPqSql,
+
+    "ann_ivfpq_rerank" -> ivfPqRerankSql,
 
     // the persisted IVF-PQ tables must reproduce the per-call plan exactly
     "ann_ivfpq_indexed" -> ivfPqSql,

@@ -84,6 +84,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf === bf)
   }
 
+  test("rerankExact restores exact ranking over an approximate shortlist") {
+    val q = vecs.where(col("vec_id") === 0)
+    val bf = Similarity.bruteForceKnn(vecs, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"))).toSet
+    // shortlist = everything (all-covering probes) → the re-rank must
+    // reproduce brute force exactly, including the exact (not ADC) cosines
+    val rr = Similarity.ivfPqKnnRerank(vecs, q, "vec_id", "embedding", k = 3,
+        shortlist = 5, step = 1, nprobe = 5, m = 3, codeStep = 1)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"))).toSet
+    assert(rr === bf)
+    // a candidate frame missing the true top neighbor can't resurrect it,
+    // but ranking within the candidates is exact-cosine ordered
+    import spark.implicits._
+    val cand = Seq((0L, 2L), (0L, 3L)).toDF("query_id", "neighbor_id")
+    val sub = Similarity.rerankExact(vecs, q, "vec_id", "embedding", cand, 2)
+      .collect().sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(sub.toSeq === Seq(2L, 3L))
+    val eShort = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnRerank(vecs, q, "vec_id", "embedding", k = 5,
+        shortlist = 3)
+    }
+    assert(eShort.getMessage.contains("shortlist"))
+  }
+
   test("ivfKnn/ivfPqKnn/semanticNearDuplicates release their corpus-sized blocks") {
     import org.apache.spark.sql.graft.Bridge
     val q = vecs.where(col("vec_id") === 0)
