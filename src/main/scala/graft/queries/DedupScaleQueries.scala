@@ -65,6 +65,30 @@ object DedupScaleQueries extends QueryPack {
     s"SELECT id, $b AS band, md5($cols) AS band_key FROM $src"
   }.mkString(" UNION ALL ")
 
+  // the j8 fuzzy-decontamination replay — shared verbatim by the per-call
+  // pipeline (j8) and the persisted band-row index path (j16)
+  private lazy val fuzzyDecontamSql =
+    s"""WITH bench AS (SELECT doc_id AS bid, text || ' extra token' AS btext
+       | FROM documents WHERE doc_id % 50 = 0),
+       |shA AS (${shFrom("documents", "doc_id", "text")}),
+       |shB AS (${shFrom("bench", "bid", "btext")}),
+       |sigA AS (SELECT id, $sigCols FROM shA GROUP BY id),
+       |sigB AS (SELECT id, $sigCols FROM shB GROUP BY id),
+       |bandA AS (${bandSelectsOn("sigA")}),
+       |bandB AS (${bandSelectsOn("sigB")}),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       | FROM bandA a JOIN bandB b ON a.band = b.band AND a.band_key = b.band_key),
+       |na AS (SELECT id, count(*) AS n FROM shA GROUP BY id),
+       |nb AS (SELECT id, count(*) AS n FROM shB GROUP BY id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+       | FROM cand c JOIN shA a ON a.id = c.id_a JOIN shB b ON b.id = c.id_b AND b.s = a.s
+       | GROUP BY 1, 2),
+       |hits AS (SELECT DISTINCT i.id_a FROM inter i
+       | JOIN na ON na.id = i.id_a JOIN nb ON nb.id = i.id_b
+       | WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.5)
+       |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_a FROM hits)
+       |ORDER BY doc_id""".stripMargin
+
   private val simhashBits = 16
   private val simhashSums = (0 until simhashBits).map { j =>
     s"sum(CASE WHEN substring(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"
@@ -118,6 +142,25 @@ object DedupScaleQueries extends QueryPack {
           concat(col("text"), lit(" extra token")).as("btext"))
       graft.operators.Dedup.decontaminateFuzzy(d, bench, "doc_id", "bid",
           "text", "btext", threshold = 0.5, W, K, BANDS, MinHash.md5Strategy)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // the same contamination battery answered off the PERSISTED band-row
+    // index: the corpus is signed ONCE at build; the per-benchmark cost is
+    // benchmark signing + a band-key-pruned index read + candidate-bounded
+    // text re-read — must drop exactly the rows j8 drops
+    "j16_decontaminate_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val table = "j16_minhash_idx"
+      Tables.reset(s, table, s"${table}__meta")
+      graft.search.MinHashIndex.writeMinHashIndex(d, "doc_id", "text", table,
+        w = W, k = K, bands = BANDS, md5Parity = true, buckets = 8,
+        force = true)
+      val bench = d.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bid"),
+          concat(col("text"), lit(" extra token")).as("btext"))
+      graft.search.MinHashIndex.decontaminateIndexed(s, table, d, "doc_id",
+          "text", bench, "bid", "btext", threshold = 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
 
@@ -411,27 +454,11 @@ object DedupScaleQueries extends QueryPack {
       s"""WITH $candSql
          |SELECT id_a, id_b FROM cand ORDER BY 1, 2""".stripMargin,
 
-    "j8_decontaminate_fuzzy" ->
-      s"""WITH bench AS (SELECT doc_id AS bid, text || ' extra token' AS btext
-         | FROM documents WHERE doc_id % 50 = 0),
-         |shA AS (${shFrom("documents", "doc_id", "text")}),
-         |shB AS (${shFrom("bench", "bid", "btext")}),
-         |sigA AS (SELECT id, $sigCols FROM shA GROUP BY id),
-         |sigB AS (SELECT id, $sigCols FROM shB GROUP BY id),
-         |bandA AS (${bandSelectsOn("sigA")}),
-         |bandB AS (${bandSelectsOn("sigB")}),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         | FROM bandA a JOIN bandB b ON a.band = b.band AND a.band_key = b.band_key),
-         |na AS (SELECT id, count(*) AS n FROM shA GROUP BY id),
-         |nb AS (SELECT id, count(*) AS n FROM shB GROUP BY id),
-         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-         | FROM cand c JOIN shA a ON a.id = c.id_a JOIN shB b ON b.id = c.id_b AND b.s = a.s
-         | GROUP BY 1, 2),
-         |hits AS (SELECT DISTINCT i.id_a FROM inter i
-         | JOIN na ON na.id = i.id_a JOIN nb ON nb.id = i.id_b
-         | WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) >= 0.5)
-         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_a FROM hits)
-         |ORDER BY doc_id""".stripMargin,
+    "j8_decontaminate_fuzzy" -> fuzzyDecontamSql,
+
+    // the persisted band-row index must drop EXACTLY the same rows as the
+    // per-call j8 pipeline — same replay
+    "j16_decontaminate_indexed" -> fuzzyDecontamSql,
 
     "d_minhash_neardup" ->
       s"""WITH $candSql,

@@ -1,0 +1,165 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MinHash
+
+/** Persisted MinHash band-row index — "sign once, decontaminate many".
+  *
+  * Fuzzy decontamination's expensive half is signing the TRAIN corpus:
+  * tokenize + w-shingle + k min-hashes over every byte of text. That work
+  * depends only on the corpus and the (w, k, bands, hash) configuration —
+  * not on the benchmark — yet [[graft.operators.Dedup.decontaminateFuzzy]]
+  * repays it on every call. This tier persists the corpus's band rows
+  * `(id, band, band_key)` as a table bucketed by `band_key` (the
+  * [[AnnIndex]] posture for the text-hash side): each later benchmark is
+  * signed at benchmark cost, its band keys prune the index read down to
+  * matching file buckets, and only candidate documents' text is ever
+  * re-read for exact-Jaccard verification.
+  *
+  * At 100 TB the band-row table is ~`bands` × ~50 B per document — three
+  * orders smaller than the text — and the per-benchmark cost is
+  * (benchmark signing) + (pruned index read) + (candidate-bounded text
+  * re-read), instead of a full corpus re-sign per benchmark.
+  *
+  * Build parameters live in a one-row `<table>__meta` side table; every
+  * query path reads them from there (a benchmark signed with different
+  * parameters would silently match nothing), and
+  * [[registerMinHashIndex]] re-registers a saved index across JVM
+  * restarts from the meta alone, like the other index tiers.
+  */
+object MinHashIndex {
+
+  private case class Params(w: Int, k: Int, bands: Int, md5Parity: Boolean,
+                            uax29: Boolean, buckets: Int)
+
+  private def params(spark: SparkSession, table: String): Params = {
+    val r = spark.table(s"${table}__meta").head()
+    Params(r.getAs[Int]("w"), r.getAs[Int]("k"), r.getAs[Int]("bands"),
+      r.getAs[Boolean]("md5_parity"), r.getAs[Boolean]("uax29"),
+      r.getAs[Int]("buckets"))
+  }
+
+  /** Sign `docs` and persist their band rows bucketed by `band_key`.
+    * Signatures come from the scan-fused inline kernel (no shingle
+    * explode, no shuffle before the write's bucketing exchange);
+    * `md5Parity = true` selects the engine-portable hash the oracle
+    * replays, false the production xxhash. Docs shorter than `w` tokens
+    * have no signature and are absent, as in the per-call path.
+    */
+  def writeMinHashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, w: Int = 5, k: Int = 8,
+                        bands: Int = 4, md5Parity: Boolean = false,
+                        uax29: Boolean = false, buckets: Int = 8,
+                        force: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = MinHash.signaturesInline(docs, idCol, textCol, w, k,
+      md5Parity, uax29)
+    MinHash.bandRows(sig, k, bands)
+      .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .format("parquet").bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(table)
+    Seq((w, k, bands, md5Parity, uax29, buckets))
+      .toDF("w", "k", "bands", "md5_parity", "uax29", "buckets")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${table}__meta")
+  }
+
+  /** Band rows for NEW documents under the index's frozen parameters —
+    * signing is per-row, so arrivals only ever append; run inside
+    * `foreachBatch` with a parquet append and fold back periodically with
+    * [[compactMinHashIndex]] (the [[AnnIndex.assignNew]] recipe).
+    */
+  def bandRowsFor(spark: SparkSession, table: String, docs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val p = params(spark, table)
+    MinHash.bandRows(
+      MinHash.signaturesInline(docs, idCol, textCol, p.w, p.k,
+        p.md5Parity, p.uax29), p.k, p.bands)
+  }
+
+  /** Fold accumulated appends back into the bucketed layout via the
+    * shared crash-safe rename-aside swap ([[InvertedIndex.swapTable]]).
+    */
+  def compactMinHashIndex(spark: SparkSession, table: String,
+                          appends: DataFrame): Unit = {
+    val buckets = params(spark, table).buckets
+    InvertedIndex.swapTable(spark, table)((live, staging) =>
+      live.unionByName(appends)
+        .write.mode(SaveMode.ErrorIfExists).format("parquet")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
+        .saveAsTable(staging))
+  }
+
+  /** Re-register a saved index across JVM restarts (in-memory catalog):
+    * meta first, then the band table with the bucket spec read from meta —
+    * a wrong bucket count would silently break file-bucket pruning.
+    */
+  def registerMinHashIndex(spark: SparkSession, table: String): Unit = {
+    def loc(name: String) = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name).toString
+    if (!spark.catalog.tableExists(s"${table}__meta")) {
+      val schema = spark.read.parquet(loc(s"${table}__meta")).schema.toDDL
+      spark.sql(s"CREATE TABLE `${table}__meta` ($schema) USING parquet " +
+        s"LOCATION '${loc(s"${table}__meta")}'")
+    }
+    val buckets = params(spark, table).buckets
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(loc(table)).schema.toDDL
+      spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
+        s"CLUSTERED BY (band_key) SORTED BY (band_key) INTO $buckets BUCKETS " +
+        s"LOCATION '${loc(table)}'")
+    }
+  }
+
+  /** Candidate (corpus id, bench id) pairs off the saved index: the
+    * benchmark is signed under the index's parameters, its band keys
+    * reach the index scan as a LITERAL `IN` (join keys can't prune file
+    * buckets) when they number ≤ `maxPruneKeys`, and the bucket match is
+    * a broadcast join — the corpus is never re-signed, never shuffled.
+    * A benchmark too large for the literal prune falls back to a full
+    * band-table scan, still text-free.
+    */
+  def crossCandidatesIndexed(spark: SparkSession, table: String,
+                             bench: DataFrame, benchId: String,
+                             benchText: String,
+                             maxPruneKeys: Int = 10000): DataFrame = {
+    // computed once, feeds BOTH the prune collect and the join
+    val rowsB = bandRowsFor(spark, table, bench, benchId, benchText)
+      .select(col("id").as("__idb"), col("band"), col("band_key"))
+      .localCheckpoint(true)
+    val keys = rowsB.select("band_key").distinct()
+      .limit(maxPruneKeys + 1).collect().map(_.getString(0))
+    val idx =
+      if (keys.length <= maxPruneKeys)
+        spark.table(table).where(col("band_key").isin(keys.toIndexedSeq: _*))
+      else spark.table(table)
+    idx.join(broadcast(rowsB), Seq("band", "band_key"))
+      .select(col("id").as("id_a"), col("__idb").as("id_b")).distinct()
+  }
+
+  /** Fuzzy decontamination off the saved index — must drop exactly the
+    * rows [[graft.operators.Dedup.decontaminateFuzzy]] drops on the same
+    * parameters (spec-asserted; same oracle replay). Candidates come from
+    * the index; exact-Jaccard verification re-reads `train` text only for
+    * the candidate-bounded join, with the pair side broadcast.
+    */
+  def decontaminateIndexed(spark: SparkSession, table: String,
+                           train: DataFrame, trainId: String,
+                           trainText: String, bench: DataFrame,
+                           benchId: String, benchText: String,
+                           threshold: Double): DataFrame = {
+    val p = params(spark, table)
+    val cand = crossCandidatesIndexed(spark, table, bench, benchId, benchText)
+    val hits = MinHash.jaccardFromArraysCross(cand,
+        MinHash.shingleArrays(train, trainId, trainText, p.w, p.uax29),
+        MinHash.shingleArrays(bench, benchId, benchText, p.w, p.uax29),
+        keepZero = threshold <= 0)
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a").as("__contaminated")).distinct()
+    train.join(broadcast(hits),
+      train(trainId) === col("__contaminated"), "left_anti")
+  }
+}
