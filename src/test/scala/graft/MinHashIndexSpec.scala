@@ -94,4 +94,48 @@ class MinHashIndexSpec extends SparkTestBase {
     } finally graft.queries.Tables.reset(spark, table, s"${table}__meta",
       s"${table}__compacting", s"${table}__old")
   }
+
+  test("streamed appends fold in: foreachBatch band rows -> compact -> parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "mhidx_stream"
+    graft.queries.Tables.reset(spark, table, s"${table}__meta",
+      s"${table}__compacting", s"${table}__old")
+    val first = docs.where(col("doc_id") % 5 =!= 4)
+    val late = docs.where(col("doc_id") % 5 === 4)
+    MinHashIndex.writeMinHashIndex(first, "doc_id", "text", table,
+      w = 5, k = 8, bands = 4, md5Parity = true, buckets = 8, force = true)
+    val appendDir = java.nio.file.Files
+      .createTempDirectory("mh_stream_appends").toString
+    val in = MemoryStream[(Long, String)]
+    // signing is stateless per-row, so the maintenance loop is plain
+    // foreachBatch: band rows under the frozen meta, parquet append
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        MinHashIndex.bandRowsFor(spark, table, batch, "doc_id", "text")
+          .write.mode("append").parquet(appendDir)
+      }.start()
+    try {
+      val rows = late.collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    try {
+      MinHashIndex.compactMinHashIndex(spark, table,
+        spark.read.parquet(appendDir))
+      val b = bench(docs)
+      val got = MinHashIndex.decontaminateIndexed(spark, table, docs,
+          "doc_id", "text", b, "bid", "btext", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = Dedup.decontaminateFuzzy(docs, b, "doc_id", "bid",
+          "text", "btext", threshold = 0.5, w = 5, k = 8, bands = 4,
+          MinHash.md5Strategy)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want)
+    } finally graft.queries.Tables.reset(spark, table, s"${table}__meta",
+      s"${table}__compacting", s"${table}__old")
+  }
 }
