@@ -236,6 +236,41 @@ class EmptyInputSpec extends SparkTestBase {
       "empty_ann_idx__centroids", "empty_ann_idx__meta")
   }
 
+  test("keep-best, exact re-rank, minhash index on empty inputs") {
+    import graft.operators.Similarity
+    // no pairs → everything survives; empty docs → empty out
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.keepBestInCluster(docs, "doc_id", pairs,
+      length(col("text"))).count() === 0)
+    val two = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.keepBestInCluster(two, "doc_id", pairs, length(col("text")))
+      .count() === 2)
+    // empty candidate frame → empty re-rank; empty queries → empty
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val noCand = Seq.empty[(Long, Long)].toDF("query_id", "neighbor_id")
+    assert(Similarity.rerankExact(vecs, vecs, "vec_id", "embedding",
+      noCand, k = 3).count() === 0)
+    // minhash index over an EMPTY corpus builds an empty (but queryable)
+    // band table — unlike ANN there is no centroid selection to fail on
+    graft.queries.Tables.reset(spark, "empty_mh_idx", "empty_mh_idx__meta")
+    graft.search.MinHashIndex.writeMinHashIndex(docs, "doc_id", "text",
+      "empty_mh_idx", md5Parity = true, force = true)
+    val bench = Seq((9L, "a b c d e f")).toDF("bid", "btext")
+    assert(graft.search.MinHashIndex.crossCandidatesIndexed(spark,
+      "empty_mh_idx", bench, "bid", "btext").count() === 0)
+    // an EMPTY benchmark against a real index drops nothing
+    val corpus = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    graft.search.MinHashIndex.writeMinHashIndex(corpus, "doc_id", "text",
+      "empty_mh_idx", md5Parity = true, force = true)
+    val noBench = Seq.empty[(Long, String)].toDF("bid", "btext")
+    assert(graft.search.MinHashIndex.decontaminateIndexed(spark,
+      "empty_mh_idx", corpus, "doc_id", "text", noBench, "bid", "btext",
+      threshold = 0.5).count() === 2)
+    graft.queries.Tables.reset(spark, "empty_mh_idx", "empty_mh_idx__meta")
+  }
+
   test("span decontamination on empty train and empty benchmark") {
     assert(Dedup.removeContaminatedSpans(docs, "doc_id", "text",
       docs, "text", k = 3).count() === 0)

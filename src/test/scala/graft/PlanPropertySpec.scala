@@ -444,6 +444,34 @@ class PlanPropertySpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<embedding:array<float>>"), p)
   }
 
+  test("keepBestInCluster: pairs-bounded side broadcasts, corpus anti-join stays broadcast") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup.keepBestInCluster(docs, "doc_id",
+      pairs, length(col("text")))
+    val p = plan(kept)
+    // the component frame joins into the scoring scan as a broadcast and
+    // the drop set anti-joins back as a broadcast — the corpus itself is
+    // never hash-shuffled (CC's own internal exchanges run on the tiny
+    // pair frame, not on documents)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("LeftAnti, BuildRight".r.findFirstIn(p).nonEmpty, p.take(3000))
+    val corpusShuffles = "Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(p).length
+    assert(corpusShuffles === 0, p.take(3000))
+  }
+
+  test("rerankExact: candidate and query frames broadcast into one base scan") {
+    import spark.implicits._
+    val cand = Seq((0L, 20L), (0L, 40L)).toDF("query_id", "neighbor_id")
+    val rr = graft.operators.Similarity.rerankExact(emb,
+      emb.where(col("vec_id") === 0), "vec_id", "embedding", cand, k = 2)
+    val p = plan(rr)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    // the only hash exchange is the per-query window over ≤shortlist rows
+    assert(shuffles(rr) <= 1, p.take(3000))
+  }
+
   test("significantTerms on a saved index: term aggs inherit the bucket layout") {
     import graft.search.InvertedIndex
     val table = "ppspec_sig_idx"
