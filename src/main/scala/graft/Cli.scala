@@ -21,6 +21,9 @@ import graft.sources.Corpus
   *   runMain graft.Cli unique PATH... --ngram 3 [--approx]
   *   runMain graft.Cli dedup PATH... [--out DIR]            // keep-first by text hash
   *   runMain graft.Cli decontaminate PATH... --bench PATH [--out DIR]
+  *     [--spans K]                      // cut quoted spans, keep the docs
+  *     [--minhash-table T [--threshold J] [--rebuild-index]]  // fuzzy,
+  *                                      // off the persisted band-row index
   *   runMain graft.Cli diff NEW_PATH... --old OLD_PATH [--docs] [--out DIR]
   *     [--divergence [--terms K]]       // distribution drift (KL/JS)
   *   runMain graft.Cli index PATH... [--table T] [--search P]...
@@ -226,13 +229,35 @@ object Cli {
       case "decontaminate" =>
         val bench = readSecondary(flagAll("--bench").map(p => p: String))
         // --spans k: surgical mode — cut k-token benchmark spans out of
-        // each document instead of dropping contaminated documents
-        flag("--spans") match {
-          case Some(k) =>
+        // each document instead of dropping contaminated documents;
+        // --minhash-table T: fuzzy mode off the PERSISTED band-row index
+        // (signed here on first use, reused — and band-key-pruned — by
+        // every later benchmark; --rebuild-index forces a re-sign)
+        (flag("--spans"), flag("--minhash-table")) match {
+          case (Some(k), _) =>
             deliver(operators.Dedup.removeContaminatedSpans(
               Corpus.withFileLineId(docs, "__id"), "__id", "text",
               bench, "text", k.toInt, uax29 = uax), ranked = false)
-          case None =>
+          case (None, Some(table)) =>
+            val keyed = Corpus.withFileLineId(docs, "__id")
+            val b = Corpus.withFileLineId(bench, "__bid")
+            if (a.flags.contains("--rebuild-index"))
+              graft.queries.Tables.reset(spark, table, s"${table}__meta")
+            else
+              // a previous CLI invocation's index survives only as
+              // warehouse dirs — re-register before the existence check
+              try search.MinHashIndex.registerMinHashIndex(spark, table)
+              catch { case _: Exception => () }
+            if (!spark.catalog.tableExists(table)) {
+              search.MinHashIndex.writeMinHashIndex(keyed, "__id", "text",
+                table, uax29 = uax, force = true)
+              System.err.println(s"minhash index signed into table $table")
+            }
+            deliver(search.MinHashIndex.decontaminateIndexed(spark, table,
+              keyed, "__id", "text", b, "__bid", "text",
+              threshold = flag("--threshold").map(_.toDouble).getOrElse(0.8))
+              .drop("__id"), ranked = false)
+          case (None, None) =>
             deliver(operators.Dedup.decontaminate(
               docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
         }
