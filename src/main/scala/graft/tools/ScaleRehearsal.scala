@@ -251,7 +251,35 @@ object ScaleRehearsal {
       val m = graft.operators.Pca.fit(emb, "embedding", k = 8)
       graft.operators.Pca.project(emb, "vec_id", "embedding", m).count()
     }
+    run("minhash_index_build") {
+      // sign the corpus ONCE: inline signature kernel + bucketed band-row
+      // layout write — the cost later benchmarks never pay again
+      graft.queries.Tables.reset(spark, "scale_mh_idx", "scale_mh_idx__meta")
+      graft.search.MinHashIndex.writeMinHashIndex(docs, "doc_id", "text",
+        "scale_mh_idx", buckets = 32, force = true)
+      spark.table("scale_mh_idx").count()
+    }
+    run("minhash_index_decon") {
+      // the per-benchmark cost off the saved index: benchmark signing +
+      // band-key-pruned candidate read + candidate-bounded text re-read
+      val bench = docs.where(col("doc_id") % 997 === 0)
+        .select(col("doc_id").as("bid"),
+          concat(col("text"), lit(" extra token")).as("btext"))
+      graft.search.MinHashIndex.decontaminateIndexed(spark, "scale_mh_idx",
+        docs, "doc_id", "text", bench, "bid", "btext",
+        threshold = 0.5).count()
+    }
+    run("ivfpq_rerank") {
+      // ADC shortlist (20/query) + exact rescore of shortlist vectors —
+      // the recall-recovery delta over ivfpq_topk's cost
+      graft.operators.Similarity.ivfPqKnnRerank(emb,
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, shortlist = 20, step = 100 * replicas,
+        nprobe = 3, m = 8, codeStep = 50 * replicas).count()
+    }
     spark.sql("DROP TABLE IF EXISTS scale_idx")
+    spark.sql("DROP TABLE IF EXISTS scale_mh_idx")
+    spark.sql("DROP TABLE IF EXISTS scale_mh_idx__meta")
     spark.stop()
   }
 }
