@@ -99,6 +99,32 @@ object MinHash {
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
+  /** Column-level inline signature: the raw k-element signature array from
+    * a token-array column — the per-row building block [[signaturesInline]]
+    * wraps. NULL when the doc has fewer than `w` tokens (no shingles).
+    * Pure projection, so it composes with Structured Streaming.
+    */
+  def sigArrayCol(toks: Column, w: Int, k: Int, md5Parity: Boolean): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.Bridge.expression(toks), w, k, md5Parity))
+
+  /** Per-band LSH keys from a signature array — byte-identical to
+    * [[bandRows]]'s `band_key` (md5 over the "|"-joined band slice) but as
+    * plain columns with NO explode: the shape stateless streaming consumers
+    * need (one column per band instead of `bands` rows per doc). Keys from
+    * a NULL signature hash the empty slice; they can never match a
+    * [[bandRows]] key because null-signature docs are filtered there.
+    */
+  def bandKeyCols(sig: Column, k: Int, bands: Int): Seq[Column] = {
+    require(k % bands == 0, s"numHashes $k must divide into $bands bands")
+    val r = k / bands
+    (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => element_at(sig, i + 1).cast("string"))
+      md5(concat_ws("|", slice: _*))
+    }
+  }
+
   /** Candidate near-duplicate pairs: docs sharing at least one band bucket.
     * The two standard strategies take the inline-signature path (see
     * [[signaturesInline]]); a custom [[HashFn]] falls back to the

@@ -284,6 +284,78 @@ object StreamOps {
         col("__h") === col("__block_h"), "left_anti")
       .drop("__h")
 
+  /** Streaming FUZZY decontamination — the incremental twin of
+    * [[graft.operators.Dedup.decontaminateFuzzy]] (J8): drop every incoming
+    * document that is a MinHash near-duplicate (exact shingle Jaccard ≥
+    * `threshold`) of any benchmark document, not just a verbatim copy.
+    *
+    * Fully STATELESS — the stream side never shuffles and never
+    * aggregates. Per row: inline signature + distinct-shingle array
+    * (codegen'd projections), then one broadcast stream-static equi-join
+    * PER BAND against the benchmark's band-key buckets. The benchmark side
+    * is pre-grouped to ONE row per (band, band_key) whose payload is the
+    * bucket's bench shingle arrays, so the left joins cannot duplicate
+    * stream rows, and exact-Jaccard verification runs inside an `exists`
+    * lambda over the matched bucket — per-row work is bounded by actual
+    * band collisions, exactly like the batch candidate join. A doc is
+    * dropped when any band's bucket holds a verified match: the same
+    * decision `decontaminateFuzzy` makes in batch, one micro-batch at a
+    * time.
+    *
+    * `hash` must be one of the two inline strategies (xxhash default /
+    * md5Strategy) — a custom [[graft.operators.MinHash.HashFn]] needs the
+    * explode+groupBy signature path, which is not stateless.
+    *
+    * The benchmark subplan is re-evaluated every micro-batch; persist
+    * `bench` (it is benchmark-sized, i.e. tiny) for long-running streams.
+    */
+  def decontaminateFuzzyStream(docs: DataFrame, textCol: String,
+                               bench: DataFrame, benchId: String,
+                               benchText: String, threshold: Double,
+                               w: Int = 5, k: Int = 8, bands: Int = 4,
+                               hash: graft.operators.MinHash.HashFn =
+                                 graft.operators.MinHash.xxhashStrategy,
+                               uax29: Boolean = false): DataFrame = {
+    import graft.operators.MinHash
+    import graft.functions.TextFunctions
+    val md5Parity =
+      if (hash eq MinHash.md5Strategy) true
+      else if (hash eq MinHash.xxhashStrategy) false
+      else throw new IllegalArgumentException(
+        "decontaminateFuzzyStream needs an inline strategy (xxhashStrategy or md5Strategy)")
+
+    // static side: one row per (band, band_key); bucket = that key's bench
+    // docs' distinct-shingle arrays (null-signature bench docs drop out in
+    // signaturesInline / shingleArrays, so empty-slice stream keys never hit)
+    val sigB = MinHash.signaturesInline(bench, benchId, benchText, w, k, md5Parity, uax29)
+    val prep = MinHash.bandRows(sigB, k, bands)
+      .join(MinHash.shingleArrays(bench, benchId, benchText, w, uax29), "id")
+      .groupBy("band", "band_key").agg(collect_list(col("sh")).as("bucket"))
+
+    val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
+    val keys = MinHash.bandKeyCols(MinHash.sigArrayCol(toks, w, k, md5Parity), k, bands)
+    val out = docs.columns.toSeq
+    var cur = docs.withColumn("__sh", array_distinct(TextFunctions.ngrams(toks, w)))
+    keys.zipWithIndex.foreach { case (kc, b) => cur = cur.withColumn(s"__bk$b", kc) }
+    (0 until bands).foreach { b =>
+      cur = cur.join(
+        broadcast(prep.where(col("band") === b)
+          .select(col("band_key").as(s"__pk$b"), col("bucket").as(s"__m$b"))),
+        col(s"__bk$b") === col(s"__pk$b"), "left")
+    }
+    val hit = (0 until bands).map { b =>
+      coalesce(exists(col(s"__m$b"), m => {
+        // same score and rounding as MinHash.jaccardFromArraysCross
+        val ni = org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.expressions.IntersectionSize(
+            org.apache.spark.sql.graft.Bridge.expression(col("__sh")),
+            org.apache.spark.sql.graft.Bridge.expression(m))).cast("long")
+        round(ni / (size(col("__sh")).cast("long") + size(m).cast("long") - ni), 6) >= threshold
+      }), lit(false))
+    }.reduce(_ || _)
+    cur.where(!hit).select(out.map(col): _*)
+  }
+
   /** Streaming quality gate — the stateless incremental twin of the
     * Gopher/FineWeb batch gates: every micro-batch is filtered by the same
     * codegen'd signal columns (pure projections compose with streaming

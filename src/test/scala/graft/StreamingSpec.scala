@@ -178,6 +178,38 @@ class StreamingSpec extends SparkTestBase {
     assert(kept === Set(1L, 4L))
   }
 
+  test("streaming fuzzy decontamination matches the batch decision") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchText = "which year did the treaty of westphalia end the thirty years war in europe"
+    val bench = Seq((100L, benchText)).toDF("bid", "btext")
+    val nearDup = "which year did the treaty of westphalia end the thirty years war in asia"
+    val docs = Seq(
+      (1L, "a perfectly clean training document about cooking pasta at home tonight"),
+      (2L, benchText),            // verbatim leak
+      (3L, nearDup),              // near-dup leak (one token differs)
+      (4L, "too short"),          // < w tokens: no shingles, must pass through
+      (5L, "another clean doc that shares no shingles with the benchmark suite"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.decontaminateFuzzyStream(
+        input.toDF().toDF("doc_id", "text"), "text",
+        bench, "bid", "btext", threshold = 0.5)
+      .writeStream.format("memory").queryName("fdecon").outputMode(OutputMode.Append).start()
+    input.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    val kept = spark.table("fdecon").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept === Set(1L, 4L, 5L))
+    // exactly the batch operator's surviving set on the same corpus
+    val batch = graft.operators.Dedup.decontaminateFuzzy(
+        docs.toDF("doc_id", "text"), bench, "doc_id", "bid", "text", "btext",
+        threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch === kept)
+  }
+
   test("streaming quality gate filters micro-batches statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
