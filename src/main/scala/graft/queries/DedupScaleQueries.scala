@@ -164,6 +164,35 @@ object DedupScaleQueries extends QueryPack {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // the same contamination battery INCREMENTALLY: the corpus arrives as
+    // a file stream in real micro-batches through the stateless
+    // decontaminateFuzzyStream (inline signature + per-band broadcast
+    // bucket joins — no stream-side shuffle) and the surviving set must be
+    // exactly j8's batch decision
+    "j17_stream_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bid"),
+          concat(col("text"), lit(" extra token")).as("btext"))
+      val tmp = java.nio.file.Files.createTempDirectory("j17_stream").toString
+      d.select("doc_id", "text").repartition(4)
+        .write.mode("overwrite").json(s"$tmp/src")
+      val in = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).json(s"$tmp/src")
+      val q = graft.streaming.StreamOps.decontaminateFuzzyStream(
+          in, "text", bench, "bid", "btext", threshold = 0.5, W, K, BANDS,
+          MinHash.md5Strategy)
+        .select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
+
     "d_jaccard_block" -> ((s, dir) => {
       val d = docs(s, dir)
       val ids = d.where(col("doc_id") % 20 === 0)
@@ -459,6 +488,10 @@ object DedupScaleQueries extends QueryPack {
     // the persisted band-row index must drop EXACTLY the same rows as the
     // per-call j8 pipeline — same replay
     "j16_decontaminate_indexed" -> fuzzyDecontamSql,
+
+    // the streaming path, one micro-batch at a time, must also reproduce
+    // the batch decision exactly — same replay
+    "j17_stream_decontaminate" -> fuzzyDecontamSql,
 
     "d_minhash_neardup" ->
       s"""WITH $candSql,
