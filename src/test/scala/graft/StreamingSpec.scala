@@ -210,6 +210,29 @@ class StreamingSpec extends SparkTestBase {
     assert(batch === kept)
   }
 
+  test("streaming fuzzy decontamination: empty or sub-w benchmark keeps everything") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // bench rows with < w tokens have no shingles → no band rows: the
+    // broadcast side is empty either way and every stream doc must pass
+    val empty = Seq.empty[(Long, String)].toDF("bid", "btext")
+    val subW = Seq((100L, "too short bench")).toDF("bid", "btext")
+    for ((bench, tag) <- Seq((empty, "empty"), (subW, "subw"))) {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.decontaminateFuzzyStream(
+          input.toDF().toDF("doc_id", "text"), "text",
+          bench, "bid", "btext", threshold = 0.5)
+        .writeStream.format("memory").queryName(s"fdecon_$tag")
+        .outputMode(OutputMode.Append).start()
+      input.addData((1L, "a clean training document about cooking pasta at home"),
+        (2L, "too short bench"), (3L, "x"))
+      q.processAllAvailable()
+      val kept = spark.table(s"fdecon_$tag").collect().map(_.getLong(0)).toSet
+      q.stop()
+      assert(kept === Set(1L, 2L, 3L), s"bench=$tag")
+    }
+  }
+
   test("streaming quality gate filters micro-batches statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
