@@ -24,6 +24,9 @@ import graft.sources.Corpus
   *     [--spans K]                      // cut quoted spans, keep the docs
   *     [--minhash-table T [--threshold J] [--rebuild-index]]  // fuzzy,
   *                                      // off the persisted band-row index
+  *     [--follow DIR [--threshold J]]   // incremental: each invocation
+  *                                      // decontaminates only NEW shards
+  *                                      // (checkpoint DIR/ckpt → DIR/data)
   *   runMain graft.Cli diff NEW_PATH... --old OLD_PATH [--docs] [--out DIR]
   *     [--divergence [--terms K]]       // distribution drift (KL/JS)
   *   runMain graft.Cli index PATH... [--table T] [--search P]...
@@ -233,6 +236,52 @@ object Cli {
         // --minhash-table T: fuzzy mode off the PERSISTED band-row index
         // (signed here on first use, reused — and band-key-pruned — by
         // every later benchmark; --rebuild-index forces a re-sign)
+        // --follow DIR: INCREMENTAL mode — the input paths are a watched
+        // drop directory; each invocation processes only shards that
+        // arrived since the last one (file-source checkpoint at DIR/ckpt)
+        // and appends survivors as gzip JSONL under DIR/data. Exact by
+        // default (hash blocklist, stream-static anti join); --threshold J
+        // switches to fuzzy (stateless MinHash band-key joins — the J8
+        // decision, one micro-batch at a time). The ingest-time guard a
+        // training pipeline runs on every crawl drop.
+        flag("--follow") match { case Some(stateDir) =>
+          require(flag("--spans").isEmpty && flag("--minhash-table").isEmpty,
+            "--follow composes with --threshold only (not --spans/--minhash-table)")
+          require(flag("--limit").isEmpty && flag("--file-limit").isEmpty,
+            "--follow reads whole shards (no --limit/--file-limit)")
+          val raw = a.paths.map(p =>
+              spark.readStream.schema(Corpus.schema).json(p))
+            .reduce(_.unionByName(_))
+          val moji = if (fixMoji) raw.withColumn("text",
+            operators.TextQuality.fixMojibake(col("text"))) else raw
+          val in = if (analyzed) moji.withColumn("text",
+            graft.functions.TextFunctions.esAnalyzeText(col("text"))) else moji
+          val cleaned = flag("--threshold") match {
+            case Some(t) =>
+              // materialized eagerly: the synthetic file-line id uses
+              // monotonically_increasing_id/input_file_name, which the
+              // streaming unsupported-ops check rejects even on the
+              // STATIC side of a stream-static join — a LogicalRDD
+              // (benchmark-sized) carries no such expressions, and the
+              // per-micro-batch bench re-evaluation goes away with it
+              val b = Corpus.withFileLineId(bench, "__bid").localCheckpoint(true)
+              streaming.StreamOps.decontaminateFuzzyStream(in, "text",
+                b, "__bid", "text", t.toDouble, uax29 = uax)
+            case None =>
+              streaming.StreamOps.decontaminateStream(in, "text",
+                bench.select(md5(col("text")).as("h")))
+          }
+          val q = cleaned.writeStream.format("json")
+            .option("path", s"$stateDir/data")
+            .option("compression", "gzip")
+            .option("checkpointLocation", s"$stateDir/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          System.err.println(
+            s"follow pass complete: new shards decontaminated into $stateDir/data")
+        case None =>
         (flag("--spans"), flag("--minhash-table")) match {
           case (Some(k), _) =>
             deliver(operators.Dedup.removeContaminatedSpans(
@@ -260,6 +309,7 @@ object Cli {
           case (None, None) =>
             deliver(operators.Dedup.decontaminate(
               docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
+        }
         }
       // the "what's in my big data" report card (counts, size, dup rate,
       // language mix) — the paper's per-corpus table from the CLI
