@@ -20,6 +20,9 @@ import graft.sources.Corpus
   *   runMain graft.Cli stats PATH...
   *   runMain graft.Cli unique PATH... --ngram 3 [--approx]
   *   runMain graft.Cli dedup PATH... [--out DIR]            // keep-first by text hash
+  *     [--state DIR --out DIR]          // incremental: drop docs already
+  *                                      // admitted by PAST invocations,
+  *                                      // then extend the hash state
   *   runMain graft.Cli decontaminate PATH... --bench PATH [--out DIR]
   *     [--spans K]                      // cut quoted spans, keep the docs
   *     [--minhash-table T [--threshold J] [--rebuild-index]]  // fuzzy,
@@ -194,9 +197,31 @@ object Cli {
       case "dedup" =>
         val withPos = docs.withColumn("__file", input_file_name())
           .withColumn("__line", monotonically_increasing_id())
-        deliver(operators.Dedup.keepFirst(withPos, md5(col("text")),
-          Seq(col("__file"), col("__line"))).drop("__file", "__line"),
-          ranked = false)
+        val fresh = operators.Dedup.keepFirst(withPos, md5(col("text")),
+          Seq(col("__file"), col("__line"))).drop("__file", "__line")
+        // --state DIR: incremental ingestion — also drop docs whose hash a
+        // PREVIOUS invocation already admitted, then extend the durable
+        // hash state (the library's ingestIncrementalTo cycle with JSONL
+        // output). Crash-safe order: survivors are written to --out FIRST
+        // and the state append derives its keys from the files as written,
+        // so a crash between the two re-runs cleanly. Requires --out (a
+        // per-snapshot dir — the write is overwrite-mode under --force).
+        flag("--state") match {
+          case Some(state) =>
+            val outDir = out.getOrElse(
+              sys.error("dedup --state needs --out DIR (durable survivors " +
+                "must land before the state extends)"))
+            val survivors =
+              operators.Dedup.dedupIncremental(withPos, md5(col("text")),
+                Seq(col("__file"), col("__line")), state)
+                .drop("__file", "__line")
+            Corpus.writeJsonl(survivors, outDir,
+              force = a.flags.contains("--force"))
+            operators.Dedup.appendHashState(
+              Corpus.readJsonl(spark, Seq(outDir)), md5(col("text")), state)
+            System.err.println(s"ingested: survivors in $outDir, state extended at $state")
+          case None => deliver(fresh, ranked = false)
+        }
       // extension: corpus snapshot diff — PATH... is the NEW snapshot, the
       // --old corpus the previous release; prints the status rollup (or a
       // per-doc work list with --docs). Docs pair on the corpus `id` field
