@@ -33,6 +33,9 @@ import graft.sources.Corpus
   *   runMain graft.Cli diff NEW_PATH... --old OLD_PATH [--docs] [--out DIR]
   *     [--divergence [--terms K]]       // distribution drift (KL/JS)
   *   runMain graft.Cli index PATH... [--table T] [--search P]...
+  *     [--follow DIR]                   // incremental: upsert only NEW
+  *                                      // shards' postings (manifest at
+  *                                      // DIR/manifest), then run queries
   *     [--search-prefix P]... [--regexp RE] [--wildcard W] [--slop N]
   *     [--fuzzy TERM [--max-edits N] [--prefix-len N]]
   *     [--more-like-doc ID | --more-like-text "..." [--mlt-terms N] [--topk K]]
@@ -461,7 +464,64 @@ object Cli {
               k = intFlag("--topk", 10)), ranked = false)
           }
         }
-        if (refreshOld.nonEmpty) {
+        // --follow DIR: incremental indexing of a drop directory — each
+        // invocation tokenizes ONLY shards that arrived since the last one
+        // (processed-file manifest at DIR/manifest) and upserts their
+        // postings into the --table index. Crash-safe end to end: the
+        // upsert is the rename-aside swap, and because upsertIndex is
+        // idempotent per document, a crash between the swap and the
+        // manifest extension just replays the same shards on the next run.
+        val follow = flag("--follow")
+        if (follow.nonEmpty) {
+          val stateDir = follow.get
+          val t = table.getOrElse(sys.error("index --follow needs --table"))
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+          val all: Seq[String] = a.paths.flatMap { p =>
+            val glob = fs.globStatus(new org.apache.hadoop.fs.Path(p))
+            if (glob == null) Seq.empty[org.apache.hadoop.fs.Path]
+            else glob.toSeq.flatMap { st =>
+              if (st.isDirectory)
+                fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
+              else Seq(st.getPath)
+            }
+          }.map(p => fs.makeQualified(p).toString).sorted
+          val manifest = new org.apache.hadoop.fs.Path(stateDir, "manifest")
+          val seen: Set[String] =
+            if (fs.exists(manifest)) {
+              val in = fs.open(manifest)
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().filter(_.nonEmpty).toSet
+              finally in.close()
+            } else Set.empty
+          val fresh = all.filterNot(seen)
+          if (fresh.isEmpty) System.err.println("index --follow: no new shards")
+          else {
+            val (keyed, idc) = keyedById(Corpus.readJsonl(spark, fresh))
+            if (spark.catalog.tableExists(t) ||
+                scala.util.Try(search.InvertedIndex.registerIndex(spark, t,
+                  intFlag("--buckets", 64))).isSuccess)
+              search.InvertedIndex.upsertIndex(spark, t, keyed, idc, "text",
+                intFlag("--buckets", 64), uax29 = uax)
+            else
+              search.InvertedIndex.writeIndex(
+                search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
+                t, intFlag("--buckets", 64), force = true)
+            // extend the manifest atomically (tmp + rename) AFTER the swap
+            val tmpM = new org.apache.hadoop.fs.Path(stateDir, "manifest.__tmp")
+            val os = fs.create(tmpM, true)
+            try os.write(((seen.toSeq ++ fresh).sorted.mkString("\n") + "\n")
+              .getBytes("UTF-8"))
+            finally os.close()
+            fs.delete(manifest, false)
+            if (!fs.rename(tmpM, manifest)) sys.error(
+              s"index --follow: manifest rename failed at $manifest")
+            System.err.println(
+              s"index --follow: ${fresh.size} new shard(s) upserted into $t")
+          }
+          if (hasQuery)
+            runIndexQueries(search.InvertedIndex.readIndex(spark, t))
+        } else if (refreshOld.nonEmpty) {
           val t = table.getOrElse(sys.error("index --refresh-old needs --table"))
           ensureIndexTable(t, s"index OLDPATH... --table $t")
           val old = readSecondary(refreshOld.map(p => p: String))

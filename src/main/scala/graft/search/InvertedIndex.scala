@@ -182,6 +182,26 @@ object InvertedIndex {
         .select(live.columns.map(col): _*).unionByName(fresh))
   }
 
+  /** IDEMPOTENT document-level upsert: any existing postings for the
+    * incoming doc ids are anti-joined out of the live table before the
+    * freshly-built postings union in, so replaying the same batch after a
+    * crash (e.g. an ingestion manifest that didn't get extended) converges
+    * to the same index instead of double-counting — the property
+    * [[refreshIndex]] deliberately does NOT give "added" docs (its diff
+    * proves they are absent; an ingest loop has no such proof). Cost shape
+    * is [[compactIndex]]'s: one rewrite of the index + a batch-sized
+    * postings build, swapped in crash-safe.
+    */
+  def upsertIndex(spark: SparkSession, table: String, docs: DataFrame,
+                  idCol: String, contentCol: String, buckets: Int,
+                  uax29: Boolean = true): Unit = {
+    val incoming = docs.select(col(idCol).as("doc_id")).distinct()
+    val fresh = postings(docs, idCol, contentCol, uax29)
+    replaceIndex(spark, table, buckets)(
+      live => live.join(incoming, Seq("doc_id"), "left_anti")
+        .select(live.columns.map(col): _*).unionByName(fresh))
+  }
+
   /** Shared rewrite-and-swap core of [[compactIndex]] / [[refreshIndex]]:
     * heal any half-finished prior swap, write `build(live)` through
     * [[writeIndex]] into the staging table, rename-aside. `build` receives

@@ -645,6 +645,40 @@ class InvertedIndexSpec extends SparkTestBase {
     }
   }
 
+  test("upsertIndex: idempotent replay; result equals a from-scratch build") {
+    val table = "ii_spec_upsert"
+    def dropAll(): Unit = Seq(table, s"${table}__compacting", s"${table}__old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    InvertedIndex.writeIndex(
+      InvertedIndex.postings(docs.where(col("doc_id") <= 2),
+        "doc_id", "text", uax29 = false), table, buckets = 8, force = true)
+    try {
+      val batch = docs.where(col("doc_id") >= 3)
+      InvertedIndex.upsertIndex(spark, table, batch, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      def snap() = InvertedIndex.readIndex(spark, table).collect()
+        .map(_.toSeq).toSet
+      val once = snap()
+      // replaying the SAME batch (crashed manifest extension) must converge
+      InvertedIndex.upsertIndex(spark, table, batch, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      assert(snap() === once)
+      // and the converged index IS the from-scratch whole-corpus index
+      val full = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+        .collect().map(_.toSeq).toSet
+      assert(once === full)
+      // an upsert of a CHANGED doc replaces its postings (no double count)
+      val changed = Seq((2L, "zz zz")).toDF("doc_id", "text")
+      InvertedIndex.upsertIndex(spark, table, changed, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      val after = InvertedIndex.readIndex(spark, table)
+      assert(after.where(col("doc_id") === 2 && col("term") === "b").isEmpty)
+      assert(after.where(col("doc_id") === 2 && col("term") === "zz")
+        .head().getAs[Long]("tf") === 2L)
+    } finally dropAll()
+  }
+
   test("refreshIndex: diff-driven refresh equals a from-scratch build") {
     val table = "ii_spec_refresh"
     def dropAll(): Unit = Seq(table, s"${table}__compacting", s"${table}__old")
