@@ -96,12 +96,6 @@ object Cli {
 
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate> PATH... [flags]")
-    val cmd = argv.head
-    val a = parse(argv.toSeq.drop(1))
-    def flag(n: String): Option[String] = a.flags.get(n).map(_.last)
-    def flagAll(n: String): Seq[String] = a.flags.getOrElse(n, Nil)
-    def intFlag(n: String, d: Int): Int = flag(n).map(_.toInt).getOrElse(d)
-
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -110,6 +104,19 @@ object Cli {
       .getOrCreate()
     Sessions.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, argv) finally spark.stop()
+  }
+
+  /** The whole CLI against a caller-owned session — what [[main]] wraps
+    * and what tests drive (main's `spark.stop()` would kill a shared
+    * test session).
+    */
+  private[graft] def run(spark: SparkSession, argv: Array[String]): Unit = {
+    val cmd = argv.head
+    val a = parse(argv.toSeq.drop(1))
+    def flag(n: String): Option[String] = a.flags.get(n).map(_.last)
+    def flagAll(n: String): Seq[String] = a.flags.getOrElse(n, Nil)
+    def intFlag(n: String, d: Int): Int = flag(n).map(_.toInt).getOrElse(d)
 
     val readDocs = Corpus.readJsonl(spark, a.paths,
       perFileLimit = flag("--limit").map(_.toInt),
@@ -207,8 +214,10 @@ object Cli {
         // hash state (the library's ingestIncrementalTo cycle with JSONL
         // output). Crash-safe order: survivors are written to --out FIRST
         // and the state append derives its keys from the files as written,
-        // so a crash between the two re-runs cleanly. Requires --out (a
-        // per-snapshot dir — the write is overwrite-mode under --force).
+        // so a crash between the two re-runs cleanly. Requires --out, a
+        // per-snapshot dir — written OVERWRITE-mode unconditionally
+        // (matching the library's ingestIncrementalTo) so the crash replay
+        // actually converges instead of failing on the half-written dir.
         flag("--state") match {
           case Some(state) =>
             val outDir = out.getOrElse(
@@ -218,8 +227,7 @@ object Cli {
               operators.Dedup.dedupIncremental(withPos, md5(col("text")),
                 Seq(col("__file"), col("__line")), state)
                 .drop("__file", "__line")
-            Corpus.writeJsonl(survivors, outDir,
-              force = a.flags.contains("--force"))
+            Corpus.writeJsonl(survivors, outDir, force = true)
             operators.Dedup.appendHashState(
               Corpus.readJsonl(spark, Seq(outDir)), md5(col("text")), state)
             System.err.println(s"ingested: survivors in $outDir, state extended at $state")
@@ -475,18 +483,25 @@ object Cli {
         if (follow.nonEmpty) {
           val stateDir = follow.get
           val t = table.getOrElse(sys.error("index --follow needs --table"))
+          val buckets = intFlag("--buckets", 64)
           val hconf = spark.sparkContext.hadoopConfiguration
-          val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+          // resolve every path against ITS OWN filesystem (file:// and
+          // s3:// shards may mix, and neither need match fs.defaultFS);
+          // manifest entries are qualified the same way so they compare
+          // stably across invocations
           val all: Seq[String] = a.paths.flatMap { p =>
-            val glob = fs.globStatus(new org.apache.hadoop.fs.Path(p))
-            if (glob == null) Seq.empty[org.apache.hadoop.fs.Path]
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val pfs = hp.getFileSystem(hconf)
+            val glob = pfs.globStatus(hp)
+            if (glob == null) Seq.empty[String]
             else glob.toSeq.flatMap { st =>
               if (st.isDirectory)
-                fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
+                pfs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
               else Seq(st.getPath)
-            }
-          }.map(p => fs.makeQualified(p).toString).sorted
+            }.map(f => pfs.makeQualified(f).toString)
+          }.sorted
           val manifest = new org.apache.hadoop.fs.Path(stateDir, "manifest")
+          val fs = manifest.getFileSystem(hconf)
           val seen: Set[String] =
             if (fs.exists(manifest)) {
               val in = fs.open(manifest)
@@ -495,18 +510,78 @@ object Cli {
               finally in.close()
             } else Set.empty
           val fresh = all.filterNot(seen)
+          // Heal BEFORE deciding whether an index exists: after a crash
+          // mid-swap plus a JVM restart, the live postings sit under the
+          // __compacting/__old warehouse dirs with no catalog entry, and
+          // treating that as "first run" would overwrite the table while
+          // the manifest still marks its shards as seen — silent loss.
+          val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          def dirExists(name: String): Boolean = {
+            val p = new org.apache.hadoop.fs.Path(warehouse, name)
+            p.getFileSystem(hconf).exists(p)
+          }
+          // Try: a half-written CTAS dir has no readable footers; the
+          // loud seen.nonEmpty guard below still refuses to overwrite
+          def reRegister(name: String): Unit =
+            if (!spark.catalog.tableExists(name) && dirExists(name))
+              scala.util.Try(
+                search.InvertedIndex.registerIndex(spark, name, buckets))
+          reRegister(t)
+          if (!spark.catalog.tableExists(t)) {
+            reRegister(t + "__old")
+            // __old's survival proves the staging write COMPLETED (the
+            // live→__old rename only runs after writeIndex returned), so
+            // the staging dir is safe to promote; without that proof it
+            // may be a half-written CTAS and recovery rolls back to __old
+            if (spark.catalog.tableExists(t + "__old") &&
+                dirExists(t + "__compacting"))
+              reRegister(t + "__compacting")
+            search.InvertedIndex.recoverCompaction(spark, t)
+          }
+          val haveIndex = spark.catalog.tableExists(t)
+          if (!haveIndex && seen.nonEmpty) sys.error(
+            s"index --follow: manifest at $stateDir records ${seen.size} " +
+              s"ingested shard(s) but no index survives under '$t' (checked " +
+              s"live/__old/__compacting in $warehouse) — refusing to start " +
+              "fresh over a manifest that would skip them; delete the " +
+              "manifest to re-ingest from scratch")
           if (fresh.isEmpty) System.err.println("index --follow: no new shards")
           else {
-            val (keyed, idc) = keyedById(Corpus.readJsonl(spark, fresh))
-            if (spark.catalog.tableExists(t) ||
-                scala.util.Try(search.InvertedIndex.registerIndex(spark, t,
-                  intFlag("--buckets", 64))).isSuccess)
+            // Pin the id mode on first run: withFileLineId keys change
+            // meaning if a later batch suddenly carries corpus ids (or
+            // stops), and upsert's anti-join would then silently miss or
+            // clobber. Synthetic ids hash the FULL shard path — two
+            // drop-dir shards sharing a basename must not collide.
+            val df = Corpus.readJsonl(spark, fresh)
+            val allHaveIds = df.where(col("id").isNull).isEmpty
+            val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
+            val stored: Option[String] =
+              if (fs.exists(modeFile)) {
+                val in = fs.open(modeFile)
+                try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+                  .getLines().next().trim)
+                finally in.close()
+              } else None
+            val mode = stored.getOrElse(if (allHaveIds) "id" else "path-line")
+            if (mode == "id" && !allHaveIds) sys.error(
+              s"index --follow: state at $stateDir is keyed by the corpus " +
+                "`id` field but this batch has docs with null ids — fix the " +
+                "shards or start a new state dir")
+            val (keyed, idc) =
+              if (mode == "id") (df, "id")
+              else (Corpus.withFileLineId(df, "__id", fullPath = true), "__id")
+            if (haveIndex)
               search.InvertedIndex.upsertIndex(spark, t, keyed, idc, "text",
-                intFlag("--buckets", 64), uax29 = uax)
+                buckets, uax29 = uax)
             else
               search.InvertedIndex.writeIndex(
                 search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
-                t, intFlag("--buckets", 64), force = true)
+                t, buckets, force = true)
+            if (stored.isEmpty) {
+              val os = fs.create(modeFile, true)
+              try os.write((mode + "\n").getBytes("UTF-8"))
+              finally os.close()
+            }
             // extend the manifest atomically (tmp + rename) AFTER the swap
             val tmpM = new org.apache.hadoop.fs.Path(stateDir, "manifest.__tmp")
             val os = fs.create(tmpM, true)
@@ -519,8 +594,12 @@ object Cli {
             System.err.println(
               s"index --follow: ${fresh.size} new shard(s) upserted into $t")
           }
-          if (hasQuery)
+          if (hasQuery) {
+            // a no-new-shards invocation in a fresh JVM still has to answer
+            // from the surviving warehouse index
+            ensureIndexTable(t, s"index PATH... --table $t --follow $stateDir")
             runIndexQueries(search.InvertedIndex.readIndex(spark, t))
+          }
         } else if (refreshOld.nonEmpty) {
           val t = table.getOrElse(sys.error("index --refresh-old needs --table"))
           ensureIndexTable(t, s"index OLDPATH... --table $t")
@@ -696,6 +775,5 @@ object Cli {
             written.mkString("\n"))
       case other => sys.error(s"unknown command: $other")
     }
-    spark.stop()
   }
 }

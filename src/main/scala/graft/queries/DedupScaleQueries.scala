@@ -110,10 +110,16 @@ object DedupScaleQueries extends QueryPack {
         SimHash.md5HexBit).orderBy("id")),
 
     // feature-hash document embeddings (signed hashing trick, md5-parity
-    // mode): the model-free text→vector bridge into the embedding tier
+    // mode): the model-free text→vector bridge into the embedding tier.
+    // Exploded to (id, bucket, v) scalar rows: the oracle compare sorts
+    // column values and cannot order raw array cells.
     "d_hashed_embedding" -> ((s, dir) =>
       graft.operators.FeatureHash.hashedEmbeddings(docs(s, dir), "doc_id",
-        "text", dim = 16, md5Parity = true).orderBy("id")),
+        "text", dim = 16, md5Parity = true)
+        .select(col("id"), posexplode(col("emb")))
+        .select(col("id"), col("pos").cast("long").as("bucket"),
+          col("col").as("v"))
+        .orderBy("id", "bucket")),
 
     // near-dup pairs → duplicate clusters: min-reachable-id label per member
     "d_cc_clusters" -> ((s, dir) =>
@@ -573,9 +579,10 @@ object DedupScaleQueries extends QueryPack {
         |grid AS (SELECT doc_id, bucket
         | FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL)
         | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bucket))
-        |SELECT g.doc_id AS id, list(coalesce(s.v, CAST(0 AS DOUBLE)) ORDER BY g.bucket) AS emb
+        |SELECT g.doc_id AS id, CAST(g.bucket AS BIGINT) AS bucket,
+        |  coalesce(s.v, CAST(0 AS DOUBLE)) AS v
         |FROM grid g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bucket = g.bucket
-        |GROUP BY g.doc_id ORDER BY id""".stripMargin,
+        |ORDER BY id, bucket""".stripMargin,
 
     "d_jaccard_block" ->
       s"""WITH sh AS ($shSql),

@@ -239,6 +239,10 @@ object InvertedIndex {
     if (!spark.catalog.tableExists(table)) deleteIfUncataloged(spark, table)
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
     spark.sql(s"DROP TABLE IF EXISTS `$backup`")
+    // an EXTERNAL backup (a recovered index re-registered over
+    // `warehouse/<backup>`) keeps its files on DROP; clear them so a
+    // LATER crash recovery can't resurrect a stale index from the debris
+    deleteIfUncataloged(spark, backup)
   }
 
   /** Delete `warehouse/<name>` iff no catalog entry claims the name — the
@@ -283,6 +287,21 @@ object InvertedIndex {
     }
     if (cat.tableExists(table) && cat.tableExists(backup))
       spark.sql(s"DROP TABLE `$backup`")
+    // external-backup debris (see swapTable) — but ONLY when a live
+    // catalog entry proves the backup dir is superseded, and never when
+    // the live table ITSELF points there (an external backup recovered by
+    // rename keeps `warehouse/<backup>` as its location); in a fresh JVM
+    // with nothing cataloged that dir may be the sole surviving index,
+    // waiting for the caller to re-register it
+    if (cat.tableExists(table)) {
+      val liveLoc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      val bp = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), backup)
+      val bq = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(bp).toUri
+      if (bq != liveLoc) deleteIfUncataloged(spark, backup)
+    }
   }
 
   /** Per-term document frequency and total term frequency — the ES

@@ -268,12 +268,23 @@ object Corpus {
     * window shuffle, and a filename expression evaluated in the
     * post-shuffle projection silently returns '' — the filename must be
     * captured as a column before the exchange.
+    *
+    * `fullPath = true` keys by an md5 of the file's FULL qualified path
+    * instead of its basename — required whenever ids from different
+    * invocations must not collide (incremental `--follow` ingestion: two
+    * shards named `data.json.gz` in different dated subdirs are distinct
+    * documents, but share a basename). The default keeps the reference's
+    * basename contract for ES-id parity.
     */
-  def withFileLineId(df: DataFrame, idCol: String = "id"): DataFrame = {
+  def withFileLineId(df: DataFrame, idCol: String = "id",
+                     fullPath: Boolean = false): DataFrame = {
     val staged = df.withColumn("__cfile", input_file_name())
       .withColumn("__cline", monotonically_increasing_id())
+    val fileKey =
+      if (fullPath) md5(col("__cfile"))
+      else regexp_extract(col("__cfile"), "([^/]+)$", 1)
     staged.withColumn(idCol,
-        concat(regexp_extract(col("__cfile"), "([^/]+)$", 1), lit("-"),
+        concat(fileKey, lit("-"),
           (row_number().over(Window.partitionBy(col("__cfile"))
             .orderBy(col("__cline"))) - 1).cast("string")))
       .drop("__cfile", "__cline")

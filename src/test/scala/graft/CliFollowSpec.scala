@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.search.InvertedIndex
+import graft.sources.Corpus
+import java.nio.file.{Files, Paths}
+
+/** CLI `index --follow` robustness: crash-state recovery from a fresh JVM,
+  * full-path synthetic ids (no basename collisions across drop-dir
+  * batches), pinned id mode, loud refusal when the manifest outlives the
+  * index, and query-only invocations against a stranded warehouse dir.
+  * Drives [[Cli.run]] directly — main's `spark.stop()` would kill the
+  * shared test session.
+  */
+class CliFollowSpec extends SparkTestBase {
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+  private def warehousePath(name: String) = new org.apache.hadoop.fs.Path(
+    spark.conf.get("spark.sql.warehouse.dir"), name)
+
+  private def writeShard(dir: String, name: String, texts: Seq[String],
+                         ids: Seq[String] = Nil): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = texts.zipWithIndex.map { case (t, i) =>
+      val id = if (ids.isEmpty) "" else s""","id":"${ids(i)}""""
+      s"""{"text":"$t"$id}"""
+    }
+    Files.write(Paths.get(dir, name),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  private def freshDirs(): (String, String) = {
+    val root = Files.createTempDirectory("cli_follow").toString
+    (s"$root/drop", s"$root/state")
+  }
+
+  private def dropAll(t: String): Unit =
+    Seq(t, s"${t}__compacting", s"${t}__old").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS `$n`")
+      val p = warehousePath(n)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+  private def follow(t: String, drop: String, state: String,
+                     extra: String*): Unit =
+    Cli.run(spark, Array("index", s"$drop/*", "--table", t,
+      "--follow", state, "--buckets", "4") ++ extra)
+
+  private def docIds(t: String): Set[String] =
+    InvertedIndex.readIndex(spark, t).select("doc_id").distinct()
+      .collect().map(_.get(0).toString).toSet
+
+  private def hits(t: String, phrase: String): Long =
+    InvertedIndex.phraseHits(InvertedIndex.readIndex(spark, t), Seq(phrase))
+      .select("n_docs").head().getLong(0)
+
+  test("follow: same-basename shards in different subdirs do not collide") {
+    val t = "cli_follow_basename"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      writeShard(s"$drop/day1", "data.jsonl", Seq("alpha bravo", "echo fox"))
+      follow(t, drop, state)
+      assert(docIds(t).size === 2)
+      writeShard(s"$drop/day2", "data.jsonl", Seq("charlie delta"))
+      follow(t, drop, state)
+      // basename keying would give day2's doc the id `data.jsonl-0`,
+      // anti-joining day1's first doc OUT of the index
+      assert(docIds(t).size === 3)
+      assert(hits(t, "alpha bravo") === 1L)
+      assert(hits(t, "charlie delta") === 1L)
+    } finally dropAll(t)
+  }
+
+  test("follow: id mode pinned in the state dir; id-less later batch fails") {
+    val t = "cli_follow_idmode"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo"), ids = Seq("d1"))
+      follow(t, drop, state)
+      assert(new String(Files.readAllBytes(Paths.get(state, "idmode")),
+        "UTF-8").trim === "id")
+      assert(docIds(t) === Set("d1"))
+      writeShard(s"$drop/day2", "b.jsonl", Seq("charlie delta"))
+      val e = intercept[RuntimeException](follow(t, drop, state))
+      assert(e.getMessage.contains("null ids"), e.getMessage)
+      // the failed batch must NOT have been marked seen
+      assert(!new String(Files.readAllBytes(Paths.get(state, "manifest")),
+        "UTF-8").contains("b.jsonl"))
+    } finally dropAll(t)
+  }
+
+  test("follow: heals a crashed swap left as a catalog-less __old dir") {
+    val t = "cli_follow_recover"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo"))
+      follow(t, drop, state)
+      // simulate: crash after live→__old rename, then JVM restart (the
+      // in-memory catalog forgets everything; only the dir survives)
+      val live = warehousePath(t)
+      val fs = live.getFileSystem(hconf)
+      val aside = new org.apache.hadoop.fs.Path(
+        Files.createTempDirectory("cli_follow_aside").toString, t)
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, aside, false, hconf)
+      spark.sql(s"DROP TABLE `$t`") // managed: deletes warehouse/<t>
+      org.apache.hadoop.fs.FileUtil.copy(fs, aside, fs,
+        warehousePath(s"${t}__old"), false, hconf)
+      assert(!spark.catalog.tableExists(t))
+      // next --follow invocation must recover the index, not overwrite it
+      writeShard(s"$drop/day2", "b.jsonl", Seq("charlie delta"))
+      follow(t, drop, state)
+      assert(docIds(t).size === 2)
+      assert(hits(t, "alpha bravo") === 1L) // day1's postings survived
+      assert(hits(t, "charlie delta") === 1L)
+      // the recovered external backup's debris is gone: a LATER crash
+      // recovery cannot resurrect a stale index from it
+      assert(!fs.exists(warehousePath(s"${t}__old")))
+    } finally dropAll(t)
+  }
+
+  test("follow: manifest outliving every index dir refuses loudly") {
+    val t = "cli_follow_refuse"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo"))
+      follow(t, drop, state)
+      spark.sql(s"DROP TABLE `$t`") // index gone, manifest still lists day1
+      writeShard(s"$drop/day2", "b.jsonl", Seq("charlie delta"))
+      val e = intercept[RuntimeException](follow(t, drop, state))
+      assert(e.getMessage.contains("refusing"), e.getMessage)
+    } finally dropAll(t)
+  }
+
+  test("follow: no-new-shards query answers from a stranded warehouse dir") {
+    val t = "cli_follow_query"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo"))
+      follow(t, drop, state)
+      // strand the dir: copy aside, drop (managed delete), copy back
+      val live = warehousePath(t)
+      val fs = live.getFileSystem(hconf)
+      val aside = new org.apache.hadoop.fs.Path(
+        Files.createTempDirectory("cli_follow_strand").toString, t)
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, aside, false, hconf)
+      spark.sql(s"DROP TABLE `$t`")
+      org.apache.hadoop.fs.FileUtil.copy(fs, aside, fs, live, false, hconf)
+      // no new shards + --search: must re-register and answer, not crash
+      follow(t, drop, state, "--search", "alpha bravo")
+      assert(hits(t, "alpha bravo") === 1L)
+    } finally dropAll(t)
+  }
+
+  test("dedup --state: crash replay into the same --out dir converges") {
+    val root = Files.createTempDirectory("cli_dedup_state").toString
+    writeShard(s"$root/in", "a.jsonl",
+      Seq("alpha bravo", "alpha bravo", "echo fox"))
+    val state = s"$root/state"
+    val out1 = s"$root/out1"
+    Cli.run(spark, Array("dedup", s"$root/in/*.jsonl",
+      "--state", state, "--out", out1))
+    val first = Corpus.readJsonl(spark, Seq(out1)).count()
+    assert(first === 2L)
+    // replay the SAME snapshot into the SAME out dir without --force —
+    // the crash-recovery path (survivors written, state append lost)
+    Cli.run(spark, Array("dedup", s"$root/in/*.jsonl",
+      "--state", state, "--out", out1))
+    assert(Corpus.readJsonl(spark, Seq(out1))
+      .where(col("text").isNotNull).count() === 0L)
+  }
+}
