@@ -62,22 +62,37 @@ object CtKernel {
     m
   }
 
-  /** Ranked profile: top-K grams by (count desc, gram asc), rank = index+1. */
+  private val byCountDescGramAsc =
+    new java.util.Comparator[java.util.Map.Entry[String, Integer]] {
+      override def compare(a: java.util.Map.Entry[String, Integer],
+                           b: java.util.Map.Entry[String, Integer]): Int = {
+        val byCount = java.lang.Integer.compare(b.getValue, a.getValue)
+        if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+      }
+    }
+
+  /** Ranked profile: top-K grams by (count desc, gram asc), rank = index+1.
+    * Selection is a bounded worst-first heap (m·log K) instead of a full
+    * sort (m·log m) — identical output because (count desc, gram asc) is a
+    * strict total order over the map's distinct keys.
+    */
   def profile(text: String, topK: Int): Array[String] = {
     val m = grams(text)
-    val entries = new java.util.ArrayList[java.util.Map.Entry[String, Integer]](m.entrySet())
-    java.util.Collections.sort(entries,
-      new java.util.Comparator[java.util.Map.Entry[String, Integer]] {
-        override def compare(a: java.util.Map.Entry[String, Integer],
-                             b: java.util.Map.Entry[String, Integer]): Int = {
-          val byCount = java.lang.Integer.compare(b.getValue, a.getValue)
-          if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
-        }
-      })
-    val k = math.min(topK, entries.size)
+    val k = math.min(topK, m.size)
+    if (k == 0) return new Array[String](0)
+    val heap = new java.util.PriorityQueue[java.util.Map.Entry[String, Integer]](
+      k + 1, byCountDescGramAsc.reversed())
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (heap.size < k) heap.add(e)
+      else if (byCountDescGramAsc.compare(e, heap.peek()) < 0) {
+        heap.poll(); heap.add(e)
+      }
+    }
     val out = new Array[String](k)
-    var i = 0
-    while (i < k) { out(i) = entries.get(i).getKey; i += 1 }
+    var i = k - 1
+    while (i >= 0) { out(i) = heap.poll().getKey; i -= 1 }
     out
   }
 
@@ -129,6 +144,84 @@ object CtKernel {
     }
     if (bestHits < MinProfileHits) "un" else bestLang
   }
+
+  /** Inverted profile index: ONE map over the union of all profile grams,
+    * each entry carrying its (language, rank) postings packed as
+    * `langIdx << RankBits | rank`. [[classify]] probes |langs| maps per
+    * doc-profile gram (37 × 300 = 11k probes/doc for the seed model);
+    * [[classifyIndexed]] probes this map once per gram and turns each
+    * posting into two array adds — same integer arithmetic, same
+    * first-strict-minimum tie-break, bit-identical prediction
+    * (differential-tested in LangIdSpec).
+    */
+  final class RankIndex(profiles: Seq[(String, Seq[String])], val topK: Int) {
+    /** language codes ascending — posting langIdx points here. */
+    val langs: Array[String] = profiles.map(_._1).sorted.toArray
+    require(langs.length.toLong << RankIndex.RankBits <= Int.MaxValue,
+      s"${langs.length} languages exceed packed-lang range")
+    val postings: java.util.HashMap[String, Array[Int]] = {
+      val tmp = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+      profiles.sortBy(_._1).zipWithIndex.foreach { case ((_, gs), li) =>
+        require(gs.size < (1 << RankIndex.RankBits),
+          s"profile of ${gs.size} grams exceeds packed-rank range")
+        val seen = new java.util.HashSet[String]()
+        // ALL profile grams rank, even past topK — rankMap's contract
+        gs.zipWithIndex.foreach { case (g, i) =>
+          // first occurrence wins, like rankMap's containsKey guard
+          if (seen.add(g)) {
+            var l = tmp.get(g)
+            if (l == null) { l = new java.util.ArrayList[Integer](4); tmp.put(g, l) }
+            l.add((li << RankIndex.RankBits) | (i + 1))
+          }
+        }
+      }
+      val m = new java.util.HashMap[String, Array[Int]](tmp.size() * 2)
+      tmp.forEach { (g, l) =>
+        val a = new Array[Int](l.size())
+        var i = 0
+        while (i < a.length) { a(i) = l.get(i).intValue(); i += 1 }
+        m.put(g, a)
+      }
+      m
+    }
+  }
+  object RankIndex { val RankBits = 12 }
+
+  /** [[classify]] against a [[RankIndex]] — identical output, one map
+    * probe per doc gram instead of one per (doc gram, language).
+    */
+  def classifyIndexed(text: String, idx: RankIndex): String = {
+    val topK = idx.topK
+    val dp = profile(text, topK)
+    val nL = idx.langs.length
+    if (dp.isEmpty || nL == 0) return "un"
+    // every (gram, lang) pair starts at the miss penalty topK; a posting
+    // retracts it and adds the out-of-place distance instead
+    val d = new Array[Long](nL)
+    java.util.Arrays.fill(d, dp.length.toLong * topK)
+    val hits = new Array[Int](nL)
+    var i = 0
+    while (i < dp.length) {
+      val arr = idx.postings.get(dp(i))
+      if (arr != null) {
+        val docRank = (i + 1).toLong
+        var j = 0
+        while (j < arr.length) {
+          val p = arr(j)
+          val li = p >>> RankIndex.RankBits
+          val r = (p & ((1 << RankIndex.RankBits) - 1)).toLong
+          d(li) += math.abs(docRank - r) - topK
+          hits(li) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var li = 1
+    while (li < nL) { if (d(li) < d(best)) best = li; li += 1 }
+    if (hits(best) < MinProfileHits) "un" else idx.langs(best)
+  }
 }
 
 /** string → predicted language code under profiles shipped inside the
@@ -141,8 +234,8 @@ case class CtLangId(child: Expression,
                     topK: Int = CtKernel.DefaultTopK)
     extends UnaryExpression {
 
-  @transient private lazy val ranks: Array[(String, java.util.HashMap[String, Integer])] =
-    profiles.sortBy(_._1).map { case (lang, gs) => (lang, CtKernel.rankMap(gs)) }.toArray
+  @transient private lazy val index: CtKernel.RankIndex =
+    new CtKernel.RankIndex(profiles, topK)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -153,7 +246,7 @@ case class CtLangId(child: Expression,
   override def prettyName: String = "graft_ct_langid"
 
   def detect(s: UTF8String): UTF8String =
-    UTF8String.fromString(CtKernel.classify(s.toString, ranks, topK))
+    UTF8String.fromString(CtKernel.classifyIndexed(s.toString, index))
 
   protected override def nullSafeEval(input: Any): Any =
     detect(input.asInstanceOf[UTF8String])

@@ -82,18 +82,23 @@ object LangId {
                   topK: Int = CtKernel.DefaultTopK): Column =
     Bridge.column(CtLangId(Bridge.expression(text), profiles, topK))
 
-  /** (label, predicted, count) confusion counts over a labeled corpus. */
+  /** (label, predicted, count) confusion counts over a labeled corpus.
+    * The classifier is ~100µs/doc of per-row CPU, so a small single-file
+    * scan (one input partition) would serialize it — fan out first
+    * (no-op on real multi-split corpora).
+    */
   def confusion(df: DataFrame, textCol: String, labelCol: String,
                 profiles: Seq[(String, Seq[String])],
                 topK: Int = CtKernel.DefaultTopK): DataFrame =
-    df.select(col(labelCol).as("lang"),
-        langIdModel(col(textCol), profiles, topK).as("pred"))
+    graft.Par.fanOut(df.select(col(labelCol).as("lang"), col(textCol)))
+      .select(col("lang"), langIdModel(col(textCol), profiles, topK).as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
 
   /** Predicted-language histogram (the P6 shape, model path). */
   def langIdModelCounts(df: DataFrame, textCol: String,
                         profiles: Seq[(String, Seq[String])],
                         topK: Int = CtKernel.DefaultTopK): DataFrame =
-    df.select(langIdModel(col(textCol), profiles, topK).as("pred"))
+    graft.Par.fanOut(df.select(col(textCol)))
+      .select(langIdModel(col(textCol), profiles, topK).as("pred"))
       .groupBy("pred").agg(count(lit(1)).as("cnt"))
 }

@@ -42,11 +42,14 @@ object ProfanityModel {
   }
 
   /** (id, features...) frame over an arbitrary unit column (doc text or an
-    * exploded sentence).
+    * exploded sentence). The per-label regex cascade is heavy per-row CPU
+    * (|labels| regexes/doc), so fan a small single-file scan across cores
+    * first — a no-op on real multi-split corpora.
     */
   def featureFrame(df: DataFrame, idCol: String, unit: Column,
                    lists: Map[String, Seq[String]]): DataFrame =
-    df.select(col(idCol) +: features(unit, lists).map { case (n, c) => c.as(n) }: _*)
+    graft.Par.fanOut(df)
+      .select(col(idCol) +: features(unit, lists).map { case (n, c) => c.as(n) }: _*)
 
   /** Fit LR on taxonomy weak labels (label = any list hit). The fit frame
     * is sample-sized by construction: corpora beyond `maxFitRows` are

@@ -89,6 +89,28 @@ class LangIdSpec extends SparkTestBase {
     }
   }
 
+  test("classifyIndexed == classify on held-out, seeds, and adversarial text") {
+    val idx = new CtKernel.RankIndex(profiles, CtKernel.DefaultTopK)
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz àéüखग今天اب .'-"
+    val randoms = (1 to 200).map(_ =>
+      (1 to (1 + rng.nextInt(60))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val edges = Seq("", " ", "_", "a", "12345", "გამ")
+    val texts = LangIdHeldOut.samples.map(_._1) ++ LangId.seeds.map(_._2) ++
+      randoms ++ edges
+    texts.foreach { t =>
+      assert(CtKernel.classifyIndexed(t, idx) ===
+        CtKernel.classify(t, ranks, CtKernel.DefaultTopK), s"diverged on '${t.take(40)}'")
+    }
+    // and at a non-default topK (ranks keep grams PAST topK — the
+    // rankMap contract the index must mirror)
+    val small = profiles.sortBy(_._1).map { case (l, gs) => (l, CtKernel.rankMap(gs)) }.toArray
+    val idx50 = new CtKernel.RankIndex(profiles, 50)
+    texts.take(80).foreach { t =>
+      assert(CtKernel.classifyIndexed(t, idx50) === CtKernel.classify(t, small, 50))
+    }
+  }
+
   test("distributed trainProfiles on the seed frame reproduces ctProfiles exactly") {
     import spark.implicits._
     val df = LangId.seeds.toDF("lang", "text")
