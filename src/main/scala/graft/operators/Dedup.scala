@@ -297,11 +297,14 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
-    // eager localCheckpoint rather than persist: truncates the per-round
-    // lineage (plans otherwise nest one level per iteration)
+    // LAZY localCheckpoint rather than eager (or persist): still truncates
+    // the per-round lineage (plans otherwise nest one level per
+    // iteration), but the blocks materialize DURING the checksum action —
+    // one job per round instead of an eager-materialize job plus a
+    // checksum job
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // coalesce: an empty pair list (nothing to cluster) sums to NULL
     var checksum = labels.agg(coalesce(sum("label"), lit(0L)))
       .collect().head.getLong(0)
@@ -312,7 +315,7 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id"))
         .agg(least(min(col("label")), col("u")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = next.agg(coalesce(sum("label"), lit(0L)))
         .collect().head.getLong(0)
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(labels)
@@ -371,10 +374,11 @@ object Dedup {
     val base = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .localCheckpoint(true)
+    // lazy: the checksum action materializes the checkpoint — one job
     var edges = base
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var sig = checksum(edges)
     var it = 0
     var converged = false
@@ -392,7 +396,7 @@ object Dedup {
         .where(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(nbrs2.join(m2, "u").select(col("u"), col("m").as("v")))
-      val next = ss.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      val next = ss.where(col("u") =!= col("v")).distinct().localCheckpoint(false)
       val nextSig = checksum(next)
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(edges)
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(afterLs)
