@@ -50,6 +50,16 @@ import graft.sources.Corpus
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
   *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
   *     [--stratum-col C] [--default-fraction F]
+  *   runMain graft.Cli ingest DROP_PATH... --follow STATE_DIR
+  *     [--quality gopher|fineweb|none]    // quality gate (default gopher)
+  *     [--bench PATH [--threshold J]]     // decontamination (exact; J = fuzzy)
+  *     [--table T [--buckets B]]          // also upsert an inverted index
+  *                        // the COMPOSED incremental pipeline: each
+  *                        // invocation quality-gates, dedups (vs durable
+  *                        // hash state), decontaminates and indexes ONLY
+  *                        // shards that arrived since the last one; the
+  *                        // state dir accumulates the clean corpus under
+  *                        // data/batch-* (crash-safe, replay-convergent)
   *
   * Counts are EXACT by default (Spark's distributed exact aggregation
   * replaces the shared-memory sketch); `topk --approx` restores the
@@ -94,8 +104,91 @@ object Cli {
       println(s"""{"tokens":$toks,"string":"${jsonEscape(s)}","count":$c,"rank":${i + 1}}""")
     }
 
+  // ---- drop-directory state helpers (index --follow, ingest --follow) ----
+
+  /** Expand globs/dirs to FILE paths, each qualified against ITS OWN
+    * filesystem (file:// and s3:// shards may mix, and neither need match
+    * fs.defaultFS) — manifest entries built from these compare stably
+    * across invocations.
+    */
+  private def expandShardPaths(hconf: org.apache.hadoop.conf.Configuration,
+                               paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val pfs = hp.getFileSystem(hconf)
+      val glob = pfs.globStatus(hp)
+      if (glob == null) Seq.empty[String]
+      else glob.toSeq.flatMap { st =>
+        if (st.isDirectory)
+          pfs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
+        else Seq(st.getPath)
+      }.map(f => pfs.makeQualified(f).toString)
+    }.sorted
+
+  /** Lines of a small state file (manifest, pin), or None if absent. */
+  private def readStateLines(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Option[Seq[String]] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList)
+      finally in.close()
+    }
+
+  private def writeStateFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val os = fs.create(p, true)
+    try os.write(content.getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Rewrite `stateDir/manifest` atomically (tmp + rename). */
+  private def extendManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             stateDir: String, entries: Seq[String]): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(stateDir, "manifest")
+    val tmpM = new org.apache.hadoop.fs.Path(stateDir, "manifest.__tmp")
+    writeStateFile(fs, tmpM, entries.sorted.mkString("\n") + "\n")
+    fs.delete(manifest, false)
+    if (!fs.rename(tmpM, manifest)) sys.error(
+      s"manifest rename failed at $manifest")
+  }
+
+  /** Heal index-table crash state BEFORE deciding whether an index exists:
+    * after a crash mid-swap plus a JVM restart, the live postings sit
+    * under the __compacting/__old warehouse dirs with no catalog entry,
+    * and treating that as "first run" would overwrite the table. Returns
+    * whether a live index exists after recovery.
+    */
+  private def healIndexTable(spark: SparkSession, t: String, buckets: Int): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    def dirExists(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(warehouse, name)
+      p.getFileSystem(hconf).exists(p)
+    }
+    // Try: a half-written CTAS dir has no readable footers — callers keep
+    // their own refuse-to-overwrite guards
+    def reRegister(name: String): Unit =
+      if (!spark.catalog.tableExists(name) && dirExists(name))
+        scala.util.Try(
+          search.InvertedIndex.registerIndex(spark, name, buckets))
+    reRegister(t)
+    if (!spark.catalog.tableExists(t)) {
+      reRegister(t + "__old")
+      // __old's survival proves the staging write COMPLETED (the
+      // live→__old rename only runs after writeIndex returned), so the
+      // staging dir is safe to promote; without that proof it may be a
+      // half-written CTAS and recovery rolls back to __old
+      if (spark.catalog.tableExists(t + "__old") &&
+          dirExists(t + "__compacting"))
+        reRegister(t + "__compacting")
+      search.InvertedIndex.recoverCompaction(spark, t)
+    }
+    spark.catalog.tableExists(t)
+  }
+
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate> PATH... [flags]")
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate|ingest> PATH... [flags]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -485,65 +578,19 @@ object Cli {
           val t = table.getOrElse(sys.error("index --follow needs --table"))
           val buckets = intFlag("--buckets", 64)
           val hconf = spark.sparkContext.hadoopConfiguration
-          // resolve every path against ITS OWN filesystem (file:// and
-          // s3:// shards may mix, and neither need match fs.defaultFS);
-          // manifest entries are qualified the same way so they compare
-          // stably across invocations
-          val all: Seq[String] = a.paths.flatMap { p =>
-            val hp = new org.apache.hadoop.fs.Path(p)
-            val pfs = hp.getFileSystem(hconf)
-            val glob = pfs.globStatus(hp)
-            if (glob == null) Seq.empty[String]
-            else glob.toSeq.flatMap { st =>
-              if (st.isDirectory)
-                pfs.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
-              else Seq(st.getPath)
-            }.map(f => pfs.makeQualified(f).toString)
-          }.sorted
+          val all = expandShardPaths(hconf, a.paths)
           val manifest = new org.apache.hadoop.fs.Path(stateDir, "manifest")
           val fs = manifest.getFileSystem(hconf)
           val seen: Set[String] =
-            if (fs.exists(manifest)) {
-              val in = fs.open(manifest)
-              try scala.io.Source.fromInputStream(in, "UTF-8")
-                .getLines().filter(_.nonEmpty).toSet
-              finally in.close()
-            } else Set.empty
+            readStateLines(fs, manifest).getOrElse(Nil).filter(_.nonEmpty).toSet
           val fresh = all.filterNot(seen)
-          // Heal BEFORE deciding whether an index exists: after a crash
-          // mid-swap plus a JVM restart, the live postings sit under the
-          // __compacting/__old warehouse dirs with no catalog entry, and
-          // treating that as "first run" would overwrite the table while
-          // the manifest still marks its shards as seen — silent loss.
-          val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-          def dirExists(name: String): Boolean = {
-            val p = new org.apache.hadoop.fs.Path(warehouse, name)
-            p.getFileSystem(hconf).exists(p)
-          }
-          // Try: a half-written CTAS dir has no readable footers; the
-          // loud seen.nonEmpty guard below still refuses to overwrite
-          def reRegister(name: String): Unit =
-            if (!spark.catalog.tableExists(name) && dirExists(name))
-              scala.util.Try(
-                search.InvertedIndex.registerIndex(spark, name, buckets))
-          reRegister(t)
-          if (!spark.catalog.tableExists(t)) {
-            reRegister(t + "__old")
-            // __old's survival proves the staging write COMPLETED (the
-            // live→__old rename only runs after writeIndex returned), so
-            // the staging dir is safe to promote; without that proof it
-            // may be a half-written CTAS and recovery rolls back to __old
-            if (spark.catalog.tableExists(t + "__old") &&
-                dirExists(t + "__compacting"))
-              reRegister(t + "__compacting")
-            search.InvertedIndex.recoverCompaction(spark, t)
-          }
-          val haveIndex = spark.catalog.tableExists(t)
+          val haveIndex = healIndexTable(spark, t, buckets)
           if (!haveIndex && seen.nonEmpty) sys.error(
             s"index --follow: manifest at $stateDir records ${seen.size} " +
               s"ingested shard(s) but no index survives under '$t' (checked " +
-              s"live/__old/__compacting in $warehouse) — refusing to start " +
-              "fresh over a manifest that would skip them; delete the " +
+              "live/__old/__compacting in " +
+              s"${spark.conf.get("spark.sql.warehouse.dir")}) — refusing to " +
+              "start fresh over a manifest that would skip them; delete the " +
               "manifest to re-ingest from scratch")
           if (fresh.isEmpty) System.err.println("index --follow: no new shards")
           else {
@@ -556,12 +603,7 @@ object Cli {
             val allHaveIds = df.where(col("id").isNull).isEmpty
             val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
             val stored: Option[String] =
-              if (fs.exists(modeFile)) {
-                val in = fs.open(modeFile)
-                try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-                  .getLines().next().trim)
-                finally in.close()
-              } else None
+              readStateLines(fs, modeFile).flatMap(_.headOption).map(_.trim)
             val mode = stored.getOrElse(if (allHaveIds) "id" else "path-line")
             if (mode == "id" && !allHaveIds) sys.error(
               s"index --follow: state at $stateDir is keyed by the corpus " +
@@ -577,20 +619,9 @@ object Cli {
               search.InvertedIndex.writeIndex(
                 search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
                 t, buckets, force = true)
-            if (stored.isEmpty) {
-              val os = fs.create(modeFile, true)
-              try os.write((mode + "\n").getBytes("UTF-8"))
-              finally os.close()
-            }
+            if (stored.isEmpty) writeStateFile(fs, modeFile, mode + "\n")
             // extend the manifest atomically (tmp + rename) AFTER the swap
-            val tmpM = new org.apache.hadoop.fs.Path(stateDir, "manifest.__tmp")
-            val os = fs.create(tmpM, true)
-            try os.write(((seen.toSeq ++ fresh).sorted.mkString("\n") + "\n")
-              .getBytes("UTF-8"))
-            finally os.close()
-            fs.delete(manifest, false)
-            if (!fs.rename(tmpM, manifest)) sys.error(
-              s"index --follow: manifest rename failed at $manifest")
+            extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
             System.err.println(
               s"index --follow: ${fresh.size} new shard(s) upserted into $t")
           }
@@ -635,6 +666,185 @@ object Cli {
               search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax)
           }
           runIndexQueries(post)
+        }
+      // extension: the COMPOSED incremental training-data pipeline over a
+      // watched drop directory — quality gate → exact dedup vs durable
+      // hash state → decontamination vs a benchmark → durable gzip-JSONL
+      // batch dir → optional inverted-index upsert, one manifest-driven
+      // batch per invocation. The state dir is self-contained: manifest
+      // (processed shards), pipeline (pinned config — later invocations
+      // must match), hashes (dedup state), data/batch-* (the accumulated
+      // clean corpus), idmode/indextable (index keying pins).
+      //
+      // Crash-safety: the batch dir is keyed by a digest of the shard
+      // set, written overwrite-mode, and gated on _SUCCESS — a replay
+      // recomputes an unfinished batch against UNCHANGED hash state (the
+      // state append derives from the files as written, after they are
+      // durable) and skips recompute once the output is durable, so part
+      // files (and the synthetic index ids derived from their paths) stay
+      // stable across the append/upsert/manifest window. The hash-state
+      // append may repeat on replay — duplicate state keys are harmless
+      // to the anti join. Because data/batch-* retains everything, a lost
+      // index table is REBUILT from the state dir rather than refused.
+      case "ingest" =>
+        val stateDir = flag("--follow").getOrElse(
+          sys.error("ingest needs --follow STATE_DIR (the pipeline's durable state)"))
+        require(flag("--limit").isEmpty && flag("--file-limit").isEmpty,
+          "ingest reads whole shards (no --limit/--file-limit)")
+        val quality = flag("--quality").getOrElse("gopher")
+        require(Set("gopher", "fineweb", "none")(quality),
+          s"--quality gopher|fineweb|none, got '$quality'")
+        val benchPaths = flagAll("--bench")
+        val fuzzyT = flag("--threshold").map(_.toDouble)
+        require(fuzzyT.isEmpty || benchPaths.nonEmpty, "--threshold needs --bench")
+        val table = flag("--table")
+        val buckets = intFlag("--buckets", 64)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val stateP = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = stateP.getFileSystem(hconf)
+        fs.mkdirs(stateP)
+        // pin the pipeline SHAPE on first run: a batch quality-gated or
+        // decontaminated differently from its siblings would silently
+        // poison the accumulated corpus (benchmark CONTENT may evolve —
+        // only the stage composition is pinned; the index table pins
+        // separately, since adding --table later is supported via the
+        // backfill path below)
+        val pinP = new org.apache.hadoop.fs.Path(stateDir, "pipeline")
+        val pinNow = Seq(
+          s"quality=$quality",
+          s"bench=${benchPaths.nonEmpty}",
+          s"threshold=${fuzzyT.map(_.toString).getOrElse("none")}",
+          s"analyzed=$analyzed",
+          s"fixMojibake=$fixMoji",
+          s"tokenizer=${if (uax) "unicode" else "whitespace"}").mkString("\n")
+        readStateLines(fs, pinP).map(_.mkString("\n").trim) match {
+          case Some(prev) if prev != pinNow => sys.error(
+            s"ingest --follow: pipeline config pinned at $pinP does not match " +
+              s"this invocation — delete the pin ONLY if the change is " +
+              s"intentional\npinned:\n$prev\nnow:\n$pinNow")
+          case _ => ()
+        }
+        val manifestP = new org.apache.hadoop.fs.Path(stateDir, "manifest")
+        val seen: Set[String] =
+          readStateLines(fs, manifestP).getOrElse(Nil).filter(_.nonEmpty).toSet
+        val fresh = expandShardPaths(hconf, a.paths).filterNot(seen)
+        if (fresh.isEmpty) System.err.println("ingest: no new shards")
+        else {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(fresh.mkString("\n").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(16)
+          val batchDir = s"$stateDir/data/batch-$digest"
+          val hashState = s"$stateDir/hashes"
+          val durable = fs.exists(
+            new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))
+          if (durable) System.err.println(
+            s"ingest: batch already durable at $batchDir — resuming its " +
+              "state/index/manifest steps")
+          else {
+            // readSecondary/docs-style projections rebuilt over ONLY the
+            // fresh shards
+            val df0 = Corpus.readJsonl(spark, fresh)
+            val df1 = if (fixMoji) df0.withColumn("text",
+              operators.TextQuality.fixMojibake(col("text"))) else df0
+            val dfA = if (analyzed) df1.withColumn("text",
+              graft.functions.TextFunctions.esAnalyzeText(col("text"))) else df1
+            val corpusCols = dfA.columns.toSeq
+            // full-path synthetic row key: stable across replays, no
+            // basename collisions across drop-dir batches. Text-less docs
+            // are dropped in every mode — a training pipeline has no use
+            // for them, and null text would collapse to one hash-state key
+            val keyed = Corpus.withFileLineId(
+              dfA.where(col("text").isNotNull), "__iid", fullPath = true)
+            val gated = quality match {
+              case "none" => keyed
+              case "gopher" => operators.TextQuality.gopherFilter(
+                  keyed, "__iid", "text", passthrough = corpusCols)
+                .where(col("keep"))
+                .select(("__iid" +: corpusCols).map(col): _*)
+              case "fineweb" => operators.TextQuality.fineWebFilter(
+                  keyed, "__iid", "text", passthrough = corpusCols)
+                .where(col("keep"))
+                .select(("__iid" +: corpusCols).map(col): _*)
+            }
+            val deduped = operators.Dedup.dedupIncremental(gated,
+              md5(col("text")), Seq(col("__iid")), hashState)
+            val cleaned =
+              if (benchPaths.isEmpty) deduped
+              else {
+                val bench = readSecondary(benchPaths.map(p => p: String))
+                fuzzyT match {
+                  case Some(t) =>
+                    // benchmark-sized localCheckpoint: the synthetic
+                    // file-line id must not rebuild per consumer
+                    val b = Corpus.withFileLineId(bench, "__bid")
+                      .localCheckpoint(true)
+                    operators.Dedup.decontaminateFuzzy(deduped, b,
+                      "__iid", "__bid", "text", "text", t, uax29 = uax)
+                  case None => operators.Dedup.decontaminate(deduped,
+                    md5(col("text")), bench, md5(col("text")))
+                }
+              }
+            Corpus.writeJsonl(cleaned.select(corpusCols.map(col): _*),
+              batchDir, force = true)
+          }
+          // state append derives from the files AS WRITTEN — crash before
+          // this line leaves state unextended and the replay converges
+          val written = Corpus.readJsonl(spark, Seq(batchDir))
+          if (!written.isEmpty)
+            operators.Dedup.appendHashState(written, md5(col("text")), hashState)
+          table.foreach { t =>
+            val tablePinP = new org.apache.hadoop.fs.Path(stateDir, "indextable")
+            readStateLines(fs, tablePinP).flatMap(_.headOption).map(_.trim)
+              .foreach(pt => require(pt == t,
+                s"ingest state at $stateDir pinned to index table '$pt', got '$t'"))
+            val haveIndex = healIndexTable(spark, t, buckets)
+            // no live index (first --table use, or the table was lost):
+            // build over EVERY durable batch — the state dir retains the
+            // whole clean corpus, so the index is always reconstructible
+            val srcDirs: Seq[String] =
+              if (haveIndex) Seq(batchDir)
+              else {
+                val g = fs.globStatus(
+                  new org.apache.hadoop.fs.Path(s"$stateDir/data", "batch-*"))
+                (if (g == null) Seq(batchDir)
+                 else g.toSeq.filter(st => fs.exists(
+                     new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+                   .map(_.getPath.toString)).distinct
+              }
+            val src = Corpus.readJsonl(spark, srcDirs)
+            val allHaveIds = !src.isEmpty && src.where(col("id").isNull).isEmpty
+            val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
+            val stored = readStateLines(fs, modeFile).flatMap(_.headOption).map(_.trim)
+            val mode = stored.getOrElse(if (allHaveIds) "id" else "path-line")
+            if (mode == "id" && !allHaveIds) sys.error(
+              s"ingest: state at $stateDir is keyed by the corpus `id` field " +
+                "but this batch has docs with null ids — fix the shards or " +
+                "start a new state dir")
+            val (keyedI, idc) =
+              if (mode == "id") (src, "id")
+              else (Corpus.withFileLineId(src, "__id", fullPath = true), "__id")
+            // an all-filtered batch has nothing to index — pins still
+            // advance so a later batch keeps the same keying contract
+            if (!src.isEmpty) {
+              if (haveIndex)
+                search.InvertedIndex.upsertIndex(spark, t, keyedI, idc, "text",
+                  buckets, uax29 = uax)
+              else
+                search.InvertedIndex.writeIndex(
+                  search.InvertedIndex.postings(keyedI, idc, "text", uax29 = uax),
+                  t, buckets, force = true)
+            }
+            // defer the id-mode pin while nothing has been indexed — an
+            // empty first batch must not force path-line on an id corpus
+            if (stored.isEmpty && !src.isEmpty)
+              writeStateFile(fs, modeFile, mode + "\n")
+            writeStateFile(fs, tablePinP, t + "\n")
+          }
+          if (!fs.exists(pinP)) writeStateFile(fs, pinP, pinNow + "\n")
+          extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
+          System.err.println(
+            s"ingest: ${fresh.size} shard(s) → $batchDir" +
+              table.map(t => s", index '$t' updated").getOrElse(""))
         }
       // deterministic sampling family: hash-Bernoulli (--fraction),
       // per-stratum fractions (--mix src=0.5, repeatable), or per-stratum
