@@ -375,7 +375,23 @@ object DedupScaleQueries extends QueryPack {
       TextQuality.gopherFilter(docs(s, dir), "doc_id", "text")
         .select("doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
           "n_stopwords", "keep")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the COMPOSED ingestion batch — quality gate → keep-first exact dedup
+    // → decontamination — exactly the per-batch semantics of CLI
+    // `ingest --follow` (docs surviving all three stages), with every
+    // stage replayed in SQL (docs ≡ 0 mod 97 double as the benchmark)
+    "r_ingest_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gated = TextQuality.gopherFilter(d, "doc_id", "text",
+          passthrough = Seq("text"))
+        .where(col("keep")).select("doc_id", "text")
+      val deduped = graft.operators.Dedup.keepFirst(gated,
+        md5(col("text")), Seq(col("doc_id")))
+      graft.operators.Dedup.decontaminate(deduped, md5(col("text")),
+          d.where(col("doc_id") % 97 === 0), md5(col("text")))
+        .select("doc_id").orderBy("doc_id")
+    })
   )
 
   // ---- repetition-signal oracle fragments (Gopher filters) ----
@@ -453,6 +469,19 @@ object DedupScaleQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "t_repetition" -> repetitionSql,
     "t_gopher_filter" -> gopherSql,
+
+    "r_ingest_pipeline" ->
+      s"""WITH gopher AS (SELECT * FROM ($gopherSql)),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN gopher g ON g.doc_id = d.doc_id WHERE g.keep),
+         |dd AS (SELECT doc_id, text,
+         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         | FROM kept)
+         |SELECT doc_id FROM dd
+         |WHERE rn = 1 AND NOT EXISTS (
+         |  SELECT 1 FROM documents b
+         |  WHERE b.doc_id % 97 = 0 AND md5(b.text) = md5(dd.text))
+         |ORDER BY doc_id""".stripMargin,
 
     // DuckDB cannot express these three (iterative BPE merges, an L-BFGS
     // fit, DEFLATE) — their kernels are golden-tested in ScalaTest and the
