@@ -373,6 +373,39 @@ object StreamOps {
     sig.where(col("keep")).select(cols.map(col): _*)
   }
 
+  /** The COMPOSED streaming ingestion gate — the one-call twin of CLI
+    * `ingest --follow`'s per-batch semantics (and of the batch
+    * `r_ingest_pipeline` oracle): quality gate → exact dedup →
+    * decontamination (exact, or MinHash-fuzzy with `threshold`), one
+    * micro-batch at a time. Text-less docs drop in every mode, matching
+    * the CLI. Stage state: the quality gate and both decontamination
+    * modes are stateless; dedup keeps forever-state unless `watermarkCol`
+    * bounds the horizon — at 100 TB pair it with the durable hash-state
+    * pattern (CLI `ingest`) instead of unbounded stream state.
+    */
+  def ingestStream(docs: DataFrame, idCol: String, textCol: String,
+                   bench: Option[DataFrame] = None,
+                   benchId: String = "id", benchText: String = "text",
+                   threshold: Option[Double] = None,
+                   fineWeb: Boolean = false,
+                   watermarkCol: Option[(String, String)] = None,
+                   uax29: Boolean = false): DataFrame = {
+    val gated = qualityGateStream(docs.where(col(textCol).isNotNull),
+      idCol, textCol, fineWeb)
+    val deduped = dedupStream(gated, textCol, watermarkCol)
+    (bench, threshold) match {
+      case (None, Some(_)) => throw new IllegalArgumentException(
+        "ingestStream: threshold needs a benchmark frame")
+      case (None, None) => deduped
+      case (Some(b), Some(t)) =>
+        decontaminateFuzzyStream(deduped, textCol, b, benchId, benchText,
+          t, uax29 = uax29)
+      case (Some(b), None) =>
+        decontaminateStream(deduped, textCol,
+          b.select(md5(col(benchText)).as("h")))
+    }
+  }
+
   /** Streaming LM quality gate — incremental CCNet: score each arriving
     * document under a STATIC pruned unigram model shipped inside the scan
     * expression (no stream-static join, no aggregation state) and keep

@@ -210,6 +210,50 @@ class StreamingSpec extends SparkTestBase {
     assert(batch === kept)
   }
 
+  test("composed ingestStream matches the batch quality→dedup→decontaminate decision") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    // 60 distinct short words, stopword-rich — passes the Gopher gate
+    def varied(seed: String): String =
+      ("the" +: (1 to 58).map(i => s"$seed$i") :+ "and").mkString(" ")
+    val leak = varied("bench")
+    val nearLeak = varied("bench").replace("bench58", "changed")
+    val bench = Seq((100L, leak)).toDF("bid", "btext")
+    val docs = Seq(
+      (1L, varied("al")),        // clean, survives
+      (2L, "tiny junk"),         // fails the quality gate
+      (3L, varied("al")),        // exact dup of 1 — dedup drops it
+      (4L, leak),                // verbatim benchmark leak
+      (5L, nearLeak),            // near-dup leak (one token differs)
+      (6L, varied("be")))        // clean, survives
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.ingestStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        bench = Some(bench), benchId = "bid", benchText = "btext",
+        threshold = Some(0.5))
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode(OutputMode.Append).start()
+    input.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    val kept = spark.table("ingest_stream").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept === Set(1L, 6L))
+    // the batch composition (r_ingest_pipeline's stages) on the same corpus
+    val d = docs.toDF("doc_id", "text")
+    val gated = graft.operators.TextQuality.gopherFilter(d, "doc_id", "text",
+        passthrough = Seq("text"))
+      .where(col("keep")).select("doc_id", "text")
+    val deduped = graft.operators.Dedup.keepFirst(gated, md5(col("text")),
+      Seq(col("doc_id")))
+    val batch = graft.operators.Dedup.decontaminateFuzzy(deduped, bench,
+        "doc_id", "bid", "text", "btext", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch === kept)
+  }
+
   test("streaming fuzzy decontamination: empty or sub-w benchmark keeps everything") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
