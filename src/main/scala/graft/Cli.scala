@@ -727,7 +727,16 @@ object Cli {
         val manifestP = new org.apache.hadoop.fs.Path(stateDir, "manifest")
         val seen: Set[String] =
           readStateLines(fs, manifestP).getOrElse(Nil).filter(_.nonEmpty).toSet
-        val fresh = expandShardPaths(hconf, a.paths).filterNot(seen)
+        // a drop glob that reaches into the state dir would re-ingest the
+        // pipeline's own output as input (shards are assumed immutable, so
+        // the feedback loop would silently grow the corpus every pass)
+        val statePrefix = fs.makeQualified(stateP).toString.stripSuffix("/") + "/"
+        val expanded = expandShardPaths(hconf, a.paths)
+        require(!expanded.exists(_.startsWith(statePrefix)),
+          s"ingest: drop paths overlap the state dir $stateDir — the " +
+            "pipeline would re-ingest its own output; point --follow " +
+            "somewhere outside the watched glob")
+        val fresh = expanded.filterNot(seen)
         if (fresh.isEmpty) System.err.println("ingest: no new shards")
         else {
           val digest = java.security.MessageDigest.getInstance("MD5")
