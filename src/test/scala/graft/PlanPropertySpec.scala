@@ -33,6 +33,28 @@ class PlanPropertySpec extends SparkTestBase {
     assert(read === Some("text:string"), p)
   }
 
+  test("composed ingest pipeline: quality gate fuses into the scan, one dedup window shuffle, anti-join decontamination") {
+    import graft.operators.TextQuality
+    val gated = TextQuality.gopherFilter(docs, "doc_id", "text",
+        passthrough = Seq("text"))
+      .where(col("keep")).select("doc_id", "text")
+    val deduped = Dedup.keepFirst(gated, md5(col("text")), Seq(col("doc_id")))
+    val out = Dedup.decontaminate(deduped, md5(col("text")),
+      docs.where(col("doc_id") % 97 === 0), md5(col("text")))
+    val p = plan(out.select("doc_id"))
+    // two hash shuffles total, only ONE on the corpus side (the keep-first
+    // window on md5(text)); the other is the benchmark-sized blocklist
+    // distinct, which then broadcasts. The quality gate is a fused scan
+    // filter — no job, no shuffle of its own.
+    assert(shuffles(out.select("doc_id")) === 2, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("graft_repetition"), p) // gate fused into the scan filter
+    // both corpus reads prune to (doc_id, text)
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(reads.forall(_ == "doc_id:bigint,text:string"), p)
+  }
+
   test("decontaminate is an anti join, never a full-corpus shuffle of B") {
     val b = docs.where(col("source") === "src10")
     val a = docs.where(col("source") =!= "src10")
