@@ -134,6 +134,18 @@ object ScaleRehearsal {
       graft.operators.Dedup.keepFirst(docs, md5(col("text")),
         Seq(col("doc_id"))).count()
     }
+    // the composed ingestion batch (CLI ingest --follow semantics, the
+    // r_ingest_pipeline oracle): gate fused into the scan, one corpus
+    // shuffle (keep-first window), broadcast anti decontamination
+    run("ingest_pipeline") {
+      val gated = graft.operators.TextQuality.gopherFilter(docs, "doc_id",
+          "text", passthrough = Seq("text"))
+        .where(col("keep")).select("doc_id", "text")
+      val deduped = graft.operators.Dedup.keepFirst(gated, md5(col("text")),
+        Seq(col("doc_id")))
+      graft.operators.Dedup.decontaminate(deduped, md5(col("text")),
+        docs.where(col("doc_id") % 97 === 0), md5(col("text"))).count()
+    }
     run("corpus_diff_summary") {
       val old = docs.where(col("doc_id") % 11 =!= 0)
       val nw = docs.where(col("doc_id") % 13 =!= 0)
