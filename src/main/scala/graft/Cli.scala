@@ -47,6 +47,11 @@ import graft.sources.Corpus
   *     [--buckets B] [--force]                  // build the IVF index
   *   runMain graft.Cli ann --table T --query-text "..." [--topk K]
   *     [--nprobe N] PATH...                     // semantic search
+  *   runMain graft.Cli ann DROP_PATH... --table T --follow DIR
+  *     [--step N] [--buckets B] [--query-text "..."]
+  *                        // incremental: embed + upsert only NEW shards
+  *                        // into the persisted IVF index (centroids
+  *                        // frozen from the first batch)
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
   *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
   *     [--stratum-col C] [--default-fraction F]
@@ -948,6 +953,66 @@ object Cli {
       case "ann" =>
         val table = flag("--table").getOrElse(sys.error("ann needs --table T"))
         val dim = intFlag("--dim", 64)
+        // --follow DIR: incremental semantic index over a drop directory —
+        // each invocation embeds (feature-hash) ONLY shards that arrived
+        // since the last one and upserts them into the persisted IVF
+        // index (centroids frozen from the first batch; rebuild without
+        // --follow on your refit cadence). Same manifest/id-mode state as
+        // index --follow; --query-text afterwards answers off the index.
+        flag("--follow") match { case Some(stateDir) =>
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val manifestP = new org.apache.hadoop.fs.Path(stateDir, "manifest")
+          val fs = manifestP.getFileSystem(hconf)
+          val seen: Set[String] =
+            readStateLines(fs, manifestP).getOrElse(Nil).filter(_.nonEmpty).toSet
+          val fresh = expandShardPaths(hconf, a.paths).filterNot(seen)
+          val haveIndex = search.AnnIndex.recoverIvfIndex(spark, table)
+          if (!haveIndex && seen.nonEmpty) sys.error(
+            s"ann --follow: manifest at $stateDir records ${seen.size} " +
+              s"embedded shard(s) but no index survives under '$table' — " +
+              "refusing to start fresh over a manifest that would skip " +
+              "them; delete the manifest to re-embed from scratch")
+          if (fresh.isEmpty) System.err.println("ann --follow: no new shards")
+          else {
+            val df = Corpus.readJsonl(spark, fresh)
+            val allHaveIds = df.where(col("id").isNull).isEmpty
+            val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
+            val stored = readStateLines(fs, modeFile).flatMap(_.headOption).map(_.trim)
+            val mode = stored.getOrElse(if (allHaveIds) "id" else "path-line")
+            if (mode == "id" && !allHaveIds) sys.error(
+              s"ann --follow: state at $stateDir is keyed by the corpus `id` " +
+                "field but this batch has docs with null ids — fix the " +
+                "shards or start a new state dir")
+            val (keyed, idc) =
+              if (mode == "id") (df, "id")
+              else (Corpus.withFileLineId(df, "__id", fullPath = true), "__id")
+            val emb = operators.FeatureHash.hashedEmbeddings(keyed, idc,
+              "text", dim, uax29 = uax)
+            if (haveIndex)
+              search.AnnIndex.upsertIvfIndex(spark, table, emb, "id", "emb")
+            else
+              search.AnnIndex.writeIvfIndex(emb, "id", "emb",
+                step = intFlag("--step", 100), table = table,
+                buckets = intFlag("--buckets", 16), force = true,
+                hashedIds = true)
+            if (stored.isEmpty) writeStateFile(fs, modeFile, mode + "\n")
+            extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
+            System.err.println(
+              s"ann --follow: ${fresh.size} new shard(s) embedded into $table")
+          }
+          flag("--query-text").foreach { qt =>
+            import spark.implicits._
+            search.AnnIndex.registerIvfIndex(spark, table)
+            val q = Seq(("__query", foldQuery(qt))).toDF("id", "text")
+            val qEmb = operators.FeatureHash.hashedEmbeddings(q, "id",
+              "text", dim, uax29 = uax)
+            deliver(search.AnnIndex.ivfKnnIndexed(spark, table, qEmb,
+              "id", "emb", k = intFlag("--topk", 10),
+              nprobe = intFlag("--nprobe", 3))
+              .select(col("neighbor_id").as("id"), col("cos"), col("rank")),
+              ranked = false)
+          }
+        case None =>
         flag("--query-text") match {
           case None =>
             val (keyed, idc) =
@@ -976,6 +1041,7 @@ object Cli {
               nprobe = intFlag("--nprobe", 3))
               .select(col("neighbor_id").as("id"), col("cos"), col("rank")),
               ranked = false)
+        }
         }
       // concordance: hits of --phrase in context (--context chars per side)
       case "grep" =>

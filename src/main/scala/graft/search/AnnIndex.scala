@@ -266,6 +266,67 @@ object AnnIndex {
         .write.mode(SaveMode.ErrorIfExists).format("parquet")
         .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(staging))
 
+  /** Idempotent upsert — the ANN mirror of [[InvertedIndex.upsertIndex]]:
+    * assign the incoming vectors against the FROZEN centroids, anti-join
+    * their ids out of the live rows (so replaying a batch whose manifest
+    * extension crashed CONVERGES instead of duplicating), and fold
+    * through the crash-safe swap. Incoming frame is ingest-batch-sized —
+    * it broadcasts; the live side rewrites through the bucketed layout
+    * (the compaction cost an ingest loop pays per invocation — batch the
+    * drops if that rewrite dominates).
+    */
+  def upsertIvfIndex(spark: SparkSession, table: String, vectors: DataFrame,
+                     idCol: String, vecCol: String): Unit = {
+    val buckets = spark.table(s"${table}__meta").head().getAs[Int]("buckets")
+    val appends = assignNew(spark, table, vectors, idCol, vecCol)
+      .localCheckpoint(eager = true)
+    val incoming = appends.select(col("id")).distinct()
+    InvertedIndex.swapTable(spark, table)((live, staging) =>
+      live.join(broadcast(incoming), Seq("id"), "left_anti")
+        .unionByName(appends)
+        .write.mode(SaveMode.ErrorIfExists).format("parquet")
+        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(staging))
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(appends)
+  }
+
+  /** Heal ANN-index crash state across JVM restarts — re-register
+    * stranded side tables, then recover a half-finished swap exactly like
+    * the text index's heal (live absent + __compacting/__old dirs →
+    * finish or roll back the rename). `__meta` anchors the bucket count;
+    * without it nothing is recoverable (it is written once at build and
+    * never swapped). Returns whether a live index exists after recovery.
+    */
+  def recoverIvfIndex(spark: SparkSession, table: String): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    def loc(name: String) = new org.apache.hadoop.fs.Path(warehouse, name)
+    def dirExists(name: String): Boolean =
+      loc(name).getFileSystem(hconf).exists(loc(name))
+    // side tables first (meta carries buckets) — a half-written dir has
+    // no readable footers, hence the Try
+    scala.util.Try(registerIvfIndex(spark, table))
+    if (!spark.catalog.tableExists(s"${table}__meta")) return false
+    val buckets = spark.table(s"${table}__meta").head().getAs[Int]("buckets")
+    def registerBucketed(name: String): Unit =
+      if (!spark.catalog.tableExists(name) && dirExists(name))
+        scala.util.Try {
+          val schema = spark.read.parquet(loc(name).toString).schema.toDDL
+          spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet " +
+            s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
+            s"LOCATION '${loc(name)}'")
+        }
+    if (!spark.catalog.tableExists(table)) {
+      registerBucketed(table + "__old")
+      // __old's survival proves the staging write COMPLETED (the
+      // live→__old rename only runs after the staging CTAS returned)
+      if (spark.catalog.tableExists(table + "__old") &&
+          dirExists(table + "__compacting"))
+        registerBucketed(table + "__compacting")
+      InvertedIndex.recoverCompaction(spark, table)
+    }
+    spark.catalog.tableExists(table)
+  }
+
   // ---- query ----
 
   /** kNN off the saved index: rank the query against the centroid side

@@ -157,6 +157,66 @@ class CliFollowSpec extends SparkTestBase {
     } finally dropAll(t)
   }
 
+  private def annTables(t: String): Seq[String] =
+    Seq(t, s"${t}__centroids", s"${t}__meta", s"${t}__compacting", s"${t}__old")
+
+  private def dropAnn(t: String): Unit =
+    annTables(t).foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS `$n`")
+      val p = warehousePath(n)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
+  test("ann --follow: incremental embed+upsert, replay convergence, frozen centroids") {
+    val t = "cli_ann_follow"
+    val (drop, state) = freshDirs()
+    dropAnn(t)
+    try {
+      // first batch builds the index (centroids frozen from it); step=1 so
+      // the hashed sample can't be empty on a 2-doc corpus
+      writeShard(s"$drop/day1", "data.jsonl",
+        Seq("alpha bravo charlie delta", "echo foxtrot golf hotel"))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--step", "1", "--buckets", "4"))
+      val n1 = spark.table(t).count()
+      assert(n1 === 2L)
+      // second batch upserts; same basename in another subdir must not
+      // collide (full-path synthetic ids)
+      writeShard(s"$drop/day2", "data.jsonl", Seq("india juliett kilo lima"))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--step", "1", "--buckets", "4"))
+      assert(spark.table(t).count() === 3L)
+      // replay after a lost manifest extension converges (no duplicates)
+      Files.delete(Paths.get(state, "manifest"))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--step", "1", "--buckets", "4"))
+      assert(spark.table(t).count() === 3L)
+      // the query half answers off the maintained index
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--query-text", "alpha bravo charlie delta",
+        "--topk", "2"))
+    } finally dropAnn(t)
+  }
+
+  test("ann --follow: manifest outliving the index refuses loudly") {
+    val t = "cli_ann_refuse"
+    val (drop, state) = freshDirs()
+    dropAnn(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo charlie"))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--step", "1", "--buckets", "4"))
+      spark.sql(s"DROP TABLE `$t`") // managed: deletes the warehouse dir
+      writeShard(s"$drop/day2", "b.jsonl", Seq("delta echo foxtrot"))
+      val e = intercept[RuntimeException] {
+        Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+          "--follow", state, "--step", "1", "--buckets", "4"))
+      }
+      assert(e.getMessage.contains("refusing"), e.getMessage)
+    } finally dropAnn(t)
+  }
+
   test("dedup --state: crash replay into the same --out dir converges") {
     val root = Files.createTempDirectory("cli_dedup_state").toString
     writeShard(s"$root/in", "a.jsonl",
