@@ -167,9 +167,15 @@ object Cli {
   private def healIndexTable(spark: SparkSession, t: String, buckets: Int): Boolean = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    def dirExists(name: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(warehouse, name)
-      p.getFileSystem(hconf).exists(p)
+    def path(name: String) = new org.apache.hadoop.fs.Path(warehouse, name)
+    def dirExists(name: String): Boolean =
+      path(name).getFileSystem(hconf).exists(path(name))
+    // _SUCCESS proves the staging CTAS COMPLETED (the committer writes it
+    // last) — without it the dir may be a half-written table and recovery
+    // must roll back to __old instead
+    def isComplete(name: String): Boolean = {
+      val s = new org.apache.hadoop.fs.Path(path(name), "_SUCCESS")
+      s.getFileSystem(hconf).exists(s)
     }
     // Try: a half-written CTAS dir has no readable footers — callers keep
     // their own refuse-to-overwrite guards
@@ -180,15 +186,14 @@ object Cli {
     reRegister(t)
     if (!spark.catalog.tableExists(t)) {
       reRegister(t + "__old")
-      // __old's survival proves the staging write COMPLETED (the
-      // live→__old rename only runs after writeIndex returned), so the
-      // staging dir is safe to promote; without that proof it may be a
-      // half-written CTAS and recovery rolls back to __old
-      if (spark.catalog.tableExists(t + "__old") &&
-          dirExists(t + "__compacting"))
+      if (dirExists(t + "__compacting") && isComplete(t + "__compacting"))
         reRegister(t + "__compacting")
       search.InvertedIndex.recoverCompaction(spark, t)
     }
+    // a table healed from a debris-named dir (__old/__compacting) must be
+    // moved HOME — swapTable clears those names as debris on the next
+    // upsert, which would delete the healed table's data out from under it
+    search.InvertedIndex.normalizeTableLocation(spark, t)
     spark.catalog.tableExists(t)
   }
 

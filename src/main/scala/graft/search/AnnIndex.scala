@@ -302,10 +302,25 @@ object AnnIndex {
     def loc(name: String) = new org.apache.hadoop.fs.Path(warehouse, name)
     def dirExists(name: String): Boolean =
       loc(name).getFileSystem(hconf).exists(loc(name))
-    // side tables first (meta carries buckets) — a half-written dir has
-    // no readable footers, hence the Try
-    scala.util.Try(registerIvfIndex(spark, table))
+    def isComplete(name: String): Boolean = {
+      val s = new org.apache.hadoop.fs.Path(loc(name), "_SUCCESS")
+      s.getFileSystem(hconf).exists(s)
+    }
+    // registerIvfIndex throws at the (absent) live-table read BEFORE
+    // reaching the later side tables, so register each side table
+    // independently — the heal below needs __centroids regardless of the
+    // main table's state (a half-written dir has no footers, hence Try)
+    def registerPlain(name: String): Unit =
+      if (!spark.catalog.tableExists(name) && dirExists(name))
+        scala.util.Try {
+          val schema = spark.read.parquet(loc(name).toString).schema.toDDL
+          spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet " +
+            s"LOCATION '${loc(name)}'")
+        }
+    registerPlain(s"${table}__meta")
     if (!spark.catalog.tableExists(s"${table}__meta")) return false
+    registerPlain(s"${table}__centroids")
+    registerPlain(s"${table}__codebook")
     val buckets = spark.table(s"${table}__meta").head().getAs[Int]("buckets")
     def registerBucketed(name: String): Unit =
       if (!spark.catalog.tableExists(name) && dirExists(name))
@@ -315,15 +330,19 @@ object AnnIndex {
             s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
             s"LOCATION '${loc(name)}'")
         }
+    registerBucketed(table)
     if (!spark.catalog.tableExists(table)) {
       registerBucketed(table + "__old")
-      // __old's survival proves the staging write COMPLETED (the
-      // live→__old rename only runs after the staging CTAS returned)
-      if (spark.catalog.tableExists(table + "__old") &&
-          dirExists(table + "__compacting"))
+      // _SUCCESS proves the staging CTAS completed — without it the dir
+      // may be half-written and recovery must roll back to __old
+      if (dirExists(table + "__compacting") &&
+          isComplete(table + "__compacting"))
         registerBucketed(table + "__compacting")
       InvertedIndex.recoverCompaction(spark, table)
     }
+    // a table healed from a debris-named dir must be moved home before
+    // the next swap clears that name (see normalizeTableLocation)
+    InvertedIndex.normalizeTableLocation(spark, table)
     spark.catalog.tableExists(table)
   }
 

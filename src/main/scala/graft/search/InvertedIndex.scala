@@ -245,6 +245,41 @@ object InvertedIndex {
     deleteIfUncataloged(spark, backup)
   }
 
+  /** Re-home a healed EXTERNAL table whose data sits in a swap-debris
+    * directory (`warehouse/<t>__old` or `warehouse/<t>__compacting`,
+    * where cross-JVM recovery re-registers it): [[swapTable]] treats
+    * those NAMES as clearable debris, so a healed table left there would
+    * have its data deleted by the very next upsert. Moves the files to
+    * `warehouse/<t>` and re-creates the catalog entry with the original
+    * schema and bucket spec. No-op when the location is already
+    * canonical. Callers run this at heal time, before any reader exists.
+    */
+  private[graft] def normalizeTableLocation(spark: SparkSession, table: String): Unit = {
+    if (!spark.catalog.tableExists(table)) return
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val canonicalP = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = canonicalP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.makeQualified(canonicalP).toUri == meta.location) return
+    val srcP = new org.apache.hadoop.fs.Path(meta.location)
+    spark.sql(s"DROP TABLE `$table`") // external: files stay at srcP
+    // the canonical dir can only be uncataloged debris here — the table
+    // we just dropped was the name's sole claimant and pointed elsewhere
+    if (fs.exists(canonicalP)) fs.delete(canonicalP, true)
+    if (!fs.rename(srcP, canonicalP)) sys.error(
+      s"normalizeTableLocation: could not move $srcP to $canonicalP")
+    val bucketClause = meta.bucketSpec.map { bs =>
+      val cols = bs.bucketColumnNames.map(c => s"`$c`").mkString(", ")
+      val sorted =
+        if (bs.sortColumnNames.isEmpty) ""
+        else s"SORTED BY (${bs.sortColumnNames.map(c => s"`$c`").mkString(", ")}) "
+      s"CLUSTERED BY ($cols) ${sorted}INTO ${bs.numBuckets} BUCKETS "
+    }.getOrElse("")
+    spark.sql(s"CREATE TABLE `$table` (${meta.schema.toDDL}) USING parquet " +
+      s"$bucketClause LOCATION '$canonicalP'")
+  }
+
   /** Delete `warehouse/<name>` iff no catalog entry claims the name — the
     * in-memory catalog is the source of truth, so such a directory is
     * either swap debris from a crashed prior JVM or a superseded external

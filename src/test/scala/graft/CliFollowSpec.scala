@@ -122,6 +122,77 @@ class CliFollowSpec extends SparkTestBase {
     } finally dropAll(t)
   }
 
+  test("follow: heals the __old+__compacting mid-swap window and re-homes the data") {
+    val t = "cli_follow_midswap"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo"))
+      follow(t, drop, state)
+      // simulate: upsert crashed between live→__old and __compacting→live,
+      // then JVM restart. __compacting holds the complete NEW index (here:
+      // a copy of live), __old the previous one; the catalog forgot both.
+      val live = warehousePath(t)
+      val fs = live.getFileSystem(hconf)
+      val aside = new org.apache.hadoop.fs.Path(
+        Files.createTempDirectory("cli_follow_midswap").toString, t)
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, aside, false, hconf)
+      spark.sql(s"DROP TABLE `$t`") // managed: deletes warehouse/<t>
+      org.apache.hadoop.fs.FileUtil.copy(fs, aside, fs,
+        warehousePath(s"${t}__old"), false, hconf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, aside, fs,
+        warehousePath(s"${t}__compacting"), false, hconf)
+      // the recovery must (a) promote the completed staging dir, (b) move
+      // the data HOME so the in-invocation upsert's debris-clearing cannot
+      // delete the healed table out from under itself
+      writeShard(s"$drop/day2", "b.jsonl", Seq("charlie delta"))
+      follow(t, drop, state)
+      assert(hits(t, "alpha bravo") === 1L)
+      assert(hits(t, "charlie delta") === 1L)
+      assert(fs.exists(warehousePath(t)), "healed table not re-homed")
+      // and a THIRD upsert over the normalized table still converges
+      writeShard(s"$drop/day3", "c.jsonl", Seq("echo foxtrot"))
+      follow(t, drop, state)
+      assert(hits(t, "alpha bravo") === 1L)
+      assert(hits(t, "echo foxtrot") === 1L)
+    } finally dropAll(t)
+  }
+
+  test("ann --follow: heals a crashed swap and re-registers the centroid side table") {
+    val t = "cli_ann_midswap"
+    val (drop, state) = freshDirs()
+    dropAnn(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo charlie delta"))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--step", "1", "--buckets", "4"))
+      // simulate a fresh JVM after a crash mid-swap: catalog forgets all
+      // four tables; the live dir moved aside to __old
+      val live = warehousePath(t)
+      val fs = live.getFileSystem(hconf)
+      val aside = new org.apache.hadoop.fs.Path(
+        Files.createTempDirectory("cli_ann_midswap").toString, t)
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, aside, false, hconf)
+      Seq(t, s"${t}__centroids", s"${t}__meta").foreach { n =>
+        val p = warehousePath(n)
+        val asideN = new org.apache.hadoop.fs.Path(aside.getParent, n)
+        if (n != t) org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, asideN, false, hconf)
+        spark.sql(s"DROP TABLE IF EXISTS `$n`")
+        Seq(n).foreach { _ => if (n != t && !fs.exists(p))
+          org.apache.hadoop.fs.FileUtil.copy(fs, asideN, fs, p, false, hconf) }
+      }
+      org.apache.hadoop.fs.FileUtil.copy(fs, aside, fs,
+        warehousePath(s"${t}__old"), false, hconf)
+      // next invocation must recover (incl. __centroids — upsert needs it)
+      writeShard(s"$drop/day2", "b.jsonl", Seq("echo foxtrot golf hotel"))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--step", "1", "--buckets", "4"))
+      assert(spark.table(t).count() === 2L)
+      assert(spark.catalog.tableExists(s"${t}__centroids"))
+      assert(fs.exists(warehousePath(t)), "healed ANN table not re-homed")
+    } finally dropAnn(t)
+  }
+
   test("follow: manifest outliving every index dir refuses loudly") {
     val t = "cli_follow_refuse"
     val (drop, state) = freshDirs()
