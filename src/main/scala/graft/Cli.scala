@@ -147,6 +147,62 @@ object Cli {
     finally os.close()
   }
 
+  /** Index-wide settings pinned in the state dir on first use — batches
+    * processed under drifting flags (tokenizer, analyzer, bucket count,
+    * embedding dim) would silently mix incompatible postings/vectors in
+    * one index. Each entry is (key, explicitly-passed value, default): a
+    * PASSED value must match any pin (loud error otherwise); an omitted
+    * flag adopts the pinned value, so maintenance invocations don't have
+    * to repeat the build dials. Returns the effective settings.
+    */
+  private def pinnedSettings(fs: org.apache.hadoop.fs.FileSystem,
+                             stateDir: String, cmd: String,
+                             entries: Seq[(String, Option[String], String)])
+      : Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "config")
+    val pinMap: Map[String, String] =
+      readStateLines(fs, p).map(_.filter(_.contains('=')).map { l =>
+        val i = l.indexOf('=')
+        l.take(i) -> l.drop(i + 1).trim
+      }.toMap).getOrElse(Map.empty)
+    val eff = entries.map { case (k, passed, default) =>
+      passed.foreach(v => pinMap.get(k).filter(_ != v).foreach(pv =>
+        sys.error(s"$cmd: '$k' pinned to '$pv' at $p but this invocation " +
+          s"passed '$v' — delete the pin ONLY if the change is intentional")))
+      k -> passed.orElse(pinMap.get(k)).getOrElse(default)
+    }
+    if (pinMap.isEmpty) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stateDir))
+      writeStateFile(fs, p,
+        eff.map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n")
+    }
+    eff.toMap
+  }
+
+  /** Read-or-pin the posting id mode ("id" = the corpus's own id field,
+    * "path-line" = the full-path synthetic {md5(path)}-{line} id) for a
+    * drop-directory state dir. The mode is decided on the FIRST non-empty
+    * batch and pinned: withFileLineId keys change meaning if a later
+    * batch suddenly carries corpus ids (or stops), and an upsert's
+    * anti-join would then silently miss or clobber. `allHaveIds` is None
+    * for an empty batch — the decision (and the pin) defers.
+    */
+  private def pinnedIdMode(fs: org.apache.hadoop.fs.FileSystem,
+                           stateDir: String, allHaveIds: Option[Boolean],
+                           cmd: String): String = {
+    val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
+    val stored = readStateLines(fs, modeFile).flatMap(_.headOption).map(_.trim)
+    val mode = stored.getOrElse(
+      if (allHaveIds.contains(true)) "id" else "path-line")
+    if (mode == "id" && allHaveIds.contains(false)) sys.error(
+      s"$cmd: state at $stateDir is keyed by the corpus `id` field but " +
+        "this batch has docs with null ids — fix the shards or start a " +
+        "new state dir")
+    if (stored.isEmpty && allHaveIds.nonEmpty)
+      writeStateFile(fs, modeFile, mode + "\n")
+    mode
+  }
+
   /** Rewrite `stateDir/manifest` atomically (tmp + rename). */
   private def extendManifest(fs: org.apache.hadoop.fs.FileSystem,
                              stateDir: String, entries: Seq[String]): Unit = {
@@ -221,7 +277,11 @@ object Cli {
     def flagAll(n: String): Seq[String] = a.flags.getOrElse(n, Nil)
     def intFlag(n: String, d: Int): Int = flag(n).map(_.toInt).getOrElse(d)
 
-    val readDocs = Corpus.readJsonl(spark, a.paths,
+    // LAZY: the --follow commands (ingest, ann/index --follow) read fresh
+    // shards themselves and must not crash on an empty drop glob — the
+    // routine empty-poll case — just because this shared read resolves
+    // eagerly (spark.read.json throws Path-does-not-exist at construction)
+    lazy val readDocs = Corpus.readJsonl(spark, a.paths,
       perFileLimit = flag("--limit").map(_.toInt),
       fileLimit = flag("--file-limit").map(_.toInt))
     // --fix-mojibake: ftfy-style encoding repair as a projection every
@@ -229,7 +289,7 @@ object Cli {
     // applies); runs FIRST — analysis/normalization would strip the C1
     // evidence the latin-1 flavor needs
     val fixMoji = a.flags.contains("--fix-mojibake")
-    val rawDocs =
+    lazy val rawDocs =
       if (fixMoji) readDocs.withColumn("text",
         graft.operators.TextQuality.fixMojibake(col("text")))
       else readDocs
@@ -237,7 +297,7 @@ object Cli {
     // reference index's write-time analysis) — a projection, so every
     // subcommand inherits it; query strings fold via analyzePhrase below
     val analyzed = a.flags.contains("--analyzed")
-    val docs =
+    lazy val docs =
       if (analyzed) rawDocs.withColumn("text",
         graft.functions.TextFunctions.esAnalyzeText(col("text")))
       else rawDocs
@@ -586,11 +646,21 @@ object Cli {
         if (follow.nonEmpty) {
           val stateDir = follow.get
           val t = table.getOrElse(sys.error("index --follow needs --table"))
-          val buckets = intFlag("--buckets", 64)
           val hconf = spark.sparkContext.hadoopConfiguration
           val all = expandShardPaths(hconf, a.paths)
           val manifest = new org.apache.hadoop.fs.Path(stateDir, "manifest")
           val fs = manifest.getFileSystem(hconf)
+          // text normalization and the bucket count are index-wide: a
+          // batch tokenized differently (or a heal re-registering with
+          // the wrong bucket count — pruning silently breaks) adopts the
+          // pinned values when flags are omitted, refuses when they clash
+          val cfg = pinnedSettings(fs, stateDir, "index --follow", Seq(
+            ("tokenizer", flag("--tokenizer"), "unicode"),
+            ("analyzed", Some(analyzed.toString), "false"),
+            ("fixMojibake", Some(fixMoji.toString), "false"),
+            ("buckets", flag("--buckets"), "64")))
+          val uaxF = cfg("tokenizer") == "unicode"
+          val buckets = cfg("buckets").toInt
           val seen: Set[String] =
             readStateLines(fs, manifest).getOrElse(Nil).filter(_.nonEmpty).toSet
           val fresh = all.filterNot(seen)
@@ -604,32 +674,30 @@ object Cli {
               "manifest to re-ingest from scratch")
           if (fresh.isEmpty) System.err.println("index --follow: no new shards")
           else {
-            // Pin the id mode on first run: withFileLineId keys change
-            // meaning if a later batch suddenly carries corpus ids (or
-            // stops), and upsert's anti-join would then silently miss or
-            // clobber. Synthetic ids hash the FULL shard path — two
-            // drop-dir shards sharing a basename must not collide.
-            val df = Corpus.readJsonl(spark, fresh)
-            val allHaveIds = df.where(col("id").isNull).isEmpty
-            val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
-            val stored: Option[String] =
-              readStateLines(fs, modeFile).flatMap(_.headOption).map(_.trim)
-            val mode = stored.getOrElse(if (allHaveIds) "id" else "path-line")
-            if (mode == "id" && !allHaveIds) sys.error(
-              s"index --follow: state at $stateDir is keyed by the corpus " +
-                "`id` field but this batch has docs with null ids — fix the " +
-                "shards or start a new state dir")
+            // the fresh read gets the SAME text projections (mojibake
+            // repair, ES analysis) as the one-shot build path — under the
+            // pinned values, so every batch normalizes identically.
+            // Synthetic ids hash the FULL shard path — two drop-dir
+            // shards sharing a basename must not collide.
+            val df0 = Corpus.readJsonl(spark, fresh)
+            val df1 = if (cfg("fixMojibake").toBoolean) df0.withColumn("text",
+              operators.TextQuality.fixMojibake(col("text"))) else df0
+            val df = if (cfg("analyzed").toBoolean) df1.withColumn("text",
+              graft.functions.TextFunctions.esAnalyzeText(col("text"))) else df1
+            val empty = df.isEmpty
+            val mode = pinnedIdMode(fs, stateDir,
+              if (empty) None else Some(df.where(col("id").isNull).isEmpty),
+              "index --follow")
             val (keyed, idc) =
               if (mode == "id") (df, "id")
               else (Corpus.withFileLineId(df, "__id", fullPath = true), "__id")
             if (haveIndex)
               search.InvertedIndex.upsertIndex(spark, t, keyed, idc, "text",
-                buckets, uax29 = uax)
-            else
+                buckets, uax29 = uaxF)
+            else if (!empty)
               search.InvertedIndex.writeIndex(
-                search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
+                search.InvertedIndex.postings(keyed, idc, "text", uax29 = uaxF),
                 t, buckets, force = true)
-            if (stored.isEmpty) writeStateFile(fs, modeFile, mode + "\n")
             // extend the manifest atomically (tmp + rename) AFTER the swap
             extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
             System.err.println(
@@ -732,6 +800,10 @@ object Cli {
             s"ingest --follow: pipeline config pinned at $pinP does not match " +
               s"this invocation — delete the pin ONLY if the change is " +
               s"intentional\npinned:\n$prev\nnow:\n$pinNow")
+          // pin BEFORE processing: a crash after the batch lands but
+          // before a late pin write would let a replay under different
+          // flags silently adopt (and re-pin) the new config
+          case None => writeStateFile(fs, pinP, pinNow + "\n")
           case _ => ()
         }
         val manifestP = new org.apache.hadoop.fs.Path(stateDir, "manifest")
@@ -746,13 +818,43 @@ object Cli {
           s"ingest: drop paths overlap the state dir $stateDir — the " +
             "pipeline would re-ingest its own output; point --follow " +
             "somewhere outside the watched glob")
-        val fresh = expanded.filterNot(seen)
+        // two-phase batch claim: the shard set (and its sequence number)
+        // is made durable in `pending` BEFORE processing, so a replay
+        // after ANY crash resumes the SAME batch — without the claim, a
+        // new shard arriving between crash and replay would change the
+        // batch digest, strand the half-finished batch dir, and re-admit
+        // its docs (duplicates) or skip its index step entirely
+        val pendingP = new org.apache.hadoop.fs.Path(stateDir, "pending")
+        val claimed: Option[(Int, Seq[String])] =
+          readStateLines(fs, pendingP).map(_.filter(_.nonEmpty)).flatMap { l =>
+            l.headOption.filter(_.startsWith("seq=")).flatMap { h =>
+              val shards = l.tail
+              // stale claim: the whole batch already manifested (crash
+              // between the manifest extension and the pending delete)
+              if (shards.isEmpty || shards.forall(seen)) { fs.delete(pendingP, false); None }
+              else Some((h.stripPrefix("seq=").toInt, shards))
+            }
+          }
+        val (seq, fresh) = claimed.getOrElse {
+          val g = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stateDir/data", "batch-*"))
+          ((if (g == null) 0 else g.length), expanded.filterNot(seen))
+        }
         if (fresh.isEmpty) System.err.println("ingest: no new shards")
         else {
+          if (claimed.isEmpty) {
+            val tmpP = new org.apache.hadoop.fs.Path(stateDir, "pending.__tmp")
+            writeStateFile(fs, tmpP,
+              (s"seq=$seq" +: fresh).mkString("\n") + "\n")
+            fs.delete(pendingP, false)
+            if (!fs.rename(tmpP, pendingP)) sys.error(
+              s"ingest: pending-claim rename failed at $pendingP")
+          } else System.err.println(
+            s"ingest: resuming claimed batch of ${fresh.size} shard(s)")
           val digest = java.security.MessageDigest.getInstance("MD5")
             .digest(fresh.mkString("\n").getBytes("UTF-8"))
             .map("%02x".format(_)).mkString.take(16)
-          val batchDir = s"$stateDir/data/batch-$digest"
+          val batchDir = f"$stateDir/data/batch-$seq%06d-$digest"
           val hashState = s"$stateDir/hashes"
           val durable = fs.exists(
             new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))
@@ -806,61 +908,80 @@ object Cli {
             Corpus.writeJsonl(cleaned.select(corpusCols.map(col): _*),
               batchDir, force = true)
           }
-          // state append derives from the files AS WRITTEN — crash before
-          // this line leaves state unextended and the replay converges
-          val written = Corpus.readJsonl(spark, Seq(batchDir))
-          if (!written.isEmpty)
+          // ONE read of the gzip batch dir, keyed (the synthetic id must
+          // capture file paths BEFORE any shuffle/checkpoint) and
+          // checkpointed — the hash-state append and the index upsert
+          // reuse the materialized rows instead of re-decompressing the
+          // unsplittable gzip shards per action. The state append derives
+          // from the files AS WRITTEN — a crash before it leaves state
+          // unextended and the replay converges.
+          val written = Corpus.withFileLineId(
+              Corpus.readJsonl(spark, Seq(batchDir)), "__plid", fullPath = true)
+            .localCheckpoint(eager = true)
+          val wEmpty = written.isEmpty
+          if (!wEmpty)
             operators.Dedup.appendHashState(written, md5(col("text")), hashState)
           table.foreach { t =>
             val tablePinP = new org.apache.hadoop.fs.Path(stateDir, "indextable")
-            readStateLines(fs, tablePinP).flatMap(_.headOption).map(_.trim)
-              .foreach(pt => require(pt == t,
-                s"ingest state at $stateDir pinned to index table '$pt', got '$t'"))
+            readStateLines(fs, tablePinP).map(_.filter(_.nonEmpty)).foreach { l =>
+              require(l.headOption.contains(t),
+                s"ingest state at $stateDir pinned to index table " +
+                  s"'${l.headOption.getOrElse("")}', got '$t'")
+              l.lift(1).foreach(b => require(b == s"buckets=$buckets",
+                s"ingest state at $stateDir pinned to $b, got buckets=$buckets"))
+            }
             val haveIndex = healIndexTable(spark, t, buckets)
             // no live index (first --table use, or the table was lost):
             // build over EVERY durable batch — the state dir retains the
             // whole clean corpus, so the index is always reconstructible
-            val srcDirs: Seq[String] =
-              if (haveIndex) Seq(batchDir)
+            val src: DataFrame =
+              if (haveIndex) written
               else {
                 val g = fs.globStatus(
                   new org.apache.hadoop.fs.Path(s"$stateDir/data", "batch-*"))
-                (if (g == null) Seq(batchDir)
-                 else g.toSeq.filter(st => fs.exists(
-                     new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-                   .map(_.getPath.toString)).distinct
+                val dirs = (if (g == null) Seq(batchDir)
+                  else g.toSeq.filter(st => fs.exists(
+                      new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+                    .map(_.getPath.toString)).distinct
+                // batch sequence captured per row BEFORE the id window's
+                // shuffle (input_file_name is lost after an exchange)
+                Corpus.withFileLineId(
+                  Corpus.readJsonl(spark, dirs).withColumn("__seq",
+                    regexp_extract(input_file_name(), "batch-(\\d+)-", 1)
+                      .cast("int")),
+                  "__plid", fullPath = true)
               }
-            val src = Corpus.readJsonl(spark, srcDirs)
-            val allHaveIds = !src.isEmpty && src.where(col("id").isNull).isEmpty
-            val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
-            val stored = readStateLines(fs, modeFile).flatMap(_.headOption).map(_.trim)
-            val mode = stored.getOrElse(if (allHaveIds) "id" else "path-line")
-            if (mode == "id" && !allHaveIds) sys.error(
-              s"ingest: state at $stateDir is keyed by the corpus `id` field " +
-                "but this batch has docs with null ids — fix the shards or " +
-                "start a new state dir")
-            val (keyedI, idc) =
-              if (mode == "id") (src, "id")
-              else (Corpus.withFileLineId(src, "__id", fullPath = true), "__id")
+            val srcEmpty = if (haveIndex) wEmpty else src.isEmpty
+            val mode = pinnedIdMode(fs, stateDir,
+              if (srcEmpty) None
+              else Some(src.where(col("id").isNull).isEmpty), "ingest")
+            // rebuilds in id mode must keep only the LATEST batch's row
+            // per corpus id: an id re-dropped with corrected text passed
+            // exact dedup, and the lost upsert-maintained index held only
+            // the newest postings — the rebuild must agree with it
+            val keyedI =
+              if (mode == "id" && !haveIndex && !srcEmpty)
+                operators.Dedup.keepFirst(src, col("id"),
+                  Seq(col("__seq").desc, col("__plid").desc))
+              else src
+            val idc = if (mode == "id") "id" else "__plid"
             // an all-filtered batch has nothing to index — pins still
             // advance so a later batch keeps the same keying contract
-            if (!src.isEmpty) {
+            if (!srcEmpty) {
               if (haveIndex)
                 search.InvertedIndex.upsertIndex(spark, t, keyedI, idc, "text",
                   buckets, uax29 = uax)
               else
                 search.InvertedIndex.writeIndex(
-                  search.InvertedIndex.postings(keyedI, idc, "text", uax29 = uax),
+                  search.InvertedIndex.postings(
+                    keyedI.drop("__seq"), idc, "text", uax29 = uax),
                   t, buckets, force = true)
             }
-            // defer the id-mode pin while nothing has been indexed — an
-            // empty first batch must not force path-line on an id corpus
-            if (stored.isEmpty && !src.isEmpty)
-              writeStateFile(fs, modeFile, mode + "\n")
-            writeStateFile(fs, tablePinP, t + "\n")
+            writeStateFile(fs, tablePinP, s"$t\nbuckets=$buckets\n")
           }
-          if (!fs.exists(pinP)) writeStateFile(fs, pinP, pinNow + "\n")
           extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
+          fs.delete(pendingP, false) // claim consumed
+          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(written)
           System.err.println(
             s"ingest: ${fresh.size} shard(s) → $batchDir" +
               table.map(t => s", index '$t' updated").getOrElse(""))
@@ -968,6 +1089,20 @@ object Cli {
           val hconf = spark.sparkContext.hadoopConfiguration
           val manifestP = new org.apache.hadoop.fs.Path(stateDir, "manifest")
           val fs = manifestP.getFileSystem(hconf)
+          // the embedding space is index-wide: a batch embedded under a
+          // different tokenizer/dim would silently mix incomparable
+          // vectors (dim mismatches are caught by __meta; tokenization
+          // drift is not). Omitted flags adopt the pinned values, so
+          // maintenance/query invocations don't repeat the build dials.
+          val cfg = pinnedSettings(fs, stateDir, "ann --follow", Seq(
+            ("tokenizer", flag("--tokenizer"), "unicode"),
+            ("analyzed", Some(analyzed.toString), "false"),
+            ("fixMojibake", Some(fixMoji.toString), "false"),
+            ("dim", flag("--dim"), "64"),
+            ("step", flag("--step"), "100"),
+            ("buckets", flag("--buckets"), "16")))
+          val uaxF = cfg("tokenizer") == "unicode"
+          val dimF = cfg("dim").toInt
           val seen: Set[String] =
             readStateLines(fs, manifestP).getOrElse(Nil).filter(_.nonEmpty).toSet
           val fresh = expandShardPaths(hconf, a.paths).filterNot(seen)
@@ -979,28 +1114,29 @@ object Cli {
               "them; delete the manifest to re-embed from scratch")
           if (fresh.isEmpty) System.err.println("ann --follow: no new shards")
           else {
-            val df = Corpus.readJsonl(spark, fresh)
-            val allHaveIds = df.where(col("id").isNull).isEmpty
-            val modeFile = new org.apache.hadoop.fs.Path(stateDir, "idmode")
-            val stored = readStateLines(fs, modeFile).flatMap(_.headOption).map(_.trim)
-            val mode = stored.getOrElse(if (allHaveIds) "id" else "path-line")
-            if (mode == "id" && !allHaveIds) sys.error(
-              s"ann --follow: state at $stateDir is keyed by the corpus `id` " +
-                "field but this batch has docs with null ids — fix the " +
-                "shards or start a new state dir")
+            // same pinned text projections as the indexing tier — every
+            // batch must embed identically-normalized text
+            val df0 = Corpus.readJsonl(spark, fresh)
+            val df1 = if (cfg("fixMojibake").toBoolean) df0.withColumn("text",
+              operators.TextQuality.fixMojibake(col("text"))) else df0
+            val df = if (cfg("analyzed").toBoolean) df1.withColumn("text",
+              graft.functions.TextFunctions.esAnalyzeText(col("text"))) else df1
+            val empty = df.isEmpty
+            val mode = pinnedIdMode(fs, stateDir,
+              if (empty) None else Some(df.where(col("id").isNull).isEmpty),
+              "ann --follow")
             val (keyed, idc) =
               if (mode == "id") (df, "id")
               else (Corpus.withFileLineId(df, "__id", fullPath = true), "__id")
             val emb = operators.FeatureHash.hashedEmbeddings(keyed, idc,
-              "text", dim, uax29 = uax)
+              "text", dimF, uax29 = uaxF)
             if (haveIndex)
               search.AnnIndex.upsertIvfIndex(spark, table, emb, "id", "emb")
-            else
+            else if (!empty)
               search.AnnIndex.writeIvfIndex(emb, "id", "emb",
-                step = intFlag("--step", 100), table = table,
-                buckets = intFlag("--buckets", 16), force = true,
+                step = cfg("step").toInt, table = table,
+                buckets = cfg("buckets").toInt, force = true,
                 hashedIds = true)
-            if (stored.isEmpty) writeStateFile(fs, modeFile, mode + "\n")
             extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
             System.err.println(
               s"ann --follow: ${fresh.size} new shard(s) embedded into $table")
@@ -1010,7 +1146,7 @@ object Cli {
             search.AnnIndex.registerIvfIndex(spark, table)
             val q = Seq(("__query", foldQuery(qt))).toDF("id", "text")
             val qEmb = operators.FeatureHash.hashedEmbeddings(q, "id",
-              "text", dim, uax29 = uax)
+              "text", dimF, uax29 = uaxF)
             deliver(search.AnnIndex.ivfKnnIndexed(spark, table, qEmb,
               "id", "emb", k = intFlag("--topk", 10),
               nprobe = intFlag("--nprobe", 3))

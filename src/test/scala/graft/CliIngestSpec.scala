@@ -20,9 +20,13 @@ class CliIngestSpec extends SparkTestBase {
   private val good2 = varied("be")
   private val junk = "aaa bbb" // fails minWords
 
-  private def writeShard(dir: String, name: String, texts: Seq[String]): Unit = {
+  private def writeShard(dir: String, name: String, texts: Seq[String],
+                         ids: Seq[String] = Nil): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val lines = texts.map(t => s"""{"text":"$t"}""")
+    val lines = texts.zipWithIndex.map { case (t, i) =>
+      val id = if (ids.isEmpty) "" else s""","id":"${ids(i)}""""
+      s"""{"text":"$t"$id}"""
+    }
     Files.write(Paths.get(dir, name),
       (lines.mkString("\n") + "\n").getBytes("UTF-8"))
   }
@@ -83,14 +87,30 @@ class CliIngestSpec extends SparkTestBase {
       "--quality", "none"))
     assert(corpusTexts(state) === Seq(good))
     // simulate the crash window: the batch dir is durable and the hash
-    // state extended, but the manifest extension was lost
+    // state extended, but the manifest extension was lost — in that
+    // window the pending CLAIM (seq + shard set) is still on disk, which
+    // is what pins the replay to the SAME batch even if new shards arrive
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(state, "manifest")), "UTF-8")
     Files.delete(Paths.get(state, "manifest"))
+    Files.write(Paths.get(state, "pending"),
+      ("seq=0\n" + manifest).getBytes("UTF-8"))
+    // a NEW shard arriving before the replay must NOT be absorbed into
+    // the claimed batch (it gets the next invocation)
+    writeShard(s"$drop/d2", "s2.jsonl", Seq(good2))
     Cli.run(spark, Array("ingest", s"$drop/*", "--follow", state,
       "--quality", "none"))
-    // resume path: no duplicate batch dirs, no duplicated docs
+    // resume path: the claimed batch replays (durable — no recompute, no
+    // duplicate dirs); d2 is still unclaimed
     assert(corpusTexts(state) === Seq(good))
     assert(new java.io.File(s"$state/data").listFiles()
       .count(_.getName.startsWith("batch-")) === 1)
+    // next invocation picks up d2 as its own batch
+    Cli.run(spark, Array("ingest", s"$drop/*", "--follow", state,
+      "--quality", "none"))
+    assert(corpusTexts(state) === Seq(good, good2).sorted)
+    assert(new java.io.File(s"$state/data").listFiles()
+      .count(_.getName.startsWith("batch-")) === 2)
   }
 
   test("pipeline config is pinned; a drifting invocation fails loudly") {
@@ -137,6 +157,38 @@ class CliIngestSpec extends SparkTestBase {
       assert(hits(t, "al1 al2") === 1L)
       assert(hits(t, "ga1 ga2") === 1L)
       assert(hits(t, "be1 be2") === 2L)
+    } finally dropTable(t)
+  }
+
+  test("lost-index rebuild keeps only the LATEST batch's row per corpus id") {
+    val t = "cli_ingest_idrebuild"
+    val (drop, state) = freshDirs()
+    dropTable(t)
+    try {
+      // batch 1: id X carries T1
+      writeShard(s"$drop/d1", "a.jsonl", Seq("alpha bravo charlie"),
+        ids = Seq("X"))
+      Cli.run(spark, Array("ingest", s"$drop/*", "--follow", state,
+        "--quality", "none", "--table", t, "--buckets", "4"))
+      // batch 2: the SAME id re-dropped with corrected text (different
+      // text passes exact dedup) — the upsert replaces X's postings
+      writeShard(s"$drop/d2", "b.jsonl", Seq("delta echo foxtrot"),
+        ids = Seq("X"))
+      Cli.run(spark, Array("ingest", s"$drop/*", "--follow", state,
+        "--quality", "none", "--table", t, "--buckets", "4"))
+      assert(hits(t, "alpha bravo") === 0L)
+      assert(hits(t, "delta echo") === 1L)
+      // lose the table: the rebuild from the state dir must AGREE with
+      // the upsert-maintained index — latest batch wins per id, no
+      // doubled tf from the superseded row
+      dropTable(t)
+      writeShard(s"$drop/d3", "c.jsonl", Seq("golf hotel india"),
+        ids = Seq("Y"))
+      Cli.run(spark, Array("ingest", s"$drop/*", "--follow", state,
+        "--quality", "none", "--table", t, "--buckets", "4"))
+      assert(hits(t, "alpha bravo") === 0L)
+      assert(hits(t, "delta echo") === 1L)
+      assert(hits(t, "golf hotel") === 1L)
     } finally dropTable(t)
   }
 
