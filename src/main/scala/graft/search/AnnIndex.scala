@@ -55,11 +55,17 @@ object AnnIndex {
     val centroids = broadcast(spark.table(s"${table}__centroids"))
     val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
     val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-    q.join(centroids)
+    val frame = q.join(centroids)
       .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
-      .localCheckpoint(true)
+    // |queries| × nprobe rows by construction — collect to a
+    // LocalRelation: the probe frame is consumed twice (literal bucket
+    // prune + the candidate join) and must not recompute, and unlike a
+    // localCheckpoint the local rows leak no block-manager state across
+    // the many query calls of a long-lived session
+    val rows = frame.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), frame.schema)
   }
 
   /** The index table pruned to the probed buckets: the bucket ids reach
@@ -103,11 +109,15 @@ object AnnIndex {
                               queries: DataFrame, vecCol: String): Unit =
     if (spark.catalog.tableExists(s"${table}__meta")) {
       val dim = spark.table(s"${table}__meta").head().getAs[Int]("dim")
-      queries.select(size(col(vecCol))).limit(1).collect().foreach { r =>
-        require(r.getInt(0) == dim,
-          s"query embedding dim ${r.getInt(0)} != index dim $dim " +
-            s"(table $table was built over $dim-dimensional vectors)")
-      }
+      // EVERY row checked (query frames are small by contract): a single
+      // mismatched or null vector would dot to null and silently return
+      // arbitrary/empty neighbors for that query
+      val bad = queries
+        .where(col(vecCol).isNull || size(col(vecCol)) =!= dim)
+        .limit(1).count()
+      require(bad == 0,
+        s"query frame contains a null or non-$dim-dimensional embedding " +
+          s"(table $table was built over $dim-dimensional vectors)")
     }
 
   // ---- build ----
@@ -144,19 +154,22 @@ object AnnIndex {
           .select(xxhash64(col("id").cast("string")).as("centroid_id"),
             col("bv").as("cv"))
       ).localCheckpoint(true)
-    val first = cents.limit(1).collect()
-    require(first.nonEmpty,
-      s"writeIvfIndex: step=$step selected ZERO centroids on this corpus " +
-        "— lower step (the hashedIds filter is probabilistic: ~1/step)")
-    val dim = first.head.getSeq[Double](1).length
-    assignUnit(b, cents)
-      .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-      .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
-      .saveAsTable(table)
-    cents.write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${table}__centroids")
-    writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0)
-    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents)
+    // try/finally: the require and the ErrorIfExists write are EXPECTED
+    // failure paths and must not strand the checkpointed centroid blocks
+    try {
+      val first = cents.limit(1).collect()
+      require(first.nonEmpty,
+        s"writeIvfIndex: step=$step selected ZERO centroids on this corpus " +
+          "— lower step (the hashedIds filter is probabilistic: ~1/step)")
+      val dim = first.head.getSeq[Double](1).length
+      assignUnit(b, cents)
+        .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+        .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
+        .saveAsTable(table)
+      cents.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${table}__centroids")
+      writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0)
+    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents)
   }
 
   /** The memory-side completion of the persisted tier — IVF-PQ as tables
@@ -181,7 +194,11 @@ object AnnIndex {
       val codebook = Similarity.codebookFromUnit(
         assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
       Similarity.pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
-        .select(col(idCol).as("id"), col("bucket"), col("codes"))
+        // LONG bucket: prunedIndex probes with long literals, and an
+        // int-typed column would be wrapped in a Cast that silently
+        // defeats file-bucket pruning (int-id corpora assign int buckets)
+        .select(col(idCol).as("id"), col("bucket").cast("long").as("bucket"),
+          col("codes"))
         .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
         .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
         .saveAsTable(table)
@@ -260,11 +277,21 @@ object AnnIndex {
     * untouched (appends were assigned against it).
     */
   def compactIvfIndex(spark: SparkSession, table: String, appends: DataFrame,
-                      buckets: Int): Unit =
+                      buckets: Int = -1): Unit = {
+    // the bucket count is the INDEX's property (__meta), not a caller
+    // dial: a staging table written with a different count than recovery
+    // re-registers from __meta would silently mis-prune every later read.
+    // An explicitly passed value must agree.
+    val metaBuckets =
+      spark.table(s"${table}__meta").head().getAs[Int]("buckets")
+    require(buckets == -1 || buckets == metaBuckets,
+      s"compactIvfIndex: buckets=$buckets but $table was built with " +
+        s"$metaBuckets (recorded in ${table}__meta) — omit the parameter")
     InvertedIndex.swapTable(spark, table)((live, staging) =>
       live.unionByName(appends)
         .write.mode(SaveMode.ErrorIfExists).format("parquet")
-        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(staging))
+        .bucketBy(metaBuckets, "bucket").sortBy("bucket").saveAsTable(staging))
+  }
 
   /** Idempotent upsert — the ANN mirror of [[InvertedIndex.upsertIndex]]:
     * assign the incoming vectors against the FROZEN centroids, anti-join
@@ -354,13 +381,24 @@ object AnnIndex {
     * Output matches [[Similarity.ivfKnn]] row for row on the same
     * parameters (differential-tested): (query_id, neighbor_id, cos, rank).
     */
+  /** Self-match exclusion ONLY when the id types agree — comparing a
+    * string query id against a numeric index id coerces to null, and a
+    * null predicate would silently drop EVERY candidate for every query.
+    * Differently-typed ids cannot name the same row, so skipping the
+    * filter is exact.
+    */
+  private def excludeSelf(joined: DataFrame, probes: DataFrame,
+                          idx: DataFrame): DataFrame =
+    if (probes.schema("query_id").dataType == idx.schema("id").dataType)
+      joined.where(col("query_id") =!= col("id"))
+    else joined
+
   def ivfKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
                     nprobe: Int = 3): DataFrame = {
     val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
     val idx = prunedIndex(spark, table, probes)
-    topK(broadcast(probes).join(idx, Seq("bucket"))
-      .where(col("query_id") =!= col("id"))
+    topK(excludeSelf(broadcast(probes).join(idx, Seq("bucket")), probes, idx)
       .select(col("query_id"), col("id"),
         Similarity.dot(col("qv"), col("bv")).as("cos")), k)
   }
@@ -389,8 +427,7 @@ object AnnIndex {
     val decoded = flatten(zip_with(col("codes"),
       sequence(lit(0), lit(mSub - 1)),
       (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
-    topK(broadcast(probes).join(idx, Seq("bucket"))
-      .where(col("query_id") =!= col("id"))
+    topK(excludeSelf(broadcast(probes).join(idx, Seq("bucket")), probes, idx)
       .select(col("query_id"), col("id"),
         Similarity.dot(col("qv"), decoded).as("cos")), k)
   }

@@ -195,8 +195,18 @@ object InvertedIndex {
   def upsertIndex(spark: SparkSession, table: String, docs: DataFrame,
                   idCol: String, contentCol: String, buckets: Int,
                   uax29: Boolean = true): Unit = {
-    val incoming = docs.select(col(idCol).as("doc_id")).distinct()
-    val fresh = postings(docs, idCol, contentCol, uax29)
+    // ONE row per doc id: duplicate ids inside a batch (a shard
+    // re-delivered under a new path, a dup inside one file) would emit
+    // doubled (term, doc_id) postings — phraseCandidates' slot-count
+    // check then silently rejects the doc and df/tf double-count.
+    // Last-write-wins is ES's upsert semantics; with no arrival order on
+    // a DataFrame the winner is the deterministic max-md5(content) row.
+    val one = graft.operators.Dedup.keepFirst(docs, col(idCol),
+      Seq(md5(col(contentCol)).desc, lit(1)))
+    // ingest-batch-sized by contract — broadcast so the anti join never
+    // shuffles the corpus-scale live postings on doc_id
+    val incoming = broadcast(one.select(col(idCol).as("doc_id")).distinct())
+    val fresh = postings(one, idCol, contentCol, uax29)
     replaceIndex(spark, table, buckets)(
       live => live.join(incoming, Seq("doc_id"), "left_anti")
         .select(live.columns.map(col): _*).unionByName(fresh))
@@ -658,8 +668,12 @@ object InvertedIndex {
 
   /** [[corpusNorms]] recovered from an existing postings table (one
     * index-wide aggregate) — for indices built before norms were persisted
-    * alongside them. Identical row: n_docs = distinct docs, avgdl = mean
-    * dl, total_tf = Σtf.
+    * alongside them. Identical row — n_docs = distinct docs, avgdl = mean
+    * dl, total_tf = Σtf — EXCEPT on corpora containing zero-token
+    * documents: such docs emit no postings rows and are invisible here,
+    * so n_docs undercounts and avgdl overcounts relative to the
+    * build-time scan, shifting BM25's idf/length normalization slightly.
+    * Prefer the persisted norms row whenever the index has one.
     */
   def corpusNormsFromPostings(postings: DataFrame): DataFrame =
     postings.groupBy("doc_id").agg(first("dl").as("dl"), sum("tf").as("tf"))
@@ -701,6 +715,21 @@ object InvertedIndex {
       .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 
+  /** Empty (doc_id, score) frame whose doc_id matches the POSTINGS' id
+    * type — a hardcoded Long would diverge from the non-empty result's
+    * schema on string-keyed corpora (the CLI's {file}-{line} ids), and
+    * break any caller unioning results across queries.
+    */
+  private def emptyScores(postings: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          postings.schema("doc_id").dataType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** ES `more_like_this` off the index: find the documents most similar to
     * document `docId`, entirely from postings + in-index norms. Lucene's
     * MLT rewrite, Spark-shaped: (1) the source doc's term profile (one
@@ -726,8 +755,7 @@ object InvertedIndex {
     val src = postings.where(col("doc_id") === lit(docId))
       .select(col("term"), col("tf")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (src.isEmpty)
-      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    if (src.isEmpty) return emptyScores(postings)
     val dfByTerm = postings.where(col("term").isin(src.keys.toSeq: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -761,14 +789,12 @@ object InvertedIndex {
       if (uax29) graft.functions.Tokenizer.tokenize(likeText).toSeq
       else likeText.split(" ").toSeq.filter(_.nonEmpty)
     val src = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
-    if (src.isEmpty)
-      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    if (src.isEmpty) return emptyScores(postings)
     val dfByTerm = postings.where(col("term").isin(src.keys.toSeq: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = src.filter { case (t, _) => dfByTerm.contains(t) }
-    if (present.isEmpty)
-      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    if (present.isEmpty) return emptyScores(postings)
     val nDocs = norms.select(col("n_docs").cast("double")).head().getDouble(0)
     val terms = present.toSeq
       .map { case (t, qtf) => (t, qtf * math.log(nDocs / dfByTerm(t))) }

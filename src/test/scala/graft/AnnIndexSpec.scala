@@ -45,6 +45,38 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__centroids", s"${table}__meta")
   }
 
+  test("string-keyed queries against a numeric-id index return candidates (type-safe self-exclusion)") {
+    import spark.implicits._
+    val table = "annidx_strq"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      // the CLI's semantic-search shape: a one-row query frame keyed
+      // "__query" (string) against an index keyed by long vec_id — a
+      // direct =!= comparison would coerce to null and drop EVERYTHING
+      val qVec: Seq[Double] = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Any](0)
+        .map(_.asInstanceOf[Number].doubleValue()).toVector
+      val q = Seq(("__query", qVec)).toDF("id", "embedding")
+      val res = AnnIndex.ivfKnnIndexed(spark, table, q, "id", "embedding",
+        k = 5, nprobe = 3)
+      assert(res.count() === 5L)
+      // and vec 0 itself IS findable (no self row to exclude here)
+      assert(res.where(col("neighbor_id") === 0).count() === 1L)
+      // mixed-dimension query frames fail fast, not silently
+      val bad = Seq(("q1", qVec), ("q2", qVec.take(3)))
+        .toDF("id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        AnnIndex.ivfKnnIndexed(spark, table, bad, "id", "embedding",
+          k = 5, nprobe = 3)
+      }
+      assert(e.getMessage.contains("dimensional"))
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
+  }
+
   test("append + compact == full rebuild (continuous maintenance roundtrip)") {
     val table = "annidx_app"
     graft.queries.Tables.reset(spark, table, s"${table}__centroids",

@@ -679,6 +679,43 @@ class InvertedIndexSpec extends SparkTestBase {
     } finally dropAll()
   }
 
+  test("upsertIndex: duplicate doc ids inside ONE batch collapse to one row per doc") {
+    val table = "ii_spec_upsert_dup"
+    def dropAll(): Unit = Seq(table, s"${table}__compacting", s"${table}__old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    InvertedIndex.writeIndex(
+      InvertedIndex.postings(docs.where(col("doc_id") === 1),
+        "doc_id", "text", uax29 = false), table, buckets = 8, force = true)
+    try {
+      // a re-delivered shard: id 9 appears TWICE in one batch — doubled
+      // (term, doc) postings would make the slot-count phrase check
+      // silently reject the doc and double df/tf
+      val batch = Seq((9L, "qq rr qq"), (9L, "qq rr qq"), (10L, "rr ss"))
+        .toDF("doc_id", "text")
+      InvertedIndex.upsertIndex(spark, table, batch, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      val idx = InvertedIndex.readIndex(spark, table)
+      assert(idx.where(col("doc_id") === 9 && col("term") === "qq").count() === 1L)
+      assert(idx.where(col("doc_id") === 9 && col("term") === "qq")
+        .head().getAs[Long]("tf") === 2L)
+      assert(InvertedIndex.phraseHits(idx, Seq("qq rr"), uax29 = false)
+        .head().getAs[Long]("n_docs") === 1L)
+      // conflicting texts under one id: deterministic winner (max md5)
+      val conflict = Seq((11L, "aa bb"), (11L, "cc dd")).toDF("doc_id", "text")
+      InvertedIndex.upsertIndex(spark, table, conflict, "doc_id", "text",
+        buckets = 8, uax29 = false)
+      val winner = InvertedIndex.readIndex(spark, table)
+        .where(col("doc_id") === 11).select("term").collect()
+        .map(_.getString(0)).toSet
+      val expected = Seq("aa bb", "cc dd")
+        .maxBy(t => java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .split(" ").toSet
+      assert(winner === expected)
+    } finally dropAll()
+  }
+
   test("refreshIndex: diff-driven refresh equals a from-scratch build") {
     val table = "ii_spec_refresh"
     def dropAll(): Unit = Seq(table, s"${table}__compacting", s"${table}__old")
