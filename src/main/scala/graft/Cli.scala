@@ -250,7 +250,30 @@ object Cli {
     // moved HOME — swapTable clears those names as debris on the next
     // upsert, which would delete the healed table's data out from under it
     search.InvertedIndex.normalizeTableLocation(spark, t)
+    // nothing healed but a live-named dir remains WITHOUT the committer's
+    // _SUCCESS marker: a half-written CTAS from a crash mid-first-build
+    // (a completed build always has the marker, and any real index sat
+    // under __old/__compacting). Left in place it blocks every
+    // first-build replay with a non-empty-location CTAS error.
+    if (!spark.catalog.tableExists(t) && dirExists(t) && !isComplete(t))
+      path(t).getFileSystem(hconf).delete(path(t), true)
     spark.catalog.tableExists(t)
+  }
+
+  /** Read shards with the pipeline's TEXT projections (mojibake repair
+    * first — analysis would strip the C1 evidence the latin-1 flavor
+    * needs — then ES analysis), under explicitly pinned values rather
+    * than session flags: every batch of a --follow state dir must
+    * normalize identically.
+    */
+  private def readProjected(spark: SparkSession, paths: Seq[String],
+                            fixMojibake: Boolean, analyze: Boolean): DataFrame = {
+    val df0 = Corpus.readJsonl(spark, paths)
+    val df1 = if (fixMojibake) df0.withColumn("text",
+      operators.TextQuality.fixMojibake(col("text"))) else df0
+    if (analyze) df1.withColumn("text",
+      graft.functions.TextFunctions.esAnalyzeText(col("text")))
+    else df1
   }
 
   def main(argv: Array[String]): Unit = {
@@ -377,15 +400,36 @@ object Cli {
         // hash state (the library's ingestIncrementalTo cycle with JSONL
         // output). Crash-safe order: survivors are written to --out FIRST
         // and the state append derives its keys from the files as written,
-        // so a crash between the two re-runs cleanly. Requires --out, a
-        // per-snapshot dir — written OVERWRITE-mode unconditionally
-        // (matching the library's ingestIncrementalTo) so the crash replay
-        // actually converges instead of failing on the half-written dir.
+        // so a crash between the two re-runs cleanly. The overwrite that
+        // makes the replay converge is gated on a SNAPSHOT marker in the
+        // state dir: the same --out dir reused for a DIFFERENT snapshot
+        // (whose survivors are already hash-committed) refuses instead of
+        // silently destroying the earlier snapshot's only copy.
         flag("--state") match {
           case Some(state) =>
             val outDir = out.getOrElse(
               sys.error("dedup --state needs --out DIR (durable survivors " +
                 "must land before the state extends)"))
+            val hconf = spark.sparkContext.hadoopConfiguration
+            val statePb = new org.apache.hadoop.fs.Path(state)
+            val sfs = statePb.getFileSystem(hconf)
+            val snapshotId = java.security.MessageDigest.getInstance("MD5")
+              .digest((expandShardPaths(hconf, a.paths) :+ outDir)
+                .mkString("\n").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(16)
+            // sibling dir: the state path itself is the hash PARQUET
+            // table — a foreign subdir would break its schema inference
+            val markP = new org.apache.hadoop.fs.Path(state + "__outmarks",
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(outDir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+            readStateLines(sfs, markP).flatMap(_.headOption).foreach { prev =>
+              if (prev.trim != snapshotId) sys.error(
+                s"dedup --state: --out $outDir was written by a DIFFERENT " +
+                  s"snapshot (its survivors are already in the hash state) — " +
+                  "give each snapshot its own --out dir")
+            }
+            sfs.mkdirs(markP.getParent)
+            writeStateFile(sfs, markP, snapshotId + "\n")
             val survivors =
               operators.Dedup.dedupIncremental(withPos, md5(col("text")),
                 Seq(col("__file"), col("__line")), state)
@@ -536,6 +580,10 @@ object Cli {
       // (pruned posting reads), the "index once, query many" posture
       case "index" =>
         val phrases = searchStrings("--search")
+        // --follow pins the tokenizer/analyzer index-wide; the query path
+        // must fold and tokenize under the PINNED values, not the session
+        // flags, or a maintenance invocation that omits them would probe
+        // a whitespace-tokenized index with UAX-29 query terms
         // dictionary-level queries: --regexp / --wildcard (Lucene
         // full-term match → per-term df/ttf) and --search-prefix
         // (match_phrase_prefix: trailing token is a prefix)
@@ -582,18 +630,26 @@ object Cli {
                 s"`$hint` (same --buckets)") }
           }
         // every query flag delivered against one postings frame — shared
-        // by the query branch and the post-refresh re-query
-        def runIndexQueries(post: DataFrame): Unit = {
+        // by the query branch, the post-refresh re-query, and --follow
+        // (which passes its PINNED tokenizer/analyzer)
+        def runIndexQueries(post: DataFrame, uaxQ: Boolean = uax,
+                            analyzedQ: Boolean = analyzed): Unit = {
+          def foldQ(q: String): String =
+            if (analyzedQ) search.Searcher.analyzePhrase(q) else q
+          val phrases = flagAll("--search").map(foldQ)
+          val prefixPhrases = flagAll("--search-prefix").map(foldQ)
+          val mltText = flag("--more-like-text").map(foldQ)
+          val sigPhrase = flag("--significant-for").map(foldQ)
           val slop = intFlag("--slop", 0)
           if (phrases.nonEmpty) deliver(
             if (slop == 0)
-              search.InvertedIndex.phraseHits(post, phrases, uax29 = uax)
+              search.InvertedIndex.phraseHits(post, phrases, uax29 = uaxQ)
             else search.InvertedIndex.countContainingSlop(post, phrases, slop,
-              uax29 = uax),
+              uax29 = uaxQ),
             ranked = false)
           if (prefixPhrases.nonEmpty) deliver(
             search.InvertedIndex.phrasePrefixHits(post, prefixPhrases,
-              uax29 = uax, maxExpansions = intFlag("--max-expansions", 50)),
+              uax29 = uaxQ, maxExpansions = intFlag("--max-expansions", 50)),
             ranked = false)
           rePat.foreach(p => deliver(
             search.InvertedIndex.termsMatching(post, p).orderBy("term"),
@@ -611,7 +667,7 @@ object Cli {
           lazy val norms = search.InvertedIndex.corpusNormsFromPostings(post)
           sigPhrase.foreach { p =>
             val fg = search.InvertedIndex.docsContainingPhrase(post, Seq(p),
-              uax29 = uax).select("doc_id")
+              uax29 = uaxQ).select("doc_id")
             deliver(search.InvertedIndex.significantTerms(post, norms, fg,
               k = intFlag("--topk", 25),
               minDocCount = intFlag("--min-doc-count", 3).toLong,
@@ -620,7 +676,7 @@ object Cli {
           }
           mltText.foreach(like =>
             deliver(search.InvertedIndex.moreLikeThisText(post, norms, like,
-              uax29 = uax, maxQueryTerms = intFlag("--mlt-terms", 25),
+              uax29 = uaxQ, maxQueryTerms = intFlag("--mlt-terms", 25),
               k = intFlag("--topk", 10)), ranked = false))
           mltDoc.foreach { id =>
             // match the postings' doc_id type: a long-keyed corpus wants a
@@ -654,10 +710,12 @@ object Cli {
           // batch tokenized differently (or a heal re-registering with
           // the wrong bucket count — pruning silently breaks) adopts the
           // pinned values when flags are omitted, refuses when they clash
+          // presence-only booleans: an omitted flag ADOPTS the pin (the
+          // maintenance workflow); passing it against a false pin clashes
           val cfg = pinnedSettings(fs, stateDir, "index --follow", Seq(
             ("tokenizer", flag("--tokenizer"), "unicode"),
-            ("analyzed", Some(analyzed.toString), "false"),
-            ("fixMojibake", Some(fixMoji.toString), "false"),
+            ("analyzed", if (analyzed) Some("true") else None, "false"),
+            ("fixMojibake", if (fixMoji) Some("true") else None, "false"),
             ("buckets", flag("--buckets"), "64")))
           val uaxF = cfg("tokenizer") == "unicode"
           val buckets = cfg("buckets").toInt
@@ -665,7 +723,11 @@ object Cli {
             readStateLines(fs, manifest).getOrElse(Nil).filter(_.nonEmpty).toSet
           val fresh = all.filterNot(seen)
           val haveIndex = healIndexTable(spark, t, buckets)
-          if (!haveIndex && seen.nonEmpty) sys.error(
+          // the idmode pin is written the first time a NON-EMPTY batch is
+          // indexed — an empty first shard extends the manifest without
+          // building anything, and must not brick the state dir
+          if (!haveIndex && fs.exists(
+              new org.apache.hadoop.fs.Path(stateDir, "idmode"))) sys.error(
             s"index --follow: manifest at $stateDir records ${seen.size} " +
               s"ingested shard(s) but no index survives under '$t' (checked " +
               "live/__old/__compacting in " +
@@ -679,11 +741,8 @@ object Cli {
             // pinned values, so every batch normalizes identically.
             // Synthetic ids hash the FULL shard path — two drop-dir
             // shards sharing a basename must not collide.
-            val df0 = Corpus.readJsonl(spark, fresh)
-            val df1 = if (cfg("fixMojibake").toBoolean) df0.withColumn("text",
-              operators.TextQuality.fixMojibake(col("text"))) else df0
-            val df = if (cfg("analyzed").toBoolean) df1.withColumn("text",
-              graft.functions.TextFunctions.esAnalyzeText(col("text"))) else df1
+            val df = readProjected(spark, fresh,
+              cfg("fixMojibake").toBoolean, cfg("analyzed").toBoolean)
             val empty = df.isEmpty
             val mode = pinnedIdMode(fs, stateDir,
               if (empty) None else Some(df.where(col("id").isNull).isEmpty),
@@ -691,10 +750,13 @@ object Cli {
             val (keyed, idc) =
               if (mode == "id") (df, "id")
               else (Corpus.withFileLineId(df, "__id", fullPath = true), "__id")
-            if (haveIndex)
+            // an all-empty batch must not pay the upsert's corpus-scale
+            // live rewrite to append zero documents
+            if (empty) ()
+            else if (haveIndex)
               search.InvertedIndex.upsertIndex(spark, t, keyed, idc, "text",
                 buckets, uax29 = uaxF)
-            else if (!empty)
+            else
               search.InvertedIndex.writeIndex(
                 search.InvertedIndex.postings(keyed, idc, "text", uax29 = uaxF),
                 t, buckets, force = true)
@@ -705,9 +767,11 @@ object Cli {
           }
           if (hasQuery) {
             // a no-new-shards invocation in a fresh JVM still has to answer
-            // from the surviving warehouse index
+            // from the surviving warehouse index — under the PINNED
+            // tokenizer/analyzer, not the session flags
             ensureIndexTable(t, s"index PATH... --table $t --follow $stateDir")
-            runIndexQueries(search.InvertedIndex.readIndex(spark, t))
+            runIndexQueries(search.InvertedIndex.readIndex(spark, t),
+              uaxQ = uaxF, analyzedQ = cfg("analyzed").toBoolean)
           }
         } else if (refreshOld.nonEmpty) {
           val t = table.getOrElse(sys.error("index --refresh-old needs --table"))
@@ -864,11 +928,7 @@ object Cli {
           else {
             // readSecondary/docs-style projections rebuilt over ONLY the
             // fresh shards
-            val df0 = Corpus.readJsonl(spark, fresh)
-            val df1 = if (fixMoji) df0.withColumn("text",
-              operators.TextQuality.fixMojibake(col("text"))) else df0
-            val dfA = if (analyzed) df1.withColumn("text",
-              graft.functions.TextFunctions.esAnalyzeText(col("text"))) else df1
+            val dfA = readProjected(spark, fresh, fixMoji, analyzed)
             val corpusCols = dfA.columns.toSeq
             // full-path synthetic row key: stable across replays, no
             // basename collisions across drop-dir batches. Text-less docs
@@ -889,6 +949,7 @@ object Cli {
             }
             val deduped = operators.Dedup.dedupIncremental(gated,
               md5(col("text")), Seq(col("__iid")), hashState)
+            var benchCkpt: Option[DataFrame] = None
             val cleaned =
               if (benchPaths.isEmpty) deduped
               else {
@@ -896,17 +957,21 @@ object Cli {
                 fuzzyT match {
                   case Some(t) =>
                     // benchmark-sized localCheckpoint: the synthetic
-                    // file-line id must not rebuild per consumer
+                    // file-line id must not rebuild per consumer —
+                    // released after the batch write consumes it
                     val b = Corpus.withFileLineId(bench, "__bid")
                       .localCheckpoint(true)
+                    benchCkpt = Some(b)
                     operators.Dedup.decontaminateFuzzy(deduped, b,
                       "__iid", "__bid", "text", "text", t, uax29 = uax)
                   case None => operators.Dedup.decontaminate(deduped,
                     md5(col("text")), bench, md5(col("text")))
                 }
               }
-            Corpus.writeJsonl(cleaned.select(corpusCols.map(col): _*),
+            try Corpus.writeJsonl(cleaned.select(corpusCols.map(col): _*),
               batchDir, force = true)
+            finally benchCkpt.foreach(
+              org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)
           }
           // ONE read of the gzip batch dir, keyed (the synthetic id must
           // capture file paths BEFORE any shuffle/checkpoint) and
@@ -918,6 +983,7 @@ object Cli {
           val written = Corpus.withFileLineId(
               Corpus.readJsonl(spark, Seq(batchDir)), "__plid", fullPath = true)
             .localCheckpoint(eager = true)
+          try {
           val wEmpty = written.isEmpty
           if (!wEmpty)
             operators.Dedup.appendHashState(written, md5(col("text")), hashState)
@@ -945,9 +1011,11 @@ object Cli {
                     .map(_.getPath.toString)).distinct
                 // batch sequence captured per row BEFORE the id window's
                 // shuffle (input_file_name is lost after an exchange)
+                // anchored on the directory separator: a state-dir PATH
+                // containing "batch-<digits>-" must not hijack the match
                 Corpus.withFileLineId(
                   Corpus.readJsonl(spark, dirs).withColumn("__seq",
-                    regexp_extract(input_file_name(), "batch-(\\d+)-", 1)
+                    regexp_extract(input_file_name(), "/batch-(\\d+)-", 1)
                       .cast("int")),
                   "__plid", fullPath = true)
               }
@@ -959,10 +1027,12 @@ object Cli {
             // per corpus id: an id re-dropped with corrected text passed
             // exact dedup, and the lost upsert-maintained index held only
             // the newest postings — the rebuild must agree with it
+            // within-batch tie on md5(text) desc — the SAME winner
+            // upsertIndex picks, so the rebuild reproduces the lost index
             val keyedI =
               if (mode == "id" && !haveIndex && !srcEmpty)
                 operators.Dedup.keepFirst(src, col("id"),
-                  Seq(col("__seq").desc, col("__plid").desc))
+                  Seq(col("__seq").desc, md5(col("text")).desc))
               else src
             val idc = if (mode == "id") "id" else "__plid"
             // an all-filtered batch has nothing to index — pins still
@@ -981,10 +1051,10 @@ object Cli {
           }
           extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
           fs.delete(pendingP, false) // claim consumed
-          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(written)
           System.err.println(
             s"ingest: ${fresh.size} shard(s) → $batchDir" +
               table.map(t => s", index '$t' updated").getOrElse(""))
+          } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(written)
         }
       // deterministic sampling family: hash-Bernoulli (--fraction),
       // per-stratum fractions (--mix src=0.5, repeatable), or per-stratum
@@ -1096,8 +1166,8 @@ object Cli {
           // maintenance/query invocations don't repeat the build dials.
           val cfg = pinnedSettings(fs, stateDir, "ann --follow", Seq(
             ("tokenizer", flag("--tokenizer"), "unicode"),
-            ("analyzed", Some(analyzed.toString), "false"),
-            ("fixMojibake", Some(fixMoji.toString), "false"),
+            ("analyzed", if (analyzed) Some("true") else None, "false"),
+            ("fixMojibake", if (fixMoji) Some("true") else None, "false"),
             ("dim", flag("--dim"), "64"),
             ("step", flag("--step"), "100"),
             ("buckets", flag("--buckets"), "16")))
@@ -1107,7 +1177,10 @@ object Cli {
             readStateLines(fs, manifestP).getOrElse(Nil).filter(_.nonEmpty).toSet
           val fresh = expandShardPaths(hconf, a.paths).filterNot(seen)
           val haveIndex = search.AnnIndex.recoverIvfIndex(spark, table)
-          if (!haveIndex && seen.nonEmpty) sys.error(
+          // keyed on the idmode pin: an empty first shard extends the
+          // manifest without building anything and must not brick the dir
+          if (!haveIndex && fs.exists(
+              new org.apache.hadoop.fs.Path(stateDir, "idmode"))) sys.error(
             s"ann --follow: manifest at $stateDir records ${seen.size} " +
               s"embedded shard(s) but no index survives under '$table' — " +
               "refusing to start fresh over a manifest that would skip " +
@@ -1116,11 +1189,8 @@ object Cli {
           else {
             // same pinned text projections as the indexing tier — every
             // batch must embed identically-normalized text
-            val df0 = Corpus.readJsonl(spark, fresh)
-            val df1 = if (cfg("fixMojibake").toBoolean) df0.withColumn("text",
-              operators.TextQuality.fixMojibake(col("text"))) else df0
-            val df = if (cfg("analyzed").toBoolean) df1.withColumn("text",
-              graft.functions.TextFunctions.esAnalyzeText(col("text"))) else df1
+            val df = readProjected(spark, fresh,
+              cfg("fixMojibake").toBoolean, cfg("analyzed").toBoolean)
             val empty = df.isEmpty
             val mode = pinnedIdMode(fs, stateDir,
               if (empty) None else Some(df.where(col("id").isNull).isEmpty),
@@ -1130,9 +1200,11 @@ object Cli {
               else (Corpus.withFileLineId(df, "__id", fullPath = true), "__id")
             val emb = operators.FeatureHash.hashedEmbeddings(keyed, idc,
               "text", dimF, uax29 = uaxF)
-            if (haveIndex)
+            // empty batch: skip the upsert's corpus-scale live rewrite
+            if (empty) ()
+            else if (haveIndex)
               search.AnnIndex.upsertIvfIndex(spark, table, emb, "id", "emb")
-            else if (!empty)
+            else
               search.AnnIndex.writeIvfIndex(emb, "id", "emb",
                 step = cfg("step").toInt, table = table,
                 buckets = cfg("buckets").toInt, force = true,

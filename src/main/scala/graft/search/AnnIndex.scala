@@ -370,6 +370,12 @@ object AnnIndex {
     // a table healed from a debris-named dir must be moved home before
     // the next swap clears that name (see normalizeTableLocation)
     InvertedIndex.normalizeTableLocation(spark, table)
+    // nothing healed but a live-named dir without _SUCCESS remains: a
+    // half-written first-build CTAS that would block every replay with a
+    // non-empty-location error (see the text-index heal)
+    if (!spark.catalog.tableExists(table) && dirExists(table) &&
+        !isComplete(table))
+      loc(table).getFileSystem(hconf).delete(loc(table), true)
     spark.catalog.tableExists(table)
   }
 

@@ -288,6 +288,69 @@ class CliFollowSpec extends SparkTestBase {
     } finally dropAnn(t)
   }
 
+  test("follow: an empty first shard does not brick the state dir") {
+    val t = "cli_follow_emptyfirst"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      // the producer's classic non-atomic drop: a zero-row file appears
+      Files.createDirectories(Paths.get(s"$drop/day1"))
+      Files.write(Paths.get(s"$drop/day1", "a.jsonl"), "".getBytes("UTF-8"))
+      follow(t, drop, state)
+      // no index was built, but the shard is manifested — the NEXT
+      // invocation must build normally, not refuse
+      writeShard(s"$drop/day2", "b.jsonl", Seq("alpha bravo"))
+      follow(t, drop, state)
+      assert(hits(t, "alpha bravo") === 1L)
+    } finally dropAll(t)
+  }
+
+  test("follow: maintenance invocation adopts the pinned tokenizer for queries") {
+    val t = "cli_follow_pin_tok"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      // build whitespace-tokenized: "don't" stays ONE term
+      writeShard(s"$drop/day1", "a.jsonl", Seq("don't panic now"))
+      Cli.run(spark, Array("index", s"$drop/*", "--table", t,
+        "--follow", state, "--buckets", "4", "--tokenizer", "whitespace"))
+      // a later invocation OMITS --tokenizer: the pin must drive both the
+      // upsert and the query fold — UAX-29 would split don't/панic terms
+      // differently and silently miss
+      writeShard(s"$drop/day2", "b.jsonl", Seq("keep calm always"))
+      Cli.run(spark, Array("index", s"$drop/*", "--table", t,
+        "--follow", state, "--search", "don't panic"))
+      assert(hits(t, "keep calm") === 1L)
+      val idx = graft.search.InvertedIndex.readIndex(spark, t)
+      assert(graft.search.InvertedIndex.phraseHits(idx, Seq("don't panic"),
+        uax29 = false).select("n_docs").head().getLong(0) === 1L)
+      // and an EXPLICIT clashing flag refuses loudly
+      val e = intercept[RuntimeException] {
+        Cli.run(spark, Array("index", s"$drop/*", "--table", t,
+          "--follow", state, "--tokenizer", "unicode"))
+      }
+      assert(e.getMessage.contains("pinned"), e.getMessage)
+    } finally dropAll(t)
+  }
+
+  test("dedup --state: a DIFFERENT snapshot into the same --out dir refuses") {
+    val root = Files.createTempDirectory("cli_dedup_state2").toString
+    writeShard(s"$root/in1", "a.jsonl", Seq("alpha bravo"))
+    writeShard(s"$root/in2", "b.jsonl", Seq("charlie delta"))
+    val state = s"$root/state"
+    val out = s"$root/out"
+    Cli.run(spark, Array("dedup", s"$root/in1/*.jsonl",
+      "--state", state, "--out", out))
+    val e = intercept[RuntimeException] {
+      Cli.run(spark, Array("dedup", s"$root/in2/*.jsonl",
+        "--state", state, "--out", out))
+    }
+    assert(e.getMessage.contains("DIFFERENT snapshot"), e.getMessage)
+    // the first snapshot's survivors are untouched
+    assert(Corpus.readJsonl(spark, Seq(out))
+      .where(col("text") === "alpha bravo").count() === 1L)
+  }
+
   test("dedup --state: crash replay into the same --out dir converges") {
     val root = Files.createTempDirectory("cli_dedup_state").toString
     writeShard(s"$root/in", "a.jsonl",
