@@ -27,7 +27,11 @@ object StreamOps {
   }
 
   /** Tumbling event-time window counts with a watermark for late data —
-    * the streaming twin of EventOps.tumblingCounts.
+    * the streaming twin of EventOps.tumblingCounts. Caveat: `window()`
+    * aligns boundaries to the UTC epoch while the batch twin's date_trunc
+    * follows the SESSION timezone — identical under UTC (this engine's
+    * pinned default), shifted in half-hour-offset zones; streaming
+    * aggregation state eviction requires the window() form.
     */
   def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
@@ -58,19 +62,26 @@ object StreamOps {
     * them) — bound the key space upstream for open-world streams, or use
     * [[funnelStream]]'s close-at-gap shape when per-session emission with
     * event-time expiry is the better contract.
+    *
+    * OUTPUT MODE: mapGroupsWithState supports Update only — the parquet
+    * file sink (and this module's [[sinkParquet]], which hardcodes
+    * Append) cannot consume it; use a memory/Delta/foreachBatch sink.
     */
   def sessionCounts(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    val gapSec = gapMinutes * 60L
+    // MILLISECOND precision, like the batch twin's fractional-second
+    // comparison — whole-second truncation would merge sessions whose gap
+    // straddles a second boundary (60.8s apart truncating to 60)
+    val gapMs = gapMinutes * 60000L
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
         (user, batch, state: GroupState[SessionState]) =>
           val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            val newSession = s.lastSec == Long.MinValue || sec - s.lastSec > gapSec
-            s = SessionState(sec, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+            val ms = e.ts.getTime
+            val newSession = s.lastSec == Long.MinValue || ms - s.lastSec > gapMs
+            s = SessionState(ms, s.sessions + (if (newSession) 1 else 0), s.events + 1)
           }
           state.update(s)
           SessionUpdate(user, s.sessions, s.events)
@@ -120,7 +131,10 @@ object StreamOps {
     require(wmMinutes >= gapMinutes,
       "watermarkMinutes below the gap would drop in-gap events as late")
     import events.sparkSession.implicits._
-    val gapSec = gapMinutes * 60L
+    // MILLISECOND precision like the batch twin (fractional seconds
+    // compare exactly; whole-second truncation would merge sessions
+    // whose gap straddles a second boundary)
+    val gapMs = gapMinutes * 60000L
     events.withWatermark("ts", s"$wmMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, SessionDepth](
@@ -136,20 +150,20 @@ object StreamOps {
             var s = state.getOption.getOrElse(FunnelState(Long.MinValue, 0))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionDepth]
             sorted.foreach { e =>
-              val sec = e.ts.getTime / 1000
-              if (s.lastSec != Long.MinValue && sec - s.lastSec > gapSec) {
+              val ms = e.ts.getTime
+              if (s.lastSec != Long.MinValue && ms - s.lastSec > gapMs) {
                 closed += SessionDepth(user, s.depth)
-                s = FunnelState(sec, 0)
+                s = FunnelState(ms, 0)
               }
               val d = s.depth
               val nd = if (d < steps.length && e.event_type == steps(d)) d + 1 else d
-              s = FunnelState(sec, nd)
+              s = FunnelState(ms, nd)
             }
             state.update(s)
             // close the open session when event time passes its gap; a
             // late group must still set a timestamp AFTER the watermark
             state.setTimeoutTimestamp(math.max(
-              (s.lastSec + gapSec) * 1000L, state.getCurrentWatermarkMs() + 1))
+              s.lastSec + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.iterator
           }
       }
@@ -190,6 +204,9 @@ object StreamOps {
       if (uax29) graft.functions.TextFunctions.tokenize(col(textCol))
       else split(col(textCol), " ")
     val grams = docs
+      // a null event time survives the watermark (null < wm is null =
+      // kept) and would crash the non-nullable tuple decode below
+      .where(col(tsCol).isNotNull)
       .withWatermark(tsCol, s"$watermarkMinutes minutes")
       .select(col(tsCol).as("__ts"),
         explode(graft.functions.TextFunctions.ngrams(toks, n)).as("gram"))
@@ -211,19 +228,26 @@ object StreamOps {
             state.remove()
             out.iterator
           } else {
-            var s = state.getOption.getOrElse(TopkSketchState(
+            val s0 = state.getOption.getOrElse(TopkSketchState(
               graft.functions.sketch.Sketches.CMS.empty(cmsWidth, cmsDepth, seed),
               Map.empty))
+            // hot loop: fold into ONE mutable map and update state once —
+            // a per-gram case-class copy + immutable-map update was pure
+            // GC churn at n-gram stream volumes (the CMS add is in-place)
+            var cms = s0.cms
+            val cand = scala.collection.mutable.Map.empty[String, Long]
+            cand ++= s0.cand
             rows.foreach { case (_, _, _, gram) =>
-              val cms = s.cms.add(gram)
-              val cand = s.cand.updated(gram, cms.estimate(gram))
+              cms = cms.add(gram)
+              cand.update(gram, cms.estimate(gram))
               // prune lazily: keep the top maxCandidates when 2× over budget
-              s = s.copy(cms = cms, cand =
-                if (cand.size <= 2 * maxCandidates) cand
-                else cand.toSeq.sortBy { case (g, est) => (-est, g) }
-                  .take(maxCandidates).toMap)
+              if (cand.size > 2 * maxCandidates) {
+                val keep = cand.toSeq.sortBy { case (g, est) => (-est, g) }
+                  .take(maxCandidates)
+                cand.clear(); cand ++= keep
+              }
             }
-            state.update(s)
+            state.update(TopkSketchState(cms, cand.toMap))
             // finalize when the watermark passes this window's end
             state.setTimeoutTimestamp(key.ws + windowMs)
             Iterator.empty
@@ -328,9 +352,14 @@ object StreamOps {
     // docs' distinct-shingle arrays (null-signature bench docs drop out in
     // signaturesInline / shingleArrays, so empty-slice stream keys never hit)
     val sigB = MinHash.signaturesInline(bench, benchId, benchText, w, k, md5Parity, uax29)
+    // persist: the per-band joins below each filter this frame, so the
+    // bench signature pipeline would otherwise re-evaluate `bands` times
+    // per micro-batch (persisting the CALLER's bench frame cannot cache
+    // this derived aggregation). Benchmark-sized; lives with the stream.
     val prep = MinHash.bandRows(sigB, k, bands)
       .join(MinHash.shingleArrays(bench, benchId, benchText, w, uax29), "id")
       .groupBy("band", "band_key").agg(collect_list(col("sh")).as("bucket"))
+      .persist()
 
     val toks = if (uax29) TextFunctions.tokenize(col(textCol)) else split(col(textCol), " ")
     val keys = MinHash.bandKeyCols(MinHash.sigArrayCol(toks, w, k, md5Parity), k, bands)
@@ -364,6 +393,18 @@ object StreamOps {
   def qualityGateStream(docs: DataFrame, idCol: String, textCol: String,
                         fineWeb: Boolean = false): DataFrame = {
     val cols = docs.columns.toSeq
+    // the gates GENERATE signal columns; an input column sharing a name
+    // would be silently overwritten (keep) or ambiguous (n_words, ...)
+    val reserved = Set("keep", "n_words", "mean_word_len", "alpha_word_ratio",
+      "n_stopwords", "avg_word_len", "ellipsis_line_frac", "bullet_line_frac",
+      "short_line_frac", "end_punct_line_frac", "dup_line_frac",
+      "dup_line_char_frac") ++
+      Seq(2, 3, 4).map(n => s"top${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup${n}gram_char_frac")
+    val clash = cols.filter(c => reserved(c) && c != idCol && c != textCol)
+    require(clash.isEmpty,
+      s"qualityGateStream: input columns ${clash.mkString(", ")} collide " +
+        "with the gate's generated signal columns — rename them upstream")
     val sig =
       if (fineWeb)
         graft.operators.TextQuality.fineWebFilter(docs, idCol, textCol,
@@ -419,8 +460,11 @@ object StreamOps {
                    minAvgLogp: Double): DataFrame = {
     val s = graft.operators.TextQuality.unigramScore(col(textCol), vocab, total)
     docs.withColumn("__s", s)
+      // round(6) BEFORE the cut, like the batch scores the cut was
+      // derived from — a raw -4.5000004 must pass a -4.5 policy cut
+      // exactly as its rounded batch twin does
       .where(element_at(col("__s"), 1) > 0 &&
-        element_at(col("__s"), 2) >= minAvgLogp)
+        round(element_at(col("__s"), 2), 6) >= minAvgLogp)
       .drop("__s")
   }
 
@@ -513,7 +557,10 @@ object StreamOps {
     require(alpha > 0, "alpha must be > 0")
     import docs.sparkSession.implicits._
     val refTotal = reference.values.sum
-    docs.withWatermark(tsCol, watermark)
+    // null event times survive the watermark and would crash the
+    // non-nullable tuple decode; null text splits to null toks
+    docs.where(col(tsCol).isNotNull && col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("__ts"), window(col(tsCol), windowLen).as("w"),
         split(col(textCol), " ").as("toks"))
       // the raw watermarked column must survive into the grouped input —
@@ -580,7 +627,7 @@ object StreamOps {
               // state is only compared to itself, but keep the encoding
               // locale-proof all the same (no Formatter involved)
               val h = java.security.MessageDigest.getInstance("MD5")
-                .digest(u.text.getBytes("UTF-8"))
+                .digest(Option(u.text).getOrElse("").getBytes("UTF-8"))
                 .map(b => Integer.toHexString((b & 0xff) | 0x100).substring(1))
                 .mkString
               prev match {
