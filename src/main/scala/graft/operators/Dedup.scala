@@ -50,9 +50,11 @@ object Dedup {
     */
   def markFirst(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(key).orderBy(order: _*)
-    df.withColumn("rn", row_number().over(w))
-      .withColumn("is_first", col("rn") === 1)
-      .drop("rn")
+    // collision-safe internal name: a corpus with its own `rn` column must
+    // survive the pass ("is_first" stays the documented output column)
+    df.withColumn("__mf_rn", row_number().over(w))
+      .withColumn("is_first", col("__mf_rn") === 1)
+      .drop("__mf_rn")
   }
 
   def keepFirst(df: DataFrame, key: Column, order: Seq[Column]): DataFrame =
@@ -139,13 +141,21 @@ object Dedup {
       else keyed.select(col("ds")).distinct().collect().map(_.getString(0)).sorted.toSeq
     if (sources.size > 62) None
     else {
+      // a dataset OUTSIDE knownSources folds to a sentinel bit instead
+      // of silently vanishing (mask 0 / a lost membership bit would make
+      // the overlap lattice undercount with no error) — the check runs on
+      // the TINY mask-level frame, not per key
       val mask = sources.zipWithIndex
         .foldLeft(when(lit(false), lit(0L))) { case (acc, (s, i)) =>
           acc.when(col("ds") === s, lit(1L << i))
-        }.otherwise(lit(0L))
+        }.otherwise(lit(1L << 62))
       val counts = keyed.select(col("h"), mask.as("m"))
         .groupBy("h").agg(expr("bit_or(m)").as("mask"))
         .groupBy("mask").agg(count(lit(1)).as("n_keys"))
+        .where(when((col("mask").bitwiseAND(lit(1L << 62))) =!= 0,
+          raise_error(lit("membershipMaskCounts: a dataset value is not in " +
+            "knownSources — pass the complete list")))
+          .otherwise(lit(true)))
       Some((counts, sources))
     }
   }
@@ -282,7 +292,19 @@ object Dedup {
     * round count is logarithmic in the longest path — never returns
     * under-merged labels.
     */
+  /** Edge normalization shared by both CC variants: NUMERIC ids cast to
+    * long (the historical contract); anything else stays a STRING key —
+    * an unconditional long cast would null UUID/URL ids and silently
+    * degrade cluster dedup to a no-op.
+    */
+  private def ccEdgeCast(pairs: DataFrame): Column => Column =
+    pairs.schema("id_a").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => c => c.cast("long")
+      case _ => c => c.cast("string")
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val idCast = ccEdgeCast(pairs)
     // materialize the incoming pair pipeline ONCE: the union's two
     // direction arms would otherwise each recompute it (candidate
     // generation is the expensive part for near-dup callers). The edge
@@ -290,13 +312,12 @@ object Dedup {
     // a lazy lineage edge back to `base`, making the release below unsafe
     // under block loss
     val base = pairs
-      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .select(idCast(col("id_a")).as("u"), idCast(col("id_b")).as("v"))
       .localCheckpoint(true)
     val edges = base
       .union(base.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
-    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
     // LAZY localCheckpoint rather than eager (or persist): still truncates
     // the per-round lineage (plans otherwise nest one level per
     // iteration), but the blocks materialize DURING the checksum action —
@@ -305,9 +326,12 @@ object Dedup {
     var labels = edges.groupBy(col("u").as("id"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .localCheckpoint(false)
-    // coalesce: an empty pair list (nothing to cluster) sums to NULL
-    var checksum = labels.agg(coalesce(sum("label"), lit(0L)))
-      .collect().head.getLong(0)
+    // order-independent, id-type-independent, overflow-free (labels are
+    // one row per id); coalesce: an empty pair list folds to 0
+    def labelChecksum(l: DataFrame): Long =
+      l.agg(coalesce(expr("bit_xor(xxhash64(id, label))"), lit(0L)))
+        .collect().head.getLong(0)
+    var checksum = labelChecksum(labels)
     var it = 1 // the seeding aggregation above is round 1
     var converged = false
     while (!converged && it < maxIter) {
@@ -316,8 +340,7 @@ object Dedup {
         .groupBy(col("u").as("id"))
         .agg(least(min(col("label")), col("u")).as("label"))
         .localCheckpoint(false)
-      val nextSum = next.agg(coalesce(sum("label"), lit(0L)))
-        .collect().head.getLong(0)
+      val nextSum = labelChecksum(next)
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(labels)
       labels = next
       converged = nextSum == checksum
@@ -332,8 +355,15 @@ object Dedup {
       // O(log)-round star contraction rather than silently splitting
       // clusters
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(labels)
-      connectedComponentsStar(pairs)
+      // the MATERIALIZED edge list feeds the fallback — re-running the
+      // caller's pairs pipeline (a full LSH + verify pass) would double
+      // the corpus work. Star checkpoints its own copy, so ours releases.
+      val out = connectedComponentsStar(
+        base.select(col("u").as("id_a"), col("v").as("id_b")))
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
+      out
     } else {
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
       labels.select(col("id"), col("label").as("component"))
     }
   }
@@ -371,8 +401,9 @@ object Dedup {
     // executor loss must be survivable)
     // one materialization of the incoming pair pipeline: both the edge
     // seed and the final member list derive from it
+    val idCast = ccEdgeCast(pairs)
     val base = pairs
-      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .select(idCast(col("id_a")).as("u"), idCast(col("id_b")).as("v"))
       .localCheckpoint(true)
     // lazy: the checksum action materializes the checkpoint — one job
     var edges = base
@@ -443,21 +474,34 @@ object Dedup {
     * corpus itself is never shuffled.
     */
   def keepBestInCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
-                        score: Column): DataFrame = {
+                        score: Column,
+                        maxBroadcastMembers: Long = 4L << 20): DataFrame = {
+    // the membership frame is duplicate-cluster-sized — usually tiny, but
+    // crawl corpora reach 30-50% near-dup membership, where a FORCED
+    // broadcast would OOM the driver. It is already materialized (CC
+    // checkpoints its labels), so a capped count decides cheaply; beyond
+    // the cap both joins shuffle (and AQE still broadcasts small
+    // runtime sizes).
     val comp = connectedComponents(pairs)
+    val small =
+      comp.limit(maxBroadcastMembers.toInt.min(Int.MaxValue - 1) + 1)
+        .count() <= maxBroadcastMembers
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     val members = docs.select(col(idCol).as("__kb_id"), score.as("__kb_score"))
-      .join(broadcast(comp), col("__kb_id") === col("id"))
+      .join(maybeBroadcast(comp), col("__kb_id") === col("id"))
     val w = Window.partitionBy("component")
       .orderBy(desc("__kb_score"), asc("__kb_id"))
     val drop = members.withColumn("__kb_rn", row_number().over(w))
       .where(col("__kb_rn") =!= 1)
       .select(col("__kb_id").as("__drop_id"))
-    docs.join(broadcast(drop), docs(idCol) === col("__drop_id"), "left_anti")
+    docs.join(maybeBroadcast(drop), docs(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** S11: train/valid/test split by hash prefix (reference
     * wimbd/utils/split_files.py:8-45 uses sha1 prefixes fff/ffe/ffd/ffc;
-    * same contract here with md5 — deterministic, rerunnable, ~0.4%/0.4%).
+    * same contract here with md5 — deterministic, rerunnable; two 3-hex
+    * prefixes per split select 2/4096 ≈ 0.049% each).
     */
   def hashSplit(df: DataFrame, text: Column): DataFrame = {
     val p = substring(md5(text), 1, 3)
@@ -552,8 +596,14 @@ object Dedup {
     * measurement (Lee et al. 2022 semantics at token granularity): rewrite
     * each document dropping every token covered by a k-token span whose
     * content already occurred earlier in the corpus — earlier = smaller
-    * (id, token offset), so exactly one occurrence of each duplicated span
-    * survives corpus-wide. Emits `(id, text_dedup, n_tokens,
+    * (id, token offset), so the FIRST occurrence of each duplicated span
+    * is the kept one corpus-wide. Caveat (inherent to Lee et al.'s
+    * one-pass token-removal semantics): when a LATER duplicate span
+    * overlaps the kept first occurrence inside the same document
+    * (self-overlapping repeats like "a a a a"), the removal of the later
+    * span's tokens can clip the kept occurrence too — the guarantee is
+    * "later duplicate spans are removed", not "the surviving text always
+    * contains one verbatim copy". Emits `(id, text_dedup, n_tokens,
     * n_tokens_kept)`; fully-duplicated documents come out empty (the caller
     * drops or keeps them — Lee et al. drop).
     *
@@ -659,8 +709,12 @@ object Dedup {
     val blocks = transform(
       sequence(lit(0), floor((size(toks) - lit(1)) / lit(b)).cast("int")),
       i => concat_ws(" ", slice(toks, i * lit(b) + lit(1), lit(b))))
+    // split("") returns [""], so size(toks) > 0 alone would let every
+    // blank doc emit one empty-string unit — and all blank docs across
+    // the corpus would then collide on md5("") as spurious duplicates
     docs.where(size(toks) > 0)
       .select(col(idCol).as("id"), posexplode(blocks).as(Seq("idx", "unit")))
+      .where(length(col("unit")) > 0)
   }
 
   /** Per-unit keep-first flag over a `(id, idx, unit)` frame — the

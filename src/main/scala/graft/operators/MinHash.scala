@@ -154,8 +154,23 @@ object MinHash {
   /** Band-bucket candidate pairs from a (id, m0..m{k-1}) signature frame. */
   def candidatesFromSignatures(sig: DataFrame, k: Int, bands: Int,
                                maxBucket: Int = 1000): DataFrame = {
-    val rows = bandRows(sig, k, bands)
-    val buckets = rows.groupBy("band", "band_key")
+    // checkpointed: the size pass and the collect pass would otherwise
+    // each recompute the signature kernel; ~16 B × docs × bands, and the
+    // blocks free via the ContextCleaner once the returned plan is GC'd
+    // (the output lazily references them, so an explicit release here
+    // would be unsafe)
+    val rows = bandRows(sig, k, bands).localCheckpoint(eager = true)
+    // size the buckets FIRST (a tiny count agg) and semi-join the rows
+    // down before any collect_set: a degenerate boilerplate bucket with
+    // millions of members would otherwise have to materialize its FULL id
+    // set in one aggregation buffer just to be discarded by the size
+    // filter — the exact blow-up the maxBucket guard exists to prevent
+    val okBuckets = rows.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz").between(2, maxBucket))
+      .select("band", "band_key")
+    val buckets = rows.join(okBuckets, Seq("band", "band_key"))
+      .groupBy("band", "band_key")
       .agg(sort_array(collect_set("id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
     val pairs = flatten(transform(col("ids"), (a, i) =>

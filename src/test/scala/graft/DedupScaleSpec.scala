@@ -474,6 +474,25 @@ class DedupScaleSpec extends SparkTestBase {
       .count() === docs.count())
   }
 
+  test("connected components on STRING ids (UUID corpora) — no silent long-cast null-out") {
+    import spark.implicits._
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-c", "doc-b"), ("x9", "x7"))
+      .toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "x7" -> "x7", "x9" -> "x7"))
+    // and end to end: string-keyed cluster dedup actually DROPS duplicates
+    val docs = Seq("doc-a", "doc-b", "doc-c", "x7", "x9", "lone").toDF("doc_id")
+    val kept = graft.operators.Dedup.keepClusterRepresentative(docs, "doc_id", pairs)
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set("doc-a", "x7", "lone"))
+    // star variant agrees
+    val star = graft.operators.Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star === cc)
+  }
+
   test("keepBestInCluster retains the argmax-score member, ties to lower id") {
     import spark.implicits._
     // clusters {1,2,3,9} and {5,7}; 6 untouched
