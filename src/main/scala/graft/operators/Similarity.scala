@@ -66,7 +66,10 @@ object Similarity {
     val scored = q.join(b, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("bv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // null cos = a dimension-mismatched / zero / null-element vector —
+    // ranking it would pad the top-k with silent garbage rows
+    scored.where(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
         col("rank").cast("long").as("rank"))
   }
@@ -124,7 +127,12 @@ object Similarity {
         .localCheckpoint(true)
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(assigned)
       p
-    }.reduce(_ union _).dropDuplicates("id_a", "id_b")
+      // max(cos): a pair can be an overflow-class edge (cos 1.0) in one
+      // table and a scored pair in another — dropDuplicates would keep an
+      // arbitrary one run to run; the max is deterministic (and the 1.0
+      // exact-dup class correctly dominates)
+    }.reduce(_ union _).groupBy("id_a", "id_b")
+      .agg(max("cos").as("cos"))
   }
 
   /** In-bucket pairwise scoring with the same skew guard LSH candidate
@@ -180,6 +188,9 @@ object Similarity {
     */
   def ivfAssign(base: DataFrame, idCol: String, vecCol: String, step: Int,
                 offset: Int = 0): DataFrame = {
+    // step = 0 would make `id % step` NULL in non-ANSI Spark — an empty
+    // centroid set and a silent no-op for every downstream consumer
+    require(step > 0, s"ivf step must be positive, got $step")
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
     val centroids = broadcast(b.where(col(idCol) % step === offset)
       .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
@@ -259,6 +270,10 @@ object Similarity {
       require(seedRows.length <= maxCentroids,
         s"kmeansCentroids: step=$step yields more than $maxCentroids seed " +
           s"centroids on this corpus — raise step (or maxCentroids)")
+      require(seedRows.nonEmpty,
+        s"kmeansCentroids: step=$step selected ZERO seed centroids — lower " +
+          "step (an empty centroid frame would silently return zero " +
+          "neighbors for every query)")
       var centroids: Array[(Long, Seq[Double])] =
         seedRows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
       var it = 0
@@ -315,7 +330,10 @@ object Similarity {
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // null cos = a dimension-mismatched / zero / null-element vector —
+    // ranking it would pad the top-k with silent garbage rows
+    scored.where(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
   }
@@ -349,11 +367,15 @@ object Similarity {
     * random-hyperplane LSH family for cosine.
     */
   private def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int): Column = {
+    require(nPlanes >= 1 && nPlanes <= 62,
+      s"nPlanes must be in [1, 62] (long bit weights), got $nPlanes")
     val planes = planeWeights(dim, nPlanes, seed)
     val bits = (0 until nPlanes).map { p =>
       when(dot(vec, typedLit(planes(p))) >= 0, lit(1)).otherwise(lit(0))
     }
-    bits.zipWithIndex.map { case (b, i) => b * lit(1 << i) }.reduce(_ + _)
+    // LONG weights: Int `1 << i` wraps mod 32, silently colliding sign
+    // patterns past 31 planes
+    bits.zipWithIndex.map { case (b, i) => b * lit(1L << i) }.reduce(_ + _)
   }
 
   /** ANN top-k via random-hyperplane LSH: queries are scored only against
@@ -381,7 +403,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("bv")).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(first(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // null cos = a dimension-mismatched / zero / null-element vector —
+    // ranking it would pad the top-k with silent garbage rows
+    scored.where(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"),
         col("rank").cast("long").as("rank"))
   }
@@ -417,7 +442,10 @@ object Similarity {
         .where(col("query_id") =!= col(idCol))
         .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
       val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
-      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      // null cos = a dimension-mismatched / zero / null-element vector —
+    // ranking it would pad the top-k with silent garbage rows
+    scored.where(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .select(col("query_id"), col(idCol).as("neighbor_id"),
           round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
         .localCheckpoint(true)
@@ -578,7 +606,10 @@ object Similarity {
       .select(col("query_id"), col(idCol),
         dot(col("qv"), col("decoded")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // null cos = a dimension-mismatched / zero / null-element vector —
+    // ranking it would pad the top-k with silent garbage rows
+    scored.where(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
   }
@@ -627,7 +658,10 @@ object Similarity {
         .select(col("query_id"), col(idCol),
           dot(col("qv"), col("decoded")).as("cos"))
       val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
-      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      // null cos = a dimension-mismatched / zero / null-element vector —
+    // ranking it would pad the top-k with silent garbage rows
+    scored.where(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .select(col("query_id"), col(idCol).as("neighbor_id"),
           round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
         .localCheckpoint(true)
@@ -651,7 +685,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qv"), col("bv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // null cos = a dimension-mismatched / zero / null-element vector —
+    // ranking it would pad the top-k with silent garbage rows
+    scored.where(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
   }
