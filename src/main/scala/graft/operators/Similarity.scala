@@ -192,7 +192,13 @@ object Similarity {
     // centroid set and a silent no-op for every downstream consumer
     require(step > 0, s"ivf step must be positive, got $step")
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
-    val centroids = broadcast(b.where(col(idCol) % step === offset)
+    val sample = b.where(col(idCol) % step === offset)
+    // the sample is broadcast — a step miscalibrated for the corpus size
+    // must fail fast with the dial to turn, not OOM every executor
+    // mid-broadcast (the clusterProfile guard, applied to every IVF
+    // entry point; one narrow limit-capped count per call)
+    requireBoundedSample(sample, idCol, step, 1 << 16, "ivfAssign")
+    val centroids = broadcast(sample
       .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
     // argmax as a hash aggregation, not a window: map-side partial agg means
     // the shuffle carries one row per id per partition, not the full
