@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Text-quality / token-accounting operators for pretraining-data pipelines:
   * quality features + score, BPE-ish token counting, and winnowing document
-  * fingerprints. All pure column algebra (no UDFs).
+  * fingerprints. Pure column algebra throughout, with one documented
+  * exception: [[compressionSignals]] wraps a per-row DEFLATE kernel.
   */
 object TextQuality {
 
@@ -440,7 +441,16 @@ object TextQuality {
 
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                      lm: Option[DataFrame] = None): DataFrame = {
-    val counts = lm.getOrElse(unigramCounts(docs, textCol))
+    // CONTRACT: tokens absent from the model are excluded from the mean,
+    // and a document with ZERO in-model tokens has NO output row (the
+    // inner join drops it) — under a cross-corpus model, join the scores
+    // back with a drop-by-default policy or the all-OOV (worst) docs
+    // sail through unscored.
+    // Self-trained counts are consumed TWICE (total + the scoring join):
+    // checkpoint so the corpus explode+agg runs once, not twice; a
+    // caller-supplied lm is already materialized.
+    val counts = lm.getOrElse(
+      unigramCounts(docs, textCol).localCheckpoint(eager = true))
     val total = counts.agg(sum("c").cast("double").as("n"))
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
     toks.join(counts, Seq("w"))
@@ -501,6 +511,8 @@ object TextQuality {
                         headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
                         lm: Option[DataFrame] = None,
                         byCol: Option[String] = None): DataFrame = {
+    require(headFrac > 0 && midFrac > 0 && headFrac + midFrac <= 1.0,
+      s"headFrac + midFrac must be in (0, 1], got $headFrac + $midFrac")
     // materialize the per-doc score table ONCE (eager localCheckpoint):
     // both the cut aggregation and the output read it, and Spark does not
     // reuse the scoring subtree across the two consumers (the SemDeDup
