@@ -23,10 +23,16 @@ import org.apache.spark.sql.expressions.Aggregator
 object Sketches {
 
   /** Deterministic 64-bit hash of (seed row i, item). */
-  private[sketch] def hash(item: String, i: Int, seed: Int): Long = {
+  private[sketch] def hash(item: String, i: Int, seed: Int): Long =
+    hashBytes(item.getBytes("UTF-8"), i, seed)
+
+  /** Same hash over pre-encoded UTF-8 bytes — lets codegen'd probes feed a
+    * UTF8String's bytes in directly with no java.lang.String round-trip;
+    * bit-identical to [[hash]] by construction.
+    */
+  private[graft] def hashBytes(bytes: Array[Byte], i: Int, seed: Int): Long = {
     // FNV-1a over the UTF-8 bytes, row-and-seed mixed in — stable everywhere.
     var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L) ^ (i * 0xff51afd7ed558ccdL)
-    val bytes = item.getBytes("UTF-8")
     var j = 0
     while (j < bytes.length) { h ^= bytes(j) & 0xffL; h *= 0x100000001b3L; j += 1 }
     h
@@ -54,11 +60,17 @@ object Sketches {
       while (i < cells.length) { cells(i) = math.min(U32Max, cells(i) + o.cells(i)); i += 1 }
       this
     }
-    def estimate(item: String): Long = {
+    def estimate(item: String): Long = estimateBytes(item.getBytes("UTF-8"))
+
+    /** [[estimate]] over pre-encoded UTF-8 bytes (one encode for all depth
+      * rows; the codegen probe path).
+      */
+    def estimateBytes(bytes: Array[Byte]): Long = {
       var best = Long.MaxValue
       var i = 0
       while (i < depth) {
-        val c = i * width + java.lang.Math.floorMod(hash(item, i, seed), width.toLong).toInt
+        val c = i * width +
+          java.lang.Math.floorMod(hashBytes(bytes, i, seed), width.toLong).toInt
         best = math.min(best, cells(c))
         i += 1
       }

@@ -303,7 +303,55 @@ object Dedup {
       case _ => c => c.cast("string")
     }
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Driver-side union-find over a COLLECTED edge list — the small-graph
+    * fast path of [[connectedComponents]]. Exact (path-halving union-find,
+    * min-id representative under the same ordering `least`/`min` use), one
+    * job to collect + one parallelize, versus 2 shuffles + a collect PER
+    * ROUND for the iterative path.
+    */
+  private def localComponents(base: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val dt = base.schema("u").dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case _ => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+    }
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    base.collect().foreach { row =>
+      // null ids (a caller bug — pair frames come from id columns) are
+      // skipped rather than grouped, matching no meaningful contract either way
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val u = row.get(0); val v = row.get(1)
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent(ru) = rv
+      }
+    }
+    val ids = parent.keysIterator.toArray
+    val minOf = mutable.HashMap.empty[Any, Any]
+    ids.foreach { id =>
+      val r = find(id)
+      if (!minOf.contains(r) || lt(id, minOf(r))) minOf(r) = id
+    }
+    val spark = base.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("component", dt)))
+    val rows = ids.map(id => org.apache.spark.sql.Row(id, minOf(find(id))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism, ids.length))),
+      schema)
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          maxLocalEdges: Long = 4L << 20): DataFrame = {
     val idCast = ccEdgeCast(pairs)
     // materialize the incoming pair pipeline ONCE: the union's two
     // direction arms would otherwise each recompute it (candidate
@@ -314,6 +362,19 @@ object Dedup {
     val base = pairs
       .select(idCast(col("id_a")).as("u"), idCast(col("id_b")).as("v"))
       .localCheckpoint(true)
+    // size-gated hybrid: verified near-dup pairs are a vanishing fraction
+    // of any real corpus, so the edge list usually fits the driver with
+    // room to spare — union-find there is exact and replaces 2 shuffles +
+    // a checksum collect PER ROUND with one collect. The capped count runs
+    // on the already-materialized checkpoint (cheap); past the cap (or
+    // with the gate disabled) the iterative distributed path below is
+    // unchanged. Same posture as keepBestInCluster's broadcast decision.
+    val localCap = math.min(maxLocalEdges, (Int.MaxValue - 1).toLong)
+    if (localCap > 0 && base.limit(localCap.toInt + 1).count() <= localCap) {
+      val out = localComponents(base)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(base)
+      return out
+    }
     val edges = base
       .union(base.select(col("v").as("u"), col("u").as("v")))
       .distinct()
@@ -483,9 +544,11 @@ object Dedup {
     // the cap both joins shuffle (and AQE still broadcasts small
     // runtime sizes).
     val comp = connectedComponents(pairs)
-    val small =
-      comp.limit(maxBroadcastMembers.toInt.min(Int.MaxValue - 1) + 1)
-        .count() <= maxBroadcastMembers
+    // clamp BEFORE the Int cast: a caller cap above Int.MaxValue would
+    // otherwise wrap negative and throw in limit() instead of simply
+    // taking the shuffle path
+    val cap = math.min(maxBroadcastMembers, (Int.MaxValue - 1).toLong).toInt
+    val small = comp.limit(cap + 1).count() <= maxBroadcastMembers
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
     val members = docs.select(col(idCol).as("__kb_id"), score.as("__kb_score"))

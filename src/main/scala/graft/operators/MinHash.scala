@@ -154,24 +154,23 @@ object MinHash {
   /** Band-bucket candidate pairs from a (id, m0..m{k-1}) signature frame. */
   def candidatesFromSignatures(sig: DataFrame, k: Int, bands: Int,
                                maxBucket: Int = 1000): DataFrame = {
-    // checkpointed: the size pass and the collect pass would otherwise
-    // each recompute the signature kernel; ~16 B × docs × bands, and the
-    // blocks free via the ContextCleaner once the returned plan is GC'd
-    // (the output lazily references them, so an explicit release here
-    // would be unsafe)
-    val rows = bandRows(sig, k, bands).localCheckpoint(eager = true)
-    // size the buckets FIRST (a tiny count agg) and semi-join the rows
-    // down before any collect_set: a degenerate boilerplate bucket with
-    // millions of members would otherwise have to materialize its FULL id
-    // set in one aggregation buffer just to be discarded by the size
-    // filter — the exact blow-up the maxBucket guard exists to prevent
-    val okBuckets = rows.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz").between(2, maxBucket))
-      .select("band", "band_key")
-    val buckets = rows.join(okBuckets, Seq("band", "band_key"))
-      .groupBy("band", "band_key")
-      .agg(sort_array(collect_set("id")).as("ids"))
+    val rows = bandRows(sig, k, bands)
+    // ONE pass, ONE shuffle: buckets aggregate through a size-BOUNDED
+    // collect-set (cap = maxBucket + 1) — a degenerate boilerplate bucket
+    // with millions of members never materializes more than maxBucket + 1
+    // ids in any aggregation buffer (map-side partials included) and is
+    // then discarded by the size filter, which is the protection the
+    // maxBucket guard exists for. Buckets at or under maxBucket never hit
+    // the cap, so their id sets are exact and complete. (An earlier
+    // formulation sized buckets with a separate count agg + semi join —
+    // same guard semantics, but a second shuffle over the band rows and a
+    // checkpoint to keep the signature kernel from running twice.)
+    val boundedIds = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.BoundedCollectSet(
+        org.apache.spark.sql.graft.Bridge.expression(col("id")),
+        maxBucket + 1).toAggregateExpression())
+    val buckets = rows.groupBy("band", "band_key")
+      .agg(sort_array(boundedIds).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),

@@ -99,8 +99,11 @@ object NgramOps {
     val agg = new graft.functions.sketch.Sketches.CountMinAggregator(width, depth, seed)
     val cms = grams.as[String].select(agg.toColumn).head()
     val bc = spark.sparkContext.broadcast(cms)
-    val est = udf((s: String) => bc.value.estimate(s))
-    grams.select(col("ngram"), est(col("ngram")).as("count"))
+    // codegen'd probe (no ScalaUDF boundary): pass 2 stays one fused stage
+    val est = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.CmsEstimate(
+        org.apache.spark.sql.graft.Bridge.expression(col("ngram")), bc))
+    grams.select(col("ngram"), est.as("count"))
       .where(col("count") >= threshold)
       .groupBy("ngram").agg(max("count").as("count"))
       .orderBy(desc("count"), asc("ngram")).limit(k)

@@ -21,6 +21,43 @@ class DedupScaleSpec extends SparkTestBase {
     assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
   }
 
+  test("lsh maxBucket skew guard: oversized bucket discarded in the single-pass agg") {
+    // 6 identical docs → every band bucket holds all 6 ids; 2 more
+    // identical docs of different content form a healthy 2-bucket
+    val d = ((1L to 6L).map(i => (i, "a b c d e f g h i j")) ++
+      Seq((11L, "z y x w v u t s r q"), (12L, "z y x w v u t s r q")))
+      .toDF("doc_id", "text")
+    // maxBucket = 4 < 6: the degenerate clique contributes NO pairs; the
+    // healthy pair survives
+    val capped = MinHash.lshCandidates(d, "doc_id", "text", w = 3, k = 8,
+        bands = 4, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((11L, 12L)))
+    // default maxBucket: full 15-pair clique plus the healthy pair — the
+    // bounded collect is exact below the cap
+    val full = MinHash.lshCandidates(d, "doc_id", "text", w = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clique = (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)).toSet
+    assert(full === clique + ((11L, 12L)))
+  }
+
+  test("BoundedCollectSet: exact below cap, saturates at cap, skips nulls") {
+    import org.apache.spark.sql.graft.Bridge
+    val agg = (cap: Int) => Bridge.column(
+      graft.functions.expressions.BoundedCollectSet(
+        Bridge.expression(col("v")), cap).toAggregateExpression())
+    val df = Seq(("a", Some(1)), ("a", Some(2)), ("a", Some(2)), ("a", None),
+      ("b", Some(7)), ("b", Some(8)), ("b", Some(9))).toDF("g", "v")
+    val exact = df.groupBy("g").agg(sort_array(agg(10)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(exact("a") === Seq(1, 2)) // distinct, null skipped
+    assert(exact("b") === Seq(7, 8, 9))
+    val capped = df.groupBy("g").agg(size(agg(2)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped("a") === 2) // true cardinality 2: exact
+    assert(capped("b") === 2) // true cardinality 3: saturated at cap
+  }
+
   test("jaccard of identical docs is 1, disjoint docs is 0") {
     val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
     val sh = MinHash.shingleSets(d, "doc_id", "text", 3)
@@ -450,10 +487,36 @@ class DedupScaleSpec extends SparkTestBase {
     // propagation loop cannot converge and must delegate to the star
     // variant instead of returning under-merged labels
     val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = graft.operators.Dedup.connectedComponents(pairs, maxIter = 3)
+    // maxLocalEdges = 0 disables the driver union-find gate so the
+    // distributed propagation loop (and its non-convergence fallback) runs
+    val cc = graft.operators.Dedup.connectedComponents(pairs, maxIter = 3,
+        maxLocalEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size === 30)
     assert(cc.values.forall(_ == 1L))
+  }
+
+  test("local union-find CC agrees with the distributed path (long and string ids)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 3) {
+      val edges = Seq.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .toDF("id_a", "id_b")
+      val local = graft.operators.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = graft.operators.Dedup.connectedComponents(edges,
+          maxLocalEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist)
+    }
+    val spairs = Seq(("b", "a"), ("c", "b"), ("z", "y")).toDF("id_a", "id_b")
+    val slocal = graft.operators.Dedup.connectedComponents(spairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sdist = graft.operators.Dedup.connectedComponents(spairs,
+        maxLocalEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(slocal === sdist)
+    assert(slocal === Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"))
   }
 
   test("connected components label every member with the cluster min id") {

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.sketch.Sketches
@@ -64,6 +65,26 @@ class SketchSpec extends AnyFunSuite {
     assert(cms.estimate("a") === 3L)
     assert(cms.estimate("b") === 1L)
     assert(cms.estimate("zz") === 0L)
+  }
+
+  test("CmsEstimate expression matches the local estimate exactly") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val cms = Sketches.CMS.empty(1 << 10, 3, 7)
+    Seq("a", "b", "a", "c", "a", "b").foreach(s => cms.add(s))
+    val bc = spark.sparkContext.broadcast(cms)
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.CmsEstimate(
+        org.apache.spark.sql.graft.Bridge.expression(col("w")), bc))
+    val out = Seq("a", "b", "c", "zz", "日本語").toDF("w")
+      .select(col("w"), probe.as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (k, v) => assert(v === cms.estimate(k), s"key $k") }
+    assert(out("a") === 3L && out("zz") === 0L)
+    // null key → null estimate (unary-expression contract)
+    val n = Seq[Option[String]](Some("a"), None).toDF("w")
+      .select(probe.as("est")).collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(n.toSet === Set(Some(3L), None))
   }
 
   test("topKApprox matches exact topk when the sketch is collision-free") {
