@@ -171,10 +171,18 @@ object Cli {
           s"passed '$v' — delete the pin ONLY if the change is intentional")))
       k -> passed.orElse(pinMap.get(k)).getOrElse(default)
     }
-    if (pinMap.isEmpty) {
+    // merge-write whenever ANY entry key is unpinned (not only when the
+    // whole file is absent): a key added to `entries` in a later release —
+    // or dropped from a hand-edited file — would otherwise resolve to its
+    // default forever without being pinned, so a subsequent invocation
+    // could pass a different value without clashing — exactly the silent
+    // index-wide drift the pin exists to prevent. Existing pins are
+    // preserved verbatim (unknown keys included).
+    if (entries.exists { case (k, _, _) => !pinMap.contains(k) }) {
       fs.mkdirs(new org.apache.hadoop.fs.Path(stateDir))
+      val extra = (pinMap -- entries.map(_._1)).toSeq.sortBy(_._1)
       writeStateFile(fs, p,
-        eff.map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n")
+        (eff ++ extra).map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n")
     }
     eff.toMap
   }
@@ -422,11 +430,26 @@ object Cli {
             val markP = new org.apache.hadoop.fs.Path(state + "__outmarks",
               java.security.MessageDigest.getInstance("MD5")
                 .digest(outDir.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-            readStateLines(sfs, markP).flatMap(_.headOption).foreach { prev =>
-              if (prev.trim != snapshotId) sys.error(
+            val marker = readStateLines(sfs, markP).flatMap(_.headOption)
+              .map(_.trim)
+            marker.foreach { prev =>
+              if (prev != snapshotId) sys.error(
                 s"dedup --state: --out $outDir was written by a DIFFERENT " +
                   s"snapshot (its survivors are already in the hash state) — " +
                   "give each snapshot its own --out dir")
+            }
+            // the overwrite below is only implicitly safe for a REPLAY of
+            // this exact snapshot (marker matches). With no marker, a
+            // pre-existing non-empty --out was never claimed by this state
+            // dir — destroying it needs the same explicit --force the
+            // plain --out path requires
+            if (marker.isEmpty && !a.flags.contains("--force")) {
+              val outP = new org.apache.hadoop.fs.Path(outDir)
+              val ofs = outP.getFileSystem(hconf)
+              if (ofs.exists(outP) && ofs.listStatus(outP).nonEmpty) sys.error(
+                s"dedup --state: --out $outDir exists and is not empty, and " +
+                  "no snapshot marker claims it for this state dir — pass " +
+                  "--force to overwrite")
             }
             sfs.mkdirs(markP.getParent)
             writeStateFile(sfs, markP, snapshotId + "\n")
@@ -1216,7 +1239,20 @@ object Cli {
           flag("--query-text").foreach { qt =>
             import spark.implicits._
             search.AnnIndex.registerIvfIndex(spark, table)
-            val q = Seq(("__query", foldQuery(qt))).toDF("id", "text")
+            // fold the query under the PINNED projections, not the session
+            // flags: documents were embedded under cfg("analyzed") /
+            // cfg("fixMojibake"), and a query-only invocation that omits
+            // --analyzed (the documented adopt-the-pin maintenance
+            // workflow) must still embed an identically-normalized query —
+            // same column kernels as readProjected, same order (mojibake
+            // repair before analysis)
+            val q0 = Seq(("__query", qt)).toDF("id", "text")
+            val q1 = if (cfg("fixMojibake").toBoolean)
+              q0.withColumn("text",
+                operators.TextQuality.fixMojibake(col("text"))) else q0
+            val q = if (cfg("analyzed").toBoolean)
+              q1.withColumn("text",
+                graft.functions.TextFunctions.esAnalyzeText(col("text"))) else q1
             val qEmb = operators.FeatureHash.hashedEmbeddings(q, "id",
               "text", dimF, uax29 = uaxF)
             deliver(search.AnnIndex.ivfKnnIndexed(spark, table, qEmb,

@@ -14,6 +14,18 @@ object StreamOps {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
+  /** CHECKPOINT COMPATIBILITY: `lastSec` (name kept — the state-store
+    * schema check keys on field names) has carried epoch MILLISECONDS
+    * since the millisecond-precision change. A stream resumed from a
+    * checkpoint written by the earlier whole-second build decodes seconds
+    * as ms — `ms - lastSec` then spans decades, so every user's first
+    * post-upgrade event spuriously opens a new session (and funnel
+    * timeout timestamps land in the past). The scales cannot be told
+    * apart in-state (near-epoch event times are legal, so a magnitude
+    * heuristic would corrupt valid ms state): resume such streams from a
+    * FRESH checkpoint dir. [[sessionCounts]] and [[funnelStream]] state
+    * this in their contracts.
+    */
   case class SessionState(lastSec: Long, sessions: Long, events: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
 
@@ -66,6 +78,10 @@ object StreamOps {
     * OUTPUT MODE: mapGroupsWithState supports Update only — the parquet
     * file sink (and this module's [[sinkParquet]], which hardcodes
     * Append) cannot consume it; use a memory/Delta/foreachBatch sink.
+    *
+    * CHECKPOINTS from the pre-millisecond build are INCOMPATIBLE (state
+    * decoded at the wrong scale — see [[SessionState]]): start a fresh
+    * checkpoint dir when upgrading across that change.
     */
   def sessionCounts(events: Dataset[Event], gapMinutes: Int): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
@@ -88,6 +104,8 @@ object StreamOps {
       }
   }
 
+  // lastSec carries epoch ms — field name kept for checkpoint schema
+  // compatibility; see the SessionState checkpoint-compatibility note
   case class FunnelState(lastSec: Long, depth: Int)
   case class SessionDepth(user_id: Long, session_depth: Int)
 
@@ -122,6 +140,10 @@ object StreamOps {
     * delivery lag diverge should pass a larger `watermarkMinutes` — flushes
     * then trail real time by that delay, but no user's in-order events are
     * lost to another user's faster clock.
+    *
+    * CHECKPOINTS from the pre-millisecond build are INCOMPATIBLE (state
+    * decoded at the wrong scale — see [[SessionState]]): start a fresh
+    * checkpoint dir when upgrading across that change.
     */
   def funnelStream(events: Dataset[Event], gapMinutes: Int,
                    steps: Seq[String],

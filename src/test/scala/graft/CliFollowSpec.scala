@@ -270,6 +270,29 @@ class CliFollowSpec extends SparkTestBase {
     } finally dropAnn(t)
   }
 
+  test("ann --follow: query-only invocation folds the query under the PINNED analyzed flag") {
+    val t = "cli_ann_pin_analyzed"
+    val (drop, state) = freshDirs()
+    dropAnn(t)
+    try {
+      // documents embedded ANALYZED (case-folded, punctuation stripped)
+      writeShard(s"$drop/day1", "a.jsonl",
+        Seq("ALPHA, BRAVO! CHARLIE?", "zulu yankee xray whiskey"))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--step", "1", "--buckets", "4", "--analyzed"))
+      // the documented adopt-the-pin maintenance workflow: a query-only
+      // invocation OMITS --analyzed. The pinned flag must fold the query —
+      // raw-embedded, "ALPHA," and "alpha" hash to different buckets and
+      // the match silently vanishes
+      val outDir = Files.createTempDirectory("cli_ann_pin_q").toString + "/res"
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--follow", state, "--query-text", "ALPHA, BRAVO! CHARLIE?",
+        "--topk", "1", "--out", outDir))
+      val top = spark.read.json(outDir).select("cos").head().getDouble(0)
+      assert(top > 0.999, s"pinned analyzed fold lost: top cos $top")
+    } finally dropAnn(t)
+  }
+
   test("ann --follow: manifest outliving the index refuses loudly") {
     val t = "cli_ann_refuse"
     val (drop, state) = freshDirs()
@@ -349,6 +372,59 @@ class CliFollowSpec extends SparkTestBase {
     // the first snapshot's survivors are untouched
     assert(Corpus.readJsonl(spark, Seq(out))
       .where(col("text") === "alpha bravo").count() === 1L)
+  }
+
+  test("dedup --state: unclaimed non-empty --out refuses without --force") {
+    val root = Files.createTempDirectory("cli_dedup_state3").toString
+    writeShard(s"$root/in", "a.jsonl", Seq("alpha bravo"))
+    // the out dir pre-exists with unrelated content and NO marker claims it
+    writeShard(s"$root/out", "precious.jsonl", Seq("do not destroy"))
+    val state = s"$root/state"
+    val e = intercept[RuntimeException] {
+      Cli.run(spark, Array("dedup", s"$root/in/*.jsonl",
+        "--state", state, "--out", s"$root/out"))
+    }
+    assert(e.getMessage.contains("--force"), e.getMessage)
+    // the pre-existing content survived the refusal
+    assert(Corpus.readJsonl(spark, Seq(s"$root/out"))
+      .where(col("text") === "do not destroy").count() === 1L)
+    // an explicit --force takes the overwrite, as the plain --out path does
+    Cli.run(spark, Array("dedup", s"$root/in/*.jsonl",
+      "--state", state, "--out", s"$root/out", "--force"))
+    assert(Corpus.readJsonl(spark, Seq(s"$root/out"))
+      .where(col("text") === "alpha bravo").count() === 1L)
+  }
+
+  test("follow: a config pin file missing a key is merge-completed, not left to drift") {
+    val t = "cli_follow_pin_merge"
+    val (drop, state) = freshDirs()
+    dropAll(t)
+    try {
+      writeShard(s"$drop/day1", "a.jsonl", Seq("alpha bravo"))
+      follow(t, drop, state)
+      val cfgP = Paths.get(state, "config")
+      val pinned = new String(Files.readAllBytes(cfgP), "UTF-8")
+      assert(pinned.contains("tokenizer="))
+      // a hand-edited (or older-release) pin file missing the tokenizer
+      // key: the next invocation resolves the default AND pins it, so a
+      // later clashing --tokenizer cannot slip through unpinned
+      val stripped = pinned.linesIterator
+        .filterNot(_.startsWith("tokenizer=")).mkString("\n") + "\n"
+      Files.write(cfgP, stripped.getBytes("UTF-8"))
+      // the NIO write bypasses Hadoop's ChecksumFileSystem — drop the now-
+      // stale .crc sidecar or the next read fails on it
+      Files.deleteIfExists(Paths.get(state, ".config.crc"))
+      writeShard(s"$drop/day2", "b.jsonl", Seq("charlie delta"))
+      follow(t, drop, state)
+      val merged = new String(Files.readAllBytes(cfgP), "UTF-8")
+      assert(merged.contains("tokenizer=unicode"), merged)
+      // surviving keys kept their pinned values
+      assert(merged.contains("buckets=4"), merged)
+      val e = intercept[RuntimeException] {
+        follow(t, drop, state, "--tokenizer", "whitespace")
+      }
+      assert(e.getMessage.contains("pinned"), e.getMessage)
+    } finally dropAll(t)
   }
 
   test("dedup --state: crash replay into the same --out dir converges") {
