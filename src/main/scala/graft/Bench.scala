@@ -67,16 +67,29 @@ object Bench {
     // measured a third time (a real regression is slow every time, a stall
     // is not). All samples are emitted under "samples" so the noise
     // rejection stays auditable rather than silent.
+    // SCORING: sub-second queries always take a third sample and report
+    // the MEDIAN — their totals are dominated by fixed scheduling costs
+    // where a single lucky (or stalled) sample misleads in either
+    // direction, and the round-over-round regression gate needs a stable
+    // number (w_top_paths drifted 0.82→1.08 s on unchanged code under
+    // min-of-2). Queries at 1 s and above keep the min — real work
+    // dominates there, and min rejects multi-tenant interference — with
+    // the third sample only on bad disagreement.
     def measure(name: String): (Double, List[Double]) = {
       val fn = SparkEntry.queries(name)
       val t1 = timeOne(fn)
       val t2 = timeOne(fn)
       val samples0 = List(t1, t2)
       val best0 = samples0.min
-      val samples =
-        if (best0 > 0.05 && samples0.max / best0 > 1.5) samples0 :+ timeOne(fn)
-        else samples0
-      (samples.min, samples)
+      if (best0 < 1.0) {
+        val samples = samples0 :+ timeOne(fn)
+        (samples.sorted.apply(1), samples)
+      } else {
+        val samples =
+          if (samples0.max / best0 > 1.5) samples0 :+ timeOne(fn)
+          else samples0
+        (samples.min, samples)
+      }
     }
     val measured = SparkEntry.queries.keys.toSeq.sorted.map(n => (n, measure(n)))
     val results = measured.map { case (n, (t, _)) => n -> t }
@@ -96,7 +109,21 @@ object Bench {
       "dedup_rows_per_sec" -> resultMap.get("j2_keep_first").map(nDocs / _),
       "phrase_count_sec" -> resultMap.get("a9_count_phrases"))
       .collect { case (k, Some(v)) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"samples":$remeasured,"sf":"$sfDir"}"""
+    // stage attribution for the composed lifecycle queries (their lambdas
+    // mark eager build/stream/compact boundaries into StageTimer; the
+    // values describe the LAST run of each query — attribution, not the
+    // scored number; "finish" = the final lazy verify count, total minus
+    // the marked stages, clamped at 0 when the scored sample is a
+    // different (faster) run than the marked one)
+    val stages = graft.queries.StageTimer.recorded
+      .filter(resultMap.contains).map { q =>
+        val ss = graft.queries.StageTimer.stages(q)
+        val finish = math.max(0.0, resultMap(q) - ss.map(_._2).sum)
+        val cells = (ss :+ ("finish" -> finish))
+          .map { case (k, v) => s"\"$k\":$v" }.mkString(",")
+        s"\"$q\":{$cells}"
+      }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"samples":$remeasured,"stages":$stages,"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture keeps only a tail of stdout, which loses
     // most per-query times — persist the full line to a file as well

@@ -176,6 +176,7 @@ object DedupScaleQueries extends QueryPack {
     // bucket joins — no stream-side shuffle) and the surviving set must be
     // exactly j8's batch decision
     "j17_stream_decontaminate" -> ((s, dir) => {
+      StageTimer.start("j17_stream_decontaminate")
       val d = docs(s, dir)
       val bench = d.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("bid"),
@@ -183,6 +184,7 @@ object DedupScaleQueries extends QueryPack {
       val tmp = java.nio.file.Files.createTempDirectory("j17_stream").toString
       d.select("doc_id", "text").repartition(4)
         .write.mode("overwrite").json(s"$tmp/src")
+      StageTimer.mark("j17_stream_decontaminate", "setup")
       val in = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).json(s"$tmp/src")
       val q = graft.streaming.StreamOps.decontaminateFuzzyStream(
@@ -196,6 +198,7 @@ object DedupScaleQueries extends QueryPack {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StageTimer.mark("j17_stream_decontaminate", "stream")
       s.read.parquet(s"$tmp/out").orderBy("doc_id")
     }),
 

@@ -256,11 +256,14 @@ object SearchQueries extends QueryPack {
       val table = "e18_stream_idx"
       resetIndexTable(s, table)
       val tmp = java.nio.file.Files.createTempDirectory("e18_stream").toString
+      StageTimer.start("e18_stream_compact")
       InvertedIndex.writeIndex(
         InvertedIndex.postings(d.where(col("doc_id") % 5 =!= 0),
           "doc_id", "text", uax29 = false), table, buckets = 8, force = true)
+      StageTimer.mark("e18_stream_compact", "build")
       d.where(col("doc_id") % 5 === 0).select("doc_id", "text")
         .repartition(4).write.mode("overwrite").json(s"$tmp/src")
+      StageTimer.mark("e18_stream_compact", "setup")
       val in = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).json(s"$tmp/src")
       val q = InvertedIndex.postingsStream(in, "doc_id", "text", uax29 = false)
@@ -271,8 +274,10 @@ object SearchQueries extends QueryPack {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      StageTimer.mark("e18_stream_compact", "stream")
       InvertedIndex.compactIndex(s, table, s.read.parquet(s"$tmp/appends"),
         buckets = 8)
+      StageTimer.mark("e18_stream_compact", "compact")
       InvertedIndex.phraseHits(InvertedIndex.readIndex(s, table), idxPhrases,
         uax29 = false).orderBy("phrase")
     }),
@@ -293,11 +298,14 @@ object SearchQueries extends QueryPack {
         .select(col("doc_id"),
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev1")))
             .otherwise(col("text")).as("text"))
+      StageTimer.start("e19_index_refresh")
       InvertedIndex.writeIndex(
         InvertedIndex.postings(old, "doc_id", "text", uax29 = false),
         table, buckets = 8, force = true)
+      StageTimer.mark("e19_index_refresh", "build")
       InvertedIndex.refreshIndex(s, table, old, nw, "doc_id", "text",
         buckets = 8, uax29 = false)
+      StageTimer.mark("e19_index_refresh", "refresh")
       InvertedIndex.phraseHits(InvertedIndex.readIndex(s, table), idxPhrases,
         uax29 = false).orderBy("phrase")
     }),

@@ -370,6 +370,163 @@ object Corpus {
     writtenShards
   }
 
+  // ---- URL-list shard ingestion (the stack/HF download half) ------------
+
+  /** One shard copy: stream the resource at `url` into `out` (the caller
+    * owns/closes the stream). Implementations must be Serializable — they
+    * run on executors, one task per shard, the reference's
+    * `parallel`-driven per-file download re-expressed as Spark tasks.
+    */
+  trait ShardFetcher extends Serializable {
+    def fetch(url: String, out: java.io.OutputStream): Unit
+  }
+
+  /** `file://` / local-path fetcher — tests and pre-mirrored drops. Query
+    * string / fragment are stripped (they address a remote signer, not
+    * the local mirror path).
+    */
+  object LocalFileFetcher extends ShardFetcher {
+    def fetch(url: String, out: java.io.OutputStream): Unit = {
+      val noQuery = url.takeWhile(c => c != '?' && c != '#')
+      val path =
+        if (noQuery.startsWith("file://")) noQuery.stripPrefix("file://")
+        else noQuery
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+  }
+
+  /** The authenticated-HTTP half of the reference's stack tooling
+    * (preparation/stack/download_url.py:1-40 fetches each manifest URL
+    * with a bearer token from auth_utils.py:8-20). Network egress is out
+    * of scope for this environment, so this is a DOCUMENTED STUB: wire
+    * your HTTP client + token source here; everything around it (manifest
+    * resume, per-shard tasks, atomic target writes, failure reporting) is
+    * real and tested through [[LocalFileFetcher]].
+    */
+  final class HttpAuthFetcher(tokenEnvVar: String = "DOWNLOAD_AUTH_TOKEN")
+      extends ShardFetcher {
+    def fetch(url: String, out: java.io.OutputStream): Unit =
+      throw new UnsupportedOperationException(
+        s"HttpAuthFetcher is a documented stub (no network egress here): " +
+          s"implement with an HTTP client sending 'Authorization: Bearer " +
+          s"$$$tokenEnvVar', mirroring preparation/stack/download_url.py")
+  }
+
+  /** Per-run fetch outcome: URLs fetched this run, URLs skipped as
+    * already-manifested, and (url, error) pairs for failures — failures
+    * are NOT manifested, so the next run retries exactly them.
+    */
+  final case class FetchReport(fetched: Seq[String], skippedDone: Long,
+                               failed: Seq[(String, String)])
+
+  /** Drive a stack_v1.2_urls.txt-shaped URL list into `outDir`, one target
+    * file per URL (its basename, query/fragment stripped), resuming via a
+    * `_fetch_manifest.txt` of completed URLs — the offline re-expression
+    * of the reference's manifest-driven shard download
+    * (preparation/stack/download.sh:11 fans `download_url.py` over the
+    * list; wimbd/indexing/huggingface.py:28-88 resumes from what's on
+    * disk).
+    *
+    * Shape: per-shard imperative I/O is the legitimate RDD/foreach case
+    * (like LinkProbe) — the URL list is tiny, each element is one opaque
+    * copy, and the work distributes one task per shard. Each target
+    * writes to a `.__fetch_tmp` sibling and renames (a crashed task's tmp
+    * is overwritten on retry); the manifest extends only with successes,
+    * AFTER the batch completes, so a crash between fetch and manifest
+    * re-fetches idempotently. Duplicate basenames in the list are a loud
+    * driver-side error (two URLs would clobber one target).
+    */
+  def ingestFromManifest(spark: SparkSession, urls: Seq[String],
+                         outDir: String,
+                         fetcher: ShardFetcher = LocalFileFetcher,
+                         maxTasks: Int = 64): FetchReport = {
+    val cleaned = urls.map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#"))
+    val named = cleaned.map(u => u -> shardTargetName(u))
+    val dup = named.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
+    require(dup.isEmpty,
+      s"ingestFromManifest: duplicate target basenames would clobber: " +
+        dup.keys.toSeq.sorted.take(5).mkString(", "))
+    val done = readFetchManifest(spark, outDir)
+    val todo = named.filterNot { case (u, _) => done(u) }.distinct
+    if (todo.isEmpty)
+      return FetchReport(Nil, done.size.toLong, Nil)
+    val bcConf = org.apache.spark.sql.graft.Bridge.serializableHadoopConf(spark)
+    val slices = math.max(1, math.min(todo.size,
+      math.min(maxTasks, spark.sparkContext.defaultParallelism)))
+    val results = spark.sparkContext.parallelize(todo, slices).map {
+      case (url, name) =>
+        val conf = bcConf.value.value
+        val target = new org.apache.hadoop.fs.Path(outDir, name)
+        val fs = target.getFileSystem(conf)
+        try {
+          val tmp = new org.apache.hadoop.fs.Path(outDir, s".$name.__fetch_tmp")
+          val os = fs.create(tmp, true)
+          try fetcher.fetch(url, os) finally os.close()
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target))
+            sys.error(s"rename $tmp -> $target failed")
+          (url, None: Option[String])
+        } catch {
+          case scala.util.control.NonFatal(e) => (url, Some(e.toString))
+        }
+    }.collect()
+    val ok = results.collect { case (u, None) => u }.toSeq
+    if (ok.nonEmpty) writeFetchManifest(spark, outDir, done ++ ok)
+    FetchReport(ok, done.size.toLong,
+      results.collect { case (u, Some(e)) => (u, e) }.toSeq)
+  }
+
+  /** Read a URL-list file (one URL per line; blanks and `#` comments
+    * skipped) — the stack_v1.2_urls.txt shape.
+    */
+  def readUrlList(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#")).toList
+    finally in.close()
+  }
+
+  private def shardTargetName(url: String): String = {
+    val noQuery = url.takeWhile(c => c != '?' && c != '#')
+    val base = noQuery.reverse.takeWhile(_ != '/').reverse
+    require(base.nonEmpty, s"ingestFromManifest: no basename in '$url'")
+    base
+  }
+
+  private def fetchManifestPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(outDir, "_fetch_manifest.txt")
+
+  private def readFetchManifest(spark: SparkSession, outDir: String): Set[String] = {
+    val p = fetchManifestPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeFetchManifest(spark: SparkSession, outDir: String,
+                                 urls: Set[String]): Unit = {
+    val p = fetchManifestPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(outDir, "_fetch_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(urls.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) sys.error(s"fetch-manifest rename failed at $p")
+  }
+
   private def manifestPath(outDir: String) =
     new org.apache.hadoop.fs.Path(outDir, "_ingest_manifest.txt")
 

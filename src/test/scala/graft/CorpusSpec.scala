@@ -232,4 +232,44 @@ class CorpusSpec extends SparkTestBase {
       .select("text").collect().map(_.getString(0)).toSeq
     assert(texts === Seq("x", "y")) // name-sorted order preserved
   }
+
+  test("ingestFromManifest: file:// end-to-end, resume, failure retry, duplicate guard") {
+    val src = Files.createTempDirectory("fetch_src")
+    val out = Files.createTempDirectory("fetch_out").toString
+    writeShard(src, "s0.json.gz", Seq("""{"text":"shard zero"}"""))
+    writeShard(src, "s1.json.gz", Seq("""{"text":"shard one"}"""))
+    val urls = Seq(
+      s"file://$src/s0.json.gz",
+      s"file://$src/s1.json.gz?sig=abc") // query string stripped from target
+    val r1 = Corpus.ingestFromManifest(spark, urls, out)
+    assert(r1.fetched.toSet === urls.toSet && r1.failed.isEmpty)
+    assert(Corpus.readJsonl(spark, Seq(out)).select("text")
+      .collect().map(_.getString(0)).toSet === Set("shard zero", "shard one"))
+    // resume: nothing re-fetched
+    val r2 = Corpus.ingestFromManifest(spark, urls, out)
+    assert(r2.fetched.isEmpty && r2.skippedDone === 2L)
+    // a grown list fetches only the new shard
+    writeShard(src, "s2.json.gz", Seq("""{"text":"shard two"}"""))
+    val r3 = Corpus.ingestFromManifest(spark, urls :+ s"file://$src/s2.json.gz", out)
+    assert(r3.fetched === Seq(s"file://$src/s2.json.gz"))
+    // a failing URL is reported, NOT manifested, and retried next run
+    val missing = s"file://$src/nope.json.gz"
+    val r4 = Corpus.ingestFromManifest(spark, Seq(missing), out)
+    assert(r4.fetched.isEmpty && r4.failed.map(_._1) === Seq(missing))
+    writeShard(src, "nope.json.gz", Seq("""{"text":"late shard"}"""))
+    val r5 = Corpus.ingestFromManifest(spark, Seq(missing), out)
+    assert(r5.fetched === Seq(missing) && r5.failed.isEmpty)
+    assert(Corpus.readJsonl(spark, Seq(out)).count() === 4L)
+    // duplicate target basenames refuse loudly
+    intercept[IllegalArgumentException] {
+      Corpus.ingestFromManifest(spark,
+        Seq(s"file://$src/s0.json.gz", s"file://elsewhere/s0.json.gz"), out)
+    }
+    // the network fetcher is a documented stub that fails loudly
+    val rs = Corpus.ingestFromManifest(spark, Seq(s"file://$src/s0.json.gz"),
+      Files.createTempDirectory("fetch_stub").toString,
+      new Corpus.HttpAuthFetcher())
+    assert(rs.failed.size === 1 &&
+      rs.failed.head._2.contains("UnsupportedOperationException"))
+  }
 }

@@ -291,6 +291,77 @@ class EmptyInputSpec extends SparkTestBase {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // null propagates
   }
 
+  test("r11 surfaces: ingest --follow with zero-doc drops is a routine no-op") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("empty_ingest_follow").toString
+    Files.createDirectories(Paths.get(s"$root/drop"))
+    // an empty GLOB (no shards yet) is the routine empty poll
+    Cli.run(spark, Array("ingest", s"$root/drop/*.jsonl", "--follow", s"$root/state"))
+    // a ZERO-DOC shard forms a zero-survivor batch without bricking the dir
+    Files.write(Paths.get(s"$root/drop/empty.jsonl"), "".getBytes("UTF-8"))
+    Cli.run(spark, Array("ingest", s"$root/drop/*.jsonl", "--follow", s"$root/state"))
+    Cli.run(spark, Array("ingest", s"$root/drop/*.jsonl", "--follow", s"$root/state"))
+    // a later REAL drop still ingests normally (state not poisoned)
+    val good = ("the" +: (1 to 58).map(i => s"w$i") :+ "and").mkString(" ")
+    Files.write(Paths.get(s"$root/drop/real.jsonl"),
+      (s"""{"text":"$good"}""" + "\n").getBytes("UTF-8"))
+    Cli.run(spark, Array("ingest", s"$root/drop/*.jsonl", "--follow", s"$root/state"))
+    val batches = new java.io.File(s"$root/state/data").listFiles()
+      .filter(_.getName.startsWith("batch-")).map(_.toString).toSeq
+    assert(graft.sources.Corpus.readJsonl(spark, batches)
+      .where(col("text") === good).count() === 1L)
+  }
+
+  test("r11 surfaces: ann --follow with an empty drop directory") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("empty_ann_follow").toString
+    Files.createDirectories(Paths.get(s"$root/drop"))
+    graft.queries.Tables.reset(spark, "empty_ann_follow_t",
+      "empty_ann_follow_t__centroids", "empty_ann_follow_t__meta")
+    // empty glob: no new shards, no index, no throw — and the state dir
+    // is NOT bricked for the later first real batch
+    Cli.run(spark, Array("ann", s"$root/drop/*.jsonl", "--table",
+      "empty_ann_follow_t", "--follow", s"$root/state", "--step", "1",
+      "--buckets", "4"))
+    // a zero-row shard defers the id-mode pin and builds nothing
+    Files.write(Paths.get(s"$root/drop/empty.jsonl"), "".getBytes("UTF-8"))
+    Cli.run(spark, Array("ann", s"$root/drop/*.jsonl", "--table",
+      "empty_ann_follow_t", "--follow", s"$root/state", "--step", "1",
+      "--buckets", "4"))
+    // the first REAL batch after empty polls builds the index normally
+    Files.write(Paths.get(s"$root/drop/real.jsonl"),
+      ("""{"text":"alpha bravo charlie delta"}""" + "\n").getBytes("UTF-8"))
+    Cli.run(spark, Array("ann", s"$root/drop/*.jsonl", "--table",
+      "empty_ann_follow_t", "--follow", s"$root/state", "--step", "1",
+      "--buckets", "4"))
+    assert(spark.table("empty_ann_follow_t").count() === 1L)
+    graft.queries.Tables.reset(spark, "empty_ann_follow_t",
+      "empty_ann_follow_t__centroids", "empty_ann_follow_t__meta")
+  }
+
+  test("r11 surfaces: grouped significance with an empty foreground; empty url list") {
+    import graft.search.InvertedIndex
+    val d = Seq((1L, "alpha bravo", "s1"), (2L, "charlie delta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val post = InvertedIndex.postings(d, "doc_id", "text", uax29 = false)
+    val norms = InvertedIndex.corpusNorms(d, "text", uax29 = false)
+    // an EMPTY docGroups frame: zero rows out, no throw
+    val noGroups = Seq.empty[(Long, String)].toDF("doc_id", "group")
+    assert(InvertedIndex.significantTermsByGroup(post, norms, noGroups,
+      k = 5, minDocCount = 1).count() === 0)
+    // a group whose docs have NO postings (out-of-corpus ids): that group
+    // simply produces no rows; populated groups are unaffected
+    val ghost = Seq((99L, "ghost"), (1L, "real")).toDF("doc_id", "group")
+    val got = InvertedIndex.significantTermsByGroup(post, norms, ghost,
+      k = 5, minDocCount = 1).select("group").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("real"))
+    // an empty URL list is a no-op fetch, not a throw
+    val out = java.nio.file.Files.createTempDirectory("empty_urls").toString
+    val r = graft.sources.Corpus.ingestFromManifest(spark, Nil, out)
+    assert(r.fetched.isEmpty && r.failed.isEmpty && r.skippedDone === 0L)
+  }
+
   test("consolidateShards: an empty input dir is a loud error, not silence") {
     val d = java.nio.file.Files.createTempDirectory("cons_empty")
     val out = java.nio.file.Files.createTempDirectory("cons_empty_out")

@@ -227,6 +227,33 @@ class PlanPropertySpec extends SparkTestBase {
     // explode→(group,ngram) partial agg is the only corpus-scale exchange;
     // the window repartitions the aggregated vocab by group only
     assert(shuffles(t) <= 2, p)
+    // the `rank <= k` filter must push a PARTIAL WindowGroupLimit below
+    // the window's exchange: it pre-selects k rows per group map-side, the
+    // one plan property keeping per-group top-k from sorting a full
+    // billion-term per-group vocab in a single task at 100×
+    assertPartialGroupLimit(t)
+  }
+
+  /** Spark 4 plans `row_number()/rank() <= k` as WindowGroupLimitExec
+    * pairs; the Partial one runs BEFORE the exchange. Its presence is
+    * load-bearing for scale — lock it, don't assume it.
+    */
+  private def assertPartialGroupLimit(df: org.apache.spark.sql.DataFrame): Unit = {
+    // string-match the plan: executedPlan is an AQE wrapper whose collect
+    // does not traverse the wrapped plan
+    val p = plan(df)
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(p).nonEmpty,
+      s"no partial WindowGroupLimit in:\n$p")
+  }
+
+  test("significantTermsByGroup: partial WindowGroupLimit below the group-rank exchange") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val post = graft.search.InvertedIndex.postings(d, "doc_id", "text", uax29 = false)
+    val norms = graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false)
+    val labels = d.select(col("doc_id"), col("source").as("group"))
+    val g = graft.search.InvertedIndex.significantTermsByGroup(post, norms,
+      labels, k = 5)
+    assertPartialGroupLimit(g)
   }
 
   test("domainReport: two partial-agg shuffles, no collect-side plan") {
@@ -245,18 +272,33 @@ class PlanPropertySpec extends SparkTestBase {
 
   test("statsExtremes and zipfStats have no single-partition window (global rank trap)") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    def globalWindows(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.executedPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+    // traverse through AQE wrappers AND cached-relation boundaries:
+    // collect on the adaptive wrapper does not descend into the wrapped
+    // plan, and zipf's windows live inside an InMemoryRelation's cached
+    // plan (an earlier version of this test was vacuously green)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          allNodes(i.relation.cachedPlan)
+        case _ => Nil
+      })
+    def windows(df: org.apache.spark.sql.DataFrame): Seq[Boolean] =
+      allNodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
       }
     // extremes: agg + broadcast-filter, no window at all
     val ext = NgramOps.statsExtremes(docs, "text", "doc_id", uax29 = false)
-    assert(globalWindows(ext).isEmpty, plan(ext))
+    assert(!windows(ext).exists(identity), plan(ext))
     // zipf: rank via range-partition + per-bucket window + offset join —
-    // every window in the plan must carry a partitionSpec
+    // every window in the plan must carry a partitionSpec, and the plan
+    // must actually HAVE windows (traversal is non-vacuous)
     val z = NgramOps.zipfStats(docs, "text")
-    assert(globalWindows(z).isEmpty, plan(z))
+    assert(windows(z).nonEmpty, plan(z))
+    assert(!windows(z).exists(identity), plan(z))
     assert(plan(z).contains("Exchange rangepartitioning"), plan(z))
   }
 
