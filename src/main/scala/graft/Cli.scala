@@ -55,6 +55,13 @@ import graft.sources.Corpus
   *   runMain graft.Cli sample PATH... (--fraction F | --mix SRC=F... |
   *     --budget SRC=TOKENS... | --upsample SRC=WEIGHT... --token-budget N)
   *     [--stratum-col C] [--default-fraction F]
+  *   runMain graft.Cli fetch URL_LIST_FILE... --out DIR
+  *                        // mirror a stack-urls.txt manifest into DIR:
+  *                        // one task per shard, _fetch_manifest.txt
+  *                        // resume (failed shards retry on rerun);
+  *                        // file:// lists work out of the box, the
+  *                        // authenticated-HTTP fetcher is a documented
+  *                        // stub (no egress here)
   *   runMain graft.Cli ingest DROP_PATH... --follow STATE_DIR
   *     [--quality gopher|fineweb|none]    // quality gate (default gopher)
   *     [--bench PATH [--threshold J]]     // decontamination (exact; J = fuzzy)
@@ -285,7 +292,7 @@ object Cli {
   }
 
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate|ingest> PATH... [flags]")
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate|ingest|fetch> PATH... [flags]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -1298,6 +1305,20 @@ object Cli {
           Corpus.withFileLineId(docs, "__id"), "__id", "text",
           foldQuery(flag("--phrase").getOrElse(sys.error("grep needs --phrase"))),
           intFlag("--context", 30)), ranked = false)
+      // reference preparation/stack/download.sh: fan the URL manifest out
+      // as per-shard fetch tasks with durable resume; PATH... are URL-list
+      // files (one URL per line, blanks/# skipped)
+      case "fetch" =>
+        val outDir = out.getOrElse(sys.error("fetch requires --out DIR"))
+        require(a.paths.nonEmpty, "fetch needs at least one URL-list file")
+        val urls = a.paths.flatMap(p => Corpus.readUrlList(spark, p))
+        val r = Corpus.ingestFromManifest(spark, urls, outDir)
+        System.err.println(s"fetch: ${r.fetched.size} fetched, " +
+          s"${r.skippedDone} already done, ${r.failed.size} failed")
+        r.failed.foreach { case (u, e) =>
+          System.err.println(s"fetch FAILED $u: $e") }
+        if (r.failed.nonEmpty) sys.error(
+          s"fetch: ${r.failed.size} shard(s) failed — rerun retries exactly them")
       case "consolidate" =>
         // small-shard compaction (reference combine_adjacent_files.py):
         // operates on the FILES under PATH directly, no corpus read

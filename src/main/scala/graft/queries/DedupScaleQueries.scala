@@ -182,7 +182,11 @@ object DedupScaleQueries extends QueryPack {
         .select(col("doc_id").as("bid"),
           concat(col("text"), lit(" extra token")).as("btext"))
       val tmp = java.nio.file.Files.createTempDirectory("j17_stream").toString
-      d.select("doc_id", "text").repartition(4)
+      // 2 source files x maxFilesPerTrigger=1 = two REAL micro-batches —
+      // the multi-batch semantics under test at the minimum batch count
+      // (per-batch fixed cost dominates this lifecycle's wall time;
+      // deeper batch sequences are StreamingSpec's job)
+      d.select("doc_id", "text").repartition(2)
         .write.mode("overwrite").json(s"$tmp/src")
       StageTimer.mark("j17_stream_decontaminate", "setup")
       val in = s.readStream.schema("doc_id BIGINT, text STRING")

@@ -261,8 +261,10 @@ object SearchQueries extends QueryPack {
         InvertedIndex.postings(d.where(col("doc_id") % 5 =!= 0),
           "doc_id", "text", uax29 = false), table, buckets = 8, force = true)
       StageTimer.mark("e18_stream_compact", "build")
+      // 2 files = two real micro-batches (see j17: batch count, not data,
+      // dominates; 2 is the minimum that still exercises multi-batch)
       d.where(col("doc_id") % 5 === 0).select("doc_id", "text")
-        .repartition(4).write.mode("overwrite").json(s"$tmp/src")
+        .repartition(2).write.mode("overwrite").json(s"$tmp/src")
       StageTimer.mark("e18_stream_compact", "setup")
       val in = s.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).json(s"$tmp/src")

@@ -272,4 +272,28 @@ class CorpusSpec extends SparkTestBase {
     assert(rs.failed.size === 1 &&
       rs.failed.head._2.contains("UnsupportedOperationException"))
   }
+
+  test("fetch subcommand: url-list file in, mirrored shards + resume out") {
+    val src = Files.createTempDirectory("fetch_cli_src")
+    val out = Files.createTempDirectory("fetch_cli_out").toString
+    writeShard(src, "c0.json.gz", Seq("""{"text":"cli zero"}"""))
+    writeShard(src, "c1.json.gz", Seq("""{"text":"cli one"}"""))
+    val listFile = src.resolve("urls.txt")
+    Files.write(listFile, Seq(
+      "# stack_v1.2_urls.txt shape",
+      s"file://$src/c0.json.gz",
+      "",
+      s"file://$src/c1.json.gz").mkString("\n").getBytes("UTF-8"))
+    Cli.run(spark, Array("fetch", listFile.toString, "--out", out))
+    assert(Corpus.readJsonl(spark, Seq(out)).select("text")
+      .collect().map(_.getString(0)).toSet === Set("cli zero", "cli one"))
+    // rerun resumes (no re-fetch, no error)
+    Cli.run(spark, Array("fetch", listFile.toString, "--out", out))
+    // a list entry that cannot be fetched fails LOUDLY after reporting
+    Files.write(listFile, (s"file://$src/absent.json.gz" + "\n").getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      Cli.run(spark, Array("fetch", listFile.toString, "--out", out))
+    }
+    assert(e.getMessage.contains("failed"), e.getMessage)
+  }
 }
