@@ -42,8 +42,10 @@ object AnnQueries extends QueryPack {
       val emb = Tables(s, dir, "embeddings")
       val table = "ann_ivf_idx"
       Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      StageTimer.start("ann_ivf_indexed")
       graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
         step = 50, table = table, buckets = 8, force = true)
+      StageTimer.mark("ann_ivf_indexed", "build")
       graft.search.AnnIndex.ivfKnnIndexed(s, table,
         emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nprobe = 3)
@@ -110,9 +112,11 @@ object AnnQueries extends QueryPack {
       val emb = Tables(s, dir, "embeddings")
       val table = "ann_ivfpq_idx"
       Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook", s"${table}__meta")
+      StageTimer.start("ann_ivfpq_indexed")
       graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
         step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
         force = true)
+      StageTimer.mark("ann_ivfpq_indexed", "build")
       graft.search.AnnIndex.ivfPqKnnIndexed(s, table,
         emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nprobe = 3)

@@ -159,9 +159,11 @@ object DedupScaleQueries extends QueryPack {
       val d = docs(s, dir)
       val table = "j16_minhash_idx"
       Tables.reset(s, table, s"${table}__meta")
+      StageTimer.start("j16_decontaminate_indexed")
       graft.search.MinHashIndex.writeMinHashIndex(d, "doc_id", "text", table,
         w = W, k = K, bands = BANDS, md5Parity = true, buckets = 8,
         force = true)
+      StageTimer.mark("j16_decontaminate_indexed", "build")
       val bench = d.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("bid"),
           concat(col("text"), lit(" extra token")).as("btext"))
