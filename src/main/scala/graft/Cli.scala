@@ -154,6 +154,20 @@ object Cli {
     finally os.close()
   }
 
+  /** [[writeStateFile]] via tmp + rename — for state files that REWRITE
+    * existing content (the config pin merge): a crash between create's
+    * truncation and the write must not leave an empty/partial file whose
+    * next read silently re-derives defaults.
+    */
+  private def writeStateFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                                   p: org.apache.hadoop.fs.Path,
+                                   content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".__tmp")
+    writeStateFile(fs, tmp, content)
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) sys.error(s"state-file rename failed at $p")
+  }
+
   /** Index-wide settings pinned in the state dir on first use — batches
     * processed under drifting flags (tokenizer, analyzer, bucket count,
     * embedding dim) would silently mix incompatible postings/vectors in
@@ -188,7 +202,10 @@ object Cli {
     if (entries.exists { case (k, _, _) => !pinMap.contains(k) }) {
       fs.mkdirs(new org.apache.hadoop.fs.Path(stateDir))
       val extra = (pinMap -- entries.map(_._1)).toSeq.sortBy(_._1)
-      writeStateFile(fs, p,
+      // atomic: this path REWRITES an existing pin file when merging — a
+      // crash mid-truncate would otherwise destroy the pins and let the
+      // next invocation silently re-pin defaults
+      writeStateFileAtomic(fs, p,
         (eff ++ extra).map { case (k, v) => s"$k=$v" }.mkString("\n") + "\n")
     }
     eff.toMap
@@ -275,21 +292,29 @@ object Cli {
     spark.catalog.tableExists(t)
   }
 
-  /** Read shards with the pipeline's TEXT projections (mojibake repair
-    * first — analysis would strip the C1 evidence the latin-1 flavor
-    * needs — then ES analysis), under explicitly pinned values rather
-    * than session flags: every batch of a --follow state dir must
+  /** The pipeline's TEXT projections in their contractual order: mojibake
+    * repair FIRST (analysis would strip the C1 evidence the latin-1
+    * flavor needs), then ES-standard analysis. Single source of truth —
+    * document reads, secondary corpora, and pinned query folds must all
+    * normalize through this one sequence or they silently stop matching
+    * each other.
+    */
+  private def textProjections(df: DataFrame, fixMojibake: Boolean,
+                              analyze: Boolean): DataFrame = {
+    val d1 = if (fixMojibake) df.withColumn("text",
+      operators.TextQuality.fixMojibake(col("text"))) else df
+    if (analyze) d1.withColumn("text",
+      graft.functions.TextFunctions.esAnalyzeText(col("text")))
+    else d1
+  }
+
+  /** Read shards with [[textProjections]] under explicitly pinned values
+    * rather than session flags: every batch of a --follow state dir must
     * normalize identically.
     */
   private def readProjected(spark: SparkSession, paths: Seq[String],
-                            fixMojibake: Boolean, analyze: Boolean): DataFrame = {
-    val df0 = Corpus.readJsonl(spark, paths)
-    val df1 = if (fixMojibake) df0.withColumn("text",
-      operators.TextQuality.fixMojibake(col("text"))) else df0
-    if (analyze) df1.withColumn("text",
-      graft.functions.TextFunctions.esAnalyzeText(col("text")))
-    else df1
-  }
+                            fixMojibake: Boolean, analyze: Boolean): DataFrame =
+    textProjections(Corpus.readJsonl(spark, paths), fixMojibake, analyze)
 
   def main(argv: Array[String]): Unit = {
     require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate|ingest|fetch> PATH... [flags]")
@@ -327,32 +352,19 @@ object Cli {
     // applies); runs FIRST — analysis/normalization would strip the C1
     // evidence the latin-1 flavor needs
     val fixMoji = a.flags.contains("--fix-mojibake")
-    lazy val rawDocs =
-      if (fixMoji) readDocs.withColumn("text",
-        graft.operators.TextQuality.fixMojibake(col("text")))
-      else readDocs
     // --analyzed: run the command over ES-standard-analyzed text (the
     // reference index's write-time analysis) — a projection, so every
     // subcommand inherits it; query strings fold via analyzePhrase below
     val analyzed = a.flags.contains("--analyzed")
-    lazy val docs =
-      if (analyzed) rawDocs.withColumn("text",
-        graft.functions.TextFunctions.esAnalyzeText(col("text")))
-      else rawDocs
+    lazy val docs = textProjections(readDocs, fixMoji, analyzed)
     def foldQuery(s: String): String =
       if (analyzed) search.Searcher.analyzePhrase(s) else s
     def searchStrings(n: String): Seq[String] = flagAll(n).map(foldQuery)
     // secondary corpora (--bench / --old / --refresh-old) fold through the
     // SAME analyzer as the primary — comparing analyzed text against raw
     // text would silently match nothing (hashes/diffs keyed on text)
-    def readSecondary(paths: Seq[String]): DataFrame = {
-      val d0 = Corpus.readJsonl(spark, paths)
-      val d = if (fixMoji) d0.withColumn("text",
-        graft.operators.TextQuality.fixMojibake(col("text"))) else d0
-      if (analyzed) d.withColumn("text",
-        graft.functions.TextFunctions.esAnalyzeText(col("text")))
-      else d
-    }
+    def readSecondary(paths: Seq[String]): DataFrame =
+      textProjections(Corpus.readJsonl(spark, paths), fixMoji, analyzed)
 
     val out = flag("--out")
     def deliver(df: DataFrame, ranked: Boolean): Unit = out match {
@@ -1253,13 +1265,8 @@ object Cli {
             // workflow) must still embed an identically-normalized query —
             // same column kernels as readProjected, same order (mojibake
             // repair before analysis)
-            val q0 = Seq(("__query", qt)).toDF("id", "text")
-            val q1 = if (cfg("fixMojibake").toBoolean)
-              q0.withColumn("text",
-                operators.TextQuality.fixMojibake(col("text"))) else q0
-            val q = if (cfg("analyzed").toBoolean)
-              q1.withColumn("text",
-                graft.functions.TextFunctions.esAnalyzeText(col("text"))) else q1
+            val q = textProjections(Seq(("__query", qt)).toDF("id", "text"),
+              cfg("fixMojibake").toBoolean, cfg("analyzed").toBoolean)
             val qEmb = operators.FeatureHash.hashedEmbeddings(q, "id",
               "text", dimF, uax29 = uaxF)
             deliver(search.AnnIndex.ivfKnnIndexed(spark, table, qEmb,

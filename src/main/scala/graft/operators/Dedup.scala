@@ -315,7 +315,15 @@ object Dedup {
     val lt: (Any, Any) => Boolean = dt match {
       case org.apache.spark.sql.types.LongType =>
         (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-      case _ => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case _ =>
+        // UTF-8 BINARY order, not java.lang.String's UTF-16 code-unit
+        // order: Spark's least()/min() compare UTF8String bytes, and the
+        // two orders disagree on supplementary-plane characters — the
+        // local and distributed paths must elect the SAME representative
+        (a, b) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])) < 0
     }
     val parent = mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
@@ -350,8 +358,15 @@ object Dedup {
       schema)
   }
 
+  /** @param maxLocalEdges size gate for the driver union-find fast path.
+    *        The default 1M edges costs roughly 150 MB of transient Row
+    *        objects plus two boxed-key maps of ≤ 2M entries (~250-400 MB
+    *        peak) — safe on the 1g spark.driver.memory default with
+    *        headroom; raise it on fat drivers, or set 0 to force the
+    *        distributed path.
+    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          maxLocalEdges: Long = 4L << 20): DataFrame = {
+                          maxLocalEdges: Long = 1L << 20): DataFrame = {
     val idCast = ccEdgeCast(pairs)
     // materialize the incoming pair pipeline ONCE: the union's two
     // direction arms would otherwise each recompute it (candidate

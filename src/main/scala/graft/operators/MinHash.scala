@@ -168,7 +168,9 @@ object MinHash {
     val boundedIds = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.expressions.BoundedCollectSet(
         org.apache.spark.sql.graft.Bridge.expression(col("id")),
-        maxBucket + 1).toAggregateExpression())
+        // clamp: maxBucket = Int.MaxValue means "effectively unbounded",
+        // and + 1 must not wrap negative into the aggregate's require
+        math.min(maxBucket, Int.MaxValue - 1) + 1).toAggregateExpression())
     val buckets = rows.groupBy("band", "band_key")
       .agg(sort_array(boundedIds).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))

@@ -417,16 +417,17 @@ object Corpus {
           s"$$$tokenEnvVar', mirroring preparation/stack/download_url.py")
   }
 
-  /** Per-run fetch outcome: URLs fetched this run, URLs skipped as
-    * already-manifested, and (url, error) pairs for failures — failures
-    * are NOT manifested, so the next run retries exactly them.
+  /** Per-run fetch outcome: URLs fetched this run, how many of THIS
+    * run's input URLs were skipped as already-manifested, and (url,
+    * error) pairs for failures — failures are NOT manifested, so the
+    * next run retries exactly them.
     */
   final case class FetchReport(fetched: Seq[String], skippedDone: Long,
                                failed: Seq[(String, String)])
 
   /** Drive a stack_v1.2_urls.txt-shaped URL list into `outDir`, one target
     * file per URL (its basename, query/fragment stripped), resuming via a
-    * `_fetch_manifest.txt` of completed URLs — the offline re-expression
+    * `_fetch_manifest.txt` of completed TARGET basenames — the offline re-expression
     * of the reference's manifest-driven shard download
     * (preparation/stack/download.sh:11 fans `download_url.py` over the
     * list; wimbd/indexing/huggingface.py:28-88 resumes from what's on
@@ -435,26 +436,32 @@ object Corpus {
     * Shape: per-shard imperative I/O is the legitimate RDD/foreach case
     * (like LinkProbe) — the URL list is tiny, each element is one opaque
     * copy, and the work distributes one task per shard. Each target
-    * writes to a `.__fetch_tmp` sibling and renames (a crashed task's tmp
-    * is overwritten on retry); the manifest extends only with successes,
-    * AFTER the batch completes, so a crash between fetch and manifest
-    * re-fetches idempotently. Duplicate basenames in the list are a loud
-    * driver-side error (two URLs would clobber one target).
+    * writes to an ATTEMPT-UNIQUE `.__fetch_tmp.<attempt>` sibling and
+    * renames (concurrent duplicate attempts — speculative execution,
+    * task retry — never interleave into one tmp file); the manifest
+    * extends only with successes, AFTER the batch completes, so a crash
+    * between fetch and manifest re-fetches idempotently. Resume identity
+    * is the TARGET basename, not the full URL — a re-signed list (fresh
+    * `?sig=` per run, the normal shape for authenticated manifests)
+    * still resumes instead of re-downloading everything. Duplicate
+    * basenames within one list are a loud driver-side error (two URLs
+    * would clobber one target).
     */
   def ingestFromManifest(spark: SparkSession, urls: Seq[String],
                          outDir: String,
                          fetcher: ShardFetcher = LocalFileFetcher,
                          maxTasks: Int = 64): FetchReport = {
     val cleaned = urls.map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#"))
-    val named = cleaned.map(u => u -> shardTargetName(u))
+    val named = cleaned.map(u => u -> shardTargetName(u)).distinct
     val dup = named.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1)
     require(dup.isEmpty,
       s"ingestFromManifest: duplicate target basenames would clobber: " +
         dup.keys.toSeq.sorted.take(5).mkString(", "))
     val done = readFetchManifest(spark, outDir)
-    val todo = named.filterNot { case (u, _) => done(u) }.distinct
+    val skipped = named.count { case (_, n) => done(n) }.toLong
+    val todo = named.filterNot { case (_, n) => done(n) }
     if (todo.isEmpty)
-      return FetchReport(Nil, done.size.toLong, Nil)
+      return FetchReport(Nil, skipped, Nil)
     val bcConf = org.apache.spark.sql.graft.Bridge.serializableHadoopConf(spark)
     val slices = math.max(1, math.min(todo.size,
       math.min(maxTasks, spark.sparkContext.defaultParallelism)))
@@ -463,22 +470,28 @@ object Corpus {
         val conf = bcConf.value.value
         val target = new org.apache.hadoop.fs.Path(outDir, name)
         val fs = target.getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(outDir,
+          s".$name.__fetch_tmp.$attempt")
         try {
-          val tmp = new org.apache.hadoop.fs.Path(outDir, s".$name.__fetch_tmp")
           val os = fs.create(tmp, true)
           try fetcher.fetch(url, os) finally os.close()
           fs.delete(target, false)
           if (!fs.rename(tmp, target))
             sys.error(s"rename $tmp -> $target failed")
-          (url, None: Option[String])
+          (url, name, None: Option[String])
         } catch {
-          case scala.util.control.NonFatal(e) => (url, Some(e.toString))
+          case scala.util.control.NonFatal(e) =>
+            try fs.delete(tmp, false) catch { case _: Exception => () }
+            (url, name, Some(e.toString))
         }
     }.collect()
-    val ok = results.collect { case (u, None) => u }.toSeq
-    if (ok.nonEmpty) writeFetchManifest(spark, outDir, done ++ ok)
-    FetchReport(ok, done.size.toLong,
-      results.collect { case (u, Some(e)) => (u, e) }.toSeq)
+    val okUrls = results.collect { case (u, _, None) => u }.toSeq
+    val okNames = results.collect { case (_, n, None) => n }.toSeq
+    if (okNames.nonEmpty) writeFetchManifest(spark, outDir, done ++ okNames)
+    FetchReport(okUrls, skipped,
+      results.collect { case (u, _, Some(e)) => (u, e) }.toSeq)
   }
 
   /** Read a URL-list file (one URL per line; blanks and `#` comments

@@ -248,6 +248,16 @@ class CorpusSpec extends SparkTestBase {
     // resume: nothing re-fetched
     val r2 = Corpus.ingestFromManifest(spark, urls, out)
     assert(r2.fetched.isEmpty && r2.skippedDone === 2L)
+    // a RE-SIGNED list (fresh ?sig= per run — the normal authenticated-
+    // manifest shape) still resumes: identity is the target basename
+    val resigned = Seq(
+      s"file://$src/s0.json.gz?sig=FRESH1",
+      s"file://$src/s1.json.gz?sig=FRESH2")
+    val rr = Corpus.ingestFromManifest(spark, resigned, out)
+    assert(rr.fetched.isEmpty && rr.skippedDone === 2L && rr.failed.isEmpty)
+    // skippedDone counts THIS run's skipped inputs, not the manifest size
+    val one = Corpus.ingestFromManifest(spark, Seq(urls.head), out)
+    assert(one.skippedDone === 1L)
     // a grown list fetches only the new shard
     writeShard(src, "s2.json.gz", Seq("""{"text":"shard two"}"""))
     val r3 = Corpus.ingestFromManifest(spark, urls :+ s"file://$src/s2.json.gz", out)

@@ -517,6 +517,27 @@ class DedupScaleSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(slocal === sdist)
     assert(slocal === Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"))
+    // SUPPLEMENTARY-PLANE ids: UTF-16 code-unit order (java String <)
+    // and UTF-8 binary order (Spark least/min) DISAGREE here — both
+    // paths must elect the same (binary-order) representative
+    val hi = "𐀀-doc" // U+10000: smaller in UTF-16, larger in UTF-8
+    val lo = "￿-doc"       // U+FFFF: larger in UTF-16, smaller in UTF-8
+    val upairs = Seq((hi, lo)).toDF("id_a", "id_b")
+    val ulocal = graft.operators.Dedup.connectedComponents(upairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val udist = graft.operators.Dedup.connectedComponents(upairs,
+        maxLocalEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ulocal === udist)
+    assert(ulocal(hi) === lo && ulocal(lo) === lo) // UTF-8 binary min wins
+  }
+
+  test("lshCandidates with maxBucket = Int.MaxValue means effectively unbounded") {
+    // + 1 must not wrap negative into BoundedCollectSet's require
+    val cand = MinHash.lshCandidates(docs, "doc_id", "text", w = 3, k = 8,
+        bands = 4, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
   }
 
   test("connected components label every member with the cluster min id") {
