@@ -130,6 +130,16 @@ object ScaleRehearsal {
         "embedding", k = 10, step = 100 * replicas, nprobe = 3, m = 8,
         codeStep = 50 * replicas).count()
     }
+    // near-dup clustering over the replicated corpus: every doc now has
+    // (replicas-1) identical twins, so the pair graph is ~45x the base
+    // corpus's — exercises the CC size gate with a realistically fat
+    // edge list (and the distributed path beyond it)
+    run("cc_clusters") {
+      val pairs = graft.operators.MinHash.nearDuplicates(docs, "doc_id",
+        "text", threshold = 0.5, w = 5, k = 8, bands = 4,
+        hash = graft.operators.MinHash.xxhashStrategy)
+      graft.operators.Dedup.connectedComponents(pairs).count()
+    }
     run("keep_first_dedup") {
       graft.operators.Dedup.keepFirst(docs, md5(col("text")),
         Seq(col("doc_id"))).count()
