@@ -87,6 +87,77 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Greedy farthest-point k-center selection (Gonzalez 1985) over the
+    * embedding space — the diversity-subset curation primitive (coreset /
+    * DataComp posture: pick k maximally-spread exemplars, e.g. as seeds
+    * for stratified labeling or a diversity-weighted mixture). 2-approx
+    * of the optimal k-center cover.
+    *
+    * Deterministic end to end: seeded at the MIN id; each round adds the
+    * point with the LARGEST cosine distance (1 − dot over unit vectors)
+    * to the selected set, ties to the lower id; zero-distance points
+    * (exact duplicates of a center) are never selected, so the output may
+    * legitimately hold fewer than k rows on degenerate inputs. Output:
+    * (id, rank, dist) — rank = selection order, seed dist 0.0 by
+    * convention, dist rounded(6) for oracle replay (internal argmax
+    * comparisons run at full double precision).
+    *
+    * Scale shape: k rounds, each ONE narrow codegen'd projection — the
+    * running min-distance column folds `least(mind, 1 − dot(v, newest
+    * center))` with the newest center inlined as an array literal (no
+    * join, no broadcast variable) — plus a 1-row TakeOrderedAndProject
+    * argmax. O(k·n·d) work, no corpus shuffle anywhere; the state frame
+    * is localCheckpoint'd per round to truncate lineage (k plans would
+    * otherwise nest). The selected set (k·d doubles) lives on the driver.
+    */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("rank", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    def result(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.size)),
+        outSchema)
+    val unit = unitProject(graft.Par.fanOut(df), idCol, "id", vecCol, "v")
+      .where(col("v").isNotNull)
+    val seed = unit.orderBy(asc("id")).limit(1).collect()
+    if (seed.isEmpty) return result(Nil)
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] = r.getSeq[Double](1)
+    def distToLit(center: Seq[Double]): Column =
+      lit(1.0) - dot(col("v"), typedLit(center))
+    val picked = scala.collection.mutable.ArrayBuffer(
+      org.apache.spark.sql.Row(seed.head.get(0), 1L, 0.0))
+    var state = unit
+      .withColumn("__mind", distToLit(vecOf(seed.head)))
+      .localCheckpoint()
+    var r = 2
+    var done = false
+    while (r <= k && !done) {
+      val top = state.where(col("__mind") > 0)
+        .orderBy(desc("__mind"), asc("id")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        picked += org.apache.spark.sql.Row(row.get(0), r.toLong,
+          BigDecimal(row.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        val next = state
+          .withColumn("__mind", least(col("__mind"), distToLit(vecOf(row))))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(state)
+        state = next
+        r += 1
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(state)
+    result(picked.toSeq)
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication"):
     * cluster with the deterministic IVF assignment, then score pairwise

@@ -160,7 +160,15 @@ object AnnQueries extends QueryPack {
     "ann_pca_cov" -> ((s, dir) =>
       graft.operators.Pca.covarianceMatrix(
         Tables(s, dir, "embeddings"), "embedding")
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // greedy farthest-point k-center selection (Gonzalez) — the
+    // diversity-subset curation primitive; fully deterministic (min-id
+    // seed, argmax cosine distance, id tie-break), so every selection
+    // round replays in SQL
+    "d_kcenter_select" -> ((s, dir) =>
+      Similarity.kCenterSelect(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4).orderBy("rank"))
   )
 
   // cosine computed identically on both sides: element products summed in
@@ -505,6 +513,39 @@ object AnnQueries extends QueryPack {
         |SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
         |  round((sp - sa.si * sb.si / n) / (n - 1), 6) + 0.0 AS cov
         |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN n
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+
+    // the k-center greedy replayed round by round: each cN picks the
+    // farthest-from-selected point (cosine distance over unit vectors,
+    // id tie-break) off the previous round's running min-distance frame;
+    // distances fold sequentially as doubles on both engines, round(6)
+    // only at output
+    "d_kcenter_select" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |s1 AS (SELECT vec_id AS id, v FROM unit ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT u.vec_id, u.v,
+        |  1 - list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * s1.v[i]), 'sum') AS mind
+        | FROM unit u CROSS JOIN s1),
+        |c2 AS (SELECT vec_id AS id, v, mind FROM d1 WHERE mind > 0
+        |       ORDER BY mind DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d.vec_id, d.v,
+        |  least(d.mind, 1 - list_aggregate(list_transform(generate_series(1, len(d.v)), i -> d.v[i] * c2.v[i]), 'sum')) AS mind
+        | FROM d1 d CROSS JOIN c2),
+        |c3 AS (SELECT vec_id AS id, v, mind FROM d2 WHERE mind > 0
+        |       ORDER BY mind DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d.vec_id, d.v,
+        |  least(d.mind, 1 - list_aggregate(list_transform(generate_series(1, len(d.v)), i -> d.v[i] * c3.v[i]), 'sum')) AS mind
+        | FROM d2 d CROSS JOIN c3),
+        |c4 AS (SELECT vec_id AS id, v, mind FROM d3 WHERE mind > 0
+        |       ORDER BY mind DESC, vec_id LIMIT 1)
+        |SELECT id, CAST(1 AS BIGINT) AS rank, CAST(0.0 AS DOUBLE) AS dist FROM s1
+        |UNION ALL SELECT id, CAST(2 AS BIGINT), round(mind, 6) FROM c2
+        |UNION ALL SELECT id, CAST(3 AS BIGINT), round(mind, 6) FROM c3
+        |UNION ALL SELECT id, CAST(4 AS BIGINT), round(mind, 6) FROM c4
+        |ORDER BY rank""".stripMargin
   )
 }

@@ -349,4 +349,27 @@ class SimilaritySpec extends SparkTestBase {
     val e = Similarity.embeddingDrift(x, y.where(lit(false)), "embedding").head()
     assert(e.getLong(0) === 2L && e.getLong(1) === 0L && e.isNullAt(3))
   }
+
+  test("kCenterSelect: min-id seed, farthest-point rounds, dup never selected, empty ok") {
+    import spark.implicits._
+    // ids 1,2 share direction e1 (dup); 3 = e2; 4 = -e1 (farthest from e1)
+    val emb = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),  // seed (min id); unit e1
+      (2L, Array(1.0f, 0.0f, 0.0f)),  // exact dup of the seed direction
+      (3L, Array(0.0f, 5.0f, 0.0f)),  // e2: dist 1 from e1
+      (4L, Array(-1.0f, 0.0f, 0.0f))  // -e1: dist 2 from e1
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // round 2: 4 is farthest (dist 2); round 3: 3 (dist 1 to both centers)
+    assert(got.toSeq === Seq((1L, 1L, 0.0), (4L, 2L, 2.0), (3L, 3L, 1.0)))
+    // k larger than the distinct-direction count: dup id 2 (dist 0) is
+    // never selected — fewer than k rows, no throw
+    val capped = graft.operators.Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 10)
+    assert(capped.count() === 3L)
+    // empty input: empty output with the right schema
+    val none = graft.operators.Similarity.kCenterSelect(
+      emb.where(lit(false)), "vec_id", "embedding", k = 3)
+    assert(none.columns.toSeq === Seq("id", "rank", "dist") && none.count() === 0L)
+  }
 }
