@@ -132,28 +132,43 @@ object Similarity {
       lit(1.0) - dot(col("v"), typedLit(center))
     val picked = scala.collection.mutable.ArrayBuffer(
       org.apache.spark.sql.Row(seed.head.get(0), 1L, 0.0))
+    // LAZY checkpoints: each round's state materializes DURING that
+    // round's argmax action — one job per round instead of an eager
+    // materialize job plus an argmax job (same pattern as
+    // Dedup.connectedComponents); the final round skips the state update
+    // entirely (nothing consumes it)
     var state = unit
       .withColumn("__mind", distToLit(vecOf(seed.head)))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // a lazy checkpoint's predecessor may only be released AFTER an action
+    // materializes the successor (its blocks feed that materialization) —
+    // so each round releases the state from TWO rounds back, once the
+    // argmax below has materialized the current one
+    var prevToRelease: Option[DataFrame] = None
     var r = 2
     var done = false
     while (r <= k && !done) {
       val top = state.where(col("__mind") > 0)
         .orderBy(desc("__mind"), asc("id")).limit(1).collect()
+      prevToRelease.foreach(org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)
+      prevToRelease = None
       if (top.isEmpty) done = true
       else {
         val row = top.head
         picked += org.apache.spark.sql.Row(row.get(0), r.toLong,
           BigDecimal(row.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble)
-        val next = state
-          .withColumn("__mind", least(col("__mind"), distToLit(vecOf(row))))
-          .localCheckpoint()
-        org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(state)
-        state = next
+        if (r < k) {
+          val next = state
+            .withColumn("__mind", least(col("__mind"), distToLit(vecOf(row))))
+            .localCheckpoint(eager = false)
+          prevToRelease = Some(state)
+          state = next
+        }
         r += 1
       }
     }
+    prevToRelease.foreach(org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)
     org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(state)
     result(picked.toSeq)
   }
