@@ -299,6 +299,34 @@ object Similarity {
       .select(col(idCol), col("bv"), col("bucket"))
   }
 
+  /** Cluster-balanced sample: up to `perCluster` vectors per IVF cluster,
+    * chosen by deterministic md5-of-id rank — a semantically balanced
+    * subset however skewed the cluster masses are. The embedding-space
+    * analogue of per-source `Analyses.samplePerGroup`: pair with
+    * [[clusterProfile]] / `Analyses.mixturePlan` for diversity-weighted
+    * curation without source labels, or use as the cheap wide-coverage
+    * complement to [[kCenterSelect]] (k-center maximizes spread of FEW
+    * exemplars; this bounds every region's share of MANY). Deterministic
+    * and rerun-stable. Output: (idCol, bucket, rank).
+    *
+    * Scale shape: one [[ivfAssign]] scan (broadcast centroids, max_by
+    * hash aggregation) + one rank window partitioned on the bucket id —
+    * the `rank <= n` filter pushes a partial WindowGroupLimit below the
+    * exchange, so no task sorts more than ~perCluster rows per bucket.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            step: Int, perCluster: Int,
+                            offset: Int = 0): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val asg = ivfAssign(graft.Par.fanOut(df), idCol, vecCol, step, offset)
+    val w = Window.partitionBy("bucket")
+      .orderBy(asc("__cbs_h"), col(idCol).asc)
+    asg.withColumn("__cbs_h", md5(col(idCol).cast("string")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= perCluster)
+      .select(col(idCol), col("bucket"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding-cluster profile — the unlabeled-mixture card (DoReMi-style
     * domain discovery without source labels): every vector assigned to its
     * nearest deterministic IVF centroid, per-cluster mass and coherence

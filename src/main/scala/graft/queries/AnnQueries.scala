@@ -162,6 +162,13 @@ object AnnQueries extends QueryPack {
         Tables(s, dir, "embeddings"), "embedding")
         .orderBy("i", "j")),
 
+    // cluster-balanced sample: up to n per IVF cluster by deterministic
+    // md5-of-id rank — semantically balanced curation without labels
+    "d_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", step = 50, perCluster = 3)
+        .orderBy("bucket", "rank")),
+
     // greedy farthest-point k-center selection (Gonzalez) — the
     // diversity-subset curation primitive; fully deterministic (min-id
     // seed, argmax cosine distance, id tie-break), so every selection
@@ -514,6 +521,32 @@ object AnnQueries extends QueryPack {
         |  round((sp - sa.si * sb.si / n) / (n - 1), 6) + 0.0 AS cov
         |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN n
         |ORDER BY i, j""".stripMargin,
+
+    // the IVF assignment CTEs (ivfSql's) + a per-bucket md5 rank
+    "d_cluster_sample" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, centroid_id AS bucket FROM (
+        |  SELECT vec_id, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0)
+        | WHERE rn = 1),
+        |ranked AS (
+        | SELECT vec_id, bucket,
+        |  row_number() OVER (PARTITION BY bucket
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+        | FROM asg)
+        |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin,
 
     // the k-center greedy replayed round by round: each cN picks the
     // farthest-from-selected point (cosine distance over unit vectors,

@@ -246,6 +246,13 @@ class PlanPropertySpec extends SparkTestBase {
       s"no partial WindowGroupLimit in:\n$p")
   }
 
+  test("clusterBalancedSample: partial WindowGroupLimit below the bucket-rank exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sm = graft.operators.Similarity.clusterBalancedSample(emb,
+      "vec_id", "embedding", step = 50, perCluster = 3)
+    assertPartialGroupLimit(sm)
+  }
+
   test("significantTermsByGroup: partial WindowGroupLimit below the group-rank exchange") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val post = graft.search.InvertedIndex.postings(d, "doc_id", "text", uax29 = false)

@@ -372,4 +372,33 @@ class SimilaritySpec extends SparkTestBase {
       emb.where(lit(false)), "vec_id", "embedding", k = 3)
     assert(none.columns.toSeq === Seq("id", "rank", "dist") && none.count() === 0L)
   }
+
+  test("clusterBalancedSample: per-cluster cap, determinism, full coverage of small clusters") {
+    import spark.implicits._
+    // bucket seeds at ids 0 and 10 (step 10): cluster A = e1-ish (0..4),
+    // cluster B = e2-ish (10..12)
+    val emb = ((0L to 4L).map(i => (i, Array(1.0f, 0.01f * i))) ++
+      (10L to 12L).map(i => (i, Array(0.01f * (i - 10), 1.0f))))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.clusterBalancedSample(emb,
+        "vec_id", "embedding", step = 10, perCluster = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byBucket = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byBucket.values.forall(_ <= 2)) // cap per cluster
+    assert(byBucket.keySet === Set(0L, 10L))
+    // ranks are 1..n within each bucket
+    assert(got.filter(_._2 == 0L).map(_._3).sorted.toSeq === Seq(1L, 2L))
+    // rerun-stable
+    val again = graft.operators.Similarity.clusterBalancedSample(emb,
+        "vec_id", "embedding", step = 10, perCluster = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // a cap above every cluster size keeps everything
+    assert(graft.operators.Similarity.clusterBalancedSample(emb,
+      "vec_id", "embedding", step = 10, perCluster = 100).count() === 8L)
+    // empty input: empty out
+    assert(graft.operators.Similarity.clusterBalancedSample(
+      emb.where(lit(false)), "vec_id", "embedding", step = 10,
+      perCluster = 2).count() === 0L)
+  }
 }
