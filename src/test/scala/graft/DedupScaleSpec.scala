@@ -58,6 +58,32 @@ class DedupScaleSpec extends SparkTestBase {
     assert(capped("b") === 2) // true cardinality 3: saturated at cap
   }
 
+  test("BoundedCollectSet: partial-merge path across many partitions stays capped and exact") {
+    import org.apache.spark.sql.graft.Bridge
+    val agg = (cap: Int) => Bridge.column(
+      graft.functions.expressions.BoundedCollectSet(
+        Bridge.expression(col("v")), cap).toAggregateExpression())
+    // 16 input partitions force map-side partial buffers that MERGE:
+    // the hot key holds 500 distinct values (over any cap), the exact
+    // key holds 7 spread across partitions with repeats
+    val rows = (1 to 500).map(i => ("hot", i)) ++
+      (1 to 64).map(i => ("exact", i % 7))
+    val df = rows.toDF("g", "v").repartition(16)
+    val out = df.groupBy("g")
+      .agg(size(agg(10)).as("n"), sort_array(agg(1000)).as("all"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    assert(out("hot")._1 === 10) // saturated at cap through merges
+    assert(out("hot")._2 === (1 to 500)) // uncapped agg in the same plan is exact
+    assert(out("exact")._1 === 7) // true cardinality below cap: exact through merges
+    assert(out("exact")._2 === (0 until 7))
+    // differential vs collect_set when nothing saturates
+    val ours = df.groupBy("g").agg(sort_array(agg(1000)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val ref = df.groupBy("g").agg(sort_array(collect_set(col("v"))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(ours === ref)
+  }
+
   test("jaccard of identical docs is 1, disjoint docs is 0") {
     val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")).toDF("doc_id", "text")
     val sh = MinHash.shingleSets(d, "doc_id", "text", 3)
