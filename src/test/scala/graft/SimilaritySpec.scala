@@ -401,4 +401,42 @@ class SimilaritySpec extends SparkTestBase {
       emb.where(lit(false)), "vec_id", "embedding", step = 10,
       perCluster = 2).count() === 0L)
   }
+
+  test("kCenterSelect matches an independent in-memory greedy on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 17
+      val d = 8
+      val data = (0L until n.toLong).map(i =>
+        (i, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
+      // in-memory greedy: unit-normalize (double), min-id seed, argmax
+      // min-distance with id tie-break — written independently of the
+      // operator (plain collections, no Spark)
+      val unit = data.map { case (id, v) =>
+        val dv = v.map(_.toDouble)
+        val nrm = math.sqrt(dv.map(x => x * x).sum)
+        id -> dv.map(_ / nrm)
+      }.toMap
+      def dist(a: Array[Double], b: Array[Double]): Double =
+        1.0 - a.zip(b).map { case (x, y) => x * y }.sum
+      val k = 5
+      var selected = Vector(0L)
+      var mind = unit.map { case (id, v) => id -> dist(v, unit(0L)) }
+      var expected = Vector((0L, 1L, 0.0))
+      for (r <- 2 to k) {
+        val cands = mind.filter(_._2 > 0)
+        val (bid, bd) = cands.toSeq.maxBy { case (id, dd) => (dd, -id) }
+        expected :+= ((bid, r.toLong,
+          BigDecimal(bd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        selected :+= bid
+        mind = mind.map { case (id, dd) => id -> math.min(dd, dist(unit(id), unit(bid))) }
+      }
+      val got = graft.operators.Similarity.kCenterSelect(
+          data.toDF("vec_id", "embedding"), "vec_id", "embedding", k)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
+      assert(got === expected, s"trial $trial")
+    }
+  }
 }
