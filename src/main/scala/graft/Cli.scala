@@ -45,6 +45,10 @@ import graft.sources.Corpus
   *   runMain graft.Cli embed PATH... [--dim D] [--md5] [--out DIR]
   *   runMain graft.Cli ann PATH... --table T [--dim D] [--step N]
   *     [--buckets B] [--force]                  // build the IVF index
+  *   runMain graft.Cli ann PATH... --select-diverse K [--dim D]
+  *                        // k-center diversity exemplars (no table)
+  *   runMain graft.Cli ann PATH... --cluster-sample N [--step S] [--dim D]
+  *                        // up to N docs per embedding cluster (no table)
   *   runMain graft.Cli ann --table T --query-text "..." [--topk K]
   *     [--nprobe N] PATH...                     // semantic search
   *   runMain graft.Cli ann DROP_PATH... --table T --follow DIR
@@ -1189,7 +1193,8 @@ object Cli {
       // (--table, build mode), and --query-text embeds the query the same
       // way and reads only its probed buckets (query mode)
       case "ann" =>
-        val table = flag("--table").getOrElse(sys.error("ann needs --table T"))
+        // curation modes need no table; index build/query/follow do
+        def table = flag("--table").getOrElse(sys.error("ann needs --table T"))
         val dim = intFlag("--dim", 64)
         // --follow DIR: incremental semantic index over a drop directory —
         // each invocation embeds (feature-hash) ONLY shards that arrived
@@ -1283,12 +1288,24 @@ object Cli {
               else (Corpus.withFileLineId(docs, "__id"), "__id")
             val emb = operators.FeatureHash.hashedEmbeddings(keyed, idc,
               "text", dim, uax29 = uax)
-            if (a.flags.contains("--force"))
-              graft.queries.Tables.reset(spark, table, s"${table}__centroids")
-            search.AnnIndex.writeIvfIndex(emb, "id", "emb",
-              step = intFlag("--step", 100), table = table,
-              buckets = intFlag("--buckets", 16), hashedIds = true)
-            System.err.println(s"ann index written to table $table (dim=$dim)")
+            (flag("--select-diverse"), flag("--cluster-sample")) match {
+              // diversity curation straight off the feature-hash
+              // embeddings — no index table involved
+              case (Some(kk), _) =>
+                deliver(operators.Similarity.kCenterSelect(emb, "id", "emb",
+                  kk.toInt), ranked = false)
+              case (_, Some(n)) =>
+                deliver(operators.Similarity.clusterBalancedSample(emb,
+                  "id", "emb", step = intFlag("--step", 100), n.toInt,
+                  hashedIds = true), ranked = false)
+              case _ =>
+                if (a.flags.contains("--force"))
+                  graft.queries.Tables.reset(spark, table, s"${table}__centroids")
+                search.AnnIndex.writeIvfIndex(emb, "id", "emb",
+                  step = intFlag("--step", 100), table = table,
+                  buckets = intFlag("--buckets", 16), hashedIds = true)
+                System.err.println(s"ann index written to table $table (dim=$dim)")
+            }
           case Some(qt) =>
             import spark.implicits._
             // a previous CLI invocation's tables survive only as warehouse

@@ -273,19 +273,29 @@ object Similarity {
     * Vectors carry their unit form so probing never recomputes norms.
     */
   def ivfAssign(base: DataFrame, idCol: String, vecCol: String, step: Int,
-                offset: Int = 0): DataFrame = {
+                offset: Int = 0, hashedIds: Boolean = false): DataFrame = {
     // step = 0 would make `id % step` NULL in non-ANSI Spark — an empty
     // centroid set and a silent no-op for every downstream consumer
     require(step > 0, s"ivf step must be positive, got $step")
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
-    val sample = b.where(col(idCol) % step === offset)
+    // hashedIds: non-numeric ids (CLI corpora, UUID keys) — an id-modulo
+    // sample would cast-null every row and silently select ZERO
+    // centroids. Select ~1/step by id hash and use the hash AS the (long)
+    // bucket id, the writeIvfIndex mapping: a collision merely merges two
+    // buckets, and every consumer sees an id-type-independent bucket
+    val sample =
+      if (!hashedIds) b.where(col(idCol) % step === offset)
+      else b.where(pmod(xxhash64(col(idCol).cast("string")), lit(step.toLong))
+        === lit(offset.toLong))
     // the sample is broadcast — a step miscalibrated for the corpus size
     // must fail fast with the dial to turn, not OOM every executor
     // mid-broadcast (the clusterProfile guard, applied to every IVF
     // entry point; one narrow limit-capped count per call)
     requireBoundedSample(sample, idCol, step, 1 << 16, "ivfAssign")
+    val centKey =
+      if (!hashedIds) col(idCol) else xxhash64(col(idCol).cast("string"))
     val centroids = broadcast(sample
-      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+      .select(centKey.as("centroid_id"), col("bv").as("cv")))
     // argmax as a hash aggregation, not a window: map-side partial agg means
     // the shuffle carries one row per id per partition, not the full
     // |base|×|centroids| scored set (with its vectors) — tie broken on the
@@ -316,9 +326,11 @@ object Similarity {
     */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
                             step: Int, perCluster: Int,
-                            offset: Int = 0): DataFrame = {
+                            offset: Int = 0,
+                            hashedIds: Boolean = false): DataFrame = {
     require(perCluster > 0, s"perCluster must be positive, got $perCluster")
-    val asg = ivfAssign(graft.Par.fanOut(df), idCol, vecCol, step, offset)
+    val asg = ivfAssign(graft.Par.fanOut(df), idCol, vecCol, step, offset,
+      hashedIds)
     val w = Window.partitionBy("bucket")
       .orderBy(asc("__cbs_h"), col(idCol).asc)
     asg.withColumn("__cbs_h", md5(col(idCol).cast("string")))

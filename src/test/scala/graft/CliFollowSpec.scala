@@ -293,6 +293,30 @@ class CliFollowSpec extends SparkTestBase {
     } finally dropAnn(t)
   }
 
+  test("ann curation modes: --select-diverse and --cluster-sample on a raw corpus") {
+    val (drop, _) = freshDirs()
+    // 3 near-identical docs + 2 distinct directions; synthetic STRING ids
+    // (no id field) exercise the hashedIds cluster path
+    writeShard(s"$drop/d", "a.jsonl", Seq(
+      "alpha bravo charlie delta echo", "alpha bravo charlie delta echo",
+      "alpha bravo charlie delta foxtrot",
+      "zulu yankee xray whiskey victor", "one two three four five"))
+    val outD = Files.createTempDirectory("ann_cur").toString
+    Cli.run(spark, Array("ann", s"$drop/*", "--select-diverse", "3",
+      "--out", s"$outD/div"))
+    val div = spark.read.json(s"$outD/div")
+    assert(div.count() === 3L) // k spread exemplars, dup never doubles up
+    assert(div.select("rank").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    Cli.run(spark, Array("ann", s"$drop/*", "--cluster-sample", "2",
+      "--step", "2", "--out", s"$outD/cs"))
+    val cs = spark.read.json(s"$outD/cs")
+    assert(cs.count() >= 1L)
+    // cap respected per bucket
+    val perBucket = cs.groupBy("bucket").count()
+      .collect().map(_.getLong(1))
+    assert(perBucket.forall(_ <= 2L))
+  }
+
   test("ann --follow: manifest outliving the index refuses loudly") {
     val t = "cli_ann_refuse"
     val (drop, state) = freshDirs()
