@@ -716,6 +716,48 @@ object Dedup {
           .otherwise(size(split(col("text_dedup"), " ")).cast("long")))
   }
 
+  /** RefinedWeb-style repeated-sentence removal: drop from every document
+    * each sentence whose EXACT content appears in more than `maxDf`
+    * DISTINCT documents — boilerplate surgery (cookie banners, nav text,
+    * license headers) at the sentence-granularity rung between C4's line
+    * rules and the k-token span dedup above. Sentences come from
+    * [[graft.functions.TextFunctions.sentenceSplit]] (punkt-style,
+    * SQL-replayable); survivors rejoin with one space in original order.
+    * Output `(id, text_clean, n_sentences, n_sentences_kept)`; a
+    * fully-boilerplate document comes out empty, and null/empty text rows
+    * pass through with zero counts.
+    *
+    * Scale shape: the sentence stream shuffles ONCE as (xxhash64, id)
+    * pairs for the df count — sentence TEXT never shuffles; the
+    * over-threshold hash set is a vanishing fraction (boilerplate by
+    * definition repeats, so its DISTINCT sentence count is tiny) and the
+    * removal indices flow back per doc as a small (id, positions) frame,
+    * with reconstruction a positional array filter in the corpus scan —
+    * the removeDuplicateSpans pattern. A 64-bit hash collision can only
+    * over-remove (the conservative direction for boilerplate).
+    */
+  def removeRepeatedSentences(docs: DataFrame, idCol: String,
+                              textCol: String, maxDf: Long = 1L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
+    val ex = graft.Par.fanOut(docs)
+      .select(col(idCol).as("__id"), posexplode(sents).as(Seq("__idx", "__s")))
+      .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))
+    val repeated = ex.groupBy("__h")
+      .agg(count_distinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDf).select("__h")
+    val removed = ex.join(repeated, Seq("__h"), "left_semi")
+      .groupBy("__id").agg(sort_array(collect_list(col("__idx"))).as("__drop"))
+    val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
+    docs.join(removed, docs(idCol) === removed("__id"), "left")
+      .select(col(idCol),
+        concat_ws(" ",
+          filter(sents, (_, i) => !exists(dropArr, d => d === i))).as("text_clean"),
+        coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
+        (coalesce(size(sents), lit(0)) - size(dropArr)).cast("long")
+          .as("n_sentences_kept"))
+  }
+
   /** Surgical decontamination — [[ngramContamination]]'s detection
     * composed with [[removeDuplicateSpans]]' rewrite: drop from each TRAIN
     * document every token covered by a k-token span whose content occurs

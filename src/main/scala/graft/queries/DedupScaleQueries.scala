@@ -353,6 +353,18 @@ object DedupScaleQueries extends QueryPack {
         W, K, BANDS, MinHash.md5Strategy).orderBy("id_a", "id_b")
     }),
 
+    // RefinedWeb-style repeated-sentence boilerplate removal: sentences
+    // appearing in > 1 distinct docs are cut, survivors rejoin in order.
+    // Texts gain punkt boundaries every 7 words first (the p9 device —
+    // the synthetic corpus has no sentence punctuation of its own), so
+    // multi-sentence docs and genuine cross-doc repeats both exist
+    "d_sentence_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.removeRepeatedSentences(
+        docs(s, dir).withColumn("text",
+          regexp_replace(col("text"), "([^ ]+( [^ ]+){6}) ", "$1. ")),
+        "doc_id", "text", maxDf = 1)
+        .orderBy("doc_id")),
+
     // FineWeb-style line/word gate (signals + combined keep)
     "t_fineweb" -> ((s, dir) =>
       TextQuality.fineWebFilter(docs(s, dir), "doc_id", "text")
@@ -536,6 +548,30 @@ object DedupScaleQueries extends QueryPack {
     // the streaming path, one micro-batch at a time, must also reproduce
     // the batch decision exactly — same replay
     "j17_stream_decontaminate" -> fuzzyDecontamSql,
+
+    "d_sentence_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  regexp_replace(text, '([^ ]+( [^ ]+){6}) ', '\1. ', 'g') AS text2
+        | FROM documents),
+        |se AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ss)), i -> {'i': i, 's': ss[i]})) AS e
+        | FROM (SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(text2, '([.!?]+["'')\]]*)\s+', '\1' || chr(1), 'g'), chr(1)),
+        |    x -> x <> '') AS ss FROM u)),
+        |sent AS (SELECT doc_id, e.i AS si, e.s AS s FROM se),
+        |rep AS (SELECT s FROM (
+        |  SELECT s, count(DISTINCT doc_id) AS df FROM sent GROUP BY s) WHERE df > 1),
+        |keep AS (SELECT doc_id, si, s FROM sent WHERE s NOT IN (SELECT s FROM rep)),
+        |agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY si) AS text_clean,
+        |        count(*) AS kept FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n FROM sent GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(coalesce(t.n, 0) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(a.kept, 0) AS BIGINT) AS n_sentences_kept
+        |FROM documents d
+        |LEFT JOIN tot t ON t.doc_id = d.doc_id
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d_minhash_neardup" ->
       s"""WITH $candSql,

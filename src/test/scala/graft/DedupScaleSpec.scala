@@ -791,4 +791,34 @@ class DedupScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full.size === 45 + 1)
   }
+
+  test("removeRepeatedSentences: boilerplate cut, order kept, edge rows pass through") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Unique opening here. Accept our cookies now! Real content one."),
+      (2L, "Accept our cookies now! Real content two. Another real line."),
+      (3L, "Accept our cookies now! Totally distinct text."),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeRepeatedSentences(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the cookie banner (3 docs) goes; everything else survives in order
+    assert(out(0) === ((1L, "Unique opening here. Real content one.", 3L, 2L)))
+    assert(out(1) === ((2L, "Real content two. Another real line.", 3L, 2L)))
+    assert(out(2) === ((3L, "Totally distinct text.", 2L, 1L)))
+    assert(out(3) === ((4L, "", 0L, 0L)))
+    assert(out(4) === ((5L, "", 0L, 0L)))
+    // maxDf 3 tolerates the banner (df 3 is not > 3)
+    val lax = graft.operators.Dedup.removeRepeatedSentences(d, "doc_id", "text",
+        maxDf = 3).where(col("doc_id") === 3L).head()
+    assert(lax.getString(1) === "Accept our cookies now! Totally distinct text.")
+    // a repeat WITHIN one doc only is df 1 — kept
+    val intra = Seq((1L, "Same line here. Same line here."), (2L, "Other text."))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.removeRepeatedSentences(intra, "doc_id", "text")
+      .where(col("doc_id") === 1L).head().getString(1)
+    assert(kept === "Same line here. Same line here.")
+  }
 }
