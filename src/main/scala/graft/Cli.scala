@@ -1289,6 +1289,8 @@ object Cli {
             val emb = operators.FeatureHash.hashedEmbeddings(keyed, idc,
               "text", dim, uax29 = uax)
             (flag("--select-diverse"), flag("--cluster-sample")) match {
+              case (Some(_), Some(_)) => sys.error(
+                "ann: pass either --select-diverse or --cluster-sample, not both")
               // diversity curation straight off the feature-hash
               // embeddings — no index table involved
               case (Some(kk), _) =>

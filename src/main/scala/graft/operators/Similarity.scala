@@ -33,13 +33,20 @@ object Similarity {
 
   /** Unit-normalize once (norm computed per ROW, in its own projection, so
     * the per-pair work later is a single dot product — norms are O(rows)
-    * instead of O(pairs)).
+    * instead of O(pairs)). A ZERO vector has no direction: its unit form
+    * is NULL (not a division — under ANSI mode, Spark 4's default, x/0
+    * THROWS; under legacy mode it would be all-NaN, which sorts ABOVE
+    * every real similarity and silently corrupts argmax/top-k). Every
+    * consumer already null-guards (null cos filtered in knn, null units
+    * dropped in the curation ops), so zero vectors degrade to absent.
     */
   private[graft] def unitProject(df: DataFrame, idCol: String, idName: String,
                                  vecCol: String, outName: String): DataFrame =
     df.select(col(idCol).as(idName), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
-      .select(col(idName), transform(col("__v"), x => x / col("__n")).as(outName))
+      .select(col(idName),
+        when(col("__n") > 0, transform(col("__v"), x => x / col("__n")))
+          .as(outName))
 
   /** Fail fast when an id-mod-`step` sample exceeds `cap` rows: counts the
     * sample through an early-abort limit (one narrow scan — never more than
@@ -47,11 +54,12 @@ object Similarity {
     * message names the step that would fit this corpus.
     */
   private def requireBoundedSample(sample: DataFrame, idCol: String, step: Int,
-                                   cap: Int, op: String): Unit = {
+                                   cap: Int, op: String): Long = {
     val n = sample.select(col(idCol)).limit(cap + 1).count()
     require(n <= cap,
       s"$op: step=$step yields more than $cap sampled centroids on this " +
         s"corpus — raise step (or the cap)")
+    n
   }
 
   /** Exact top-k cosine neighbors for every query row.
@@ -95,9 +103,12 @@ object Similarity {
     *
     * Deterministic end to end: seeded at the MIN id; each round adds the
     * point with the LARGEST cosine distance (1 − dot over unit vectors)
-    * to the selected set, ties to the lower id; zero-distance points
-    * (exact duplicates of a center) are never selected, so the output may
-    * legitimately hold fewer than k rows on degenerate inputs. Output:
+    * to the selected set, ties to the lower id; points within 1e-9
+    * cosine distance of a center (duplicate directions — float
+    * normalization leaves ≈2e-16 residue on exact duplicates) are never
+    * selected, so the output may legitimately hold fewer than k rows on
+    * degenerate inputs, and zero vectors (NaN direction) are dropped
+    * up front. Output:
     * (id, rank, dist) — rank = selection order, seed dist 0.0 by
     * convention, dist rounded(6) for oracle replay (internal argmax
     * comparisons run at full double precision).
@@ -123,6 +134,8 @@ object Similarity {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.size)),
         outSchema)
+    // zero vectors have no direction to be "far" in — unitProject folds
+    // them (and null vectors) to NULL units; drop them up front
     val unit = unitProject(graft.Par.fanOut(df), idCol, "id", vecCol, "v")
       .where(col("v").isNotNull)
     val seed = unit.orderBy(asc("id")).limit(1).collect()
@@ -148,7 +161,12 @@ object Similarity {
     var r = 2
     var done = false
     while (r <= k && !done) {
-      val top = state.where(col("__mind") > 0)
+      // 1e-9, not 0: inexact float normalization leaves an already-
+      // selected center (and its exact duplicates) with mind ≈ 2e-16
+      // rather than exactly 0 — a > 0 guard would re-select the seed
+      // forever once distinct directions run out. Anything under 1e-9
+      // cosine distance IS a duplicate direction at float32 precision.
+      val top = state.where(col("__mind") > 1e-9)
         .orderBy(desc("__mind"), asc("id")).limit(1).collect()
       prevToRelease.foreach(org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)
       prevToRelease = None
@@ -283,15 +301,27 @@ object Similarity {
     // centroids. Select ~1/step by id hash and use the hash AS the (long)
     // bucket id, the writeIvfIndex mapping: a collision merely merges two
     // buckets, and every consumer sees an id-type-independent bucket
-    val sample =
+    // a zero-vector "centroid" has no direction (NULL unit) and could
+    // only ever collect null similarities — exclude it from the sample
+    val sample0 =
       if (!hashedIds) b.where(col(idCol) % step === offset)
       else b.where(pmod(xxhash64(col(idCol).cast("string")), lit(step.toLong))
         === lit(offset.toLong))
+    val sample = sample0.where(col("bv").isNotNull)
     // the sample is broadcast — a step miscalibrated for the corpus size
     // must fail fast with the dial to turn, not OOM every executor
     // mid-broadcast (the clusterProfile guard, applied to every IVF
     // entry point; one narrow limit-capped count per call)
-    requireBoundedSample(sample, idCol, step, 1 << 16, "ivfAssign")
+    val nCents = requireBoundedSample(sample, idCol, step, 1 << 16, "ivfAssign")
+    // zero centroids on a NON-empty corpus is a silent drop-everything
+    // (the inner join below would eat every row): fail fast with the dial
+    // to turn, exactly as writeIvfIndex does — the hashedIds filter is
+    // probabilistic (~1/step), so small corpora hit this routinely. An
+    // empty corpus falls through to an empty (schema-correct) result.
+    if (nCents == 0 && !b.isEmpty) sys.error(
+      s"ivfAssign: step=$step selected ZERO centroids on this corpus — " +
+        "lower step" + (if (hashedIds) " (the hashedIds filter is " +
+        "probabilistic: ~1/step)" else ""))
     val centKey =
       if (!hashedIds) col(idCol) else xxhash64(col(idCol).cast("string"))
     val centroids = broadcast(sample
@@ -330,7 +360,12 @@ object Similarity {
                             hashedIds: Boolean = false): DataFrame = {
     require(perCluster > 0, s"perCluster must be positive, got $perCluster")
     val asg = ivfAssign(graft.Par.fanOut(df), idCol, vecCol, step, offset,
-      hashedIds)
+        hashedIds)
+      // zero/null vectors have no direction (NULL unit from unitProject):
+      // their null similarities would land them in an arbitrary bucket
+      // where small md5 ranks could evict REAL members from the quota —
+      // drop them
+      .where(col("bv").isNotNull)
     val w = Window.partitionBy("bucket")
       .orderBy(asc("__cbs_h"), col(idCol).asc)
     asg.withColumn("__cbs_h", md5(col(idCol).cast("string")))

@@ -524,11 +524,13 @@ object AnnQueries extends QueryPack {
 
     // the IVF assignment CTEs (ivfSql's) + a per-bucket md5 rank
     "d_cluster_sample" ->
-      """WITH unit AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings),
+      """WITH unit0 AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |unit AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+        | FROM unit0 WHERE nrm > 0),
         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
         |asg0 AS (
         | SELECT u.vec_id, c.centroid_id,
@@ -554,26 +556,28 @@ object AnnQueries extends QueryPack {
     // distances fold sequentially as doubles on both engines, round(6)
     // only at output
     "d_kcenter_select" ->
-      """WITH unit AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings),
+      """WITH unit0 AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |unit AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+        | FROM unit0 WHERE nrm > 0),
         |s1 AS (SELECT vec_id AS id, v FROM unit ORDER BY vec_id LIMIT 1),
         |d1 AS (SELECT u.vec_id, u.v,
         |  1 - list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * s1.v[i]), 'sum') AS mind
         | FROM unit u CROSS JOIN s1),
-        |c2 AS (SELECT vec_id AS id, v, mind FROM d1 WHERE mind > 0
+        |c2 AS (SELECT vec_id AS id, v, mind FROM d1 WHERE mind > 1e-9
         |       ORDER BY mind DESC, vec_id LIMIT 1),
         |d2 AS (SELECT d.vec_id, d.v,
         |  least(d.mind, 1 - list_aggregate(list_transform(generate_series(1, len(d.v)), i -> d.v[i] * c2.v[i]), 'sum')) AS mind
         | FROM d1 d CROSS JOIN c2),
-        |c3 AS (SELECT vec_id AS id, v, mind FROM d2 WHERE mind > 0
+        |c3 AS (SELECT vec_id AS id, v, mind FROM d2 WHERE mind > 1e-9
         |       ORDER BY mind DESC, vec_id LIMIT 1),
         |d3 AS (SELECT d.vec_id, d.v,
         |  least(d.mind, 1 - list_aggregate(list_transform(generate_series(1, len(d.v)), i -> d.v[i] * c3.v[i]), 'sum')) AS mind
         | FROM d2 d CROSS JOIN c3),
-        |c4 AS (SELECT vec_id AS id, v, mind FROM d3 WHERE mind > 0
+        |c4 AS (SELECT vec_id AS id, v, mind FROM d3 WHERE mind > 1e-9
         |       ORDER BY mind DESC, vec_id LIMIT 1)
         |SELECT id, CAST(1 AS BIGINT) AS rank, CAST(0.0 AS DOUBLE) AS dist FROM s1
         |UNION ALL SELECT id, CAST(2 AS BIGINT), round(mind, 6) FROM c2

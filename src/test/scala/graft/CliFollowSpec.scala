@@ -317,6 +317,16 @@ class CliFollowSpec extends SparkTestBase {
     assert(perBucket.forall(_ <= 2L))
   }
 
+  test("ann curation: conflicting --select-diverse + --cluster-sample refuses") {
+    val (drop, _) = freshDirs()
+    writeShard(s"$drop/d", "a.jsonl", Seq("alpha bravo"))
+    val e = intercept[RuntimeException] {
+      Cli.run(spark, Array("ann", s"$drop/*", "--select-diverse", "2",
+        "--cluster-sample", "2"))
+    }
+    assert(e.getMessage.contains("not both"), e.getMessage)
+  }
+
   test("ann --follow: manifest outliving the index refuses loudly") {
     val t = "cli_ann_refuse"
     val (drop, state) = freshDirs()

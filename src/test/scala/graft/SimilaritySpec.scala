@@ -439,4 +439,53 @@ class SimilaritySpec extends SparkTestBase {
       assert(got === expected, s"trial $trial")
     }
   }
+
+  test("kCenterSelect: zero vectors and inexact-normalized duplicates (review findings)") {
+    import spark.implicits._
+    // a zero vector (empty-token feature-hash doc) must neither win an
+    // argmax nor crash the rounding; (1,1) normalizes INEXACTLY (unit
+    // dot 0.9999999999999998), so the epsilon guard, not > 0, stops
+    // re-selection once distinct directions run out
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f)),  // same direction, inexact unit
+      (3L, Array(0.0f, 0.0f, 0.0f)),  // zero vector: no direction
+      (4L, Array(0.0f, 0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // only two distinct directions exist: 1 (seed) and 4; ids 2 and 3
+    // must NEVER appear, and no id repeats
+    assert(got === Seq((1L, 1L), (4L, 2L)))
+  }
+
+  test("clusterBalancedSample: zero vectors dropped, not dumped into one bucket (review finding)") {
+    import spark.implicits._
+    val emb = ((0L to 3L).map(i => (i, Array(1.0f, 0.01f * i))) ++
+      Seq((4L, Array(0.0f, 0.0f)), (5L, Array(0.0f, 0.0f))))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.clusterBalancedSample(emb,
+        "vec_id", "embedding", step = 10, perCluster = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSet.intersect(Set(4L, 5L)).isEmpty)
+    assert(got.map(_._1).nonEmpty)
+  }
+
+  test("ivfAssign hashedIds: zero sampled centroids is a loud error, not a silent empty (review finding)") {
+    import spark.implicits._
+    val emb = (0L to 5L).map(i => (i.toString + "-id", Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    // step far above the corpus size: ~(1 - 1/step)^6 chance of zero
+    // centroids per seed — with this fixed id set and step the sample IS
+    // empty (verified by the error), and the call must refuse
+    val e = intercept[RuntimeException] {
+      graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
+        "embedding", step = 1000000, perCluster = 2, hashedIds = true).count()
+    }
+    assert(e.getMessage.contains("ZERO centroids"), e.getMessage)
+    // an EMPTY corpus still degrades to empty output, not the error
+    assert(graft.operators.Similarity.clusterBalancedSample(
+      emb.where(lit(false)), "vec_id", "embedding", step = 1000000,
+      perCluster = 2, hashedIds = true).count() === 0L)
+  }
 }
