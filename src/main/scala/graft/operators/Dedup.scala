@@ -736,6 +736,24 @@ object Dedup {
     * the removeDuplicateSpans pattern. A 64-bit hash collision can only
     * over-remove (the conservative direction for boilerplate).
     */
+  /** The over-threshold sentence hash set [[removeRepeatedSentences]]
+    * cuts: xxhash64 of every sentence appearing in more than `maxDf`
+    * distinct documents — one column `h`. Boilerplate-sized (tiny);
+    * compute it in batch and feed it to the streaming twin
+    * ([[graft.streaming.StreamOps.removeRepeatedSentencesStream]]) as its
+    * static side.
+    */
+  def repeatedSentenceHashes(docs: DataFrame, idCol: String,
+                             textCol: String, maxDf: Long = 1L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
+    graft.Par.fanOut(docs)
+      .select(col(idCol).as("__id"), posexplode(sents).as(Seq("__idx", "__s")))
+      .select(col("__id"), xxhash64(col("__s")).as("h"))
+      .groupBy("h").agg(count_distinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDf).select("h")
+  }
+
   def removeRepeatedSentences(docs: DataFrame, idCol: String,
                               textCol: String, maxDf: Long = 1L): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
@@ -743,9 +761,8 @@ object Dedup {
     val ex = graft.Par.fanOut(docs)
       .select(col(idCol).as("__id"), posexplode(sents).as(Seq("__idx", "__s")))
       .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))
-    val repeated = ex.groupBy("__h")
-      .agg(count_distinct(col("__id")).as("__df"))
-      .where(col("__df") > maxDf).select("__h")
+    val repeated = repeatedSentenceHashes(docs, idCol, textCol, maxDf)
+      .select(col("h").as("__h"))
     val removed = ex.join(repeated, Seq("__h"), "left_semi")
       .groupBy("__id").agg(sort_array(collect_list(col("__idx"))).as("__drop"))
     val dropArr = coalesce(col("__drop"), array().cast("array<int>"))

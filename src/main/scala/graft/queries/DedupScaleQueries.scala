@@ -67,6 +67,32 @@ object DedupScaleQueries extends QueryPack {
 
   // the j8 fuzzy-decontamination replay — shared verbatim by the per-call
   // pipeline (j8) and the persisted band-row index path (j16)
+  /** the sentence-dedup replay — shared by the batch operator and its
+    * streaming twin (both must produce the identical final state) */
+  private lazy val sentenceDedupSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  regexp_replace(text, '([^ ]+( [^ ]+){6}) ', '\1. ', 'g') AS text2
+      | FROM documents),
+      |se AS (SELECT doc_id,
+      |  unnest(list_transform(generate_series(1, len(ss)), i -> {'i': i, 's': ss[i]})) AS e
+      | FROM (SELECT doc_id, list_filter(string_split(
+      |    regexp_replace(text2, '([.!?]+["'')\]]*)\s+', '\1' || chr(1), 'g'), chr(1)),
+      |    x -> x <> '') AS ss FROM u)),
+      |sent AS (SELECT doc_id, e.i AS si, e.s AS s FROM se),
+      |rep AS (SELECT s FROM (
+      |  SELECT s, count(DISTINCT doc_id) AS df FROM sent GROUP BY s) WHERE df > 1),
+      |keep AS (SELECT doc_id, si, s FROM sent WHERE s NOT IN (SELECT s FROM rep)),
+      |agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY si) AS text_clean,
+      |        count(*) AS kept FROM keep GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n FROM sent GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+      |  CAST(coalesce(t.n, 0) AS BIGINT) AS n_sentences,
+      |  CAST(coalesce(a.kept, 0) AS BIGINT) AS n_sentences_kept
+      |FROM documents d
+      |LEFT JOIN tot t ON t.doc_id = d.doc_id
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private lazy val fuzzyDecontamSql =
     s"""WITH bench AS (SELECT doc_id AS bid, text || ' extra token' AS btext
        | FROM documents WHERE doc_id % 50 = 0),
@@ -365,6 +391,36 @@ object DedupScaleQueries extends QueryPack {
         "doc_id", "text", maxDf = 1)
         .orderBy("doc_id")),
 
+    // the sentence-boilerplate surgery INCREMENTALLY: the repeated-hash
+    // set comes from one batch pass, then the corpus arrives as a file
+    // stream (real micro-batches) through the stateless rewrite — the
+    // final state must equal d_sentence_dedup's batch output exactly
+    "d_sentence_stream" -> ((s, dir) => {
+      StageTimer.start("d_sentence_stream")
+      val d = docs(s, dir).withColumn("text",
+        regexp_replace(col("text"), "([^ ]+( [^ ]+){6}) ", "$1. "))
+      val boiler = graft.operators.Dedup.repeatedSentenceHashes(
+        d, "doc_id", "text", maxDf = 1).localCheckpoint(true)
+      StageTimer.mark("d_sentence_stream", "build")
+      val tmp = java.nio.file.Files.createTempDirectory("d_sent_stream").toString
+      d.select("doc_id", "text").repartition(2)
+        .write.mode("overwrite").json(s"$tmp/src")
+      StageTimer.mark("d_sentence_stream", "setup")
+      val in = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).json(s"$tmp/src")
+      val q = graft.streaming.StreamOps.removeRepeatedSentencesStream(
+          in, "doc_id", "text", boiler)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StageTimer.mark("d_sentence_stream", "stream")
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
+
     // FineWeb-style line/word gate (signals + combined keep)
     "t_fineweb" -> ((s, dir) =>
       TextQuality.fineWebFilter(docs(s, dir), "doc_id", "text")
@@ -549,29 +605,10 @@ object DedupScaleQueries extends QueryPack {
     // the batch decision exactly — same replay
     "j17_stream_decontaminate" -> fuzzyDecontamSql,
 
-    "d_sentence_dedup" ->
-      """WITH u AS (SELECT doc_id,
-        |  regexp_replace(text, '([^ ]+( [^ ]+){6}) ', '\1. ', 'g') AS text2
-        | FROM documents),
-        |se AS (SELECT doc_id,
-        |  unnest(list_transform(generate_series(1, len(ss)), i -> {'i': i, 's': ss[i]})) AS e
-        | FROM (SELECT doc_id, list_filter(string_split(
-        |    regexp_replace(text2, '([.!?]+["'')\]]*)\s+', '\1' || chr(1), 'g'), chr(1)),
-        |    x -> x <> '') AS ss FROM u)),
-        |sent AS (SELECT doc_id, e.i AS si, e.s AS s FROM se),
-        |rep AS (SELECT s FROM (
-        |  SELECT s, count(DISTINCT doc_id) AS df FROM sent GROUP BY s) WHERE df > 1),
-        |keep AS (SELECT doc_id, si, s FROM sent WHERE s NOT IN (SELECT s FROM rep)),
-        |agg AS (SELECT doc_id, string_agg(s, ' ' ORDER BY si) AS text_clean,
-        |        count(*) AS kept FROM keep GROUP BY doc_id),
-        |tot AS (SELECT doc_id, count(*) AS n FROM sent GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
-        |  CAST(coalesce(t.n, 0) AS BIGINT) AS n_sentences,
-        |  CAST(coalesce(a.kept, 0) AS BIGINT) AS n_sentences_kept
-        |FROM documents d
-        |LEFT JOIN tot t ON t.doc_id = d.doc_id
-        |LEFT JOIN agg a ON a.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "d_sentence_dedup" -> sentenceDedupSql,
+
+    // must equal the batch d_sentence_dedup exactly (same oracle)
+    "d_sentence_stream" -> sentenceDedupSql,
 
     "d_minhash_neardup" ->
       s"""WITH $candSql,

@@ -330,6 +330,35 @@ object StreamOps {
         col("__h") === col("__block_h"), "left_anti")
       .drop("__h")
 
+  /** Streaming repeated-sentence boilerplate removal — the incremental
+    * twin of [[graft.operators.Dedup.removeRepeatedSentences]] under the
+    * static-blocklist posture (like [[decontaminateStream]] vs J3): the
+    * over-threshold sentence hash set comes from a BATCH pass
+    * ([[graft.operators.Dedup.repeatedSentenceHashes]], boilerplate-sized
+    * by definition) and every incoming document is rewritten against it.
+    *
+    * Fully STATELESS: the hash set folds to ONE row (`collect_set` on the
+    * static side only) broadcast-cross-joined into the stream, and the
+    * rewrite is a per-row sentence-split + array filter + rejoin — no
+    * stream-side shuffle or state, so Append mode works and per-batch
+    * decisions equal the batch operator's given the same hash set.
+    * Output matches the batch twin: (idCol, text_clean, n_sentences,
+    * n_sentences_kept).
+    */
+  def removeRepeatedSentencesStream(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    boilerplate: DataFrame): DataFrame = {
+    val bl = broadcast(boilerplate.select(col("h")).distinct()
+      .agg(collect_set(col("h")).as("__bl")))
+    val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
+    val keptArr = filter(sents, x => !array_contains(col("__bl"), xxhash64(x)))
+    docs.crossJoin(bl)
+      .select(col(idCol),
+        concat_ws(" ", keptArr).as("text_clean"),
+        coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
+        coalesce(size(keptArr), lit(0)).cast("long").as("n_sentences_kept"))
+  }
+
   /** Streaming FUZZY decontamination — the incremental twin of
     * [[graft.operators.Dedup.decontaminateFuzzy]] (J8): drop every incoming
     * document that is a MinHash near-duplicate (exact shingle Jaccard ≥

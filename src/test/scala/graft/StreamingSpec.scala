@@ -147,6 +147,46 @@ class StreamingSpec extends SparkTestBase {
     assert(ranked === Set(("p", 4L, 1L), ("q", 3L, 2L)))
   }
 
+  test("streaming sentence-boilerplate removal matches the batch twin per row") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "Unique opening here. Accept our cookies now! Real content one."),
+      (2L, "Accept our cookies now! Real content two."),
+      (3L, "Accept our cookies now! Totally distinct text."),
+      (4L, ""))
+    val batchDf = rows.toDF("doc_id", "text")
+    val boiler = graft.operators.Dedup.repeatedSentenceHashes(
+      batchDf, "doc_id", "text")
+    val expected = graft.operators.Dedup.removeRepeatedSentences(
+        batchDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.removeRepeatedSentencesStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", boiler)
+      .writeStream.format("memory").queryName("sent_clean")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*) // decisions identical across batches
+    q.processAllAvailable()
+    val got = spark.table("sent_clean").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(got === expected)
+    // an EMPTY boilerplate set rewrites nothing
+    val q2 = StreamOps.removeRepeatedSentencesStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        boiler.where(org.apache.spark.sql.functions.lit(false)))
+      .writeStream.format("memory").queryName("sent_noop")
+      .outputMode(OutputMode.Append).start()
+    input.addData((9L, "Keep this. And this."))
+    q2.processAllAvailable()
+    val noop = spark.table("sent_noop")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 9L).head()
+    q2.stop()
+    assert(noop.getString(1) === "Keep this. And this." && noop.getLong(3) === 2L)
+  }
+
   test("streaming dedup drops repeat hashes across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
