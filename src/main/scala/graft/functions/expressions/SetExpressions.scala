@@ -80,3 +80,51 @@ object IntersectSizeRewrite extends Rule[LogicalPlan] {
       IntersectionSize(l, r)
   }
 }
+
+/** Membership probe against a BROADCAST sorted long array (binary search,
+  * zero per-row allocation) — exact long-set `IN` as a codegen'd scan
+  * expression. The inline replacement for a stream-static hash-set join:
+  * a static blocklist of hashed keys folds to one broadcast array and the
+  * probe fuses into the consumer's projection (works inside higher-order
+  * lambdas, e.g. filtering a sentence array by hash membership). NULL
+  * keys return NULL, like any unary expression.
+  *
+  * `sorted` MUST be sorted ascending (callers sort once at build);
+  * equality/canonicalization keys on the broadcast id, like
+  * BloomMightContain.
+  */
+case class LongSetContains(child: Expression,
+                           sorted: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_long_set_contains needs a long key, got ${other.sql}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_long_set_contains"
+
+  def contains(v: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted.value, v) >= 0
+
+  protected override def nullSafeEval(input: Any): Any =
+    contains(input.asInstanceOf[Long])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("longSetProbe", this, classOf[LongSetContains].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case e: LongSetContains =>
+      (this eq e) || (child == e.child && sorted.id == e.sorted.id)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[LongSetContains], child,
+      java.lang.Long.valueOf(sorted.id))
+
+  protected override def withNewChildInternal(newChild: Expression): LongSetContains =
+    copy(child = newChild)
+}

@@ -347,16 +347,40 @@ object StreamOps {
     */
   def removeRepeatedSentencesStream(docs: DataFrame, idCol: String,
                                     textCol: String,
-                                    boilerplate: DataFrame): DataFrame = {
-    val bl = broadcast(boilerplate.select(col("h")).distinct()
-      .agg(collect_set(col("h")).as("__bl")))
+                                    boilerplate: DataFrame,
+                                    maxInlineHashes: Int = 1 << 22): DataFrame = {
+    // the hash set is boilerplate-sized by definition — collect it ONCE,
+    // broadcast a sorted long array, and probe via a codegen'd binary
+    // search inside the per-row rewrite: the stream plan is then a pure
+    // projection (no per-micro-batch re-aggregation of the static side,
+    // no join). Beyond the (generous) inline cap, fall back to folding
+    // the set into one broadcast-cross-joined array row — still
+    // stateless, just re-evaluated per batch.
+    val spark = docs.sparkSession
     val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
-    val keptArr = filter(sents, x => !array_contains(col("__bl"), xxhash64(x)))
-    docs.crossJoin(bl)
-      .select(col(idCol),
+    val distinctH = boilerplate.select(col("h")).distinct()
+    val capped = distinctH.limit(maxInlineHashes + 1).collect()
+    if (capped.length <= maxInlineHashes) {
+      val sorted = capped.map(_.getLong(0)).sorted
+      val bc = spark.sparkContext.broadcast(sorted)
+      def probe(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.LongSetContains(
+          org.apache.spark.sql.graft.Bridge.expression(xxhash64(x)), bc))
+      val keptArr = filter(sents, x => !probe(x))
+      docs.select(col(idCol),
         concat_ws(" ", keptArr).as("text_clean"),
         coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
         coalesce(size(keptArr), lit(0)).cast("long").as("n_sentences_kept"))
+    } else {
+      val bl = broadcast(distinctH.agg(collect_set(col("h")).as("__bl")))
+      val keptArr = filter(sents, x => !array_contains(col("__bl"), xxhash64(x)))
+      docs.crossJoin(bl)
+        .select(col(idCol),
+          concat_ws(" ", keptArr).as("text_clean"),
+          coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
+          coalesce(size(keptArr), lit(0)).cast("long").as("n_sentences_kept"))
+    }
   }
 
   /** Streaming FUZZY decontamination — the incremental twin of
