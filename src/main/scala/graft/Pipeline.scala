@@ -133,6 +133,37 @@ object Pipeline {
       .unionByName(docs.where(col(textCol).isNull))
   }
 
+  /** Repeated-sentence boilerplate surgery on text corpora: cut every
+    * sentence appearing in more than `maxDf` distinct documents (cookie
+    * banners, nav text, license headers), keep the documents.
+    */
+  def removeBoilerplateSentences(docs: DataFrame, idCol: String,
+                                 textCol: String, maxDf: Long = 1L): DataFrame =
+    Dedup.removeRepeatedSentences(docs, idCol, textCol, maxDf)
+
+  /** Diversity curation for TEXT-ONLY corpora, off feature-hash
+    * embeddings (no model in the loop): `exemplars` = k maximally-spread
+    * k-center picks ([[Similarity.kCenterSelect]]); [[curationSample]]
+    * bounds every embedding-cluster's share instead.
+    */
+  def diverseExemplarsText(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, dim: Int = 64,
+                           uax29: Boolean = false): DataFrame =
+    Similarity.kCenterSelect(
+      operators.FeatureHash.hashedEmbeddings(docs, idCol, textCol, dim,
+        uax29 = uax29), "id", "emb", k)
+
+  /** Cluster-balanced curation sample for TEXT-ONLY corpora: up to
+    * `perCluster` documents per feature-hash embedding cluster —
+    * the wide-coverage complement to [[diverseExemplarsText]].
+    */
+  def curationSample(docs: DataFrame, idCol: String, textCol: String,
+                     step: Int, perCluster: Int, dim: Int = 64,
+                     uax29: Boolean = false): DataFrame =
+    Similarity.clusterBalancedSample(
+      operators.FeatureHash.hashedEmbeddings(docs, idCol, textCol, dim,
+        uax29 = uax29), "id", "emb", step, perCluster, hashedIds = true)
+
   /** URL-level exact dedup: keep-first by canonical URL (case, ports,
     * www, tracking params, fragments and slash noise collapse first).
     */

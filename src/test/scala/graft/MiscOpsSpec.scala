@@ -155,4 +155,23 @@ class MiscOpsSpec extends SparkTestBase {
     val bench = Seq(Tuple1(long)).toDF("text")
     assert(graft.Pipeline.decontaminate(deduped, bench).count() === 0L)
   }
+
+  test("Pipeline curation rungs: boilerplate surgery, exemplars, cluster sample on text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Accept cookies now! Alpha bravo charlie delta."),
+      (2L, "Accept cookies now! Echo foxtrot golf hotel."),
+      (3L, "India juliett kilo lima mike november oscar papa.")
+    ).toDF("doc_id", "text")
+    val clean = graft.Pipeline.removeBoilerplateSentences(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(clean(0) === "Alpha bravo charlie delta.")
+    assert(clean(2).startsWith("India"))
+    val ex = graft.Pipeline.diverseExemplarsText(docs, "doc_id", "text", k = 2)
+      .collect()
+    assert(ex.length === 2 && ex.map(_.getLong(1)).toSet === Set(1L, 2L))
+    val cs = graft.Pipeline.curationSample(docs, "doc_id", "text",
+      step = 2, perCluster = 1)
+    assert(cs.count() >= 1)
+  }
 }
