@@ -362,6 +362,16 @@ class EmptyInputSpec extends SparkTestBase {
     assert(r.fetched.isEmpty && r.failed.isEmpty && r.skippedDone === 0L)
   }
 
+  test("round-12 curation surfaces on empty corpora") {
+    assert(Dedup.removeRepeatedSentences(docs, "doc_id", "text").count() === 0)
+    assert(Dedup.repeatedSentenceHashes(docs, "doc_id", "text").count() === 0)
+    assert(Similarity.kCenterSelect(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3).count() === 0)
+    assert(graft.Pipeline.removeBoilerplateSentences(docs, "doc_id", "text")
+      .count() === 0)
+  }
+
   test("consolidateShards: an empty input dir is a loud error, not silence") {
     val d = java.nio.file.Files.createTempDirectory("cons_empty")
     val out = java.nio.file.Files.createTempDirectory("cons_empty_out")

@@ -246,6 +246,17 @@ class PlanPropertySpec extends SparkTestBase {
       s"no partial WindowGroupLimit in:\n$p")
   }
 
+  test("removeRepeatedSentences: no exchange ever carries the text column") {
+    val r = Dedup.removeRepeatedSentences(docs, "doc_id", "text")
+    val p = plan(r)
+    // the df count shuffles (hash, id); the removal indices shuffle
+    // (id, positions) — sentence/document TEXT must never be exchanged
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).foreach { m =>
+      assert(!m.group(1).contains("text") && !m.group(1).contains("__s"), p)
+    }
+    assert(shuffles(r) <= 3, p)
+  }
+
   test("clusterBalancedSample: partial WindowGroupLimit below the bucket-rank exchange") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val sm = graft.operators.Similarity.clusterBalancedSample(emb,
