@@ -821,4 +821,42 @@ class DedupScaleSpec extends SparkTestBase {
       .where(col("doc_id") === 1L).head().getString(1)
     assert(kept === "Same line here. Same line here.")
   }
+
+  test("removeRepeatedSentences matches an in-memory reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 0 until 3) {
+      // random docs from a small sentence pool => natural cross-doc repeats
+      val pool = (0 until 12).map(i => s"Sentence number $i stop.")
+      val docs = (1L to 25L).map { id =>
+        id -> (0 until 1 + rnd.nextInt(5)).map(_ => pool(rnd.nextInt(pool.size)))
+          .mkString(" ")
+      }
+      val maxDf = 1L + rnd.nextInt(3)
+      // independent reference: split on the same boundary rule, count
+      // DISTINCT docs per sentence, rebuild
+      val split = docs.map { case (id, t) =>
+        id -> t.split("(?<=[.!?])\\s+").toSeq.filter(_.nonEmpty)
+      }.toMap
+      val df_ = split.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = docs.map { case (id, _) =>
+        val kept = split(id).filter(s => df_(s) <= maxDf)
+        (id, kept.mkString(" "), split(id).size.toLong, kept.size.toLong)
+      }.toSet
+      val got = graft.operators.Dedup.removeRepeatedSentences(
+          docs.toDF("doc_id", "text"), "doc_id", "text", maxDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expected, s"trial $trial maxDf $maxDf")
+      // and the streaming twin agrees given the batch hash set
+      val boiler = graft.operators.Dedup.repeatedSentenceHashes(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxDf)
+      val streamGot = graft.streaming.StreamOps.removeRepeatedSentencesStream(
+          docs.toDF("doc_id", "text"), "doc_id", "text", boiler)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamGot === expected, s"stream trial $trial")
+    }
+  }
 }

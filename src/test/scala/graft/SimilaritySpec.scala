@@ -488,4 +488,40 @@ class SimilaritySpec extends SparkTestBase {
       emb.where(lit(false)), "vec_id", "embedding", step = 1000000,
       perCluster = 2, hashedIds = true).count() === 0L)
   }
+
+  test("clusterBalancedSample matches an in-memory reference on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 11
+      val d = 6
+      val step = 7
+      val per = 2
+      val data = (0L until n.toLong).map(i =>
+        (i, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
+      // independent reference: unit-normalize, assign to argmax-dot
+      // centroid (ids % step == 0; tie -> lower centroid id), md5-rank
+      val unit = data.map { case (id, v) =>
+        val dv = v.map(_.toDouble); val nrm = math.sqrt(dv.map(x => x * x).sum)
+        id -> dv.map(_ / nrm)
+      }.toMap
+      val cents = data.map(_._1).filter(_ % step == 0).sorted
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def md5hex(x: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val assigned = unit.keys.map { id =>
+        id -> cents.maxBy(c => (dot(unit(id), unit(c)), -c))
+      }.toSeq
+      val expected = assigned.groupBy(_._2).toSeq.flatMap { case (b, members) =>
+        members.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(per)
+          .zipWithIndex.map { case (id, i) => (id, b, (i + 1).toLong) }
+      }.toSet
+      val got = graft.operators.Similarity.clusterBalancedSample(
+          data.toDF("vec_id", "embedding"), "vec_id", "embedding", step, per)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"trial $trial")
+    }
+  }
 }
