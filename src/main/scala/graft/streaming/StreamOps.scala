@@ -355,31 +355,30 @@ object StreamOps {
     // projection (no per-micro-batch re-aggregation of the static side,
     // no join). Beyond the (generous) inline cap, fall back to folding
     // the set into one broadcast-cross-joined array row — still
-    // stateless, just re-evaluated per batch.
+    // stateless, just re-evaluated per batch. The branch is decided by a
+    // capped COUNT (never materializing over-cap sets on the driver).
     val spark = docs.sparkSession
     val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
-    val distinctH = boilerplate.select(col("h")).distinct()
-    val capped = distinctH.limit(maxInlineHashes + 1).collect()
-    if (capped.length <= maxInlineHashes) {
-      val sorted = capped.map(_.getLong(0)).sorted
-      val bc = spark.sparkContext.broadcast(sorted)
-      def probe(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        org.apache.spark.sql.graft.Bridge.column(
-        graft.functions.expressions.LongSetContains(
-          org.apache.spark.sql.graft.Bridge.expression(xxhash64(x)), bc))
-      val keptArr = filter(sents, x => !probe(x))
-      docs.select(col(idCol),
+    def project(src: DataFrame, keptArr: org.apache.spark.sql.Column): DataFrame =
+      src.select(col(idCol),
         concat_ws(" ", keptArr).as("text_clean"),
         coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
         coalesce(size(keptArr), lit(0)).cast("long").as("n_sentences_kept"))
+    val distinctH = boilerplate.select(col("h")).distinct()
+    val inline =
+      distinctH.limit(maxInlineHashes + 1).count() <= maxInlineHashes
+    if (inline) {
+      val sorted = distinctH.collect().map(_.getLong(0)).sorted
+      val bc = spark.sparkContext.broadcast(sorted)
+      def probe(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.expressions.LongSetContains(
+            org.apache.spark.sql.graft.Bridge.expression(xxhash64(x)), bc))
+      project(docs, filter(sents, x => !probe(x)))
     } else {
       val bl = broadcast(distinctH.agg(collect_set(col("h")).as("__bl")))
-      val keptArr = filter(sents, x => !array_contains(col("__bl"), xxhash64(x)))
-      docs.crossJoin(bl)
-        .select(col(idCol),
-          concat_ws(" ", keptArr).as("text_clean"),
-          coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
-          coalesce(size(keptArr), lit(0)).cast("long").as("n_sentences_kept"))
+      project(docs.crossJoin(bl),
+        filter(sents, x => !array_contains(col("__bl"), xxhash64(x))))
     }
   }
 

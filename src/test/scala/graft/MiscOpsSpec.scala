@@ -169,7 +169,9 @@ class MiscOpsSpec extends SparkTestBase {
     assert(clean(2).startsWith("India"))
     val ex = graft.Pipeline.diverseExemplarsText(docs, "doc_id", "text", k = 2)
       .collect()
-    assert(ex.length === 2 && ex.map(_.getLong(1)).toSet === Set(1L, 2L))
+    // WHICH docs: seed = min id 1; doc 3 shares no tokens with it (cos 0)
+    // while doc 2 shares the banner tokens — 3 must be the second pick
+    assert(ex.map(_.getLong(0)).toSet === Set(1L, 3L))
     val cs = graft.Pipeline.curationSample(docs, "doc_id", "text",
       step = 2, perCluster = 1)
     assert(cs.count() >= 1)

@@ -173,6 +173,19 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     q.stop()
     assert(got === expected)
+    // the over-cap FALLBACK branch (maxInlineHashes = 0 forces it) must
+    // make the same per-row decisions under streaming execution
+    val q3 = StreamOps.removeRepeatedSentencesStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", boiler,
+        maxInlineHashes = 0)
+      .writeStream.format("memory").queryName("sent_fallback")
+      .outputMode(OutputMode.Append).start()
+    input.addData(rows: _*)
+    q3.processAllAvailable()
+    val fb = spark.table("sent_fallback").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q3.stop()
+    assert(fb === expected)
     // an EMPTY boilerplate set rewrites nothing
     val q2 = StreamOps.removeRepeatedSentencesStream(
         input.toDF().toDF("doc_id", "text"), "doc_id", "text",
