@@ -140,6 +140,23 @@ object ScaleRehearsal {
         hash = graft.operators.MinHash.xxhashStrategy)
       graft.operators.Dedup.connectedComponents(pairs).count()
     }
+    // r12 curation operators at replicated scale
+    run("sentence_dedup") {
+      // the filter forces the df-count + removal pipeline: a bare count()
+      // is answered by left-join elimination without running anything
+      graft.operators.Dedup.removeRepeatedSentences(
+        docs.withColumn("text", regexp_replace(col("text"),
+          "([^ ]+( [^ ]+){6}) ", "$1. ")), "doc_id", "text")
+        .where(col("n_sentences_kept") < col("n_sentences")).count()
+    }
+    run("kcenter_select_k5") {
+      graft.operators.Similarity.kCenterSelect(emb, "vec_id", "embedding",
+        k = 5).count()
+    }
+    run("cluster_sample") {
+      graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
+        "embedding", step = 50 * replicas, perCluster = 5).count()
+    }
     run("keep_first_dedup") {
       graft.operators.Dedup.keepFirst(docs, md5(col("text")),
         Seq(col("doc_id"))).count()
