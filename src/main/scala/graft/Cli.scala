@@ -166,10 +166,27 @@ object Cli {
   private def writeStateFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
                                    p: org.apache.hadoop.fs.Path,
                                    content: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".__tmp")
+    // attempt-unique tmp: concurrent invocations must not clobber each
+    // other's in-flight tmp (a shared name let writer B's rename publish
+    // writer A's half-written bytes)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + ".__tmp." + java.util.UUID.randomUUID().toString)
     writeStateFile(fs, tmp, content)
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) sys.error(s"state-file rename failed at $p")
+    // overwrite-capable rename: ONE atomic step, so no crash window where
+    // the pin file is absent (delete-then-rename left a gap in which the
+    // next invocation would silently re-pin defaults — index drift, the
+    // exact failure this file exists to prevent)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+        fs.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // FS without a FileContext binding: fall back to delete+rename
+        // (narrow non-atomic window, disclosed) rather than failing the run
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) sys.error(s"state-file rename failed at $p")
+    }
   }
 
   /** Index-wide settings pinned in the state dir on first use — batches

@@ -39,13 +39,19 @@ object Similarity {
     * every real similarity and silently corrupts argmax/top-k). Every
     * consumer already null-guards (null cos filtered in knn, null units
     * dropped in the curation ops), so zero vectors degrade to absent.
+    * A NaN-element vector folds to NULL the same way: Spark orders NaN
+    * ABOVE every number, so a NaN norm would pass a bare `> 0` gate,
+    * yield an all-NaN unit, and poison every downstream argmax/top-k
+    * (kCenterSelect's desc sort would pick it first and then crash on
+    * BigDecimal(NaN)).
     */
   private[graft] def unitProject(df: DataFrame, idCol: String, idName: String,
                                  vecCol: String, outName: String): DataFrame =
     df.select(col(idCol).as(idName), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .select(col(idName),
-        when(col("__n") > 0, transform(col("__v"), x => x / col("__n")))
+        when(!isnan(col("__n")) && col("__n") > 0,
+          transform(col("__v"), x => x / col("__n")))
           .as(outName))
 
   /** Fail fast when an id-mod-`step` sample exceeds `cap` rows: counts the
@@ -308,35 +314,65 @@ object Similarity {
       else b.where(pmod(xxhash64(col(idCol).cast("string")), lit(step.toLong))
         === lit(offset.toLong))
     val sample = sample0.where(col("bv").isNotNull)
-    // the sample is broadcast — a step miscalibrated for the corpus size
-    // must fail fast with the dial to turn, not OOM every executor
-    // mid-broadcast (the clusterProfile guard, applied to every IVF
-    // entry point; one narrow limit-capped count per call)
-    val nCents = requireBoundedSample(sample, idCol, step, 1 << 16, "ivfAssign")
+    // the sample is collected and broadcast — a step miscalibrated for the
+    // corpus size must fail fast with the dial to turn, not OOM the driver
+    // mid-collect (the clusterProfile guard, applied to every IVF entry
+    // point). Counted on the PRE-null-filter sample: an upper bound on the
+    // collected set, and the count then prunes to a pure id-column scan
+    // (the bv.isNotNull variant forces the unit projection per sampled row
+    // just to count)
+    requireBoundedSample(sample0, idCol, step, 1 << 16, "ivfAssign")
+    // the probe kernel carries centroid ids as longs — integral ids only
+    // on the direct path (fractional ids would truncate silently; they
+    // are what hashedIds exists for)
+    if (!hashedIds) base.schema(base.schema.fieldIndex(idCol)).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => sys.error(s"ivfAssign: id column '$idCol' has " +
+        s"non-integral type ${other.sql} — pass hashedIds = true")
+    }
+    val centKey =
+      if (!hashedIds) col(idCol).cast("long")
+      else xxhash64(col(idCol).cast("string"))
+    // ascending-id order: [[BestCentroid]] probes with strict `>`, so ties
+    // resolve to the LOWEST centroid id — the max_by(struct(csim, -cid))
+    // ordering this kernel replaces, and the oracle's `ORDER BY d DESC,
+    // centroid_id`
+    val cents = sample.select(centKey.as("cid"), col("bv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     // zero centroids on a NON-empty corpus is a silent drop-everything
-    // (the inner join below would eat every row): fail fast with the dial
-    // to turn, exactly as writeIvfIndex does — the hashedIds filter is
-    // probabilistic (~1/step), so small corpora hit this routinely. An
-    // empty corpus falls through to an empty (schema-correct) result.
-    if (nCents == 0 && !b.isEmpty) sys.error(
+    // (every bucket would be null and every bucket join would eat every
+    // row): fail fast with the dial to turn, exactly as writeIvfIndex
+    // does — the hashedIds filter is probabilistic (~1/step), so small
+    // corpora hit this routinely. An empty corpus degrades to an empty
+    // (schema-correct) result.
+    if (cents.isEmpty && !b.isEmpty) sys.error(
       s"ivfAssign: step=$step selected ZERO centroids on this corpus — " +
         "lower step" + (if (hashedIds) " (the hashedIds filter is " +
         "probabilistic: ~1/step)" else ""))
-    val centKey =
-      if (!hashedIds) col(idCol) else xxhash64(col(idCol).cast("string"))
-    val centroids = broadcast(sample
-      .select(centKey.as("centroid_id"), col("bv").as("cv")))
-    // argmax as a hash aggregation, not a window: map-side partial agg means
-    // the shuffle carries one row per id per partition, not the full
-    // |base|×|centroids| scored set (with its vectors) — tie broken on the
-    // lower centroid id, matching the window formulation it replaces
-    b.join(centroids)
-      .select(col(idCol), col("bv"), col("centroid_id"),
-        dot(col("bv"), col("cv")).as("csim"))
-      .groupBy(idCol)
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
-        first(col("bv")).as("bv"))
-      .select(col(idCol), col("bv"), col("bucket"))
+    val bucketType =
+      if (hashedIds) org.apache.spark.sql.types.LongType
+      else base.schema(base.schema.fieldIndex(idCol)).dataType
+    if (cents.isEmpty)
+      return b.select(col(idCol), col("bv"),
+        lit(null).cast(bucketType).as("bucket"))
+    // assignment as ONE codegen'd projection probing the broadcast
+    // centroid table — no |base|×|centroids| join expansion and, decisive
+    // at scale, no corpus-wide re-grouping shuffle carrying the unit
+    // vectors (the former groupBy(id).agg(max_by, first(bv)) shape).
+    // Zero/NaN/null-element vectors (NULL unit) get a NULL bucket — no
+    // direction, no nearest centroid — and every consumer's inner bucket
+    // join or explicit isNotNull filter drops them.
+    val sc = base.sparkSession.sparkContext
+    val bestExpr = Bridge.column(
+      graft.functions.expressions.BestCentroid(
+        Bridge.expression(col("bv")),
+        sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2))))
+    b.withColumn("__best", bestExpr)
+      .select(col(idCol), col("bv"),
+        col("__best").getField("bucket").cast(bucketType).as("bucket"))
   }
 
   /** Cluster-balanced sample: up to `perCluster` vectors per IVF cluster,
@@ -381,9 +417,11 @@ object Similarity {
     * [[graft.operators.Analyses.mixturePlan]] keyed on the cluster id to
     * mix by embedding domain instead of named source.
     *
-    * Scale shape: identical to [[ivfAssign]] — broadcast centroids, one
-    * scan, max_by hash aggregation (no |base|×|centroids| shuffle), then a
-    * cluster-count-sized partial agg.
+    * Scale shape: identical to [[ivfAssign]] — the assignment argmax is
+    * ONE codegen'd projection probing the broadcast centroid table
+    * ([[graft.functions.expressions.BestCentroid]]); the only shuffle is
+    * the cluster-count-sized partial agg. Zero/null-direction vectors are
+    * excluded from the profile (they have no nearest centroid).
     *
     * The centroid count is n/`step`, a CALLER dial — and the centroids are
     * broadcast, so a step miscalibrated for the corpus size would grow the
@@ -395,18 +433,24 @@ object Similarity {
   def clusterProfile(base: DataFrame, idCol: String, vecCol: String,
                      step: Int, maxCentroids: Int = 8192): DataFrame = {
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
-    requireBoundedSample(b.where(col(idCol) % step === 0), idCol, step,
-      maxCentroids, "clusterProfile")
-    val centroids = broadcast(b.where(col(idCol) % step === 0)
-      .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
-    b.join(centroids)
-      .select(col(idCol), col("centroid_id"), dot(col("bv"), col("cv")).as("csim"))
-      .groupBy(idCol)
-      .agg(max_by(struct(col("centroid_id"), col("csim")),
-        struct(col("csim"), -col("centroid_id"))).as("best"))
-      .select(col("best.centroid_id").as("centroid_id"), col("best.csim").as("csim"))
-      .groupBy("centroid_id")
-      .agg(count(lit(1)).as("n_members"), round(avg("csim"), 6).as("mean_cosine"))
+    val sample0 = b.where(col(idCol) % step === 0)
+    requireBoundedSample(sample0, idCol, step, maxCentroids, "clusterProfile")
+    val idType = base.schema(base.schema.fieldIndex(idCol)).dataType
+    val cents = sample0.where(col("bv").isNotNull)
+      .select(col(idCol).cast("long").as("cid"), col("bv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (cents.isEmpty)
+      return b.select(col(idCol).as("centroid_id"), lit(0L).as("n_members"),
+        lit(0.0).as("mean_cosine")).where(lit(false))
+    val sc = base.sparkSession.sparkContext
+    val bestExpr = Bridge.column(
+      graft.functions.expressions.BestCentroid(
+        Bridge.expression(col("bv")),
+        sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2))))
+    b.select(bestExpr.as("__best")).where(col("__best").isNotNull)
+      .groupBy(col("__best").getField("bucket").cast(idType).as("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("__best").getField("csim")), 6).as("mean_cosine"))
   }
 
   /** Lloyd-refined IVF centroids: start from the deterministic id-mod-step

@@ -388,9 +388,17 @@ object Corpus {
   object LocalFileFetcher extends ShardFetcher {
     def fetch(url: String, out: java.io.OutputStream): Unit = {
       val noQuery = url.takeWhile(c => c != '?' && c != '#')
+      // URI.getPath, not prefix-stripping: a bare strip of "file://"
+      // turns file://localhost/data/x into the RELATIVE path
+      // localhost/data/x (the authority becomes a path segment) and
+      // leaves the equally-valid single-slash form file:/data/x
+      // untouched — both are legal file-URL shapes a URL list can carry
       val path =
-        if (noQuery.startsWith("file://")) noQuery.stripPrefix("file://")
-        else noQuery
+        if (noQuery.startsWith("file:")) {
+          val u = java.net.URI.create(noQuery)
+          Option(u.getPath).filter(_.nonEmpty).getOrElse(
+            sys.error(s"file URL with no path component: $url"))
+        } else noQuery
       val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
       try {
         val buf = new Array[Byte](1 << 16)
