@@ -758,11 +758,19 @@ object Dedup {
                               textCol: String, maxDf: Long = 1L): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
+    // ONE exploded (id, idx, hash) frame feeds BOTH the df-count agg and
+    // the removal join — lazily checkpointed because Spark does not
+    // plan-share identical subtrees, so without it the corpus would be
+    // scanned and sentence-split twice (the split is the operator's
+    // dominant per-row cost at scale; calling repeatedSentenceHashes here
+    // would rebuild exactly this frame from the raw text a second time)
     val ex = graft.Par.fanOut(docs)
       .select(col(idCol).as("__id"), posexplode(sents).as(Seq("__idx", "__s")))
       .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))
-    val repeated = repeatedSentenceHashes(docs, idCol, textCol, maxDf)
-      .select(col("h").as("__h"))
+      .localCheckpoint(eager = false)
+    val repeated = ex.groupBy("__h")
+      .agg(count_distinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDf).select("__h")
     val removed = ex.join(repeated, Seq("__h"), "left_semi")
       .groupBy("__id").agg(sort_array(collect_list(col("__idx"))).as("__drop"))
     val dropArr = coalesce(col("__drop"), array().cast("array<int>"))

@@ -337,11 +337,11 @@ object StreamOps {
     * ([[graft.operators.Dedup.repeatedSentenceHashes]], boilerplate-sized
     * by definition) and every incoming document is rewritten against it.
     *
-    * Fully STATELESS: the hash set folds to ONE row (`collect_set` on the
-    * static side only) broadcast-cross-joined into the stream, and the
-    * rewrite is a per-row sentence-split + array filter + rejoin — no
-    * stream-side shuffle or state, so Append mode works and per-batch
-    * decisions equal the batch operator's given the same hash set.
+    * Fully STATELESS: the hash set folds to one broadcast sorted long
+    * array probed by a codegen'd binary search, and the rewrite is a
+    * per-row sentence-split + array filter + rejoin — no stream-side
+    * shuffle or state, so Append mode works and per-batch decisions
+    * equal the batch operator's given the same hash set.
     * Output matches the batch twin: (idCol, text_clean, n_sentences,
     * n_sentences_kept).
     */
@@ -353,10 +353,13 @@ object StreamOps {
     // broadcast a sorted long array, and probe via a codegen'd binary
     // search inside the per-row rewrite: the stream plan is then a pure
     // projection (no per-micro-batch re-aggregation of the static side,
-    // no join). Beyond the (generous) inline cap, fall back to folding
-    // the set into one broadcast-cross-joined array row — still
-    // stateless, just re-evaluated per batch. The branch is decided by a
-    // capped COUNT (never materializing over-cap sets on the driver).
+    // no join). The set must reach every executor whole either way (any
+    // formulation broadcasts it), so there is no cheaper over-cap shape —
+    // beyond `maxInlineHashes` the only change is HOW the driver gathers
+    // it: toLocalIterator (one partition in memory at a time) instead of
+    // collect's single all-rows buffer, probing identically afterwards.
+    // The branch is decided by a capped COUNT first so the driver never
+    // commits to materializing a set it hasn't sized.
     val spark = docs.sparkSession
     val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
     def project(src: DataFrame, keptArr: org.apache.spark.sql.Column): DataFrame =
@@ -367,19 +370,20 @@ object StreamOps {
     val distinctH = boilerplate.select(col("h")).distinct()
     val inline =
       distinctH.limit(maxInlineHashes + 1).count() <= maxInlineHashes
-    if (inline) {
-      val sorted = distinctH.collect().map(_.getLong(0)).sorted
-      val bc = spark.sparkContext.broadcast(sorted)
-      def probe(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        org.apache.spark.sql.graft.Bridge.column(
-          graft.functions.expressions.LongSetContains(
-            org.apache.spark.sql.graft.Bridge.expression(xxhash64(x)), bc))
-      project(docs, filter(sents, x => !probe(x)))
-    } else {
-      val bl = broadcast(distinctH.agg(collect_set(col("h")).as("__bl")))
-      project(docs.crossJoin(bl),
-        filter(sents, x => !array_contains(col("__bl"), xxhash64(x))))
-    }
+    val sorted: Array[Long] =
+      if (inline) distinctH.collect().map(_.getLong(0)).sorted
+      else {
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        val it = distinctH.toLocalIterator()
+        while (it.hasNext) buf += it.next().getLong(0)
+        val a = buf.result(); java.util.Arrays.sort(a); a
+      }
+    val bc = spark.sparkContext.broadcast(sorted)
+    def probe(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.LongSetContains(
+          org.apache.spark.sql.graft.Bridge.expression(xxhash64(x)), bc))
+    project(docs, filter(sents, x => !probe(x)))
   }
 
   /** Streaming FUZZY decontamination — the incremental twin of

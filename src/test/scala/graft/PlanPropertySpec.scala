@@ -255,6 +255,12 @@ class PlanPropertySpec extends SparkTestBase {
       assert(!m.group(1).contains("text") && !m.group(1).contains("__s"), p)
     }
     assert(shuffles(r) <= 3, p)
+    // single-scan contract: the exploded (id, idx, hash) frame is
+    // checkpointed and feeds BOTH the df-count agg and the removal join,
+    // so the batch plan reads (and sentence-splits) the corpus file ONCE —
+    // the reconstruction projection's scan. A second FileScan means the
+    // over-threshold set is being rebuilt from raw text.
+    assert("FileScan".r.findAllIn(p).length === 1, p)
   }
 
   test("clusterBalancedSample: partial WindowGroupLimit below the bucket-rank exchange") {
