@@ -94,6 +94,25 @@ object Sketches {
     override def outputEncoder: Encoder[CMS] = Encoders.kryo[CMS]
   }
 
+  /** [[CountMinAggregator]] over pre-counted (item, count) rows — the
+    * counted-vocab formulation. Cells are BIT-IDENTICAL to per-occurrence
+    * adds (increments are saturating sums, so add(g) × n ≡ add(g, n)),
+    * but the aggregate runs over |vocab| rows instead of the full gram
+    * stream and its partial buffers merge across however few partitions
+    * the counted frame has — for consumers that already paid an exact
+    * count (the A4 contract query needs both sides anyway).
+    */
+  class CountMinWeightedAggregator(width: Int, depth: Int, seed: Int)
+      extends Aggregator[(String, Long), CMS, CMS] {
+    override def zero: CMS = CMS.empty(width, depth, seed)
+    override def reduce(b: CMS, a: (String, Long)): CMS =
+      if (a == null || a._1 == null) b else b.add(a._1, a._2)
+    override def merge(b1: CMS, b2: CMS): CMS = b1.merge(b2)
+    override def finish(r: CMS): CMS = r
+    override def bufferEncoder: Encoder[CMS] = Encoders.kryo[CMS]
+    override def outputEncoder: Encoder[CMS] = Encoders.kryo[CMS]
+  }
+
   /** Bloom-presence table (u8 cells, k hash rows into ONE array). estimate =
     * nonzero cell count — the reference's biased-low unique estimate
     * (unique.rs:91-148, counter.rs:95-104).

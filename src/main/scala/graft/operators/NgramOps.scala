@@ -109,6 +109,35 @@ object NgramOps {
       .orderBy(desc("count"), asc("ngram")).limit(k)
   }
 
+  /** [[topKApprox]] computed from a PRE-COUNTED `(gram, count)` vocab
+    * frame instead of re-scanning the corpus — for consumers that already
+    * paid the exact aggregation (the A4 contract query builds it for the
+    * bound checks anyway). Output is row-identical to [[topKApprox]] on
+    * the stream those counts summarize: the sketch ingests per-gram
+    * counts (cell-bit-identical to per-occurrence adds, since increments
+    * are saturating sums) and each distinct gram probes once (the
+    * stream formulation's groupBy/max collapses duplicate probes of the
+    * same constant estimate). Two vocab-sized passes, zero corpus scans.
+    */
+  def topKApproxFromCounts(counts: DataFrame, gramCol: String,
+                           cntCol: String, k: Int,
+                           width: Int = 1 << 18, depth: Int = 5,
+                           seed: Int = 42, threshold: Long = 1L): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.sketch.Sketches.CountMinWeightedAggregator(
+      width, depth, seed)
+    val cms = counts.select(col(gramCol), col(cntCol).cast("long"))
+      .as[(String, Long)].select(agg.toColumn).head()
+    val bc = spark.sparkContext.broadcast(cms)
+    val est = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.CmsEstimate(
+        org.apache.spark.sql.graft.Bridge.expression(col(gramCol)), bc))
+    counts.select(col(gramCol).as("ngram"), est.as("count"))
+      .where(col("count") >= threshold)
+      .orderBy(desc("count"), asc("ngram")).limit(k)
+  }
+
   /** Distinct n-gram counts for SEVERAL n in one corpus pass: every doc
     * emits its n-grams tagged by n, one aggregation — instead of one scan
     * per requested n.

@@ -135,24 +135,38 @@ object NgramQueries extends QueryPack {
       def contractRow(df: DataFrame, name: String) =
         df.select(lit(name).as("contract"), col("checked").cast("long"),
           col("violations").cast("long"))
+      // the contract rows below branch over these frames 2-3× each, and
+      // self-join arms get NO exchange reuse (measured here: 37 exchanges,
+      // 0 reused) — materialize each shared subtree ONCE, bounded to
+      // vocab-/k-sized frames, so the gram scan runs once. ONE tagged
+      // pass (the uniqueExactMulti shape) carries both the 2-gram counts
+      // the CMS contracts need and the 1-gram vocab the HLL contract
+      // needs — tokenization runs once per doc instead of once per n
+      val toks = split(col("text"), " ")
+      val gramCounts = graft.Par.fanOut(d)
+        .select(explode(flatten(array(Seq(1, 2).map(n =>
+          transform(graft.functions.TextFunctions.ngrams(toks, n),
+            g => struct(lit(n).as("n"), g.as("ngram")))): _*))).as("t"))
+        .select(col("t.n").as("n"), col("t.ngram").as("ngram"))
+        .groupBy("n", "ngram").agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint()
+      val exact = gramCounts.where(col("n") === 2).select("ngram", "exact_cnt")
       // CMS top-k: every reported estimate ≥ the exact count of that gram
       // and ≤ the total gram stream size. The bound contracts hold for ANY
       // sketch geometry (min-of-k never under-counts; nothing exceeds the
       // stream total), so use an index-sized table here: the 1<<18 default
       // is a 10.5 MB Array[Long] per partial buffer, and alloc+Kryo+merge
       // of 32 of them was ~90% of this query's cost (measured: CMS agg
-      // 3-11 s at width 1<<18 vs <0.5 s at 1<<15, row count irrelevant)
-      val approx = NgramOps.topKApprox(d, "text", n = 2, k = 20,
-        width = 1 << 15, uax29 = false)
-      // the contract rows below branch over these frames 2-3× each, and
-      // self-join arms get NO exchange reuse (measured here: 37 exchanges,
-      // 0 reused) — materialize each shared subtree ONCE, bounded to
-      // vocab-/k-sized frames, so the CMS and exact-count passes run once
-      val exact = graft.Par.fanOut(d)
-        .select(explode(graft.functions.TextFunctions.ngrams(
-          split(col("text"), " "), 2)).as("ngram"))
-        .groupBy("ngram").agg(count(lit(1)).as("exact_cnt"))
-        .localCheckpoint()
+      // 3-11 s at width 1<<18 vs <0.5 s at 1<<15, row count irrelevant).
+      // Built FROM the exact counts this query needs anyway (row-identical
+      // to the stream formulation, see topKApproxFromCounts): the sketch's
+      // two gram passes collapse into the one exact aggregation above, and
+      // the partial CMS buffer count follows the vocab frame's (AQE-
+      // coalesced) partitions instead of the corpus scan's — the r12
+      // variance source (samples 2.46-5.06 s) was per-scan-partition
+      // buffer alloc+merge
+      val approx = NgramOps.topKApproxFromCounts(exact, "ngram", "exact_cnt",
+        k = 20, width = 1 << 15)
       val joined = approx.join(exact, "ngram").localCheckpoint()
       val cmsLower = contractRow(joined.agg(
         count(lit(1)).as("checked"),
@@ -163,12 +177,15 @@ object NgramQueries extends QueryPack {
           count(lit(1)).as("checked"),
           sum(when(col("count") > col("tot"), 1L).otherwise(0L)).as("violations")),
         "cms_estimate_capped")
-      // HLL unique: deterministic estimate within 15% of exact (rsd 0.05)
+      // HLL unique: deterministic estimate within 15% of exact (rsd 0.05).
+      // Both sides derive from the tagged frame's 1-gram slice — HLL
+      // registers are max-of-hashes, so the estimate over the distinct
+      // vocab is bit-identical to the estimate over the raw token stream,
+      // and the exact side is the slice's row count: zero extra scans
+      val uniq1 = gramCounts.where(col("n") === 1).select("ngram")
       val hll = contractRow(
-        NgramOps.uniqueApprox(d, "text", n = 1, rsd = 0.05, uax29 = false)
-          .select(col("n_unique").as("approx"))
-          .crossJoin(NgramOps.uniqueExact(d, "text", n = 1, uax29 = false)
-            .select(col("n_unique").as("exact")))
+        uniq1.agg(approx_count_distinct(col("ngram"), 0.05).as("approx"))
+          .crossJoin(uniq1.agg(count(lit(1)).as("exact")))
           .select(lit(1L).as("checked"),
             when(abs(col("approx") - col("exact")) >
               lit(0.15) * col("exact"), 1L).otherwise(0L).as("violations")),
@@ -177,23 +194,33 @@ object NgramQueries extends QueryPack {
       // survives (no false negatives), and the approx-kept set only ever
       // shrinks the exact-kept set (false positives drop extra)
       val bench = d.where(col("doc_id") % 20 === 0)
-      val benchTexts = bench.select(col("text").as("__bt")).distinct()
+      // membership checks key on md5(text) — the same key the
+      // decontamination operators use — so the checkpointed frames hold
+      // 32-hex hashes, not corpus text (the text-carrying keptApprox
+      // checkpoint was most of this query's block-manager footprint)
+      val benchHashes = bench.select(md5(col("text")).as("__bh")).distinct()
         .localCheckpoint()
       // both kept frames feed two contract rows each; project to the
-      // columns the contracts read before materializing (doc_id + text is
-      // all the membership checks need)
+      // columns the contracts read before materializing (doc_id + hash is
+      // all the membership checks need). The blocklist side of BOTH
+      // operators is the checkpointed hash frame, not a bench re-scan —
+      // a Bloom filter over the distinct hashes is bit-identical
+      // (duplicate adds are idempotent), and decontaminate distincts its
+      // blocklist anyway
       val keptApprox = graft.operators.Dedup.decontaminateApprox(
-        d, md5(col("text")), bench, md5(col("text")),
+        d, md5(col("text")), benchHashes, col("__bh"),
         expectedItems = 1000L, fpp = 0.001)
-        .select("doc_id", "text").localCheckpoint()
+        .select(col("doc_id"), md5(col("text")).as("__h")).localCheckpoint()
       val keptExact = graft.operators.Dedup.decontaminate(
-        d, md5(col("text")), bench, md5(col("text")))
+        d, md5(col("text")), benchHashes, col("__bh"))
         .select("doc_id").localCheckpoint()
+      // contaminated count = total − exact-kept (the anti-join's exact
+      // complement) — no third corpus scan just to count the semi join
+      val nDocs = d.select(lit(1)).count()
       val noFalseNeg = contractRow(
-        d.join(benchTexts, col("text") === col("__bt"), "left_semi")
-          .agg(count(lit(1)).as("checked"))
+        keptExact.agg((lit(nDocs) - count(lit(1))).as("checked"))
           .crossJoin(keptApprox
-            .join(benchTexts, col("text") === col("__bt"), "left_semi")
+            .join(benchHashes, col("__h") === col("__bh"), "left_semi")
             .agg(count(lit(1)).as("violations"))),
         "bloom_no_false_negative")
       val subset = contractRow(

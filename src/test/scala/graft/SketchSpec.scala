@@ -113,4 +113,33 @@ class SketchSpec extends AnyFunSuite {
     assert(out.contains("x") && !out.contains("y")) // y count 1 < threshold 2
     assert(out("x") >= 4L) // estimate is an upper bound of the true count
   }
+
+  test("weighted CMS cells bit-identical to per-occurrence adds; topKApproxFromCounts == topKApprox") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // per-occurrence sketch over the stream
+    val streamed = graft.functions.sketch.Sketches.CMS.empty(1 << 10, 3, 7)
+    val items = Seq("a", "b", "a", "c", "a", "b", "zz")
+    items.foreach(streamed.add(_))
+    // weighted sketch over the counted vocab
+    val weighted = graft.functions.sketch.Sketches.CMS.empty(1 << 10, 3, 7)
+    items.groupBy(identity).foreach { case (g, occ) =>
+      weighted.add(g, occ.size.toLong)
+    }
+    assert(java.util.Arrays.equals(streamed.cells, weighted.cells))
+    // and the counted-vocab top-k is row-identical to the stream top-k
+    val docs = Seq("a a b ra", "a b ra c c", "a c d d d d").toDF("text")
+    val fromStream = graft.operators.NgramOps.topKApprox(docs, "text", n = 2,
+        k = 6, width = 1 << 12, depth = 3, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val counts = docs
+      .select(explode(graft.functions.TextFunctions.ngrams(
+        split(col("text"), " "), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    val fromCounts = graft.operators.NgramOps.topKApproxFromCounts(counts,
+        "ngram", "cnt", k = 6, width = 1 << 12, depth = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fromCounts === fromStream)
+  }
 }
