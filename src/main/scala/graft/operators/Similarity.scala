@@ -119,13 +119,22 @@ object Similarity {
     * convention, dist rounded(6) for oracle replay (internal argmax
     * comparisons run at full double precision).
     *
-    * Scale shape: k rounds, each ONE narrow codegen'd projection — the
-    * running min-distance column folds `least(mind, 1 − dot(v, newest
-    * center))` with the newest center inlined as an array literal (no
-    * join, no broadcast variable) — plus a 1-row TakeOrderedAndProject
-    * argmax. O(k·n·d) work, no corpus shuffle anywhere; the state frame
-    * is localCheckpoint'd per round to truncate lineage (k plans would
-    * otherwise nest). The selected set (k·d doubles) lives on the driver.
+    * Scale shape: BATCHED lazy-greedy rounds, each ONE narrow codegen'd
+    * projection — the running min-distance column folds `least(mind,
+    * 1 − dot(v, center))` over the batch's centers inlined as array
+    * literals (no join, no broadcast variable) — plus ONE
+    * TakeOrderedAndProject collecting the top-m frontier (m ≈ 2k,
+    * capped; m·d doubles on the driver). Selections then proceed
+    * LOCALLY inside the frontier, maintaining each candidate's exact
+    * min-distance, for as long as the running pick strictly exceeds the
+    * m-th collected distance τ — distances only ever shrink, so every
+    * point outside the frontier sits at ≤ τ and such a pick provably IS
+    * the global argmax; at ≤ τ the batch ends and the frontier is
+    * recollected. Result rows are therefore IDENTICAL to the one-job-
+    * per-point formulation (spec-pinned) while the job count drops from
+    * k to the number of batches (≥1s-per-job Spark scheduling was the
+    * k=256 wall). O(k·n·d) work, no corpus shuffle anywhere; the state
+    * frame is localCheckpoint'd per batch to truncate lineage.
     */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
@@ -140,60 +149,131 @@ object Similarity {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.size)),
         outSchema)
+    // exact tie-breaks inside the local frontier need the id ordering
+    // Spark would use distributedly
+    val idOrd: Ordering[Any] = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by { case n: Number => n.longValue }
+      case FloatType | DoubleType =>
+        Ordering.by { case n: Number => n.doubleValue }
+      case StringType => Ordering.by { case s: String => s }
+      case _: DecimalType =>
+        Ordering.by { case d: java.math.BigDecimal => scala.math.BigDecimal(d) }
+      case other => sys.error(
+        s"kCenterSelect: unsupported id type ${other.sql}")
+    }
     // zero vectors have no direction to be "far" in — unitProject folds
     // them (and null vectors) to NULL units; drop them up front
     val unit = unitProject(graft.Par.fanOut(df), idCol, "id", vecCol, "v")
       .where(col("v").isNotNull)
     val seed = unit.orderBy(asc("id")).limit(1).collect()
     if (seed.isEmpty) return result(Nil)
-    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] = r.getSeq[Double](1)
-    def distToLit(center: Seq[Double]): Column =
-      lit(1.0) - dot(col("v"), typedLit(center))
+    def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](1).toArray
+    def distToLit(center: Array[Double]): Column =
+      lit(1.0) - dot(col("v"), typedLit(center.toSeq))
+    def localDist(a: Array[Double], b: Array[Double]): Double = {
+      // same sequential arithmetic as [[Vec.dot]], so local min-distances
+      // are bit-identical to the distributed least(1 − graft_dot) folds
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      1.0 - s
+    }
     val picked = scala.collection.mutable.ArrayBuffer(
       org.apache.spark.sql.Row(seed.head.get(0), 1L, 0.0))
-    // LAZY checkpoints: each round's state materializes DURING that
-    // round's argmax action — one job per round instead of an eager
-    // materialize job plus an argmax job (same pattern as
-    // Dedup.connectedComponents); the final round skips the state update
-    // entirely (nothing consumes it)
-    var state = unit
-      .withColumn("__mind", distToLit(vecOf(seed.head)))
-      .localCheckpoint(eager = false)
-    // a lazy checkpoint's predecessor may only be released AFTER an action
-    // materializes the successor (its blocks feed that materialization) —
-    // so each round releases the state from TWO rounds back, once the
-    // argmax below has materialized the current one
+    // frontier size: big enough that one collect usually feeds many picks,
+    // small enough that m·d doubles stay trivially driver-sized
+    val m = math.max(64, math.min(4096, 2 * k))
+    var pendingCenters: List[Array[Double]] = List(vecOf(seed.head))
+    var state: DataFrame = unit
+    var haveMind = false
     var prevToRelease: Option[DataFrame] = None
     var r = 2
     var done = false
     while (r <= k && !done) {
+      // fold every center picked since the last collect into __mind in
+      // ONE projection, then LAZY checkpoint: the state materializes
+      // during the frontier collect below (one job per batch)
+      val batchDist = pendingCenters.map(distToLit).reduceLeft(least(_, _))
+      val newMind =
+        if (haveMind) least(col("__mind"), batchDist) else batchDist
+      val next = state.withColumn("__mind", newMind)
+        .select(col("id"), col("v"), col("__mind"))
+        .localCheckpoint(eager = false)
+      if (haveMind) prevToRelease = Some(state)
+      state = next
+      haveMind = true
+      pendingCenters = Nil
       // 1e-9, not 0: inexact float normalization leaves an already-
       // selected center (and its exact duplicates) with mind ≈ 2e-16
       // rather than exactly 0 — a > 0 guard would re-select the seed
       // forever once distinct directions run out. Anything under 1e-9
       // cosine distance IS a duplicate direction at float32 precision.
-      val top = state.where(col("__mind") > 1e-9)
-        .orderBy(desc("__mind"), asc("id")).limit(1).collect()
+      val frontier = state.where(col("__mind") > 1e-9)
+        .orderBy(desc("__mind"), asc("id")).limit(m).collect()
       prevToRelease.foreach(org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)
       prevToRelease = None
-      if (top.isEmpty) done = true
+      if (frontier.isEmpty) done = true
       else {
-        val row = top.head
-        picked += org.apache.spark.sql.Row(row.get(0), r.toLong,
-          BigDecimal(row.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble)
-        if (r < k) {
-          val next = state
-            .withColumn("__mind", least(col("__mind"), distToLit(vecOf(row))))
-            .localCheckpoint(eager = false)
-          prevToRelease = Some(state)
-          state = next
+        // τ = the smallest collected distance: everything OUTSIDE the
+        // frontier is at ≤ τ and can only shrink, so a local pick
+        // strictly above τ is the exact global argmax. The FIRST pick of
+        // a fresh frontier is exact even AT τ: its values are the true
+        // current distances, so the local best is row 0 of the top-m
+        // collect — the global argmax with the global tie-break (if more
+        // than m points share the max, the collect's asc-id order put
+        // the lowest id first). Later picks at τ are not taken (their
+        // values have been updated locally; an outside point could tie
+        // with a lower id) — the batch ends and recollects. A frontier
+        // smaller than m holds EVERY selectable point, so τ drops to −∞
+        // and the rest of the selection finishes locally.
+        val tau =
+          if (frontier.length < m) Double.NegativeInfinity
+          else frontier.last.getDouble(2)
+        val ids = frontier.map(_.get(0))
+        val vecs = frontier.map(vecOf)
+        val minds = frontier.map(_.getDouble(2))
+        val alive = Array.fill(frontier.length)(true)
+        var picksThisBatch = 0
+        var localPicking = true
+        while (localPicking && r <= k) {
+          var best = -1
+          var i = 0
+          while (i < minds.length) {
+            if (alive(i) && minds(i) > 1e-9 &&
+              (best < 0 || minds(i) > minds(best) ||
+                (minds(i) == minds(best) && idOrd.lt(ids(i), ids(best)))))
+              best = i
+            i += 1
+          }
+          if (best < 0 || (minds(best) <= tau && picksThisBatch > 0))
+            localPicking = false
+          else {
+            picked += org.apache.spark.sql.Row(ids(best), r.toLong,
+              BigDecimal(minds(best))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            r += 1
+            picksThisBatch += 1
+            alive(best) = false
+            pendingCenters = vecs(best) :: pendingCenters
+            var j = 0
+            while (j < minds.length) {
+              if (alive(j))
+                minds(j) = math.min(minds(j), localDist(vecs(j), vecs(best)))
+              j += 1
+            }
+          }
         }
-        r += 1
+        // a partial frontier (τ = −∞) only stops on exhaustion or r > k —
+        // exhaustion there means nothing selectable remains ANYWHERE; a
+        // full frontier that stopped just recollects (every batch picks
+        // at least once, so the loop always progresses)
+        if (frontier.length < m && r <= k) done = true
       }
     }
     prevToRelease.foreach(org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)
-    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(state)
+    if (haveMind)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(state)
     result(picked.toSeq)
   }
 

@@ -405,8 +405,12 @@ class SimilaritySpec extends SparkTestBase {
   test("kCenterSelect matches an independent in-memory greedy on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
-    for (trial <- 0 until 3) {
-      val n = 40 + trial * 17
+    // trials 0-2 fit inside one frontier (every selectable point in hand,
+    // τ = −∞, pure local finish); trial 3 has n ≫ the m=2k frontier, so
+    // the batched lazy-greedy must CROSS batch boundaries — recollect on
+    // hitting τ — and still reproduce sequential Gonzalez row for row
+    for (trial <- 0 until 4) {
+      val n = if (trial == 3) 900 else 40 + trial * 17
       val d = 8
       val data = (0L until n.toLong).map(i =>
         (i, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
@@ -420,7 +424,7 @@ class SimilaritySpec extends SparkTestBase {
       }.toMap
       def dist(a: Array[Double], b: Array[Double]): Double =
         1.0 - a.zip(b).map { case (x, y) => x * y }.sum
-      val k = 5
+      val k = if (trial == 3) 40 else 5
       var selected = Vector(0L)
       var mind = unit.map { case (id, v) => id -> dist(v, unit(0L)) }
       var expected = Vector((0L, 1L, 0.0))
