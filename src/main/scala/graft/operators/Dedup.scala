@@ -70,6 +70,39 @@ object Dedup {
     b.join(block, bKey === col("__block_h"), "left_anti")
   }
 
+  /** J3 at broadcast-hash scale — the EXACT middle tier between
+    * [[decontaminate]]'s anti join and [[decontaminateApprox]]'s Bloom
+    * probe: A's keys fold to ONE broadcast sorted long array probed by a
+    * codegen binary search ([[graft.functions.expressions.LongSetContains]])
+    * fused into B's scan. Zero shuffle of either side (the anti join
+    * shuffles both once A outgrows the join broadcast threshold) and no
+    * Bloom false positives; membership is exact on the 64-bit key — hash
+    * text keys upstream with xxhash64, where a collision can only
+    * OVER-drop (the conservative direction for decontamination, the
+    * removeDuplicateSpans trade). The blocklist must fit the driver /
+    * executor heap as longs (`maxKeys`, default 64M = 512 MB; a capped
+    * count fails fast before anything is gathered). NULL keys keep their
+    * rows, matching both siblings.
+    */
+  def decontaminateBroadcast(b: DataFrame, bKey: Column,
+                             a: DataFrame, aKey: Column,
+                             maxKeys: Int = 1 << 26): DataFrame = {
+    val spark = b.sparkSession
+    val distinctH = a.select(aKey.cast("long").as("__h")).distinct()
+    require(distinctH.limit(maxKeys + 1).count() <= maxKeys,
+      s"decontaminateBroadcast: blocklist exceeds $maxKeys distinct keys — " +
+        "use decontaminate (anti join) or decontaminateApprox (Bloom)")
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    val it = distinctH.toLocalIterator()
+    while (it.hasNext) buf += it.next().getLong(0)
+    val sorted = buf.result(); java.util.Arrays.sort(sorted)
+    val bc = spark.sparkContext.broadcast(sorted)
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.LongSetContains(
+        org.apache.spark.sql.graft.Bridge.expression(bKey.cast("long")), bc))
+    b.where(!coalesce(probe, lit(false)))
+  }
+
   /** J3 at Bloom scale (the Dolma-pipeline posture): drop every b-doc whose
     * key MIGHT be in `a`, testing a broadcast Bloom filter built over A's
     * keys instead of anti-joining. False positives drop extra docs (a

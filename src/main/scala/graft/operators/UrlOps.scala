@@ -75,11 +75,16 @@ object UrlOps {
       .foldLeft(lit(false))(_ || _)
 
   /** UT1-style domain blocklist filter: drop documents whose URL host is a
-    * blocked domain or any subdomain of one. `asJoin` broadcasts the
-    * blocklist and left-anti-joins on every dot-suffix of the host
-    * (bounded explode, ≤ labels per host) — the 100 TB path for real
-    * blocklists (UT1 adult alone is ~4M domains); the default when-chain
-    * predicate is for small lists and stays fully in codegen.
+    * blocked domain or any subdomain of one. `asJoin` folds the blocklist
+    * to a broadcast SORTED xxhash64 array probed by a codegen binary
+    * search ([[graft.functions.expressions.LongSetContains]]) inside an
+    * `exists` over the host's dot-suffixes — the 100 TB path for real
+    * blocklists (UT1 adult alone is ~4M domains = a 32 MB long array):
+    * one narrow scan projection, no row-amplifying suffix explode, no
+    * distinct shuffle, no anti join (the shape this replaces). A 64-bit
+    * hash collision can only OVER-block (the conservative direction for
+    * a blocklist). The default when-chain predicate remains for small
+    * lists (no broadcast to manage).
     */
   def domainBlocklistFilter(df: DataFrame, urlCol: String,
                             blocked: Seq[String], asJoin: Boolean = false): DataFrame = {
@@ -88,16 +93,21 @@ object UrlOps {
     else {
       val spark = df.sparkSession
       import spark.implicits._
-      val bl = blocked.toDF("blocked_domain")
-      val withHost = df.withColumn("__host", host)
-      val hit = withHost
-        .withColumn("__parts", split(col("__host"), "\\."))
-        .withColumn("__i", explode(sequence(lit(1), size(col("__parts")))))
-        .withColumn("__cand", concat_ws(".", slice(col("__parts"), col("__i"), size(col("__parts")))))
-        .join(broadcast(bl), col("__cand") === col("blocked_domain"), "left_semi")
-        .select(col("__host")).distinct()
-      withHost.join(broadcast(hit), Seq("__host"), "left_anti")
-        .drop("__host")
+      // hash the blocklist with Spark's own xxhash64 (one tiny local job)
+      // so driver and scan sides agree bit for bit
+      val sorted = blocked.toDF("d").select(xxhash64(col("d"))).collect()
+        .map(_.getLong(0)).sorted
+      val bc = spark.sparkContext.broadcast(sorted)
+      def probe(c: Column): Column =
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.expressions.LongSetContains(
+            org.apache.spark.sql.graft.Bridge.expression(xxhash64(c)), bc))
+      val parts = split(host, "\\.")
+      val hit = exists(sequence(lit(1), size(parts)),
+        i => probe(concat_ws(".", slice(parts, i, size(parts)))))
+      // null/absent hosts probe to null — kept, matching the when-chain
+      // path and the join shape this replaces
+      df.where(!coalesce(hit, lit(false)))
     }
   }
 

@@ -55,6 +55,19 @@ object DedupQueries extends QueryPack {
           sum(length(col("text"))).cast("long").as("total_chars"))
     }),
 
+    // J3's broadcast-sorted-hash tier: the same decontamination decisions
+    // as j3 (modulo 2^-64 xxhash64 collisions — none in this corpus, the
+    // oracle replays the EXACT key match) with the blocklist folded to a
+    // broadcast long array probed in B's scan — zero shuffle either side
+    "j18_decontaminate_bc" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val b = docs.where(col("source").isin("src10", "src11", "src12", "src13", "src14"))
+      val a = docs.where(!col("source").isin("src10", "src11", "src12", "src13", "src14"))
+      Dedup.decontaminateBroadcast(b, xxhash64(fp), a, xxhash64(fp))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+    }),
+
     // surgical decontamination: the a14 split (held-out = doc_id % 10 = 0
     // as the "benchmark"), but REWRITING train docs to cut every 3-token
     // span the benchmark contains instead of dropping whole documents
@@ -174,6 +187,15 @@ object DedupQueries extends QueryPack {
          |WHERE rn > 1 ORDER BY doc_id""".stripMargin,
 
     "j3_decontaminate" ->
+      s"""WITH b AS (SELECT * FROM documents WHERE source IN ('src10','src11','src12','src13','src14')),
+         |a AS (SELECT DISTINCT $fpSql AS h FROM documents
+         |  WHERE source NOT IN ('src10','src11','src12','src13','src14'))
+         |SELECT count(*) AS n_survivors, CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM b WHERE $fpSql NOT IN (SELECT h FROM a)""".stripMargin,
+
+    // replays the EXACT key membership (xxhash64 is injective on this
+    // corpus's fingerprints; a collision would only over-drop)
+    "j18_decontaminate_bc" ->
       s"""WITH b AS (SELECT * FROM documents WHERE source IN ('src10','src11','src12','src13','src14')),
          |a AS (SELECT DISTINCT $fpSql AS h FROM documents
          |  WHERE source NOT IN ('src10','src11','src12','src13','src14'))

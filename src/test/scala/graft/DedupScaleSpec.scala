@@ -454,6 +454,32 @@ class DedupScaleSpec extends SparkTestBase {
     assert(plan.contains("*(1) Filter"), plan)
   }
 
+  test("broadcast-hash decontamination matches the exact anti join; nulls kept; cap fails fast") {
+    import spark.implicits._
+    val a = Seq("bench one", "bench two", "bench three").toDF("text")
+    val b = (1L to 50L).map(i => (i, s"clean doc $i")).toSeq
+      .++(Seq((98L, "bench one"), (99L, "bench three"))).toDF("doc_id", "text")
+    val keptBc = graft.operators.Dedup.decontaminateBroadcast(
+        b, xxhash64(col("text")), a, xxhash64(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    val keptExact = graft.operators.Dedup.decontaminate(
+        b, xxhash64(col("text")), a, xxhash64(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptBc === keptExact) // exact on the 64-bit key, no Bloom slack
+    assert(!keptBc.contains(98L) && !keptBc.contains(99L))
+    // NULL keys survive (the decontaminate-family policy)
+    val withNull = b.union(Seq((100L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(graft.operators.Dedup.decontaminateBroadcast(
+        withNull, xxhash64(col("text")), a, xxhash64(col("text")))
+      .collect().map(_.getLong(0)).toSet.contains(100L))
+    // a blocklist over the cap refuses BEFORE gathering anything
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.decontaminateBroadcast(
+        b, xxhash64(col("text")), b, xxhash64(col("text")), maxKeys = 3)
+    }
+    assert(e.getMessage.contains("blocklist exceeds"), e.getMessage)
+  }
+
   test("ngram contamination scores test docs against a train corpus") {
     import spark.implicits._
     val train = Seq((10L, "a b c d e")).toDF("doc_id", "text")

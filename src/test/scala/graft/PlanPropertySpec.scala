@@ -263,6 +263,28 @@ class PlanPropertySpec extends SparkTestBase {
     assert("FileScan".r.findAllIn(p).length === 1, p)
   }
 
+  test("domain blocklist join path: one scan projection — no shuffle, no suffix explode, no join") {
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://h"), col("doc_id") % 7, lit(".example.com/p")))
+    val r = graft.operators.UrlOps.domainBlocklistFilter(withUrl, "url",
+      blocked = Seq("h1.example.com", "h2.example.com"), asJoin = true)
+    val p = plan(r)
+    assert(shuffles(r) === 0, p)
+    assert(!p.contains("Generate"), p) // the explode shape this replaced
+    assert(!p.contains("Join"), p)
+    assert(p.contains("graft_long_set_contains"), p)
+  }
+
+  test("decontaminateBroadcast: B's scan filter probes the broadcast set — no shuffle, no join") {
+    val bench = docs.where(col("doc_id") % 31 === 0)
+    val r = Dedup.decontaminateBroadcast(docs, xxhash64(col("text")),
+      bench, xxhash64(col("text")))
+    val p = plan(r.select("doc_id"))
+    assert(shuffles(r.select("doc_id")) === 0, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("graft_long_set_contains"), p)
+  }
+
   test("clusterBalancedSample: partial WindowGroupLimit below the bucket-rank exchange") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val sm = graft.operators.Similarity.clusterBalancedSample(emb,
