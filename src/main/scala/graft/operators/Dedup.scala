@@ -760,14 +760,17 @@ object Dedup {
     * fully-boilerplate document comes out empty, and null/empty text rows
     * pass through with zero counts.
     *
-    * Scale shape: the sentence stream shuffles ONCE as (xxhash64, id)
-    * pairs for the df count — sentence TEXT never shuffles; the
-    * over-threshold hash set is a vanishing fraction (boilerplate by
-    * definition repeats, so its DISTINCT sentence count is tiny) and the
-    * removal indices flow back per doc as a small (id, positions) frame,
-    * with reconstruction a positional array filter in the corpus scan —
-    * the removeDuplicateSpans pattern. A 64-bit hash collision can only
-    * over-remove (the conservative direction for boilerplate).
+    * Scale shape: ONE checkpointed exploded (id, idx, hash) frame feeds
+    * the df count, which shuffles (xxhash64, id) pairs only — sentence
+    * TEXT never shuffles; the over-threshold hash set is a vanishing
+    * fraction (boilerplate by definition repeats, so its DISTINCT
+    * sentence count is tiny) and folds to a broadcast sorted long array
+    * probed by a codegen binary search in the rebuild scan — the SAME
+    * plan as the streaming twin, with no rewrite join (its sort-merge
+    * arms would carry the corpus text as shuffle payload). Beyond
+    * `maxInlineHashes` the join formulation takes over. A 64-bit hash
+    * collision can only over-remove (the conservative direction for
+    * boilerplate).
     */
   /** The over-threshold sentence hash set [[removeRepeatedSentences]]
     * cuts: xxhash64 of every sentence appearing in more than `maxDf`
@@ -788,15 +791,16 @@ object Dedup {
   }
 
   def removeRepeatedSentences(docs: DataFrame, idCol: String,
-                              textCol: String, maxDf: Long = 1L): DataFrame = {
+                              textCol: String, maxDf: Long = 1L,
+                              maxInlineHashes: Int = 1 << 22): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val spark = docs.sparkSession
     val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
     // ONE exploded (id, idx, hash) frame feeds BOTH the df-count agg and
-    // the removal join — lazily checkpointed because Spark does not
-    // plan-share identical subtrees, so without it the corpus would be
-    // scanned and sentence-split twice (the split is the operator's
-    // dominant per-row cost at scale; calling repeatedSentenceHashes here
-    // would rebuild exactly this frame from the raw text a second time)
+    // (on the over-cap fallback) the removal join — lazily checkpointed
+    // because Spark does not plan-share identical subtrees, so without it
+    // the corpus would be scanned and sentence-split twice (the split is
+    // the operator's dominant per-row cost at scale)
     val ex = graft.Par.fanOut(docs)
       .select(col(idCol).as("__id"), posexplode(sents).as(Seq("__idx", "__s")))
       .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))
@@ -804,16 +808,45 @@ object Dedup {
     val repeated = ex.groupBy("__h")
       .agg(count_distinct(col("__id")).as("__df"))
       .where(col("__df") > maxDf).select("__h")
-    val removed = ex.join(repeated, Seq("__h"), "left_semi")
-      .groupBy("__id").agg(sort_array(collect_list(col("__idx"))).as("__drop"))
-    val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
-    docs.join(removed, docs(idCol) === removed("__id"), "left")
-      .select(col(idCol),
-        concat_ws(" ",
-          filter(sents, (_, i) => !exists(dropArr, d => d === i))).as("text_clean"),
+    // the over-threshold set is boilerplate-sized by definition: fold it
+    // to a broadcast sorted long array probed by a codegen binary search
+    // inside the rebuild projection — the SAME plan the streaming twin
+    // runs, and the rewrite pass becomes one clean corpus scan with NO
+    // join (the removal join's sort-merge arms shuffle the corpus TEXT as
+    // payload once the per-doc drop list outgrows a broadcast — measured
+    // 0.22 GB at the 100× rehearsal on keys that are only ids). Beyond
+    // the cap, fall back to that join shape rather than flooding the
+    // driver (a capped count decides before anything is gathered).
+    val inline =
+      repeated.limit(maxInlineHashes + 1).count() <= maxInlineHashes
+    if (inline) {
+      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+      val it = repeated.toLocalIterator()
+      while (it.hasNext) buf += it.next().getLong(0)
+      val sorted = buf.result(); java.util.Arrays.sort(sorted)
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(ex)
+      val bc = spark.sparkContext.broadcast(sorted)
+      def probe(x: Column): Column =
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.expressions.LongSetContains(
+            org.apache.spark.sql.graft.Bridge.expression(xxhash64(x)), bc))
+      val kept = filter(sents, s => !probe(s))
+      docs.select(col(idCol),
+        concat_ws(" ", kept).as("text_clean"),
         coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
-        (coalesce(size(sents), lit(0)) - size(dropArr)).cast("long")
-          .as("n_sentences_kept"))
+        coalesce(size(kept), lit(0)).cast("long").as("n_sentences_kept"))
+    } else {
+      val removed = ex.join(repeated.select(col("__h")), Seq("__h"), "left_semi")
+        .groupBy("__id").agg(sort_array(collect_list(col("__idx"))).as("__drop"))
+      val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
+      docs.join(removed, docs(idCol) === removed("__id"), "left")
+        .select(col(idCol),
+          concat_ws(" ",
+            filter(sents, (_, i) => !exists(dropArr, d => d === i))).as("text_clean"),
+          coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
+          (coalesce(size(sents), lit(0)) - size(dropArr)).cast("long")
+            .as("n_sentences_kept"))
+    }
   }
 
   /** Surgical decontamination — [[ngramContamination]]'s detection
@@ -826,45 +859,87 @@ object Dedup {
     * `(id, text_clean, n_tokens, n_tokens_kept)`; a fully-quoted document
     * comes out empty, matching [[removeDuplicateSpans]]' contract.
     *
-    * Scale shape: the benchmark side reduces to DISTINCT span keys
-    * (benchmark-bounded — broadcasts); train spans probe them with a
-    * left-semi join so 100 TB of train text is scanned once and never
-    * shuffled (only (id, offset) pairs of actual hits reach the per-doc
-    * offsets agg); reconstruction is the same per-doc positional filter.
-    * `hash` defaults to 64-bit xxhash64 span keys (8-byte probe instead of
-    * k-token strings; a collision can only over-remove — the conservative
-    * direction for decontamination); pass `identity` for oracle-exact runs.
+    * Scale shape: the benchmark side reduces to DISTINCT span keys —
+    * benchmark-bounded — which on the default 64-bit hash fold to ONE
+    * broadcast sorted long array probed by a codegen binary search
+    * INSIDE the train scan projection: covered positions, the rebuild,
+    * and both counts all compute in one pass with ZERO joins and ZERO
+    * shuffles of train at any corpus size (the former semi-probe +
+    * per-doc offsets agg + rewrite join shuffled the corpus TEXT as
+    * sort-merge payload once the hit frame outgrew a broadcast — 0.48 GB
+    * at the 100× rehearsal). `hash` defaults to xxhash64 span keys (a
+    * collision can only over-remove — the conservative direction for
+    * decontamination); pass `identity` for oracle-exact runs, which —
+    * like a benchmark beyond `maxInlineKeys` (capped count, nothing
+    * gathered beyond it) — takes the join formulation instead.
     */
   def removeContaminatedSpans(train: DataFrame, idCol: String,
                               trainTextCol: String,
                               test: DataFrame, testTextCol: String,
                               k: Int,
                               hash: Column => Column = c => xxhash64(c),
-                              uax29: Boolean = false): DataFrame = {
+                              uax29: Boolean = false,
+                              maxInlineKeys: Int = 1 << 26): DataFrame = {
     val toks = spanTokens(trainTextCol, uax29)
     val testKeys = test.select(explode(graft.functions.TextFunctions.ngrams(
         spanTokens(testTextCol, uax29), k)).as("__s"))
       .select(hash(col("__s")).as("__h")).distinct()
-    // internal alias distinct from any caller idCol (the CLI passes
-    // "__id"), and the outer select resolves through train() — both
-    // needed to keep the self-named join unambiguous
-    val trainSpans = train.select(col(idCol).as("__rcs_id"),
-        posexplode(graft.functions.TextFunctions.ngrams(toks, k))
-          .as(Seq("__idx", "__s")))
-      .select(col("__rcs_id"), col("__idx"), hash(col("__s")).as("__h"))
-    val hitStarts = trainSpans.join(testKeys, Seq("__h"), "left_semi")
-      .groupBy(col("__rcs_id"))
-      .agg(sort_array(collect_list(col("__idx"))).as("__starts"))
-    val starts = coalesce(col("__starts"), array().cast("array<int>"))
-    train.join(hitStarts, train(idCol) === hitStarts("__rcs_id"), "left")
-      .select(train(idCol),
+    def rebuild(src: DataFrame, starts: Column): DataFrame =
+      src.select(train(idCol),
         concat_ws(" ",
           filter(toks, (_, i) =>
             !exists(starts, s => i >= s && i < s + k))).as("text_clean"),
         size(toks).cast("long").as("n_tokens"))
-      .withColumn("n_tokens_kept",
-        when(col("text_clean") === "", lit(0L))
-          .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+        .withColumn("n_tokens_kept",
+          when(col("text_clean") === "", lit(0L))
+            .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+    // the inline kernel hard-codes xxhash64 span keys — gate on the
+    // caller's hash actually BEING the default, not merely long-typed.
+    // Column.toString on a probe literal is the stable comparison here:
+    // expression-node equality is poisoned by per-construction Origin
+    // stack traces under the Spark 4 column API
+    val isDefaultHash =
+      hash(lit("__probe")).toString == xxhash64(lit("__probe")).toString
+    val inline = isDefaultHash &&
+      testKeys.limit(maxInlineKeys + 1).count() <= maxInlineKeys
+    if (inline) {
+      val spark = train.sparkSession
+      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+      val it = testKeys.toLocalIterator()
+      while (it.hasNext) buf += it.next().getLong(0)
+      val sorted = buf.result(); java.util.Arrays.sort(sorted)
+      val bc = spark.sparkContext.broadcast(sorted)
+      // detection + rebuild as ONE codegen'd kernel over the token array
+      // (probe each span start against the broadcast set, mark covered
+      // positions, emit survivors) — a declarative HOF chain here either
+      // re-evaluates the span probe per token once CollapseProject
+      // inlines the alias, or pays interpreted per-element lambda boxing
+      // on every row; see CoveredSpanRemove's scaladoc for the measured
+      // failure shapes
+      val cleaned = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.CoveredSpanRemove(
+          org.apache.spark.sql.graft.Bridge.expression(toks), k, bc))
+      train.select(train(idCol),
+        coalesce(cleaned, lit("")).as("text_clean"),
+        size(toks).cast("long").as("n_tokens"))
+        .withColumn("n_tokens_kept",
+          when(col("text_clean") === "", lit(0L))
+            .otherwise(size(split(col("text_clean"), " ")).cast("long")))
+    } else {
+      // internal alias distinct from any caller idCol (the CLI passes
+      // "__id"), and the outer select resolves through train() — both
+      // needed to keep the self-named join unambiguous
+      val trainSpans = train.select(col(idCol).as("__rcs_id"),
+          posexplode(graft.functions.TextFunctions.ngrams(toks, k))
+            .as(Seq("__idx", "__s")))
+        .select(col("__rcs_id"), col("__idx"), hash(col("__s")).as("__h"))
+      val hitStarts = trainSpans.join(testKeys, Seq("__h"), "left_semi")
+        .groupBy(col("__rcs_id"))
+        .agg(sort_array(collect_list(col("__idx"))).as("__starts"))
+      rebuild(train.join(hitStarts,
+          train(idCol) === hitStarts("__rcs_id"), "left"),
+        coalesce(col("__starts"), array().cast("array<int>")))
+    }
   }
 
   /** Paragraph units: posexploded spans split on `sepRegex` (default:

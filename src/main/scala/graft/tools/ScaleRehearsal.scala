@@ -149,9 +149,24 @@ object ScaleRehearsal {
           "([^ ]+( [^ ]+){6}) ", "$1. ")), "doc_id", "text")
         .where(col("n_sentences_kept") < col("n_sentences")).count()
     }
+    // surgical span decontamination at replicated scale: the benchmark
+    // side stays base-corpus-sized (one replica's worth of docs) while
+    // train grows with the replicas — the production shape. The filter
+    // forces the hit join + rewrite, not a join-eliminated count.
+    run("span_decontaminate") {
+      val bench = docs.where(col("doc_id") % (20L * replicas) === 0)
+        .select(col("text"))
+      graft.operators.Dedup.removeContaminatedSpans(
+        docs, "doc_id", "text", bench, "text", k = 8)
+        .where(col("n_tokens_kept") < col("n_tokens")).count()
+    }
     run("kcenter_select_k5") {
       graft.operators.Similarity.kCenterSelect(emb, "vec_id", "embedding",
         k = 5).count()
+    }
+    run("kcenter_select_k64") {
+      graft.operators.Similarity.kCenterSelect(emb, "vec_id", "embedding",
+        k = 64).count()
     }
     run("cluster_sample") {
       graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",

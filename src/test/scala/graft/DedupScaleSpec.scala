@@ -334,6 +334,24 @@ class DedupScaleSpec extends SparkTestBase {
     assert(hashed === raw)
   }
 
+  test("CoveredSpanRemove kernel hash == SQL xxhash64 of the joined span (parity)") {
+    import spark.implicits._
+    // the kernel hashes UTF8String.concatWs(...) with XXH64 seed 42; the
+    // benchmark side hashes the exploded ngram STRING with SQL xxhash64 —
+    // these must agree byte for byte or the inline probe silently misses
+    val rnd = new scala.util.Random(99)
+    val strings = (0 until 200).map(_ =>
+      (0 until (1 + rnd.nextInt(6))).map(_ =>
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).mkString(" ")) :+
+      "héllo wörld ünïcode" :+ ""
+    val sqlSide = strings.toDF("s")
+      .select(xxhash64(col("s"))).collect().map(_.getLong(0))
+    val kernelSide = strings.map(s =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L))
+    assert(sqlSide.toSeq === kernelSide)
+  }
+
   test("span removal matches a brute-force reference on random docs") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
