@@ -70,6 +70,29 @@ object Dedup {
     b.join(block, bKey === col("__block_h"), "left_anti")
   }
 
+  /** Gather one long column as a SORTED driver array for broadcast —
+    * sized-gated. One limit-capped collect job when the set is small
+    * (the common, boilerplate/benchmark-sized case: every extra driver
+    * job here lands on the operator's wall clock); a capped count plus a
+    * per-partition toLocalIterator stream for big-but-allowed sets (no
+    * single all-rows Row buffer); None over `cap`.
+    */
+  private[graft] def gatherSortedLongs(df: DataFrame,
+                                       cap: Int): Option[Array[Long]] = {
+    val fastCap = math.min(cap, 1 << 22)
+    val fast = df.limit(fastCap + 1).collect()
+    if (fast.length <= fastCap) {
+      val a = fast.map(_.getLong(0)); java.util.Arrays.sort(a); Some(a)
+    } else if (cap <= fastCap) None
+    else if (df.limit(cap + 1).count() > cap) None
+    else {
+      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+      val it = df.toLocalIterator()
+      while (it.hasNext) buf += it.next().getLong(0)
+      val a = buf.result(); java.util.Arrays.sort(a); Some(a)
+    }
+  }
+
   /** J3 at broadcast-hash scale — the EXACT middle tier between
     * [[decontaminate]]'s anti join and [[decontaminateApprox]]'s Bloom
     * probe: A's keys fold to ONE broadcast sorted long array probed by a
@@ -89,13 +112,9 @@ object Dedup {
                              maxKeys: Int = 1 << 26): DataFrame = {
     val spark = b.sparkSession
     val distinctH = a.select(aKey.cast("long").as("__h")).distinct()
-    require(distinctH.limit(maxKeys + 1).count() <= maxKeys,
+    val sorted = gatherSortedLongs(distinctH, maxKeys).getOrElse(sys.error(
       s"decontaminateBroadcast: blocklist exceeds $maxKeys distinct keys — " +
-        "use decontaminate (anti join) or decontaminateApprox (Bloom)")
-    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-    val it = distinctH.toLocalIterator()
-    while (it.hasNext) buf += it.next().getLong(0)
-    val sorted = buf.result(); java.util.Arrays.sort(sorted)
+        "use decontaminate (anti join) or decontaminateApprox (Bloom)"))
     val bc = spark.sparkContext.broadcast(sorted)
     val probe = org.apache.spark.sql.graft.Bridge.column(
       graft.functions.expressions.LongSetContains(
@@ -817,13 +836,9 @@ object Dedup {
     // 0.22 GB at the 100× rehearsal on keys that are only ids). Beyond
     // the cap, fall back to that join shape rather than flooding the
     // driver (a capped count decides before anything is gathered).
-    val inline =
-      repeated.limit(maxInlineHashes + 1).count() <= maxInlineHashes
-    if (inline) {
-      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-      val it = repeated.toLocalIterator()
-      while (it.hasNext) buf += it.next().getLong(0)
-      val sorted = buf.result(); java.util.Arrays.sort(sorted)
+    val gathered = gatherSortedLongs(repeated, maxInlineHashes)
+    if (gathered.isDefined) {
+      val sorted = gathered.get
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(ex)
       val bc = spark.sparkContext.broadcast(sorted)
       def probe(x: Column): Column =
@@ -900,15 +915,12 @@ object Dedup {
     // stack traces under the Spark 4 column API
     val isDefaultHash =
       hash(lit("__probe")).toString == xxhash64(lit("__probe")).toString
-    val inline = isDefaultHash &&
-      testKeys.limit(maxInlineKeys + 1).count() <= maxInlineKeys
-    if (inline) {
+    val gathered =
+      if (!isDefaultHash) None
+      else gatherSortedLongs(testKeys, maxInlineKeys)
+    if (gathered.isDefined) {
       val spark = train.sparkSession
-      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-      val it = testKeys.toLocalIterator()
-      while (it.hasNext) buf += it.next().getLong(0)
-      val sorted = buf.result(); java.util.Arrays.sort(sorted)
-      val bc = spark.sparkContext.broadcast(sorted)
+      val bc = spark.sparkContext.broadcast(gathered.get)
       // detection + rebuild as ONE codegen'd kernel over the token array
       // (probe each span start against the broadcast set, mark covered
       // positions, emit survivors) — a declarative HOF chain here either

@@ -394,14 +394,6 @@ object Similarity {
       else b.where(pmod(xxhash64(col(idCol).cast("string")), lit(step.toLong))
         === lit(offset.toLong))
     val sample = sample0.where(col("bv").isNotNull)
-    // the sample is collected and broadcast — a step miscalibrated for the
-    // corpus size must fail fast with the dial to turn, not OOM the driver
-    // mid-collect (the clusterProfile guard, applied to every IVF entry
-    // point). Counted on the PRE-null-filter sample: an upper bound on the
-    // collected set, and the count then prunes to a pure id-column scan
-    // (the bv.isNotNull variant forces the unit projection per sampled row
-    // just to count)
-    requireBoundedSample(sample0, idCol, step, 1 << 16, "ivfAssign")
     // the probe kernel carries centroid ids as longs — integral ids only
     // on the direct path (fractional ids would truncate silently; they
     // are what hashedIds exists for)
@@ -416,11 +408,21 @@ object Similarity {
     val centKey =
       if (!hashedIds) col(idCol).cast("long")
       else xxhash64(col(idCol).cast("string"))
-    // ascending-id order: [[BestCentroid]] probes with strict `>`, so ties
-    // resolve to the LOWEST centroid id — the max_by(struct(csim, -cid))
-    // ordering this kernel replaces, and the oracle's `ORDER BY d DESC,
-    // centroid_id`
-    val cents = sample.select(centKey.as("cid"), col("bv")).collect()
+    // ONE limit-capped collect: the centroid gather doubles as the
+    // too-small-step guard (a miscalibrated step fails fast with the dial
+    // to turn instead of OOMing the driver — the collect never receives
+    // more than cap+1 rows), and no separate sizing job lands on the
+    // operator's wall clock. Ascending-id order: [[BestCentroid]] probes
+    // with strict `>`, so ties resolve to the LOWEST centroid id — the
+    // max_by(struct(csim, -cid)) ordering this kernel replaces, and the
+    // oracle's `ORDER BY d DESC, centroid_id`
+    val centCap = 1 << 16
+    val rows = sample.select(centKey.as("cid"), col("bv"))
+      .limit(centCap + 1).collect()
+    require(rows.length <= centCap,
+      s"ivfAssign: step=$step yields more than $centCap sampled centroids " +
+        "on this corpus — raise step (or the cap)")
+    val cents = rows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     // zero centroids on a NON-empty corpus is a silent drop-everything
     // (every bucket would be null and every bucket join would eat every
@@ -514,10 +516,16 @@ object Similarity {
                      step: Int, maxCentroids: Int = 8192): DataFrame = {
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
     val sample0 = b.where(col(idCol) % step === 0)
-    requireBoundedSample(sample0, idCol, step, maxCentroids, "clusterProfile")
     val idType = base.schema(base.schema.fieldIndex(idCol)).dataType
-    val cents = sample0.where(col("bv").isNotNull)
-      .select(col(idCol).cast("long").as("cid"), col("bv")).collect()
+    // one limit-capped collect = gather + too-small-step guard (the
+    // ivfAssign pattern)
+    val rows = sample0.where(col("bv").isNotNull)
+      .select(col(idCol).cast("long").as("cid"), col("bv"))
+      .limit(maxCentroids + 1).collect()
+    require(rows.length <= maxCentroids,
+      s"clusterProfile: step=$step yields more than $maxCentroids " +
+        "sampled centroids on this corpus — raise step (or maxCentroids)")
+    val cents = rows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     if (cents.isEmpty)
       return b.select(col(idCol).as("centroid_id"), lit(0L).as("n_members"),

@@ -491,7 +491,7 @@ class DedupScaleSpec extends SparkTestBase {
         withNull, xxhash64(col("text")), a, xxhash64(col("text")))
       .collect().map(_.getLong(0)).toSet.contains(100L))
     // a blocklist over the cap refuses BEFORE gathering anything
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[RuntimeException] {
       graft.operators.Dedup.decontaminateBroadcast(
         b, xxhash64(col("text")), b, xxhash64(col("text")), maxKeys = 3)
     }
