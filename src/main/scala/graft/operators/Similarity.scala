@@ -447,14 +447,26 @@ object Similarity {
     // Zero/NaN/null-element vectors (NULL unit) get a NULL bucket — no
     // direction, no nearest centroid — and every consumer's inner bucket
     // join or explicit isNotNull filter drops them.
-    val sc = base.sparkSession.sparkContext
+    assignWithCentroids(b, idCol, cents)
+      .select(col(idCol), col("bv"), col("bucket").cast(bucketType).as("bucket"))
+  }
+
+  /** `(id, bv, bucket)` nearest-centroid assignment against a DRIVER-side
+    * centroid array via the [[graft.functions.expressions.BestCentroid]]
+    * kernel — one codegen scan projection, zero shuffle. `cents` MUST be
+    * sorted by id ascending (ties take the lowest id); null-unit rows get
+    * a NULL bucket.
+    */
+  private def assignWithCentroids(b: DataFrame, idCol: String,
+                                  cents: Array[(Long, Array[Double])]): DataFrame = {
+    val sc = b.sparkSession.sparkContext
     val bestExpr = Bridge.column(
       graft.functions.expressions.BestCentroid(
         Bridge.expression(col("bv")),
         sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2))))
     b.withColumn("__best", bestExpr)
       .select(col(idCol), col("bv"),
-        col("__best").getField("bucket").cast(bucketType).as("bucket"))
+        col("__best").getField("bucket").as("bucket"))
   }
 
   /** Cluster-balanced sample: up to `perCluster` vectors per IVF cluster,
@@ -467,7 +479,7 @@ object Similarity {
     * exemplars; this bounds every region's share of MANY). Deterministic
     * and rerun-stable. Output: (idCol, bucket, rank).
     *
-    * Scale shape: one [[ivfAssign]] scan (broadcast centroids, max_by
+    * Scale shape: one [[ivfAssign]] scan (codegen BestCentroid
     * hash aggregation) + one rank window partitioned on the bucket id —
     * the `rank <= n` filter pushes a partial WindowGroupLimit below the
     * exchange, so no task sorts more than ~perCluster rows per bucket.
@@ -545,8 +557,8 @@ object Similarity {
     * sample and run `iters` rounds of assign → per-bucket spherical mean.
     *
     * Scale shape: the centroid table is index-sized (≤ thousands), so each
-    * round is ONE corpus scan — assignment is a broadcast join + max_by hash
-    * aggregate, and the per-bucket mean reduces via (bucket, position) keys
+    * round is ONE corpus scan — assignment is a codegen BestCentroid scan
+    * projection (zero shuffle), and the per-bucket mean reduces via (bucket, position) keys
     * with map-side partial aggregation (shuffle volume = partitions × k ×
     * dim, independent of corpus size) before collecting k × dim means to
     * the driver for renormalization. Empty buckets keep their previous
@@ -577,14 +589,13 @@ object Similarity {
         seedRows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
       var it = 0
       while (it < iters) {
-        val cdf = broadcast(centroids.toSeq.toDF("centroid_id", "cv"))
-        val assigned = b.join(cdf)
-          .select(col(idCol), col("bv"), col("centroid_id"),
-            dot(col("bv"), col("cv")).as("csim"))
-          .groupBy(idCol)
-          .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
-            first(col("bv")).as("bv"))
-        val sums = assigned
+        // per-round assignment via the BestCentroid kernel — each Lloyd
+        // iteration is one scan projection + the (bucket, position)
+        // partial-agg shuffle; the former join + groupBy(id) re-shuffled
+        // the whole corpus WITH unit vectors every round
+        val sums = assignWithCentroids(b,
+            idCol, centroids.map { case (cid, v) => (cid, v.toArray) })
+          .where(col("bucket").isNotNull)
           .select(col("bucket"), posexplode(col("bv")).as(Seq("pos", "x")))
           .groupBy("bucket", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
           .collect()
@@ -613,18 +624,26 @@ object Similarity {
                  idCol: String, vecCol: String, k: Int, nprobe: Int = 3): DataFrame = {
     val c = broadcast(centroids.select(col("centroid_id"), col("cv")))
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
-    val assigned = b.join(c)
-      .select(col(idCol), col("bv"), col("centroid_id"),
-        dot(col("bv"), col("cv")).as("csim"))
-      .groupBy(idCol)
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
-        first(col("bv")).as("bv"))
+    // the centroid table is index-sized by contract — gather it once
+    // (limit-capped) and assign via the kernel: one scan projection, no
+    // corpus re-grouping shuffle (the former join + groupBy(id) shape)
+    val centCap = 1 << 16
+    val centRows = centroids
+      .select(col("centroid_id").cast("long").as("cid"), col("cv"))
+      .limit(centCap + 1).collect()
+    require(centRows.length <= centCap,
+      s"ivfKnnWith: centroid table exceeds $centCap rows — it must be " +
+        "index-sized (broadcast to every probe)")
+    val cents = centRows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val assigned = assignWithCentroids(b, idCol, cents)
     val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
     val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
     val probes = q.join(c)
       .withColumn("csim", dot(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      .select(col("query_id"), col("qv"),
+        col("centroid_id").cast("long").as("bucket"))
     val scored = broadcast(probes).join(assigned, "bucket")
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
