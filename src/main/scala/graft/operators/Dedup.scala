@@ -580,13 +580,42 @@ object Dedup {
 
   /** Near-dup dedup end-to-end: keep, per connected cluster of `pairs`, only
     * the minimum-id document; docs in no pair survive untouched.
+    *
+    * Scale shape: integral-id drop sets (the corpus norm) fold to a
+    * broadcast sorted long array probed by a codegen binary search in the
+    * docs scan — EXACT membership (ids, not hashes), zero shuffle of
+    * either side; the anti join it replaces shuffles the corpus WITH its
+    * text as sort-merge payload once the drop set outgrows the join
+    * broadcast threshold. Non-integral ids or drop sets beyond the
+    * 64M-key driver cap keep the anti join.
     */
   def keepClusterRepresentative(docs: DataFrame, idCol: String,
                                 pairs: DataFrame): DataFrame = {
     val drop = connectedComponents(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as("__drop_id"))
-    docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
+    val integralId = docs.schema(docs.schema.fieldIndex(idCol)).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val gathered =
+      if (!integralId) None
+      else gatherSortedLongs(
+        drop.select(col("__drop_id").cast("long")), 1 << 26)
+    gathered match {
+      case Some(sorted) =>
+        val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+        val probe = org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.expressions.LongSetContains(
+            org.apache.spark.sql.graft.Bridge.expression(
+              docs(idCol).cast("long")), bc))
+        docs.where(!coalesce(probe, lit(false)))
+      case None =>
+        docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
+    }
   }
 
   /** Quality-aware variant of [[keepClusterRepresentative]]: keep, per
