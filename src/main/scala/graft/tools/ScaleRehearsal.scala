@@ -168,6 +168,15 @@ object ScaleRehearsal {
       graft.operators.Similarity.kCenterSelect(emb, "vec_id", "embedding",
         k = 64).count()
     }
+    // SemDeDup end-to-end at replicated scale: FIXED step, so the centroid
+    // count grows with the corpus (the realistic index posture) and bucket
+    // sizes stay bounded; every vector has (replicas-1) exact twins, so
+    // the pair graph and the representative-keep probe both carry a
+    // replication-pathology load
+    run("semantic_dedup") {
+      graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.35, step = 50).count()
+    }
     run("cluster_sample") {
       graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
         "embedding", step = 50 * replicas, perCluster = 5).count()

@@ -444,6 +444,39 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfAssign kernel matches an independent in-memory argmax on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 0 until 3) {
+      val n = 120 + trial * 37
+      val d = 6
+      val data = (0L until n.toLong).map(i =>
+        (i, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
+      val step = 25
+      // independent reference: unit-normalize, centroids = id % step == 0,
+      // nearest by sequential-sum dot, ties to LOWER centroid id
+      val unit = data.map { case (id, v) =>
+        val dv = v.map(_.toDouble)
+        val nrm = math.sqrt(dv.map(x => x * x).sum)
+        id -> dv.map(_ / nrm)
+      }.toMap
+      val cents = data.map(_._1).filter(_ % step == 0).sorted.map(c => c -> unit(c))
+      val expected = data.map { case (id, _) =>
+        var best = -1L; var bd = Double.NegativeInfinity
+        cents.foreach { case (cid, cv) =>
+          val s = unit(id).zip(cv).map { case (x, y) => x * y }.sum
+          if (s > bd) { bd = s; best = cid }
+        }
+        id -> best
+      }.toMap
+      val got = graft.operators.Similarity.ivfAssign(
+          data.toDF("vec_id", "embedding"), "vec_id", "embedding", step)
+        .select("vec_id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("kCenterSelect: zero vectors and inexact-normalized duplicates (review findings)") {
     import spark.implicits._
     // a zero vector (empty-token feature-hash doc) must neither win an
