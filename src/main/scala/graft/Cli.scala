@@ -171,21 +171,43 @@ object Cli {
     // writer A's half-written bytes)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent,
       p.getName + ".__tmp." + java.util.UUID.randomUUID().toString)
-    writeStateFile(fs, tmp, content)
-    // overwrite-capable rename: ONE atomic step, so no crash window where
-    // the pin file is absent (delete-then-rename left a gap in which the
-    // next invocation would silently re-pin defaults — index drift, the
-    // exact failure this file exists to prevent)
+    // unique tmp names can ORPHAN on hard kills (nothing self-overwrites
+    // like the old fixed name did) — sweep stale siblings first, bounded
+    // to tmps older than an hour so a CONCURRENT writer's in-flight tmp
+    // (lives milliseconds) is never clobbered
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
-        fs.getConf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // FS without a FileContext binding: fall back to delete+rename
-        // (narrow non-atomic window, disclosed) rather than failing the run
-        fs.delete(p, false)
-        if (!fs.rename(tmp, p)) sys.error(s"state-file rename failed at $p")
+      val prefix = p.getName + ".__tmp."
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      fs.listStatus(p.getParent).foreach { st =>
+        if (st.getPath.getName.startsWith(prefix) &&
+          st.getModificationTime < cutoff) fs.delete(st.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () } // sweep is best-effort
+    var renamed = false
+    try {
+      writeStateFile(fs, tmp, content)
+      // overwrite-capable rename: ONE atomic step, so no crash window where
+      // the pin file is absent (delete-then-rename left a gap in which the
+      // next invocation would silently re-pin defaults — index drift, the
+      // exact failure this file exists to prevent)
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+          fs.getConf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        renamed = true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // FS without a FileContext binding: fall back to delete+rename
+          // (narrow non-atomic window, disclosed) rather than failing the run
+          fs.delete(p, false)
+          if (!fs.rename(tmp, p)) sys.error(s"state-file rename failed at $p")
+          renamed = true
+      }
+    } finally {
+      // failed attempts must not leak their tmp (JVM-crash orphans are
+      // caught by the sweep above on the next write)
+      if (!renamed)
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
     }
   }
 

@@ -77,20 +77,39 @@ object Dedup {
     * per-partition toLocalIterator stream for big-but-allowed sets (no
     * single all-rows Row buffer); None over `cap`.
     */
-  private[graft] def gatherSortedLongs(df: DataFrame,
+  private[graft] def gatherSortedLongs(df0: DataFrame,
                                        cap: Int): Option[Array[Long]] = {
+    // NULL keys are not set members — and Row.getLong would NPE on them
+    // (the anti-join formulations these gathers replace ignore null keys,
+    // so dropping preserves semantics)
+    val df = df0.na.drop()
     val fastCap = math.min(cap, 1 << 22)
     val fast = df.limit(fastCap + 1).collect()
     if (fast.length <= fastCap) {
       val a = fast.map(_.getLong(0)); java.util.Arrays.sort(a); Some(a)
     } else if (cap <= fastCap) None
-    else if (df.limit(cap + 1).count() > cap) None
     else {
-      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-      val it = df.toLocalIterator()
-      while (it.hasNext) buf += it.next().getLong(0)
-      val a = buf.result(); java.util.Arrays.sort(a); Some(a)
+      // big-but-maybe-allowed: persist so the sizing count and the
+      // per-partition stream read ONE materialization instead of
+      // re-running the (expensive, by definition) distinct 2-3 times
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (p.limit(cap + 1).count() > cap) None
+        else Some(streamSortedLongs(p))
+      } finally p.unpersist(blocking = false)
     }
+  }
+
+  /** Unbounded variant: stream every partition to the driver (one
+    * partition's rows in memory at a time beyond collect's reach) and
+    * sort. For callers whose contract is "the set must fit somewhere
+    * whole anyway" (it is broadcast afterwards).
+    */
+  private[graft] def streamSortedLongs(df: DataFrame): Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    val it = df.na.drop().toLocalIterator()
+    while (it.hasNext) buf += it.next().getLong(0)
+    val a = buf.result(); java.util.Arrays.sort(a); a
   }
 
   /** J3 at broadcast-hash scale — the EXACT middle tier between

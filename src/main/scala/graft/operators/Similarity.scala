@@ -50,23 +50,13 @@ object Similarity {
     df.select(col(idCol).as(idName), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .select(col(idName),
-        when(!isnan(col("__n")) && col("__n") > 0,
+        // finite-positive gate: NaN norms (NaN element) AND Inf norms
+        // (overflow element — Inf/Inf division would make a NaN unit
+        // that sails through the isnan(norm) check) both fold to NULL
+        when(!isnan(col("__n")) && col("__n") > 0 &&
+            col("__n") < lit(Double.PositiveInfinity),
           transform(col("__v"), x => x / col("__n")))
           .as(outName))
-
-  /** Fail fast when an id-mod-`step` sample exceeds `cap` rows: counts the
-    * sample through an early-abort limit (one narrow scan — never more than
-    * cap+1 rows move) BEFORE the caller broadcasts or collects it. The
-    * message names the step that would fit this corpus.
-    */
-  private def requireBoundedSample(sample: DataFrame, idCol: String, step: Int,
-                                   cap: Int, op: String): Long = {
-    val n = sample.select(col(idCol)).limit(cap + 1).count()
-    require(n <= cap,
-      s"$op: step=$step yields more than $cap sampled centroids on this " +
-        s"corpus — raise step (or the cap)")
-    n
-  }
 
   /** Exact top-k cosine neighbors for every query row.
     * `queries` must be small enough to broadcast (it is hinted).
@@ -156,7 +146,17 @@ object Similarity {
         Ordering.by { case n: Number => n.longValue }
       case FloatType | DoubleType =>
         Ordering.by { case n: Number => n.doubleValue }
-      case StringType => Ordering.by { case s: String => s }
+      case StringType =>
+        // UTF-8 BINARY comparison, not java.lang.String (UTF-16 code
+        // units): Spark's asc("id") orders by UTF8String bytes, and the
+        // two disagree on supplementary characters — the local tie-break
+        // must match the distributed sort exactly or ties pick a
+        // different row than the one-job-per-point formulation
+        (x: Any, y: Any) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(x.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(y.asInstanceOf[String]))
       case _: DecimalType =>
         Ordering.by { case d: java.math.BigDecimal => scala.math.BigDecimal(d) }
       case other => sys.error(
@@ -575,7 +575,11 @@ object Similarity {
       // seed count is n/step — collect through a limit so a miscalibrated
       // step fails fast (the driver only ever receives maxCentroids+1 rows,
       // never the unbounded sample)
-      val seedRows = b.where(col(idCol) % step === 0)
+      // null-unit seeds (zero/NaN/Inf vectors at a sampled id) have no
+      // direction to refine — drop them like every other centroid gather
+      // (the kernel path would NPE on v.toArray; the old join tolerated
+      // them only by never letting a null cv win)
+      val seedRows = b.where(col(idCol) % step === 0 && col("bv").isNotNull)
         .select(col(idCol).cast("long"), col("bv"))
         .limit(maxCentroids + 1).collect()
       require(seedRows.length <= maxCentroids,

@@ -395,9 +395,17 @@ object Corpus {
       // untouched — both are legal file-URL shapes a URL list can carry
       val path =
         if (noQuery.startsWith("file:")) {
-          val u = java.net.URI.create(noQuery)
-          Option(u.getPath).filter(_.nonEmpty).getOrElse(
-            sys.error(s"file URL with no path component: $url"))
+          try {
+            val u = java.net.URI.create(noQuery)
+            Option(u.getPath).filter(_.nonEmpty).getOrElse(
+              sys.error(s"file URL with no path component: $url"))
+          } catch {
+            // raw illegal URI characters (unencoded spaces are common in
+            // hand-written URL lists): fall back to prefix stripping so
+            // such entries keep fetching like they did pre-URI-parse
+            case _: IllegalArgumentException =>
+              noQuery.stripPrefix("file://").stripPrefix("file:")
+          }
         } else noQuery
       val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
       try {

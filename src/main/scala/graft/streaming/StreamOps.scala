@@ -368,16 +368,9 @@ object StreamOps {
         coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
         coalesce(size(keptArr), lit(0)).cast("long").as("n_sentences_kept"))
     val distinctH = boilerplate.select(col("h")).distinct()
-    val inline =
-      distinctH.limit(maxInlineHashes + 1).count() <= maxInlineHashes
     val sorted: Array[Long] =
-      if (inline) distinctH.collect().map(_.getLong(0)).sorted
-      else {
-        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
-        val it = distinctH.toLocalIterator()
-        while (it.hasNext) buf += it.next().getLong(0)
-        val a = buf.result(); java.util.Arrays.sort(a); a
-      }
+      graft.operators.Dedup.gatherSortedLongs(distinctH, maxInlineHashes)
+        .getOrElse(graft.operators.Dedup.streamSortedLongs(distinctH))
     val bc = spark.sparkContext.broadcast(sorted)
     def probe(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       org.apache.spark.sql.graft.Bridge.column(

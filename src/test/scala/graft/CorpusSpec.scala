@@ -233,6 +233,25 @@ class CorpusSpec extends SparkTestBase {
     assert(texts === Seq("x", "y")) // name-sorted order preserved
   }
 
+  test("LocalFileFetcher resolves authority, single-slash, and unencoded-space file URLs (review findings)") {
+    val src = Files.createTempDirectory("fetch_forms")
+    Files.write(src.resolve("plain.bin"), "abc".getBytes("UTF-8"))
+    Files.write(src.resolve("with space.bin"), "xyz".getBytes("UTF-8"))
+    def fetch(url: String): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Corpus.LocalFileFetcher.fetch(url, bos)
+      new String(bos.toByteArray, "UTF-8")
+    }
+    assert(fetch(s"file://$src/plain.bin") === "abc")
+    // authority form: file://localhost/... must not become a RELATIVE path
+    assert(fetch(s"file://localhost$src/plain.bin") === "abc")
+    // single-slash form: file:/... is a legal file-URL shape
+    assert(fetch(s"file:$src/plain.bin") === "abc")
+    // raw unencoded space (hand-written URL lists): URI.create throws —
+    // the prefix-strip fallback must keep such entries fetchable
+    assert(fetch(s"file://$src/with space.bin") === "xyz")
+  }
+
   test("ingestFromManifest: file:// end-to-end, resume, failure retry, duplicate guard") {
     val src = Files.createTempDirectory("fetch_src")
     val out = Files.createTempDirectory("fetch_out").toString

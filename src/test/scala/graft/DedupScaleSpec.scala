@@ -490,6 +490,15 @@ class DedupScaleSpec extends SparkTestBase {
     assert(graft.operators.Dedup.decontaminateBroadcast(
         withNull, xxhash64(col("text")), a, xxhash64(col("text")))
       .collect().map(_.getLong(0)).toSet.contains(100L))
+    // a NULL key on the BLOCKLIST side is ignored (the anti join never
+    // matched it), not an NPE in the gather (review finding). xxhash64
+    // folds NULL input to the seed, so force a genuinely null key column
+    val aNull = a.union(Seq(null.asInstanceOf[String]).toDF("text"))
+    def nullableKey(c: org.apache.spark.sql.Column) =
+      when(c.isNotNull, xxhash64(c))
+    assert(graft.operators.Dedup.decontaminateBroadcast(
+        b, nullableKey(col("text")), aNull, nullableKey(col("text")))
+      .collect().map(_.getLong(0)).toSet === keptExact)
     // a blocklist over the cap refuses BEFORE gathering anything
     val e = intercept[RuntimeException] {
       graft.operators.Dedup.decontaminateBroadcast(

@@ -444,6 +444,29 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("Inf-element vectors fold to NULL units; kmeans tolerates a degenerate seed (review findings)") {
+    import spark.implicits._
+    // +Inf element: norm = Inf passes a bare isnan gate, and Inf/Inf would
+    // make a NaN unit that poisons every argmax downstream (kCenterSelect's
+    // frontier could fill with unpickable NaN rows and crash the fold)
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),                      // zero seed candidate
+      (1L, Array(Float.PositiveInfinity, 1.0f)),    // Inf element
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val picked = graft.operators.Similarity.kCenterSelect(
+        emb, "vec_id", "embedding", k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked === Set(2L, 3L)) // 0 (no direction) and 1 (Inf) never appear
+    // kmeansCentroids: ids 0 (zero vector) and 1 (Inf) land on sampled seed
+    // positions with step=1 — both must be DROPPED from the seed set, not
+    // NPE the refinement round
+    val refined = graft.operators.Similarity.kmeansCentroids(
+      emb, "vec_id", "embedding", step = 1, iters = 2)
+    assert(refined.collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
   test("ivfAssign kernel matches an independent in-memory argmax on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(1717)
