@@ -24,6 +24,8 @@ import graft.sources.Corpus
   *                                      // admitted by PAST invocations,
   *                                      // then extend the hash state
   *   runMain graft.Cli decontaminate PATH... --bench PATH [--out DIR]
+  *     [--broadcast]                    // exact via broadcast sorted-hash
+  *                                      // probe: zero shuffle either side
   *     [--spans K]                      // cut quoted spans, keep the docs
   *     [--minhash-table T [--threshold J] [--rebuild-index]]  // fuzzy,
   *                                      // off the persisted band-row index
@@ -91,7 +93,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5", "--broadcast")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -635,8 +637,17 @@ object Cli {
               threshold = flag("--threshold").map(_.toDouble).getOrElse(0.8))
               .drop("__id"), ranked = false)
           case (None, None) =>
-            deliver(operators.Dedup.decontaminate(
-              docs, md5(col("text")), bench, md5(col("text"))), ranked = false)
+            // --broadcast: the J3 sorted-hash tier — benchmark hashes fold
+            // to one broadcast long array probed in the corpus scan (zero
+            // shuffle of either side; a 64-bit collision can only
+            // over-drop). Default stays the exact anti join.
+            deliver(
+              if (a.flags.contains("--broadcast"))
+                operators.Dedup.decontaminateBroadcast(docs,
+                  xxhash64(col("text")), bench, xxhash64(col("text")))
+              else operators.Dedup.decontaminate(
+                docs, md5(col("text")), bench, md5(col("text"))),
+              ranked = false)
         }
         }
       // the "what's in my big data" report card (counts, size, dup rate,

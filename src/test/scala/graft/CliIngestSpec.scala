@@ -192,6 +192,21 @@ class CliIngestSpec extends SparkTestBase {
     } finally dropTable(t)
   }
 
+  test("decontaminate --broadcast: same survivors as the anti-join default") {
+    val root = Files.createTempDirectory("cli_bc").toString
+    writeShard(s"$root/corpus", "c.jsonl", Seq(good, good2, junk))
+    writeShard(s"$root/bench", "b.jsonl", Seq(good2))
+    Cli.run(spark, Array("decontaminate", s"$root/corpus/*",
+      "--bench", s"$root/bench/*", "--out", s"$root/out_anti"))
+    Cli.run(spark, Array("decontaminate", s"$root/corpus/*",
+      "--bench", s"$root/bench/*", "--out", s"$root/out_bc", "--broadcast"))
+    def texts(d: String): Set[String] =
+      spark.read.json(s"$root/$d").select("text")
+        .collect().map(_.getString(0)).toSet
+    assert(texts("out_bc") === texts("out_anti"))
+    assert(texts("out_bc") === Set(good, junk)) // bench doc dropped
+  }
+
   test("no new shards is a no-op; config pin must still match") {
     val (drop, state) = freshDirs()
     writeShard(s"$drop/d1", "s1.jsonl", Seq(good))
