@@ -102,3 +102,134 @@ case class BestCentroid(child: Expression,
   protected override def withNewChildInternal(newChild: Expression): BestCentroid =
     copy(child = newChild)
 }
+
+/** Two-level nearest-centroid argmax — the coarse-quantizer composition
+  * of [[BestCentroid]] for centroid tables too large to probe flat
+  * (probing C centroids per row is the flat kernel's cost driver at
+  * C ≫ 10⁴; this probes ~`coarseProbes`·√C): rank the `coarseIds`
+  * cells by dot product, take the top `coarseProbes` cells, then argmax
+  * over only THOSE cells' fine centroids (`fineIds`/`fineVecs`, grouped
+  * contiguously with `cellOffsets(i)..cellOffsets(i+1)` holding coarse
+  * cell i's members).
+  *
+  * Deterministic: coarse ties rank the lower-INDEX cell first (cells are
+  * built in ascending coarse-id order), fine ties take the LOWEST fine
+  * id regardless of probe order, per-pair dots are sequential — so with
+  * `coarseProbes >= |coarse|` the result is bit-identical to the flat
+  * [[BestCentroid]] over the same fine table (spec-pinned); smaller
+  * probe counts trade recall for the √C probe cost, the standard IVF
+  * coarse-quantizer deal. NULL input (no direction) returns NULL.
+  */
+case class BestCentroidNested(child: Expression,
+                              coarseVecs: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                              cellOffsets: org.apache.spark.broadcast.Broadcast[Array[Int]],
+                              fineIds: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                              fineVecs: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                              coarseProbes: Int)
+    extends UnaryExpression {
+  require(coarseProbes >= 1, s"need at least one coarse probe, got $coarseProbes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_best_centroid_nested needs an array<double> vector, got ${other.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("csim", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_best_centroid_nested"
+
+  private def dotOrNaN(vec: ArrayData, cv: Array[Double], n: Int): Double = {
+    if (cv.length != n) return Double.NaN
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return Double.NaN
+      s += vec.getDouble(i) * cv(i)
+      i += 1
+    }
+    s
+  }
+
+  def best(vec: ArrayData): InternalRow = {
+    val cvs = coarseVecs.value
+    val offs = cellOffsets.value
+    val fids = fineIds.value
+    val fvs = fineVecs.value
+    val n = vec.numElements()
+    val p = math.min(coarseProbes, cvs.length)
+    // top-p coarse cells by dot, ties to the lower cell index: a small
+    // insertion-ranked selection (p is single digits in practice)
+    val topIdx = new Array[Int](p)
+    val topSim = new Array[Double](p)
+    var filled = 0
+    var c = 0
+    while (c < cvs.length) {
+      val s = dotOrNaN(vec, cvs(c), n)
+      if (!s.isNaN) {
+        // strictly-greater insertion keeps earlier (lower-index) cells
+        // ahead on ties
+        var pos = filled
+        while (pos > 0 && s > topSim(pos - 1)) pos -= 1
+        if (pos < p) {
+          val last = math.min(filled, p - 1)
+          var j = last
+          while (j > pos) { topIdx(j) = topIdx(j - 1); topSim(j) = topSim(j - 1); j -= 1 }
+          topIdx(pos) = c; topSim(pos) = s
+          if (filled < p) filled += 1
+        }
+      }
+      c += 1
+    }
+    var bestId = 0L
+    var bestD = Double.NegativeInfinity
+    var found = false
+    var t = 0
+    while (t < filled) {
+      val cell = topIdx(t)
+      var f = offs(cell)
+      val end = offs(cell + 1)
+      while (f < end) {
+        val s = dotOrNaN(vec, fvs(f), n)
+        if (!s.isNaN &&
+          (s > bestD || (s == bestD && found && fids(f) < bestId))) {
+          bestD = s; bestId = fids(f); found = true
+        }
+        f += 1
+      }
+      t += 1
+    }
+    if (!found) null
+    else new GenericInternalRow(Array[Any](bestId, bestD))
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    best(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bestCentroidNested", this,
+      classOf[BestCentroidNested].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("bestNestedRow")
+      s"""
+         |InternalRow $r = $ref.best($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case e: BestCentroidNested =>
+      (this eq e) || (child == e.child && coarseProbes == e.coarseProbes &&
+        coarseVecs.id == e.coarseVecs.id && cellOffsets.id == e.cellOffsets.id &&
+        fineIds.id == e.fineIds.id && fineVecs.id == e.fineVecs.id)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[BestCentroidNested], child,
+      Integer.valueOf(coarseProbes), java.lang.Long.valueOf(fineIds.id))
+
+  protected override def withNewChildInternal(newChild: Expression): BestCentroidNested =
+    copy(child = newChild)
+}

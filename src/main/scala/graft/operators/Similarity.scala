@@ -394,49 +394,8 @@ object Similarity {
       else b.where(pmod(xxhash64(col(idCol).cast("string")), lit(step.toLong))
         === lit(offset.toLong))
     val sample = sample0.where(col("bv").isNotNull)
-    // the probe kernel carries centroid ids as longs — integral ids only
-    // on the direct path (fractional ids would truncate silently; they
-    // are what hashedIds exists for)
-    if (!hashedIds) base.schema(base.schema.fieldIndex(idCol)).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case other => sys.error(s"ivfAssign: id column '$idCol' has " +
-        s"non-integral type ${other.sql} — pass hashedIds = true")
-    }
-    val centKey =
-      if (!hashedIds) col(idCol).cast("long")
-      else xxhash64(col(idCol).cast("string"))
-    // ONE limit-capped collect: the centroid gather doubles as the
-    // too-small-step guard (a miscalibrated step fails fast with the dial
-    // to turn instead of OOMing the driver — the collect never receives
-    // more than cap+1 rows), and no separate sizing job lands on the
-    // operator's wall clock. Ascending-id order: [[BestCentroid]] probes
-    // with strict `>`, so ties resolve to the LOWEST centroid id — the
-    // max_by(struct(csim, -cid)) ordering this kernel replaces, and the
-    // oracle's `ORDER BY d DESC, centroid_id`
-    val centCap = 1 << 16
-    val rows = sample.select(centKey.as("cid"), col("bv"))
-      .limit(centCap + 1).collect()
-    require(rows.length <= centCap,
-      s"ivfAssign: step=$step yields more than $centCap sampled centroids " +
-        "on this corpus — raise step (or the cap)")
-    val cents = rows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    // zero centroids on a NON-empty corpus is a silent drop-everything
-    // (every bucket would be null and every bucket join would eat every
-    // row): fail fast with the dial to turn, exactly as writeIvfIndex
-    // does — the hashedIds filter is probabilistic (~1/step), so small
-    // corpora hit this routinely. An empty corpus degrades to an empty
-    // (schema-correct) result.
-    if (cents.isEmpty && !b.isEmpty) sys.error(
-      s"ivfAssign: step=$step selected ZERO centroids on this corpus — " +
-        "lower step" + (if (hashedIds) " (the hashedIds filter is " +
-        "probabilistic: ~1/step)" else ""))
-    val bucketType =
-      if (hashedIds) org.apache.spark.sql.types.LongType
-      else base.schema(base.schema.fieldIndex(idCol)).dataType
+    val (cents, bucketType) =
+      gatherFineCentroids(base, b, sample, idCol, step, hashedIds, "ivfAssign")
     if (cents.isEmpty)
       return b.select(col(idCol), col("bv"),
         lit(null).cast(bucketType).as("bucket"))
@@ -449,6 +408,130 @@ object Similarity {
     // join or explicit isNotNull filter drops them.
     assignWithCentroids(b, idCol, cents)
       .select(col(idCol), col("bv"), col("bucket").cast(bucketType).as("bucket"))
+  }
+
+  /** The shared centroid-sample gather: integral-id guard (the probe
+    * kernels carry centroid ids as longs — fractional ids would truncate
+    * silently; they are what hashedIds exists for), ONE limit-capped
+    * collect that doubles as the too-small-step guard (the driver never
+    * receives more than cap+1 rows — a miscalibrated step fails fast with
+    * the dial to turn instead of OOMing mid-collect, and no separate
+    * sizing job lands on the operator's wall clock), ascending-id sort
+    * (the kernels probe with strict `>`, so ties resolve to the LOWEST
+    * centroid id — max_by(struct(csim, -cid)) ordering, the oracle's
+    * `ORDER BY d DESC, centroid_id`), and the loud zero-centroids check
+    * (a silent drop-everything otherwise — the hashedIds filter is
+    * probabilistic ~1/step, so small corpora hit it routinely; an empty
+    * corpus degrades to empty).
+    */
+  private def gatherFineCentroids(base: DataFrame, b: DataFrame,
+                                  sample: DataFrame, idCol: String,
+                                  step: Int, hashedIds: Boolean, op: String)
+      : (Array[(Long, Array[Double])], org.apache.spark.sql.types.DataType) = {
+    if (!hashedIds) base.schema(base.schema.fieldIndex(idCol)).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => sys.error(s"$op: id column '$idCol' has " +
+        s"non-integral type ${other.sql} — pass hashedIds = true")
+    }
+    val centKey =
+      if (!hashedIds) col(idCol).cast("long")
+      else xxhash64(col(idCol).cast("string"))
+    val centCap = 1 << 16
+    val rows = sample.select(centKey.as("cid"), col("bv"))
+      .limit(centCap + 1).collect()
+    require(rows.length <= centCap,
+      s"$op: step=$step yields more than $centCap sampled centroids " +
+        "on this corpus — raise step (or the cap)")
+    val cents = rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (cents.isEmpty && !b.isEmpty) sys.error(
+      s"$op: step=$step selected ZERO centroids on this corpus — " +
+        "lower step" + (if (hashedIds) " (the hashedIds filter is " +
+        "probabilistic: ~1/step)" else ""))
+    val bucketType =
+      if (hashedIds) org.apache.spark.sql.types.LongType
+      else base.schema(base.schema.fieldIndex(idCol)).dataType
+    (cents, bucketType)
+  }
+
+  /** Two-level IVF assignment — [[ivfAssign]] behind a COARSE QUANTIZER
+    * for centroid tables too large to probe flat (the flat kernel's
+    * per-row cost is O(|centroids|·dim); at ≫10⁴ centroids — the 100-TB
+    * regime where n/step stays index-sized only if step grows with the
+    * corpus — that argmax dominates the scan). The fine sample is the
+    * same deterministic id-mod-step set; every √C-th fine centroid (by
+    * id rank) forms the coarse level, each fine centroid joins its
+    * nearest coarse cell (driver-side, tiny), and each row probes the
+    * top-`coarseProbes` coarse cells' members only: O((√C·(1+probes))·dim)
+    * per row. With `coarseProbes` ≥ the coarse count the result is
+    * BIT-IDENTICAL to [[ivfAssign]] (spec-pinned); smaller values trade
+    * assignment recall for the √C probe cost — the standard IVF
+    * coarse-quantizer deal (a misassigned row lands in a near-tied
+    * neighboring cell, which bucket-local consumers tolerate by
+    * construction). Output schema matches [[ivfAssign]].
+    */
+  def ivfAssignCoarse(base: DataFrame, idCol: String, vecCol: String,
+                      step: Int, coarseProbes: Int = 4, offset: Int = 0,
+                      hashedIds: Boolean = false): DataFrame = {
+    require(step > 0, s"ivf step must be positive, got $step")
+    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    val sample0 =
+      if (!hashedIds) b.where(col(idCol) % step === offset)
+      else b.where(pmod(xxhash64(col(idCol).cast("string")), lit(step.toLong))
+        === lit(offset.toLong))
+    val sample = sample0.where(col("bv").isNotNull)
+    val (cents, bucketType) = gatherFineCentroids(base, b, sample, idCol,
+      step, hashedIds, "ivfAssignCoarse")
+    if (cents.isEmpty)
+      return b.select(col(idCol), col("bv"),
+        lit(null).cast(bucketType).as("bucket"))
+    // coarse level: every √C-th fine centroid by ascending-id rank —
+    // deterministic, and the cell list inherits ascending coarse-id order
+    // (the kernel's tie-break relies on it)
+    val coarseStride = math.max(1, math.ceil(math.sqrt(cents.length)).toInt)
+    val coarseIdx = cents.indices.by(coarseStride).toArray
+    val coarseVecs = coarseIdx.map(i => cents(i)._2)
+    // fine → nearest coarse cell, driver-side: sequential dots, strict >
+    // keeps the lower cell index on ties (ascending coarse id)
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bd = Double.NegativeInfinity
+      var c = 0
+      while (c < coarseVecs.length) {
+        val cv = coarseVecs(c)
+        if (cv.length == v.length) {
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * cv(i); i += 1 }
+          if (s > bd) { bd = s; best = c }
+        }
+        c += 1
+      }
+      best
+    }
+    val byCell = Array.fill(coarseVecs.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    cents.indices.foreach(i => byCell(cellOf(cents(i)._2)) += i)
+    val offsets = new Array[Int](coarseVecs.length + 1)
+    val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+    byCell.indices.foreach { c =>
+      offsets(c) = order.length
+      order ++= byCell(c) // fine members keep ascending-id order per cell
+    }
+    offsets(coarseVecs.length) = order.length
+    val sc = base.sparkSession.sparkContext
+    val bestExpr = Bridge.column(
+      graft.functions.expressions.BestCentroidNested(
+        Bridge.expression(col("bv")),
+        sc.broadcast(coarseVecs),
+        sc.broadcast(offsets),
+        sc.broadcast(order.map(i => cents(i)._1).toArray),
+        sc.broadcast(order.map(i => cents(i)._2).toArray),
+        coarseProbes))
+    b.withColumn("__best", bestExpr)
+      .select(col(idCol), col("bv"),
+        col("__best").getField("bucket").cast(bucketType).as("bucket"))
   }
 
   /** `(id, bv, bucket)` nearest-centroid assignment against a DRIVER-side

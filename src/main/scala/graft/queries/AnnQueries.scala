@@ -175,7 +175,16 @@ object AnnQueries extends QueryPack {
     // round replays in SQL
     "d_kcenter_select" -> ((s, dir) =>
       Similarity.kCenterSelect(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 4).orderBy("rank"))
+        "vec_id", "embedding", k = 4).orderBy("rank")),
+
+    // two-level (coarse-quantized) IVF assignment at nprobe=2: the full
+    // deterministic pipeline — fine sample, √C coarse stride by id rank,
+    // fine→cell argmax, per-row top-2 cells, in-cell fine argmax — replays
+    // in SQL with identical sequential-dot arithmetic and tie-breaks
+    "ann_ivf2_assign" -> ((s, dir) =>
+      Similarity.ivfAssignCoarse(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", step = 50, coarseProbes = 2)
+        .select("vec_id", "bucket").orderBy("vec_id"))
   )
 
   // cosine computed identically on both sides: element products summed in
@@ -583,6 +592,44 @@ object AnnQueries extends QueryPack {
         |UNION ALL SELECT id, CAST(2 AS BIGINT), round(mind, 6) FROM c2
         |UNION ALL SELECT id, CAST(3 AS BIGINT), round(mind, 6) FROM c3
         |UNION ALL SELECT id, CAST(4 AS BIGINT), round(mind, 6) FROM c4
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+
+    // coarse = every ceil(sqrt(|fine|))-th fine centroid by id rank;
+    // fine→cell and per-row argmaxes break ties exactly like the kernel
+    // (DESC similarity, then lower cell index / lower fine id)
+    "ann_ivf2_assign" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |fine AS (SELECT vec_id AS fid, v AS fv,
+        |   row_number() OVER (ORDER BY vec_id) - 1 AS fidx
+        | FROM unit WHERE vec_id % 50 = 0),
+        |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM fine),
+        |coarse AS (SELECT f.fidx / st.stride AS cellidx, f.fv AS cv
+        | FROM fine f, st WHERE f.fidx % st.stride = 0),
+        |cellasg AS (
+        | SELECT fid, fv, cellidx FROM (
+        |  SELECT f.fid, f.fv, c.cellidx,
+        |   row_number() OVER (PARTITION BY f.fid ORDER BY
+        |     list_aggregate(list_transform(generate_series(1, len(f.fv)), i -> f.fv[i] * c.cv[i]), 'sum') DESC,
+        |     c.cellidx) AS rn
+        |  FROM fine f CROSS JOIN coarse c) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id, cellidx FROM (
+        |  SELECT u.vec_id, c.cellidx,
+        |   row_number() OVER (PARTITION BY u.vec_id ORDER BY
+        |     list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') DESC,
+        |     c.cellidx) AS rn
+        |  FROM unit u CROSS JOIN coarse c) WHERE rn <= 2)
+        |SELECT vec_id, bucket FROM (
+        | SELECT u.vec_id, f.fid AS bucket,
+        |  row_number() OVER (PARTITION BY u.vec_id ORDER BY
+        |    list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * f.fv[i]), 'sum') DESC,
+        |    f.fid) AS rn
+        | FROM unit u JOIN probes p ON p.vec_id = u.vec_id
+        |  JOIN cellasg f ON f.cellidx = p.cellidx) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -500,6 +500,41 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfAssignCoarse: bit-identical to flat ivfAssign at full probe width; deterministic at P=1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    val n = 400
+    val d = 6
+    val data = (0L until n.toLong).map(i =>
+      (i, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val step = 10 // 40 fine centroids -> coarse stride ceil(sqrt(40)) = 7
+    val flat = graft.operators.Similarity.ivfAssign(
+        data, "vec_id", "embedding", step)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probes >= coarse count: the two-level argmax sees every fine
+    // centroid and must reproduce the flat assignment exactly
+    val full = graft.operators.Similarity.ivfAssignCoarse(
+        data, "vec_id", "embedding", step, coarseProbes = 64)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === flat)
+    // P=1: approximate but deterministic and always a REAL fine centroid
+    val p1a = graft.operators.Similarity.ivfAssignCoarse(
+        data, "vec_id", "embedding", step, coarseProbes = 1)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p1b = graft.operators.Similarity.ivfAssignCoarse(
+        data, "vec_id", "embedding", step, coarseProbes = 1)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1a === p1b)
+    val fineIds = (0L until n.toLong).filter(_ % step == 0).toSet
+    assert(p1a.values.toSet.subsetOf(fineIds))
+    assert(p1a.size === n)
+  }
+
   test("kCenterSelect: zero vectors and inexact-normalized duplicates (review findings)") {
     import spark.implicits._
     // a zero vector (empty-token feature-hash doc) must neither win an
