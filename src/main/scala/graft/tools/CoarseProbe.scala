@@ -11,7 +11,11 @@ import graft.operators.Similarity
   * with step chosen to yield ~n/step centroids, timing both kernels and
   * measuring the assignment agreement (the recall side of the dial).
   *
-  *   runMain graft.tools.CoarseProbe [n] [dim] [step] [probes]
+  * A 5th arg `clusters=K` plants K cluster directions (vector = its
+  * cluster's direction + small hash noise) — real embeddings are
+  * clusterable, and the dial's recall there is the number that matters.
+  *
+  *   runMain graft.tools.CoarseProbe [n] [dim] [step] [probes] [clusters=K]
   */
 object CoarseProbe {
   def main(args: Array[String]): Unit = {
@@ -19,19 +23,30 @@ object CoarseProbe {
     val dim = args.lift(1).map(_.toInt).getOrElse(64)
     val step = args.lift(2).map(_.toInt).getOrElse(16)
     val probes = args.lift(3).map(_.toInt).getOrElse(4)
+    val clusters = args.lift(4).collect {
+      case s if s.startsWith("clusters=") => s.drop("clusters=".length).toInt
+    }
     val spark = Sessions.tune(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    // deterministic pseudo-random unit-ish vectors, no Random in executors
+    // deterministic pseudo-random vectors, no Random in executors:
+    // uniform by default; with clusters=K, each row = its cluster's
+    // direction plus ±0.05 hash noise per dimension
+    def u(seedCol: org.apache.spark.sql.Column) =
+      pmod(xxhash64(seedCol), lit(2000000L)).cast("double") / 1000000.0 - 1.0
     val df = spark.range(n.toLong).select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          j => (pmod(xxhash64(col("id") * lit(dim) + j), lit(2000000L))
-            .cast("double") / 1000000.0 - 1.0).cast("float")).as("embedding"))
+        transform(sequence(lit(0), lit(dim - 1)), j => (clusters match {
+          case Some(k) =>
+            u(pmod(col("id"), lit(k.toLong)) * lit(dim) + j + lit(7000000L)) +
+              u(col("id") * lit(dim) + j) * 0.05
+          case None => u(col("id") * lit(dim) + j)
+        }).cast("float")).as("embedding"))
       .localCheckpoint(true)
-    println(s"[coarse] n=$n dim=$dim step=$step (~${n / step} centroids) probes=$probes")
+    println(s"[coarse] n=$n dim=$dim step=$step (~${n / step} centroids) " +
+      s"probes=$probes clusters=${clusters.getOrElse(0)}")
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[coarse] $label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
