@@ -334,6 +334,41 @@ class DedupScaleSpec extends SparkTestBase {
     assert(hashed === raw)
   }
 
+  test("span decontamination kernel == identity-hash join path on random unicode corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    // vocabulary spanning ASCII, BMP accents, CJK, and supplementary-plane
+    // emoji — the kernel builds UTF8String spans byte-for-byte like the
+    // exploded formulation, and this is where byte-level bugs would hide
+    val vocab = Vector("alpha", "beta", "käse", "señor", "日本", "語",
+      "😀", "🤖", "mid­dle", "x")
+    for (trial <- 0 until 3) {
+      val k = 2 + trial
+      def doc(len: Int): String =
+        (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val bench = (0 until 6).map(i => (i.toLong, doc(4 + rnd.nextInt(6))))
+        .toDF("doc_id", "text")
+      val train = (100 until 160).map { i =>
+        // half the docs quote a benchmark fragment mid-document
+        val t = if (i % 2 == 0) doc(8)
+        else doc(3) + " " + bench.collect()(rnd.nextInt(6)).getString(1) +
+          " " + doc(3)
+        (i.toLong, t)
+      }.toDF("doc_id", "text")
+      val kernel = graft.operators.Dedup.removeContaminatedSpans(
+          train, "doc_id", "text", bench, "text", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val joined = graft.operators.Dedup.removeContaminatedSpans(
+          train, "doc_id", "text", bench, "text", k, hash = c => c)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(kernel === joined, s"trial $trial k=$k")
+      assert(kernel.exists { case (_, (t, n, nk)) => nk < n },
+        s"trial $trial produced no removals — fixture broken")
+    }
+  }
+
   test("CoveredSpanRemove kernel hash == SQL xxhash64 of the joined span (parity)") {
     import spark.implicits._
     // the kernel hashes UTF8String.concatWs(...) with XXH64 seed 42; the
