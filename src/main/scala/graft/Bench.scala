@@ -29,6 +29,19 @@ object Bench {
   def needsRemeasure(scored: Double, prev: Option[Double]): Boolean =
     scored >= 1.0 && prev.exists(p => p > 0 && scored > 2.0 * p)
 
+  /** Warmup-shape detector: a ≥1 s query whose in-run samples are
+    * STRICTLY decreasing with first/last ≥ 1.5× is still riding JIT /
+    * code-cache warmup when its scored sample lands (r13: p8_model
+    * 3.52 → 2.16 → 1.83, scored 1.83 vs a 1.37 s trend — under the 2×
+    * stall trigger, so it rode through). One extra end-of-run sample
+    * captures the steady state; min scores it (monotone-decreasing means
+    * LATER = truer, the opposite of the stall case's symmetric gate).
+    */
+  def warmupShaped(scored: Double, samples: List[Double]): Boolean =
+    scored >= 1.0 && samples.length >= 2 &&
+      samples.zip(samples.tail).forall { case (a, b) => a > b } &&
+      samples.last > 0 && samples.head / samples.last >= 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -134,10 +147,23 @@ object Bench {
           "bench_full.json"))), "UTF-8"))
     } catch { case _: Throwable => Map.empty }
     val stallChecked = measured0.map { case (n, (t, ss)) =>
-      if (!needsRemeasure(t, prevQ.get(n))) (n, (t, ss))
+      val stall = needsRemeasure(t, prevQ.get(n))
+      val warm = warmupShaped(t, ss)
+      if (!stall && !warm) (n, (t, ss))
       else {
         val again = timeOne(SparkEntry.queries(n))
-        (n, (math.min(t, again), ss :+ again))
+        // a stall-triggered re-measure may only pull the scored value DOWN
+        // if it clears the 2×-previous gate itself: an intermittently slow
+        // real regression (slow scored samples, one fast-ish-but-still-
+        // elevated end-of-run sample) must keep its full scored magnitude,
+        // not its best case. Warmup-triggered re-measures take the min
+        // unconditionally — strictly-decreasing samples mean the last
+        // sample IS the steady state. Every sample lands in "samples", so
+        // the adjustment stays auditable either way.
+        val t2 =
+          if (stall && needsRemeasure(again, prevQ.get(n))) t
+          else math.min(t, again)
+        (n, (t2, ss :+ again))
       }
     }
     val measured = stallChecked

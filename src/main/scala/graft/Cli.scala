@@ -641,10 +641,16 @@ object Cli {
             // to one broadcast long array probed in the corpus scan (zero
             // shuffle of either side; a 64-bit collision can only
             // over-drop). Default stays the exact anti join.
+            // xxhash64(NULL) is the SEED (42), not NULL — unguarded, a
+            // null-text bench doc would blocklist 42 and drop every
+            // null-text corpus doc, diverging from the md5 path's
+            // NULL-key-survives family policy. Guard both sides.
+            def nnHash(c: org.apache.spark.sql.Column) =
+              when(c.isNotNull, xxhash64(c))
             deliver(
               if (a.flags.contains("--broadcast"))
                 operators.Dedup.decontaminateBroadcast(docs,
-                  xxhash64(col("text")), bench, xxhash64(col("text")))
+                  nnHash(col("text")), bench, nnHash(col("text")))
               else operators.Dedup.decontaminate(
                 docs, md5(col("text")), bench, md5(col("text"))),
               ranked = false)

@@ -70,6 +70,15 @@ object Dedup {
     b.join(block, bKey === col("__block_h"), "left_anti")
   }
 
+  /** The shared inline-hash cap for the repeated-sentence twins: the
+    * batch operator ([[removeRepeatedSentences]]) and the streaming twin
+    * ([[graft.streaming.StreamOps.removeRepeatedSentencesStream]]) MUST
+    * fall back at the same set size or their per-row decisions drift —
+    * one definition so the caps can't diverge by literal drift. 4M longs
+    * = 32 MB broadcast, comfortably executor-sized.
+    */
+  private[graft] val MaxInlineHashes: Int = 1 << 22
+
   /** Gather one long column as a SORTED driver array for broadcast —
     * sized-gated. One limit-capped collect job when the set is small
     * (the common, boilerplate/benchmark-sized case: every extra driver
@@ -859,35 +868,31 @@ object Dedup {
 
   def removeRepeatedSentences(docs: DataFrame, idCol: String,
                               textCol: String, maxDf: Long = 1L,
-                              maxInlineHashes: Int = 1 << 22): DataFrame = {
+                              maxInlineHashes: Int = MaxInlineHashes): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val spark = docs.sparkSession
     val sents = graft.functions.TextFunctions.sentenceSplit(col(textCol))
-    // ONE exploded (id, idx, hash) frame feeds BOTH the df-count agg and
-    // (on the over-cap fallback) the removal join — lazily checkpointed
-    // because Spark does not plan-share identical subtrees, so without it
-    // the corpus would be scanned and sentence-split twice (the split is
-    // the operator's dominant per-row cost at scale)
-    val ex = graft.Par.fanOut(docs)
-      .select(col(idCol).as("__id"), posexplode(sents).as(Seq("__idx", "__s")))
-      .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))
-      .localCheckpoint(eager = false)
-    val repeated = ex.groupBy("__h")
-      .agg(count_distinct(col("__id")).as("__df"))
-      .where(col("__df") > maxDf).select("__h")
     // the over-threshold set is boilerplate-sized by definition: fold it
     // to a broadcast sorted long array probed by a codegen binary search
     // inside the rebuild projection — the SAME plan the streaming twin
     // runs, and the rewrite pass becomes one clean corpus scan with NO
     // join (the removal join's sort-merge arms shuffle the corpus TEXT as
     // payload once the per-doc drop list outgrows a broadcast — measured
-    // 0.22 GB at the 100× rehearsal on keys that are only ids). Beyond
-    // the cap, fall back to that join shape rather than flooding the
-    // driver (a capped count decides before anything is gathered).
-    val gathered = gatherSortedLongs(repeated, maxInlineHashes)
+    // 0.22 GB at the 100× rehearsal on keys that are only ids).
+    //
+    // On this dominant path the exploded frame is read exactly ONCE (the
+    // df-count agg feeding the gather) and the rebuild re-splits `docs`
+    // directly — so the gather runs straight off the corpus scan with NO
+    // localCheckpoint: materializing every (id, idx, hash) row to block
+    // storage bought nothing here and cost ~3× the sf0.1 wall clock
+    // (r13's one >2× bench entry). Only the rare over-cap fallback needs
+    // the exploded frame twice (agg + removal join); it builds the
+    // checkpoint THEN, paying one extra split pass for the sizing agg —
+    // strictly cheaper than charging every in-cap run the checkpoint.
+    val gathered = gatherSortedLongs(
+      repeatedSentenceHashes(docs, idCol, textCol, maxDf), maxInlineHashes)
     if (gathered.isDefined) {
       val sorted = gathered.get
-      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(ex)
       val bc = spark.sparkContext.broadcast(sorted)
       def probe(x: Column): Column =
         org.apache.spark.sql.graft.Bridge.column(
@@ -899,6 +904,19 @@ object Dedup {
         coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
         coalesce(size(kept), lit(0)).cast("long").as("n_sentences_kept"))
     } else {
+      // over-cap fallback: ONE exploded (id, idx, hash) frame feeds BOTH
+      // the (re-run) df-count agg and the removal join — lazily
+      // checkpointed because Spark does not plan-share identical
+      // subtrees, so without it the corpus would be scanned and
+      // sentence-split twice more (the split is the operator's dominant
+      // per-row cost at scale)
+      val ex = graft.Par.fanOut(docs)
+        .select(col(idCol).as("__id"), posexplode(sents).as(Seq("__idx", "__s")))
+        .select(col("__id"), col("__idx"), xxhash64(col("__s")).as("__h"))
+        .localCheckpoint(eager = false)
+      val repeated = ex.groupBy("__h")
+        .agg(count_distinct(col("__id")).as("__df"))
+        .where(col("__df") > maxDf).select("__h")
       val removed = ex.join(repeated.select(col("__h")), Seq("__h"), "left_semi")
         .groupBy("__id").agg(sort_array(collect_list(col("__idx"))).as("__drop"))
       val dropArr = coalesce(col("__drop"), array().cast("array<int>"))

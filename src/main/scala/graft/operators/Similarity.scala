@@ -159,6 +159,13 @@ object Similarity {
               .fromString(y.asInstanceOf[String]))
       case _: DecimalType =>
         Ordering.by { case d: java.math.BigDecimal => scala.math.BigDecimal(d) }
+      case DateType | TimestampType | TimestampNTZType =>
+        // Row surfaces these as java.sql.Date/Timestamp (or java.time
+        // Instant/LocalDate/LocalDateTime under the java8 API flag) — all
+        // Comparable, and their natural order equals Spark's asc(idCol)
+        // physical order (days / micros since epoch), so the local
+        // tie-break matches the distributed sort like the cases above
+        (x: Any, y: Any) => x.asInstanceOf[Comparable[Any]].compareTo(y)
       case other => sys.error(
         s"kCenterSelect: unsupported id type ${other.sql}")
     }
@@ -410,6 +417,23 @@ object Similarity {
       .select(col(idCol), col("bv"), col("bucket").cast(bucketType).as("bucket"))
   }
 
+  /** Integral-type guard for every id/centroid-id column the probe
+    * kernels carry as a long: a DoubleType id would `.cast("long")`
+    * TRUNCATE silently (distinct fractional ids merge into one bucket)
+    * and a StringType id casts to null and NPEs at `Row.getLong` — fail
+    * fast with the dial to turn instead.
+    */
+  private def requireIntegralId(df: DataFrame, colName: String, op: String,
+                                hint: String): Unit =
+    df.schema(df.schema.fieldIndex(colName)).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => sys.error(s"$op: column '$colName' has " +
+        s"non-integral type ${other.sql} — $hint")
+    }
+
   /** The shared centroid-sample gather: integral-id guard (the probe
     * kernels carry centroid ids as longs — fractional ids would truncate
     * silently; they are what hashedIds exists for), ONE limit-capped
@@ -428,14 +452,8 @@ object Similarity {
                                   sample: DataFrame, idCol: String,
                                   step: Int, hashedIds: Boolean, op: String)
       : (Array[(Long, Array[Double])], org.apache.spark.sql.types.DataType) = {
-    if (!hashedIds) base.schema(base.schema.fieldIndex(idCol)).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case other => sys.error(s"$op: id column '$idCol' has " +
-        s"non-integral type ${other.sql} — pass hashedIds = true")
-    }
+    if (!hashedIds) requireIntegralId(base, idCol, op,
+      "pass hashedIds = true")
     val centKey =
       if (!hashedIds) col(idCol).cast("long")
       else xxhash64(col(idCol).cast("string"))
@@ -609,6 +627,9 @@ object Similarity {
     */
   def clusterProfile(base: DataFrame, idCol: String, vecCol: String,
                      step: Int, maxCentroids: Int = 8192): DataFrame = {
+    requireIntegralId(base, idCol, "clusterProfile",
+      "hash ids to a long upstream (the hashedIds/xxhash64 pattern) — " +
+        "a fractional id would truncate into the wrong centroid bucket")
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
     val sample0 = b.where(col(idCol) % step === 0)
     val idType = base.schema(base.schema.fieldIndex(idCol)).dataType
@@ -652,6 +673,9 @@ object Similarity {
                       maxCentroids: Int = 8192): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
+    requireIntegralId(base, idCol, "kmeansCentroids",
+      "hash ids to a long upstream (the hashedIds/xxhash64 pattern) — " +
+        "a fractional seed id would truncate into a colliding centroid id")
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -709,6 +733,9 @@ object Similarity {
     */
   def ivfKnnWith(base: DataFrame, queries: DataFrame, centroids: DataFrame,
                  idCol: String, vecCol: String, k: Int, nprobe: Int = 3): DataFrame = {
+    requireIntegralId(centroids, "centroid_id", "ivfKnnWith",
+      "centroid tables must carry integral ids (kmeansCentroids output " +
+        "shape) — hash non-numeric ids to a long upstream")
     val c = broadcast(centroids.select(col("centroid_id"), col("cv")))
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
     // the centroid table is index-sized by contract — gather it once

@@ -348,7 +348,8 @@ object StreamOps {
   def removeRepeatedSentencesStream(docs: DataFrame, idCol: String,
                                     textCol: String,
                                     boilerplate: DataFrame,
-                                    maxInlineHashes: Int = 1 << 22): DataFrame = {
+                                    maxInlineHashes: Int =
+                                      graft.operators.Dedup.MaxInlineHashes): DataFrame = {
     // the hash set is boilerplate-sized by definition — collect it ONCE,
     // broadcast a sorted long array, and probe via a codegen'd binary
     // search inside the per-row rewrite: the stream plan is then a pure
@@ -367,10 +368,17 @@ object StreamOps {
         concat_ws(" ", keptArr).as("text_clean"),
         coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
         coalesce(size(keptArr), lit(0)).cast("long").as("n_sentences_kept"))
+    // this caller materializes the WHOLE set either way (it is broadcast
+    // afterwards), so persist the distinct once: the over-cap fallback
+    // then streams the cached blocks instead of re-running the (expensive
+    // by definition) distinct from scratch. unpersist after the gather —
+    // `sorted` is already a driver array by then.
     val distinctH = boilerplate.select(col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted: Array[Long] =
-      graft.operators.Dedup.gatherSortedLongs(distinctH, maxInlineHashes)
+      try graft.operators.Dedup.gatherSortedLongs(distinctH, maxInlineHashes)
         .getOrElse(graft.operators.Dedup.streamSortedLongs(distinctH))
+      finally distinctH.unpersist(blocking = false)
     val bc = spark.sparkContext.broadcast(sorted)
     def probe(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       org.apache.spark.sql.graft.Bridge.column(

@@ -39,4 +39,40 @@ class BenchLogicSpec extends AnyFunSuite {
     // zero/garbage previous value must not divide into a re-measure storm
     assert(!Bench.needsRemeasure(5.0, Some(0.0)))
   }
+
+  test("warmupShaped: >=1s strictly-decreasing samples with first/last >= 1.5x") {
+    // the r13 casualty: p8_model 3.52 -> 2.16 -> 1.83, scored 1.83 —
+    // under the 2x stall trigger but plainly still warming up
+    assert(Bench.warmupShaped(1.83, List(3.52, 2.16, 1.83)))
+    // two-sample variant fires too
+    assert(Bench.warmupShaped(1.2, List(2.0, 1.2)))
+    // non-monotone samples: interference noise, not warmup — median/min
+    // scoring owns it
+    assert(!Bench.warmupShaped(1.8, List(3.5, 1.8, 2.2)))
+    // shallow decrease (< 1.5x first/last): trend, not warmup
+    assert(!Bench.warmupShaped(1.4, List(1.9, 1.5, 1.4)))
+    // sub-second queries are excluded like the stall trigger
+    assert(!Bench.warmupShaped(0.4, List(0.9, 0.6, 0.4)))
+    // equal adjacent samples are NOT strictly decreasing
+    assert(!Bench.warmupShaped(1.5, List(3.0, 3.0, 1.5)))
+    // degenerate inputs never fire
+    assert(!Bench.warmupShaped(1.5, Nil))
+    assert(!Bench.warmupShaped(1.5, List(1.5)))
+    assert(!Bench.warmupShaped(1.0, List(2.0, 0.0)))
+  }
+
+  test("stall re-measure replaces the score only when it clears the gate itself") {
+    // the symmetric-gate contract (pure re-statement of the main-loop
+    // fold): stall-flagged score t, re-measure `again` —
+    def fold(t: Double, again: Double, prev: Option[Double]): Double =
+      if (Bench.needsRemeasure(t, prev) && Bench.needsRemeasure(again, prev)) t
+      else math.min(t, again)
+    // stall window passed: re-measure back on trend, trust it
+    assert(fold(3.4, 0.5, Some(0.52)) === 0.5)
+    // flaky regression: re-measure faster but STILL >2x previous — keep
+    // the full scored magnitude, don't report the best case
+    assert(fold(3.4, 1.5, Some(0.52)) === 3.4)
+    // real steady regression: both elevated, score unchanged
+    assert(fold(3.4, 3.2, Some(0.52)) === 3.4)
+  }
 }
