@@ -506,6 +506,21 @@ object Similarity {
     if (cents.isEmpty)
       return b.select(col(idCol), col("bv"),
         lit(null).cast(bucketType).as("bucket"))
+    b.withColumn("__best",
+        nestedBestColumn(base.sparkSession.sparkContext, cents, coarseProbes))
+      .select(col(idCol), col("bv"),
+        col("__best").getField("bucket").cast(bucketType).as("bucket"))
+  }
+
+  /** The nested (coarse-quantized) assignment kernel column over `bv`:
+    * builds the coarse cells driver-side and returns the
+    * [[graft.functions.expressions.BestCentroidNested]] struct column
+    * (`bucket`, `csim`). Extracted so every flat-kernel caller can swap
+    * in the sub-linear probe behind [[autoBestColumn]]'s gate.
+    */
+  private def nestedBestColumn(sc: org.apache.spark.SparkContext,
+                               cents: Array[(Long, Array[Double])],
+                               coarseProbes: Int): Column = {
     // coarse level: every √C-th fine centroid by ascending-id rank —
     // deterministic, and the cell list inherits ascending coarse-id order
     // (the kernel's tie-break relies on it)
@@ -538,8 +553,7 @@ object Similarity {
       order ++= byCell(c) // fine members keep ascending-id order per cell
     }
     offsets(coarseVecs.length) = order.length
-    val sc = base.sparkSession.sparkContext
-    val bestExpr = Bridge.column(
+    Bridge.column(
       graft.functions.expressions.BestCentroidNested(
         Bridge.expression(col("bv")),
         sc.broadcast(coarseVecs),
@@ -547,9 +561,46 @@ object Similarity {
         sc.broadcast(order.map(i => cents(i)._1).toArray),
         sc.broadcast(order.map(i => cents(i)._2).toArray),
         coarseProbes))
-    b.withColumn("__best", bestExpr)
-      .select(col(idCol), col("bv"),
-        col("__best").getField("bucket").cast(bucketType).as("bucket"))
+  }
+
+  /** Session dials for the centroid-count gate every flat-kernel
+    * consumer sits behind (r13 verdict task #1): above
+    * `graft.ann.coarseGate` centroids (default 4096) assignment switches
+    * from the flat O(C·d)-per-row [[graft.functions.expressions.BestCentroid]]
+    * probe to the two-level [[graft.functions.expressions.BestCentroidNested]]
+    * kernel. `graft.ann.coarseProbes` is the recall dial: ≤ 0 (the
+    * default) probes EVERY coarse cell — bit-identical to the flat
+    * kernel at any centroid count (spec-pinned), so engaging the gate
+    * never changes results until the caller explicitly trades recall;
+    * small positive values (4 is the measured 5.7–6× point at 12.5k
+    * centroids, tools.CoarseProbe) buy the √C speedup.
+    */
+  private[graft] val CoarseGateConf = "graft.ann.coarseGate"
+  private[graft] val CoarseProbesConf = "graft.ann.coarseProbes"
+
+  /** The gated assignment kernel column over `bv`: flat below the gate,
+    * nested above it. Every consumer of driver-side centroid arrays
+    * (ivfAssign → semanticDedup / clusterBalancedSample / AnnIndex
+    * builds, kmeansCentroids' Lloyd rounds, ivfKnnWith, clusterProfile)
+    * routes through here, so the ≫10⁴-centroid regime gets the
+    * sub-linear probe without per-call-site wiring.
+    */
+  private def autoBestColumn(spark: org.apache.spark.sql.SparkSession,
+                             cents: Array[(Long, Array[Double])]): Column = {
+    val gate = spark.conf.get(CoarseGateConf, "4096").toInt
+    val sc = spark.sparkContext
+    if (cents.length <= gate)
+      Bridge.column(
+        graft.functions.expressions.BestCentroid(
+          Bridge.expression(col("bv")),
+          sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2))))
+    else {
+      val probes0 = spark.conf.get(CoarseProbesConf, "0").toInt
+      // ≤ 0 = probe every coarse cell (the kernel clamps to the cell
+      // count): exact, so the gate is results-neutral by default
+      nestedBestColumn(sc, cents,
+        if (probes0 <= 0) Int.MaxValue else probes0)
+    }
   }
 
   /** `(id, bv, bucket)` nearest-centroid assignment against a DRIVER-side
@@ -559,15 +610,36 @@ object Similarity {
     * a NULL bucket.
     */
   private def assignWithCentroids(b: DataFrame, idCol: String,
-                                  cents: Array[(Long, Array[Double])]): DataFrame = {
-    val sc = b.sparkSession.sparkContext
-    val bestExpr = Bridge.column(
-      graft.functions.expressions.BestCentroid(
-        Bridge.expression(col("bv")),
-        sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2))))
-    b.withColumn("__best", bestExpr)
+                                  cents: Array[(Long, Array[Double])]): DataFrame =
+    b.withColumn("__best", autoBestColumn(b.sparkSession, cents))
       .select(col(idCol), col("bv"),
         col("__best").getField("bucket").as("bucket"))
+
+  /** Gather an index-sized `(centroid_id, cv)` FRAME (cap-guarded, one
+    * limit-capped collect) and assign `b`'s unit vectors via the gated
+    * kernel — the shared shape for every caller holding centroids as a
+    * DataFrame ([[ivfKnnWith]], the [[graft.search.AnnIndex]] build and
+    * append paths). One codegen scan projection, zero shuffle — replaces
+    * the join + groupBy(id) re-aggregation that shuffled unit vectors
+    * corpus-wide. Null-cv centroids are dropped (no direction — they
+    * could never win the argmax); null-unit rows keep a NULL bucket.
+    */
+  private[graft] def assignWithCentroidFrame(b: DataFrame, idCol: String,
+                                             centroids: DataFrame,
+                                             op: String): DataFrame = {
+    val centCap = 1 << 16
+    val centRows = centroids
+      .select(col("centroid_id").cast("long").as("cid"), col("cv"))
+      .where(col("cv").isNotNull)
+      .limit(centCap + 1).collect()
+    require(centRows.length <= centCap,
+      s"$op: centroid table exceeds $centCap rows — it must be " +
+        "index-sized (broadcast to every probe)")
+    val cents = centRows
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (cents.isEmpty)
+      b.select(col(idCol), col("bv"), lit(null).cast("long").as("bucket"))
+    else assignWithCentroids(b, idCol, cents)
   }
 
   /** Cluster-balanced sample: up to `perCluster` vectors per IVF cluster,
@@ -646,12 +718,8 @@ object Similarity {
     if (cents.isEmpty)
       return b.select(col(idCol).as("centroid_id"), lit(0L).as("n_members"),
         lit(0.0).as("mean_cosine")).where(lit(false))
-    val sc = base.sparkSession.sparkContext
-    val bestExpr = Bridge.column(
-      graft.functions.expressions.BestCentroid(
-        Bridge.expression(col("bv")),
-        sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2))))
-    b.select(bestExpr.as("__best")).where(col("__best").isNotNull)
+    b.select(autoBestColumn(base.sparkSession, cents).as("__best"))
+      .where(col("__best").isNotNull)
       .groupBy(col("__best").getField("bucket").cast(idType).as("centroid_id"))
       .agg(count(lit(1)).as("n_members"),
         round(avg(col("__best").getField("csim")), 6).as("mean_cosine"))
@@ -739,18 +807,10 @@ object Similarity {
     val c = broadcast(centroids.select(col("centroid_id"), col("cv")))
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
     // the centroid table is index-sized by contract — gather it once
-    // (limit-capped) and assign via the kernel: one scan projection, no
-    // corpus re-grouping shuffle (the former join + groupBy(id) shape)
-    val centCap = 1 << 16
-    val centRows = centroids
-      .select(col("centroid_id").cast("long").as("cid"), col("cv"))
-      .limit(centCap + 1).collect()
-    require(centRows.length <= centCap,
-      s"ivfKnnWith: centroid table exceeds $centCap rows — it must be " +
-        "index-sized (broadcast to every probe)")
-    val cents = centRows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val assigned = assignWithCentroids(b, idCol, cents)
+    // (limit-capped) and assign via the gated kernel: one scan
+    // projection, no corpus re-grouping shuffle (the former join +
+    // groupBy(id) shape)
+    val assigned = assignWithCentroidFrame(b, idCol, centroids, "ivfKnnWith")
     val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
     val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
     val probes = q.join(c)

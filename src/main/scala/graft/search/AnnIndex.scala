@@ -31,16 +31,15 @@ object AnnIndex {
   // ---- shared internals ----
 
   /** Assign unit vectors to their argmax-cosine centroid (tie → lower
-    * centroid id) — the ONE copy of the assignment aggregate the build
-    * and append paths share, same arithmetic as [[Similarity.ivfAssign]].
+    * centroid id) — the ONE copy of the assignment the build and append
+    * paths share, same arithmetic as [[Similarity.ivfAssign]]: the
+    * centroid frame gathers once (cap-guarded) and the assignment is the
+    * GATED codegen kernel projection — zero shuffle at any corpus size
+    * (this was the last join + groupBy(id) re-aggregation shape left;
+    * it shuffled every unit vector corpus-wide on each index build).
     */
   private def assignUnit(b: DataFrame, cents: DataFrame): DataFrame =
-    b.join(broadcast(cents))
-      .select(col("id"), col("bv"), col("centroid_id"),
-        Similarity.dot(col("bv"), col("cv")).as("csim"))
-      .groupBy("id")
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("bucket"),
-        first(col("bv")).as("bv"))
+    Similarity.assignWithCentroidFrame(b, "id", cents, "AnnIndex.assignUnit")
       .select(col("id"), col("bucket"), col("bv"))
 
   /** Rank each query against the centroid side table and keep its

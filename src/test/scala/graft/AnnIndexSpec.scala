@@ -45,6 +45,34 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__centroids", s"${table}__meta")
   }
 
+  test("index build under the force-engaged coarse gate is bit-identical") {
+    // r14: assignUnit routes through the gated kernel — with the gate
+    // forced to 1 (nested kernel at any centroid count) and the default
+    // full-recall probes, the persisted assignment must equal the flat
+    // build row for row
+    val tFlat = "annidx_gate_flat"
+    val tGate = "annidx_gate_nested"
+    Seq(tFlat, tGate).foreach(t => graft.queries.Tables.reset(spark, t,
+      s"${t}__centroids", s"${t}__meta"))
+    try {
+      AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+        table = tFlat, buckets = 4, force = true)
+      spark.conf.set(Similarity.CoarseGateConf, "1")
+      AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+        table = tGate, buckets = 4, force = true)
+      spark.conf.unset(Similarity.CoarseGateConf)
+      def rows(t: String) = spark.table(t)
+        .select(col("id"), col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows(tGate) === rows(tFlat))
+      assert(rows(tGate).nonEmpty)
+    } finally {
+      spark.conf.unset(Similarity.CoarseGateConf)
+      Seq(tFlat, tGate).foreach(t => graft.queries.Tables.reset(spark, t,
+        s"${t}__centroids", s"${t}__meta"))
+    }
+  }
+
   test("string-keyed queries against a numeric-id index return candidates (type-safe self-exclusion)") {
     import spark.implicits._
     val table = "annidx_strq"

@@ -535,6 +535,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(p1a.size === n)
   }
 
+  test("coarse gate force-engaged: every consumer bit-identical at the full-recall default") {
+    import spark.implicits._
+    // r14 wiring: every flat-kernel consumer routes through the
+    // graft.ann.coarseGate dial. Forcing the gate to 1 engages the
+    // two-level kernel at ANY centroid count; with the default
+    // coarseProbes (0 = probe every coarse cell) results must be
+    // BIT-IDENTICAL to the flat kernel — the gate is results-neutral
+    // until a caller explicitly trades recall.
+    val rnd = new scala.util.Random(77)
+    val data = (0L until 300L).map(i =>
+      (i, Array.fill(5)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val queries = data.where(col("vec_id") < 3)
+    def consumers: Map[String, () => Seq[String]] = Map(
+      "ivfAssign" -> (() => Similarity.ivfAssign(
+        data, "vec_id", "embedding", step = 7)
+        .select("vec_id", "bucket").collect().map(_.toString).sorted.toSeq),
+      "semanticDedup" -> (() => Similarity.semanticDedup(
+        data, "vec_id", "embedding", threshold = 0.8, step = 7)
+        .select("vec_id").collect().map(_.toString).sorted.toSeq),
+      "clusterBalancedSample" -> (() => Similarity.clusterBalancedSample(
+        data, "vec_id", "embedding", step = 7, perCluster = 2)
+        .collect().map(_.toString).sorted.toSeq),
+      "clusterProfile" -> (() => Similarity.clusterProfile(
+        data, "vec_id", "embedding", step = 7)
+        .collect().map(_.toString).sorted.toSeq),
+      "kmeansCentroids+ivfKnnWith" -> (() => Similarity.ivfKnnWith(
+        data, queries,
+        Similarity.kmeansCentroids(data, "vec_id", "embedding", step = 7,
+          iters = 2),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .collect().map(_.toString).sorted.toSeq))
+    try {
+      spark.conf.set(Similarity.CoarseGateConf, Int.MaxValue.toString)
+      val flat = consumers.map { case (n, f) => n -> f() }
+      spark.conf.set(Similarity.CoarseGateConf, "1")
+      val nested = consumers.map { case (n, f) => n -> f() }
+      flat.keys.foreach { n =>
+        assert(nested(n) === flat(n), s"consumer $n diverged under the gate")
+        assert(flat(n).nonEmpty, s"consumer $n returned nothing — vacuous")
+      }
+    } finally {
+      spark.conf.unset(Similarity.CoarseGateConf)
+      spark.conf.unset(Similarity.CoarseProbesConf)
+      data.unpersist()
+    }
+  }
+
   test("kCenterSelect: zero vectors and inexact-normalized duplicates (review findings)") {
     import spark.implicits._
     // a zero vector (empty-token feature-hash doc) must neither win an
