@@ -181,6 +181,37 @@ object ScaleRehearsal {
       graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
         "embedding", step = 50 * replicas, perCluster = 5).count()
     }
+    // r14: the coarse-assignment rows — a REAL consumer
+    // (clusterBalancedSample, whose cost is dominated by the assignment
+    // scan, unlike SemDeDup whose replicated-twin clique graph drowns
+    // the signal) with the centroid count pushed into the ≫10⁴ regime
+    // the two-level kernel exists for: step sized to ~12.5k centroids at
+    // the current replica count. Three rows record the dial the same way
+    // every other operator is recorded: gate DISABLED (flat kernel — the
+    // r13 baseline), gate engaged at the default full-recall probe width
+    // (results-neutral), gate engaged at probes=4 (CoarseProbe's
+    // measured 5.7–6× point).
+    locally {
+      val stepC = math.max(1, (nVecs / 12500L).toInt)
+      val gateConf = graft.operators.Similarity.CoarseGateConf
+      val probesConf = graft.operators.Similarity.CoarseProbesConf
+      run("cluster_sample_12k_flat") {
+        spark.conf.set(gateConf, Int.MaxValue.toString)
+        try graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
+          "embedding", step = stepC, perCluster = 5).count()
+        finally spark.conf.unset(gateConf)
+      }
+      run("cluster_sample_12k_coarse_full") {
+        graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
+          "embedding", step = stepC, perCluster = 5).count()
+      }
+      run("cluster_sample_12k_coarse_p4") {
+        spark.conf.set(probesConf, "4")
+        try graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
+          "embedding", step = stepC, perCluster = 5).count()
+        finally spark.conf.unset(probesConf)
+      }
+    }
     run("keep_first_dedup") {
       graft.operators.Dedup.keepFirst(docs, md5(col("text")),
         Seq(col("doc_id"))).count()
