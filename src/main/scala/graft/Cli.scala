@@ -776,10 +776,19 @@ object Cli {
               heuristic = flag("--heuristic").getOrElse("jlh")),
               ranked = false)
           }
+          // ES MLT profile floors, same names/defaults: min_term_freq 2,
+          // min_doc_freq 5, max_doc_freq unbounded — the df CEILING is
+          // the dial that keeps a stopword-heavy profile from aggregating
+          // the whole corpus in the ranking join
+          def mltMinTf = intFlag("--mlt-min-tf", 2).toLong
+          def mltMinDf = intFlag("--mlt-min-df", 5).toLong
+          def mltMaxDf = flag("--mlt-max-df").map(_.toLong)
+            .getOrElse(Long.MaxValue)
           mltText.foreach(like =>
             deliver(search.InvertedIndex.moreLikeThisText(post, norms, like,
               uax29 = uaxQ, maxQueryTerms = intFlag("--mlt-terms", 25),
-              k = intFlag("--topk", 10)), ranked = false))
+              k = intFlag("--topk", 10), minTermFreq = mltMinTf,
+              minDocFreq = mltMinDf, maxDocFreq = mltMaxDf), ranked = false))
           mltDoc.foreach { id =>
             // match the postings' doc_id type: a long-keyed corpus wants a
             // long literal, a string/{file}-{line}-keyed one the raw string
@@ -790,7 +799,8 @@ object Cli {
             }
             deliver(search.InvertedIndex.moreLikeThis(post, norms, key,
               maxQueryTerms = intFlag("--mlt-terms", 25),
-              k = intFlag("--topk", 10)), ranked = false)
+              k = intFlag("--topk", 10), minTermFreq = mltMinTf,
+              minDocFreq = mltMinDf, maxDocFreq = mltMaxDf), ranked = false)
           }
         }
         // --follow DIR: incremental indexing of a drop directory — each

@@ -667,7 +667,7 @@ object SearchQueries extends QueryPack {
     "e24_more_like_this" ->
       """WITH src AS (SELECT w AS term, CAST(count(*) AS DOUBLE) AS qtf FROM
         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id = 42)
-        |  GROUP BY w),
+        |  GROUP BY w HAVING count(*) >= 2),
         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
         |   len(string_split(text, ' ')) AS dl FROM documents),
         |dfq AS (SELECT w AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfv
@@ -675,6 +675,7 @@ object SearchQueries extends QueryPack {
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
         |   avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
         |sel AS (SELECT src.term FROM src JOIN dfq USING (term) CROSS JOIN nd
+        |  WHERE dfv >= 5
         |  ORDER BY qtf * ln(n_docs / dfv) DESC, term LIMIT 5),
         |tf AS (SELECT doc_id, w AS term, count(*) AS tf, any_value(dl) AS dl
         | FROM tok JOIN sel ON w = sel.term GROUP BY doc_id, w),

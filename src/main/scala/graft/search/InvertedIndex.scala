@@ -730,21 +730,47 @@ object InvertedIndex {
           org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Shared MLT term selection — ES/Lucene's profile filters replayed
+    * exactly (reference surface: ES `more_like_this` params, same
+    * defaults): drop terms below `minTermFreq` occurrences in the source
+    * (ES `min_term_freq`, default 2 — one-off words carry no signal),
+    * below `minDocFreq` / above `maxDocFreq` corpus document frequency
+    * (ES `min_doc_freq` 5 / `max_doc_freq` unbounded — the df CEILING is
+    * the scale lever: an un-capped stopword profile term aggregates
+    * nearly every document in the BM25 ranking join, so the candidate
+    * shuffle is df-bounded only when the caller caps it), then keep the
+    * `maxQueryTerms` highest `qtf · ln(N/df)` (ES interestingTerms
+    * ranking; ties term-ascending).
+    */
+  private def selectMltTerms(src: Map[String, Long],
+                             dfByTerm: Map[String, Long], nDocs: Double,
+                             maxQueryTerms: Int, minTermFreq: Long,
+                             minDocFreq: Long, maxDocFreq: Long): Seq[String] =
+    src.toSeq
+      .filter { case (_, qtf) => qtf >= minTermFreq }
+      .flatMap { case (t, qtf) => dfByTerm.get(t).map(df => (t, qtf, df)) }
+      .filter { case (_, _, df) => df >= minDocFreq && df <= maxDocFreq }
+      .map { case (t, qtf, df) => (t, qtf * math.log(nDocs / df)) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+
   /** ES `more_like_this` off the index: find the documents most similar to
     * document `docId`, entirely from postings + in-index norms. Lucene's
     * MLT rewrite, Spark-shaped: (1) the source doc's term profile (one
     * pruned posting read — a single doc's vocabulary, bounded by its
-    * length); (2) select the `maxQueryTerms` highest tf·idf terms
-    * (classic `qtf · ln(N/df)`, ES's interestingTerms ranking; ties break
-    * term-ascending) — the ONLY driver materialization, bounded by the
-    * source doc's vocabulary; (3) rank the corpus for that disjunction
-    * with [[bm25TopK]] and drop the source doc itself. Asking the ranker
-    * for k+1 then filtering is exact: the top k+1 either contains the
-    * source (drop it → the true top k) or doesn't (take the first k).
-    * Returns (doc_id, score), empty when `docId` has no postings.
+    * length); (2) select the query terms with [[selectMltTerms]] (ES's
+    * tf/df floors at ES defaults + the `maxQueryTerms` cap) — the ONLY
+    * driver materialization, bounded by the source doc's vocabulary;
+    * (3) rank the corpus for that disjunction with [[bm25TopK]] and drop
+    * the source doc itself. Asking the ranker for k+1 then filtering is
+    * exact: the top k+1 either contains the source (drop it → the true
+    * top k) or doesn't (take the first k). Returns (doc_id, score),
+    * empty when `docId` has no postings or no term survives the floors.
     */
   def moreLikeThis(postings: DataFrame, norms: DataFrame, docId: Any,
-                   maxQueryTerms: Int = 25, k: Int = 10): DataFrame = {
+                   maxQueryTerms: Int = 25, k: Int = 10,
+                   minTermFreq: Long = 2, minDocFreq: Long = 5,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(maxQueryTerms >= 1, "need at least one query term")
     val spark = postings.sparkSession
     import spark.implicits._
@@ -760,10 +786,9 @@ object InvertedIndex {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nDocs = norms.select(col("n_docs").cast("double")).head().getDouble(0)
-    val terms = src.toSeq
-      .map { case (t, qtf) => (t, qtf * math.log(nDocs / dfByTerm(t))) }
-      .sortBy { case (t, s) => (-s, t) }
-      .take(maxQueryTerms).map(_._1)
+    val terms = selectMltTerms(src, dfByTerm, nDocs, maxQueryTerms,
+      minTermFreq, minDocFreq, maxDocFreq)
+    if (terms.isEmpty) return emptyScores(postings)
     bm25TopK(postings, norms, terms, k + 1)
       .where(col("doc_id") =!= lit(docId))
       .orderBy(desc("score"), asc("doc_id")).limit(k)
@@ -781,25 +806,25 @@ object InvertedIndex {
   def moreLikeThisText(postings: DataFrame, norms: DataFrame,
                        likeText: String, uax29: Boolean = true,
                        maxQueryTerms: Int = 25, k: Int = 10,
-                       excludeId: Option[Any] = None): DataFrame = {
+                       excludeId: Option[Any] = None,
+                       minTermFreq: Long = 2, minDocFreq: Long = 5,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(maxQueryTerms >= 1, "need at least one query term")
     val spark = postings.sparkSession
     import spark.implicits._
     val toks =
       if (uax29) graft.functions.Tokenizer.tokenize(likeText).toSeq
       else likeText.split(" ").toSeq.filter(_.nonEmpty)
-    val src = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val src: Map[String, Long] =
+      toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
     if (src.isEmpty) return emptyScores(postings)
     val dfByTerm = postings.where(col("term").isin(src.keys.toSeq: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = src.filter { case (t, _) => dfByTerm.contains(t) }
-    if (present.isEmpty) return emptyScores(postings)
     val nDocs = norms.select(col("n_docs").cast("double")).head().getDouble(0)
-    val terms = present.toSeq
-      .map { case (t, qtf) => (t, qtf * math.log(nDocs / dfByTerm(t))) }
-      .sortBy { case (t, s) => (-s, t) }
-      .take(maxQueryTerms).map(_._1)
+    val terms = selectMltTerms(src, dfByTerm, nDocs, maxQueryTerms,
+      minTermFreq, minDocFreq, maxDocFreq)
+    if (terms.isEmpty) return emptyScores(postings)
     val ranked = bm25TopK(postings, norms, terms,
       k + excludeId.size)
     excludeId match {

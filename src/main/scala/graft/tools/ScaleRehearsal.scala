@@ -277,6 +277,17 @@ object ScaleRehearsal {
         graft.search.InvertedIndex.corpusNormsFromPostings(post),
         42L, 10, 10).count()
     }
+    // r14: the df-CEILING row — on this synthetic corpus every profile
+    // term is effectively a stopword (df ≈ nDocs), so unbounded MLT's
+    // BM25 join aggregates nearly every document; max_doc_freq at 10% of
+    // the corpus caps the candidate shuffle at the profile's actual
+    // discriminative terms (ES's own dial for exactly this)
+    run("index_mlt_dfcap") {
+      val post = savedIndex
+      graft.search.InvertedIndex.moreLikeThis(post,
+        graft.search.InvertedIndex.corpusNormsFromPostings(post),
+        42L, 10, 10, maxDocFreq = nDocs / 10).count()
+    }
     run("index_mlt_text") {
       val post = savedIndex
       val like = docs.where(col("doc_id") === 42L).head().getAs[String]("text")

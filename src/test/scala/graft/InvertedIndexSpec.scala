@@ -388,27 +388,43 @@ class InvertedIndexSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     val post = InvertedIndex.postings(d, "doc_id", "text", uax29 = false)
     val norms = InvertedIndex.corpusNorms(d, "text", uax29 = false)
+    // floors of 1 disable the ES tf/df minimums — this 4-doc corpus is
+    // below ES's defaults (min_term_freq 2 / min_doc_freq 5) everywhere,
+    // exactly like a small ES test index
     val out = InvertedIndex.moreLikeThis(post, norms, docId = 1L,
-        maxQueryTerms = 3, k = 2)
+        maxQueryTerms = 3, k = 2, minTermFreq = 1, minDocFreq = 1)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     // doc 2 shares {a, b}, doc 4 only {a}; doc 3 shares nothing; doc 1 is out
     assert(out.map(_._1).toSeq === Seq(2L, 4L))
     assert(out(0)._2 > out(1)._2)
+    // ES DEFAULT floors: every term of doc 1 has qtf 1 < min_term_freq 2
+    // → empty profile → empty result, the documented ES small-index
+    // behavior
+    assert(InvertedIndex.moreLikeThis(post, norms, 1L).count() === 0L)
+    // max_doc_freq CEILING: cap df at 2 — 'a' (df 3) is excluded, so doc
+    // 4 (which only shares 'a') drops out and only doc 2 ({b, c-miss})
+    // remains
+    val capped = InvertedIndex.moreLikeThis(post, norms, 1L,
+        maxQueryTerms = 3, k = 2, minTermFreq = 1, minDocFreq = 1,
+        maxDocFreq = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(capped === Seq(2L))
     // term budget of 1 keeps only the rarest term c (highest qtf·ln(N/df))
     // — c appears ONLY in the source doc, so nothing else matches
     assert(InvertedIndex.moreLikeThis(post, norms, 1L, maxQueryTerms = 1,
-      k = 5).count() === 0L)
+      k = 5, minTermFreq = 1, minDocFreq = 1).count() === 0L)
     // absent source doc → empty result, not a throw
     assert(InvertedIndex.moreLikeThis(post, norms, 99L).count() === 0L)
     // like:<text> variant agrees with the doc variant when given the
     // doc's own text + excludeId (ES's two `like` forms coincide there)
     val byText = InvertedIndex.moreLikeThisText(post, norms, "a b c",
-        uax29 = false, maxQueryTerms = 3, k = 2, excludeId = Some(1L))
+        uax29 = false, maxQueryTerms = 3, k = 2, excludeId = Some(1L),
+        minTermFreq = 1, minDocFreq = 1)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(byText === out.toSeq)
     // free text with only-unknown terms → empty, not a throw
     assert(InvertedIndex.moreLikeThisText(post, norms, "zz qq",
-      uax29 = false).count() === 0L)
+      uax29 = false, minTermFreq = 1, minDocFreq = 1).count() === 0L)
   }
 
   test("countDocsMatching: doc/term/ttf counts incl. the zero-match row") {
