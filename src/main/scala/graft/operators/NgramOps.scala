@@ -29,9 +29,84 @@ object NgramOps {
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
 
   /** `wimbd topk` exact mode (reference src/cmd/topk.rs:106-343). Determinism:
-    * ties broken by n-gram ascending.
+    * ties broken by n-gram ascending. Stays the single-shuffle STRING
+    * plan: the r13-verdict adoption probe re-ran BOTH ways (tools
+    * .TopkProbe) — r13 under host load measured hashed 1.3× faster
+    * (1.29 vs 1.70 s), the r14 quiet-host re-measure inverts it (strings
+    * 0.56 vs hash-first 0.75 s min-of-5: at sf0.1 the second gram pass's
+    * fixed costs outweigh the shuffle-byte saving) — so the ≥1.3×
+    * adoption bar is NOT met and the exact contract keeps the simplest
+    * plan. [[topKHashFirst]] is the same contract on hash-first
+    * execution for network-bound cluster runs where shuffle BYTES, not
+    * local fixed costs, dominate.
     */
   def topK(docs: DataFrame, textCol: String, n: Int, k: Int, uax29: Boolean = true): DataFrame =
+    topKStrings(docs, textCol, n, k, uax29)
+
+  /** [[topK]]'s exact contract on HASH-FIRST execution — the opt-in for
+    * cluster runs where the n-gram-string shuffle is the bottleneck:
+    * counts shuffle as 8-byte xxhash64 keys; the winning STRINGS come
+    * from a second gram pass that re-counts only the candidate hashes
+    * (broadcast sorted-long probe fused into the scan — candidate-sized
+    * shuffle). Exactness is preserved, not approximated:
+    *  - candidates = every hash whose count ≥ the rank-k hash count,
+    *    gathered through a k+slack TakeOrdered; if the slack window ends
+    *    ON the boundary count the tie set may be incomplete → fall back
+    *    to the string plan (correct, just slower);
+    *  - a 64-bit collision can only merge counts UPWARD, so a true
+    *    top-k gram always clears the threshold; a collision INSIDE the
+    *    candidate set (the one case that could split a merged count
+    *    below the boundary) is detected exactly — the re-count returns
+    *    more distinct grams than candidate hashes — and falls back;
+    *  - the recovered per-gram counts are TRUE counts (collision-split
+    *    by the string re-count), final order replayed with the same
+    *    (cnt desc, ngram asc) sort the string path uses.
+    */
+  def topKHashFirst(docs: DataFrame, textCol: String, n: Int, k: Int,
+                    uax29: Boolean = true): DataFrame = {
+    val grams = graft.Par.fanOut(docs)
+      .select(explode(ngrams(tokens(col(textCol), uax29), n)).as("ngram"))
+    val slack = math.max(64, 4 * k)
+    val top = grams.select(xxhash64(col("ngram")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("h")).limit(k + slack).collect()
+    if (top.isEmpty)
+      return topKStrings(docs, textCol, n, k, uax29) // empty corpus: trivial either way
+    val candidates =
+      if (top.length <= k) top
+      else {
+        val ckt = top(k - 1).getLong(1)
+        // slack window truncated exactly on the boundary count: hashes
+        // tied at ckt may extend past the gather — completeness lost
+        if (top.length == k + slack && top.last.getLong(1) == ckt)
+          return topKStrings(docs, textCol, n, k, uax29)
+        top.filter(_.getLong(1) >= ckt)
+      }
+    val hs = candidates.map(_.getLong(0)); java.util.Arrays.sort(hs)
+    val bc = docs.sparkSession.sparkContext.broadcast(hs)
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.expressions.LongSetContains(
+        org.apache.spark.sql.graft.Bridge.expression(xxhash64(col("ngram"))), bc))
+    val rec = grams.where(probe)
+      .groupBy("ngram").agg(count(lit(1)).as("cnt")).collect()
+    if (rec.length != candidates.length) // candidate-hash collision: exact split unknowable from hashes
+      return topKStrings(docs, textCol, n, k, uax29)
+    val spark = docs.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(rec: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ngram",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy(desc("cnt"), asc("ngram")).limit(k)
+  }
+
+  /** The single-shuffle string formulation of [[topK]] — the fallback
+    * for boundary-tie overflow / detected hash collisions, and the
+    * reference the hash-first plan is differential-tested against.
+    */
+  private[graft] def topKStrings(docs: DataFrame, textCol: String, n: Int,
+                                 k: Int, uax29: Boolean = true): DataFrame =
     ngramCounts(docs, textCol, n, uax29)
       .orderBy(desc("cnt"), asc("ngram")).limit(k)
 
@@ -46,12 +121,15 @@ object NgramOps {
     * the n-gram string, then recover the winning strings with a second
     * cheap aggregation filtered to the k winning hashes (broadcast).
     *
-    * Measured (tools.TopkProbe, sf0.1, n=3): the hashed path is ~25%
-    * faster than [[topK]] EVEN for short grams (1.29 s vs 1.70 s steady —
-    * 8-byte shuffle keys beat ~30-char strings despite the second gram
-    * pass), and the gap widens network-bound at cluster scale. [[topK]]
-    * stays the default for its exact lexicographic tie-break contract;
-    * prefer this variant in production jobs where ties may break by hash.
+    * Measured (tools.TopkProbe, sf0.1, n=3): r13 under host load had the
+    * hashed path ~25% faster than [[topK]] (1.29 vs 1.70 s steady); the
+    * r14 quiet-host re-measure INVERTS it (hashed 0.72 vs strings
+    * 0.56 s min-of-5) — at single-node sf0.1 the second gram pass's
+    * fixed costs outweigh the shuffle-byte saving, so the byte argument
+    * only pays off network-bound at cluster scale. [[topK]] stays the
+    * default for its exact lexicographic tie-break contract; prefer
+    * [[topKHashFirst]] (same exact contract) or this looser variant in
+    * shuffle-bound cluster jobs.
     */
   def topKHashed(docs: DataFrame, textCol: String, n: Int, k: Int,
                  uax29: Boolean = true,

@@ -34,6 +34,9 @@ object TopkProbe {
     }
     time("strings") { NgramOps.topK(docs, "text", n, 50, uax29 = false) }
     time("hashed") { NgramOps.topKHashed(docs, "text", n, 50, uax29 = false) }
+    // r14: hash-first counts + exact string recovery
+    // (collision/boundary fallback to the strings plan)
+    time("hashExact") { NgramOps.topKHashFirst(docs, "text", n, 50, uax29 = false) }
     spark.stop()
   }
 }

@@ -36,6 +36,39 @@ class NgramOpsSpec extends SparkTestBase {
       Seq(("a b", 3L), ("b a", 2L)))
   }
 
+  test("topKHashFirst equals topK exactly, ties and fallbacks included") {
+    // deterministic random corpora with HEAVY tie mass (small vocab,
+    // short docs): ties at the k boundary are the case the hash-first
+    // candidate threshold + boundary-overflow fallback must get right
+    val rnd = new scala.util.Random(4242)
+    (0 until 5).foreach { trial =>
+      val vocab = 3 + rnd.nextInt(8)
+      val d = (0 until 60).map { _ =>
+        (0 until (2 + rnd.nextInt(10)))
+          .map(_ => s"w${rnd.nextInt(vocab)}").mkString(" ")
+      }.toDF("text")
+      val n = 1 + rnd.nextInt(2)
+      val k = 1 + rnd.nextInt(10)
+      val a = NgramOps.topK(d, "text", n, k, uax29 = false)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val b = NgramOps.topKHashFirst(d, "text", n, k, uax29 = false)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(b === a, s"trial $trial (vocab=$vocab n=$n k=$k)")
+    }
+    // the all-tied corpus: 100 distinct bigrams all at count 1 > the
+    // k+slack=69 gather window → the window ends ON the boundary count
+    // → the strings fallback must fire and stay exact
+    val uniq = (0 until 100).map(i => s"u$i a$i").toDF("text")
+    val a1 = NgramOps.topK(uniq, "text", 2, 5, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val b1 = NgramOps.topKHashFirst(uniq, "text", 2, 5, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(b1 === a1)
+    // empty corpus
+    assert(NgramOps.topKHashFirst(docs.where(lit(false)), "text", 2, 3,
+      uax29 = false).count() === 0L)
+  }
+
   test("botK equals sort-asc-limit") {
     val bot = NgramOps.botK(docs, "text", n = 2, k = 1, uax29 = false).collect()
     assert(bot.head.getString(0) === "b c")
