@@ -77,6 +77,20 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding", threshold = 0.35, step = 50)
         .select("vec_id").orderBy("vec_id")),
 
+    // the SAME SemDeDup with the r14 coarse-assignment gate FORCE-ENGAGED
+    // (graft.ann.coarseGate=1): at the default full-recall probe width the
+    // two-level kernel is bit-identical to flat, so this replays the SAME
+    // DuckDB oracle — the gate's results-neutrality checked by the driver
+    // itself, not just ScalaTest
+    "d_semantic_dedup_gate" -> ((s, dir) => {
+      s.conf.set(Similarity.CoarseGateConf, "1")
+      try Similarity.semanticDedup(
+        Tables(s, dir, "embeddings").where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", threshold = 0.35, step = 50)
+        .select("vec_id").orderBy("vec_id")
+      finally s.conf.unset(Similarity.CoarseGateConf)
+    }),
+
     // product-quantization path (Jégou et al. 2011): deterministic sample
     // codebook, argmin-L2 codes, asymmetric-distance scoring against the
     // decoded centroids — the whole encode+score pipeline replays in SQL
@@ -383,36 +397,10 @@ object AnnQueries extends QueryPack {
     // agree with the per-call assignment plan exactly
     "ann_ivf_indexed" -> ivfSql,
 
-    "d_semantic_dedup" ->
-      """WITH RECURSIVE unit AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings WHERE vec_id % 2 = 0),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
-        |asg0 AS (
-        | SELECT u.vec_id, u.v, c.centroid_id,
-        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
-        | FROM unit u CROSS JOIN cent c),
-        |asg AS (
-        | SELECT vec_id, v, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0) WHERE rn = 1),
-        |nd AS (
-        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        | FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        | WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum') > 0.35),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM nd
-        | UNION SELECT id_b, id_a FROM nd),
-        |reach(id, r) AS (
-        | SELECT u, u FROM edges
-        | UNION
-        | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
-        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-        |SELECT u.vec_id FROM unit u LEFT JOIN comp c ON c.id = u.vec_id
-        |WHERE c.id IS NULL OR u.vec_id = c.component
-        |ORDER BY u.vec_id""".stripMargin,
+    // shared with d_semantic_dedup_gate: the gate-engaged run is
+    // bit-identical by construction, so one oracle serves both
+    "d_semantic_dedup_gate" -> semanticDedupSql,
+    "d_semantic_dedup" -> semanticDedupSql,
 
     // PQ: codebook = id-sorted mod-50 sample split into 8 subspaces of 8;
     // codes = per-subspace argmin L2 (tie → lower code); score = dot of the
@@ -632,4 +620,38 @@ object AnnQueries extends QueryPack {
         |  JOIN cellasg f ON f.cellidx = p.cellidx) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin
   )
+
+  /** The SemDeDup DuckDB replay, shared by d_semantic_dedup and its
+    * gate-engaged twin (bit-identical by construction).
+    */
+  private lazy val semanticDedupSql =
+    """WITH RECURSIVE unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings WHERE vec_id % 2 = 0),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |nd AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        | WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum') > 0.35),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM nd
+        | UNION SELECT id_b, id_a FROM nd),
+        |reach(id, r) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT u.vec_id FROM unit u LEFT JOIN comp c ON c.id = u.vec_id
+        |WHERE c.id IS NULL OR u.vec_id = c.component
+        |ORDER BY u.vec_id""".stripMargin
 }

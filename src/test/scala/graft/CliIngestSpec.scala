@@ -207,6 +207,30 @@ class CliIngestSpec extends SparkTestBase {
     assert(texts("out_bc") === Set(good, junk)) // bench doc dropped
   }
 
+  test("decontaminate --broadcast: null-text rows survive a null-text bench (review finding)") {
+    // xxhash64(NULL) is the seed (42), not NULL — unguarded, a null-text
+    // bench doc would blocklist 42 and the broadcast tier would drop
+    // every null-text corpus doc, diverging from the anti-join default's
+    // NULL-key-survives policy
+    val root = Files.createTempDirectory("cli_bc_null").toString
+    Files.createDirectories(Paths.get(s"$root/corpus"))
+    Files.createDirectories(Paths.get(s"$root/bench"))
+    Files.write(Paths.get(s"$root/corpus", "c.jsonl"),
+      (s"""{"text":"$good"}""" + "\n" + """{"text":null,"id":"n1"}""" + "\n")
+        .getBytes("UTF-8"))
+    Files.write(Paths.get(s"$root/bench", "b.jsonl"),
+      ("""{"text":null,"id":"bn"}""" + "\n").getBytes("UTF-8"))
+    Cli.run(spark, Array("decontaminate", s"$root/corpus/*",
+      "--bench", s"$root/bench/*", "--out", s"$root/out_anti"))
+    Cli.run(spark, Array("decontaminate", s"$root/corpus/*",
+      "--bench", s"$root/bench/*", "--out", s"$root/out_bc", "--broadcast"))
+    def nRows(d: String): Long = spark.read.json(s"$root/$d").count()
+    // both tiers keep BOTH rows: the good text is not in the bench, and
+    // null keys are never blocklist members
+    assert(nRows("out_anti") === 2L)
+    assert(nRows("out_bc") === 2L)
+  }
+
   test("no new shards is a no-op; config pin must still match") {
     val (drop, state) = freshDirs()
     writeShard(s"$drop/d1", "s1.jsonl", Seq(good))

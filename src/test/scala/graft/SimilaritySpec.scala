@@ -535,6 +535,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(p1a.size === n)
   }
 
+  test("kCenterSelect: date and timestamp ids order like the distributed sort (review finding)") {
+    import spark.implicits._
+    // the r13 integral-or-string tightening regressed date/timestamp ids
+    // (orderable Row values) — pin them: same vectors under long ids and
+    // date ids must select the same RANKS (id order preserved by
+    // construction: day i <-> id i)
+    val vecs5 = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)), (2, Array(1.0f, 1.0f)),
+      (3, Array(-1.0f, 0.2f)), (4, Array(1.0f, 0.01f)))
+    val byLong = vecs5.map { case (i, v) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    val byDate = vecs5.map { case (i, v) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)), v)
+    }.toDF("id", "embedding")
+    val byTs = vecs5.map { case (i, v) =>
+      (java.sql.Timestamp.valueOf(s"2020-01-0${i + 1} 00:00:00"), v)
+    }.toDF("id", "embedding")
+    def picks(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] =
+      Similarity.kCenterSelect(df, "id", "embedding", k = 3).collect()
+        .map { r =>
+          val day = r.get(0) match {
+            case l: java.lang.Long => l.toInt
+            case d: java.sql.Date => d.toLocalDate.getDayOfMonth - 1
+            case t: java.sql.Timestamp =>
+              t.toLocalDateTime.getDayOfMonth - 1
+          }
+          (day, r.getLong(1))
+        }.sortBy(_._2).toSeq
+    val expect = picks(byLong)
+    assert(picks(byDate) === expect)
+    assert(picks(byTs) === expect)
+    assert(expect.map(_._2) === Seq(1L, 2L, 3L))
+  }
+
   test("coarse gate force-engaged: every consumer bit-identical at the full-recall default") {
     import spark.implicits._
     // r14 wiring: every flat-kernel consumer routes through the
