@@ -385,6 +385,17 @@ object Cli {
     def flagAll(n: String): Seq[String] = a.flags.getOrElse(n, Nil)
     def intFlag(n: String, d: Int): Int = flag(n).map(_.toInt).getOrElse(d)
 
+    // --conf k=v (repeatable): session dials for every command — the
+    // documented graft.* knobs (graft.ann.coarseGate/.coarseProbes — the
+    // sub-linear centroid-assignment gate and its recall dial) plus any
+    // runtime-settable spark.* conf, applied before dispatch
+    flagAll("--conf").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => sys.error(s"--conf expects key=value, got '$kv'")
+      }
+    }
+
     // LAZY: the --follow commands (ingest, ann/index --follow) read fresh
     // shards themselves and must not crash on an empty drop glob — the
     // routine empty-poll case — just because this shared read resolves

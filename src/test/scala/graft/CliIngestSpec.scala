@@ -231,6 +231,20 @@ class CliIngestSpec extends SparkTestBase {
     assert(nRows("out_bc") === 2L)
   }
 
+  test("--conf sets session dials before dispatch; malformed pair is loud") {
+    val root = Files.createTempDirectory("cli_conf").toString
+    writeShard(s"$root/corpus", "c.jsonl", Seq(good))
+    try {
+      Cli.run(spark, Array("stats", s"$root/corpus/*",
+        "--conf", "graft.ann.coarseProbes=4"))
+      assert(spark.conf.get("graft.ann.coarseProbes") === "4")
+      val e = intercept[RuntimeException] {
+        Cli.run(spark, Array("stats", s"$root/corpus/*", "--conf", "nonsense"))
+      }
+      assert(e.getMessage.contains("key=value"))
+    } finally spark.conf.unset("graft.ann.coarseProbes")
+  }
+
   test("no new shards is a no-op; config pin must still match") {
     val (drop, state) = freshDirs()
     writeShard(s"$drop/d1", "s1.jsonl", Seq(good))
