@@ -91,13 +91,20 @@ object Bench {
     }
     releaseBlocks()
     // sorted order: per-query times comparable run-to-round and round-to-round
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // success flag alongside the time: a FAILED run returns fast (often
+    // milliseconds), and a re-measure fold that blindly math.min's it in
+    // would record a fake speedup — failed samples never replace a score
+    def timeOneChecked(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val t = (System.nanoTime() - t0) / 1e9
       releaseBlocks()
-      t
+      (t, ok)
     }
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timeOneChecked(fn)._1
     // the box is multi-tenant: a host-side stall window lands on whichever
     // contiguous queries happen to run through it (measured round 9:
     // 0.1-0.2s-steady queries reporting 2-5x at a different alphabetical
@@ -151,7 +158,9 @@ object Bench {
       val warm = warmupShaped(t, ss)
       if (!stall && !warm) (n, (t, ss))
       else {
-        val again = timeOne(SparkEntry.queries(n))
+        val (again, againOk) = timeOneChecked(SparkEntry.queries(n))
+        if (!againOk) (n, (t, ss :+ again)) // failed sample: audit, never adopt
+        else {
         // a stall-triggered re-measure may only pull the scored value DOWN
         // if it clears the 2×-previous gate itself: an intermittently slow
         // real regression (slow scored samples, one fast-ish-but-still-
@@ -164,6 +173,7 @@ object Bench {
           if (stall && needsRemeasure(again, prevQ.get(n))) t
           else math.min(t, again)
         (n, (t2, ss :+ again))
+        }
       }
     }
     val measured = stallChecked

@@ -391,8 +391,22 @@ object Cli {
     // runtime-settable spark.* conf, applied before dispatch
     flagAll("--conf").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
-        case _ => sys.error(s"--conf expects key=value, got '$kv'")
+        case Array(k, v) if k.nonEmpty && v.nonEmpty =>
+          // graft.* dials are a closed set — a typo'd key would silently
+          // no-op the dial the user believes is set, and a non-integer
+          // value would surface as a bare NumberFormatException deep in
+          // plan construction; both fail HERE, naming the flag
+          val graftDials = Set(operators.Similarity.CoarseGateConf,
+            operators.Similarity.CoarseProbesConf)
+          if (k.startsWith("graft.")) {
+            if (!graftDials(k)) sys.error(s"--conf: unknown graft dial " +
+              s"'$k' (known: ${graftDials.toSeq.sorted.mkString(", ")})")
+            if (scala.util.Try(v.toInt).isFailure)
+              sys.error(s"--conf: $k expects an integer, got '$v'")
+          }
+          spark.conf.set(k, v)
+        case _ => sys.error(s"--conf expects key=value with a non-empty " +
+          s"key and value, got '$kv'")
       }
     }
 

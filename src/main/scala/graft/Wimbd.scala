@@ -277,20 +277,29 @@ object Wimbd {
       prefixLength)
 
   /** ES more_like_this: documents ranked by similarity to `docId`, from
-    * the index alone.
+    * the index alone. The ES profile floors apply at ES defaults
+    * (min_term_freq 2 / min_doc_freq 5 — a small test corpus returns
+    * empty exactly like a small ES index); pass 1/1 to disable, and cap
+    * `maxDocFreq` to df-bound the ranking join at scale.
     */
   def moreLikeThis(postings: DataFrame, norms: DataFrame, docId: Any,
-                   maxQueryTerms: Int = 25, k: Int = 10): DataFrame =
+                   maxQueryTerms: Int = 25, k: Int = 10,
+                   minTermFreq: Long = 2, minDocFreq: Long = 5,
+                   maxDocFreq: Long = Long.MaxValue): DataFrame =
     graft.search.InvertedIndex.moreLikeThis(postings, norms, docId,
-      maxQueryTerms, k)
+      maxQueryTerms, k, minTermFreq, minDocFreq, maxDocFreq)
 
   /** ES more_like_this with `like: <text>` — the scale-preferred form
     * when the text is at hand (no doc-profile scan of the term-bucketed
-    * index).
+    * index). Same ES-default profile floors as [[moreLikeThis]].
     */
   def moreLikeThisText(postings: DataFrame, norms: DataFrame, text: String,
                        uax29: Boolean = true, maxQueryTerms: Int = 25,
-                       k: Int = 10): DataFrame =
+                       k: Int = 10, minTermFreq: Long = 2,
+                       minDocFreq: Long = 5,
+                       maxDocFreq: Long = Long.MaxValue): DataFrame =
     graft.search.InvertedIndex.moreLikeThisText(postings, norms, text,
-      uax29, maxQueryTerms, k)
+      uax29, maxQueryTerms, k, excludeId = None,
+      minTermFreq = minTermFreq, minDocFreq = minDocFreq,
+      maxDocFreq = maxDocFreq)
 }

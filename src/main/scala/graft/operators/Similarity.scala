@@ -585,9 +585,21 @@ object Similarity {
     * routes through here, so the ≫10⁴-centroid regime gets the
     * sub-linear probe without per-call-site wiring.
     */
+  /** Read an integer session dial loudly — a garbage value set outside
+    * the CLI's validated `--conf` path would otherwise surface as a bare
+    * NumberFormatException that names neither the key nor the value.
+    */
+  private def intConf(spark: org.apache.spark.sql.SparkSession,
+                      key: String, default: Int): Int = {
+    val raw = spark.conf.get(key, default.toString)
+    try raw.trim.toInt
+    catch { case _: NumberFormatException =>
+      sys.error(s"session conf $key must be an integer, got '$raw'") }
+  }
+
   private def autoBestColumn(spark: org.apache.spark.sql.SparkSession,
                              cents: Array[(Long, Array[Double])]): Column = {
-    val gate = spark.conf.get(CoarseGateConf, "4096").toInt
+    val gate = intConf(spark, CoarseGateConf, 4096)
     val sc = spark.sparkContext
     if (cents.length <= gate)
       Bridge.column(
@@ -595,7 +607,7 @@ object Similarity {
           Bridge.expression(col("bv")),
           sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2))))
     else {
-      val probes0 = spark.conf.get(CoarseProbesConf, "0").toInt
+      val probes0 = intConf(spark, CoarseProbesConf, 0)
       // ≤ 0 = probe every coarse cell (the kernel clamps to the cell
       // count): exact, so the gate is results-neutral by default
       nestedBestColumn(sc, cents,
@@ -697,24 +709,35 @@ object Similarity {
     * (a one-column scan with an early-abort limit) and a too-small step
     * fails fast with the step to use instead of OOMing mid-broadcast.
     */
-  def clusterProfile(base: DataFrame, idCol: String, vecCol: String,
-                     step: Int, maxCentroids: Int = 8192): DataFrame = {
-    requireIntegralId(base, idCol, "clusterProfile",
+  /** The caller-capped centroid-sample gather [[clusterProfile]] and
+    * [[kmeansCentroids]] share: integral-id guard, null-unit seeds
+    * dropped, ONE limit-capped collect doubling as the too-small-step
+    * guard (the ivfAssign pattern), ascending-id sort. Empty-sample
+    * handling stays with the caller (clusterProfile degrades to an empty
+    * profile; kmeansCentroids errors loudly).
+    */
+  private def gatherSampleCentroids(base: DataFrame, b: DataFrame,
+                                    idCol: String, step: Int,
+                                    maxCentroids: Int, op: String)
+      : Array[(Long, Array[Double])] = {
+    requireIntegralId(base, idCol, op,
       "hash ids to a long upstream (the hashedIds/xxhash64 pattern) — " +
-        "a fractional id would truncate into the wrong centroid bucket")
-    val b = unitProject(base, idCol, idCol, vecCol, "bv")
-    val sample0 = b.where(col(idCol) % step === 0)
-    val idType = base.schema(base.schema.fieldIndex(idCol)).dataType
-    // one limit-capped collect = gather + too-small-step guard (the
-    // ivfAssign pattern)
-    val rows = sample0.where(col("bv").isNotNull)
-      .select(col(idCol).cast("long").as("cid"), col("bv"))
+        "a fractional id would truncate into a colliding centroid bucket")
+    val rows = b.where(col(idCol) % step === 0 && col("bv").isNotNull)
+      .select(col(idCol).cast("long"), col("bv"))
       .limit(maxCentroids + 1).collect()
     require(rows.length <= maxCentroids,
-      s"clusterProfile: step=$step yields more than $maxCentroids " +
-        "sampled centroids on this corpus — raise step (or maxCentroids)")
-    val cents = rows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      s"$op: step=$step yields more than $maxCentroids sampled " +
+        "centroids on this corpus — raise step (or maxCentroids)")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+  }
+
+  def clusterProfile(base: DataFrame, idCol: String, vecCol: String,
+                     step: Int, maxCentroids: Int = 8192): DataFrame = {
+    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    val idType = base.schema(base.schema.fieldIndex(idCol)).dataType
+    val cents = gatherSampleCentroids(base, b, idCol, step, maxCentroids,
+      "clusterProfile")
     if (cents.isEmpty)
       return b.select(col(idCol).as("centroid_id"), lit(0L).as("n_members"),
         lit(0.0).as("mean_cosine")).where(lit(false))
@@ -741,31 +764,17 @@ object Similarity {
                       maxCentroids: Int = 8192): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    requireIntegralId(base, idCol, "kmeansCentroids",
-      "hash ids to a long upstream (the hashedIds/xxhash64 pattern) — " +
-        "a fractional seed id would truncate into a colliding centroid id")
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // seed count is n/step — collect through a limit so a miscalibrated
-      // step fails fast (the driver only ever receives maxCentroids+1 rows,
-      // never the unbounded sample)
-      // null-unit seeds (zero/NaN/Inf vectors at a sampled id) have no
-      // direction to refine — drop them like every other centroid gather
-      // (the kernel path would NPE on v.toArray; the old join tolerated
-      // them only by never letting a null cv win)
-      val seedRows = b.where(col(idCol) % step === 0 && col("bv").isNotNull)
-        .select(col(idCol).cast("long"), col("bv"))
-        .limit(maxCentroids + 1).collect()
-      require(seedRows.length <= maxCentroids,
-        s"kmeansCentroids: step=$step yields more than $maxCentroids seed " +
-          s"centroids on this corpus — raise step (or maxCentroids)")
-      require(seedRows.nonEmpty,
+      val seeds = gatherSampleCentroids(base, b, idCol, step, maxCentroids,
+        "kmeansCentroids")
+      require(seeds.nonEmpty,
         s"kmeansCentroids: step=$step selected ZERO seed centroids — lower " +
           "step (an empty centroid frame would silently return zero " +
           "neighbors for every query)")
       var centroids: Array[(Long, Seq[Double])] =
-        seedRows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+        seeds.map { case (cid, v) => (cid, v.toSeq) }
       var it = 0
       while (it < iters) {
         // per-round assignment via the BestCentroid kernel — each Lloyd

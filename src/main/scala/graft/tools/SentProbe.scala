@@ -33,8 +33,12 @@ object SentProbe {
     def time(label: String)(body: => Unit): Unit = {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); body
+        val t = (System.nanoTime() - t0) / 1e9
+        // cleanup AFTER the elapsed capture (the Bench.timeOne contract):
+        // charging block release to the interval inflates exactly the
+        // checkpointed variant this probe exists to compare against
         clean()
-        (System.nanoTime() - t0) / 1e9
+        t
       }
       println(f"$label%-28s ${ts.map(t => f"$t%6.2f").mkString(" ")}  min=${ts.min}%6.2f")
     }
