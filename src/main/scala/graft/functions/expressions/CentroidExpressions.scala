@@ -233,3 +233,114 @@ case class BestCentroidNested(child: Expression,
   protected override def withNewChildInternal(newChild: Expression): BestCentroidNested =
     copy(child = newChild)
 }
+
+/** Top-`p` centroids by cosine against a BROADCAST centroid table, as one
+  * codegen'd scan expression — the query-side IVF PROBE kernel (r14).
+  *
+  * The declarative formulation (`queries JOIN broadcast(centroids)` then
+  * `row_number() OVER (PARTITION BY query_id ORDER BY csim DESC,
+  * centroid_id) <= nprobe`) expands every query into |centroids| rows and
+  * SHUFFLES all Q×C of them through the window sort just to keep nprobe
+  * per query — at a 10k-query × 10k-centroid batch that is 10⁸ rows of
+  * pure probe-selection traffic. This expression computes the same top-p
+  * selection per row inside the scan projection: probing becomes
+  * `explode(graft_top_centroids(qv))`, a narrow plan with ZERO shuffle.
+  *
+  * Semantics mirror the window it replaces exactly: selection order is
+  * (csim DESC, centroid_id ASC) — implemented as a strictly-greater
+  * insertion rank over the ascending-id centroid array, the
+  * [[BestCentroidNested]] coarse-stage selection — and a centroid whose
+  * dot is incomparable (dimension mismatch / null element) is skipped,
+  * matching the window's NULLS LAST ordering dropping it from the top-p
+  * whenever ≥ p comparable centroids exist. Output is
+  * `array<struct<bucket: long, csim: double>>` in rank order (the
+  * exploded position IS the probe rank); null when the input vector is
+  * null, EMPTY when no centroid is comparable — both explode to zero
+  * probe rows, exactly the rows the window formulation's downstream
+  * null-cos filter would discard.
+  *
+  * `centIds` MUST be sorted ascending with `centVecs` aligned.
+  */
+case class TopCentroids(child: Expression,
+                        centIds: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                        centVecs: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                        p: Int)
+    extends UnaryExpression {
+  require(p >= 1, s"need at least one probe, got $p")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_centroids needs an array<double> vector, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("csim", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_top_centroids"
+
+  def top(vec: ArrayData): ArrayData = {
+    val ids = centIds.value
+    val vecs = centVecs.value
+    val n = vec.numElements()
+    val cap = math.min(p, ids.length)
+    val topIdx = new Array[Int](cap)
+    val topSim = new Array[Double](cap)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      if (cv.length == n) {
+        var s = 0.0
+        var ok = true
+        var i = 0
+        while (ok && i < n) {
+          if (vec.isNullAt(i)) ok = false
+          else { s += vec.getDouble(i) * cv(i); i += 1 }
+        }
+        if (ok) {
+          // strictly-greater insertion keeps earlier (lower-id) centroids
+          // ahead on ties — the window's (csim DESC, centroid_id ASC)
+          var pos = filled
+          while (pos > 0 && s > topSim(pos - 1)) pos -= 1
+          if (pos < cap) {
+            val last = math.min(filled, cap - 1)
+            var j = last
+            while (j > pos) { topIdx(j) = topIdx(j - 1); topSim(j) = topSim(j - 1); j -= 1 }
+            topIdx(pos) = c; topSim(pos) = s
+            if (filled < cap) filled += 1
+          }
+        }
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    var t = 0
+    while (t < filled) {
+      out(t) = new GenericInternalRow(Array[Any](ids(topIdx(t)), topSim(t)))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    top(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCentroids", this, classOf[TopCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.top($c);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case e: TopCentroids =>
+      (this eq e) || (child == e.child && p == e.p &&
+        centIds.id == e.centIds.id && centVecs.id == e.centVecs.id)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[TopCentroids], child, Integer.valueOf(p),
+      java.lang.Long.valueOf(centIds.id))
+
+  protected override def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}

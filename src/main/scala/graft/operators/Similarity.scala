@@ -639,6 +639,19 @@ object Similarity {
   private[graft] def assignWithCentroidFrame(b: DataFrame, idCol: String,
                                              centroids: DataFrame,
                                              op: String): DataFrame = {
+    val cents = gatherCentroidFrame(centroids, op)
+    if (cents.isEmpty)
+      b.select(col(idCol), col("bv"), lit(null).cast("long").as("bucket"))
+    else assignWithCentroids(b, idCol, cents)
+  }
+
+  /** ONE limit-capped driver gather of an index-sized `(centroid_id, cv)`
+    * frame for the probe/assignment kernels: null-cv rows dropped (no
+    * direction — never comparable), ascending-id sort (the kernels'
+    * tie-break contract), loud failure over the cap.
+    */
+  private[graft] def gatherCentroidFrame(centroids: DataFrame,
+                                  op: String): Array[(Long, Array[Double])] = {
     val centCap = 1 << 16
     val centRows = centroids
       .select(col("centroid_id").cast("long").as("cid"), col("cv"))
@@ -647,11 +660,31 @@ object Similarity {
     require(centRows.length <= centCap,
       s"$op: centroid table exceeds $centCap rows — it must be " +
         "index-sized (broadcast to every probe)")
-    val cents = centRows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    if (cents.isEmpty)
-      b.select(col(idCol), col("bv"), lit(null).cast("long").as("bucket"))
-    else assignWithCentroids(b, idCol, cents)
+    centRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+  }
+
+  /** Query-side IVF probe selection as ONE codegen scan projection
+    * ([[graft.functions.expressions.TopCentroids]]): `(query_id, qv,
+    * bucket)`, one row per probed bucket in rank order. Replaces the
+    * `queries × broadcast(centroids)` join + per-query row_number window
+    * — whose window sort shuffles ALL Q×C probe-candidate rows — with a
+    * zero-shuffle explode; selection order (csim DESC, centroid_id ASC)
+    * and incomparable-centroid handling replay the window exactly (kernel
+    * scaladoc has the argument). `bucketType` casts the long bucket back
+    * to the assignment side's key type so the probe join stays cast-free.
+    */
+  private[graft] def probeTopCentroids(q: DataFrame,
+                                cents: Array[(Long, Array[Double])],
+                                nprobe: Int,
+                                bucketType: org.apache.spark.sql.types.DataType
+                                  = org.apache.spark.sql.types.LongType): DataFrame = {
+    val sc = q.sparkSession.sparkContext
+    val topCol = Bridge.column(graft.functions.expressions.TopCentroids(
+      Bridge.expression(col("qv")),
+      sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2)), nprobe))
+    q.select(col("query_id"), col("qv"), explode(topCol).as("__pb"))
+      .select(col("query_id"), col("qv"),
+        col("__pb").getField("bucket").cast(bucketType).as("bucket"))
   }
 
   /** Cluster-balanced sample: up to `perCluster` vectors per IVF cluster,
@@ -813,20 +846,22 @@ object Similarity {
     requireIntegralId(centroids, "centroid_id", "ivfKnnWith",
       "centroid tables must carry integral ids (kmeansCentroids output " +
         "shape) — hash non-numeric ids to a long upstream")
-    val c = broadcast(centroids.select(col("centroid_id"), col("cv")))
     val b = unitProject(base, idCol, idCol, vecCol, "bv")
-    // the centroid table is index-sized by contract — gather it once
-    // (limit-capped) and assign via the gated kernel: one scan
-    // projection, no corpus re-grouping shuffle (the former join +
-    // groupBy(id) shape)
-    val assigned = assignWithCentroidFrame(b, idCol, centroids, "ivfKnnWith")
+    // the centroid table is index-sized by contract — gather it ONCE
+    // (limit-capped) and run BOTH the corpus assignment and the query
+    // probe selection off the same driver array via the kernels: two
+    // scan projections, no corpus re-grouping shuffle (the former join +
+    // groupBy(id) shape) and no Q×C probe window shuffle
+    val cents = gatherCentroidFrame(centroids, "ivfKnnWith")
+    val assigned =
+      if (cents.isEmpty)
+        b.select(col(idCol), col("bv"), lit(null).cast("long").as("bucket"))
+      else assignWithCentroids(b, idCol, cents)
     val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
-    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-    val probes = q.join(c)
-      .withColumn("csim", dot(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"),
-        col("centroid_id").cast("long").as("bucket"))
+    val probes =
+      if (cents.isEmpty) q.select(col("query_id"), col("qv"),
+        lit(null).cast("long").as("bucket")).where(lit(false))
+      else probeTopCentroids(q, cents, nprobe)
     val scored = broadcast(probes).join(assigned, "bucket")
       .where(col("query_id") =!= col(idCol))
       .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
@@ -931,14 +966,16 @@ object Similarity {
     // separate materialization job up front
     val assigned = ivfAssign(base, idCol, vecCol, step).cache()
     try {
-      val centroids = broadcast(assigned.where(col(idCol) % step === 0)
-        .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+      // probe selection off the SAME sampled centroids the assignment
+      // used, via the zero-shuffle TopCentroids kernel (the former
+      // queries×centroids join + window shuffled Q×C rows); bucket cast
+      // back to the assignment frame's key type keeps the join cast-free
+      val cents = gatherCentroidFrame(
+        assigned.where(col(idCol) % step === 0)
+          .select(col(idCol).as("centroid_id"), col("bv").as("cv")), "ivfKnn")
       val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
-      val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-      val probes = q.join(centroids)
-        .withColumn("csim", dot(col("qv"), col("cv")))
-        .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-        .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      val probes = probeTopCentroids(q, cents, nprobe,
+        assigned.schema("bucket").dataType)
       val scored = broadcast(probes).join(assigned, "bucket")
         .where(col("query_id") =!= col(idCol))
         .select(col("query_id"), col(idCol), dot(col("qv"), col("bv")).as("cos"))
@@ -1146,14 +1183,14 @@ object Similarity {
       // wide and fanOut is a no-op.
       val encoded = pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
         .select(col(idCol), col("bucket"), col("decoded"))
-      val centroids = broadcast(assigned.where(col(idCol) % step === 0)
-        .select(col(idCol).as("centroid_id"), col("bv").as("cv")))
+      // same zero-shuffle probe selection as [[ivfKnn]] (kernel replaces
+      // the Q×C window)
+      val cents = gatherCentroidFrame(
+        assigned.where(col(idCol) % step === 0)
+          .select(col(idCol).as("centroid_id"), col("bv").as("cv")), "ivfPqKnn")
       val q = unitProject(queries, idCol, "query_id", vecCol, "qv")
-      val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-      val probes = q.join(centroids)
-        .withColumn("csim", dot(col("qv"), col("cv")))
-        .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-        .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      val probes = probeTopCentroids(q, cents, nprobe,
+        assigned.schema("bucket").dataType)
       val scored = broadcast(probes).join(encoded, "bucket")
         .where(col("query_id") =!= col(idCol))
         .select(col("query_id"), col(idCol),

@@ -51,13 +51,14 @@ object AnnIndex {
                              queries: DataFrame, idCol: String,
                              vecCol: String, nprobe: Int): DataFrame = {
     requireQueryDim(spark, table, queries, vecCol)
-    val centroids = broadcast(spark.table(s"${table}__centroids"))
+    // probe selection via the zero-shuffle TopCentroids kernel off a
+    // one-collect gather of the (index-sized by contract) centroid side
+    // table — the former queries×centroids join + row_number window
+    // shuffled Q×C candidate rows through the window sort
+    val cents = Similarity.gatherCentroidFrame(
+      spark.table(s"${table}__centroids"), s"AnnIndex.probeBucketsOf($table)")
     val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
-    val wq = Window.partitionBy("query_id").orderBy(desc("csim"), asc("centroid_id"))
-    val frame = q.join(centroids)
-      .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+    val frame = Similarity.probeTopCentroids(q, cents, nprobe)
     // |queries| × nprobe rows by construction — collect to a
     // LocalRelation: the probe frame is consumed twice (literal bucket
     // prune + the candidate join) and must not recompute, and unlike a

@@ -535,6 +535,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(p1a.size === n)
   }
 
+  test("TopCentroids probe kernel matches the join+window formulation on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(1414)
+    (0 until 4).foreach { trial =>
+      val d = 4 + rnd.nextInt(4)
+      val nC = 1 + rnd.nextInt(12)
+      val nQ = 5 + rnd.nextInt(20)
+      val cents: Array[(Long, Array[Double])] = (0 until nC).map { i =>
+        val v = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong * 3, v.map(_ / nrm))
+      }.toArray
+      val qs = (0 until nQ).map { i =>
+        val v = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(_ / nrm).toSeq)
+      }.toDF("query_id", "qv")
+      val nprobe = 1 + rnd.nextInt(nC + 2) // sometimes > nC
+      val kernel = graft.operators.Similarity
+        .probeTopCentroids(qs, cents, nprobe)
+        .select("query_id", "bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cdf = cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("centroid_id", "cv")
+      val wq = Window.partitionBy("query_id")
+        .orderBy(desc("csim"), asc("centroid_id"))
+      val window = qs.join(broadcast(cdf))
+        .withColumn("csim", graft.operators.Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+        .select(col("query_id"), col("centroid_id").as("bucket"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(kernel === window, s"trial $trial (d=$d nC=$nC nprobe=$nprobe)")
+      assert(kernel.nonEmpty)
+    }
+    // ties: identical centroids under different ids — the LOWER id must
+    // fill the earlier probe slots, exactly like (csim DESC, id ASC)
+    val tied: Array[(Long, Array[Double])] =
+      Array((5L, Array(1.0, 0.0)), (7L, Array(1.0, 0.0)), (9L, Array(0.0, 1.0)))
+    val q1 = Seq((0L, Seq(1.0, 0.0))).toDF("query_id", "qv")
+    val got = graft.operators.Similarity.probeTopCentroids(q1, tied, 2)
+      .select("bucket").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(5L, 7L))
+  }
+
   test("kCenterSelect: date and timestamp ids order like the distributed sort (review finding)") {
     import spark.implicits._
     // the r13 integral-or-string tightening regressed date/timestamp ids
