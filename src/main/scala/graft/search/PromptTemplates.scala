@@ -71,18 +71,52 @@ object PromptTemplates {
   def renderPrompts(bench: DataFrame, t: PromptTemplate): DataFrame =
     bench.select(lit(t.name).as("benchmark"), renderColumn(t.template).as("prompt"))
 
+  /** Hard ceiling on the gathered (benchmark, prompt) pairs — they are
+    * broadcast into the corpus scan, so the frame must stay
+    * benchmark-sized. 2^20 prompts ≈ every promptsource dataset's first
+    * template over a 6k-row benchmark suite with two orders of margin.
+    */
+  val MaxRenderedPrompts: Int = 1 << 20
+
   /** E7 over template-rendered benchmarks: render each template against
     * its benchmark table, collect the (benchmark, prompt) pairs —
     * benchmark-sized, exactly the reference's driver-side loop — and run
     * the scan-fused per-phrase contamination counter over the corpus
     * (ONE corpus scan for all prompts of all benchmarks).
+    *
+    * Templates sharing one benchmark frame (the promptsource shape: many
+    * templates per dataset) render as sibling columns of ONE projection
+    * and gather in ONE limit-capped collect job — a benchmark frame that
+    * is itself a derived view (filters, joins, another corpus) is scanned
+    * once per FRAME, not once per template. Prompt order within a frame
+    * follows template order, so the phrase list is identical to the
+    * one-collect-per-template formulation.
     */
   def contaminationFromTemplates(corpus: DataFrame, textCol: String,
                                  benches: Seq[(PromptTemplate, DataFrame)],
-                                 slop: Int = 0, uax29: Boolean = true): DataFrame = {
-    val phrases = benches.flatMap { case (t, df) =>
-      renderPrompts(df, t).collect().map(r => (r.getString(0), r.getString(1)))
+                                 slop: Int = 0, uax29: Boolean = true,
+                                 maxPrompts: Int = MaxRenderedPrompts): DataFrame = {
+    // group by frame IDENTITY (same DataFrame object reused across
+    // templates), preserving first-appearance frame order and per-frame
+    // template order — the flatMap emission order of the old shape
+    val frames = scala.collection.mutable.LinkedHashMap[DataFrame, scala.collection.mutable.ArrayBuffer[PromptTemplate]]()
+    benches.foreach { case (t, df) =>
+      frames.getOrElseUpdate(df, scala.collection.mutable.ArrayBuffer()) += t
     }
+    var budget = maxPrompts
+    val phrases = frames.iterator.flatMap { case (df, ts) =>
+      val cols = ts.zipWithIndex.map { case (t, i) =>
+        renderColumn(t.template).as(s"__p$i") }
+      val rows = df.select(cols.toSeq: _*).limit(budget / ts.length + 1).collect()
+      require(rows.length.toLong * ts.length <= budget,
+        s"contaminationFromTemplates: rendered prompts exceed the remaining " +
+          s"broadcast budget ($maxPrompts total) — benchmark frames " +
+          s"must stay benchmark-sized; got >${rows.length - 1} rows x " +
+          s"${ts.length} template(s) for ${ts.map(_.name).mkString(", ")}")
+      budget -= rows.length * ts.length
+      ts.zipWithIndex.flatMap { case (t, i) =>
+        rows.map(r => (t.name, r.getString(i))) }
+    }.toSeq
     Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop, uax29)
   }
 }

@@ -54,4 +54,52 @@ class PromptTemplatesSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows === Seq(("hit", 2L, 2L), ("miss", 2L, 0L)))
   }
+
+  test("templates sharing a benchmark frame render in ONE pass over it") {
+    val corpus = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val acc = spark.sparkContext.longAccumulator("bench evals")
+    val bench = spark.sparkContext
+      .parallelize(Seq(("alpha beta", "gamma"), ("beta gamma", "alpha")), 2)
+      .map { x => acc.add(1); x }.toDF("q", "a")
+    val tpls = PromptTemplates.parseTsv(Seq(
+      "t1\t\t{{q}} {{a}}", "t2\t\t{{a}} {{q}}", "t3\t\tzzz {{q}}"))
+    val out = PromptTemplates.contaminationFromTemplates(corpus, "text",
+        tpls.map(t => t -> bench), uax29 = false)
+      .orderBy("benchmark").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // t1 row1 and t2 row2 both render the corpus span "alpha beta gamma"
+    assert(out === Seq(("t1", 2L, 1L), ("t2", 2L, 1L), ("t3", 2L, 0L)))
+    // one render projection per FRAME: each of the 2 source rows evaluated
+    // once, not once per template (the per-template shape would read 6)
+    assert(acc.value === 2L)
+  }
+
+  test("interleaved distinct frames: grouped rendering matches per-template results") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val benchA = Seq(("alpha beta", "gamma")).toDF("q", "a")
+    val benchB = Seq(("quick brown", "fox")).toDF("q", "a")
+    val t1 = PromptTemplate("a1", "", "{{q}} {{a}}")
+    val t2 = PromptTemplate("b1", "", "{{q}} {{a}}")
+    val t3 = PromptTemplate("a2", "", "zzz {{q}}")
+    // frames interleave (A, B, A) — grouping reorders the gathered phrase
+    // list; the per-benchmark aggregate must not notice
+    val got = PromptTemplates.contaminationFromTemplates(corpus, "text",
+        Seq(t1 -> benchA, t2 -> benchB, t3 -> benchA), uax29 = false)
+      .orderBy("benchmark").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a1", 1L, 1L), ("a2", 1L, 0L), ("b1", 1L, 1L)))
+  }
+
+  test("rendered-prompt budget: an over-sized benchmark frame fails loudly") {
+    val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val bench = (1 to 10).map(i => (s"q$i", s"a$i")).toDF("q", "a")
+    val tpls = PromptTemplates.parseTsv(Seq("t1\t\t{{q}}", "t2\t\t{{a}}"))
+    val e = intercept[IllegalArgumentException] {
+      PromptTemplates.contaminationFromTemplates(corpus, "text",
+        tpls.map(t => t -> bench), uax29 = false, maxPrompts = 10)
+    }
+    assert(e.getMessage.contains("benchmark-sized"))
+  }
 }
