@@ -397,7 +397,8 @@ object Cli {
           // value would surface as a bare NumberFormatException deep in
           // plan construction; both fail HERE, naming the flag
           val graftDials = Set(operators.Similarity.CoarseGateConf,
-            operators.Similarity.CoarseProbesConf)
+            operators.Similarity.CoarseProbesConf,
+            operators.Similarity.MaxGatheredCentroidsConf)
           if (k.startsWith("graft.")) {
             if (!graftDials(k)) sys.error(s"--conf: unknown graft dial " +
               s"'$k' (known: ${graftDials.toSeq.sorted.mkString(", ")})")

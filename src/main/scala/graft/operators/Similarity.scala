@@ -645,22 +645,43 @@ object Similarity {
     else assignWithCentroids(b, idCol, cents)
   }
 
+  /** Centroid tables above this row count (session dial
+    * `graft.ann.maxGatheredCentroids`, default 2^16) are not gathered to
+    * a driver array for the kernels (2^16 × 128-dim doubles ≈ 67 MB
+    * broadcast — the sane ceiling for a per-row probe array). Callers
+    * that can serve the over-cap regime another way (a broadcast-join
+    * fallback, the coarse quantizer) use [[gatherCentroidFrameOpt]] and
+    * branch on None.
+    */
+  private[graft] val MaxGatheredCentroidsConf = "graft.ann.maxGatheredCentroids"
+  private[graft] val MaxGatheredCentroidsDefault: Int = 1 << 16
+
   /** ONE limit-capped driver gather of an index-sized `(centroid_id, cv)`
     * frame for the probe/assignment kernels: null-cv rows dropped (no
     * direction — never comparable), ascending-id sort (the kernels'
     * tie-break contract), loud failure over the cap.
     */
   private[graft] def gatherCentroidFrame(centroids: DataFrame,
-                                  op: String): Array[(Long, Array[Double])] = {
-    val centCap = 1 << 16
+                                  op: String): Array[(Long, Array[Double])] =
+    gatherCentroidFrameOpt(centroids).getOrElse(sys.error(
+      s"$op: centroid table exceeds the gather cap " +
+        s"($MaxGatheredCentroidsConf, default $MaxGatheredCentroidsDefault " +
+        "rows) — it must be index-sized (broadcast to every probe)"))
+
+  /** [[gatherCentroidFrame]] that returns None over the cap instead of
+    * throwing — ONE limit-capped collect job either way.
+    */
+  private[graft] def gatherCentroidFrameOpt(
+      centroids: DataFrame): Option[Array[(Long, Array[Double])]] = {
+    val cap = intConf(centroids.sparkSession, MaxGatheredCentroidsConf,
+      MaxGatheredCentroidsDefault)
     val centRows = centroids
       .select(col("centroid_id").cast("long").as("cid"), col("cv"))
       .where(col("cv").isNotNull)
-      .limit(centCap + 1).collect()
-    require(centRows.length <= centCap,
-      s"$op: centroid table exceeds $centCap rows — it must be " +
-        "index-sized (broadcast to every probe)")
-    centRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      .limit(cap + 1).collect()
+    if (centRows.length > cap) None
+    else Some(
+      centRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1))
   }
 
   /** Query-side IVF probe selection as ONE codegen scan projection

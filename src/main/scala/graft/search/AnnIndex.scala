@@ -54,11 +54,25 @@ object AnnIndex {
     // probe selection via the zero-shuffle TopCentroids kernel off a
     // one-collect gather of the (index-sized by contract) centroid side
     // table — the former queries×centroids join + row_number window
-    // shuffled Q×C candidate rows through the window sort
-    val cents = Similarity.gatherCentroidFrame(
-      spark.table(s"${table}__centroids"), s"AnnIndex.probeBucketsOf($table)")
+    // shuffled Q×C candidate rows through the window sort. A persisted
+    // index whose centroid table exceeds the gather cap (built by an
+    // external writer or an older step choice — this writer's own builds
+    // are assignment-capped at the same bound) stays QUERYABLE through
+    // that join+window formulation: broadcast hash join either way, just
+    // the Q×C window shuffle instead of the kernel.
     val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
-    val frame = Similarity.probeTopCentroids(q, cents, nprobe)
+    val centTable = spark.table(s"${table}__centroids")
+    val frame = Similarity.gatherCentroidFrameOpt(centTable) match {
+      case Some(cents) => Similarity.probeTopCentroids(q, cents, nprobe)
+      case None =>
+        val wq = Window.partitionBy("query_id")
+          .orderBy(desc("csim"), asc("centroid_id"))
+        q.join(broadcast(centTable))
+          .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
+          .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
+          .select(col("query_id"), col("qv"),
+            col("centroid_id").cast("long").as("bucket"))
+    }
     // |queries| × nprobe rows by construction — collect to a
     // LocalRelation: the probe frame is consumed twice (literal bucket
     // prune + the candidate join) and must not recompute, and unlike a

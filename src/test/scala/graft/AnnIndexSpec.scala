@@ -73,6 +73,36 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("over-cap centroid table stays queryable via the join+window probe fallback") {
+    // a persisted index whose centroid side table exceeds the driver
+    // gather cap (external writer, older step choice) must not become
+    // unreadable: probeBucketsOf falls back to the broadcast-join +
+    // row_number probe selection, which the kernel replays exactly — so
+    // forcing the cap below the centroid count must not change results
+    val table = "annidx_overcap"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val kernel = rows(AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3))
+      spark.conf.set(Similarity.MaxGatheredCentroidsConf, "4") // < 10 centroids
+      val fallback = rows(AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3))
+      assert(fallback === kernel)
+      assert(fallback.nonEmpty)
+    } finally {
+      spark.conf.unset(Similarity.MaxGatheredCentroidsConf)
+      graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+        s"${table}__meta")
+    }
+  }
+
   test("string-keyed queries against a numeric-id index return candidates (type-safe self-exclusion)") {
     import spark.implicits._
     val table = "annidx_strq"

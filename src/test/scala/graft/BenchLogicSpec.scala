@@ -75,4 +75,47 @@ class BenchLogicSpec extends AnyFunSuite {
     // real steady regression: both elevated, score unchanged
     assert(fold(3.4, 3.2, Some(0.52)) === 3.4)
   }
+
+  test("failed samples never score: needsThirdSample / scoreSamples") {
+    // a transient failure returns fast — it must trigger a third run and
+    // stay out of the score, not land as a fake min
+    assert(Bench.needsThirdSample(List((12.0, true), (0.05, false))))
+    assert(Bench.scoreSamples(List((12.0, true), (0.05, false), (11.8, true))) === 11.8)
+    // sub-second median stays the policy over successful samples
+    assert(Bench.needsThirdSample(List((0.4, true), (0.5, true))))
+    assert(Bench.scoreSamples(List((0.5, true), (0.3, true), (0.4, true))) === 0.4)
+    // with one failure among three, the median picks the LARGER of the
+    // two good samples (conservative — never a fake speedup)
+    assert(Bench.scoreSamples(List((0.5, true), (0.03, false), (0.4, true))) === 0.5)
+    // >=1s agreeing pair: no third sample, min scores
+    assert(!Bench.needsThirdSample(List((2.0, true), (2.2, true))))
+    assert(Bench.scoreSamples(List((2.0, true), (2.2, true))) === 2.0)
+    // >=1s bad disagreement still earns the third sample
+    assert(Bench.needsThirdSample(List((2.0, true), (4.0, true))))
+    // every run failed: report the MAX of the failed walls — visibly
+    // elevated, adjudicated by the correctness gate not the bench
+    assert(Bench.scoreSamples(List((0.04, false), (0.06, false), (0.05, false))) === 0.06)
+  }
+
+  test("warmup-triggered re-measure takes the min even when the stall gate also fired") {
+    // pure re-statement of the main-loop fold with the warm branch first:
+    // strictly-decreasing samples mean LATER = truer, so a warm query
+    // adopts the steady-state re-measure even if that value would not
+    // clear the 2x-previous stall gate on its own
+    def fold(t: Double, ss: List[Double], again: Double, prev: Option[Double]): Double = {
+      val stall = Bench.needsRemeasure(t, prev)
+      val warm = Bench.warmupShaped(t, ss)
+      if (warm) math.min(t, again)
+      else if (stall && Bench.needsRemeasure(again, prev)) t
+      else math.min(t, again)
+    }
+    // warm AND stall-flagged, steady state still >2x prev: warm wins, the
+    // recorded regression is the steady 1.3s, not the inflated 2.16
+    assert(fold(2.16, List(3.52, 2.16), 1.3, Some(0.5)) === 1.3)
+    // warm but the re-measure is slower (noise): min keeps the score
+    assert(fold(2.16, List(3.52, 2.16), 2.4, Some(0.5)) === 2.16)
+    // not warm (flat samples): the symmetric stall gate still protects
+    // against best-casing a flaky regression
+    assert(fold(3.4, List(3.4, 3.5), 1.5, Some(0.52)) === 3.4)
+  }
 }
