@@ -257,3 +257,130 @@ case class PhraseMatch(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): PhraseMatch =
     copy(first = f, second = s, third = t)
 }
+
+/** Set-oriented multi-phrase containment: WHICH of a broadcast battery of
+  * token-sequence phrases (exact adjacency — the slop=0 semantics of
+  * [[PhraseMatch]] / the reference's sliding-window compare,
+  * src/cmd/count.rs:191-208) occur in this row's token array, as the
+  * array<int> of DISTINCT matched phrase indices ascending.
+  *
+  * The per-phrase predicate-column shape (`Searcher.countPerPhrase`)
+  * evaluates one token-seq scan per phrase per row and aggregates one
+  * column per phrase — per-row cost AND plan size are O(P), which caps
+  * the scan-tier contamination surface at a few hundred phrases. This
+  * kernel walks the tokens ONCE against a first-token hash index of the
+  * battery — O(len + candidate verifications) per row however large P
+  * grows (promptsource-scale: tens of thousands of rendered prompts) —
+  * and the battery ships per executor via the broadcast, not per task.
+  *
+  * Contract parity with the per-phrase predicates: an EMPTY-token phrase
+  * matches every document ([[PhraseMatchKernel.matches]] m==0 → true);
+  * null input tokens → null output (the per-phrase predicate is null
+  * there too); a null element inside the token array matches nothing.
+  * Duplicate phrases each report their own index.
+  */
+case class MultiPhrasesFound(child: Expression,
+    phrases: org.apache.spark.broadcast.Broadcast[
+      Array[Array[org.apache.spark.unsafe.types.UTF8String]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_multi_phrases needs array<string> tokens, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_multi_phrases"
+
+  // first-token index over the battery, built once per deserialized task
+  // instance (O(P) — negligible next to any partition's scan): phrase
+  // indices grouped by their first token, plus the always-matched list
+  // (empty-token phrases). Rebuilding per task avoids a process-lifetime
+  // cache keyed by broadcast id (a leak in long-lived sessions).
+  @transient private lazy val (firstTok, alwaysHit) = {
+    val ps = phrases.value
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    val always = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < ps.length) {
+      if (ps(i).length == 0) always += i
+      else {
+        var b = m.get(ps(i)(0))
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); m.put(ps(i)(0), b) }
+        b += i
+      }
+      i += 1
+    }
+    val packed = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](m.size)
+    m.forEach((k, v) => packed.put(k, v.toArray))
+    (packed, always.toArray)
+  }
+
+  def found(tokens: ArrayData): ArrayData = {
+    val ps = phrases.value
+    val idx = firstTok
+    val n = tokens.numElements()
+    val hit = new java.util.BitSet(ps.length)
+    var a = 0
+    while (a < alwaysHit.length) { hit.set(alwaysHit(a)); a += 1 }
+    var remaining = ps.length - alwaysHit.length
+    var t = 0
+    while (t < n && remaining > 0) {
+      if (!tokens.isNullAt(t)) {
+        val cands = idx.get(tokens.getUTF8String(t))
+        if (cands != null) {
+          var ci = 0
+          while (ci < cands.length) {
+            val p = cands(ci)
+            if (!hit.get(p)) {
+              val ph = ps(p)
+              if (t + ph.length <= n) {
+                var j = 1
+                var ok = true
+                while (ok && j < ph.length) {
+                  ok = !tokens.isNullAt(t + j) &&
+                    tokens.getUTF8String(t + j).equals(ph(j))
+                  j += 1
+                }
+                if (ok) { hit.set(p); remaining -= 1 }
+              }
+            }
+            ci += 1
+          }
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Any](hit.cardinality())
+    var o = 0
+    var p = hit.nextSetBit(0)
+    while (p >= 0) {
+      out(o) = p; o += 1
+      p = hit.nextSetBit(p + 1)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    found(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiPhrases", this,
+      classOf[MultiPhrasesFound].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.found($c);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case e: MultiPhrasesFound =>
+      (this eq e) || (child == e.child && phrases.id == e.phrases.id)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[MultiPhrasesFound], child,
+      java.lang.Long.valueOf(phrases.id))
+
+  protected override def withNewChildInternal(newChild: Expression): MultiPhrasesFound =
+    copy(child = newChild)
+}

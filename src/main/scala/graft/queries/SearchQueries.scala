@@ -424,6 +424,22 @@ object SearchQueries extends QueryPack {
         graft.search.InvertedIndex.corpusNorms(d, "text", uax29 = false),
         d.where(col("source") === "src18").select("doc_id"), k = 15,
         heuristic = "mi")
+    }),
+
+    // E3 at BATTERY scale: >WidePhraseGate phrases route through the
+    // set-oriented MultiPhrasesFound kernel — one walk of each document
+    // against a first-token index of the whole battery instead of one
+    // predicate column per phrase (per-row cost and plan size O(P) there,
+    // O(len) here). Phrases are 5-token corpus prefixes so hits, zero
+    // hits, shared first tokens and boundary matches all occur.
+    "e35_per_phrase_wide" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val battery = d.where(col("doc_id") % 4 === 0 && size(toks) >= 5)
+        .select(concat_ws(" ", slice(toks, 1, 5)).as("p"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      Searcher.countPerPhrase(d, "text", battery, uax29 = false)
+        .orderBy("phrase")
     })
   )
 
@@ -764,6 +780,20 @@ object SearchQueries extends QueryPack {
         |SELECT term, fg_df, bg_df, chi2 FROM sc
         |WHERE fg_df >= 3 AND positive AND chi2 > 0
         |ORDER BY chi2 DESC, term LIMIT 15""".stripMargin,
+
+    // whitespace-token adjacency == space-padded substring containment
+    // (the shared phrase-oracle trick); the battery CTE replays the
+    // 5-token-prefix derivation exactly
+    "e35_per_phrase_wide" ->
+      """WITH ph AS (SELECT DISTINCT
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS phrase
+        | FROM documents
+        | WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 5),
+        |per AS (SELECT phrase,
+        |  CAST(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        | FROM ph LEFT JOIN documents ON true GROUP BY phrase)
+        |SELECT phrase, n_docs FROM per ORDER BY phrase""".stripMargin,
 
     "e32_significant_mi" ->
       """WITH fg AS (SELECT doc_id FROM documents WHERE source = 'src18'),

@@ -104,9 +104,20 @@ object Searcher {
     if (returnAllHits) sorted else sorted.limit(numDocuments)
   }
 
+  /** Above this many phrases the slop=0 path switches from one predicate
+    * column per phrase to the set-oriented [[countPerPhraseWide]] kernel
+    * plan — per-row cost and PLAN SIZE are O(P) in the per-column shape
+    * (P token-seq scans per row, a P-column aggregate, P×|plan-node|
+    * codegen), which caps it at a few hundred phrases; the kernel walks
+    * each document once whatever P is.
+    */
+  private[graft] val WidePhraseGate: Int = 64
+
   /** E3: `count_documents_for_each_phrase` — one count per phrase, computed
     * in ONE job via a broadcast phrase table instead of N msearch batches
-    * (reference :269-345). Zero-hit phrases are kept.
+    * (reference :269-345). Zero-hit phrases are kept. Batteries beyond
+    * [[WidePhraseGate]] at slop=0 route through [[countPerPhraseWide]]
+    * (identical results — spec-pinned differential).
     */
   def countPerPhrase(df: DataFrame, textCol: String, phrases: Seq[String],
                      slop: Int = 0, uax29: Boolean = true): DataFrame = {
@@ -115,6 +126,8 @@ object Searcher {
       import spark.implicits._
       return Seq.empty[(String, Long)].toDF("phrase", "n_docs")
     }
+    if (slop == 0 && phrases.length > WidePhraseGate)
+      return countPerPhraseWide(df, textCol, phrases, uax29)
     // one boolean predicate column per phrase, all evaluated in a single
     // scan + single partial-agg (the set-oriented answer to msearch batching)
     val preds = df.select(phrases.zipWithIndex.map { case (p, i) =>
@@ -126,6 +139,43 @@ object Searcher {
         array(phrases.map(lit): _*),
         array(phrases.indices.map(i => col(s"__p$i")): _*))))
       .select(col("key").as("phrase"), col("value").as("n_docs"))
+  }
+
+  /** [[countPerPhrase]] for LARGE phrase batteries (slop=0): phrases are
+    * tokenized driver-side through the same tokenizer as the documents
+    * (the [[phrasePredicate]] contract), broadcast once, and each
+    * document is walked ONCE by the
+    * [[graft.functions.expressions.MultiPhrasesFound]] kernel against a
+    * first-token index of the battery — O(len) per row instead of O(P·len),
+    * and a P-independent plan. The only shuffle is the (index, count)
+    * partial aggregate: ≤ P rows per partition, never document text.
+    * Duplicate phrases each report the shared count (the per-column shape
+    * raises on duplicate map keys — this path is strictly more tolerant).
+    */
+  private[graft] def countPerPhraseWide(df: DataFrame, textCol: String,
+                                        phrases: Seq[String],
+                                        uax29: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val phraseToks: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
+      phrases.iterator.map { p =>
+        val ts: Seq[String] =
+          if (uax29) graft.functions.Tokenizer.tokenize(p)
+          else p.split(" ").toSeq
+        ts.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)).toArray
+      }.toArray
+    val bc = spark.sparkContext.broadcast(phraseToks)
+    val toks = if (uax29) TextFunctions.tokenize(col(textCol))
+               else split(col(textCol), " ")
+    val foundCol = Bridge.column(
+      graft.functions.expressions.MultiPhrasesFound(
+        Bridge.expression(toks), bc))
+    val hits = df.select(explode(foundCol).as("__idx"))
+      .groupBy("__idx").agg(count(lit(1)).as("__n"))
+    broadcast(phrases.zipWithIndex.map { case (p, i) => (i, p) }
+        .toDF("__idx", "phrase"))
+      .join(hits, Seq("__idx"), "left")
+      .select(col("phrase"), coalesce(col("__n"), lit(0L)).as("n_docs"))
   }
 
   /** E4: total term frequency of unigrams (reference :348-426 reads ES

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.search.Searcher
+
+/** A/B the two scan-tier per-phrase plans at growing battery sizes: the
+  * per-phrase predicate-column shape (one token-seq scan per phrase per
+  * row, a P-column aggregate) vs the set-oriented MultiPhrasesFound
+  * kernel (one document walk against a first-token index, P-independent
+  * plan). Batteries are 5-token corpus prefixes — every phrase really
+  * occurs, the adversarial case for the kernel (candidate verifications
+  * fire constantly).
+  *
+  *   runMain graft.tools.WideBatteryProbe /root/testdata/sf0.1 128 512 2048
+  */
+object WideBatteryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val sizes = args.drop(1).map(_.toInt)
+    val spark = Sessions.tune(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    d.count() // warm
+    val toks = split(col("text"), " ")
+    val all = d.where(size(toks) >= 5)
+      .select(concat_ws(" ", slice(toks, 1, 5)).as("p"))
+      .distinct().collect().map(_.getString(0)).sorted
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); val n = f
+      require(n >= 0); (System.nanoTime() - t0) / 1e9
+    }
+    // per-column shape, inlined (countPerPhrase routes >gate to the
+    // kernel, so the legacy arm is reproduced here verbatim)
+    def perColumn(phrases: Seq[String]): Long = {
+      val preds = d.select(phrases.zipWithIndex.map { case (p, i) =>
+        Searcher.phrasePredicate(col("text"), p, 0, uax29 = false)
+          .cast("long").as(s"__p$i")
+      }: _*)
+      val aggs = phrases.indices.map(i =>
+        coalesce(sum(col(s"__p$i")), lit(0L)).as(s"__p$i"))
+      val row = preds.agg(aggs.head, aggs.tail: _*).collect().head
+      phrases.indices.map(row.getLong).sum
+    }
+    def kernel(phrases: Seq[String]): Long =
+      Searcher.countPerPhraseWide(d, "text", phrases, uax29 = false)
+        .agg(sum("n_docs")).collect().head.getLong(0)
+    sizes.foreach { p =>
+      val battery = (Iterator.continually(all).flatten.take(p)).toSeq
+        .zipWithIndex.map { case (s, i) => if (i < all.length) s else s"$s z$i" }
+      // min of 3 per arm, arms interleaved so a host window hits both
+      var tc = Double.MaxValue; var tk = Double.MaxValue
+      var sc = 0L; var sk = 0L
+      for (_ <- 1 to 3) {
+        tc = math.min(tc, time { sc = perColumn(battery); sc })
+        tk = math.min(tk, time { sk = kernel(battery); sk })
+      }
+      require(sc == sk, s"MISMATCH at P=$p: perColumn=$sc kernel=$sk")
+      println(f"P=$p%5d  perColumn=$tc%6.2f s  kernel=$tk%6.2f s  " +
+        f"ratio=${tc / tk}%5.2f  (checksum $sk)")
+    }
+    spark.stop()
+  }
+}

@@ -165,4 +165,60 @@ class PhraseMatchSpec extends SparkTestBase {
       .collect().head.getBoolean(0)
     assert(n)
   }
+
+  test("wide battery kernel == per-phrase predicates on a randomized corpus") {
+    // countPerPhraseWide (the set-oriented MultiPhrasesFound plan) must
+    // agree with the per-phrase predicate brute force on every phrase:
+    // random docs over a tiny vocab so collisions, overlaps, boundary
+    // matches and zero-hit phrases all occur
+    val rnd = new scala.util.Random(20260816)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1 to 200).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val battery = (1 to 90).map { _ =>
+      (0 until (1 + rnd.nextInt(3)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.distinct ++ Seq("z q", "a a a a a a a a a a a a a") // zero-hit + over-length
+    val wide = Searcher.countPerPhraseWide(corpus, "text", battery,
+        uax29 = false).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    battery.foreach { p =>
+      val brute = corpus.where(
+        Searcher.phrasePredicate(col("text"), p, 0, uax29 = false)).count()
+      assert(wide(p) === brute, s"phrase '$p'")
+    }
+    assert(wide.size === battery.size)
+    assert(battery.exists(p => wide(p) === 0L)) // zero-hit phrases kept
+  }
+
+  test("countPerPhrase routes wide batteries through the kernel unchanged") {
+    // same results through the public gate (>64 phrases, slop=0), and the
+    // wide plan carries no per-phrase predicate columns
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val battery = (1 to 70).map(i => s"p$i never") ++ Seq("a b", "b c", "")
+    val got = Searcher.countPerPhrase(docs, "text", battery, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("a b") === 1L)
+    assert(got("b c") === 2L)
+    assert(got("p1 never") === 0L)
+    // whitespace-split "" is the single empty token — present in no doc
+    assert(got("") === 0L)
+    assert(got.size === battery.size)
+    val plan = Searcher.countPerPhrase(docs, "text", battery, uax29 = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_multi_phrases"), plan.take(2000))
+  }
+
+  test("wide kernel: uax29 phrase tokenization parity and duplicate phrases") {
+    val d = Seq((1L, "we saw Paris. then London")).toDF("doc_id", "text")
+    val battery = Seq("Paris. then", "Paris. then", "London") ++
+      (1 to 65).map(i => s"zz$i")
+    val got = Searcher.countPerPhrase(d, "text", battery)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // duplicate phrases each report the shared count
+    assert(got.count { case (p, n) => p == "Paris. then" && n == 1L } === 2)
+    assert(got.toMap.apply("London") === 1L)
+  }
 }
