@@ -67,6 +67,16 @@ object Searcher {
     // with an unhelpful UnsupportedOperationException (the dropParams=Nil
     // bug shape from round 3, pre-empted here)
     require(phrases.nonEmpty, "need at least one phrase")
+    // battery-scale ANY/ALL (slop=0, non-regexp): ONE document walk via
+    // the MultiPhrasesFound kernel instead of P predicate columns —
+    // matched-count == P is ALL, > 0 is ANY (duplicate phrases collapse
+    // to distinct indices, so dedup before the cardinality compare)
+    if (!isRegexp && slop == 0 && phrases.length > WidePhraseGate) {
+      val distinctPhrases = phrases.distinct
+      val found = multiPhrasesFoundCol(text, distinctPhrases, uax29)
+      return if (allPhrases) size(found) === distinctPhrases.length
+             else size(found) > 0
+    }
     val preds = phrases.map { p =>
       if (isRegexp) text.rlike("(?i)" + p) // ES regexp mode is case-insensitive (:108-117)
       else phrasePredicate(text, p, slop, uax29, luceneSlop)
@@ -152,11 +162,15 @@ object Searcher {
     * Duplicate phrases each report the shared count (the per-column shape
     * raises on duplicate map keys — this path is strictly more tolerant).
     */
-  private[graft] def countPerPhraseWide(df: DataFrame, textCol: String,
-                                        phrases: Seq[String],
-                                        uax29: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The [[graft.functions.expressions.MultiPhrasesFound]] kernel as a
+    * Column: battery tokenized driver-side with the DOCUMENT tokenizer
+    * (the [[phrasePredicate]] contract) and broadcast once. Shared by the
+    * wide arms of [[countPerPhrase]] and [[combined]]; the active
+    * SparkSession supplies the broadcast context.
+    */
+  private def multiPhrasesFoundCol(text: Column, phrases: Seq[String],
+                                   uax29: Boolean): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
     val phraseToks: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
       phrases.iterator.map { p =>
         val ts: Seq[String] =
@@ -165,11 +179,17 @@ object Searcher {
         ts.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)).toArray
       }.toArray
     val bc = spark.sparkContext.broadcast(phraseToks)
-    val toks = if (uax29) TextFunctions.tokenize(col(textCol))
-               else split(col(textCol), " ")
-    val foundCol = Bridge.column(
-      graft.functions.expressions.MultiPhrasesFound(
-        Bridge.expression(toks), bc))
+    val toks = if (uax29) TextFunctions.tokenize(text) else split(text, " ")
+    Bridge.column(graft.functions.expressions.MultiPhrasesFound(
+      Bridge.expression(toks), bc))
+  }
+
+  private[graft] def countPerPhraseWide(df: DataFrame, textCol: String,
+                                        phrases: Seq[String],
+                                        uax29: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val foundCol = multiPhrasesFoundCol(col(textCol), phrases, uax29)
     val hits = df.select(explode(foundCol).as("__idx"))
       .groupBy("__idx").agg(count(lit(1)).as("__n"))
     broadcast(phrases.zipWithIndex.map { case (p, i) => (i, p) }

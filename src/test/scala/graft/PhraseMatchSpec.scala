@@ -211,6 +211,26 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(plan.contains("graft_multi_phrases"), plan.take(2000))
   }
 
+  test("wide battery ANY/ALL document filters route through the kernel") {
+    val d = Seq((1L, (1 to 70).map(i => s"t$i").mkString(" ")),
+      (2L, "t1 t2 unrelated"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val battery = (1 to 70).map(i => s"t$i") // all present in doc 1 only
+    def n(all: Boolean) = Searcher.countContaining(d, "text", battery,
+      allPhrases = all, uax29 = false).collect().head.getLong(0)
+    assert(n(all = true) === 1L)  // doc 1 holds every phrase
+    assert(n(all = false) === 2L) // doc 2 holds some; null text never hits
+    // duplicates collapse before the ALL cardinality compare
+    assert(Searcher.countContaining(d, "text", battery ++ battery.take(5),
+      allPhrases = true, uax29 = false).collect().head.getLong(0) === 1L)
+    // ConvertToLocalRelation pre-evaluates filters over a local frame, so
+    // the kernel only survives to the ANALYZED plan here (the parquet-
+    // backed executed-plan assertion lives in the countPerPhrase test)
+    val plan = Searcher.getContaining(d, "text", battery, uax29 = false)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_multi_phrases"), plan.take(2000))
+  }
+
   test("wide kernel: uax29 phrase tokenization parity and duplicate phrases") {
     val d = Seq((1L, "we saw Paris. then London")).toDF("doc_id", "text")
     val battery = Seq("Paris. then", "Paris. then", "London") ++
