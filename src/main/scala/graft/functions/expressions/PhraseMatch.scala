@@ -384,3 +384,148 @@ case class MultiPhrasesFound(child: Expression,
   protected override def withNewChildInternal(newChild: Expression): MultiPhrasesFound =
     copy(child = newChild)
 }
+
+/** The example-level sibling of [[MultiPhrasesFound]]: WHICH of a battery
+  * of EXAMPLES — each a conjunction of field phrases (the reference's
+  * paired contamination, wimbd/es/corpus_contamination.py:44-58: a doc
+  * counts only if it contains ALL of an example's fields) — are fully
+  * contained in this row's token array. One document walk over the
+  * DISTINCT field set; matched fields bump per-example counters through
+  * a field→examples fan-out index, and an example emits when its counter
+  * reaches its (distinct) field count — per-row cost
+  * O(len + matched-fields × fan-out), independent of the example count.
+  *
+  * The per-example conjunction-column shape (`Searcher.countPerExample`)
+  * is O(E·fields·len) per row with an E-column plan: the same wall
+  * [[MultiPhrasesFound]] removes for flat batteries, at the scale a full
+  * benchmark's example list reaches (thousands of question+answer pairs).
+  *
+  * Output: array<int> of matched example indices ascending; null tokens →
+  * null (conjunction-of-nulls parity: such rows never count); an example
+  * whose every field is the EMPTY token sequence matches every document.
+  */
+case class MultiExamplesMatched(child: Expression,
+    fields: org.apache.spark.broadcast.Broadcast[
+      Array[Array[org.apache.spark.unsafe.types.UTF8String]]],
+    fieldExamples: org.apache.spark.broadcast.Broadcast[Array[Array[Int]]],
+    needCounts: org.apache.spark.broadcast.Broadcast[Array[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_multi_examples needs array<string> tokens, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_multi_examples"
+
+  // the same per-task first-token index as MultiPhrasesFound, over the
+  // distinct FIELD battery
+  @transient private lazy val (firstTok, alwaysHit) = {
+    val ps = fields.value
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    val always = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < ps.length) {
+      if (ps(i).length == 0) always += i
+      else {
+        var b = m.get(ps(i)(0))
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); m.put(ps(i)(0), b) }
+        b += i
+      }
+      i += 1
+    }
+    val packed = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](m.size)
+    m.forEach((k, v) => packed.put(k, v.toArray))
+    (packed, always.toArray)
+  }
+
+  // per-task scratch: epoch-stamped example counters — touched entries
+  // only, no O(E) clear per row. Expression instances are deserialized
+  // per task and evaluated single-threaded, the standard mutable-state
+  // contract for codegen'd kernels.
+  @transient private lazy val exCount = new Array[Int](needCounts.value.length)
+  @transient private lazy val exStamp = new Array[Long](needCounts.value.length)
+  @transient private var epoch = 0L
+
+  def matched(tokens: ArrayData): ArrayData = {
+    val ps = fields.value
+    val fanOut = fieldExamples.value
+    val need = needCounts.value
+    val idx = firstTok
+    val n = tokens.numElements()
+    epoch += 1
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    val hit = new java.util.BitSet(ps.length)
+    def fieldMatched(p: Int): Unit = {
+      val exs = fanOut(p)
+      var e = 0
+      while (e < exs.length) {
+        val ex = exs(e)
+        if (exStamp(ex) != epoch) { exStamp(ex) = epoch; exCount(ex) = 0 }
+        exCount(ex) += 1
+        if (exCount(ex) == need(ex)) out += ex
+        e += 1
+      }
+    }
+    var a = 0
+    while (a < alwaysHit.length) { hit.set(alwaysHit(a)); fieldMatched(alwaysHit(a)); a += 1 }
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val cands = idx.get(tokens.getUTF8String(t))
+        if (cands != null) {
+          var ci = 0
+          while (ci < cands.length) {
+            val p = cands(ci)
+            if (!hit.get(p)) {
+              val ph = ps(p)
+              if (t + ph.length <= n) {
+                var j = 1
+                var ok = true
+                while (ok && j < ph.length) {
+                  ok = !tokens.isNullAt(t + j) &&
+                    tokens.getUTF8String(t + j).equals(ph(j))
+                  j += 1
+                }
+                if (ok) { hit.set(p); fieldMatched(p) }
+              }
+            }
+            ci += 1
+          }
+        }
+      }
+      t += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    val boxed = new Array[Any](arr.length)
+    var b = 0
+    while (b < arr.length) { boxed(b) = arr(b); b += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    matched(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiExamples", this,
+      classOf[MultiExamplesMatched].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matched($c);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case e: MultiExamplesMatched =>
+      (this eq e) || (child == e.child && fields.id == e.fields.id &&
+        fieldExamples.id == e.fieldExamples.id && needCounts.id == e.needCounts.id)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[MultiExamplesMatched], child,
+      java.lang.Long.valueOf(fields.id))
+
+  protected override def withNewChildInternal(newChild: Expression): MultiExamplesMatched =
+    copy(child = newChild)
+}

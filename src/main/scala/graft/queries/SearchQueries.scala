@@ -426,6 +426,24 @@ object SearchQueries extends QueryPack {
         heuristic = "mi")
     }),
 
+    // paired contamination at BATTERY scale: >WidePhraseGate examples
+    // route through the MultiExamplesMatched kernel — one walk of each
+    // document over the distinct field set with a field→example fan-out,
+    // instead of one conjunction column per example. Examples are
+    // (3-token, 2-token) corpus prefixes ordered (q, a) so example_id is
+    // deterministic and the oracle can replay it with a row_number
+    "e36_paired_wide" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val ex = d.where(col("doc_id") % 4 === 0 && size(toks) >= 5)
+        .select(concat_ws(" ", slice(toks, 1, 3)).as("q"),
+          concat_ws(" ", slice(toks, 4, 2)).as("a"))
+        .distinct().orderBy("q", "a")
+        .collect().map(r => Seq(r.getString(0), r.getString(1))).toSeq
+      Searcher.countPerExample(d, "text", ex, uax29 = false)
+        .orderBy("example_id")
+    }),
+
     // E3 at BATTERY scale: >WidePhraseGate phrases route through the
     // set-oriented MultiPhrasesFound kernel — one walk of each document
     // against a first-token index of the whole battery instead of one
@@ -780,6 +798,25 @@ object SearchQueries extends QueryPack {
         |SELECT term, fg_df, bg_df, chi2 FROM sc
         |WHERE fg_df >= 3 AND positive AND chi2 > 0
         |ORDER BY chi2 DESC, term LIMIT 15""".stripMargin,
+
+    // the example derivation replayed with a row_number over the same
+    // (q, a) order; a doc counts for an example iff BOTH fields are
+    // space-padded substrings (the conjunction semantics)
+    "e36_paired_wide" ->
+      """WITH ex AS (SELECT DISTINCT
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS q,
+        |  array_to_string(list_slice(string_split(text, ' '), 4, 5), ' ') AS a
+        | FROM documents
+        | WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 5),
+        |exi AS (SELECT q, a,
+        |  CAST(row_number() OVER (ORDER BY q, a) - 1 AS BIGINT) AS example_id
+        | FROM ex),
+        |per AS (SELECT example_id,
+        |  CAST(sum(CASE WHEN contains(' ' || text || ' ', ' ' || q || ' ')
+        |            AND contains(' ' || text || ' ', ' ' || a || ' ')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        | FROM exi LEFT JOIN documents ON true GROUP BY example_id)
+        |SELECT example_id, n_docs FROM per ORDER BY example_id""".stripMargin,
 
     // whitespace-token adjacency == space-padded substring containment
     // (the shared phrase-oracle trick); the battery CTE replays the

@@ -289,6 +289,8 @@ object Searcher {
       return Seq.empty[(Long, Long)].toDF("example_id", "n_docs")
     require(examples.forall(_.nonEmpty),
       "each example needs at least one field phrase")
+    if (slop == 0 && examples.length > WidePhraseGate)
+      return countPerExampleWide(df, textCol, examples, uax29)
     val preds = df.select(examples.zipWithIndex.map { case (ps, i) =>
       ps.map(p => phrasePredicate(col(textCol), p, slop, uax29))
         .reduce(_ && _).cast("long").as(s"__e$i")
@@ -300,6 +302,56 @@ object Searcher {
         array(examples.indices.map(i => lit(i.toLong)): _*),
         array(examples.indices.map(i => col(s"__e$i")): _*))))
       .select(col("key").as("example_id"), col("value").as("n_docs"))
+  }
+
+  /** [[countPerExample]] for LARGE example batteries (slop=0): the
+    * DISTINCT field set is tokenized driver-side, broadcast with its
+    * field→examples fan-out, and each document is walked ONCE by
+    * [[graft.functions.expressions.MultiExamplesMatched]] — per-row cost
+    * O(len + matched-fields × fan-out) and an E-independent plan instead
+    * of one conjunction column per example. The only shuffle is the
+    * (example, count) partial aggregate. Duplicate fields within an
+    * example dedup before the cardinality compare (a duplicate conjunct
+    * is redundant in the AND), matching the per-column semantics.
+    */
+  private[graft] def countPerExampleWide(df: DataFrame, textCol: String,
+                                         examples: Seq[Seq[String]],
+                                         uax29: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def toks(p: String): Seq[String] =
+      if (uax29) graft.functions.Tokenizer.tokenize(p).toSeq
+      else p.split(" ").toSeq
+    // distinct fields keyed by TOKEN sequence (two spellings that
+    // tokenize identically are one field), per-example distinct field ids
+    val fieldIdOf = scala.collection.mutable.LinkedHashMap[Seq[String], Int]()
+    val exFields: Array[Array[Int]] = examples.iterator.map { ex =>
+      ex.map(p => fieldIdOf.getOrElseUpdate(toks(p), fieldIdOf.size))
+        .distinct.toArray
+    }.toArray
+    val fieldToks: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
+      fieldIdOf.keysIterator.map(_.map(
+        org.apache.spark.unsafe.types.UTF8String.fromString(_)).toArray).toArray
+    val fanOut: Array[Array[Int]] = {
+      val b = Array.fill(fieldToks.length)(
+        scala.collection.mutable.ArrayBuffer[Int]())
+      exFields.zipWithIndex.foreach { case (fs, e) => fs.foreach(f => b(f) += e) }
+      b.map(_.toArray)
+    }
+    val need: Array[Int] = exFields.map(_.length)
+    val sc = spark.sparkContext
+    val tokCol = if (uax29) TextFunctions.tokenize(col(textCol))
+                 else split(col(textCol), " ")
+    val matchedCol = Bridge.column(
+      graft.functions.expressions.MultiExamplesMatched(
+        Bridge.expression(tokCol), sc.broadcast(fieldToks),
+        sc.broadcast(fanOut), sc.broadcast(need)))
+    val hits = df.select(explode(matchedCol).as("__e"))
+      .groupBy("__e").agg(count(lit(1)).as("__n"))
+    broadcast(examples.indices.map(i => Tuple1(i)).toDF("__e"))
+      .join(hits, Seq("__e"), "left")
+      .select(col("__e").cast("long").as("example_id"),
+        coalesce(col("__n"), lit(0L)).as("n_docs"))
   }
 
   /** E6: random access by id and seeded random sample. */

@@ -231,6 +231,48 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(plan.contains("graft_multi_phrases"), plan.take(2000))
   }
 
+  test("wide example battery == per-example conjunctions on a randomized corpus") {
+    // countPerExampleWide (MultiExamplesMatched) must agree with the
+    // conjunction brute force per example: shared fields across examples,
+    // duplicate fields within one, zero-hit examples, null text
+    val rnd = new scala.util.Random(816)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = ((1 to 150).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def phrase() = (0 until (1 + rnd.nextInt(2)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val battery: Seq[Seq[String]] =
+      (1 to 80).map(_ => (0 until (1 + rnd.nextInt(3))).map(_ => phrase())) ++
+        Seq(Seq("a", "a"), Seq("z q", "a")) // dup conjunct; zero-hit
+    val wide = Searcher.countPerExampleWide(corpus, "text", battery,
+        uax29 = false).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    battery.zipWithIndex.foreach { case (ex, i) =>
+      val brute = corpus.where(ex.map(p =>
+        Searcher.phrasePredicate(col("text"), p, 0, uax29 = false))
+        .reduce(_ && _)).count()
+      assert(wide(i.toLong) === brute, s"example $i: $ex")
+    }
+    assert(wide.size === battery.size)
+    assert(wide(81L) === 0L) // the planted zero-hit example is reported
+  }
+
+  test("countPerExample routes wide batteries through the example kernel") {
+    val d = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val battery = (1 to 70).map(i => Seq(s"x$i", "a")) ++
+      Seq(Seq("a b", "c"), Seq("b c", "d"))
+    val got = Searcher.countPerExample(d, "text", battery, uax29 = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(70L) === 1L) // "a b" AND "c" → doc 1
+    assert(got(71L) === 1L) // "b c" AND "d" → doc 2
+    assert(got(0L) === 0L)
+    assert(got.size === battery.size)
+    val plan = Searcher.countPerExample(d, "text", battery, uax29 = false)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_multi_examples"), plan.take(2000))
+  }
+
   test("wide kernel: uax29 phrase tokenization parity and duplicate phrases") {
     val d = Seq((1L, "we saw Paris. then London")).toDF("doc_id", "text")
     val battery = Seq("Paris. then", "Paris. then", "London") ++
