@@ -124,6 +124,30 @@ object ScaleRehearsal {
         graft.search.InvertedIndex.readIndex(spark, "scale_idx"), top,
         uax29 = false).count()
     }
+    // battery-scale scan-tier contamination (the MultiPhrasesFound wide
+    // arm): an 8k-phrase battery — corpus-derived hits at two offsets
+    // plus unseen fillers, the realistic benchmark-suite mix — counted in
+    // ONE document walk per row; the only shuffle is (idx, count). The
+    // per-column shape this replaces is O(P) per row AND per plan
+    // (WideBatteryProbe: 70x at P=4096 on the UNreplicated corpus; at 8k
+    // it would not finish a rehearsal).
+    run("wide_battery_8k") {
+      val toksOf = split(col("text"), " ")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val real = Seq(1, 6).flatMap { off =>
+        base.where(size(toksOf) >= off + 4)
+          .select(concat_ws(" ", slice(toksOf, off, 5)).as("p"))
+          .distinct().collect().map(_.getString(0))
+      }.distinct.sorted
+      val battery = (real ++
+        (real.length until 8192).map(i => s"unseen battery filler $i")).take(8192)
+      // sum the counts, don't count() the frame: the zero-hit left join
+      // keys on a DISTINCT aggregate, so a bare count() lets Catalyst
+      // eliminate the join AND the corpus scan under it (measured: same
+      // 1.2 s / 39 tasks at 10x and 100x — a rehearsal of nothing)
+      graft.search.Searcher.countPerPhrase(docs, "text", battery,
+        uax29 = false).agg(sum("n_docs")).collect().head.getLong(0)
+    }
     run("ivfpq_topk") {
       graft.operators.Similarity.ivfPqKnn(emb,
         emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
