@@ -258,6 +258,101 @@ case class PhraseMatch(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+
+/** Shared machinery for the battery kernels ([[MultiPhrasesFound]],
+  * [[MultiExamplesMatched]]): a first-token hash index over the tokenized
+  * battery plus the single-pass document walk that records each DISTINCT
+  * matched phrase once. All scratch (epoch-stamped hit marks, the match
+  * buffer) is per-instance and reused across rows — no O(P) clearing and
+  * no allocation in the row loop. Expression instances are deserialized
+  * per task and evaluated single-threaded, the standard mutable-state
+  * contract for codegen'd kernels; building the index per task is O(P),
+  * negligible next to any partition's scan, and avoids a process-lifetime
+  * cache keyed by broadcast id (a leak in long-lived sessions).
+  */
+private[expressions] final class FirstTokenWalker(
+    ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]]) {
+
+  private val (firstTok, alwaysHit) = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    val always = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < ps.length) {
+      if (ps(i).length == 0) always += i
+      else {
+        var b = m.get(ps(i)(0))
+        if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); m.put(ps(i)(0), b) }
+        b += i
+      }
+      i += 1
+    }
+    val packed = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](m.size)
+    m.forEach((k, v) => packed.put(k, v.toArray))
+    (packed, always.toArray)
+  }
+
+  private val hitStamp = new Array[Long](ps.length)
+  private var epoch = 0L
+  private var matchBuf = new Array[Int](math.min(math.max(ps.length, 1), 64))
+
+  /** Indices of the phrases matched by the last [[walk]], in discovery
+    * order (empty-token phrases first, then first-occurrence order),
+    * valid in positions 0 until the returned count.
+    */
+  def matches: Array[Int] = matchBuf
+
+  /** Walk `tokens` once; record each DISTINCT matched phrase (exact
+    * adjacency) into [[matches]] and return how many matched. Stops as
+    * soon as `maxMatches` phrases have matched — pass 1 for an
+    * existence probe, `ps.length` (or more) for the full set.
+    */
+  def walk(tokens: ArrayData, maxMatches: Int): Int = {
+    epoch += 1
+    val n = tokens.numElements()
+    var matched = 0
+    def record(p: Int): Unit = {
+      hitStamp(p) = epoch
+      if (matched == matchBuf.length)
+        matchBuf = java.util.Arrays.copyOf(matchBuf, matchBuf.length * 2)
+      matchBuf(matched) = p
+      matched += 1
+    }
+    var a = 0
+    while (a < alwaysHit.length && matched < maxMatches) {
+      record(alwaysHit(a)); a += 1
+    }
+    var t = 0
+    while (t < n && matched < maxMatches) {
+      if (!tokens.isNullAt(t)) {
+        val cands = firstTok.get(tokens.getUTF8String(t))
+        if (cands != null) {
+          var ci = 0
+          while (ci < cands.length && matched < maxMatches) {
+            val p = cands(ci)
+            if (hitStamp(p) != epoch) {
+              val ph = ps(p)
+              if (t + ph.length <= n) {
+                var j = 1
+                var ok = true
+                while (ok && j < ph.length) {
+                  ok = !tokens.isNullAt(t + j) &&
+                    tokens.getUTF8String(t + j).equals(ph(j))
+                  j += 1
+                }
+                if (ok) record(p)
+              }
+            }
+            ci += 1
+          }
+        }
+      }
+      t += 1
+    }
+    matched
+  }
+}
+
 /** Set-oriented multi-phrase containment: WHICH of a broadcast battery of
   * token-sequence phrases (exact adjacency — the slop=0 semantics of
   * [[PhraseMatch]] / the reference's sliding-window compare,
@@ -278,10 +373,16 @@ case class PhraseMatch(first: Expression, second: Expression, third: Expression)
   * null input tokens → null output (the per-phrase predicate is null
   * there too); a null element inside the token array matches nothing.
   * Duplicate phrases each report their own index.
+  *
+  * `firstOnly = true` is the EXISTENCE mode for ANY-semantics filters:
+  * the walk stops at the first match and the output is a 0/1-element
+  * array — `size(...) > 0` then costs O(position of first hit) per
+  * matching row instead of a full-battery walk.
   */
 case class MultiPhrasesFound(child: Expression,
     phrases: org.apache.spark.broadcast.Broadcast[
-      Array[Array[org.apache.spark.unsafe.types.UTF8String]]])
+      Array[Array[org.apache.spark.unsafe.types.UTF8String]]],
+    firstOnly: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -293,74 +394,17 @@ case class MultiPhrasesFound(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_multi_phrases"
 
-  // first-token index over the battery, built once per deserialized task
-  // instance (O(P) — negligible next to any partition's scan): phrase
-  // indices grouped by their first token, plus the always-matched list
-  // (empty-token phrases). Rebuilding per task avoids a process-lifetime
-  // cache keyed by broadcast id (a leak in long-lived sessions).
-  @transient private lazy val (firstTok, alwaysHit) = {
-    val ps = phrases.value
-    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
-      scala.collection.mutable.ArrayBuffer[Int]]()
-    val always = scala.collection.mutable.ArrayBuffer[Int]()
-    var i = 0
-    while (i < ps.length) {
-      if (ps(i).length == 0) always += i
-      else {
-        var b = m.get(ps(i)(0))
-        if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); m.put(ps(i)(0), b) }
-        b += i
-      }
-      i += 1
-    }
-    val packed = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](m.size)
-    m.forEach((k, v) => packed.put(k, v.toArray))
-    (packed, always.toArray)
-  }
+  @transient private lazy val walker = new FirstTokenWalker(phrases.value)
 
   def found(tokens: ArrayData): ArrayData = {
-    val ps = phrases.value
-    val idx = firstTok
-    val n = tokens.numElements()
-    val hit = new java.util.BitSet(ps.length)
-    var a = 0
-    while (a < alwaysHit.length) { hit.set(alwaysHit(a)); a += 1 }
-    var remaining = ps.length - alwaysHit.length
-    var t = 0
-    while (t < n && remaining > 0) {
-      if (!tokens.isNullAt(t)) {
-        val cands = idx.get(tokens.getUTF8String(t))
-        if (cands != null) {
-          var ci = 0
-          while (ci < cands.length) {
-            val p = cands(ci)
-            if (!hit.get(p)) {
-              val ph = ps(p)
-              if (t + ph.length <= n) {
-                var j = 1
-                var ok = true
-                while (ok && j < ph.length) {
-                  ok = !tokens.isNullAt(t + j) &&
-                    tokens.getUTF8String(t + j).equals(ph(j))
-                  j += 1
-                }
-                if (ok) { hit.set(p); remaining -= 1 }
-              }
-            }
-            ci += 1
-          }
-        }
-      }
-      t += 1
-    }
-    val out = new Array[Any](hit.cardinality())
-    var o = 0
-    var p = hit.nextSetBit(0)
-    while (p >= 0) {
-      out(o) = p; o += 1
-      p = hit.nextSetBit(p + 1)
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val w = walker
+    val count = w.walk(tokens, if (firstOnly) 1 else Int.MaxValue)
+    val arr = java.util.Arrays.copyOf(w.matches, count)
+    java.util.Arrays.sort(arr)
+    val boxed = new Array[Any](count)
+    var b = 0
+    while (b < count) { boxed(b) = arr(b); b += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed)
   }
 
   protected override def nullSafeEval(input: Any): Any =
@@ -374,12 +418,13 @@ case class MultiPhrasesFound(child: Expression,
 
   override def equals(other: Any): Boolean = other match {
     case e: MultiPhrasesFound =>
-      (this eq e) || (child == e.child && phrases.id == e.phrases.id)
+      (this eq e) || (child == e.child && phrases.id == e.phrases.id &&
+        firstOnly == e.firstOnly)
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(classOf[MultiPhrasesFound], child,
-      java.lang.Long.valueOf(phrases.id))
+      java.lang.Long.valueOf(phrases.id), java.lang.Boolean.valueOf(firstOnly))
 
   protected override def withNewChildInternal(newChild: Expression): MultiPhrasesFound =
     copy(child = newChild)
@@ -390,10 +435,11 @@ case class MultiPhrasesFound(child: Expression,
   * paired contamination, wimbd/es/corpus_contamination.py:44-58: a doc
   * counts only if it contains ALL of an example's fields) — are fully
   * contained in this row's token array. One document walk over the
-  * DISTINCT field set; matched fields bump per-example counters through
-  * a field→examples fan-out index, and an example emits when its counter
-  * reaches its (distinct) field count — per-row cost
-  * O(len + matched-fields × fan-out), independent of the example count.
+  * DISTINCT field set (the shared [[FirstTokenWalker]]); matched fields
+  * bump epoch-stamped per-example counters through a field→examples
+  * fan-out index, and an example emits when its counter reaches its
+  * (distinct) field count — per-row cost O(len + matched-fields ×
+  * fan-out), independent of the example count.
   *
   * The per-example conjunction-column shape (`Searcher.countPerExample`)
   * is O(E·fields·len) per row with an E-column plan: the same wall
@@ -420,47 +466,25 @@ case class MultiExamplesMatched(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_multi_examples"
 
-  // the same per-task first-token index as MultiPhrasesFound, over the
-  // distinct FIELD battery
-  @transient private lazy val (firstTok, alwaysHit) = {
-    val ps = fields.value
-    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
-      scala.collection.mutable.ArrayBuffer[Int]]()
-    val always = scala.collection.mutable.ArrayBuffer[Int]()
-    var i = 0
-    while (i < ps.length) {
-      if (ps(i).length == 0) always += i
-      else {
-        var b = m.get(ps(i)(0))
-        if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); m.put(ps(i)(0), b) }
-        b += i
-      }
-      i += 1
-    }
-    val packed = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](m.size)
-    m.forEach((k, v) => packed.put(k, v.toArray))
-    (packed, always.toArray)
-  }
+  @transient private lazy val walker = new FirstTokenWalker(fields.value)
 
   // per-task scratch: epoch-stamped example counters — touched entries
-  // only, no O(E) clear per row. Expression instances are deserialized
-  // per task and evaluated single-threaded, the standard mutable-state
-  // contract for codegen'd kernels.
+  // only, no O(E) clear per row (same contract as the walker's scratch)
   @transient private lazy val exCount = new Array[Int](needCounts.value.length)
   @transient private lazy val exStamp = new Array[Long](needCounts.value.length)
   @transient private var epoch = 0L
 
   def matched(tokens: ArrayData): ArrayData = {
-    val ps = fields.value
     val fanOut = fieldExamples.value
     val need = needCounts.value
-    val idx = firstTok
-    val n = tokens.numElements()
+    val w = walker
     epoch += 1
+    val count = w.walk(tokens, Int.MaxValue)
+    val fieldsMatched = w.matches
     val out = scala.collection.mutable.ArrayBuffer[Int]()
-    val hit = new java.util.BitSet(ps.length)
-    def fieldMatched(p: Int): Unit = {
-      val exs = fanOut(p)
+    var i = 0
+    while (i < count) {
+      val exs = fanOut(fieldsMatched(i))
       var e = 0
       while (e < exs.length) {
         val ex = exs(e)
@@ -469,35 +493,7 @@ case class MultiExamplesMatched(child: Expression,
         if (exCount(ex) == need(ex)) out += ex
         e += 1
       }
-    }
-    var a = 0
-    while (a < alwaysHit.length) { hit.set(alwaysHit(a)); fieldMatched(alwaysHit(a)); a += 1 }
-    var t = 0
-    while (t < n) {
-      if (!tokens.isNullAt(t)) {
-        val cands = idx.get(tokens.getUTF8String(t))
-        if (cands != null) {
-          var ci = 0
-          while (ci < cands.length) {
-            val p = cands(ci)
-            if (!hit.get(p)) {
-              val ph = ps(p)
-              if (t + ph.length <= n) {
-                var j = 1
-                var ok = true
-                while (ok && j < ph.length) {
-                  ok = !tokens.isNullAt(t + j) &&
-                    tokens.getUTF8String(t + j).equals(ph(j))
-                  j += 1
-                }
-                if (ok) { hit.set(p); fieldMatched(p) }
-              }
-            }
-            ci += 1
-          }
-        }
-      }
-      t += 1
+      i += 1
     }
     val arr = out.toArray
     java.util.Arrays.sort(arr)

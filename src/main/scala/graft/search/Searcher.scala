@@ -73,9 +73,14 @@ object Searcher {
     // to distinct indices, so dedup before the cardinality compare)
     if (!isRegexp && slop == 0 && phrases.length > WidePhraseGate) {
       val distinctPhrases = phrases.distinct
-      val found = multiPhrasesFoundCol(text, distinctPhrases, uax29)
-      return if (allPhrases) size(found) === distinctPhrases.length
-             else size(found) > 0
+      // ANY only needs existence: firstOnly stops the walk at the first
+      // hit, so a matching row costs O(position of first hit), not a
+      // full-battery walk
+      return if (allPhrases)
+        size(multiPhrasesFoundCol(text, distinctPhrases, uax29)) ===
+          distinctPhrases.length
+      else size(multiPhrasesFoundCol(text, distinctPhrases, uax29,
+        firstOnly = true)) > 0
     }
     val preds = phrases.map { p =>
       if (isRegexp) text.rlike("(?i)" + p) // ES regexp mode is case-insensitive (:108-117)
@@ -145,31 +150,23 @@ object Searcher {
     }: _*)
     val aggs = phrases.indices.map(i => coalesce(sum(col(s"__p$i")), lit(0L)).as(s"__p$i"))
     val sums = preds.agg(aggs.head, aggs.tail: _*)
-    sums.select(explode(map_from_arrays(
-        array(phrases.map(lit): _*),
-        array(phrases.indices.map(i => col(s"__p$i")): _*))))
-      .select(col("key").as("phrase"), col("value").as("n_docs"))
+    // inline over (phrase, count) structs, not map_from_arrays: a map
+    // would RAISE on a duplicate input phrase here while the wide arm
+    // reports one row per input — the gate must not be a behavior cliff
+    sums.select(inline(array(phrases.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("phrase"), col(s"__p$i").as("n_docs")) }: _*)))
   }
 
-  /** [[countPerPhrase]] for LARGE phrase batteries (slop=0): phrases are
-    * tokenized driver-side through the same tokenizer as the documents
-    * (the [[phrasePredicate]] contract), broadcast once, and each
-    * document is walked ONCE by the
-    * [[graft.functions.expressions.MultiPhrasesFound]] kernel against a
-    * first-token index of the battery — O(len) per row instead of O(P·len),
-    * and a P-independent plan. The only shuffle is the (index, count)
-    * partial aggregate: ≤ P rows per partition, never document text.
-    * Duplicate phrases each report the shared count (the per-column shape
-    * raises on duplicate map keys — this path is strictly more tolerant).
-    */
   /** The [[graft.functions.expressions.MultiPhrasesFound]] kernel as a
     * Column: battery tokenized driver-side with the DOCUMENT tokenizer
     * (the [[phrasePredicate]] contract) and broadcast once. Shared by the
     * wide arms of [[countPerPhrase]] and [[combined]]; the active
-    * SparkSession supplies the broadcast context.
+    * SparkSession supplies the broadcast context. `firstOnly` is the
+    * kernel's existence mode (ANY filters: stop at the first hit).
     */
   private def multiPhrasesFoundCol(text: Column, phrases: Seq[String],
-                                   uax29: Boolean): Column = {
+                                   uax29: Boolean,
+                                   firstOnly: Boolean = false): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val phraseToks: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
       phrases.iterator.map { p =>
@@ -181,9 +178,20 @@ object Searcher {
     val bc = spark.sparkContext.broadcast(phraseToks)
     val toks = if (uax29) TextFunctions.tokenize(text) else split(text, " ")
     Bridge.column(graft.functions.expressions.MultiPhrasesFound(
-      Bridge.expression(toks), bc))
+      Bridge.expression(toks), bc, firstOnly))
   }
 
+  /** [[countPerPhrase]] for LARGE phrase batteries (slop=0): phrases are
+    * tokenized driver-side through the same tokenizer as the documents
+    * (the [[phrasePredicate]] contract), broadcast once, and each
+    * document is walked ONCE by the
+    * [[graft.functions.expressions.MultiPhrasesFound]] kernel against a
+    * first-token index of the battery — O(len) per row instead of O(P·len),
+    * and a P-independent plan. The only shuffle is the (index, count)
+    * partial aggregate: ≤ P rows per partition, never document text.
+    * Duplicate phrases each report the shared count, like the per-column
+    * arm's one row per input phrase.
+    */
   private[graft] def countPerPhraseWide(df: DataFrame, textCol: String,
                                         phrases: Seq[String],
                                         uax29: Boolean = true): DataFrame = {

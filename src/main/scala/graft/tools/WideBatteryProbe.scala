@@ -30,6 +30,8 @@ object WideBatteryProbe {
     val all = d.where(size(toks) >= 5)
       .select(concat_ws(" ", slice(toks, 1, 5)).as("p"))
       .distinct().collect().map(_.getString(0)).sorted
+    require(all.nonEmpty, s"$sfDir/documents.parquet yields no 5-token " +
+      "prefixes — the battery builder below would loop forever")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); val n = f
       require(n >= 0); (System.nanoTime() - t0) / 1e9

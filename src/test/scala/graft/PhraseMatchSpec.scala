@@ -231,6 +231,39 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(plan.contains("graft_multi_phrases"), plan.take(2000))
   }
 
+  test("duplicate phrases behave identically on both sides of the gate") {
+    // the per-column arm used map_from_arrays, which RAISED on duplicate
+    // input phrases while the wide arm reported one row per input — the
+    // gate must not be a behavior cliff
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val small = Searcher.countPerPhrase(d, "text", Seq("a b", "a b", "zz"),
+        uax29 = false).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(small.count(_ == ("a b", 1L)) === 2)
+    assert(small.contains(("zz", 0L)) && small.size === 3)
+    val wide = Searcher.countPerPhrase(d, "text",
+        Seq("a b", "a b", "zz") ++ (1 to 65).map(i => s"w$i"),
+        uax29 = false).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(wide.count(_ == ("a b", 1L)) === 2)
+    assert(wide.contains(("zz", 0L)) && wide.size === 68)
+  }
+
+  test("wide ANY existence mode == full-walk ANY on a randomized corpus") {
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (1 to 120).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(8)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val battery = (1 to 70).map(_ => (0 until (1 + rnd.nextInt(2)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")).distinct
+    val any = Searcher.countContaining(corpus, "text", battery,
+      allPhrases = false, uax29 = false).collect().head.getLong(0)
+    val brute = corpus.where(battery.map(p =>
+      Searcher.phrasePredicate(col("text"), p, 0, uax29 = false))
+      .reduce(_ || _)).count()
+    assert(any === brute)
+  }
+
   test("wide example battery == per-example conjunctions on a randomized corpus") {
     // countPerExampleWide (MultiExamplesMatched) must agree with the
     // conjunction brute force per example: shared fields across examples,
