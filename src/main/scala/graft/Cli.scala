@@ -93,7 +93,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5", "--broadcast")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5", "--broadcast", "--per-phrase")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -362,7 +362,7 @@ object Cli {
     textProjections(Corpus.readJsonl(spark, paths), fixMojibake, analyze)
 
   def main(argv: Array[String]): Unit = {
-    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate|ingest|fetch> PATH... [flags]")
+    require(argv.nonEmpty, "usage: graft.Cli <topk|botk|count|search|stats|unique|dedup|decontaminate|contaminate|diff|report|domains|grep|langid|index|vocab|sample|consolidate|ingest|fetch> PATH... [flags]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -682,6 +682,64 @@ object Cli {
               ranked = false)
         }
         }
+      // contamination AUDIT (the measurement half of `decontaminate` —
+      // reference wimbd/es/corpus_contamination.py and the contamination
+      // runner scripts): how much of a benchmark appears in the corpus,
+      // WITHOUT rewriting anything. --bench PATH... is the benchmark
+      // JSONL; phrases come from its --field column (default text);
+      // --fields a,b[,c...] switches to PAIRED examples (a doc counts
+      // only if it holds ALL of one row's fields together); --templates
+      // FILE.tsv renders promptsource-style {{field}} templates against
+      // the benchmark rows (all templates of the shared frame render in
+      // ONE pass); --per-phrase emits the per-phrase count rows instead
+      // of the summary card. Batteries beyond 64 phrases route through
+      // the MultiPhrases kernels, so a full-benchmark audit is one
+      // document walk however many prompts the benchmark renders.
+      case "contaminate" =>
+        require(flagAll("--bench").nonEmpty, "contaminate needs --bench PATH...")
+        // the benchmark's OWN schema (q/a/... example fields live outside
+        // the corpus schema readSecondary pins); the analyzer/mojibake
+        // projections still fold its text column when one exists
+        val benchRaw = spark.read.json(flagAll("--bench"): _*)
+        val bench = if (benchRaw.columns.contains("text"))
+          textProjections(benchRaw, fixMoji, analyzed) else benchRaw
+        val slop = intFlag("--slop", 0)
+        val benchCap = search.PromptTemplates.MaxRenderedPrompts
+        def gatherBench(cols: Seq[String]): Seq[Seq[String]] = {
+          val rows = bench
+            .select(cols.map(c => col(c).cast("string")): _*)
+            .na.drop("all", cols)
+            .limit(benchCap + 1).collect()
+          require(rows.length <= benchCap, s"contaminate: benchmark " +
+            s"exceeds $benchCap rows — benchmark corpora must be " +
+            "benchmark-sized (they broadcast into the corpus scan)")
+          rows.map(r => cols.indices.map(i =>
+            Option(r.getString(i)).getOrElse("")).toSeq).toSeq
+        }
+        val report = flag("--templates") match {
+          case Some(tsv) =>
+            val tpls = search.PromptTemplates.parseTsvFile(spark, tsv)
+            require(tpls.nonEmpty, s"no templates parsed from $tsv")
+            search.PromptTemplates.contaminationFromTemplates(docs, "text",
+              tpls.map(_ -> bench), slop, uax29 = uax).orderBy("benchmark")
+          case None => flag("--fields") match {
+            case Some(fs) =>
+              val names = fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              require(names.length >= 2,
+                "--fields wants 2+ comma-separated benchmark columns")
+              search.Searcher.pairedContamination(docs, "text",
+                gatherBench(names), slop, uax29 = uax)
+            case None =>
+              val phrases =
+                gatherBench(Seq(flag("--field").getOrElse("text"))).map(_.head)
+              if (a.flags.contains("--per-phrase"))
+                search.Searcher.countPerPhrase(docs, "text", phrases, slop,
+                  uax29 = uax).orderBy("phrase")
+              else search.Searcher.contamination(docs, "text", phrases, slop,
+                uax29 = uax)
+          }
+        }
+        deliver(report, ranked = false)
       // the "what's in my big data" report card (counts, size, dup rate,
       // language mix) — the paper's per-corpus table from the CLI
       case "report" =>
