@@ -470,6 +470,29 @@ class PlanPropertySpec extends SparkTestBase {
       p.contains("In(source"), p)
   }
 
+  test("wide battery plans: one idx-count exchange, kernel in the scan, no text shuffled") {
+    import graft.search.Searcher
+    val battery = (1 to 70).map(i => s"w$i phrase")
+    val wide = Searcher.countPerPhrase(docs, "text", battery, uax29 = false)
+    val p = plan(wide)
+    // exactly ONE real exchange — the (idx, count) partial aggregate;
+    // the phrase table joins back as a BroadcastExchange
+    assert(shuffles(wide) === 1, p)
+    assert(p.contains("graft_multi_phrases"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the exchange carries the matched index, never document text
+    val exchangeLine = p.linesIterator
+      .find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(exchangeLine.contains("__idx") && !exchangeLine.contains("text"),
+      exchangeLine)
+    // the example kernel keeps the same shape
+    val ew = Searcher.countPerExample(docs, "text",
+      (1 to 70).map(i => Seq(s"x$i", "a")), uax29 = false)
+    val ep = plan(ew)
+    assert(shuffles(ew) === 1, ep)
+    assert(ep.contains("graft_multi_examples"), ep)
+  }
+
   test("paired/analyzed scan families: predicates fold map-side, zero shuffle") {
     import graft.search.Searcher
     val pc = Searcher.countPerExample(docs, "text",
