@@ -78,6 +78,34 @@ object GraftExtensions {
       s"$what must be a boolean literal, got $other")
   }
 
+  /** A foldable array<array<string>> battery (phrase token arrays, the
+    * [[graft.functions.expressions.PhraseMatch]] phrase_tokens contract)
+    * evaluated at analysis time and broadcast once — the SQL door into
+    * the [[graft.functions.expressions.MultiPhrasesFound]] kernel. A
+    * phrase containing a NULL token can never match (same as the
+    * two-arg predicate); a NULL phrase entry is rejected here.
+    */
+  private def batteryLit(e: Expression): org.apache.spark.broadcast.Broadcast[
+      Array[Array[org.apache.spark.unsafe.types.UTF8String]]] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _), _) => true
+      case _ => false
+    })
+    require(ok,
+      s"battery must be a foldable array<array<string>> of phrase token arrays, got $e")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ps = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"battery entry $i is null — every phrase " +
+        "must be a token array (possibly empty)")
+      val inner = arr.getArray(i)
+      (0 until inner.numElements()).map(j =>
+        if (inner.isNullAt(j)) null else inner.getUTF8String(j)).toArray
+    }.toArray
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(ps)
+  }
+
   private val functions: Seq[(String, String, FunctionBuilder)] = Seq(
     ("graft_tokenize", "UAX-29 word tokenization (whitespace dropped)",
       (args: Seq[Expression]) => Tokenize(args.head)),
@@ -104,6 +132,10 @@ object GraftExtensions {
         intLit(args(1), "dim"), boolLit(args(2), "md5_parity"))),
     ("graft_count_seq", "graft_count_seq(tokens, phrase_tokens): sliding-window occurrence count",
       (args: Seq[Expression]) => CountTokenSeq(args(0), args(1))),
+    ("graft_multi_phrases",
+      "graft_multi_phrases(tokens, battery[, first_only]): ascending DISTINCT indices of the literal array<array<string>> battery's phrases contained in tokens (exact adjacency); first_only=true stops at the first hit (existence probes)",
+      (args: Seq[Expression]) => MultiPhrasesFound(args(0), batteryLit(args(1)),
+        if (args.length > 2) boolLit(args(2), "first_only") else false)),
     ("graft_term_postings",
       "graft_term_postings(tokens): per-doc inverted-index rows (term, positions)",
       (args: Seq[Expression]) => TermPostings(args.head)),

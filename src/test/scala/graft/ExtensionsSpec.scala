@@ -78,6 +78,27 @@ class ExtensionsSpec extends SparkTestBase {
     both.foreach(r => assert(r.getInt(0) === r.getInt(1), r))
   }
 
+  test("graft_multi_phrases: literal battery from SQL, both modes") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_multi_phrases(array('a','b','c'),
+        |  array(array('a','b'), array('zz'), array('b','c'), array())) AS m""".stripMargin)
+      .collect().head.getSeq[Int](0)
+    // phrase 3 (empty token array) matches every document; zz does not
+    assert(got === Seq(0, 2, 3))
+    val one = spark.sql(
+      """SELECT size(graft_multi_phrases(array('a','b'),
+        |  array(array('zz'), array('a'), array('b')), true)) AS n""".stripMargin)
+      .collect().head.getInt(0)
+    assert(one === 1) // existence mode stops at the first hit
+    // non-literal battery fails analysis with the named contract
+    val e = intercept[Exception] {
+      spark.sql("""SELECT graft_multi_phrases(array('a'), array(array(rand()))) AS m""")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable array<array<string>>"), e.getMessage)
+  }
+
   test("optimizer rule rewrites size(array_intersect) to graft_intersect_size") {
     import spark.implicits._
     // non-literal source, or constant folding evaluates the whole thing
