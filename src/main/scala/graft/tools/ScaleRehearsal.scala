@@ -148,6 +148,22 @@ object ScaleRehearsal {
       graft.search.Searcher.countPerPhrase(docs, "text", battery,
         uax29 = false).agg(sum("n_docs")).collect().head.getLong(0)
     }
+    // the conjunction sibling at the same scale: 4,096 (q, a) examples —
+    // 3-token + 2-token corpus prefixes — through MultiExamplesMatched
+    // (one walk over the distinct FIELD set + the fan-out counters)
+    run("wide_paired_4k") {
+      val toksOf = split(col("text"), " ")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val real = base.where(size(toksOf) >= 5)
+        .select(concat_ws(" ", slice(toksOf, 1, 3)).as("q"),
+          concat_ws(" ", slice(toksOf, 4, 2)).as("a"))
+        .distinct().collect().map(r => Seq(r.getString(0), r.getString(1)))
+      val examples = (real.toSeq ++
+        (real.length until 4096).map(i => Seq(s"unseen q$i", s"unseen a$i")))
+        .take(4096)
+      graft.search.Searcher.countPerExample(docs, "text", examples,
+        uax29 = false).agg(sum("n_docs")).collect().head.getLong(0)
+    }
     run("ivfpq_topk") {
       graft.operators.Similarity.ivfPqKnn(emb,
         emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
