@@ -706,6 +706,10 @@ object Cli {
         val slop = intFlag("--slop", 0)
         val benchCap = search.PromptTemplates.MaxRenderedPrompts
         def gatherBench(cols: Seq[String]): Seq[Seq[String]] = {
+          cols.foreach(c => require(bench.columns.contains(c),
+            s"contaminate: benchmark has no '$c' column (an empty JSONL " +
+              s"infers no schema; present columns: " +
+              s"${bench.columns.mkString(", ")})"))
           val rows = bench
             .select(cols.map(c => col(c).cast("string")): _*)
             .na.drop("all", cols)

@@ -227,9 +227,13 @@ object Searcher {
   def contamination(df: DataFrame, textCol: String, phrases: Seq[String],
                     slop: Int = 0, uax29: Boolean = true): DataFrame = {
     val per = countPerPhrase(df, textCol, phrases, slop, uax29)
+    // coalesce: an EMPTY benchmark reports (0, 0, 0.0), not nulls (sum
+    // and avg over zero rows are null)
     per.agg(count(lit(1)).as("n_phrases"),
-      sum(when(col("n_docs") > 0, 1L).otherwise(0L)).cast("long").as("n_contaminated"),
-      round(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)), 6).as("pct"))
+      coalesce(sum(when(col("n_docs") > 0, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_contaminated"),
+      round(coalesce(avg(when(col("n_docs") > 0, 1.0).otherwise(0.0)),
+        lit(0.0)), 6).as("pct"))
   }
 
   /** The reference's batch contamination driver (runs/p3_contamination.py

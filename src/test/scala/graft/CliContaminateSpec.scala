@@ -79,6 +79,25 @@ class CliContaminateSpec extends SparkTestBase {
     assert(rows === Set(("hit", 1L), ("miss", 0L)))
   }
 
+  test("empty benchmark: summary reports zeros; missing column fails loudly") {
+    val root = fresh()
+    val corpus = writeJsonl(root, "corpus.jsonl", Seq("""{"text":"alpha"}"""))
+    // a benchmark whose rows all lack text values → zero phrases, zero
+    // contamination, never nulls
+    val bench = writeJsonl(root, "bench.jsonl", Seq("""{"other":"x"}"""))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+        "--out", s"$root/out", "--force"))
+    }
+    assert(e.getMessage.contains("no 'text' column"), e.getMessage)
+    // present column but all-null values → (0, 0, 0.0) card
+    val bench2 = writeJsonl(root, "bench2.jsonl", Seq("""{"text":null}"""))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench2,
+      "--out", s"$root/out2", "--force"))
+    val row = readOut(s"$root/out2").head
+    assert(row("n_phrases") === 0L && row("n_contaminated") === 0L)
+  }
+
   test("missing --bench fails loudly") {
     val e = intercept[IllegalArgumentException] {
       Cli.run(spark, Array("contaminate", "/nonexistent/*.jsonl"))
