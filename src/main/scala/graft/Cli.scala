@@ -32,6 +32,14 @@ import graft.sources.Corpus
   *     [--follow DIR [--threshold J]]   // incremental: each invocation
   *                                      // decontaminates only NEW shards
   *                                      // (checkpoint DIR/ckpt → DIR/data)
+  *   runMain graft.Cli contaminate PATH... --bench PATH [--out DIR]
+  *     [--field COL]                    // phrase column (default text)
+  *     [--per-phrase]                   // per-phrase count rows, not the card
+  *     [--fields q,a]                   // PAIRED examples: a doc counts only
+  *                                      // holding ALL of a row's fields
+  *     [--templates FILE.tsv]           // promptsource {{field}} templates
+  *                                      // rendered against the bench rows
+  *     [--slop N]                       // per-column plan — capped at 512
   *   runMain graft.Cli diff NEW_PATH... --old OLD_PATH [--docs] [--out DIR]
   *     [--divergence [--terms K]]       // distribution drift (KL/JS)
   *   runMain graft.Cli index PATH... [--table T] [--search P]...
@@ -692,50 +700,91 @@ object Cli {
       // FILE.tsv renders promptsource-style {{field}} templates against
       // the benchmark rows (all templates of the shared frame render in
       // ONE pass); --per-phrase emits the per-phrase count rows instead
-      // of the summary card. Batteries beyond 64 phrases route through
-      // the MultiPhrases kernels, so a full-benchmark audit is one
-      // document walk however many prompts the benchmark renders.
+      // of the summary card. Benchmark rows with a null or empty value in
+      // any used field are EXCLUDED (an empty phrase would match every
+      // document). Batteries beyond 64 phrases route through the
+      // MultiPhrases kernels at slop=0, so a full-benchmark audit is one
+      // document walk; --slop > 0 forces the per-column plan and is
+      // therefore capped at 512 phrases/examples.
       case "contaminate" =>
         require(flagAll("--bench").nonEmpty, "contaminate needs --bench PATH...")
+        require(flag("--templates").isEmpty ||
+          (flag("--fields").isEmpty && flag("--field").isEmpty &&
+            !a.flags.contains("--per-phrase")),
+          "--templates does not compose with --field/--fields/--per-phrase")
+        require(flag("--fields").isEmpty ||
+          (flag("--field").isEmpty && !a.flags.contains("--per-phrase")),
+          "--fields does not compose with --field/--per-phrase")
         // the benchmark's OWN schema (q/a/... example fields live outside
         // the corpus schema readSecondary pins); the analyzer/mojibake
-        // projections still fold its text column when one exists
+        // projections still fold its text column when one exists, and
+        // foldQuery re-folds every gathered/rendered phrase so non-text
+        // fields and template literal segments compare analyzed-vs-
+        // analyzed too (the analyzer is idempotent, so text-column values
+        // folding twice is harmless)
         val benchRaw = spark.read.json(flagAll("--bench"): _*)
         val bench = if (benchRaw.columns.contains("text"))
           textProjections(benchRaw, fixMoji, analyzed) else benchRaw
         val slop = intFlag("--slop", 0)
         val benchCap = search.PromptTemplates.MaxRenderedPrompts
+        val slopCap = 512
+        def requireSlopSized(n: Int): Unit =
+          require(slop == 0 || n <= slopCap, s"contaminate: --slop $slop " +
+            s"runs the per-column plan (one predicate per phrase) — " +
+            s"capped at $slopCap phrases/examples, got $n; drop --slop " +
+            "for battery-scale benchmarks (the one-walk kernel is slop=0)")
         def gatherBench(cols: Seq[String]): Seq[Seq[String]] = {
           cols.foreach(c => require(bench.columns.contains(c),
             s"contaminate: benchmark has no '$c' column (an empty JSONL " +
               s"infers no schema; present columns: " +
               s"${bench.columns.mkString(", ")})"))
+          val used = cols.map(c => trim(col(c).cast("string")))
           val rows = bench
-            .select(cols.map(c => col(c).cast("string")): _*)
-            .na.drop("all", cols)
+            .select(used: _*)
+            // a null/empty field would probe as the match-everything
+            // empty phrase (single) or silently weaken the ALL-fields
+            // conjunction (paired) — exclude the row
+            .where(used.map(c => c.isNotNull && length(c) > 0).reduce(_ && _))
             .limit(benchCap + 1).collect()
           require(rows.length <= benchCap, s"contaminate: benchmark " +
             s"exceeds $benchCap rows — benchmark corpora must be " +
             "benchmark-sized (they broadcast into the corpus scan)")
-          rows.map(r => cols.indices.map(i =>
-            Option(r.getString(i)).getOrElse("")).toSeq).toSeq
+          rows.map(r => cols.indices.map(i => foldQuery(r.getString(i))).toSeq)
+            .toSeq
         }
         val report = flag("--templates") match {
           case Some(tsv) =>
             val tpls = search.PromptTemplates.parseTsvFile(spark, tsv)
             require(tpls.nonEmpty, s"no templates parsed from $tsv")
             search.PromptTemplates.contaminationFromTemplates(docs, "text",
-              tpls.map(_ -> bench), slop, uax29 = uax).orderBy("benchmark")
+              tpls.map(_ -> bench), slop, uax29 = uax,
+              foldPhrase = foldQuery).orderBy("benchmark")
           case None => flag("--fields") match {
             case Some(fs) =>
               val names = fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
               require(names.length >= 2,
                 "--fields wants 2+ comma-separated benchmark columns")
-              search.Searcher.pairedContamination(docs, "text",
-                gatherBench(names), slop, uax29 = uax)
+              val examples = gatherBench(names)
+              requireSlopSized(examples.length)
+              if (examples.isEmpty)
+                // the LIBRARY contract is an empty frame on both tiers
+                // (spec-pinned); the CLI card stays one-row like the
+                // single-field path
+                spark.createDataFrame(java.util.Arrays.asList(
+                  org.apache.spark.sql.Row(0L, 0L, 0.0)),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("n_examples",
+                      org.apache.spark.sql.types.LongType, false),
+                    org.apache.spark.sql.types.StructField("n_contaminated",
+                      org.apache.spark.sql.types.LongType, false),
+                    org.apache.spark.sql.types.StructField("pct",
+                      org.apache.spark.sql.types.DoubleType, false))))
+              else search.Searcher.pairedContamination(docs, "text",
+                examples, slop, uax29 = uax)
             case None =>
               val phrases =
                 gatherBench(Seq(flag("--field").getOrElse("text"))).map(_.head)
+              requireSlopSized(phrases.length)
               if (a.flags.contains("--per-phrase"))
                 search.Searcher.countPerPhrase(docs, "text", phrases, slop,
                   uax29 = uax).orderBy("phrase")

@@ -92,10 +92,17 @@ object PromptTemplates {
     * follows template order, so the phrase list is identical to the
     * one-collect-per-template formulation.
     */
+  /** `foldPhrase` runs over every RENDERED prompt before it probes the
+    * corpus — the hook for analyzer parity when the corpus side is an
+    * analyzed projection (template literal segments and non-text fields
+    * never pass through the corpus reader's projections, so the caller
+    * must fold the rendered result, not the inputs).
+    */
   def contaminationFromTemplates(corpus: DataFrame, textCol: String,
                                  benches: Seq[(PromptTemplate, DataFrame)],
                                  slop: Int = 0, uax29: Boolean = true,
-                                 maxPrompts: Int = MaxRenderedPrompts): DataFrame = {
+                                 maxPrompts: Int = MaxRenderedPrompts,
+                                 foldPhrase: String => String = identity): DataFrame = {
     // group by frame IDENTITY (same DataFrame object reused across
     // templates), preserving first-appearance frame order and per-frame
     // template order — the flatMap emission order of the old shape
@@ -115,7 +122,7 @@ object PromptTemplates {
           s"${ts.length} template(s) for ${ts.map(_.name).mkString(", ")}")
       budget -= rows.length * ts.length
       ts.zipWithIndex.flatMap { case (t, i) =>
-        rows.map(r => (t.name, r.getString(i))) }
+        rows.map(r => (t.name, foldPhrase(r.getString(i)))) }
     }.toSeq
     Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop, uax29)
   }

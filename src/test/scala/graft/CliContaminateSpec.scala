@@ -104,4 +104,51 @@ class CliContaminateSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("--bench"))
   }
+
+  test("--analyzed folds benchmark fields like the corpus side") {
+    val root = fresh()
+    val corpus = writeJsonl(root, "corpus.jsonl", Seq(
+      """{"text":"Hello, World! end"}"""))
+    // raw field value differs in case and punctuation — only the analyzer
+    // fold on BOTH sides makes it match
+    val bench = writeJsonl(root, "bench.jsonl", Seq("""{"q":"hello WORLD"}"""))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+      "--field", "q", "--analyzed", "--out", s"$root/out", "--force"))
+    val row = readOut(s"$root/out").head
+    assert(row("n_contaminated") === 1L, row)
+  }
+
+  test("paired rows with a null/empty field are excluded; all-excluded zero card") {
+    val root = fresh()
+    val corpus = writeJsonl(root, "corpus.jsonl", Seq("""{"text":"alpha beta"}"""))
+    val bench = writeJsonl(root, "bench.jsonl", Seq(
+      """{"q":"alpha","a":null}""", """{"q":"","a":"beta"}"""))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+      "--fields", "q,a", "--out", s"$root/out", "--force"))
+    val row = readOut(s"$root/out").head
+    // both rows excluded (null a; empty q) → the zero card, one row, no
+    // degraded single-field probes
+    assert(row("n_examples") === 0L && row("n_contaminated") === 0L)
+  }
+
+  test("conflicting modes and the slop phrase cap fail loudly") {
+    val root = fresh()
+    val corpus = writeJsonl(root, "corpus.jsonl", Seq("""{"text":"alpha"}"""))
+    val bench = writeJsonl(root, "bench.jsonl", Seq("""{"text":"alpha"}"""))
+    val tsv = s"$root/t.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tsv),
+      "d\t\t{{text}}\n".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+        "--templates", tsv, "--per-phrase"))
+    }
+    assert(e1.getMessage.contains("does not compose"))
+    val big = writeJsonl(root, "big.jsonl",
+      (1 to 520).map(i => s"""{"text":"w$i phrase"}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("contaminate", corpus, "--bench", big,
+        "--slop", "1", "--out", s"$root/o2", "--force"))
+    }
+    assert(e2.getMessage.contains("capped at 512"), e2.getMessage)
+  }
 }
