@@ -39,7 +39,7 @@ import graft.sources.Corpus
   *                                      // holding ALL of a row's fields
   *     [--templates FILE.tsv]           // promptsource {{field}} templates
   *                                      // rendered against the bench rows
-  *     [--slop N]                       // per-column plan — capped at 512
+  *     [--slop N]                       // insertion-budget slop (battery-scale)
   *   runMain graft.Cli diff NEW_PATH... --old OLD_PATH [--docs] [--out DIR]
   *     [--divergence [--terms K]]       // distribution drift (KL/JS)
   *   runMain graft.Cli index PATH... [--table T] [--search P]...
@@ -704,8 +704,8 @@ object Cli {
       // any used field are EXCLUDED (an empty phrase would match every
       // document). Batteries beyond 64 phrases route through the
       // MultiPhrases kernels at slop=0, so a full-benchmark audit is one
-      // document walk; --slop > 0 forces the per-column plan and is
-      // therefore capped at 512 phrases/examples.
+      // document walk at ANY slop (the kernels anchor candidates on the
+      // first phrase token, which slop never relaxes).
       case "contaminate" =>
         require(flagAll("--bench").nonEmpty, "contaminate needs --bench PATH...")
         require(flag("--templates").isEmpty ||
@@ -727,12 +727,6 @@ object Cli {
           textProjections(benchRaw, fixMoji, analyzed) else benchRaw
         val slop = intFlag("--slop", 0)
         val benchCap = search.PromptTemplates.MaxRenderedPrompts
-        val slopCap = 512
-        def requireSlopSized(n: Int): Unit =
-          require(slop == 0 || n <= slopCap, s"contaminate: --slop $slop " +
-            s"runs the per-column plan (one predicate per phrase) — " +
-            s"capped at $slopCap phrases/examples, got $n; drop --slop " +
-            "for battery-scale benchmarks (the one-walk kernel is slop=0)")
         def gatherBench(cols: Seq[String]): Seq[Seq[String]] = {
           cols.foreach(c => require(bench.columns.contains(c),
             s"contaminate: benchmark has no '$c' column (an empty JSONL " +
@@ -765,7 +759,6 @@ object Cli {
               require(names.length >= 2,
                 "--fields wants 2+ comma-separated benchmark columns")
               val examples = gatherBench(names)
-              requireSlopSized(examples.length)
               if (examples.isEmpty)
                 // the LIBRARY contract is an empty frame on both tiers
                 // (spec-pinned); the CLI card stays one-row like the
@@ -784,7 +777,6 @@ object Cli {
             case None =>
               val phrases =
                 gatherBench(Seq(flag("--field").getOrElse("text"))).map(_.head)
-              requireSlopSized(phrases.length)
               if (a.flags.contains("--per-phrase"))
                 search.Searcher.countPerPhrase(docs, "text", phrases, slop,
                   uax29 = uax).orderBy("phrase")

@@ -133,9 +133,10 @@ object GraftExtensions {
     ("graft_count_seq", "graft_count_seq(tokens, phrase_tokens): sliding-window occurrence count",
       (args: Seq[Expression]) => CountTokenSeq(args(0), args(1))),
     ("graft_multi_phrases",
-      "graft_multi_phrases(tokens, battery[, first_only]): ascending DISTINCT indices of the literal array<array<string>> battery's phrases contained in tokens (exact adjacency); first_only=true stops at the first hit (existence probes)",
+      "graft_multi_phrases(tokens, battery[, first_only[, slop]]): ascending DISTINCT indices of the literal array<array<string>> battery's phrases contained in tokens (insertion-budget slop, 0 = exact adjacency); first_only=true stops at the first hit (existence probes)",
       (args: Seq[Expression]) => MultiPhrasesFound(args(0), batteryLit(args(1)),
-        if (args.length > 2) boolLit(args(2), "first_only") else false)),
+        if (args.length > 2) boolLit(args(2), "first_only") else false,
+        if (args.length > 3) intLit(args(3), "slop") else 0)),
     ("graft_term_postings",
       "graft_term_postings(tokens): per-doc inverted-index rows (term, positions)",
       (args: Seq[Expression]) => TermPostings(args.head)),

@@ -302,12 +302,39 @@ private[expressions] final class FirstTokenWalker(
     */
   def matches: Array[Int] = matchBuf
 
-  /** Walk `tokens` once; record each DISTINCT matched phrase (exact
-    * adjacency) into [[matches]] and return how many matched. Stops as
+  /** The [[PhraseMatchKernel.matches]] insertion-budget matcher anchored
+    * at `start` (whose token already equals `ph(0)`), over an
+    * Array[UTF8String] phrase: phrase tokens in order, TOTAL inserted
+    * tokens between consecutive phrase tokens ≤ budget. Null document
+    * tokens match nothing (the walker's contract).
+    */
+  private def sloppyFrom(tokens: ArrayData, ph: Array[org.apache.spark.unsafe.types.UTF8String],
+                         start: Int, slop: Int): Boolean = {
+    val n = tokens.numElements()
+    def rec(ti: Int, pi: Int, budget: Int): Boolean = {
+      if (pi == ph.length) return true
+      var gap = 0
+      while (gap <= budget && ti + gap < n) {
+        if (!tokens.isNullAt(ti + gap) &&
+          tokens.getUTF8String(ti + gap).equals(ph(pi)) &&
+          rec(ti + gap + 1, pi + 1, budget - gap)) return true
+        gap += 1
+      }
+      false
+    }
+    rec(start + 1, 1, slop)
+  }
+
+  /** Walk `tokens` once; record each DISTINCT matched phrase into
+    * [[matches]] and return how many matched. `slop` is the
+    * [[PhraseMatchKernel.matches]] insertion budget (0 = exact
+    * adjacency); the first phrase token always anchors the candidate
+    * lookup — slop buys gaps BETWEEN tokens, not before the first, so
+    * the first-token index prunes identically at every slop. Stops as
     * soon as `maxMatches` phrases have matched — pass 1 for an
     * existence probe, `ps.length` (or more) for the full set.
     */
-  def walk(tokens: ArrayData, maxMatches: Int): Int = {
+  def walk(tokens: ArrayData, maxMatches: Int, slop: Int = 0): Int = {
     epoch += 1
     val n = tokens.numElements()
     var matched = 0
@@ -333,14 +360,18 @@ private[expressions] final class FirstTokenWalker(
             if (hitStamp(p) != epoch) {
               val ph = ps(p)
               if (t + ph.length <= n) {
-                var j = 1
-                var ok = true
-                while (ok && j < ph.length) {
-                  ok = !tokens.isNullAt(t + j) &&
-                    tokens.getUTF8String(t + j).equals(ph(j))
-                  j += 1
+                if (slop > 0) {
+                  if (sloppyFrom(tokens, ph, t, slop)) record(p)
+                } else {
+                  var j = 1
+                  var ok = true
+                  while (ok && j < ph.length) {
+                    ok = !tokens.isNullAt(t + j) &&
+                      tokens.getUTF8String(t + j).equals(ph(j))
+                    j += 1
+                  }
+                  if (ok) record(p)
                 }
-                if (ok) record(p)
               }
             }
             ci += 1
@@ -382,8 +413,10 @@ private[expressions] final class FirstTokenWalker(
 case class MultiPhrasesFound(child: Expression,
     phrases: org.apache.spark.broadcast.Broadcast[
       Array[Array[org.apache.spark.unsafe.types.UTF8String]]],
-    firstOnly: Boolean = false)
+    firstOnly: Boolean = false,
+    slop: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(slop >= 0, s"slop must be >= 0, got $slop")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -398,7 +431,7 @@ case class MultiPhrasesFound(child: Expression,
 
   def found(tokens: ArrayData): ArrayData = {
     val w = walker
-    val count = w.walk(tokens, if (firstOnly) 1 else Int.MaxValue)
+    val count = w.walk(tokens, if (firstOnly) 1 else Int.MaxValue, slop)
     val arr = java.util.Arrays.copyOf(w.matches, count)
     java.util.Arrays.sort(arr)
     val boxed = new Array[Any](count)
@@ -419,12 +452,13 @@ case class MultiPhrasesFound(child: Expression,
   override def equals(other: Any): Boolean = other match {
     case e: MultiPhrasesFound =>
       (this eq e) || (child == e.child && phrases.id == e.phrases.id &&
-        firstOnly == e.firstOnly)
+        firstOnly == e.firstOnly && slop == e.slop)
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(classOf[MultiPhrasesFound], child,
-      java.lang.Long.valueOf(phrases.id), java.lang.Boolean.valueOf(firstOnly))
+      java.lang.Long.valueOf(phrases.id), java.lang.Boolean.valueOf(firstOnly),
+      Integer.valueOf(slop))
 
   protected override def withNewChildInternal(newChild: Expression): MultiPhrasesFound =
     copy(child = newChild)
@@ -454,8 +488,10 @@ case class MultiExamplesMatched(child: Expression,
     fields: org.apache.spark.broadcast.Broadcast[
       Array[Array[org.apache.spark.unsafe.types.UTF8String]]],
     fieldExamples: org.apache.spark.broadcast.Broadcast[Array[Array[Int]]],
-    needCounts: org.apache.spark.broadcast.Broadcast[Array[Int]])
+    needCounts: org.apache.spark.broadcast.Broadcast[Array[Int]],
+    slop: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(slop >= 0, s"slop must be >= 0, got $slop")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -479,7 +515,7 @@ case class MultiExamplesMatched(child: Expression,
     val need = needCounts.value
     val w = walker
     epoch += 1
-    val count = w.walk(tokens, Int.MaxValue)
+    val count = w.walk(tokens, Int.MaxValue, slop)
     val fieldsMatched = w.matches
     val out = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
@@ -515,12 +551,13 @@ case class MultiExamplesMatched(child: Expression,
   override def equals(other: Any): Boolean = other match {
     case e: MultiExamplesMatched =>
       (this eq e) || (child == e.child && fields.id == e.fields.id &&
-        fieldExamples.id == e.fieldExamples.id && needCounts.id == e.needCounts.id)
+        fieldExamples.id == e.fieldExamples.id &&
+        needCounts.id == e.needCounts.id && slop == e.slop)
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(classOf[MultiExamplesMatched], child,
-      java.lang.Long.valueOf(fields.id))
+      java.lang.Long.valueOf(fields.id), Integer.valueOf(slop))
 
   protected override def withNewChildInternal(newChild: Expression): MultiExamplesMatched =
     copy(child = newChild)

@@ -67,20 +67,23 @@ object Searcher {
     // with an unhelpful UnsupportedOperationException (the dropParams=Nil
     // bug shape from round 3, pre-empted here)
     require(phrases.nonEmpty, "need at least one phrase")
-    // battery-scale ANY/ALL (slop=0, non-regexp): ONE document walk via
+    // battery-scale ANY/ALL (non-regexp): ONE document walk via
     // the MultiPhrasesFound kernel instead of P predicate columns —
     // matched-count == P is ALL, > 0 is ANY (duplicate phrases collapse
     // to distinct indices, so dedup before the cardinality compare)
-    if (!isRegexp && slop == 0 && phrases.length > WidePhraseGate) {
+    if (!isRegexp && (slop == 0 || !luceneSlop) &&
+        phrases.length > WidePhraseGate) {
       val distinctPhrases = phrases.distinct
       // ANY only needs existence: firstOnly stops the walk at the first
       // hit, so a matching row costs O(position of first hit), not a
-      // full-battery walk
+      // full-battery walk. Slop rides the kernel too (the insertion-
+      // budget semantics of PhraseMatch); the Lucene move-distance mode
+      // stays per-column above slop=0, where the semantics diverge.
       return if (allPhrases)
-        size(multiPhrasesFoundCol(text, distinctPhrases, uax29)) ===
-          distinctPhrases.length
+        size(multiPhrasesFoundCol(text, distinctPhrases, uax29,
+          slop = slop)) === distinctPhrases.length
       else size(multiPhrasesFoundCol(text, distinctPhrases, uax29,
-        firstOnly = true)) > 0
+        firstOnly = true, slop = slop)) > 0
     }
     val preds = phrases.map { p =>
       if (isRegexp) text.rlike("(?i)" + p) // ES regexp mode is case-insensitive (:108-117)
@@ -119,7 +122,7 @@ object Searcher {
     if (returnAllHits) sorted else sorted.limit(numDocuments)
   }
 
-  /** Above this many phrases the slop=0 path switches from one predicate
+  /** Above this many phrases the path switches from one predicate
     * column per phrase to the set-oriented [[countPerPhraseWide]] kernel
     * plan — per-row cost and PLAN SIZE are O(P) in the per-column shape
     * (P token-seq scans per row, a P-column aggregate, P×|plan-node|
@@ -131,8 +134,9 @@ object Searcher {
   /** E3: `count_documents_for_each_phrase` — one count per phrase, computed
     * in ONE job via a broadcast phrase table instead of N msearch batches
     * (reference :269-345). Zero-hit phrases are kept. Batteries beyond
-    * [[WidePhraseGate]] at slop=0 route through [[countPerPhraseWide]]
-    * (identical results — spec-pinned differential).
+    * [[WidePhraseGate]] route through [[countPerPhraseWide]] at any slop
+    * (identical results — spec-pinned differential; the kernel anchors
+    * candidates on the first phrase token, which slop never relaxes).
     */
   def countPerPhrase(df: DataFrame, textCol: String, phrases: Seq[String],
                      slop: Int = 0, uax29: Boolean = true): DataFrame = {
@@ -141,8 +145,8 @@ object Searcher {
       import spark.implicits._
       return Seq.empty[(String, Long)].toDF("phrase", "n_docs")
     }
-    if (slop == 0 && phrases.length > WidePhraseGate)
-      return countPerPhraseWide(df, textCol, phrases, uax29)
+    if (phrases.length > WidePhraseGate)
+      return countPerPhraseWide(df, textCol, phrases, uax29, slop)
     // one boolean predicate column per phrase, all evaluated in a single
     // scan + single partial-agg (the set-oriented answer to msearch batching)
     val preds = df.select(phrases.zipWithIndex.map { case (p, i) =>
@@ -166,7 +170,8 @@ object Searcher {
     */
   private def multiPhrasesFoundCol(text: Column, phrases: Seq[String],
                                    uax29: Boolean,
-                                   firstOnly: Boolean = false): Column = {
+                                   firstOnly: Boolean = false,
+                                   slop: Int = 0): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val phraseToks: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
       phrases.iterator.map { p =>
@@ -178,10 +183,10 @@ object Searcher {
     val bc = spark.sparkContext.broadcast(phraseToks)
     val toks = if (uax29) TextFunctions.tokenize(text) else split(text, " ")
     Bridge.column(graft.functions.expressions.MultiPhrasesFound(
-      Bridge.expression(toks), bc, firstOnly))
+      Bridge.expression(toks), bc, firstOnly, slop))
   }
 
-  /** [[countPerPhrase]] for LARGE phrase batteries (slop=0): phrases are
+  /** [[countPerPhrase]] for LARGE phrase batteries (any slop): phrases are
     * tokenized driver-side through the same tokenizer as the documents
     * (the [[phrasePredicate]] contract), broadcast once, and each
     * document is walked ONCE by the
@@ -194,10 +199,12 @@ object Searcher {
     */
   private[graft] def countPerPhraseWide(df: DataFrame, textCol: String,
                                         phrases: Seq[String],
-                                        uax29: Boolean = true): DataFrame = {
+                                        uax29: Boolean = true,
+                                        slop: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val foundCol = multiPhrasesFoundCol(col(textCol), phrases, uax29)
+    val foundCol = multiPhrasesFoundCol(col(textCol), phrases, uax29,
+      slop = slop)
     val hits = df.select(explode(foundCol).as("__idx"))
       .groupBy("__idx").agg(count(lit(1)).as("__n"))
     broadcast(phrases.zipWithIndex.map { case (p, i) => (i, p) }
@@ -301,8 +308,8 @@ object Searcher {
       return Seq.empty[(Long, Long)].toDF("example_id", "n_docs")
     require(examples.forall(_.nonEmpty),
       "each example needs at least one field phrase")
-    if (slop == 0 && examples.length > WidePhraseGate)
-      return countPerExampleWide(df, textCol, examples, uax29)
+    if (examples.length > WidePhraseGate)
+      return countPerExampleWide(df, textCol, examples, uax29, slop)
     val preds = df.select(examples.zipWithIndex.map { case (ps, i) =>
       ps.map(p => phrasePredicate(col(textCol), p, slop, uax29))
         .reduce(_ && _).cast("long").as(s"__e$i")
@@ -316,7 +323,7 @@ object Searcher {
       .select(col("key").as("example_id"), col("value").as("n_docs"))
   }
 
-  /** [[countPerExample]] for LARGE example batteries (slop=0): the
+  /** [[countPerExample]] for LARGE example batteries (any slop): the
     * DISTINCT field set is tokenized driver-side, broadcast with its
     * field→examples fan-out, and each document is walked ONCE by
     * [[graft.functions.expressions.MultiExamplesMatched]] — per-row cost
@@ -328,7 +335,8 @@ object Searcher {
     */
   private[graft] def countPerExampleWide(df: DataFrame, textCol: String,
                                          examples: Seq[Seq[String]],
-                                         uax29: Boolean = true): DataFrame = {
+                                         uax29: Boolean = true,
+                                         slop: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     def toks(p: String): Seq[String] =
@@ -357,7 +365,7 @@ object Searcher {
     val matchedCol = Bridge.column(
       graft.functions.expressions.MultiExamplesMatched(
         Bridge.expression(tokCol), sc.broadcast(fieldToks),
-        sc.broadcast(fanOut), sc.broadcast(need)))
+        sc.broadcast(fanOut), sc.broadcast(need), slop))
     val hits = df.select(explode(matchedCol).as("__e"))
       .groupBy("__e").agg(count(lit(1)).as("__n"))
     broadcast(examples.indices.map(i => Tuple1(i)).toDF("__e"))

@@ -143,12 +143,16 @@ class CliContaminateSpec extends SparkTestBase {
         "--templates", tsv, "--per-phrase"))
     }
     assert(e1.getMessage.contains("does not compose"))
+    // --slop at battery scale rides the kernel (no per-column plan, no
+    // cap): 520 phrases, one of them a slop-1 hit
     val big = writeJsonl(root, "big.jsonl",
-      (1 to 520).map(i => s"""{"text":"w$i phrase"}"""))
-    val e2 = intercept[IllegalArgumentException] {
-      Cli.run(spark, Array("contaminate", corpus, "--bench", big,
-        "--slop", "1", "--out", s"$root/o2", "--force"))
-    }
-    assert(e2.getMessage.contains("capped at 512"), e2.getMessage)
+      (1 to 519).map(i => s"""{"text":"w$i phrase"}""") :+
+        """{"text":"alpha gamma"}""")
+    val corpus2 = writeJsonl(root, "corpus2.jsonl",
+      Seq("""{"text":"alpha beta gamma"}"""))
+    Cli.run(spark, Array("contaminate", corpus2, "--bench", big,
+      "--slop", "1", "--out", s"$root/o2", "--force"))
+    val row = readOut(s"$root/o2").head
+    assert(row("n_phrases") === 520L && row("n_contaminated") === 1L, row)
   }
 }

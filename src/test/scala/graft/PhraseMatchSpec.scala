@@ -231,6 +231,41 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(plan.contains("graft_multi_phrases"), plan.take(2000))
   }
 
+  test("wide battery slop == per-phrase sloppy predicates on a randomized corpus") {
+    // the kernels anchor candidates on the first phrase token (slop buys
+    // gaps BETWEEN tokens only) — so at every slop the wide arm must
+    // agree with the per-phrase insertion-budget brute force
+    val rnd = new scala.util.Random(1416)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1 to 150).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val battery = (1 to 80).map(_ => (0 until (2 + rnd.nextInt(2)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")).distinct
+    for (slop <- Seq(1, 2)) {
+      val wide = Searcher.countPerPhrase(corpus, "text", battery, slop,
+          uax29 = false).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      battery.foreach { p =>
+        val brute = corpus.where(
+          Searcher.phrasePredicate(col("text"), p, slop, uax29 = false)).count()
+        assert(wide(p) === brute, s"slop=$slop phrase '$p'")
+      }
+    }
+    // example conjunctions under slop agree with the brute force too
+    val examples = (1 to 70).map(_ => Seq(
+      (0 until 2).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "),
+      vocab(rnd.nextInt(vocab.size))))
+    val wideEx = Searcher.countPerExample(corpus, "text", examples, slop = 1,
+        uax29 = false).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    examples.zipWithIndex.foreach { case (ex, i) =>
+      val brute = corpus.where(ex.map(p =>
+        Searcher.phrasePredicate(col("text"), p, 1, uax29 = false))
+        .reduce(_ && _)).count()
+      assert(wideEx(i.toLong) === brute, s"example $i: $ex")
+    }
+  }
+
   test("duplicate phrases behave identically on both sides of the gate") {
     // the per-column arm used map_from_arrays, which RAISED on duplicate
     // input phrases while the wide arm reported one row per input — the
