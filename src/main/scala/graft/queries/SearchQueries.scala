@@ -444,6 +444,20 @@ object SearchQueries extends QueryPack {
         .orderBy("example_id")
     }),
 
+    // wide battery under SLOP: the kernel's insertion-budget matcher at
+    // battery scale — 2-token prefixes at slop=1, whose oracle has a
+    // closed SQL form (adjacent containment OR exactly one inserted
+    // token; corpus tokens are alphanumeric, so the regex is literal-safe)
+    "e37_per_phrase_wide_slop" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val battery = d.where(col("doc_id") % 4 === 0 && size(toks) >= 2)
+        .select(concat_ws(" ", slice(toks, 1, 2)).as("p"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      Searcher.countPerPhrase(d, "text", battery, slop = 1, uax29 = false)
+        .orderBy("phrase")
+    }),
+
     // E3 at BATTERY scale: >WidePhraseGate phrases route through the
     // set-oriented MultiPhrasesFound kernel — one walk of each document
     // against a first-token index of the whole battery instead of one
@@ -817,6 +831,25 @@ object SearchQueries extends QueryPack {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
         | FROM exi LEFT JOIN documents ON true GROUP BY example_id)
         |SELECT example_id, n_docs FROM per ORDER BY example_id""".stripMargin,
+
+    // slop=1 over a 2-token phrase == adjacent containment OR exactly one
+    // inserted token between them (insertion-budget semantics); tokens
+    // are alphanumeric so the assembled regex is literal-safe
+    "e37_per_phrase_wide_slop" ->
+      """WITH ph AS (SELECT DISTINCT
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS phrase
+        | FROM documents
+        | WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 2),
+        |pt AS (SELECT phrase,
+        |  string_split(phrase, ' ')[1] AS t1, string_split(phrase, ' ')[2] AS t2
+        | FROM ph),
+        |per AS (SELECT phrase,
+        |  CAST(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
+        |            OR regexp_matches(' ' || text || ' ',
+        |                 ' ' || t1 || ' [^ ]+ ' || t2 || ' ')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        | FROM pt LEFT JOIN documents ON true GROUP BY phrase)
+        |SELECT phrase, n_docs FROM per ORDER BY phrase""".stripMargin,
 
     // whitespace-token adjacency == space-padded substring containment
     // (the shared phrase-oracle trick); the battery CTE replays the
