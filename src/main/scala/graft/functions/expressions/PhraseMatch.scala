@@ -334,6 +334,63 @@ private[expressions] final class FirstTokenWalker(
     * soon as `maxMatches` phrases have matched — pass 1 for an
     * existence probe, `ps.length` (or more) for the full set.
     */
+  /** Per-phrase OCCURRENCE totals over the last [[walkCounts]], aligned
+    * with [[matches]]: `counts(matches(i))` is phrase `matches(i)`'s
+    * count, for i in 0 until the returned touched-phrase count.
+    */
+  def counts: Array[Long] = cntBuf
+  private var cntBuf = new Array[Long](ps.length)
+
+  /** Walk `tokens` once counting EVERY anchored occurrence of every
+    * phrase (overlaps included — the [[CountTokenSeqKernel]] contract,
+    * whose m==0 result is 0, so empty-token phrases are NOT counted
+    * here, unlike [[walk]]'s containment semantics). Exact adjacency
+    * only. Returns how many phrases occurred at least once; their
+    * indices land in [[matches]], their totals in [[counts]].
+    */
+  def walkCounts(tokens: ArrayData): Int = {
+    epoch += 1
+    val n = tokens.numElements()
+    var touched = 0
+    def bump(p: Int): Unit = {
+      if (hitStamp(p) != epoch) {
+        hitStamp(p) = epoch
+        cntBuf(p) = 0L
+        if (touched == matchBuf.length)
+          matchBuf = java.util.Arrays.copyOf(matchBuf, matchBuf.length * 2)
+        matchBuf(touched) = p
+        touched += 1
+      }
+      cntBuf(p) += 1L
+    }
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        val cands = firstTok.get(tokens.getUTF8String(t))
+        if (cands != null) {
+          var ci = 0
+          while (ci < cands.length) {
+            val p = cands(ci)
+            val ph = ps(p)
+            if (t + ph.length <= n) {
+              var j = 1
+              var ok = true
+              while (ok && j < ph.length) {
+                ok = !tokens.isNullAt(t + j) &&
+                  tokens.getUTF8String(t + j).equals(ph(j))
+                j += 1
+              }
+              if (ok) bump(p)
+            }
+            ci += 1
+          }
+        }
+      }
+      t += 1
+    }
+    touched
+  }
+
   def walk(tokens: ArrayData, maxMatches: Int, slop: Int = 0): Int = {
     epoch += 1
     val n = tokens.numElements()
@@ -560,5 +617,71 @@ case class MultiExamplesMatched(child: Expression,
       java.lang.Long.valueOf(fields.id), Integer.valueOf(slop))
 
   protected override def withNewChildInternal(newChild: Expression): MultiExamplesMatched =
+    copy(child = newChild)
+}
+
+/** Occurrence-counting sibling of [[MultiPhrasesFound]]: every anchored
+  * occurrence of every battery phrase counted in ONE document walk
+  * (overlaps included — bit-parity with [[CountTokenSeqKernel.count]]
+  * per phrase, including its m==0 → 0 contract for empty-token phrases).
+  * The per-phrase CountTokenSeq-column shape (`NgramOps.countPhrases`)
+  * is O(P) per row and per plan; this is the battery-scale `wimbd count`.
+  *
+  * Output: array<struct<idx: int, n: long>> for the phrases that occur
+  * at least once, idx ascending; null tokens → null (the per-column
+  * sum skips such rows identically). Exact adjacency only.
+  */
+case class MultiPhraseCounts(child: Expression,
+    phrases: org.apache.spark.broadcast.Broadcast[
+      Array[Array[org.apache.spark.unsafe.types.UTF8String]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_multi_phrase_counts needs array<string> tokens, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_multi_phrase_counts"
+
+  @transient private lazy val walker = new FirstTokenWalker(phrases.value)
+
+  def countsOf(tokens: ArrayData): ArrayData = {
+    val w = walker
+    val touched = w.walkCounts(tokens)
+    val idxs = java.util.Arrays.copyOf(w.matches, touched)
+    java.util.Arrays.sort(idxs)
+    val out = new Array[Any](touched)
+    var i = 0
+    while (i < touched) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](idxs(i), w.counts(idxs(i))))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    countsOf(input.asInstanceOf[ArrayData])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiPhraseCounts", this,
+      classOf[MultiPhraseCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countsOf($c);")
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case e: MultiPhraseCounts =>
+      (this eq e) || (child == e.child && phrases.id == e.phrases.id)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(classOf[MultiPhraseCounts], child,
+      java.lang.Long.valueOf(phrases.id))
+
+  protected override def withNewChildInternal(newChild: Expression): MultiPhraseCounts =
     copy(child = newChild)
 }

@@ -254,6 +254,27 @@ object NgramOps {
       if (uax29) graft.functions.Tokenizer.tokenize(p) else p.split(" ")
     }
     val toks = tokens(col(textCol), uax29)
+    // battery scale: one MultiPhraseCounts walk per document instead of
+    // one CountTokenSeq column per phrase (O(P) per row AND per plan) —
+    // per-occurrence bit-parity with the per-column sums (spec-pinned)
+    if (phrases.length > graft.search.Searcher.WidePhraseGate) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(phraseToks.map(_.map(
+        org.apache.spark.unsafe.types.UTF8String.fromString(_)).toArray).toArray)
+      val countsCol = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.expressions.MultiPhraseCounts(
+          org.apache.spark.sql.graft.Bridge.expression(toks), bc))
+      val hits = graft.Par.fanOut(docs)
+        .select(explode(countsCol).as("__pc"))
+        .groupBy(col("__pc.idx").as("__idx"))
+        .agg(sum(col("__pc.n")).as("__n"))
+      return broadcast(phrases.zipWithIndex.map { case (p, i) => (i, p) }
+          .toDF("__idx", "phrase"))
+        .join(hits, Seq("__idx"), "left")
+        .select(col("phrase"),
+          coalesce(col("__n"), lit(0L)).as("occurrences"))
+    }
     val perPhrase = phraseToks.map { pt =>
       org.apache.spark.sql.graft.Bridge.column(
         graft.functions.expressions.CountTokenSeq(

@@ -40,6 +40,19 @@ object NgramQueries extends QueryPack {
       NgramOps.countPhrases(Tables(s, dir, "documents"), "text", phrases, uax29 = false)
         .orderBy("phrase")),
 
+    // A9 at BATTERY scale: >WidePhraseGate phrases route through the
+    // MultiPhraseCounts kernel — every anchored occurrence of every
+    // phrase in ONE document walk (overlap semantics == CountTokenSeq)
+    "a20_count_phrases_wide" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val battery = d.where(col("doc_id") % 4 === 0 && size(toks) >= 2)
+        .select(concat_ws(" ", slice(toks, 1, 2)).as("p"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      NgramOps.countPhrases(d, "text", battery, uax29 = false)
+        .orderBy("phrase")
+    }),
+
     "a10_search_regex" -> ((s, dir) =>
       NgramOps.searchRegex(Tables(s, dir, "documents"), "text", patterns)
         .select(col("pattern"), col("matches").cast("long").as("matches"))
@@ -258,6 +271,19 @@ object NgramQueries extends QueryPack {
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), count(DISTINCT ngram) FROM (${ng(3)})
          |ORDER BY n""".stripMargin,
+
+    // every battery phrase is exactly 2 tokens, so occurrence counting is
+    // equality against the 2-gram stream (overlaps included by
+    // construction of the stream)
+    "a20_count_phrases_wide" ->
+      s"""WITH ph AS (SELECT DISTINCT
+         |  array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS phrase
+         | FROM documents
+         | WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 2),
+         |ngs AS (SELECT ngram FROM (${ng(2)}))
+         |SELECT phrase, count(ngram) AS occurrences
+         |FROM ph LEFT JOIN ngs ON ngs.ngram = ph.phrase
+         |GROUP BY phrase ORDER BY phrase""".stripMargin,
 
     "a9_count_phrases" ->
       s"""WITH ph(phrase) AS (SELECT * FROM (VALUES ('batch batch'), ('spark window'),

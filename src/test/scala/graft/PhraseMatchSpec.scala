@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.NgramOps
 import graft.search.Searcher
 
 /** Slop semantics pinned to the reference's own docstring examples
@@ -264,6 +265,43 @@ class PhraseMatchSpec extends SparkTestBase {
         .reduce(_ && _)).count()
       assert(wideEx(i.toLong) === brute, s"example $i: $ex")
     }
+  }
+
+  test("wide battery occurrence counts == per-phrase CountTokenSeq sums") {
+    // overlap-heavy corpus (tiny vocab, self-overlapping phrases like
+    // "a a") — the counting walk must bit-match the per-column sums
+    val rnd = new scala.util.Random(2718)
+    val vocab = Vector("a", "b", "c")
+    val corpus = ((1 to 150).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val battery = (((1 to 80).map(_ => (0 until (1 + rnd.nextInt(3)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")).distinct ++
+      Seq("a a", "z q", "")).distinct ++
+      (1 to 40).map(i => s"pad$i never")).distinct // over the gate
+    assert(battery.length > graft.search.Searcher.WidePhraseGate)
+    val wide = NgramOps.countPhrases(corpus, "text", battery, uax29 = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    battery.foreach { p =>
+      val pt = p.split(" ").toSeq
+      val brute = corpus.select(coalesce(sum(
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.expressions.CountTokenSeq(
+            org.apache.spark.sql.graft.Bridge.expression(split(col("text"), " ")),
+            org.apache.spark.sql.graft.Bridge.expression(typedLit(pt))))),
+        lit(0L))).collect().head.getLong(0)
+      assert(wide(p) === brute, s"phrase '$p'")
+    }
+    // "" whitespace-splits to the single empty token, present in no doc
+    assert(wide("") === 0L)
+    assert(wide.size === battery.length)
+    // uax29 "" tokenizes to ZERO tokens — the m==0 CountTokenSeq contract
+    // (count 0), unlike containment where the empty phrase matches all
+    val uaxWide = NgramOps.countPhrases(corpus, "text",
+        (1 to 65).map(i => s"zz$i") :+ "", uax29 = true)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(uaxWide("") === 0L)
   }
 
   test("duplicate phrases behave identically on both sides of the gate") {
