@@ -269,9 +269,9 @@ object NgramOps {
         .select(explode(countsCol).as("__pc"))
         .groupBy(col("__pc.idx").as("__idx"))
         .agg(sum(col("__pc.n")).as("__n"))
-      return broadcast(phrases.zipWithIndex.map { case (p, i) => (i, p) }
-          .toDF("__idx", "phrase"))
-        .join(hits, Seq("__idx"), "left")
+      return phrases.zipWithIndex.map { case (p, i) => (i, p) }
+          .toDF("__idx", "phrase")
+        .join(broadcast(hits), Seq("__idx"), "left")
         .select(col("phrase"),
           coalesce(col("__n"), lit(0L)).as("occurrences"))
     }

@@ -207,9 +207,12 @@ object Searcher {
       slop = slop)
     val hits = df.select(explode(foundCol).as("__idx"))
       .groupBy("__idx").agg(count(lit(1)).as("__n"))
-    broadcast(phrases.zipWithIndex.map { case (p, i) => (i, p) }
-        .toDF("__idx", "phrase"))
-      .join(hits, Seq("__idx"), "left")
+    // broadcast the BUILT (right) side: a broadcast hint on the
+    // preserved side of a left join is unsupported and ignored with a
+    // warning — hits is ≤ P aggregated rows, exactly the broadcast side
+    phrases.zipWithIndex.map { case (p, i) => (i, p) }
+        .toDF("__idx", "phrase")
+      .join(broadcast(hits), Seq("__idx"), "left")
       .select(col("phrase"), coalesce(col("__n"), lit(0L)).as("n_docs"))
   }
 
@@ -368,8 +371,8 @@ object Searcher {
         sc.broadcast(fanOut), sc.broadcast(need), slop))
     val hits = df.select(explode(matchedCol).as("__e"))
       .groupBy("__e").agg(count(lit(1)).as("__n"))
-    broadcast(examples.indices.map(i => Tuple1(i)).toDF("__e"))
-      .join(hits, Seq("__e"), "left")
+    examples.indices.map(i => Tuple1(i)).toDF("__e")
+      .join(broadcast(hits), Seq("__e"), "left")
       .select(col("__e").cast("long").as("example_id"),
         coalesce(col("__n"), lit(0L)).as("n_docs"))
   }
