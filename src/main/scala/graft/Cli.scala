@@ -718,61 +718,63 @@ object Cli {
         // the benchmark's OWN schema (q/a/... example fields live outside
         // the corpus schema readSecondary pins); the analyzer/mojibake
         // projections still fold its text column when one exists, and
-        // foldQuery re-folds every gathered/rendered phrase so non-text
-        // fields and template literal segments compare analyzed-vs-
-        // analyzed too (the analyzer is idempotent, so text-column values
-        // folding twice is harmless)
+        // contaminateFold re-folds every gathered/rendered phrase —
+        // mojibake repair THEN the analyzer, the textProjections order —
+        // so non-text fields and template literal segments compare
+        // projected-vs-projected too (both folds are idempotent, so
+        // text-column values folding twice is harmless)
         val benchRaw = spark.read.json(flagAll("--bench"): _*)
         val bench = if (benchRaw.columns.contains("text"))
           textProjections(benchRaw, fixMoji, analyzed) else benchRaw
+        def contaminateFold(s: String): String =
+          foldQuery(if (fixMoji) graft.functions.Mojibake.fix(s) else s)
         val slop = intFlag("--slop", 0)
         val benchCap = search.PromptTemplates.MaxRenderedPrompts
-        def gatherBench(cols: Seq[String]): Seq[Seq[String]] = {
+        def requireBenchCols(cols: Seq[String], what: String): Unit =
           cols.foreach(c => require(bench.columns.contains(c),
-            s"contaminate: benchmark has no '$c' column (an empty JSONL " +
-              s"infers no schema; present columns: " +
+            s"contaminate: benchmark has no '$c' column ($what; an empty " +
+              s"JSONL infers no schema; present columns: " +
               s"${bench.columns.mkString(", ")})"))
+        def gatherBench(cols: Seq[String]): Seq[Seq[String]] = {
+          requireBenchCols(cols, "a used field")
           val used = cols.map(c => trim(col(c).cast("string")))
           val rows = bench
             .select(used: _*)
-            // a null/empty field would probe as the match-everything
-            // empty phrase (single) or silently weaken the ALL-fields
-            // conjunction (paired) — exclude the row
-            .where(used.map(c => c.isNotNull && length(c) > 0).reduce(_ && _))
+            .where(used.map(_.isNotNull).reduce(_ && _))
             .limit(benchCap + 1).collect()
           require(rows.length <= benchCap, s"contaminate: benchmark " +
             s"exceeds $benchCap rows — benchmark corpora must be " +
             "benchmark-sized (they broadcast into the corpus scan)")
-          rows.map(r => cols.indices.map(i => foldQuery(r.getString(i))).toSeq)
-            .toSeq
+          // exclusion runs AFTER the fold: the analyzer can strip a
+          // punctuation-only value to "" (the match-everything empty
+          // phrase under uax29), and a blank field silently weakens the
+          // ALL-fields conjunction — drop the row either way
+          rows.map(r => cols.indices.map(i => contaminateFold(r.getString(i))))
+            .filter(_.forall(_.trim.nonEmpty)).map(_.toSeq).toSeq
         }
         val report = flag("--templates") match {
           case Some(tsv) =>
             val tpls = search.PromptTemplates.parseTsvFile(spark, tsv)
             require(tpls.nonEmpty, s"no templates parsed from $tsv")
+            tpls.foreach(t => requireBenchCols(t.fields,
+              s"referenced by template '${t.name}'"))
             search.PromptTemplates.contaminationFromTemplates(docs, "text",
               tpls.map(_ -> bench), slop, uax29 = uax,
-              foldPhrase = foldQuery).orderBy("benchmark")
+              foldPhrase = contaminateFold,
+              dropBlankPrompts = true).orderBy("benchmark")
           case None => flag("--fields") match {
             case Some(fs) =>
               val names = fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
               require(names.length >= 2,
                 "--fields wants 2+ comma-separated benchmark columns")
               val examples = gatherBench(names)
-              if (examples.isEmpty)
+              if (examples.isEmpty) {
                 // the LIBRARY contract is an empty frame on both tiers
                 // (spec-pinned); the CLI card stays one-row like the
                 // single-field path
-                spark.createDataFrame(java.util.Arrays.asList(
-                  org.apache.spark.sql.Row(0L, 0L, 0.0)),
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("n_examples",
-                      org.apache.spark.sql.types.LongType, false),
-                    org.apache.spark.sql.types.StructField("n_contaminated",
-                      org.apache.spark.sql.types.LongType, false),
-                    org.apache.spark.sql.types.StructField("pct",
-                      org.apache.spark.sql.types.DoubleType, false))))
-              else search.Searcher.pairedContamination(docs, "text",
+                import spark.implicits._
+                Seq((0L, 0L, 0.0)).toDF("n_examples", "n_contaminated", "pct")
+              } else search.Searcher.pairedContamination(docs, "text",
                 examples, slop, uax29 = uax)
             case None =>
               val phrases =

@@ -325,15 +325,6 @@ private[expressions] final class FirstTokenWalker(
     rec(start + 1, 1, slop)
   }
 
-  /** Walk `tokens` once; record each DISTINCT matched phrase into
-    * [[matches]] and return how many matched. `slop` is the
-    * [[PhraseMatchKernel.matches]] insertion budget (0 = exact
-    * adjacency); the first phrase token always anchors the candidate
-    * lookup — slop buys gaps BETWEEN tokens, not before the first, so
-    * the first-token index prunes identically at every slop. Stops as
-    * soon as `maxMatches` phrases have matched — pass 1 for an
-    * existence probe, `ps.length` (or more) for the full set.
-    */
   /** Per-phrase OCCURRENCE totals over the last [[walkCounts]], aligned
     * with [[matches]]: `counts(matches(i))` is phrase `matches(i)`'s
     * count, for i in 0 until the returned touched-phrase count.
@@ -391,6 +382,15 @@ private[expressions] final class FirstTokenWalker(
     touched
   }
 
+  /** Walk `tokens` once; record each DISTINCT matched phrase into
+    * [[matches]] and return how many matched. `slop` is the
+    * [[PhraseMatchKernel.matches]] insertion budget (0 = exact
+    * adjacency); the first phrase token always anchors the candidate
+    * lookup — slop buys gaps BETWEEN tokens, not before the first, so
+    * the first-token index prunes identically at every slop. Stops as
+    * soon as `maxMatches` phrases have matched — pass 1 for an
+    * existence probe, `ps.length` (or more) for the full set.
+    */
   def walk(tokens: ArrayData, maxMatches: Int, slop: Int = 0): Int = {
     epoch += 1
     val n = tokens.numElements()
@@ -442,10 +442,11 @@ private[expressions] final class FirstTokenWalker(
 }
 
 /** Set-oriented multi-phrase containment: WHICH of a broadcast battery of
-  * token-sequence phrases (exact adjacency — the slop=0 semantics of
-  * [[PhraseMatch]] / the reference's sliding-window compare,
-  * src/cmd/count.rs:191-208) occur in this row's token array, as the
-  * array<int> of DISTINCT matched phrase indices ascending.
+  * token-sequence phrases occur in this row's token array — at the
+  * expression's `slop` under the [[PhraseMatch]] insertion-budget
+  * semantics (slop=0 is exact adjacency, the reference's sliding-window
+  * compare, src/cmd/count.rs:191-208) — as the array<int> of DISTINCT
+  * matched phrase indices ascending.
   *
   * The per-phrase predicate-column shape (`Searcher.countPerPhrase`)
   * evaluates one token-seq scan per phrase per row and aggregates one

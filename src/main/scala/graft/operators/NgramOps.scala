@@ -265,13 +265,11 @@ object NgramOps {
       val countsCol = org.apache.spark.sql.graft.Bridge.column(
         graft.functions.expressions.MultiPhraseCounts(
           org.apache.spark.sql.graft.Bridge.expression(toks), bc))
-      val hits = graft.Par.fanOut(docs)
-        .select(explode(countsCol).as("__pc"))
-        .groupBy(col("__pc.idx").as("__idx"))
-        .agg(sum(col("__pc.n")).as("__n"))
-      return phrases.zipWithIndex.map { case (p, i) => (i, p) }
-          .toDF("__idx", "phrase")
-        .join(broadcast(hits), Seq("__idx"), "left")
+      return graft.search.Searcher.zeroHitCounts(
+          graft.Par.fanOut(docs).select(explode(countsCol).as("__pc")),
+          col("__pc.idx"), Some(col("__pc.n")),
+          phrases.zipWithIndex.map { case (p, i) => (i, p) }
+            .toDF("__idx", "phrase"))
         .select(col("phrase"),
           coalesce(col("__n"), lit(0L)).as("occurrences"))
     }

@@ -97,12 +97,21 @@ object PromptTemplates {
     * analyzed projection (template literal segments and non-text fields
     * never pass through the corpus reader's projections, so the caller
     * must fold the rendered result, not the inputs).
+    *
+    * `dropBlankPrompts` excludes prompts that are blank AFTER the fold
+    * (a bare `{{q}}` template over a null field renders "", and the
+    * analyzer can strip a punctuation-only render to "" — under uax29
+    * the empty phrase tokenizes to zero tokens and matches EVERY
+    * document, inflating that benchmark's card). Default false: the
+    * library default keeps the render-verbatim contract (coalesce('')
+    * per field, like the reference's jinja render of missing fields).
     */
   def contaminationFromTemplates(corpus: DataFrame, textCol: String,
                                  benches: Seq[(PromptTemplate, DataFrame)],
                                  slop: Int = 0, uax29: Boolean = true,
                                  maxPrompts: Int = MaxRenderedPrompts,
-                                 foldPhrase: String => String = identity): DataFrame = {
+                                 foldPhrase: String => String = identity,
+                                 dropBlankPrompts: Boolean = false): DataFrame = {
     // group by frame IDENTITY (same DataFrame object reused across
     // templates), preserving first-appearance frame order and per-frame
     // template order — the flatMap emission order of the old shape
@@ -122,7 +131,8 @@ object PromptTemplates {
           s"${ts.length} template(s) for ${ts.map(_.name).mkString(", ")}")
       budget -= rows.length * ts.length
       ts.zipWithIndex.flatMap { case (t, i) =>
-        rows.map(r => (t.name, foldPhrase(r.getString(i)))) }
+        rows.iterator.map(r => (t.name, foldPhrase(r.getString(i))))
+          .filter(p => !dropBlankPrompts || p._2.trim.nonEmpty).toSeq }
     }.toSeq
     Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop, uax29)
   }

@@ -197,6 +197,22 @@ object Searcher {
     * Duplicate phrases each report the shared count, like the per-column
     * arm's one row per input phrase.
     */
+  /** The shared tail of every wide battery plan: aggregate the exploded
+    * per-index hits (row count, or the sum of `value` when given) and
+    * left-join onto the full label frame so zero-hit entries report 0 —
+    * the aggregated side (≤ battery-size rows) is the BUILT broadcast
+    * side (a broadcast hint on the preserved side of a left join is
+    * unsupported and silently ignored). Callers select/rename off the
+    * joined (labels..., __n) frame.
+    */
+  private[graft] def zeroHitCounts(exploded: DataFrame, idx: Column,
+                                   value: Option[Column],
+                                   labels: DataFrame): DataFrame = {
+    val hits = exploded.groupBy(idx.as("__idx"))
+      .agg(value.map(sum).getOrElse(count(lit(1))).as("__n"))
+    labels.join(broadcast(hits), Seq("__idx"), "left")
+  }
+
   private[graft] def countPerPhraseWide(df: DataFrame, textCol: String,
                                         phrases: Seq[String],
                                         uax29: Boolean = true,
@@ -205,14 +221,9 @@ object Searcher {
     import spark.implicits._
     val foundCol = multiPhrasesFoundCol(col(textCol), phrases, uax29,
       slop = slop)
-    val hits = df.select(explode(foundCol).as("__idx"))
-      .groupBy("__idx").agg(count(lit(1)).as("__n"))
-    // broadcast the BUILT (right) side: a broadcast hint on the
-    // preserved side of a left join is unsupported and ignored with a
-    // warning — hits is ≤ P aggregated rows, exactly the broadcast side
-    phrases.zipWithIndex.map { case (p, i) => (i, p) }
-        .toDF("__idx", "phrase")
-      .join(broadcast(hits), Seq("__idx"), "left")
+    zeroHitCounts(df.select(explode(foundCol).as("__f")), col("__f"), None,
+        phrases.zipWithIndex.map { case (p, i) => (i, p) }
+          .toDF("__idx", "phrase"))
       .select(col("phrase"), coalesce(col("__n"), lit(0L)).as("n_docs"))
   }
 
@@ -369,11 +380,9 @@ object Searcher {
       graft.functions.expressions.MultiExamplesMatched(
         Bridge.expression(tokCol), sc.broadcast(fieldToks),
         sc.broadcast(fanOut), sc.broadcast(need), slop))
-    val hits = df.select(explode(matchedCol).as("__e"))
-      .groupBy("__e").agg(count(lit(1)).as("__n"))
-    examples.indices.map(i => Tuple1(i)).toDF("__e")
-      .join(broadcast(hits), Seq("__e"), "left")
-      .select(col("__e").cast("long").as("example_id"),
+    zeroHitCounts(df.select(explode(matchedCol).as("__m")), col("__m"),
+        None, examples.indices.map(i => Tuple1(i)).toDF("__idx"))
+      .select(col("__idx").cast("long").as("example_id"),
         coalesce(col("__n"), lit(0L)).as("n_docs"))
   }
 

@@ -131,6 +131,53 @@ class CliContaminateSpec extends SparkTestBase {
     assert(row("n_examples") === 0L && row("n_contaminated") === 0L)
   }
 
+  test("analyzer-stripped and mojibake benchmark fields fold like the corpus") {
+    val root = fresh()
+    // a punctuation-only field ANALYZES to "" — the match-everything
+    // empty phrase under uax29 — so exclusion must run AFTER the fold
+    val corpus = writeJsonl(root, "corpus.jsonl", Seq("""{"text":"alpha beta"}"""))
+    val bench = writeJsonl(root, "bench.jsonl", Seq(
+      """{"q":"???"}""", """{"q":"alpha"}"""))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+      "--field", "q", "--analyzed", "--out", s"$root/o1", "--force"))
+    val r1 = readOut(s"$root/o1").head
+    assert(r1("n_phrases") === 1L && r1("n_contaminated") === 1L, r1)
+    // --fix-mojibake folds gathered fields too: the bench carries the
+    // same mangled bytes as the corpus; both repair to "café"
+    val corpus2 = writeJsonl(root, "corpus2.jsonl",
+      Seq("""{"text":"cafÃ© one"}"""))
+    val bench2 = writeJsonl(root, "bench2.jsonl",
+      Seq("""{"q":"cafÃ©"}"""))
+    Cli.run(spark, Array("contaminate", corpus2, "--bench", bench2,
+      "--field", "q", "--fix-mojibake", "--out", s"$root/o2", "--force"))
+    val r2 = readOut(s"$root/o2").head
+    assert(r2("n_contaminated") === 1L, r2)
+  }
+
+  test("templates: missing field fails loudly, blank renders are dropped") {
+    val root = fresh()
+    val corpus = writeJsonl(root, "corpus.jsonl", Seq("""{"text":"alpha beta"}"""))
+    val bench = writeJsonl(root, "bench.jsonl", Seq(
+      """{"q":"alpha beta"}""", """{"q":null}"""))
+    val tsvBad = s"$root/bad.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tsvBad),
+      "d\t\t{{nosuch}}\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+        "--templates", tsvBad))
+    }
+    assert(e.getMessage.contains("no 'nosuch' column"), e.getMessage)
+    // a bare {{q}} over the null-q row renders "" — dropped, so the card
+    // counts ONE prompt (contaminated), not a match-everything blank
+    val tsv = s"$root/t.tsv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tsv),
+      "d\t\t{{q}}\n".getBytes("UTF-8"))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+      "--templates", tsv, "--out", s"$root/o3", "--force"))
+    val r = readOut(s"$root/o3").head
+    assert(r("n_phrases") === 1L && r("n_contaminated") === 1L, r)
+  }
+
   test("conflicting modes and the slop phrase cap fail loudly") {
     val root = fresh()
     val corpus = writeJsonl(root, "corpus.jsonl", Seq("""{"text":"alpha"}"""))

