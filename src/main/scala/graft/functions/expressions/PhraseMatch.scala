@@ -270,7 +270,7 @@ case class PhraseMatch(first: Expression, second: Expression, third: Expression)
   * negligible next to any partition's scan, and avoids a process-lifetime
   * cache keyed by broadcast id (a leak in long-lived sessions).
   */
-private[expressions] final class FirstTokenWalker(
+private[graft] final class FirstTokenWalker(
     ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]]) {
 
   private val (firstTok, alwaysHit) = {

@@ -5,7 +5,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Tokenizer
-import graft.functions.expressions.{CountTokenSeqKernel, MinHashKernel, PhraseMatchKernel, SimHashKernel, WinnowKernel}
+import graft.functions.expressions.{CountTokenSeqKernel, FirstTokenWalker, MinHashKernel, PhraseMatchKernel, SimHashKernel, WinnowKernel}
 
 /** Seeded property loops over the codegen kernels (no Spark session —
   * these run at expression level, a few hundred random cases each).
@@ -18,6 +18,37 @@ class KernelPropertySpec extends AnyFunSuite {
   private val rng = new scala.util.Random(42)
   private def randTokens(maxLen: Int): Seq[String] =
     Seq.fill(rng.nextInt(maxLen))(s"w${rng.nextInt(8)}")
+
+  test("battery walker == per-phrase kernels on unicode tokens, slop 0-3") {
+    // FirstTokenWalker's containment walk must agree with
+    // PhraseMatchKernel.matches per phrase (incl. the m==0 always-match
+    // and slop anchoring), and its counting walk with
+    // CountTokenSeqKernel.count — over a vocab spanning ASCII, BMP
+    // accents, CJK and supplementary-plane codepoints, where byte-level
+    // UTF8String equality and Java char handling could diverge
+    val vocab = Vector("a", "caf\u00e9", "\u6771\u4eac", "\ud83d\ude00ok", "b")
+    val wrng = new scala.util.Random(20260816)
+    def draw(maxLen: Int, minLen: Int = 0): Seq[String] =
+      Seq.fill(minLen + wrng.nextInt(maxLen))(vocab(wrng.nextInt(vocab.size)))
+    for (_ <- 0 until 300) {
+      val doc = draw(10)
+      val battery = (Seq.fill(6)(draw(3)) :+ Seq.empty[String]).distinct
+      val w = new FirstTokenWalker(battery.map(_.map(UTF8String.fromString).toArray).toArray)
+      val slop = wrng.nextInt(4)
+      val n = w.walk(arr(doc), Int.MaxValue, slop)
+      val got = (0 until n).map(w.matches(_)).toSet
+      val want = battery.indices.filter(i =>
+        PhraseMatchKernel.matches(arr(doc), arr(battery(i)), slop)).toSet
+      assert(got === want, s"doc=$doc battery=$battery slop=$slop")
+      val nc = w.walkCounts(arr(doc))
+      val gotCounts = (0 until nc).map(i => w.matches(i) -> w.counts(w.matches(i))).toMap
+      battery.indices.foreach { i =>
+        val want = CountTokenSeqKernel.count(arr(doc), arr(battery(i)))
+        assert(gotCounts.getOrElse(i, 0L) === want,
+          s"counts doc=$doc phrase=${battery(i)}")
+      }
+    }
+  }
 
   test("tokenizer: no whitespace tokens, deterministic, chars preserved in order") {
     val alphabet = "ab1. ,'-_:\n\t"
