@@ -721,8 +721,11 @@ object Cli {
         // contaminateFold re-folds every gathered/rendered phrase —
         // mojibake repair THEN the analyzer, the textProjections order —
         // so non-text fields and template literal segments compare
-        // projected-vs-projected too (both folds are idempotent, so
-        // text-column values folding twice is harmless)
+        // projected-vs-projected too (the analyzer is idempotent and
+        // mojibake repair converges within its round cap for real
+        // mangling depths, so text-column values folding twice is
+        // harmless — a ≥4x-mangled pathological text value is the one
+        // input where the double fold could out-repair the corpus side)
         val benchRaw = spark.read.json(flagAll("--bench"): _*)
         val bench = if (benchRaw.columns.contains("text"))
           textProjections(benchRaw, fixMoji, analyzed) else benchRaw
@@ -740,7 +743,11 @@ object Cli {
           val used = cols.map(c => trim(col(c).cast("string")))
           val rows = bench
             .select(used: _*)
-            .where(used.map(_.isNotNull).reduce(_ && _))
+            // null/blank RAW values drop before the collect so they
+            // neither count against the cap nor reach the driver; the
+            // post-fold filter below catches analyzer-stripped values
+            .where(used.map(c => c.isNotNull && length(c) > 0)
+              .reduce(_ && _))
             .limit(benchCap + 1).collect()
           require(rows.length <= benchCap, s"contaminate: benchmark " +
             s"exceeds $benchCap rows — benchmark corpora must be " +

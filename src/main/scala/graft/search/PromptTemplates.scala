@@ -134,6 +134,22 @@ object PromptTemplates {
         rows.iterator.map(r => (t.name, foldPhrase(r.getString(i))))
           .filter(p => !dropBlankPrompts || p._2.trim.nonEmpty).toSeq }
     }.toSeq
-    Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop, uax29)
+    val report =
+      Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop, uax29)
+    // in the audit mode (dropBlankPrompts), a benchmark whose every
+    // prompt dropped — all-blank renders or an empty benchmark frame —
+    // surfaces as an explicit zero card instead of vanishing; the
+    // default keeps the spec-pinned empty-report library contract
+    val present = phrases.iterator.map(_._1).toSet
+    val missing =
+      if (dropBlankPrompts) benches.map(_._1.name).distinct.filterNot(present)
+      else Seq.empty
+    if (missing.isEmpty) report
+    else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      report.unionByName(missing.map(m => (m, 0L, 0L, 0.0))
+        .toDF("benchmark", "n_phrases", "n_contaminated", "pct"))
+    }
   }
 }

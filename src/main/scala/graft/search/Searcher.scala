@@ -238,7 +238,9 @@ object Searcher {
     val counts = df.select(explode(toks).as("unigram"))
       .where(col("unigram").isin(unigrams: _*))
       .groupBy("unigram").agg(count(lit(1)).as("c"))
-    broadcast(unigrams.toDF("unigram")).join(counts, Seq("unigram"), "left")
+    // broadcast the BUILT (aggregated, |unigrams|-bounded) side — a hint
+    // on the preserved side of a left join is unsupported and ignored
+    unigrams.toDF("unigram").join(broadcast(counts), Seq("unigram"), "left")
       .select(col("unigram"), coalesce(col("c"), lit(0L)).as("total_occurrences"))
   }
 

@@ -168,14 +168,20 @@ class CliContaminateSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("no 'nosuch' column"), e.getMessage)
     // a bare {{q}} over the null-q row renders "" — dropped, so the card
-    // counts ONE prompt (contaminated), not a match-everything blank
+    // counts ONE prompt (contaminated), not a match-everything blank; a
+    // template whose EVERY render drops surfaces as an explicit zero
+    // card rather than vanishing from the audit
+    val bench2 = writeJsonl(root, "bench2.jsonl", Seq(
+      """{"q":"alpha beta","r":null}""", """{"q":null,"r":null}"""))
     val tsv = s"$root/t.tsv"
     java.nio.file.Files.write(java.nio.file.Paths.get(tsv),
-      "d\t\t{{q}}\n".getBytes("UTF-8"))
-    Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+      "d\t\t{{q}}\ne\t\t{{r}}\n".getBytes("UTF-8"))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench2,
       "--templates", tsv, "--out", s"$root/o3", "--force"))
-    val r = readOut(s"$root/o3").head
-    assert(r("n_phrases") === 1L && r("n_contaminated") === 1L, r)
+    val rows = readOut(s"$root/o3")
+      .map(m => m("benchmark") -> (m("n_phrases"), m("n_contaminated"))).toMap
+    assert(rows("d") === ((1L, 1L)), rows)
+    assert(rows("e") === ((0L, 0L)), rows)
   }
 
   test("conflicting modes and the slop phrase cap fail loudly") {

@@ -28,8 +28,8 @@ class KernelPropertySpec extends AnyFunSuite {
     // UTF8String equality and Java char handling could diverge
     val vocab = Vector("a", "caf\u00e9", "\u6771\u4eac", "\ud83d\ude00ok", "b")
     val wrng = new scala.util.Random(20260816)
-    def draw(maxLen: Int, minLen: Int = 0): Seq[String] =
-      Seq.fill(minLen + wrng.nextInt(maxLen))(vocab(wrng.nextInt(vocab.size)))
+    def draw(maxLen: Int): Seq[String] =
+      Seq.fill(wrng.nextInt(maxLen))(vocab(wrng.nextInt(vocab.size)))
     for (_ <- 0 until 300) {
       val doc = draw(10)
       val battery = (Seq.fill(6)(draw(3)) :+ Seq.empty[String]).distinct
