@@ -42,6 +42,73 @@ object Bench {
       samples.zip(samples.tail).forall { case (a, b) => a > b } &&
       samples.last > 0 && samples.head / samples.last >= 1.5
 
+  // --- host telemetry (mechanical stall-vs-regression attribution) ---
+  // Three consecutive rounds re-litigated multi-tenant host windows
+  // forensically (r12 stall episode, r13 d_sentence_dedup, r14's
+  // 88.5-vs-68.9 s driver/builder split). A fixed CPU-bound calibration
+  // workload plus /proc/loadavg markers adjacent to every >=1 s sample
+  // make the attribution mechanical: the calibration runs NO engine code,
+  // so its wall inflation is host contention by construction.
+
+  @volatile private var calSink: Long = 0L
+  /** Deterministic single-thread long-mix loop — the calibration
+    * workload. The result lands in a volatile sink so the JIT cannot
+    * elide the loop; the work is pure register arithmetic (no alloc, no
+    * memory traffic), so wall inflation on it is CPU-steal / run-queue
+    * pressure, never engine or GC behavior.
+    */
+  def calibrationWork(iters: Long): Unit = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) { h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 29); i += 1 }
+    calSink = h
+  }
+
+  /** First field of a /proc/loadavg line ("0.52 0.60 0.70 1/234 987" →
+    * 0.52); corrupt content degrades to 0.0 — telemetry must never fail
+    * the bench.
+    */
+  def parseLoadavg(content: String): Double =
+    content.trim.split("\\s+").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+
+  /** Inflation factor of one calibration wall vs the quiet-host baseline
+    * (1.0 = quiet; 2.0 = the host delivered half the CPU it did at
+    * baseline). Degenerate baselines degrade to 1.0, not a division blowup.
+    */
+  def inflation(wall: Double, base: Double): Double =
+    if (base > 0 && wall > 0) wall / base else 1.0
+
+  /** Whole-run host-inflation index: the MEDIAN over every calibration
+    * taken during the run (median, not mean — one stall window among many
+    * quiet markers should read as "run mostly quiet", while a loaded host
+    * lifts every marker and the median with it).
+    */
+  def runInflation(cals: Seq[Double]): Double =
+    if (cals.isEmpty) 1.0 else { val s = cals.sorted; s(s.length / 2) }
+
+  /** Index (first occurrence) of the sample the final score was copied
+    * from — [[scoreSamples]] and both re-measure adjustments always copy
+    * one of the recorded samples, so indexOf finds it exactly; -1 only if
+    * a caller passes a score that is not from `samples`.
+    */
+  def scoredSampleIndex(score: Double, samples: List[Double]): Int =
+    samples.indexOf(score)
+
+  /** Classify a round-over-round >2× entry from the calibration marker
+    * adjacent to its SCORED sample: an inflated calibration (≥1.5×) says
+    * the host was stalled in exactly that window → "stall"; a quiet one
+    * (<1.25×) says the elevation belongs to the query → "real"; between
+    * the thresholds the artifact alone can't decide → "ambiguous";
+    * no marker recorded → "unmarked".
+    */
+  def classifyElevated(calAtScored: Option[Double]): String = calAtScored match {
+    case Some(c) if c >= 1.5 => "stall"
+    case Some(c) if c < 1.25 => "real"
+    case Some(_)             => "ambiguous"
+    case None                => "unmarked"
+  }
+
   /** Third-sample decision over CHECKED (wall, ranSuccessfully) samples:
     * failed runs don't count as evidence — a query needs a third run when
     * fewer than two samples succeeded, when it is sub-second (median-of-3
@@ -114,6 +181,41 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     releaseBlocks()
+    // --- host telemetry setup: tune the calibration loop to ~100 ms on
+    // this host, then baseline on the min of 5 runs (min = the quietest
+    // observed window = the denominator every inflation reads against)
+    def loadavg(): Double =
+      try parseLoadavg(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8"))
+      catch { case _: Throwable => 0.0 }
+    def calWall(): Double = {
+      val t0 = System.nanoTime(); calibrationWork(calIters)
+      (System.nanoTime() - t0) / 1e9
+    }
+    lazy val calIters: Long = {
+      val probe = 8L * 1000 * 1000
+      def probeWall(): Double = {
+        val t0 = System.nanoTime(); calibrationWork(probe)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val w = (1 to 3).map(_ => probeWall()).min
+      math.max(probe, (probe * (0.1 / math.max(w, 1e-4))).toLong)
+    }
+    val calBase = (1 to 5).map(_ => calWall()).min
+    val loadavgPre = loadavg()
+    // per-query calibration markers: (sampleIdx, inflation, loadavg) taken
+    // immediately AFTER each >=1 s sample (and after every sample of the
+    // explicit watch-list queries, which sit under the 1 s floor but are
+    // on round-over-round watch) plus after every stall-sweep re-measure
+    val calMarks = scala.collection.mutable.Map
+      .empty[String, List[(Int, Double, Double)]]
+    val allInfl = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def markCal(q: String, sampleIdx: Int): Unit = {
+      val infl = inflation(calWall(), calBase)
+      allInfl += infl
+      calMarks(q) = calMarks.getOrElse(q, Nil) :+ ((sampleIdx, infl, loadavg()))
+    }
+    val watchList = Set("e28_analyzed_indexed", "a17_topk_per_source")
     // sorted order: per-query times comparable run-to-round and round-to-round
     // success flag alongside the time: a FAILED run returns fast (often
     // milliseconds), and a re-measure fold that blindly math.min's it in
@@ -150,8 +252,13 @@ object Bench {
     // milliseconds and min-of-2 would record it as a fake speedup).
     def measure(name: String): (Double, List[Double]) = {
       val fn = SparkEntry.queries(name)
-      var checked = List(timeOneChecked(fn), timeOneChecked(fn))
-      if (needsThirdSample(checked)) checked = checked :+ timeOneChecked(fn)
+      def sample(idx: Int): (Double, Boolean) = {
+        val s = timeOneChecked(fn)
+        if (s._1 >= 1.0 || watchList(name)) markCal(name, idx)
+        s
+      }
+      var checked = List(sample(0), sample(1))
+      if (needsThirdSample(checked)) checked = checked :+ sample(2)
       (scoreSamples(checked), checked.map(_._1))
     }
     val measured0 = SparkEntry.queries.keys.toSeq.sorted.map(n => (n, measure(n)))
@@ -174,6 +281,10 @@ object Bench {
       if (!stall && !warm) (n, (t, ss))
       else {
         val (again, againOk) = timeOneChecked(SparkEntry.queries(n))
+        // host state adjacent to the re-measure sample, so a re-measure
+        // that itself ran through a stall window is classifiable from the
+        // artifact rather than re-litigated forensically
+        markCal(n, ss.length)
         if (!againOk) (n, (t, ss :+ again)) // failed sample: audit, never adopt
         else {
         // a stall-triggered re-measure may only pull the scored value DOWN
@@ -224,7 +335,30 @@ object Bench {
           .map { case (k, v) => s"\"$k\":$v" }.mkString(",")
         s"\"$q\":{$cells}"
       }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"samples":$remeasured,"stages":$stages,"sf":"$sfDir"}"""
+    // host telemetry emission: the run-level inflation index, the raw
+    // per-query markers, and a mechanical stall/real verdict for every
+    // entry that FINISHED >2x its previous committed value — the exact
+    // entries that previously took a forensic round-trip to adjudicate
+    val loadavgPost = loadavg()
+    val finalInfl = inflation(calWall(), calBase)
+    allInfl += finalInfl
+    val host = s"""{"cal_iters":$calIters,"cal_base_sec":$calBase,""" +
+      s""""loadavg_pre":$loadavgPre,"loadavg_post":$loadavgPost,""" +
+      s""""inflation_run":${runInflation(allInfl.toSeq)},""" +
+      s""""inflation_max":${if (allInfl.isEmpty) 1.0 else allInfl.max},""" +
+      s""""n_calibrations":${allInfl.size}}"""
+    val calJson = calMarks.toSeq.sortBy(_._1).map { case (q, ms) =>
+      "\"" + q + "\":[" +
+        ms.map { case (i, infl, l) => s"[$i,$infl,$l]" }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val stallClass = measured.collect { case (n, (t, ss))
+        if t >= 1.0 && prevQ.get(n).exists(p => p > 0 && t > 2.0 * p) =>
+      val idx = scoredSampleIndex(t, ss)
+      val cal = calMarks.get(n).flatMap(_.collectFirst {
+        case (i, infl, _) if i == idx => infl })
+      "\"" + n + "\":\"" + classifyElevated(cal) + "\""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"samples":$remeasured,"stages":$stages,"host":$host,"calibration":$calJson,"stall_class":$stallClass,"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture keeps only a tail of stdout, which loses
     // most per-query times — persist the full line to a file as well
@@ -262,7 +396,9 @@ object Bench {
     val compactQs = headline.flatMap(k => resultMap.get(k).map(v =>
       "\"" + k + "\":" + f3(v))).mkString("{", ",", "}")
     val compactTotal = f3(total)
-    println(s"""{"metric":"total","value":$compactTotal,"unit":"sec","n_queries":${results.size},"queries":$compactQs,"derived":$derived,"full":"$outPath","sf":"$sfDir"}""")
+    val hostCompact = s"""{"inflation_run":${f3(runInflation(allInfl.toSeq))},""" +
+      s""""loadavg_pre":$loadavgPre,"loadavg_post":$loadavgPost}"""
+    println(s"""{"metric":"total","value":$compactTotal,"unit":"sec","n_queries":${results.size},"queries":$compactQs,"derived":$derived,"host":$hostCompact,"stall_class":$stallClass,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

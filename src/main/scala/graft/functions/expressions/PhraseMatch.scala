@@ -615,7 +615,9 @@ case class MultiExamplesMatched(child: Expression,
   }
   override def hashCode(): Int =
     java.util.Objects.hash(classOf[MultiExamplesMatched], child,
-      java.lang.Long.valueOf(fields.id), Integer.valueOf(slop))
+      java.lang.Long.valueOf(fields.id),
+      java.lang.Long.valueOf(fieldExamples.id),
+      java.lang.Long.valueOf(needCounts.id), Integer.valueOf(slop))
 
   protected override def withNewChildInternal(newChild: Expression): MultiExamplesMatched =
     copy(child = newChild)

@@ -47,7 +47,7 @@ object AnnIndex {
     * checkpointed (|queries|×nprobe rows, computed once, feeds both the
     * literal-IN prune and the score join).
     */
-  private def probeBucketsOf(spark: SparkSession, table: String,
+  private[graft] def probeBucketsOf(spark: SparkSession, table: String,
                              queries: DataFrame, idCol: String,
                              vecCol: String, nprobe: Int): DataFrame = {
     requireQueryDim(spark, table, queries, vecCol)
@@ -67,7 +67,11 @@ object AnnIndex {
       case None =>
         val wq = Window.partitionBy("query_id")
           .orderBy(desc("csim"), asc("centroid_id"))
-        q.join(broadcast(centTable))
+        // drop null-cv centroid rows to match gatherCentroidFrameOpt's
+        // contract — without the filter a null csim sorts last but can
+        // still be emitted as a probe bucket once nprobe exceeds the
+        // non-null centroid count
+        q.join(broadcast(centTable.where(col("cv").isNotNull)))
           .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
           .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
           .select(col("query_id"), col("qv"),

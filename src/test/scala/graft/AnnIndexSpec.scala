@@ -103,6 +103,44 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("join+window probe fallback drops null-cv centroid rows (no garbage probe buckets)") {
+    // gatherCentroidFrameOpt drops null-cv rows by contract; the over-cap
+    // join+window fallback must do the same — otherwise a null csim sorts
+    // last but is still emitted as a probe bucket once nprobe exceeds the
+    // non-null centroid count
+    val table = "annidx_nullcv"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      val cents = spark.table(s"${table}__centroids")
+      val realBuckets = cents.collect().map(_.getLong(0)).toSet
+      val garbageId = 999999999L
+      assert(!realBuckets.contains(garbageId))
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(garbageId, null)),
+        cents.schema)
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}__centroids")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+      // force the fallback arm and over-ask: nprobe far above the
+      // non-null centroid count
+      spark.conf.set(Similarity.MaxGatheredCentroidsConf, "1")
+      val probed = AnnIndex.probeBucketsOf(spark, table, queries,
+        "vec_id", "embedding", nprobe = 64)
+        .select("bucket").collect().map(_.getLong(0)).toSet
+      assert(!probed.contains(garbageId),
+        "null-cv centroid row leaked into the probe buckets")
+      assert(probed.subsetOf(realBuckets))
+      assert(probed.nonEmpty)
+    } finally {
+      spark.conf.unset(Similarity.MaxGatheredCentroidsConf)
+      graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+        s"${table}__meta")
+    }
+  }
+
   test("string-keyed queries against a numeric-id index return candidates (type-safe self-exclusion)") {
     import spark.implicits._
     val table = "annidx_strq"

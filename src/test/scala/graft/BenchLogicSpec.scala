@@ -118,4 +118,64 @@ class BenchLogicSpec extends AnyFunSuite {
     // against best-casing a flaky regression
     assert(fold(3.4, List(3.4, 3.5), 1.5, Some(0.52)) === 3.4)
   }
+
+  test("parseLoadavg reads the 1-minute field and degrades to 0.0") {
+    assert(Bench.parseLoadavg("0.52 0.60 0.70 1/234 9876\n") === 0.52)
+    assert(Bench.parseLoadavg("17.03 12.1 8.0") === 17.03)
+    assert(Bench.parseLoadavg("") === 0.0)
+    assert(Bench.parseLoadavg("garbage here") === 0.0)
+  }
+
+  test("inflation is wall/base with degenerate baselines degrading to 1.0") {
+    assert(math.abs(Bench.inflation(0.3, 0.1) - 3.0) < 1e-9)
+    assert(Bench.inflation(0.1, 0.1) === 1.0)
+    assert(Bench.inflation(0.1, 0.0) === 1.0)
+    assert(Bench.inflation(0.0, 0.1) === 1.0)
+  }
+
+  test("runInflation is the median marker, robust to one stall window") {
+    // one stall window among quiet markers: the run reads quiet
+    assert(Bench.runInflation(Seq(1.0, 1.05, 4.0, 1.02, 0.98)) === 1.02)
+    // a loaded host lifts every marker and the median with it
+    assert(Bench.runInflation(Seq(2.1, 2.4, 2.2)) === 2.2)
+    assert(Bench.runInflation(Nil) === 1.0)
+  }
+
+  test("scoredSampleIndex finds the sample the score was copied from") {
+    // >=1s min scoring: score 2.59 came from sample index 2
+    assert(Bench.scoredSampleIndex(2.59, List(4.26, 6.01, 2.59)) === 2)
+    // sub-second median
+    assert(Bench.scoredSampleIndex(0.4, List(0.5, 0.3, 0.4)) === 2)
+    // not-a-sample (caller bug / rounded value) → -1, which classification
+    // maps to "unmarked" rather than a wrong marker
+    assert(Bench.scoredSampleIndex(2.6, List(4.26, 6.01, 2.59)) === -1)
+  }
+
+  test("classifyElevated: stall/real/ambiguous/unmarked thresholds") {
+    // the r14 d_kcenter_select case: had the scored 2.59 s sample carried
+    // a 3x-inflated calibration marker, the artifact alone would have
+    // said "stall" — no forensic round-trip
+    assert(Bench.classifyElevated(Some(3.1)) === "stall")
+    assert(Bench.classifyElevated(Some(1.5)) === "stall")
+    // quiet host adjacent to the scored sample: the elevation is real
+    assert(Bench.classifyElevated(Some(1.0)) === "real")
+    assert(Bench.classifyElevated(Some(1.24)) === "real")
+    // between the thresholds the artifact honestly can't decide
+    assert(Bench.classifyElevated(Some(1.3)) === "ambiguous")
+    assert(Bench.classifyElevated(None) === "unmarked")
+  }
+
+  test("calibrationWork runs and scales roughly linearly in iters") {
+    // smoke: the volatile-sink loop must not be elided — 64M iterations
+    // take measurably longer than 1k (JIT-warmed first)
+    def wall(n: Long): Double = {
+      val t0 = System.nanoTime(); Bench.calibrationWork(n)
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach(_ => wall(8L * 1000 * 1000)) // warm the loop
+    val small = (1 to 3).map(_ => wall(1000L)).min
+    val big = (1 to 3).map(_ => wall(64L * 1000 * 1000)).min
+    assert(big > small * 10,
+      s"calibration loop looks elided: big=$big small=$small")
+  }
 }

@@ -369,6 +369,34 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(wide(81L) === 0L) // the planted zero-hit example is reported
   }
 
+  test("MultiExamplesMatched equals/hashCode cover every broadcast id") {
+    // equals compares fields.id, fieldExamples.id AND needCounts.id; the
+    // hashCode must include all three so instances differing only in the
+    // fan-out / need broadcasts don't collide
+    import graft.functions.expressions.MultiExamplesMatched
+    import org.apache.spark.unsafe.types.UTF8String
+    val sc = spark.sparkContext
+    val fields = sc.broadcast(Array(Array(UTF8String.fromString("a"))))
+    val fanA = sc.broadcast(Array(Array(0)))
+    val fanB = sc.broadcast(Array(Array(0)))
+    val needA = sc.broadcast(Array(1))
+    val needB = sc.broadcast(Array(1))
+    val child = org.apache.spark.sql.graft.Bridge.expression(
+      org.apache.spark.sql.functions.lit(null))
+    val e1  = MultiExamplesMatched(child, fields, fanA, needA)
+    val e1b = MultiExamplesMatched(child, fields, fanA, needA)
+    assert(e1 === e1b)
+    assert(e1.hashCode === e1b.hashCode)
+    val eFan  = MultiExamplesMatched(child, fields, fanB, needA)
+    val eNeed = MultiExamplesMatched(child, fields, fanA, needB)
+    assert(e1 !== eFan)
+    assert(e1 !== eNeed)
+    // Objects.hash over distinct broadcast ids — no collision for
+    // same-session sequential ids
+    assert(e1.hashCode !== eFan.hashCode)
+    assert(e1.hashCode !== eNeed.hashCode)
+  }
+
   test("countPerExample routes wide batteries through the example kernel") {
     val d = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val battery = (1 to 70).map(i => Seq(s"x$i", "a")) ++
