@@ -113,8 +113,9 @@ object Similarity {
     * projection — the running min-distance column folds `least(mind,
     * 1 − dot(v, center))` over the batch's centers inlined as array
     * literals (no join, no broadcast variable) — plus ONE
-    * TakeOrderedAndProject collecting the top-m frontier (m ≈ 2k,
-    * capped; m·d doubles on the driver). Selections then proceed
+    * TakeOrderedAndProject collecting the top-m frontier (m starts at
+    * max(1024, 4k) and doubles on every recollect, capped at 32768;
+    * m·d doubles on the driver). Selections then proceed
     * LOCALLY inside the frontier, maintaining each candidate's exact
     * min-distance, for as long as the running pick strictly exceeds the
     * m-th collected distance τ — distances only ever shrink, so every
@@ -127,7 +128,17 @@ object Similarity {
     * frame is localCheckpoint'd per batch to truncate lineage.
     */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    kCenterSelect(df, idCol, vecCol, k, frontier0 = 0)
+
+  /** Test seam: `frontier0` > 0 pins the INITIAL frontier size so specs
+    * can force τ-crossing recollects (and the doubling schedule) on small
+    * fixtures — results are m-independent by the exactness argument
+    * above, which is precisely what those specs pin.
+    */
+  private[graft] def kCenterSelect(df: DataFrame, idCol: String,
+                                   vecCol: String, k: Int,
+                                   frontier0: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val spark = df.sparkSession
     import org.apache.spark.sql.types._
@@ -173,7 +184,12 @@ object Similarity {
     // them (and null vectors) to NULL units; drop them up front
     val unit = unitProject(graft.Par.fanOut(df), idCol, "id", vecCol, "v")
       .where(col("v").isNotNull)
-    val seed = unit.orderBy(asc("id")).limit(1).collect()
+    // the seed reads the UN-fanned-out projection: TakeOrdered over the
+    // raw scan has no exchange, so the seed costs one job instead of the
+    // AQE stage-materialization + result pair the repartitioned frame
+    // pays (same rows either way — fanOut only changes partitioning)
+    val seed = unitProject(df, idCol, "id", vecCol, "v")
+      .where(col("v").isNotNull).orderBy(asc("id")).limit(1).collect()
     if (seed.isEmpty) return result(Nil)
     def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](1).toArray
@@ -188,9 +204,19 @@ object Similarity {
     }
     val picked = scala.collection.mutable.ArrayBuffer(
       org.apache.spark.sql.Row(seed.head.get(0), 1L, 0.0))
-    // frontier size: big enough that one collect usually feeds many picks,
-    // small enough that m·d doubles stay trivially driver-sized
-    val m = math.max(64, math.min(4096, 2 * k))
+    // frontier size: big enough that one collect usually feeds many picks
+    // (or, on corpora smaller than m, ALL of them — a sub-m frontier drops
+    // τ to −∞ and the whole selection finishes in one collect), small
+    // enough that m·d doubles stay trivially driver-sized. Starts at
+    // max(1024, 4k) and DOUBLES on every τ-crossing recollect: each
+    // recollect is one full Spark job over the checkpointed state, and
+    // under host load the per-job scheduling floor — not the scan — was
+    // the r14 sample spread (2.6–6.0 s on a loaded host at k=4), so the
+    // batch count must shrink geometrically, not stay proportional to
+    // k/m. Cap 32768: ≲32 MB of frontier vectors at d=128 on the driver.
+    var m =
+      if (frontier0 > 0) frontier0
+      else math.max(1024, math.min(8192, 4 * k))
     var pendingCenters: List[Array[Double]] = List(vecOf(seed.head))
     var state: DataFrame = unit
     var haveMind = false
@@ -276,6 +302,7 @@ object Similarity {
         // full frontier that stopped just recollects (every batch picks
         // at least once, so the loop always progresses)
         if (frontier.length < m && r <= k) done = true
+        else if (r <= k) m = math.min(32768, m * 2)
       }
     }
     prevToRelease.foreach(org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint)

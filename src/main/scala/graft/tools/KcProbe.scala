@@ -24,10 +24,22 @@ object KcProbe {
     spark.sparkContext.setLogLevel("WARN")
     val emb = Tables(spark, sfDir, "embeddings")
     emb.count() // warm
-    (1 to 2).foreach { rep =>
+    // job counter: the r14 loaded-host sample spread was per-job
+    // scheduling floor × batch count, so the record must show the JOB
+    // count alongside the wall
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+    (1 to 3).foreach { rep =>
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       val n = Similarity.kCenterSelect(emb, "vec_id", "embedding", k).count()
-      println(f"[kc] rep $rep k=$k selected=$n wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[kc] rep $rep k=$k selected=$n wall=$wall%6.2f s jobs=${jobs.get() - j0}")
     }
     spark.stop()
   }

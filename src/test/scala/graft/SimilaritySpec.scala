@@ -406,9 +406,11 @@ class SimilaritySpec extends SparkTestBase {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
     // trials 0-2 fit inside one frontier (every selectable point in hand,
-    // τ = −∞, pure local finish); trial 3 has n ≫ the m=2k frontier, so
-    // the batched lazy-greedy must CROSS batch boundaries — recollect on
-    // hitting τ — and still reproduce sequential Gonzalez row for row
+    // τ = −∞, pure local finish); trial 3 pins the initial frontier to 16
+    // (the test seam — production m starts ≥1024) so the batched
+    // lazy-greedy must CROSS batch boundaries — recollect on hitting τ,
+    // doubling m each time — and still reproduce sequential Gonzalez row
+    // for row
     for (trial <- 0 until 4) {
       val n = if (trial == 3) 900 else 40 + trial * 17
       val d = 8
@@ -437,7 +439,8 @@ class SimilaritySpec extends SparkTestBase {
         mind = mind.map { case (id, dd) => id -> math.min(dd, dist(unit(id), unit(bid))) }
       }
       val got = graft.operators.Similarity.kCenterSelect(
-          data.toDF("vec_id", "embedding"), "vec_id", "embedding", k)
+          data.toDF("vec_id", "embedding"), "vec_id", "embedding", k,
+          frontier0 = if (trial == 3) 16 else 0)
         .orderBy("rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
       assert(got === expected, s"trial $trial")
