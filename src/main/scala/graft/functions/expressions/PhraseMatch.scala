@@ -325,6 +325,51 @@ private[graft] final class FirstTokenWalker(
     rec(start + 1, 1, slop)
   }
 
+  /** The [[PhraseMatchKernel.matchesLucene]] move-distance matcher
+    * anchored at `anchor` (whose token already equals `ph(0)`): does a
+    * matching assignment exist whose term-0 position is NEAR the anchor?
+    * Under the move-distance budget every position of a match with
+    * p_0 = anchor lies in [anchor − slop, anchor + (m−1) + slop], so the
+    * per-term position gathering is bounded by m + 2·slop window tokens —
+    * and since a global match has SOME term-0 occurrence as its p_0, the
+    * union over all first-token anchors the walker visits is exactly
+    * [[PhraseMatchKernel.matchesLucene]] (re-verification across nearby
+    * anchors costs work, never correctness — the walker dedups matched
+    * phrases per epoch). The positions-level core is the SAME
+    * [[PhraseMatchKernel.matchesPositions]] the index tier runs.
+    */
+  private def luceneFrom(tokens: ArrayData,
+                         ph: Array[org.apache.spark.unsafe.types.UTF8String],
+                         anchor: Int, slop: Int): Boolean = {
+    val m = ph.length
+    val n = tokens.numElements()
+    val lo = math.max(0, anchor - slop)
+    val hi = math.min(n - 1, anchor + (m - 1) + slop)
+    val pos = new Array[Array[Int]](m)
+    var i = 0
+    while (i < m) {
+      var sameAs = -1
+      var j = 0
+      while (sameAs < 0 && j < i) { if (ph(j).equals(ph(i))) sameAs = j; j += 1 }
+      if (sameAs >= 0) pos(i) = pos(sameAs)
+      else {
+        val buf = new Array[Int](hi - lo + 1)
+        var len = 0
+        var p = lo
+        while (p <= hi) {
+          if (!tokens.isNullAt(p) && tokens.getUTF8String(p).equals(ph(i))) {
+            buf(len) = p; len += 1
+          }
+          p += 1
+        }
+        if (len == 0) return false
+        pos(i) = java.util.Arrays.copyOf(buf, len)
+      }
+      i += 1
+    }
+    PhraseMatchKernel.matchesPositions(pos, n, slop)
+  }
+
   /** Per-phrase OCCURRENCE totals over the last [[walkCounts]], aligned
     * with [[matches]]: `counts(matches(i))` is phrase `matches(i)`'s
     * count, for i in 0 until the returned touched-phrase count.
@@ -390,8 +435,17 @@ private[graft] final class FirstTokenWalker(
     * the first-token index prunes identically at every slop. Stops as
     * soon as `maxMatches` phrases have matched — pass 1 for an
     * existence probe, `ps.length` (or more) for the full set.
+    *
+    * `lucene = true` switches slop > 0 verification to the
+    * [[PhraseMatchKernel.matchesLucene]] move-distance dialect (ES
+    * `match_phrase` slop) via [[luceneFrom]] — the first-token index
+    * still prunes completely because every move-distance match contains
+    * an occurrence of the first phrase token somewhere, and the walker
+    * anchors on ALL of them. At slop 0 the dialects coincide and the
+    * exact-adjacency fast path runs either way.
     */
-  def walk(tokens: ArrayData, maxMatches: Int, slop: Int = 0): Int = {
+  def walk(tokens: ArrayData, maxMatches: Int, slop: Int = 0,
+           lucene: Boolean = false): Int = {
     epoch += 1
     val n = tokens.numElements()
     var matched = 0
@@ -416,7 +470,12 @@ private[graft] final class FirstTokenWalker(
             val p = cands(ci)
             if (hitStamp(p) != epoch) {
               val ph = ps(p)
-              if (t + ph.length <= n) {
+              if (lucene && slop > 0 && ph.length > 1) {
+                // move-distance: positions may precede the anchor (the
+                // transposition case), so the t + len <= n pre-filter
+                // below would wrongly reject end-of-doc anchors
+                if (luceneFrom(tokens, ph, t, slop)) record(p)
+              } else if (t + ph.length <= n) {
                 if (slop > 0) {
                   if (sloppyFrom(tokens, ph, t, slop)) record(p)
                 } else {
@@ -445,8 +504,10 @@ private[graft] final class FirstTokenWalker(
   * token-sequence phrases occur in this row's token array — at the
   * expression's `slop` under the [[PhraseMatch]] insertion-budget
   * semantics (slop=0 is exact adjacency, the reference's sliding-window
-  * compare, src/cmd/count.rs:191-208) — as the array<int> of DISTINCT
-  * matched phrase indices ascending.
+  * compare, src/cmd/count.rs:191-208), or with `lucene = true` under the
+  * [[PhraseMatchLucene]] move-distance dialect (ES `match_phrase` slop,
+  * reference wimbd/es/__init__.py:106-113) — as the array<int> of
+  * DISTINCT matched phrase indices ascending.
   *
   * The per-phrase predicate-column shape (`Searcher.countPerPhrase`)
   * evaluates one token-seq scan per phrase per row and aggregates one
@@ -472,7 +533,8 @@ case class MultiPhrasesFound(child: Expression,
     phrases: org.apache.spark.broadcast.Broadcast[
       Array[Array[org.apache.spark.unsafe.types.UTF8String]]],
     firstOnly: Boolean = false,
-    slop: Int = 0)
+    slop: Int = 0,
+    lucene: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(slop >= 0, s"slop must be >= 0, got $slop")
 
@@ -489,7 +551,8 @@ case class MultiPhrasesFound(child: Expression,
 
   def found(tokens: ArrayData): ArrayData = {
     val w = walker
-    val count = w.walk(tokens, if (firstOnly) 1 else Int.MaxValue, slop)
+    val count = w.walk(tokens, if (firstOnly) 1 else Int.MaxValue, slop,
+      lucene)
     val arr = java.util.Arrays.copyOf(w.matches, count)
     java.util.Arrays.sort(arr)
     val boxed = new Array[Any](count)
@@ -510,13 +573,13 @@ case class MultiPhrasesFound(child: Expression,
   override def equals(other: Any): Boolean = other match {
     case e: MultiPhrasesFound =>
       (this eq e) || (child == e.child && phrases.id == e.phrases.id &&
-        firstOnly == e.firstOnly && slop == e.slop)
+        firstOnly == e.firstOnly && slop == e.slop && lucene == e.lucene)
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(classOf[MultiPhrasesFound], child,
       java.lang.Long.valueOf(phrases.id), java.lang.Boolean.valueOf(firstOnly),
-      Integer.valueOf(slop))
+      Integer.valueOf(slop), java.lang.Boolean.valueOf(lucene))
 
   protected override def withNewChildInternal(newChild: Expression): MultiPhrasesFound =
     copy(child = newChild)

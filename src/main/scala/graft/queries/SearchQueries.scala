@@ -458,6 +458,23 @@ object SearchQueries extends QueryPack {
         .orderBy("phrase")
     }),
 
+    // wide battery under Lucene MOVE-DISTANCE slop (the ES default): at
+    // slop=2 a 2-token phrase matches adjacency, one or two inserted
+    // tokens, AND the transposition "t2 t1" — which the insertion-budget
+    // dialect (e37) never does. 2-token prefixes keep a closed SQL form:
+    // regex with {0,2} fillers plus the reversed-adjacency clause (a
+    // duplicate-term phrase needs distinct positions, which the regex's
+    // two literal tokens already force)
+    "e38_per_phrase_wide_lucene" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val battery = d.where(col("doc_id") % 4 === 0 && size(toks) >= 2)
+        .select(concat_ws(" ", slice(toks, 1, 2)).as("p"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      Searcher.countPerPhrase(d, "text", battery, slop = 2, uax29 = false,
+        luceneSlop = true).orderBy("phrase")
+    }),
+
     // E3 at BATTERY scale: >WidePhraseGate phrases route through the
     // set-oriented MultiPhrasesFound kernel — one walk of each document
     // against a first-token index of the whole battery instead of one
@@ -847,6 +864,28 @@ object SearchQueries extends QueryPack {
         |  CAST(sum(CASE WHEN contains(' ' || text || ' ', ' ' || phrase || ' ')
         |            OR regexp_matches(' ' || text || ' ',
         |                 ' ' || t1 || ' [^ ]+ ' || t2 || ' ')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        | FROM pt LEFT JOIN documents ON true GROUP BY phrase)
+        |SELECT phrase, n_docs FROM per ORDER BY phrase""".stripMargin,
+
+    // move-distance slop=2 over a 2-token phrase == up to two inserted
+    // tokens (adjusted-position spread 0..2) OR the transposition t2
+    // immediately before t1 (spread exactly 2); tokens are alphanumeric
+    // so the assembled regex is literal-safe, and a duplicate-term
+    // phrase's distinct-position requirement is forced by the regex's
+    // two literal token occurrences
+    "e38_per_phrase_wide_lucene" ->
+      """WITH ph AS (SELECT DISTINCT
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS phrase
+        | FROM documents
+        | WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 2),
+        |pt AS (SELECT phrase,
+        |  string_split(phrase, ' ')[1] AS t1, string_split(phrase, ' ')[2] AS t2
+        | FROM ph),
+        |per AS (SELECT phrase,
+        |  CAST(sum(CASE WHEN regexp_matches(' ' || text || ' ',
+        |                 ' ' || t1 || '( [^ ]+){0,2} ' || t2 || ' ')
+        |            OR contains(' ' || text || ' ', ' ' || t2 || ' ' || t1 || ' ')
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
         | FROM pt LEFT JOIN documents ON true GROUP BY phrase)
         |SELECT phrase, n_docs FROM per ORDER BY phrase""".stripMargin,

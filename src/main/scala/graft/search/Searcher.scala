@@ -71,19 +71,21 @@ object Searcher {
     // the MultiPhrasesFound kernel instead of P predicate columns —
     // matched-count == P is ALL, > 0 is ANY (duplicate phrases collapse
     // to distinct indices, so dedup before the cardinality compare)
-    if (!isRegexp && (slop == 0 || !luceneSlop) &&
-        phrases.length > WidePhraseGate) {
+    if (!isRegexp && phrases.length > WidePhraseGate) {
       val distinctPhrases = phrases.distinct
       // ANY only needs existence: firstOnly stops the walk at the first
       // hit, so a matching row costs O(position of first hit), not a
-      // full-battery walk. Slop rides the kernel too (the insertion-
-      // budget semantics of PhraseMatch); the Lucene move-distance mode
-      // stays per-column above slop=0, where the semantics diverge.
+      // full-battery walk. BOTH slop dialects ride the kernel — the
+      // insertion-budget semantics of PhraseMatch and the Lucene
+      // move-distance mode (the ES default users actually get), which
+      // the walker verifies with the same matchesPositions core as the
+      // per-column PhraseMatchLucene plan (randomized differential in
+      // PhraseMatchSpec).
       return if (allPhrases)
         size(multiPhrasesFoundCol(text, distinctPhrases, uax29,
-          slop = slop)) === distinctPhrases.length
+          slop = slop, lucene = luceneSlop)) === distinctPhrases.length
       else size(multiPhrasesFoundCol(text, distinctPhrases, uax29,
-        firstOnly = true, slop = slop)) > 0
+        firstOnly = true, slop = slop, lucene = luceneSlop)) > 0
     }
     val preds = phrases.map { p =>
       if (isRegexp) text.rlike("(?i)" + p) // ES regexp mode is case-insensitive (:108-117)
@@ -135,22 +137,26 @@ object Searcher {
     * in ONE job via a broadcast phrase table instead of N msearch batches
     * (reference :269-345). Zero-hit phrases are kept. Batteries beyond
     * [[WidePhraseGate]] route through [[countPerPhraseWide]] at any slop
-    * (identical results — spec-pinned differential; the kernel anchors
-    * candidates on the first phrase token, which slop never relaxes).
+    * in EITHER dialect — insertion-budget or `luceneSlop` move-distance
+    * (identical results — spec-pinned differentials; the kernel anchors
+    * candidates on the first phrase token, which neither dialect
+    * relaxes: every match contains the first token somewhere).
     */
   def countPerPhrase(df: DataFrame, textCol: String, phrases: Seq[String],
-                     slop: Int = 0, uax29: Boolean = true): DataFrame = {
+                     slop: Int = 0, uax29: Boolean = true,
+                     luceneSlop: Boolean = false): DataFrame = {
     if (phrases.isEmpty) { // empty benchmark → empty report, never a throw
       val spark = df.sparkSession
       import spark.implicits._
       return Seq.empty[(String, Long)].toDF("phrase", "n_docs")
     }
     if (phrases.length > WidePhraseGate)
-      return countPerPhraseWide(df, textCol, phrases, uax29, slop)
+      return countPerPhraseWide(df, textCol, phrases, uax29, slop, luceneSlop)
     // one boolean predicate column per phrase, all evaluated in a single
     // scan + single partial-agg (the set-oriented answer to msearch batching)
     val preds = df.select(phrases.zipWithIndex.map { case (p, i) =>
-      phrasePredicate(col(textCol), p, slop, uax29).cast("long").as(s"__p$i")
+      phrasePredicate(col(textCol), p, slop, uax29, luceneSlop)
+        .cast("long").as(s"__p$i")
     }: _*)
     val aggs = phrases.indices.map(i => coalesce(sum(col(s"__p$i")), lit(0L)).as(s"__p$i"))
     val sums = preds.agg(aggs.head, aggs.tail: _*)
@@ -171,7 +177,8 @@ object Searcher {
   private def multiPhrasesFoundCol(text: Column, phrases: Seq[String],
                                    uax29: Boolean,
                                    firstOnly: Boolean = false,
-                                   slop: Int = 0): Column = {
+                                   slop: Int = 0,
+                                   lucene: Boolean = false): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val phraseToks: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
       phrases.iterator.map { p =>
@@ -183,7 +190,7 @@ object Searcher {
     val bc = spark.sparkContext.broadcast(phraseToks)
     val toks = if (uax29) TextFunctions.tokenize(text) else split(text, " ")
     Bridge.column(graft.functions.expressions.MultiPhrasesFound(
-      Bridge.expression(toks), bc, firstOnly, slop))
+      Bridge.expression(toks), bc, firstOnly, slop, lucene))
   }
 
   /** [[countPerPhrase]] for LARGE phrase batteries (any slop): phrases are
@@ -216,11 +223,12 @@ object Searcher {
   private[graft] def countPerPhraseWide(df: DataFrame, textCol: String,
                                         phrases: Seq[String],
                                         uax29: Boolean = true,
-                                        slop: Int = 0): DataFrame = {
+                                        slop: Int = 0,
+                                        luceneSlop: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val foundCol = multiPhrasesFoundCol(col(textCol), phrases, uax29,
-      slop = slop)
+      slop = slop, lucene = luceneSlop)
     zeroHitCounts(df.select(explode(foundCol).as("__f")), col("__f"), None,
         phrases.zipWithIndex.map { case (p, i) => (i, p) }
           .toDF("__idx", "phrase"))

@@ -369,6 +369,70 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(wide(81L) === 0L) // the planted zero-hit example is reported
   }
 
+  test("wide battery in Lucene move-distance mode == per-column PhraseMatchLucene plan") {
+    // the r14 gap: >WidePhraseGate batteries in ES-default slop mode took
+    // the O(P) per-column plan. The walker now verifies with the same
+    // matchesPositions core anchored at first-token occurrences — this
+    // differential pins ANY and ALL against the per-column formulation
+    // on a randomized corpus, at slops that buy transpositions (>=2)
+    val rnd = new scala.util.Random(1515)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = ((1 to 160).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(9)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (slop <- Seq(1, 2, 3)) {
+      val battery = ((1 to 80).map(_ => (0 until (1 + rnd.nextInt(3)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+        Seq("b a", "e d c")).distinct // planted transposition bait
+      val wideAny = Searcher.countContaining(corpus, "text", battery,
+        allPhrases = false, slop = slop, uax29 = false, luceneSlop = true)
+        .collect().head.getLong(0)
+      val bruteAny = corpus.where(battery.map(p =>
+        Searcher.phrasePredicate(col("text"), p, slop, uax29 = false,
+          luceneSlop = true)).reduce(_ || _)).count()
+      assert(wideAny === bruteAny, s"ANY slop=$slop")
+      val wideAll = Searcher.countContaining(corpus, "text", battery,
+        allPhrases = true, slop = slop, uax29 = false, luceneSlop = true)
+        .collect().head.getLong(0)
+      val bruteAll = corpus.where(battery.map(p =>
+        Searcher.phrasePredicate(col("text"), p, slop, uax29 = false,
+          luceneSlop = true)).reduce(_ && _)).count()
+      assert(wideAll === bruteAll, s"ALL slop=$slop")
+    }
+  }
+
+  test("FirstTokenWalker lucene mode == matchesLucene on random token arrays") {
+    // direct kernel differential, no Spark plan in between: the anchored
+    // windowed verify must reproduce the global matcher phrase by phrase
+    // (transpositions, duplicate terms, end-of-doc anchors, empty docs)
+    import graft.functions.expressions.{FirstTokenWalker, PhraseMatchKernel}
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(2626)
+    val vocab = Vector("a", "b", "c", "d")
+    def u(s: String) = UTF8String.fromString(s)
+    val battery: Array[Array[UTF8String]] =
+      ((1 to 90).map(_ => Array.fill(1 + rnd.nextInt(3))(
+        u(vocab(rnd.nextInt(vocab.size))))) ++
+        Seq(Array(u("a"), u("a")), Array(u("b"), u("a"), u("b")))).toArray
+    val walker = new FirstTokenWalker(battery)
+    for (_ <- 1 to 300; slop <- Seq(0, 1, 2, 4)) {
+      val doc = Array.fill(rnd.nextInt(10))(u(vocab(rnd.nextInt(vocab.size))))
+      val toks = new GenericArrayData(doc.asInstanceOf[Array[Any]])
+      val got = {
+        val k = walker.walk(toks, Int.MaxValue, slop, lucene = true)
+        walker.matches.take(k).toSet
+      }
+      val want = battery.indices.filter { i =>
+        PhraseMatchKernel.matchesLucene(toks,
+          new GenericArrayData(battery(i).asInstanceOf[Array[Any]]), slop)
+      }.toSet
+      assert(got === want,
+        s"slop=$slop doc=${doc.map(_.toString).mkString(" ")}")
+    }
+  }
+
   test("MultiExamplesMatched equals/hashCode cover every broadcast id") {
     // equals compares fields.id, fieldExamples.id AND needCounts.id; the
     // hashCode must include all three so instances differing only in the

@@ -493,6 +493,15 @@ class PlanPropertySpec extends SparkTestBase {
     val ep = plan(ew)
     assert(shuffles(ew) === 1, ep)
     assert(ep.contains("graft_multi_examples"), ep)
+    // the gate applies in BOTH slop dialects: move-distance mode must
+    // take the kernel plan too (r14 left it on the O(P) per-column
+    // path), with the same single (idx, count) exchange
+    val lw = Searcher.countPerPhrase(docs, "text", battery, slop = 2,
+      uax29 = false, luceneSlop = true)
+    val lp = plan(lw)
+    assert(shuffles(lw) === 1, lp)
+    assert(lp.contains("graft_multi_phrases"), lp)
+    assert(!lp.contains("graft_phrase_match_lucene"), lp)
   }
 
   test("paired/analyzed scan families: predicates fold map-side, zero shuffle") {
