@@ -105,11 +105,30 @@ object Pipeline {
 
   /** SemDeDup over an embedding column; raise `tables` for recall on
     * structure-poor embeddings (see tools.SemRecall).
+    *
+    * `exactFirst` (default ON — the dedup-ladder discipline): collapse
+    * EXACT-duplicate vectors to their min-`idCol` row with one narrow
+    * window pass BEFORE any bucketing or pair scoring. Identical vectors
+    * have pairwise cosine exactly 1.0, so SemDeDup would put them in one
+    * cluster and keep the same min-id representative anyway — but only
+    * after materializing the O(c²)-per-clique pair graph (the SCALE.md
+    * 100× adversarial row: 100-way replication cliques drove a ~10M-edge
+    * CC). The pre-rung removes that graph before it exists; rows with a
+    * NULL vector pass through untouched (they are never compared, the
+    * [[Similarity.semanticDedup]] contract). Opt out for attribution
+    * runs that need every clique member scored.
     */
   def dedupSemantic(docs: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, centroidStep: Int,
-                    tables: Int = 1): DataFrame =
-    Similarity.semanticDedup(docs, idCol, vecCol, threshold, centroidStep, tables)
+                    tables: Int = 1, exactFirst: Boolean = true): DataFrame = {
+    val base =
+      if (!exactFirst) docs
+      else Dedup.keepFirst(docs.where(col(vecCol).isNotNull), col(vecCol),
+          Seq(asc(idCol)))
+        .unionByName(docs.where(col(vecCol).isNull))
+    Similarity.semanticDedup(base, idCol, vecCol, threshold, centroidStep,
+      tables)
+  }
 
   /** [[dedupSemantic]] for TEXT-ONLY corpora: derive the vector column by
     * the hashing trick ([[operators.FeatureHash.hashedEmbeddings]] — a
@@ -122,9 +141,19 @@ object Pipeline {
     */
   def dedupSemanticText(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, centroidStep: Int, dim: Int = 64,
-                        tables: Int = 1, uax29: Boolean = false): DataFrame = {
-    val emb = operators.FeatureHash.hashedEmbeddings(docs, idCol, textCol,
+                        tables: Int = 1, uax29: Boolean = false,
+                        exactFirst: Boolean = true): DataFrame = {
+    val emb0 = operators.FeatureHash.hashedEmbeddings(docs, idCol, textCol,
       dim, uax29 = uax29)
+    // exact-first pre-rung on the (id, emb) projection: exact-text twins
+    // (and hash-coincident docs) share the embedding byte for byte, so
+    // collapsing by the raw vector removes every clique the pair graph
+    // would otherwise score quadratically — one narrow window pass, the
+    // document text never moves (hashedEmbeddings is a zero-shuffle
+    // kernel and already dropped null-text rows)
+    val emb =
+      if (exactFirst) Dedup.keepFirst(emb0, col("emb"), Seq(asc("id")))
+      else emb0
     val keep = Similarity.semanticDedup(emb, "id", "emb", threshold,
       centroidStep, tables).select(col("id").as(idCol))
     // null-text docs have no embedding, so they were never compared —

@@ -217,6 +217,14 @@ object ScaleRehearsal {
       graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.35, step = 50).count()
     }
+    // the SAME adversarial corpus through the Pipeline rung with the
+    // r15 exact-first default: every (replicas)-member exact clique
+    // collapses in one narrow window pass BEFORE the pair graph exists —
+    // the designed mitigation for the row above, now the default
+    run("semantic_dedup_pipeline") {
+      graft.Pipeline.dedupSemantic(emb, "vec_id", "embedding",
+        threshold = 0.35, centroidStep = 50).count()
+    }
     run("cluster_sample") {
       graft.operators.Similarity.clusterBalancedSample(emb, "vec_id",
         "embedding", step = 50 * replicas, perCluster = 5).count()

@@ -85,6 +85,42 @@ class FeatureHashSpec extends SparkTestBase {
     assert(kept.toList === List(0L, 2L, 3L)) // 1 collapses into 0's cluster
   }
 
+  test("Pipeline dedupSemantic/Text: exact-first pre-rung collapses cliques, same survivors") {
+    // a 4-member exact-duplicate clique + a near-dup + a distinct doc +
+    // a null-text doc: the default exact-first pre-rung must collapse
+    // the clique BEFORE pair scoring and keep the SAME survivors as the
+    // opt-out path (identical vectors are cosine-1.0 one-cluster members
+    // either way, min-id representative both ways)
+    val cliqueText = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val planted = (Seq(
+      (0L, cliqueText), (1L, cliqueText), (2L, cliqueText), (3L, cliqueText),
+      (4L, ((1 to 19).map(i => s"tok$i") :+ "different").mkString(" ")),
+      (5L, (100 to 119).map(i => s"other$i").mkString(" ")),
+      (6L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): List[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toList
+    val withPre = ids(Pipeline.dedupSemanticText(planted, "doc_id", "text",
+      threshold = 0.8, centroidStep = 50, dim = 64))
+    val without = ids(Pipeline.dedupSemanticText(planted, "doc_id", "text",
+      threshold = 0.8, centroidStep = 50, dim = 64, exactFirst = false))
+    assert(withPre === without)
+    assert(withPre === List(0L, 5L, 6L)) // clique+near-dup → 0; null passes
+    // embedding variant: exact-duplicate vectors collapse pre-rung, a
+    // null-vector row passes through on both paths
+    val vecs = Seq(
+      (10L, Array(1.0, 0.0, 0.0)), (11L, Array(1.0, 0.0, 0.0)),
+      (12L, Array(1.0, 0.0, 0.0)), (13L, Array(0.0, 1.0, 0.0)),
+      (14L, null.asInstanceOf[Array[Double]])
+    ).toDF("doc_id", "v")
+    def vids(exactFirst: Boolean): List[Long] =
+      Pipeline.dedupSemantic(vecs, "doc_id", "v", threshold = 0.8,
+          centroidStep = 10, exactFirst = exactFirst)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toList
+    assert(vids(true) === vids(false))
+    assert(vids(true) === List(10L, 13L, 14L))
+  }
+
   test("edge cases: zero vector for empty tokens, null text dropped, SQL function") {
     val f = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "a b a"))
       .toDF("doc_id", "text")
