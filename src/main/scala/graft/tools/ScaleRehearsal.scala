@@ -41,7 +41,16 @@ object ScaleRehearsal {
 
   private def gb(x: Long): String = f"${x / 1073741824.0}%7.3f"
 
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    // --zipf swaps the replicated documents table for a generated
+    // Zipf-vocabulary corpus (see zipfCorpus below): the sf0.1 synthetic
+    // corpus has a ~31-term vocabulary where every term's df ≈ 0.8N, so
+    // every MLT/significant-terms measurement on it is adversarial by
+    // construction (all profile terms are stopwords). The Zipf fixture
+    // has the df profile real text has — a few true stopwords, a long
+    // selective tail — so the ES-floor/df-cap wins are measured on both.
+    val zipf = rawArgs.contains("--zipf")
+    val args = rawArgs.filterNot(_ == "--zipf")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse("/tmp/scale_rehearsal")
@@ -73,13 +82,45 @@ object ScaleRehearsal {
       }
       outPath
     }
-    val docsPath = replicate("documents", "doc_id")
+    // Zipf-vocabulary generated corpus: 70% of positions draw a
+    // background rank via rank = V^u with u uniform per (doc, position)
+    // hash — the s≈1 Zipf CDF inversion (P(rank ≤ r) = ln r / ln V), so
+    // "w1" is a true stopword and the tail is selective; the other 30%
+    // draw from the doc's 8-word TOPIC set (4,999 topics, ~replica-count
+    // docs per topic) — the burstiness real text has, giving MLT
+    // profiles their within-doc tf ≥ 2 terms with moderate df (the
+    // regime the ES floors/caps are FOR, instead of the all-stopword
+    // vocab-31 regime). Deterministic (hash-seeded), sized to match the
+    // replicated table (5k docs per sf0.1 replica, 20–139 tokens per
+    // doc), same (doc_id, source, text) schema.
+    def zipfCorpus(): String = {
+      val outPath = s"$work/documents_zipf_x$replicas.parquet"
+      if (!new java.io.File(outPath).exists()) {
+        val n = 5000L * replicas
+        val v = 50000
+        spark.range(n).select(
+          col("id").as("doc_id"),
+          concat(lit("src"), (col("id") % 20).cast("string")).as("source"),
+          expr(s"concat_ws(' ', transform(sequence(1, " +
+            "20 + cast(pmod(xxhash64(id), 120) as int)), " +
+            "i -> CASE WHEN pmod(xxhash64(id * 31 + i), 10) < 3 " +
+            "THEN concat('t', pmod(xxhash64(id), 4999) * 8 + " +
+            "pmod(xxhash64(id * 1048573 + i), 8)) " +
+            s"ELSE concat('w', cast(pow($v, " +
+            "pmod(xxhash64(id * 1048573 + i), 1000000) / 1000000.0) " +
+            "as bigint)) END))").as("text"))
+          .write.mode("overwrite").parquet(outPath)
+      }
+      outPath
+    }
+    val docsPath = if (zipf) zipfCorpus() else replicate("documents", "doc_id")
     val embPath = replicate("embeddings", "vec_id")
     def docs: DataFrame = spark.read.parquet(docsPath)
     def emb: DataFrame = spark.read.parquet(embPath)
     val nDocs = docs.count()
     val nVecs = emb.count()
-    println(s"corpus: $nDocs docs, $nVecs vectors ($replicas x $sfDir)")
+    val fixture = if (zipf) "zipf-vocab" else "replicated"
+    println(s"corpus: $nDocs docs, $nVecs vectors ($replicas x $sfDir, fixture=$fixture)")
 
     val only: Set[String] = args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty)
     def run(name: String)(body: => Long): Unit = {
@@ -313,11 +354,15 @@ object ScaleRehearsal {
     // postings with scan-level filters; MLT is two pruned reads + a
     // bounded collect of one doc's vocabulary
     def savedIndex = graft.search.InvertedIndex.readIndex(spark, "scale_idx")
+    // fixture-appropriate probes: the replicated corpus has prose-ish
+    // tokens (s-words exist), the Zipf fixture's vocabulary is wN/tN
     run("index_regexp_terms") {
-      graft.search.InvertedIndex.termsMatching(savedIndex, "s[a-z]+").count()
+      graft.search.InvertedIndex.termsMatching(savedIndex,
+        if (zipf) "w1[0-9]+" else "s[a-z]+").count()
     }
     run("index_fuzzy_terms") {
-      graft.search.InvertedIndex.termsFuzzy(savedIndex, "sprak").count()
+      graft.search.InvertedIndex.termsFuzzy(savedIndex,
+        if (zipf) "w1234" else "sprak").count()
     }
     run("index_mlt") {
       val post = savedIndex
