@@ -296,6 +296,47 @@ private[graft] final class FirstTokenWalker(
   private var epoch = 0L
   private var matchBuf = new Array[Int](math.min(math.max(ps.length, 1), 64))
 
+  /** Exact-adjacency token TRIE over the battery (one node per distinct
+    * token path, terminals carry the phrase indices ending there —
+    * duplicates share a terminal). The first-token candidate lists above
+    * degrade to O(colliding candidates × len) per anchor when many
+    * phrases share a prefix (a 64k battery of shared-prefix variants:
+    * WideBatteryProbe measured 12 s where 4k took 0.6 s); the trie walks
+    * the SHARED prefix once, so per-anchor cost is bounded by the
+    * deepest matching path — P-independent even under full-prefix
+    * collision. Used by the slop=0 paths of [[walk]]/[[walkCounts]];
+    * the slop dialects keep the candidate lists (their verification is
+    * anchored subsequence/window matching, not prefix descent).
+    */
+  private final class TrieNode {
+    var children: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      TrieNode] = null
+    var terminal: Array[Int] = null
+  }
+  private val trieRoot: TrieNode = {
+    val root = new TrieNode
+    var i = 0
+    while (i < ps.length) {
+      val ph = ps(i)
+      if (ph.length > 0) {
+        var node = root
+        var j = 0
+        while (j < ph.length) {
+          if (node.children == null)
+            node.children = new java.util.HashMap()
+          var c = node.children.get(ph(j))
+          if (c == null) { c = new TrieNode; node.children.put(ph(j), c) }
+          node = c
+          j += 1
+        }
+        node.terminal =
+          if (node.terminal == null) Array(i) else node.terminal :+ i
+      }
+      i += 1
+    }
+    root
+  }
+
   /** Indices of the phrases matched by the last [[walk]], in discovery
     * order (empty-token phrases first, then first-occurrence order),
     * valid in positions 0 until the returned count.
@@ -402,23 +443,24 @@ private[graft] final class FirstTokenWalker(
     var t = 0
     while (t < n) {
       if (!tokens.isNullAt(t)) {
-        val cands = firstTok.get(tokens.getUTF8String(t))
-        if (cands != null) {
-          var ci = 0
-          while (ci < cands.length) {
-            val p = cands(ci)
-            val ph = ps(p)
-            if (t + ph.length <= n) {
-              var j = 1
-              var ok = true
-              while (ok && j < ph.length) {
-                ok = !tokens.isNullAt(t + j) &&
-                  tokens.getUTF8String(t + j).equals(ph(j))
-                j += 1
-              }
-              if (ok) bump(p)
+        // trie descent from this anchor: shared prefixes walk once, every
+        // terminal passed is an anchored occurrence of its phrases
+        var node = trieRoot
+        var j = t
+        var go = true
+        while (go) {
+          val ch =
+            if (node.children == null || j >= n || tokens.isNullAt(j)) null
+            else node.children.get(tokens.getUTF8String(j))
+          if (ch == null) go = false
+          else {
+            node = ch
+            j += 1
+            val term = node.terminal
+            if (term != null) {
+              var k = 0
+              while (k < term.length) { bump(term(k)); k += 1 }
             }
-            ci += 1
           }
         }
       }
@@ -461,6 +503,38 @@ private[graft] final class FirstTokenWalker(
       record(alwaysHit(a)); a += 1
     }
     var t = 0
+    if (slop == 0) {
+      // exact adjacency (both dialects coincide): trie descent — shared
+      // prefixes walk once per anchor, P-independent under collision
+      while (t < n && matched < maxMatches) {
+        if (!tokens.isNullAt(t)) {
+          var node = trieRoot
+          var j = t
+          var go = true
+          while (go && matched < maxMatches) {
+            val ch =
+              if (node.children == null || j >= n || tokens.isNullAt(j)) null
+              else node.children.get(tokens.getUTF8String(j))
+            if (ch == null) go = false
+            else {
+              node = ch
+              j += 1
+              val term = node.terminal
+              if (term != null) {
+                var k = 0
+                while (k < term.length && matched < maxMatches) {
+                  val p = term(k)
+                  if (hitStamp(p) != epoch) record(p)
+                  k += 1
+                }
+              }
+            }
+          }
+        }
+        t += 1
+      }
+      return matched
+    }
     while (t < n && matched < maxMatches) {
       if (!tokens.isNullAt(t)) {
         val cands = firstTok.get(tokens.getUTF8String(t))
@@ -470,24 +544,13 @@ private[graft] final class FirstTokenWalker(
             val p = cands(ci)
             if (hitStamp(p) != epoch) {
               val ph = ps(p)
-              if (lucene && slop > 0 && ph.length > 1) {
+              if (lucene && ph.length > 1) {
                 // move-distance: positions may precede the anchor (the
                 // transposition case), so the t + len <= n pre-filter
                 // below would wrongly reject end-of-doc anchors
                 if (luceneFrom(tokens, ph, t, slop)) record(p)
               } else if (t + ph.length <= n) {
-                if (slop > 0) {
-                  if (sloppyFrom(tokens, ph, t, slop)) record(p)
-                } else {
-                  var j = 1
-                  var ok = true
-                  while (ok && j < ph.length) {
-                    ok = !tokens.isNullAt(t + j) &&
-                      tokens.getUTF8String(t + j).equals(ph(j))
-                    j += 1
-                  }
-                  if (ok) record(p)
-                }
+                if (sloppyFrom(tokens, ph, t, slop)) record(p)
               }
             }
             ci += 1

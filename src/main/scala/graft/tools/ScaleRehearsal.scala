@@ -189,6 +189,25 @@ object ScaleRehearsal {
       graft.search.Searcher.countPerPhrase(docs, "text", battery,
         uax29 = false).agg(sum("n_docs")).collect().head.getLong(0)
     }
+    // the same arm at 64k phrases (r15: the trie walker makes the
+    // per-anchor cost prefix-shared, so even a battery of shared-prefix
+    // variants — the WideBatteryProbe adversarial construction that cost
+    // 12 s pre-trie — stays at single-battery cost; broadcast payload
+    // O(P·len) ≈ 2 MB, trie heap ~250 MB driver-measured at 64k)
+    run("wide_battery_64k") {
+      val toksOf = split(col("text"), " ")
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val real = Seq(1, 6).flatMap { off =>
+        base.where(size(toksOf) >= off + 4)
+          .select(concat_ws(" ", slice(toksOf, off, 5)).as("p"))
+          .distinct().collect().map(_.getString(0))
+      }.distinct.sorted
+      val battery = (Iterator.continually(real).flatten.take(65536)).toSeq
+        .zipWithIndex
+        .map { case (s, i) => if (i < real.length) s else s"$s z$i" }
+      graft.search.Searcher.countPerPhrase(docs, "text", battery,
+        uax29 = false).agg(sum("n_docs")).collect().head.getLong(0)
+    }
     // the conjunction sibling at the same scale: 4,096 (q, a) examples —
     // 3-token + 2-token corpus prefixes — through MultiExamplesMatched
     // (one walk over the distinct FIELD set + the fan-out counters)

@@ -14,6 +14,13 @@ import graft.search.Searcher
   * occurs, the adversarial case for the kernel (candidate verifications
   * fire constantly).
   *
+  * Above `PerColumnCap` phrases the per-column arm is skipped (it is
+  * O(P) per row AND per plan — 32 s at P=4096; half an hour at 64k) and
+  * the row records the kernel alone: flat kernel times across 4k→64k ARE
+  * the P-independence evidence. Every row reports post-GC heap and the
+  * battery's broadcast payload size, the two quantities that DO grow
+  * with P (O(P·len) token bytes).
+  *
   *   runMain graft.tools.WideBatteryProbe /root/testdata/sf0.1 128 512 2048
   */
 object WideBatteryProbe {
@@ -51,19 +58,31 @@ object WideBatteryProbe {
     def kernel(phrases: Seq[String]): Long =
       Searcher.countPerPhraseWide(d, "text", phrases, uax29 = false)
         .agg(sum("n_docs")).collect().head.getLong(0)
+    val perColumnCap = 4096
+    def heapMb(): Long = {
+      System.gc()
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1024 * 1024)
+    }
     sizes.foreach { p =>
       val battery = (Iterator.continually(all).flatten.take(p)).toSeq
         .zipWithIndex.map { case (s, i) => if (i < all.length) s else s"$s z$i" }
+      val payloadMb = battery.iterator.map(_.length.toLong).sum / (1024.0 * 1024)
       // min of 3 per arm, arms interleaved so a host window hits both
       var tc = Double.MaxValue; var tk = Double.MaxValue
-      var sc = 0L; var sk = 0L
+      var sc = -1L; var sk = 0L
+      val runPerColumn = p <= perColumnCap
       for (_ <- 1 to 3) {
-        tc = math.min(tc, time { sc = perColumn(battery); sc })
+        if (runPerColumn) tc = math.min(tc, time { sc = perColumn(battery); sc })
         tk = math.min(tk, time { sk = kernel(battery); sk })
       }
-      require(sc == sk, s"MISMATCH at P=$p: perColumn=$sc kernel=$sk")
-      println(f"P=$p%5d  perColumn=$tc%6.2f s  kernel=$tk%6.2f s  " +
-        f"ratio=${tc / tk}%5.2f  (checksum $sk)")
+      require(!runPerColumn || sc == sk,
+        s"MISMATCH at P=$p: perColumn=$sc kernel=$sk")
+      val colCell =
+        if (runPerColumn) f"perColumn=$tc%6.2f s  ratio=${tc / tk}%5.2f"
+        else "perColumn=  skip s  ratio=    -"
+      println(f"P=$p%5d  $colCell  kernel=$tk%6.2f s  " +
+        f"heap=${heapMb()}%4d MB  battery=$payloadMb%6.2f MB  (checksum $sk)")
     }
     spark.stop()
   }
