@@ -158,6 +158,43 @@ class CliFollowSpec extends SparkTestBase {
     } finally dropAll(t)
   }
 
+  test("ann --cluster-sample through the CLI: the coarse gate at full recall is results-identical") {
+    // the recall dial end-to-end: forcing the two-level assignment via
+    // the CLI's validated --conf (graft.ann.coarseGate=1) at the default
+    // full-recall probe width must not change a single sampled row vs
+    // the flat kernel — the r14 parity spec covers the library gate;
+    // this pins the CLI entry point and dial plumbing
+    val (drop, _) = freshDirs()
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    val rnd = new scala.util.Random(715)
+    writeShard(s"$drop/day1", "a.jsonl",
+      (1 to 120).map(_ => (0 until 6)
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+      ids = (1 to 120).map(i => s"d$i"))
+    def sampled(conf: Seq[String]): Seq[String] = {
+      val out = Files.createTempDirectory("cli_csample").toString + "/out"
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", "unused_t",
+        "--cluster-sample", "2", "--step", "10", "--out", out) ++ conf)
+      spark.read.json(out).select("id").collect()
+        .map(_.getString(0)).sorted.toSeq
+    }
+    try {
+      val flat = sampled(Nil)
+      val gated = sampled(Seq("--conf", "graft.ann.coarseGate=1"))
+      assert(gated === flat)
+      assert(flat.nonEmpty)
+      // the validation itself: a typo'd graft dial fails loudly
+      val e = intercept[RuntimeException] {
+        sampled(Seq("--conf", "graft.ann.coarseGaet=1"))
+      }
+      assert(e.getMessage.contains("unknown graft dial"))
+    } finally {
+      // Cli.run sets session confs; the shared test session must not
+      // leak the forced gate into later suites
+      spark.conf.unset(graft.operators.Similarity.CoarseGateConf)
+    }
+  }
+
   test("ann --follow: heals a crashed swap and re-registers the centroid side table") {
     val t = "cli_ann_midswap"
     val (drop, state) = freshDirs()
