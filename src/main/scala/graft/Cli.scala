@@ -935,9 +935,14 @@ object Cli {
               maxEdits = intFlag("--max-edits", 2),
               prefixLength = intFlag("--prefix-len", 0)).orderBy("term"),
             ranked = false))
-          // norms recomputed from postings: the CLI may be reading an ad
-          // hoc corpus with no persisted norms row
-          lazy val norms = search.InvertedIndex.corpusNormsFromPostings(post)
+          // norms: the persisted <table>__norms row when a saved index is
+          // being queried (build-time constant — no per-query index-wide
+          // aggregate), recomputed from postings for ad hoc corpora
+          lazy val norms = table match {
+            case Some(t) if spark.catalog.tableExists(t) =>
+              search.InvertedIndex.normsOf(spark, t, post)
+            case _ => search.InvertedIndex.corpusNormsFromPostings(post)
+          }
           sigPhrase.foreach { p =>
             val fg = search.InvertedIndex.docsContainingPhrase(post, Seq(p),
               uax29 = uaxQ).select("doc_id")
@@ -1039,10 +1044,12 @@ object Cli {
             else if (haveIndex)
               search.InvertedIndex.upsertIndex(spark, t, keyed, idc, "text",
                 buckets, uax29 = uaxF)
-            else
+            else {
               search.InvertedIndex.writeIndex(
                 search.InvertedIndex.postings(keyed, idc, "text", uax29 = uaxF),
                 t, buckets, force = true)
+              search.InvertedIndex.persistNorms(spark, t)
+            }
             // extend the manifest atomically (tmp + rename) AFTER the swap
             extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
             System.err.println(
@@ -1080,6 +1087,7 @@ object Cli {
           search.InvertedIndex.writeIndex(
             search.InvertedIndex.postings(keyed, idc, "text", uax29 = uax),
             t, intFlag("--buckets", 64), force = a.flags.contains("--force"))
+          search.InvertedIndex.persistNorms(spark, t)
           System.err.println(s"index written to table $t")
         } else {
           val post = table match {
@@ -1324,11 +1332,13 @@ object Cli {
               if (haveIndex)
                 search.InvertedIndex.upsertIndex(spark, t, keyedI, idc, "text",
                   buckets, uax29 = uax)
-              else
+              else {
                 search.InvertedIndex.writeIndex(
                   search.InvertedIndex.postings(
                     keyedI.drop("__seq"), idc, "text", uax29 = uax),
                   t, buckets, force = true)
+                search.InvertedIndex.persistNorms(spark, t)
+              }
             }
             writeStateFile(fs, tablePinP, s"$t\nbuckets=$buckets\n")
           }

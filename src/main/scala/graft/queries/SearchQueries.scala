@@ -498,7 +498,8 @@ object SearchQueries extends QueryPack {
     * location. Covers the live name plus the compaction-swap aliases.
     */
   private def resetIndexTable(s: SparkSession, table: String): Unit =
-    Seq(table, s"${table}__compacting", s"${table}__old").foreach { t =>
+    Seq(table, s"${table}__compacting", s"${table}__old",
+        s"${table}__norms").foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS `$t`")
       val p = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), t)

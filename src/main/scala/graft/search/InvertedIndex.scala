@@ -218,9 +218,14 @@ object InvertedIndex {
     * the live table's frame and must return the full replacement postings.
     */
   private def replaceIndex(spark: SparkSession, table: String, buckets: Int)
-                          (build: DataFrame => DataFrame): Unit =
+                          (build: DataFrame => DataFrame): Unit = {
+    // norms discipline: absent during the swap window (a crash leaves
+    // them recoverable, never stale), rewritten from the new live table
+    dropNorms(spark, table)
     swapTable(spark, table)((live, staging) =>
       writeIndex(build(live), staging, buckets))
+    persistNorms(spark, table)
+  }
 
   /** The crash-safe rename-aside swap, independent of the staging table's
     * layout: heal any half-finished prior swap, let `writeStaging` write
@@ -679,6 +684,59 @@ object InvertedIndex {
     postings.groupBy("doc_id").agg(first("dl").as("dl"), sum("tf").as("tf"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"),
         coalesce(sum("tf"), lit(0L)).as("total_tf"))
+
+  /** Persist the norms row alongside a saved index as `<table>__norms` —
+    * the build-time constant BM25/MLT/significant-terms/PMI all need, so
+    * NO query pays an index-wide aggregate for it (the 100× Zipf
+    * rehearsal attributed ~9 s of every MLT query to exactly that pass
+    * over 27.6M postings). Canonically `corpusNormsFromPostings` of the
+    * LIVE table — one definition, so persisted and recovered norms can
+    * never disagree — and rewritten by every index-mutating path
+    * ([[replaceIndex]] drops it BEFORE the swap and rewrites after: a
+    * crash in the window leaves norms ABSENT, which [[normsOf]] recovers,
+    * never silently stale).
+    */
+  def persistNorms(spark: SparkSession, table: String): Unit = {
+    val nt = s"${table}__norms"
+    // the in-memory catalog may have forgotten the side table while its
+    // warehouse dir survives — an Overwrite saveAsTable then fails on the
+    // existing location, so clear the orphan dir first
+    if (!spark.catalog.tableExists(nt)) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), nt)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    corpusNormsFromPostings(spark.table(table))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(nt)
+  }
+
+  private def dropNorms(spark: SparkSession, table: String): Unit = {
+    val nt = s"${table}__norms"
+    spark.sql(s"DROP TABLE IF EXISTS `$nt`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), nt)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** The norms row for a SAVED index: the persisted `<table>__norms` when
+    * present (catalog-registered, or surviving in the warehouse after an
+    * in-memory-catalog restart), else recovered from `post` with one
+    * index-wide aggregate. Values are identical either way (one canonical
+    * definition); only the cost differs.
+    */
+  def normsOf(spark: SparkSession, table: String, post: DataFrame): DataFrame = {
+    val nt = s"${table}__norms"
+    if (spark.catalog.tableExists(nt)) spark.table(nt)
+    else {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), nt)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(p.toString)
+      else corpusNormsFromPostings(post)
+    }
+  }
 
   /** BM25 ranked retrieval straight off the index — the relevance scoring
     * the reference's ES tier applies when `get_documents_containing_phrases`

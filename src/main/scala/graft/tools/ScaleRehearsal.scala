@@ -156,6 +156,10 @@ object ScaleRehearsal {
       graft.search.InvertedIndex.writeIndex(
         graft.search.InvertedIndex.postings(docs, "doc_id", "text",
           uax29 = false), "scale_idx", buckets = 32, force = true)
+      // norms persisted WITH the build (r15): the one-row BM25 constant
+      // every scoring query needs — paying it here is what lets the MLT/
+      // significant-terms rows below skip their per-query index-wide pass
+      graft.search.InvertedIndex.persistNorms(spark, "scale_idx")
       spark.table("scale_idx").count()
     }
     run("indexed_batch_500") {
@@ -386,7 +390,7 @@ object ScaleRehearsal {
     run("index_mlt") {
       val post = savedIndex
       graft.search.InvertedIndex.moreLikeThis(post,
-        graft.search.InvertedIndex.corpusNormsFromPostings(post),
+        graft.search.InvertedIndex.normsOf(spark, "scale_idx", post),
         42L, 10, 10).count()
     }
     // r14: the df-CEILING row — on this synthetic corpus every profile
@@ -397,14 +401,14 @@ object ScaleRehearsal {
     run("index_mlt_dfcap") {
       val post = savedIndex
       graft.search.InvertedIndex.moreLikeThis(post,
-        graft.search.InvertedIndex.corpusNormsFromPostings(post),
+        graft.search.InvertedIndex.normsOf(spark, "scale_idx", post),
         42L, 10, 10, maxDocFreq = nDocs / 10).count()
     }
     run("index_mlt_text") {
       val post = savedIndex
       val like = docs.where(col("doc_id") === 42L).head().getAs[String]("text")
       graft.search.InvertedIndex.moreLikeThisText(post,
-        graft.search.InvertedIndex.corpusNormsFromPostings(post),
+        graft.search.InvertedIndex.normsOf(spark, "scale_idx", post),
         like, uax29 = false, maxQueryTerms = 10, k = 10,
         excludeId = Some(42L)).count()
     }
@@ -436,7 +440,7 @@ object ScaleRehearsal {
       // JLH off the bucketed index: foreground = one source (1/20 of docs)
       val idx = graft.search.InvertedIndex.readIndex(spark, "scale_idx")
       graft.search.InvertedIndex.significantTerms(idx,
-        graft.search.InvertedIndex.corpusNormsFromPostings(idx),
+        graft.search.InvertedIndex.normsOf(spark, "scale_idx", idx),
         docs.where(col("source") === "src10").select("doc_id"),
         k = 25).count()
     }

@@ -602,6 +602,37 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(fromPost.getLong(2) === fromDocs.getLong(2))
   }
 
+  test("persisted norms: build-time row == recovery, rewritten by refresh, absent → fallback") {
+    val table = "ii_spec_norms"
+    Seq(table, s"${table}__norms", s"${table}__compacting", s"${table}__old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+    InvertedIndex.writeIndex(post, table, buckets = 4, force = true)
+    try {
+      // no persisted row yet: normsOf falls back to the postings recovery
+      val live = InvertedIndex.readIndex(spark, table)
+      val rec = InvertedIndex.corpusNormsFromPostings(live).head()
+      assert(InvertedIndex.normsOf(spark, table, live).head() === rec)
+      assert(!spark.catalog.tableExists(s"${table}__norms"))
+      // persist: one canonical definition, so the rows must be EQUAL
+      InvertedIndex.persistNorms(spark, table)
+      assert(spark.catalog.tableExists(s"${table}__norms"))
+      assert(InvertedIndex.normsOf(spark, table, live).head() === rec)
+      // a refresh changes the corpus → the persisted row must follow
+      // (stale norms would silently skew BM25 idf/length normalization)
+      val oldSnap = docs
+      val newSnap = docs.where(col("doc_id") <= 2)
+      InvertedIndex.refreshIndex(spark, table, oldSnap, newSnap,
+        "doc_id", "text", buckets = 4, uax29 = false)
+      val after = InvertedIndex.normsOf(spark, table,
+        InvertedIndex.readIndex(spark, table)).head()
+      assert(after.getLong(0) === 2L) // n_docs followed the refresh
+      assert(after === InvertedIndex.corpusNormsFromPostings(
+        InvertedIndex.readIndex(spark, table)).head())
+    } finally Seq(table, s"${table}__norms", s"${table}__compacting",
+      s"${table}__old").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("collocationPmi reads T from norms: postings scanned twice, not thrice") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
       .localCheckpoint()
