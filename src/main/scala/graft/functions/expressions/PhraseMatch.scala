@@ -273,14 +273,23 @@ case class PhraseMatch(first: Expression, second: Expression, third: Expression)
 private[graft] final class FirstTokenWalker(
     ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]]) {
 
-  private val (firstTok, alwaysHit) = {
-    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
-      scala.collection.mutable.ArrayBuffer[Int]]()
+  private val alwaysHit: Array[Int] = {
     val always = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
+    while (i < ps.length) { if (ps(i).length == 0) always += i; i += 1 }
+    always.toArray
+  }
+
+  // LAZY: the slop>0 dialects use the first-token candidate lists, the
+  // slop=0 paths use the trie — a walker serving one shape must not pay
+  // the other's O(battery) build (both stay built once per executor
+  // instance after first use)
+  private lazy val firstTok = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
     while (i < ps.length) {
-      if (ps(i).length == 0) always += i
-      else {
+      if (ps(i).length > 0) {
         var b = m.get(ps(i)(0))
         if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); m.put(ps(i)(0), b) }
         b += i
@@ -289,7 +298,7 @@ private[graft] final class FirstTokenWalker(
     }
     val packed = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](m.size)
     m.forEach((k, v) => packed.put(k, v.toArray))
-    (packed, always.toArray)
+    packed
   }
 
   private val hitStamp = new Array[Long](ps.length)
@@ -313,7 +322,7 @@ private[graft] final class FirstTokenWalker(
       TrieNode] = null
     var terminal: Array[Int] = null
   }
-  private val trieRoot: TrieNode = {
+  private lazy val trieRoot: TrieNode = {
     val root = new TrieNode
     var i = 0
     while (i < ps.length) {
