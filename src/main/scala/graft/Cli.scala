@@ -101,7 +101,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5", "--broadcast", "--per-phrase")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5", "--broadcast", "--per-phrase", "--lucene-slop")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -765,6 +765,11 @@ object Cli {
         def contaminateFold(s: String): String =
           foldQuery(if (fixMoji) graft.functions.Mojibake.fix(s) else s)
         val slop = intFlag("--slop", 0)
+        // --lucene-slop: ES `match_phrase` move-distance semantics (slop 2
+        // buys transpositions) instead of the docstring insertion budget —
+        // the dialect the index tier's --slop already speaks, now
+        // selectable on the scan tier
+        val luceneSlop = a.flags.contains("--lucene-slop")
         val benchCap = search.PromptTemplates.MaxRenderedPrompts
         def requireBenchCols(cols: Seq[String], what: String): Unit =
           cols.foreach(c => require(bench.columns.contains(c),
@@ -801,7 +806,8 @@ object Cli {
             search.PromptTemplates.contaminationFromTemplates(docs, "text",
               tpls.map(_ -> bench), slop, uax29 = uax,
               foldPhrase = contaminateFold,
-              dropBlankPrompts = true).orderBy("benchmark")
+              dropBlankPrompts = true,
+              luceneSlop = luceneSlop).orderBy("benchmark")
           case None => flag("--fields") match {
             case Some(fs) =>
               val names = fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -815,15 +821,15 @@ object Cli {
                 import spark.implicits._
                 Seq((0L, 0L, 0.0)).toDF("n_examples", "n_contaminated", "pct")
               } else search.Searcher.pairedContamination(docs, "text",
-                examples, slop, uax29 = uax)
+                examples, slop, uax29 = uax, luceneSlop = luceneSlop)
             case None =>
               val phrases =
                 gatherBench(Seq(flag("--field").getOrElse("text"))).map(_.head)
               if (a.flags.contains("--per-phrase"))
                 search.Searcher.countPerPhrase(docs, "text", phrases, slop,
-                  uax29 = uax).orderBy("phrase")
+                  uax29 = uax, luceneSlop = luceneSlop).orderBy("phrase")
               else search.Searcher.contamination(docs, "text", phrases, slop,
-                uax29 = uax)
+                uax29 = uax, luceneSlop = luceneSlop)
           }
         }
         deliver(report, ranked = false)

@@ -682,7 +682,8 @@ case class MultiExamplesMatched(child: Expression,
       Array[Array[org.apache.spark.unsafe.types.UTF8String]]],
     fieldExamples: org.apache.spark.broadcast.Broadcast[Array[Array[Int]]],
     needCounts: org.apache.spark.broadcast.Broadcast[Array[Int]],
-    slop: Int = 0)
+    slop: Int = 0,
+    lucene: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(slop >= 0, s"slop must be >= 0, got $slop")
 
@@ -708,7 +709,7 @@ case class MultiExamplesMatched(child: Expression,
     val need = needCounts.value
     val w = walker
     epoch += 1
-    val count = w.walk(tokens, Int.MaxValue, slop)
+    val count = w.walk(tokens, Int.MaxValue, slop, lucene)
     val fieldsMatched = w.matches
     val out = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
@@ -745,14 +746,16 @@ case class MultiExamplesMatched(child: Expression,
     case e: MultiExamplesMatched =>
       (this eq e) || (child == e.child && fields.id == e.fields.id &&
         fieldExamples.id == e.fieldExamples.id &&
-        needCounts.id == e.needCounts.id && slop == e.slop)
+        needCounts.id == e.needCounts.id && slop == e.slop &&
+        lucene == e.lucene)
     case _ => false
   }
   override def hashCode(): Int =
     java.util.Objects.hash(classOf[MultiExamplesMatched], child,
       java.lang.Long.valueOf(fields.id),
       java.lang.Long.valueOf(fieldExamples.id),
-      java.lang.Long.valueOf(needCounts.id), Integer.valueOf(slop))
+      java.lang.Long.valueOf(needCounts.id), Integer.valueOf(slop),
+      java.lang.Boolean.valueOf(lucene))
 
   protected override def withNewChildInternal(newChild: Expression): MultiExamplesMatched =
     copy(child = newChild)

@@ -111,7 +111,8 @@ object PromptTemplates {
                                  slop: Int = 0, uax29: Boolean = true,
                                  maxPrompts: Int = MaxRenderedPrompts,
                                  foldPhrase: String => String = identity,
-                                 dropBlankPrompts: Boolean = false): DataFrame = {
+                                 dropBlankPrompts: Boolean = false,
+                                 luceneSlop: Boolean = false): DataFrame = {
     // group by frame IDENTITY (same DataFrame object reused across
     // templates), preserving first-appearance frame order and per-frame
     // template order — the flatMap emission order of the old shape
@@ -135,7 +136,8 @@ object PromptTemplates {
           .filter(p => !dropBlankPrompts || p._2.trim.nonEmpty).toSeq }
     }.toSeq
     val report =
-      Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop, uax29)
+      Searcher.contaminationByBenchmark(corpus, textCol, phrases, slop,
+        uax29, luceneSlop)
     // in the audit mode (dropBlankPrompts), a benchmark whose every
     // prompt dropped — all-blank renders or an empty benchmark frame —
     // surfaces as an explicit zero card instead of vanishing; the

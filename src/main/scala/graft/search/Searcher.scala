@@ -256,8 +256,9 @@ object Searcher {
     * least once (reference wimbd/es/corpus_contamination.py:28-58).
     */
   def contamination(df: DataFrame, textCol: String, phrases: Seq[String],
-                    slop: Int = 0, uax29: Boolean = true): DataFrame = {
-    val per = countPerPhrase(df, textCol, phrases, slop, uax29)
+                    slop: Int = 0, uax29: Boolean = true,
+                    luceneSlop: Boolean = false): DataFrame = {
+    val per = countPerPhrase(df, textCol, phrases, slop, uax29, luceneSlop)
     // coalesce: an EMPTY benchmark reports (0, 0, 0.0), not nulls (sum
     // and avg over zero rows are null)
     per.agg(count(lit(1)).as("n_phrases"),
@@ -277,10 +278,12 @@ object Searcher {
     */
   def contaminationByBenchmark(df: DataFrame, textCol: String,
                                benchPhrases: Seq[(String, String)],
-                               slop: Int = 0, uax29: Boolean = true): DataFrame = {
+                               slop: Int = 0, uax29: Boolean = true,
+                               luceneSlop: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val per = countPerPhrase(df, textCol, benchPhrases.map(_._2).distinct, slop, uax29)
+    val per = countPerPhrase(df, textCol, benchPhrases.map(_._2).distinct,
+      slop, uax29, luceneSlop)
     broadcast(benchPhrases.toDF("benchmark", "phrase"))
       .join(per, Seq("phrase"))
       .groupBy("benchmark")
@@ -302,14 +305,15 @@ object Searcher {
     */
   def pairedContamination(df: DataFrame, textCol: String,
                           examples: Seq[Seq[String]], slop: Int = 0,
-                          uax29: Boolean = true): DataFrame = {
+                          uax29: Boolean = true,
+                          luceneSlop: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     if (examples.isEmpty) { // empty benchmark → empty report, never a throw
       import spark.implicits._
       return Seq.empty[(Long, Long, Double)]
         .toDF("n_examples", "n_contaminated", "pct")
     }
-    countPerExample(df, textCol, examples, slop, uax29)
+    countPerExample(df, textCol, examples, slop, uax29, luceneSlop)
       .agg(count(lit(1)).as("n_examples"),
         sum(when(col("n_docs") > 0, 1L).otherwise(0L)).cast("long")
           .as("n_contaminated"),
@@ -325,7 +329,8 @@ object Searcher {
     */
   def countPerExample(df: DataFrame, textCol: String,
                       examples: Seq[Seq[String]], slop: Int = 0,
-                      uax29: Boolean = true): DataFrame = {
+                      uax29: Boolean = true,
+                      luceneSlop: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     if (examples.isEmpty)
@@ -333,9 +338,10 @@ object Searcher {
     require(examples.forall(_.nonEmpty),
       "each example needs at least one field phrase")
     if (examples.length > WidePhraseGate)
-      return countPerExampleWide(df, textCol, examples, uax29, slop)
+      return countPerExampleWide(df, textCol, examples, uax29, slop,
+        luceneSlop)
     val preds = df.select(examples.zipWithIndex.map { case (ps, i) =>
-      ps.map(p => phrasePredicate(col(textCol), p, slop, uax29))
+      ps.map(p => phrasePredicate(col(textCol), p, slop, uax29, luceneSlop))
         .reduce(_ && _).cast("long").as(s"__e$i")
     }: _*)
     val aggs = examples.indices.map(i =>
@@ -360,7 +366,8 @@ object Searcher {
   private[graft] def countPerExampleWide(df: DataFrame, textCol: String,
                                          examples: Seq[Seq[String]],
                                          uax29: Boolean = true,
-                                         slop: Int = 0): DataFrame = {
+                                         slop: Int = 0,
+                                         luceneSlop: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     def toks(p: String): Seq[String] =
@@ -389,7 +396,7 @@ object Searcher {
     val matchedCol = Bridge.column(
       graft.functions.expressions.MultiExamplesMatched(
         Bridge.expression(tokCol), sc.broadcast(fieldToks),
-        sc.broadcast(fanOut), sc.broadcast(need), slop))
+        sc.broadcast(fanOut), sc.broadcast(need), slop, luceneSlop))
     zeroHitCounts(df.select(explode(matchedCol).as("__m")), col("__m"),
         None, examples.indices.map(i => Tuple1(i)).toDF("__idx"))
       .select(col("__idx").cast("long").as("example_id"),

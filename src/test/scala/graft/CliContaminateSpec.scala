@@ -63,6 +63,31 @@ class CliContaminateSpec extends SparkTestBase {
     assert(paired("n_contaminated") === 1L)
   }
 
+  test("--lucene-slop selects the move-distance dialect on the scan tier") {
+    // "beta alpha" is a TRANSPOSITION of the benchmark phrase: lucene
+    // slop 2 matches it (move-distance budget), the insertion-budget
+    // default never does — the dialect the index tier's --slop already
+    // speaks, now selectable on contaminate
+    val root = fresh()
+    val corpus = writeJsonl(root, "corpus.jsonl", Seq(
+      """{"text":"beta alpha gamma"}"""))
+    val bench = writeJsonl(root, "bench.jsonl", Seq(
+      """{"text":"alpha beta"}"""))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+      "--slop", "2", "--out", s"$root/ins", "--force"))
+    assert(readOut(s"$root/ins").head("n_contaminated") === 0L)
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench,
+      "--slop", "2", "--lucene-slop", "--out", s"$root/luc", "--force"))
+    assert(readOut(s"$root/luc").head("n_contaminated") === 1L)
+    // paired mode takes the dialect too
+    val bench2 = writeJsonl(root, "bench2.jsonl", Seq(
+      """{"q":"alpha beta","a":"gamma"}"""))
+    Cli.run(spark, Array("contaminate", corpus, "--bench", bench2,
+      "--fields", "q,a", "--slop", "2", "--lucene-slop",
+      "--out", s"$root/lucp", "--force"))
+    assert(readOut(s"$root/lucp").head("n_contaminated") === 1L)
+  }
+
   test("--templates renders the TSV against the benchmark rows") {
     val root = fresh()
     val corpus = writeJsonl(root, "corpus.jsonl", Seq(

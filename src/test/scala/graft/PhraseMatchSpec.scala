@@ -461,6 +461,35 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(e1.hashCode !== eNeed.hashCode)
   }
 
+  test("wide example battery in Lucene mode == per-column conjunction brute force") {
+    // the example kernel's lucene dialect: transpositions inside a
+    // conjunct must match at slop>=2 exactly like the per-column
+    // PhraseMatchLucene conjunction
+    val rnd = new scala.util.Random(917)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = ((1 to 140).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(9)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def phrase() = (0 until (1 + rnd.nextInt(2)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val battery: Seq[Seq[String]] =
+      (1 to 78).map(_ => (0 until (1 + rnd.nextInt(3))).map(_ => phrase())) ++
+        Seq(Seq("b a", "c"), Seq("d c", "a b")) // transposition bait
+    for (slop <- Seq(2, 3)) {
+      val wide = Searcher.countPerExample(corpus, "text", battery,
+          slop = slop, uax29 = false, luceneSlop = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      battery.zipWithIndex.foreach { case (ex, i) =>
+        val brute = corpus.where(ex.map(p =>
+          Searcher.phrasePredicate(col("text"), p, slop, uax29 = false,
+            luceneSlop = true)).reduce(_ && _)).count()
+        assert(wide(i.toLong) === brute, s"slop=$slop example $i: $ex")
+      }
+      assert(wide.size === battery.size)
+    }
+  }
+
   test("countPerExample routes wide batteries through the example kernel") {
     val d = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val battery = (1 to 70).map(i => Seq(s"x$i", "a")) ++
