@@ -458,6 +458,23 @@ object SearchQueries extends QueryPack {
         .orderBy("phrase")
     }),
 
+    // the example kernel under Lucene MOVE-DISTANCE slop: conjunction
+    // examples ((2-token q, 2-token a) corpus slices) where EACH field
+    // matches under the slop=2 move-distance budget — transpositions
+    // included, which the e36 adjacency oracle and the insertion dialect
+    // never admit; the closed SQL form is e38's per field, ANDed
+    "e39_paired_wide_lucene" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val ex = d.where(col("doc_id") % 4 === 0 && size(toks) >= 5)
+        .select(concat_ws(" ", slice(toks, 1, 2)).as("q"),
+          concat_ws(" ", slice(toks, 4, 2)).as("a"))
+        .distinct().orderBy("q", "a")
+        .collect().map(r => Seq(r.getString(0), r.getString(1))).toSeq
+      Searcher.countPerExample(d, "text", ex, slop = 2, uax29 = false,
+        luceneSlop = true).orderBy("example_id")
+    }),
+
     // wide battery under Lucene MOVE-DISTANCE slop (the ES default): at
     // slop=2 a 2-token phrase matches adjacency, one or two inserted
     // tokens, AND the transposition "t2 t1" — which the insertion-budget
@@ -868,6 +885,33 @@ object SearchQueries extends QueryPack {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
         | FROM pt LEFT JOIN documents ON true GROUP BY phrase)
         |SELECT phrase, n_docs FROM per ORDER BY phrase""".stripMargin,
+
+    // paired move-distance: each 2-token field matches via the e38
+    // closed form (≤2 fillers OR reversed adjacency), conjunction across
+    // the two fields; example_id replays the (q, a) row_number
+    "e39_paired_wide_lucene" ->
+      """WITH ex AS (SELECT DISTINCT
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS q,
+        |  array_to_string(list_slice(string_split(text, ' '), 4, 5), ' ') AS a
+        | FROM documents
+        | WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 5),
+        |exi AS (SELECT q, a,
+        |  CAST(row_number() OVER (ORDER BY q, a) - 1 AS BIGINT) AS example_id,
+        |  string_split(q, ' ')[1] AS q1, string_split(q, ' ')[2] AS q2,
+        |  string_split(a, ' ')[1] AS a1, string_split(a, ' ')[2] AS a2
+        | FROM ex),
+        |per AS (SELECT example_id,
+        |  CAST(sum(CASE WHEN
+        |    (regexp_matches(' ' || text || ' ',
+        |       ' ' || q1 || '( [^ ]+){0,2} ' || q2 || ' ')
+        |     OR contains(' ' || text || ' ', ' ' || q2 || ' ' || q1 || ' '))
+        |    AND
+        |    (regexp_matches(' ' || text || ' ',
+        |       ' ' || a1 || '( [^ ]+){0,2} ' || a2 || ' ')
+        |     OR contains(' ' || text || ' ', ' ' || a2 || ' ' || a1 || ' '))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        | FROM exi LEFT JOIN documents ON true GROUP BY example_id)
+        |SELECT example_id, n_docs FROM per ORDER BY example_id""".stripMargin,
 
     // move-distance slop=2 over a 2-token phrase == up to two inserted
     // tokens (adjusted-position spread 0..2) OR the transposition t2
