@@ -219,12 +219,24 @@ object InvertedIndex {
     */
   private def replaceIndex(spark: SparkSession, table: String, buckets: Int)
                           (build: DataFrame => DataFrame): Unit = {
-    // norms discipline: absent during the swap window (a crash leaves
-    // them recoverable, never stale), rewritten from the new live table
-    dropNorms(spark, table)
+    // norms discipline: REWRITE-IF-PRESENT. An index whose build persisted
+    // norms keeps them fresh through every rewrite; one built bare (a
+    // library writeIndex caller) stays bare — normsOf recovers on demand
+    // either way, so absence is always safe and staleness is impossible.
+    // The row is dropped BEFORE the swap (a crash in the window leaves it
+    // absent-and-recoverable, never stale) and rewritten after.
+    val hadNorms = {
+      val nt = s"${table}__norms"
+      spark.catalog.tableExists(nt) || {
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), nt)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+    }
+    if (hadNorms) dropNorms(spark, table)
     swapTable(spark, table)((live, staging) =>
       writeIndex(build(live), staging, buckets))
-    persistNorms(spark, table)
+    if (hadNorms) persistNorms(spark, table)
   }
 
   /** The crash-safe rename-aside swap, independent of the staging table's

@@ -629,6 +629,22 @@ class InvertedIndexSpec extends SparkTestBase {
       assert(after.getLong(0) === 2L) // n_docs followed the refresh
       assert(after === InvertedIndex.corpusNormsFromPostings(
         InvertedIndex.readIndex(spark, table)).head())
+      assert(spark.catalog.tableExists(s"${table}__norms"),
+        "rewrite-if-present: a build that persisted norms keeps them")
+      // a bare-built index stays bare through a rewrite (normsOf recovers
+      // on demand; maintenance must not create side tables the build
+      // didn't ask for)
+      val bare = "ii_spec_norms_bare"
+      Seq(bare, s"${bare}__norms", s"${bare}__compacting", s"${bare}__old")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      InvertedIndex.writeIndex(post, bare, buckets = 4, force = true)
+      try {
+        InvertedIndex.compactIndex(spark, bare,
+          InvertedIndex.postings(docs.limit(0), "doc_id", "text",
+            uax29 = false), buckets = 4)
+        assert(!spark.catalog.tableExists(s"${bare}__norms"))
+      } finally Seq(bare, s"${bare}__norms", s"${bare}__compacting",
+        s"${bare}__old").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     } finally Seq(table, s"${table}__norms", s"${table}__compacting",
       s"${table}__old").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
