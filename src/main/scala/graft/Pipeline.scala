@@ -109,14 +109,21 @@ object Pipeline {
     * `exactFirst` (default ON — the dedup-ladder discipline): collapse
     * EXACT-duplicate vectors to their min-`idCol` row with one narrow
     * window pass BEFORE any bucketing or pair scoring. Identical vectors
-    * have pairwise cosine exactly 1.0, so SemDeDup would put them in one
-    * cluster and keep the same min-id representative anyway — but only
-    * after materializing the O(c²)-per-clique pair graph (the SCALE.md
-    * 100× adversarial row: 100-way replication cliques drove a ~10M-edge
-    * CC). The pre-rung removes that graph before it exists; rows with a
-    * NULL vector pass through untouched (they are never compared, the
-    * [[Similarity.semanticDedup]] contract). Opt out for attribution
-    * runs that need every clique member scored.
+    * have pairwise cosine exactly 1.0, so within any bucket SemDeDup
+    * clusters them together and keeps the same min-id representative —
+    * but only after materializing the O(c²)-per-clique pair graph (the
+    * SCALE.md 100× adversarial row: 100-way replication cliques drove a
+    * ~10M-edge CC). The pre-rung removes that graph before it exists.
+    * NOTE the blocking caveat: SemDeDup's pair DISCOVERY is approximate
+    * (deterministic IVF buckets off an id-sampled centroid set), and
+    * collapsing rows changes which ids remain for that id-modulo sample —
+    * so near-dup pairs far from the exact cliques can land in different
+    * buckets than the opt-out path and be found or missed differently,
+    * exactly as any recall dial (tables, step) reshapes discovery. Exact
+    * cliques themselves always collapse to the same survivor. Rows with a
+    * NULL vector pass through untouched (never compared, the
+    * [[Similarity.semanticDedup]] contract). Opt out (`exactFirst =
+    * false`) for strict blocking-structure parity with the raw pipeline.
     */
   def dedupSemantic(docs: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, centroidStep: Int,

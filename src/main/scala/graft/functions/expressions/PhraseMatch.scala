@@ -62,11 +62,16 @@ object PhraseMatchKernel {
     * move-distance budget — slop ≥ 2 buys a transposition ("b a" matches
     * phrase "a b"), which the insertion-only [[matches]] never does.
     */
-  def matchesLucene(tokens: ArrayData, phrase: ArrayData, slop: Int): Boolean = {
+  def matchesLucene(tokens: ArrayData, phrase: ArrayData, slop0: Int): Boolean = {
     val n = tokens.numElements()
     val m = phrase.numElements()
     if (m == 0) return true
     if (n < m) return false
+    // clamp like the walker's windowed verify: a spread bound above n + m
+    // is unreachable inside one document, and unclamped the
+    // matchesPositions window check `b + m - 1 < n + slop` overflows into
+    // false NEGATIVES at slop near Int.MaxValue
+    val slop = math.min(slop0, n + m)
     // doc positions per phrase term (m is tiny; n bounded by doc length)
     val pos = new Array[Array[Int]](m)
     var i = 0
@@ -270,21 +275,32 @@ case class PhraseMatch(first: Expression, second: Expression, third: Expression)
   * negligible next to any partition's scan, and avoids a process-lifetime
   * cache keyed by broadcast id (a leak in long-lived sessions).
   */
-private[graft] final class FirstTokenWalker(
-    ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]]) {
+/** The IMMUTABLE per-battery index shared by every walker over the same
+  * broadcast battery: empty-phrase list, the first-token candidate lists
+  * (slop dialects), and the exact-adjacency token trie. The latter two
+  * are lazy — a battery serving one dialect never pays the other's
+  * O(battery) build — and thread-safe to share (lazy-val init is
+  * synchronized; the structures are read-only after publication).
+  *
+  * Walkers used to own these structures, which rebuilt them PER TASK
+  * (Catalyst deserializes expression references per task binary): at 64k
+  * phrases that is tens of MB of trie per concurrent task. [[BatteryIndex.of]]
+  * caches ONE index per broadcast battery per executor, keyed weakly by
+  * the broadcast's deserialized array identity so entries die with the
+  * broadcast instead of accumulating over a long-lived session.
+  */
+private[graft] final class BatteryIndex(
+    val ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]]) {
 
-  private val alwaysHit: Array[Int] = {
+  val alwaysHit: Array[Int] = {
     val always = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
     while (i < ps.length) { if (ps(i).length == 0) always += i; i += 1 }
     always.toArray
   }
 
-  // LAZY: the slop>0 dialects use the first-token candidate lists, the
-  // slop=0 paths use the trie — a walker serving one shape must not pay
-  // the other's O(battery) build (both stay built once per executor
-  // instance after first use)
-  private lazy val firstTok = {
+  lazy val firstTok: java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Int]] = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
       scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
@@ -301,10 +317,6 @@ private[graft] final class FirstTokenWalker(
     packed
   }
 
-  private val hitStamp = new Array[Long](ps.length)
-  private var epoch = 0L
-  private var matchBuf = new Array[Int](math.min(math.max(ps.length, 1), 64))
-
   /** Exact-adjacency token TRIE over the battery (one node per distinct
     * token path, terminals carry the phrase indices ending there —
     * duplicates share a terminal). The first-token candidate lists above
@@ -313,16 +325,11 @@ private[graft] final class FirstTokenWalker(
     * WideBatteryProbe measured 12 s where 4k took 0.6 s); the trie walks
     * the SHARED prefix once, so per-anchor cost is bounded by the
     * deepest matching path — P-independent even under full-prefix
-    * collision. Used by the slop=0 paths of [[walk]]/[[walkCounts]];
+    * collision. Used by the slop=0 paths of the walker's walk/walkCounts;
     * the slop dialects keep the candidate lists (their verification is
     * anchored subsequence/window matching, not prefix descent).
     */
-  private final class TrieNode {
-    var children: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
-      TrieNode] = null
-    var terminal: Array[Int] = null
-  }
-  private lazy val trieRoot: TrieNode = {
+  lazy val trieRoot: TrieNode = {
     val root = new TrieNode
     var i = 0
     while (i < ps.length) {
@@ -338,13 +345,65 @@ private[graft] final class FirstTokenWalker(
           node = c
           j += 1
         }
-        node.terminal =
-          if (node.terminal == null) Array(i) else node.terminal :+ i
+        // duplicates accumulate in a buffer (amortized growth — the
+        // array-append shape was O(dups^2) per build on batteries with a
+        // heavily repeated phrase); packTerminals flattens post-build
+        if (node.terminalBuf == null)
+          node.terminalBuf = new scala.collection.mutable.ArrayBuffer[Int](1)
+        node.terminalBuf += i
       }
       i += 1
     }
+    packTerminals(root)
     root
   }
+
+  private def packTerminals(node: TrieNode): Unit = {
+    if (node.terminalBuf != null) {
+      node.terminal = node.terminalBuf.toArray
+      node.terminalBuf = null
+    }
+    if (node.children != null)
+      node.children.forEach((_, c) => packTerminals(c))
+  }
+}
+
+private[graft] final class TrieNode {
+  var children: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+    TrieNode] = null
+  var terminalBuf: scala.collection.mutable.ArrayBuffer[Int] = null
+  var terminal: Array[Int] = null
+}
+
+private[graft] object BatteryIndex {
+  // weak keys on the broadcast's deserialized array (identity equals for
+  // arrays): one index per battery per executor, reclaimed with the
+  // broadcast block
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, BatteryIndex]())
+
+  def of(ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]])
+      : BatteryIndex =
+    cache.computeIfAbsent(ps, _ => new BatteryIndex(ps))
+}
+
+private[graft] final class FirstTokenWalker(index: BatteryIndex) {
+
+  /** Test/one-off convenience: a private unshared index. */
+  def this(ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]]) =
+    this(new BatteryIndex(ps))
+
+  private def ps = index.ps
+  private def alwaysHit = index.alwaysHit
+  private def firstTok = index.firstTok
+  private def trieRoot = index.trieRoot
+
+  // per-walker SCRATCH (one walker per expression instance per task —
+  // small, O(battery) longs; the heavyweight structures live in the
+  // shared immutable index above)
+  private val hitStamp = new Array[Long](ps.length)
+  private var epoch = 0L
+  private var matchBuf = new Array[Int](math.min(math.max(ps.length, 1), 64))
 
   /** Indices of the phrases matched by the last [[walk]], in discovery
     * order (empty-token phrases first, then first-occurrence order),
@@ -390,9 +449,14 @@ private[graft] final class FirstTokenWalker(
     */
   private def luceneFrom(tokens: ArrayData,
                          ph: Array[org.apache.spark.unsafe.types.UTF8String],
-                         anchor: Int, slop: Int): Boolean = {
+                         anchor: Int, slop0: Int): Boolean = {
     val m = ph.length
     val n = tokens.numElements()
+    // clamp: adjusted-position spread inside one document never exceeds
+    // n + m, so any larger slop is equivalent — and unclamped,
+    // anchor + (m-1) + Int.MaxValue wraps negative and the window buffer
+    // allocation throws instead of matching
+    val slop = math.min(slop0, n + m)
     val lo = math.max(0, anchor - slop)
     val hi = math.min(n - 1, anchor + (m - 1) + slop)
     val pos = new Array[Array[Int]](m)
@@ -619,7 +683,8 @@ case class MultiPhrasesFound(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_multi_phrases"
 
-  @transient private lazy val walker = new FirstTokenWalker(phrases.value)
+  @transient private lazy val walker =
+    new FirstTokenWalker(BatteryIndex.of(phrases.value))
 
   def found(tokens: ArrayData): ArrayData = {
     val w = walker
@@ -696,7 +761,8 @@ case class MultiExamplesMatched(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_multi_examples"
 
-  @transient private lazy val walker = new FirstTokenWalker(fields.value)
+  @transient private lazy val walker =
+    new FirstTokenWalker(BatteryIndex.of(fields.value))
 
   // per-task scratch: epoch-stamped example counters — touched entries
   // only, no O(E) clear per row (same contract as the walker's scratch)
@@ -788,7 +854,8 @@ case class MultiPhraseCounts(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_multi_phrase_counts"
 
-  @transient private lazy val walker = new FirstTokenWalker(phrases.value)
+  @transient private lazy val walker =
+    new FirstTokenWalker(BatteryIndex.of(phrases.value))
 
   def countsOf(tokens: ArrayData): ArrayData = {
     val w = walker

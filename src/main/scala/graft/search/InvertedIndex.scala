@@ -225,13 +225,9 @@ object InvertedIndex {
     // either way, so absence is always safe and staleness is impossible.
     // The row is dropped BEFORE the swap (a crash in the window leaves it
     // absent-and-recoverable, never stale) and rewritten after.
-    val hadNorms = {
-      val nt = s"${table}__norms"
-      spark.catalog.tableExists(nt) || {
-        val p = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), nt)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-      }
+    val hadNorms = spark.catalog.tableExists(s"${table}__norms") || {
+      val (p, fs) = normsSidePath(spark, table)
+      fs.exists(p)
     }
     if (hadNorms) dropNorms(spark, table)
     swapTable(spark, table)((live, staging) =>
@@ -708,15 +704,26 @@ object InvertedIndex {
     * crash in the window leaves norms ABSENT, which [[normsOf]] recovers,
     * never silently stale).
     */
+  /** Warehouse path + filesystem of the `<table>__norms` side table —
+    * the ONE place the catalog-forgot-but-dir-survives contract resolves
+    * a norms location (persist/drop/read and the rewrite-if-present
+    * check all go through here, so they can never disagree about where
+    * the row lives).
+    */
+  private def normsSidePath(spark: SparkSession, table: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${table}__norms")
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
   def persistNorms(spark: SparkSession, table: String): Unit = {
     val nt = s"${table}__norms"
     // the in-memory catalog may have forgotten the side table while its
     // warehouse dir survives — an Overwrite saveAsTable then fails on the
     // existing location, so clear the orphan dir first
     if (!spark.catalog.tableExists(nt)) {
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), nt)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (p, fs) = normsSidePath(spark, table)
       if (fs.exists(p)) fs.delete(p, true)
     }
     corpusNormsFromPostings(spark.table(table))
@@ -724,11 +731,8 @@ object InvertedIndex {
   }
 
   private def dropNorms(spark: SparkSession, table: String): Unit = {
-    val nt = s"${table}__norms"
-    spark.sql(s"DROP TABLE IF EXISTS `$nt`")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), nt)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS `${table}__norms`")
+    val (p, fs) = normsSidePath(spark, table)
     if (fs.exists(p)) fs.delete(p, true)
   }
 
@@ -742,9 +746,7 @@ object InvertedIndex {
     val nt = s"${table}__norms"
     if (spark.catalog.tableExists(nt)) spark.table(nt)
     else {
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), nt)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (p, fs) = normsSidePath(spark, table)
       if (fs.exists(p)) spark.read.parquet(p.toString)
       else corpusNormsFromPostings(post)
     }

@@ -89,8 +89,10 @@ class FeatureHashSpec extends SparkTestBase {
     // a 4-member exact-duplicate clique + a near-dup + a distinct doc +
     // a null-text doc: the default exact-first pre-rung must collapse
     // the clique BEFORE pair scoring and keep the SAME survivors as the
-    // opt-out path (identical vectors are cosine-1.0 one-cluster members
-    // either way, min-id representative both ways)
+    // opt-out path. NB: survivor equality is a property of THIS fixture
+    // (the collapse doesn't change which ids the IVF centroid sample
+    // selects here) — in general the pre-rung reshapes the approximate
+    // blocking like any recall dial; see the dedupSemantic scaladoc
     val cliqueText = (1 to 20).map(i => s"tok$i").mkString(" ")
     val planted = (Seq(
       (0L, cliqueText), (1L, cliqueText), (2L, cliqueText), (3L, cliqueText),

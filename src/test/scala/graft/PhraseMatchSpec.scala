@@ -433,6 +433,34 @@ class PhraseMatchSpec extends SparkTestBase {
     }
   }
 
+  test("lucene slop near Int.MaxValue: clamped, matches, never crashes") {
+    // unclamped, anchor + (m-1) + slop wraps negative (walker window
+    // buffer allocation crashed) and matchesPositions' n + slop check
+    // wrapped into false negatives; clamped to n + m, a huge slop means
+    // "terms anywhere in the doc, distinct positions" — both tiers agree
+    import graft.functions.expressions.PhraseMatchKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(ts: String*) = new GenericArrayData(
+      ts.map(UTF8String.fromString).toArray[Any])
+    assert(PhraseMatchKernel.matchesLucene(arr("c", "x", "a"), arr("a", "c"),
+      Int.MaxValue))
+    assert(!PhraseMatchKernel.matchesLucene(arr("c", "x", "b"), arr("a", "c"),
+      Int.MaxValue))
+    // duplicate term needs TWO distinct positions even at huge slop
+    assert(!PhraseMatchKernel.matchesLucene(arr("a", "x"), arr("a", "a"),
+      Int.MaxValue))
+    assert(PhraseMatchKernel.matchesLucene(arr("a", "x", "a"), arr("a", "a"),
+      Int.MaxValue))
+    // the wide-battery walker path (>gate) at huge slop: counts, no throw
+    val docs2 = Seq((1L, "gamma x alpha"), (2L, "alpha only")).toDF("doc_id", "text")
+    val battery = (1 to 70).map(i => s"z$i never") :+ "alpha gamma"
+    val n = Searcher.countContaining(docs2, "text", battery,
+      allPhrases = false, slop = Int.MaxValue, uax29 = false,
+      luceneSlop = true).collect().head.getLong(0)
+    assert(n === 1L)
+  }
+
   test("MultiExamplesMatched equals/hashCode cover every broadcast id") {
     // equals compares fields.id, fieldExamples.id AND needCounts.id; the
     // hashCode must include all three so instances differing only in the
