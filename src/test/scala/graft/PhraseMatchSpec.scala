@@ -433,6 +433,19 @@ class PhraseMatchSpec extends SparkTestBase {
     }
   }
 
+  test("BatteryIndex.of shares one index per battery array (per-executor cache)") {
+    // expression references deserialize PER TASK; the heavyweight trie/
+    // first-token structures must come from the per-executor cache keyed
+    // by the broadcast's deserialized array identity — same array, same
+    // index; a different array (another broadcast) gets its own
+    import graft.functions.expressions.BatteryIndex
+    import org.apache.spark.unsafe.types.UTF8String
+    val ps = Array(Array(UTF8String.fromString("a")))
+    assert(BatteryIndex.of(ps) eq BatteryIndex.of(ps))
+    val other = Array(Array(UTF8String.fromString("a")))
+    assert(!(BatteryIndex.of(ps) eq BatteryIndex.of(other)))
+  }
+
   test("lucene slop near Int.MaxValue: clamped, matches, never crashes") {
     // unclamped, anchor + (m-1) + slop wraps negative (walker window
     // buffer allocation crashed) and matchesPositions' n + slop check
