@@ -28,6 +28,34 @@ object MultimodalQueries extends QueryPack {
       Multimodal.mediaDuplicateStats(media)
     }),
 
+    // resize planning (the metadata half of a real batch resize): synth
+    // dims derived deterministically from the text so the aspect-ratio /
+    // never-upscale / zero-dim-passthrough arithmetic is value-checked
+    "m_resize_plan" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val feats = d.select(col("doc_id").as("media_id"),
+        (size(split(col("text"), " ")) * 37 % 4000).cast("int").as("width"),
+        (length(col("text")) % 3000).cast("int").as("height"))
+      Multimodal.resizePlan(feats, maxW = 640, maxH = 480)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"))
+        .orderBy("media_id")
+    }),
+
+    // frame sampling (every-nth fixed-size byte chunks standing in for
+    // video frames): the posexplode/partition shape is the real one; the
+    // oracle replays chunk boundaries and keeps md5s of the bytes
+    "m_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.fromText(Tables(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.sampleFrames(media, chunkBytes = 32, everyNth = 2)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // the real imageio decode path rides along as an injected 8×5 PNG row
     // (media_id −1): its exact dimensions are value-checked by the oracle;
     // text payloads take the byte-histogram fallback (0×0 dims). format is
@@ -48,6 +76,36 @@ object MultimodalQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "m_resize_plan" ->
+      """WITH feats AS (SELECT doc_id AS media_id,
+        |  CAST((len(string_split(text, ' ')) * 37) % 4000 AS INT) AS width,
+        |  CAST(length(text) % 3000 AS INT) AS height FROM documents),
+        |r AS (SELECT media_id, width, height,
+        |  CASE WHEN width > 0 AND height > 0
+        |    THEN least(640.0 / width, 480.0 / height, 1.0) END AS scale
+        | FROM feats)
+        |SELECT media_id, width, height,
+        |  CAST(CASE WHEN scale IS NULL THEN 0
+        |    ELSE greatest(floor(width * scale), 1) END AS INT) AS out_width,
+        |  CAST(CASE WHEN scale IS NULL THEN 0
+        |    ELSE greatest(floor(height * scale), 1) END AS INT) AS out_height
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    // ASCII corpus (asserted: octet_length == length at every SF), so
+    // text substr chunks equal byte chunks and md5 agrees across engines
+    "m_frame_sample" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  greatest(CAST(floor((length(text) - 1) / 32.0) AS INT), 0) AS maxi
+        | FROM documents),
+        |ix AS (SELECT doc_id, text,
+        |  unnest(generate_series(0, maxi)) AS i FROM base)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, i * 32 + 1, 32)) AS frame_md5,
+        |  CAST(octet_length(encode(substr(text, i * 32 + 1, 32))) AS BIGINT)
+        |    AS frame_bytes
+        |FROM ix WHERE i % 2 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     "m_media_dup" ->
       """WITH p AS (SELECT md5(array_to_string(
         |  list_slice(string_split(text, ' '), 1, 12), ' ')) AS h FROM documents),
@@ -63,6 +121,36 @@ object MultimodalQueries extends QueryPack {
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         | CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents""".stripMargin,
+
+    "m_resize_plan" ->
+      """WITH feats AS (SELECT doc_id AS media_id,
+        |  CAST((len(string_split(text, ' ')) * 37) % 4000 AS INT) AS width,
+        |  CAST(length(text) % 3000 AS INT) AS height FROM documents),
+        |r AS (SELECT media_id, width, height,
+        |  CASE WHEN width > 0 AND height > 0
+        |    THEN least(640.0 / width, 480.0 / height, 1.0) END AS scale
+        | FROM feats)
+        |SELECT media_id, width, height,
+        |  CAST(CASE WHEN scale IS NULL THEN 0
+        |    ELSE greatest(floor(width * scale), 1) END AS INT) AS out_width,
+        |  CAST(CASE WHEN scale IS NULL THEN 0
+        |    ELSE greatest(floor(height * scale), 1) END AS INT) AS out_height
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    // ASCII corpus (asserted: octet_length == length at every SF), so
+    // text substr chunks equal byte chunks and md5 agrees across engines
+    "m_frame_sample" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  greatest(CAST(floor((length(text) - 1) / 32.0) AS INT), 0) AS maxi
+        | FROM documents),
+        |ix AS (SELECT doc_id, text,
+        |  unnest(generate_series(0, maxi)) AS i FROM base)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, i * 32 + 1, 32)) AS frame_md5,
+        |  CAST(octet_length(encode(substr(text, i * 32 + 1, 32))) AS BIGINT)
+        |    AS frame_bytes
+        |FROM ix WHERE i % 2 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "m_media_features" ->
       """SELECT doc_id AS media_id,
