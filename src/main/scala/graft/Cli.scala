@@ -797,6 +797,131 @@ object Cli {
           rows.map(r => cols.indices.map(i => contaminateFold(r.getString(i))))
             .filter(_.forall(_.trim.nonEmpty)).map(_.toSeq).toSeq
         }
+        // --follow STATE: INCREMENTAL contamination tracking over a drop
+        // directory — each invocation counts only shards that arrived
+        // since the last and folds them into durable per-phrase totals
+        // under STATE/counts. Crash-safe by BATCH IDEMPOTENCE rather than
+        // ordering: a batch's partial counts land under
+        // counts/batch=<md5 of the sorted fresh-shard set> (an Overwrite
+        // write), so replay after a crash between the counts write and
+        // the manifest extension recomputes the SAME batch id and
+        // overwrites instead of double-counting; the report is the sum
+        // over batch dirs. The benchmark battery (post-fold, sorted,
+        // md5-keyed), fold dials, tokenizer, slop and dialect all PIN on
+        // first use — a drifting battery would silently make totals
+        // incomparable across invocations.
+        flag("--follow") match {
+          case Some(stateDir) =>
+            require(flag("--templates").isEmpty, "contaminate --follow " +
+              "does not support --templates — render once, write the " +
+              "prompts as a benchmark column, and pass --field")
+            val hconf = spark.sparkContext.hadoopConfiguration
+            val stateP = new org.apache.hadoop.fs.Path(stateDir)
+            val fs = stateP.getFileSystem(hconf)
+            fs.mkdirs(stateP)
+            val fieldNames: Seq[String] = flag("--fields") match {
+              case Some(fsv) =>
+                val names = fsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                require(names.length >= 2,
+                  "--fields wants 2+ comma-separated benchmark columns")
+                names
+              case None => Seq(flag("--field").getOrElse("text"))
+            }
+            // sorted + distinct: example_id/phrase identity must mean the
+            // SAME battery entry in every batch, whatever order the
+            // benchmark rows collect in
+            val battery: Seq[Seq[String]] =
+              gatherBench(fieldNames).map(_.toList).distinct
+                .sortBy(_.mkString("\u0000"))
+            val batteryKey = {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              battery.foreach(ex =>
+                md.update((ex.mkString("\u0000") + "\n").getBytes("UTF-8")))
+              md.digest().map("%02x".format(_)).mkString
+            }
+            val cfg = pinnedSettings(fs, stateDir, "contaminate --follow", Seq(
+              ("tokenizer", flag("--tokenizer"), "unicode"),
+              ("analyzed", if (analyzed) Some("true") else None, "false"),
+              ("fixMojibake", if (fixMoji) Some("true") else None, "false"),
+              ("slop", flag("--slop"), "0"),
+              ("luceneSlop", if (luceneSlop) Some("true") else None, "false"),
+              ("mode", Some(fieldNames.mkString(",")), fieldNames.mkString(",")),
+              ("benchKey", Some(batteryKey), batteryKey)))
+            val uaxF = cfg("tokenizer") == "unicode"
+            val slopF = cfg("slop").toInt
+            val luceneF = cfg("luceneSlop").toBoolean
+            val paired = fieldNames.length >= 2
+            val manifestP = new org.apache.hadoop.fs.Path(stateDir, "manifest")
+            val countsP0 = new org.apache.hadoop.fs.Path(stateDir, "counts")
+            // seen = manifest ∪ every committed batch's recorded shard
+            // list: a batch whose counts landed but whose manifest
+            // extension was lost (crash, or a deleted manifest) must not
+            // be recounted under a REGROUPED fresh set — that would mint
+            // a new batch id holding the same shards and double-count
+            val batchShards: Map[String, Seq[String]] =
+              if (!fs.exists(countsP0)) Map.empty
+              else fs.listStatus(countsP0).toSeq
+                .filter(st => st.isDirectory &&
+                  st.getPath.getName.startsWith("batch="))
+                .flatMap { st =>
+                  readStateLines(fs,
+                    new org.apache.hadoop.fs.Path(st.getPath, "_shards"))
+                    .map(ls => st.getPath.getName -> ls.filter(_.nonEmpty))
+                }.toMap
+            val seen: Set[String] =
+              readStateLines(fs, manifestP).getOrElse(Nil)
+                .filter(_.nonEmpty).toSet ++ batchShards.values.flatten
+            val fresh = expandShardPaths(hconf, a.paths).filterNot(seen)
+            if (fresh.nonEmpty && battery.nonEmpty) {
+              val batchId = {
+                val md = java.security.MessageDigest.getInstance("MD5")
+                fresh.sorted.foreach(f => md.update((f + "\n").getBytes("UTF-8")))
+                md.digest().map("%02x".format(_)).mkString
+              }
+              val freshDocs = readProjected(spark, fresh,
+                cfg("fixMojibake").toBoolean, cfg("analyzed").toBoolean)
+              val batch =
+                if (paired)
+                  search.Searcher.countPerExample(freshDocs, "text", battery,
+                    slopF, uax29 = uaxF, luceneSlop = luceneF)
+                else
+                  search.Searcher.countPerPhrase(freshDocs, "text",
+                    battery.map(_.head), slopF, uax29 = uaxF,
+                    luceneSlop = luceneF)
+              // order: parquet Overwrite (clears any half-written replay),
+              // THEN the _shards record, THEN the manifest — a crash at
+              // any point leaves a state the next run converges from
+              batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(
+                s"$stateDir/counts/batch=$batchId")
+              writeStateFile(fs, new org.apache.hadoop.fs.Path(
+                s"$stateDir/counts/batch=$batchId", "_shards"),
+                fresh.sorted.mkString("\n") + "\n")
+              extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
+              System.err.println(s"contaminate --follow: ${fresh.size} new " +
+                s"shard(s) counted into $stateDir (batch $batchId)")
+            }
+            // the durable report: totals over every batch dir (zero-hit
+            // battery entries appear in EVERY batch, so the sum keeps them)
+            import spark.implicits._
+            val countsP = new org.apache.hadoop.fs.Path(stateDir, "counts")
+            val keyCol = if (paired) "example_id" else "phrase"
+            val totals =
+              if (!fs.exists(countsP))
+                (if (paired) Seq.empty[(Long, Long)].toDF(keyCol, "n_docs")
+                 else Seq.empty[(String, Long)].toDF(keyCol, "n_docs"))
+              else spark.read.parquet(countsP.toString)
+                .groupBy(keyCol).agg(sum("n_docs").cast("long").as("n_docs"))
+            deliver(
+              if (a.flags.contains("--per-phrase"))
+                totals.orderBy(keyCol)
+              else totals.agg(
+                count(lit(1)).as(if (paired) "n_examples" else "n_phrases"),
+                coalesce(sum(when(col("n_docs") > 0, 1L).otherwise(0L)),
+                  lit(0L)).cast("long").as("n_contaminated"),
+                coalesce(round(avg(when(col("n_docs") > 0, 1.0)
+                  .otherwise(0.0)), 6), lit(0.0)).as("pct")),
+              ranked = false)
+          case None =>
         val report = flag("--templates") match {
           case Some(tsv) =>
             val tpls = search.PromptTemplates.parseTsvFile(spark, tsv)
@@ -833,6 +958,7 @@ object Cli {
           }
         }
         deliver(report, ranked = false)
+        }
       // the "what's in my big data" report card (counts, size, dup rate,
       // language mix) — the paper's per-corpus table from the CLI
       case "report" =>

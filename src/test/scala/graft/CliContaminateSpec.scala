@@ -63,6 +63,51 @@ class CliContaminateSpec extends SparkTestBase {
     assert(paired("n_contaminated") === 1L)
   }
 
+  test("--follow: durable totals accumulate, replay converges, drifting bench refuses") {
+    val root = fresh()
+    val state = s"$root/state"
+    val bench = writeJsonl(root, "bench.jsonl", Seq(
+      """{"text":"alpha beta"}""",
+      """{"text":"zz never"}"""))
+    writeJsonl(s"$root/drop/day1", "a.jsonl", Seq(
+      """{"text":"alpha beta gamma"}""",
+      """{"text":"unrelated words here"}"""))
+    def run(extra: String*): Unit =
+      Cli.run(spark, Array("contaminate", s"$root/drop/*", "--bench", bench,
+        "--follow", state, "--per-phrase",
+        "--out", s"$root/out", "--force") ++ extra)
+    def totals(): Map[String, Long] = readOut(s"$root/out")
+      .map(m => (m("phrase").toString, m("n_docs").asInstanceOf[Long])).toMap
+    run()
+    assert(totals() === Map("alpha beta" -> 1L, "zz never" -> 0L))
+    // no new shards: report only, totals unchanged (idempotent)
+    run()
+    assert(totals() === Map("alpha beta" -> 1L, "zz never" -> 0L))
+    // a second drop accumulates into the durable counts
+    writeJsonl(s"$root/drop/day2", "b.jsonl", Seq(
+      """{"text":"alpha beta again"}""",
+      """{"text":"zz never shows"}"""))
+    run()
+    assert(totals() === Map("alpha beta" -> 2L, "zz never" -> 1L))
+    // crash replay: manifest lost AFTER the batch dirs landed — the
+    // batch ids recompute identically, dirs overwrite, totals converge
+    Files.delete(Paths.get(state, "manifest"))
+    run()
+    assert(totals() === Map("alpha beta" -> 2L, "zz never" -> 1L))
+    // a drifting benchmark must refuse loudly (totals would silently
+    // stop being comparable across invocations)
+    val bench2 = writeJsonl(root, "bench2.jsonl", Seq(
+      """{"text":"different battery"}"""))
+    val e = intercept[RuntimeException] {
+      Cli.run(spark, Array("contaminate", s"$root/drop/*", "--bench", bench2,
+        "--follow", state, "--per-phrase", "--out", s"$root/out2", "--force"))
+    }
+    assert(e.getMessage.contains("benchKey"))
+    // and a pinned-dial mismatch too
+    val e2 = intercept[RuntimeException] { run("--slop", "3") }
+    assert(e2.getMessage.contains("slop"))
+  }
+
   test("--lucene-slop selects the move-distance dialect on the scan tier") {
     // "beta alpha" is a TRANSPOSITION of the benchmark phrase: lucene
     // slop 2 matches it (move-distance budget), the insertion-budget
