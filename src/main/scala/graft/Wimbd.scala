@@ -189,8 +189,10 @@ object Wimbd {
 
   /** count_documents_for_each_phrase — one scan, all phrases. */
   def countDocumentsForEachPhrase(docs: DataFrame, phrases: Seq[String],
-                                  slop: Int = 0): DataFrame =
-    Searcher.countPerPhrase(docs, "text", phrases, slop)
+                                  slop: Int = 0,
+                                  luceneSlop: Boolean = false): DataFrame =
+    Searcher.countPerPhrase(docs, "text", phrases, slop,
+      luceneSlop = luceneSlop)
 
   /** count_total_occurrences_of_unigrams — exact ttf by construction. */
   def countTotalOccurrencesOfUnigrams(docs: DataFrame, unigrams: Seq[String],
@@ -199,23 +201,29 @@ object Wimbd {
 
   /** corpus_contamination.py — fraction of benchmark phrases present. */
   def corpusContamination(docs: DataFrame, phrases: Seq[String],
-                          slop: Int = 0): DataFrame =
-    Searcher.contamination(docs, "text", phrases, slop)
+                          slop: Int = 0,
+                          luceneSlop: Boolean = false): DataFrame =
+    Searcher.contamination(docs, "text", phrases, slop,
+      luceneSlop = luceneSlop)
 
   /** corpus_contamination.py:44-58 `paired_contamination_percentage` —
     * multi-field benchmark examples (zipped fields), contaminated iff one
     * document contains every field phrase together.
     */
   def pairedContamination(docs: DataFrame, examples: Seq[Seq[String]],
-                          slop: Int = 0): DataFrame =
-    Searcher.pairedContamination(docs, "text", examples, slop)
+                          slop: Int = 0,
+                          luceneSlop: Boolean = false): DataFrame =
+    Searcher.pairedContamination(docs, "text", examples, slop,
+      luceneSlop = luceneSlop)
 
   /** `count_documents_for_each_phrase(..., all_phrases=True)` — one doc
     * count per example (lists of lists), every field in the same doc. */
   def countDocumentsForEachExample(docs: DataFrame,
                                    examples: Seq[Seq[String]],
-                                   slop: Int = 0): DataFrame =
-    Searcher.countPerExample(docs, "text", examples, slop)
+                                   slop: Int = 0,
+                                   luceneSlop: Boolean = false): DataFrame =
+    Searcher.countPerExample(docs, "text", examples, slop,
+      luceneSlop = luceneSlop)
 
   /** JSONL result sink with the reference's `--force` overwrite guard
     * (reference src/util.rs:6-25).
