@@ -75,9 +75,16 @@ object ScaleRehearsal {
       if (!new java.io.File(outPath).exists()) {
         val base = spark.read.parquet(s"$sfDir/$table.parquet")
         val maxId = base.agg(max(col(idCol))).head().getLong(0) + 1L
-        (0 until replicas).map { r =>
-          base.withColumn(idCol, col(idCol) + lit(r * maxId))
-        }.reduce(_ unionByName _)
+        // cross join with the replica range, not an N-way union: a
+        // 1000-way union is a depth-1000 plan the analyzer chews on for
+        // minutes; the join is one scan × a broadcast 1-column range
+        base.crossJoin(
+            spark.range(replicas).select(col("id").as("__replica")))
+          .withColumn(idCol, col(idCol) + col("__replica") * lit(maxId))
+          .drop("__replica")
+          // the union shape wrote ~one file per replica; keep a
+          // comparable split count so downstream scans parallelize
+          .repartition(math.min(256, math.max(32, replicas)))
           .write.mode("overwrite").parquet(outPath)
       }
       outPath
