@@ -452,11 +452,19 @@ object ScaleRehearsal {
         k = 25).count()
     }
     run("ann_index_build") {
-      // persisted IVF index: one assignment scan + bucketed layout write
+      // persisted IVF index: one assignment scan + bucketed layout write.
+      // step is ODDIZED off the replica multiple: the replicated id space
+      // repeats every maxId, so a step that divides into it samples the
+      // SAME base vector for every centroid (measured at 1000×: all 40
+      // "centroids" were replicas of base id 0, the whole index collapsed
+      // into 3 buckets, and the query row degraded to a 40M-candidate
+      // window sort — a fixture degeneracy, but exactly what a REAL
+      // corpus with a degenerate centroid sample would do; bucket balance
+      // is the IVF query-cost guard, kmeansCentroids the upgrade)
       graft.queries.Tables.reset(spark, "scale_ann_idx",
-        "scale_ann_idx__centroids")
+        "scale_ann_idx__centroids", "scale_ann_idx__meta")
       graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
-        step = 50 * replicas, table = "scale_ann_idx", buckets = 32,
+        step = 50 * replicas + 1, table = "scale_ann_idx", buckets = 32,
         force = true)
       spark.table("scale_ann_idx").count()
     }
