@@ -746,8 +746,11 @@ object Cli {
             !a.flags.contains("--per-phrase")),
           "--templates does not compose with --field/--fields/--per-phrase")
         require(flag("--fields").isEmpty ||
-          (flag("--field").isEmpty && !a.flags.contains("--per-phrase")),
-          "--fields does not compose with --field/--per-phrase")
+          (flag("--field").isEmpty && (!a.flags.contains("--per-phrase") ||
+            flag("--follow").nonEmpty)),
+          "--fields does not compose with --field/--per-phrase " +
+            "(except under --follow, where --per-phrase emits the durable " +
+            "per-example rows)")
         // the benchmark's OWN schema (q/a/... example fields live outside
         // the corpus schema readSecondary pins); the analyzer/mojibake
         // projections still fold its text column when one exists, and
@@ -776,7 +779,9 @@ object Cli {
             s"contaminate: benchmark has no '$c' column ($what; an empty " +
               s"JSONL infers no schema; present columns: " +
               s"${bench.columns.mkString(", ")})"))
-        def gatherBench(cols: Seq[String]): Seq[Seq[String]] = {
+        def gatherBench(cols: Seq[String],
+                        fold: String => String = contaminateFold)
+            : Seq[Seq[String]] = {
           requireBenchCols(cols, "a used field")
           val used = cols.map(c => trim(col(c).cast("string")))
           val rows = bench
@@ -794,7 +799,7 @@ object Cli {
           // punctuation-only value to "" (the match-everything empty
           // phrase under uax29), and a blank field silently weakens the
           // ALL-fields conjunction — drop the row either way
-          rows.map(r => cols.indices.map(i => contaminateFold(r.getString(i))))
+          rows.map(r => cols.indices.map(i => fold(r.getString(i))))
             .filter(_.forall(_.trim.nonEmpty)).map(_.toSeq).toSeq
         }
         // --follow STATE: INCREMENTAL contamination tracking over a drop
@@ -815,6 +820,11 @@ object Cli {
             require(flag("--templates").isEmpty, "contaminate --follow " +
               "does not support --templates — render once, write the " +
               "prompts as a benchmark column, and pass --field")
+            require(flag("--limit").isEmpty && flag("--file-limit").isEmpty,
+              "--follow reads whole shards (no --limit/--file-limit)")
+            // single-writer per state dir, like every --follow mode: two
+            // concurrent invocations can observe overlapping fresh sets
+            // and commit the same shard under two different batch ids
             val hconf = spark.sparkContext.hadoopConfiguration
             val stateP = new org.apache.hadoop.fs.Path(stateDir)
             val fs = stateP.getFileSystem(hconf)
@@ -827,11 +837,31 @@ object Cli {
                 names
               case None => Seq(flag("--field").getOrElse("text"))
             }
+            // the fold dials pin FIRST: a maintenance invocation that
+            // omits --analyzed/--fix-mojibake must fold the battery under
+            // the PINNED values (the documented adopt-the-pin contract) —
+            // folding with session flags would shift batteryKey and blame
+            // "benchmark drift" for an unchanged benchmark
+            val cfg0 = pinnedSettings(fs, stateDir, "contaminate --follow", Seq(
+              ("tokenizer", flag("--tokenizer"), "unicode"),
+              ("analyzed", if (analyzed) Some("true") else None, "false"),
+              ("fixMojibake", if (fixMoji) Some("true") else None, "false"),
+              ("slop", flag("--slop"), "0"),
+              ("luceneSlop", if (luceneSlop) Some("true") else None, "false"),
+              ("mode", Some(fieldNames.mkString(",")), fieldNames.mkString(","))))
+            def foldPinned(v: String): String = {
+              val repaired =
+                if (cfg0("fixMojibake").toBoolean)
+                  graft.functions.Mojibake.fix(v)
+                else v
+              if (cfg0("analyzed").toBoolean)
+                search.Searcher.analyzePhrase(repaired) else repaired
+            }
             // sorted + distinct: example_id/phrase identity must mean the
             // SAME battery entry in every batch, whatever order the
             // benchmark rows collect in
             val battery: Seq[Seq[String]] =
-              gatherBench(fieldNames).map(_.toList).distinct
+              gatherBench(fieldNames, foldPinned).map(_.toList).distinct
                 .sortBy(_.mkString("\u0000"))
             val batteryKey = {
               val md = java.security.MessageDigest.getInstance("MD5")
@@ -839,14 +869,8 @@ object Cli {
                 md.update((ex.mkString("\u0000") + "\n").getBytes("UTF-8")))
               md.digest().map("%02x".format(_)).mkString
             }
-            val cfg = pinnedSettings(fs, stateDir, "contaminate --follow", Seq(
-              ("tokenizer", flag("--tokenizer"), "unicode"),
-              ("analyzed", if (analyzed) Some("true") else None, "false"),
-              ("fixMojibake", if (fixMoji) Some("true") else None, "false"),
-              ("slop", flag("--slop"), "0"),
-              ("luceneSlop", if (luceneSlop) Some("true") else None, "false"),
-              ("mode", Some(fieldNames.mkString(",")), fieldNames.mkString(",")),
-              ("benchKey", Some(batteryKey), batteryKey)))
+            val cfg = pinnedSettings(fs, stateDir, "contaminate --follow",
+              Seq(("benchKey", Some(batteryKey), batteryKey))) ++ cfg0
             val uaxF = cfg("tokenizer") == "unicode"
             val slopF = cfg("slop").toInt
             val luceneF = cfg("luceneSlop").toBoolean

@@ -377,14 +377,27 @@ private[graft] final class TrieNode {
 
 private[graft] object BatteryIndex {
   // weak keys on the broadcast's deserialized array (identity equals for
-  // arrays): one index per battery per executor, reclaimed with the
-  // broadcast block
+  // arrays) AND weak values: the index strongly references its ps (the
+  // key), so a strong-valued WeakHashMap could never reclaim an entry —
+  // the value must be weakly held too. Live walkers keep their index
+  // strongly reachable while in use; once the broadcast block and every
+  // walker are gone, both key and value collect. A rare race can build
+  // two indexes for one battery — both valid, one wins the map.
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[AnyRef, BatteryIndex]())
+    new java.util.WeakHashMap[AnyRef,
+      java.lang.ref.WeakReference[BatteryIndex]]())
 
   def of(ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]])
-      : BatteryIndex =
-    cache.computeIfAbsent(ps, _ => new BatteryIndex(ps))
+      : BatteryIndex = {
+    val ref = cache.get(ps)
+    val cached = if (ref == null) null else ref.get()
+    if (cached != null) cached
+    else {
+      val idx = new BatteryIndex(ps)
+      cache.put(ps, new java.lang.ref.WeakReference(idx))
+      idx
+    }
+  }
 }
 
 private[graft] final class FirstTokenWalker(index: BatteryIndex) {

@@ -122,36 +122,6 @@ object MultimodalQueries extends QueryPack {
         | CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents""".stripMargin,
 
-    "m_resize_plan" ->
-      """WITH feats AS (SELECT doc_id AS media_id,
-        |  CAST((len(string_split(text, ' ')) * 37) % 4000 AS INT) AS width,
-        |  CAST(length(text) % 3000 AS INT) AS height FROM documents),
-        |r AS (SELECT media_id, width, height,
-        |  CASE WHEN width > 0 AND height > 0
-        |    THEN least(640.0 / width, 480.0 / height, 1.0) END AS scale
-        | FROM feats)
-        |SELECT media_id, width, height,
-        |  CAST(CASE WHEN scale IS NULL THEN 0
-        |    ELSE greatest(floor(width * scale), 1) END AS INT) AS out_width,
-        |  CAST(CASE WHEN scale IS NULL THEN 0
-        |    ELSE greatest(floor(height * scale), 1) END AS INT) AS out_height
-        |FROM r ORDER BY media_id""".stripMargin,
-
-    // ASCII corpus (asserted: octet_length == length at every SF), so
-    // text substr chunks equal byte chunks and md5 agrees across engines
-    "m_frame_sample" ->
-      """WITH base AS (SELECT doc_id, text,
-        |  greatest(CAST(floor((length(text) - 1) / 32.0) AS INT), 0) AS maxi
-        | FROM documents),
-        |ix AS (SELECT doc_id, text,
-        |  unnest(generate_series(0, maxi)) AS i FROM base)
-        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
-        |  md5(substr(text, i * 32 + 1, 32)) AS frame_md5,
-        |  CAST(octet_length(encode(substr(text, i * 32 + 1, 32))) AS BIGINT)
-        |    AS frame_bytes
-        |FROM ix WHERE i % 2 = 0
-        |ORDER BY media_id, frame_idx""".stripMargin,
-
     "m_media_features" ->
       """SELECT doc_id AS media_id,
         | (CASE WHEN substring(text, 1, 4) = 'RIFF' THEN 'riff-av'

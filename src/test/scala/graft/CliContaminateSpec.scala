@@ -108,6 +108,29 @@ class CliContaminateSpec extends SparkTestBase {
     assert(e2.getMessage.contains("slop"))
   }
 
+  test("--follow: a maintenance run omitting a pinned fold flag adopts the pin") {
+    // the battery folds under the PINNED analyzed value, so omitting
+    // --analyzed on run 2 must NOT shift batteryKey into a bogus
+    // "benchmark drift" refusal — the adopt-the-pin contract
+    val root = fresh()
+    val state = s"$root/state"
+    val bench = writeJsonl(root, "bench.jsonl", Seq("""{"text":"Alpha BETA"}"""))
+    writeJsonl(s"$root/drop/day1", "a.jsonl", Seq("""{"text":"alpha beta here"}"""))
+    Cli.run(spark, Array("contaminate", s"$root/drop/*", "--bench", bench,
+      "--follow", state, "--analyzed", "--per-phrase",
+      "--out", s"$root/o1", "--force"))
+    val t1 = readOut(s"$root/o1")
+      .map(m => (m("phrase").toString, m("n_docs").asInstanceOf[Long])).toMap
+    assert(t1 === Map("alpha beta" -> 1L)) // analyzer folded the battery
+    writeJsonl(s"$root/drop/day2", "b.jsonl", Seq("""{"text":"alpha beta twice"}"""))
+    // run 2 omits --analyzed: pin adopted, same folded battery, totals grow
+    Cli.run(spark, Array("contaminate", s"$root/drop/*", "--bench", bench,
+      "--follow", state, "--per-phrase", "--out", s"$root/o2", "--force"))
+    val t2 = readOut(s"$root/o2")
+      .map(m => (m("phrase").toString, m("n_docs").asInstanceOf[Long])).toMap
+    assert(t2 === Map("alpha beta" -> 2L))
+  }
+
   test("--lucene-slop selects the move-distance dialect on the scan tier") {
     // "beta alpha" is a TRANSPOSITION of the benchmark phrase: lucene
     // slop 2 matches it (move-distance budget), the insertion-budget
