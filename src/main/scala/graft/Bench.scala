@@ -18,29 +18,78 @@ object Bench {
       .toMap
   }
 
-  /** Stall-window detector (multi-tenant host): a ≥1 s query whose scored
-    * min exceeds 2× its previous committed-round value earns ONE
-    * out-of-order re-measure at the END of the run — a real regression is
-    * slow every time, a host-stall window is contiguous in run order and
-    * has usually passed by then. Sub-second queries are excluded (their
-    * median scoring already absorbs noise, and 2× of 0.1 s is scheduling
-    * jitter, not signal).
+  /** RELATIVE elevation gate (r16): an entry is elevated when it scored
+    * more than 2× its reference value AND more than 0.2 s above it. The
+    * r15 machinery carried a ≥1 s absolute floor on every detection path
+    * and the floor sat ABOVE the only genuinely elevated entries in its
+    * debut artifact — five untouched sub-second text-cleaning queries at
+    * 5.5–8.4× (t_fineweb 0.103 → 0.867 s) went unmarked and unclassified.
+    * The 0.2 s absolute delta keeps scheduling jitter (2× of 60 ms) out
+    * without blinding the gate to sub-second regressions; zero/absent
+    * references never trigger (no division storm, new queries have no
+    * trend to violate).
+    */
+  def elevated(scored: Double, ref: Option[Double]): Boolean =
+    ref.exists(p => p > 0 && scored > 2.0 * p && scored - p > 0.2)
+
+  /** Stall-window detector (multi-tenant host): an elevated query earns
+    * ONE out-of-order re-measure at the END of the run — a real
+    * regression is slow every time, a host-stall window is contiguous in
+    * run order and has usually passed by then. Pure alias of [[elevated]]
+    * since r16 (the ≥1 s floor is gone; see there).
     */
   def needsRemeasure(scored: Double, prev: Option[Double]): Boolean =
-    scored >= 1.0 && prev.exists(p => p > 0 && scored > 2.0 * p)
+    elevated(scored, prev)
 
-  /** Warmup-shape detector: a ≥1 s query whose in-run samples are
-    * STRICTLY decreasing with first/last ≥ 1.5× is still riding JIT /
-    * code-cache warmup when its scored sample lands (r13: p8_model
+  /** Warmup-shape detector: a query whose in-run samples are STRICTLY
+    * decreasing with first/last ≥ 1.5× and ≥ 0.2 s apart is still riding
+    * JIT / code-cache warmup when its scored sample lands (r13: p8_model
     * 3.52 → 2.16 → 1.83, scored 1.83 vs a 1.37 s trend — under the 2×
     * stall trigger, so it rode through). One extra end-of-run sample
     * captures the steady state; min scores it (monotone-decreasing means
     * LATER = truer, the opposite of the stall case's symmetric gate).
+    * r16: the ≥1 s scored floor became the 0.2 s first/last delta — the
+    * same relative-plus-small-delta shape as [[elevated]].
     */
   def warmupShaped(scored: Double, samples: List[Double]): Boolean =
-    scored >= 1.0 && samples.length >= 2 &&
+    samples.length >= 2 &&
       samples.zip(samples.tail).forall { case (a, b) => a > b } &&
-      samples.last > 0 && samples.head / samples.last >= 1.5
+      samples.last > 0 && samples.head / samples.last >= 1.5 &&
+      samples.head - samples.last > 0.2
+
+  /** Per-query best-known committed scores — the gate's long-memory
+    * reference. Comparing only against the PREVIOUS round's artifact has
+    * a ratchet hole: once an environment-inflated number is committed
+    * (the r15 driver run carried the t_* cleaning cluster at 0.52–0.87 s
+    * where the same-HEAD builder run had 0.087–0.097 s), the next round's
+    * prev-only gate sees "no elevation" whether the inflation persists or
+    * not. The trend file (`bench_trend.json`, same `{"queries":{…}}`
+    * shape as the artifact so one parser serves both) min-merges every
+    * run's scores, so the reference is the best the query has ever run
+    * and an entry stays classifiable until it actually returns to form.
+    */
+  def mergeTrend(old: Map[String, Double],
+                 run: Map[String, Double]): Map[String, Double] =
+    (old.keySet ++ run.keySet).map { k =>
+      k -> (old.get(k).toList ++ run.get(k).toList).min
+    }.toMap
+
+  /** The round-over-round watch list, parsed from the PREVIOUS committed
+    * artifact's `stall_class` object instead of hardcoded names (r15
+    * hardcoded two already-resolved entries while the actually-elevated
+    * ones went unmarked): every entry that finished elevated last round
+    * gets a calibration marker on EVERY sample this round, so its
+    * resolution or persistence is classifiable from the artifact alone.
+    */
+  def parseWatchList(json: String): Set[String] = {
+    val start = json.indexOf("\"stall_class\":{")
+    if (start < 0) return Set.empty
+    val body = json.substring(start + "\"stall_class\":{".length)
+    val end = body.indexOf('}')
+    if (end < 0) return Set.empty
+    "\"([A-Za-z0-9_]+)\":\"".r.findAllMatchIn(body.take(end))
+      .map(_.group(1)).toSet
+  }
 
   // --- host telemetry (mechanical stall-vs-regression attribution) ---
   // Three consecutive rounds re-litigated multi-tenant host windows
@@ -215,7 +264,29 @@ object Bench {
       allInfl += infl
       calMarks(q) = calMarks.getOrElse(q, Nil) :+ ((sampleIdx, infl, loadavg()))
     }
-    val watchList = Set("e28_analyzed_indexed", "a17_topk_per_source")
+    // previous committed artifact + long-memory trend, read BEFORE
+    // measuring: the per-sample calibration trigger and the end-of-run
+    // stall sweep both gate on elevation against the same reference
+    def readAll(path: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+    val prevArtifact: String = try {
+      readAll(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "bench_full.json"))
+    } catch { case _: Throwable => "" }
+    val prevQ: Map[String, Double] = parsePrevQueries(prevArtifact)
+    val trendPath = sys.env.getOrElse("SPARK_GRAFT_TREND", "bench_trend.json")
+    val trendIn: Map[String, Double] =
+      try parsePrevQueries(readAll(trendPath))
+      catch { case _: Throwable => Map.empty }
+    // the gate reference: best-known value — prev artifact AND trend file
+    // (min): an entry committed while environment-inflated must not
+    // become its own alibi next round (the r15→r16 t_* ratchet)
+    def refOf(n: String): Option[Double] =
+      (prevQ.get(n).toList ++ trendIn.get(n).toList) match {
+        case Nil => None
+        case vs  => Some(vs.min)
+      }
+    val watchList: Set[String] = parseWatchList(prevArtifact)
     // sorted order: per-query times comparable run-to-round and round-to-round
     // success flag alongside the time: a FAILED run returns fast (often
     // milliseconds), and a re-measure fold that blindly math.min's it in
@@ -252,9 +323,15 @@ object Bench {
     // milliseconds and min-of-2 would record it as a fake speedup).
     def measure(name: String): (Double, List[Double]) = {
       val fn = SparkEntry.queries(name)
+      // marker policy: every >=1 s sample (the original discipline), every
+      // sample of a watch-listed entry, and — r16 — ANY sample that lands
+      // elevated against the best-known reference regardless of magnitude
+      // (the ≥1 s-only trigger left the five elevated sub-second t_*
+      // entries of the r15 driver run without a single marker)
       def sample(idx: Int): (Double, Boolean) = {
         val s = timeOneChecked(fn)
-        if (s._1 >= 1.0 || watchList(name)) markCal(name, idx)
+        if (s._1 >= 1.0 || watchList(name) || elevated(s._1, refOf(name)))
+          markCal(name, idx)
         s
       }
       var checked = List(sample(0), sample(1))
@@ -270,13 +347,8 @@ object Bench {
     // audit trail is explicit. (Added after r12, where four untouched
     // queries reported 2-7× from one stall window and were
     // indistinguishable in-tree from real regressions.)
-    val prevQ: Map[String, Double] = try {
-      parsePrevQueries(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
-          "bench_full.json"))), "UTF-8"))
-    } catch { case _: Throwable => Map.empty }
     val stallChecked = measured0.map { case (n, (t, ss)) =>
-      val stall = needsRemeasure(t, prevQ.get(n))
+      val stall = elevated(t, refOf(n))
       val warm = warmupShaped(t, ss)
       if (!stall && !warm) (n, (t, ss))
       else {
@@ -297,7 +369,7 @@ object Bench {
         // the adjustment stays auditable either way.
         val t2 =
           if (warm) math.min(t, again)
-          else if (stall && needsRemeasure(again, prevQ.get(n))) t
+          else if (stall && elevated(again, refOf(n))) t
           else math.min(t, again)
         (n, (t2, ss :+ again))
         }
@@ -342,17 +414,38 @@ object Bench {
     val loadavgPost = loadavg()
     val finalInfl = inflation(calWall(), calBase)
     allInfl += finalInfl
+    // JVM compiler state at end of run: in local mode the bench JVM IS the
+    // driver and every executor, so a full code cache (JIT stops
+    // compiling → uniform multi-× slowdowns on whatever runs last) or an
+    // outsized total-compile-time is visible here — the one alternative
+    // cause the r15 t_* cluster couldn't rule out from calibration markers
+    // alone (register-loop calibration never touches the code cache)
+    val (ccUsedMb, ccMaxMb) = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+      (pools.map(_.getUsage.getUsed).sum / 1e6,
+        pools.map(p => math.max(p.getUsage.getMax, 0L)).sum / 1e6)
+    }
+    val jitMs = try
+      java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
+    catch { case _: Throwable => -1L }
     val host = s"""{"cal_iters":$calIters,"cal_base_sec":$calBase,""" +
       s""""loadavg_pre":$loadavgPre,"loadavg_post":$loadavgPost,""" +
       s""""inflation_run":${runInflation(allInfl.toSeq)},""" +
       s""""inflation_max":${if (allInfl.isEmpty) 1.0 else allInfl.max},""" +
-      s""""n_calibrations":${allInfl.size}}"""
+      s""""n_calibrations":${allInfl.size},""" +
+      s""""code_cache_used_mb":${math.round(ccUsedMb)},""" +
+      s""""code_cache_max_mb":${math.round(ccMaxMb)},""" +
+      s""""jit_compile_ms":$jitMs}"""
     val calJson = calMarks.toSeq.sortBy(_._1).map { case (q, ms) =>
       "\"" + q + "\":[" +
         ms.map { case (i, infl, l) => s"[$i,$infl,$l]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val stallClass = measured.collect { case (n, (t, ss))
-        if t >= 1.0 && prevQ.get(n).exists(p => p > 0 && t > 2.0 * p) =>
+        if elevated(t, refOf(n)) =>
       val idx = scoredSampleIndex(t, ss)
       val cal = calMarks.get(n).flatMap(_.collectFirst {
         case (i, infl, _) if i == idx => infl })
@@ -370,6 +463,21 @@ object Bench {
       // fail the bench, but it must not be silent either
       case e: java.io.IOException =>
         System.err.println(s"bench: failed to persist $outPath: $e")
+    }
+    // min-merge this run into the long-memory trend file (see mergeTrend)
+    // — same {"queries":{…}} shape as the artifact so parsePrevQueries
+    // serves both. Scores of all-samples-failed queries are the max of
+    // failed walls (visibly elevated), so min-merge never adopts them
+    // over a healthy committed value.
+    val trendOut = mergeTrend(trendIn, resultMap)
+    val trendJson = "{\"queries\":" + trendOut.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}") + "}"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(trendPath),
+      (trendJson + "\n").getBytes("UTF-8"))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"bench: failed to persist $trendPath: $e")
     }
     // the driver keeps only a ~2000-char tail of stdout and parses the last
     // JSON line it finds there; the full line above is ~6 KB, so its head is

@@ -882,16 +882,35 @@ object Cli {
             // extension was lost (crash, or a deleted manifest) must not
             // be recounted under a REGROUPED fresh set — that would mint
             // a new batch id holding the same shards and double-count
-            val batchShards: Map[String, Seq[String]] =
-              if (!fs.exists(countsP0)) Map.empty
+            val batchDirs =
+              if (!fs.exists(countsP0)) Seq.empty
               else fs.listStatus(countsP0).toSeq
                 .filter(st => st.isDirectory &&
                   st.getPath.getName.startsWith("batch="))
-                .flatMap { st =>
-                  readStateLines(fs,
-                    new org.apache.hadoop.fs.Path(st.getPath, "_shards"))
-                    .map(ls => st.getPath.getName -> ls.filter(_.nonEmpty))
-                }.toMap
+            val batchShards: Map[String, Seq[String]] =
+              batchDirs.flatMap { st =>
+                readStateLines(fs,
+                  new org.apache.hadoop.fs.Path(st.getPath, "_shards"))
+                  .map(ls => st.getPath.getName -> ls.filter(_.nonEmpty))
+              }.toMap
+            // orphan sweep: a batch dir WITHOUT a _shards record is a
+            // crash between the counts parquet and the shard record (its
+            // counts may be complete, but nothing says WHICH shards they
+            // cover, so they can't enter `seen`). It must not linger: if
+            // NEW shards arrive before the replay, the recomputed fresh
+            // set gets a DIFFERENT batch id, the orphan stays in the
+            // totals read AND its shards are recounted under the new id —
+            // double-counting. Delete-and-recount converges: the orphan's
+            // shards are absent from `seen`, so they re-enter `fresh` and
+            // are recounted exactly once (single writer per state dir).
+            batchDirs
+              .filterNot(st => batchShards.contains(st.getPath.getName))
+              .foreach { st =>
+                fs.delete(st.getPath, true)
+                System.err.println("contaminate --follow: swept orphan " +
+                  s"${st.getPath.getName} (counts without a _shards " +
+                  "record — crash debris; its shards will be recounted)")
+              }
             val seen: Set[String] =
               readStateLines(fs, manifestP).getOrElse(Nil)
                 .filter(_.nonEmpty).toSet ++ batchShards.values.flatten

@@ -84,14 +84,26 @@ object InvertedIndex {
     * `term` read only the matching buckets (bucket pruning), and repeated
     * term-keyed joins skip their Exchange. `buckets` ≈ postings size /
     * 128-256 MB at the target scale.
+    *
+    * A `force` overwrite of a table that carried a persisted
+    * `<table>__norms` row drops the row FIRST — [[normsOf]] prefers the
+    * persisted row, so leaving it would score the new postings with the
+    * old corpus constants (BM25/MLT/significant-terms), the one staleness
+    * path the persistNorms contract forbids. Same discipline as
+    * [[replaceIndex]]: dropped before the write, so a crash mid-write
+    * leaves norms absent-and-recoverable, never stale; the overwritten
+    * index stays bare until its builder re-persists (the CLI build paths
+    * do — a bare index is always safe, normsOf recovers on demand).
     */
   def writeIndex(postings: DataFrame, table: String, buckets: Int,
-                 force: Boolean = false): Unit =
+                 force: Boolean = false): Unit = {
+    if (force) dropNorms(postings.sparkSession, table)
     postings.write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .format("parquet")
       .bucketBy(buckets, "term")
       .sortBy("term")
       .saveAsTable(table)
+  }
 
   /** Read a saved index WITH its bucket metadata (a raw parquet read of
     * the same files would lose pruning and co-partitioning).

@@ -25,22 +25,30 @@ class BenchLogicSpec extends AnyFunSuite {
       === Map("a" -> 1.5))
   }
 
-  test("needsRemeasure: >=1s AND >2x previous, with missing/zero prev excluded") {
+  test("elevated/needsRemeasure: >2x reference AND >0.2s above it — no 1s floor") {
     // the r12 casualty: 3.467 s vs 0.521 s previous — re-measure
     assert(Bench.needsRemeasure(3.467, Some(0.521)))
     // genuine slow query holding trend: no re-measure
     assert(!Bench.needsRemeasure(3.4, Some(3.1)))
-    // sub-second spike: median scoring owns it, no re-measure
-    assert(!Bench.needsRemeasure(0.9, Some(0.1)))
+    // the r15 casualty class: five SUB-SECOND t_* queries at 5.5–8.4x
+    // (t_fineweb 0.103 → 0.867) sat under the old >=1 s floor, unmarked
+    // and unclassified — the relative gate fires on them
+    assert(Bench.elevated(0.867, Some(0.103)))
+    assert(Bench.needsRemeasure(0.9, Some(0.1)))
+    // 2x of a tiny value is scheduling jitter, not signal: the 0.2 s
+    // absolute delta keeps it out (0.25 vs 0.1 = 2.5x but only +0.15 s)
+    assert(!Bench.elevated(0.25, Some(0.1)))
     // exactly 2x is trend drift, not a stall
     assert(!Bench.needsRemeasure(2.0, Some(1.0)))
+    // >2x but the delta is exactly 0.2: still jitter-scale
+    assert(!Bench.elevated(0.3, Some(0.1)))
     // new query this round (no previous value): nothing to compare
     assert(!Bench.needsRemeasure(5.0, None))
     // zero/garbage previous value must not divide into a re-measure storm
     assert(!Bench.needsRemeasure(5.0, Some(0.0)))
   }
 
-  test("warmupShaped: >=1s strictly-decreasing samples with first/last >= 1.5x") {
+  test("warmupShaped: strictly-decreasing samples, >=1.5x AND >0.2s first-to-last") {
     // the r13 casualty: p8_model 3.52 -> 2.16 -> 1.83, scored 1.83 —
     // under the 2x stall trigger but plainly still warming up
     assert(Bench.warmupShaped(1.83, List(3.52, 2.16, 1.83)))
@@ -51,14 +59,41 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!Bench.warmupShaped(1.8, List(3.5, 1.8, 2.2)))
     // shallow decrease (< 1.5x first/last): trend, not warmup
     assert(!Bench.warmupShaped(1.4, List(1.9, 1.5, 1.4)))
-    // sub-second queries are excluded like the stall trigger
-    assert(!Bench.warmupShaped(0.4, List(0.9, 0.6, 0.4)))
+    // r16: sub-second warmup shapes fire too (the old >=1 s floor is
+    // gone) — a 0.9→0.4 decay earns its steady-state sample
+    assert(Bench.warmupShaped(0.4, List(0.9, 0.6, 0.4)))
+    // …but a 0.25→0.1 decay is jitter-scale (delta <= 0.2 s), not warmup
+    assert(!Bench.warmupShaped(0.1, List(0.25, 0.15, 0.1)))
     // equal adjacent samples are NOT strictly decreasing
     assert(!Bench.warmupShaped(1.5, List(3.0, 3.0, 1.5)))
     // degenerate inputs never fire
     assert(!Bench.warmupShaped(1.5, Nil))
     assert(!Bench.warmupShaped(1.5, List(1.5)))
     assert(!Bench.warmupShaped(1.0, List(2.0, 0.0)))
+  }
+
+  test("mergeTrend min-merges run scores into the long-memory reference") {
+    val old = Map("a" -> 0.1, "b" -> 2.0, "gone" -> 0.5)
+    val run = Map("a" -> 0.9, "b" -> 1.5, "new" -> 3.0)
+    val m = Bench.mergeTrend(old, run)
+    // an inflated run never raises the trend (the t_* ratchet guard)…
+    assert(m("a") === 0.1)
+    // …while genuine improvements lower it
+    assert(m("b") === 1.5)
+    // removed queries keep their entry (harmless), new ones enter as-is
+    assert(m("gone") === 0.5)
+    assert(m("new") === 3.0)
+  }
+
+  test("parseWatchList reads the previous artifact's stall_class keys") {
+    val line = """{"metric":"total","value":78.2,"queries":{"a":1.0},"stall_class":{"t_fineweb":"real","e21_indexed_wildcard":"stall"},"sf":"x"}"""
+    assert(Bench.parseWatchList(line)
+      === Set("t_fineweb", "e21_indexed_wildcard"))
+    // empty/absent stall_class (the r15 artifact) → empty watch list
+    assert(Bench.parseWatchList("""{"queries":{"a":1.0},"stall_class":{}}""")
+      === Set.empty)
+    assert(Bench.parseWatchList("""{"queries":{"a":1.0}}""") === Set.empty)
+    assert(Bench.parseWatchList("") === Set.empty)
   }
 
   test("stall re-measure replaces the score only when it clears the gate itself") {

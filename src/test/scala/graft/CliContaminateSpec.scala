@@ -108,6 +108,66 @@ class CliContaminateSpec extends SparkTestBase {
     assert(e2.getMessage.contains("slop"))
   }
 
+  test("--follow: orphan batch (counts without _shards) is swept, never double-counted") {
+    // the r15-advice crash window: dies between the counts parquet commit
+    // and the _shards record, and NEW shards arrive before the replay.
+    // The recomputed fresh set then gets a DIFFERENT batch id, so without
+    // the sweep the orphan dir stays in the totals read while its shards
+    // are recounted under the new id — double-counting.
+    val root = fresh()
+    val state = s"$root/state"
+    val bench = writeJsonl(root, "bench.jsonl", Seq(
+      """{"text":"alpha beta"}""",
+      """{"text":"zz never"}"""))
+    def run(): Unit =
+      Cli.run(spark, Array("contaminate", s"$root/drop/*", "--bench", bench,
+        "--follow", state, "--per-phrase",
+        "--out", s"$root/out", "--force"))
+    def totals(): Map[String, Long] = readOut(s"$root/out")
+      .map(m => (m("phrase").toString, m("n_docs").asInstanceOf[Long])).toMap
+    writeJsonl(s"$root/drop/day1", "a.jsonl",
+      Seq("""{"text":"alpha beta gamma"}"""))
+    run()
+    writeJsonl(s"$root/drop/day2", "b.jsonl", Seq(
+      """{"text":"alpha beta again"}""",
+      """{"text":"zz never shows"}"""))
+    run()
+    assert(totals() === Map("alpha beta" -> 2L, "zz never" -> 1L))
+    // simulate the crash: find day2's batch, delete its _shards record
+    // AND drop its shards from the manifest (neither write happened)
+    val countsDir = Paths.get(state, "counts")
+    val day2Batch = Files.list(countsDir).toArray.map(_.toString)
+      .filter(_.contains("batch="))
+      .find(d => Files.exists(Paths.get(d, "_shards")) &&
+        new String(Files.readAllBytes(Paths.get(d, "_shards")), "UTF-8")
+          .contains("day2"))
+      .getOrElse(fail("no batch dir holds day2"))
+    Files.delete(Paths.get(day2Batch, "_shards"))
+    val manifest = Paths.get(state, "manifest")
+    val kept = new String(Files.readAllBytes(manifest), "UTF-8")
+      .split("\n").filterNot(_.contains("day2"))
+    Files.write(manifest, (kept.mkString("\n") + "\n").getBytes("UTF-8"))
+    // the raw-nio rewrite above invalidates Hadoop LocalFileSystem's CRC
+    // sidecar — drop it (the simulated crash never wrote the manifest, so
+    // no sidecar mismatch exists in the real scenario)
+    Files.deleteIfExists(Paths.get(state, ".manifest.crc"))
+    // NEW shards arrive before the replay — the regrouped fresh set
+    // {day2, day3} mints a different batch id than day2 alone did
+    writeJsonl(s"$root/drop/day3", "c.jsonl",
+      Seq("""{"text":"alpha beta third"}"""))
+    run()
+    // exactly-once totals: day1 (1) + day2 (1) + day3 (1) alpha-beta hits,
+    // day2's zz hit once — the orphan's counts must NOT survive alongside
+    // the recount
+    assert(totals() === Map("alpha beta" -> 3L, "zz never" -> 1L))
+    // and the orphan dir itself is gone
+    assert(!Files.exists(Paths.get(day2Batch)) ||
+      Files.exists(Paths.get(day2Batch, "_shards")))
+    // replay with no further arrivals stays converged
+    run()
+    assert(totals() === Map("alpha beta" -> 3L, "zz never" -> 1L))
+  }
+
   test("--follow: a maintenance run omitting a pinned fold flag adopts the pin") {
     // the battery folds under the PINNED analyzed value, so omitting
     // --analyzed on run 2 must NOT shift batteryKey into a bogus

@@ -649,6 +649,41 @@ class InvertedIndexSpec extends SparkTestBase {
       s"${table}__old").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("writeIndex(force) over a norms-bearing table drops the stale row") {
+    // the one staleness path the persistNorms contract forbade but the
+    // public surface allowed (r15 advice): a library caller force-
+    // overwriting an index whose build persisted norms — normsOf prefers
+    // the persisted row, so without the drop BM25/MLT would score the NEW
+    // postings with the OLD corpus constants
+    val table = "ii_spec_force_norms"
+    Seq(table, s"${table}__norms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    try {
+      val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
+      InvertedIndex.writeIndex(post, table, buckets = 4)
+      InvertedIndex.persistNorms(spark, table)
+      assert(spark.catalog.tableExists(s"${table}__norms"))
+      // overwrite with a 2-doc subset: the norms row must NOT survive
+      val sub = InvertedIndex.postings(docs.where(col("doc_id") <= 2),
+        "doc_id", "text", uax29 = false)
+      InvertedIndex.writeIndex(sub, table, buckets = 4, force = true)
+      assert(!spark.catalog.tableExists(s"${table}__norms"),
+        "force overwrite must drop the persisted norms of the old corpus")
+      val live = InvertedIndex.readIndex(spark, table)
+      val norms = InvertedIndex.normsOf(spark, table, live).head()
+      assert(norms.getLong(0) === 2L,
+        s"normsOf must recover the NEW corpus constants, got $norms")
+      // …and the warehouse dir is gone too (catalog-forgot contract):
+      // a surviving dir would resurrect the stale row through the
+      // normsSidePath fallback after a JVM restart
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${table}__norms")
+      assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(p))
+    } finally Seq(table, s"${table}__norms")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("collocationPmi reads T from norms: postings scanned twice, not thrice") {
     val post = InvertedIndex.postings(docs, "doc_id", "text", uax29 = false)
       .localCheckpoint()
