@@ -398,6 +398,18 @@ private[graft] object BatteryIndex {
       idx
     }
   }
+
+  /** Test visibility: the live index cached for `ps`, if any — reads the
+    * map without the build-on-miss side effect so specs can observe
+    * convergence (one live entry per battery after a concurrent first
+    * use) and reclamation (entry gone once the battery is unreachable).
+    */
+  private[graft] def cachedFor(
+      ps: Array[Array[org.apache.spark.unsafe.types.UTF8String]])
+      : Option[BatteryIndex] = {
+    val ref = cache.get(ps)
+    Option(if (ref == null) null else ref.get())
+  }
 }
 
 private[graft] final class FirstTokenWalker(index: BatteryIndex) {

@@ -854,35 +854,44 @@ object Similarity {
         s"kmeansCentroids: step=$step selected ZERO seed centroids — lower " +
           "step (an empty centroid frame would silently return zero " +
           "neighbors for every query)")
-      var centroids: Array[(Long, Seq[Double])] =
-        seeds.map { case (cid, v) => (cid, v.toSeq) }
-      var it = 0
-      while (it < iters) {
-        // per-round assignment via the BestCentroid kernel — each Lloyd
-        // iteration is one scan projection + the (bucket, position)
-        // partial-agg shuffle; the former join + groupBy(id) re-shuffled
-        // the whole corpus WITH unit vectors every round
-        val sums = assignWithCentroids(b,
-            idCol, centroids.map { case (cid, v) => (cid, v.toArray) })
-          .where(col("bucket").isNotNull)
-          .select(col("bucket"), posexplode(col("bv")).as(Seq("pos", "x")))
-          .groupBy("bucket", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val byBucket = sums.groupBy(_.getLong(0))
-        centroids = centroids.map { case (cid, prev) =>
-          byBucket.get(cid) match {
-            case Some(rows) =>
-              val mean = new Array[Double](prev.length)
-              rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
-              val nrm = math.sqrt(mean.map(x => x * x).sum)
-              if (nrm > 0) (cid, mean.map(_ / nrm).toSeq) else (cid, prev)
-            case None => (cid, prev) // empty bucket: keep previous centroid
-          }
-        }
-        it += 1
-      }
-      centroids.toSeq.toDF("centroid_id", "cv")
+      lloydRefine(b, idCol, seeds, iters).toSeq
+        .map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "cv")
     } finally b.unpersist()
+  }
+
+  /** The Lloyd loop shared by [[kmeansCentroids]] and the ANN index
+    * build's bucket-balance guard: `iters` rounds of assign → per-bucket
+    * spherical mean over the unit frame `b` (columns `idCol`, `bv`).
+    * Each round is one codegen BestCentroid scan projection plus a
+    * (bucket, position) partial-agg shuffle whose volume is partitions ×
+    * k × dim — corpus-size-independent. Empty buckets keep their previous
+    * centroid; zero-mass means keep theirs (no direction).
+    */
+  private[graft] def lloydRefine(b: DataFrame, idCol: String,
+                                 seeds: Array[(Long, Array[Double])],
+                                 iters: Int): Array[(Long, Array[Double])] = {
+    var centroids: Array[(Long, Array[Double])] = seeds
+    var it = 0
+    while (it < iters) {
+      val sums = assignWithCentroids(b, idCol, centroids)
+        .where(col("bucket").isNotNull)
+        .select(col("bucket"), posexplode(col("bv")).as(Seq("pos", "x")))
+        .groupBy("bucket", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byBucket = sums.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cid, prev) =>
+        byBucket.get(cid) match {
+          case Some(rows) =>
+            val mean = new Array[Double](prev.length)
+            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm > 0) (cid, mean.map(_ / nrm)) else (cid, prev)
+          case None => (cid, prev) // empty bucket: keep previous centroid
+        }
+      }
+      it += 1
+    }
+    centroids
   }
 
   /** IVF top-k against an explicit `(centroid_id, cv)` centroid table

@@ -138,6 +138,44 @@ object AnnIndex {
           s"(table $table was built over $dim-dimensional vectors)")
     }
 
+  // ---- bucket balance (the measured 1000× hot-bucket failure mode) ----
+
+  /** Session dial for the build-time balance guard: an index whose
+    * largest bucket holds more than this multiple of the even-split
+    * expectation gets its centroid selection rerun (decorrelated reseed +
+    * Lloyd refinement). ≤ 0 disables. The 1000× rehearsal measured the
+    * failure this guards: a degenerate id-mod-step centroid sample (step
+    * divided the fixture's replica period, so every sampled centroid was
+    * the same vector) collapsed 2M vectors into 3 buckets and the query
+    * row degraded 18× (114.9 s vs 6.25 s healthy) — a cliff any real
+    * corpus hits with an unlucky or clustered sample, previously
+    * prevented only by a fixture-side sampling fix.
+    */
+  private[graft] val BalanceGuardRatioConf = "graft.ann.balanceGuardRatio"
+  private[graft] val BalanceGuardRatioDefault = 20.0
+
+  private[graft] def balanceGuardRatio(spark: SparkSession): Double =
+    spark.conf.getOption(BalanceGuardRatioConf).map(_.toDouble)
+      .getOrElse(BalanceGuardRatioDefault)
+
+  /** Max-bucket mass over the even-split expectation for a saved index:
+    * 1.0 = perfectly balanced, `centroids` = everything in one bucket.
+    * One column-pruned agg over the written table (reads only `bucket`)
+    * plus an index-sized centroid count — the cheap post-build check that
+    * bounds worst-case query cost, since a probe reads whole buckets.
+    */
+  private[graft] def bucketBalanceRatio(spark: SparkSession,
+                                        table: String): Double = {
+    val r = spark.table(table).where(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), sum("n").as("tot")).head()
+    if (r.isNullAt(0) || r.getLong(1) == 0L) return 1.0
+    val nCents = spark.table(s"${table}__centroids")
+      .where(col("cv").isNotNull).count()
+    if (nCents == 0L) 1.0
+    else r.getLong(0).toDouble / (r.getLong(1).toDouble / nCents)
+  }
+
   // ---- build ----
 
   /** Build the IVF index and persist it bucketed by the centroid bucket.
@@ -187,6 +225,56 @@ object AnnIndex {
       cents.write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__centroids")
       writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0)
+      // ---- balance guard: rerun a degenerate centroid selection ----
+      // The id-mod-step sample is deterministic but BLIND to vector
+      // structure: a sample of (near-)identical vectors funnels the whole
+      // corpus into a handful of buckets, and probing then reads
+      // corpus-sized buckets (the measured 18× query cliff). On gross
+      // imbalance, reseed DECORRELATED from id arithmetic (salted-hash
+      // ~1/step sample — the original failure was step dividing an id
+      // period) and Lloyd-refine (2 rounds, each one corpus scan) to also
+      // escape value-coincident samples, then rewrite. A same-seeded
+      // kmeans alone could NOT recover: identical seeds tie-break every
+      // row into the lowest id and the other centroids never move.
+      val guard = balanceGuardRatio(spark)
+      if (guard > 0 && bucketBalanceRatio(spark, table) > guard) {
+        val reseed = b
+          .where(pmod(xxhash64(concat(col("id").cast("string"),
+            lit("#graft-balance-reseed"))), lit(step.toLong)) === 0)
+          .where(col("bv").isNotNull)
+          .select((if (!hashedIds) col("id").cast("long")
+            else xxhash64(col("id").cast("string"))).as("centroid_id"),
+            col("bv").as("cv"))
+        val seeds = Similarity.gatherCentroidFrame(reseed,
+          "writeIvfIndex.balanceGuard")
+        if (seeds.nonEmpty) {
+          val refined = Similarity.lloydRefine(b, "id", seeds, iters = 2)
+          import spark.implicits._
+          val cents2 = refined.toSeq
+            .map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "cv")
+            .localCheckpoint(true)
+          try {
+            assignUnit(b, cents2)
+              .write.mode(SaveMode.Overwrite)
+              .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
+              .saveAsTable(table)
+            cents2.write.mode(SaveMode.Overwrite).format("parquet")
+              .saveAsTable(s"${table}__centroids")
+          } finally
+            org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents2)
+          val after = bucketBalanceRatio(spark, table)
+          System.err.println(s"writeIvfIndex: balance guard rewrote $table " +
+            s"(max bucket > ${guard}x the even split from the id-mod-$step " +
+            s"sample; after reseed+kmeans: ${math.round(after * 10) / 10.0}x)")
+          if (after > guard)
+            System.err.println(s"writeIvfIndex: $table is still " +
+              s"${math.round(after * 10) / 10.0}x after the guard rewrite — " +
+              "the corpus itself is heavily clustered; raise nprobe for " +
+              "recall or lower step for more, smaller buckets")
+        } else System.err.println("writeIvfIndex: balance guard found a " +
+          s"degenerate id-mod-$step sample but the reseed selected zero " +
+          "vectors — index kept; lower step")
+      }
     } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents)
   }
 
@@ -232,6 +320,21 @@ object AnnIndex {
       writeMeta(spark, table, buckets,
         dim = codebook.map(_.head.length).sum, step = step, hashed = false,
         m = m)
+      // balance check only (no auto-rerun here: the PQ codes were encoded
+      // against THIS assignment's residual-free codebook, so a centroid
+      // rewrite means a full re-encode — the caller should rebuild with a
+      // lower step or pre-refined centroids instead). Loud, not silent:
+      // a degenerate sample makes probing read corpus-sized buckets.
+      val guard = balanceGuardRatio(spark)
+      if (guard > 0) {
+        val ratio = bucketBalanceRatio(spark, table)
+        if (ratio > guard)
+          System.err.println(s"writeIvfPqIndex: $table is grossly " +
+            s"imbalanced (max bucket ${math.round(ratio * 10) / 10.0}x the " +
+            s"even split — degenerate id-mod-$step centroid sample?); " +
+            "rebuild with a different step, or build the plain IVF index " +
+            "first (its balance guard reruns selection) and PQ-encode that")
+      }
     } finally assigned.unpersist(blocking = false)
   }
 

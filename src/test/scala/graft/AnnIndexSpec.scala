@@ -246,4 +246,78 @@ class AnnIndexSpec extends SparkTestBase {
     } finally graft.queries.Tables.reset(spark, table,
       s"${table}__centroids", s"${table}__meta")
   }
+
+  test("balance guard reruns a degenerate centroid sample; no-ops on the fixture") {
+    // the measured 1000x failure mode: every id-mod-step row carries the
+    // SAME vector, so the whole corpus ties into the lowest centroid id —
+    // one bucket holds everything and probing reads corpus-sized buckets
+    // (the 114.9s-vs-6.25s query cliff). 1000 rows, step 40: 25 identical
+    // sampled centroids -> pre-guard ratio 25x (> the 20x default).
+    import spark.implicits._
+    val dim = 8
+    def spread(id: Long): Seq[Double] = {
+      val v = Array.fill(dim)(0.05)
+      v((id % dim).toInt) = 1.0
+      v(((id / dim) % dim).toInt) += 0.5
+      v.toSeq
+    }
+    val degenerate = (0L until 1000L).map { id =>
+      if (id % 40 == 0) (id, Seq(1.0) ++ Seq.fill(dim - 1)(0.0))
+      else (id, spread(id))
+    }.toDF("vec_id", "embedding")
+    val table = "annidx_guard"
+    val ctrl = "annidx_guard_off"
+    Seq(table, ctrl).foreach(t => graft.queries.Tables.reset(spark, t,
+      s"${t}__centroids", s"${t}__meta"))
+    try {
+      // control: guard disabled — the degeneracy persists (proves the
+      // fixture actually exhibits the failure the guard exists for)
+      spark.conf.set(AnnIndex.BalanceGuardRatioConf, "0")
+      AnnIndex.writeIvfIndex(degenerate, "vec_id", "embedding", step = 40,
+        table = ctrl, buckets = 4, force = true)
+      val rawRatio = AnnIndex.bucketBalanceRatio(spark, ctrl)
+      assert(rawRatio > 20.0, s"fixture not degenerate enough: $rawRatio")
+      spark.conf.unset(AnnIndex.BalanceGuardRatioConf)
+      // guarded build: reseed + kmeans rewrite restores balance
+      AnnIndex.writeIvfIndex(degenerate, "vec_id", "embedding", step = 40,
+        table = table, buckets = 4, force = true)
+      val guarded = AnnIndex.bucketBalanceRatio(spark, table)
+      assert(guarded <= 20.0,
+        s"guard left $guarded x imbalance (raw was $rawRatio x)")
+      // the rewritten index is fully queryable and complete
+      assert(spark.table(table).count() === 1000L)
+      val knn = AnnIndex.ivfKnnIndexed(spark, table,
+        degenerate.where(col("vec_id") === 7), "vec_id", "embedding",
+        k = 3, nprobe = 3)
+      assert(knn.count() === 3L)
+      // centroids are the refined set (unit vectors), not the raw sample
+      val n2 = spark.table(s"${table}__centroids")
+        .select(graft.operators.Similarity.dot(col("cv"), col("cv")))
+        .collect().map(_.getDouble(0))
+      n2.foreach(x => assert(math.abs(x - 1.0) < 1e-9))
+      // …and the REAL embeddings fixture never trips the guard: the
+      // driver's ann_* oracles replay the id-mod-step assignment, so a
+      // guard rewrite there would be an oracle break (pinned here)
+      val fx = "annidx_guard_fixture"
+      graft.queries.Tables.reset(spark, fx, s"${fx}__centroids",
+        s"${fx}__meta")
+      try {
+        AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+          table = fx, buckets = 4, force = true)
+        val fxRatio = AnnIndex.bucketBalanceRatio(spark, fx)
+        assert(fxRatio <= 20.0, s"fixture trips the guard: $fxRatio")
+        val ids = spark.table(s"${fx}__centroids")
+          .select("centroid_id").collect().map(_.getLong(0)).sorted
+        val expect = emb.where(col("vec_id") % 50 === 0)
+          .select("vec_id").collect().map(_.getLong(0)).sorted
+        assert(ids.toList === expect.toList,
+          "guard must not rewrite a balanced fixture's centroids")
+      } finally graft.queries.Tables.reset(spark, fx, s"${fx}__centroids",
+        s"${fx}__meta")
+    } finally {
+      spark.conf.unset(AnnIndex.BalanceGuardRatioConf)
+      Seq(table, ctrl).foreach(t => graft.queries.Tables.reset(spark, t,
+        s"${t}__centroids", s"${t}__meta"))
+    }
+  }
 }

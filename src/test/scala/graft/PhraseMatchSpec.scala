@@ -446,6 +446,71 @@ class PhraseMatchSpec extends SparkTestBase {
     assert(!(BatteryIndex.of(ps) eq BatteryIndex.of(other)))
   }
 
+  test("BatteryIndex.of: concurrent first use is valid and converges; entries die with the battery") {
+    // the documented race: N tasks hit the cache before any entry exists —
+    // two indexes may be built for one battery (both valid, one wins the
+    // map). Every walker must land on A valid index, and afterwards the
+    // cache must serve ONE stable instance for the key.
+    import graft.functions.expressions.BatteryIndex
+    import org.apache.spark.unsafe.types.UTF8String
+    // every strong reference (battery, per-thread results, settled index)
+    // lives inside this helper's frame: the caller keeps ONLY the weak
+    // ref, so the GC assertion below tests the cache, not stale locals
+    def race(): java.lang.ref.WeakReference[BatteryIndex] = {
+      val ps: Array[Array[UTF8String]] =
+        (0 until 200).map { i =>
+          Array(UTF8String.fromString("tok" + (i % 7)),
+            UTF8String.fromString("p" + i))
+        }.toArray
+      val threads = 16
+      val barrier = new java.util.concurrent.CyclicBarrier(threads)
+      val results: Array[BatteryIndex] = new Array[BatteryIndex](threads)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pool = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          try {
+            barrier.await()
+            val idx = BatteryIndex.of(ps)
+            // force the lazy structures concurrently — exactly what the
+            // first tasks of a stage do (lazy-val init must race safely)
+            val cands = idx.firstTok.get(UTF8String.fromString("tok3"))
+            assert(cands != null && cands.nonEmpty)
+            val node = idx.trieRoot.children.get(UTF8String.fromString("tok3"))
+            assert(node != null && node.children.size() > 0)
+            results(t) = idx
+          } catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      pool.foreach(_.join(30000))
+      assert(errs.isEmpty, s"concurrent first use failed: ${errs.peek()}")
+      // every thread got a valid index over the SAME ps, each structurally
+      // correct (phrase 3 = ["tok3","p3"] reachable in all of them)
+      results.foreach { idx =>
+        assert(idx != null && (idx.ps eq ps))
+        assert(idx.firstTok.get(UTF8String.fromString("tok3")).contains(3))
+      }
+      // converged: the cache now serves one stable live entry for the key
+      val settled = BatteryIndex.of(ps)
+      assert(BatteryIndex.of(ps) eq settled)
+      assert(BatteryIndex.cachedFor(ps).exists(_ eq settled))
+      new java.lang.ref.WeakReference(settled)
+    }
+    // reclamation: once the battery array (the broadcast's deserialized
+    // value) and every walker are unreachable, weak key AND weak value
+    // collect — a long-lived session must not accumulate dead tries
+    val weakIdx = race()
+    var tries = 0
+    while (weakIdx.get() != null && tries < 50) {
+      System.gc()
+      Thread.sleep(20)
+      tries += 1
+    }
+    assert(weakIdx.get() == null,
+      s"index not reclaimed after $tries GC rounds — the cache is " +
+        "holding a strong path to a dead battery's trie")
+  }
+
   test("lucene slop near Int.MaxValue: clamped, matches, never crashes") {
     // unclamped, anchor + (m-1) + slop wraps negative (walker window
     // buffer allocation crashed) and matchesPositions' n + slop check
