@@ -476,6 +476,25 @@ object ScaleRehearsal {
         emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
         "embedding", k = 10, nprobe = 3).count()
     }
+    // r16: the r15-recorded degeneracy built ON PURPOSE (step divides the
+    // replica period, so every sampled centroid is a replica of base
+    // vector 0 — the collapse that cost the query row 114.9 s) with the
+    // build-time balance guard now active: the row measures detect +
+    // recover (one bucket-column agg, salted-hash reseed, 2 Lloyd scans,
+    // rewrite); the query row after it must be healthy, not the cliff
+    run("ann_index_build_degenerate") {
+      graft.queries.Tables.reset(spark, "scale_ann_degen",
+        "scale_ann_degen__centroids", "scale_ann_degen__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50 * replicas, table = "scale_ann_degen", buckets = 32,
+        force = true)
+      spark.table("scale_ann_degen").count()
+    }
+    run("ann_index_query_degenerate") {
+      graft.search.AnnIndex.ivfKnnIndexed(spark, "scale_ann_degen",
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, nprobe = 3).count()
+    }
     run("hashed_embedding") {
       // text→vector bridge at production hash: one scan-fused kernel pass
       graft.operators.FeatureHash.hashedEmbeddings(docs, "doc_id", "text",
