@@ -8,12 +8,15 @@ object Bench {
     * absent/corrupt file degrades to an empty map (no re-measures).
     */
   def parsePrevQueries(json: String): Map[String, Double] = {
-    val start = json.indexOf("\"queries\":{")
-    if (start < 0) return Map.empty
-    val body = json.substring(start + "\"queries\":{".length)
+    // whitespace-tolerant opener: hand-rolled artifacts and pretty-printed
+    // trend seeds write `"queries": {` — the exact-string match silently
+    // ignored a seeded trend file in the r16 debut run
+    val opener = "\"queries\"\\s*:\\s*\\{".r
+    val m0 = opener.findFirstMatchIn(json).getOrElse(return Map.empty)
+    val body = json.substring(m0.end)
     val end = body.indexOf('}')
     if (end < 0) return Map.empty
-    "\"([A-Za-z0-9_]+)\":([-0-9.Ee]+)".r.findAllMatchIn(body.take(end))
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*([-0-9.Ee]+)".r.findAllMatchIn(body.take(end))
       .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
       .toMap
   }

@@ -16,6 +16,13 @@ class BenchLogicSpec extends AnyFunSuite {
       "d_minhash_lsh" -> 0.778))
   }
 
+  test("parsePrevQueries tolerates whitespace after the colons (seeded trend files)") {
+    // the r16 debut bug: a pretty-printed seed wrote `"queries": {` and
+    // the exact-string opener silently ignored the whole file
+    val pretty = """{"queries": {"a": 0.5, "b" : 1.25}}"""
+    assert(Bench.parsePrevQueries(pretty) === Map("a" -> 0.5, "b" -> 1.25))
+  }
+
   test("parsePrevQueries degrades to empty on corrupt or missing input") {
     assert(Bench.parsePrevQueries("") === Map.empty)
     assert(Bench.parsePrevQueries("{\"metric\":\"total\"}") === Map.empty)
