@@ -187,12 +187,33 @@ object AnnIndex {
     * the corpus — with `hashedIds` the ~1/step hash filter is
     * probabilistic, so small corpora can select nothing), which would
     * otherwise persist an empty index without a word.
+    *
+    * A `force` rebuild over an existing PQ index drops the old
+    * `<table>__codebook` (this build writes none — a surviving one would
+    * be re-registered by [[registerIvfIndex]] against an index whose rows
+    * carry `bv`, not `codes`). NOTE the force-rebuild crash contract: the
+    * three writes (index, `__centroids`, `__meta`) are not one atomic
+    * commit — a crash between them can leave a NEW index with OLD
+    * centroids. `__meta` is written LAST as the completion record, so a
+    * rebuild whose meta `step`/`dim` don't match what you just asked for
+    * did not finish: re-run the same build (it overwrites all three and
+    * converges), or build under a fresh table name and switch readers.
+    * Steady-state maintenance ([[compactIvfIndex]]/[[upsertIvfIndex]])
+    * does not have this window — it swaps rename-aside and never touches
+    * the centroid side.
     */
   def writeIvfIndex(base: DataFrame, idCol: String, vecCol: String,
                     step: Int, table: String, buckets: Int,
                     force: Boolean = false,
                     hashedIds: Boolean = false): Unit = {
     val spark = base.sparkSession
+    if (force) {
+      spark.sql(s"DROP TABLE IF EXISTS `${table}__codebook`")
+      val cb = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${table}__codebook")
+      val fs = cb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(cb)) fs.delete(cb, true)
+    }
     val b = Similarity.unitProject(base, idCol, "id", vecCol, "bv")
     // checkpoint: the selection scan runs once for the assignment
     // broadcast AND the side-table write (index-sized by construction)

@@ -247,6 +247,34 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__centroids", s"${table}__meta")
   }
 
+  test("force IVF rebuild over a PQ table drops the stale codebook") {
+    // same staleness class as the r15 norms advice: a plain rebuild
+    // writes no codebook, so a surviving one from the table's PQ past
+    // would be re-registered by registerIvfIndex against bv-carrying rows
+    val table = "annidx_recode"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta", s"${table}__codebook")
+    try {
+      AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding", step = 50,
+        m = 8, table = table, buckets = 4, force = true)
+      assert(spark.catalog.tableExists(s"${table}__codebook"))
+      AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+        table = table, buckets = 4, force = true)
+      assert(!spark.catalog.tableExists(s"${table}__codebook"),
+        "plain rebuild must drop the PQ past's codebook")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${table}__codebook")
+      assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(p))
+      // and the rebuilt index is the plain-IVF shape end to end
+      assert(spark.table(s"${table}__meta").head().getAs[Int]("m") === 0)
+      assert(AnnIndex.ivfKnnIndexed(spark, table,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, nprobe = 3).count() === 3L)
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta", s"${table}__codebook")
+  }
+
   test("balance guard reruns a degenerate centroid sample; no-ops on the fixture") {
     // the measured 1000x failure mode: every id-mod-step row carries the
     // SAME vector, so the whole corpus ties into the lowest centroid id —
