@@ -85,14 +85,24 @@ object Bench {
     * resolution or persistence is classifiable from the artifact alone.
     */
   def parseWatchList(json: String): Set[String] = {
-    val start = json.indexOf("\"stall_class\":{")
-    if (start < 0) return Set.empty
-    val body = json.substring(start + "\"stall_class\":{".length)
+    // whitespace-tolerant like parsePrevQueries — same failure mode
+    val opener = "\"stall_class\"\\s*:\\s*\\{".r
+    val m0 = opener.findFirstMatchIn(json).getOrElse(return Set.empty)
+    val body = json.substring(m0.end)
     val end = body.indexOf('}')
     if (end < 0) return Set.empty
-    "\"([A-Za-z0-9_]+)\":\"".r.findAllMatchIn(body.take(end))
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*\"".r.findAllMatchIn(body.take(end))
       .map(_.group(1)).toSet
   }
+
+  /** The `"sf"` marker of a bench/trend JSON line, if any — trend scores
+    * are only comparable at the SAME scale factor, so a trend file
+    * stamped with a different sf is ignored rather than min-merged (one
+    * sf0.001 smoke run would otherwise write 10–100× smaller references
+    * and flag every query elevated at sf0.1 forever).
+    */
+  def parseSf(json: String): Option[String] =
+    "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
 
   // --- host telemetry (mechanical stall-vs-regression attribution) ---
   // Three consecutive rounds re-litigated multi-tenant host windows
@@ -278,9 +288,14 @@ object Bench {
     } catch { case _: Throwable => "" }
     val prevQ: Map[String, Double] = parsePrevQueries(prevArtifact)
     val trendPath = sys.env.getOrElse("SPARK_GRAFT_TREND", "bench_trend.json")
-    val trendIn: Map[String, Double] =
-      try parsePrevQueries(readAll(trendPath))
-      catch { case _: Throwable => Map.empty }
+    val trendIn: Map[String, Double] = try {
+      val raw = readAll(trendPath)
+      // sf-mismatched trend (a run at another scale factor) is ignored —
+      // and will be overwritten stamped with THIS run's sf below. A
+      // missing sf field (hand-seeded file) is accepted.
+      if (parseSf(raw).exists(_ != sfDir)) Map.empty
+      else parsePrevQueries(raw)
+    } catch { case _: Throwable => Map.empty }
     // the gate reference: best-known value — prev artifact AND trend file
     // (min): an entry committed while environment-inflated must not
     // become its own alibi next round (the r15→r16 t_* ratchet)
@@ -324,6 +339,12 @@ object Bench {
     // scoring and the third-sample decision see successful samples only
     // (scoreSamples/needsThirdSample — a transient throw returns in
     // milliseconds and min-of-2 would record it as a fake speedup).
+    // queries whose EVERY sample failed: their score is the max of failed
+    // walls (often milliseconds for an up-front throw) — visibly odd in
+    // the artifact and adjudicated by the correctness gate, but it must
+    // NEVER min-merge into the trend file as a best-known value (a 20 ms
+    // fast-fail would flag every later healthy run elevated forever)
+    val allFailed = scala.collection.mutable.Set.empty[String]
     def measure(name: String): (Double, List[Double]) = {
       val fn = SparkEntry.queries(name)
       // marker policy: every >=1 s sample (the original discipline), every
@@ -339,6 +360,7 @@ object Bench {
       }
       var checked = List(sample(0), sample(1))
       if (needsThirdSample(checked)) checked = checked :+ sample(2)
+      if (checked.forall(!_._2)) allFailed += name
       (scoreSamples(checked), checked.map(_._1))
     }
     val measured0 = SparkEntry.queries.keys.toSeq.sorted.map(n => (n, measure(n)))
@@ -472,10 +494,12 @@ object Bench {
     // serves both. Scores of all-samples-failed queries are the max of
     // failed walls (visibly elevated), so min-merge never adopts them
     // over a healthy committed value.
-    val trendOut = mergeTrend(trendIn, resultMap)
-    val trendJson = "{\"queries\":" + trendOut.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}") + "}"
+    val trendOut = mergeTrend(trendIn,
+      resultMap.filter { case (k, _) => !allFailed(k) })
+    val trendJson = "{\"sf\":\"" + sfDir + "\",\"queries\":" +
+      trendOut.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}") + "}"
     try java.nio.file.Files.write(java.nio.file.Paths.get(trendPath),
       (trendJson + "\n").getBytes("UTF-8"))
     catch {

@@ -936,7 +936,13 @@ object Cli {
               // any point leaves a state the next run converges from
               batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(
                 s"$stateDir/counts/batch=$batchId")
-              writeStateFile(fs, new org.apache.hadoop.fs.Path(
+              // atomic (tmp + rename): the orphan sweep's invariant is
+              // "a _shards record present ⇒ complete" — a plain create
+              // could crash mid-write and leave a PARTIAL shard list,
+              // whose unlisted shards would be recounted under a new
+              // batch id while this batch's counts stay in the totals
+              // (exactly the double-count the sweep exists to prevent)
+              writeStateFileAtomic(fs, new org.apache.hadoop.fs.Path(
                 s"$stateDir/counts/batch=$batchId", "_shards"),
                 fresh.sorted.mkString("\n") + "\n")
               extendManifest(fs, stateDir, (seen.toSeq ++ fresh).sorted)
@@ -948,8 +954,15 @@ object Cli {
             import spark.implicits._
             val countsP = new org.apache.hadoop.fs.Path(stateDir, "counts")
             val keyCol = if (paired) "example_id" else "phrase"
+            // existence is re-listed AFTER the sweep/write above: when the
+            // sweep deleted the only (orphaned) batch dir and nothing
+            // fresh arrived, counts/ exists but is batch-less — a read
+            // would throw schema-inference instead of reporting zeros
+            val hasBatches = fs.exists(countsP) &&
+              fs.listStatus(countsP).exists(st => st.isDirectory &&
+                st.getPath.getName.startsWith("batch="))
             val totals =
-              if (!fs.exists(countsP))
+              if (!hasBatches)
                 (if (paired) Seq.empty[(Long, Long)].toDF(keyCol, "n_docs")
                  else Seq.empty[(String, Long)].toDF(keyCol, "n_docs"))
               else spark.read.parquet(countsP.toString)

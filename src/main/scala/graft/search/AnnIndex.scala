@@ -245,8 +245,13 @@ object AnnIndex {
         .saveAsTable(table)
       cents.write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__centroids")
-      writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0)
       // ---- balance guard: rerun a degenerate centroid selection ----
+      // Runs BEFORE writeMeta so the force-rebuild crash contract holds
+      // through the guard's rewrite too: a crash between the guard's
+      // index overwrite and its centroids overwrite leaves the build
+      // without its completion record (__meta absent/stale) — detectably
+      // unfinished — instead of a complete-looking index probing OLD
+      // centroid ids against reseeded buckets (silent zero neighbors).
       // The id-mod-step sample is deterministic but BLIND to vector
       // structure: a sample of (near-)identical vectors funnels the whole
       // corpus into a handful of buckets, and probing then reads
@@ -296,6 +301,9 @@ object AnnIndex {
           s"degenerate id-mod-$step sample but the reseed selected zero " +
           "vectors — index kept; lower step")
       }
+      // the completion record, LAST (see the force-rebuild crash contract
+      // in the scaladoc) — also past the guard's possible rewrite above
+      writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0)
     } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents)
   }
 

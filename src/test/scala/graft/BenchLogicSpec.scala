@@ -92,6 +92,14 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(m("new") === 3.0)
   }
 
+  test("parseSf reads the scale-factor marker; trend files from another sf are ignored") {
+    assert(Bench.parseSf("""{"sf":"/root/testdata/sf0.1","queries":{}}""")
+      === Some("/root/testdata/sf0.1"))
+    assert(Bench.parseSf("""{"sf" : "/x/sf0.001"}""") === Some("/x/sf0.001"))
+    // hand-seeded file without the marker: accepted (stamped on next write)
+    assert(Bench.parseSf("""{"queries":{"a":1.0}}""") === None)
+  }
+
   test("parseWatchList reads the previous artifact's stall_class keys") {
     val line = """{"metric":"total","value":78.2,"queries":{"a":1.0},"stall_class":{"t_fineweb":"real","e21_indexed_wildcard":"stall"},"sf":"x"}"""
     assert(Bench.parseWatchList(line)

@@ -19,9 +19,15 @@ def row_hash(con, pq_glob: str):
     cols = [r[0] for r in con.execute(
         f"DESCRIBE SELECT * FROM read_parquet('{pq_glob}')").fetchall()]
     sel = ", ".join(f'"{c}"' for c in sorted(cols))
+    # NULL-preserving render: concat_ws SKIPS nulls, so (NULL,'x') and
+    # ('x',NULL) would hash identically — exactly the nullable-column
+    # nondeterminism this gate exists to catch
+    rend = ", ".join(
+        f"coalesce(cast(\"{c}\" AS VARCHAR), chr(30) || 'NULL')"
+        for c in sorted(cols))
     order = ", ".join(f'"{c}" NULLS FIRST' for c in sorted(cols))
     q = (f"SELECT md5(coalesce(string_agg(rw, chr(10) ORDER BY rw), '')), "
-         f"count(*) FROM (SELECT concat_ws(chr(31), {sel}) rw "
+         f"count(*) FROM (SELECT concat_ws(chr(31), {rend}) rw "
          f"FROM (SELECT {sel} FROM read_parquet('{pq_glob}') "
          f"ORDER BY {order}))")
     h, n = con.execute(q).fetchone()
@@ -39,7 +45,7 @@ def main():
     bad = []
     for n in names:
         b_path = os.path.join(b_dir, n)
-        if not os.path.isdir(b_path) and not os.path.exists(b_path):
+        if not os.path.isdir(b_path):
             bad.append((n, "missing in B"))
             continue
         ca, ha, na = row_hash(con, os.path.join(a_dir, n, "*.parquet"))
