@@ -176,6 +176,22 @@ object AnnIndex {
     else r.getLong(0).toDouble / (r.getLong(1).toDouble / nCents)
   }
 
+  /** Drop an index's side tables (catalog entries AND warehouse dirs —
+    * the in-memory catalog can have forgotten a dir that would otherwise
+    * resurrect stale state after a restart). Called by the force-rebuild
+    * paths immediately before they overwrite the main table, so every
+    * crash window leaves side state ABSENT (loud at query time) rather
+    * than stale (silent mismatch).
+    */
+  private def dropSideTables(spark: SparkSession, table: String): Unit =
+    Seq("__meta", "__centroids", "__codebook").foreach { suffix =>
+      spark.sql(s"DROP TABLE IF EXISTS `$table$suffix`")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"$table$suffix")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   // ---- build ----
 
   /** Build the IVF index and persist it bucketed by the centroid bucket.
@@ -188,32 +204,23 @@ object AnnIndex {
     * probabilistic, so small corpora can select nothing), which would
     * otherwise persist an empty index without a word.
     *
-    * A `force` rebuild over an existing PQ index drops the old
-    * `<table>__codebook` (this build writes none — a surviving one would
-    * be re-registered by [[registerIvfIndex]] against an index whose rows
-    * carry `bv`, not `codes`). NOTE the force-rebuild crash contract: the
-    * three writes (index, `__centroids`, `__meta`) are not one atomic
-    * commit — a crash between them can leave a NEW index with OLD
-    * centroids. `__meta` is written LAST as the completion record, so a
-    * rebuild whose meta `step`/`dim` don't match what you just asked for
-    * did not finish: re-run the same build (it overwrites all three and
-    * converges), or build under a fresh table name and switch readers.
-    * Steady-state maintenance ([[compactIvfIndex]]/[[upsertIvfIndex]])
-    * does not have this window — it swaps rename-aside and never touches
-    * the centroid side.
+    * Force-rebuild crash contract: the writes (index, `__centroids`,
+    * `__meta`) are not one atomic commit, so the old side tables are
+    * DROPPED immediately before the index overwrite and `__meta` is
+    * written LAST as the completion record — a crash in any window
+    * leaves side state absent (queries and [[registerIvfIndex]] fail
+    * loudly at the missing table) rather than a complete-looking index
+    * silently probing OLD centroids against the new assignment. Re-run
+    * the same build to converge, or build under a fresh table name and
+    * switch readers. Steady-state maintenance
+    * ([[compactIvfIndex]]/[[upsertIvfIndex]]) has no such window — it
+    * swaps rename-aside and never touches the centroid side.
     */
   def writeIvfIndex(base: DataFrame, idCol: String, vecCol: String,
                     step: Int, table: String, buckets: Int,
                     force: Boolean = false,
                     hashedIds: Boolean = false): Unit = {
     val spark = base.sparkSession
-    if (force) {
-      spark.sql(s"DROP TABLE IF EXISTS `${table}__codebook`")
-      val cb = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), s"${table}__codebook")
-      val fs = cb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(cb)) fs.delete(cb, true)
-    }
     val b = Similarity.unitProject(base, idCol, "id", vecCol, "bv")
     // checkpoint: the selection scan runs once for the assignment
     // broadcast AND the side-table write (index-sized by construction)
@@ -239,6 +246,16 @@ object AnnIndex {
         s"writeIvfIndex: step=$step selected ZERO centroids on this corpus " +
           "— lower step (the hashedIds filter is probabilistic: ~1/step)")
       val dim = first.head.getSeq[Double](1).length
+      // force-rebuild: drop the OLD side tables immediately before the
+      // index overwrite (not earlier — a failed centroid require above
+      // must leave a working old index whole). From here on the old
+      // index is gone either way, and a crash in any window leaves the
+      // side tables ABSENT (queries throw loudly at the missing
+      // __centroids/__meta) instead of silently probing old centroid ids
+      // against the new assignment. __codebook: a previous PQ build's
+      // table that this build would otherwise leave to be re-registered
+      // against bv-carrying rows.
+      if (force) dropSideTables(spark, table)
       assignUnit(b, cents)
         .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
         .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
@@ -328,6 +345,14 @@ object AnnIndex {
     try {
       val codebook = Similarity.codebookFromUnit(
         assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
+      // same force-rebuild crash contract as [[writeIvfIndex]]: old side
+      // tables dropped just before the index overwrite (after the
+      // failure-prone codebook derivation, so a failed rebuild attempt
+      // leaves a working old index whole), new meta written last — a
+      // crash mid-rebuild leaves queries throwing at a missing
+      // __centroids/__codebook, never ADC-decoding new codes against the
+      // OLD codebook (silent garbage neighbors)
+      if (force) dropSideTables(spark, table)
       Similarity.pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
         // LONG bucket: prunedIndex probes with long literals, and an
         // int-typed column would be wrapped in a Cast that silently

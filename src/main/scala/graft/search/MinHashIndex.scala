@@ -57,6 +57,19 @@ object MinHashIndex {
     import spark.implicits._
     val sig = MinHash.signaturesInline(docs, idCol, textCol, w, k,
       md5Parity, uax29)
+    // force-rebuild crash contract: drop the OLD meta immediately before
+    // the index overwrite, and write the new meta LAST. A crash anywhere
+    // in the window leaves `params()` throwing loudly (meta absent) —
+    // never a new-band index silently queried under the OLD parameters,
+    // which would sign every benchmark into keys that match nothing.
+    // Re-running the same build converges.
+    if (force) {
+      spark.sql(s"DROP TABLE IF EXISTS `${table}__meta`")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), s"${table}__meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     MinHash.bandRows(sig, k, bands)
       .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .format("parquet").bucketBy(buckets, "band_key").sortBy("band_key")
