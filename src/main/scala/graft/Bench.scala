@@ -283,17 +283,26 @@ object Bench {
     def readAll(path: String): String =
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
+    // BOTH gate references are sf-guarded: scores are only comparable at
+    // the same scale factor, and refOf takes the min of the two inputs —
+    // an unguarded prev artifact from a smaller-sf smoke run would flag
+    // every query elevated exactly like an unguarded trend would. A
+    // missing sf field (hand-seeded file) is accepted.
     val prevArtifact: String = try {
-      readAll(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "bench_full.json"))
+      val raw = readAll(
+        sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "bench_full.json"))
+      if (parseSf(raw).exists(_ != sfDir)) "" else raw
     } catch { case _: Throwable => "" }
     val prevQ: Map[String, Double] = parsePrevQueries(prevArtifact)
     val trendPath = sys.env.getOrElse("SPARK_GRAFT_TREND", "bench_trend.json")
+    // foreign-sf trend: ignored as a reference AND left untouched at
+    // write time — one sf0.001 smoke run must not destroy the primary
+    // sf's accumulated best-known history (point another sf's runs at
+    // their own file via SPARK_GRAFT_TREND)
+    var trendForeign = false
     val trendIn: Map[String, Double] = try {
       val raw = readAll(trendPath)
-      // sf-mismatched trend (a run at another scale factor) is ignored —
-      // and will be overwritten stamped with THIS run's sf below. A
-      // missing sf field (hand-seeded file) is accepted.
-      if (parseSf(raw).exists(_ != sfDir)) Map.empty
+      if (parseSf(raw).exists(_ != sfDir)) { trendForeign = true; Map.empty }
       else parsePrevQueries(raw)
     } catch { case _: Throwable => Map.empty }
     // the gate reference: best-known value — prev artifact AND trend file
@@ -491,20 +500,26 @@ object Bench {
     }
     // min-merge this run into the long-memory trend file (see mergeTrend)
     // — same {"queries":{…}} shape as the artifact so parsePrevQueries
-    // serves both. Scores of all-samples-failed queries are the max of
-    // failed walls (visibly elevated), so min-merge never adopts them
-    // over a healthy committed value.
-    val trendOut = mergeTrend(trendIn,
-      resultMap.filter { case (k, _) => !allFailed(k) })
-    val trendJson = "{\"sf\":\"" + sfDir + "\",\"queries\":" +
-      trendOut.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}") + "}"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(trendPath),
-      (trendJson + "\n").getBytes("UTF-8"))
-    catch {
-      case e: java.io.IOException =>
-        System.err.println(s"bench: failed to persist $trendPath: $e")
+    // serves both. All-samples-failed queries are EXCLUDED: their score
+    // is the max of fast-fail walls (often milliseconds — NOT visibly
+    // elevated), and min-merge would adopt such a wall as the best-known
+    // value, flagging every later healthy run elevated forever.
+    if (trendForeign)
+      System.err.println(s"bench: $trendPath belongs to another sf — " +
+        "left untouched (set SPARK_GRAFT_TREND for this sf's history)")
+    else {
+      val trendOut = mergeTrend(trendIn,
+        resultMap.filter { case (k, _) => !allFailed(k) })
+      val trendJson = "{\"sf\":\"" + sfDir + "\",\"queries\":" +
+        trendOut.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}") + "}"
+      try java.nio.file.Files.write(java.nio.file.Paths.get(trendPath),
+        (trendJson + "\n").getBytes("UTF-8"))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"bench: failed to persist $trendPath: $e")
+      }
     }
     // the driver keeps only a ~2000-char tail of stdout and parses the last
     // JSON line it finds there; the full line above is ~6 KB, so its head is

@@ -184,13 +184,8 @@ object AnnIndex {
     * than stale (silent mismatch).
     */
   private def dropSideTables(spark: SparkSession, table: String): Unit =
-    Seq("__meta", "__centroids", "__codebook").foreach { suffix =>
-      spark.sql(s"DROP TABLE IF EXISTS `$table$suffix`")
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), s"$table$suffix")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    Seq("__meta", "__centroids", "__codebook").foreach(suffix =>
+      InvertedIndex.dropTableAndDir(spark, table + suffix))
 
   // ---- build ----
 
@@ -279,44 +274,68 @@ object AnnIndex {
       // escape value-coincident samples, then rewrite. A same-seeded
       // kmeans alone could NOT recover: identical seeds tie-break every
       // row into the lowest id and the other centroids never move.
-      val guard = balanceGuardRatio(spark)
-      if (guard > 0 && bucketBalanceRatio(spark, table) > guard) {
-        val reseed = b
-          .where(pmod(xxhash64(concat(col("id").cast("string"),
-            lit("#graft-balance-reseed"))), lit(step.toLong)) === 0)
-          .where(col("bv").isNotNull)
-          .select((if (!hashedIds) col("id").cast("long")
-            else xxhash64(col("id").cast("string"))).as("centroid_id"),
-            col("bv").as("cv"))
-        val seeds = Similarity.gatherCentroidFrame(reseed,
-          "writeIvfIndex.balanceGuard")
-        if (seeds.nonEmpty) {
-          val refined = Similarity.lloydRefine(b, "id", seeds, iters = 2)
-          import spark.implicits._
-          val cents2 = refined.toSeq
-            .map { case (cid, v) => (cid, v.toSeq) }.toDF("centroid_id", "cv")
-            .localCheckpoint(true)
-          try {
-            assignUnit(b, cents2)
-              .write.mode(SaveMode.Overwrite)
-              .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
-              .saveAsTable(table)
-            cents2.write.mode(SaveMode.Overwrite).format("parquet")
-              .saveAsTable(s"${table}__centroids")
-          } finally
-            org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents2)
-          val after = bucketBalanceRatio(spark, table)
-          System.err.println(s"writeIvfIndex: balance guard rewrote $table " +
-            s"(max bucket > ${guard}x the even split from the id-mod-$step " +
-            s"sample; after reseed+kmeans: ${math.round(after * 10) / 10.0}x)")
-          if (after > guard)
-            System.err.println(s"writeIvfIndex: $table is still " +
-              s"${math.round(after * 10) / 10.0}x after the guard rewrite — " +
-              "the corpus itself is heavily clustered; raise nprobe for " +
-              "recall or lower step for more, smaller buckets")
-        } else System.err.println("writeIvfIndex: balance guard found a " +
-          s"degenerate id-mod-$step sample but the reseed selected zero " +
-          "vectors — index kept; lower step")
+      // The DECISION phase (balance check, reseed gather, Lloyd rounds,
+      // checkpoint of the refined centroids) is read-only and BEST-EFFORT:
+      // the pre-guard build is already complete and consistent, so no
+      // exception here may abort the function before writeMeta below
+      // bricks it — an over-gather-cap reseed (a supported config whose
+      // indexes stay queryable via the join fallback) or anything
+      // unexpected warns and keeps the index. The REWRITE phase is the
+      // opposite: once the index overwrite begins, exceptions PROPAGATE —
+      // swallowing one after the index write but before the centroids
+      // write would let writeMeta stamp a mismatched index complete,
+      // exactly the silent state the crash contract forbids (unstamped,
+      // it fails loudly and a re-run converges).
+      val guardCents: Option[DataFrame] = try {
+        val guard = balanceGuardRatio(spark)
+        if (guard > 0 && bucketBalanceRatio(spark, table) > guard) {
+          val reseed = b
+            .where(pmod(xxhash64(concat(col("id").cast("string"),
+              lit("#graft-balance-reseed"))), lit(step.toLong)) === 0)
+            .where(col("bv").isNotNull)
+            .select((if (!hashedIds) col("id").cast("long")
+              else xxhash64(col("id").cast("string"))).as("centroid_id"),
+              col("bv").as("cv"))
+          val seeds = Similarity.gatherCentroidFrameOpt(reseed)
+            .getOrElse(Array.empty[(Long, Array[Double])])
+          if (seeds.isEmpty) {
+            System.err.println("writeIvfIndex: balance guard found a " +
+              s"degenerate id-mod-$step sample but the reseed selected " +
+              "zero or over-gather-cap vectors — index kept; adjust step")
+            None
+          } else {
+            val refined = Similarity.lloydRefine(b, "id", seeds, iters = 2)
+            import spark.implicits._
+            Some(refined.toSeq
+              .map { case (cid, v) => (cid, v.toSeq) }
+              .toDF("centroid_id", "cv").localCheckpoint(true))
+          }
+        } else None
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"writeIvfIndex: balance guard aborted " +
+            s"($e) — index kept as built")
+          None
+      }
+      guardCents.foreach { cents2 =>
+        try {
+          assignUnit(b, cents2)
+            .write.mode(SaveMode.Overwrite)
+            .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
+            .saveAsTable(table)
+          cents2.write.mode(SaveMode.Overwrite).format("parquet")
+            .saveAsTable(s"${table}__centroids")
+        } finally
+          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents2)
+        val after = bucketBalanceRatio(spark, table)
+        System.err.println(s"writeIvfIndex: balance guard rewrote $table " +
+          s"(max bucket over the guard ratio from the id-mod-$step " +
+          s"sample; after reseed+kmeans: ${math.round(after * 10) / 10.0}x)")
+        if (after > balanceGuardRatio(spark))
+          System.err.println(s"writeIvfIndex: $table is still " +
+            s"${math.round(after * 10) / 10.0}x after the guard rewrite — " +
+            "the corpus itself is heavily clustered; raise nprobe for " +
+            "recall or lower step for more, smaller buckets")
       }
       // the completion record, LAST (see the force-rebuild crash contract
       // in the scaladoc) — also past the guard's possible rewrite above
@@ -379,15 +398,22 @@ object AnnIndex {
       // rewrite means a full re-encode — the caller should rebuild with a
       // lower step or pre-refined centroids instead). Loud, not silent:
       // a degenerate sample makes probing read corpus-sized buckets.
-      val guard = balanceGuardRatio(spark)
-      if (guard > 0) {
-        val ratio = bucketBalanceRatio(spark, table)
-        if (ratio > guard)
-          System.err.println(s"writeIvfPqIndex: $table is grossly " +
-            s"imbalanced (max bucket ${math.round(ratio * 10) / 10.0}x the " +
-            s"even split — degenerate id-mod-$step centroid sample?); " +
-            "rebuild with a different step, or build the plain IVF index " +
-            "first (its balance guard reruns selection) and PQ-encode that")
+      // diagnostic only — it must never fail a build that completed
+      try {
+        val guard = balanceGuardRatio(spark)
+        if (guard > 0) {
+          val ratio = bucketBalanceRatio(spark, table)
+          if (ratio > guard)
+            System.err.println(s"writeIvfPqIndex: $table is grossly " +
+              s"imbalanced (max bucket ${math.round(ratio * 10) / 10.0}x " +
+              s"the even split — degenerate id-mod-$step centroid " +
+              "sample?); rebuild with a different step, or build the " +
+              "plain IVF index first (its balance guard reruns " +
+              "selection) and PQ-encode that")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"writeIvfPqIndex: balance check skipped ($e)")
       }
     } finally assigned.unpersist(blocking = false)
   }

@@ -742,6 +742,24 @@ object InvertedIndex {
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(nt)
   }
 
+  /** Drop a managed table AND its warehouse directory — the in-memory
+    * catalog can have forgotten a dir that would otherwise resurrect
+    * stale state after a JVM restart. The directory is the catalog's
+    * LOWERCASED form of the name (Spark lowercases managed-table
+    * identifiers; a verbatim mixed-case delete would miss the real dir
+    * and leave exactly the stale state this helper exists to remove).
+    * Shared by every force-rebuild path that retires side tables.
+    */
+  private[search] def dropTableAndDir(spark: SparkSession,
+                                      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase(java.util.Locale.ROOT))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   private def dropNorms(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `${table}__norms`")
     val (p, fs) = normsSidePath(spark, table)

@@ -63,13 +63,7 @@ object MinHashIndex {
     // never a new-band index silently queried under the OLD parameters,
     // which would sign every benchmark into keys that match nothing.
     // Re-running the same build converges.
-    if (force) {
-      spark.sql(s"DROP TABLE IF EXISTS `${table}__meta`")
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), s"${table}__meta")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    if (force) InvertedIndex.dropTableAndDir(spark, s"${table}__meta")
     MinHash.bandRows(sig, k, bands)
       .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .format("parquet").bucketBy(buckets, "band_key").sortBy("band_key")

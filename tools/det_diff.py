@@ -48,8 +48,14 @@ def main():
         if not os.path.isdir(b_path):
             bad.append((n, "missing in B"))
             continue
-        ca, ha, na = row_hash(con, os.path.join(a_dir, n, "*.parquet"))
-        cb, hb, nb = row_hash(con, os.path.join(b_dir, n, "*.parquet"))
+        # a half-written/empty query dir must report as a DIFF line, not
+        # abort the whole comparison with a traceback
+        try:
+            ca, ha, na = row_hash(con, os.path.join(a_dir, n, "*.parquet"))
+            cb, hb, nb = row_hash(con, os.path.join(b_dir, n, "*.parquet"))
+        except Exception as e:  # noqa: BLE001 - per-query isolation
+            bad.append((n, f"unreadable: {e}"))
+            continue
         if ca != cb:
             bad.append((n, f"schema {ca} != {cb}"))
         elif na != nb:
@@ -58,7 +64,7 @@ def main():
             bad.append((n, "hash mismatch"))
     extra = sorted(set(d for d in os.listdir(b_dir)
                        if os.path.isdir(os.path.join(b_dir, d)))
-                   - set(names))
+                   - set(names)) if os.path.isdir(b_dir) else []
     for n in extra:
         bad.append((n, "missing in A"))
     for n, why in bad:
