@@ -47,16 +47,28 @@ object Similarity {
     */
   private[graft] def unitProject(df: DataFrame, idCol: String, idName: String,
                                  vecCol: String, outName: String): DataFrame =
-    df.select(col(idCol).as(idName), asDouble(col(vecCol)).as("__v"))
+    unitProjectKeep(df, idCol, idName, vecCol, outName, Nil)
+
+  /** [[unitProject]] carrying extra PAYLOAD columns through the
+    * projection unchanged — the denormalization hook for persisted-index
+    * builds that store filterable metadata alongside the unit vector
+    * (the `dl`-in-postings posture): still one scan projection, no join.
+    */
+  private[graft] def unitProjectKeep(df: DataFrame, idCol: String,
+                                     idName: String, vecCol: String,
+                                     outName: String,
+                                     keep: Seq[String]): DataFrame =
+    df.select(col(idCol).as(idName) +: asDouble(col(vecCol)).as("__v") +:
+        keep.map(col): _*)
       .withColumn("__n", norm(col("__v")))
-      .select(col(idName),
+      .select(col(idName) +:
         // finite-positive gate: NaN norms (NaN element) AND Inf norms
         // (overflow element — Inf/Inf division would make a NaN unit
         // that sails through the isnan(norm) check) both fold to NULL
         when(!isnan(col("__n")) && col("__n") > 0 &&
             col("__n") < lit(Double.PositiveInfinity),
           transform(col("__v"), x => x / col("__n")))
-          .as(outName))
+          .as(outName) +: keep.map(col): _*)
 
   /** Exact top-k cosine neighbors for every query row.
     * `queries` must be small enough to broadcast (it is hinted).
@@ -649,10 +661,11 @@ object Similarity {
     * a NULL bucket.
     */
   private def assignWithCentroids(b: DataFrame, idCol: String,
-                                  cents: Array[(Long, Array[Double])]): DataFrame =
+                                  cents: Array[(Long, Array[Double])],
+                                  keep: Seq[String] = Nil): DataFrame =
     b.withColumn("__best", autoBestColumn(b.sparkSession, cents))
-      .select(col(idCol), col("bv"),
-        col("__best").getField("bucket").as("bucket"))
+      .select(col(idCol) +: col("bv") +:
+        col("__best").getField("bucket").as("bucket") +: keep.map(col): _*)
 
   /** Gather an index-sized `(centroid_id, cv)` FRAME (cap-guarded, one
     * limit-capped collect) and assign `b`'s unit vectors via the gated
@@ -665,11 +678,14 @@ object Similarity {
     */
   private[graft] def assignWithCentroidFrame(b: DataFrame, idCol: String,
                                              centroids: DataFrame,
-                                             op: String): DataFrame = {
+                                             op: String,
+                                             keep: Seq[String] = Nil)
+      : DataFrame = {
     val cents = gatherCentroidFrame(centroids, op)
     if (cents.isEmpty)
-      b.select(col(idCol), col("bv"), lit(null).cast("long").as("bucket"))
-    else assignWithCentroids(b, idCol, cents)
+      b.select(col(idCol) +: col("bv") +:
+        lit(null).cast("long").as("bucket") +: keep.map(col): _*)
+    else assignWithCentroids(b, idCol, cents, keep)
   }
 
   /** Centroid tables above this row count (session dial

@@ -52,6 +52,24 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // filtered ANN off the persisted index: the `label` metadata column
+    // is DENORMALIZED into the index rows at build (keep — the
+    // dl-in-postings posture) and the predicate runs at the pruned scan,
+    // so parquet pushdown composes with bucket pruning; exact filtered
+    // top-k within the probed buckets, same oracle replay + the filter
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivf_fidx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true,
+        keep = Seq("label"))
+      graft.search.AnnIndex.ivfKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3, filter = Some(col("label") < 5))
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-space drift between snapshot halves: cosine of raw mean
     // vectors + per-side mean norms — the representation-side j13
     "d_embedding_drift" -> ((s, dir) => {
@@ -258,6 +276,42 @@ object AnnQueries extends QueryPack {
         |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // the SAME replay with the metadata predicate applied to the CANDIDATE
+  // side (exact filtered-kNN within the probed buckets: probes rank over
+  // ALL centroids — filtering restricts neighbors, not probe selection)
+  private val ivfFilteredSql: String =
+      """WITH unit AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.label, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, label, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, label, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+        |scored AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+        | WHERE a.label < 5),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, c,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   // the IVF-PQ bucket/probe/ADC replay — shared by ann_ivfpq_topk, the
   // persisted ann_ivfpq_indexed, and (as the shortlist stage) the exact
   // re-rank ann_ivfpq_rerank
@@ -396,6 +450,8 @@ object AnnQueries extends QueryPack {
     // the SAME replay checks the PERSISTED index path: build + probe must
     // agree with the per-call assignment plan exactly
     "ann_ivf_indexed" -> ivfSql,
+
+    "ann_ivf_filtered" -> ivfFilteredSql,
 
     // shared with d_semantic_dedup_gate: the gate-engaged run is
     // bit-identical by construction, so one oracle serves both

@@ -38,9 +38,11 @@ object AnnIndex {
     * (this was the last join + groupBy(id) re-aggregation shape left;
     * it shuffled every unit vector corpus-wide on each index build).
     */
-  private def assignUnit(b: DataFrame, cents: DataFrame): DataFrame =
-    Similarity.assignWithCentroidFrame(b, "id", cents, "AnnIndex.assignUnit")
-      .select(col("id"), col("bucket"), col("bv"))
+  private def assignUnit(b: DataFrame, cents: DataFrame,
+                         keep: Seq[String] = Nil): DataFrame =
+    Similarity.assignWithCentroidFrame(b, "id", cents, "AnnIndex.assignUnit",
+        keep)
+      .select(col("id") +: col("bucket") +: col("bv") +: keep.map(col): _*)
 
   /** Rank each query against the centroid side table and keep its
     * `nprobe` best buckets — (query_id, qv, bucket), eagerly
@@ -211,12 +213,23 @@ object AnnIndex {
     * ([[compactIvfIndex]]/[[upsertIvfIndex]]) has no such window — it
     * swaps rename-aside and never touches the centroid side.
     */
+  /** `keep`: extra columns of `base` persisted verbatim alongside each
+    * (id, bucket, bv) row — filterable metadata for [[ivfKnnIndexed]]'s
+    * `filter` (language, source, license, …). Denormalized into the index
+    * like `dl` in postings: the filter then runs at the PRUNED SCAN
+    * (parquet pushdown composing with bucket pruning), no metadata join
+    * at query time and no corpus join at build time (the columns ride
+    * the one assignment scan projection).
+    */
   def writeIvfIndex(base: DataFrame, idCol: String, vecCol: String,
                     step: Int, table: String, buckets: Int,
                     force: Boolean = false,
-                    hashedIds: Boolean = false): Unit = {
+                    hashedIds: Boolean = false,
+                    keep: Seq[String] = Nil): Unit = {
     val spark = base.sparkSession
-    val b = Similarity.unitProject(base, idCol, "id", vecCol, "bv")
+    require(!keep.exists(Set("id", "bucket", "bv")),
+      s"keep columns collide with the index schema (id, bucket, bv): $keep")
+    val b = Similarity.unitProjectKeep(base, idCol, "id", vecCol, "bv", keep)
     // checkpoint: the selection scan runs once for the assignment
     // broadcast AND the side-table write (index-sized by construction)
     val cents = (
@@ -251,7 +264,7 @@ object AnnIndex {
       // table that this build would otherwise leave to be re-registered
       // against bv-carrying rows.
       if (force) dropSideTables(spark, table)
-      assignUnit(b, cents)
+      assignUnit(b, cents, keep)
         .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
         .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
         .saveAsTable(table)
@@ -319,7 +332,7 @@ object AnnIndex {
       }
       guardCents.foreach { cents2 =>
         try {
-          assignUnit(b, cents2)
+          assignUnit(b, cents2, keep)
             .write.mode(SaveMode.Overwrite)
             .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
             .saveAsTable(table)
@@ -464,10 +477,15 @@ object AnnIndex {
     * via [[writeIvfIndex]]) on the cadence you'd re-train any IVF index.
     */
   def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
+                idCol: String, vecCol: String,
+                keep: Seq[String] = Nil): DataFrame = {
     requireQueryDim(spark, table, vectors, vecCol)
-    assignUnit(Similarity.unitProject(vectors, idCol, "id", vecCol, "bv"),
-      spark.table(s"${table}__centroids"))
+    // a keep-bearing index's appends must carry the SAME keep columns —
+    // compaction's unionByName fails loudly on a mismatch rather than
+    // silently nulling metadata
+    assignUnit(
+      Similarity.unitProjectKeep(vectors, idCol, "id", vecCol, "bv", keep),
+      spark.table(s"${table}__centroids"), keep)
   }
 
   /** Fold accumulated appends back into the bucketed layout through the
@@ -600,11 +618,23 @@ object AnnIndex {
       joined.where(col("query_id") =!= col("id"))
     else joined
 
+  /** `filter`: metadata predicate over columns persisted via
+    * [[writeIvfIndex]]'s `keep` (e.g. `col("label") < 5`) — top-k among
+    * the index rows SATISFYING it (exact filtered-kNN semantics within
+    * the probed buckets; queries with fewer passing candidates return
+    * fewer rows, like any exhausted bucket). It applies at the pruned
+    * scan, so parquet filter pushdown composes with bucket pruning —
+    * no metadata join, the 100-TB read stays (nprobe/buckets) × the
+    * filter's selectivity. Referencing a column the build didn't `keep`
+    * fails loudly at analysis.
+    */
   def ivfKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    nprobe: Int = 3): DataFrame = {
+                    nprobe: Int = 3,
+                    filter: Option[Column] = None): DataFrame = {
     val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
-    val idx = prunedIndex(spark, table, probes)
+    val idx0 = prunedIndex(spark, table, probes)
+    val idx = filter.map(idx0.where).getOrElse(idx0)
     topK(excludeSelf(broadcast(probes).join(idx, Seq("bucket")), probes, idx)
       .select(col("query_id"), col("id"),
         Similarity.dot(col("qv"), col("bv")).as("cos")), k)

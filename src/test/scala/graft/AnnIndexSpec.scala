@@ -247,6 +247,58 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__centroids", s"${table}__meta")
   }
 
+  test("filtered ANN: keep columns persist, filter is exact and runs at the pruned scan") {
+    val table = "annidx_filt"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    try {
+      AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+        table = table, buckets = 4, force = true, keep = Seq("label"))
+      assert(spark.table(table).columns.toSet
+        === Set("id", "bucket", "bv", "label"))
+      val q = emb.where(col("vec_id") === 0)
+      val got = AnnIndex.ivfKnnIndexed(spark, table, q, "vec_id",
+        "embedding", k = 5, nprobe = 3, filter = Some(col("label") < 5))
+      val rows = got.collect()
+      assert(rows.nonEmpty && rows.length <= 5)
+      val labelOf = emb.select(col("vec_id"), col("label")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      rows.foreach(r => assert(labelOf(r.getLong(1)) < 5,
+        s"neighbor ${r.getLong(1)} fails the filter"))
+      // EXACT semantics: the filtered top-k is the unfiltered candidate
+      // ranking with non-matching rows removed, re-ranked — not a
+      // post-filter of the unfiltered top-k (which could under-fill)
+      val all = AnnIndex.ivfKnnIndexed(spark, table, q, "vec_id",
+        "embedding", k = 100000, nprobe = 3).collect()
+      val expect = all.sortBy(_.getLong(3))
+        .filter(r => labelOf(r.getLong(1)) < 5).take(5)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq === expect)
+      // ...and the filtered ranks are re-numbered 1..n, not gapped
+      assert(rows.map(_.getLong(3)).sorted.toSeq
+        === (1L to rows.length).toSeq)
+      // scale shape: the predicate reaches the parquet scan (pushdown)
+      // AND bucket pruning still fires — composition is the point
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan.take(3000))
+      assert(plan.contains("LessThan(label,5)"),
+        "filter not pushed to the scan: " + plan.take(3000))
+      // appends for a keep-bearing index carry the same schema, so
+      // compaction's unionByName stays type-safe
+      assert(AnnIndex.assignNew(spark, table, emb.limit(3), "vec_id",
+        "embedding", keep = Seq("label")).columns.toSet
+        === Set("id", "bucket", "bv", "label"))
+      // keep colliding with the index schema fails loudly
+      val e = intercept[IllegalArgumentException] {
+        AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+          table = table + "_x", buckets = 4, keep = Seq("bucket"))
+      }
+      assert(e.getMessage.contains("collide"))
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
+  }
+
   test("force IVF rebuild over a PQ table drops the stale codebook") {
     // same staleness class as the r15 norms advice: a plain rebuild
     // writes no codebook, so a surviving one from the table's PQ past
