@@ -241,76 +241,54 @@ object AnnQueries extends QueryPack {
     .map(t => s"SELECT vec_id, v, $t AS tbl, ${lshBucketSql(t)} AS bucket FROM unit")
     .mkString(" UNION ALL ")
 
-  // the IVF index+probe+score replay — shared by ann_ivf_topk (per-call
-  // assignment) and ann_ivf_indexed (persisted bucketed table): both
-  // plans must reproduce it exactly
-  private val ivfSql: String =
-      """WITH unit AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
-        |asg0 AS (
-        | SELECT u.vec_id, u.v, c.centroid_id,
-        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
-        | FROM unit u CROSS JOIN cent c),
-        |asg AS (
-        | SELECT vec_id, v, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0) WHERE rn = 1),
-        |probes AS (
-        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
-        |scored AS (
-        | SELECT p.query_id, a.vec_id AS neighbor_id,
-        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
-        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
-        |ranked AS (
-        | SELECT query_id, neighbor_id, c,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-        | FROM scored)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
-        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  // the IVF index+probe+score replay — ONE template serving ann_ivf_topk
+  // (per-call assignment), ann_ivf_indexed (persisted bucketed table),
+  // and ann_ivf_filtered (candidate-side metadata predicate): the shared
+  // arithmetic (normalization, tie-breaks, probe count, rounding) exists
+  // in exactly one copy so the variants can never silently diverge.
+  // `extra` columns thread from the base table through unit/asg0/asg to
+  // the candidate side; `candWhere` restricts CANDIDATES only (probes
+  // rank over ALL centroids — filtering restricts neighbors, not probe
+  // selection, matching ivfKnnIndexed's pruned-scan filter placement).
+  private def ivfReplaySql(extra: Seq[String], candWhere: String): String = {
+    val uc = extra.map(c => s", $c").mkString
+    val uc0 = extra.map(c => s", u.$c").mkString
+    s"""WITH unit AS (
+       | SELECT vec_id$uc,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+       | FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+       |asg0 AS (
+       | SELECT u.vec_id$uc0, u.v, c.centroid_id,
+       |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+       | FROM unit u CROSS JOIN cent c),
+       |asg AS (
+       | SELECT vec_id$uc, v, centroid_id AS bucket FROM (
+       |  SELECT vec_id$uc, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+       |  SELECT vec_id, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+       |scored AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+       | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id$candWhere),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+       | FROM scored)
+       |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
-  // the SAME replay with the metadata predicate applied to the CANDIDATE
-  // side (exact filtered-kNN within the probed buckets: probes rank over
-  // ALL centroids — filtering restricts neighbors, not probe selection)
+  private val ivfSql: String = ivfReplaySql(Nil, "")
+
   private val ivfFilteredSql: String =
-      """WITH unit AS (
-        | SELECT vec_id, label,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
-        |asg0 AS (
-        | SELECT u.vec_id, u.label, u.v, c.centroid_id,
-        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
-        | FROM unit u CROSS JOIN cent c),
-        |asg AS (
-        | SELECT vec_id, label, v, centroid_id AS bucket FROM (
-        |  SELECT vec_id, label, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0) WHERE rn = 1),
-        |probes AS (
-        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
-        |scored AS (
-        | SELECT p.query_id, a.vec_id AS neighbor_id,
-        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
-        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
-        | WHERE a.label < 5),
-        |ranked AS (
-        | SELECT query_id, neighbor_id, c,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-        | FROM scored)
-        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
-        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    ivfReplaySql(Seq("label"), " WHERE a.label < 5")
 
   // the IVF-PQ bucket/probe/ADC replay — shared by ann_ivfpq_topk, the
   // persisted ann_ivfpq_indexed, and (as the shortlist stage) the exact

@@ -227,8 +227,16 @@ object AnnIndex {
                     hashedIds: Boolean = false,
                     keep: Seq[String] = Nil): Unit = {
     val spark = base.sparkSession
-    require(!keep.exists(Set("id", "bucket", "bv")),
-      s"keep columns collide with the index schema (id, bucket, bv): $keep")
+    // reserved names: the index schema itself, the query-side aliases the
+    // join would make ambiguous (query_id/qv — an ambiguity that would
+    // surface only AFTER the expensive build), the output columns, and
+    // unitProjectKeep's internals (a keep named __n would be silently
+    // REPLACED by the vector norm — metadata corruption, not an error)
+    val reserved = Set("id", "bucket", "bv", "query_id", "qv", "cos",
+      "rank", "neighbor_id", "csim", "rn", "__v", "__n", "__best", "__pb")
+    require(!keep.exists(reserved),
+      s"keep columns collide with reserved index/query names " +
+        s"(${reserved.toSeq.sorted.mkString(", ")}): $keep")
     val b = Similarity.unitProjectKeep(base, idCol, "id", vecCol, "bv", keep)
     // checkpoint: the selection scan runs once for the assignment
     // broadcast AND the side-table write (index-sized by construction)
@@ -476,13 +484,23 @@ object AnnIndex {
     * Frozen centroids drift as the distribution moves — refit (rebuild
     * via [[writeIvfIndex]]) on the cadence you'd re-train any IVF index.
     */
+  /** The index's keep columns, derived from the PERSISTED schema — never
+    * caller-threaded state: a maintenance caller re-passing a subset,
+    * superset, or reorder of the build's keep list would only surface at
+    * compaction's unionByName, so the one source of truth is the table.
+    */
+  private[graft] def keepOf(spark: SparkSession, table: String): Seq[String] =
+    spark.table(table).columns.toSeq
+      .filterNot(Set("id", "bucket", "bv"))
+
   def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
-                idCol: String, vecCol: String,
-                keep: Seq[String] = Nil): DataFrame = {
+                idCol: String, vecCol: String): DataFrame = {
     requireQueryDim(spark, table, vectors, vecCol)
-    // a keep-bearing index's appends must carry the SAME keep columns —
-    // compaction's unionByName fails loudly on a mismatch rather than
-    // silently nulling metadata
+    // keep columns come from the index's own schema, so appends ALWAYS
+    // match the live table — keep-bearing indexes upsert/compact like
+    // bare ones, and the incoming frame must simply carry the columns
+    // (missing ones fail loudly at the projection, naming the column)
+    val keep = keepOf(spark, table)
     assignUnit(
       Similarity.unitProjectKeep(vectors, idCol, "id", vecCol, "bv", keep),
       spark.table(s"${table}__centroids"), keep)

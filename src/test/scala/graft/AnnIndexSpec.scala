@@ -284,17 +284,29 @@ class AnnIndexSpec extends SparkTestBase {
       assert(plan.contains("SelectedBucketsCount"), plan.take(3000))
       assert(plan.contains("LessThan(label,5)"),
         "filter not pushed to the scan: " + plan.take(3000))
-      // appends for a keep-bearing index carry the same schema, so
-      // compaction's unionByName stays type-safe
+      // maintenance derives keep from the PERSISTED schema (never
+      // caller-threaded): appends match the live table automatically…
       assert(AnnIndex.assignNew(spark, table, emb.limit(3), "vec_id",
-        "embedding", keep = Seq("label")).columns.toSet
+        "embedding").columns.toSet
         === Set("id", "bucket", "bv", "label"))
-      // keep colliding with the index schema fails loudly
-      val e = intercept[IllegalArgumentException] {
-        AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
-          table = table + "_x", buckets = 4, keep = Seq("bucket"))
+      // …so keep-bearing indexes upsert like bare ones, metadata intact
+      AnnIndex.upsertIvfIndex(spark, table,
+        emb.where(col("vec_id") === 4).withColumn("label", lit(99)),
+        "vec_id", "embedding")
+      assert(spark.table(table).where(col("id") === 4)
+        .head().getAs[Int]("label") === 99)
+      assert(spark.table(table).columns.toSet
+        === Set("id", "bucket", "bv", "label"))
+      // keep colliding with reserved index/query/internal names fails
+      // loudly at build time (query_id would only surface post-build as
+      // an ambiguous reference; __n would be silently overwritten)
+      Seq("bucket", "query_id", "__n").foreach { bad =>
+        val e = intercept[IllegalArgumentException] {
+          AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+            table = table + "_x", buckets = 4, keep = Seq(bad))
+        }
+        assert(e.getMessage.contains("collide"), bad)
       }
-      assert(e.getMessage.contains("collide"))
     } finally graft.queries.Tables.reset(spark, table,
       s"${table}__centroids", s"${table}__meta")
   }
