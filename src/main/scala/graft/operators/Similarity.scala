@@ -422,12 +422,17 @@ object Similarity {
     * available); every vector is assigned to its nearest centroid.
     * Vectors carry their unit form so probing never recomputes norms.
     */
+  /** `keep`: extra `base` columns carried through the assignment
+    * projection verbatim (the persisted-index metadata hook — see
+    * [[graft.search.AnnIndex.writeIvfIndex]]); still one scan, no join.
+    */
   def ivfAssign(base: DataFrame, idCol: String, vecCol: String, step: Int,
-                offset: Int = 0, hashedIds: Boolean = false): DataFrame = {
+                offset: Int = 0, hashedIds: Boolean = false,
+                keep: Seq[String] = Nil): DataFrame = {
     // step = 0 would make `id % step` NULL in non-ANSI Spark — an empty
     // centroid set and a silent no-op for every downstream consumer
     require(step > 0, s"ivf step must be positive, got $step")
-    val b = unitProject(base, idCol, idCol, vecCol, "bv")
+    val b = unitProjectKeep(base, idCol, idCol, vecCol, "bv", keep)
     // hashedIds: non-numeric ids (CLI corpora, UUID keys) — an id-modulo
     // sample would cast-null every row and silently select ZERO
     // centroids. Select ~1/step by id hash and use the hash AS the (long)
@@ -443,8 +448,8 @@ object Similarity {
     val (cents, bucketType) =
       gatherFineCentroids(base, b, sample, idCol, step, hashedIds, "ivfAssign")
     if (cents.isEmpty)
-      return b.select(col(idCol), col("bv"),
-        lit(null).cast(bucketType).as("bucket"))
+      return b.select(col(idCol) +: col("bv") +:
+        lit(null).cast(bucketType).as("bucket") +: keep.map(col): _*)
     // assignment as ONE codegen'd projection probing the broadcast
     // centroid table — no |base|×|centroids| join expansion and, decisive
     // at scale, no corpus-wide re-grouping shuffle carrying the unit
@@ -452,8 +457,9 @@ object Similarity {
     // Zero/NaN/null-element vectors (NULL unit) get a NULL bucket — no
     // direction, no nearest centroid — and every consumer's inner bucket
     // join or explicit isNotNull filter drops them.
-    assignWithCentroids(b, idCol, cents)
-      .select(col(idCol), col("bv"), col("bucket").cast(bucketType).as("bucket"))
+    assignWithCentroids(b, idCol, cents, keep)
+      .select(col(idCol) +: col("bv") +:
+        col("bucket").cast(bucketType).as("bucket") +: keep.map(col): _*)
   }
 
   /** Integral-type guard for every id/centroid-id column the probe

@@ -155,6 +155,22 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // the PQ sibling of ann_ivf_filtered: keep-bearing codes table, the
+    // predicate at the pruned scan — filtered top-k among probed codes
+    "ann_ivfpq_filtered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivfpq_fidx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook",
+        s"${table}__meta")
+      graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
+        step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
+        force = true, keep = Seq("label"))
+      graft.search.AnnIndex.ivfPqKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3, filter = Some(col("label") < 5))
+        .orderBy("query_id", "rank")
+    }),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -290,62 +306,72 @@ object AnnQueries extends QueryPack {
   private val ivfFilteredSql: String =
     ivfReplaySql(Seq("label"), " WHERE a.label < 5")
 
-  // the IVF-PQ bucket/probe/ADC replay — shared by ann_ivfpq_topk, the
-  // persisted ann_ivfpq_indexed, and (as the shortlist stage) the exact
-  // re-rank ann_ivfpq_rerank
-  private val ivfPqCtes: String =
-      """WITH unit AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
-        |asg0 AS (
-        | SELECT u.vec_id, u.v, c.centroid_id,
-        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
-        | FROM unit u CROSS JOIN cent c),
-        |asg AS (
-        | SELECT vec_id, v, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0) WHERE rn = 1),
-        |probes AS (
-        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
-        |  SELECT vec_id, v, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
-        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-        | FROM unit WHERE vec_id % 50 = 0),
-        |codes0 AS (
-        | SELECT u.vec_id, j.j, c.cid,
-        |  list_aggregate(list_transform(generate_series(1, 8), i ->
-        |   (u.v[j.j*8+i] - c.v[j.j*8+i]) * (u.v[j.j*8+i] - c.v[j.j*8+i])), 'sum') AS d
-        | FROM unit u CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cb c),
-        |codes AS (SELECT vec_id, j, cid FROM (
-        |  SELECT vec_id, j, cid,
-        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid) AS rn
-        |  FROM codes0) WHERE rn = 1),
-        |recon AS (SELECT codes.vec_id,
-        |  flatten(list(list_slice(cb.v, j*8+1, j*8+8) ORDER BY j)) AS dv
-        | FROM codes JOIN cb USING (cid) GROUP BY codes.vec_id),
-        |scored AS (
-        | SELECT p.query_id, a.vec_id AS neighbor_id,
-        |  list_aggregate(list_transform(generate_series(1, 64), i -> p.qv[i] * r.dv[i]), 'sum') AS c
-        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
-        | JOIN recon r ON r.vec_id = a.vec_id),
-        |ranked AS (SELECT query_id, neighbor_id, c,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-        | FROM scored)""".stripMargin
+  // the IVF-PQ bucket/probe/ADC replay — ONE template shared by
+  // ann_ivfpq_topk, the persisted ann_ivfpq_indexed, the exact re-rank
+  // ann_ivfpq_rerank (as its shortlist stage), and ann_ivfpq_filtered
+  // (candidate-side predicate, same placement as the plain-IVF variant)
+  private def ivfPqCtes(extra: Seq[String] = Nil,
+                        candWhere: String = ""): String = {
+    val uc = extra.map(c => s", $c").mkString
+    val uc0 = extra.map(c => s", u.$c").mkString
+    s"""WITH unit AS (
+       | SELECT vec_id$uc,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+       | FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+       |asg0 AS (
+       | SELECT u.vec_id$uc0, u.v, c.centroid_id,
+       |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+       | FROM unit u CROSS JOIN cent c),
+       |asg AS (
+       | SELECT vec_id$uc, v, centroid_id AS bucket FROM (
+       |  SELECT vec_id$uc, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+       |  SELECT vec_id, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+       | FROM unit WHERE vec_id % 50 = 0),
+       |codes0 AS (
+       | SELECT u.vec_id, j.j, c.cid,
+       |  list_aggregate(list_transform(generate_series(1, 8), i ->
+       |   (u.v[j.j*8+i] - c.v[j.j*8+i]) * (u.v[j.j*8+i] - c.v[j.j*8+i])), 'sum') AS d
+       | FROM unit u CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cb c),
+       |codes AS (SELECT vec_id, j, cid FROM (
+       |  SELECT vec_id, j, cid,
+       |   row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid) AS rn
+       |  FROM codes0) WHERE rn = 1),
+       |recon AS (SELECT codes.vec_id,
+       |  flatten(list(list_slice(cb.v, j*8+1, j*8+8) ORDER BY j)) AS dv
+       | FROM codes JOIN cb USING (cid) GROUP BY codes.vec_id),
+       |scored AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  list_aggregate(list_transform(generate_series(1, 64), i -> p.qv[i] * r.dv[i]), 'sum') AS c
+       | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+       | JOIN recon r ON r.vec_id = a.vec_id$candWhere),
+       |ranked AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+       | FROM scored)""".stripMargin
+  }
 
   private val ivfPqSql: String =
-    s"""$ivfPqCtes
+    s"""${ivfPqCtes()}
+       |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val ivfPqFilteredSql: String =
+    s"""${ivfPqCtes(Seq("label"), " WHERE a.label < 5")}
        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ADC shortlist (top-20 per query, same tie-breaks) re-scored against the
   // EXACT unit vectors, then re-ranked — the FAISS refine-step replay
   private val ivfPqRerankSql: String =
-    s"""$ivfPqCtes,
+    s"""${ivfPqCtes()},
        |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 20),
        |ex AS (SELECT s.query_id, s.neighbor_id,
        |  list_aggregate(list_transform(generate_series(1, 64), i -> q.v[i] * b.v[i]), 'sum') AS c
@@ -479,6 +505,8 @@ object AnnQueries extends QueryPack {
 
     // the persisted IVF-PQ tables must reproduce the per-call plan exactly
     "ann_ivfpq_indexed" -> ivfPqSql,
+
+    "ann_ivfpq_filtered" -> ivfPqFilteredSql,
 
     "ann_lsh_topk" ->
       s"""WITH unit AS (

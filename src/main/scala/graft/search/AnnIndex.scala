@@ -227,16 +227,7 @@ object AnnIndex {
                     hashedIds: Boolean = false,
                     keep: Seq[String] = Nil): Unit = {
     val spark = base.sparkSession
-    // reserved names: the index schema itself, the query-side aliases the
-    // join would make ambiguous (query_id/qv — an ambiguity that would
-    // surface only AFTER the expensive build), the output columns, and
-    // unitProjectKeep's internals (a keep named __n would be silently
-    // REPLACED by the vector norm — metadata corruption, not an error)
-    val reserved = Set("id", "bucket", "bv", "query_id", "qv", "cos",
-      "rank", "neighbor_id", "csim", "rn", "__v", "__n", "__best", "__pb")
-    require(!keep.exists(reserved),
-      s"keep columns collide with reserved index/query names " +
-        s"(${reserved.toSeq.sorted.mkString(", ")}): $keep")
+    requireKeepNames(keep)
     val b = Similarity.unitProjectKeep(base, idCol, "id", vecCol, "bv", keep)
     // checkpoint: the selection scan runs once for the assignment
     // broadcast AND the side-table write (index-sized by construction)
@@ -376,12 +367,19 @@ object AnnIndex {
     * codebook sample is id-mod-`codeStep`); an empty centroid or codebook
     * sample fails fast inside the assignment/codebook derivation.
     */
+  /** `keep` as in [[writeIvfIndex]]: metadata columns persisted verbatim
+    * alongside the (id, bucket, codes) rows for [[ivfPqKnnIndexed]]'s
+    * `filter` — they ride the assignment/encode scan, no build join.
+    */
   def writeIvfPqIndex(base: DataFrame, idCol: String, vecCol: String,
                       step: Int, m: Int, table: String, buckets: Int,
-                      codeStep: Int = 50, force: Boolean = false): Unit = {
+                      codeStep: Int = 50, force: Boolean = false,
+                      keep: Seq[String] = Nil): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
-    val assigned = Similarity.ivfAssign(base, idCol, vecCol, step).cache()
+    requireKeepNames(keep)
+    val assigned = Similarity.ivfAssign(base, idCol, vecCol, step,
+      keep = keep).cache()
     try {
       val codebook = Similarity.codebookFromUnit(
         assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
@@ -397,8 +395,9 @@ object AnnIndex {
         // LONG bucket: prunedIndex probes with long literals, and an
         // int-typed column would be wrapped in a Cast that silently
         // defeats file-bucket pruning (int-id corpora assign int buckets)
-        .select(col(idCol).as("id"), col("bucket").cast("long").as("bucket"),
-          col("codes"))
+        .select(col(idCol).as("id") +:
+          col("bucket").cast("long").as("bucket") +:
+          col("codes") +: keep.map(col): _*)
         .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
         .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
         .saveAsTable(table)
@@ -484,6 +483,23 @@ object AnnIndex {
     * Frozen centroids drift as the distribution moves — refit (rebuild
     * via [[writeIvfIndex]]) on the cadence you'd re-train any IVF index.
     */
+  /** Reserved names a `keep` column may not use: the index schemas
+    * themselves (plain and PQ), the query-side aliases the probe join
+    * would make ambiguous (query_id/qv — an ambiguity that would surface
+    * only AFTER the expensive build), the output columns, and the
+    * projection internals (a keep named `__n` would be silently REPLACED
+    * by the vector norm — metadata corruption, not an error; `__enc`/
+    * `decoded` likewise on the PQ encode path).
+    */
+  private def requireKeepNames(keep: Seq[String]): Unit = {
+    val reserved = Set("id", "bucket", "bv", "codes", "decoded", "query_id",
+      "qv", "cos", "rank", "neighbor_id", "csim", "rn", "__v", "__n",
+      "__best", "__pb", "__enc")
+    require(!keep.exists(reserved),
+      s"keep columns collide with reserved index/query names " +
+        s"(${reserved.toSeq.sorted.mkString(", ")}): $keep")
+  }
+
   /** The index's keep columns, derived from the PERSISTED schema — never
     * caller-threaded state: a maintenance caller re-passing a subset,
     * superset, or reorder of the build's keep list would only surface at
@@ -491,7 +507,7 @@ object AnnIndex {
     */
   private[graft] def keepOf(spark: SparkSession, table: String): Seq[String] =
     spark.table(table).columns.toSeq
-      .filterNot(Set("id", "bucket", "bv"))
+      .filterNot(Set("id", "bucket", "bv", "codes"))
 
   def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
@@ -665,9 +681,14 @@ object AnnIndex {
     * independent. Output matches [[Similarity.ivfPqKnn]] on the same
     * parameters.
     */
+  /** `filter` as in [[ivfKnnIndexed]]: a predicate over `keep` columns
+    * persisted at build, applied at the pruned scan (pushdown composes
+    * with bucket pruning) — exact filtered top-k among the probed codes.
+    */
   def ivfPqKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
-                      nprobe: Int = 3): DataFrame = {
+                      nprobe: Int = 3,
+                      filter: Option[Column] = None): DataFrame = {
     val cbRows = spark.table(s"${table}__codebook").collect()
     val mSub = cbRows.map(_.getInt(0)).max + 1
     val kCodes = cbRows.map(_.getInt(1)).max + 1
@@ -675,7 +696,8 @@ object AnnIndex {
     cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
     val cbLit = typedLit(cb.map(_.toSeq).toSeq)
     val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
-    val idx = prunedIndex(spark, table, probes)
+    val idx0 = prunedIndex(spark, table, probes)
+    val idx = filter.map(idx0.where).getOrElse(idx0)
     // decode = concat of each subspace's code centroid, in subspace order —
     // the same vector pqEncode's `decoded` column carries, so the dot
     // below is bit-identical to the per-call ADC arithmetic

@@ -300,13 +300,39 @@ class AnnIndexSpec extends SparkTestBase {
       // keep colliding with reserved index/query/internal names fails
       // loudly at build time (query_id would only surface post-build as
       // an ambiguous reference; __n would be silently overwritten)
-      Seq("bucket", "query_id", "__n").foreach { bad =>
+      Seq("bucket", "query_id", "__n", "codes").foreach { bad =>
         val e = intercept[IllegalArgumentException] {
           AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
             table = table + "_x", buckets = 4, keep = Seq(bad))
         }
         assert(e.getMessage.contains("collide"), bad)
       }
+      // the PQ sibling: keep-bearing codes table, filter at the pruned
+      // scan, every neighbor satisfies the predicate and equals the
+      // unfiltered ADC ranking with non-matching rows removed
+      val pq = "annidx_filt_pq"
+      graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+      try {
+        AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding", step = 50,
+          m = 8, table = pq, buckets = 4, force = true,
+          keep = Seq("label"))
+        assert(spark.table(pq).columns.toSet
+          === Set("id", "bucket", "codes", "label"))
+        val gotPq = AnnIndex.ivfPqKnnIndexed(spark, pq, q, "vec_id",
+          "embedding", k = 5, nprobe = 3, filter = Some(col("label") < 5))
+        val pqRows = gotPq.collect()
+        assert(pqRows.nonEmpty)
+        pqRows.foreach(r => assert(labelOf(r.getLong(1)) < 5))
+        val allPq = AnnIndex.ivfPqKnnIndexed(spark, pq, q, "vec_id",
+          "embedding", k = 100000, nprobe = 3).collect()
+        val expectPq = allPq.sortBy(_.getLong(3))
+          .filter(r => labelOf(r.getLong(1)) < 5).take(5)
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        assert(pqRows.sortBy(_.getLong(3))
+          .map(r => (r.getLong(1), r.getDouble(2))).toSeq === expectPq)
+      } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
     } finally graft.queries.Tables.reset(spark, table,
       s"${table}__centroids", s"${table}__meta")
   }
