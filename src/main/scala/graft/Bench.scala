@@ -66,16 +66,47 @@ object Bench {
     * (the r15 driver run carried the t_* cleaning cluster at 0.52–0.87 s
     * where the same-HEAD builder run had 0.087–0.097 s), the next round's
     * prev-only gate sees "no elevation" whether the inflation persists or
-    * not. The trend file (`bench_trend.json`, same `{"queries":{…}}`
-    * shape as the artifact so one parser serves both) min-merges every
-    * run's scores, so the reference is the best the query has ever run
-    * and an entry stays classifiable until it actually returns to form.
+    * not. The trend file (`bench_trend.json`) carries a bounded per-query
+    * HISTORY (last [[TrendHistoryWindow]] run scores) whose min is
+    * written as the `{"queries":{…}}` reference — same shape as the
+    * artifact so one parser serves both. Bounded, not a permanent
+    * ratchet: one anomalously fast sample (a cold run that skipped work,
+    * an unusually idle host) would otherwise become the reference FOREVER
+    * and flag every normal run elevated — with the window it ages out
+    * after [[TrendHistoryWindow]] runs, while a reproducible speedup
+    * keeps re-entering the window and persists.
     */
-  def mergeTrend(old: Map[String, Double],
-                 run: Map[String, Double]): Map[String, Double] =
+  val TrendHistoryWindow = 8
+
+  /** Append this run's scores to the bounded per-query history (oldest
+    * entries fall out past the window); queries absent from the run keep
+    * their history unchanged (no aging without evidence).
+    */
+  def mergeHistory(old: Map[String, List[Double]],
+                   run: Map[String, Double]): Map[String, List[Double]] =
     (old.keySet ++ run.keySet).map { k =>
-      k -> (old.get(k).toList ++ run.get(k).toList).min
+      k -> (old.getOrElse(k, Nil) ++ run.get(k).toList)
+        .takeRight(TrendHistoryWindow)
     }.toMap
+
+  /** The `"history":{"q":[…],…}` object of a trend file — absent (a
+    * pre-history trend or a hand-seeded file) degrades to empty, and the
+    * caller seeds each query's window from the legacy `queries` min so
+    * an accumulated best-known value keeps gating until it ages out.
+    */
+  def parseHistory(json: String): Map[String, List[Double]] = {
+    val opener = "\"history\"\\s*:\\s*\\{".r
+    val m0 = opener.findFirstMatchIn(json).getOrElse(return Map.empty)
+    val body = json.substring(m0.end)
+    val end = body.indexOf('}')
+    if (end < 0) return Map.empty
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findAllMatchIn(body.take(end))
+      .flatMap { m =>
+        scala.util.Try(m.group(1) -> m.group(2).split(",")
+          .filter(_.trim.nonEmpty).map(_.trim.toDouble).toList).toOption
+      }.filter(_._2.nonEmpty).toMap
+  }
 
   /** The round-over-round watch list, parsed from the PREVIOUS committed
     * artifact's `stall_class` object instead of hardcoded names (r15
@@ -300,11 +331,11 @@ object Bench {
     // sf's accumulated best-known history (point another sf's runs at
     // their own file via SPARK_GRAFT_TREND)
     var trendForeign = false
-    val trendIn: Map[String, Double] = try {
+    val trendRaw: String = try {
       val raw = readAll(trendPath)
-      if (parseSf(raw).exists(_ != sfDir)) { trendForeign = true; Map.empty }
-      else parsePrevQueries(raw)
-    } catch { case _: Throwable => Map.empty }
+      if (parseSf(raw).exists(_ != sfDir)) { trendForeign = true; "" } else raw
+    } catch { case _: Throwable => "" }
+    val trendIn: Map[String, Double] = parsePrevQueries(trendRaw)
     // the gate reference: best-known value — prev artifact AND trend file
     // (min): an entry committed while environment-inflated must not
     // become its own alibi next round (the r15→r16 t_* ratchet)
@@ -490,32 +521,61 @@ object Bench {
     // the driver's log capture keeps only a tail of stdout, which loses
     // most per-query times — persist the full line to a file as well
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+    // tmp + ATOMIC_MOVE for both persisted artifacts: a crash mid-write
+    // would otherwise leave a truncated file that parsePrevQueries
+    // silently degrades to empty — for the trend file that ERASES the
+    // accumulated best-known history the elevation gate depends on
+    // (the _shards writeStateFileAtomic discipline)
+    def writeAtomic(path: String, content: String): Unit = {
+      val target = java.nio.file.Paths.get(path)
+      val dir = Option(target.toAbsolutePath.getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+      val tmp = dir.resolve(target.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    try writeAtomic(outPath, line + "\n")
     catch {
       // stdout already carries the line; losing the file copy must not
       // fail the bench, but it must not be silent either
       case e: java.io.IOException =>
         System.err.println(s"bench: failed to persist $outPath: $e")
     }
-    // min-merge this run into the long-memory trend file (see mergeTrend)
-    // — same {"queries":{…}} shape as the artifact so parsePrevQueries
-    // serves both. All-samples-failed queries are EXCLUDED: their score
-    // is the max of fast-fail walls (often milliseconds — NOT visibly
-    // elevated), and min-merge would adopt such a wall as the best-known
-    // value, flagging every later healthy run elevated forever.
+    // fold this run into the long-memory trend file: bounded per-query
+    // history (last TrendHistoryWindow scores) + its min as the
+    // `{"queries":{…}}` reference, same shape as the artifact so
+    // parsePrevQueries serves both. A pre-history trend file seeds each
+    // window from its legacy queries min (the best-known value keeps
+    // gating until it ages out). All-samples-failed queries are
+    // EXCLUDED: their score is the max of fast-fail walls (often
+    // milliseconds — NOT visibly elevated), and adopting such a wall as
+    // a best-known value would flag every later healthy run elevated.
     if (trendForeign)
       System.err.println(s"bench: $trendPath belongs to another sf — " +
         "left untouched (set SPARK_GRAFT_TREND for this sf's history)")
     else {
-      val trendOut = mergeTrend(trendIn,
+      val histIn0 = parseHistory(trendRaw)
+      val histIn =
+        if (histIn0.nonEmpty) histIn0
+        else trendIn.map { case (k, v) => k -> List(v) }
+      val histOut = mergeHistory(histIn,
         resultMap.filter { case (k, _) => !allFailed(k) })
+      val trendOut = histOut.collect { case (k, vs) if vs.nonEmpty => k -> vs.min }
       val trendJson = "{\"sf\":\"" + sfDir + "\",\"queries\":" +
         trendOut.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}") + ",\"history\":" +
+        histOut.toSeq.sortBy(_._1)
+          .map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
           .mkString("{", ",", "}") + "}"
-      try java.nio.file.Files.write(java.nio.file.Paths.get(trendPath),
-        (trendJson + "\n").getBytes("UTF-8"))
+      try writeAtomic(trendPath, trendJson + "\n")
       catch {
         case e: java.io.IOException =>
           System.err.println(s"bench: failed to persist $trendPath: $e")

@@ -49,6 +49,24 @@ object Similarity {
                                  vecCol: String, outName: String): DataFrame =
     unitProjectKeep(df, idCol, idName, vecCol, outName, Nil)
 
+  /** Guard every `keep` path at ITS OWN entry point (not just the
+    * AnnIndex writers' coarser reserved set): a keep column whose name
+    * collides — case-INSENSITIVELY, Spark's default resolution — with the
+    * projection's own output or internal names would be silently REPLACED
+    * by the norm/bucket/unit projection (metadata corruption, not an
+    * error). Public callers of [[ivfAssign]]/[[unitProjectKeep]] hit this
+    * directly; the index writers hit it as defense in depth behind their
+    * own requireKeepNames.
+    */
+  private def requireKeepDisjoint(keep: Seq[String], reserved: Seq[String],
+                                  op: String): Unit = {
+    val res = reserved.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val bad = keep.filter(k => res(k.toLowerCase(java.util.Locale.ROOT)))
+    require(bad.isEmpty,
+      s"$op: keep columns collide with the projection's own names " +
+        s"(${reserved.distinct.sorted.mkString(", ")}): ${bad.mkString(", ")}")
+  }
+
   /** [[unitProject]] carrying extra PAYLOAD columns through the
     * projection unchanged — the denormalization hook for persisted-index
     * builds that store filterable metadata alongside the unit vector
@@ -57,7 +75,9 @@ object Similarity {
   private[graft] def unitProjectKeep(df: DataFrame, idCol: String,
                                      idName: String, vecCol: String,
                                      outName: String,
-                                     keep: Seq[String]): DataFrame =
+                                     keep: Seq[String]): DataFrame = {
+    requireKeepDisjoint(keep, Seq(idName, outName, "__v", "__n"),
+      "unitProjectKeep")
     df.select(col(idCol).as(idName) +: asDouble(col(vecCol)).as("__v") +:
         keep.map(col): _*)
       .withColumn("__n", norm(col("__v")))
@@ -69,6 +89,7 @@ object Similarity {
             col("__n") < lit(Double.PositiveInfinity),
           transform(col("__v"), x => x / col("__n")))
           .as(outName) +: keep.map(col): _*)
+  }
 
   /** Exact top-k cosine neighbors for every query row.
     * `queries` must be small enough to broadcast (it is hinted).
@@ -432,6 +453,9 @@ object Similarity {
     // step = 0 would make `id % step` NULL in non-ANSI Spark — an empty
     // centroid set and a silent no-op for every downstream consumer
     require(step > 0, s"ivf step must be positive, got $step")
+    // this path's own outputs on top of unitProjectKeep's internal guard:
+    // a keep named "bucket"/"bv" would be silently replaced downstream
+    requireKeepDisjoint(keep, Seq(idCol, "bv", "bucket"), "ivfAssign")
     val b = unitProjectKeep(base, idCol, idCol, vecCol, "bv", keep)
     // hashedIds: non-numeric ids (CLI corpora, UUID keys) — an id-modulo
     // sample would cast-null every row and silently select ZERO

@@ -171,6 +171,29 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // recall under a SELECTIVE filter (~1%: label=3 ∧ id%10=0): at
+    // nprobe=3 queries routinely find fewer than k passing candidates in
+    // their probed buckets, and the widenTo dial re-probes exactly those
+    // starved queries once — widenTo=64 exceeds every tested sf's
+    // centroid count, so the widened pass is exhaustive over the filtered
+    // corpus and the starved queries recover the true filtered top-k.
+    // Satisfied queries keep their nprobe=3 rows untouched (pinned by the
+    // oracle, which replays both regimes and the starved-set split).
+    "ann_ivf_filtered_rare" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivf_ridx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true,
+        keep = Seq("label"))
+      graft.search.AnnIndex.ivfKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 3, nprobe = 3,
+        filter = Some(col("label") === 3 && col("id") % 10 === 0),
+        widenTo = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -305,6 +328,61 @@ object AnnQueries extends QueryPack {
 
   private val ivfFilteredSql: String =
     ivfReplaySql(Seq("label"), " WHERE a.label < 5")
+
+  // the widenTo replay: per query, the nprobe=3 filtered candidates are
+  // counted — a query with fewer than k=3 is STARVED and ranks instead
+  // over ALL filter-passing rows (widenTo=64 ≥ every tested sf's centroid
+  // count, so the widened probe set covers the whole assignment);
+  // satisfied queries keep their nprobe=3 ranking. Same unit/cent/asg
+  // CTE arithmetic as ivfReplaySql (label threaded, rare predicate).
+  private val ivfFilteredRareSql: String =
+    s"""WITH unit AS (
+       | SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+       | FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+       |asg0 AS (
+       | SELECT u.vec_id, u.label, u.v, c.centroid_id,
+       |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+       | FROM unit u CROSS JOIN cent c),
+       |asg AS (
+       | SELECT vec_id, label, v, centroid_id AS bucket FROM (
+       |  SELECT vec_id, label, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0) WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+       |  SELECT vec_id, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+       |cand AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+       | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+       | WHERE a.label = 3 AND a.vec_id % 10 = 0),
+       |starved AS (
+       | SELECT u.vec_id AS query_id FROM unit u
+       | LEFT JOIN (SELECT query_id, count(*) AS n FROM cand GROUP BY 1) cn
+       |  ON cn.query_id = u.vec_id
+       | WHERE u.vec_id % 100 = 0 AND coalesce(cn.n, 0) < 3),
+       |candw AS (
+       | SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |  list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * a.v[i]), 'sum') AS c
+       | FROM unit q JOIN asg a ON a.vec_id <> q.vec_id
+       | WHERE q.vec_id IN (SELECT query_id FROM starved)
+       |  AND a.label = 3 AND a.vec_id % 10 = 0),
+       |r3 AS (
+       | SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+       | FROM cand WHERE query_id NOT IN (SELECT query_id FROM starved)),
+       |rw AS (
+       | SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+       | FROM candw)
+       |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT * FROM r3 WHERE rn <= 3 UNION ALL SELECT * FROM rw WHERE rn <= 3)
+       |ORDER BY query_id, rank""".stripMargin
 
   // the IVF-PQ bucket/probe/ADC replay — ONE template shared by
   // ann_ivfpq_topk, the persisted ann_ivfpq_indexed, the exact re-rank
@@ -456,6 +534,8 @@ object AnnQueries extends QueryPack {
     "ann_ivf_indexed" -> ivfSql,
 
     "ann_ivf_filtered" -> ivfFilteredSql,
+
+    "ann_ivf_filtered_rare" -> ivfFilteredRareSql,
 
     // shared with d_semantic_dedup_gate: the gate-engaged run is
     // bit-identical by construction, so one oracle serves both

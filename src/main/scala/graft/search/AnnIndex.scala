@@ -410,31 +410,88 @@ object AnnIndex {
       }.toSeq.toDF("sub", "code", "centroid")
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__codebook")
+      // ---- balance guard: rerun a degenerate centroid selection ----
+      // Same failure mode and same recover-don't-warn posture as
+      // [[writeIvfIndex]]'s guard (see there for the measured 18× query
+      // cliff): a degenerate id-mod-step centroid sample funnels the
+      // corpus into a handful of buckets and probing reads corpus-sized
+      // code runs. Recovery here is CHEAPER than it looks — the codes are
+      // residual-FREE (they encode the unit vector itself, not
+      // vector − centroid, unlike FAISS's IVFPQ default), and the
+      // codebook sample is id-mod-codeStep over those same unit vectors,
+      // so NEITHER depends on the bucket assignment: a centroid rewrite
+      // changes only the `bucket` column, the re-encode reproduces
+      // bit-identical codes (one assignment+encode scan, the same cost as
+      // the original index write), and `__codebook` as written above
+      // stays valid verbatim (not rewritten — one fewer crash window).
+      // DECISION phase (balance check, reseed gather, Lloyd rounds):
+      // read-only + best-effort, must never abort a complete build before
+      // writeMeta stamps it. REWRITE phase: exceptions PROPAGATE — a
+      // swallowed failure between the index overwrite and the centroids
+      // overwrite would let writeMeta stamp a mismatched index complete
+      // (unstamped, it fails loudly and a re-run converges).
+      val guardCents: Option[DataFrame] = try {
+        val guard = balanceGuardRatio(spark)
+        if (guard > 0 && bucketBalanceRatio(spark, table) > guard) {
+          val reseed = assigned
+            .where(pmod(xxhash64(concat(col(idCol).cast("string"),
+              lit("#graft-balance-reseed"))), lit(step.toLong)) === 0)
+            .where(col("bv").isNotNull)
+            .select(col(idCol).cast("long").as("centroid_id"),
+              col("bv").as("cv"))
+          val seeds = Similarity.gatherCentroidFrameOpt(reseed)
+            .getOrElse(Array.empty[(Long, Array[Double])])
+          if (seeds.isEmpty) {
+            System.err.println("writeIvfPqIndex: balance guard found a " +
+              s"degenerate id-mod-$step sample but the reseed selected " +
+              "zero or over-gather-cap vectors — index kept; adjust step")
+            None
+          } else {
+            val refined = Similarity.lloydRefine(
+              assigned.select(col(idCol).as("id"), col("bv")), "id",
+              seeds, iters = 2)
+            Some(refined.toSeq
+              .map { case (cid, v) => (cid, v.toSeq) }
+              .toDF("centroid_id", "cv").localCheckpoint(true))
+          }
+        } else None
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"writeIvfPqIndex: balance guard aborted " +
+            s"($e) — index kept as built")
+          None
+      }
+      guardCents.foreach { cents2 =>
+        try {
+          val reassigned = Similarity.assignWithCentroidFrame(
+            assigned.select(col(idCol).as("id") +: col("bv") +:
+              keep.map(col): _*),
+            "id", cents2, "writeIvfPqIndex.guard", keep)
+          Similarity.pqEncodeOnUnit(graft.Par.fanOut(reassigned), codebook)
+            .select(col("id") +: col("bucket").cast("long").as("bucket") +:
+              col("codes") +: keep.map(col): _*)
+            .write.mode(SaveMode.Overwrite)
+            .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
+            .saveAsTable(table)
+          cents2.write.mode(SaveMode.Overwrite).format("parquet")
+            .saveAsTable(s"${table}__centroids")
+        } finally
+          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents2)
+        val after = bucketBalanceRatio(spark, table)
+        System.err.println(s"writeIvfPqIndex: balance guard rewrote $table " +
+          s"(max bucket over the guard ratio from the id-mod-$step " +
+          s"sample; after reseed+kmeans: ${math.round(after * 10) / 10.0}x)")
+        if (after > balanceGuardRatio(spark))
+          System.err.println(s"writeIvfPqIndex: $table is still " +
+            s"${math.round(after * 10) / 10.0}x after the guard rewrite — " +
+            "the corpus itself is heavily clustered; raise nprobe for " +
+            "recall or lower step for more, smaller buckets")
+      }
+      // the completion record, LAST — past the guard's possible rewrite,
+      // exactly like [[writeIvfIndex]]'s crash contract
       writeMeta(spark, table, buckets,
         dim = codebook.map(_.head.length).sum, step = step, hashed = false,
         m = m)
-      // balance check only (no auto-rerun here: the PQ codes were encoded
-      // against THIS assignment's residual-free codebook, so a centroid
-      // rewrite means a full re-encode — the caller should rebuild with a
-      // lower step or pre-refined centroids instead). Loud, not silent:
-      // a degenerate sample makes probing read corpus-sized buckets.
-      // diagnostic only — it must never fail a build that completed
-      try {
-        val guard = balanceGuardRatio(spark)
-        if (guard > 0) {
-          val ratio = bucketBalanceRatio(spark, table)
-          if (ratio > guard)
-            System.err.println(s"writeIvfPqIndex: $table is grossly " +
-              s"imbalanced (max bucket ${math.round(ratio * 10) / 10.0}x " +
-              s"the even split — degenerate id-mod-$step centroid " +
-              "sample?); rebuild with a different step, or build the " +
-              "plain IVF index first (its balance guard reruns " +
-              "selection) and PQ-encode that")
-        }
-      } catch {
-        case scala.util.control.NonFatal(e) => System.err.println(
-          s"writeIvfPqIndex: balance check skipped ($e)")
-      }
     } finally assigned.unpersist(blocking = false)
   }
 
@@ -495,7 +552,12 @@ object AnnIndex {
     val reserved = Set("id", "bucket", "bv", "codes", "decoded", "query_id",
       "qv", "cos", "rank", "neighbor_id", "csim", "rn", "__v", "__n",
       "__best", "__pb", "__enc")
-    require(!keep.exists(reserved),
+    // case-INSENSITIVE: Spark resolves columns case-insensitively by
+    // default, so keep = Seq("Bucket") would slip a case-sensitive guard
+    // and only fail (or silently ambiguate) after the expensive build —
+    // the post-build surprise this require exists to front-load
+    val lower = keep.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(!lower.exists(reserved),
       s"keep columns collide with reserved index/query names " +
         s"(${reserved.toSeq.sorted.mkString(", ")}): $keep")
   }
@@ -652,6 +714,60 @@ object AnnIndex {
       joined.where(col("query_id") =!= col("id"))
     else joined
 
+  /** One probe→prune→filter→score→top-k pass, shared by the plain and PQ
+    * query tiers (they differ only in `scoreOf`: dot against the stored
+    * unit vector vs against the codebook-decoded codes) and by the
+    * starved-query widen re-pass below.
+    */
+  private def knnPass(spark: SparkSession, table: String, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, nprobe: Int,
+                      filter: Option[Column],
+                      score: Column): DataFrame = {
+    val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
+    val idx0 = prunedIndex(spark, table, probes)
+    val idx = filter.map(idx0.where).getOrElse(idx0)
+    topK(excludeSelf(broadcast(probes).join(idx, Seq("bucket")), probes, idx)
+      .select(col("query_id"), col("id"), score.as("cos")), k)
+  }
+
+  /** Starved-query recall widening for FILTERED kNN (`widenTo` dial): a
+    * selective predicate can leave a query with fewer than `k` passing
+    * candidates inside its `nprobe` probed buckets — a silent shortfall
+    * the caller cannot distinguish from "the corpus holds fewer than k
+    * matches". With `widenTo > nprobe`, exactly those starved queries are
+    * re-probed ONCE at `widenTo` buckets (internally capped at the
+    * centroid count — pass a large value for "exhaustive over the
+    * filtered corpus") and their rows replaced; satisfied queries keep
+    * their first-pass results untouched. Probe sets are nested prefixes
+    * of the centroid ranking, so widening only ever ADDS candidates —
+    * the replacement is exact filtered top-k within the widened probes.
+    * Cost: one extra pruned scan of (widenTo/buckets) × filter
+    * selectivity, for the starved queries only, batched. The detection
+    * itself reads the first pass's (|queries| × k)-sized result — no
+    * second corpus touch when nothing is starved.
+    */
+  private def widenStarved(spark: SparkSession, table: String,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           k: Int, nprobe: Int, widenTo: Int,
+                           filter: Option[Column], base: DataFrame,
+                           score: Column): DataFrame = {
+    if (filter.isEmpty || widenTo <= nprobe) return base
+    // queries frame is small by contract (it broadcasts into the probe
+    // join), so the starved-set arithmetic is a driver-side set diff
+    val asked = queries.select(col(idCol)).distinct().collect()
+      .map(_.get(0)).toSet
+    val satisfied = base.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .where(col("n") >= k).select("query_id").collect()
+      .map(_.get(0)).toSet
+    val starved = asked.diff(satisfied)
+    if (starved.isEmpty) return base
+    val widened = knnPass(spark, table,
+      queries.where(col(idCol).isin(starved.toSeq: _*)),
+      idCol, vecCol, k, widenTo, filter, score)
+    base.where(!col("query_id").isin(starved.toSeq: _*))
+      .unionByName(widened)
+  }
+
   /** `filter`: metadata predicate over columns persisted via
     * [[writeIvfIndex]]'s `keep` (e.g. `col("label") < 5`) — top-k among
     * the index rows SATISFYING it (exact filtered-kNN semantics within
@@ -661,17 +777,23 @@ object AnnIndex {
     * no metadata join, the 100-TB read stays (nprobe/buckets) × the
     * filter's selectivity. Referencing a column the build didn't `keep`
     * fails loudly at analysis.
+    *
+    * `widenTo` (default 0 = off): recall dial for selective filters —
+    * queries that return fewer than `k` rows at `nprobe` are re-probed
+    * once at `widenTo` buckets (see [[widenStarved]]). Off by default so
+    * the bare-filter read cost stays exactly (nprobe/buckets) ×
+    * selectivity.
     */
   def ivfKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
                     nprobe: Int = 3,
-                    filter: Option[Column] = None): DataFrame = {
-    val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
-    val idx0 = prunedIndex(spark, table, probes)
-    val idx = filter.map(idx0.where).getOrElse(idx0)
-    topK(excludeSelf(broadcast(probes).join(idx, Seq("bucket")), probes, idx)
-      .select(col("query_id"), col("id"),
-        Similarity.dot(col("qv"), col("bv")).as("cos")), k)
+                    filter: Option[Column] = None,
+                    widenTo: Int = 0): DataFrame = {
+    val score = Similarity.dot(col("qv"), col("bv"))
+    val base = knnPass(spark, table, queries, idCol, vecCol, k, nprobe,
+      filter, score)
+    widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
+      filter, base, score)
   }
 
   /** kNN off the saved IVF-PQ index: probes exactly as [[ivfKnnIndexed]],
@@ -681,31 +803,32 @@ object AnnIndex {
     * independent. Output matches [[Similarity.ivfPqKnn]] on the same
     * parameters.
     */
-  /** `filter` as in [[ivfKnnIndexed]]: a predicate over `keep` columns
-    * persisted at build, applied at the pruned scan (pushdown composes
-    * with bucket pruning) — exact filtered top-k among the probed codes.
+  /** `filter` / `widenTo` as in [[ivfKnnIndexed]]: a predicate over
+    * `keep` columns persisted at build, applied at the pruned scan
+    * (pushdown composes with bucket pruning) — exact filtered top-k among
+    * the probed codes; starved queries optionally re-probed at `widenTo`.
     */
   def ivfPqKnnIndexed(spark: SparkSession, table: String, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
                       nprobe: Int = 3,
-                      filter: Option[Column] = None): DataFrame = {
+                      filter: Option[Column] = None,
+                      widenTo: Int = 0): DataFrame = {
     val cbRows = spark.table(s"${table}__codebook").collect()
     val mSub = cbRows.map(_.getInt(0)).max + 1
     val kCodes = cbRows.map(_.getInt(1)).max + 1
     val cb = Array.ofDim[Seq[Double]](mSub, kCodes)
     cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
     val cbLit = typedLit(cb.map(_.toSeq).toSeq)
-    val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
-    val idx0 = prunedIndex(spark, table, probes)
-    val idx = filter.map(idx0.where).getOrElse(idx0)
     // decode = concat of each subspace's code centroid, in subspace order —
     // the same vector pqEncode's `decoded` column carries, so the dot
     // below is bit-identical to the per-call ADC arithmetic
     val decoded = flatten(zip_with(col("codes"),
       sequence(lit(0), lit(mSub - 1)),
       (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
-    topK(excludeSelf(broadcast(probes).join(idx, Seq("bucket")), probes, idx)
-      .select(col("query_id"), col("id"),
-        Similarity.dot(col("qv"), decoded).as("cos")), k)
+    val score = Similarity.dot(col("qv"), decoded)
+    val base = knnPass(spark, table, queries, idCol, vecCol, k, nprobe,
+      filter, score)
+    widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
+      filter, base, score)
   }
 }

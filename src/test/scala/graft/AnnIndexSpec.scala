@@ -438,4 +438,207 @@ class AnnIndexSpec extends SparkTestBase {
         s"${t}__centroids", s"${t}__meta"))
     }
   }
+
+  test("PQ balance guard recovers a degenerate build (detect -> reseed -> re-encode)") {
+    // the PQ mirror of the IVF guard spec: every id-mod-step sampled row
+    // carries the SAME vector, so the whole corpus funnels into one
+    // bucket and probing reads corpus-sized code runs. Unlike FAISS's
+    // residual IVFPQ, the codes here encode the UNIT vector against an
+    // id-sampled codebook — both independent of the bucket assignment —
+    // so recovery rewrites only (bucket, centroids) and the codes are
+    // re-encoded bit-identically in the same scan.
+    import spark.implicits._
+    val dim = 8
+    def spread(id: Long): Seq[Double] = {
+      val v = Array.fill(dim)(0.05)
+      v((id % dim).toInt) = 1.0
+      v(((id / dim) % dim).toInt) += 0.5
+      v.toSeq
+    }
+    val degenerate = (0L until 1000L).map { id =>
+      if (id % 40 == 0) (id, Seq(1.0) ++ Seq.fill(dim - 1)(0.0))
+      else (id, spread(id))
+    }.toDF("vec_id", "embedding")
+    val table = "annidx_pq_guard"
+    val ctrl = "annidx_pq_guard_off"
+    def side(t: String) = Seq(t, s"${t}__centroids", s"${t}__codebook",
+      s"${t}__meta")
+    (side(table) ++ side(ctrl)).grouped(4).foreach(g =>
+      graft.queries.Tables.reset(spark, g: _*))
+    try {
+      // control: guard disabled -> the degeneracy persists in the PQ
+      // table too (the fixture exhibits the failure the guard fixes)
+      spark.conf.set(AnnIndex.BalanceGuardRatioConf, "0")
+      AnnIndex.writeIvfPqIndex(degenerate, "vec_id", "embedding",
+        step = 40, m = 4, table = ctrl, buckets = 4, codeStep = 10,
+        force = true)
+      val rawRatio = AnnIndex.bucketBalanceRatio(spark, ctrl)
+      assert(rawRatio > 20.0, s"fixture not degenerate enough: $rawRatio")
+      spark.conf.unset(AnnIndex.BalanceGuardRatioConf)
+      // guarded build: detect -> reseed+kmeans -> rewrite index+centroids
+      AnnIndex.writeIvfPqIndex(degenerate, "vec_id", "embedding",
+        step = 40, m = 4, table = table, buckets = 4, codeStep = 10,
+        force = true)
+      val guarded = AnnIndex.bucketBalanceRatio(spark, table)
+      assert(guarded <= 20.0,
+        s"PQ guard left $guarded x imbalance (raw was $rawRatio x)")
+      // complete and queryable: all rows, codes schema, meta stamped
+      assert(spark.table(table).count() === 1000L)
+      assert(spark.table(table).columns.toSet === Set("id", "bucket", "codes"))
+      assert(spark.table(s"${table}__meta").head().getAs[Int]("m") === 4)
+      val knn = AnnIndex.ivfPqKnnIndexed(spark, table,
+        degenerate.where(col("vec_id") === 7), "vec_id", "embedding",
+        k = 3, nprobe = 3)
+      assert(knn.count() === 3L)
+      // centroids are the refined (unit) set, not the degenerate sample
+      val n2 = spark.table(s"${table}__centroids")
+        .select(graft.operators.Similarity.dot(col("cv"), col("cv")))
+        .collect().map(_.getDouble(0))
+      n2.foreach(x => assert(math.abs(x - 1.0) < 1e-9))
+      // codes are bucket-independent: identical per id across the
+      // guarded rewrite and the guard-off control build
+      val diff = spark.table(table).select(col("id"), col("codes"))
+        .join(spark.table(ctrl).select(col("id"),
+          col("codes").as("codes0")), "id")
+        .where(col("codes") =!= col("codes0")).count()
+      assert(diff === 0L, "guard rewrite must not change any code")
+      // ...and a HEALTHY PQ build is untouched: centroids stay the raw
+      // id-mod-step sample (the driver's ann_ivfpq_* oracles replay it)
+      val fx = "annidx_pq_guard_fixture"
+      graft.queries.Tables.reset(spark, fx, s"${fx}__centroids",
+        s"${fx}__codebook", s"${fx}__meta")
+      try {
+        AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding", step = 50,
+          m = 8, table = fx, buckets = 4, codeStep = 50, force = true)
+        assert(AnnIndex.bucketBalanceRatio(spark, fx) <= 20.0)
+        val ids = spark.table(s"${fx}__centroids")
+          .select("centroid_id").collect().map(_.getLong(0)).sorted
+        val expect = emb.where(col("vec_id") % 50 === 0)
+          .select("vec_id").collect().map(_.getLong(0)).sorted
+        assert(ids.toList === expect.toList,
+          "PQ guard must not rewrite a balanced fixture's centroids")
+      } finally graft.queries.Tables.reset(spark, fx, s"${fx}__centroids",
+        s"${fx}__codebook", s"${fx}__meta")
+    } finally {
+      spark.conf.unset(AnnIndex.BalanceGuardRatioConf)
+      (side(table) ++ side(ctrl)).grouped(4).foreach(g =>
+        graft.queries.Tables.reset(spark, g: _*))
+    }
+  }
+
+  test("filtered ANN widenTo: starved queries recover full k; satisfied queries untouched") {
+    // ~1% label: at nprobe=1 most queries find fewer than k passing
+    // candidates in their probed bucket — the silent shortfall. widenTo
+    // re-probes exactly the starved queries once at the widened width
+    // (64 >= the 25-centroid count here = exhaustive), recovering the
+    // true filtered top-k; satisfied queries keep their narrow results.
+    import spark.implicits._
+    val dim = 8
+    def spread(id: Long): Seq[Double] = {
+      val v = Array.fill(dim)(0.05)
+      v((id % dim).toInt) = 1.0
+      v(((id / dim) % dim).toInt) += 0.5
+      v.toSeq
+    }
+    val base = (0L until 1000L)
+      .map(id => (id, spread(id), if (id % 100 == 7) 1 else 0))
+      .toDF("vec_id", "embedding", "label")
+    val queries = base.where(col("vec_id") % 50 === 1)
+    val table = "annidx_widen"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    try {
+      AnnIndex.writeIvfIndex(base, "vec_id", "embedding", step = 40,
+        table = table, buckets = 4, force = true, keep = Seq("label"))
+      val filt = Some(col("label") === 1)
+      val narrow = AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 3, nprobe = 1, filter = filt).collect()
+      val perQ = narrow.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      val qIds = queries.select("vec_id").collect().map(_.getLong(0)).toSet
+      val starved = qIds.filter(q => perQ.getOrElse(q, 0) < 3)
+      assert(starved.nonEmpty,
+        s"fixture must starve some query at nprobe=1: $perQ")
+      val widened = AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 3, nprobe = 1, filter = filt,
+        widenTo = 64).collect()
+      // every query recovers full k (10 passing rows corpus-wide >= k)
+      widened.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+        assert(rs.length === 3, s"query $q returned ${rs.length} rows")
+      }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      // satisfied queries' rows are untouched by the widen pass
+      assert(widened.filter(r => !starved(r.getLong(0))).map(key).toSet
+        === narrow.filter(r => !starved(r.getLong(0))).map(key).toSet)
+      // starved queries' widened rows ARE the exact filtered top-k
+      // (exhaustive probes == brute force over the filter-passing rows)
+      val exact = graft.operators.Similarity.bruteForceKnn(
+        base.where(col("label") === 1),
+        queries.where(col("vec_id").isin(starved.toSeq: _*)),
+        "vec_id", "embedding", k = 3).collect()
+      assert(widened.filter(r => starved(r.getLong(0))).map(key).toSet
+        === exact.map(key).toSet)
+      // widenTo <= nprobe (and the no-filter path) are exact no-ops
+      val off = AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 3, nprobe = 1, filter = filt,
+        widenTo = 1).collect()
+      assert(off.map(key).toSet === narrow.map(key).toSet)
+      // the PQ tier: same widen contract, pinned against its own
+      // exhaustive-probe run restricted to the starved queries
+      val pq = "annidx_widen_pq"
+      graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+      try {
+        AnnIndex.writeIvfPqIndex(base, "vec_id", "embedding", step = 40,
+          m = 4, table = pq, buckets = 4, codeStep = 10, force = true,
+          keep = Seq("label"))
+        val pqNarrow = AnnIndex.ivfPqKnnIndexed(spark, pq, queries,
+          "vec_id", "embedding", k = 3, nprobe = 1, filter = filt).collect()
+        val pqPerQ = pqNarrow.groupBy(_.getLong(0)).view
+          .mapValues(_.length).toMap
+        val pqStarved = qIds.filter(q => pqPerQ.getOrElse(q, 0) < 3)
+        assert(pqStarved.nonEmpty)
+        val pqWide = AnnIndex.ivfPqKnnIndexed(spark, pq, queries,
+          "vec_id", "embedding", k = 3, nprobe = 1, filter = filt,
+          widenTo = 64).collect()
+        pqWide.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+          assert(rs.length === 3, s"PQ query $q returned ${rs.length}") }
+        val pqExhaust = AnnIndex.ivfPqKnnIndexed(spark, pq,
+          queries.where(col("vec_id").isin(pqStarved.toSeq: _*)),
+          "vec_id", "embedding", k = 3, nprobe = 64, filter = filt).collect()
+        assert(pqWide.filter(r => pqStarved(r.getLong(0))).map(key).toSet
+          === pqExhaust.map(key).toSet)
+        assert(pqWide.filter(r => !pqStarved(r.getLong(0))).map(key).toSet
+          === pqNarrow.filter(r => !pqStarved(r.getLong(0))).map(key).toSet)
+      } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
+  }
+
+  test("keep guards are case-insensitive and cover the public ivfAssign path") {
+    // Spark resolves columns case-insensitively by default: keep =
+    // Seq("Bucket") used to slip the case-sensitive guard and only fail
+    // after the expensive build (or silently ambiguate)
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+        table = "annidx_case_x", buckets = 4, keep = Seq("Bucket"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding", step = 50,
+        m = 8, table = "annidx_case_y", buckets = 4, keep = Seq("QUERY_ID"))
+    }
+    assert(e2.getMessage.contains("collide"))
+    // the PUBLIC ivfAssign entry point guards its own projection names
+    // (previously only the AnnIndex writers were guarded, so a direct
+    // caller's keep = "bucket"/"__n" was silently replaced)
+    Seq("bucket", "BV", "__N").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfAssign(emb, "vec_id", "embedding", step = 50,
+          keep = Seq(bad))
+      }
+      assert(e.getMessage.contains("collide"), bad)
+    }
+  }
 }

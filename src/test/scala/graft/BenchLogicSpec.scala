@@ -79,17 +79,43 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!Bench.warmupShaped(1.0, List(2.0, 0.0)))
   }
 
-  test("mergeTrend min-merges run scores into the long-memory reference") {
-    val old = Map("a" -> 0.1, "b" -> 2.0, "gone" -> 0.5)
-    val run = Map("a" -> 0.9, "b" -> 1.5, "new" -> 3.0)
-    val m = Bench.mergeTrend(old, run)
-    // an inflated run never raises the trend (the t_* ratchet guard)…
-    assert(m("a") === 0.1)
-    // …while genuine improvements lower it
-    assert(m("b") === 1.5)
-    // removed queries keep their entry (harmless), new ones enter as-is
-    assert(m("gone") === 0.5)
-    assert(m("new") === 3.0)
+  test("mergeHistory appends run scores into a bounded per-query window") {
+    val old = Map("a" -> List(0.1, 0.9), "gone" -> List(0.5))
+    val run = Map("a" -> 0.8, "new" -> 3.0)
+    val m = Bench.mergeHistory(old, run)
+    // an inflated run enters the window but the min reference still
+    // reads the fast sample (the t_* ratchet guard)…
+    assert(m("a") === List(0.1, 0.9, 0.8))
+    assert(m("a").min === 0.1)
+    // removed queries keep their entry (no aging without evidence),
+    // new ones enter as a one-sample window
+    assert(m("gone") === List(0.5))
+    assert(m("new") === List(3.0))
+    // …but unlike the permanent min-ratchet, a one-off outlier AGES OUT:
+    // after TrendHistoryWindow further runs at the true steady state the
+    // anomalous sample falls off the window and stops flagging every
+    // normal run elevated
+    val steady = (1 to Bench.TrendHistoryWindow)
+      .foldLeft(Map("a" -> List(0.01))) { (h, _) =>
+        Bench.mergeHistory(h, Map("a" -> 0.5))
+      }
+    assert(steady("a").length === Bench.TrendHistoryWindow)
+    assert(steady("a").min === 0.5)
+  }
+
+  test("parseHistory round-trips the bounded window; legacy files degrade") {
+    val json = """{"sf":"/x/sf0.1","queries":{"a":0.1,"b":2.0},""" +
+      """"history":{"a":[0.1,0.9],"b":[2.0]}}"""
+    assert(Bench.parseHistory(json) ===
+      Map("a" -> List(0.1, 0.9), "b" -> List(2.0)))
+    // pre-history trend file: empty (caller seeds from the queries min)
+    assert(Bench.parseHistory("""{"sf":"/x","queries":{"a":0.1}}""")
+      === Map.empty)
+    // the queries parser must stop at ITS object and never read history
+    assert(Bench.parsePrevQueries(json) === Map("a" -> 0.1, "b" -> 2.0))
+    // corrupt arrays are skipped, not fatal
+    assert(Bench.parseHistory("""{"history":{"a":[oops],"b":[1.5]}}""")
+      === Map("b" -> List(1.5)))
   }
 
   test("parseSf reads the scale-factor marker; trend files from another sf are ignored") {
