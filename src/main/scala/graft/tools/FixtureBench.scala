@@ -46,6 +46,15 @@ object FixtureBench {
     time("topk n=3 k=20 (uax29)") {
       NgramOps.topK(docs, "text", n = 3, k = 20).collect()
     }
+    // r17 (verdict task): the a6_topk_50gram_hashed trick at SMALL n on
+    // real C4 text — pass 1 shuffles 8-byte hashes instead of ~25-byte
+    // joined 3-gram strings, pass 2 re-counts only the candidate grams.
+    // Same exact contract (topKHashFirst falls back to strings on
+    // boundary ties / candidate collisions); measured side by side so
+    // the adoption question is a number, not an argument.
+    time("topk n=3 k=20 hashfirst") {
+      NgramOps.topKHashFirst(docs, "text", n = 3, k = 20).collect()
+    }
     time("topk n=10 k=20 (uax29)") {
       NgramOps.topK(docs, "text", n = 10, k = 20).collect()
     }

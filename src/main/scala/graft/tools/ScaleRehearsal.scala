@@ -495,6 +495,80 @@ object ScaleRehearsal {
         emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
         "embedding", k = 10, nprobe = 3).count()
     }
+    // r17: the PQ persisted tier at scale — healthy build/query pair,
+    // then the SAME deliberate degeneracy as ann_index_build_degenerate
+    // through writeIvfPqIndex, whose guard now RECOVERS (reseed + Lloyd +
+    // re-encode; the codes are residual-free so only the bucket column
+    // changes) instead of warning. The query row after it must be
+    // healthy, not the corpus-sized-bucket cliff.
+    def tableBytes(name: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    def resetPq(t: String): Unit = graft.queries.Tables.reset(spark, t,
+      s"${t}__centroids", s"${t}__codebook", s"${t}__meta")
+    run("ann_pq_index_build") {
+      resetPq("scale_annpq_idx")
+      graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
+        step = 50 * replicas + 1, m = 8, table = "scale_annpq_idx",
+        buckets = 32, codeStep = 50 * replicas + 1, force = true)
+      println(s"  scale_annpq_idx bytes=${tableBytes("scale_annpq_idx")} " +
+        s"(plain scale_ann_idx bytes=${tableBytes("scale_ann_idx")})")
+      spark.table("scale_annpq_idx").count()
+    }
+    run("ann_pq_index_query") {
+      graft.search.AnnIndex.ivfPqKnnIndexed(spark, "scale_annpq_idx",
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, nprobe = 3).count()
+    }
+    run("ann_pq_build_degenerate") {
+      resetPq("scale_annpq_degen")
+      graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
+        step = 50 * replicas, m = 8, table = "scale_annpq_degen",
+        buckets = 32, codeStep = 50 * replicas + 1, force = true)
+      spark.table("scale_annpq_degen").count()
+    }
+    run("ann_pq_query_degenerate") {
+      graft.search.AnnIndex.ivfPqKnnIndexed(spark, "scale_annpq_degen",
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, nprobe = 3).count()
+    }
+    // r17: the filtered (keep-bearing) tier at scale — build overhead of
+    // the denormalized metadata column (bytes + wall vs the plain build
+    // above), then the filtered query at ~50% and ~0.1‰ selectivity: the
+    // read must stay (nprobe/buckets) × selectivity (pushdown composing
+    // with bucket pruning), and the rare row's widened twin measures the
+    // one extra pruned scan the starved queries pay for full-k recall
+    val rare = col("label") === 3 && col("id") % 9973 === 0
+    run("ann_index_build_keep") {
+      graft.queries.Tables.reset(spark, "scale_ann_kidx",
+        "scale_ann_kidx__centroids", "scale_ann_kidx__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50 * replicas + 1, table = "scale_ann_kidx", buckets = 32,
+        force = true, keep = Seq("label"))
+      println(s"  scale_ann_kidx bytes=${tableBytes("scale_ann_kidx")} " +
+        s"(plain scale_ann_idx bytes=${tableBytes("scale_ann_idx")})")
+      spark.table("scale_ann_kidx").count()
+    }
+    run("ann_query_filtered_50pct") {
+      graft.search.AnnIndex.ivfKnnIndexed(spark, "scale_ann_kidx",
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, nprobe = 3,
+        filter = Some(col("label") < 5)).count()
+    }
+    run("ann_query_filtered_rare") {
+      graft.search.AnnIndex.ivfKnnIndexed(spark, "scale_ann_kidx",
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, nprobe = 3, filter = Some(rare)).count()
+    }
+    run("ann_query_filtered_rare_widen") {
+      graft.search.AnnIndex.ivfKnnIndexed(spark, "scale_ann_kidx",
+        emb.where(col("vec_id") % (100L * replicas) === 0), "vec_id",
+        "embedding", k = 10, nprobe = 3, filter = Some(rare),
+        widenTo = 1 << 20).count()
+    }
     run("hashed_embedding") {
       // text→vector bridge at production hash: one scan-fused kernel pass
       graft.operators.FeatureHash.hashedEmbeddings(docs, "doc_id", "text",
