@@ -194,6 +194,25 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // the PQ sibling of ann_ivf_filtered_rare: the same rare predicate
+    // and widenTo recall dial over the m-byte codes tier — starved
+    // queries re-probe exhaustively and rank by the SAME ADC arithmetic
+    "ann_ivfpq_filtered_rare" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivfpq_ridx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook",
+        s"${table}__meta")
+      graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
+        step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
+        force = true, keep = Seq("label"))
+      graft.search.AnnIndex.ivfPqKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 3, nprobe = 3,
+        filter = Some(col("label") === 3 && col("id") % 10 === 0),
+        widenTo = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -446,6 +465,33 @@ object AnnQueries extends QueryPack {
        |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // the PQ widenTo replay: ivfPqCtes' scored/ranked carry the rare
+  // predicate at nprobe=3; starved queries (fewer than k=3 candidates)
+  // instead rank ALL filter-passing rows by the same ADC dot against the
+  // reconstructed vectors (widenTo=64 ≥ every tested sf's centroid count)
+  private val ivfPqFilteredRareSql: String =
+    s"""${ivfPqCtes(Seq("label"), " WHERE a.label = 3 AND a.vec_id % 10 = 0")},
+       |qc AS (SELECT query_id, count(*) AS n FROM scored GROUP BY 1),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM unit WHERE vec_id % 100 = 0),
+       |starved AS (SELECT q.query_id FROM qs q
+       | LEFT JOIN qc ON qc.query_id = q.query_id WHERE coalesce(qc.n, 0) < 3),
+       |scoredw AS (
+       | SELECT q.query_id, a.vec_id AS neighbor_id,
+       |  list_aggregate(list_transform(generate_series(1, 64), i -> q.qv[i] * r.dv[i]), 'sum') AS c
+       | FROM qs q JOIN asg a ON a.vec_id <> q.query_id
+       |  JOIN recon r ON r.vec_id = a.vec_id
+       | WHERE q.query_id IN (SELECT query_id FROM starved)
+       |  AND a.label = 3 AND a.vec_id % 10 = 0),
+       |rankedw AS (SELECT query_id, neighbor_id, c,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+       | FROM scoredw)
+       |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+       |FROM (
+       | SELECT * FROM ranked WHERE rn <= 3
+       |  AND query_id NOT IN (SELECT query_id FROM starved)
+       | UNION ALL SELECT * FROM rankedw WHERE rn <= 3)
+       |ORDER BY query_id, rank""".stripMargin
+
   // ADC shortlist (top-20 per query, same tie-breaks) re-scored against the
   // EXACT unit vectors, then re-ranked — the FAISS refine-step replay
   private val ivfPqRerankSql: String =
@@ -587,6 +633,8 @@ object AnnQueries extends QueryPack {
     "ann_ivfpq_indexed" -> ivfPqSql,
 
     "ann_ivfpq_filtered" -> ivfPqFilteredSql,
+
+    "ann_ivfpq_filtered_rare" -> ivfPqFilteredRareSql,
 
     "ann_lsh_topk" ->
       s"""WITH unit AS (
