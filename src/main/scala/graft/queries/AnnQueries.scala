@@ -194,6 +194,55 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // continuous-maintenance lifecycle on the persisted IVF tier: build
+    // on a ⅔ subset (vec_id % 3 ≠ 1 — chosen so the frozen centroid
+    // sample MISSES 100/250/400…, i.e. differs from a full rebuild's),
+    // then UPSERT the remaining third plus an overlapping slice (already-
+    // present ids exercise the idempotent anti-join) and answer the
+    // standard query battery off the swapped table. The oracle replays
+    // the whole lifecycle: candidates = full corpus, centroids = the
+    // build subset's frozen sample.
+    "ann_ivf_upsert" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivf_uidx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      StageTimer.start("ann_ivf_upsert")
+      graft.search.AnnIndex.writeIvfIndex(
+        emb.where(col("vec_id") % 3 =!= 1), "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true)
+      StageTimer.mark("ann_ivf_upsert", "build")
+      graft.search.AnnIndex.upsertIvfIndex(s, table,
+        emb.where(col("vec_id") % 3 === 1 || col("vec_id") % 6 === 0),
+        "vec_id", "embedding")
+      StageTimer.mark("ann_ivf_upsert", "upsert")
+      graft.search.AnnIndex.ivfKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the PQ tier through the SAME upsert surface: arrivals are encoded
+    // against the frozen __codebook exactly as they are assigned against
+    // the frozen __centroids (both id-sampled from the build subset) —
+    // one maintenance recipe for both tiers, value-pinned end to end
+    "ann_ivfpq_upsert" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivfpq_uidx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook",
+        s"${table}__meta")
+      graft.search.AnnIndex.writeIvfPqIndex(
+        emb.where(col("vec_id") % 3 =!= 1), "vec_id", "embedding",
+        step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
+        force = true)
+      graft.search.AnnIndex.upsertIvfIndex(s, table,
+        emb.where(col("vec_id") % 3 === 1 || col("vec_id") % 6 === 0),
+        "vec_id", "embedding")
+      graft.search.AnnIndex.ivfPqKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // the PQ sibling of ann_ivf_filtered_rare: the same rare predicate
     // and widenTo recall dial over the m-byte codes tier — starved
     // queries re-probe exhaustively and rank by the SAME ADC arithmetic
@@ -301,14 +350,19 @@ object AnnQueries extends QueryPack {
 
   // the IVF index+probe+score replay — ONE template serving ann_ivf_topk
   // (per-call assignment), ann_ivf_indexed (persisted bucketed table),
-  // and ann_ivf_filtered (candidate-side metadata predicate): the shared
-  // arithmetic (normalization, tie-breaks, probe count, rounding) exists
-  // in exactly one copy so the variants can never silently diverge.
+  // ann_ivf_filtered (candidate-side metadata predicate), and
+  // ann_ivf_upsert (frozen-sample maintenance): the shared arithmetic
+  // (normalization, tie-breaks, probe count, rounding) exists in exactly
+  // one copy so the variants can never silently diverge.
   // `extra` columns thread from the base table through unit/asg0/asg to
   // the candidate side; `candWhere` restricts CANDIDATES only (probes
   // rank over ALL centroids — filtering restricts neighbors, not probe
-  // selection, matching ivfKnnIndexed's pruned-scan filter placement).
-  private def ivfReplaySql(extra: Seq[String], candWhere: String): String = {
+  // selection, matching ivfKnnIndexed's pruned-scan filter placement);
+  // `sampleWhere` restricts the CENTROID SAMPLE (the upsert replay:
+  // centroids frozen at build time come from the build subset while
+  // candidates cover the upserted full corpus).
+  private def ivfReplaySql(extra: Seq[String], candWhere: String,
+                           sampleWhere: String = ""): String = {
     val uc = extra.map(c => s", $c").mkString
     val uc0 = extra.map(c => s", u.$c").mkString
     s"""WITH unit AS (
@@ -316,7 +370,7 @@ object AnnQueries extends QueryPack {
        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
        | FROM embeddings),
-       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0$sampleWhere),
        |asg0 AS (
        | SELECT u.vec_id$uc0, u.v, c.centroid_id,
        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
@@ -405,10 +459,13 @@ object AnnQueries extends QueryPack {
 
   // the IVF-PQ bucket/probe/ADC replay — ONE template shared by
   // ann_ivfpq_topk, the persisted ann_ivfpq_indexed, the exact re-rank
-  // ann_ivfpq_rerank (as its shortlist stage), and ann_ivfpq_filtered
-  // (candidate-side predicate, same placement as the plain-IVF variant)
+  // ann_ivfpq_rerank (as its shortlist stage), ann_ivfpq_filtered
+  // (candidate-side predicate, same placement as the plain-IVF variant),
+  // and ann_ivfpq_upsert (`sampleWhere` freezes BOTH the centroid and
+  // codebook samples at the build subset, like ivfReplaySql)
   private def ivfPqCtes(extra: Seq[String] = Nil,
-                        candWhere: String = ""): String = {
+                        candWhere: String = "",
+                        sampleWhere: String = ""): String = {
     val uc = extra.map(c => s", $c").mkString
     val uc0 = extra.map(c => s", u.$c").mkString
     s"""WITH unit AS (
@@ -416,7 +473,7 @@ object AnnQueries extends QueryPack {
        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
        | FROM embeddings),
-       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0$sampleWhere),
        |asg0 AS (
        | SELECT u.vec_id$uc0, u.v, c.centroid_id,
        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
@@ -432,7 +489,7 @@ object AnnQueries extends QueryPack {
        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
-       | FROM unit WHERE vec_id % 50 = 0),
+       | FROM unit WHERE vec_id % 50 = 0$sampleWhere),
        |codes0 AS (
        | SELECT u.vec_id, j.j, c.cid,
        |  list_aggregate(list_transform(generate_series(1, 8), i ->
@@ -582,6 +639,15 @@ object AnnQueries extends QueryPack {
     "ann_ivf_filtered" -> ivfFilteredSql,
 
     "ann_ivf_filtered_rare" -> ivfFilteredRareSql,
+
+    // upsert lifecycle: full-corpus candidates against the build
+    // subset's frozen centroid sample
+    "ann_ivf_upsert" -> ivfReplaySql(Nil, "", " AND vec_id % 3 <> 1"),
+
+    "ann_ivfpq_upsert" ->
+      s"""${ivfPqCtes(Nil, "", " AND vec_id % 3 <> 1")}
+         |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // shared with d_semantic_dedup_gate: the gate-engaged run is
     // bit-identical by construction, so one oracle serves both

@@ -533,12 +533,17 @@ object AnnIndex {
   /** Assign NEW vectors against the saved index's (frozen) centroids —
     * the append half of continuous maintenance: assignment given fixed
     * centroids depends only on the row itself, so arriving vectors only
-    * ever APPEND (id, bucket, bv) rows. Run inside `foreachBatch` with a
-    * parquet append (exactly the [[InvertedIndex.postingsStream]]
-    * recipe), query the union `table ∪ appends`, and fold the appends
-    * back into the bucketed layout with [[compactIvfIndex]] periodically.
-    * Frozen centroids drift as the distribution moves — refit (rebuild
-    * via [[writeIvfIndex]]) on the cadence you'd re-train any IVF index.
+    * ever APPEND (id, bucket, bv) rows — or (id, bucket, codes) rows on
+    * a PQ-tier table (m > 0 in `__meta`), where arrivals are encoded
+    * against the frozen `__codebook` the same way. Run inside
+    * `foreachBatch` with a parquet append (exactly the
+    * [[InvertedIndex.postingsStream]] recipe), query the union
+    * `table ∪ appends`, and fold the appends back into the bucketed
+    * layout with [[compactIvfIndex]] periodically; [[upsertIvfIndex]]
+    * serves BOTH tiers through this one entry point. Frozen centroids
+    * (and the PQ codebook) drift as the distribution moves — refit
+    * (rebuild via [[writeIvfIndex]]/[[writeIvfPqIndex]]) on the cadence
+    * you'd re-train any IVF index.
     */
   /** Reserved names a `keep` column may not use: the index schemas
     * themselves (plain and PQ), the query-side aliases the probe join
@@ -571,6 +576,21 @@ object AnnIndex {
     spark.table(table).columns.toSeq
       .filterNot(Set("id", "bucket", "bv", "codes"))
 
+  /** The `__codebook` side table gathered to the [m][K][sub] driver
+    * array [[Similarity.pqEncodeOnUnit]]/ADC consume — m × K × d/m
+    * doubles, tiny by construction.
+    */
+  private[graft] def loadCodebook(spark: SparkSession,
+                                  table: String): Array[Array[Array[Double]]] = {
+    val cbRows = spark.table(s"${table}__codebook").collect()
+    val mSub = cbRows.map(_.getInt(0)).max + 1
+    val kCodes = cbRows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Double]](mSub, kCodes)
+    cbRows.foreach(r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    cb
+  }
+
   def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
     requireQueryDim(spark, table, vectors, vecCol)
@@ -579,9 +599,23 @@ object AnnIndex {
     // bare ones, and the incoming frame must simply carry the columns
     // (missing ones fail loudly at the projection, naming the column)
     val keep = keepOf(spark, table)
-    assignUnit(
+    val assigned = assignUnit(
       Similarity.unitProjectKeep(vectors, idCol, "id", vecCol, "bv", keep),
       spark.table(s"${table}__centroids"), keep)
+    // PQ tier (m > 0 in __meta): encode the arrivals against the FROZEN
+    // codebook, exactly as assignment uses the frozen centroids — both
+    // depend only on the row itself, so the PQ tier appends/upserts/
+    // compacts through the SAME maintenance surface as the plain tier
+    // (one recipe for both; drift in codebook or centroids is answered
+    // by the same periodic-refit posture). Output matches the live
+    // table's (id, bucket, codes, keep…) schema; a bv-shaped append
+    // into a codes table would instead fail loudly at unionByName.
+    val isPq = spark.catalog.tableExists(s"${table}__meta") &&
+      spark.table(s"${table}__meta").head().getAs[Int]("m") > 0
+    if (!isPq) assigned
+    else Similarity.pqEncodeOnUnit(assigned, loadCodebook(spark, table))
+      .select(col("id") +: col("bucket").cast("long").as("bucket") +:
+        col("codes") +: keep.map(col): _*)
   }
 
   /** Fold accumulated appends back into the bucketed layout through the
@@ -813,12 +847,9 @@ object AnnIndex {
                       nprobe: Int = 3,
                       filter: Option[Column] = None,
                       widenTo: Int = 0): DataFrame = {
-    val cbRows = spark.table(s"${table}__codebook").collect()
-    val mSub = cbRows.map(_.getInt(0)).max + 1
-    val kCodes = cbRows.map(_.getInt(1)).max + 1
-    val cb = Array.ofDim[Seq[Double]](mSub, kCodes)
-    cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
-    val cbLit = typedLit(cb.map(_.toSeq).toSeq)
+    val cb = loadCodebook(spark, table)
+    val mSub = cb.length
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     // decode = concat of each subspace's code centroid, in subspace order —
     // the same vector pqEncode's `decoded` column carries, so the dot
     // below is bit-identical to the per-call ADC arithmetic

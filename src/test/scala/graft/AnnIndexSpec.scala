@@ -641,4 +641,44 @@ class AnnIndexSpec extends SparkTestBase {
       assert(e.getMessage.contains("collide"), bad)
     }
   }
+
+  test("PQ tier upserts through the shared maintenance surface (frozen-codebook encode)") {
+    // assignNew detects the PQ tier (m > 0 in __meta) and encodes
+    // arrivals against the frozen __codebook exactly as it assigns them
+    // against the frozen __centroids — so upsertIvfIndex/compactIvfIndex
+    // serve both tiers through one entry point
+    val buildSide = emb.where(col("vec_id") % 3 =!= 1)
+    val arrivals = emb.where(col("vec_id") % 3 === 1 || col("vec_id") % 6 === 0)
+    val pq = "annidx_pq_upsert"
+    graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+      s"${pq}__codebook", s"${pq}__meta")
+    try {
+      AnnIndex.writeIvfPqIndex(buildSide, "vec_id", "embedding", step = 50,
+        m = 8, table = pq, buckets = 4, codeStep = 50, force = true)
+      AnnIndex.upsertIvfIndex(spark, pq, arrivals, "vec_id", "embedding")
+      val n = emb.count()
+      // every id exactly once (overlapping slice anti-joined, not doubled)
+      assert(spark.table(pq).count() === n)
+      assert(spark.table(pq).select("id").distinct().count() === n)
+      // the codes schema is preserved — a bv-shaped append would have
+      // failed loudly at unionByName instead of silently widening
+      assert(spark.table(pq).columns.toSet === Set("id", "bucket", "codes"))
+      // upserted rows carry exactly the frozen-sample assignment+encode
+      // (assignNew recomputes from the same frozen side tables)
+      val re = AnnIndex.assignNew(spark, pq, arrivals, "vec_id", "embedding")
+        .select(col("id"), col("bucket").as("b2"), col("codes").as("c2"))
+      val diff = spark.table(pq).join(re, "id")
+        .where(col("codes") =!= col("c2") || col("bucket") =!= col("b2"))
+        .count()
+      assert(diff === 0L, "upserted rows must equal a frozen-sample recompute")
+      // replaying the same batch CONVERGES (the idempotent contract)
+      AnnIndex.upsertIvfIndex(spark, pq, arrivals, "vec_id", "embedding")
+      assert(spark.table(pq).count() === n)
+      // and the swapped table answers queries end to end
+      assert(AnnIndex.ivfPqKnnIndexed(spark, pq,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, nprobe = 3).count() === 3L)
+    } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+      s"${pq}__codebook", s"${pq}__meta")
+  }
 }
