@@ -221,6 +221,54 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // the STREAMING twin of ann_ivf_upsert — continuous vector ingestion
+    // through Structured Streaming: readStream over parquet arrivals
+    // (parquet, not JSON — a float→text→double roundtrip would break the
+    // unit-vector bit parity the oracle replays), foreachBatch running
+    // assignNew against the FROZEN centroids into a parquet append dir
+    // (the [[InvertedIndex.postingsStream]] recipe), then one
+    // compactIvfIndex fold and the standard battery off the swapped
+    // table. Final state is identical to the batch upsert lifecycle, so
+    // the same frozen-sample oracle replays it.
+    "ann_stream_compact" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_stream_idx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      val tmp = java.nio.file.Files.createTempDirectory("ann_stream").toString
+      StageTimer.start("ann_stream_compact")
+      graft.search.AnnIndex.writeIvfIndex(
+        emb.where(col("vec_id") % 3 =!= 1), "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true)
+      StageTimer.mark("ann_stream_compact", "build")
+      // 2 files = two real micro-batches (j17: batch count, not data,
+      // dominates; 2 is the minimum that still exercises multi-batch)
+      val arrivals = emb.where(col("vec_id") % 3 === 1)
+        .select("vec_id", "embedding")
+      arrivals.repartition(2).write.mode("overwrite").parquet(s"$tmp/src")
+      StageTimer.mark("ann_stream_compact", "setup")
+      val in = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      val q = in.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          graft.search.AnnIndex.assignNew(s, table, batch.toDF(),
+              "vec_id", "embedding")
+            .write.mode("append").parquet(s"$tmp/appends")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StageTimer.mark("ann_stream_compact", "stream")
+      graft.search.AnnIndex.compactIvfIndex(s, table,
+        s.read.parquet(s"$tmp/appends"))
+      StageTimer.mark("ann_stream_compact", "compact")
+      graft.search.AnnIndex.ivfKnnIndexed(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // the PQ tier through the SAME upsert surface: arrivals are encoded
     // against the frozen __codebook exactly as they are assigned against
     // the frozen __centroids (both id-sampled from the build subset) —
@@ -641,8 +689,10 @@ object AnnQueries extends QueryPack {
     "ann_ivf_filtered_rare" -> ivfFilteredRareSql,
 
     // upsert lifecycle: full-corpus candidates against the build
-    // subset's frozen centroid sample
+    // subset's frozen centroid sample — the streaming twin converges to
+    // the same final state, so one replay serves both
     "ann_ivf_upsert" -> ivfReplaySql(Nil, "", " AND vec_id % 3 <> 1"),
+    "ann_stream_compact" -> ivfReplaySql(Nil, "", " AND vec_id % 3 <> 1"),
 
     "ann_ivfpq_upsert" ->
       s"""${ivfPqCtes(Nil, "", " AND vec_id % 3 <> 1")}
