@@ -406,7 +406,7 @@ object Similarity {
     * the same key the self-join shuffles on, so co-partitioning is reused
     * rather than re-shuffled.
     */
-  private def pairsFromAssigned(assigned: DataFrame, idCol: String,
+  private[graft] def pairsFromAssigned(assigned: DataFrame, idCol: String,
                                 threshold: Double,
                                 maxBucket: Int = 10000): DataFrame = {
     val sizes = assigned.groupBy("bucket")

@@ -95,6 +95,21 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding", threshold = 0.35, step = 50)
         .select("vec_id").orderBy("vec_id")),
 
+    // SemDeDup off the PERSISTED index — the repeated-curation shape:
+    // the corpus-side pair join and skew guard both key on the table's
+    // own bucket layout (zero corpus exchanges, plan-spec-asserted), and
+    // an index built with the per-call step replays the per-call oracle
+    // verbatim (third consumer of semanticDedupSql)
+    "d_semantic_dedup_indexed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").where(col("vec_id") % 2 === 0)
+      val table = "ann_sem_idx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true)
+      graft.search.AnnIndex.semanticDedupIndexed(s, table, threshold = 0.35)
+        .select(col("id").as("vec_id")).orderBy("vec_id")
+    }),
+
     // the SAME SemDeDup with the r14 coarse-assignment gate FORCE-ENGAGED
     // (graft.ann.coarseGate=1): at the default full-recall probe width the
     // two-level kernel is bit-identical to flat, so this replays the SAME
@@ -699,10 +714,12 @@ object AnnQueries extends QueryPack {
          |SELECT query_id, neighbor_id, round(c, 4) AS cos, CAST(rn AS BIGINT) AS rank
          |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // shared with d_semantic_dedup_gate: the gate-engaged run is
-    // bit-identical by construction, so one oracle serves both
+    // shared with d_semantic_dedup_gate (bit-identical by construction)
+    // and d_semantic_dedup_indexed (same assignment persisted, same pair
+    // semantics off the saved table), so one oracle serves all three
     "d_semantic_dedup_gate" -> semanticDedupSql,
     "d_semantic_dedup" -> semanticDedupSql,
+    "d_semantic_dedup_indexed" -> semanticDedupSql,
 
     // PQ: codebook = id-sorted mod-50 sample split into 8 subspaces of 8;
     // codes = per-subspace argmin L2 (tie → lower code); score = dot of the

@@ -618,6 +618,41 @@ object AnnIndex {
         col("codes") +: keep.map(col): _*)
   }
 
+  /** SemDeDup off the SAVED index — the repeated-curation shape: where
+    * [[Similarity.semanticDedup]] re-assigns the whole corpus on every
+    * call, this reads the persisted (id, bucket, bv) rows and pays ZERO
+    * exchanges on the corpus side — the in-bucket pair self-join AND the
+    * bucket-size skew guard both key on `bucket`, the table's own bucket
+    * layout, so the only shuffled data is the candidate-bounded pair
+    * list (spec-asserted on the executed plan). Same pair semantics as
+    * the per-call operator ([[Similarity.pairsFromAssigned]]: in-bucket
+    * pairwise above `threshold`, buckets over `maxBucket` collapsed to
+    * an exact-dup class) and the same min-id representative keep, so an
+    * index built with the per-call step replays the per-call oracle.
+    * Plain tier only: PQ codes are lossy — decode-and-score would change
+    * the pair set, so a codes table fails loudly here.
+    */
+  def semanticDedupIndexed(spark: SparkSession, table: String,
+                           threshold: Double,
+                           maxBucket: Int = 10000): DataFrame = {
+    val idx = spark.table(table)
+    require(idx.columns.contains("bv"),
+      s"semanticDedupIndexed: $table carries no unit vectors (a PQ codes " +
+        "table?) — build the plain IVF tier for dedup, codes are lossy")
+    // null-bucket rows (zero/null vectors) never pair (the bucket join
+    // drops null keys) but DO pass through as survivors, matching the
+    // per-call operator's unpaired-rows-pass contract
+    // pairs checkpointed eagerly (candidate-bounded) so the CC rounds and
+    // the representative probe never recompute the bucket join; NOT
+    // released here — the returned frame may still depend on it lazily
+    // (string-id indexes take keepClusterRepresentative's anti-join arm)
+    val pairs = Similarity.pairsFromAssigned(
+      idx.select(col("id"), col("bv"), col("bucket")), "id",
+      threshold, maxBucket).localCheckpoint(eager = true)
+    graft.operators.Dedup.keepClusterRepresentative(
+      idx.select(col("id")), "id", pairs)
+  }
+
   /** Fold accumulated appends back into the bucketed layout through the
     * same crash-safe rename-aside swap the text index's compaction uses
     * ([[InvertedIndex.swapTable]]): live ∪ appends rewrites into a

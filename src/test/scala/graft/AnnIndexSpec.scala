@@ -681,4 +681,53 @@ class AnnIndexSpec extends SparkTestBase {
     } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
       s"${pq}__codebook", s"${pq}__meta")
   }
+
+  test("semanticDedupIndexed == per-call semanticDedup; corpus side pays zero exchanges") {
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val table = "annidx_semdedup"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    try {
+      AnnIndex.writeIvfIndex(half, "vec_id", "embedding", step = 50,
+        table = table, buckets = 4, force = true)
+      val indexed = AnnIndex.semanticDedupIndexed(spark, table,
+        threshold = 0.35).select(col("id")).collect()
+        .map(_.getLong(0)).sorted
+      val direct = Similarity.semanticDedup(half, "vec_id", "embedding",
+        threshold = 0.35, step = 50).select("vec_id").collect()
+        .map(_.getLong(0)).sorted
+      assert(indexed.toList === direct.toList)
+      assert(indexed.nonEmpty)
+      // the scale claim: the in-bucket pair join AND the bucket-size skew
+      // guard both key on the table's own bucket layout, so the pair
+      // computation plans ZERO shuffle exchanges — the only shuffled
+      // data downstream is the candidate-bounded pair list (CC rounds).
+      // Broadcast disabled for the assertion: at fixture size Spark
+      // broadcasts the tiny corpus side, which hides the property that
+      // matters at scale (bucketed SMJ with no exchange on either side)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan =
+        try Similarity.pairsFromAssigned(
+            spark.table(table).select(col("id"), col("bv"), col("bucket")),
+            "id", threshold = 0.35)
+          .queryExecution.executedPlan.toString
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+      // a PQ codes table fails loudly instead of decode-and-scoring a
+      // different pair set
+      val pq = "annidx_semdedup_pq"
+      graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+      try {
+        AnnIndex.writeIvfPqIndex(half, "vec_id", "embedding", step = 50,
+          m = 8, table = pq, buckets = 4, codeStep = 50, force = true)
+        val e = intercept[IllegalArgumentException] {
+          AnnIndex.semanticDedupIndexed(spark, pq, threshold = 0.35)
+        }
+        assert(e.getMessage.contains("lossy"))
+      } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
+  }
 }
