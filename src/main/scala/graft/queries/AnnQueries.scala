@@ -86,6 +86,20 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding", step = 50)
         .orderBy("centroid_id")),
 
+    // the cluster profile off the PERSISTED index — the repeated-
+    // curation read (mixture planning re-profiles every round): mass +
+    // coherence from the saved rows, no per-call corpus re-assignment;
+    // same sample (step 50, full table), so the per-call oracle replays
+    "d_cluster_profile_indexed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_prof_idx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true)
+      graft.search.AnnIndex.clusterProfileIndexed(s, table)
+        .orderBy("centroid_id")
+    }),
+
     // SemDeDup: IVF-bucketed pairwise cosine → CC clusters → keep min-id
     // representative; fully deterministic, so the whole pipeline replays
     // in SQL
@@ -675,23 +689,12 @@ object AnnQueries extends QueryPack {
     // (tie -> lower centroid id), top-nprobe buckets per query, score only
     // probed buckets, rank. Same sequential-order double arithmetic as the
     // Spark side; round(4) gives orders of magnitude of slack.
-    "d_cluster_profile" ->
-      """WITH unit AS (
-        | SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
-        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
-        | FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
-        |asg0 AS (
-        | SELECT u.vec_id, c.centroid_id,
-        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
-        | FROM unit u CROSS JOIN cent c),
-        |asg AS (SELECT vec_id, centroid_id, d FROM (
-        |  SELECT vec_id, centroid_id, d,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0) WHERE rn = 1)
-        |SELECT centroid_id, count(*) AS n_members, round(avg(d), 6) AS mean_cosine
-        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d_cluster_profile" -> clusterProfileSql,
+
+
+    // the persisted-profile read replays the per-call pipeline (same
+    // sample, same coherence arithmetic off the stored unit forms)
+    "d_cluster_profile_indexed" -> clusterProfileSql,
 
     "ann_ivf_topk" -> ivfSql,
 
@@ -947,6 +950,27 @@ object AnnQueries extends QueryPack {
   /** The SemDeDup DuckDB replay, shared by d_semantic_dedup and its
     * gate-engaged twin (bit-identical by construction).
     */
+  /** The cluster-profile DuckDB replay, shared by d_cluster_profile and
+    * its persisted-index twin (same sample, same coherence arithmetic).
+    */
+  private lazy val clusterProfileSql =
+    """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, centroid_id, d FROM (
+        |  SELECT vec_id, centroid_id, d,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1)
+        |SELECT centroid_id, count(*) AS n_members, round(avg(d), 6) AS mean_cosine
+        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+
   private lazy val semanticDedupSql =
     """WITH RECURSIVE unit AS (
         | SELECT vec_id,

@@ -653,6 +653,30 @@ object AnnIndex {
       idx.select(col("id")), "id", pairs)
   }
 
+  /** Cluster profile off the SAVED index — [[Similarity.clusterProfile]]
+    * without the per-call corpus re-assignment: per-bucket mass and
+    * coherence read from the persisted (id, bucket, bv) rows, the
+    * centroid side table broadcast (index-sized by contract) for the
+    * coherence dot. The groupBy keys on the table's own bucket layout,
+    * so the corpus side plans no shuffle — the repeated-curation read
+    * (mixture planning over embedding domains re-profiles every round).
+    * Plain tier only (codes are lossy, as in [[semanticDedupIndexed]]).
+    */
+  def clusterProfileIndexed(spark: SparkSession, table: String): DataFrame = {
+    val idx = spark.table(table)
+    require(idx.columns.contains("bv"),
+      s"clusterProfileIndexed: $table carries no unit vectors (a PQ codes " +
+        "table?) — the coherence dot needs the stored unit forms")
+    idx.where(col("bucket").isNotNull && col("bv").isNotNull)
+      .join(broadcast(spark.table(s"${table}__centroids")
+          .where(col("cv").isNotNull)),
+        col("bucket") === col("centroid_id"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(Similarity.dot(col("bv"), col("cv"))), 6)
+          .as("mean_cosine"))
+  }
+
   /** Fold accumulated appends back into the bucketed layout through the
     * same crash-safe rename-aside swap the text index's compaction uses
     * ([[InvertedIndex.swapTable]]): live ∪ appends rewrites into a
