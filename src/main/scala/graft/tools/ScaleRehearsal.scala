@@ -569,6 +569,21 @@ object ScaleRehearsal {
         "embedding", k = 10, nprobe = 3, filter = Some(rare),
         widenTo = 1 << 20).count()
     }
+    // r17: the persisted-tier curation reads — SemDeDup and the cluster
+    // profile off the saved table (scale_ann_idx from ann_index_build,
+    // already bucketed): no per-call corpus re-assignment, the pair join
+    // and the profile groupBy both ride the bucket layout. The
+    // replicated fixture's buckets exceed maxBucket (every vector has
+    // replicas-1 exact twins), so the dedup row also exercises the
+    // overflow arm's exact-dup-class bound at scale.
+    run("ann_semantic_dedup_indexed") {
+      graft.search.AnnIndex.semanticDedupIndexed(spark, "scale_ann_idx",
+        threshold = 0.35).count()
+    }
+    run("ann_cluster_profile_indexed") {
+      graft.search.AnnIndex.clusterProfileIndexed(spark, "scale_ann_idx")
+        .count()
+    }
     run("hashed_embedding") {
       // text→vector bridge at production hash: one scan-fused kernel pass
       graft.operators.FeatureHash.hashedEmbeddings(docs, "doc_id", "text",
