@@ -101,7 +101,7 @@ object Cli {
     val flags = scala.collection.mutable.Map.empty[String, Seq[String]]
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5", "--broadcast", "--per-phrase", "--lucene-slop")
+    val boolFlags = Set("--force", "--approx", "--with-locations", "--json", "--u64", "--docs", "--divergence", "--analyzed", "--fix-mojibake", "--md5", "--broadcast", "--per-phrase", "--lucene-slop", "--profile")
     while (i < argv.length) {
       val a = argv(i)
       if (a.startsWith("--")) {
@@ -1730,10 +1730,24 @@ object Cli {
               "text", dimF, uax29 = uaxF)
             deliver(search.AnnIndex.ivfKnnIndexed(spark, table, qEmb,
               "id", "emb", k = intFlag("--topk", 10),
-              nprobe = intFlag("--nprobe", 3))
+              nprobe = intFlag("--nprobe", 3),
+              filter = flag("--filter").map(expr),
+              widenTo = intFlag("--widen", 0))
               .select(col("neighbor_id").as("id"), col("cos"), col("rank")),
               ranked = false)
           }
+        case None =>
+        // persisted-tier curation reads off the SAVED table (no corpus
+        // paths touched): --profile = per-bucket mass+coherence;
+        // --dedup-semantic T = SemDeDup survivors at cosine threshold T
+        if (a.flags.contains("--profile")) {
+          search.AnnIndex.registerIvfIndex(spark, table)
+          deliver(search.AnnIndex.clusterProfileIndexed(spark, table)
+            .orderBy("centroid_id"), ranked = false)
+        } else flag("--dedup-semantic") match { case Some(t) =>
+          search.AnnIndex.registerIvfIndex(spark, table)
+          deliver(search.AnnIndex.semanticDedupIndexed(spark, table,
+            threshold = t.toDouble).orderBy("id"), ranked = false)
         case None =>
         flag("--query-text") match {
           case None =>
@@ -1772,11 +1786,17 @@ object Cli {
               .toDF("id", "text")
             val qEmb = operators.FeatureHash.hashedEmbeddings(q, "id",
               "text", dim, uax29 = uax)
+            // --filter: a SQL predicate over the index row columns (id,
+            // bucket, and any keep metadata a library build persisted);
+            // --widen N: re-probe starved filtered queries at N buckets
             deliver(search.AnnIndex.ivfKnnIndexed(spark, table, qEmb,
               "id", "emb", k = intFlag("--topk", 10),
-              nprobe = intFlag("--nprobe", 3))
+              nprobe = intFlag("--nprobe", 3),
+              filter = flag("--filter").map(expr),
+              widenTo = intFlag("--widen", 0))
               .select(col("neighbor_id").as("id"), col("cos"), col("rank")),
               ranked = false)
+        }
         }
         }
       // concordance: hits of --phrase in context (--context chars per side)

@@ -515,4 +515,52 @@ class CliFollowSpec extends SparkTestBase {
     assert(Corpus.readJsonl(spark, Seq(out1))
       .where(col("text").isNotNull).count() === 0L)
   }
+
+  test("ann persisted-tier CLI modes: --profile, --dedup-semantic, --filter/--widen") {
+    val (drop, _) = freshDirs()
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    val rnd = new scala.util.Random(99)
+    writeShard(s"$drop/day1", "a.jsonl",
+      (1 to 100).map(_ => (0 until 6)
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+      ids = (1 to 100).map(i => s"d$i"))
+    val t = "cli_ann_modes"
+    try {
+      dropAll(t)
+      Seq(s"${t}__centroids", s"${t}__meta").foreach(n =>
+        graft.queries.Tables.reset(spark, n))
+      Cli.run(spark, Array("ann", s"$drop/*", "--table", t,
+        "--dim", "16", "--step", "5", "--buckets", "4"))
+      // --profile: per-bucket mass + coherence off the saved table
+      val outP = Files.createTempDirectory("cli_ann_p").toString + "/out"
+      Cli.run(spark, Array("ann", "--table", t, "--profile", "--out", outP))
+      val prof = spark.read.json(outP)
+      assert(prof.count() > 0)
+      assert(prof.columns.toSet ===
+        Set("centroid_id", "n_members", "mean_cosine"))
+      // profile mass covers every indexed row
+      val mass = prof.agg(sum("n_members")).head().getLong(0)
+      assert(mass === spark.table(t)
+        .where(col("bucket").isNotNull && col("bv").isNotNull).count())
+      // --dedup-semantic: SemDeDup survivors (high threshold keeps most)
+      val outD = Files.createTempDirectory("cli_ann_d").toString + "/out"
+      Cli.run(spark, Array("ann", "--table", t,
+        "--dedup-semantic", "0.999", "--out", outD))
+      val kept = spark.read.json(outD).count()
+      assert(kept > 0 && kept <= 100)
+      // --filter + --widen on the query path: the predicate references
+      // the index row columns; widening keeps the call total on starved
+      // filters instead of silently short
+      val outQ = Files.createTempDirectory("cli_ann_q").toString + "/out"
+      Cli.run(spark, Array("ann", "--table", t,
+        "--query-text", "alpha bravo charlie delta echo fox",
+        "--dim", "16", "--topk", "3", "--nprobe", "1",
+        "--filter", "bucket IS NOT NULL", "--widen", "64", "--out", outQ))
+      assert(spark.read.json(outQ).count() > 0)
+    } finally {
+      dropAll(t)
+      Seq(s"${t}__centroids", s"${t}__meta").foreach(n =>
+        graft.queries.Tables.reset(spark, n))
+    }
+  }
 }
