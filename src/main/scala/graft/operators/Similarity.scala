@@ -111,6 +111,26 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Recall@k of an approximate kNN result against an exact one — the
+    * evaluation companion to every nprobe/widenTo/step dial: both inputs
+    * are (query_id, neighbor_id, …) frames (any of [[ivfKnn]],
+    * [[graft.search.AnnIndex.ivfKnnIndexed]], [[pqKnn]], [[lshKnn]] vs
+    * [[bruteForceKnn]] on the same parameters). Per query:
+    * |approx ∩ exact| / |exact| over the neighbor-id sets — queries the
+    * approximate path missed entirely score 0, never drop out. Both
+    * frames are top-k-bounded (|queries| × k rows), so the join
+    * broadcasts; no corpus data moves.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        round(sum(coalesce(col("__hit"), lit(0))) /
+          count(lit(1)).cast("double"), 4).as("recall"))
+
   /** All pairs above a cosine threshold within a blocked subset — embedding
     * near-dup detection. Pairs are (id_a < id_b).
     */

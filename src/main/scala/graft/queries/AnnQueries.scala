@@ -70,6 +70,20 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // recall@5 of the IVF path at nprobe=2 against exact brute force —
+    // the evaluation surface every nprobe/step/widenTo decision reads;
+    // nprobe=2 (not the battery's 3) so the probe-miss regime is
+    // actually exercised and the per-query recalls are non-trivial
+    "ann_recall_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      Similarity.recallAtK(
+        Similarity.ivfKnn(emb, q, "vec_id", "embedding", k = 5,
+          step = 50, nprobe = 2),
+        Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 5))
+        .orderBy("query_id")
+    }),
+
     // embedding-space drift between snapshot halves: cosine of raw mean
     // vectors + per-side mean norms — the representation-side j13
     "d_embedding_drift" -> ((s, dir) => {
@@ -695,6 +709,54 @@ object AnnQueries extends QueryPack {
     // the persisted-profile read replays the per-call pipeline (same
     // sample, same coherence arithmetic off the stored unit forms)
     "d_cluster_profile_indexed" -> clusterProfileSql,
+
+    // recall replay: the ivf pipeline at nprobe=2 + the exact unit-dot
+    // ranking, joined per (query, neighbor) — same sequential-dot
+    // arithmetic as both Spark paths, recall rounded at 4
+    "ann_recall_ivf" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 2),
+        |iscored AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM iscored) WHERE rn <= 5),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM unit WHERE vec_id % 100 = 0),
+        |escored AS (
+        | SELECT q.query_id, u.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * u.v[i]), 'sum') AS c
+        | FROM q JOIN unit u ON u.vec_id <> q.query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM escored) WHERE rn <= 5)
+        |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS recall
+        |FROM ex e LEFT JOIN ivf i
+        |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivf_topk" -> ivfSql,
 
