@@ -584,6 +584,21 @@ object ScaleRehearsal {
       graft.search.AnnIndex.clusterProfileIndexed(spark, "scale_ann_idx")
         .count()
     }
+    // r17: the maintenance lifecycle costs at scale — append assignment
+    // (frozen centroids, one scan over the arrivals only), then the
+    // upsert's crash-safe live rewrite (anti-join + bucketed relayout of
+    // the WHOLE live table: the per-invocation cost an ingest loop pays,
+    // the reason arrivals batch through appends+compact instead)
+    run("ann_assign_new_batch") {
+      graft.search.AnnIndex.assignNew(spark, "scale_ann_idx",
+        emb.where(col("vec_id") % 997 === 0), "vec_id", "embedding")
+        .count()
+    }
+    run("ann_upsert_batch") {
+      graft.search.AnnIndex.upsertIvfIndex(spark, "scale_ann_idx",
+        emb.where(col("vec_id") % 997 === 0), "vec_id", "embedding")
+      spark.table("scale_ann_idx").count()
+    }
     run("hashed_embedding") {
       // text→vector bridge at production hash: one scan-fused kernel pass
       graft.operators.FeatureHash.hashedEmbeddings(docs, "doc_id", "text",
