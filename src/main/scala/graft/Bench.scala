@@ -561,10 +561,14 @@ object Bench {
       System.err.println(s"bench: $trendPath belongs to another sf — " +
         "left untouched (set SPARK_GRAFT_TREND for this sf's history)")
     else {
+      // seed PER KEY, not all-or-nothing: a query whose history array was
+      // individually corrupt (parseHistory skips it) must still forward
+      // its legacy queries-min as a one-sample window — otherwise one
+      // inflated run would overwrite its accumulated best-known value in
+      // a single step instead of aging it out over the window
       val histIn0 = parseHistory(trendRaw)
       val histIn =
-        if (histIn0.nonEmpty) histIn0
-        else trendIn.map { case (k, v) => k -> List(v) }
+        trendIn.map { case (k, v) => k -> List(v) } ++ histIn0
       val histOut = mergeHistory(histIn,
         resultMap.filter { case (k, _) => !allFailed(k) })
       val trendOut = histOut.collect { case (k, vs) if vs.nonEmpty => k -> vs.min }

@@ -306,6 +306,13 @@ object AnnQueries extends QueryPack {
       graft.search.AnnIndex.compactIvfIndex(s, table,
         s.read.parquet(s"$tmp/appends"))
       StageTimer.mark("ann_stream_compact", "compact")
+      // the compact folded the appends INTO the table, so the temp
+      // source/append/checkpoint dirs are dead weight — delete them now
+      // (the bench replays this query several times per run; leaked
+      // parquet copies of the arrivals slice would accumulate in /tmp)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      tmpPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(tmpPath, true)
       graft.search.AnnIndex.ivfKnnIndexed(s, table,
         emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, nprobe = 3)
@@ -1009,9 +1016,6 @@ object AnnQueries extends QueryPack {
         |ORDER BY vec_id""".stripMargin
   )
 
-  /** The SemDeDup DuckDB replay, shared by d_semantic_dedup and its
-    * gate-engaged twin (bit-identical by construction).
-    */
   /** The cluster-profile DuckDB replay, shared by d_cluster_profile and
     * its persisted-index twin (same sample, same coherence arithmetic).
     */
@@ -1033,6 +1037,11 @@ object AnnQueries extends QueryPack {
         |SELECT centroid_id, count(*) AS n_members, round(avg(d), 6) AS mean_cosine
         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The SemDeDup DuckDB replay, shared by d_semantic_dedup, its
+    * gate-engaged twin (bit-identical by construction), and the
+    * persisted-index twin d_semantic_dedup_indexed (same assignment
+    * persisted, same pair semantics off the saved table).
+    */
   private lazy val semanticDedupSql =
     """WITH RECURSIVE unit AS (
         | SELECT vec_id,

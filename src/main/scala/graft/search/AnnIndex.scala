@@ -331,6 +331,15 @@ object AnnIndex {
       }
       guardCents.foreach { cents2 =>
         try {
+          // __centroids dropped BEFORE the index overwrite: a crash
+          // anywhere inside the rewrite then leaves the centroid side
+          // ABSENT and every query throws loudly at the missing table.
+          // Without the drop, a crash between the two writes would leave
+          // refined buckets probing the STALE centroid sample — and
+          // because requireQueryDim tolerates a missing __meta (pre-meta
+          // indices) and the query path never reads it otherwise, that
+          // index would be silently QUERYABLE and wrong, not unfinished.
+          InvertedIndex.dropTableAndDir(spark, s"${table}__centroids")
           assignUnit(b, cents2, keep)
             .write.mode(SaveMode.Overwrite)
             .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
@@ -463,6 +472,12 @@ object AnnIndex {
       }
       guardCents.foreach { cents2 =>
         try {
+          // __centroids dropped before the index overwrite, exactly as in
+          // [[writeIvfIndex]]'s guard: a crash anywhere inside the
+          // rewrite leaves the centroid side ABSENT (queries throw
+          // loudly) instead of a silently queryable index probing the
+          // stale sample against refined buckets
+          InvertedIndex.dropTableAndDir(spark, s"${table}__centroids")
           val reassigned = Similarity.assignWithCentroidFrame(
             assigned.select(col(idCol).as("id") +: col("bv") +:
               keep.map(col): _*),
@@ -645,7 +660,11 @@ object AnnIndex {
     // pairs checkpointed eagerly (candidate-bounded) so the CC rounds and
     // the representative probe never recompute the bucket join; NOT
     // released here — the returned frame may still depend on it lazily
-    // (string-id indexes take keepClusterRepresentative's anti-join arm)
+    // (string-id and over-gather-cap drop sets take
+    // keepClusterRepresentative's anti-join arm). Same block lifetime as
+    // the per-call semanticDedup's pair checkpoint: a long-lived curation
+    // loop calling this every round should clearCache()/unpersist on its
+    // own cadence (the bench's between-query releaseBlocks discipline)
     val pairs = Similarity.pairsFromAssigned(
       idx.select(col("id"), col("bv"), col("bucket")), "id",
       threshold, maxBucket).localCheckpoint(eager = true)
@@ -828,16 +847,26 @@ object AnnIndex {
     * candidates inside its `nprobe` probed buckets — a silent shortfall
     * the caller cannot distinguish from "the corpus holds fewer than k
     * matches". With `widenTo > nprobe`, exactly those starved queries are
-    * re-probed ONCE at `widenTo` buckets (internally capped at the
-    * centroid count — pass a large value for "exhaustive over the
-    * filtered corpus") and their rows replaced; satisfied queries keep
-    * their first-pass results untouched. Probe sets are nested prefixes
-    * of the centroid ranking, so widening only ever ADDS candidates —
-    * the replacement is exact filtered top-k within the widened probes.
-    * Cost: one extra pruned scan of (widenTo/buckets) × filter
-    * selectivity, for the starved queries only, batched. The detection
-    * itself reads the first pass's (|queries| × k)-sized result — no
-    * second corpus touch when nothing is starved.
+    * re-probed ONCE at `widenTo` buckets and their rows replaced;
+    * satisfied queries keep their first-pass results untouched. Probe
+    * sets are nested prefixes of the centroid ranking, so widening only
+    * ever ADDS candidates — the replacement is exact filtered top-k
+    * within the widened probes.
+    *
+    * Cost and shape: the first pass's (|queries| × k)-sized result is
+    * collected ONCE to a LocalRelation — detection and the returned rows
+    * share it, so the base pruned scan never re-executes. When the
+    * effective widenTo covers EVERY centroid ("pass a large value for
+    * exhaustive over the filtered corpus"), the widened pass skips probe
+    * selection entirely and scans the filtered index with the starved
+    * queries broadcast — same candidate set as probing all buckets, but
+    * no |starved| × centroids probe frame ever materializes on the
+    * driver (probeBucketsOf's LocalRelation carries the full query
+    * vector per probe row and is sized for nprobe, not for a 2^16-
+    * centroid sweep). Intermediate widenTo values take the probed pass;
+    * their driver probe frame is |starved| × widenTo by construction —
+    * bounded by the caller's dial. Either way the extra read is one
+    * scan of (widened buckets) × filter selectivity, batched.
     */
   private def widenStarved(spark: SparkSession, table: String,
                            queries: DataFrame, idCol: String, vecCol: String,
@@ -849,15 +878,34 @@ object AnnIndex {
     // join), so the starved-set arithmetic is a driver-side set diff
     val asked = queries.select(col(idCol)).distinct().collect()
       .map(_.get(0)).toSet
-    val satisfied = base.groupBy("query_id").agg(count(lit(1)).as("n"))
-      .where(col("n") >= k).select("query_id").collect()
-      .map(_.get(0)).toSet
+    val baseRows = base.collect()
+    val baseLocal = spark.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*), base.schema)
+    val satisfied = baseRows.groupBy(_.get(0))
+      .collect { case (q, rs) if rs.length >= k => q }.toSet
     val starved = asked.diff(satisfied)
-    if (starved.isEmpty) return base
-    val widened = knnPass(spark, table,
-      queries.where(col(idCol).isin(starved.toSeq: _*)),
-      idCol, vecCol, k, widenTo, filter, score)
-    base.where(!col("query_id").isin(starved.toSeq: _*))
+    if (starved.isEmpty) return baseLocal
+    val starvedQ = queries.where(col(idCol).isin(starved.toSeq: _*))
+    val nCents = spark.table(s"${table}__centroids")
+      .where(col("cv").isNotNull).count()
+    val widened =
+      if (widenTo < nCents)
+        knnPass(spark, table, starvedQ, idCol, vecCol, k, widenTo, filter,
+          score)
+      else {
+        // exhaustive: every non-null-cv centroid's bucket would be
+        // probed, which is the whole assigned table — scan it directly.
+        // Null-bucket rows (zero/null vectors) are excluded exactly as
+        // the probe join excludes them; null-unit QUERIES likewise
+        // return nothing, as they would with zero probe rows.
+        val q = Similarity.unitProject(starvedQ, idCol, "query_id",
+          vecCol, "qv").where(col("qv").isNotNull)
+        val idx0 = spark.table(table).where(col("bucket").isNotNull)
+        val idx = filter.map(idx0.where).getOrElse(idx0)
+        topK(excludeSelf(broadcast(q).join(idx), q, idx)
+          .select(col("query_id"), col("id"), score.as("cos")), k)
+      }
+    baseLocal.where(!col("query_id").isin(starved.toSeq: _*))
       .unionByName(widened)
   }
 
