@@ -198,6 +198,24 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // the FAISS refine step off the persisted codes table: ADC shortlist
+    // from the saved index, exact rescore reading ONLY the shortlist ids'
+    // full vectors from the source table — must equal the per-call
+    // ann_ivfpq_rerank exactly (same oracle SQL)
+    "ann_ivfpq_rerank_indexed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivfpq_rridx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook",
+        s"${table}__meta")
+      graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
+        step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
+        force = true)
+      graft.search.AnnIndex.ivfPqKnnRerankIndexed(s, table, emb,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, shortlist = 20, nprobe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // the PQ sibling of ann_ivf_filtered: keep-bearing codes table, the
     // predicate at the pruned scan — filtered top-k among probed codes
     "ann_ivfpq_filtered" -> ((s, dir) => {
@@ -389,6 +407,41 @@ object AnnQueries extends QueryPack {
         emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.search.Searcher.rrfFuse(Seq(bm, vec), topK = 15)
+    }),
+
+    // hybrid retrieval off BOTH persisted tiers — the production shape of
+    // e34: BM25 from the saved bucketed text index (+ persisted norms),
+    // kNN from the saved IVF table (probed buckets, not brute force),
+    // fused by reciprocal rank. The vector arm's oracle replays the IVF
+    // ranking, so the fusion is value-checked end to end across tiers.
+    "e40_hybrid_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.search.{AnnIndex, InvertedIndex, Searcher}
+      val d = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val ti = "e40_text_idx"
+      val vt = "e40_vec_idx"
+      Tables.reset(s, ti, s"${ti}__norms", s"${ti}__compacting",
+        s"${ti}__old")
+      Tables.reset(s, vt, s"${vt}__centroids", s"${vt}__meta")
+      InvertedIndex.writeIndex(
+        InvertedIndex.postings(d, "doc_id", "text", uax29 = false),
+        ti, buckets = 8, force = true)
+      InvertedIndex.persistNorms(s, ti)
+      AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+        table = vt, buckets = 8, force = true)
+      val post = InvertedIndex.readIndex(s, ti)
+      val bm = InvertedIndex.bm25TopK(post,
+        InvertedIndex.normsOf(s, ti, post),
+        Seq("spark", "window", "data"), k = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+        .select("doc_id", "rank")
+      val vec = AnnIndex.ivfKnnIndexed(s, vt,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 20, nprobe = 3)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Searcher.rrfFuse(Seq(bm, vec), topK = 15)
     }),
 
     // PCA front door: long-form sample covariance of the embedding space
@@ -834,6 +887,9 @@ object AnnQueries extends QueryPack {
 
     "ann_ivfpq_rerank" -> ivfPqRerankSql,
 
+    // the persisted refine step must reproduce the per-call plan exactly
+    "ann_ivfpq_rerank_indexed" -> ivfPqRerankSql,
+
     // the persisted IVF-PQ tables must reproduce the per-call plan exactly
     "ann_ivfpq_indexed" -> ivfPqSql,
 
@@ -885,6 +941,60 @@ object AnnQueries extends QueryPack {
          | WHERE e.vec_id <> 0),
          |vr AS (SELECT doc_id, rn AS rank FROM (SELECT doc_id,
          |   row_number() OVER (ORDER BY c DESC, doc_id) AS rn FROM vscored)
+         | WHERE rn <= 20),
+         |fused AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS contrib FROM bm
+         | UNION ALL
+         | SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) FROM vr)
+         |SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM fused GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // the persisted-tier hybrid: e34's BM25 arm verbatim; the vector arm
+    // replays the IVF probe/score ranking (top-20 for query 0) instead
+    // of brute force — the saved-index read the Spark side performs
+    "e40_hybrid_indexed" ->
+      s"""WITH q(term) AS (SELECT * FROM (VALUES ('spark'), ('window'), ('data')) v(t)),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |   len(string_split(text, ' ')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, w AS term, count(*) AS tf, any_value(dl) AS dl
+         | FROM tok JOIN q ON w = q.term GROUP BY doc_id, w),
+         |st AS (SELECT count(*) AS n_docs,
+         |   avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |bmscore AS (SELECT doc_id, round(sum(
+         |   ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |   tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+         | FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY doc_id),
+         |bm AS (SELECT doc_id, rn AS rank FROM (SELECT doc_id,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM bmscore)
+         | WHERE rn <= 20),
+         |unit AS (
+         | SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+         | FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+         |asg0 AS (
+         | SELECT u.vec_id, u.v, c.centroid_id,
+         |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+         | FROM unit u CROSS JOIN cent c),
+         |asg AS (
+         | SELECT vec_id, v, centroid_id AS bucket FROM (
+         |  SELECT vec_id, v, centroid_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+         |  FROM asg0) WHERE rn = 1),
+         |probes AS (
+         | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+         |  SELECT vec_id, v, centroid_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+         |  FROM asg0 WHERE vec_id = 0) WHERE rn <= 3),
+         |iscored AS (
+         | SELECT p.query_id, a.vec_id AS doc_id,
+         |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+         | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+         |vr AS (SELECT doc_id, rn AS rank FROM (SELECT doc_id,
+         |   row_number() OVER (ORDER BY c DESC, doc_id) AS rn FROM iscored)
          | WHERE rn <= 20),
          |fused AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS contrib FROM bm
          | UNION ALL

@@ -633,6 +633,29 @@ object AnnIndex {
         col("codes") +: keep.map(col): _*)
   }
 
+  /** The FAISS refine step off the SAVED codes table: ADC ranks a
+    * `shortlist`-sized candidate set per query from the persisted m-byte
+    * codes ([[ivfPqKnnIndexed]]), then the shortlist ids alone are
+    * rescored against the FULL vectors of `base` (the source-of-truth
+    * table the index was built from — the exact vectors are not in the
+    * codes table, that is the point of PQ) via
+    * [[Similarity.rerankExact]]. Per query batch the reads are (probed
+    * buckets) × m bytes plus |queries| × shortlist full vectors —
+    * recall recovered without ever scanning full vectors corpus-wide.
+    * Output matches [[Similarity.ivfPqKnnRerank]] on the same parameters.
+    */
+  def ivfPqKnnRerankIndexed(spark: SparkSession, table: String,
+                            base: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            shortlist: Int = 20, nprobe: Int = 3,
+                            filter: Option[Column] = None,
+                            widenTo: Int = 0): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = ivfPqKnnIndexed(spark, table, queries, idCol, vecCol,
+      shortlist, nprobe, filter, widenTo)
+    Similarity.rerankExact(base, queries, idCol, vecCol, cand, k)
+  }
+
   /** SemDeDup off the SAVED index — the repeated-curation shape: where
     * [[Similarity.semanticDedup]] re-assigns the whole corpus on every
     * call, this reads the persisted (id, bucket, bv) rows and pays ZERO
