@@ -218,6 +218,126 @@ object Multimodal {
       sequence(lit(0), greatest(floor((octet_length(data) - 1) / n).cast("int"), lit(0))),
       i => substring(data, (i * n + 1).cast("int"), lit(n)))
 
+  // ---- perceptual hashing (dHash) ----
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint): an 8×9 brightness grid, one bit per horizontally
+    * adjacent cell pair (`right > left`), packed as bit `r*8+c`. Image
+    * payloads build the grid from the bounded subsampled luma raster —
+    * resolution-invariant by construction, so re-encodes and resizes of
+    * the same picture land on the same or a near-identical hash (hamming
+    * distance measures "near"). Non-image payloads (and images smaller
+    * than the grid) take a deterministic byte-value grid (cell = mean
+    * byte of its slice, slice membership = `pos*72/len`), so the
+    * pipeline stays total and SQL-replayable on any corpus.
+    */
+  private[graft] def dHashOf(bytes: Array[Byte]): Long = {
+    val grid: Array[Double] =
+      if (ImageFormats(sniffFormat(bytes)))
+        imageGrid(bytes).getOrElse(byteGrid(bytes))
+      else byteGrid(bytes)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c + 1) > grid(r * 9 + c)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Mean byte value per grid cell; cells an under-72-byte payload never
+    * reaches stay 0.0 (matching the SQL replay's coalesce).
+    */
+  private def byteGrid(bytes: Array[Byte]): Array[Double] = {
+    val sums = new Array[Double](72)
+    val cnts = new Array[Int](72)
+    val n = bytes.length
+    var pos = 0
+    while (pos < n) {
+      val j = (pos.toLong * 72 / n).toInt
+      sums(j) += (bytes(pos) & 0xff)
+      cnts(j) += 1
+      pos += 1
+    }
+    Array.tabulate(72)(j => if (cnts(j) > 0) sums(j) / cnts(j) else 0.0)
+  }
+
+  /** Mean luma per grid cell over the subsampled raster — the same
+    * bounded decode discipline as [[decode]] (header-checked dims,
+    * subsampled read, NonFatal-total). None = not decodable or smaller
+    * than the grid → the byte arm serves as the deterministic fallback.
+    */
+  private def imageGrid(bytes: Array[Byte]): Option[Array[Double]] = {
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w < 9 || h < 8 || w > MaxDecodeDim || h > MaxDecodeDim ||
+              w.toLong * h > MaxDecodePixels) return None
+          val p = reader.getDefaultReadParam
+          p.setSourceSubsampling(math.max(1, w / 64), math.max(1, h / 64), 0, 0)
+          val img = reader.read(0, p)
+          if (img == null) return None
+          val rw = img.getWidth
+          val rh = img.getHeight
+          if (rw < 9 || rh < 8) return None
+          val sums = new Array[Double](72)
+          val cnts = new Array[Int](72)
+          var y = 0
+          while (y < rh) {
+            var x = 0
+            while (x < rw) {
+              val rgb = img.getRGB(x, y)
+              val luma = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              val j = (y.toLong * 8 / rh).toInt * 9 + (x.toLong * 9 / rw).toInt
+              sums(j) += luma
+              cnts(j) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(Array.tabulate(72)(j =>
+            if (cnts(j) > 0) sums(j) / cnts(j) else 0.0))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-asset dHash — same partition-batch shape as [[extractFeatures]]. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false))))
+    media.select("media_id", "data").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        Row(r.getLong(0), dHashOf(bytes))
+      }
+    }(enc)
+  }
+
+  /** Duplicate stats keyed on the perceptual hash — the rung between
+    * exact payload md5 ([[mediaDuplicateStats]]) and embedding cosine
+    * ([[mediaNearDuplicates]]) in the LAION-style dedup ladder: catches
+    * lossless re-encodes and resizes that byte hashing cannot, cheaper
+    * than pairwise cosine (an 8-byte groupBy key, the J1/A11 partial-agg
+    * shape).
+    */
+  def perceptualDuplicateStats(media: DataFrame): DataFrame =
+    Dedup.duplicateStats(perceptualHash(media), col("dhash"))
+
   // ---- media dedup ladder (the LAION-style pipeline: exact payload hash,
   // then feature-space near-dup over the decoded embeddings) ----
 

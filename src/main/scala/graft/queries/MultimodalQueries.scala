@@ -28,6 +28,17 @@ object MultimodalQueries extends QueryPack {
       Multimodal.mediaDuplicateStats(media)
     }),
 
+    // perceptual-hash dedup (dHash): the rung between exact payload md5
+    // and embedding cosine — an 8×9 brightness grid, one bit per
+    // adjacent-cell comparison, duplicate stats over the packed 64-bit
+    // hash. Text payloads take the deterministic byte-grid arm, which
+    // the oracle replays cell for cell (the corpus is ASCII-asserted, so
+    // DuckDB char ops equal byte ops; the image arm is spec-tested on
+    // real PNG rasters where SQL cannot follow)
+    "m_dhash_dup" -> ((s, dir) =>
+      Multimodal.perceptualDuplicateStats(
+        Multimodal.fromText(Tables(s, dir, "documents"), "doc_id", "text"))),
+
     // resize planning (the metadata half of a real batch resize): synth
     // dims derived deterministically from the text so the aspect-ratio /
     // never-upscale / zero-dim-passthrough arithmetic is value-checked
@@ -105,6 +116,35 @@ object MultimodalQueries extends QueryPack {
         |    AS frame_bytes
         |FROM ix WHERE i % 2 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the dHash byte arm replayed cell for cell: per-byte cell index
+    // pos*72//L, cell = avg byte, bit r*8+c set when right cell > left,
+    // bit 63 contributing the two's-complement sign term (DuckDB's
+    // BIGINT << 63 overflows, so the top bit adds -2^63 via HUGEINT)
+    "m_dhash_dup" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),
+        |ch AS (SELECT doc_id, i - 1 AS pos, ord(substr(text, CAST(i AS INT), 1)) AS v, L
+        |  FROM (SELECT doc_id, text, L, unnest(generate_series(1, L)) AS i FROM b WHERE L > 0)),
+        |cells AS (SELECT doc_id, (pos * 72) // L AS j, avg(CAST(v AS DOUBLE)) AS cv
+        |  FROM ch GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, g.j, coalesce(c.cv, 0.0) AS cv
+        |  FROM (SELECT DISTINCT doc_id FROM b) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS j) g
+        |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.j = g.j),
+        |bits AS (SELECT l.doc_id, ((l.j // 9) * 8 + (l.j % 9)) AS bit,
+        |    (r.cv > l.cv) AS s
+        |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.j = l.j + 1
+        |  WHERE l.j % 9 < 8),
+        |hash AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN s AND bit < 63 THEN (1::BIGINT << CAST(bit AS INT))::HUGEINT ELSE 0::HUGEINT END)
+        |   + sum(CASE WHEN s AND bit = 63 THEN (-9223372036854775808)::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |hc AS (SELECT dhash, count(*) AS c FROM hash GROUP BY 1)
+        |SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS duplicates,
+        | CAST(sum(c) AS BIGINT) AS total,
+        | count(CASE WHEN c > 1 THEN 1 END) AS uniq_duplicates,
+        | count(*) AS uniq_total
+        |FROM hc""".stripMargin,
 
     "m_media_dup" ->
       """WITH p AS (SELECT md5(array_to_string(

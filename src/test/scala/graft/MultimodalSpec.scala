@@ -151,4 +151,64 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getInt(1))).toSeq
     assert(out === Seq((400, 200), (100, 50), (0, 0), (100, 400)))
   }
+
+  /** Diagonal brightness gradient — smooth pattern whose 8x9 cell means
+    * are resolution-invariant up to boundary rounding, exercising the
+    * dHash image arm's perceptual property.
+    */
+  private def gradientImage(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = ((x * 255 / w) + (y * 255 / h)) / 2
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    pngBytes(img)
+  }
+
+  test("dHash: byte arm replays the SQL grid exactly; golden values pinned") {
+    // the same vectors the m_dhash_dup oracle prototype was checked on —
+    // pinned so the byte-grid arithmetic (pos*72/len cell mapping, mean
+    // byte, strict right>left bits, bit 63 sign) can never drift
+    def h(t: String) = Multimodal.dHashOf(t.getBytes("UTF-8"))
+    assert(h("hello world this is a test of the perceptual hash machinery")
+      === 7729961830188487786L)
+    assert(h("zzzz " * 40) === 5353172790017673802L)
+    assert(h("ab" * 200) === -3689348814741910324L) // bit-63 case
+    assert(h("a") === 0L)
+    assert(h("") === 0L)
+    // perceptual, not avalanche: one byte changed in the middle touches
+    // at most two grid cells -> at most 4 comparison bits
+    val base = ("x" * 100 + "m" + "y" * 100).getBytes("UTF-8")
+    val flip = ("x" * 100 + "Q" + "y" * 100).getBytes("UTF-8")
+    val dist = java.lang.Long.bitCount(
+      Multimodal.dHashOf(base) ^ Multimodal.dHashOf(flip))
+    assert(dist <= 4, s"one-byte change moved $dist bits")
+  }
+
+  test("dHash image arm: deterministic, resolution-invariant, distinct from the byte arm") {
+    val small = gradientImage(64, 48)
+    val small2 = gradientImage(64, 48)
+    val big = gradientImage(128, 96)
+    val hSmall = Multimodal.dHashOf(small)
+    // lossless PNG: identical raster -> identical hash
+    assert(hSmall === Multimodal.dHashOf(small2))
+    // the image arm actually ran (a byte-grid hash of the compressed PNG
+    // stream would be unrelated to the raster)
+    assert(Multimodal.perceptualHash(
+      { import spark.implicits._
+        Seq((1L, small)).toDF("media_id", "data") })
+      .head().getLong(1) === hSmall)
+    // the SAME picture at 2x resolution: near-identical cell means ->
+    // small hamming distance (boundary rounding may flip a few bits)
+    val dist = java.lang.Long.bitCount(hSmall ^ Multimodal.dHashOf(big))
+    assert(dist <= 6, s"2x re-render moved $dist bits")
+    // and a DIFFERENT picture is far away (flag vs gradient)
+    val far = java.lang.Long.bitCount(
+      hSmall ^ Multimodal.dHashOf(flagImage(64, 48)))
+    assert(far > 16, s"distinct images only $far bits apart")
+    // undecodable / smaller-than-grid images fall back to the byte arm
+    assert(Multimodal.dHashOf(Multimodal.tinyPngFixture) ===
+      Multimodal.dHashOf(Multimodal.tinyPngFixture))
+  }
 }
