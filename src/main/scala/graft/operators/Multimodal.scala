@@ -328,6 +328,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual NEAR-duplicate pairs: dHashes within `maxHamming` bits,
+    * found by banded blocking — the 64-bit hash splits into `bands`
+    * equal slices, candidates pair within equal (band, key) blocks, and
+    * the exact hamming distance verifies. Pigeonhole guarantee: any pair
+    * within `bands − 1` bits shares at least one band, so the default
+    * (4 bands, maxHamming 3) is EXACT — no missed pairs; raise `bands`
+    * to widen the guaranteed radius. The shuffle carries (id, hash,
+    * band key) rows only — bands × corpus, never payloads; the pair join
+    * is block-local, the SimHash/LSH shape. Output: (id_a, id_b,
+    * hamming), id_a < id_b, each pair once however many bands it shares.
+    */
+  def perceptualNearDuplicates(media: DataFrame, maxHamming: Int = 3,
+                               bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming < 64, s"maxHamming $maxHamming is the whole hash")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val h = perceptualHash(media)
+    val banded = h.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Duplicate stats keyed on the perceptual hash — the rung between
     * exact payload md5 ([[mediaDuplicateStats]]) and embedding cosine
     * ([[mediaNearDuplicates]]) in the LAION-style dedup ladder: catches

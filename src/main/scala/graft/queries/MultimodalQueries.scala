@@ -39,6 +39,23 @@ object MultimodalQueries extends QueryPack {
       Multimodal.perceptualDuplicateStats(
         Multimodal.fromText(Tables(s, dir, "documents"), "doc_id", "text"))),
 
+    // perceptual NEAR-dup pairs (banded hamming blocking over dHash):
+    // every doc paired with an in-place last-byte perturbation of itself
+    // — length unchanged, so only the final grid cell's mean moves and
+    // the pair lands within the hamming≤3 radius the 4-band blocking
+    // GUARANTEES by pigeonhole (an append would shift every slice
+    // boundary instead — that regime is the embedding rung's job)
+    "m_dhash_neardup" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val twin = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
+          .as("text"))
+      Multimodal.perceptualNearDuplicates(
+        Multimodal.fromText(d.select("doc_id", "text").union(twin),
+          "doc_id", "text"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // resize planning (the metadata half of a real batch resize): synth
     // dims derived deterministically from the text so the aspect-ratio /
     // never-upscale / zero-dim-passthrough arithmetic is value-checked
@@ -145,6 +162,41 @@ object MultimodalQueries extends QueryPack {
         | count(CASE WHEN c > 1 THEN 1 END) AS uniq_duplicates,
         | count(*) AS uniq_total
         |FROM hc""".stripMargin,
+
+    // the near-dup replay: the m_dhash_dup grid/bits/hash CTEs over the
+    // doc ∪ perturbed-twin set, then 16-bit band blocking (arithmetic
+    // shift + mask agree with Java's >> on negatives — probed) and the
+    // exact bit_count(xor) verify
+    "m_dhash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 1000000,
+        |   concat(substr(text, 1, length(text) - 1), '~') FROM documents),
+        |b AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM base),
+        |ch AS (SELECT doc_id, i - 1 AS pos, ord(substr(text, CAST(i AS INT), 1)) AS v, L
+        |  FROM (SELECT doc_id, text, L, unnest(generate_series(1, L)) AS i FROM b WHERE L > 0)),
+        |cells AS (SELECT doc_id, (pos * 72) // L AS j, avg(CAST(v AS DOUBLE)) AS cv
+        |  FROM ch GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, g.j, coalesce(c.cv, 0.0) AS cv
+        |  FROM (SELECT DISTINCT doc_id FROM b) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS j) g
+        |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.j = g.j),
+        |bits AS (SELECT l.doc_id, ((l.j // 9) * 8 + (l.j % 9)) AS bit,
+        |    (r.cv > l.cv) AS s
+        |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.j = l.j + 1
+        |  WHERE l.j % 9 < 8),
+        |hash AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN s AND bit < 63 THEN (1::BIGINT << CAST(bit AS INT))::HUGEINT ELSE 0::HUGEINT END)
+        |   + sum(CASE WHEN s AND bit = 63 THEN (-9223372036854775808)::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS dhash
+        |  FROM bits GROUP BY 1),
+        |banded AS (SELECT doc_id, dhash, bd AS band,
+        |   (dhash >> (bd * 16)) & 65535 AS key
+        |  FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS bd FROM hash)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |   bit_count(xor(a.dhash, bb.dhash)) AS hamming
+        |  FROM banded a JOIN banded bb
+        |   ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     "m_media_dup" ->
       """WITH p AS (SELECT md5(array_to_string(

@@ -211,4 +211,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.dHashOf(Multimodal.tinyPngFixture) ===
       Multimodal.dHashOf(Multimodal.tinyPngFixture))
   }
+
+  test("perceptual near-dup: banded blocking finds exactly the brute-force pairs") {
+    import spark.implicits._
+    // payloads engineered for a mixed pairwise-hamming spectrum: one
+    // exact twin (hamming 0), in-place single-char flips (small), and a
+    // reversed pattern (far) — the operator must return EXACTLY the
+    // brute-force pairs within the radius (pigeonhole: 4 bands catch
+    // every pair within 3 bits), and none beyond it
+    val base = "x" * 120 + "y" * 120
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      0L -> base,
+      1L -> base, // exact twin
+      2L -> (base.substring(0, 60) + "Q" + base.substring(61)),
+      3L -> (base.substring(0, 180) + "Q" + base.substring(181)),
+      4L -> ("az" * 8 + "zzzz") * 12, // far (measured hamming ~36 from base)
+      5L -> (0 until 240).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    ).map { case (i, t) => (i, t.getBytes("UTF-8")) }
+    val expected = (for {
+      (ia, ba) <- payloads; (ib, bb) <- payloads if ia < ib
+      h = java.lang.Long.bitCount(
+        Multimodal.dHashOf(ba) ^ Multimodal.dHashOf(bb))
+      if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(expected.nonEmpty)
+    // …and the spectrum really has excluded pairs (far side exercised)
+    assert(expected.size < payloads.size * (payloads.size - 1) / 2)
+    val df = payloads.toDF("media_id", "data")
+    val got = Multimodal.perceptualNearDuplicates(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
 }
