@@ -459,6 +459,34 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding", step = 50, perCluster = 3)
         .orderBy("bucket", "rank")),
 
+    // the third persisted curation read: per-cluster quota sampling off
+    // the saved assignment (rank window riding the bucket layout, no
+    // re-assignment) — same sample as d_cluster_sample, same oracle
+    "d_cluster_sample_indexed" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_csamp_idx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true)
+      graft.search.AnnIndex.clusterBalancedSampleIndexed(s, table,
+        perCluster = 3)
+        .select(col("id").as("vec_id"), col("bucket"), col("rank"))
+        .orderBy("bucket", "rank")
+    }),
+
+    // recall@5 of the IVF-PQ composition against exact brute force — the
+    // quantization-loss number (m=8 over 64 dims on near-uniform
+    // synthetic vectors is PQ's worst case; the dial is the contract)
+    "ann_recall_ivfpq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      Similarity.recallAtK(
+        Similarity.ivfPqKnn(emb, q, "vec_id", "embedding", k = 5,
+          step = 50, nprobe = 3, m = 8, codeStep = 50),
+        Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 5))
+        .orderBy("query_id")
+    }),
+
     // greedy farthest-point k-center selection (Gonzalez) — the
     // diversity-subset curation primitive; fully deterministic (min-id
     // seed, argmax cosine distance, id tie-break), so every selection
@@ -818,6 +846,27 @@ object AnnQueries extends QueryPack {
         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // PQ recall replay: the ivfPq ADC ranking (ranked CTE) joined against
+    // the exact unit-dot top-5 per (query, neighbor)
+    "ann_recall_ivfpq" ->
+      s"""${ivfPqCtes()},
+         |pq AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM unit WHERE vec_id % 100 = 0),
+         |escored AS (
+         | SELECT qs.query_id, u.vec_id AS neighbor_id,
+         |  list_aggregate(list_transform(generate_series(1, 64), i -> qs.qv[i] * u.v[i]), 'sum') AS c
+         | FROM qs JOIN unit u ON u.vec_id <> qs.query_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM escored) WHERE rn <= 5)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  round(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS recall
+         |FROM ex e LEFT JOIN pq p
+         |  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ann_ivf_topk" -> ivfSql,
 
     // the SAME replay checks the PERSISTED index path: build + probe must
@@ -1024,33 +1073,11 @@ object AnnQueries extends QueryPack {
         |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN n
         |ORDER BY i, j""".stripMargin,
 
-    // the IVF assignment CTEs (ivfSql's) + a per-bucket md5 rank
-    "d_cluster_sample" ->
-      """WITH unit0 AS (
-        | SELECT vec_id, embedding,
-        |  sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
-        | FROM embeddings WHERE embedding IS NOT NULL),
-        |unit AS (SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
-        | FROM unit0 WHERE nrm > 0),
-        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
-        |asg0 AS (
-        | SELECT u.vec_id, c.centroid_id,
-        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
-        | FROM unit u CROSS JOIN cent c),
-        |asg AS (
-        | SELECT vec_id, centroid_id AS bucket FROM (
-        |  SELECT vec_id, centroid_id,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
-        |  FROM asg0)
-        | WHERE rn = 1),
-        |ranked AS (
-        | SELECT vec_id, bucket,
-        |  row_number() OVER (PARTITION BY bucket
-        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
-        | FROM asg)
-        |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, CAST(rank AS BIGINT) AS rank
-        |FROM ranked WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin,
+    // the IVF assignment CTEs (ivfSql's) + a per-bucket md5 rank —
+    // shared with the persisted-index twin (same sample, same rank)
+    "d_cluster_sample" -> clusterSampleSql,
+    "d_cluster_sample_indexed" -> clusterSampleSql,
+
 
     // the k-center greedy replayed round by round: each cN picks the
     // farthest-from-selected point (cosine distance over unit vectors,
@@ -1129,6 +1156,36 @@ object AnnQueries extends QueryPack {
   /** The cluster-profile DuckDB replay, shared by d_cluster_profile and
     * its persisted-index twin (same sample, same coherence arithmetic).
     */
+  /** The cluster-sample DuckDB replay, shared by d_cluster_sample and
+    * its persisted-index twin.
+    */
+  private lazy val clusterSampleSql =
+    """WITH unit0 AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
+        | FROM embeddings WHERE embedding IS NOT NULL),
+        |unit AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+        | FROM unit0 WHERE nrm > 0),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, centroid_id AS bucket FROM (
+        |  SELECT vec_id, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0)
+        | WHERE rn = 1),
+        |ranked AS (
+        | SELECT vec_id, bucket,
+        |  row_number() OVER (PARTITION BY bucket
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+        | FROM asg)
+        |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin
+
   private lazy val clusterProfileSql =
     """WITH unit AS (
         | SELECT vec_id,

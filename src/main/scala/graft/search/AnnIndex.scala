@@ -719,6 +719,32 @@ object AnnIndex {
           .as("mean_cosine"))
   }
 
+  /** Cluster-balanced sample off the SAVED index — the third persisted
+    * curation read (with [[semanticDedupIndexed]] and
+    * [[clusterProfileIndexed]]): up to `perCluster` rows per bucket by
+    * deterministic md5-of-id rank, straight from the persisted
+    * assignment. The rank window partitions on the table's own bucket
+    * layout and `rank <= n` pushes a partial WindowGroupLimit below any
+    * exchange, so no task sorts more than ~perCluster rows per bucket —
+    * and the corpus is never re-assigned. Output matches
+    * [[Similarity.clusterBalancedSample]] on the same sample:
+    * (id, bucket, rank).
+    */
+  def clusterBalancedSampleIndexed(spark: SparkSession, table: String,
+                                   perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    // null buckets = zero/null vectors: their null similarities would
+    // land them in an arbitrary bucket where small md5 ranks could evict
+    // real members from the quota — same drop as the per-call operator
+    val w = Window.partitionBy("bucket")
+      .orderBy(asc("__cbs_h"), col("id").asc)
+    spark.table(table).where(col("bucket").isNotNull)
+      .withColumn("__cbs_h", md5(col("id").cast("string")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= perCluster)
+      .select(col("id"), col("bucket"), col("rank").cast("long").as("rank"))
+  }
+
   /** Fold accumulated appends back into the bucketed layout through the
     * same crash-safe rename-aside swap the text index's compaction uses
     * ([[InvertedIndex.swapTable]]): live ∪ appends rewrites into a
