@@ -235,11 +235,15 @@ object AnnQueries extends QueryPack {
     // recall under a SELECTIVE filter (~1%: label=3 ∧ id%10=0): at
     // nprobe=3 queries routinely find fewer than k passing candidates in
     // their probed buckets, and the widenTo dial re-probes exactly those
-    // starved queries once — widenTo=64 exceeds every tested sf's
-    // centroid count, so the widened pass is exhaustive over the filtered
-    // corpus and the starved queries recover the true filtered top-k.
-    // Satisfied queries keep their nprobe=3 rows untouched (pinned by the
-    // oracle, which replays both regimes and the starved-set split).
+    // starved queries once. widenTo is DERIVED from the built index's
+    // centroid count (not a constant that happens to exceed it — the r17
+    // advice: a future larger sf would silently flip the Spark side into
+    // the probed-at-64 branch while the oracle ranks the whole filtered
+    // corpus), so the widened pass is exhaustive over the filtered corpus
+    // at EVERY sf and the starved queries recover the true filtered
+    // top-k. Satisfied queries keep their nprobe=3 rows untouched (pinned
+    // by the oracle, which replays both regimes and the starved-set
+    // split).
     "ann_ivf_filtered_rare" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val table = "ann_ivf_ridx"
@@ -247,11 +251,13 @@ object AnnQueries extends QueryPack {
       graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
         step = 50, table = table, buckets = 8, force = true,
         keep = Seq("label"))
+      val exhaustive = math.max(4,
+        graft.search.AnnIndex.centroidCountOf(s, table)).toInt
       graft.search.AnnIndex.ivfKnnIndexed(s, table,
         emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 3, nprobe = 3,
         filter = Some(col("label") === 3 && col("id") % 10 === 0),
-        widenTo = 64)
+        widenTo = exhaustive)
         .orderBy("query_id", "rank")
     }),
 
@@ -361,7 +367,8 @@ object AnnQueries extends QueryPack {
 
     // the PQ sibling of ann_ivf_filtered_rare: the same rare predicate
     // and widenTo recall dial over the m-byte codes tier — starved
-    // queries re-probe exhaustively and rank by the SAME ADC arithmetic
+    // queries re-probe exhaustively (widenTo derived from the centroid
+    // count, as above) and rank by the SAME ADC arithmetic
     "ann_ivfpq_filtered_rare" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val table = "ann_ivfpq_ridx"
@@ -370,11 +377,13 @@ object AnnQueries extends QueryPack {
       graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
         step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
         force = true, keep = Seq("label"))
+      val exhaustive = math.max(4,
+        graft.search.AnnIndex.centroidCountOf(s, table)).toInt
       graft.search.AnnIndex.ivfPqKnnIndexed(s, table,
         emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 3, nprobe = 3,
         filter = Some(col("label") === 3 && col("id") % 10 === 0),
-        widenTo = 64)
+        widenTo = exhaustive)
         .orderBy("query_id", "rank")
     }),
 

@@ -10,12 +10,21 @@ import graft.operators.Similarity
   * index as Spark TABLES, mirroring [[InvertedIndex]]'s posture for text:
   * where [[Similarity.ivfKnn]] re-assigns the whole corpus on every call
   * (right for one-shot questions), this tier pays the assignment scan once
-  * at build time and persists (id, bucket, unit vector) BUCKETED BY the
-  * IVF bucket — so a kNN query reads ONLY its `nprobe` probed buckets'
-  * files (bucket pruning, the SelectedBucketsCount discipline
-  * spec-asserted like the text index's term lookups). At 100 TB of
-  * vectors that is the difference between a corpus scan per query batch
-  * and an (nprobe/buckets)-sized pruned read.
+  * at build time and persists (id, bucket, unit vector) with one
+  * PARTITION DIRECTORY PER IVF BUCKET (`pbucket=<bucket>` — the inverted
+  * list AS the partition, the on-disk shape FAISS gives its inverted
+  * lists) plus file-bucketing by `bucket` within. A kNN query reads ONLY
+  * its `nprobe` probed lists' directories (catalog partition pruning,
+  * spec-asserted on the pruned path count like the text index's term
+  * lookups), and — the r18 point of the layout — maintenance rewrites
+  * ONLY the lists an append batch touches ([[compactIvfIndex]]/
+  * [[upsertIvfIndex]] fold per-partition instead of relaying out the
+  * whole table). At 100 TB of vectors that is the difference between a
+  * corpus scan per query batch and an (nprobe/lists)-sized pruned read —
+  * and between a table-sized and a batch-sized maintenance pass. The
+  * build pays ONE bucket-keyed shuffle for this layout (each list lands
+  * in exactly one task → one file per list); that is the one-time price
+  * of batch-shaped maintenance and exact list pruning.
   *
   * Side tables: centroids (index-sized: n/step rows) in
   * `<table>__centroids`; build parameters (buckets, dim, step, hashed,
@@ -29,6 +38,51 @@ import graft.operators.Similarity
 object AnnIndex {
 
   // ---- shared internals ----
+
+  /** Partition column of the persisted layout: one directory per IVF
+    * bucket, the partition VALUE being the bucket id itself. Kept
+    * alongside the `bucket` data column (a column cannot be both
+    * partition key and file-bucket key) so every query path keeps
+    * reading `bucket` unchanged while the writer gets per-list
+    * directories. No leading underscore: Hive metastore partition-filter
+    * pushdown rejects `_`-prefixed partition names, and this layout
+    * should survive a metastore deployment.
+    */
+  private[graft] val PartCol = "pbucket"
+
+  /** Resolved filesystem location of a cataloged table (NOT assumed to
+    * be `warehouse/<name>` — a re-registered external index lives where
+    * its debris was found).
+    */
+  private def tableLoc(spark: SparkSession,
+                       name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+
+  private def warehousePath(spark: SparkSession,
+                            name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+
+  /** The persisted-layout writer shared by both tiers' builds, the
+    * balance-guard rewrites, and the maintenance fold's staging write:
+    * `df` (id/bucket/payload rows) lands partitioned by [[PartCol]] (=
+    * the bucket id) and file-bucketed by `bucket` within. The
+    * `repartition(bucket)` is the layout's ONE bucket-keyed shuffle —
+    * it co-locates each inverted list in a single task so every
+    * partition directory gets exactly one file (without it a corpus
+    * scan's every task would open a writer per list it sees: tasks ×
+    * lists files, the small-file explosion that killed the
+    * zero-shuffle-write variant at a 40k-list rehearsal).
+    */
+  private def writeIndexRows(df: DataFrame, buckets: Int, table: String,
+                             mode: SaveMode): Unit =
+    df.withColumn(PartCol, col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode(mode).format("parquet")
+      .partitionBy(PartCol).bucketBy(buckets, "bucket").sortBy("bucket")
+      .saveAsTable(table)
 
   /** Assign unit vectors to their argmax-cosine centroid (tie → lower
     * centroid id) — the ONE copy of the assignment the build and append
@@ -96,7 +150,13 @@ object AnnIndex {
                           probes: DataFrame): DataFrame = {
     val probeBuckets = probes.select("bucket").distinct()
       .collect().map(_.getLong(0))
-    spark.table(table).where(col("bucket").isin(probeBuckets: _*))
+    val idx = spark.table(table).where(col("bucket").isin(probeBuckets: _*))
+    // per-list layout: the same literal list prunes PARTITION directories
+    // (the probed lists are the only paths listed/read); legacy bucketed-
+    // only tables skip the clause and keep their file-bucket pruning
+    if (idx.columns.contains(PartCol))
+      idx.where(col(PartCol).isin(probeBuckets: _*))
+    else idx
   }
 
   /** Per-query top-k over (query_id, id, cos) candidates — self-match
@@ -110,13 +170,40 @@ object AnnIndex {
         round(col("cos"), 4).as("cos"), col("rank").cast("long").as("rank"))
   }
 
+  /** `ncents` = the FINAL non-null centroid count (counted off the
+    * written `__centroids`, so a balance-guard rewrite is reflected) —
+    * the number [[widenStarved]]'s exhaustive-vs-probed decision reads
+    * per query; recording it here removes a per-call count() over the
+    * side table. `plist` = the per-list partitioned layout marker
+    * (maintenance and recovery branch on it; absent in pre-r18 metas,
+    * which read as legacy whole-table-fold indexes).
+    */
   private def writeMeta(spark: SparkSession, table: String, buckets: Int,
-                        dim: Int, step: Int, hashed: Boolean, m: Int): Unit = {
+                        dim: Int, step: Int, hashed: Boolean, m: Int,
+                        ncents: Long, plist: Boolean = true): Unit = {
     import spark.implicits._
-    Seq((buckets, dim, step, hashed, m))
-      .toDF("buckets", "dim", "step", "hashed", "m")
+    Seq((buckets, dim, step, hashed, m, ncents, plist))
+      .toDF("buckets", "dim", "step", "hashed", "m", "ncents", "plist")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}__meta")
+  }
+
+  /** Non-null centroid count of a saved index — from `__meta`'s `ncents`
+    * (one one-row read) when present; pre-ncents indices fall back to
+    * counting the side table.
+    */
+  private[graft] def centroidCountOf(spark: SparkSession,
+                                     table: String): Long = {
+    val meta = s"${table}__meta"
+    val fromMeta =
+      if (spark.catalog.tableExists(meta)) {
+        val r = spark.table(meta).head()
+        if (r.schema.fieldNames.contains("ncents"))
+          Some(r.getAs[Long]("ncents"))
+        else None
+      } else None
+    fromMeta.getOrElse(
+      spark.table(s"${table}__centroids").where(col("cv").isNotNull).count())
   }
 
   /** Fail fast when the query vectors' dimensionality differs from the
@@ -263,10 +350,8 @@ object AnnIndex {
       // table that this build would otherwise leave to be re-registered
       // against bv-carrying rows.
       if (force) dropSideTables(spark, table)
-      assignUnit(b, cents, keep)
-        .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-        .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
-        .saveAsTable(table)
+      writeIndexRows(assignUnit(b, cents, keep), buckets, table,
+        if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       cents.write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__centroids")
       // ---- balance guard: rerun a degenerate centroid selection ----
@@ -340,10 +425,8 @@ object AnnIndex {
           // indices) and the query path never reads it otherwise, that
           // index would be silently QUERYABLE and wrong, not unfinished.
           InvertedIndex.dropTableAndDir(spark, s"${table}__centroids")
-          assignUnit(b, cents2, keep)
-            .write.mode(SaveMode.Overwrite)
-            .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
-            .saveAsTable(table)
+          writeIndexRows(assignUnit(b, cents2, keep), buckets, table,
+            SaveMode.Overwrite)
           cents2.write.mode(SaveMode.Overwrite).format("parquet")
             .saveAsTable(s"${table}__centroids")
         } finally
@@ -360,7 +443,9 @@ object AnnIndex {
       }
       // the completion record, LAST (see the force-rebuild crash contract
       // in the scaladoc) — also past the guard's possible rewrite above
-      writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0)
+      writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0,
+        ncents = spark.table(s"${table}__centroids")
+          .where(col("cv").isNotNull).count())
     } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents)
   }
 
@@ -400,16 +485,16 @@ object AnnIndex {
       // __centroids/__codebook, never ADC-decoding new codes against the
       // OLD codebook (silent garbage neighbors)
       if (force) dropSideTables(spark, table)
-      Similarity.pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
-        // LONG bucket: prunedIndex probes with long literals, and an
-        // int-typed column would be wrapped in a Cast that silently
-        // defeats file-bucket pruning (int-id corpora assign int buckets)
-        .select(col(idCol).as("id") +:
-          col("bucket").cast("long").as("bucket") +:
-          col("codes") +: keep.map(col): _*)
-        .write.mode(if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-        .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
-        .saveAsTable(table)
+      writeIndexRows(
+        Similarity.pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
+          // LONG bucket: prunedIndex probes with long literals, and an
+          // int-typed column would be wrapped in a Cast that silently
+          // defeats list pruning (int-id corpora assign int buckets)
+          .select(col(idCol).as("id") +:
+            col("bucket").cast("long").as("bucket") +:
+            col("codes") +: keep.map(col): _*),
+        buckets, table,
+        if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       assigned.where(col(idCol) % step === 0)
         .select(col(idCol).cast("long").as("centroid_id"), col("bv").as("cv"))
         .write.mode(SaveMode.Overwrite).format("parquet")
@@ -482,12 +567,11 @@ object AnnIndex {
             assigned.select(col(idCol).as("id") +: col("bv") +:
               keep.map(col): _*),
             "id", cents2, "writeIvfPqIndex.guard", keep)
-          Similarity.pqEncodeOnUnit(graft.Par.fanOut(reassigned), codebook)
-            .select(col("id") +: col("bucket").cast("long").as("bucket") +:
-              col("codes") +: keep.map(col): _*)
-            .write.mode(SaveMode.Overwrite)
-            .format("parquet").bucketBy(buckets, "bucket").sortBy("bucket")
-            .saveAsTable(table)
+          writeIndexRows(
+            Similarity.pqEncodeOnUnit(graft.Par.fanOut(reassigned), codebook)
+              .select(col("id") +: col("bucket").cast("long").as("bucket") +:
+                col("codes") +: keep.map(col): _*),
+            buckets, table, SaveMode.Overwrite)
           cents2.write.mode(SaveMode.Overwrite).format("parquet")
             .saveAsTable(s"${table}__centroids")
         } finally
@@ -506,7 +590,9 @@ object AnnIndex {
       // exactly like [[writeIvfIndex]]'s crash contract
       writeMeta(spark, table, buckets,
         dim = codebook.map(_.head.length).sum, step = step, hashed = false,
-        m = m)
+        m = m,
+        ncents = spark.table(s"${table}__centroids")
+          .where(col("cv").isNotNull).count())
     } finally assigned.unpersist(blocking = false)
   }
 
@@ -530,10 +616,30 @@ object AnnIndex {
     registerPlain(s"${table}__meta")
     val buckets = spark.table(s"${table}__meta").head().getAs[Int]("buckets")
     if (!spark.catalog.tableExists(table)) {
-      val schema = spark.read.parquet(loc(table)).schema.toDDL
-      spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
-        s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
-        s"LOCATION '${loc(table)}'")
+      val inferred = spark.read.parquet(loc(table)).schema
+      if (inferred.fieldNames.contains(PartCol)) {
+        // per-list layout: the partition column's type must be pinned to
+        // BIGINT explicitly — directory-name inference types small values
+        // INT, and an INT pbucket under LONG probe literals would wrap
+        // every partition filter in a Cast (and unionByName maintenance
+        // frames in a coercion)
+        val schema = org.apache.spark.sql.types.StructType(
+          inferred.filterNot(_.name == PartCol) :+
+            org.apache.spark.sql.types.StructField(PartCol,
+              org.apache.spark.sql.types.LongType)).toDDL
+        spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
+          s"PARTITIONED BY ($PartCol) " +
+          s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
+          s"LOCATION '${loc(table)}'")
+        // a freshly created partitioned catalog table has NO partition
+        // entries — without recovery every read returns empty
+        spark.catalog.recoverPartitions(table)
+      } else {
+        val schema = inferred.toDDL
+        spark.sql(s"CREATE TABLE `$table` ($schema) USING parquet " +
+          s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
+          s"LOCATION '${loc(table)}'")
+      }
     }
     registerPlain(s"${table}__centroids")
     val cb = s"${table}__codebook"
@@ -571,7 +677,7 @@ object AnnIndex {
   private def requireKeepNames(keep: Seq[String]): Unit = {
     val reserved = Set("id", "bucket", "bv", "codes", "decoded", "query_id",
       "qv", "cos", "rank", "neighbor_id", "csim", "rn", "__v", "__n",
-      "__best", "__pb", "__enc")
+      "__best", "__pb", "__enc", PartCol, "__starved_id")
     // case-INSENSITIVE: Spark resolves columns case-insensitively by
     // default, so keep = Seq("Bucket") would slip a case-sensitive guard
     // and only fail (or silently ambiguate) after the expensive build —
@@ -589,7 +695,7 @@ object AnnIndex {
     */
   private[graft] def keepOf(spark: SparkSession, table: String): Seq[String] =
     spark.table(table).columns.toSeq
-      .filterNot(Set("id", "bucket", "bv", "codes"))
+      .filterNot(Set("id", "bucket", "bv", "codes", PartCol))
 
   /** The `__codebook` side table gathered to the [m][K][sub] driver
     * array [[Similarity.pqEncodeOnUnit]]/ADC consume — m × K × d/m
@@ -745,12 +851,24 @@ object AnnIndex {
       .select(col("id"), col("bucket"), col("rank").cast("long").as("rank"))
   }
 
-  /** Fold accumulated appends back into the bucketed layout through the
-    * same crash-safe rename-aside swap the text index's compaction uses
-    * ([[InvertedIndex.swapTable]]): live ∪ appends rewrites into a
-    * staging table, two metadata-only renames swap it in, and a crash at
-    * any point leaves a recoverable state. The centroid side table is
-    * untouched (appends were assigned against it).
+  /** Fold accumulated appends back into the persisted layout,
+    * BUCKET-LOCALLY: only the partitions (inverted lists) the batch
+    * touches are rewritten — live∩touched ∪ appends lands in a staging
+    * table (one shuffle of the TOUCHED rows, never the table) and each
+    * staged partition directory is swapped in rename-aside
+    * ([[finishPartitionSwap]]). Maintenance cost therefore scales with
+    * the batch's bucket footprint, not the table: absorbing 2k arrivals
+    * into 1e9 rows rewrites the 2k arrivals' lists. The centroid side
+    * table is untouched (appends were assigned against it). Legacy
+    * (pre-per-list) tables keep the old whole-table swap.
+    *
+    * Crash contract: the live TABLE never moves. Renames begin only
+    * after the staging write commits, so any crash before that leaves
+    * live whole (heal rolls the staging debris back); a crash
+    * mid-renames leaves every touched list available in exactly one of
+    * live/staging and [[recoverPartitionSwap]] rolls FORWARD (staging is
+    * the newer version of every directory it still holds). Replaying
+    * the same batch converges either way.
     */
   def compactIvfIndex(spark: SparkSession, table: String, appends: DataFrame,
                       buckets: Int = -1): Unit = {
@@ -763,33 +881,196 @@ object AnnIndex {
     require(buckets == -1 || buckets == metaBuckets,
       s"compactIvfIndex: buckets=$buckets but $table was built with " +
         s"$metaBuckets (recorded in ${table}__meta) — omit the parameter")
-    InvertedIndex.swapTable(spark, table)((live, staging) =>
-      live.unionByName(appends)
-        .write.mode(SaveMode.ErrorIfExists).format("parquet")
-        .bucketBy(metaBuckets, "bucket").sortBy("bucket").saveAsTable(staging))
+    if (!spark.table(table).columns.contains(PartCol)) {
+      // legacy bucketed-only layout: whole-table rename-aside swap
+      InvertedIndex.swapTable(spark, table)((live, staging) =>
+        live.unionByName(appends)
+          .write.mode(SaveMode.ErrorIfExists).format("parquet")
+          .bucketBy(metaBuckets, "bucket").sortBy("bucket")
+          .saveAsTable(staging))
+      return
+    }
+    recoverPartitionSwap(spark, table) // heal any prior half-swap first
+    // checkpoint: the appends frame feeds both the touched-list collect
+    // and the staging write (batch-sized by contract)
+    val appendsP = appends.withColumn(PartCol, col("bucket"))
+      .localCheckpoint(eager = true)
+    try {
+      val merged = spark.table(table)
+        .where(touchedCond(appendsP.select(col(PartCol)).distinct().collect()
+          .map(r => if (r.isNullAt(0)) null else r.getLong(0))))
+        .unionByName(appendsP)
+      foldTouchedPartitions(spark, table, merged, metaBuckets)
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(appendsP)
+  }
+
+  /** Partition-pruning predicate over the touched list ids (null = the
+    * default partition a null-bucket row lands in).
+    */
+  private def touchedCond(touched: Array[Any]): Column = {
+    val ids = touched.collect { case l: java.lang.Long => l.longValue() }
+    val base = if (ids.isEmpty) lit(false) else col(PartCol).isin(ids: _*)
+    if (touched.contains(null)) base || col(PartCol).isNull else base
   }
 
   /** Idempotent upsert — the ANN mirror of [[InvertedIndex.upsertIndex]]:
     * assign the incoming vectors against the FROZEN centroids, anti-join
     * their ids out of the live rows (so replaying a batch whose manifest
     * extension crashed CONVERGES instead of duplicating), and fold
-    * through the crash-safe swap. Incoming frame is ingest-batch-sized —
-    * it broadcasts; the live side rewrites through the bucketed layout
-    * (the compaction cost an ingest loop pays per invocation — batch the
-    * drops if that rewrite dominates).
+    * BUCKET-LOCALLY like [[compactIvfIndex]]: the rewrite touches only
+    * the lists holding the arrivals' new rows or their ids' OLD rows (an
+    * updated vector can change buckets, so the old rows' lists come from
+    * an id-only column-pruned probe scan of the live table — a cheap
+    * read, never a rewrite). Incoming frame is ingest-batch-sized — it
+    * broadcasts into both the probe and the anti-join.
     */
   def upsertIvfIndex(spark: SparkSession, table: String, vectors: DataFrame,
                      idCol: String, vecCol: String): Unit = {
     val buckets = spark.table(s"${table}__meta").head().getAs[Int]("buckets")
     val appends = assignNew(spark, table, vectors, idCol, vecCol)
       .localCheckpoint(eager = true)
-    val incoming = appends.select(col("id")).distinct()
-    InvertedIndex.swapTable(spark, table)((live, staging) =>
-      live.join(broadcast(incoming), Seq("id"), "left_anti")
-        .unionByName(appends)
-        .write.mode(SaveMode.ErrorIfExists).format("parquet")
-        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(staging))
-    org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(appends)
+    try {
+      val incoming = appends.select(col("id")).distinct()
+      if (!spark.table(table).columns.contains(PartCol)) {
+        // legacy layout: whole-table swap
+        InvertedIndex.swapTable(spark, table)((live, staging) =>
+          live.join(broadcast(incoming), Seq("id"), "left_anti")
+            .unionByName(appends)
+            .write.mode(SaveMode.ErrorIfExists).format("parquet")
+            .bucketBy(buckets, "bucket").sortBy("bucket")
+            .saveAsTable(staging))
+        return
+      }
+      recoverPartitionSwap(spark, table)
+      val appendsP = appends.withColumn(PartCol, col("bucket"))
+      val live = spark.table(table)
+      // lists holding rows the batch REPLACES: id column + partition
+      // value only (column-pruned), output bounded by the batch
+      val oldLists = live.join(broadcast(incoming), Seq("id"), "left_semi")
+        .select(col(PartCol)).distinct().collect()
+      val newLists = appendsP.select(col(PartCol)).distinct().collect()
+      val touched = (oldLists ++ newLists).distinct
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+      val merged = live.where(touchedCond(touched))
+        .join(broadcast(incoming), Seq("id"), "left_anti")
+        .unionByName(appendsP)
+      foldTouchedPartitions(spark, table, merged, buckets)
+    } finally
+      org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(appends)
+  }
+
+  /** Write the touched partitions' replacement rows to the staging table
+    * and swap them in. Staging is a full table write (ErrorIfExists —
+    * debris was healed by the caller) but sized by the TOUCHED lists.
+    */
+  private def foldTouchedPartitions(spark: SparkSession, table: String,
+                                    merged: DataFrame, buckets: Int): Unit = {
+    val staging = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    InvertedIndex.deleteIfUncataloged(spark, staging)
+    writeIndexRows(merged, buckets, staging, SaveMode.ErrorIfExists)
+    finishPartitionSwap(spark, table)
+  }
+
+  /** The rename half of the bucket-local fold, shared with the heal's
+    * roll-forward: every `pbucket=` directory still under the staging
+    * table moves into the live table's location, the superseded live
+    * directory (if any) moving aside to `<table>__old/` first. Only
+    * called when the staging write is COMPLETE (catalog entry or
+    * _SUCCESS), so staging is the newer version of every directory it
+    * holds — re-running after a crash converges (already-moved
+    * directories are simply no longer in staging). Lists the live table
+    * had no directory for yet (arrivals into a previously-empty bucket)
+    * are registered with the catalog afterwards; existing partitions
+    * keep their locations, so only a refresh is needed.
+    */
+  private def finishPartitionSwap(spark: SparkSession, table: String): Unit = {
+    val staging = table + "__compacting"
+    val backup = table + "__old"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagingLoc =
+      if (spark.catalog.tableExists(staging)) tableLoc(spark, staging)
+      else warehousePath(spark, staging)
+    val liveLoc = tableLoc(spark, table)
+    val fs = stagingLoc.getFileSystem(hconf)
+    val backupLoc = warehousePath(spark, backup)
+    var newParts = false
+    val partDirs =
+      if (fs.exists(stagingLoc))
+        fs.listStatus(stagingLoc).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(PartCol + "="))
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    if (partDirs.nonEmpty && !fs.exists(backupLoc)) fs.mkdirs(backupLoc)
+    partDirs.foreach { p =>
+      val name = p.getPath.getName
+      val livePart = new org.apache.hadoop.fs.Path(liveLoc, name)
+      if (fs.exists(livePart)) {
+        if (!fs.rename(livePart,
+            new org.apache.hadoop.fs.Path(backupLoc, name)))
+          sys.error(s"compactIvfIndex: could not move $livePart aside")
+      } else newParts = true
+      if (!fs.rename(p.getPath, livePart))
+        sys.error(s"compactIvfIndex: could not move $name into $table")
+    }
+    spark.catalog.refreshTable(table)
+    // partitions the live table lacked are invisible to the catalog's
+    // partition listing until registered — recover re-lists the tree
+    // and ADDS missing entries (touched only when the batch opened a
+    // previously-empty list, so the listing cost is off the hot path)
+    if (newParts) spark.catalog.recoverPartitions(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    InvertedIndex.deleteIfUncataloged(spark, staging)
+    if (fs.exists(backupLoc)) fs.delete(backupLoc, true)
+  }
+
+  /** Heal a crashed bucket-local fold — idempotent, safe any time. The
+    * live table never moves in this protocol, so recovery is decided by
+    * the STAGING state alone: a COMPLETE staging write (catalog entry,
+    * or a directory with _SUCCESS) rolls FORWARD — finish the renames;
+    * an incomplete one rolls BACK — delete the debris, live is whole
+    * (renames only start after the staging commit). `<table>__old`
+    * holds superseded copies only and is cleared either way. After a
+    * roll-forward the moved-before-crash partition set is unknown, so
+    * the catalog's partition list is recovered from the tree.
+    */
+  private[graft] def recoverPartitionSwap(spark: SparkSession,
+                                          table: String): Unit = {
+    if (!spark.catalog.tableExists(table)) return
+    val staging = table + "__compacting"
+    val backup = table + "__old"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val stagingLoc =
+      if (spark.catalog.tableExists(staging)) tableLoc(spark, staging)
+      else warehousePath(spark, staging)
+    val fs = stagingLoc.getFileSystem(hconf)
+    val stagingThere = spark.catalog.tableExists(staging) ||
+      fs.exists(stagingLoc)
+    if (stagingThere) {
+      val complete = spark.catalog.tableExists(staging) ||
+        fs.exists(new org.apache.hadoop.fs.Path(stagingLoc, "_SUCCESS"))
+      val hasPartDirs = fs.exists(stagingLoc) &&
+        fs.listStatus(stagingLoc).exists(s => s.isDirectory &&
+          s.getPath.getName.startsWith(PartCol + "="))
+      val backupThere = !spark.catalog.tableExists(backup) &&
+        fs.exists(warehousePath(spark, backup))
+      if (complete && (hasPartDirs || backupThere)) {
+        finishPartitionSwap(spark, table)
+        spark.catalog.recoverPartitions(table)
+        spark.catalog.refreshTable(table)
+      } else {
+        // incomplete staging write (or a complete one never swapped and
+        // holding nothing) — roll back; live was never touched
+        spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+        if (fs.exists(stagingLoc)) fs.delete(stagingLoc, true)
+      }
+    }
+    // leftover backup dir from a crash after all renames: superseded
+    // copies only — but never delete it out from under a catalog entry
+    if (!spark.catalog.tableExists(backup)) {
+      val b = warehousePath(spark, backup)
+      if (fs.exists(b)) fs.delete(b, true)
+    }
   }
 
   /** Heal ANN-index crash state across JVM restarts — re-register
@@ -828,10 +1109,25 @@ object AnnIndex {
     def registerBucketed(name: String): Unit =
       if (!spark.catalog.tableExists(name) && dirExists(name))
         scala.util.Try {
-          val schema = spark.read.parquet(loc(name).toString).schema.toDDL
-          spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet " +
-            s"CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS " +
-            s"LOCATION '${loc(name)}'")
+          val inferred = spark.read.parquet(loc(name).toString).schema
+          if (inferred.fieldNames.contains(PartCol)) {
+            // per-list layout: same pinned-BIGINT partition DDL as
+            // [[registerIvfIndex]], partitions recovered from the tree
+            val schema = org.apache.spark.sql.types.StructType(
+              inferred.filterNot(_.name == PartCol) :+
+                org.apache.spark.sql.types.StructField(PartCol,
+                  org.apache.spark.sql.types.LongType)).toDDL
+            spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet " +
+              s"PARTITIONED BY ($PartCol) " +
+              s"CLUSTERED BY (bucket) SORTED BY (bucket) " +
+              s"INTO $buckets BUCKETS LOCATION '${loc(name)}'")
+            spark.catalog.recoverPartitions(name)
+          } else {
+            val schema = inferred.toDDL
+            spark.sql(s"CREATE TABLE `$name` ($schema) USING parquet " +
+              s"CLUSTERED BY (bucket) SORTED BY (bucket) " +
+              s"INTO $buckets BUCKETS LOCATION '${loc(name)}'")
+          }
         }
     registerBucketed(table)
     if (!spark.catalog.tableExists(table)) {
@@ -852,6 +1148,12 @@ object AnnIndex {
     if (!spark.catalog.tableExists(table) && dirExists(table) &&
         !isComplete(table))
       loc(table).getFileSystem(hconf).delete(loc(table), true)
+    // bucket-local fold debris (per-list layout): the live table exists
+    // throughout that protocol, so its heal runs AFTER registration —
+    // roll a complete staging forward, an incomplete one back
+    if (spark.catalog.tableExists(table) &&
+        spark.table(table).columns.contains(PartCol))
+      recoverPartitionSwap(spark, table)
     spark.catalog.tableExists(table)
   }
 
@@ -934,9 +1236,31 @@ object AnnIndex {
       .collect { case (q, rs) if rs.length >= k => q }.toSet
     val starved = asked.diff(satisfied)
     if (starved.isEmpty) return baseLocal
-    val starvedQ = queries.where(col(idCol).isin(starved.toSeq: _*))
-    val nCents = spark.table(s"${table}__centroids")
-      .where(col("cv").isNotNull).count()
+    // bounded-literal guard: the starved set is usually a handful of ids
+    // (isin = the cheapest plan), but a large query batch under a
+    // selective filter can starve thousands — an isin that size bloats
+    // the driver-side expression tree, so past the cap the same
+    // semantics run as semi/anti-joins against a LocalRelation of the
+    // starved ids (mirroring the gather-cap pattern elsewhere)
+    val starvedSeq = starved.toSeq
+    val (starvedQ, keptBase) =
+      if (starvedSeq.size <= StarvedIsinCap)
+        (queries.where(col(idCol).isin(starvedSeq: _*)),
+          baseLocal.where(!col("query_id").isin(starvedSeq: _*)))
+      else {
+        val sf = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__starved_id",
+            queries.schema(idCol).dataType)))
+        val sdf = spark.createDataFrame(java.util.Arrays.asList(
+          starvedSeq.map(org.apache.spark.sql.Row(_)): _*), sf)
+        (queries.join(broadcast(sdf),
+            col(idCol) === col("__starved_id"), "left_semi"),
+          baseLocal.join(broadcast(sdf),
+            col("query_id") === col("__starved_id"), "left_anti"))
+      }
+    // centroid count from the __meta completion record (one one-row
+    // read), not a per-call count() over the side table
+    val nCents = centroidCountOf(spark, table)
     val widened =
       if (widenTo < nCents)
         knnPass(spark, table, starvedQ, idCol, vecCol, k, widenTo, filter,
@@ -954,9 +1278,13 @@ object AnnIndex {
         topK(excludeSelf(broadcast(q).join(idx), q, idx)
           .select(col("query_id"), col("id"), score.as("cos")), k)
       }
-    baseLocal.where(!col("query_id").isin(starved.toSeq: _*))
-      .unionByName(widened)
+    keptBase.unionByName(widened)
   }
+
+  /** Starved-id count above which [[widenStarved]] switches from isin
+    * literals to LocalRelation joins (see there).
+    */
+  private[graft] val StarvedIsinCap = 1000
 
   /** `filter`: metadata predicate over columns persisted via
     * [[writeIvfIndex]]'s `keep` (e.g. `col("label") < 5`) — top-k among

@@ -320,7 +320,7 @@ object InvertedIndex {
     * either swap debris from a crashed prior JVM or a superseded external
     * location; never touches a cataloged table's data.
     */
-  private def deleteIfUncataloged(spark: SparkSession, name: String): Unit =
+  private[search] def deleteIfUncataloged(spark: SparkSession, name: String): Unit =
     if (!spark.catalog.tableExists(name)) {
       val p = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), name)

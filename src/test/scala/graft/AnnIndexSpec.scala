@@ -30,17 +30,18 @@ class AnnIndexSpec extends SparkTestBase {
         .toSet
       assert(rows(indexed) === rows(direct))
       assert(rows(indexed).nonEmpty)
-      // the probed scan reads only the probed buckets' file buckets: a
-      // single query probes 3 of the 10 centroids → at most 3 of 4 file
-      // buckets (the battery above probes everything, so assert here)
+      // the probed scan reads ONLY the probed lists' partition
+      // directories (per-list layout, r18): a single query probes 3 of
+      // the 10 centroids → exactly 3 of the 10 `pbucket=` paths are
+      // listed/read (the battery above probes everything, so assert here)
       val one = AnnIndex.ivfKnnIndexed(spark, table,
         emb.where(col("vec_id") === 0), "vec_id", "embedding",
         k = 5, nprobe = 3)
       val plan = one.queryExecution.executedPlan.toString
-      assert(plan.contains("Bucketed: true"), plan.take(3000))
-      val sel = "SelectedBucketsCount: (\\d+) out of 4".r
-        .findFirstMatchIn(plan).map(_.group(1).toInt)
-      assert(sel.exists(_ < 4), plan.take(3000))
+      assert(plan.contains("PartitionFilters"), plan.take(3000))
+      val paths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findAllMatchIn(plan).map(_.group(1).toInt).toList
+      assert(paths.nonEmpty && paths.min <= 3, plan.take(3000))
     } finally graft.queries.Tables.reset(spark, table,
       s"${table}__centroids", s"${table}__meta")
   }
@@ -196,10 +197,11 @@ class AnnIndexSpec extends SparkTestBase {
         k = 5, step = 50, nprobe = 3).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       assert(got === want)
-      // compaction left ONE bucketed table (pruning still fires)
+      // compaction left ONE per-list table (partition pruning still fires)
       val one = AnnIndex.ivfKnnIndexed(spark, table,
         emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 5)
-      assert(one.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      assert(one.queryExecution.executedPlan.toString
+        .contains("PartitionFilters"))
     } finally graft.queries.Tables.reset(spark, table, s"${table}__centroids",
       s"${table}__meta", s"${table}__compacting", s"${table}__old")
   }
@@ -220,9 +222,10 @@ class AnnIndexSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       assert(got === want)
       assert(got.nonEmpty)
-      // the stored representation really is codes, not vectors
+      // the stored representation really is codes, not vectors (pbucket
+      // = the per-list partition column, mirroring `bucket`)
       val cols = spark.table(table).columns.toList
-      assert(cols === List("id", "bucket", "codes"), cols)
+      assert(cols === List("id", "bucket", "codes", "pbucket"), cols)
     } finally graft.queries.Tables.reset(spark, table, s"${table}__centroids",
       s"${table}__codebook", s"${table}__meta")
   }
@@ -255,7 +258,7 @@ class AnnIndexSpec extends SparkTestBase {
       AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
         table = table, buckets = 4, force = true, keep = Seq("label"))
       assert(spark.table(table).columns.toSet
-        === Set("id", "bucket", "bv", "label"))
+        === Set("id", "bucket", "bv", "label", "pbucket"))
       val q = emb.where(col("vec_id") === 0)
       val got = AnnIndex.ivfKnnIndexed(spark, table, q, "vec_id",
         "embedding", k = 5, nprobe = 3, filter = Some(col("label") < 5))
@@ -279,9 +282,9 @@ class AnnIndexSpec extends SparkTestBase {
       assert(rows.map(_.getLong(3)).sorted.toSeq
         === (1L to rows.length).toSeq)
       // scale shape: the predicate reaches the parquet scan (pushdown)
-      // AND bucket pruning still fires — composition is the point
+      // AND list pruning still fires — composition is the point
       val plan = got.queryExecution.executedPlan.toString
-      assert(plan.contains("SelectedBucketsCount"), plan.take(3000))
+      assert(plan.contains("PartitionFilters"), plan.take(3000))
       assert(plan.contains("LessThan(label,5)"),
         "filter not pushed to the scan: " + plan.take(3000))
       // maintenance derives keep from the PERSISTED schema (never
@@ -296,7 +299,7 @@ class AnnIndexSpec extends SparkTestBase {
       assert(spark.table(table).where(col("id") === 4)
         .head().getAs[Int]("label") === 99)
       assert(spark.table(table).columns.toSet
-        === Set("id", "bucket", "bv", "label"))
+        === Set("id", "bucket", "bv", "label", "pbucket"))
       // keep colliding with reserved index/query/internal names fails
       // loudly at build time (query_id would only surface post-build as
       // an ambiguous reference; __n would be silently overwritten)
@@ -318,7 +321,7 @@ class AnnIndexSpec extends SparkTestBase {
           m = 8, table = pq, buckets = 4, force = true,
           keep = Seq("label"))
         assert(spark.table(pq).columns.toSet
-          === Set("id", "bucket", "codes", "label"))
+          === Set("id", "bucket", "codes", "label", "pbucket"))
         val gotPq = AnnIndex.ivfPqKnnIndexed(spark, pq, q, "vec_id",
           "embedding", k = 5, nprobe = 3, filter = Some(col("label") < 5))
         val pqRows = gotPq.collect()
@@ -484,7 +487,8 @@ class AnnIndexSpec extends SparkTestBase {
         s"PQ guard left $guarded x imbalance (raw was $rawRatio x)")
       // complete and queryable: all rows, codes schema, meta stamped
       assert(spark.table(table).count() === 1000L)
-      assert(spark.table(table).columns.toSet === Set("id", "bucket", "codes"))
+      assert(spark.table(table).columns.toSet
+        === Set("id", "bucket", "codes", "pbucket"))
       assert(spark.table(s"${table}__meta").head().getAs[Int]("m") === 4)
       val knn = AnnIndex.ivfPqKnnIndexed(spark, table,
         degenerate.where(col("vec_id") === 7), "vec_id", "embedding",
@@ -662,7 +666,8 @@ class AnnIndexSpec extends SparkTestBase {
       assert(spark.table(pq).select("id").distinct().count() === n)
       // the codes schema is preserved — a bv-shaped append would have
       // failed loudly at unionByName instead of silently widening
-      assert(spark.table(pq).columns.toSet === Set("id", "bucket", "codes"))
+      assert(spark.table(pq).columns.toSet
+        === Set("id", "bucket", "codes", "pbucket"))
       // upserted rows carry exactly the frozen-sample assignment+encode
       // (assignNew recomputes from the same frozen side tables)
       val re = AnnIndex.assignNew(spark, pq, arrivals, "vec_id", "embedding")
@@ -680,6 +685,122 @@ class AnnIndexSpec extends SparkTestBase {
         k = 3, nprobe = 3).count() === 3L)
     } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
       s"${pq}__codebook", s"${pq}__meta")
+  }
+
+  test("bucket-local fold rewrites ONLY the touched lists; new lists register") {
+    // the r18 maintenance contract: compacting an append batch rewrites
+    // exactly the partitions (inverted lists) the batch touches — every
+    // other list's files stay BIT-IDENTICAL on disk (same names, sizes,
+    // mtimes), which is what makes maintenance cost batch-shaped instead
+    // of table-shaped at 1e9 rows
+    val table = "annidx_local"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta", s"${table}__compacting", s"${table}__old")
+    val first = emb.where(col("vec_id") % 5 =!= 4)
+    AnnIndex.writeIvfIndex(first, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def fileState(): Map[String, Set[(String, Long, Long)]] =
+        fs.listStatus(wh).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("pbucket=")).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .map(f => (f.getPath.getName, f.getLen,
+              f.getModificationTime)).toSet
+        }.toMap
+      val before = fileState()
+      assert(before.size > 1, s"need several lists, got ${before.keySet}")
+      // appends restricted to ONE list (a clustered arrival batch)
+      val appends = AnnIndex.assignNew(spark, table,
+        emb.where(col("vec_id") % 5 === 4), "vec_id", "embedding")
+      val b0 = appends.select("bucket").head().getLong(0)
+      val appendsOne = appends.where(col("bucket") === b0)
+        .localCheckpoint(true)
+      val nAppend = appendsOne.count()
+      assert(nAppend > 0)
+      AnnIndex.compactIvfIndex(spark, table, appendsOne)
+      val after = fileState()
+      // untouched lists: every file untouched on disk
+      (before.keySet - s"pbucket=$b0").foreach { d =>
+        assert(after(d) === before(d), s"untouched list $d was rewritten")
+      }
+      // the touched list was rewritten and carries the appends
+      assert(after(s"pbucket=$b0") !== before(s"pbucket=$b0"))
+      assert(spark.table(table).count() === first.count() + nAppend)
+      assert(spark.table(table).where(col("bucket") === b0)
+        .count() >= nAppend)
+      // an append into a list the table had NO directory for yet: the
+      // new partition must be registered (it would otherwise be invisible
+      // to the catalog's partition listing — data loss, not an error)
+      val phantom = appendsOne.limit(1)
+        .withColumn("id", lit(999999L))
+        .withColumn("bucket", lit(424242L))
+      AnnIndex.compactIvfIndex(spark, table, phantom)
+      assert(spark.table(table).where(col("bucket") === 424242L)
+        .count() === 1L, "new-list partition not registered")
+      // and the swapped table still answers the standard battery
+      assert(AnnIndex.ivfKnnIndexed(spark, table,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3).count() === 5L)
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta",
+      s"${table}__compacting", s"${table}__old")
+  }
+
+  test("bucket-local fold crash windows: complete staging rolls forward, incomplete rolls back") {
+    val table = "annidx_crash"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta", s"${table}__compacting", s"${table}__old")
+    val first = emb.where(col("vec_id") % 5 =!= 4)
+    AnnIndex.writeIvfIndex(first, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def whPath(n: String) = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), n)
+      val fs = whPath(table).getFileSystem(hconf)
+      val appends = AnnIndex.assignNew(spark, table,
+        emb.where(col("vec_id") % 5 === 4), "vec_id", "embedding")
+      val b0 = appends.select("bucket").head().getLong(0)
+      val appendsOne = appends.where(col("bucket") === b0)
+        .localCheckpoint(true)
+      val nAppend = appendsOne.count()
+      val expect = first.count() + nAppend
+      // --- window A: staging COMPLETE, crash mid-rename (live dir moved
+      // aside, staged dir not yet moved in) — heal must roll FORWARD
+      val staging = s"${table}__compacting"
+      spark.table(table).where(col("pbucket") === b0)
+        .unionByName(appendsOne.withColumn("pbucket", col("bucket")))
+        .repartition(col("bucket"))
+        .write.format("parquet").partitionBy("pbucket")
+        .bucketBy(4, "bucket").sortBy("bucket").saveAsTable(staging)
+      fs.mkdirs(whPath(s"${table}__old"))
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(whPath(table), s"pbucket=$b0"),
+        new org.apache.hadoop.fs.Path(whPath(s"${table}__old"),
+          s"pbucket=$b0")))
+      assert(AnnIndex.recoverIvfIndex(spark, table))
+      assert(spark.table(table).count() === expect,
+        "roll-forward heal lost rows")
+      assert(spark.table(table).where(col("bucket") === b0)
+        .count() >= nAppend)
+      assert(!spark.catalog.tableExists(staging))
+      assert(!fs.exists(whPath(staging)) && !fs.exists(whPath(s"${table}__old")))
+      // --- window B: staging INCOMPLETE (no _SUCCESS, no catalog entry —
+      // a crash inside the staging write) — heal must roll BACK and
+      // leave the live table exactly as it was
+      val junk = new org.apache.hadoop.fs.Path(whPath(staging),
+        "pbucket=7/part-junk.parquet")
+      fs.mkdirs(junk.getParent)
+      val out = fs.create(junk); out.write(42); out.close()
+      assert(AnnIndex.recoverIvfIndex(spark, table))
+      assert(!fs.exists(whPath(staging)), "incomplete staging not cleared")
+      assert(spark.table(table).count() === expect, "roll-back touched live")
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta",
+      s"${table}__compacting", s"${table}__old")
   }
 
   test("semanticDedupIndexed == per-call semanticDedup; corpus side pays zero exchanges") {
