@@ -387,6 +387,28 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // recall-targeted probe calibration (the r17 verdict's dial-picking
+    // operator): sweep nprobe ∈ {1,2,3} off the saved plain-IVF table,
+    // score each setting's recall@5 against the exact ranking over the
+    // index's own stored unit vectors, price it by candidate rows read
+    // (probed bucket sizes), and mark the cheapest setting meeting the
+    // 0.8 target. The oracle replays the whole sweep: per-nprobe probe
+    // prefixes, per-query recall, the cost sums, and the argmin pick.
+    "ann_calibrate" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_cal_idx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true)
+      // query sample OFF the centroid lattice (% 100 === 1, not 0):
+      // centroid queries find their whole top-k in their own bucket and
+      // flatten the curve to 1.0 at nprobe=1 — useless for picking dials
+      graft.search.AnnIndex.calibrateProbes(s, table,
+        emb.where(col("vec_id") % 100 === 1), "vec_id", "embedding",
+        k = 5, targetRecall = 0.15, nprobes = Seq(1, 2, 3))
+        .orderBy("nprobe")
+    }),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -496,6 +518,28 @@ object AnnQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // the residual-PQ recall twin of ann_recall_ivfpq: the SAME (m=8,
+    // nprobe=3) dial with codes encoding unit − centroid(bucket) against
+    // a residual-trained codebook (FAISS's IVFPQ default) — the measured
+    // comparison the encodeResidual flag is graded by. The oracle
+    // replays the residual encode (per-bucket centroid subtraction,
+    // residual codebook, centroid-plus-reconstruction ADC) end to end.
+    "ann_recall_ivfpq_resid" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_ivfpq_residx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__codebook",
+        s"${table}__meta")
+      graft.search.AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding",
+        step = 50, m = 8, table = table, buckets = 8, codeStep = 50,
+        force = true, encodeResidual = true)
+      val q = emb.where(col("vec_id") % 100 === 0)
+      Similarity.recallAtK(
+        graft.search.AnnIndex.ivfPqKnnIndexed(s, table, q,
+          "vec_id", "embedding", k = 5, nprobe = 3),
+        Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 5))
+        .orderBy("query_id")
+    }),
+
     // greedy farthest-point k-center selection (Gonzalez) — the
     // diversity-subset curation primitive; fully deterministic (min-id
     // seed, argmax cosine distance, id tie-break), so every selection
@@ -586,6 +630,77 @@ object AnnQueries extends QueryPack {
   }
 
   private val ivfSql: String = ivfReplaySql(Nil, "")
+
+  // the calibrateProbes replay: one probe ranking at the widest swept
+  // width (probe sets are nested prefixes), per-nprobe candidate scoring
+  // + recall against the exact ranking over the assignment's unit
+  // vectors (the index's stored bv), candidate-row sums off per-bucket
+  // sizes, and the min-nprobe-meeting-target pick — the same unit/cent/
+  // asg arithmetic as ivfReplaySql
+  private def calibrateSql(nprobes: Seq[Int], k: Int,
+                           target: Double): String = {
+    val maxN = nprobes.max
+    val per = nprobes.map { n =>
+      s"""isc_$n AS (
+         | SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.v[i]), 'sum') AS c
+         | FROM probesR p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+         | WHERE p.rn <= $n),
+         |ivf_$n AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM isc_$n) WHERE rn <= $k),
+         |rec_$n AS (
+         | SELECT e.query_id,
+         |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS recall
+         | FROM ex e LEFT JOIN ivf_$n i
+         |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         | GROUP BY 1),
+         |row_$n AS (
+         | SELECT CAST($n AS BIGINT) AS nprobe,
+         |  round(avg(recall), 4) AS mean_recall,
+         |  (SELECT CAST(sum(s.bn) AS BIGINT) FROM probesR p
+         |   JOIN sizes s ON s.bucket = p.bucket WHERE p.rn <= $n) AS cand_rows
+         | FROM rec_$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH unit AS (
+       | SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+       | FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+       |asg0 AS (
+       | SELECT u.vec_id, u.v, c.centroid_id,
+       |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+       | FROM unit u CROSS JOIN cent c),
+       |asg AS (
+       | SELECT vec_id, v, centroid_id AS bucket FROM (
+       |  SELECT vec_id, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0) WHERE rn = 1),
+       |probesR AS (
+       | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket, rn FROM (
+       |  SELECT vec_id, v, centroid_id,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+       |  FROM asg0 WHERE vec_id % 100 = 1) WHERE rn <= $maxN),
+       |sizes AS (SELECT bucket, count(*) AS bn FROM asg GROUP BY 1),
+       |qs AS (SELECT vec_id AS query_id, v AS qv FROM unit WHERE vec_id % 100 = 1),
+       |escored AS (
+       | SELECT qs.query_id, a.vec_id AS neighbor_id,
+       |  list_aggregate(list_transform(generate_series(1, len(qs.qv)), i -> qs.qv[i] * a.v[i]), 'sum') AS c
+       | FROM qs JOIN asg a ON a.vec_id <> qs.query_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+       |  FROM escored) WHERE rn <= $k),
+       |$per,
+       |rows_all AS (${nprobes.map(n => s"SELECT * FROM row_$n").mkString(" UNION ALL ")}),
+       |mm AS (SELECT min(nprobe) AS mn FROM rows_all WHERE mean_recall >= $target)
+       |SELECT r.nprobe, r.mean_recall, r.cand_rows,
+       |  coalesce(r.nprobe = mm.mn, FALSE) AS pick
+       |FROM rows_all r CROSS JOIN mm ORDER BY nprobe""".stripMargin
+  }
 
   private val ivfFilteredSql: String =
     ivfReplaySql(Seq("label"), " WHERE a.label < 5")
@@ -877,6 +992,80 @@ object AnnQueries extends QueryPack {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivf_topk" -> ivfSql,
+
+    "ann_calibrate" -> calibrateSql(Seq(1, 2, 3), k = 5, target = 0.15),
+
+    // residual-PQ recall twin: the ivfPq CTE skeleton with the encode
+    // swapped to residuals — rv = v − cv(bucket), codebook sampled from
+    // the residuals, ADC dot against cv + reconstructed residual (one
+    // sequential fold over the SUMMED vector, matching the Spark side's
+    // zip_with(cv, decoded, +) before the dot)
+    "ann_recall_ivfpq_resid" ->
+      """WITH unit AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |probes AS (
+        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 3),
+        |res AS (
+        | SELECT a.vec_id, a.bucket, c.cv,
+        |  list_transform(generate_series(1, len(a.v)), i -> a.v[i] - c.cv[i]) AS rv
+        | FROM asg a JOIN cent c ON c.centroid_id = a.bucket),
+        |cbr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, rv
+        | FROM res WHERE vec_id % 50 = 0),
+        |codes0 AS (
+        | SELECT r.vec_id, j.j, c.cid,
+        |  list_aggregate(list_transform(generate_series(1, 8), i ->
+        |   (r.rv[j.j*8+i] - c.rv[j.j*8+i]) * (r.rv[j.j*8+i] - c.rv[j.j*8+i])), 'sum') AS d
+        | FROM res r CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cbr c),
+        |codes AS (SELECT vec_id, j, cid FROM (
+        |  SELECT vec_id, j, cid,
+        |   row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid) AS rn
+        |  FROM codes0) WHERE rn = 1),
+        |recon AS (SELECT codes.vec_id,
+        |  flatten(list(list_slice(cbr.rv, j*8+1, j*8+8) ORDER BY j)) AS dres
+        | FROM codes JOIN cbr USING (cid) GROUP BY codes.vec_id),
+        |dv AS (SELECT r.vec_id,
+        |  list_transform(generate_series(1, 64), i -> r.cv[i] + rec.dres[i]) AS dvv
+        | FROM res r JOIN recon rec USING (vec_id)),
+        |scored AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, 64), i -> p.qv[i] * d.dvv[i]), 'sum') AS c
+        | FROM probes p JOIN asg a ON a.bucket = p.bucket AND a.vec_id <> p.query_id
+        | JOIN dv d ON d.vec_id = a.vec_id),
+        |pq AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 5),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM unit WHERE vec_id % 100 = 0),
+        |escored AS (
+        | SELECT qs.query_id, u.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, 64), i -> qs.qv[i] * u.v[i]), 'sum') AS c
+        | FROM qs JOIN unit u ON u.vec_id <> qs.query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM escored) WHERE rn <= 5)
+        |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |  round(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS recall
+        |FROM ex e LEFT JOIN pq p
+        |  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the SAME replay checks the PERSISTED index path: build + probe must
     // agree with the per-call assignment plan exactly

@@ -176,17 +176,30 @@ object AnnIndex {
     * per query; recording it here removes a per-call count() over the
     * side table. `plist` = the per-list partitioned layout marker
     * (maintenance and recovery branch on it; absent in pre-r18 metas,
-    * which read as legacy whole-table-fold indexes).
+    * which read as legacy whole-table-fold indexes). `resid` = the PQ
+    * tier's residual-encoding flag ([[writeIvfPqIndex]]) — the query and
+    * append paths branch on it.
     */
   private def writeMeta(spark: SparkSession, table: String, buckets: Int,
                         dim: Int, step: Int, hashed: Boolean, m: Int,
-                        ncents: Long, plist: Boolean = true): Unit = {
+                        ncents: Long, plist: Boolean = true,
+                        resid: Boolean = false): Unit = {
     import spark.implicits._
-    Seq((buckets, dim, step, hashed, m, ncents, plist))
-      .toDF("buckets", "dim", "step", "hashed", "m", "ncents", "plist")
+    Seq((buckets, dim, step, hashed, m, ncents, plist, resid))
+      .toDF("buckets", "dim", "step", "hashed", "m", "ncents", "plist",
+        "resid")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${table}__meta")
   }
+
+  /** The PQ tier's residual-encoding flag off `__meta` (false for plain
+    * tiers and pre-resid metas).
+    */
+  private[graft] def isResidual(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(s"${table}__meta") && {
+      val r = spark.table(s"${table}__meta").head()
+      r.schema.fieldNames.contains("resid") && r.getAs[Boolean]("resid")
+    }
 
   /** Non-null centroid count of a saved index — from `__meta`'s `ncents`
     * (one one-row read) when present; pre-ncents indices fall back to
@@ -465,18 +478,50 @@ object AnnIndex {
     * alongside the (id, bucket, codes) rows for [[ivfPqKnnIndexed]]'s
     * `filter` — they ride the assignment/encode scan, no build join.
     */
+  /** `encodeResidual` (FAISS's IVFPQ default, off here): codes encode
+    * `unit − centroid(bucket)` instead of the unit vector itself, and the
+    * codebook is trained on the residual sample — the classic recall-
+    * at-same-m trade. The cost is coupling: codes now DEPEND on the
+    * bucket assignment, so the balance guard's recovery must re-derive
+    * the codebook and every code (the residual-free tier's bit-identity
+    * shortcut does not apply), and [[ivfPqKnnIndexed]] adds the bucket
+    * centroid back before the ADC dot (one broadcast join of the
+    * index-sized centroid table into the probe frame). Graded against
+    * the residual-free default by the `ann_recall_ivfpq_resid` driver
+    * query — keep whichever wins on your corpus.
+    */
   def writeIvfPqIndex(base: DataFrame, idCol: String, vecCol: String,
                       step: Int, m: Int, table: String, buckets: Int,
                       codeStep: Int = 50, force: Boolean = false,
-                      keep: Seq[String] = Nil): Unit = {
+                      keep: Seq[String] = Nil,
+                      encodeResidual: Boolean = false): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
     requireKeepNames(keep)
     val assigned = Similarity.ivfAssign(base, idCol, vecCol, step,
       keep = keep).cache()
+    /** The frame whose `bv` is what the codes ENCODE: the unit vectors
+      * themselves, or (residual mode) unit − assigned centroid, the
+      * centroid arriving via one broadcast join of the sample frame.
+      */
+    def encodable(rows: DataFrame,
+                  cents: DataFrame): DataFrame =
+      if (!encodeResidual) rows
+      else rows.join(
+          broadcast(cents.select(col("centroid_id"), col("cv").as("__cv"))),
+          rows("bucket") === col("centroid_id"), "left")
+        .select(col("id") +: col("bucket") +:
+          zip_with(col("bv"), col("__cv"), (a, b) => a - b).as("bv") +:
+          keep.map(col): _*)
     try {
+      val sampleCents = assigned.where(col(idCol) % step === 0)
+        .select(col(idCol).cast("long").as("centroid_id"),
+          col("bv").as("cv"))
+      val encBase = encodable(
+        assigned.select(col(idCol).as("id") +: col("bucket") +:
+          col("bv") +: keep.map(col): _*), sampleCents)
       val codebook = Similarity.codebookFromUnit(
-        assigned.where(col(idCol) % codeStep === 0), idCol, m, codeStep, 8192)
+        encBase.where(col("id") % codeStep === 0), "id", m, codeStep, 8192)
       // same force-rebuild crash contract as [[writeIvfIndex]]: old side
       // tables dropped just before the index overwrite (after the
       // failure-prone codebook derivation, so a failed rebuild attempt
@@ -486,17 +531,16 @@ object AnnIndex {
       // OLD codebook (silent garbage neighbors)
       if (force) dropSideTables(spark, table)
       writeIndexRows(
-        Similarity.pqEncodeOnUnit(graft.Par.fanOut(assigned), codebook)
+        Similarity.pqEncodeOnUnit(graft.Par.fanOut(encBase), codebook)
           // LONG bucket: prunedIndex probes with long literals, and an
           // int-typed column would be wrapped in a Cast that silently
           // defeats list pruning (int-id corpora assign int buckets)
-          .select(col(idCol).as("id") +:
+          .select(col("id") +:
             col("bucket").cast("long").as("bucket") +:
             col("codes") +: keep.map(col): _*),
         buckets, table,
         if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-      assigned.where(col(idCol) % step === 0)
-        .select(col(idCol).cast("long").as("centroid_id"), col("bv").as("cv"))
+      sampleCents
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__centroids")
       codebook.zipWithIndex.flatMap { case (ks, j) =>
@@ -509,15 +553,18 @@ object AnnIndex {
       // [[writeIvfIndex]]'s guard (see there for the measured 18× query
       // cliff): a degenerate id-mod-step centroid sample funnels the
       // corpus into a handful of buckets and probing reads corpus-sized
-      // code runs. Recovery here is CHEAPER than it looks — the codes are
-      // residual-FREE (they encode the unit vector itself, not
-      // vector − centroid, unlike FAISS's IVFPQ default), and the
-      // codebook sample is id-mod-codeStep over those same unit vectors,
-      // so NEITHER depends on the bucket assignment: a centroid rewrite
-      // changes only the `bucket` column, the re-encode reproduces
-      // bit-identical codes (one assignment+encode scan, the same cost as
-      // the original index write), and `__codebook` as written above
-      // stays valid verbatim (not rewritten — one fewer crash window).
+      // code runs. Recovery cost depends on the encoding mode. DEFAULT
+      // (residual-free) codes encode the unit vector itself and the
+      // codebook samples those same unit vectors, so NEITHER depends on
+      // the bucket assignment: the rewrite changes only `bucket`, the
+      // re-encode reproduces bit-identical codes, and `__codebook` stays
+      // valid verbatim (not rewritten — one fewer crash window).
+      // RESIDUAL mode couples codes to the assignment (code = f(unit −
+      // centroid)), so recovery re-derives EVERYTHING: new residuals,
+      // a RETRAINED codebook, re-encoded codes — and `__codebook` joins
+      // `__centroids` in the drop-before-overwrite crash window (a crash
+      // leaves both side tables absent → loud, never new codes decoding
+      // against the stale residual codebook).
       // DECISION phase (balance check, reseed gather, Lloyd rounds):
       // read-only + best-effort, must never abort a complete build before
       // writeMeta stamps it. REWRITE phase: exceptions PROPAGATE — a
@@ -561,19 +608,37 @@ object AnnIndex {
           // [[writeIvfIndex]]'s guard: a crash anywhere inside the
           // rewrite leaves the centroid side ABSENT (queries throw
           // loudly) instead of a silently queryable index probing the
-          // stale sample against refined buckets
+          // stale sample against refined buckets. Residual mode also
+          // drops __codebook here — its contents are assignment-coupled
+          // and about to be retrained (see the guard comment above).
           InvertedIndex.dropTableAndDir(spark, s"${table}__centroids")
+          if (encodeResidual)
+            InvertedIndex.dropTableAndDir(spark, s"${table}__codebook")
           val reassigned = Similarity.assignWithCentroidFrame(
             assigned.select(col(idCol).as("id") +: col("bv") +:
               keep.map(col): _*),
             "id", cents2, "writeIvfPqIndex.guard", keep)
+          val encBase2 = encodable(reassigned
+            .select(col("id") +: col("bucket") +: col("bv") +:
+              keep.map(col): _*), cents2)
+          val codebook2 =
+            if (!encodeResidual) codebook
+            else Similarity.codebookFromUnit(
+              encBase2.where(col("id") % codeStep === 0), "id", m,
+              codeStep, 8192)
           writeIndexRows(
-            Similarity.pqEncodeOnUnit(graft.Par.fanOut(reassigned), codebook)
+            Similarity.pqEncodeOnUnit(graft.Par.fanOut(encBase2), codebook2)
               .select(col("id") +: col("bucket").cast("long").as("bucket") +:
                 col("codes") +: keep.map(col): _*),
             buckets, table, SaveMode.Overwrite)
           cents2.write.mode(SaveMode.Overwrite).format("parquet")
             .saveAsTable(s"${table}__centroids")
+          if (encodeResidual)
+            codebook2.zipWithIndex.flatMap { case (ks, j) =>
+              ks.zipWithIndex.map { case (c, k) => (j, k, c.toSeq) }
+            }.toSeq.toDF("sub", "code", "centroid")
+              .write.mode(SaveMode.Overwrite).format("parquet")
+              .saveAsTable(s"${table}__codebook")
         } finally
           org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents2)
         val after = bucketBalanceRatio(spark, table)
@@ -592,7 +657,8 @@ object AnnIndex {
         dim = codebook.map(_.head.length).sum, step = step, hashed = false,
         m = m,
         ncents = spark.table(s"${table}__centroids")
-          .where(col("cv").isNotNull).count())
+          .where(col("cv").isNotNull).count(),
+        resid = encodeResidual)
     } finally assigned.unpersist(blocking = false)
   }
 
@@ -677,7 +743,7 @@ object AnnIndex {
   private def requireKeepNames(keep: Seq[String]): Unit = {
     val reserved = Set("id", "bucket", "bv", "codes", "decoded", "query_id",
       "qv", "cos", "rank", "neighbor_id", "csim", "rn", "__v", "__n",
-      "__best", "__pb", "__enc", PartCol, "__starved_id")
+      "__best", "__pb", "__enc", PartCol, "__starved_id", "__cv", "__rv")
     // case-INSENSITIVE: Spark resolves columns case-insensitively by
     // default, so keep = Seq("Bucket") would slip a case-sensitive guard
     // and only fail (or silently ambiguate) after the expensive build —
@@ -734,9 +800,24 @@ object AnnIndex {
     val isPq = spark.catalog.tableExists(s"${table}__meta") &&
       spark.table(s"${table}__meta").head().getAs[Int]("m") > 0
     if (!isPq) assigned
-    else Similarity.pqEncodeOnUnit(assigned, loadCodebook(spark, table))
-      .select(col("id") +: col("bucket").cast("long").as("bucket") +:
-        col("codes") +: keep.map(col): _*)
+    else {
+      // residual tier: arrivals encode unit − frozen centroid (left join
+      // keeps null-bucket rows, whose codes stay null like the plain
+      // encode of a null vector)
+      val encodable =
+        if (!isResidual(spark, table)) assigned
+        else assigned.join(
+            broadcast(spark.table(s"${table}__centroids")
+              .where(col("cv").isNotNull)
+              .select(col("centroid_id"), col("cv").as("__cv"))),
+            assigned("bucket") === col("centroid_id"), "left")
+          .select(col("id") +: col("bucket") +:
+            zip_with(col("bv"), col("__cv"), (a, b) => a - b).as("bv") +:
+            keep.map(col): _*)
+      Similarity.pqEncodeOnUnit(encodable, loadCodebook(spark, table))
+        .select(col("id") +: col("bucket").cast("long").as("bucket") +:
+          col("codes") +: keep.map(col): _*)
+    }
   }
 
   /** The FAISS refine step off the SAVED codes table: ADC ranks a
@@ -1157,6 +1238,69 @@ object AnnIndex {
     spark.catalog.tableExists(table)
   }
 
+  // ---- calibration ----
+
+  /** Recall-targeted probe calibration off a saved plain-IVF table — the
+    * measuring stick behind every nprobe choice, as an operator instead
+    * of ops-note guidance: sweep the `nprobes` dial on `queries`, score
+    * each setting's recall@k against the EXACT ranking over the index's
+    * own stored unit vectors (one corpus scan, no external ground truth
+    * needed), price each setting by its candidate-row read (probed
+    * bucket sizes summed — the (nprobe/lists) read cost the dial
+    * controls), and mark the cheapest setting meeting `targetRecall`.
+    * One row per swept value: (nprobe, mean_recall, cand_rows, pick).
+    * The sweep is a driver loop over a bounded dial list; each step is
+    * one probed read (|queries| × k output) — the whole calibration
+    * costs ~|nprobes| probed query batches plus the one exact scan,
+    * which is why it runs on a SAMPLE of queries, not the workload.
+    * Plain tier only (PQ recall folds quantization loss into the same
+    * comparison — run [[Similarity.recallAtK]] against a PQ query path
+    * directly for that regime).
+    */
+  def calibrateProbes(spark: SparkSession, table: String, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      targetRecall: Double,
+                      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ > 0),
+      s"calibrateProbes: nprobes must be positive, got $nprobes")
+    val idx = spark.table(table)
+    require(idx.columns.contains("bv"),
+      s"calibrateProbes: $table carries no unit vectors (a PQ codes " +
+        "table?) — calibrate on the plain IVF tier")
+    // exact ground truth off the STORED unit forms: queries broadcast
+    // into one corpus scan (the same shape as widenStarved's exhaustive
+    // arm), collected to a LocalRelation (|queries| × k) and reused by
+    // every swept setting
+    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
+      .where(col("qv").isNotNull)
+    val exactDf = topK(
+      excludeSelf(broadcast(q).join(idx.where(col("bv").isNotNull)), q, idx)
+        .select(col("query_id"), col("id"),
+          Similarity.dot(col("qv"), col("bv")).as("cos")), k)
+    val exactRows = exactDf.collect()
+    val exact = spark.createDataFrame(
+      java.util.Arrays.asList(exactRows: _*), exactDf.schema)
+    // per-list row counts (index-sized result) — the cost model's table
+    val sizes = idx.where(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      .localCheckpoint(true)
+    val swept = try nprobes.distinct.sorted.map { n =>
+      val rec = Similarity.recallAtK(
+        ivfKnnIndexed(spark, table, queries, idCol, vecCol, k, n), exact)
+        .agg(round(avg("recall"), 4)).head()
+      val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
+      val cand = probeBucketsOf(spark, table, queries, idCol, vecCol, n)
+        .join(broadcast(sizes), "bucket").agg(sum("__bn")).head()
+      (n.toLong, meanRecall, if (cand.isNullAt(0)) 0L else cand.getLong(0))
+    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(sizes)
+    val minMeeting = swept.collect {
+      case (n, r, _) if r >= targetRecall => n
+    }.minOption
+    import spark.implicits._
+    swept.map { case (n, r, c) => (n, r, c, minMeeting.contains(n)) }
+      .toDF("nprobe", "mean_recall", "cand_rows", "pick")
+  }
+
   // ---- query ----
 
   /** kNN off the saved index: rank the query against the centroid side
@@ -1182,14 +1326,28 @@ object AnnIndex {
     * unit vector vs against the codebook-decoded codes) and by the
     * starved-query widen re-pass below.
     */
+  /** `withCv`: thread the probed bucket's centroid vector into the
+    * candidate rows as `__cv` (one broadcast join of the index-sized
+    * centroid table into the |queries|×nprobe probe frame) — the
+    * residual-PQ score needs it to add the centroid back before the ADC
+    * dot.
+    */
   private def knnPass(spark: SparkSession, table: String, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int, nprobe: Int,
                       filter: Option[Column],
-                      score: Column): DataFrame = {
+                      score: Column, withCv: Boolean = false): DataFrame = {
     val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
+    val probesCv =
+      if (!withCv) probes
+      else probes.join(
+        broadcast(spark.table(s"${table}__centroids")
+          .where(col("cv").isNotNull)
+          .select(col("centroid_id"), col("cv").as("__cv"))),
+        probes("bucket") === col("centroid_id")).drop("centroid_id")
     val idx0 = prunedIndex(spark, table, probes)
     val idx = filter.map(idx0.where).getOrElse(idx0)
-    topK(excludeSelf(broadcast(probes).join(idx, Seq("bucket")), probes, idx)
+    topK(excludeSelf(broadcast(probesCv).join(idx, Seq("bucket")),
+        probes, idx)
       .select(col("query_id"), col("id"), score.as("cos")), k)
   }
 
@@ -1223,7 +1381,7 @@ object AnnIndex {
                            queries: DataFrame, idCol: String, vecCol: String,
                            k: Int, nprobe: Int, widenTo: Int,
                            filter: Option[Column], base: DataFrame,
-                           score: Column): DataFrame = {
+                           score: Column, withCv: Boolean = false): DataFrame = {
     if (filter.isEmpty || widenTo <= nprobe) return base
     // queries frame is small by contract (it broadcasts into the probe
     // join), so the starved-set arithmetic is a driver-side set diff
@@ -1264,7 +1422,7 @@ object AnnIndex {
     val widened =
       if (widenTo < nCents)
         knnPass(spark, table, starvedQ, idCol, vecCol, k, widenTo, filter,
-          score)
+          score, withCv)
       else {
         // exhaustive: every non-null-cv centroid's bucket would be
         // probed, which is the whole assigned table — scan it directly.
@@ -1274,7 +1432,16 @@ object AnnIndex {
         val q = Similarity.unitProject(starvedQ, idCol, "query_id",
           vecCol, "qv").where(col("qv").isNotNull)
         val idx0 = spark.table(table).where(col("bucket").isNotNull)
-        val idx = filter.map(idx0.where).getOrElse(idx0)
+        val idx1 = filter.map(idx0.where).getOrElse(idx0)
+        // residual score: here the centroid joins the CANDIDATE rows
+        // (no probe frame exists on the exhaustive path)
+        val idx =
+          if (!withCv) idx1
+          else idx1.join(
+            broadcast(spark.table(s"${table}__centroids")
+              .where(col("cv").isNotNull)
+              .select(col("centroid_id"), col("cv").as("__cv"))),
+            idx1("bucket") === col("centroid_id")).drop("centroid_id")
         topK(excludeSelf(broadcast(q).join(idx), q, idx)
           .select(col("query_id"), col("id"), score.as("cos")), k)
       }
@@ -1340,10 +1507,18 @@ object AnnIndex {
     val decoded = flatten(zip_with(col("codes"),
       sequence(lit(0), lit(mSub - 1)),
       (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
-    val score = Similarity.dot(col("qv"), decoded)
+    // residual tier: decoded is the reconstructed RESIDUAL — add the
+    // probed bucket's centroid back (element-wise, BEFORE the dot, so
+    // the arithmetic is Σ qᵢ·(cvᵢ + residᵢ) — one sequential fold, the
+    // order the oracle replays) and score the query against the sum
+    val resid = isResidual(spark, table)
+    val score =
+      if (!resid) Similarity.dot(col("qv"), decoded)
+      else Similarity.dot(col("qv"),
+        zip_with(col("__cv"), decoded, (a, b) => a + b))
     val base = knnPass(spark, table, queries, idCol, vecCol, k, nprobe,
-      filter, score)
+      filter, score, withCv = resid)
     widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
-      filter, base, score)
+      filter, base, score, withCv = resid)
   }
 }

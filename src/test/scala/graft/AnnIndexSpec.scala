@@ -803,6 +803,143 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__compacting", s"${table}__old")
   }
 
+  test("calibrateProbes: monotone recall/cost curve, cheapest-meeting pick") {
+    val table = "annidx_cal"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    try {
+      val q = emb.where(col("vec_id") % 100 === 1)
+      val out = AnnIndex.calibrateProbes(spark, table, q, "vec_id",
+        "embedding", k = 5, targetRecall = 0.0, nprobes = Seq(3, 1, 2))
+        .collect().sortBy(_.getLong(0))
+      assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      // probe sets are nested prefixes → recall is nondecreasing and the
+      // candidate read strictly grows with the dial
+      val recalls = out.map(_.getDouble(1))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        recalls.toSeq.toString)
+      val costs = out.map(_.getLong(2))
+      assert(costs.zip(costs.tail).forall { case (a, b) => a < b },
+        costs.toSeq.toString)
+      // target 0 is met everywhere → the pick is the cheapest setting
+      assert(out.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+        === Map(1L -> true, 2L -> false, 3L -> false))
+      // unreachable target → NO pick, the curve still reports
+      val none = AnnIndex.calibrateProbes(spark, table, q, "vec_id",
+        "embedding", k = 5, targetRecall = 1.01, nprobes = Seq(1, 2))
+        .collect()
+      assert(none.length === 2 && none.forall(!_.getBoolean(3)))
+      // a PQ codes table fails loudly (no stored ground truth)
+      val pq = "annidx_cal_pq"
+      graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+      try {
+        AnnIndex.writeIvfPqIndex(emb, "vec_id", "embedding", step = 50,
+          m = 8, table = pq, buckets = 4, codeStep = 50, force = true)
+        val e = intercept[IllegalArgumentException] {
+          AnnIndex.calibrateProbes(spark, pq, q, "vec_id", "embedding",
+            k = 5, targetRecall = 0.5)
+        }
+        assert(e.getMessage.contains("plain IVF"))
+      } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
+  }
+
+  test("residual PQ: encode engages, query adds the centroid back, upsert recomputes") {
+    val resid = "annidx_resid"
+    val ctrl = "annidx_resid_ctrl"
+    def side(t: String) = Seq(t, s"${t}__centroids", s"${t}__codebook",
+      s"${t}__meta")
+    (side(resid) ++ side(ctrl)).grouped(4).foreach(g =>
+      graft.queries.Tables.reset(spark, g: _*))
+    try {
+      val buildSide = emb.where(col("vec_id") % 3 =!= 1)
+      AnnIndex.writeIvfPqIndex(buildSide, "vec_id", "embedding", step = 50,
+        m = 8, table = resid, buckets = 4, codeStep = 50, force = true,
+        encodeResidual = true)
+      AnnIndex.writeIvfPqIndex(buildSide, "vec_id", "embedding", step = 50,
+        m = 8, table = ctrl, buckets = 4, codeStep = 50, force = true)
+      // the flag is recorded and the encode actually differs
+      assert(spark.table(s"${resid}__meta").head().getAs[Boolean]("resid"))
+      assert(!spark.table(s"${ctrl}__meta").head().getAs[Boolean]("resid"))
+      val differing = spark.table(resid).select(col("id"), col("codes"))
+        .join(spark.table(ctrl).select(col("id"),
+          col("codes").as("c0")), "id")
+        .where(col("codes") =!= col("c0")).count()
+      assert(differing > 0L, "residual encode produced identical codes")
+      // the query path returns a full k (the centroid-add score works)
+      val knn = AnnIndex.ivfPqKnnIndexed(spark, resid,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 5, nprobe = 3)
+      assert(knn.count() === 5L)
+      // maintenance flows through the same frozen-side surface: upserted
+      // rows equal an assignNew recompute (frozen centroids + frozen
+      // residual codebook)
+      val arrivals = emb.where(col("vec_id") % 3 === 1)
+      AnnIndex.upsertIvfIndex(spark, resid, arrivals, "vec_id", "embedding")
+      assert(spark.table(resid).count() === emb.count())
+      val re = AnnIndex.assignNew(spark, resid, arrivals, "vec_id",
+        "embedding")
+        .select(col("id"), col("bucket").as("b2"), col("codes").as("c2"))
+      val diff = spark.table(resid).join(re, "id")
+        .where(col("codes") =!= col("c2") || col("bucket") =!= col("b2"))
+        .count()
+      assert(diff === 0L,
+        "residual upsert must equal a frozen-side recompute")
+    } finally (side(resid) ++ side(ctrl)).grouped(4).foreach(g =>
+      graft.queries.Tables.reset(spark, g: _*))
+  }
+
+  test("residual PQ balance guard re-derives codebook and codes (no bit-identity shortcut)") {
+    import spark.implicits._
+    val dim = 8
+    def spread(id: Long): Seq[Double] = {
+      val v = Array.fill(dim)(0.05)
+      v((id % dim).toInt) = 1.0
+      v(((id / dim) % dim).toInt) += 0.5
+      v.toSeq
+    }
+    val degenerate = (0L until 1000L).map { id =>
+      if (id % 40 == 0) (id, Seq(1.0) ++ Seq.fill(dim - 1)(0.0))
+      else (id, spread(id))
+    }.toDF("vec_id", "embedding")
+    val table = "annidx_resid_guard"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__codebook", s"${table}__meta")
+    try {
+      AnnIndex.writeIvfPqIndex(degenerate, "vec_id", "embedding",
+        step = 40, m = 4, table = table, buckets = 4, codeStep = 10,
+        force = true, encodeResidual = true)
+      // guard engaged and recovered (same degenerate fixture as the
+      // residual-free guard spec)
+      assert(AnnIndex.bucketBalanceRatio(spark, table) <= 20.0)
+      // complete: all rows, codes schema, meta stamped residual
+      assert(spark.table(table).count() === 1000L)
+      assert(spark.table(s"${table}__meta").head().getAs[Boolean]("resid"))
+      assert(spark.catalog.tableExists(s"${table}__codebook"))
+      // queryable end to end off the RETRAINED codebook — and the stored
+      // codes equal a fresh recompute against the recovered side tables
+      // (proving codebook/centroids/codes are mutually consistent; a
+      // stale verbatim codebook would diverge)
+      assert(AnnIndex.ivfPqKnnIndexed(spark, table,
+        degenerate.where(col("vec_id") === 7), "vec_id", "embedding",
+        k = 3, nprobe = 3).count() === 3L)
+      val re = AnnIndex.assignNew(spark, table, degenerate, "vec_id",
+        "embedding")
+        .select(col("id"), col("bucket").as("b2"), col("codes").as("c2"))
+      val diff = spark.table(table).join(re, "id")
+        .where(col("codes") =!= col("c2") || col("bucket") =!= col("b2"))
+        .count()
+      assert(diff === 0L,
+        "recovered residual index must equal a frozen-side recompute")
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__codebook", s"${table}__meta")
+  }
+
   test("semanticDedupIndexed == per-call semanticDedup; corpus side pays zero exchanges") {
     val half = emb.where(col("vec_id") % 2 === 0)
     val table = "annidx_semdedup"
