@@ -93,6 +93,15 @@ object Bench {
     * pre-history trend or a hand-seeded file) degrades to empty, and the
     * caller seeds each query's window from the legacy `queries` min so
     * an accumulated best-known value keeps gating until it ages out.
+    *
+    * WRITER-FORMAT DEPENDENCY (r17 advice, documented): this first-'}'
+    * parse is sound only because the values inside `history` are flat
+    * ARRAYS (no nested objects) — which the writer below guarantees. A
+    * hand-seeded trend file that nests an object inside `history` would
+    * silently truncate the parse to its prefix (degrading per key to the
+    * legacy queries-min seed, so the gate still has a reference). Keep
+    * the writer emitting flat arrays, or anchor this parse on balanced
+    * braces first.
     */
   def parseHistory(json: String): Map[String, List[Double]] = {
     val opener = "\"history\"\\s*:\\s*\\{".r
@@ -107,6 +116,42 @@ object Bench {
           .filter(_.trim.nonEmpty).map(_.trim.toDouble).toList).toOption
       }.filter(_._2.nonEmpty).toMap
   }
+
+  /** The `"best":{…}` all-time-best object of a trend file (ADVICE r17):
+    * the bounded window's flip side is that a PERSISTENT slowdown becomes
+    * its own baseline once the fast samples age out — so the trend file
+    * also carries a never-decaying per-query minimum. It does NOT gate
+    * (one anomalously fast sample would flag every later healthy run
+    * forever — exactly why the window exists); it feeds a once-per-run
+    * ADVISORY stderr diff of entries >2× their all-time best that the
+    * window gate did not flag.
+    */
+  def parseBest(json: String): Map[String, Double] = {
+    val opener = "\"best\"\\s*:\\s*\\{".r
+    val m0 = opener.findFirstMatchIn(json).getOrElse(return Map.empty)
+    val body = json.substring(m0.end)
+    val end = body.indexOf('}')
+    if (end < 0) return Map.empty
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*([-0-9.Ee]+)".r.findAllMatchIn(body.take(end))
+      .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+      .toMap
+  }
+
+  /** Fold this run's (successful) scores into the all-time-best map —
+    * min per key, keys union, never aged.
+    */
+  def mergeBest(old: Map[String, Double],
+                run: Map[String, Double]): Map[String, Double] =
+    (old.keySet ++ run.keySet).map { k =>
+      k -> (old.get(k).toList ++ run.get(k).toList).min
+    }.toMap
+
+  /** Advisory-only drift detection: scored > 2× the all-time best AND
+    * > 0.2 s above it (the [[elevated]] thresholds) — reported when the
+    * window gate stayed quiet.
+    */
+  def driftedFromBest(scored: Double, best: Option[Double]): Boolean =
+    best.exists(b => b > 0 && scored > 2.0 * b && scored - b > 0.2)
 
   /** The round-over-round watch list, parsed from the PREVIOUS committed
     * artifact's `stall_class` object instead of hardcoded names (r15
@@ -569,15 +614,31 @@ object Bench {
       val histIn0 = parseHistory(trendRaw)
       val histIn =
         trendIn.map { case (k, v) => k -> List(v) } ++ histIn0
-      val histOut = mergeHistory(histIn,
-        resultMap.filter { case (k, _) => !allFailed(k) })
+      val okScores = resultMap.filter { case (k, _) => !allFailed(k) }
+      val histOut = mergeHistory(histIn, okScores)
       val trendOut = histOut.collect { case (k, vs) if vs.nonEmpty => k -> vs.min }
+      // slow-decay all-time best alongside the window (seeded from the
+      // legacy queries min on first contact) + the once-per-run advisory
+      // diff it exists for: entries far over their best-ever that the
+      // window gate did NOT flag (a persistent regression whose fast
+      // samples aged out). Advisory only — never a gate.
+      val bestIn = mergeBest(parseBest(trendRaw), trendIn)
+      val drifted = measured.collect { case (n, (t, _))
+          if !elevated(t, refOf(n)) && driftedFromBest(t, bestIn.get(n)) =>
+        f"$n $t%.3f vs best ${bestIn(n)}%.3f" }
+      if (drifted.nonEmpty)
+        System.err.println("bench ADVISORY (all-time-best drift, window " +
+          "gate quiet): " + drifted.mkString("; "))
+      val bestOut = mergeBest(bestIn, okScores)
       val trendJson = "{\"sf\":\"" + sfDir + "\",\"queries\":" +
         trendOut.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}") + ",\"history\":" +
         histOut.toSeq.sortBy(_._1)
           .map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
+          .mkString("{", ",", "}") + ",\"best\":" +
+        bestOut.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}") + "}"
       try writeAtomic(trendPath, trendJson + "\n")
       catch {

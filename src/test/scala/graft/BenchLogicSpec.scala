@@ -118,6 +118,35 @@ class BenchLogicSpec extends AnyFunSuite {
       === Map("b" -> List(1.5)))
   }
 
+  test("all-time best: parses, min-merges without decay, advisory fires only past 2x+0.2s") {
+    val json = """{"sf":"/x","queries":{"a":0.4},""" +
+      """"history":{"a":[0.4,0.5]},"best":{"a":0.1,"b":3.0}}"""
+    assert(Bench.parseBest(json) === Map("a" -> 0.1, "b" -> 3.0))
+    // pre-best trend file: empty (caller seeds from the legacy queries min)
+    assert(Bench.parseBest("""{"queries":{"a":0.1}}""") === Map.empty)
+    // min-merge: never rises, keys union, no aging
+    assert(Bench.mergeBest(Map("a" -> 0.1, "b" -> 3.0),
+      Map("a" -> 0.5, "c" -> 1.0))
+      === Map("a" -> 0.1, "b" -> 3.0, "c" -> 1.0))
+    // the drift advisory mirrors elevated()'s thresholds against the
+    // never-decaying reference: 2x AND 0.2s absolute
+    assert(Bench.driftedFromBest(0.5, Some(0.1)))
+    assert(!Bench.driftedFromBest(0.5, Some(0.3)))  // 1.7x
+    assert(!Bench.driftedFromBest(0.15, Some(0.05))) // 3x but 0.1s delta
+    assert(!Bench.driftedFromBest(0.5, None))
+    assert(!Bench.driftedFromBest(0.5, Some(0.0)))  // degenerate ref
+    // scenario the best reference exists for: a persistent slowdown that
+    // aged its fast samples out of the window — the window min equals
+    // the slow plateau (gate quiet), the all-time best still remembers
+    val plateau = (1 to Bench.TrendHistoryWindow)
+      .foldLeft(Map("q" -> List(0.1))) { (h, _) =>
+        Bench.mergeHistory(h, Map("q" -> 0.9)) }
+    assert(plateau("q").min === 0.9) // window forgot 0.1
+    assert(!Bench.elevated(0.95, Some(plateau("q").min)))
+    assert(Bench.driftedFromBest(0.95,
+      Bench.mergeBest(Map("q" -> 0.1), Map("q" -> 0.9)).get("q")))
+  }
+
   test("parseSf reads the scale-factor marker; trend files from another sf are ignored") {
     assert(Bench.parseSf("""{"sf":"/root/testdata/sf0.1","queries":{}}""")
       === Some("/root/testdata/sf0.1"))

@@ -242,4 +242,67 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
   }
+
+  test("perceptual near-dup classes: one edge per distinct-hash pair, reps = min ids") {
+    import spark.implicits._
+    // two identical-hash groups G0 (ids 0,1,2) and G1 (ids 10,11) whose
+    // hashes are 1 bit apart, plus a far payload: asset-level pairing
+    // yields 3+1+6 within/cross pairs; CLASS-level pairing yields exactly
+    // one edge between the two groups' representatives (0, 10)
+    val near = "x" * 120 + "y" * 120
+    // single-char in-place flip: moves one grid cell mean → small hamming
+    val nearTwin = near.substring(0, 60) + "Q" + near.substring(61)
+    val far = (0 until 240).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      0L -> near, 1L -> near, 2L -> near,
+      10L -> nearTwin, 11L -> nearTwin,
+      20L -> far).map { case (i, t) => (i, t.getBytes("UTF-8")) }
+    val hNear = Multimodal.dHashOf(near.getBytes("UTF-8"))
+    val hTwin = Multimodal.dHashOf(nearTwin.getBytes("UTF-8"))
+    val d = java.lang.Long.bitCount(hNear ^ hTwin)
+    assert(d >= 1 && d <= 3, s"fixture hamming $d out of the radius")
+    val df = rows.toDF("media_id", "data")
+    val got = Multimodal.perceptualNearDuplicateClasses(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 10L, d.toLong)),
+      s"expected one class edge (0,10,$d), got $got")
+    // the asset-level operator on the same rows pairs within groups too
+    val assets = Multimodal.perceptualNearDuplicates(df, maxHamming = 3)
+      .count()
+    assert(assets === 10L) // C(3,2) + C(2,2->1) + 3*2 cross = 3+1+6
+  }
+
+  test("perceptual near-dup hot-block guard: skips heavy-hitter blocks, keeps normal pairs") {
+    import spark.implicits._
+    // a heavy hitter: 50 byte-identical payloads (one dhash → every band
+    // key shared → 1225 quadratic pairs), plus one normal near-pair far
+    // from the hitter. With maxBlock below the hitter's 50, all four of
+    // its bands are over-cap so its pairs vanish; the normal pair's
+    // blocks stay under cap and survive — the documented approximation
+    // ("lost only if EVERY shared band is hot").
+    val hot = "x" * 120 + "y" * 120
+    val norm = (0 until 240).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val normTwin = norm.substring(0, 60) + norm.charAt(60) + norm.substring(61)
+    val rows: Seq[(Long, Array[Byte])] =
+      (0L until 50L).map(i => i -> hot.getBytes("UTF-8")) ++
+        Seq(100L -> norm.getBytes("UTF-8"),
+          101L -> normTwin.getBytes("UTF-8"))
+    // the "twin" here is byte-identical (substring splice) — hamming 0,
+    // a normal two-row block in every band
+    val df = rows.toDF("media_id", "data")
+    val unguarded = Multimodal.perceptualNearDuplicates(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((100L, 101L)))
+    assert(unguarded.count { case (a, b) => a < 50 && b < 50 } === 49 * 50 / 2)
+    val guarded = Multimodal.perceptualNearDuplicates(df, maxHamming = 3,
+      maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L)),
+      s"guard must keep exactly the normal pair, got $guarded")
+    // cap above every block size = exact (guard engaged, nothing hot)
+    val wide = Multimodal.perceptualNearDuplicates(df, maxHamming = 3,
+      maxBlock = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === unguarded)
+  }
 }
