@@ -615,8 +615,8 @@ object ScaleRehearsal {
     // the realistic ingest shape anyway (new content is bursty).
     val maintT = "scale_ann_maint"
     val maintNames = Set("ann_maint_build_2klists", "ann_compact_2k_50lists",
-      "ann_compact_20k_500lists", "ann_compact_200k_spread",
-      "ann_upsert_2k_clustered")
+      "ann_compact_20k_500lists", "ann_compact_286k_alllists",
+      "ann_upsert_2k_clustered", "ann_calibrate_sweep")
     if (only.isEmpty || only.exists(maintNames)) {
       def buildMaint(): Long = {
         graft.queries.Tables.reset(spark, maintT, s"${maintT}__centroids",
@@ -638,6 +638,7 @@ object ScaleRehearsal {
               lit(every)) === 0)
           .withColumn("vec_id", col("vec_id") + lit(shift))
       def compactRow(name: String, batch: DataFrame): Unit = {
+        if (only.nonEmpty && !only.contains(name)) return // prep is per-row too
         // appends staged to parquet OUTSIDE the measured body (run()
         // unpersists all blocks at entry, so a pre-checkpointed frame
         // would lose its blocks) — which is also the production shape:
@@ -677,6 +678,19 @@ object ScaleRehearsal {
       }
       println(s"  ann_upsert_2k_clustered verified: " +
         s"table=${spark.table(maintT).count()}")
+      // the r18 dial-calibration curve at scale: sweep nprobe on a
+      // 100-query sample against the exact ranking over the table's own
+      // stored vectors (~2000 lists); the printed curve is what the ops
+      // note cites — cost = |nprobes| probed batches + ONE exact scan
+      run("ann_calibrate_sweep") {
+        val cal = graft.search.AnnIndex.calibrateProbes(spark, maintT,
+          emb.where(col("vec_id") % 19997 === 1), "vec_id", "embedding",
+          k = 10, targetRecall = 0.9, nprobes = Seq(1, 2, 4, 8)).collect()
+        cal.sortBy(_.getLong(0)).foreach(r => println(
+          f"  calibrate nprobe=${r.getLong(0)} recall=${r.getDouble(1)}%.4f " +
+            f"cand_rows=${r.getLong(2)} pick=${r.getBoolean(3)}"))
+        cal.length.toLong
+      }
       graft.queries.Tables.reset(spark, maintT, s"${maintT}__centroids",
         s"${maintT}__meta", s"${maintT}__compacting", s"${maintT}__old")
     }
@@ -728,11 +742,14 @@ object ScaleRehearsal {
     // asset-level banded pairing under the hot-block guard: the 5M
     // distinct payloads share only ~32k distinct hashes (low-entropy
     // synthetic grids), so uncapped asset pairing is 1.6e10 candidates
-    // (measured census); cap 500 bounds it at 2.9e8 — the guard IS the
-    // dial that keeps this arm alive on skewed corpora
+    // (measured census); even capped at 500 it measured 298 s / 142M
+    // emitted pairs / 2.9 GB spill — the output ITSELF explodes when
+    // hash classes are fat, which is why the classes arm below is the
+    // scale composition. Cap 100 here keeps the per-round sweep honest
+    // about the arm's shape without paying the 5-minute row every run.
     run("media_dhash_neardup") {
       graft.operators.Multimodal.perceptualNearDuplicates(mediaDistinct,
-        maxHamming = 3, bands = 4, maxBlock = 500).count()
+        maxHamming = 3, bands = 4, maxBlock = 100).count()
     }
     // the corpus-scale composition: near-dup edges between HASH CLASSES
     // (~32k) with identical-hash mass left to the stats rung — the

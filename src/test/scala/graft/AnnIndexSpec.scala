@@ -803,6 +803,56 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__compacting", s"${table}__old")
   }
 
+  test("registerIvfIndex re-registers a stranded per-list index (partitioned DDL)") {
+    val table = "annidx_register"
+    val names = Seq(table, s"${table}__centroids", s"${table}__meta")
+    graft.queries.Tables.reset(spark, names: _*)
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding", step = 50,
+      table = table, buckets = 4, force = true)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val expected = rows(AnnIndex.ivfKnnIndexed(spark, table, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3))
+    try {
+      // simulate a JVM restart stranding the warehouse dirs: copy data
+      // aside, drop the managed tables (deletes originals), copy back
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val whBase = spark.conf.get("spark.sql.warehouse.dir")
+      val fs = new org.apache.hadoop.fs.Path(whBase)
+        .getFileSystem(hconf)
+      val tmp = java.nio.file.Files.createTempDirectory("ann_register")
+        .toString
+      names.foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(whBase, n), fs,
+          new org.apache.hadoop.fs.Path(tmp, n), false, hconf)
+        spark.sql(s"DROP TABLE `$n`")
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(tmp, n), fs,
+          new org.apache.hadoop.fs.Path(whBase, n), false, hconf)
+      }
+      AnnIndex.registerIvfIndex(spark, table)
+      // the partition column came back BIGINT (directory-name inference
+      // would type it INT and break the union/prune paths)
+      assert(spark.table(table).schema("pbucket").dataType
+        === org.apache.spark.sql.types.LongType)
+      val again = AnnIndex.ivfKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      assert(rows(again) === expected)
+      assert(again.queryExecution.executedPlan.toString
+        .contains("PartitionFilters"))
+      // and maintenance works on the re-registered table (bucket-local)
+      val n0 = spark.table(table).count()
+      AnnIndex.upsertIvfIndex(spark, table,
+        emb.where(col("vec_id") === 1)
+          .withColumn("vec_id", col("vec_id") + 777000L),
+        "vec_id", "embedding")
+      assert(spark.table(table).count() === n0 + 1)
+    } finally graft.queries.Tables.reset(spark, names: _*)
+  }
+
   test("calibrateProbes: monotone recall/cost curve, cheapest-meeting pick") {
     val table = "annidx_cal"
     graft.queries.Tables.reset(spark, table, s"${table}__centroids",
