@@ -352,15 +352,29 @@ object Multimodal {
     * re-scan the payloads.
     */
   def perceptualNearDuplicates(media: DataFrame, maxHamming: Int = 3,
-                               bands: Int = 4, maxBlock: Int = 0): DataFrame = {
+                               bands: Int = 4, maxBlock: Int = 0): DataFrame =
+    bandedHammingPairs(perceptualHash(media), "media_id", maxHamming,
+      bands, maxBlock)
+
+  /** ONE copy of the banded-blocking pipeline serving both the
+    * asset-level and class-level operators: band the 64-bit hashes of
+    * `hashed` (an (`idCol`, dhash) frame), optionally skip hot blocks,
+    * pair within equal (band, key), verify exact hamming. With the
+    * guard on, `hashed` is checkpointed (16 bytes/row) so the hot-key
+    * census and the pairing join share one upstream computation — for
+    * the asset operator that upstream is the payload hash SCAN, which
+    * must not run twice.
+    */
+  private def bandedHammingPairs(hashed0: DataFrame, idCol: String,
+                                 maxHamming: Int, bands: Int,
+                                 maxBlock: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
       s"bands must divide 64, got $bands")
     require(maxHamming < 64, s"maxHamming $maxHamming is the whole hash")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val h0 = perceptualHash(media)
-    val h = if (maxBlock <= 0) h0 else h0.localCheckpoint(true)
-    val banded0 = h.select(col("media_id"), col("dhash"),
+    val h = if (maxBlock <= 0) hashed0 else hashed0.localCheckpoint(true)
+    val banded0 = h.select(col(idCol), col("dhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "key")))
@@ -375,9 +389,9 @@ object Multimodal {
         banded0.join(broadcast(hot), Seq("band", "key"), "left_anti")
       }
     val a = banded.select(col("band"), col("key"),
-      col("media_id").as("id_a"), col("dhash").as("ha"))
+      col(idCol).as("id_a"), col("dhash").as("ha"))
     val b = banded.select(col("band"), col("key"),
-      col("media_id").as("id_b"), col("dhash").as("hb"))
+      col(idCol).as("id_b"), col("dhash").as("hb"))
     a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
@@ -401,36 +415,11 @@ object Multimodal {
     */
   def perceptualNearDuplicateClasses(media: DataFrame, maxHamming: Int = 3,
                                      bands: Int = 4,
-                                     maxBlock: Int = 0): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0,
-      s"bands must divide 64, got $bands")
-    require(maxHamming < 64, s"maxHamming $maxHamming is the whole hash")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    val classes = perceptualHash(media)
-      .groupBy("dhash").agg(min("media_id").as("rep_id"))
-    val banded0 = classes.select(col("rep_id"), col("dhash"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("dhash"), b * width).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "key")))
-    val banded =
-      if (maxBlock <= 0) banded0
-      else {
-        val hot = banded0.groupBy("band", "key")
-          .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBlock)
-          .select("band", "key")
-        banded0.join(broadcast(hot), Seq("band", "key"), "left_anti")
-      }
-    val a = banded.select(col("band"), col("key"),
-      col("rep_id").as("id_a"), col("dhash").as("ha"))
-    val b = banded.select(col("band"), col("key"),
-      col("rep_id").as("id_b"), col("dhash").as("hb"))
-    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                                     maxBlock: Int = 0): DataFrame =
+    bandedHammingPairs(
+      perceptualHash(media).groupBy("dhash")
+        .agg(min("media_id").as("rep_id")),
+      "rep_id", maxHamming, bands, maxBlock)
 
   /** Duplicate stats keyed on the perceptual hash — the rung between
     * exact payload md5 ([[mediaDuplicateStats]]) and embedding cosine

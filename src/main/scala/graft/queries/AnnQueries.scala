@@ -392,7 +392,7 @@ object AnnQueries extends QueryPack {
     // score each setting's recall@5 against the exact ranking over the
     // index's own stored unit vectors, price it by candidate rows read
     // (probed bucket sizes), and mark the cheapest setting meeting the
-    // 0.8 target. The oracle replays the whole sweep: per-nprobe probe
+    // 0.15 target (reachable on every SF of these probe-starved fixtures). The oracle replays the whole sweep: per-nprobe probe
     // prefixes, per-query recall, the cost sums, and the argmin pick.
     "ann_calibrate" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")

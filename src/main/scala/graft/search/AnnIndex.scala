@@ -174,9 +174,10 @@ object AnnIndex {
     * written `__centroids`, so a balance-guard rewrite is reflected) —
     * the number [[widenStarved]]'s exhaustive-vs-probed decision reads
     * per query; recording it here removes a per-call count() over the
-    * side table. `plist` = the per-list partitioned layout marker
-    * (maintenance and recovery branch on it; absent in pre-r18 metas,
-    * which read as legacy whole-table-fold indexes). `resid` = the PQ
+    * side table. `plist` = the per-list partitioned layout RECORD for
+    * external readers/debugging — layout dispatch itself reads the
+    * table schema's [[PartCol]] column (the table is the source of
+    * truth; a hand-edited flag cannot contradict it). `resid` = the PQ
     * tier's residual-encoding flag ([[writeIvfPqIndex]]) — the query and
     * append paths branch on it.
     */
@@ -806,11 +807,7 @@ object AnnIndex {
       // encode of a null vector)
       val encodable =
         if (!isResidual(spark, table)) assigned
-        else assigned.join(
-            broadcast(spark.table(s"${table}__centroids")
-              .where(col("cv").isNotNull)
-              .select(col("centroid_id"), col("cv").as("__cv"))),
-            assigned("bucket") === col("centroid_id"), "left")
+        else withCentroidCv(spark, table, assigned, joinType = "left")
           .select(col("id") +: col("bucket") +:
             zip_with(col("bv"), col("__cv"), (a, b) => a - b).as("bv") +:
             keep.map(col): _*)
@@ -945,11 +942,17 @@ object AnnIndex {
     *
     * Crash contract: the live TABLE never moves. Renames begin only
     * after the staging write commits, so any crash before that leaves
-    * live whole (heal rolls the staging debris back); a crash
-    * mid-renames leaves every touched list available in exactly one of
-    * live/staging and [[recoverPartitionSwap]] rolls FORWARD (staging is
-    * the newer version of every directory it still holds). Replaying
-    * the same batch converges either way.
+    * live whole (heal rolls the staging debris back — the batch did NOT
+    * land); a crash mid-renames leaves every touched list available in
+    * exactly one of live/staging and [[recoverPartitionSwap]] rolls
+    * FORWARD (staging is the newer version of every directory it still
+    * holds — the batch DID land). The heal always converges the
+    * in-flight fold, but compact itself is APPEND-ONLY: a caller that
+    * cannot tell which side of the staging commit a crash fell on must
+    * not blindly re-submit the same appends (a landed batch would
+    * double). Under at-least-once delivery, replay through
+    * [[upsertIvfIndex]] instead — its id anti-join makes re-submission
+    * idempotent.
     */
   def compactIvfIndex(spark: SparkSession, table: String, appends: DataFrame,
                       buckets: Int = -1): Unit = {
@@ -977,11 +980,13 @@ object AnnIndex {
     val appendsP = appends.withColumn(PartCol, col("bucket"))
       .localCheckpoint(eager = true)
     try {
+      val touched = appendsP.select(col(PartCol)).distinct().collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0))
       val merged = spark.table(table)
-        .where(touchedCond(appendsP.select(col(PartCol)).distinct().collect()
-          .map(r => if (r.isNullAt(0)) null else r.getLong(0))))
+        .where(touchedCond(touched))
         .unionByName(appendsP)
-      foldTouchedPartitions(spark, table, merged, metaBuckets)
+      foldTouchedPartitions(spark, table, merged, metaBuckets,
+        touched.toSeq)
     } finally
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(appendsP)
   }
@@ -1036,7 +1041,7 @@ object AnnIndex {
       val merged = live.where(touchedCond(touched))
         .join(broadcast(incoming), Seq("id"), "left_anti")
         .unionByName(appendsP)
-      foldTouchedPartitions(spark, table, merged, buckets)
+      foldTouchedPartitions(spark, table, merged, buckets, touched.toSeq)
     } finally
       org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(appends)
   }
@@ -1044,13 +1049,33 @@ object AnnIndex {
   /** Write the touched partitions' replacement rows to the staging table
     * and swap them in. Staging is a full table write (ErrorIfExists —
     * debris was healed by the caller) but sized by the TOUCHED lists.
+    *
+    * `touched` closes the DRAINED-list hole: a touched partition whose
+    * replacement row set is EMPTY (an upsert anti-join removed every
+    * live row and the new rows landed elsewhere) writes no staging
+    * directory, and the rename pass — which iterates staging — would
+    * leave the stale live directory in place (replaced ids surviving
+    * next to their new rows). Every touched partition therefore gets a
+    * staging directory, an empty one if the write produced none: the
+    * swap then supersedes the stale live dir with zero files (an empty
+    * partition reads as zero rows and its catalog entry stays valid),
+    * and the heal needs no special case.
     */
   private def foldTouchedPartitions(spark: SparkSession, table: String,
-                                    merged: DataFrame, buckets: Int): Unit = {
+                                    merged: DataFrame, buckets: Int,
+                                    touched: Seq[Any]): Unit = {
     val staging = table + "__compacting"
     spark.sql(s"DROP TABLE IF EXISTS `$staging`")
     InvertedIndex.deleteIfUncataloged(spark, staging)
     writeIndexRows(merged, buckets, staging, SaveMode.ErrorIfExists)
+    val stagingLoc = tableLoc(spark, staging)
+    val fs = stagingLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(stagingLoc,
+        PartCol + "=" + (if (t == null) "__HIVE_DEFAULT_PARTITION__"
+          else t.toString))
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+    }
     finishPartitionSwap(spark, table)
   }
 
@@ -1338,18 +1363,28 @@ object AnnIndex {
                       score: Column, withCv: Boolean = false): DataFrame = {
     val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
     val probesCv =
-      if (!withCv) probes
-      else probes.join(
-        broadcast(spark.table(s"${table}__centroids")
-          .where(col("cv").isNotNull)
-          .select(col("centroid_id"), col("cv").as("__cv"))),
-        probes("bucket") === col("centroid_id")).drop("centroid_id")
+      if (!withCv) probes else withCentroidCv(spark, table, probes)
     val idx0 = prunedIndex(spark, table, probes)
     val idx = filter.map(idx0.where).getOrElse(idx0)
     topK(excludeSelf(broadcast(probesCv).join(idx, Seq("bucket")),
         probes, idx)
       .select(col("query_id"), col("id"), score.as("cos")), k)
   }
+
+  /** The frozen-centroid `__cv` join shared by every residual-PQ
+    * consumer: broadcast the index-sized centroid side table and attach
+    * the bucket's centroid vector to each row. `joinType` "left" keeps
+    * null-bucket rows (maintenance encode paths); "inner" drops them
+    * (query paths, where the probe join excludes them anyway).
+    */
+  private def withCentroidCv(spark: SparkSession, table: String,
+                             df: DataFrame,
+                             joinType: String = "inner"): DataFrame =
+    df.join(
+      broadcast(spark.table(s"${table}__centroids")
+        .where(col("cv").isNotNull)
+        .select(col("centroid_id"), col("cv").as("__cv"))),
+      df("bucket") === col("centroid_id"), joinType).drop("centroid_id")
 
   /** Starved-query recall widening for FILTERED kNN (`widenTo` dial): a
     * selective predicate can leave a query with fewer than `k` passing
@@ -1436,12 +1471,7 @@ object AnnIndex {
         // residual score: here the centroid joins the CANDIDATE rows
         // (no probe frame exists on the exhaustive path)
         val idx =
-          if (!withCv) idx1
-          else idx1.join(
-            broadcast(spark.table(s"${table}__centroids")
-              .where(col("cv").isNotNull)
-              .select(col("centroid_id"), col("cv").as("__cv"))),
-            idx1("bucket") === col("centroid_id")).drop("centroid_id")
+          if (!withCv) idx1 else withCentroidCv(spark, table, idx1)
         topK(excludeSelf(broadcast(q).join(idx), q, idx)
           .select(col("query_id"), col("id"), score.as("cos")), k)
       }

@@ -676,8 +676,9 @@ object ScaleRehearsal {
           arrivals(50, 25, 10_000_000L), "vec_id", "embedding")
         50L
       }
-      println(s"  ann_upsert_2k_clustered verified: " +
-        s"table=${spark.table(maintT).count()}")
+      if (only.isEmpty || only.contains("ann_upsert_2k_clustered"))
+        println(s"  ann_upsert_2k_clustered verified: " +
+          s"table=${spark.table(maintT).count()}")
       // the r18 dial-calibration curve at scale: sweep nprobe on a
       // 100-query sample against the exact ranking over the table's own
       // stored vectors (~2000 lists); the printed curve is what the ops

@@ -803,6 +803,52 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__compacting", s"${table}__old")
   }
 
+  test("upsert that drains a whole list supersedes its stale directory (review finding)") {
+    // the r18 review's correctness hole: a touched partition whose
+    // replacement row set is EMPTY writes no staging directory, and a
+    // staging-driven rename pass would leave the stale live directory
+    // in place — replaced ids surviving next to their new rows. Fixture:
+    // two orthogonal clusters; the upsert re-embeds EVERY list-A row
+    // onto cluster B, draining list A completely.
+    import spark.implicits._
+    val dim = 8
+    def unitAt(j: Int): Seq[Double] =
+      (0 until dim).map(i => if (i == j) 1.0 else 0.0)
+    val base = ((0L until 10L).map(i => (i, unitAt(0))) ++
+      (10L until 20L).map(i => (i, unitAt(1)))).toDF("vec_id", "embedding")
+    val table = "annidx_drain"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta", s"${table}__compacting", s"${table}__old")
+    try {
+      // step=10 samples centroids {0, 10} = the two cluster directions
+      AnnIndex.writeIvfIndex(base, "vec_id", "embedding", step = 10,
+        table = table, buckets = 2, force = true)
+      val listA = spark.table(table).where(col("id") === 0L)
+        .head().getAs[Long]("bucket")
+      assert(spark.table(table).where(col("bucket") === listA)
+        .count() === 10L)
+      // re-embed every list-A id onto cluster B
+      val moved = (0L until 10L).map(i => (i, unitAt(1)))
+        .toDF("vec_id", "embedding")
+      AnnIndex.upsertIvfIndex(spark, table, moved, "vec_id", "embedding")
+      // no stale rows: every id exactly once, list A empty, and every
+      // former-A id now stores the B direction
+      assert(spark.table(table).count() === 20L)
+      assert(spark.table(table).select("id").distinct().count() === 20L)
+      assert(spark.table(table).where(col("bucket") === listA)
+        .count() === 0L, "stale drained-list rows survived the upsert")
+      val dirs = spark.table(table)
+        .where(col("id") < 10L).select("bv").collect()
+        .map(_.getSeq[Double](0).indexOf(1.0)).toSet
+      assert(dirs === Set(1), s"stale vectors present: $dirs")
+      // replaying the same batch converges (idempotent contract intact)
+      AnnIndex.upsertIvfIndex(spark, table, moved, "vec_id", "embedding")
+      assert(spark.table(table).count() === 20L)
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta",
+      s"${table}__compacting", s"${table}__old")
+  }
+
   test("registerIvfIndex re-registers a stranded per-list index (partitioned DDL)") {
     val table = "annidx_register"
     val names = Seq(table, s"${table}__centroids", s"${table}__meta")
