@@ -61,6 +61,10 @@ import graft.sources.Corpus
   *                        // up to N docs per embedding cluster (no table)
   *   runMain graft.Cli ann --table T --query-text "..." [--topk K]
   *     [--nprobe N] PATH...                     // semantic search
+  *   runMain graft.Cli ann --table T --calibrate TARGET
+  *     [--nprobes 1,2,4,8] [--sample-every N] [--topk K]
+  *                        // recall/cost curve off the saved table; the
+  *                        // cheapest nprobe meeting TARGET is marked
   *   runMain graft.Cli ann DROP_PATH... --table T --follow DIR
   *     [--step N] [--buckets B] [--query-text "..."]
   *                        // incremental: embed + upsert only NEW shards
@@ -1749,6 +1753,24 @@ object Cli {
           deliver(search.AnnIndex.semanticDedupIndexed(spark, table,
             threshold = t.toDouble).orderBy("id"), ranked = false)
         case None =>
+        flag("--calibrate") match { case Some(target) =>
+          // recall-targeted nprobe selection off the saved table: the
+          // query sample is drawn from the index's own rows (hash-of-id
+          // every --sample-every'th), ground truth is the exact ranking
+          // over the stored vectors — no corpus paths touched
+          search.AnnIndex.registerIvfIndex(spark, table)
+          val every = intFlag("--sample-every", 101)
+          val qs = spark.table(table).select(col("id"), col("bv"))
+            .where(pmod(xxhash64(col("id").cast("string")),
+              lit(every.toLong)) === 0)
+          val nps = flag("--nprobes")
+            .map(_.split(",").map(_.trim.toInt).toSeq)
+            .getOrElse(Seq(1, 2, 4, 8))
+          deliver(search.AnnIndex.calibrateProbes(spark, table, qs,
+            "id", "bv", k = intFlag("--topk", 10),
+            targetRecall = target.toDouble, nprobes = nps)
+            .orderBy("nprobe"), ranked = false)
+        case None =>
         flag("--query-text") match {
           case None =>
             val (keyed, idc) =
@@ -1796,6 +1818,7 @@ object Cli {
               widenTo = intFlag("--widen", 0))
               .select(col("neighbor_id").as("id"), col("cos"), col("rank")),
               ranked = false)
+        }
         }
         }
         }

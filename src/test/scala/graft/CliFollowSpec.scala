@@ -548,6 +548,21 @@ class CliFollowSpec extends SparkTestBase {
         "--dedup-semantic", "0.999", "--out", outD))
       val kept = spark.read.json(outD).count()
       assert(kept > 0 && kept <= 100)
+      // --calibrate: the recall/cost sweep off the saved table — one row
+      // per swept nprobe, monotone candidate cost, target 0 picks the
+      // cheapest setting
+      val outC = Files.createTempDirectory("cli_ann_c").toString + "/out"
+      Cli.run(spark, Array("ann", "--table", t, "--calibrate", "0.0",
+        "--nprobes", "1,2", "--sample-every", "3", "--topk", "3",
+        "--out", outC))
+      val cal = spark.read.json(outC)
+      assert(cal.count() === 2L)
+      assert(cal.columns.toSet ===
+        Set("nprobe", "mean_recall", "cand_rows", "pick"))
+      val calRows = cal.orderBy("nprobe").collect()
+      assert(calRows(0).getAs[Boolean]("pick"))
+      assert(calRows(0).getAs[Long]("cand_rows")
+        < calRows(1).getAs[Long]("cand_rows"))
       // --filter + --widen on the query path: the predicate references
       // the index row columns; widening keeps the call total on starved
       // filters instead of silently short
