@@ -990,6 +990,62 @@ class AnnIndexSpec extends SparkTestBase {
       graft.queries.Tables.reset(spark, g: _*))
   }
 
+  test("residual PQ composes with keep filters and widenTo (exhaustive arm carries the centroid)") {
+    // the untested r18 combination: a residual codes table with keep
+    // metadata, a selective filter that starves queries at nprobe=1, and
+    // the widen dial's EXHAUSTIVE arm — which must join the centroid
+    // onto the candidate rows (no probe frame exists there) before the
+    // ADC-plus-centroid score
+    import spark.implicits._
+    val dim = 8
+    def spread(id: Long): Seq[Double] = {
+      val v = Array.fill(dim)(0.05)
+      v((id % dim).toInt) = 1.0
+      v(((id / dim) % dim).toInt) += 0.5
+      v.toSeq
+    }
+    val base = (0L until 1000L)
+      .map(id => (id, spread(id), if (id % 100 == 7) 1 else 0))
+      .toDF("vec_id", "embedding", "label")
+    val queries = base.where(col("vec_id") % 50 === 1)
+    val table = "annidx_resid_widen"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__codebook", s"${table}__meta")
+    try {
+      AnnIndex.writeIvfPqIndex(base, "vec_id", "embedding", step = 40,
+        m = 4, table = table, buckets = 4, codeStep = 10, force = true,
+        keep = Seq("label"), encodeResidual = true)
+      assert(spark.table(s"${table}__meta").head().getAs[Boolean]("resid"))
+      val filt = Some(col("label") === 1)
+      val narrow = AnnIndex.ivfPqKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 3, nprobe = 1, filter = filt).collect()
+      val qIds = queries.select("vec_id").collect().map(_.getLong(0)).toSet
+      val perQ = narrow.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      val starved = qIds.filter(q => perQ.getOrElse(q, 0) < 3)
+      assert(starved.nonEmpty, s"fixture must starve at nprobe=1: $perQ")
+      // widen exhaustively (>= the 25-centroid count)
+      val wide = AnnIndex.ivfPqKnnIndexed(spark, table, queries,
+        "vec_id", "embedding", k = 3, nprobe = 1, filter = filt,
+        widenTo = 64).collect()
+      wide.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+        assert(rs.length === 3, s"query $q returned ${rs.length} rows") }
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      // the exhaustive widen equals a probed run at full width for the
+      // starved queries (nested probe prefixes ⇒ same candidate set,
+      // same residual ADC arithmetic on both arms)
+      val full = AnnIndex.ivfPqKnnIndexed(spark, table,
+        queries.where(col("vec_id").isin(starved.toSeq: _*)),
+        "vec_id", "embedding", k = 3, nprobe = 25, filter = filt).collect()
+      assert(wide.filter(r => starved(r.getLong(0))).map(key).toSet
+        === full.map(key).toSet)
+      // satisfied queries keep their narrow rows untouched
+      assert(wide.filter(r => !starved(r.getLong(0))).map(key).toSet
+        === narrow.filter(r => !starved(r.getLong(0))).map(key).toSet)
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__codebook", s"${table}__meta")
+  }
+
   test("residual PQ balance guard re-derives codebook and codes (no bit-identity shortcut)") {
     import spark.implicits._
     val dim = 8
