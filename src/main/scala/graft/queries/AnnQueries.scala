@@ -409,6 +409,31 @@ object AnnQueries extends QueryPack {
         .orderBy("nprobe")
     }),
 
+    // the widenTo companion sweep (the r17 verdict's "and optionally
+    // widenTo"): fixed nprobe=3 under the rare predicate, widen ∈
+    // {off, 4 (the PROBED widen branch — its first oracle coverage;
+    // 4 < every tested sf's centroid count), exhaustive (1e6 sentinel ≥
+    // any centroid count)}. Reports mean FILTERED recall@3 vs the exact
+    // filtered ranking and the still-short query count per setting.
+    // The exhaustive arm measures an honest property: widening recovers
+    // STARVATION only — satisfied queries keep their narrow rows, so
+    // residual probe-miss (sf0.1: mean recall 0.95, not 1.0) is
+    // nprobe's job, not widenTo's.
+    "ann_calibrate_widen" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val table = "ann_calw_idx"
+      Tables.reset(s, table, s"${table}__centroids", s"${table}__meta")
+      graft.search.AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+        step = 50, table = table, buckets = 8, force = true,
+        keep = Seq("label"))
+      graft.search.AnnIndex.calibrateWiden(s, table,
+        emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 3, targetRecall = 0.9, nprobe = 3,
+        widenTos = Seq(0, 4, 1000000),
+        filter = col("label") === 3 && col("id") % 10 === 0)
+        .orderBy("widen")
+    }),
+
     // random-hyperplane LSH path: planes are deterministic, so the full
     // bucket+score pipeline is value-checked (planes embedded as SQL
     // literals in the oracle)
@@ -994,6 +1019,126 @@ object AnnQueries extends QueryPack {
     "ann_ivf_topk" -> ivfSql,
 
     "ann_calibrate" -> calibrateSql(Seq(1, 2, 3), k = 5, target = 0.15),
+
+    // the widenTo sweep replay: first pass at nprobe=3 under the rare
+    // predicate → starved set (per-query rows < 3) → the w=4 arm
+    // re-probes starved queries at rn<=4 (the PROBED widen branch), the
+    // exhaustive arm ranks them over all filter-passing rows; recall per
+    // arm against the exact filtered ranking, n_short per arm, min-widen
+    // pick at 0.9 — the same unit/cent/asg arithmetic as ivfReplaySql
+    "ann_calibrate_widen" ->
+      """WITH unit AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |   sqrt(list_aggregate(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS v
+        | FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM unit WHERE vec_id % 50 = 0),
+        |asg0 AS (
+        | SELECT u.vec_id, u.label, u.v, c.centroid_id,
+        |  list_aggregate(list_transform(generate_series(1, len(u.v)), i -> u.v[i] * c.cv[i]), 'sum') AS d
+        | FROM unit u CROSS JOIN cent c),
+        |asg AS (
+        | SELECT vec_id, label, v, centroid_id AS bucket FROM (
+        |  SELECT vec_id, label, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0) WHERE rn = 1),
+        |elig AS (SELECT vec_id, v, bucket FROM asg
+        | WHERE label = 3 AND vec_id % 10 = 0),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM unit WHERE vec_id % 100 = 0),
+        |probesR AS (
+        | SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket, rn FROM (
+        |  SELECT vec_id, v, centroid_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, centroid_id) AS rn
+        |  FROM asg0 WHERE vec_id % 100 = 0) WHERE rn <= 4),
+        |cand0 AS (
+        | SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * e.v[i]), 'sum') AS c
+        | FROM probesR p JOIN elig e ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+        | WHERE p.rn <= 3),
+        |res0 AS (SELECT query_id, neighbor_id, c FROM (
+        |  SELECT query_id, neighbor_id, c,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM cand0) WHERE rn <= 3),
+        |starved AS (
+        | SELECT q.query_id FROM qs q
+        | LEFT JOIN (SELECT query_id, count(*) AS n FROM res0 GROUP BY 1) cn
+        |  ON cn.query_id = q.query_id
+        | WHERE coalesce(cn.n, 0) < 3),
+        |cand4 AS (
+        | SELECT p.query_id, e.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * e.v[i]), 'sum') AS c
+        | FROM probesR p JOIN elig e ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+        | WHERE p.query_id IN (SELECT query_id FROM starved)),
+        |res4s AS (SELECT query_id, neighbor_id, c FROM (
+        |  SELECT query_id, neighbor_id, c,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM cand4) WHERE rn <= 3),
+        |candx AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * e.v[i]), 'sum') AS c
+        | FROM qs q JOIN elig e ON e.vec_id <> q.query_id
+        | WHERE q.query_id IN (SELECT query_id FROM starved)),
+        |resxs AS (SELECT query_id, neighbor_id, c FROM (
+        |  SELECT query_id, neighbor_id, c,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM candx) WHERE rn <= 3),
+        |res_w0 AS (SELECT query_id, neighbor_id FROM res0),
+        |res_w4 AS (
+        | SELECT query_id, neighbor_id FROM res0
+        |  WHERE query_id NOT IN (SELECT query_id FROM starved)
+        | UNION ALL SELECT query_id, neighbor_id FROM res4s),
+        |res_wx AS (
+        | SELECT query_id, neighbor_id FROM res0
+        |  WHERE query_id NOT IN (SELECT query_id FROM starved)
+        | UNION ALL SELECT query_id, neighbor_id FROM resxs),
+        |escored AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_aggregate(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * e.v[i]), 'sum') AS c
+        | FROM qs q JOIN elig e ON e.vec_id <> q.query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        |  FROM escored) WHERE rn <= 3),
+        |nq AS (SELECT count(*) AS n FROM qs),
+        |rec0 AS (SELECT e.query_id,
+        |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS recall
+        | FROM ex e LEFT JOIN res_w0 a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        | GROUP BY 1),
+        |rec4 AS (SELECT e.query_id,
+        |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS recall
+        | FROM ex e LEFT JOIN res_w4 a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        | GROUP BY 1),
+        |recx AS (SELECT e.query_id,
+        |  round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS recall
+        | FROM ex e LEFT JOIN res_wx a
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        | GROUP BY 1),
+        |row0 AS (SELECT CAST(0 AS BIGINT) AS widen,
+        |  (SELECT round(avg(recall), 4) FROM rec0) AS mean_recall,
+        |  (SELECT CAST((SELECT n FROM nq) - count(*) AS BIGINT) FROM
+        |    (SELECT query_id FROM res_w0 GROUP BY 1 HAVING count(*) >= 3) s)
+        |   AS n_short),
+        |row4 AS (SELECT CAST(4 AS BIGINT) AS widen,
+        |  (SELECT round(avg(recall), 4) FROM rec4) AS mean_recall,
+        |  (SELECT CAST((SELECT n FROM nq) - count(*) AS BIGINT) FROM
+        |    (SELECT query_id FROM res_w4 GROUP BY 1 HAVING count(*) >= 3) s)
+        |   AS n_short),
+        |rowx AS (SELECT CAST(1000000 AS BIGINT) AS widen,
+        |  (SELECT round(avg(recall), 4) FROM recx) AS mean_recall,
+        |  (SELECT CAST((SELECT n FROM nq) - count(*) AS BIGINT) FROM
+        |    (SELECT query_id FROM res_wx GROUP BY 1 HAVING count(*) >= 3) s)
+        |   AS n_short),
+        |rows_all AS (SELECT * FROM row0 UNION ALL SELECT * FROM row4
+        | UNION ALL SELECT * FROM rowx),
+        |mm AS (SELECT min(widen) AS mw FROM rows_all WHERE mean_recall >= 0.9)
+        |SELECT r.widen, r.mean_recall, r.n_short,
+        |  coalesce(r.widen = mm.mw, FALSE) AS pick
+        |FROM rows_all r CROSS JOIN mm ORDER BY widen""".stripMargin,
 
     // residual-PQ recall twin: the ivfPq CTE skeleton with the encode
     // swapped to residuals — rv = v − cv(bucket), codebook sampled from

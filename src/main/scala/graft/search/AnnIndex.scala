@@ -1059,7 +1059,12 @@ object AnnIndex {
     * staging directory, an empty one if the write produced none: the
     * swap then supersedes the stale live dir with zero files (an empty
     * partition reads as zero rows and its catalog entry stays valid),
-    * and the heal needs no special case.
+    * and the heal needs no special case. One window remains: a crash
+    * between the staging commit and the empty-dir creation rolls
+    * forward WITHOUT the drained list's supersede — covered by the
+    * upsert replay contract (the id probe re-detects the stale rows and
+    * the retry drains them; only upsert can drain, and upsert replay is
+    * idempotent).
     */
   private def foldTouchedPartitions(spark: SparkSession, table: String,
                                     merged: DataFrame, buckets: Int,
@@ -1324,6 +1329,62 @@ object AnnIndex {
     import spark.implicits._
     swept.map { case (n, r, c) => (n, r, c, minMeeting.contains(n)) }
       .toDF("nprobe", "mean_recall", "cand_rows", "pick")
+  }
+
+  /** The widenTo companion to [[calibrateProbes]] — the other dial the
+    * r17 verdict asked to calibrate: for a FIXED `nprobe` under a
+    * selective `filter`, sweep the widen dial and report, per setting,
+    * the mean filtered recall@k against the exact filtered ranking over
+    * the index's own stored vectors and the number of queries still
+    * SHORT of k rows (the silent-starvation count the dial exists to
+    * drive to zero). `widenTos` entries ≤ nprobe mean "widen off";
+    * values ≥ the centroid count take the exhaustive arm (recall 1.0 by
+    * construction — the exhaustive filtered pass IS the ground truth).
+    * The cheapest (smallest) setting meeting `targetRecall` is marked.
+    * Output: (widen, mean_recall, n_short, pick). Plain tier only, like
+    * [[calibrateProbes]].
+    */
+  def calibrateWiden(spark: SparkSession, table: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     targetRecall: Double, nprobe: Int,
+                     widenTos: Seq[Int], filter: Column): DataFrame = {
+    require(widenTos.nonEmpty && widenTos.forall(_ >= 0),
+      s"calibrateWiden: widenTos must be non-negative, got $widenTos")
+    val idx = spark.table(table)
+    require(idx.columns.contains("bv"),
+      s"calibrateWiden: $table carries no unit vectors (a PQ codes " +
+        "table?) — calibrate on the plain IVF tier")
+    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
+      .where(col("qv").isNotNull)
+    val nAsked = q.select("query_id").distinct().count()
+    // exact FILTERED ground truth off the stored unit forms
+    val eligible = idx.where(col("bv").isNotNull).where(filter)
+    val exactDf = topK(
+      excludeSelf(broadcast(q).join(eligible), q, idx)
+        .select(col("query_id"), col("id"),
+          Similarity.dot(col("qv"), col("bv")).as("cos")), k)
+    val exactRows = exactDf.collect()
+    val exact = spark.createDataFrame(
+      java.util.Arrays.asList(exactRows: _*), exactDf.schema)
+    val swept = widenTos.distinct.sorted.map { w =>
+      val res = ivfKnnIndexed(spark, table, queries, idCol, vecCol, k,
+        nprobe, filter = Some(filter), widenTo = w)
+      val rows = res.collect() // |queries| × k bounded by contract
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), res.schema)
+      val rec = Similarity.recallAtK(local, exact)
+        .agg(round(avg("recall"), 4)).head()
+      val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
+      val satisfied = rows.groupBy(_.get(0))
+        .count { case (_, rs) => rs.length >= k }
+      (w.toLong, meanRecall, nAsked - satisfied)
+    }
+    val minMeeting = swept.collect {
+      case (w, r, _) if r >= targetRecall => w
+    }.minOption
+    import spark.implicits._
+    swept.map { case (w, r, s) => (w, r, s, minMeeting.contains(w)) }
+      .toDF("widen", "mean_recall", "n_short", "pick")
   }
 
   // ---- query ----

@@ -945,6 +945,71 @@ class AnnIndexSpec extends SparkTestBase {
       s"${table}__centroids", s"${table}__meta")
   }
 
+  test("calibrateWiden: starvation-recovery curve, exhaustive arm == filtered ground truth") {
+    import spark.implicits._
+    val dim = 8
+    def spread(id: Long): Seq[Double] = {
+      val v = Array.fill(dim)(0.05)
+      v((id % dim).toInt) = 1.0
+      v(((id / dim) % dim).toInt) += 0.5
+      v.toSeq
+    }
+    val base = (0L until 1000L)
+      .map(id => (id, spread(id), if (id % 100 == 7) 1 else 0))
+      .toDF("vec_id", "embedding", "label")
+    val table = "annidx_calw"
+    graft.queries.Tables.reset(spark, table, s"${table}__centroids",
+      s"${table}__meta")
+    try {
+      AnnIndex.writeIvfIndex(base, "vec_id", "embedding", step = 40,
+        table = table, buckets = 4, force = true, keep = Seq("label"))
+      val queries = base.where(col("vec_id") % 50 === 1)
+      val out = AnnIndex.calibrateWiden(spark, table, queries,
+        "vec_id", "embedding", k = 3, targetRecall = 0.9, nprobe = 1,
+        widenTos = Seq(64, 0, 2), filter = col("label") === 1)
+        .collect().sortBy(_.getLong(0))
+      assert(out.map(_.getLong(0)).toSeq === Seq(0L, 2L, 64L))
+      // widening only adds candidates → recall nondecreasing, shortfall
+      // nonincreasing; the exhaustive arm leaves NO query short and —
+      // at nprobe=1 with this fixture's per-query exact sets reachable —
+      // every starved query recovers the true filtered top-k
+      val recalls = out.map(_.getDouble(1))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        recalls.toSeq.toString)
+      val shorts = out.map(_.getLong(2))
+      assert(shorts.zip(shorts.tail).forall { case (a, b) => a >= b },
+        shorts.toSeq.toString)
+      assert(shorts.last === 0L)
+      assert(out.head.getLong(2) > 0L,
+        "fixture must starve some query with widen off")
+      // pick = the smallest setting meeting the target (the exhaustive
+      // arm recovers every starved query; satisfied-query probe-miss is
+      // zero here because nprobe=1 starves nearly everything)
+      val picked = out.filter(_.getBoolean(3)).map(_.getLong(0))
+      assert(picked.length <= 1)
+      picked.headOption.foreach { w =>
+        val meets = out.filter(_.getDouble(1) >= 0.9).map(_.getLong(0))
+        assert(w === meets.min)
+      }
+      // PQ codes table fails loudly like calibrateProbes
+      val pq = "annidx_calw_pq"
+      graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+      try {
+        AnnIndex.writeIvfPqIndex(base, "vec_id", "embedding", step = 40,
+          m = 4, table = pq, buckets = 4, codeStep = 10, force = true)
+        val e = intercept[IllegalArgumentException] {
+          AnnIndex.calibrateWiden(spark, pq, queries, "vec_id",
+            "embedding", k = 3, targetRecall = 0.9, nprobe = 1,
+            widenTos = Seq(0, 64), filter = col("bucket").isNotNull)
+        }
+        assert(e.getMessage.contains("plain IVF"))
+      } finally graft.queries.Tables.reset(spark, pq, s"${pq}__centroids",
+        s"${pq}__codebook", s"${pq}__meta")
+    } finally graft.queries.Tables.reset(spark, table,
+      s"${table}__centroids", s"${table}__meta")
+  }
+
   test("residual PQ: encode engages, query adds the centroid back, upsert recomputes") {
     val resid = "annidx_resid"
     val ctrl = "annidx_resid_ctrl"
