@@ -512,7 +512,7 @@ object Similarity {
     * and a StringType id casts to null and NPEs at `Row.getLong` — fail
     * fast with the dial to turn instead.
     */
-  private def requireIntegralId(df: DataFrame, colName: String, op: String,
+  private[graft] def requireIntegralId(df: DataFrame, colName: String, op: String,
                                 hint: String): Unit =
     df.schema(df.schema.fieldIndex(colName)).dataType match {
       case org.apache.spark.sql.types.ByteType |
@@ -732,11 +732,25 @@ object Similarity {
                                              keep: Seq[String] = Nil)
       : DataFrame = {
     val cents = gatherCentroidFrame(centroids, op)
+    assignWithCentroidArray(b, idCol, cents, keep)
+  }
+
+  /** [[assignWithCentroidFrame]] for callers that already hold the
+    * gathered (ascending-id-sorted, non-null) centroid array — the
+    * build-side fast path shares ONE capped collect between this
+    * kernel broadcast, the `__centroids` side-table write and the
+    * `ncents` metadata instead of paying a collect job per consumer
+    * (r18 job-count optimization; at corpus scale each removed job was
+    * a separate pass or side-table scan).
+    */
+  private[graft] def assignWithCentroidArray(b: DataFrame, idCol: String,
+                                             cents: Array[(Long, Array[Double])],
+                                             keep: Seq[String] = Nil)
+      : DataFrame =
     if (cents.isEmpty)
       b.select(col(idCol) +: col("bv") +:
         lit(null).cast("long").as("bucket") +: keep.map(col): _*)
     else assignWithCentroids(b, idCol, cents, keep)
-  }
 
   /** Centroid tables above this row count (session dial
     * `graft.ann.maxGatheredCentroids`, default 2^16) are not gathered to
@@ -799,6 +813,56 @@ object Similarity {
     q.select(col("query_id"), col("qv"), explode(topCol).as("__pb"))
       .select(col("query_id"), col("qv"),
         col("__pb").getField("bucket").cast(bucketType).as("bucket"))
+  }
+
+  /** [[probeTopCentroids]] with `explode_outer` and pass-through `extra`
+    * columns: EVERY query row survives (a null-unit or starved query
+    * keeps one row with a NULL bucket), so one collect of this frame
+    * serves probe selection, the per-query dimension validation that was
+    * previously its own scan job, and the literal bucket-prune list
+    * (r18 job-count optimization). Rows with a non-null bucket are
+    * bit-identical to [[probeTopCentroids]] output.
+    */
+  private[graft] def probeTopCentroidsOuter(q: DataFrame,
+                                cents: Array[(Long, Array[Double])],
+                                nprobe: Int,
+                                extra: Seq[String],
+                                bucketType: org.apache.spark.sql.types.DataType
+                                  = org.apache.spark.sql.types.LongType): DataFrame = {
+    val sc = q.sparkSession.sparkContext
+    val topCol = Bridge.column(graft.functions.expressions.TopCentroids(
+      Bridge.expression(col("qv")),
+      sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2)), nprobe))
+    q.select(col("query_id") +: col("qv") +:
+        explode_outer(topCol).as("__pb") +: extra.map(col): _*)
+      .select(col("query_id") +: col("qv") +:
+        col("__pb").getField("bucket").cast(bucketType).as("bucket") +:
+        extra.map(col): _*)
+  }
+
+  /** [[probeTopCentroidsOuter]] with the probe RANK exposed
+    * (`posexplode_outer` — 0-based position in the kernel's rank order):
+    * the calibration sweeps probe ONCE at the largest swept dial and
+    * derive every smaller setting's probe set as the `prank < n` prefix
+    * (probe sets are nested prefixes of the centroid ranking by
+    * construction), instead of re-probing per setting.
+    */
+  private[graft] def probeTopCentroidsRankedOuter(q: DataFrame,
+                                cents: Array[(Long, Array[Double])],
+                                nprobe: Int,
+                                extra: Seq[String],
+                                bucketType: org.apache.spark.sql.types.DataType
+                                  = org.apache.spark.sql.types.LongType): DataFrame = {
+    val sc = q.sparkSession.sparkContext
+    val topCol = Bridge.column(graft.functions.expressions.TopCentroids(
+      Bridge.expression(col("qv")),
+      sc.broadcast(cents.map(_._1)), sc.broadcast(cents.map(_._2)), nprobe))
+    q.select(col("query_id") +: col("qv") +:
+        posexplode_outer(topCol).as(Seq("prank", "__pb")) +:
+        extra.map(col): _*)
+      .select(col("query_id") +: col("qv") +: col("prank") +:
+        col("__pb").getField("bucket").cast(bucketType).as("bucket") +:
+        extra.map(col): _*)
   }
 
   /** Cluster-balanced sample: up to `perCluster` vectors per IVF cluster,
@@ -1147,6 +1211,28 @@ object Similarity {
       s"pqCodebook: step=$step yields more than $maxSample codebook rows " +
         s"on this corpus — raise step (or maxSample)")
     val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty codebook sample — lower step")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m)(j => sample.map(v => v.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** [[codebookFromUnit]] over `(id, unit-vector)` rows ALREADY gathered
+    * to the driver — the PQ build's fast path shares the centroid
+    * selection's one capped collect when `codeStep == step` (the sampled
+    * rows are the same set), replacing the separate codebook-sample
+    * collect job (a corpus scan at 100 TB). Same requires, same
+    * ascending-id sort, same subspace slicing — bit-identical output to
+    * [[codebookFromUnit]] over the equivalent frame.
+    */
+  private[graft] def codebookFromRows(rows: Array[(Long, Array[Double])],
+                                      m: Int, step: Int,
+                                      maxSample: Int): Array[Array[Array[Double]]] = {
+    require(rows.length <= maxSample,
+      s"pqCodebook: step=$step yields more than $maxSample codebook rows " +
+        s"on this corpus — raise step (or maxSample)")
+    val sample = rows.sortBy(_._1).map(_._2)
     require(sample.nonEmpty, "empty codebook sample — lower step")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

@@ -105,41 +105,91 @@ object AnnIndex {
     */
   private[graft] def probeBucketsOf(spark: SparkSession, table: String,
                              queries: DataFrame, idCol: String,
-                             vecCol: String, nprobe: Int): DataFrame = {
-    requireQueryDim(spark, table, queries, vecCol)
-    // probe selection via the zero-shuffle TopCentroids kernel off a
-    // one-collect gather of the (index-sized by contract) centroid side
-    // table — the former queries×centroids join + row_number window
-    // shuffled Q×C candidate rows through the window sort. A persisted
-    // index whose centroid table exceeds the gather cap (built by an
-    // external writer or an older step choice — this writer's own builds
-    // are assignment-capped at the same bound) stays QUERYABLE through
-    // that join+window formulation: broadcast hash join either way, just
-    // the Q×C window shuffle instead of the kernel.
-    val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
+                             vecCol: String, nprobe: Int): DataFrame =
+    probeRowsOf(spark, table, queries, idCol, vecCol, nprobe,
+      metaDimOf(spark, table))._1
+
+  /** The one-row `__meta` dimension, if the completion record exists —
+    * read ONCE per query call and threaded down (the dim validation and
+    * the PQ residual flag each paid their own one-row head() job before).
+    */
+  private def metaDimOf(spark: SparkSession, table: String): Option[Int] =
+    if (spark.catalog.tableExists(s"${table}__meta"))
+      Some(spark.table(s"${table}__meta").head().getAs[Int]("dim"))
+    else None
+
+  /** One collected probe pass returning the LocalRelation probe frame
+    * AND its driver rows plus the distinct asked query ids. The kernel
+    * arm folds the per-query dimension validation (formerly its own
+    * limit-count scan job) and the asked-id set (formerly
+    * [[widenStarved]]'s own distinct-collect job) into the SAME collect
+    * via `explode_outer` + a size column — one job where the former
+    * shape paid three; the literal bucket-prune list is read from the
+    * same rows instead of a distinct() job over the LocalRelation.
+    * A persisted index whose centroid table exceeds the gather cap
+    * (external writer, older step choice) stays QUERYABLE through the
+    * join+window fallback: broadcast hash join either way, just the Q×C
+    * window shuffle instead of the kernel — that arm keeps its former
+    * jobs (askedIds = None; callers that need the set collect it).
+    */
+  private def probeRowsOf(spark: SparkSession, table: String,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          nprobe: Int, metaDim: Option[Int])
+      : (DataFrame, Array[org.apache.spark.sql.Row], Option[Array[Any]]) = {
     val centTable = spark.table(s"${table}__centroids")
-    val frame = Similarity.gatherCentroidFrameOpt(centTable) match {
-      case Some(cents) => Similarity.probeTopCentroids(q, cents, nprobe)
+    Similarity.gatherCentroidFrameOpt(centTable) match {
+      case Some(cents) =>
+        val szCol = "__graft_qdim"
+        val withSz = queries.withColumn(szCol,
+          coalesce(size(col(vecCol)), lit(-1)))
+        val q = Similarity.unitProjectKeep(withSz, idCol, "query_id",
+          vecCol, "qv", Seq(szCol))
+        val outer = Similarity.probeTopCentroidsOuter(q, cents, nprobe,
+          Seq(szCol))
+        val raw = outer.collect()
+        metaDim.foreach { dim =>
+          require(!raw.exists(_.getInt(3) != dim),
+            s"query frame contains a null or non-$dim-dimensional " +
+              s"embedding (table $table was built over $dim-dimensional " +
+              "vectors)")
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          outer.schema.fields.take(3))
+        val rows = raw.filter(!_.isNullAt(2)).map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
+        val asked = raw.map(_.get(0)).distinct
+        (spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+          rows, Some(asked))
       case None =>
+        metaDim.foreach { dim =>
+          // EVERY row checked (query frames are small by contract): a
+          // single mismatched or null vector would dot to null and
+          // silently return arbitrary/empty neighbors for that query
+          val bad = queries
+            .where(col(vecCol).isNull || size(col(vecCol)) =!= dim)
+            .limit(1).count()
+          require(bad == 0,
+            s"query frame contains a null or non-$dim-dimensional " +
+              s"embedding (table $table was built over $dim-dimensional " +
+              "vectors)")
+        }
+        val q = Similarity.unitProject(queries, idCol, "query_id", vecCol,
+          "qv")
         val wq = Window.partitionBy("query_id")
           .orderBy(desc("csim"), asc("centroid_id"))
         // drop null-cv centroid rows to match gatherCentroidFrameOpt's
         // contract — without the filter a null csim sorts last but can
         // still be emitted as a probe bucket once nprobe exceeds the
         // non-null centroid count
-        q.join(broadcast(centTable.where(col("cv").isNotNull)))
+        val frame = q.join(broadcast(centTable.where(col("cv").isNotNull)))
           .withColumn("csim", Similarity.dot(col("qv"), col("cv")))
           .withColumn("rn", row_number().over(wq)).where(col("rn") <= nprobe)
           .select(col("query_id"), col("qv"),
             col("centroid_id").cast("long").as("bucket"))
+        val rows = frame.collect()
+        (spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          frame.schema), rows, None)
     }
-    // |queries| × nprobe rows by construction — collect to a
-    // LocalRelation: the probe frame is consumed twice (literal bucket
-    // prune + the candidate join) and must not recompute, and unlike a
-    // localCheckpoint the local rows leak no block-manager state across
-    // the many query calls of a long-lived session
-    val rows = frame.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), frame.schema)
   }
 
   /** The index table pruned to the probed buckets: the bucket ids reach
@@ -147,9 +197,7 @@ object AnnIndex {
     * the list is bounded by |queries| × nprobe by construction.
     */
   private def prunedIndex(spark: SparkSession, table: String,
-                          probes: DataFrame): DataFrame = {
-    val probeBuckets = probes.select("bucket").distinct()
-      .collect().map(_.getLong(0))
+                          probeBuckets: Array[Long]): DataFrame = {
     val idx = spark.table(table).where(col("bucket").isin(probeBuckets: _*))
     // per-list layout: the same literal list prunes PARTITION directories
     // (the probed lists are the only paths listed/read); legacy bucketed-
@@ -194,13 +242,13 @@ object AnnIndex {
   }
 
   /** The PQ tier's residual-encoding flag off `__meta` (false for plain
-    * tiers and pre-resid metas).
+    * tiers and pre-resid metas). Query/maintenance paths read the flag
+    * from their one threaded meta row instead; this wrapper serves
+    * external probes.
     */
   private[graft] def isResidual(spark: SparkSession, table: String): Boolean =
-    spark.catalog.tableExists(s"${table}__meta") && {
-      val r = spark.table(s"${table}__meta").head()
-      r.schema.fieldNames.contains("resid") && r.getAs[Boolean]("resid")
-    }
+    metaRowOf(spark, table).exists(r =>
+      r.schema.fieldNames.contains("resid") && r.getAs[Boolean]("resid"))
 
   /** Non-null centroid count of a saved index — from `__meta`'s `ncents`
     * (one one-row read) when present; pre-ncents indices fall back to
@@ -220,26 +268,11 @@ object AnnIndex {
       spark.table(s"${table}__centroids").where(col("cv").isNotNull).count())
   }
 
-  /** Fail fast when the query vectors' dimensionality differs from the
-    * index's (recorded in `__meta`; silently missing for pre-meta
-    * indices, where the check is skipped) — a mismatched dot product
-    * evaluates to null and would return arbitrary rows instead of
-    * erroring.
-    */
-  private def requireQueryDim(spark: SparkSession, table: String,
-                              queries: DataFrame, vecCol: String): Unit =
-    if (spark.catalog.tableExists(s"${table}__meta")) {
-      val dim = spark.table(s"${table}__meta").head().getAs[Int]("dim")
-      // EVERY row checked (query frames are small by contract): a single
-      // mismatched or null vector would dot to null and silently return
-      // arbitrary/empty neighbors for that query
-      val bad = queries
-        .where(col(vecCol).isNull || size(col(vecCol)) =!= dim)
-        .limit(1).count()
-      require(bad == 0,
-        s"query frame contains a null or non-$dim-dimensional embedding " +
-          s"(table $table was built over $dim-dimensional vectors)")
-    }
+  // The per-query dimension validation (a mismatched dot product
+  // evaluates to null and would return arbitrary rows instead of
+  // erroring) lives inside [[probeRowsOf]] (folded into the probe
+  // collect on the kernel arm — one job instead of its own scan) and
+  // [[assignNewWithMeta]]; both skip it for pre-meta indices.
 
   // ---- bucket balance (the measured 1000× hot-bucket failure mode) ----
 
@@ -268,13 +301,22 @@ object AnnIndex {
     * bounds worst-case query cost, since a probe reads whole buckets.
     */
   private[graft] def bucketBalanceRatio(spark: SparkSession,
-                                        table: String): Double = {
+                                        table: String): Double =
+    balanceRatioWith(spark, table,
+      spark.table(s"${table}__centroids")
+        .where(col("cv").isNotNull).count())
+
+  /** [[bucketBalanceRatio]] for callers that already hold the non-null
+    * centroid count on the driver (the build fast path) — one
+    * column-pruned max/total agg, no side-table count job. Same
+    * degenerate-input semantics as the public wrapper.
+    */
+  private def balanceRatioWith(spark: SparkSession, table: String,
+                               nCents: Long): Double = {
     val r = spark.table(table).where(col("bucket").isNotNull)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .agg(max("n").as("mx"), sum("n").as("tot")).head()
     if (r.isNullAt(0) || r.getLong(1) == 0L) return 1.0
-    val nCents = spark.table(s"${table}__centroids")
-      .where(col("cv").isNotNull).count()
     if (nCents == 0L) 1.0
     else r.getLong(0).toDouble / (r.getLong(1).toDouble / nCents)
   }
@@ -330,9 +372,7 @@ object AnnIndex {
     val spark = base.sparkSession
     requireKeepNames(keep)
     val b = Similarity.unitProjectKeep(base, idCol, "id", vecCol, "bv", keep)
-    // checkpoint: the selection scan runs once for the assignment
-    // broadcast AND the side-table write (index-sized by construction)
-    val cents = (
+    val selection =
       if (!hashedIds)
         b.where(col("id") % step === 0)
           .select(col("id").cast("long").as("centroid_id"), col("bv").as("cv"))
@@ -345,15 +385,42 @@ object AnnIndex {
         b.where(pmod(xxhash64(col("id").cast("string")), lit(step.toLong)) === 0)
           .select(xxhash64(col("id").cast("string")).as("centroid_id"),
             col("bv").as("cv"))
-      ).localCheckpoint(true)
-    // try/finally: the require and the ErrorIfExists write are EXPECTED
-    // failure paths and must not strand the checkpointed centroid blocks
-    try {
-      val first = cents.limit(1).collect()
-      require(first.nonEmpty,
-        s"writeIvfIndex: step=$step selected ZERO centroids on this corpus " +
-          "— lower step (the hashedIds filter is probabilistic: ~1/step)")
-      val dim = first.head.getSeq[Double](1).length
+    // ONE capped collect of the (index-sized by contract) selection scan
+    // replaces the former localCheckpoint materialization + limit(1)
+    // probe + assignment-side re-gather + two post-write count() jobs:
+    // the driver rows serve the kernel broadcast, the `__centroids`
+    // write, the balance guard's centroid count and `__meta`'s ncents.
+    // Null-cv rows (zero/null vectors) STAY in `__centroids` (the side
+    // table lists the full sample; every reader drops them) but are
+    // excluded from the kernel array, exactly like the former gather.
+    val cap = math.max(1, spark.conf
+      .getOption(Similarity.MaxGatheredCentroidsConf).map(_.trim.toInt)
+      .getOrElse(Similarity.MaxGatheredCentroidsDefault))
+    var selRows = selection.limit(cap + 1).collect()
+    // a truncated all-rows collect might still fit after the null drop —
+    // retry non-null-only (the exact cap semantics of the former
+    // assignment-side gather); `__centroids` then falls back to a
+    // distributed write because the full null-bearing sample is unknown
+    var centsDistributed = false
+    if (selRows.length > cap) {
+      selRows = selection.where(col("cv").isNotNull).limit(cap + 1).collect()
+      if (selRows.length > cap) sys.error(
+        "AnnIndex.assignUnit: centroid table exceeds the gather cap " +
+          s"(${Similarity.MaxGatheredCentroidsConf}, default " +
+          s"${Similarity.MaxGatheredCentroidsDefault} rows) — it must be " +
+          "index-sized (broadcast to every probe)")
+      centsDistributed = true
+    }
+    require(selRows.nonEmpty,
+      s"writeIvfIndex: step=$step selected ZERO centroids on this corpus " +
+        "— lower step (the hashedIds filter is probabilistic: ~1/step)")
+    val centArr = selRows.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(centArr.nonEmpty,
+      s"writeIvfIndex: step=$step selected only zero/null-direction " +
+        "centroid rows on this corpus — lower step")
+    val dim = centArr.head._2.length
+    locally {
       // force-rebuild: drop the OLD side tables immediately before the
       // index overwrite (not earlier — a failed centroid require above
       // must leave a working old index whole). From here on the old
@@ -364,10 +431,25 @@ object AnnIndex {
       // table that this build would otherwise leave to be re-registered
       // against bv-carrying rows.
       if (force) dropSideTables(spark, table)
-      writeIndexRows(assignUnit(b, cents, keep), buckets, table,
+      writeIndexRows(
+        Similarity.assignWithCentroidArray(b, "id", centArr, keep)
+          .select(col("id") +: col("bucket") +: col("bv") +:
+            keep.map(col): _*),
+        buckets, table,
         if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-      cents.write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${table}__centroids")
+      if (centsDistributed)
+        selection.write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${table}__centroids")
+      else
+        spark.createDataFrame(java.util.Arrays.asList(selRows: _*),
+            selection.schema)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${table}__centroids")
+      var nCents: Long =
+        if (centsDistributed)
+          spark.table(s"${table}__centroids")
+            .where(col("cv").isNotNull).count()
+        else centArr.length.toLong
       // ---- balance guard: rerun a degenerate centroid selection ----
       // Runs BEFORE writeMeta so the force-rebuild crash contract holds
       // through the guard's rewrite too: a crash between the guard's
@@ -397,9 +479,12 @@ object AnnIndex {
       // write would let writeMeta stamp a mismatched index complete,
       // exactly the silent state the crash contract forbids (unstamped,
       // it fails loudly and a re-run converges).
-      val guardCents: Option[DataFrame] = try {
+      val guardCents: Option[(DataFrame, Long)] = try {
         val guard = balanceGuardRatio(spark)
-        if (guard > 0 && bucketBalanceRatio(spark, table) > guard) {
+        // the centroid count is already on the driver (nCents) — the
+        // balance check is one column-pruned max/total agg, not the
+        // former agg + side-table count pair
+        if (guard > 0 && balanceRatioWith(spark, table, nCents) > guard) {
           val reseed = b
             .where(pmod(xxhash64(concat(col("id").cast("string"),
               lit("#graft-balance-reseed"))), lit(step.toLong)) === 0)
@@ -417,9 +502,10 @@ object AnnIndex {
           } else {
             val refined = Similarity.lloydRefine(b, "id", seeds, iters = 2)
             import spark.implicits._
-            Some(refined.toSeq
+            Some((refined.toSeq
               .map { case (cid, v) => (cid, v.toSeq) }
-              .toDF("centroid_id", "cv").localCheckpoint(true))
+              .toDF("centroid_id", "cv").localCheckpoint(true),
+              refined.length.toLong))
           }
         } else None
       } catch {
@@ -428,7 +514,7 @@ object AnnIndex {
             s"($e) — index kept as built")
           None
       }
-      guardCents.foreach { cents2 =>
+      guardCents.foreach { case (cents2, nRefined) =>
         try {
           // __centroids dropped BEFORE the index overwrite: a crash
           // anywhere inside the rewrite then leaves the centroid side
@@ -443,6 +529,9 @@ object AnnIndex {
             SaveMode.Overwrite)
           cents2.write.mode(SaveMode.Overwrite).format("parquet")
             .saveAsTable(s"${table}__centroids")
+          // the rewritten side table holds the refined (all non-null)
+          // set — its count rode along from the driver-side Lloyd output
+          nCents = nRefined
         } finally
           org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents2)
         val after = bucketBalanceRatio(spark, table)
@@ -458,9 +547,8 @@ object AnnIndex {
       // the completion record, LAST (see the force-rebuild crash contract
       // in the scaladoc) — also past the guard's possible rewrite above
       writeMeta(spark, table, buckets, dim, step, hashedIds, m = 0,
-        ncents = spark.table(s"${table}__centroids")
-          .where(col("cv").isNotNull).count())
-    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents)
+        ncents = nCents)
+    }
   }
 
   /** The memory-side completion of the persisted tier — IVF-PQ as tables
@@ -499,8 +587,39 @@ object AnnIndex {
     val spark = base.sparkSession
     import spark.implicits._
     requireKeepNames(keep)
-    val assigned = Similarity.ivfAssign(base, idCol, vecCol, step,
-      keep = keep).cache()
+    require(step > 0, s"ivf step must be positive, got $step")
+    Similarity.requireIntegralId(base, idCol, "writeIvfPqIndex",
+      "pass hashedIds = true")
+    val b = Similarity.unitProjectKeep(base, idCol, idCol, vecCol, "bv", keep)
+    val selection = b.where(col(idCol) % step === 0)
+      .select(col(idCol).cast("long").as("centroid_id"), col("bv").as("cv"))
+    // ONE capped collect of the centroid selection, exactly as in
+    // [[writeIvfIndex]]: it serves the assignment kernel, the
+    // `__centroids` write, the balance guard's count, `__meta`'s ncents
+    // AND — when `codeStep == step`, the driver queries' configuration —
+    // the PQ codebook sample (the id-mod-codeStep rows are the SAME
+    // set), replacing the former whole-corpus `.cache()` + separate
+    // codebook-sample collect with two plain scans and zero cache.
+    val centCap = 1 << 16
+    var selRows = selection.limit(centCap + 1).collect()
+    var centsDistributed = false
+    if (selRows.length > centCap) {
+      selRows = selection.where(col("cv").isNotNull)
+        .limit(centCap + 1).collect()
+      require(selRows.length <= centCap,
+        s"writeIvfPqIndex: step=$step yields more than $centCap sampled " +
+          "centroids on this corpus — raise step (or the cap)")
+      centsDistributed = true
+    }
+    val centArr = selRows.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    if (centArr.isEmpty && (selRows.nonEmpty || !b.isEmpty)) sys.error(
+      s"writeIvfPqIndex: step=$step selected ZERO centroids on this " +
+        "corpus — lower step")
+    val bucketType = base.schema(base.schema.fieldIndex(idCol)).dataType
+    val assigned = Similarity.assignWithCentroidArray(b, idCol, centArr, keep)
+      .select(col(idCol) +: col("bv") +:
+        col("bucket").cast(bucketType).as("bucket") +: keep.map(col): _*)
     /** The frame whose `bv` is what the codes ENCODE: the unit vectors
       * themselves, or (residual mode) unit − assigned centroid, the
       * centroid arriving via one broadcast join of the sample frame.
@@ -514,15 +633,22 @@ object AnnIndex {
         .select(col("id") +: col("bucket") +:
           zip_with(col("bv"), col("__cv"), (a, b) => a - b).as("bv") +:
           keep.map(col): _*)
-    try {
-      val sampleCents = assigned.where(col(idCol) % step === 0)
-        .select(col(idCol).cast("long").as("centroid_id"),
-          col("bv").as("cv"))
+    locally {
+      val sampleCents =
+        if (centsDistributed) selection
+        else spark.createDataFrame(java.util.Arrays.asList(selRows: _*),
+          selection.schema)
       val encBase = encodable(
         assigned.select(col(idCol).as("id") +: col("bucket") +:
           col("bv") +: keep.map(col): _*), sampleCents)
-      val codebook = Similarity.codebookFromUnit(
-        encBase.where(col("id") % codeStep === 0), "id", m, codeStep, 8192)
+      val codebook =
+        if (!encodeResidual && codeStep == step && !centsDistributed)
+          Similarity.codebookFromRows(
+            selRows.map(r => (r.getLong(0),
+              if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray)),
+            m, codeStep, 8192)
+        else Similarity.codebookFromUnit(
+          encBase.where(col("id") % codeStep === 0), "id", m, codeStep, 8192)
       // same force-rebuild crash contract as [[writeIvfIndex]]: old side
       // tables dropped just before the index overwrite (after the
       // failure-prone codebook derivation, so a failed rebuild attempt
@@ -544,6 +670,11 @@ object AnnIndex {
       sampleCents
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__centroids")
+      var nCents: Long =
+        if (centsDistributed)
+          spark.table(s"${table}__centroids")
+            .where(col("cv").isNotNull).count()
+        else centArr.length.toLong
       codebook.zipWithIndex.flatMap { case (ks, j) =>
         ks.zipWithIndex.map { case (c, k) => (j, k, c.toSeq) }
       }.toSeq.toDF("sub", "code", "centroid")
@@ -572,9 +703,9 @@ object AnnIndex {
       // swallowed failure between the index overwrite and the centroids
       // overwrite would let writeMeta stamp a mismatched index complete
       // (unstamped, it fails loudly and a re-run converges).
-      val guardCents: Option[DataFrame] = try {
+      val guardCents: Option[(DataFrame, Long)] = try {
         val guard = balanceGuardRatio(spark)
-        if (guard > 0 && bucketBalanceRatio(spark, table) > guard) {
+        if (guard > 0 && balanceRatioWith(spark, table, nCents) > guard) {
           val reseed = assigned
             .where(pmod(xxhash64(concat(col(idCol).cast("string"),
               lit("#graft-balance-reseed"))), lit(step.toLong)) === 0)
@@ -592,9 +723,10 @@ object AnnIndex {
             val refined = Similarity.lloydRefine(
               assigned.select(col(idCol).as("id"), col("bv")), "id",
               seeds, iters = 2)
-            Some(refined.toSeq
+            Some((refined.toSeq
               .map { case (cid, v) => (cid, v.toSeq) }
-              .toDF("centroid_id", "cv").localCheckpoint(true))
+              .toDF("centroid_id", "cv").localCheckpoint(true),
+              refined.length.toLong))
           }
         } else None
       } catch {
@@ -603,7 +735,7 @@ object AnnIndex {
             s"($e) — index kept as built")
           None
       }
-      guardCents.foreach { cents2 =>
+      guardCents.foreach { case (cents2, nRefined) =>
         try {
           // __centroids dropped before the index overwrite, exactly as in
           // [[writeIvfIndex]]'s guard: a crash anywhere inside the
@@ -640,6 +772,7 @@ object AnnIndex {
             }.toSeq.toDF("sub", "code", "centroid")
               .write.mode(SaveMode.Overwrite).format("parquet")
               .saveAsTable(s"${table}__codebook")
+          nCents = nRefined
         } finally
           org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cents2)
         val after = bucketBalanceRatio(spark, table)
@@ -656,11 +789,8 @@ object AnnIndex {
       // exactly like [[writeIvfIndex]]'s crash contract
       writeMeta(spark, table, buckets,
         dim = codebook.map(_.head.length).sum, step = step, hashed = false,
-        m = m,
-        ncents = spark.table(s"${table}__centroids")
-          .where(col("cv").isNotNull).count(),
-        resid = encodeResidual)
-    } finally assigned.unpersist(blocking = false)
+        m = m, ncents = nCents, resid = encodeResidual)
+    }
   }
 
   /** Re-register a saved ANN index whose catalog entries were lost (the
@@ -780,8 +910,37 @@ object AnnIndex {
   }
 
   def assignNew(spark: SparkSession, table: String, vectors: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
-    requireQueryDim(spark, table, vectors, vecCol)
+                idCol: String, vecCol: String): DataFrame =
+    assignNewWithMeta(spark, table, vectors, idCol, vecCol,
+      metaRowOf(spark, table))
+
+  /** The one-row `__meta` record, if the completion record exists —
+    * read ONCE per maintenance call and threaded down: the dim check,
+    * the PQ flag and the residual flag each paid their own one-row
+    * head() job before (three meta jobs per streamed micro-batch).
+    */
+  private def metaRowOf(spark: SparkSession,
+                        table: String): Option[org.apache.spark.sql.Row] =
+    if (spark.catalog.tableExists(s"${table}__meta"))
+      Some(spark.table(s"${table}__meta").head())
+    else None
+
+  private def assignNewWithMeta(spark: SparkSession, table: String,
+                                vectors: DataFrame, idCol: String,
+                                vecCol: String,
+                                meta: Option[org.apache.spark.sql.Row])
+      : DataFrame = {
+    meta.map(_.getAs[Int]("dim")).foreach { dim =>
+      // EVERY row checked (ingest batches are bounded by contract): a
+      // single mismatched or null vector would dot to null and silently
+      // land in an arbitrary bucket
+      val bad = vectors
+        .where(col(vecCol).isNull || size(col(vecCol)) =!= dim)
+        .limit(1).count()
+      require(bad == 0,
+        s"query frame contains a null or non-$dim-dimensional embedding " +
+          s"(table $table was built over $dim-dimensional vectors)")
+    }
     // keep columns come from the index's own schema, so appends ALWAYS
     // match the live table — keep-bearing indexes upsert/compact like
     // bare ones, and the incoming frame must simply carry the columns
@@ -798,15 +957,16 @@ object AnnIndex {
     // by the same periodic-refit posture). Output matches the live
     // table's (id, bucket, codes, keep…) schema; a bv-shaped append
     // into a codes table would instead fail loudly at unionByName.
-    val isPq = spark.catalog.tableExists(s"${table}__meta") &&
-      spark.table(s"${table}__meta").head().getAs[Int]("m") > 0
+    val isPq = meta.exists(_.getAs[Int]("m") > 0)
     if (!isPq) assigned
     else {
+      val resid = meta.exists(r =>
+        r.schema.fieldNames.contains("resid") && r.getAs[Boolean]("resid"))
       // residual tier: arrivals encode unit − frozen centroid (left join
       // keeps null-bucket rows, whose codes stay null like the plain
       // encode of a null vector)
       val encodable =
-        if (!isResidual(spark, table)) assigned
+        if (!resid) assigned
         else withCentroidCv(spark, table, assigned, joinType = "left")
           .select(col("id") +: col("bucket") +:
             zip_with(col("bv"), col("__cv"), (a, b) => a - b).as("bv") +:
@@ -1013,8 +1173,13 @@ object AnnIndex {
     */
   def upsertIvfIndex(spark: SparkSession, table: String, vectors: DataFrame,
                      idCol: String, vecCol: String): Unit = {
-    val buckets = spark.table(s"${table}__meta").head().getAs[Int]("buckets")
-    val appends = assignNew(spark, table, vectors, idCol, vecCol)
+    // ONE meta read serves the bucket count and assignNew's dim/PQ/
+    // residual flags (formerly up to four one-row head() jobs per call)
+    val meta = metaRowOf(spark, table)
+    val buckets = meta.map(_.getAs[Int]("buckets")).getOrElse(
+      spark.table(s"${table}__meta").head().getAs[Int]("buckets"))
+    val appends = assignNewWithMeta(spark, table, vectors, idCol, vecCol,
+        meta)
       .localCheckpoint(eager = true)
     try {
       val incoming = appends.select(col("id")).distinct()
@@ -1310,19 +1475,89 @@ object AnnIndex {
     val exactRows = exactDf.collect()
     val exact = spark.createDataFrame(
       java.util.Arrays.asList(exactRows: _*), exactDf.schema)
-    // per-list row counts (index-sized result) — the cost model's table
-    val sizes = idx.where(col("bucket").isNotNull)
-      .groupBy("bucket").agg(count(lit(1)).as("__bn"))
-      .localCheckpoint(true)
-    val swept = try nprobes.distinct.sorted.map { n =>
-      val rec = Similarity.recallAtK(
-        ivfKnnIndexed(spark, table, queries, idCol, vecCol, k, n), exact)
-        .agg(round(avg("recall"), 4)).head()
-      val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
-      val cand = probeBucketsOf(spark, table, queries, idCol, vecCol, n)
-        .join(broadcast(sizes), "bucket").agg(sum("__bn")).head()
-      (n.toLong, meanRecall, if (cand.isNullAt(0)) 0L else cand.getLong(0))
-    } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(sizes)
+    val sorted = nprobes.distinct.sorted
+    val swept = Similarity.gatherCentroidFrameOpt(
+        spark.table(s"${table}__centroids")) match {
+      case Some(cents) =>
+        // fast arm (r18): probe sets are nested prefixes of the centroid
+        // ranking, so ONE ranked probe collect at max(nprobes) and ONE
+        // candidate scan/checkpoint serve every swept setting — the
+        // former loop re-ran the full probe+prune+score pipeline (and a
+        // second probe pass for the cost sum) per setting. Per-setting
+        // work is now one topK+recall job over the checkpointed
+        // candidates; the cost sum is driver arithmetic over the probe
+        // rows and a collected per-bucket size map (index-sized by the
+        // gather-cap contract here). Results are identical: candidates
+        // at prank < n ARE knnPass(n)'s candidates, scored by the same
+        // kernel dot, ranked by the same topK.
+        val nMax = sorted.last
+        val metaDim = metaDimOf(spark, table)
+        val szCol = "__graft_qdim"
+        val withSz = queries.withColumn(szCol,
+          coalesce(size(col(vecCol)), lit(-1)))
+        val qp = Similarity.unitProjectKeep(withSz, idCol, "query_id",
+          vecCol, "qv", Seq(szCol))
+        val ranked = Similarity.probeTopCentroidsRankedOuter(qp, cents,
+          nMax, Seq(szCol))
+        val raw = ranked.collect()
+        metaDim.foreach { dim =>
+          require(!raw.exists(_.getInt(4) != dim),
+            s"query frame contains a null or non-$dim-dimensional " +
+              s"embedding (table $table was built over $dim-dimensional " +
+              "vectors)")
+        }
+        val probeRows = raw.filter(!_.isNullAt(3))
+        val probesSchema = org.apache.spark.sql.types.StructType(
+          ranked.schema.fields.take(4))
+        val probesLocal = spark.createDataFrame(
+          java.util.Arrays.asList(probeRows.map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+              r.get(3))): _*), probesSchema)
+        val idxp = prunedIndex(spark, table,
+          probeRows.map(_.getLong(3)).distinct)
+        val cand = excludeSelf(
+            broadcast(probesLocal).join(idxp, Seq("bucket")),
+            probesLocal, idxp)
+          .select(col("query_id"), col("prank"), col("id"),
+            Similarity.dot(col("qv"), col("bv")).as("cos"))
+          .localCheckpoint(eager = true)
+        // per-bucket row counts — the cost model's table, collected once
+        // (bucket count ≤ the gathered centroid count by construction)
+        val sizeMap = try {
+          idx.where(col("bucket").isNotNull)
+            .groupBy("bucket").agg(count(lit(1)).as("__bn"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        } catch { case e: Throwable =>
+          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cand)
+          throw e
+        }
+        try sorted.map { n =>
+          val rec = Similarity.recallAtK(
+            topK(cand.where(col("prank") < n)
+              .select(col("query_id"), col("id"), col("cos")), k), exact)
+            .agg(round(avg("recall"), 4)).head()
+          val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
+          val candRows = probeRows.iterator.filter(_.getInt(2) < n)
+            .map(r => sizeMap.getOrElse(r.getLong(3), 0L)).sum
+          (n.toLong, meanRecall, candRows)
+        } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cand)
+      case None =>
+        // over-gather-cap centroid table: the per-setting loop through
+        // the public query path (join+window probe fallback inside)
+        val sizes = idx.where(col("bucket").isNotNull)
+          .groupBy("bucket").agg(count(lit(1)).as("__bn"))
+          .localCheckpoint(true)
+        try sorted.map { n =>
+          val rec = Similarity.recallAtK(
+            ivfKnnIndexed(spark, table, queries, idCol, vecCol, k, n), exact)
+            .agg(round(avg("recall"), 4)).head()
+          val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
+          val cand = probeBucketsOf(spark, table, queries, idCol, vecCol, n)
+            .join(broadcast(sizes), "bucket").agg(sum("__bn")).head()
+          (n.toLong, meanRecall,
+            if (cand.isNullAt(0)) 0L else cand.getLong(0))
+        } finally org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(sizes)
+    }
     val minMeeting = swept.collect {
       case (n, r, _) if r >= targetRecall => n
     }.minOption
@@ -1356,7 +1591,6 @@ object AnnIndex {
         "table?) — calibrate on the plain IVF tier")
     val q = Similarity.unitProject(queries, idCol, "query_id", vecCol, "qv")
       .where(col("qv").isNotNull)
-    val nAsked = q.select("query_id").distinct().count()
     // exact FILTERED ground truth off the stored unit forms
     val eligible = idx.where(col("bv").isNotNull).where(filter)
     val exactDf = topK(
@@ -1366,18 +1600,131 @@ object AnnIndex {
     val exactRows = exactDf.collect()
     val exact = spark.createDataFrame(
       java.util.Arrays.asList(exactRows: _*), exactDf.schema)
-    val swept = widenTos.distinct.sorted.map { w =>
-      val res = ivfKnnIndexed(spark, table, queries, idCol, vecCol, k,
-        nprobe, filter = Some(filter), widenTo = w)
-      val rows = res.collect() // |queries| × k bounded by contract
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), res.schema)
-      val rec = Similarity.recallAtK(local, exact)
-        .agg(round(avg("recall"), 4)).head()
-      val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
-      val satisfied = rows.groupBy(_.get(0))
-        .count { case (_, rs) => rs.length >= k }
-      (w.toLong, meanRecall, nAsked - satisfied)
+    val sortedW = widenTos.distinct.sorted
+    val swept = Similarity.gatherCentroidFrameOpt(
+        spark.table(s"${table}__centroids")) match {
+      case Some(cents) =>
+        // fast arm (r18): the base nprobe pass is IDENTICAL across every
+        // swept widen value, and probed widen passes are prefix
+        // extensions of the same centroid ranking — so one ranked probe
+        // collect at the largest probed dial and one filtered candidate
+        // scan serve the base AND every probed widen arm; only the
+        // exhaustive arm (w ≥ centroid count) pays its own scan, exactly
+        // as in the query path. The former loop re-ran the whole
+        // ivfKnnIndexed pipeline (base pass included) per setting.
+        // Result rows per setting are identical to the former
+        // ivfKnnIndexed(…, widenTo = w).collect().
+        val nCents = centroidCountOf(spark, table)
+        val metaDim = metaDimOf(spark, table)
+        val probedWs = sortedW.filter(w => w > nprobe && w < nCents)
+        val pMax = (nprobe +: probedWs).max
+        val szCol = "__graft_qdim"
+        val withSz = queries.withColumn(szCol,
+          coalesce(size(col(vecCol)), lit(-1)))
+        val qp = Similarity.unitProjectKeep(withSz, idCol, "query_id",
+          vecCol, "qv", Seq(szCol))
+        val ranked = Similarity.probeTopCentroidsRankedOuter(qp, cents,
+          pMax, Seq(szCol))
+        val raw = ranked.collect()
+        metaDim.foreach { dim =>
+          require(!raw.exists(_.getInt(4) != dim),
+            s"query frame contains a null or non-$dim-dimensional " +
+              s"embedding (table $table was built over $dim-dimensional " +
+              "vectors)")
+        }
+        val probeRows = raw.filter(!_.isNullAt(3))
+        val probesSchema = org.apache.spark.sql.types.StructType(
+          ranked.schema.fields.take(4))
+        val probesLocal = spark.createDataFrame(
+          java.util.Arrays.asList(probeRows.map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+              r.get(3))): _*), probesSchema)
+        val idxp = prunedIndex(spark, table,
+          probeRows.map(_.getLong(3)).distinct).where(filter)
+        val cand = excludeSelf(
+            broadcast(probesLocal).join(idxp, Seq("bucket")),
+            probesLocal, idxp)
+          .select(col("query_id"), col("prank"), col("id"),
+            Similarity.dot(col("qv"), col("bv")).as("cos"))
+          .localCheckpoint(eager = true)
+        try {
+          val baseDf = topK(cand.where(col("prank") < nprobe)
+            .select(col("query_id"), col("id"), col("cos")), k)
+          val baseRows = baseDf.collect()
+          val outSchema = baseDf.schema
+          val asked = raw.map(_.get(0)).distinct.toSet
+          val nAsked = raw.filter(!_.isNullAt(1)).map(_.get(0))
+            .distinct.length.toLong
+          val satisfiedQ = baseRows.groupBy(_.get(0))
+            .collect { case (qid, rs) if rs.length >= k => qid }.toSet
+          val starved = asked.diff(satisfiedQ)
+          val keptRows = baseRows.filterNot(r => starved(r.get(0)))
+          def rowsFor(w: Int): Array[org.apache.spark.sql.Row] =
+            if (w <= nprobe || starved.isEmpty) baseRows
+            else if (w < nCents) {
+              val widened = topK(cand
+                .where(col("prank") < w &&
+                  col("query_id").isInCollection(starved.toSeq))
+                .select(col("query_id"), col("id"), col("cos")), k)
+                .collect()
+              keptRows ++ widened
+            } else {
+              // exhaustive arm — its own filtered scan, as in the
+              // query path's widenStarved
+              val starvedSeq = starved.toSeq
+              val starvedQ =
+                if (starvedSeq.size <= StarvedIsinCap)
+                  queries.where(col(idCol).isin(starvedSeq: _*))
+                else {
+                  val sf = org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("__starved_id",
+                      queries.schema(idCol).dataType)))
+                  val sdf = spark.createDataFrame(java.util.Arrays.asList(
+                    starvedSeq.map(org.apache.spark.sql.Row(_)): _*), sf)
+                  queries.join(broadcast(sdf),
+                    col(idCol) === col("__starved_id"), "left_semi")
+                }
+              val q2 = Similarity.unitProject(starvedQ, idCol, "query_id",
+                vecCol, "qv").where(col("qv").isNotNull)
+              val idx1 = spark.table(table).where(col("bucket").isNotNull)
+                .where(filter)
+              val widened = topK(
+                excludeSelf(broadcast(q2).join(idx1), q2, idx1)
+                  .select(col("query_id"), col("id"),
+                    Similarity.dot(col("qv"), col("bv")).as("cos")), k)
+                .collect()
+              keptRows ++ widened
+            }
+          sortedW.map { w =>
+            val rows = rowsFor(w)
+            val local = spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), outSchema)
+            val rec = Similarity.recallAtK(local, exact)
+              .agg(round(avg("recall"), 4)).head()
+            val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
+            val satisfied = rows.groupBy(_.get(0))
+              .count { case (_, rs) => rs.length >= k }
+            (w.toLong, meanRecall, nAsked - satisfied)
+          }
+        } finally
+          org.apache.spark.sql.graft.Bridge.releaseLocalCheckpoint(cand)
+      case None =>
+        // over-gather-cap centroid table: the per-setting loop through
+        // the public query path (join+window probe fallback inside)
+        val nAsked = q.select("query_id").distinct().count()
+        sortedW.map { w =>
+          val res = ivfKnnIndexed(spark, table, queries, idCol, vecCol, k,
+            nprobe, filter = Some(filter), widenTo = w)
+          val rows = res.collect() // |queries| × k bounded by contract
+          val local = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), res.schema)
+          val rec = Similarity.recallAtK(local, exact)
+            .agg(round(avg("recall"), 4)).head()
+          val meanRecall = if (rec.isNullAt(0)) 0.0 else rec.getDouble(0)
+          val satisfied = rows.groupBy(_.get(0))
+            .count { case (_, rs) => rs.length >= k }
+          (w.toLong, meanRecall, nAsked - satisfied)
+        }
     }
     val minMeeting = swept.collect {
       case (w, r, _) if r >= targetRecall => w
@@ -1421,15 +1768,34 @@ object AnnIndex {
   private def knnPass(spark: SparkSession, table: String, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int, nprobe: Int,
                       filter: Option[Column],
-                      score: Column, withCv: Boolean = false): DataFrame = {
-    val probes = probeBucketsOf(spark, table, queries, idCol, vecCol, nprobe)
+                      score: Column, withCv: Boolean = false,
+                      metaDim: Option[Int] = None): DataFrame =
+    knnPassWithAsked(spark, table, queries, idCol, vecCol, k, nprobe,
+      filter, score, withCv, metaDim)._1
+
+  /** [[knnPass]] that also surfaces the asked-query-id set when the
+    * kernel probe arm collected it for free — [[widenStarved]]'s
+    * starved-set diff then skips its own distinct-collect job.
+    */
+  private def knnPassWithAsked(spark: SparkSession, table: String,
+                      queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, nprobe: Int,
+                      filter: Option[Column],
+                      score: Column, withCv: Boolean = false,
+                      metaDim: Option[Int] = None)
+      : (DataFrame, Option[Array[Any]]) = {
+    val (probes, probeRows, asked) = probeRowsOf(spark, table, queries,
+      idCol, vecCol, nprobe, metaDim)
     val probesCv =
       if (!withCv) probes else withCentroidCv(spark, table, probes)
-    val idx0 = prunedIndex(spark, table, probes)
+    // the literal bucket-prune list comes from the already-collected
+    // probe rows — the former distinct() job over the LocalRelation
+    val probeBuckets = probeRows.map(_.getLong(2)).distinct
+    val idx0 = prunedIndex(spark, table, probeBuckets)
     val idx = filter.map(idx0.where).getOrElse(idx0)
-    topK(excludeSelf(broadcast(probesCv).join(idx, Seq("bucket")),
+    (topK(excludeSelf(broadcast(probesCv).join(idx, Seq("bucket")),
         probes, idx)
-      .select(col("query_id"), col("id"), score.as("cos")), k)
+      .select(col("query_id"), col("id"), score.as("cos")), k), asked)
   }
 
   /** The frozen-centroid `__cv` join shared by every residual-PQ
@@ -1477,12 +1843,17 @@ object AnnIndex {
                            queries: DataFrame, idCol: String, vecCol: String,
                            k: Int, nprobe: Int, widenTo: Int,
                            filter: Option[Column], base: DataFrame,
-                           score: Column, withCv: Boolean = false): DataFrame = {
+                           score: Column, withCv: Boolean = false,
+                           askedIds: Option[Array[Any]] = None,
+                           metaDim: Option[Int] = None): DataFrame = {
     if (filter.isEmpty || widenTo <= nprobe) return base
     // queries frame is small by contract (it broadcasts into the probe
-    // join), so the starved-set arithmetic is a driver-side set diff
-    val asked = queries.select(col(idCol)).distinct().collect()
-      .map(_.get(0)).toSet
+    // join), so the starved-set arithmetic is a driver-side set diff —
+    // the id set rode along with the base pass's probe collect when the
+    // kernel arm ran (askedIds), else one distinct-collect as before
+    val asked = askedIds.map(_.toSet).getOrElse(
+      queries.select(col(idCol)).distinct().collect()
+        .map(_.get(0)).toSet)
     val baseRows = base.collect()
     val baseLocal = spark.createDataFrame(
       java.util.Arrays.asList(baseRows: _*), base.schema)
@@ -1518,7 +1889,7 @@ object AnnIndex {
     val widened =
       if (widenTo < nCents)
         knnPass(spark, table, starvedQ, idCol, vecCol, k, widenTo, filter,
-          score, withCv)
+          score, withCv, metaDim)
       else {
         // exhaustive: every non-null-cv centroid's bucket would be
         // probed, which is the whole assigned table — scan it directly.
@@ -1566,10 +1937,11 @@ object AnnIndex {
                     filter: Option[Column] = None,
                     widenTo: Int = 0): DataFrame = {
     val score = Similarity.dot(col("qv"), col("bv"))
-    val base = knnPass(spark, table, queries, idCol, vecCol, k, nprobe,
-      filter, score)
+    val metaDim = metaDimOf(spark, table)
+    val (base, asked) = knnPassWithAsked(spark, table, queries, idCol,
+      vecCol, k, nprobe, filter, score, metaDim = metaDim)
     widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
-      filter, base, score)
+      filter, base, score, askedIds = asked, metaDim = metaDim)
   }
 
   /** kNN off the saved IVF-PQ index: probes exactly as [[ivfKnnIndexed]],
@@ -1601,15 +1973,24 @@ object AnnIndex {
     // residual tier: decoded is the reconstructed RESIDUAL — add the
     // probed bucket's centroid back (element-wise, BEFORE the dot, so
     // the arithmetic is Σ qᵢ·(cvᵢ + residᵢ) — one sequential fold, the
-    // order the oracle replays) and score the query against the sum
-    val resid = isResidual(spark, table)
+    // order the oracle replays) and score the query against the sum.
+    // ONE meta read serves the residual flag AND the dim validation
+    // (each previously its own one-row head() job per call).
+    val meta =
+      if (spark.catalog.tableExists(s"${table}__meta"))
+        Some(spark.table(s"${table}__meta").head())
+      else None
+    val resid = meta.exists(r =>
+      r.schema.fieldNames.contains("resid") && r.getAs[Boolean]("resid"))
+    val metaDim = meta.map(_.getAs[Int]("dim"))
     val score =
       if (!resid) Similarity.dot(col("qv"), decoded)
       else Similarity.dot(col("qv"),
         zip_with(col("__cv"), decoded, (a, b) => a + b))
-    val base = knnPass(spark, table, queries, idCol, vecCol, k, nprobe,
-      filter, score, withCv = resid)
+    val (base, asked) = knnPassWithAsked(spark, table, queries, idCol,
+      vecCol, k, nprobe, filter, score, withCv = resid, metaDim = metaDim)
     widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
-      filter, base, score, withCv = resid)
+      filter, base, score, withCv = resid, askedIds = asked,
+      metaDim = metaDim)
   }
 }

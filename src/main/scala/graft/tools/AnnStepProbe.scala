@@ -26,10 +26,25 @@ object AnnStepProbe {
       .getOrCreate()
     graft.Sessions.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // Spark-job counter: the job COUNT per step is the host-noise-free
+    // before/after metric for the r18 job-elision work (each removed job
+    // is a removed scan/collect/commit round-trip — wall clock on this
+    // multi-tenant box swings 2× between runs, job counts do not)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
+      val j0 = jobCount.get()
       val r = f
-      println(f"STEP $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      // listener events are async — give the bus a beat before reading
+      Thread.sleep(300)
+      println(f"STEP $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+        f"  jobs=${jobCount.get() - j0}%3d")
       r
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
