@@ -147,7 +147,11 @@ object AnnIndex {
         val outer = Similarity.probeTopCentroidsOuter(q, cents, nprobe,
           Seq(szCol))
         val raw = outer.collect()
-        metaDim.foreach { dim =>
+        // check dim: the caller-threaded __meta value when it already
+        // holds the meta row (PQ path), else the gathered centroids'
+        // own dimensionality — same number by the build contract, and
+        // it saves the plain tier a one-row __meta job per call
+        metaDim.orElse(cents.headOption.map(_._2.length)).foreach { dim =>
           require(!raw.exists(_.getInt(3) != dim),
             s"query frame contains a null or non-$dim-dimensional " +
               s"embedding (table $table was built over $dim-dimensional " +
@@ -161,7 +165,7 @@ object AnnIndex {
         (spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
           rows, Some(asked))
       case None =>
-        metaDim.foreach { dim =>
+        metaDim.orElse(metaDimOf(spark, table)).foreach { dim =>
           // EVERY row checked (query frames are small by contract): a
           // single mismatched or null vector would dot to null and
           // silently return arbitrary/empty neighbors for that query
@@ -1491,7 +1495,7 @@ object AnnIndex {
         // at prank < n ARE knnPass(n)'s candidates, scored by the same
         // kernel dot, ranked by the same topK.
         val nMax = sorted.last
-        val metaDim = metaDimOf(spark, table)
+        val metaDim = cents.headOption.map(_._2.length)
         val szCol = "__graft_qdim"
         val withSz = queries.withColumn(szCol,
           coalesce(size(col(vecCol)), lit(-1)))
@@ -1614,8 +1618,11 @@ object AnnIndex {
         // ivfKnnIndexed pipeline (base pass included) per setting.
         // Result rows per setting are identical to the former
         // ivfKnnIndexed(…, widenTo = w).collect().
-        val nCents = centroidCountOf(spark, table)
-        val metaDim = metaDimOf(spark, table)
+        // the gathered array IS the non-null centroid set (gather-cap
+        // contract) — its length and dimensionality replace the former
+        // __meta reads
+        val nCents = cents.length.toLong
+        val metaDim = cents.headOption.map(_._2.length)
         val probedWs = sortedW.filter(w => w > nprobe && w < nCents)
         val pMax = (nprobe +: probedWs).max
         val szCol = "__graft_qdim"
@@ -1937,11 +1944,12 @@ object AnnIndex {
                     filter: Option[Column] = None,
                     widenTo: Int = 0): DataFrame = {
     val score = Similarity.dot(col("qv"), col("bv"))
-    val metaDim = metaDimOf(spark, table)
+    // no meta read here: the kernel probe arm derives the check dim from
+    // the gathered centroids; the rare join+window fallback reads meta
     val (base, asked) = knnPassWithAsked(spark, table, queries, idCol,
-      vecCol, k, nprobe, filter, score, metaDim = metaDim)
+      vecCol, k, nprobe, filter, score)
     widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
-      filter, base, score, askedIds = asked, metaDim = metaDim)
+      filter, base, score, askedIds = asked)
   }
 
   /** kNN off the saved IVF-PQ index: probes exactly as [[ivfKnnIndexed]],
