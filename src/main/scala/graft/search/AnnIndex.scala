@@ -135,7 +135,8 @@ object AnnIndex {
   private def probeRowsOf(spark: SparkSession, table: String,
                           queries: DataFrame, idCol: String, vecCol: String,
                           nprobe: Int, metaDim: Option[Int])
-      : (DataFrame, Array[org.apache.spark.sql.Row], Option[Array[Any]]) = {
+      : (DataFrame, Array[org.apache.spark.sql.Row], Option[Array[Any]],
+         Option[Long]) = {
     val centTable = spark.table(s"${table}__centroids")
     Similarity.gatherCentroidFrameOpt(centTable) match {
       case Some(cents) =>
@@ -163,7 +164,7 @@ object AnnIndex {
           org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
         val asked = raw.map(_.get(0)).distinct
         (spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
-          rows, Some(asked))
+          rows, Some(asked), Some(cents.length.toLong))
       case None =>
         metaDim.orElse(metaDimOf(spark, table)).foreach { dim =>
           // EVERY row checked (query frames are small by contract): a
@@ -192,7 +193,7 @@ object AnnIndex {
             col("centroid_id").cast("long").as("bucket"))
         val rows = frame.collect()
         (spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-          frame.schema), rows, None)
+          frame.schema), rows, None, None)
     }
   }
 
@@ -1790,9 +1791,9 @@ object AnnIndex {
                       filter: Option[Column],
                       score: Column, withCv: Boolean = false,
                       metaDim: Option[Int] = None)
-      : (DataFrame, Option[Array[Any]]) = {
-    val (probes, probeRows, asked) = probeRowsOf(spark, table, queries,
-      idCol, vecCol, nprobe, metaDim)
+      : (DataFrame, Option[Array[Any]], Option[Long]) = {
+    val (probes, probeRows, asked, nCents) = probeRowsOf(spark, table,
+      queries, idCol, vecCol, nprobe, metaDim)
     val probesCv =
       if (!withCv) probes else withCentroidCv(spark, table, probes)
     // the literal bucket-prune list comes from the already-collected
@@ -1802,7 +1803,8 @@ object AnnIndex {
     val idx = filter.map(idx0.where).getOrElse(idx0)
     (topK(excludeSelf(broadcast(probesCv).join(idx, Seq("bucket")),
         probes, idx)
-      .select(col("query_id"), col("id"), score.as("cos")), k), asked)
+      .select(col("query_id"), col("id"), score.as("cos")), k), asked,
+      nCents)
   }
 
   /** The frozen-centroid `__cv` join shared by every residual-PQ
@@ -1852,7 +1854,8 @@ object AnnIndex {
                            filter: Option[Column], base: DataFrame,
                            score: Column, withCv: Boolean = false,
                            askedIds: Option[Array[Any]] = None,
-                           metaDim: Option[Int] = None): DataFrame = {
+                           metaDim: Option[Int] = None,
+                           nCentsHint: Option[Long] = None): DataFrame = {
     if (filter.isEmpty || widenTo <= nprobe) return base
     // queries frame is small by contract (it broadcasts into the probe
     // join), so the starved-set arithmetic is a driver-side set diff —
@@ -1890,9 +1893,9 @@ object AnnIndex {
           baseLocal.join(broadcast(sdf),
             col("query_id") === col("__starved_id"), "left_anti"))
       }
-    // centroid count from the __meta completion record (one one-row
-    // read), not a per-call count() over the side table
-    val nCents = centroidCountOf(spark, table)
+    // centroid count: rode along with the kernel probe gather when that
+    // arm ran, else the __meta completion record (one one-row read)
+    val nCents = nCentsHint.getOrElse(centroidCountOf(spark, table))
     val widened =
       if (widenTo < nCents)
         knnPass(spark, table, starvedQ, idCol, vecCol, k, widenTo, filter,
@@ -1946,10 +1949,10 @@ object AnnIndex {
     val score = Similarity.dot(col("qv"), col("bv"))
     // no meta read here: the kernel probe arm derives the check dim from
     // the gathered centroids; the rare join+window fallback reads meta
-    val (base, asked) = knnPassWithAsked(spark, table, queries, idCol,
+    val (base, asked, nc) = knnPassWithAsked(spark, table, queries, idCol,
       vecCol, k, nprobe, filter, score)
     widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
-      filter, base, score, askedIds = asked)
+      filter, base, score, askedIds = asked, nCentsHint = nc)
   }
 
   /** kNN off the saved IVF-PQ index: probes exactly as [[ivfKnnIndexed]],
@@ -1995,10 +1998,10 @@ object AnnIndex {
       if (!resid) Similarity.dot(col("qv"), decoded)
       else Similarity.dot(col("qv"),
         zip_with(col("__cv"), decoded, (a, b) => a + b))
-    val (base, asked) = knnPassWithAsked(spark, table, queries, idCol,
+    val (base, asked, nc) = knnPassWithAsked(spark, table, queries, idCol,
       vecCol, k, nprobe, filter, score, withCv = resid, metaDim = metaDim)
     widenStarved(spark, table, queries, idCol, vecCol, k, nprobe, widenTo,
       filter, base, score, withCv = resid, askedIds = asked,
-      metaDim = metaDim)
+      metaDim = metaDim, nCentsHint = nc)
   }
 }

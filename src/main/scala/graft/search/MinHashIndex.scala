@@ -80,12 +80,18 @@ object MinHashIndex {
     * [[compactMinHashIndex]] (the [[AnnIndex.assignNew]] recipe).
     */
   def bandRowsFor(spark: SparkSession, table: String, docs: DataFrame,
-                  idCol: String, textCol: String): DataFrame = {
-    val p = params(spark, table)
+                  idCol: String, textCol: String): DataFrame =
+    bandRowsWith(params(spark, table), docs, idCol, textCol)
+
+  /** [[bandRowsFor]] with the parameters already in hand — callers that
+    * read `__meta` for their own needs thread the row through instead of
+    * paying a second one-row head() job per call.
+    */
+  private def bandRowsWith(p: Params, docs: DataFrame,
+                           idCol: String, textCol: String): DataFrame =
     MinHash.bandRows(
       MinHash.signaturesInline(docs, idCol, textCol, p.w, p.k,
         p.md5Parity, p.uax29), p.k, p.bands)
-  }
 
   /** Fold accumulated appends back into the bucketed layout via the
     * shared crash-safe rename-aside swap ([[InvertedIndex.swapTable]]).
@@ -132,9 +138,16 @@ object MinHashIndex {
   def crossCandidatesIndexed(spark: SparkSession, table: String,
                              bench: DataFrame, benchId: String,
                              benchText: String,
-                             maxPruneKeys: Int = 10000): DataFrame = {
+                             maxPruneKeys: Int = 10000): DataFrame =
+    crossCandidatesWith(params(spark, table), spark, table, bench, benchId,
+      benchText, maxPruneKeys)
+
+  private def crossCandidatesWith(p: Params, spark: SparkSession,
+                                  table: String, bench: DataFrame,
+                                  benchId: String, benchText: String,
+                                  maxPruneKeys: Int = 10000): DataFrame = {
     // computed once, feeds BOTH the prune collect and the join
-    val rowsB = bandRowsFor(spark, table, bench, benchId, benchText)
+    val rowsB = bandRowsWith(p, bench, benchId, benchText)
       .select(col("id").as("__idb"), col("band"), col("band_key"))
       .localCheckpoint(true)
     val keys = rowsB.select("band_key").distinct()
@@ -158,8 +171,11 @@ object MinHashIndex {
                            trainText: String, bench: DataFrame,
                            benchId: String, benchText: String,
                            threshold: Double): DataFrame = {
+    // one meta read serves the candidate probe's signing parameters AND
+    // the exact-verification shingle width below
     val p = params(spark, table)
-    val cand = crossCandidatesIndexed(spark, table, bench, benchId, benchText)
+    val cand = crossCandidatesWith(p, spark, table, bench, benchId,
+      benchText)
     val hits = MinHash.jaccardFromArraysCross(cand,
         MinHash.shingleArrays(train, trainId, trainText, p.w, p.uax29),
         MinHash.shingleArrays(bench, benchId, benchText, p.w, p.uax29),
