@@ -315,11 +315,14 @@ object AnnQueries extends QueryPack {
       StageTimer.mark("ann_stream_compact", "setup")
       val in = s.readStream.schema(arrivals.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      // sides read ONCE for the stream's lifetime (frozen by contract) —
+      // assignNew-per-batch re-collected centroids + __meta every trigger
+      val assign = graft.search.AnnIndex.streamAssigner(s, table,
+        "vec_id", "embedding")
       val q = in.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>
-          graft.search.AnnIndex.assignNew(s, table, batch.toDF(),
-              "vec_id", "embedding")
+          assign(batch.toDF())
             .write.mode("append").parquet(s"$tmp/appends")
         }
         .option("checkpointLocation", s"$tmp/ckpt")

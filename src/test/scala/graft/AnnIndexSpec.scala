@@ -1205,4 +1205,46 @@ class AnnIndexSpec extends SparkTestBase {
     } finally graft.queries.Tables.reset(spark, table,
       s"${table}__centroids", s"${table}__meta")
   }
+
+  test("streamAssigner == assignNew per batch on plain, PQ and residual tiers") {
+    // the r18 foreachBatch fast path: frozen sides read ONCE at
+    // construction instead of per micro-batch — output must stay
+    // row-identical to assignNew on every tier
+    val plain = "annidx_sassign"
+    val resid = "annidx_sassign_resid"
+    def side(t: String) = Seq(t, s"${t}__centroids", s"${t}__codebook",
+      s"${t}__meta")
+    (side(plain) ++ side(resid)).grouped(4).foreach(g =>
+      graft.queries.Tables.reset(spark, g: _*))
+    try {
+      val buildSide = emb.where(col("vec_id") % 3 =!= 1)
+      val batch = emb.where(col("vec_id") % 3 === 1)
+      AnnIndex.writeIvfIndex(buildSide, "vec_id", "embedding", step = 50,
+        table = plain, buckets = 4, force = true)
+      AnnIndex.writeIvfPqIndex(buildSide, "vec_id", "embedding", step = 50,
+        m = 8, table = resid, buckets = 4, codeStep = 50, force = true,
+        encodeResidual = true)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(r.fieldIndex("id")) -> r.toSeq.toList).toMap
+      Seq(plain, resid).foreach { t =>
+        val viaStream = AnnIndex.streamAssigner(spark, t,
+          "vec_id", "embedding")(batch)
+        val viaNew = AnnIndex.assignNew(spark, t, batch,
+          "vec_id", "embedding")
+        assert(viaStream.columns.toSeq === viaNew.columns.toSeq, t)
+        val (s, n) = (keyed(viaStream), keyed(viaNew))
+        assert(s.nonEmpty, t)
+        assert(s === n, t)
+      }
+      // the once-read dim still guards every batch
+      val badBatch = batch.withColumn("embedding",
+        slice(col("embedding"), 1, 3))
+      val e = intercept[IllegalArgumentException] {
+        AnnIndex.streamAssigner(spark, plain, "vec_id", "embedding")(
+          badBatch)
+      }
+      assert(e.getMessage.contains("dimensional"))
+    } finally (side(plain) ++ side(resid)).grouped(4).foreach(g =>
+      graft.queries.Tables.reset(spark, g: _*))
+  }
 }
