@@ -22,6 +22,15 @@ object QueryProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+    // per-rep Spark-job counter: job counts are the host-noise-immune
+    // companion to the wall columns on this multi-tenant box (r18)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
     spark.read.parquet(s"$sfDir/documents.parquet").count() // warm
     // a leading '+' re-enables InferFiltersFromGenerate for that run —
     // the A/B lever for explode-regression bisection
@@ -34,10 +43,15 @@ object QueryProbe {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
+        val j0 = jobCount.get()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // listener bus is async
+        (dt, jobCount.get() - j0)
       }
-      println(f"$name0%-28s ${times.map(t => f"$t%6.2f").mkString(" ")}  min=${times.min}%6.2f")
+      println(f"$name0%-28s ${times.map(t => f"${t._1}%6.2f").mkString(" ")}" +
+        f"  min=${times.map(_._1).min}%6.2f" +
+        f"  jobs=${times.map(_._2).min}%4d")
     }
     spark.stop()
   }
