@@ -678,8 +678,8 @@ object Similarity {
     * the CLI's validated `--conf` path would otherwise surface as a bare
     * NumberFormatException that names neither the key nor the value.
     */
-  private def intConf(spark: org.apache.spark.sql.SparkSession,
-                      key: String, default: Int): Int = {
+  private[graft] def intConf(spark: org.apache.spark.sql.SparkSession,
+                             key: String, default: Int): Int = {
     val raw = spark.conf.get(key, default.toString)
     try raw.trim.toInt
     catch { case _: NumberFormatException =>
@@ -1207,15 +1207,11 @@ object Similarity {
     // for the corpus size fails fast instead of OOMing the driver
     val rows = sampled.select(col(idCol).cast("long"), col("bv"))
       .limit(maxSample + 1).collect()
-    require(rows.length <= maxSample,
-      s"pqCodebook: step=$step yields more than $maxSample codebook rows " +
-        s"on this corpus — raise step (or maxSample)")
-    val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(sample.nonEmpty, "empty codebook sample — lower step")
-    val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-    Array.tabulate(m)(j => sample.map(v => v.slice(j * sub, (j + 1) * sub)))
+    // requires/sort/slicing all live in codebookFromRows — ONE copy of
+    // the derivation whichever side of the collect the caller is on
+    codebookFromRows(rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray)),
+      m, step, maxSample)
   }
 
   /** [[codebookFromUnit]] over `(id, unit-vector)` rows ALREADY gathered

@@ -398,9 +398,9 @@ object AnnIndex {
     // Null-cv rows (zero/null vectors) STAY in `__centroids` (the side
     // table lists the full sample; every reader drops them) but are
     // excluded from the kernel array, exactly like the former gather.
-    val cap = math.max(1, spark.conf
-      .getOption(Similarity.MaxGatheredCentroidsConf).map(_.trim.toInt)
-      .getOrElse(Similarity.MaxGatheredCentroidsDefault))
+    val cap = math.max(1, Similarity.intConf(spark,
+      Similarity.MaxGatheredCentroidsConf,
+      Similarity.MaxGatheredCentroidsDefault))
     var selRows = selection.limit(cap + 1).collect()
     // a truncated all-rows collect might still fit after the null drop —
     // retry non-null-only (the exact cap semantics of the former
@@ -410,7 +410,7 @@ object AnnIndex {
     if (selRows.length > cap) {
       selRows = selection.where(col("cv").isNotNull).limit(cap + 1).collect()
       if (selRows.length > cap) sys.error(
-        "AnnIndex.assignUnit: centroid table exceeds the gather cap " +
+        "writeIvfIndex: centroid selection exceeds the gather cap " +
           s"(${Similarity.MaxGatheredCentroidsConf}, default " +
           s"${Similarity.MaxGatheredCentroidsDefault} rows) — it must be " +
           "index-sized (broadcast to every probe)")
@@ -594,7 +594,8 @@ object AnnIndex {
     requireKeepNames(keep)
     require(step > 0, s"ivf step must be positive, got $step")
     Similarity.requireIntegralId(base, idCol, "writeIvfPqIndex",
-      "pass hashedIds = true")
+      "hash ids to a long upstream (e.g. xxhash64(id)) — the PQ build " +
+        "has no hashedIds arm")
     val b = Similarity.unitProjectKeep(base, idCol, idCol, vecCol, "bv", keep)
     val selection = b.where(col(idCol) % step === 0)
       .select(col(idCol).cast("long").as("centroid_id"), col("bv").as("cv"))
@@ -605,7 +606,9 @@ object AnnIndex {
     // the PQ codebook sample (the id-mod-codeStep rows are the SAME
     // set), replacing the former whole-corpus `.cache()` + separate
     // codebook-sample collect with two plain scans and zero cache.
-    val centCap = 1 << 16
+    val centCap = math.max(1, Similarity.intConf(spark,
+      Similarity.MaxGatheredCentroidsConf,
+      Similarity.MaxGatheredCentroidsDefault))
     var selRows = selection.limit(centCap + 1).collect()
     var centsDistributed = false
     if (selRows.length > centCap) {
@@ -613,7 +616,8 @@ object AnnIndex {
         .limit(centCap + 1).collect()
       require(selRows.length <= centCap,
         s"writeIvfPqIndex: step=$step yields more than $centCap sampled " +
-          "centroids on this corpus — raise step (or the cap)")
+          s"centroids on this corpus — raise step (or the " +
+          s"${Similarity.MaxGatheredCentroidsConf} dial)")
       centsDistributed = true
     }
     val centArr = selRows.filter(!_.isNullAt(1))
@@ -1268,10 +1272,14 @@ object AnnIndex {
   def upsertIvfIndex(spark: SparkSession, table: String, vectors: DataFrame,
                      idCol: String, vecCol: String): Unit = {
     // ONE meta read serves the bucket count and assignNew's dim/PQ/
-    // residual flags (formerly up to four one-row head() jobs per call)
+    // residual flags (formerly up to four one-row head() jobs per call).
+    // No meta = not a completed index — upserting into one is an error
+    // (the pre-r18 path threw the same way via its direct meta read)
     val meta = metaRowOf(spark, table)
-    val buckets = meta.map(_.getAs[Int]("buckets")).getOrElse(
-      spark.table(s"${table}__meta").head().getAs[Int]("buckets"))
+    require(meta.nonEmpty,
+      s"upsertIvfIndex: ${table}__meta is missing — $table is not a " +
+        "completed IVF index (build it with writeIvfIndex/writeIvfPqIndex)")
+    val buckets = meta.get.getAs[Int]("buckets")
     val appends = assignNewWithMeta(spark, table, vectors, idCol, vecCol,
         meta)
       .localCheckpoint(eager = true)
@@ -1756,12 +1764,28 @@ object AnnIndex {
             .collect { case (qid, rs) if rs.length >= k => qid }.toSet
           val starved = asked.diff(satisfiedQ)
           val keptRows = baseRows.filterNot(r => starved(r.get(0)))
+          // the same StarvedIsinCap switch as widenStarved and the
+          // exhaustive arm below: past the cap a literal IN list bloats
+          // the driver-side expression tree — broadcast-semi-join the
+          // starved ids instead (result-identical)
+          def starvedOnly(df: DataFrame): DataFrame = {
+            val starvedSeq = starved.toSeq
+            if (starvedSeq.size <= StarvedIsinCap)
+              df.where(col("query_id").isInCollection(starvedSeq))
+            else {
+              val sf = org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__starved_id",
+                  df.schema("query_id").dataType)))
+              val sdf = spark.createDataFrame(java.util.Arrays.asList(
+                starvedSeq.map(org.apache.spark.sql.Row(_)): _*), sf)
+              df.join(broadcast(sdf),
+                col("query_id") === col("__starved_id"), "left_semi")
+            }
+          }
           def rowsFor(w: Int): Array[org.apache.spark.sql.Row] =
             if (w <= nprobe || starved.isEmpty) baseRows
             else if (w < nCents) {
-              val widened = topK(cand
-                .where(col("prank") < w &&
-                  col("query_id").isInCollection(starved.toSeq))
+              val widened = topK(starvedOnly(cand.where(col("prank") < w))
                 .select(col("query_id"), col("id"), col("cos")), k)
                 .collect()
               keptRows ++ widened
@@ -2076,10 +2100,7 @@ object AnnIndex {
     // order the oracle replays) and score the query against the sum.
     // ONE meta read serves the residual flag AND the dim validation
     // (each previously its own one-row head() job per call).
-    val meta =
-      if (spark.catalog.tableExists(s"${table}__meta"))
-        Some(spark.table(s"${table}__meta").head())
-      else None
+    val meta = metaRowOf(spark, table)
     val resid = meta.exists(r =>
       r.schema.fieldNames.contains("resid") && r.getAs[Boolean]("resid"))
     val metaDim = meta.map(_.getAs[Int]("dim"))

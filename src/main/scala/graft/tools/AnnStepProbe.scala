@@ -41,10 +41,10 @@ object AnnStepProbe {
       val t0 = System.nanoTime()
       val j0 = jobCount.get()
       val r = f
+      val dt = (System.nanoTime() - t0) / 1e9 // BEFORE the listener sleep
       // listener events are async — give the bus a beat before reading
       Thread.sleep(300)
-      println(f"STEP $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
-        f"  jobs=${jobCount.get() - j0}%3d")
+      println(f"STEP $name%-40s $dt%8.3f s  jobs=${jobCount.get() - j0}%3d")
       r
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -32,9 +32,9 @@ object StreamLifecycleProbe {
       val t0 = System.nanoTime()
       val j0 = jobCount.get()
       val r = f
+      val dt = (System.nanoTime() - t0) / 1e9 // BEFORE the listener sleep
       Thread.sleep(300)
-      println(f"SEG $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
-        f"  jobs=${jobCount.get() - j0}%3d")
+      println(f"SEG $name%-24s $dt%8.3f s  jobs=${jobCount.get() - j0}%3d")
       r
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -1211,10 +1211,11 @@ class AnnIndexSpec extends SparkTestBase {
     // construction instead of per micro-batch — output must stay
     // row-identical to assignNew on every tier
     val plain = "annidx_sassign"
+    val pq = "annidx_sassign_pq"
     val resid = "annidx_sassign_resid"
     def side(t: String) = Seq(t, s"${t}__centroids", s"${t}__codebook",
       s"${t}__meta")
-    (side(plain) ++ side(resid)).grouped(4).foreach(g =>
+    (side(plain) ++ side(pq) ++ side(resid)).grouped(4).foreach(g =>
       graft.queries.Tables.reset(spark, g: _*))
     try {
       val buildSide = emb.where(col("vec_id") % 3 =!= 1)
@@ -1222,11 +1223,13 @@ class AnnIndexSpec extends SparkTestBase {
       AnnIndex.writeIvfIndex(buildSide, "vec_id", "embedding", step = 50,
         table = plain, buckets = 4, force = true)
       AnnIndex.writeIvfPqIndex(buildSide, "vec_id", "embedding", step = 50,
+        m = 8, table = pq, buckets = 4, codeStep = 50, force = true)
+      AnnIndex.writeIvfPqIndex(buildSide, "vec_id", "embedding", step = 50,
         m = 8, table = resid, buckets = 4, codeStep = 50, force = true,
         encodeResidual = true)
       def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => r.getLong(r.fieldIndex("id")) -> r.toSeq.toList).toMap
-      Seq(plain, resid).foreach { t =>
+      Seq(plain, pq, resid).foreach { t =>
         val viaStream = AnnIndex.streamAssigner(spark, t,
           "vec_id", "embedding")(batch)
         val viaNew = AnnIndex.assignNew(spark, t, batch,
@@ -1244,7 +1247,7 @@ class AnnIndexSpec extends SparkTestBase {
           badBatch)
       }
       assert(e.getMessage.contains("dimensional"))
-    } finally (side(plain) ++ side(resid)).grouped(4).foreach(g =>
+    } finally (side(plain) ++ side(pq) ++ side(resid)).grouped(4).foreach(g =>
       graft.queries.Tables.reset(spark, g: _*))
   }
 }
