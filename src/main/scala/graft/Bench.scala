@@ -562,7 +562,13 @@ object Bench {
       "\"" + n + "\":\"" + classifyElevated(cal) + "\""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"derived":$derived,"samples":$remeasured,"stages":$stages,"host":$host,"calibration":$calJson,"stall_class":$stallClass,"sf":"$sfDir"}"""
-    println(line)
+    // r19 driver-contract fix: the driver keeps only a 2000-char tail of
+    // stdout and parses the LAST JSON line in it — this ~6 KB full-detail
+    // line printed to stdout pushed the compact line's head out of the tail
+    // in r17 AND r18 (parsed: null both rounds, PERF empty). Full detail now
+    // goes to stderr (log visibility) + the persisted file; stdout carries
+    // exactly ONE machine-readable JSON line, emitted at the very end.
+    System.err.println(line)
     // the driver's log capture keeps only a tail of stdout, which loses
     // most per-query times — persist the full line to a file as well
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
@@ -646,12 +652,15 @@ object Bench {
           System.err.println(s"bench: failed to persist $trendPath: $e")
       }
     }
-    // the driver keeps only a ~2000-char tail of stdout and parses the last
-    // JSON line it finds there; the full line above is ~6 KB, so its head is
-    // truncated out of the tail and the parse has failed every round. Emit a
-    // compact final line — same schema, headline-query subset, 3-decimal
-    // times — sized well under the tail window (full detail stays in the
-    // file + the long line above).
+    // the driver keeps only a ~2000-char tail of stdout (measured: exactly
+    // 2000 in BENCH_r18.json) and parses the last JSON line it finds there,
+    // with sbt's ~75-char "[success] Total time" trailer also inside the
+    // tail. The final stdout line must therefore stay under ~1900 chars.
+    // r18's compact line overflowed anyway because the stall_class object is
+    // UNBOUNDED (41 entries in a storm window ≈ +1400 chars) and the derived
+    // doubles printed at full precision — both now live only in the
+    // full-detail record (stderr + bench_full.json); stdout carries the
+    // headline-query subset at 3 decimals with a hard length guard below.
     val headline = Seq(
       "q1_agg", "q3_join", "q5_nation_rev", "a1_stats", "a6_topk_3gram",
       "a7_botk_2gram", "a8_unique_ngrams", "a9_count_phrases",
@@ -668,12 +677,30 @@ object Bench {
     // and a comma-decimal locale would corrupt the driver-parsed JSON
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val compactQs = headline.flatMap(k => resultMap.get(k).map(v =>
-      "\"" + k + "\":" + f3(v))).mkString("{", ",", "}")
     val compactTotal = f3(total)
     val hostCompact = s"""{"inflation_run":${f3(runInflation(allInfl.toSeq))},""" +
       s""""loadavg_pre":$loadavgPre,"loadavg_post":$loadavgPost}"""
-    println(s"""{"metric":"total","value":$compactTotal,"unit":"sec","n_queries":${results.size},"queries":$compactQs,"derived":$derived,"host":$hostCompact,"stall_class":$stallClass,"full":"$outPath","sf":"$sfDir"}""")
+    // derived at 3 decimals (full precision stays in the file record)
+    val derivedCompact = Seq(
+      "topk3_docs_per_sec" -> resultMap.get("a6_topk_3gram").map(nDocs / _),
+      "dedup_rows_per_sec" -> resultMap.get("j2_keep_first").map(nDocs / _),
+      "phrase_count_sec" -> resultMap.get("a9_count_phrases"))
+      .collect { case (k, Some(v)) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    def compactLine(names: Seq[String]): String = {
+      val qsC = names.flatMap(k => resultMap.get(k).map(v =>
+        "\"" + k + "\":" + f3(v))).mkString("{", ",", "}")
+      s"""{"metric":"total","value":$compactTotal,"unit":"sec","n_queries":${results.size},"queries":$qsC,"derived":$derivedCompact,"host":$hostCompact,"full":"$outPath","sf":"$sfDir"}"""
+    }
+    // hard guard: the line MUST fit the driver's 2000-char stdout tail with
+    // room for sbt's trailer — drop trailing headline entries (never the
+    // envelope fields) until it does. With the current 41-name set the line
+    // is ~1400 chars, so the guard is a backstop, not the normal path.
+    val MaxStdoutLine = 1800
+    val fitted = (headline.length to 0 by -1).iterator
+      .map(n => compactLine(headline.take(n)))
+      .find(_.length <= MaxStdoutLine)
+      .getOrElse(compactLine(Nil))
+    println(fitted)
     spark.stop()
   }
 }
