@@ -39,6 +39,19 @@ object Sessions {
     // lookup back into a full scan of the index. Pruning > the heuristic's
     // batch-coalescing win for this workload shape.
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // every capped driver gather in this engine (centroid frames, band-key
+    // prunes, sorted-long dedup sets, PQ samples) is a `limit(cap+1)
+    // .collect()` over a CONTRACTUALLY BOUNDED side frame — executeTake's
+    // default ramp (1 partition, then ×4 per round) turns each one into
+    // 3-4 scheduler round-trips because the cap is never reached and every
+    // partition gets scanned anyway (measured r19: 4 jobs per centroid
+    // gather on every indexed ANN query/maintenance call). One round over
+    // min(1024, N) partitions collapses each gather to ONE job; the
+    // engine has no selective limit-probe over a huge table that the old
+    // ramp would have served better (semantic top-k queries all carry an
+    // ORDER BY and execute as TakeOrderedAndProject, which this conf does
+    // not touch).
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "1024")
     spark
   }
 }

@@ -446,8 +446,14 @@ object AnnIndex {
         selection.write.mode(SaveMode.Overwrite).format("parquet")
           .saveAsTable(s"${table}__centroids")
       else
+        // ONE file: a LocalRelation write otherwise round-robins the
+        // index-sized rows into defaultParallelism shards of ~2 KB, and
+        // the tiny-file scan back inflates every later gather into a
+        // multi-partition executeTake (r19; also plain file hygiene —
+        // guide §6: small files hurt twice)
         spark.createDataFrame(java.util.Arrays.asList(selRows: _*),
             selection.schema)
+          .coalesce(1)
           .write.mode(SaveMode.Overwrite).format("parquet")
           .saveAsTable(s"${table}__centroids")
       var nCents: Long =
@@ -676,7 +682,10 @@ object AnnIndex {
             col("codes") +: keep.map(col): _*),
         buckets, table,
         if (force) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-      sampleCents
+      // local branch coalesced to ONE file (see writeIvfIndex's
+      // `__centroids` write); the distributed over-cap branch keeps its
+      // scan parallelism
+      (if (centsDistributed) sampleCents else sampleCents.coalesce(1))
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__centroids")
       var nCents: Long =
@@ -687,6 +696,7 @@ object AnnIndex {
       codebook.zipWithIndex.flatMap { case (ks, j) =>
         ks.zipWithIndex.map { case (c, k) => (j, k, c.toSeq) }
       }.toSeq.toDF("sub", "code", "centroid")
+        .coalesce(1) // m×K rows — one file, not defaultParallelism shards
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${table}__codebook")
       // ---- balance guard: rerun a degenerate centroid selection ----
@@ -1298,12 +1308,15 @@ object AnnIndex {
       recoverPartitionSwap(spark, table)
       val appendsP = appends.withColumn(PartCol, col("bucket"))
       val live = spark.table(table)
-      // lists holding rows the batch REPLACES: id column + partition
-      // value only (column-pruned), output bounded by the batch
-      val oldLists = live.join(broadcast(incoming), Seq("id"), "left_semi")
-        .select(col(PartCol)).distinct().collect()
-      val newLists = appendsP.select(col(PartCol)).distinct().collect()
-      val touched = (oldLists ++ newLists).distinct
+      // lists holding rows the batch REPLACES (id column + partition
+      // value only — column-pruned, output bounded by the batch) UNIONED
+      // with the lists receiving new rows: ONE distinct-collect job where
+      // the former shape paid two (r19; the semi-join's broadcast build is
+      // shared within the single execution)
+      val touched = live.join(broadcast(incoming), Seq("id"), "left_semi")
+        .select(col(PartCol))
+        .unionByName(appendsP.select(col(PartCol)))
+        .distinct().collect()
         .map(r => if (r.isNullAt(0)) null else r.getLong(0))
       val merged = live.where(touchedCond(touched))
         .join(broadcast(incoming), Seq("id"), "left_anti")

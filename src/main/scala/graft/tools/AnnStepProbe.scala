@@ -31,11 +31,22 @@ object AnnStepProbe {
     // is a removed scan/collect/commit round-trip — wall clock on this
     // multi-tenant box swings 2× between runs, job counts do not)
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    // GRAFT_PROBE_JOBS=1: print each job's callsite — attributes every
+    // job inside a step to the source line that launched it (r19)
+    val traceJobs = sys.env.get("GRAFT_PROBE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobCount.incrementAndGet()
+          if (traceJobs) {
+            // the result stage's name carries the action callsite
+            // ("collect at AnnIndex.scala:1304"); properties only carry
+            // a callsite when explicitly set, which these paths don't
+            val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+            println(s"  JOB ${js.jobId} [${js.stageInfos.size} stages] $site")
+          }
+        }
       })
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()

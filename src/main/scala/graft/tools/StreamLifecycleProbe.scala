@@ -37,6 +37,29 @@ object StreamLifecycleProbe {
       println(f"SEG $name%-24s $dt%8.3f s  jobs=${jobCount.get() - j0}%3d")
       r
     }
+    // per-trigger attribution (r19, VERDICT item 5): Structured Streaming's
+    // own durationMs map splits each micro-batch into addBatch (the actual
+    // work our foreachBatch does) vs machinery (offset resolution, WAL
+    // commit, planning, offset commit) — mechanical evidence for the
+    // "fixed per-trigger floor vs addressable work" verdict.
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs
+          import scala.jdk.CollectionConverters._
+          val total = Option(d.get("triggerExecution")).map(_.longValue)
+            .getOrElse(-1L)
+          val add = Option(d.get("addBatch")).map(_.longValue).getOrElse(0L)
+          val rest = d.asScala.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          println(f"TRIGGER batch=${e.progress.batchId}%2d rows=" +
+            f"${e.progress.numInputRows}%6d total=${total}%5d ms " +
+            f"addBatch=${add}%5d ms machinery=${total - add}%5d ms | $rest")
+        }
+      })
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.count()
     (1 to 2).foreach { round =>
